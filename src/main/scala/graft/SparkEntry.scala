@@ -1,13 +1,325 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
+  * implemented operator from SURVEY.md §2. Queries run over the driver's
+  * parquet fixtures (TESTDATA.md); every compared output is deterministic
+  * (explicit ORDER BY, aggregates rounded so double summation order can't
+  * flip the hash — SURVEY.md §5.1).
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS) — Spark's reader rejects it
+    * unless nanos are surfaced as Long (SPARK-40819); convert to
+    * microsecond timestamps with integer division (a double division would
+    * lose precision: epoch-nanos ≈ 1.7e18 > 2^53). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qPartsReport(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Reference monitoring-surface shapes over `events` (SURVEY.md §2.2-2.10)
+  // ---------------------------------------------------------------------
+
+  /** A1+A2+O2+F1+F8: the `sql/query_parts.sql` shape — group by hourly
+    * partition, count + sum, top-k by count desc. */
+  private def qPartsReport(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(GraftFunctions.toYYYYMMDDhh(col("ts")).as("part_hour"))
+      .agg(
+        count(lit(1)).as("parts_count"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(desc("parts_count"), col("part_hour"))
+      .limit(20)
+
+  /** P1+P2+O1: the `sql/query_metrics.sql` shape — projection + IN-list
+    * filter + sort. */
+  private def qMetricsFilter(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .orderBy(col("event_id"))
+
+  /** P4: equality predicate point lookup (`monitor_metrics.sh:93`). */
+  private def qPointLookup(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("event_id") === 4242L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** A2: global scalar count with predicate (`monitor_metrics.sh:100`). */
+  private def qGlobalCount(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("event_type") === "click")
+      .agg(count(lit(1)).as("n"))
+
+  /** W1+F7+A3: the delay/throw classification ladder over per-partition
+    * counts (`monitor_metrics.sh:104-108`). */
+  private def qStatusLadder(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(GraftFunctions.toYYYYMMDDhh(col("ts")).as("part_hour"))
+      .agg(count(lit(1)).as("parts_count"))
+      .withColumn(
+        "status",
+        when(col("parts_count") >= 20, "THROW")
+          .when(col("parts_count") >= 15, "DELAY")
+          .otherwise("OK"))
+      .orderBy(col("part_hour"))
+
+  /** F2: formatReadableSize over aggregated byte counts
+    * (`sql/query_parts.sql:7`). Sum rounded to a whole number first so
+    * double summation order can't move the formatted 2-decimal output. */
+  private def qReadableSize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_extendedprice")), 0).as("bytes"))
+      .select(
+        col("l_returnflag"),
+        col("bytes"),
+        GraftFunctions.formatReadableSize(col("bytes")).as("total_size"))
+      .orderBy(col("l_returnflag"))
+
+  /** S2: TSV wire-format round-trip (TabSeparated, `insert_data.sh:41`) —
+    * encode to tab-separated text, decode back, project. Timestamps
+    * truncated to seconds to match the wire format's resolution
+    * (`generate_data.py:36`). */
+  private def qTsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val opts = Map(
+      "sep" -> "\t",
+      "timestampFormat" -> "yyyy-MM-dd HH:mm:ss")
+    val ev = events(s, d).select(
+      col("event_id"),
+      date_trunc("second", col("ts")).cast("timestamp").as("ts"),
+      col("user_id"), col("event_type"), col("value"))
+    import scala.jdk.CollectionConverters._
+    ev.select(to_csv(struct(ev.columns.map(col).toIndexedSeq: _*), opts.asJava).as("line"))
+      .select(from_csv(col("line"), ev.schema, opts).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // General relational surface at scale (joins/windows/set-ops) — the
+  // Spark machinery the reference delegates to ClickHouse (SURVEY.md §2.3,
+  // §2.6, §2.8 note these are available-unused; exercised here so the
+  // engine's full query surface is oracle-checked).
+  // ---------------------------------------------------------------------
+
+  /** Pricing-summary aggregate (multi-agg hash aggregation, A1 family). */
+  private def qPricingSummary(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Broadcast join chain over small dims (customer→nation→region):
+    * Catalyst broadcasts automatically below the threshold; hints pin the
+    * plan so a 1000-executor run never shuffles the dim side. */
+  private def qJoinBroadcast(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("r_name"))
+
+  /** Large-side shuffle join (lineitem ⋈ orders on orderkey). */
+  private def qJoinShuffle(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Left-semi join (EXISTS). */
+  private def qSemiJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(
+        t(s, d, "orders").filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join (NOT EXISTS): customers with no high-value order. */
+  private def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(
+        t(s, d, "orders").filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Ranking window: top-3 orders per customer. */
+  private def qWindowTopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, d, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running-total window (frame: unbounded preceding → current row). */
+  private def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Set operations: UNION (distinct) then EXCEPT. */
+  private def qSetOps(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("k"))
+      .union(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+      .distinct()
+      .except(
+        t(s, d, "nation").filter(col("n_regionkey") === 0).select(col("n_nationkey").as("k")))
+      .orderBy(col("k"))
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q01_parts_report" -> (qPartsReport _),
+    "q02_metrics_filter" -> (qMetricsFilter _),
+    "q03_point_lookup" -> (qPointLookup _),
+    "q04_global_count" -> (qGlobalCount _),
+    "q05_status_ladder" -> (qStatusLadder _),
+    "q06_readable_size" -> (qReadableSize _),
+    "q07_tsv_roundtrip" -> (qTsvRoundtrip _),
+    "q08_pricing_summary" -> (qPricingSummary _),
+    "q09_join_broadcast" -> (qJoinBroadcast _),
+    "q10_join_shuffle" -> (qJoinShuffle _),
+    "q11_semi_join" -> (qSemiJoin _),
+    "q12_anti_join" -> (qAntiJoin _),
+    "q13_window_topk" -> (qWindowTopK _),
+    "q14_window_running" -> (qWindowRunning _),
+    "q15_set_ops" -> (qSetOps _))
+
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_parts_report" ->
+      """SELECT CAST(strftime(ts, '%Y%m%d%H') AS INTEGER) AS part_hour,
+         count(*) AS parts_count, round(sum(value), 2) AS total_value
+         FROM events GROUP BY part_hour
+         ORDER BY parts_count DESC, part_hour LIMIT 20""",
+    "q02_metrics_filter" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE event_type IN ('click','view','purchase') ORDER BY event_id""",
+    "q03_point_lookup" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE event_id = 4242""",
+    "q04_global_count" ->
+      "SELECT count(*) AS n FROM events WHERE event_type = 'click'",
+    "q05_status_ladder" ->
+      """SELECT part_hour, parts_count,
+         CASE WHEN parts_count >= 20 THEN 'THROW'
+              WHEN parts_count >= 15 THEN 'DELAY'
+              ELSE 'OK' END AS status
+         FROM (SELECT CAST(strftime(ts, '%Y%m%d%H') AS INTEGER) AS part_hour,
+               count(*) AS parts_count FROM events GROUP BY part_hour) g
+         ORDER BY part_hour""",
+    "q06_readable_size" ->
+      """SELECT l_returnflag, bytes,
+         CASE WHEN abs(bytes) < 1024 THEN printf('%.2f B', bytes)
+              WHEN abs(bytes) < 1048576 THEN printf('%.2f KiB', bytes / 1024)
+              WHEN abs(bytes) < 1073741824 THEN printf('%.2f MiB', bytes / 1048576)
+              WHEN abs(bytes) < 1099511627776 THEN printf('%.2f GiB', bytes / 1073741824)
+              ELSE printf('%.2f TiB', bytes / 1099511627776) END AS total_size
+         FROM (SELECT l_returnflag, round(sum(l_extendedprice), 0) AS bytes
+               FROM lineitem GROUP BY l_returnflag) g
+         ORDER BY l_returnflag""",
+    "q07_tsv_roundtrip" ->
+      """SELECT event_id, date_trunc('second', ts) AS ts, user_id, event_type, value
+         FROM events ORDER BY event_id""",
+    "q08_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q09_join_broadcast" ->
+      """SELECT r_name, count(*) AS order_count,
+         round(sum(o_totalprice), 2) AS total_price
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q10_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q11_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+         ORDER BY c_custkey""",
+    "q12_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+         ORDER BY c_custkey""",
+    "q13_window_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q14_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q15_set_ops" ->
+      """SELECT k FROM (
+           SELECT k FROM (
+             SELECT c_nationkey AS k FROM customer
+             UNION
+             SELECT s_nationkey AS k FROM supplier) u
+           EXCEPT
+           SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0) t
+         ORDER BY k""")
 }

@@ -1,0 +1,123 @@
+package graft.functions
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers referenced from generated code — keeping the bodies in a
+  * plain object lets the expressions below stay inside whole-stage codegen
+  * (the generated Java just calls these static methods). */
+object Impl {
+
+  private val units = Array("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB", "ZiB", "YiB")
+
+  /** ClickHouse `formatReadableSize` semantics: binary (1024) unit ladder,
+    * two decimals (reference usage: `sql/query_parts.sql:7`). */
+  def formatReadableSize(bytes: Double): UTF8String = {
+    var v = bytes
+    var i = 0
+    while (math.abs(v) >= 1024.0 && i < units.length - 1) { v /= 1024.0; i += 1 }
+    UTF8String.fromString(String.format(Locale.ROOT, "%.2f %s", Double.box(v), units(i)))
+  }
+
+  private val alphabet: Array[Char] =
+    (('A' to 'Z') ++ ('a' to 'z')).toArray // 52 ASCII letters
+
+  /** splitmix64 — public-domain mixer (Steele et al., "Fast Splittable
+    * Pseudorandom Number Generators", OOPSLA'14); same constants as
+    * `java.util.SplittableRandom`. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic letters-only random string of length `n` seeded by
+    * `seed` — the engine's stand-in for the reference's
+    * `''.join(random.choice(string.ascii_letters) for _ in range(50))`
+    * (`scripts/generate_data.py:30`). Built-in `randstr` has the wrong
+    * alphabet (digits+letters) and is non-deterministic per task. */
+  def randLetters(seed: Long, n: Int): UTF8String = {
+    val sb = new java.lang.StringBuilder(n)
+    var s = seed
+    var i = 0
+    while (i < n) {
+      s = mix64(s)
+      sb.append(alphabet(java.lang.Long.remainderUnsigned(s, 52L).toInt))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `formatReadableSize(bytes)` — ClickHouse built-in the reference relies on
+  * (`sql/query_parts.sql:7`); no Spark equivalent, so a native Catalyst
+  * expression with codegen (SURVEY.md §2.5 F2). */
+case class FormatReadableSize(child: Expression) extends UnaryExpression {
+  // input contract: DoubleType (the Column wrapper casts); AbstractDataType
+  // is private[sql], so ExpectsInputTypes is not implementable externally.
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    Impl.formatReadableSize(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.formatReadableSize($c)")
+  override protected def withNewChildInternal(c: Expression): FormatReadableSize = copy(c)
+  override def prettyName: String = "formatReadableSize"
+}
+
+/** `rand_letters(seed, n)` — deterministic fixed-length ASCII-letter string
+  * (SURVEY.md §2.5 G5). Seed is a per-row long (e.g. xxhash64 of the row id)
+  * so generation is reproducible and fully distributed. */
+case class RandLetters(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // input contract: (LongType seed, IntegerType length)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(seed: Any, n: Any): Any =
+    Impl.randLetters(seed.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.functions.Impl.randLetters($s, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RandLetters =
+    copy(left = l, right = r)
+  override def prettyName: String = "rand_letters"
+}
+
+/** Column-level API + SQL registration for the engine's scalar functions
+  * (SURVEY.md §2.5 F1/F2/G5, §2.11). */
+object GraftFunctions {
+
+  /** `toYYYYMMDDhh(ts)` → Int hour bucket, e.g. 2026081205 — the
+    * reference's partition expression (`sql/create_local.sql:18`).
+    * Thin alias over built-ins so Catalyst folds/prunes it natively. */
+  def toYYYYMMDDhh(c: Column): Column =
+    date_format(c, "yyyyMMddHH").cast(IntegerType)
+
+  def formatReadableSize(c: Column): Column =
+    column(FormatReadableSize(expression(c.cast(DoubleType))))
+
+  def randLetters(seed: Column, n: Int): Column =
+    column(RandLetters(expression(seed), expression(lit(n))))
+
+  /** Register SQL spellings matching the ClickHouse names so `spark.sql`
+    * text stays close to the reference's queries. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "formatReadableSize", es => FormatReadableSize(es.head), "builtin")
+    reg.createOrReplaceTempFunction(
+      "rand_letters", es => RandLetters(es.head, es(1)), "builtin")
+    spark.udf.register("toYYYYMMDDhh",
+      (ts: java.sql.Timestamp) => { // registered for SQL-text parity only;
+        // the Column API path uses the codegen'd date_format composition.
+        val f = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHH")
+          .withZone(java.time.ZoneOffset.UTC)
+        f.format(ts.toInstant).toInt
+      })
+  }
+}

@@ -1,0 +1,102 @@
+package graft.gen
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.model.Event
+
+/** Distributed synthetic event generator — the Spark-native replacement for
+  * the reference's row-at-a-time Python generator
+  * (`scripts/generate_data.py:12-36`, SURVEY.md §2.1 S1, §2.5 G1–G7).
+  *
+  * Two modes:
+  *   - `batch(seed=Some(s))`: fully deterministic. Every column derives from
+  *     `xxhash64(row_id, seed, fieldTag)` so the same (n, batchTime, seed)
+  *     triple produces identical data on any cluster size / partitioning —
+  *     required for the DuckDB-oracle comparisons (SURVEY.md §5.1).
+  *   - `batch(seed=None)`: `rand()`-based like the reference (which is
+  *     intentionally random, `generate_data.py:23-31`).
+  *
+  * Scale notes: `spark.range(n, numPartitions)` is an embarrassingly
+  * parallel source — no shuffle, no driver-side data; every derived column
+  * is a codegen'd expression. At 100 TB this generator is bounded purely by
+  * write bandwidth.
+  */
+object DataGen {
+
+  /** Column domains per `scripts/generate_data.py:19-36`. */
+  val IdMax = 1000000000000000000L // 10^18 (UInt64 stays in signed-Long range)
+  val UserIdMax = 1000000L
+  val StatusMax = 256L
+  val HourSpread = 24L // random hour in [0,23] → 24 hourly partitions/batch
+  val DescriptionLen = 50
+  val ValueMax = 10000.0
+
+  /** Deterministic or random batch of `n` events anchored at `batchTime`
+    * (the reference captures one wall-clock per batch,
+    * `generate_data.py:19`; we take it as a parameter for determinism). */
+  def batch(
+      spark: SparkSession,
+      n: Long,
+      batchTime: Timestamp,
+      seed: Option[Long] = Some(42L),
+      numPartitions: Option[Int] = None): Dataset[Event] = {
+    import spark.implicits._
+    val base = numPartitions
+      .map(p => spark.range(0, n, 1, p))
+      .getOrElse(spark.range(n))
+    val df = seed match {
+      case Some(s) => deterministicColumns(base.toDF("rid"), batchTime, s)
+      case None => randomColumns(base.toDF("rid"), batchTime)
+    }
+    df.as[Event]
+  }
+
+  /** xxhash64-derived columns: one independent stream per field via a
+    * distinct field tag mixed into the hash. */
+  private def deterministicColumns(base: DataFrame, batchTime: Timestamp, seed: Long): DataFrame = {
+    def h(tag: Int) = xxhash64(col("rid"), lit(seed), lit(tag))
+    val bt = lit(batchTime)
+    base.select(
+      (pmod(h(1), lit(IdMax)) + 1L).as("id"),
+      (bt - make_interval(hours = pmod(h(2), lit(HourSpread)).cast("int"))).as("event_time"),
+      (pmod(h(3), lit(UserIdMax)) + 1L).cast("int").as("user_id"),
+      element_at(
+        array(Event.eventTypes.map(lit): _*),
+        (pmod(h(4), lit(Event.eventTypes.size.toLong)) + 1L).cast("int")).as("event_type"),
+      // uniform [0, 10000) with exactly 2 decimals (generate_data.py:28)
+      (pmod(h(5), lit(1000000L)).cast("double") / 100.0).as("value"),
+      pmod(h(6), lit(StatusMax)).cast("int").as("status"),
+      GraftFunctions.randLetters(h(7), DescriptionLen).as("description"),
+      lit("{}").as("metadata"),
+      bt.as("created_at"),
+      bt.as("updated_at"))
+  }
+
+  private def randomColumns(base: DataFrame, batchTime: Timestamp): DataFrame = {
+    val bt = lit(batchTime)
+    base.select(
+      (rand() * IdMax + 1).cast("long").as("id"),
+      (bt - make_interval(hours = (rand() * HourSpread).cast("int"))).as("event_time"),
+      (rand() * UserIdMax + 1).cast("int").as("user_id"),
+      element_at(
+        array(Event.eventTypes.map(lit): _*),
+        (rand() * Event.eventTypes.size + 1).cast("int")).as("event_type"),
+      round(rand() * ValueMax, 2).as("value"),
+      (rand() * StatusMax).cast("int").as("status"),
+      GraftFunctions.randLetters((rand() * Long.MaxValue).cast("long"), DescriptionLen)
+        .as("description"),
+      lit("{}").as("metadata"),
+      bt.as("created_at"),
+      bt.as("updated_at"))
+  }
+
+  /** `make_interval(hours=...)` helper — Spark's `make_interval` wants all
+    * seven unit columns. */
+  private def make_interval(hours: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.make_interval(
+      lit(0), lit(0), lit(0), lit(0), hours, lit(0), lit(0))
+}

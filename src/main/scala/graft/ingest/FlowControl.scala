@@ -1,0 +1,57 @@
+package graft.ingest
+
+import java.util.concurrent.atomic.AtomicReference
+
+/** Flow-control thresholds, ALTERable at runtime without recreating the
+  * table — the Spark restatement of `ALTER TABLE ... MODIFY SETTING`
+  * (reference: `scripts/set_flow_control.sh:24-47`, SURVEY.md §2.1 S10,
+  * §2.9 T6). DDL defaults 150/300 from `sql/create_local.sql:21-22`;
+  * the reference's runtime config uses 50/100
+  * (`config/clickhouse.conf.example:12-13`).
+  */
+final case class FlowControlSettings(
+    partsToDelayInsert: Long = 150,
+    partsToThrowInsert: Long = 300,
+    maxPartitionsPerInsertBlock: Long = 100,
+    delayMillis: Long = 100)
+
+/** ClickHouse "Too many parts" rejection (SURVEY.md §2.9 T3). */
+final class TooManyPartsException(parts: Long, threshold: Long)
+  extends RuntimeException(
+    s"Too many parts ($parts). Merges are processing significantly slower than inserts (threshold: $threshold)")
+
+/** "Too many partitions for single INSERT block" (SURVEY.md §2.9 T5 — the
+  * setting the reference configures but never ALTERs;
+  * `config/clickhouse.conf.example:14`). */
+final class TooManyPartitionsException(partitions: Long, cap: Long)
+  extends RuntimeException(
+    s"Too many partitions for single INSERT block ($partitions > $cap)")
+
+object FlowControl {
+  sealed trait Decision
+  case object Ok extends Decision
+  final case class Delay(millis: Long) extends Decision
+  final case class Throw(parts: Long) extends Decision
+}
+
+final class FlowControl(initial: FlowControlSettings = FlowControlSettings()) {
+  import FlowControl._
+
+  private val ref = new AtomicReference(initial)
+
+  def settings: FlowControlSettings = ref.get()
+
+  /** Runtime MODIFY SETTING — takes effect on the next insert block. */
+  def alter(f: FlowControlSettings => FlowControlSettings): FlowControlSettings =
+    ref.updateAndGet(s => f(s))
+
+  /** The delay/throw ladder over the most-loaded partition's active part
+    * count — ClickHouse compares per-partition, not total (SURVEY.md §2.4
+    * A3, `monitor_metrics.sh:104-108` approximates with the total). */
+  def decide(maxPartsPerPartition: Long): Decision = {
+    val s = settings
+    if (maxPartsPerPartition >= s.partsToThrowInsert) Throw(maxPartsPerPartition)
+    else if (maxPartsPerPartition >= s.partsToDelayInsert) Delay(s.delayMillis)
+    else Ok
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.system.{MetricsRegistry, PartsRegistry}
+import graft.table.EventTable
+
+/** The ingest sink: flow-control gate + partitioned append + metric
+  * accounting — the Spark restatement of the reference's
+  * `insert_batch` → server-side MergeTree insert path (SURVEY.md §3.2;
+  * reference: `scripts/insert_data.sh:27-51`).
+  *
+  * Gate semantics (all pre-write, driver-side — cheap registry reads):
+  *   T5: distinct partitions in the block vs `maxPartitionsPerInsertBlock`;
+  *   T3: max active parts per partition ≥ throw → TooManyPartsException;
+  *   T2: ≥ delay → sleep `delayMillis`, count `DelayedInserts`, proceed.
+  */
+final class Ingest(
+    tablePath: String,
+    flow: FlowControl,
+    parts: PartsRegistry,
+    metrics: MetricsRegistry,
+    filesPerPartition: Int = 1) {
+
+  /** Append one insert block; returns rows written. */
+  def append(block: DataFrame): Long = {
+    val s = flow.settings
+
+    // T5 — partition-count cap per insert block. One cheap job over the
+    // block's partition expression only (column-pruned scan of one column).
+    val touched = block
+      .select(GraftFunctions.toYYYYMMDDhh(col("event_time")).as("ph"))
+      .agg(countDistinct(col("ph")).as("n"), count(lit(1)).as("rows"))
+      .head()
+    val nPartitions = touched.getLong(0)
+    val nRows = touched.getLong(1)
+    if (nPartitions > s.maxPartitionsPerInsertBlock) {
+      metrics("RejectedInserts").add(1)
+      throw new TooManyPartitionsException(nPartitions, s.maxPartitionsPerInsertBlock)
+    }
+
+    // T2/T3 — delay / throw ladder on the most-loaded partition.
+    flow.decide(parts.maxPartsPerPartition()) match {
+      case FlowControl.Delay(millis) =>
+        metrics("DelayedInserts").add(1)
+        Thread.sleep(millis)
+      case FlowControl.Throw(p) =>
+        metrics("RejectedInserts").add(1)
+        throw new TooManyPartsException(p, s.partsToThrowInsert)
+      case FlowControl.Ok => ()
+    }
+
+    val bytesBefore = parts.list().map(_.bytes_on_disk).sum
+    EventTable.append(block, tablePath, filesPerPartition)
+    metrics("InsertedRows").add(nRows)
+    metrics("InsertedBytes").add(parts.list().map(_.bytes_on_disk).sum - bytesBefore)
+    nRows
+  }
+}

@@ -1,0 +1,49 @@
+package graft.model
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types._
+
+/** The reference's single domain table: a 10-column, hourly-partitioned,
+  * columnar event table (reference: `sql/create_local.sql:4-22`).
+  *
+  * Type mapping follows SURVEY.md §1.2: UInt64 id is safe as a signed Long
+  * because the generator caps at 10^18 (`scripts/generate_data.py:23`);
+  * UInt8 status is widened to Int (Spark has no unsigned byte).
+  */
+final case class Event(
+    id: Long,
+    event_time: Timestamp,
+    user_id: Int,
+    event_type: String,
+    value: Double,
+    status: Int,
+    description: String,
+    metadata: String,
+    created_at: Timestamp,
+    updated_at: Timestamp)
+
+object Event {
+
+  /** Explicit schema — the engine never infers the event schema
+    * (reference declares it once in DDL, `sql/create_local.sql:4-22`). */
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("event_time", TimestampType, nullable = false),
+    StructField("user_id", IntegerType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("status", IntegerType, nullable = false),
+    StructField("description", StringType, nullable = false),
+    StructField("metadata", StringType, nullable = false),
+    StructField("created_at", TimestampType, nullable = false),
+    StructField("updated_at", TimestampType, nullable = false)))
+
+  /** Categorical domain of `event_type`
+    * (reference: `scripts/generate_data.py:20`). */
+  val eventTypes: Seq[String] = Seq("click", "view", "purchase", "login")
+
+  /** Name of the derived hourly partition column (the Spark analogue of
+    * `PARTITION BY toYYYYMMDDhh(event_time)`, `sql/create_local.sql:18`). */
+  val partitionCol: String = "part_hour"
+}

@@ -1,0 +1,58 @@
+package graft.monitor
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.ingest.FlowControl
+import graft.system.{MetricsRegistry, PartsRegistry}
+
+/** Typed flow-control status — replaces the reference's stdout-protocol
+  * (`monitor_metrics.sh:110` + `setup.sh:138` `tail -1` parsing; SURVEY.md
+  * §3.3 calls that out as a wart not to reproduce). */
+final case class FlowStatus(
+    totalActiveParts: Long,
+    maxPartsPerPartition: Long,
+    delayedInserts: Long,
+    status: String) // OK | DELAY | THROW
+
+/** The three monitoring reports (reference: `scripts/monitor_metrics.sh`;
+  * SURVEY.md §3.3). Each is a plain DataFrame query over the registries —
+  * the same relational shapes the reference sends to ClickHouse. */
+final class Monitor(metrics: MetricsRegistry, parts: PartsRegistry, flow: FlowControl) {
+
+  /** `sql/query_metrics.sql`: project + IN-filter + sort (P1, P2, O1). */
+  def metricsReport(): DataFrame =
+    metrics.toDF
+      .select(col("metric"), col("value"), col("description"))
+      .filter(col("metric").isin(metrics.referenceMetrics.map(_._1): _*))
+      .orderBy(col("metric"))
+
+  /** `sql/query_parts.sql`: conjunctive filter + group-by + count/sum +
+    * formatReadableSize + top-k (P3, A1, F2, F8, O2). */
+  def partsReport(limit: Int = 20): DataFrame =
+    parts.toDF
+      // WHERE active AND database = currentDatabase() AND table = ...
+      // (`sql/query_parts.sql:9`); Spark's default database is 'default',
+      // matching the registry's constant.
+      .filter(col("active") && col("database") === current_database())
+      .groupBy(col("table"), col("partition"))
+      .agg(
+        count(lit(1)).as("parts_count"),
+        sum(col("rows")).as("total_rows"),
+        GraftFunctions.formatReadableSize(sum(col("bytes_on_disk"))).as("total_size"))
+      .orderBy(col("parts_count").desc, col("partition"))
+      .limit(limit)
+
+  /** `check_flow_control_status` (`monitor_metrics.sh:89-111`): two scalar
+    * lookups + the W1 classification ladder — returned typed. */
+  def status(): FlowStatus = {
+    val s = flow.settings
+    val maxParts = parts.maxPartsPerPartition()
+    val label =
+      if (maxParts >= s.partsToThrowInsert) "THROW"
+      else if (maxParts >= s.partsToDelayInsert) "DELAY"
+      else "OK"
+    FlowStatus(parts.totalActiveParts(), maxParts, metrics.value("DelayedInserts"), label)
+  }
+}

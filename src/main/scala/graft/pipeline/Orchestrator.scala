@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+import graft.gen.DataGen
+import graft.ingest.{FlowControl, FlowControlSettings, Ingest, TooManyPartsException, TooManyPartitionsException}
+import graft.monitor.{FlowStatus, Monitor}
+import graft.system.{MetricsRegistry, PartsRegistry}
+import graft.table.EventTable
+
+/** One-click pipeline — the Spark restatement of `scripts/setup.sh main()`
+  * (SURVEY.md §3.1): DDL → flow-control setup → bounded micro-batch insert
+  * loop with per-iteration monitoring → final report. One JVM, no
+  * subprocess/stdout protocols; per-batch results are typed.
+  */
+object Orchestrator {
+
+  final case class Config(
+      tablePath: String,
+      batchSize: Long = 100000L, // BATCH_SIZE (conf.example:17)
+      insertIntervalMillis: Long = 1000L, // INSERT_INTERVAL (conf.example:18)
+      maxInsertCount: Int = 60, // MAX_INSERT_COUNT (conf.example:19)
+      flow: FlowControlSettings = FlowControlSettings(
+        partsToDelayInsert = 50, partsToThrowInsert = 100), // conf.example:12-13
+      cleanup: Boolean = true,
+      seed: Option[Long] = Some(42L),
+      sleepBetweenBatches: Boolean = false) // true mirrors the 1 s cadence
+
+  final case class BatchResult(
+      batch: Int, rows: Long, elapsedMillis: Long,
+      failed: Boolean, error: Option[String], status: FlowStatus)
+
+  final case class RunReport(
+      batches: Seq[BatchResult],
+      totalRows: Long,
+      flowControlTriggered: Boolean,
+      finalStatus: FlowStatus)
+
+  def run(spark: SparkSession, cfg: Config): RunReport = {
+    if (cfg.cleanup) EventTable.drop(spark, cfg.tablePath) // S9
+    EventTable.create(spark, cfg.tablePath) // S7/S8
+
+    val flow = new FlowControl(cfg.flow) // S10/T6
+    val metrics = new MetricsRegistry(spark)
+    val parts = new PartsRegistry(spark, cfg.tablePath, "test_local")
+    metrics.gauge("PartsActive", "Active data part, used by current and upcoming SELECTs")(
+      () => parts.totalActiveParts())
+    val ingest = new Ingest(cfg.tablePath, flow, parts, metrics)
+    val monitor = new Monitor(metrics, parts, flow)
+
+    var triggered = false
+    val results = Seq.newBuilder[BatchResult]
+    var i = 1
+    var stop = false
+    while (i <= cfg.maxInsertCount && !stop) {
+      val t0 = System.nanoTime()
+      val batchTime = new Timestamp(1700000000000L + i * 1000L) // deterministic anchor
+      val block = DataGen.batch(spark, cfg.batchSize, batchTime, cfg.seed.map(_ + i))
+      val (rows, failed, err) =
+        try { (ingest.append(block.toDF()), false, None) }
+        catch {
+          case e @ (_: TooManyPartsException | _: TooManyPartitionsException) =>
+            triggered = true // T7: log-and-continue semantics (setup.sh:129-134)
+            (0L, true, Some(e.getMessage))
+        }
+      val st = monitor.status() // per-iteration report (setup.sh:137-138)
+      results += BatchResult(i, rows, (System.nanoTime() - t0) / 1000000L, failed, err, st)
+      if (st.maxPartsPerPartition >= flow.settings.partsToThrowInsert) {
+        triggered = true
+        stop = true // hard stop (setup.sh:141-145)
+      }
+      if (cfg.sleepBetweenBatches && !stop) Thread.sleep(cfg.insertIntervalMillis)
+      i += 1
+    }
+    val all = results.result()
+    RunReport(all, all.map(_.rows).sum, triggered, monitor.status())
+  }
+}

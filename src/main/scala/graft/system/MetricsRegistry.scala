@@ -1,0 +1,59 @@
+package graft.system
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.util.LongAccumulator
+
+/** `system.metrics` analogue (reference: `sql/query_metrics.sql:2-6`): a
+  * live registry of named counters exposed as a queryable
+  * `(metric, value, description)` relation.
+  *
+  * Counters are Spark `LongAccumulator`s so executor-side code (e.g. a
+  * future sink running on tasks) can increment them; gauges are driver-side
+  * thunks evaluated at read time (PartsActive reads the PartsRegistry).
+  */
+final class MetricsRegistry(spark: SparkSession) {
+
+  private val counters = scala.collection.mutable.LinkedHashMap.empty[String, (LongAccumulator, String)]
+  private val gauges = scala.collection.mutable.LinkedHashMap.empty[String, (() => Long, String)]
+
+  /** The metric names the reference's monitoring query filters on
+    * (`sql/query_metrics.sql:8-17`). */
+  val referenceMetrics: Seq[(String, String)] = Seq(
+    "DelayedInserts" -> "Number of INSERT queries that are throttled due to high number of active data parts for partition",
+    "DistributedFilesToInsert" -> "Number of pending files to process for asynchronous insertion into Distributed tables",
+    "InsertedRows" -> "Number of rows INSERTed to all tables",
+    "InsertedBytes" -> "Number of bytes INSERTed to all tables",
+    "PartsActive" -> "Active data part, used by current and upcoming SELECTs",
+    "PartsCommitted" -> "Deprecated. See PartsActive",
+    "PartsInMemory" -> "Deprecated. Part in memory",
+    "PartsMutations" -> "Mutations of parts",
+    "ReplicatedChecks" -> "Number of data parts checking for consistency",
+    "ReplicatedFetch" -> "Number of data parts being fetched from replica")
+
+  referenceMetrics.foreach { case (n, d) => counter(n, d) }
+  counter("RejectedInserts", "Number of INSERT queries rejected by flow control (too many parts)")
+
+  def counter(name: String, description: String = ""): LongAccumulator =
+    counters.getOrElseUpdate(name, {
+      val acc = spark.sparkContext.longAccumulator(name)
+      (acc, description)
+    })._1
+
+  def gauge(name: String, description: String)(read: () => Long): Unit =
+    gauges.update(name, (read, description))
+
+  def apply(name: String): LongAccumulator = counters(name)._1
+
+  def value(name: String): Long =
+    gauges.get(name).map(_._1())
+      .orElse(counters.get(name).map(_._1.value.longValue()))
+      .getOrElse(0L)
+
+  def toDF: DataFrame = {
+    import spark.implicits._
+    val rows =
+      counters.toSeq.collect { case (n, (acc, d)) if !gauges.contains(n) => (n, acc.value, d) } ++
+        gauges.toSeq.map { case (n, (read, d)) => (n, read(), d) }
+    spark.createDataset(rows.toSeq).toDF("metric", "value", "description")
+  }
+}

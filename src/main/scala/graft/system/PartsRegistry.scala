@@ -1,0 +1,76 @@
+package graft.system
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.table.EventTable
+
+/** One row per "part" (one parquet data file in one `part_hour=` dir). */
+final case class PartInfo(
+    table: String,
+    partition: String,
+    rows: Long,
+    bytes_on_disk: Long,
+    active: Boolean,
+    database: String)
+
+/** `system.parts` analogue (reference: `sql/query_parts.sql:2-9`,
+  * `scripts/monitor_metrics.sh:79,100`): a live, queryable relation of part
+  * metadata derived from the table directory listing. Row counts come from
+  * parquet footers (read once per new file, cached by (path, mtime, len)).
+  *
+  * Scale notes: listing is driver-side over partition dirs only — O(parts),
+  * no data read; footer reads are cached so a 1/s monitoring cadence
+  * (reference `setup.sh:137-138`) costs one FS listing, not a re-scan.
+  */
+final class PartsRegistry(spark: SparkSession, tablePath: String, tableName: String) {
+
+  private val rowCountCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
+
+  def list(): Seq[PartInfo] = {
+    val fs = EventTable.hadoopFs(spark, tablePath)
+    val root = new Path(tablePath)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_hour="))
+      .flatMap { dir =>
+        val partition = dir.getPath.getName.stripPrefix("part_hour=")
+        fs.listStatus(dir.getPath).toIndexedSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val rows = rowCountCache.getOrElseUpdate(
+              (f.getPath.toString, f.getModificationTime, f.getLen),
+              footerRowCount(f.getPath))
+            PartInfo(tableName, partition, rows, f.getLen, active = true, "default")
+          }
+      }
+  }
+
+  def toDF: DataFrame = {
+    import spark.implicits._
+    spark.createDataset(list()).toDF()
+  }
+
+  /** Count of active parts in the most-loaded partition — the value
+    * ClickHouse's delay/throw thresholds actually compare against
+    * (SURVEY.md §2.4 A3). */
+  def maxPartsPerPartition(): Long = {
+    val counts = partCounts()
+    if (counts.isEmpty) 0L else counts.values.max
+  }
+
+  def totalActiveParts(): Long = list().size.toLong
+
+  def partCounts(): Map[String, Long] =
+    list().groupBy(_.partition).map { case (k, v) => k -> v.size.toLong }
+
+  private def footerRowCount(p: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val reader = ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
+  }
+}

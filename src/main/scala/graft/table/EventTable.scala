@@ -1,0 +1,68 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.model.Event
+
+/** The engine's MergeTree analogue: an hourly-partitioned, sorted, columnar
+  * (parquet) table (reference DDL: `sql/create_local.sql:4-22`).
+  *
+  *  - `PARTITION BY toYYYYMMDDhh(event_time)` → a derived `part_hour`
+  *    column used with `write.partitionBy` (SURVEY.md §1.2).
+  *  - `ORDER BY (event_time, id)` → `sortWithinPartitions` before write.
+  *  - one "part" = one parquet file inside a `part_hour=` directory; a
+  *    batch append repartitions by `part_hour` first so each touched
+  *    partition gets exactly ONE new part per batch — matching ClickHouse's
+  *    "insert block split by partition" semantics (`CLAUDE.md:428-432`)
+  *    and keeping part accounting deterministic.
+  *
+  * Scale notes: at 100 TB the `repartition(partitionCol)` is a shuffle on
+  * ≤24 keys per batch; for wider time ranges pass a higher
+  * `filesPerPartition` (salt) so a single hot hourly partition fans out to
+  * multiple writer tasks instead of one straggler.
+  */
+object EventTable {
+
+  /** Distributed-table analogue (`sql/create_distributed.sql:4-6`): Spark
+    * DataFrames are already partition-distributed; routing is a no-op. */
+  def create(spark: SparkSession, path: String): Unit = {
+    // Idempotent CREATE TABLE IF NOT EXISTS (S7): parquet dir + catalog view.
+    val fs = hadoopFs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) fs.mkdirs(p)
+  }
+
+  def drop(spark: SparkSession, path: String): Unit = {
+    val fs = hadoopFs(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+
+  /** Append one insert block. `filesPerPartition` > 1 salts the shuffle so
+    * one hourly partition is written by several tasks (skew escape hatch —
+    * each task still emits one file per partition dir it holds). */
+  def append(df: DataFrame, path: String, filesPerPartition: Int = 1): Unit = {
+    val withPart = df.withColumn(
+      Event.partitionCol, GraftFunctions.toYYYYMMDDhh(col("event_time")))
+    val routed =
+      if (filesPerPartition <= 1) withPart.repartition(col(Event.partitionCol))
+      else withPart.repartition(
+        col(Event.partitionCol),
+        pmod(col("id"), lit(filesPerPartition.toLong)))
+    routed
+      .sortWithinPartitions("event_time", "id") // ORDER BY (event_time, id)
+      .write.mode(SaveMode.Append)
+      .partitionBy(Event.partitionCol)
+      .parquet(path)
+  }
+
+  /** Full-table scan as a DataFrame (partition column included). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(
+      Event.schema.add(Event.partitionCol, "int")).parquet(path)
+
+  private[graft] def hadoopFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made `Column(expr)` private; the blessed converter
+  * (`org.apache.spark.sql.classic.ExpressionUtils`) is `private[sql]`.
+  * This one-file bridge lives inside the `org.apache.spark.sql` package
+  * solely to re-expose Column<->Expression conversion to graft's custom
+  * Catalyst expressions (SURVEY.md §2.11). No Spark internals are
+  * modified. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

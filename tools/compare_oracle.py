@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: compare_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet dir written by graft.Verify plus
+oracle_sql.json, runs the oracle SQL in DuckDB against the same parquet
+tables, sorts columns by name, and compares row-by-row with a tolerance-
+free string render (floats repr'd) — stricter than a hash, and it prints
+the first diff so mismatches are debuggable.
+"""
+import json
+import sys
+import glob
+
+import duckdb
+import pandas as pd
+
+
+def load_spark(outdir, name):
+    files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+    if not files:
+        return None
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for table in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM '{sfdir}/{table}.parquet'")
+    oracle_sql = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle_sql.items()):
+        spark_df = load_spark(outdir, name)
+        if spark_df is None:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            oracle_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        s = spark_df[sorted(spark_df.columns)]
+        o = oracle_df[sorted(oracle_df.columns)]
+        if list(s.columns) != list(o.columns):
+            print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
+            n_fail += 1
+            continue
+        if len(s) != len(o):
+            print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+            n_fail += 1
+            continue
+        mismatch = None
+        for c in s.columns:
+            sv, ov = s[c].tolist(), o[c].tolist()
+            for i, (a, b) in enumerate(zip(sv, ov)):
+                if repr(a) != repr(b) and str(a) != str(b):
+                    mismatch = (c, i, a, b)
+                    break
+            if mismatch:
+                break
+        if mismatch:
+            c, i, a, b = mismatch
+            print(f"FAIL {name}: col={c} row={i}: spark={a!r} oracle={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
