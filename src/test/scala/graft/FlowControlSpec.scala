@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.{FlowControl, FlowControlSettings}
+
+class FlowControlSpec extends AnyFunSuite {
+
+  test("decision ladder: OK below delay, DELAY at/above, THROW at/above throw") {
+    val fc = new FlowControl(FlowControlSettings(
+      partsToDelayInsert = 5, partsToThrowInsert = 10, delayMillis = 1))
+    assert(fc.decide(0) == FlowControl.Ok)
+    assert(fc.decide(4) == FlowControl.Ok)
+    assert(fc.decide(5) == FlowControl.Delay(1))
+    assert(fc.decide(9) == FlowControl.Delay(1))
+    assert(fc.decide(10) == FlowControl.Throw(10))
+    assert(fc.decide(999) == FlowControl.Throw(999))
+  }
+
+  test("runtime ALTER takes effect on the next decision (T6)") {
+    val fc = new FlowControl(FlowControlSettings(
+      partsToDelayInsert = 5, partsToThrowInsert = 10, delayMillis = 1))
+    assert(fc.decide(7) == FlowControl.Delay(1))
+    fc.alter(_.copy(partsToDelayInsert = 50, partsToThrowInsert = 100))
+    assert(fc.decide(7) == FlowControl.Ok)
+    assert(fc.decide(100) == FlowControl.Throw(100))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, Impl}
+
+class FunctionsSpec extends SparkSpec {
+
+  test("formatReadableSize matches the ClickHouse unit ladder") {
+    // golden values per ClickHouse docs semantics (binary units, 2dp)
+    assert(Impl.formatReadableSize(0).toString == "0.00 B")
+    assert(Impl.formatReadableSize(1).toString == "1.00 B")
+    assert(Impl.formatReadableSize(1023).toString == "1023.00 B")
+    assert(Impl.formatReadableSize(1024).toString == "1.00 KiB")
+    assert(Impl.formatReadableSize(1536).toString == "1.50 KiB")
+    assert(Impl.formatReadableSize(1048576).toString == "1.00 MiB")
+    assert(Impl.formatReadableSize(1572864).toString == "1.50 MiB")
+    assert(Impl.formatReadableSize(1073741824L.toDouble).toString == "1.00 GiB")
+    assert(Impl.formatReadableSize(1.5e12).toString == "1.36 TiB")
+    assert(Impl.formatReadableSize(-2048).toString == "-2.00 KiB")
+  }
+
+  test("formatReadableSize works as a Column (codegen path)") {
+    import spark.implicits._
+    val out = Seq(1024.0, 1536.0, 0.0).toDF("b")
+      .select(GraftFunctions.formatReadableSize($"b").as("s"))
+      .as[String].collect().toSeq
+    assert(out == Seq("1.00 KiB", "1.50 KiB", "0.00 B"))
+  }
+
+  test("randLetters: deterministic, letters-only, right length") {
+    val a = Impl.randLetters(42L, 50).toString
+    val b = Impl.randLetters(42L, 50).toString
+    val c = Impl.randLetters(43L, 50).toString
+    assert(a == b)
+    assert(a != c)
+    assert(a.length == 50)
+    assert(a.forall(ch => ch.isLetter && ch < 128))
+  }
+
+  test("toYYYYMMDDhh produces the hourly partition bucket") {
+    import spark.implicits._
+    val out = Seq("2026-08-12 05:30:00").toDF("s")
+      .select(GraftFunctions.toYYYYMMDDhh(to_timestamp($"s")).as("h"))
+      .as[Int].collect().head
+    assert(out == 2026081205)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ingest.FlowControlSettings
+import graft.pipeline.Orchestrator
+
+/** The end-to-end acceptance test restating the reference's spec: with
+  * shrunk thresholds, backpressure must be observed (DELAY, then THROW)
+  * within a few batches (`README.md:8` — "within 1 minute"; SURVEY.md §5.4).
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("orchestrated ingest loop triggers DELAY then THROW and stops") {
+    val dir = Files.createTempDirectory("graft_pipe").toString
+    val report = Orchestrator.run(spark, Orchestrator.Config(
+      tablePath = dir,
+      batchSize = 2000,
+      maxInsertCount = 20,
+      flow = FlowControlSettings(
+        partsToDelayInsert = 3, partsToThrowInsert = 5, delayMillis = 1),
+      sleepBetweenBatches = false))
+
+    assert(report.flowControlTriggered, "flow control must trigger")
+    assert(report.finalStatus.maxPartsPerPartition >= 5)
+    assert(report.finalStatus.status == "THROW")
+    // DELAY must have been observed before the THROW
+    assert(report.finalStatus.delayedInserts >= 1)
+    // loop stopped early, well under maxInsertCount once THROW was hit
+    assert(report.batches.size < 20)
+    // rows actually landed, partitioned by hour
+    assert(report.totalRows > 0)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("part_hour="))
+    assert(parts.length == 24, s"expected 24 hourly partitions, got ${parts.length}")
+  }
+
+  test("monitor reports have the reference query shapes") {
+    val dir = Files.createTempDirectory("graft_mon").toString
+    val flow = new graft.ingest.FlowControl(FlowControlSettings(
+      partsToDelayInsert = 1000, partsToThrowInsert = 2000))
+    val metrics = new graft.system.MetricsRegistry(spark)
+    val parts = new graft.system.PartsRegistry(spark, dir, "test_local")
+    val ingest = new graft.ingest.Ingest(dir, flow, parts, metrics)
+    val monitor = new graft.monitor.Monitor(metrics, parts, flow)
+
+    val batch = graft.gen.DataGen.batch(
+      spark, 1000, java.sql.Timestamp.valueOf("2026-02-01 12:00:00"), Some(3L))
+    assert(ingest.append(batch.toDF()) == 1000L)
+
+    val m = monitor.metricsReport().collect()
+    assert(m.map(_.getString(0)).toSeq == m.map(_.getString(0)).toSeq.sorted) // ORDER BY metric
+    assert(m.exists(r => r.getString(0) == "InsertedRows" && r.getLong(1) == 1000L))
+
+    val p = monitor.partsReport(limit = 50).collect()
+    assert(p.nonEmpty)
+    assert(p.map(_.getLong(3)).sum == 1000L) // total_rows adds up
+    assert(p.map(_.getLong(2)).sum == 24L) // one part per touched partition
+    assert(p.head.schema.fieldNames.toSeq ==
+      Seq("table", "partition", "parts_count", "total_rows", "total_size"))
+
+    val st = monitor.status()
+    assert(st.status == "OK")
+    assert(st.totalActiveParts == 24) // one part per touched hourly partition
+    assert(st.maxPartsPerPartition == 1)
+  }
+
+  test("partition cap (T5) rejects a block touching too many partitions") {
+    val dir = Files.createTempDirectory("graft_cap").toString
+    val flow = new graft.ingest.FlowControl(FlowControlSettings(
+      maxPartitionsPerInsertBlock = 10))
+    val metrics = new graft.system.MetricsRegistry(spark)
+    val parts = new graft.system.PartsRegistry(spark, dir, "test_local")
+    val ingest = new graft.ingest.Ingest(dir, flow, parts, metrics)
+    val batch = graft.gen.DataGen.batch(
+      spark, 1000, java.sql.Timestamp.valueOf("2026-02-01 12:00:00"), Some(3L))
+    intercept[graft.ingest.TooManyPartitionsException] {
+      ingest.append(batch.toDF()) // spreads 24 partitions > cap 10
+    }
+    assert(metrics.value("RejectedInserts") == 1L)
+  }
+}
