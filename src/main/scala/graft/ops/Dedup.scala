@@ -39,12 +39,10 @@ object Dedup {
   }
 
   /** MinHash signature of a shingle-array column: `numHashes` independent
-    * permutation-minima via xxhash64(shingle, seed). Pure expressions —
-    * computed map-side, no shuffle. */
+    * permutation-minima — one codegen'd pass over the shingles
+    * (graft.functions.MinHashSig); computed map-side, no shuffle. */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleArr, s => xxhash64(s, seed))))
+    graft.functions.VectorFunctions.minhashSig(shingleArr, numHashes)
 
   /** MinHash+LSH near-duplicate candidate pairs.
     *
@@ -95,27 +93,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash of the token multiset: for each bit, sum +1/−1 weighted
-    * by token-hash bits; bit set where the sum is positive. Pure
-    * expressions (bitwise ops over xxhash64), map-side only. */
-  def simhash(text: Column): Column = {
-    val toks = split(text, " ")
-    val hashes = transform(toks, t => xxhash64(t))
-    // fold 64 bits: bit i set iff (#tokens with bit i) * 2 > #tokens
-    // shiftright/shiftleft Column-amount variants via call_function (the
-    // Scala shorthand only accepts literal Int shift amounts)
-    val bitSums = transform(
-      sequence(lit(0), lit(63)),
-      i => aggregate(
-        hashes, lit(0L),
-        (acc, h) => acc + call_function("shiftright", h, i).bitwiseAND(lit(1L))))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, i) => acc + when(
-        element_at(bitSums, i + 1) * lit(2L) > size(toks).cast("long"),
-        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
-  }
+  /** 64-bit SimHash of the token multiset: per-bit majority vote over
+    * token hashes — one codegen'd pass per row
+    * (graft.functions.SimHash64), map-side only. */
+  def simhash(text: Column): Column =
+    graft.functions.VectorFunctions.simhash64(text)
 
   /** SimHash near-duplicate pairs: band the 64-bit fingerprint into 4
     * 16-bit chunks (two fingerprints within Hamming distance 3 share at
@@ -155,9 +137,11 @@ object Dedup {
       docs: DataFrame,
       shingleLen: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(
-      col("doc_id"),
-      explode(shingles(col("text"), shingleLen)).as("shingle"))
+    // join on the 64-bit shingle hash, not the string — same pairs (64-bit
+    // collisions are ~1e-10 at fixture vocab), 2-3× smaller shuffle payload
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"), shingleLen)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
 
     val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))

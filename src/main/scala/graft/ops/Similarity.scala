@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Impl
+import graft.functions.{Impl, VectorFunctions}
 
 /** Similarity search over embedding columns (SURVEY.md §2.12).
   *
@@ -17,11 +17,11 @@ import graft.functions.Impl
   */
 object Similarity {
 
-  /** Dot product of two array<float/double> columns (double precision). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array<float/double> columns (double precision) —
+    * a codegen'd Catalyst expression; the equivalent
+    * `aggregate(zip_with(...))` formulation evaluates an interpreted
+    * lambda per element and is ~100× slower on 64-dim vectors. */
+  def dot(a: Column, b: Column): Column = VectorFunctions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.GraftFunctions
+import graft.ingest.{Ingest, TooManyPartsException, TooManyPartitionsException}
+import graft.model.Event
+
+/** Structured Streaming restatement of the reference's 1-second insert
+  * loop (SURVEY.md §2.9 T1-T8): `rate` source at `rowsPerSecond` →
+  * event-shaped projection → `foreachBatch` running the same flow-control
+  * gate (`Ingest.append`) as the batch engine.
+  *
+  *  - T1: `Trigger.ProcessingTime(1 second)` + rate source = one 100k-row
+  *    micro-batch per second (reference `setup.sh:125-151`).
+  *  - T2/T3/T5: enforced inside `Ingest.append` — identical semantics in
+  *    batch and streaming (single gate implementation).
+  *  - T7: a throwing batch is caught inside foreachBatch; the query keeps
+  *    running, mirroring the reference's log-and-continue loop
+  *    (`setup.sh:129-134`).
+  *  - T8: `query.stop()` for graceful shutdown (`setup.sh:168` trap).
+  *
+  * Scale notes: the rate source generates per-partition on executors;
+  * every derived column is codegen'd; the only driver involvement is the
+  * per-trigger flow-control check (two registry reads).
+  */
+final class StreamingIngest(
+    spark: SparkSession,
+    ingest: Ingest,
+    rowsPerSecond: Long = 100000L,
+    seed: Long = 42L) {
+
+  @volatile private var flowControlTriggered = false
+  @volatile private var batchesCompleted = 0L
+
+  def triggered: Boolean = flowControlTriggered
+  def completedBatches: Long = batchesCompleted
+
+  /** rate-source rows → the reference 10-column event schema. Derivation
+    * mirrors DataGen's deterministic mode keyed by the rate `value`. */
+  private[streaming] def toEvents(rate: DataFrame): DataFrame = {
+    def h(tag: Int) = xxhash64(col("value"), lit(seed), lit(tag))
+    rate.select(
+      (pmod(h(1), lit(graft.gen.DataGen.IdMax)) + 1L).as("id"),
+      (col("timestamp") - make_interval(
+        lit(0), lit(0), lit(0), lit(0),
+        pmod(h(2), lit(24L)).cast("int"), lit(0), lit(0))).as("event_time"),
+      (pmod(h(3), lit(1000000L)) + 1L).cast("int").as("user_id"),
+      element_at(
+        array(Event.eventTypes.map(lit): _*),
+        (pmod(h(4), lit(4L)) + 1L).cast("int")).as("event_type"),
+      (pmod(h(5), lit(1000000L)).cast("double") / 100.0).as("value"),
+      pmod(h(6), lit(256L)).cast("int").as("status"),
+      GraftFunctions.randLetters(h(7), 50).as("description"),
+      lit("{}").as("metadata"),
+      col("timestamp").as("created_at"),
+      col("timestamp").as("updated_at"))
+  }
+
+  /** Start the micro-batch stream; caller stops it (or uses
+    * `processAllAvailable` in tests). */
+  def start(triggerInterval: String = "1 second"): StreamingQuery = {
+    val rate = spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+    toEvents(rate).writeStream
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        try {
+          ingest.append(batch)
+          batchesCompleted += 1
+        } catch {
+          case _: TooManyPartsException | _: TooManyPartitionsException =>
+            flowControlTriggered = true // T7: log-and-continue
+        }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,98 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ingest.{FlowControl, FlowControlSettings}
+import graft.system.{MetricsRegistry, PartsRegistry}
+
+/** DDL surface (SURVEY.md §2.1 S7-S10): the reference's CREATE/DROP/ALTER
+  * statements restated against the Spark catalog.
+  *
+  *  - S7  CREATE TABLE IF NOT EXISTS → catalog parquet table with the
+  *        partition column and flow-control settings as TBLPROPERTIES.
+  *  - S8  CREATE TABLE ... AS <schema-of> → the distributed routing table
+  *        is a view over the local table (Spark reads are already
+  *        distributed; the Distributed engine's fan-out is a no-op here).
+  *  - S9  DROP TABLE IF EXISTS.
+  *  - S10 ALTER TABLE MODIFY SETTING → SET TBLPROPERTIES + live
+  *        FlowControl update (T6: takes effect next insert block).
+  */
+object Ddl {
+
+  val DelayKey = "parts_to_delay_insert"
+  val ThrowKey = "parts_to_throw_insert"
+
+  /** Idempotent CREATE TABLE IF NOT EXISTS (reference
+    * `sql/create_local.sql:4-22`). */
+  def createLocal(
+      spark: SparkSession,
+      name: String,
+      path: String,
+      settings: FlowControlSettings = FlowControlSettings()): Unit = {
+    EventTable.create(spark, path)
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $name (
+         |  id BIGINT, event_time TIMESTAMP, user_id INT, event_type STRING,
+         |  value DOUBLE, status INT, description STRING, metadata STRING,
+         |  created_at TIMESTAMP, updated_at TIMESTAMP, part_hour INT)
+         |USING parquet
+         |PARTITIONED BY (part_hour)
+         |LOCATION '$path'
+         |TBLPROPERTIES (
+         |  '$DelayKey' = '${settings.partsToDelayInsert}',
+         |  '$ThrowKey' = '${settings.partsToThrowInsert}')
+         |""".stripMargin)
+  }
+
+  /** Distributed routing table (reference `sql/create_distributed.sql:4-6`,
+    * `AS test_local` with no sharding key): a view — every Spark read of
+    * the local table already spans all partitions/executors. */
+  def createDistributed(spark: SparkSession, name: String, localName: String): Unit =
+    spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $localName")
+
+  /** DROP TABLE IF EXISTS + storage cleanup (reference `setup.sh:63-67`). */
+  def drop(spark: SparkSession, name: String, path: Option[String] = None): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    path.foreach(p => EventTable.drop(spark, p))
+  }
+
+  def dropView(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP VIEW IF EXISTS $name")
+
+  /** ALTER TABLE MODIFY SETTING (reference `set_flow_control.sh:35-40`):
+    * persists to TBLPROPERTIES and applies to the live gate. */
+  def alterFlowControl(
+      spark: SparkSession,
+      name: String,
+      flow: FlowControl,
+      delay: Long,
+      throwAt: Long): Unit = {
+    spark.sql(
+      s"""ALTER TABLE $name SET TBLPROPERTIES (
+         |'$DelayKey' = '$delay', '$ThrowKey' = '$throwAt')""".stripMargin)
+    flow.alter(_.copy(partsToDelayInsert = delay, partsToThrowInsert = throwAt))
+  }
+
+  /** Read the flow-control settings back from the catalog. */
+  def readSettings(spark: SparkSession, name: String): (Long, Long) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (props(DelayKey).toLong, props(ThrowKey).toLong)
+  }
+
+  /** After an external append the catalog must learn new partition dirs
+    * (Spark only auto-tracks partitions written through the catalog). */
+  def repairTable(spark: SparkSession, name: String): Unit =
+    spark.sql(s"MSCK REPAIR TABLE $name")
+
+  /** Expose the introspection registries as SQL-queryable temp views
+    * (`system_metrics` / `system_parts`) — snapshots at call time, like
+    * the reference's per-iteration system-table reads. */
+  def registerSystemViews(
+      spark: SparkSession,
+      metrics: MetricsRegistry,
+      parts: PartsRegistry): Unit = {
+    metrics.toDF.createOrReplaceTempView("system_metrics")
+    parts.toDF.createOrReplaceTempView("system_parts")
+  }
+}

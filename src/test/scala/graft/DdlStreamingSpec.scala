@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.DataGen
+import graft.ingest.{FlowControl, FlowControlSettings, Ingest}
+import graft.streaming.StreamingIngest
+import graft.system.{MetricsRegistry, PartsRegistry}
+import graft.table.{Ddl, EventTable}
+
+class DdlStreamingSpec extends SparkSpec {
+
+  test("DDL lifecycle: create, append, SQL query with partition pruning, alter, drop") {
+    val dir = Files.createTempDirectory("graft_ddl").toString
+    Ddl.createLocal(spark, "test_local", dir,
+      FlowControlSettings(partsToDelayInsert = 150, partsToThrowInsert = 300))
+    Ddl.createDistributed(spark, "test_distributed", "test_local")
+
+    val batch = DataGen.batch(
+      spark, 2000, java.sql.Timestamp.valueOf("2026-03-01 10:00:00"), Some(5L))
+    EventTable.append(batch.toDF(), dir)
+    Ddl.repairTable(spark, "test_local")
+
+    // read through the distributed view (S4 routing = plain view)
+    assert(spark.sql("SELECT count(*) FROM test_distributed").head().getLong(0) == 2000L)
+
+    // partition pruning: filter on part_hour must prune to one directory
+    val hour = spark.sql("SELECT max(part_hour) FROM test_local").head().getInt(0)
+    val pruned = spark.sql(s"SELECT count(*) FROM test_local WHERE part_hour = $hour")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(pruned.head().getLong(0) > 0L)
+    // the scan must carry the partition filter (pruned file index)
+    assert(planStr.contains("PartitionFilters") || planStr.contains("part_hour"))
+
+    // S10: ALTER settings persist in catalog and hit the live gate
+    val flow = new FlowControl(FlowControlSettings(150, 300))
+    Ddl.alterFlowControl(spark, "test_local", flow, delay = 50, throwAt = 100)
+    assert(Ddl.readSettings(spark, "test_local") == (50L, 100L))
+    assert(flow.settings.partsToDelayInsert == 50L)
+
+    // S9: drop
+    Ddl.dropView(spark, "test_distributed")
+    Ddl.drop(spark, "test_local", Some(dir))
+    assert(!spark.catalog.tableExists("test_local"))
+  }
+
+  test("system_metrics / system_parts queryable via SQL like the reference") {
+    val dir = Files.createTempDirectory("graft_sys").toString
+    val flow = new FlowControl(FlowControlSettings(1000, 2000))
+    val metrics = new MetricsRegistry(spark)
+    val parts = new PartsRegistry(spark, dir, "test_local")
+    val ingest = new Ingest(dir, flow, parts, metrics)
+    ingest.append(DataGen.batch(
+      spark, 500, java.sql.Timestamp.valueOf("2026-03-02 08:00:00"), Some(6L)).toDF())
+
+    Ddl.registerSystemViews(spark, metrics, parts)
+    // the reference's metrics query shape (query_metrics.sql)
+    val m = spark.sql(
+      """SELECT metric, value, description FROM system_metrics
+        |WHERE metric IN ('DelayedInserts','InsertedRows','PartsActive')
+        |ORDER BY metric""".stripMargin).collect()
+    assert(m.map(_.getString(0)).toSeq == Seq("DelayedInserts", "InsertedRows", "PartsActive"))
+    assert(m.find(_.getString(0) == "InsertedRows").get.getLong(1) == 500L)
+    // the reference's parts query shape (query_parts.sql)
+    val p = spark.sql(
+      """SELECT table, partition, count(*) AS parts_count, sum(rows) AS total_rows
+        |FROM system_parts WHERE active AND table = 'test_local'
+        |GROUP BY table, partition ORDER BY parts_count DESC LIMIT 30""".stripMargin)
+      .collect()
+    // 24 touched hourly partitions, one part each, rows summing to the batch
+    assert(p.length == 24 && p.map(_.getLong(3)).sum == 500L)
+  }
+
+  test("streaming ingest: rate source -> foreachBatch gate, flow control triggers, stream survives") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val flow = new FlowControl(FlowControlSettings(
+      partsToDelayInsert = 2, partsToThrowInsert = 3, delayMillis = 1))
+    val metrics = new MetricsRegistry(spark)
+    val parts = new PartsRegistry(spark, dir, "test_local")
+    val ingest = new Ingest(dir, flow, parts, metrics)
+    val streaming = new StreamingIngest(spark, ingest, rowsPerSecond = 5000)
+
+    val q = streaming.start(triggerInterval = "200 milliseconds")
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!streaming.triggered && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+      }
+    } finally q.stop() // T8 graceful shutdown
+    assert(streaming.triggered, "flow control must trigger within a minute") // spec deadline
+    assert(streaming.completedBatches >= 1, "at least one batch must land before THROW")
+    assert(metrics.value("DelayedInserts") >= 1L, "DELAY must precede THROW")
+    assert(parts.maxPartsPerPartition() >= 3L)
+    // stream kept running after the throw (T7) — query was still active
+    assert(q.exception.isEmpty)
+  }
+}
