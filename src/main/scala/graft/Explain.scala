@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: prints the formatted physical plan of each SparkEntry
+  * query so pushdown/broadcast/partial-agg regressions are visible.
+  * `runMain graft.Explain [sfDir] [queryName...]` */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries
+      .filter { case (n, _) => names.isEmpty || names.contains(n) }
+      .foreach { case (name, fn) =>
+        println(s"\n========== $name ==========")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
+      }
+    spark.stop()
+  }
+}

@@ -320,6 +320,37 @@ object SparkEntry {
         round(avg(col("value")), 2).as("avg_value"))
       .orderBy(col("event_type"))
 
+  /** ROLLUP aggregation (grouping-sets family; subtotals + grand total). */
+  private def qRollup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"))
+      .orderBy(
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Distinct aggregates (expand-based distinct count per group). */
+  private def qDistinctAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+
+  /** Approximate distinct (HyperLogLog++) next to the exact count —
+    * rows-only check (approx sketches differ across engines by design). */
+  private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -350,7 +381,10 @@ object SparkEntry {
     "q23_lsh_topk" -> (qLshTopK _),
     "q24_neardup_embeddings" -> (qNearDupEmbeddings _),
     "q25_multimodal_report" -> (qMultimodalReport _),
-    "q26_datagen_stats" -> (qDatagenStats _))
+    "q26_datagen_stats" -> (qDatagenStats _),
+    "q27_rollup" -> (qRollup _),
+    "q28_distinct_agg" -> (qDistinctAgg _),
+    "q29_approx_distinct" -> (qApproxDistinct _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -528,5 +562,16 @@ object SparkEntry {
                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
              / (sqrt(a.nn) * sqrt(b.nn)) AS score
            FROM n a JOIN n b ON a.vec_id < b.vec_id) s
-         WHERE score >= 0.45 ORDER BY id_a, id_b""")
+         WHERE score >= 0.45 ORDER BY id_a, id_b""",
+    "q27_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS total_price
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q28_distinct_agg" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_supps,
+           count(*) AS n_items
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }

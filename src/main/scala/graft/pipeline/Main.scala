@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import java.io.{File, FileWriter, PrintWriter}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ingest.FlowControlSettings
+
+/** One-click entry point — the Spark restatement of `scripts/setup.sh`
+  * (SURVEY.md §3.1): session bootstrap → DDL → flow-control setup →
+  * bounded insert loop → final report, with timestamped leveled logging
+  * to console + `logs/` (reference S11, `setup.sh:20-36`).
+  *
+  * Usage: `runMain graft.pipeline.Main /tmp/graft_table [batchSize]
+  * [maxBatches] [delay] [throw]`
+  */
+object Main {
+
+  private val ts = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  private var logWriter: Option[PrintWriter] = None
+
+  private def log(level: String, msg: String): Unit = {
+    val line = s"[${LocalDateTime.now.format(ts)}] [$level] $msg"
+    println(line)
+    logWriter.foreach { w => w.println(line); w.flush() }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val tablePath = args.headOption.getOrElse("/tmp/graft_table")
+    val batchSize = args.lift(1).map(_.toLong).getOrElse(100000L)
+    val maxBatches = args.lift(2).map(_.toInt).getOrElse(60)
+    val delay = args.lift(3).map(_.toLong).getOrElse(50L)
+    val throwAt = args.lift(4).map(_.toLong).getOrElse(100L)
+
+    new File("logs").mkdirs()
+    logWriter = Some(new PrintWriter(new FileWriter(
+      s"logs/graft_${System.currentTimeMillis()}.log", true)))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    log("INFO", s"starting pipeline: table=$tablePath batch=$batchSize " +
+      s"max=$maxBatches delay=$delay throw=$throwAt")
+
+    val report = Orchestrator.run(spark, Orchestrator.Config(
+      tablePath = tablePath,
+      batchSize = batchSize,
+      maxInsertCount = maxBatches,
+      flow = FlowControlSettings(
+        partsToDelayInsert = delay, partsToThrowInsert = throwAt)))
+
+    report.batches.foreach { b =>
+      val status = if (b.failed) s"FAILED (${b.error.getOrElse("")})" else "ok"
+      log(if (b.failed) "WARN" else "INFO",
+        s"batch ${b.batch}: rows=${b.rows} elapsed=${b.elapsedMillis}ms " +
+          s"$status parts=${b.status.totalActiveParts} " +
+          s"maxPerPartition=${b.status.maxPartsPerPartition} " +
+          s"flow=${b.status.status}")
+    }
+    log("INFO", "===== final report =====")
+    log("INFO", s"total rows inserted: ${report.totalRows}")
+    log("INFO", s"batches run: ${report.batches.size}")
+    log("INFO", s"flow control triggered: ${report.flowControlTriggered}")
+    log("INFO", s"final status: ${report.finalStatus}")
+    logWriter.foreach(_.close())
+    spark.stop()
+  }
+}
