@@ -74,40 +74,47 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: bucket corpus and queries by LSH signature, score
-    * only within matching buckets (multi-probe: exact signature plus all
-    * 1-bit flips, recovering most near neighbors lost to bit boundaries).
+  /** Approximate top-k via multi-table LSH: `nTables` independent
+    * sign-bit signatures of `nPlanes` bits each; corpus and queries are
+    * bucketed per table and scored only inside colliding buckets.
     *
-    * Scale: corpus is signed map-side; the join key is the signature, so
-    * shuffle is O(n·(nPlanes+1)) rows; no cross join. Fewer than k hits in
-    * the probed buckets → fewer rows for that query (approximate by
-    * design; raise nProbes or lower nPlanes for recall).
+    * Scale: corpus is signed map-side and exploded ×nTables, so shuffle is
+    * O(n·L) — no cross join. Recall/cost is tuned by (nPlanes, nTables):
+    * collision probability per table for angle θ is (1−θ/π)^nPlanes,
+    * overall 1−(1−p)^L — strong for true near-dups (cos ≥ 0.9), weak by
+    * design for mid-similarity neighbors in uniform random data (where no
+    * sublinear method does well). Exact `bruteForceTopK` is the
+    * verification pass.
     */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      nPlanes: Int = 12,
+      nPlanes: Int = 8,
+      nTables: Int = 8,
       seed: Long = 42L): DataFrame = {
     val dim = 64 // fixture embedding dim; derive from data when dynamic
-    val planes = hyperplanes(nPlanes, dim, seed)
+    val tables = Array.tabulate(nTables)(t => hyperplanes(nPlanes, dim, seed + t * 7919L))
 
-    val corpusSigned = corpus.withColumn("sig", lshSignature(col("embedding"), planes))
-    // multi-probe: original signature + each 1-bit flip
-    val probes = explode(concat(
-      array(col("sig")),
-      transform(sequence(lit(0), lit(nPlanes - 1)),
-        i => col("sig").bitwiseXOR(call_function("shiftleft", lit(1L), i)))))
-    val querySigned = queries
-      .withColumn("sig", lshSignature(col("embedding"), planes))
-      .select(col("query_id"), col("embedding").as("q_emb"), probes.as("sig"))
+    def signed(df: DataFrame): DataFrame =
+      df.select(
+        col("*"),
+        explode(array(tables.zipWithIndex.map { case (planes, t) =>
+          struct(lit(t).as("table"), lshSignature(col("embedding"), planes).as("sig"))
+        }.toIndexedSeq: _*)).as("ts"))
+        .select(df.columns.map(col) :+ col("ts.table") :+ col("ts.sig"): _*)
 
-    val scored = corpusSigned.join(broadcast(querySigned), "sig")
+    val corpusSigned = signed(corpus.select(col("vec_id"), col("embedding")))
+    val querySigned = signed(
+      queries.select(col("query_id"), col("embedding")))
+      .withColumnRenamed("embedding", "q_emb")
+
+    val scored = corpusSigned.join(broadcast(querySigned), Seq("table", "sig"))
       .select(
         col("query_id"), col("vec_id"),
         cosine(col("q_emb"), col("embedding")).as("score"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(max(col("score")).as("score")) // dedup multi-probe hits
+      .agg(max(col("score")).as("score")) // dedup multi-table hits
     topKFromScored(scored, k)
   }
 

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Event
+
+/** Event-time streaming aggregations over the event stream — the
+  * Structured Streaming surface beyond the reference's micro-batch loop
+  * (SURVEY.md §2.9 notes the reference has none; the extension pipeline
+  * needs them for stream monitoring at scale).
+  */
+object WindowedStats {
+
+  /** Tumbling-window counts per event_type with a watermark bounding
+    * late-data state. State per key is O(windows in watermark horizon) —
+    * safe at any stream length. */
+  def eventCountsPerWindow(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(
+        window(col("event_time"), windowDuration).as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Per-user session state via mapGroupsWithState: running event count +
+    * last-seen, with processing-time timeout evicting idle users (bounded
+    * state — the custom-state surface `KeyValueGroupedDataset` offers). */
+  final case class UserSession(user_id: Int, n_events: Long, last_value: Double)
+
+  def userSessions(
+      events: Dataset[Event],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserSession, UserSession](timeout) {
+        case (userId, rows, state: GroupState[UserSession]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserSession(userId, 0L, 0.0))
+            var n = prev.n_events
+            var lastValue = prev.last_value
+            rows.foreach { e => n += 1; lastValue = e.value }
+            val next = UserSession(userId, n, lastValue)
+            state.update(next)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout) {
+              state.setTimeoutDuration("30 seconds")
+            }
+            next
+          }
+      }
+  }
+}

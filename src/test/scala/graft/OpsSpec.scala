@@ -74,7 +74,7 @@ class OpsSpec extends SparkSpec {
 
     val brute = Similarity.bruteForceTopK(queries, corpus, k = 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.lshTopK(queries, corpus, k = 5, nPlanes = 10)
+    val lsh = Similarity.lshTopK(queries, corpus, k = 5, nPlanes = 8, nTables = 8)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.9, s"lsh recall $recall")

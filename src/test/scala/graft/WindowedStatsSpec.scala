@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.model.Event
+import graft.streaming.WindowedStats
+
+class WindowedStatsSpec extends SparkSpec {
+
+  private def ev(id: Long, t: String, typ: String, value: Double) =
+    Event(id, Timestamp.valueOf(t), 1, typ, value, 0, "d", "{}",
+      Timestamp.valueOf(t), Timestamp.valueOf(t))
+
+  test("tumbling-window counts with watermark emit closed windows only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = WindowedStats
+      .eventCountsPerWindow(source.toDF(), "1 hour", "30 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // two events inside hour 10, one in hour 11
+      source.addData(
+        ev(1, "2026-05-01 10:05:00", "click", 1.5),
+        ev(2, "2026-05-01 10:45:00", "click", 2.5),
+        ev(3, "2026-05-01 11:10:00", "view", 3.0))
+      query.processAllAvailable()
+      // watermark = max(11:10) − 30m = 10:40 → hour-10 window not yet closed
+      // push event time forward so hour-10 and hour-11 windows close
+      source.addData(ev(4, "2026-05-01 13:00:00", "login", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains(("2026-05-01 10:00:00.0", "click", 2L, 4.0)))
+      assert(rows.contains(("2026-05-01 11:00:00.0", "view", 1L, 3.0)))
+      // the 13:00 login window is still open (not emitted in append mode)
+      assert(!rows.exists(_._2 == "login"))
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val sessions = WindowedStats.userSessions(source.toDS())
+    val query = sessions.writeStream
+      .format("memory")
+      .queryName("user_sessions")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      source.addData(
+        ev(1, "2026-05-01 10:00:00", "click", 1.0).copy(user_id = 7),
+        ev(2, "2026-05-01 10:01:00", "view", 2.0).copy(user_id = 7),
+        ev(3, "2026-05-01 10:02:00", "click", 5.0).copy(user_id = 9))
+      query.processAllAvailable()
+      source.addData(ev(4, "2026-05-01 10:03:00", "login", 9.0).copy(user_id = 7))
+      query.processAllAvailable()
+      val latest = spark.table("user_sessions")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(latest(7) == 3L) // state carried across micro-batches
+      assert(latest(9) == 1L)
+    } finally query.stop()
+  }
+}
