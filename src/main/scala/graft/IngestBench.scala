@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+import graft.gen.DataGen
+import graft.ingest.{FlowControl, FlowControlSettings, Ingest}
+import graft.system.{MetricsRegistry, PartsRegistry}
+import graft.table.EventTable
+
+/** Ingest-throughput probe: N batches of `batchSize` rows through the full
+  * flow-control gate + partitioned parquet write (the reference's implied
+  * target is ≥100k rows/s sustained, BASELINE.md). Prints one JSON line. */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val batchSize = args.lift(0).map(_.toLong).getOrElse(100000L)
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
+    val dir = args.lift(2).getOrElse("/tmp/graft_ingest_bench")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    EventTable.drop(spark, dir)
+    EventTable.create(spark, dir)
+    val flow = new FlowControl(FlowControlSettings(
+      partsToDelayInsert = 1000000, partsToThrowInsert = 2000000))
+    val metrics = new MetricsRegistry(spark)
+    val parts = new PartsRegistry(spark, dir, "bench")
+    val ingest = new Ingest(dir, flow, parts, metrics)
+    // warm
+    ingest.append(DataGen.batch(spark, 1000, new Timestamp(1700000000000L), Some(0L)).toDF())
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < nBatches) {
+      ingest.append(DataGen.batch(
+        spark, batchSize, new Timestamp(1700000000000L + i * 1000L), Some(i.toLong)).toDF())
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rps = batchSize * nBatches / sec
+    println(f"""{"metric":"ingest_rows_per_sec","value":$rps%.0f,"batches":$nBatches,"batch_size":$batchSize,"sec":$sec%.2f}""")
+    spark.stop()
+  }
+}

@@ -24,38 +24,43 @@ final class Ingest(
     metrics: MetricsRegistry,
     filesPerPartition: Int = 1) {
 
-  /** Append one insert block; returns rows written. */
+  /** Append one insert block; returns rows written. The block is cached
+    * for the duration of the call so the T5 pre-check and the write share
+    * one computation (a generated/derived block would otherwise be
+    * recomputed per pass). */
   def append(block: DataFrame): Long = {
     val s = flow.settings
-
-    // T5 — partition-count cap per insert block. One cheap job over the
-    // block's partition expression only (column-pruned scan of one column).
-    val touched = block
-      .select(GraftFunctions.toYYYYMMDDhh(col("event_time")).as("ph"))
-      .agg(countDistinct(col("ph")).as("n"), count(lit(1)).as("rows"))
-      .head()
-    val nPartitions = touched.getLong(0)
-    val nRows = touched.getLong(1)
-    if (nPartitions > s.maxPartitionsPerInsertBlock) {
-      metrics("RejectedInserts").add(1)
-      throw new TooManyPartitionsException(nPartitions, s.maxPartitionsPerInsertBlock)
-    }
-
-    // T2/T3 — delay / throw ladder on the most-loaded partition.
-    flow.decide(parts.maxPartsPerPartition()) match {
-      case FlowControl.Delay(millis) =>
-        metrics("DelayedInserts").add(1)
-        Thread.sleep(millis)
-      case FlowControl.Throw(p) =>
+    val cached = block.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // T5 — partition-count cap per insert block (computes + caches).
+      val touched = cached
+        .select(GraftFunctions.toYYYYMMDDhh(col("event_time")).as("ph"))
+        .agg(countDistinct(col("ph")).as("n"), count(lit(1)).as("rows"))
+        .head()
+      val nPartitions = touched.getLong(0)
+      val nRows = touched.getLong(1)
+      if (nPartitions > s.maxPartitionsPerInsertBlock) {
         metrics("RejectedInserts").add(1)
-        throw new TooManyPartsException(p, s.partsToThrowInsert)
-      case FlowControl.Ok => ()
-    }
+        throw new TooManyPartitionsException(nPartitions, s.maxPartitionsPerInsertBlock)
+      }
 
-    val bytesBefore = parts.list().map(_.bytes_on_disk).sum
-    EventTable.append(block, tablePath, filesPerPartition)
-    metrics("InsertedRows").add(nRows)
-    metrics("InsertedBytes").add(parts.list().map(_.bytes_on_disk).sum - bytesBefore)
-    nRows
+      // T2/T3 — delay / throw ladder on the most-loaded partition
+      // (FS-listing reads only; no footer I/O on the hot path).
+      flow.decide(parts.maxPartsPerPartition()) match {
+        case FlowControl.Delay(millis) =>
+          metrics("DelayedInserts").add(1)
+          Thread.sleep(millis)
+        case FlowControl.Throw(p) =>
+          metrics("RejectedInserts").add(1)
+          throw new TooManyPartsException(p, s.partsToThrowInsert)
+        case FlowControl.Ok => ()
+      }
+
+      val bytesBefore = parts.totalBytesOnDisk()
+      EventTable.append(cached, tablePath, filesPerPartition)
+      metrics("InsertedRows").add(nRows)
+      metrics("InsertedBytes").add(parts.totalBytesOnDisk() - bytesBefore)
+      nRows
+    } finally cached.unpersist(blocking = false)
   }
 }

@@ -29,7 +29,11 @@ final class PartsRegistry(spark: SparkSession, tablePath: String, tableName: Str
   private val rowCountCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
 
-  def list(): Seq[PartInfo] = {
+  /** File-level part metadata without row counts — pure FS listing, the
+    * cheap form the per-batch flow-control path uses (no footer reads). */
+  final case class PartFile(partition: String, path: Path, mtime: Long, len: Long)
+
+  def listFiles(): Seq[PartFile] = {
     val fs = EventTable.hadoopFs(spark, tablePath)
     val root = new Path(tablePath)
     if (!fs.exists(root)) return Seq.empty
@@ -39,14 +43,18 @@ final class PartsRegistry(spark: SparkSession, tablePath: String, tableName: Str
         val partition = dir.getPath.getName.stripPrefix("part_hour=")
         fs.listStatus(dir.getPath).toIndexedSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map { f =>
-            val rows = rowCountCache.getOrElseUpdate(
-              (f.getPath.toString, f.getModificationTime, f.getLen),
-              footerRowCount(f.getPath))
-            PartInfo(tableName, partition, rows, f.getLen, active = true, "default")
-          }
+          .map(f => PartFile(partition, f.getPath, f.getModificationTime, f.getLen))
       }
   }
+
+  /** Full part info including footer row counts (read once per new file,
+    * cached by (path, mtime, len)) — the monitoring/report path. */
+  def list(): Seq[PartInfo] =
+    listFiles().map { f =>
+      val rows = rowCountCache.getOrElseUpdate(
+        (f.path.toString, f.mtime, f.len), footerRowCount(f.path))
+      PartInfo(tableName, f.partition, rows, f.len, active = true, "default")
+    }
 
   def toDF: DataFrame = {
     import spark.implicits._
@@ -55,16 +63,18 @@ final class PartsRegistry(spark: SparkSession, tablePath: String, tableName: Str
 
   /** Count of active parts in the most-loaded partition — the value
     * ClickHouse's delay/throw thresholds actually compare against
-    * (SURVEY.md §2.4 A3). */
+    * (SURVEY.md §2.4 A3). FS-listing only. */
   def maxPartsPerPartition(): Long = {
     val counts = partCounts()
     if (counts.isEmpty) 0L else counts.values.max
   }
 
-  def totalActiveParts(): Long = list().size.toLong
+  def totalActiveParts(): Long = listFiles().size.toLong
+
+  def totalBytesOnDisk(): Long = listFiles().map(_.len).sum
 
   def partCounts(): Map[String, Long] =
-    list().groupBy(_.partition).map { case (k, v) => k -> v.size.toLong }
+    listFiles().groupBy(_.partition).map { case (k, v) => k -> v.size.toLong }
 
   private def footerRowCount(p: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
