@@ -15,7 +15,9 @@ object Bench {
     spark.range(100000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // collect (not count) so sorts/projections in the result path are
+      // actually executed — count() lets Catalyst drop top-level sorts
+      try { fn(spark, sfDir).collect().length } catch { case _: Throwable => -1 }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -351,6 +351,19 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Event-time tumbling-window aggregation (the batch face of the
+    * streaming `WindowedStats.eventCountsPerWindow`; same `window()` op). */
+  private def qWindowAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -384,7 +397,8 @@ object SparkEntry {
     "q26_datagen_stats" -> (qDatagenStats _),
     "q27_rollup" -> (qRollup _),
     "q28_distinct_agg" -> (qDistinctAgg _),
-    "q29_approx_distinct" -> (qApproxDistinct _))
+    "q29_approx_distinct" -> (qApproxDistinct _),
+    "q30_window_agg" -> (qWindowAgg _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -573,5 +587,11 @@ object SparkEntry {
            count(DISTINCT l_partkey) AS distinct_parts,
            count(DISTINCT l_suppkey) AS distinct_supps,
            count(*) AS n_items
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q30_window_agg" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+         FROM events GROUP BY window_start, event_type
+         ORDER BY window_start, event_type""")
 }

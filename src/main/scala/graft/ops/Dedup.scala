@@ -125,20 +125,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard similarity for all candidate pairs sharing at
-    * least one shingle: explode + self-join on shingle (the inverted-index
-    * join), count intersections, compute |A∪B| = |A|+|B|−|A∩B|.
+  /** Exact n-gram Jaccard pairs ≥ threshold. Two physically different but
+    * result-identical strategies, picked by τ:
     *
-    * Scale: shuffle is O(total shingles); hot shingles (stopword n-grams)
-    * can skew — mitigate upstream by dropping shingles with document
-    * frequency above a cap (not needed at fixture scale).
+    *  - τ < 0.7 → inverted-index join (prefixes would cover most of each
+    *    doc, so filtering buys nothing and costs a window + extra join);
+    *  - τ ≥ 0.7 → prefix filtering (SSJoin/PPJoin family), where the
+    *    prefix is short and hot shingles stop exploding into C(df,2)
+    *    candidate pairs — the skew killer at corpus scale.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       shingleLen: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    // join on the 64-bit shingle hash, not the string — same pairs (64-bit
-    // collisions are ~1e-10 at fixture vocab), 2-3× smaller shuffle payload
+      threshold: Double = 0.5): DataFrame =
+    if (threshold >= 0.7) ngramJaccardPairsPrefix(docs, shingleLen, threshold)
+    else ngramJaccardPairsInverted(docs, shingleLen, threshold)
+
+  /** Inverted-index strategy: explode distinct shingles, self-join on the
+    * 64-bit shingle hash, count intersections, |A∪B| = |A|+|B|−|A∩B|. */
+  def ngramJaccardPairsInverted(
+      docs: DataFrame,
+      shingleLen: Int,
+      threshold: Double): DataFrame = {
     val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"), shingleLen)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
@@ -158,6 +166,51 @@ object Dedup {
         "jaccard",
         round(col("n_inter").cast("double") /
           (col("size_a") + col("size_b") - col("n_inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Prefix-filtering strategy (Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08): under a global rarest-first shingle order, two sets with
+    * Jaccard ≥ τ must share a shingle within their first
+    * |d| − ⌈τ·|d|⌉ + 1 shingles; only prefixes generate candidates and
+    * exact Jaccard is verified per candidate via array intersection. */
+  def ngramJaccardPairsPrefix(
+      docs: DataFrame,
+      shingleLen: Int,
+      threshold: Double): DataFrame = {
+    // per-doc distinct shingles as 64-bit hashes (string payload never
+    // leaves the map side; collisions ~1e-10 at fixture vocab)
+    val arrs = docs.select(
+      col("doc_id"),
+      array_distinct(transform(
+        shingles(col("text"), shingleLen), s => xxhash64(s))).as("arr"))
+
+    val sh = arrs.select(col("doc_id"), col("arr"), explode(col("arr")).as("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+
+    // global rarest-first order; prefix length = n − ⌈τ·n⌉ + 1
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", size(col("arr")))
+      .filter(col("rnk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("doc_id"), col("shingle"))
+
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    // exact verification on the candidate pairs only
+    cand
+      .join(arrs.select(col("doc_id").as("id_a"), col("arr").as("arr_a")), "id_a")
+      .join(arrs.select(col("doc_id").as("id_b"), col("arr").as("arr_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn(
+        "jaccard",
+        round(col("n_inter").cast("double") /
+          (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

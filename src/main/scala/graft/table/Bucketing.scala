@@ -1,0 +1,42 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Co-located (bucketed) join support — the 100 TB scale path for the
+  * big fact⋈fact joins (SURVEY.md §2.3 extension): both sides bucketed on
+  * the join key at write time makes the sort-merge join shuffle-free
+  * (each task reads matching bucket files from both tables).
+  *
+  * At cluster scale, bucket count is sized so one bucket ≈ one task's
+  * memory budget (e.g. 100 TB / 512 MB ≈ 200k buckets); here the fixture
+  * default is small.
+  */
+object Bucketing {
+
+  /** Write a bucketed+sorted catalog table on `key`. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int = 8): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two identically-bucketed tables on their bucket key — planned
+    * as a shuffle-free sort-merge join (no Exchange on either side). */
+  def colocatedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** True when the physical plan contains no shuffle exchange — the
+    * assertion that bucketing actually removed the shuffle. */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

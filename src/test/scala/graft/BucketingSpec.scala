@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.table.Bucketing
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // inspectable plan
+    try {
+      val li = spark.read.parquet(sf("lineitem"))
+      val o = spark.read.parquet(sf("orders"))
+      Bucketing.writeBucketed(li.withColumnRenamed("l_orderkey", "orderkey"),
+        "li_bucketed", "orderkey", buckets = 4)
+      Bucketing.writeBucketed(o.withColumnRenamed("o_orderkey", "orderkey"),
+        "o_bucketed", "orderkey", buckets = 4)
+
+      val joined = Bucketing.colocatedJoin(spark, "li_bucketed", "o_bucketed", "orderkey")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      // the join itself reads matching buckets — no hash-partition exchange
+      // before the SortMergeJoin (the groupBy after it still shuffles)
+      val join = joined.queryExecution.executedPlan.collectFirst {
+        case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec => smj
+      }
+      assert(join.isDefined, "expected a sort-merge join")
+      assert(!join.get.toString.contains("Exchange"),
+        s"bucketed join must not shuffle its inputs:\n${join.get}")
+
+      // and the result is right
+      val viaBuckets = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val direct = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaBuckets == direct)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}

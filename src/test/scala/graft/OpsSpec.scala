@@ -40,6 +40,17 @@ class OpsSpec extends SparkSpec {
     assert(precision >= 0.6, s"simhash precision $precision too low")
   }
 
+  test("prefix-filtered jaccard join is result-identical to the inverted-index join") {
+    for (tau <- Seq(0.5, 0.8)) {
+      val a = Dedup.ngramJaccardPairsInverted(docs, 3, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = Dedup.ngramJaccardPairsPrefix(docs, 3, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b, s"strategies disagree at tau=$tau")
+      assert(a.nonEmpty)
+    }
+  }
+
   test("exact dedup keeps min doc_id and counts duplicates") {
     import spark.implicits._
     val df = Seq(
