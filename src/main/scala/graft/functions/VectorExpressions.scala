@@ -80,13 +80,16 @@ object VecOps {
 
   /** MinHash signature: k permutation-minima in a single pass over the
     * shingle array. Derived hash j = mix64(base + j·φ) — one base hash per
-    * shingle, k cheap mixes, versus the HOF version's k full rehashes. */
-  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    * shingle, k cheap mixes, versus the HOF version's k full rehashes.
+    * Accepts string shingles (`isLong=false`) or pre-hashed longs. */
+  def minhashSig(shingles: ArrayData, k: Int, isLong: Boolean): ArrayData = {
     val mins = Array.fill[Long](k)(Long.MaxValue)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val base = tokenHash(shingles.getUTF8String(i))
+      val base =
+        if (isLong) Impl.mix64(shingles.getLong(i))
+        else tokenHash(shingles.getUTF8String(i))
       var j = 0
       while (j < k) {
         val h = Impl.mix64(base + j * 0x9e3779b97f4a7c15L)
@@ -96,6 +99,52 @@ object VecOps {
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** Distinct 64-bit hashes of the word k-shingles of a single-space-
+    * tokenized text — one pass, no intermediate shingle strings (the HOF
+    * `transform(sequence..., slice+concat_ws)` formulation materializes
+    * every shingle string through interpreted lambdas). Matches the
+    * semantics of `array_distinct(shingles(text, k))` up to hash labeling:
+    * set sizes, intersections and minima are preserved, which is all the
+    * jaccard/minhash pipelines consume. */
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // token hashes
+    val tokens = new java.util.ArrayList[java.lang.Long]()
+    var start = 0
+    var pos = 0
+    while (pos <= len) {
+      if (pos == len || bytes(pos) == ' '.toByte) {
+        tokens.add(tokenHash(UTF8String.fromBytes(bytes, start, pos - start)))
+        start = pos + 1
+      }
+      pos += 1
+    }
+    val nTok = tokens.size()
+    val nSh = math.max(nTok - k + 1, 1)
+    val out = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var h = 0x2545f4914f6cdd1dL
+      var j = 0
+      while (j < k && i + j < nTok) {
+        h = Impl.mix64(h ^ (tokens.get(i + j) + 0x9e3779b97f4a7c15L * (j + 1)))
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    // sort + dedupe (set semantics; order is irrelevant downstream)
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    i = 0
+    while (i < nSh) {
+      if (i == 0 || out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
   }
 }
 
@@ -128,20 +177,36 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
-/** `minhash_sig(shingles, k)` — k-wide MinHash signature. */
+/** `minhash_sig(shingles, k)` — k-wide MinHash signature over string or
+  * pre-hashed (long) shingles. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val isLong =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
   override def nullSafeEval(v: Any): Any =
-    VecOps.minhashSig(v.asInstanceOf[ArrayData], k)
+    VecOps.minhashSig(v.asInstanceOf[ArrayData], k, isLong)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.minhashSig($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.minhashSig($c, $k, $isLong)")
   override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
   override def prettyName: String = "minhash_sig"
+}
+
+/** `shingle_hashes(text, k)` — distinct 64-bit word-k-shingle hashes. */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.shingleHashes(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+  override def prettyName: String = "shingle_hashes"
 }
 
 object VectorFunctions {
   def vecDot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
   def simhash64(text: Column): Column = column(SimHash64(expression(text)))
   def minhashSig(shingles: Column, k: Int): Column = column(MinHashSig(expression(shingles), k))
+  def shingleHashes(text: Column, k: Int): Column = column(ShingleHashes(expression(text), k))
 }

@@ -30,13 +30,20 @@ object Dedup {
     docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
-  /** Word-k-shingles of a text column (distinct, as array<string>). */
+  /** Word-k-shingles of a text column (distinct, as array<string>) — the
+    * human-readable form for debugging/UDF surfaces. */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " ")
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
+
+  /** Distinct 64-bit shingle hashes — the hot-path form (one codegen'd
+    * pass, no intermediate shingle strings); set cardinalities and
+    * intersections match `shingles()` up to ~1e-10 hash collisions. */
+  def shingleHashes(text: Column, k: Int): Column =
+    graft.functions.VectorFunctions.shingleHashes(text, k)
 
   /** MinHash signature of a shingle-array column: `numHashes` independent
     * permutation-minima — one codegen'd pass over the shingles
@@ -63,7 +70,7 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val sig = docs.select(
       col("doc_id"),
-      minhashSignature(shingles(col("text"), shingleLen), numHashes).as("sig"))
+      minhashSignature(shingleHashes(col("text"), shingleLen), numHashes).as("sig"))
 
     val banded = sig.select(
       col("doc_id"), col("sig"),
@@ -76,14 +83,19 @@ object Dedup {
               x => x.cast("string"))), b).as("bucket")))).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
 
-    val a = banded.select(
-      col("band"), col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(
-      col("band"), col("bucket"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    // candidate pairs carry only ids through the shuffle (signatures are
+    // re-joined afterwards — the sig table is per-doc and broadcastable,
+    // versus dragging two 32-long arrays per colliding pair)
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in several bands
+
+    cand
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn(
         "est_jaccard",
         size(filter(
@@ -148,8 +160,7 @@ object Dedup {
       shingleLen: Int,
       threshold: Double): DataFrame = {
     val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"), shingleLen)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
+      .select(col("doc_id"), explode(shingleHashes(col("text"), shingleLen)).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
 
     val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
@@ -183,8 +194,7 @@ object Dedup {
     // leaves the map side; collisions ~1e-10 at fixture vocab)
     val arrs = docs.select(
       col("doc_id"),
-      array_distinct(transform(
-        shingles(col("text"), shingleLen), s => xxhash64(s))).as("arr"))
+      shingleHashes(col("text"), shingleLen).as("arr"))
 
     val sh = arrs.select(col("doc_id"), col("arr"), explode(col("arr")).as("shingle"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
