@@ -287,17 +287,11 @@ object SparkEntry {
       k = 5)
   }
 
-  /** Exact embedding near-dup pairs (cosine ≥ 0.45; fixture max ≈ 0.55). */
-  private def qNearDupEmbeddings(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("score", Similarity.cosine(col("emb_a"), col("emb_b")))
-      .filter(col("score") >= 0.45)
-      .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
+  /** Exact embedding near-dup pairs (cosine ≥ 0.45; fixture max ≈ 0.55) —
+    * broadcast block kernel, no pairwise array materialization. */
+  private def qNearDupEmbeddings(s: SparkSession, d: String): DataFrame =
+    Similarity.exactNearDupPairs(t(s, d, "embeddings"), threshold = 0.45)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** Multimodal plumbing: synthetic binary media → mapPartitions feature
     * extraction (stubbed codec) → relational report. Rows-only check (the

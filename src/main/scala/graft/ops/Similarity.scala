@@ -118,6 +118,47 @@ object Similarity {
     topKFromScored(scored, k)
   }
 
+  /** Exact all-pairs cosine ≥ τ via a broadcast block kernel: the corpus
+    * (small enough for exact all-pairs to be meaningful at all — beyond
+    * that the LSH path below is the tool) is broadcast once; each task
+    * scores its vectors against the broadcast block in a tight loop and
+    * emits only passing (id_a, id_b, score) triples — no 2·n²/2 array
+    * copies through join rows, no shuffle of embedding payloads.
+    * Accumulation order matches `cosine()` exactly (same doubles). */
+  def exactNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    val vecs = corpus
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val block = sess.sparkContext.broadcast {
+      val arr = vecs.collect().sortBy(_._1)
+      arr.map { case (id, v) =>
+        var n = 0.0; var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        (id, v, math.sqrt(n))
+      }
+    }
+    vecs.mapPartitions { it =>
+      val all = block.value
+      it.flatMap { case (idA, embA) =>
+        var nA = 0.0
+        var i = 0
+        while (i < embA.length) { nA += embA(i).toDouble * embA(i).toDouble; i += 1 }
+        val normA = math.sqrt(nA)
+        all.iterator.filter(_._1 > idA).flatMap { case (idB, embB, normB) =>
+          var d = 0.0
+          var j = 0
+          val n = math.min(embA.length, embB.length)
+          while (j < n) { d += embA(j).toDouble * embB(j).toDouble; j += 1 }
+          val score = d / (normA * normB)
+          if (score >= threshold) Iterator.single((idA, idB, score)) else Iterator.empty
+        }
+      }
+    }.toDF("id_a", "id_b", "score")
+      .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
+  }
+
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥ τ,
     * via LSH bucketing (no cross join). */
   def nearDupPairs(
