@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 face of the `system.parts` registry (SURVEY.md §4.5):
+  * `spark.read.format("graft-parts").option("path", tableDir).load()`
+  * yields the same relation as `PartsRegistry.toDF`, but as a first-class
+  * source — usable from pure SQL (`CREATE TABLE ... USING graft-parts`),
+  * and with column pruning handled by Spark's DSv2 scan machinery.
+  *
+  * The listing runs once per scan on the driver (parts metadata is tiny —
+  * O(files), no data read); rows are shipped as a single input partition.
+  */
+final class PartsTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-parts"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PartsTableProvider.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PartsTable(properties.get("path"), Option(properties.get("table")).getOrElse("test_local"))
+}
+
+object PartsTableProvider {
+  val schema: StructType = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("partition", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes_on_disk", LongType, nullable = false),
+    StructField("active", BooleanType, nullable = false),
+    StructField("database", StringType, nullable = false)))
+}
+
+private final class PartsTable(path: String, tableName: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_parts(`$path`)"
+  override def schema(): StructType = PartsTableProvider.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PartsScanBuilder(path, tableName)
+}
+
+private final class PartsScanBuilder(path: String, tableName: String)
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = PartsTableProvider.schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // list on the driver at planning time; parts metadata is tiny and the
+    // snapshot semantics match the reference's per-query system.parts read
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val rows: Array[(String, String, Long, Long)] =
+      if (!fs.exists(root)) Array.empty
+      else fs.listStatus(root).toIndexedSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_hour="))
+        .flatMap { dir =>
+          val partition = dir.getPath.getName.stripPrefix("part_hour=")
+          fs.listStatus(dir.getPath).toIndexedSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map { f =>
+              val rowCount = {
+                import org.apache.parquet.hadoop.ParquetFileReader
+                import org.apache.parquet.hadoop.util.HadoopInputFile
+                val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+                try r.getRecordCount finally r.close()
+              }
+              (tableName, partition, rowCount, f.getLen)
+            }
+        }.toArray
+    Array(PartsInputPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartsReader(
+      partition.asInstanceOf[PartsInputPartition].rows)
+}
+
+private final case class PartsInputPartition(rows: Array[(String, String, Long, Long)])
+  extends InputPartition
+
+private final class PartsReader(rows: Array[(String, String, Long, Long)])
+    extends PartitionReader[InternalRow] {
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < rows.length }
+  override def get(): InternalRow = {
+    val (t, p, r, b) = rows(i)
+    InternalRow(
+      UTF8String.fromString(t), UTF8String.fromString(p), r, b, true,
+      UTF8String.fromString("default"))
+  }
+  override def close(): Unit = ()
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{Impl, VecOps}
+import graft.ingest.{FlowControl, FlowControlSettings}
+
+/** ScalaCheck properties for the pure kernels (SURVEY.md §5.3) — run via
+  * scalacheck's own Test.check (the scalatest bridge artifact isn't in
+  * the offline cache). */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String)(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("formatReadableSize: unit ladder is consistent under 1024x scaling") {
+    check("ladder")(Prop.forAll(Gen.choose(1.0, 1023.0)) { v =>
+      val base = Impl.formatReadableSize(v).toString
+      val kib = Impl.formatReadableSize(v * 1024).toString
+      val mib = Impl.formatReadableSize(v * 1024 * 1024).toString
+      base.endsWith(" B") && kib.endsWith(" KiB") && mib.endsWith(" MiB") &&
+        base.dropRight(2) == kib.dropRight(4) &&
+        kib.dropRight(4) == mib.dropRight(4)
+    })
+  }
+
+  test("randLetters: always letters, always requested length, seed-stable") {
+    check("randLetters")(Prop.forAll(Gen.long, Gen.choose(0, 200)) { (seed, n) =>
+      val s = Impl.randLetters(seed, n).toString
+      s.length == n &&
+        s.forall(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) &&
+        s == Impl.randLetters(seed, n).toString
+    })
+  }
+
+  test("flow-control ladder is total, ordered, and monotone") {
+    check("ladder-total")(Prop.forAll(
+      Gen.choose(1L, 1000L), Gen.choose(1L, 1000L), Gen.choose(0L, 5000L)) {
+      (delay, gap, parts) =>
+        val fc = new FlowControl(FlowControlSettings(
+          partsToDelayInsert = delay, partsToThrowInsert = delay + gap, delayMillis = 1))
+        fc.decide(parts) match {
+          case _: FlowControl.Throw => parts >= delay + gap
+          case FlowControl.Delay(_) => parts >= delay && parts < delay + gap
+          case FlowControl.Ok => parts < delay
+        }
+    })
+  }
+
+  test("simhash: deterministic; hamming symmetric and bounded") {
+    val word = Gen.oneOf("spark", "row", "scan", "merge", "join", "filter", "the", "table")
+    val text = Gen.listOfN(30, word).map(_.mkString(" "))
+    check("simhash")(Prop.forAll(text, text) { (a, b) =>
+      val ha = VecOps.simhash64(UTF8String.fromString(a))
+      val hb = VecOps.simhash64(UTF8String.fromString(b))
+      val d = java.lang.Long.bitCount(ha ^ hb)
+      ha == VecOps.simhash64(UTF8String.fromString(a)) &&
+        (a != b || ha == hb) &&
+        d >= 0 && d <= 64 &&
+        d == java.lang.Long.bitCount(hb ^ ha)
+    })
+  }
+
+  test("shingleHashes: cardinality matches the string-shingle set") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val textGen = Gen.choose(3, 40).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    check("shingleHashes")(Prop.forAll(textGen) { text =>
+      val toks = text.split(" ")
+      val expected = toks.sliding(3).map(_.mkString(" ")).toSet.size
+      VecOps.shingleHashes(UTF8String.fromString(text), 3).numElements() == expected
+    })
+  }
+
+  test("vec dot: symmetry and non-negative self-product") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vec = Gen.listOfN(8, Gen.choose(-100.0, 100.0)).map(_.toArray)
+    check("dot")(Prop.forAll(vec, vec) { (a, b) =>
+      def ad(x: Array[Double]) = new GenericArrayData(x)
+      val ab = VecOps.dot(ad(a), ad(b), aFloat = false, bFloat = false)
+      val ba = VecOps.dot(ad(b), ad(a), aFloat = false, bFloat = false)
+      math.abs(ab - ba) < 1e-6 &&
+        VecOps.dot(ad(a), ad(a), aFloat = false, bFloat = false) >= 0.0
+    })
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.DataGen
+import graft.table.EventTable
+
+class SourcesSpec extends SparkSpec {
+
+  test("graft-parts DSv2 source exposes part metadata to SQL") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    EventTable.append(DataGen.batch(
+      spark, 1200, java.sql.Timestamp.valueOf("2026-04-01 09:00:00"), Some(8L)).toDF(), dir)
+
+    val parts = spark.read.format("graft-parts")
+      .option("path", dir).option("table", "test_local").load()
+    assert(parts.schema.fieldNames.toSeq ==
+      Seq("table", "partition", "rows", "bytes_on_disk", "active", "database"))
+    assert(parts.count() == 24) // one part per touched hourly partition
+
+    parts.createOrReplaceTempView("sys_parts_v2")
+    val agg = spark.sql(
+      """SELECT table, count(*) AS parts_count, sum(rows) AS total_rows
+        |FROM sys_parts_v2 WHERE active GROUP BY table""".stripMargin).head()
+    assert(agg.getString(0) == "test_local")
+    assert(agg.getLong(1) == 24L)
+    assert(agg.getLong(2) == 1200L)
+  }
+}
