@@ -10,9 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen, shuffle machinery) so the first query's
-    // timing isn't dominated by one-time Spark startup
+    // warm the session (codegen, shuffle machinery, parquet reader path)
+    // so the first query's timing isn't dominated by one-time startup
     spark.range(100000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // collect (not count) so sorts/projections in the result path are

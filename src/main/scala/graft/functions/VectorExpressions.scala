@@ -148,6 +148,69 @@ object VecOps {
   }
 }
 
+object TextStatsKernel {
+
+  /** One-pass text statistics: token count, hits for each of up to 8
+    * marker-word sets (stopwords + language markers), punctuation count.
+    * Returns a long array [nTokens, punct, hits0, hits1, ...]. The HOF
+    * formulation re-tokenizes and re-scans per metric; this walks the
+    * bytes once. Marker sets are matched on the exact token string. */
+  def stats(text: UTF8String, markerSets: Array[Array[String]]): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val hits = new Array[Long](markerSets.length)
+    var nTok = 0L
+    var punct = 0L
+    var start = 0
+    var pos = 0
+    while (pos <= len) {
+      val isEnd = pos == len || bytes(pos) == ' '.toByte
+      if (pos < len) {
+        val c = bytes(pos)
+        if (c == '.' || c == ',' || c == '!' || c == '?' || c == ';' || c == ':') punct += 1
+      }
+      if (isEnd) {
+        nTok += 1
+        val tok = UTF8String.fromBytes(bytes, start, pos - start).toString
+        var s = 0
+        while (s < markerSets.length) {
+          val set = markerSets(s)
+          var i = 0
+          var found = false
+          while (i < set.length && !found) { found = set(i) == tok; i += 1 }
+          if (found) hits(s) += 1
+          s += 1
+        }
+        start = pos + 1
+      }
+      pos += 1
+    }
+    val out = new Array[Long](2 + markerSets.length)
+    out(0) = nTok
+    out(1) = punct
+    System.arraycopy(hits, 0, out, 2, hits.length)
+    new GenericArrayData(out)
+  }
+}
+
+/** `text_stats(text)` — one-pass token/punct/marker-hit counts; marker
+  * sets are baked into the expression (static per query). */
+case class TextStats(child: Expression, markerSets: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val sets: Array[Array[String]] =
+    markerSets.map(_.toArray).toArray
+  override def nullSafeEval(v: Any): Any =
+    TextStatsKernel.stats(v.asInstanceOf[UTF8String], sets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerSets", sets, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsKernel.stats($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): TextStats =
+    copy(child = c)
+  override def prettyName: String = "text_stats"
+}
+
 /** `vec_dot(a, b)` — dot product of two numeric arrays as a codegen'd
   * scalar (SURVEY.md §2.12 similarity-search kernel). */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
@@ -209,4 +272,6 @@ object VectorFunctions {
   def simhash64(text: Column): Column = column(SimHash64(expression(text)))
   def minhashSig(shingles: Column, k: Int): Column = column(MinHashSig(expression(shingles), k))
   def shingleHashes(text: Column, k: Int): Column = column(ShingleHashes(expression(text), k))
+  def textStats(text: Column, markerSets: Seq[Seq[String]]): Column =
+    column(TextStats(expression(text), markerSets))
 }

@@ -86,14 +86,48 @@ object TextAnalysis {
     array_min(shingles)
   }
 
-  /** Per-document text report (doc_id, counts, score, lang, fingerprint). */
-  def report(docs: DataFrame): DataFrame =
-    docs.select(
+  /** Per-document text report (doc_id, counts, score, lang, fingerprint).
+    *
+    * Computed from ONE pass over the text (`TextStats` codegen kernel:
+    * tokens, punctuation, stopword hits, per-language marker hits) — the
+    * per-metric column functions above each re-tokenize; counts are
+    * identical, so the DuckDB oracle comparison is unaffected. */
+  def report(docs: DataFrame): DataFrame = {
+    val sets: Seq[Seq[String]] = stopwords +: langMarkers.map(_._2)
+    val stats = graft.functions.VectorFunctions.textStats(col("text"), sets)
+    val base = docs.select(col("doc_id"), col("text"), stats.as("st"))
+      .select(
+        col("doc_id"), col("text"),
+        element_at(col("st"), 1).cast("int").as("n_tokens"),
+        element_at(col("st"), 2).cast("int").as("n_punct"),
+        element_at(col("st"), 3).cast("int").as("n_stopwords"),
+        element_at(col("st"), 4).as("s_en"),
+        element_at(col("st"), 5).as("s_de"),
+        element_at(col("st"), 6).as("s_es"),
+        element_at(col("st"), 7).as("s_fr"))
+
+    val nTok = col("n_tokens").cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val stopScore = least(
+      col("n_stopwords").cast("double") * lit(10.0) / greatest(nTok, lit(1.0)), lit(1.0))
+    val punctPenalty = least(
+      col("n_punct").cast("double") /
+        greatest(length(col("text")).cast("double"), lit(1.0)) * lit(5.0), lit(1.0))
+    val scores = langMarkers.map(_._1).zipWithIndex.map {
+      case (lang, i) => lang -> col(Seq("s_en", "s_de", "s_es", "s_fr")(i))
+    }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val lang = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === maxScore && maxScore > 0, l).otherwise(acc)
+    }
+    base.select(
       col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"),
-      stopwordCount(col("text")).as("n_stopwords"),
-      punctCount(col("text")).as("n_punct"),
-      qualityScore(col("text")).as("quality"),
-      langId(col("text")).as("lang_guess"),
+      col("n_tokens"),
+      col("n_stopwords"),
+      col("n_punct"),
+      round(lenScore * lit(0.5) + stopScore * lit(0.5) - punctPenalty * lit(0.25), 4)
+        .as("quality"),
+      lang.as("lang_guess"),
       fingerprint(col("text")).as("fp"))
+  }
 }

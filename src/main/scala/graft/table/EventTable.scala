@@ -47,9 +47,18 @@ object EventTable {
       Event.partitionCol, GraftFunctions.toYYYYMMDDhh(col("event_time")))
     val routed =
       if (filesPerPartition <= 1) withPart.repartition(col(Event.partitionCol))
-      else withPart.repartition(
-        col(Event.partitionCol),
-        pmod(col("id"), lit(filesPerPartition.toLong)))
+      else {
+        // explicit partition count so AQE can't coalesce the salted
+        // exchange to a single writer on small batches — the salt exists
+        // precisely to spread one hot partition over several tasks
+        val n = math.max(
+          df.sparkSession.sessionState.conf.numShufflePartitions,
+          filesPerPartition * 8)
+        withPart.repartition(
+          n,
+          col(Event.partitionCol),
+          pmod(col("id"), lit(filesPerPartition.toLong)))
+      }
     routed
       .sortWithinPartitions("event_time", "id") // ORDER BY (event_time, id)
       .write.mode(SaveMode.Append)

@@ -65,6 +65,21 @@ class PipelineSpec extends SparkSpec {
     assert(st.maxPartsPerPartition == 1)
   }
 
+  test("filesPerPartition salt fans a hot partition out to multiple writers") {
+    val dir = Files.createTempDirectory("graft_salt").toString
+    val batch = graft.gen.DataGen.batch(
+      spark, 3000, java.sql.Timestamp.valueOf("2026-02-03 12:00:00"), Some(4L))
+    graft.table.EventTable.append(batch.toDF(), dir, filesPerPartition = 3)
+    val perDir = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("part_hour="))
+      .map(_.listFiles().count(f => f.getName.endsWith(".parquet")))
+    assert(perDir.length == 24)
+    // salting spreads hot partitions across writer tasks: never more than
+    // the salt width, and clearly more than one file per partition overall
+    assert(perDir.forall(_ <= 3), perDir.mkString(","))
+    assert(perDir.sum > 36, s"expected >1.5 files/partition on average, got ${perDir.sum}/24")
+  }
+
   test("partition cap (T5) rejects a block touching too many partitions") {
     val dir = Files.createTempDirectory("graft_cap").toString
     val flow = new graft.ingest.FlowControl(FlowControlSettings(
