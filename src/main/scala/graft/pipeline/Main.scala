@@ -28,11 +28,13 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    val tablePath = args.headOption.getOrElse("/tmp/graft_table")
-    val batchSize = args.lift(1).map(_.toLong).getOrElse(100000L)
-    val maxBatches = args.lift(2).map(_.toInt).getOrElse(60)
-    val delay = args.lift(3).map(_.toLong).getOrElse(50L)
-    val throwAt = args.lift(4).map(_.toLong).getOrElse(100L)
+    val streaming = args.contains("--streaming")
+    val positional = args.filterNot(_.startsWith("--"))
+    val tablePath = positional.headOption.getOrElse("/tmp/graft_table")
+    val batchSize = positional.lift(1).map(_.toLong).getOrElse(100000L)
+    val maxBatches = positional.lift(2).map(_.toInt).getOrElse(60)
+    val delay = positional.lift(3).map(_.toLong).getOrElse(50L)
+    val throwAt = positional.lift(4).map(_.toLong).getOrElse(100L)
 
     new File("logs").mkdirs()
     logWriter = Some(new PrintWriter(new FileWriter(
@@ -49,7 +51,9 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     log("INFO", s"starting pipeline: table=$tablePath batch=$batchSize " +
-      s"max=$maxBatches delay=$delay throw=$throwAt")
+      s"max=$maxBatches delay=$delay throw=$throwAt streaming=$streaming")
+
+    if (streaming) { runStreaming(spark, tablePath, batchSize, maxBatches, delay, throwAt); return }
 
     val report = Orchestrator.run(spark, Orchestrator.Config(
       tablePath = tablePath,
@@ -71,6 +75,44 @@ object Main {
     log("INFO", s"batches run: ${report.batches.size}")
     log("INFO", s"flow control triggered: ${report.flowControlTriggered}")
     log("INFO", s"final status: ${report.finalStatus}")
+    logWriter.foreach(_.close())
+    spark.stop()
+  }
+
+  /** Structured-Streaming variant: rate source at `batchSize` rows/s with
+    * 1 s triggers, same gate; runs until flow control triggers or
+    * `maxBatches` seconds elapse, reporting status once per second
+    * (the reference's monitoring cadence, `setup.sh:137-138`). */
+  private def runStreaming(
+      spark: SparkSession,
+      tablePath: String,
+      rowsPerSecond: Long,
+      maxSeconds: Int,
+      delay: Long,
+      throwAt: Long): Unit = {
+    graft.table.EventTable.drop(spark, tablePath)
+    graft.table.EventTable.create(spark, tablePath)
+    val flow = new graft.ingest.FlowControl(FlowControlSettings(
+      partsToDelayInsert = delay, partsToThrowInsert = throwAt))
+    val metrics = new graft.system.MetricsRegistry(spark)
+    val parts = new graft.system.PartsRegistry(spark, tablePath, "test_local")
+    val ingest = new graft.ingest.Ingest(tablePath, flow, parts, metrics)
+    val monitor = new graft.monitor.Monitor(metrics, parts, flow)
+    val stream = new graft.streaming.StreamingIngest(spark, ingest, rowsPerSecond)
+    val query = stream.start()
+    val deadline = System.currentTimeMillis() + maxSeconds * 1000L
+    try {
+      while (!stream.triggered && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000)
+        val st = monitor.status()
+        log("INFO", s"batches=${stream.completedBatches} parts=${st.totalActiveParts} " +
+          s"maxPerPartition=${st.maxPartsPerPartition} delayed=${st.delayedInserts} " +
+          s"flow=${st.status}")
+      }
+    } finally query.stop()
+    log("INFO", "===== final report =====")
+    log("INFO", s"flow control triggered: ${stream.triggered}")
+    log("INFO", s"final status: ${monitor.status()}")
     logWriter.foreach(_.close())
     spark.stop()
   }
