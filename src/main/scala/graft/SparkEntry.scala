@@ -345,6 +345,28 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** IVF-bucketed approximate top-k (second ANN scale path; rows-only —
+    * approximate by design, recall asserted in the test suite). */
+  private def qIvfTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.ivfTopK(
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      emb.select(col("vec_id"), col("embedding")),
+      k = 5)
+  }
+
+  /** CUBE aggregation (all grouping-set combinations). */
+  private def qCube(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("total_qty"))
+      .orderBy(
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Event-time tumbling-window aggregation (the batch face of the
     * streaming `WindowedStats.eventCountsPerWindow`; same `window()` op). */
   private def qWindowAgg(s: SparkSession, d: String): DataFrame =
@@ -392,7 +414,9 @@ object SparkEntry {
     "q27_rollup" -> (qRollup _),
     "q28_distinct_agg" -> (qDistinctAgg _),
     "q29_approx_distinct" -> (qApproxDistinct _),
-    "q30_window_agg" -> (qWindowAgg _))
+    "q30_window_agg" -> (qWindowAgg _),
+    "q31_cube" -> (qCube _),
+    "q32_ivf_topk" -> (qIvfTopK _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -587,5 +611,10 @@ object SparkEntry {
            event_type, count(*) AS n_events,
            round(sum(value), 2) AS total_value
          FROM events GROUP BY window_start, event_type
-         ORDER BY window_start, event_type""")
+         ORDER BY window_start, event_type""",
+    "q31_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+           round(sum(l_quantity), 2) AS total_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
 }

@@ -159,6 +159,84 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the second ANN scale path
+    * next to LSH: a deterministic coarse quantizer (centroids = corpus
+    * vectors with the smallest mix64(vec_id, seed), i.e. a reproducible
+    * pseudo-random sample) partitions the corpus into nCentroids cells;
+    * each query scores only the nProbes nearest cells.
+    *
+    * Scale: assignment is one broadcast-centroid pass over the corpus
+    * (map-side kernel, no shuffle); the probe join shuffles O(n) corpus
+    * rows by cell id. Recall is tuned by nProbes; at production scale the
+    * one-pass sample quantizer is replaced by k-means iterations — the
+    * pipeline shape is identical.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbes: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    val vecs = corpus
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val centroids: Array[(Int, Array[Float], Double)] = {
+      val ids = vecs.select(col("vec_id")).as[Long].collect()
+        .sortBy(id => Impl.mix64(id + seed)).take(nCentroids).toSet
+      vecs.filter(v => ids.contains(v._1)).collect().sortBy(_._1)
+        .zipWithIndex.map { case ((_, v), c) =>
+          var n = 0.0; var i = 0
+          while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+          (c, v, math.sqrt(n))
+        }
+    }
+    val bc = sess.sparkContext.broadcast(centroids)
+
+    def cosTo(emb: Array[Float], cent: (Int, Array[Float], Double)): Double = {
+      val (_, cv, cn) = cent
+      var d = 0.0; var nA = 0.0; var i = 0
+      val n = math.min(emb.length, cv.length)
+      while (i < n) {
+        d += emb(i).toDouble * cv(i).toDouble
+        nA += emb(i).toDouble * emb(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(nA) * cn)
+    }
+
+    val assigned = vecs.mapPartitions { it =>
+      val cents = bc.value
+      it.map { case (id, emb) =>
+        var best = 0; var bestScore = Double.MinValue
+        cents.foreach { c => val s = cosTo(emb, c); if (s > bestScore) { bestScore = s; best = c._1 } }
+        (best, id, emb)
+      }
+    }.toDF("cell", "vec_id", "embedding")
+
+    val probed = queries
+      .select(col("query_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.flatMap { case (qid, emb) =>
+          cents.map(c => (c._1, cosTo(emb, c)))
+            .sortBy(-_._2).take(nProbes)
+            .map { case (cell, _) => (cell, qid, emb) }
+        }
+      }.toDF("cell", "query_id", "q_emb")
+
+    val scored = assigned.join(broadcast(probed), "cell")
+      .select(
+        col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("score")).as("score"))
+    topKFromScored(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥ τ,
     * via LSH bucketing (no cross join). */
   def nearDupPairs(

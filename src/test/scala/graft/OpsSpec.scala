@@ -91,6 +91,29 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"lsh recall $recall")
   }
 
+  test("ivf top-k finds the planted nearest neighbors (recall vs brute force)") {
+    import spark.implicits._
+    val dim = 64
+    val rows = for {
+      cluster <- 0 until 10
+      member <- 0 until 5
+    } yield {
+      val base = Array.tabulate(dim)(i => math.sin(cluster * 37.0 + i).toFloat * 10f)
+      val jitter = Array.tabulate(dim)(i =>
+        (graft.functions.Impl.mix64(cluster * 100L + member * 7L + i) % 100L) / 1000f)
+      (cluster * 5L + member, base.zip(jitter).map { case (b, j) => b + j })
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, k = 5, nCentroids = 10, nProbes = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"ivf recall $recall")
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq(
