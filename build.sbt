@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output must reach stdout RAW — sbt's default logger
+// prefixes every line with [info]/[error], which breaks machine parsing
+// of Bench's single JSON result line (BENCH_r01.json had "parsed": null).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -367,6 +367,81 @@ object SparkEntry {
         col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** SQL-text parity (S5+P3+A1+F2+F3+O2): the reference's parts query
+    * (`sql/query_parts.sql:2-12`) executed through `spark.sql` over the
+    * `system_parts` view with the registered ClickHouse spellings
+    * (`formatReadableSize`, `currentDatabase()`, zero-arg `count()`).
+    * Text differs from the reference only in the view name
+    * (`system.parts` → `system_parts`; temp views cannot be dotted).
+    *
+    * The parts table is built from the fixture deterministically: the
+    * first ≤18 event hours, appended in two half-batches (even/odd id),
+    * so each hourly partition holds one part per id-parity present in
+    * that hour and row totals are DuckDB-reproducible. `total_size` (physical file bytes)
+    * is engine-specific, so the compared projection keeps the
+    * deterministic columns; the verbatim text (including
+    * formatReadableSize over bytes_on_disk) still executes. */
+  private def qPartsSqlParity(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val ev = events(s, d).select(col("event_id").as("id"), col("ts").as("event_time"))
+    val minHour = ev
+      .agg(min(GraftFunctions.toYYYYMMDDhh(col("event_time")))).head.getInt(0)
+    val keep = ev.filter(GraftFunctions.toYYYYMMDDhh(col("event_time")) <= minHour + 17)
+    val dir = java.nio.file.Files.createTempDirectory("graft_parts_sql").toString
+    graft.table.EventTable.append(keep.filter(pmod(col("id"), lit(2)) === 0), dir)
+    graft.table.EventTable.append(keep.filter(pmod(col("id"), lit(2)) === 1), dir)
+    val parts = new graft.system.PartsRegistry(s, dir, "test_local")
+    val metrics = new graft.system.MetricsRegistry(s)
+    graft.table.Ddl.registerSystemViews(s, metrics, parts)
+    val verbatim = s.sql(
+      """SELECT
+        |    table,
+        |    partition,
+        |    count() as parts_count,
+        |    sum(rows) as total_rows,
+        |    formatReadableSize(sum(bytes_on_disk)) as total_size
+        |FROM system_parts
+        |WHERE active AND database = currentDatabase() AND table = 'test_local'
+        |GROUP BY table, partition
+        |ORDER BY parts_count DESC
+        |LIMIT 20""".stripMargin)
+    verbatim
+      .select(col("table"), col("partition"), col("parts_count"), col("total_rows"))
+      .orderBy(col("partition"))
+  }
+
+  /** SQL-text parity (S6+P1+P2+O1): the reference's metrics query
+    * (`sql/query_metrics.sql:2-19`) verbatim through `spark.sql` over the
+    * `system_metrics` view (only the dotted view name differs). A fresh
+    * registry carries the reference's 10 metrics at value 0 with their
+    * ClickHouse descriptions — fully deterministic. */
+  private def qMetricsSqlParity(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_metrics_sql").toString
+    val parts = new graft.system.PartsRegistry(s, dir, "test_local")
+    val metrics = new graft.system.MetricsRegistry(s)
+    graft.table.Ddl.registerSystemViews(s, metrics, parts)
+    s.sql(
+      """SELECT
+        |    metric,
+        |    value,
+        |    description
+        |FROM system_metrics
+        |WHERE metric IN (
+        |    'DelayedInserts',
+        |    'DistributedFilesToInsert',
+        |    'InsertedRows',
+        |    'InsertedBytes',
+        |    'PartsActive',
+        |    'PartsCommitted',
+        |    'PartsInMemory',
+        |    'PartsMutations',
+        |    'ReplicatedChecks',
+        |    'ReplicatedFetch'
+        |)
+        |ORDER BY metric""".stripMargin)
+  }
+
   /** Event-time tumbling-window aggregation (the batch face of the
     * streaming `WindowedStats.eventCountsPerWindow`; same `window()` op). */
   private def qWindowAgg(s: SparkSession, d: String): DataFrame =
@@ -416,7 +491,9 @@ object SparkEntry {
     "q29_approx_distinct" -> (qApproxDistinct _),
     "q30_window_agg" -> (qWindowAgg _),
     "q31_cube" -> (qCube _),
-    "q32_ivf_topk" -> (qIvfTopK _))
+    "q32_ivf_topk" -> (qIvfTopK _),
+    "q33_parts_sql_parity" -> (qPartsSqlParity _),
+    "q34_metrics_sql_parity" -> (qMetricsSqlParity _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -616,5 +693,25 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
            round(sum(l_quantity), 2) AS total_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q33_parts_sql_parity" ->
+      """WITH h AS (SELECT CAST(strftime(ts, '%Y%m%d%H') AS BIGINT) AS ph, event_id FROM events),
+              m AS (SELECT min(ph) AS mn FROM h)
+         SELECT 'test_local' AS "table", CAST(ph AS VARCHAR) AS "partition",
+                count(DISTINCT event_id % 2) AS parts_count, count(*) AS total_rows
+         FROM h, m WHERE ph <= mn + 17
+         GROUP BY ph ORDER BY "partition"""",
+    "q34_metrics_sql_parity" ->
+      """SELECT metric, CAST(0 AS BIGINT) AS value, description FROM (VALUES
+           ('DelayedInserts', 'Number of INSERT queries that are throttled due to high number of active data parts for partition'),
+           ('DistributedFilesToInsert', 'Number of pending files to process for asynchronous insertion into Distributed tables'),
+           ('InsertedRows', 'Number of rows INSERTed to all tables'),
+           ('InsertedBytes', 'Number of bytes INSERTed to all tables'),
+           ('PartsActive', 'Active data part, used by current and upcoming SELECTs'),
+           ('PartsCommitted', 'Deprecated. See PartsActive'),
+           ('PartsInMemory', 'Deprecated. Part in memory'),
+           ('PartsMutations', 'Mutations of parts'),
+           ('ReplicatedChecks', 'Number of data parts checking for consistency'),
+           ('ReplicatedFetch', 'Number of data parts being fetched from replica')
+         ) AS t(metric, description) ORDER BY metric""")
 }

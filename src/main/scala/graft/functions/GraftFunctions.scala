@@ -18,12 +18,18 @@ object Impl {
   private val units = Array("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB", "ZiB", "YiB")
 
   /** ClickHouse `formatReadableSize` semantics: binary (1024) unit ladder,
-    * two decimals (reference usage: `sql/query_parts.sql:7`). */
+    * two decimals (reference usage: `sql/query_parts.sql:7`). Rounded
+    * HALF_EVEN on the exact binary value — the tie-breaking rule C printf
+    * (and therefore the DuckDB oracle's `printf('%.2f', …)`) uses; Java's
+    * `String.format` is HALF_UP and diverges on exact ties (1152 B →
+    * 1.125 KiB must print 1.12, not 1.13). */
   def formatReadableSize(bytes: Double): UTF8String = {
     var v = bytes
     var i = 0
     while (math.abs(v) >= 1024.0 && i < units.length - 1) { v /= 1024.0; i += 1 }
-    UTF8String.fromString(String.format(Locale.ROOT, "%.2f %s", Double.box(v), units(i)))
+    val s = new java.math.BigDecimal(v)
+      .setScale(2, java.math.RoundingMode.HALF_EVEN).toPlainString
+    UTF8String.fromString(s + " " + units(i))
   }
 
   private val alphabet: Array[Char] =
@@ -105,13 +111,31 @@ object GraftFunctions {
     column(RandLetters(expression(seed), expression(lit(n))))
 
   /** Register SQL spellings matching the ClickHouse names so `spark.sql`
-    * text stays close to the reference's queries. */
+    * can run the reference's query text (`sql/query_parts.sql`,
+    * `sql/query_metrics.sql`) as-is. Inputs are cast inside the builders:
+    * interpreted eval does `asInstanceOf`, so an un-cast INT argument
+    * would throw only when codegen falls back — mode-dependent behavior
+    * the casts remove. */
   def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Count
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "formatReadableSize", es => FormatReadableSize(es.head), "builtin")
+      "formatReadableSize",
+      es => FormatReadableSize(Cast(es.head, DoubleType)), "built-in")
     reg.createOrReplaceTempFunction(
-      "rand_letters", es => RandLetters(es.head, es(1)), "builtin")
+      "rand_letters",
+      es => RandLetters(Cast(es.head, LongType), Cast(es(1), IntegerType)), "built-in")
+    // ClickHouse spellings the reference SQL uses: `currentDatabase()`
+    // (Spark calls it current_database) and zero-argument `count()`
+    // (Spark requires count(*)). The count shim delegates non-empty
+    // argument lists to the builtin semantics unchanged.
+    reg.createOrReplaceTempFunction(
+      "currentDatabase",
+      _ => org.apache.spark.sql.catalyst.expressions.CurrentDatabase(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "count",
+      es => if (es.isEmpty) Count(Seq(Literal(1))) else Count(es), "built-in")
     spark.udf.register("toYYYYMMDDhh",
       (ts: java.sql.Timestamp) => { // registered for SQL-text parity only;
         // the Column API path uses the codegen'd date_format composition.

@@ -32,10 +32,13 @@ final class Monitor(metrics: MetricsRegistry, parts: PartsRegistry, flow: FlowCo
     * formatReadableSize + top-k (P3, A1, F2, F8, O2). */
   def partsReport(limit: Int = 20): DataFrame =
     parts.toDF
-      // WHERE active AND database = currentDatabase() AND table = ...
-      // (`sql/query_parts.sql:9`); Spark's default database is 'default',
-      // matching the registry's constant.
-      .filter(col("active") && col("database") === current_database())
+      // WHERE active AND database = currentDatabase() AND table = 'test_local'
+      // (`sql/query_parts.sql:9`) — all three terms of the reference's
+      // conjunctive predicate (P3); Spark's default database is 'default',
+      // matching the registry's constant, and the registry carries the
+      // table name the reference pins as a literal.
+      .filter(col("active") && col("database") === current_database() &&
+        col("table") === parts.tableName)
       .groupBy(col("table"), col("partition"))
       .agg(
         count(lit(1)).as("parts_count"),

@@ -137,24 +137,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard pairs ≥ threshold. Two physically different but
-    * result-identical strategies, picked by τ:
-    *
-    *  - τ < 0.7 → inverted-index join (prefixes would cover most of each
-    *    doc, so filtering buys nothing and costs a window + extra join);
-    *  - τ ≥ 0.7 → prefix filtering (SSJoin/PPJoin family), where the
-    *    prefix is short and hot shingles stop exploding into C(df,2)
-    *    candidate pairs — the skew killer at corpus scale.
-    */
+  /** Exact n-gram Jaccard pairs ≥ threshold — always the prefix-filtering
+    * strategy. The inverted-index join is result-identical (proven in
+    * `OpsSpec`) but its self-join on the raw shingle emits C(df,2)
+    * candidate rows for a shingle shared by df documents: one
+    * stop-shingle ("the quick brown"-class) makes one reducer quadratic
+    * at corpus scale. Under the prefix filter's global rarest-first
+    * order, hot shingles sort to the END of every document's shingle
+    * list, so they fall outside the |d| − ⌈τ·|d|⌉ + 1 prefix and never
+    * generate candidates — exactness is structural (two sets with
+    * J ≥ τ must collide inside their prefixes), not threshold-gated. */
   def ngramJaccardPairs(
       docs: DataFrame,
       shingleLen: Int = 3,
       threshold: Double = 0.5): DataFrame =
-    if (threshold >= 0.7) ngramJaccardPairsPrefix(docs, shingleLen, threshold)
-    else ngramJaccardPairsInverted(docs, shingleLen, threshold)
+    ngramJaccardPairsPrefix(docs, shingleLen, threshold)
 
   /** Inverted-index strategy: explode distinct shingles, self-join on the
-    * 64-bit shingle hash, count intersections, |A∪B| = |A|+|B|−|A∩B|. */
+    * 64-bit shingle hash, count intersections, |A∪B| = |A|+|B|−|A∩B|.
+    * Verification-scale tool only — carries the hot-shingle C(df,2)
+    * candidate blowup the prefix strategy exists to avoid; kept as the
+    * independent implementation the equivalence test checks against. */
   def ngramJaccardPairsInverted(
       docs: DataFrame,
       shingleLen: Int,
@@ -196,6 +199,27 @@ object Dedup {
       col("doc_id"),
       shingleHashes(col("text"), shingleLen).as("arr"))
 
+    // exact verification on the candidate pairs only
+    prefixCandidates(arrs, threshold)
+      .join(arrs.select(col("doc_id").as("id_a"), col("arr").as("arr_a")), "id_a")
+      .join(arrs.select(col("doc_id").as("id_b"), col("arr").as("arr_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn(
+        "jaccard",
+        round(col("n_inter").cast("double") /
+          (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Prefix-filter candidate generation over (doc_id, arr) rows: under the
+    * global rarest-first (df asc, shingle asc) order, only each document's
+    * first |d| − ⌈τ·|d|⌉ + 1 shingles join — any pair with J ≥ τ must
+    * share one of them (pigeonhole on the ⌈τ·|d|⌉ overlap), while a
+    * df-heavy stop shingle sorts last and never enters a prefix.
+    * Exposed for the skew test, which asserts the candidate set stays
+    * linear when every document shares one hot shingle. */
+  private[graft] def prefixCandidates(arrs: DataFrame, threshold: Double): DataFrame = {
     val sh = arrs.select(col("doc_id"), col("arr"), explode(col("arr")).as("shingle"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
 
@@ -207,21 +231,9 @@ object Dedup {
       .filter(col("rnk") <= col("n") - ceil(col("n") * threshold) + 1)
       .select(col("doc_id"), col("shingle"))
 
-    val cand = prefix.as("a").join(prefix.as("b"), Seq("shingle"))
+    prefix.as("a").join(prefix.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-
-    // exact verification on the candidate pairs only
-    cand
-      .join(arrs.select(col("doc_id").as("id_a"), col("arr").as("arr_a")), "id_a")
-      .join(arrs.select(col("doc_id").as("id_b"), col("arr").as("arr_b")), "id_b")
-      .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))))
-      .withColumn(
-        "jaccard",
-        round(col("n_inter").cast("double") /
-          (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }

@@ -9,11 +9,12 @@ import graft.functions.{Impl, VectorFunctions}
 /** Similarity search over embedding columns (SURVEY.md §2.12).
   *
   * Baseline: brute-force cosine top-k (exact; O(|Q|·|C|·dim) — fine when
-  * |Q| is small or as the verification pass). Scale path: random-
-  * hyperplane LSH — bucket both sides on sign-bit signatures so the join
-  * touches only colliding buckets; O(n) shuffle instead of a cross join.
-  * All vector math is higher-order column functions (zip_with/aggregate),
-  * computed in doubles.
+  * |Q| is small or as the verification pass). Scale paths: random-
+  * hyperplane LSH (bucket both sides on sign-bit signatures so the join
+  * touches only colliding buckets; O(n) shuffle instead of a cross join)
+  * and IVF (coarse quantizer cells, probe the nearest nProbes cells).
+  * All-pairs exact scoring is a block-grid kernel with bounded per-task
+  * memory — nothing on any path collects the corpus to the driver.
   */
 object Similarity {
 
@@ -26,6 +27,12 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Embedding dimensionality read from the data (one-row action at plan
+    * time). Hardcoding the fixture's 64 would silently truncate LSH
+    * signatures on other corpora — planes must span the full vector. */
+  private def embeddingDim(corpus: DataFrame): Int =
+    corpus.select(size(col("embedding"))).head.getInt(0)
 
   /** Exact brute-force cosine top-k.
     *
@@ -93,7 +100,7 @@ object Similarity {
       nPlanes: Int = 8,
       nTables: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val dim = 64 // fixture embedding dim; derive from data when dynamic
+    val dim = embeddingDim(corpus)
     val tables = Array.tabulate(nTables)(t => hyperplanes(nPlanes, dim, seed + t * 7919L))
 
     def signed(df: DataFrame): DataFrame =
@@ -118,58 +125,93 @@ object Similarity {
     topKFromScored(scored, k)
   }
 
-  /** Exact all-pairs cosine ≥ τ via a broadcast block kernel: the corpus
-    * (small enough for exact all-pairs to be meaningful at all — beyond
-    * that the LSH path below is the tool) is broadcast once; each task
-    * scores its vectors against the broadcast block in a tight loop and
-    * emits only passing (id_a, id_b, score) triples — no 2·n²/2 array
-    * copies through join rows, no shuffle of embedding payloads.
+  /** Exact all-pairs cosine ≥ τ via a distributed block grid: vectors are
+    * bucketed into `nBlocks` blocks by id; every unordered block pair
+    * (including self-pairs) is scored by one task holding exactly two
+    * blocks. Per-task memory is 2·n/nBlocks vectors, shuffle volume is
+    * O(n·nBlocks), and the O(n²/2) dot products are spread over
+    * nBlocks·(nBlocks+1)/2 independent tasks — no driver collect, no
+    * full-corpus broadcast. Size nBlocks so a block fits in task memory
+    * (exact all-pairs is inherently quadratic compute; beyond that the
+    * LSH-bucketed `nearDupPairs` is the tool).
     * Accumulation order matches `cosine()` exactly (same doubles). */
-  def exactNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  def exactNearDupPairs(
+      corpus: DataFrame,
+      threshold: Double,
+      nBlocks: Int = 16): DataFrame = {
     val sess = corpus.sparkSession
     import sess.implicits._
     val vecs = corpus
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
-    val block = sess.sparkContext.broadcast {
-      val arr = vecs.collect().sortBy(_._1)
-      arr.map { case (id, v) =>
-        var n = 0.0; var i = 0
-        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
-        (id, v, math.sqrt(n))
+
+    // one row per block: id-sorted (id, vec, norm) triples
+    val blocks = vecs
+      .groupByKey { case (id, _) => (((id % nBlocks) + nBlocks) % nBlocks).toInt }
+      .mapGroups { (b, it) =>
+        val arr = it.map { case (id, v) =>
+          var n = 0.0; var i = 0
+          while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+          (id, v, math.sqrt(n))
+        }.toArray.sortBy(_._1)
+        (b, arr)
       }
-    }
-    vecs.mapPartitions { it =>
-      val all = block.value
-      it.flatMap { case (idA, embA) =>
-        var nA = 0.0
-        var i = 0
-        while (i < embA.length) { nA += embA(i).toDouble * embA(i).toDouble; i += 1 }
-        val normA = math.sqrt(nA)
-        all.iterator.filter(_._1 > idA).flatMap { case (idB, embB, normB) =>
-          var d = 0.0
-          var j = 0
-          val n = math.min(embA.length, embB.length)
-          while (j < n) { d += embA(j).toDouble * embB(j).toDouble; j += 1 }
-          val score = d / (normA * normB)
-          if (score >= threshold) Iterator.single((idA, idB, score)) else Iterator.empty
+
+    // each block joins every partner block once, keyed by the unordered
+    // pair (lo, hi); a group then holds exactly the two blocks it scores
+    val pairs = blocks
+      .flatMap { case (b, arr) =>
+        (0 until nBlocks).iterator.map { o =>
+          val lo = math.min(b, o); val hi = math.max(b, o)
+          (lo, hi, b, arr)
         }
       }
-    }.toDF("id_a", "id_b", "score")
-      .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
+      .groupByKey { case (lo, hi, _, _) => (lo, hi) }
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Array[(Long, Array[Float], Double)])]) =>
+        val (lo, hi) = key
+        val entries = it.toArray.sortBy(_._3)
+        def score(x: (Long, Array[Float], Double), y: (Long, Array[Float], Double)) = {
+          val (idX, ex, nx) = x; val (idY, ey, ny) = y
+          var d = 0.0; var j = 0
+          val n = math.min(ex.length, ey.length)
+          while (j < n) { d += ex(j).toDouble * ey(j).toDouble; j += 1 }
+          val s = d / (nx * ny)
+          if (s >= threshold)
+            Iterator.single(if (idX < idY) (idX, idY, s) else (idY, idX, s))
+          else Iterator.empty
+        }
+        if (lo == hi) {
+          val arr = entries(0)._4
+          for {
+            i <- arr.indices.iterator
+            j <- (i + 1 until arr.length).iterator
+            r <- score(arr(i), arr(j))
+          } yield r
+        } else {
+          val as = entries(0)._4; val bs = entries(1)._4
+          for {
+            x <- as.iterator
+            y <- bs.iterator
+            r <- score(x, y)
+          } yield r
+        }
+      }
+      .toDF("id_a", "id_b", "score")
+    pairs.select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
   }
 
   /** IVF (inverted-file) approximate top-k — the second ANN scale path
-    * next to LSH: a deterministic coarse quantizer (centroids = corpus
-    * vectors with the smallest mix64(vec_id, seed), i.e. a reproducible
-    * pseudo-random sample) partitions the corpus into nCentroids cells;
-    * each query scores only the nProbes nearest cells.
+    * next to LSH: a coarse quantizer (a deterministic distributed sample
+    * refined by `kmeansIters` Lloyd iterations) partitions the corpus into
+    * nCentroids cells; each query scores only the nProbes nearest cells.
     *
-    * Scale: assignment is one broadcast-centroid pass over the corpus
-    * (map-side kernel, no shuffle); the probe join shuffles O(n) corpus
-    * rows by cell id. Recall is tuned by nProbes; at production scale the
-    * one-pass sample quantizer is replaced by k-means iterations — the
-    * pipeline shape is identical.
+    * Scale: centroid seeding is a distributed top-k on a hash of vec_id
+    * (TakeOrderedAndProject — only nCentroids rows ever reach the driver);
+    * each Lloyd iteration is one map-side pass producing per-cell partial
+    * sums (nCentroids·dim doubles per partition) merged by reduce;
+    * assignment is one broadcast-centroid pass over the corpus (no
+    * shuffle); the probe join shuffles O(n) corpus rows by cell id.
+    * Recall is tuned by nProbes and improves with refinement iterations.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -177,52 +219,101 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbes: Int = 4,
+      kmeansIters: Int = 2,
       seed: Long = 42L): DataFrame = {
     val sess = corpus.sparkSession
     import sess.implicits._
     val vecs = corpus
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
-    val centroids: Array[(Int, Array[Float], Double)] = {
-      val ids = vecs.select(col("vec_id")).as[Long].collect()
-        .sortBy(id => Impl.mix64(id + seed)).take(nCentroids).toSet
-      vecs.filter(v => ids.contains(v._1)).collect().sortBy(_._1)
-        .zipWithIndex.map { case ((_, v), c) =>
-          var n = 0.0; var i = 0
-          while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
-          (c, v, math.sqrt(n))
-        }
-    }
-    val bc = sess.sparkContext.broadcast(centroids)
 
-    def cosTo(emb: Array[Float], cent: (Int, Array[Float], Double)): Double = {
+    // seed centroids: distributed top-k by hashed id — a reproducible
+    // pseudo-random sample; only these nCentroids rows are collected
+    val seedRows = vecs.toDF("vec_id", "embedding")
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(nCentroids)
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    var cents: Array[(Int, Array[Double], Double)] =
+      seedRows.zipWithIndex.map { case ((_, v), c) =>
+        val dv = v.map(_.toDouble)
+        (c, dv, math.sqrt(dv.map(x => x * x).sum))
+      }
+
+    def cosTo(emb: Array[Float], cent: (Int, Array[Double], Double)): Double = {
       val (_, cv, cn) = cent
       var d = 0.0; var nA = 0.0; var i = 0
       val n = math.min(emb.length, cv.length)
       while (i < n) {
-        d += emb(i).toDouble * cv(i).toDouble
+        d += emb(i).toDouble * cv(i)
         nA += emb(i).toDouble * emb(i).toDouble
         i += 1
       }
       d / (math.sqrt(nA) * cn)
     }
 
-    val assigned = vecs.mapPartitions { it =>
-      val cents = bc.value
-      it.map { case (id, emb) =>
-        var best = 0; var bestScore = Double.MinValue
-        cents.foreach { c => val s = cosTo(emb, c); if (s > bestScore) { bestScore = s; best = c._1 } }
-        (best, id, emb)
+    def nearestCell(emb: Array[Float], cs: Array[(Int, Array[Double], Double)]): Int = {
+      var best = 0; var bestScore = Double.MinValue
+      cs.foreach { c => val s = cosTo(emb, c); if (s > bestScore) { bestScore = s; best = c._1 } }
+      best
+    }
+
+    // Lloyd refinement: per-partition partial (sum, count) per cell,
+    // merged with one reduce — nCentroids·dim doubles per partition, no
+    // per-row shuffle. Empty cells keep their previous centroid.
+    val dim = if (cents.nonEmpty) cents(0)._2.length else 0
+    for (_ <- 0 until kmeansIters) {
+      val bcC = sess.sparkContext.broadcast(cents)
+      val partials = vecs.mapPartitions { it =>
+        val cs = bcC.value
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { case (_, emb) =>
+          val c = nearestCell(emb, cs)
+          val s = sums(c)
+          var i = 0
+          val n = math.min(emb.length, dim)
+          while (i < n) { s(i) += emb(i).toDouble; i += 1 }
+          counts(c) += 1
+        }
+        Iterator.single((sums, counts))
       }
+      val (sums, counts) = partials.reduce { (a, b) =>
+        val (sa, ca) = a; val (sb, cb) = b
+        var c = 0
+        while (c < sa.length) {
+          var i = 0
+          while (i < dim) { sa(c)(i) += sb(c)(i); i += 1 }
+          ca(c) += cb(c)
+          c += 1
+        }
+        (sa, ca)
+      }
+      cents = cents.map { case (c, old, oldNorm) =>
+        if (counts(c) == 0L) (c, old, oldNorm)
+        else {
+          val mean = sums(c).map(_ / counts(c))
+          val nrm = math.sqrt(mean.map(x => x * x).sum)
+          if (nrm == 0.0) (c, old, oldNorm) else (c, mean, nrm)
+        }
+      }
+    }
+
+    val bc = sess.sparkContext.broadcast(cents)
+
+    val assigned = vecs.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, emb) => (nearestCell(emb, cs), id, emb) }
     }.toDF("cell", "vec_id", "embedding")
 
     val probed = queries
       .select(col("query_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val cents = bc.value
+        val cs = bc.value
         it.flatMap { case (qid, emb) =>
-          cents.map(c => (c._1, cosTo(emb, c)))
+          cs.map(c => (c._1, cosTo(emb, c)))
             .sortBy(-_._2).take(nProbes)
             .map { case (cell, _) => (cell, qid, emb) }
         }
@@ -238,13 +329,15 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥ τ,
-    * via LSH bucketing (no cross join). */
+    * via LSH bucketing (no cross join). Approximate: a pair whose
+    * signatures differ is never scored — the recall/threshold trade is
+    * the point (exactness at all-pairs scale needs the block grid). */
   def nearDupPairs(
       corpus: DataFrame,
       threshold: Double,
       nPlanes: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val dim = 64
+    val dim = embeddingDim(corpus)
     val planes = hyperplanes(nPlanes, dim, seed)
     val signed = corpus.select(
       col("vec_id"), col("embedding"),

@@ -24,7 +24,7 @@ final case class PartInfo(
   * no data read; footer reads are cached so a 1/s monitoring cadence
   * (reference `setup.sh:137-138`) costs one FS listing, not a re-scan.
   */
-final class PartsRegistry(spark: SparkSession, tablePath: String, tableName: String) {
+final class PartsRegistry(spark: SparkSession, tablePath: String, val tableName: String) {
 
   private val rowCountCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
@@ -48,13 +48,21 @@ final class PartsRegistry(spark: SparkSession, tablePath: String, tableName: Str
   }
 
   /** Full part info including footer row counts (read once per new file,
-    * cached by (path, mtime, len)) — the monitoring/report path. */
-  def list(): Seq[PartInfo] =
-    listFiles().map { f =>
+    * cached by (path, mtime, len)) — the monitoring/report path. Keys for
+    * files no longer in the listing (compacted/dropped parts) are pruned
+    * each call so a long-running 1/s monitor can't grow the cache
+    * unboundedly over a churning table. */
+  def list(): Seq[PartInfo] = {
+    val files = listFiles()
+    val infos = files.map { f =>
       val rows = rowCountCache.getOrElseUpdate(
         (f.path.toString, f.mtime, f.len), footerRowCount(f.path))
       PartInfo(tableName, f.partition, rows, f.len, active = true, "default")
     }
+    val live = files.map(f => (f.path.toString, f.mtime, f.len)).toSet
+    rowCountCache.keySet.filterNot(live).foreach(rowCountCache.remove)
+    infos
+  }
 
   def toDF: DataFrame = {
     import spark.implicits._
