@@ -220,14 +220,17 @@ object Dedup {
     * Exposed for the skew test, which asserts the candidate set stays
     * linear when every document shares one hot shingle. */
   private[graft] def prefixCandidates(arrs: DataFrame, threshold: Double): DataFrame = {
-    val sh = arrs.select(col("doc_id"), col("arr"), explode(col("arr")).as("shingle"))
+    // only (doc_id, |arr|, shingle) travels through the df join and the
+    // per-doc ranking shuffle — carrying the full array per exploded row
+    // would multiply both shuffles by the document length
+    val sh = arrs.select(
+      col("doc_id"), size(col("arr")).as("n"), explode(col("arr")).as("shingle"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
 
     // global rarest-first order; prefix length = n − ⌈τ·n⌉ + 1
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
     val prefix = sh.join(dfreq, "shingle")
       .withColumn("rnk", row_number().over(w))
-      .withColumn("n", size(col("arr")))
       .filter(col("rnk") <= col("n") - ceil(col("n") * threshold) + 1)
       .select(col("doc_id"), col("shingle"))
 

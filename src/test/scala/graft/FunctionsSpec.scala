@@ -20,6 +20,30 @@ class FunctionsSpec extends SparkSpec {
     assert(Impl.formatReadableSize(-2048).toString == "-2.00 KiB")
   }
 
+  test("formatReadableSize breaks ties half-to-even like C printf (oracle parity)") {
+    // 1152/1024 = 1.125 exactly representable — a true decimal tie.
+    // C printf (DuckDB's printf) rounds half-even → 1.12; Java's
+    // String.format would print 1.13 and flake the q06 oracle.
+    assert(Impl.formatReadableSize(1152.0).toString == "1.12 KiB")
+    // 1.375 → ties to even → 1.38 (8 is even)
+    assert(Impl.formatReadableSize(1408.0).toString == "1.38 KiB")
+    // non-tie sanity
+    assert(Impl.formatReadableSize(1184.0).toString == "1.16 KiB") // 1.15625
+  }
+
+  test("SQL-registered spellings cast inputs and accept the reference's syntax") {
+    GraftFunctions.register(spark)
+    // INT literals reach the builders; casts make interpreted eval agree
+    // with codegen (no mode-dependent ClassCastException)
+    val r = spark.sql(
+      "SELECT formatReadableSize(1152), rand_letters(7, 5), currentDatabase()").head
+    assert(r.getString(0) == "1.12 KiB")
+    assert(r.getString(1).length == 5 && r.getString(1).forall(_.isLetter))
+    assert(r.getString(2) == "default")
+    // ClickHouse zero-arg count() (the parts query's spelling)
+    assert(spark.sql("SELECT count() FROM range(3)").head.getLong(0) == 3L)
+  }
+
   test("formatReadableSize works as a Column (codegen path)") {
     import spark.implicits._
     val out = Seq(1024.0, 1536.0, 0.0).toDF("b")

@@ -114,6 +114,58 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"ivf recall $recall")
   }
 
+  test("lsh top-k derives dim from data: 128-dim clusters separated only in the upper dims") {
+    import spark.implicits._
+    // the cluster signal lives entirely in dims 64..127 — a quantizer that
+    // hashes only the first 64 dims (the old hardcoded fixture width) sees
+    // pure jitter and collapses to noise buckets
+    val dim = 128
+    val rows = for {
+      cluster <- 0 until 10
+      member <- 0 until 5
+    } yield {
+      val base = Array.tabulate(dim)(i =>
+        if (i < 64) 0f else math.sin(cluster * 37.0 + i).toFloat * 10f)
+      val jitter = Array.tabulate(dim)(i =>
+        (graft.functions.Impl.mix64(cluster * 100L + member * 7L + i) % 100L) / 1000f)
+      (cluster * 5L + member, base.zip(jitter).map { case (b, j) => b + j })
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(queries, corpus, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"128-dim lsh recall $recall")
+  }
+
+  test("prefix-filter jaccard: corpus-wide stop-shingle stays out of candidate generation") {
+    import spark.implicits._
+    // 200 docs all opening with the same hot 3-shingle, plus 2 planted
+    // near-dups (jaccard 0.8); the inverted-index join would enumerate
+    // C(202,2) ≈ 20k candidate pairs off the hot shingle alone
+    val base = (0 until 200).map { i =>
+      (i.toLong, "alpha beta gamma " + (0 until 8).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val dups = Seq(
+      (1000L, "alpha beta gamma " + (0 until 7).map(j => s"w0_$j").mkString(" ") + " zzz0"),
+      (1001L, "alpha beta gamma " + (0 until 7).map(j => s"w1_$j").mkString(" ") + " zzz1"))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+
+    val arrs = docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("arr"))
+    val nCand = Dedup.prefixCandidates(arrs, 0.5).count()
+    assert(nCand < 50, s"hot shingle exploded candidates: $nCand (inverted would be ~20k)")
+
+    val result = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val inverted = Dedup.ngramJaccardPairsInverted(docs, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(result == inverted, "df-capping must not cost exactness")
+    assert(result.contains((0L, 1000L)) && result.contains((1L, 1001L)))
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq(

@@ -1,0 +1,51 @@
+package graft
+
+/** Physical-plan regression guards: correctness oracles can't see a plan
+  * that silently degrades (a broadcast that becomes a shuffle, a pushed
+  * filter that stops pushing). These assert the plans the 100 TB design
+  * depends on, against the same fixture the driver smoke-checks. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01 top-k collapses to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q01_parts_report").contains("TakeOrderedAndProject"))
+  }
+
+  test("q09 pins BroadcastHashJoin on all three dims, never sort-merges") {
+    val p = plan("q09_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size == 3,
+      s"expected 3 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join must not shuffle-sort")
+  }
+
+  test("q02 pushes the IN-list predicate into the parquet scan") {
+    val p = plan("q02_metrics_filter")
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"),
+      s"IN-list not pushed:\n$p")
+  }
+
+  test("q02 scan reads only the projected columns (schema pruning)") {
+    val p = plan("q02_metrics_filter")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_id") && !readSchema.contains("user_id"),
+      s"scan must not read unprojected columns: $readSchema")
+  }
+
+  test("q16 dedup aggregates map-side before the key shuffle (partial agg)") {
+    val p = plan("q16_dedup_exact")
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2,
+      s"expected partial+final aggregate pair:\n$p")
+  }
+
+  test("q10 fact-fact join keeps the aggregate above one shuffle exchange pair") {
+    val p = plan("q10_join_shuffle")
+    // large-side equi-join: either SMJ or shuffled hash — but never a
+    // nested-loop / cartesian fallback
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fact join degraded to a cross product:\n$p")
+  }
+}
