@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query timing probe: runs one `SparkEntry` query N times in a warm
+  * session so plan cost can be separated from first-touch overhead
+  * (codegen, shuffle-service init, parquet footer reads).
+  *
+  * Usage: `runMain graft.QueryProbe <name> [sfDir] [reps]`
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    for (i <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).collect().length
+      println(f"[probe] $name rep=$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

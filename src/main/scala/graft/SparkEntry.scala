@@ -455,6 +455,73 @@ object SparkEntry {
         col("event_type"), col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** As-of join (point-in-time lookup): each event picks up the latest
+    * preceding hourly quote for its type. Quotes exist only for hours
+    * with part_hour % 7 == 0, so the as-of lookback is non-trivial.
+    * DuckDB oracle uses its native ASOF JOIN. */
+  private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val quotes = ev
+      .filter(pmod(GraftFunctions.toYYYYMMDDhh(col("ts")), lit(7)) === 0)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("qts"))
+      .agg(round(avg(col("value")), 4).as("q_rate"))
+    graft.ops.AsOfJoin.asOf(
+      ev.select(col("event_id"), col("event_type"), col("ts")),
+      quotes, "ts", "qts", Seq("event_type"), Seq("q_rate"))
+      .filter(col("q_rate").isNotNull) // inner semantics, like ASOF JOIN
+      .select(col("event_id"), col("event_type"), col("q_rate"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity) per user — the
+    * canonical lag + running-sum window plan, one shuffle on the key. */
+  private def qSessionize(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sessionize.sessionize(
+      events(s, d).select(col("user_id"), col("ts"), col("event_id")),
+      col("user_id"), col("ts"), Seq(col("event_id")), gapSeconds = 1800L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** Exact interpolated quantiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`, both linear interpolation). */
+  private def qQuantiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+      .orderBy(col("l_returnflag"))
+
+  /** Generator/UDTF surface: explode tokens, top-5 by frequency per
+    * source (tie-break on token). */
+  private def qTokenTopK(s: SparkSession, d: String): DataFrame = {
+    val counts = t(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("token"))
+    counts
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("source"), col("rnk"), col("token"), col("n"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  /** Pivot (conditional aggregation): hourly value totals spread over the
+    * five event-type columns. */
+  private def qPivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(GraftFunctions.toYYYYMMDDhh(col("ts")).as("part_hour"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(round(sum(col("value")), 2))
+      .orderBy(col("part_hour"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -493,7 +560,12 @@ object SparkEntry {
     "q31_cube" -> (qCube _),
     "q32_ivf_topk" -> (qIvfTopK _),
     "q33_parts_sql_parity" -> (qPartsSqlParity _),
-    "q34_metrics_sql_parity" -> (qMetricsSqlParity _))
+    "q34_metrics_sql_parity" -> (qMetricsSqlParity _),
+    "q35_asof_join" -> (qAsofJoin _),
+    "q36_sessionize" -> (qSessionize _),
+    "q37_quantiles" -> (qQuantiles _),
+    "q38_token_topk" -> (qTokenTopK _),
+    "q39_pivot" -> (qPivot _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -713,5 +785,53 @@ object SparkEntry {
            ('PartsMutations', 'Mutations of parts'),
            ('ReplicatedChecks', 'Number of data parts checking for consistency'),
            ('ReplicatedFetch', 'Number of data parts being fetched from replica')
-         ) AS t(metric, description) ORDER BY metric""")
+         ) AS t(metric, description) ORDER BY metric""",
+    "q35_asof_join" ->
+      """WITH q AS (SELECT event_type, date_trunc('hour', ts) AS qts,
+                    round(avg(value), 4) AS q_rate
+                    FROM events
+                    WHERE CAST(strftime(ts, '%Y%m%d%H') AS BIGINT) % 7 = 0
+                    GROUP BY event_type, qts)
+         SELECT e.event_id, e.event_type, q.q_rate
+         FROM events e ASOF JOIN q
+           ON e.event_type = q.event_type AND e.ts >= q.qts
+         ORDER BY e.event_id""",
+    "q36_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM x)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts) AS session_start, max(ts) AS session_end
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "q37_quantiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q38_token_topk" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+         c AS (SELECT source, token, count(*) AS n FROM t GROUP BY source, token),
+         r AS (SELECT source, token, n,
+                 row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rnk
+               FROM c)
+         SELECT source, rnk, token, n FROM r WHERE rnk <= 5
+         ORDER BY source, rnk""",
+    "q39_pivot" ->
+      """SELECT CAST(strftime(ts, '%Y%m%d%H') AS INTEGER) AS part_hour,
+           round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+           round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+           round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error
+         FROM events GROUP BY part_hour ORDER BY part_hour""")
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each left row, attach the payload of
+  * the latest right row whose time is ≤ the left row's time, within the
+  * same key group (a tie at equal time matches). The shape every
+  * market-data / feature-store lookup needs and Spark lacks natively.
+  *
+  * Composed from existing operators (preference (a) over a custom plan):
+  * tag both sides, union, and carry the payload forward with a running
+  * `last(_, ignoreNulls)` window ordered by (time, tag) — right rows sort
+  * before left rows at equal time, giving `>=` semantics. One shuffle on
+  * the key, one sort, no join node at all; at 1000 executors this scales
+  * exactly like any windowed aggregation over the key.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side; all its columns are preserved
+    * @param right     quote side; must carry `keys` and `payload`
+    * @param leftTime  left's event-time column name
+    * @param rightTime right's event-time column name
+    * @param keys      equi-key columns present on both sides
+    * @param payload   right columns to attach (null when no right row
+    *                  precedes the left row — filter for inner semantics)
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      keys: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
+        leftCols.map(col) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    val r = right.select(
+      Seq(col(rightTime).as("__t"), lit(0).as("__tag")) ++
+        leftCols.map(c =>
+          if (keys.contains(c)) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select(
+        Seq(col("__tag")) ++ leftCols.map(col) ++
+          payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .filter(col("__tag") === 1)
+      .drop("__tag")
+  }
+}

@@ -225,12 +225,17 @@ object Dedup {
     // would multiply both shuffles by the document length
     val sh = arrs.select(
       col("doc_id"), size(col("arr")).as("n"), explode(col("arr")).as("shingle"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
 
+    // document frequency as an unordered window over the shingle — one
+    // shuffle instead of a groupBy + re-join pair (the join would shuffle
+    // sh by shingle anyway); a hot shingle costs one task O(df) rows,
+    // linear, same distribution the explode already has
+    val wDf = Window.partitionBy(col("shingle"))
     // global rarest-first order; prefix length = n − ⌈τ·n⌉ + 1
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val prefix = sh.join(dfreq, "shingle")
-      .withColumn("rnk", row_number().over(w))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = sh
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("rnk", row_number().over(wDoc))
       .filter(col("rnk") <= col("n") - ceil(col("n") * threshold) + 1)
       .select(col("doc_id"), col("shingle"))
 

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization: a new session starts where the time since
+  * the key's previous row exceeds `gapSeconds`. Session ids are the
+  * running count of session starts — two window expressions over ONE
+  * (key, time)-sorted shuffle, the classic lag + cumulative-sum plan.
+  * At scale this is a single exchange on the session key; skewed keys
+  * cost one task O(rows-per-key), linear.
+  */
+object Sessionize {
+
+  /** @param order extra ordering columns for deterministic tie-break at
+    *              equal timestamps (e.g. the event id). */
+  def sessionize(
+      df: DataFrame,
+      key: Column,
+      time: Column,
+      order: Seq[Column],
+      gapSeconds: Long): DataFrame = {
+    val wOrd = Window.partitionBy(key).orderBy(time +: order: _*)
+    val prev = lag(time, 1).over(wOrd)
+    val newSession = when(
+      prev.isNull ||
+        unix_timestamp(time) - unix_timestamp(prev) > gapSeconds, 1)
+      .otherwise(0)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__new_session", newSession)
+      .withColumn("session_id", sum(col("__new_session")).over(wRun))
+      .drop("__new_session")
+  }
+}

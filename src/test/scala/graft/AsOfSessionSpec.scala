@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOfJoin, Sessionize}
+
+class AsOfSessionSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf picks the latest preceding quote per key; equal time matches; no prior is null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "a", ts("2026-01-01 10:30:00")), // between quotes -> 10:00 quote
+      (2L, "a", ts("2026-01-01 09:00:00")), // before any quote -> null
+      (3L, "a", ts("2026-01-01 11:00:00")), // tie with the 11:00 quote -> matches it
+      (4L, "b", ts("2026-01-01 10:30:00"))) // other key
+      .toDF("id", "k", "t")
+    val right = Seq(
+      ("a", ts("2026-01-01 10:00:00"), 1.0),
+      ("a", ts("2026-01-01 11:00:00"), 2.0),
+      ("b", ts("2026-01-01 10:00:00"), 5.0))
+      .toDF("k", "qt", "v")
+    val out = AsOfJoin.asOf(left, right, "t", "qt", Seq("k"), Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> None, 3L -> Some(2.0), 4L -> Some(5.0)))
+  }
+
+  test("sessionize splits on gaps above the threshold with deterministic running ids") {
+    import spark.implicits._
+    val df = Seq(
+      (1, ts("2026-01-01 10:00:00"), 1L),
+      (1, ts("2026-01-01 10:20:00"), 2L), // 20 min — same session
+      (1, ts("2026-01-01 11:00:00"), 3L), // 40 min gap — new session
+      (1, ts("2026-01-01 11:30:00"), 4L), // exactly 30 min — NOT a new session (strict >)
+      (2, ts("2026-01-01 10:00:00"), 5L)) // other user restarts at 1
+      .toDF("user_id", "ts", "event_id")
+    val s = Sessionize
+      .sessionize(df, col("user_id"), col("ts"), Seq(col("event_id")), 1800L)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(s == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+}
