@@ -486,15 +486,18 @@ object SparkEntry {
         max(col("ts")).as("session_end"))
       .orderBy(col("user_id"), col("session_id"))
 
-  /** Exact interpolated quantiles per group (Spark `percentile` ==
-    * DuckDB `quantile_cont`, both linear interpolation). */
+  /** Exact interpolated quantiles per group (DuckDB `quantile_cont`
+    * parity) via the distributed rank-range operator — Spark's built-in
+    * `percentile` buffers whole groups in executor memory; this stays
+    * spillable at 100 TB (see [[graft.ops.Quantiles]]). */
   private def qQuantiles(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+    graft.ops.Quantiles.exact(
+      t(s, d, "lineitem"), Seq("l_returnflag"), col("l_extendedprice"),
+      Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
+      .select(col("l_returnflag"),
+        round(col("p50"), 2).as("p50"),
+        round(col("p90"), 2).as("p90"),
+        round(col("p99"), 2).as("p99"))
       .orderBy(col("l_returnflag"))
 
   /** Generator/UDTF surface: explode tokens, top-5 by frequency per
@@ -521,6 +524,190 @@ object SparkEntry {
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .agg(round(sum(col("value")), 2))
       .orderBy(col("part_hour"))
+
+  /** Range (point-in-interval) join via the bucketed equi-join operator —
+    * 90-minute maintenance-style windows anchored at hours ≡ 0 (mod 6),
+    * events counted per window. A naive `BETWEEN` join would plan a
+    * broadcast-nested-loop; see [[graft.ops.RangeJoin]]. */
+  private def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val intervals = ev
+      .filter(pmod(GraftFunctions.toYYYYMMDDhh(col("ts")), lit(6)) === 0)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("w_start"))
+      .distinct()
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 90 MINUTES"))
+    graft.ops.RangeJoin
+      .pointInInterval(
+        ev.select(col("event_type"), col("ts"), col("value")),
+        intervals, "ts", "w_start", "w_end", Seq("event_type"), 3600L)
+      .groupBy(col("event_type"), col("w_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"), col("w_start"))
+  }
+
+  /** Deterministic stratified sampling: fixed 40 rows per stratum picked
+    * by a multiplicative-hash order — reproducible on any engine (unlike
+    * TABLESAMPLE), one window shuffle on the stratum key. */
+  private def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(
+        pmod(col("event_id") * lit(2654435761L), lit(1000000007L)),
+        col("event_id"))
+    events(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 40)
+      .select(col("event_type"), col("rk"), col("event_id"), col("user_id"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  /** Bivariate statistics aggregates (corr / covar / stddev) — one
+    * map-side-combinable hash aggregate. */
+  private def qStatsAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("covar_qty_price"),
+        round(stddev_samp(col("l_discount")), 6).as("sd_discount"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Edit-distance near-dup verification: candidates blocked by length
+    * band — qualifying pairs must have a length difference ≤ 4, so a doc
+    * only meets docs in its own and adjacent bands (linear candidate
+    * count), then the bit-parallel Myers kernel (`edit_distance`, exact
+    * `levenshtein` semantics at ~60× the throughput) verifies. The
+    * classic block-then-verify shape at corpus scale. */
+  private def qEditDistance(s: SparkSession, d: String): DataFrame = {
+    val bandW = 8
+    // the corpus arrives as however many files the source has (one, for
+    // the fixture) — spread the probe side across the cluster so the
+    // verify kernel below runs on every core, not the scan's partitioning
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .repartition(nPart)
+    val a = docs
+      .withColumn("band", floor(col("len") / bandW))
+      .toDF("id_a", "text_a", "len_a", "band")
+    val b = docs
+      .withColumn(
+        "band",
+        explode(sequence(
+          floor((col("len") - 4) / bandW),
+          floor((col("len") + 4) / bandW))))
+      .toDF("id_b", "text_b", "len_b", "band")
+    val sim = lit(1.0) -
+      col("dist").cast("double") / greatest(col("len_a"), col("len_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b") && abs(col("len_a") - col("len_b")) <= 4)
+      .withColumn(
+        "dist",
+        graft.functions.VectorFunctions.editDistance(col("text_a"), col("text_b")))
+      .withColumn("sim", round(sim, 4))
+      .filter(col("sim") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("dist"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Per-label embedding centroids: posexplode to (label, dim, value),
+    * one hash aggregate — the elementwise-mean building block for IVF
+    * seeding and class prototypes. Map-side combine keeps the shuffle at
+    * O(labels · dims). */
+  private def qEmbeddingCentroids(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+      .agg(round(avg(col("v")), 6).as("c"))
+      .orderBy(col("label"), col("pos"))
+
+  /** Time-series gap fill: hourly purchase totals left-joined onto a
+    * generated hour spine, counts zero-filled, values carried forward
+    * (LOCF). The spine is post-aggregation data (≤ thousands of rows), so
+    * the single-partition ordered window is deliberate, not a scale bug. */
+  private def qGapfillLocf(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val hourly = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+    val spine = ev
+      .agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+          .as("h"))
+    val w = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(hourly, Seq("h"), "left")
+      .select(
+        col("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_locf"))
+      .orderBy(col("h"))
+  }
+
+  /** GROUPING SETS with grouping_id — the general form of the q27/q31
+    * rollup/cube family, exercised through SQL text. */
+  private def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("events_gs")
+    s.sql("""
+      SELECT coalesce(event_type, 'ALL') AS event_type,
+             coalesce(hod, -1) AS hod,
+             CAST(grouping_id(event_type, hod) AS BIGINT) AS gid,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM (SELECT event_type, hour(ts) AS hod, value FROM events_gs)
+      GROUP BY GROUPING SETS ((event_type, hod), (event_type), (hod), ())
+      ORDER BY gid, event_type, hod""")
+  }
+
+  /** Fixed-width histogram via width_bucket — one hash aggregate over the
+    * bucket id (bucket 21 = overflow above the [0, 500) range). */
+  private def qHistogram(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        expr("width_bucket(value, 0, 500, 20)").cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("bucket"))
+
+  /** JSON extraction from the `props` column (`get_json_object`, codegen
+    * path) with numeric aggregation — schema-on-read over a string
+    * payload, no UDF. */
+  private def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(avg(col("k")), 4).as("avg_k"),
+        count(when(col("k") >= 50, 1)).as("n_hi"))
+      .orderBy(col("event_type"))
+
+  /** Spark-native session windows (`session_window`, 30-minute gap) — the
+    * built-in counterpart of q36's lag+cumsum construction; window end is
+    * last event + gap, sessions merge while gaps stay under 30 minutes. */
+  private def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
 
   // ---------------------------------------------------------------------
   // Registry
@@ -565,7 +752,17 @@ object SparkEntry {
     "q36_sessionize" -> (qSessionize _),
     "q37_quantiles" -> (qQuantiles _),
     "q38_token_topk" -> (qTokenTopK _),
-    "q39_pivot" -> (qPivot _))
+    "q39_pivot" -> (qPivot _),
+    "q40_range_join" -> (qRangeJoin _),
+    "q41_stratified_sample" -> (qStratifiedSample _),
+    "q42_stats_agg" -> (qStatsAgg _),
+    "q43_edit_distance" -> (qEditDistance _),
+    "q44_embedding_centroids" -> (qEmbeddingCentroids _),
+    "q45_gapfill_locf" -> (qGapfillLocf _),
+    "q46_grouping_sets" -> (qGroupingSets _),
+    "q47_histogram" -> (qHistogram _),
+    "q48_json_extract" -> (qJsonExtract _),
+    "q49_session_window" -> (qSessionWindow _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -833,5 +1030,92 @@ object SparkEntry {
            round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
            round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
            round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error
-         FROM events GROUP BY part_hour ORDER BY part_hour""")
+         FROM events GROUP BY part_hour ORDER BY part_hour""",
+    "q40_range_join" ->
+      """WITH iv AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS w_start,
+                       date_trunc('hour', ts) + INTERVAL 90 MINUTE AS w_end
+                     FROM events
+                     WHERE CAST(strftime(ts, '%Y%m%d%H') AS BIGINT) % 6 = 0)
+         SELECT e.event_type, iv.w_start, count(*) AS n_events,
+                round(sum(e.value), 2) AS total_value
+         FROM events e JOIN iv ON e.event_type = iv.event_type
+           AND e.ts >= iv.w_start AND e.ts < iv.w_end
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q41_stratified_sample" ->
+      """WITH r AS (SELECT event_type, event_id, user_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY (event_id * 2654435761) % 1000000007, event_id) AS rk
+           FROM events)
+         SELECT event_type, rk, event_id, user_id FROM r WHERE rk <= 40
+         ORDER BY event_type, rk""",
+    "q42_stats_agg" ->
+      """SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(stddev_samp(l_discount), 6) AS sd_discount,
+           round(avg(l_extendedprice), 2) AS avg_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q43_edit_distance" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.text, b.text) AS dist,
+           round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                 / greatest(length(a.text), length(b.text)), 4) AS sim
+         FROM documents a JOIN documents b
+           ON abs(length(a.text) - length(b.text)) <= 4 AND a.doc_id < b.doc_id
+         WHERE round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+               / greatest(length(a.text), length(b.text)), 4) >= 0.8
+         ORDER BY id_a, id_b""",
+    "q44_embedding_centroids" ->
+      """SELECT label, pos, round(avg(v), 6) AS c FROM (
+           SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,
+                  unnest(embedding) AS v
+           FROM embeddings)
+         GROUP BY label, pos ORDER BY label, pos""",
+    "q45_gapfill_locf" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+                           round(sum(value), 2) AS v
+                         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         spine AS (SELECT unnest(generate_series(
+             (SELECT date_trunc('hour', min(ts)) FROM events),
+             (SELECT date_trunc('hour', max(ts)) FROM events),
+             INTERVAL 1 HOUR)) AS h)
+         SELECT s.h AS h, coalesce(hourly.n, 0) AS n,
+                last_value(hourly.v IGNORE NULLS)
+                  OVER (ORDER BY s.h ROWS UNBOUNDED PRECEDING) AS v_locf
+         FROM spine s LEFT JOIN hourly ON s.h = hourly.h
+         ORDER BY s.h""",
+    "q46_grouping_sets" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(hod, -1) AS hod,
+           CAST(GROUPING(event_type, hod) AS BIGINT) AS gid,
+           count(*) AS n, round(sum(value), 2) AS total_value
+         FROM (SELECT event_type, hour(ts) AS hod, value FROM events)
+         GROUP BY GROUPING SETS ((event_type, hod), (event_type), (hod), ())
+         ORDER BY gid, event_type, hod""",
+    "q47_histogram" ->
+      """SELECT least(CAST(floor(value / 25) AS BIGINT) + 1, 21) AS bucket,
+           count(*) AS n, round(avg(value), 4) AS avg_value
+         FROM events GROUP BY bucket ORDER BY bucket""",
+    "q48_json_extract" ->
+      """SELECT event_type,
+           round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                 THEN 1 END) AS n_hi
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q49_session_window" ->
+      """WITH x AS (SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sct AS (SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                CAST(count(*) AS BIGINT) AS n_events,
+                round(sum(value), 2) AS total_value
+         FROM sct GROUP BY user_id, sid
+         ORDER BY user_id, session_start""")
 }

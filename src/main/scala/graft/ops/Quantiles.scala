@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact linear-interpolated quantiles (SQL `percentile_cont` semantics)
+  * computed distributively.
+  *
+  * Spark's built-in `percentile` aggregate buffers every value of a group
+  * in executor memory (`ObjectHashAggregate` over an open hash map) — at
+  * 100 TB with few groups that is an OOM, not a plan. This operator keeps
+  * the exactness but stays spillable and codegen-friendly:
+  *
+  *   1. pre-aggregate to (group, value, count) — map-side partial combine
+  *      collapses duplicate values before the only wide shuffle;
+  *   2. one sorted window over the distinct values per group assigns each
+  *      value its occupied rank range [lo, hi] and the group total n;
+  *   3. for each probe p, the target rank k = 1 + p·(n−1) falls on at most
+  *      two distinct values (⌊k⌋ and ⌈k⌉) — pick them with rank-range
+  *      membership predicates and interpolate v_lo + frac·(v_hi − v_lo),
+  *      the same formula DuckDB/Postgres use (oracle parity).
+  *
+  * Cost: one partial-agg shuffle + one window sort over *distinct* values
+  * (WindowExec spills to disk if a group's distinct set is huge), then a
+  * tiny final aggregate. No per-row state beyond the running sum.
+  */
+object Quantiles {
+
+  /** @param probes (probability, output column name) pairs, e.g.
+    *               Seq(0.5 -> "p50"); probabilities in [0, 1]. */
+  def exact(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      probes: Seq[(Double, String)]): DataFrame = {
+    val g = groupCols.map(col)
+    val base = df.select(g :+ valueCol.cast("double").as("__v"): _*)
+    val counts = base.groupBy(g :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    val ranked = counts
+      .withColumn("__hi", sum(col("__c")).over(wCum))
+      .withColumn("__lo", col("__hi") - col("__c") + 1)
+      .withColumn("__n", sum(col("__c")).over(wAll))
+
+    val aggs = probes.zipWithIndex.flatMap { case ((p, _), i) =>
+      val k = lit(1.0) + lit(p) * (col("__n") - 1).cast("double")
+      val kf = floor(k)
+      val kc = ceil(k)
+      // max() picks the single non-null hit per group; the rank ranges
+      // partition [1, n], so exactly one value covers ⌊k⌋ (and ⌈k⌉)
+      Seq(
+        max(when(col("__lo") <= kf && kf <= col("__hi"), col("__v")))
+          .as(s"__q${i}_vlo"),
+        max(when(col("__lo") <= kc && kc <= col("__hi"), col("__v")))
+          .as(s"__q${i}_vhi"),
+        max(k - kf).as(s"__q${i}_frac"))
+    }
+    val interp = probes.zipWithIndex.map { case ((_, nm), i) =>
+      (col(s"__q${i}_vlo") +
+        col(s"__q${i}_frac") * (col(s"__q${i}_vhi") - col(s"__q${i}_vlo")))
+        .as(nm)
+    }
+    ranked
+      .groupBy(g: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(g ++ interp: _*)
+  }
+}

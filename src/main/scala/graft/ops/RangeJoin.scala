@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join. Spark plans a plain
+  * `t >= start AND t < end` join as a broadcast-nested-loop — O(n·m)
+  * compares and a broadcast of one whole side, which dies at scale.
+  *
+  * This operator converts it into an equi-join: intervals are exploded to
+  * the fixed-width time buckets they overlap, points map to their single
+  * bucket, and the join runs on (keys…, bucket) with the exact range
+  * predicate kept as a residual filter. Shuffle volume is
+  * O(points + intervals · ⌈len/bucket⌉); each point meets only the
+  * intervals sharing its bucket. Pick `bucketSeconds` near the typical
+  * interval length so the explode factor stays small.
+  *
+  * A point matching an interval shares exactly one bucket with it (its
+  * own), so no post-join dedup is needed.
+  */
+object RangeJoin {
+
+  /** @param points    left side; must carry `keys` and `pointTime`
+    * @param intervals right side; must carry `keys`, `startCol`, `endCol`
+    *                  (end exclusive) and any payload columns. Column
+    *                  names other than `keys` must not clash with
+    *                  `points`.
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointTime: String,
+      startCol: String,
+      endCol: String,
+      keys: Seq[String],
+      bucketSeconds: Long): DataFrame = {
+    val bucket = (c: org.apache.spark.sql.Column) =>
+      floor(unix_timestamp(c) / bucketSeconds).cast("long")
+    val p = points.withColumn("__b", bucket(col(pointTime)))
+    val iv = intervals.withColumn(
+      "__b",
+      explode(
+        sequence(
+          bucket(col(startCol)),
+          // end is exclusive: an interval ending exactly on a bucket
+          // boundary does not reach into that bucket
+          floor((unix_timestamp(col(endCol)) - 1) / bucketSeconds)
+            .cast("long"))))
+    p.join(iv, keys :+ "__b")
+      .filter(
+        col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
+      .drop("__b")
+  }
+}

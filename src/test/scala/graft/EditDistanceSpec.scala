@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VecOps, VectorFunctions}
+import org.apache.spark.unsafe.types.UTF8String
+
+class EditDistanceSpec extends SparkSpec {
+
+  /** Textbook O(m·n) Wagner–Fischer over code points — the ground truth
+    * the bit-parallel kernel must reproduce exactly. */
+  private def dp(a: String, b: String): Int = {
+    val s = a.codePoints().toArray
+    val t = b.codePoints().toArray
+    val prev = Array.tabulate(t.length + 1)(identity)
+    val cur = new Array[Int](t.length + 1)
+    for (i <- 1 to s.length) {
+      cur(0) = i
+      for (j <- 1 to t.length) {
+        val sub = prev(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+      }
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    prev(t.length)
+  }
+
+  private def kernel(a: String, b: String): Int =
+    VecOps.editDistance(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("bit-parallel kernel matches DP on edges and unicode") {
+    val cases = Seq(
+      ("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+      ("kitten", "sitting"), ("flaw", "lawn"), ("a", "b"),
+      ("résumé", "resume"), ("日本語テキスト", "日本語のテキスト"),
+      ("ab" * 100, "ba" * 100), ("x" * 64, "x" * 65), ("y" * 128, "y" * 129))
+    for ((a, b) <- cases) {
+      assert(kernel(a, b) === dp(a, b), s"($a, $b)")
+      assert(kernel(a, b) === kernel(b, a), "symmetry")
+    }
+  }
+
+  test("bit-parallel kernel matches DP on random strings across block boundaries") {
+    val rnd = new scala.util.Random(42)
+    // small alphabet forces dense match structure; lengths straddle the
+    // 64-bit word boundary (1 and 3 blocks) on both sides
+    for (_ <- 1 to 300) {
+      val la = rnd.nextInt(160)
+      val lb = rnd.nextInt(160)
+      val a = Seq.fill(la)(('a' + rnd.nextInt(4)).toChar).mkString
+      val b = Seq.fill(lb)(('a' + rnd.nextInt(4)).toChar).mkString
+      assert(kernel(a, b) === dp(a, b), s"len=($la,$lb) a=$a b=$b")
+    }
+  }
+
+  test("edit_distance column agrees with Spark's levenshtein") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(500) { i =>
+      val base = Seq.fill(30 + rnd.nextInt(120))(('a' + rnd.nextInt(6)).toChar).mkString
+      val mutated = base.map(c => if (rnd.nextInt(10) == 0) 'z' else c)
+      (i.toLong, base, mutated)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val diff = df
+      .select(
+        VectorFunctions.editDistance(col("a"), col("b")).as("fast"),
+        levenshtein(col("a"), col("b")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+}

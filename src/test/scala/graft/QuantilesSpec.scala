@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Quantiles
+
+class QuantilesSpec extends SparkSpec {
+
+  test("distributed exact quantiles match Spark's percentile aggregate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = Seq
+      .tabulate(5000) { i =>
+        (s"g${i % 3}", math.floor(rnd.nextDouble() * 10000) / 100.0)
+      }
+      .toDF("g", "v")
+      .cache()
+    val probes = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = Quantiles
+      .exact(df, Seq("g"), col("v"), probes.map(p => p -> s"q$p"))
+      .orderBy("g")
+      .collect()
+      .map(r => r.getString(0) -> probes.indices.map(i => r.getDouble(i + 1)))
+      .toMap
+    val want = df
+      .groupBy("g")
+      .agg(
+        expr(s"percentile(v, array(${probes.mkString(",")}))").as("qs"))
+      .orderBy("g")
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+      .toMap
+    for (g <- want.keys; i <- probes.indices)
+      assert(
+        math.abs(got(g)(i) - want(g)(i)) < 1e-9,
+        s"group $g probe ${probes(i)}: got ${got(g)(i)} want ${want(g)(i)}")
+  }
+
+  test("single-row group and duplicate-heavy group interpolate correctly") {
+    import spark.implicits._
+    val df = (Seq(("one", 42.0)) ++ Seq.fill(99)(("dup", 5.0)) ++ Seq(
+      ("dup", 10.0))).toDF("g", "v")
+    val out = Quantiles
+      .exact(df, Seq("g"), col("v"), Seq(0.5 -> "p50", 1.0 -> "p100"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(out("one") == ((42.0, 42.0)))
+    assert(out("dup") == ((5.0, 10.0))) // p50 inside the duplicate run
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("bucketed point-in-interval join matches the naive range predicate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val points = Seq
+      .tabulate(2000) { i =>
+        val t = ts(f"2026-01-0${1 + rnd.nextInt(3)}%d " +
+          f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d")
+        (i.toLong, s"k${i % 3}", t)
+      }
+      .toDF("id", "k", "t")
+    val intervals = Seq(
+      // sub-bucket, exactly one bucket, and a 7-hour multi-bucket span
+      ("k0", ts("2026-01-01 10:15:00"), ts("2026-01-01 10:45:00"), "w1"),
+      ("k1", ts("2026-01-02 00:00:00"), ts("2026-01-02 01:00:00"), "w2"),
+      ("k2", ts("2026-01-02 20:30:00"), ts("2026-01-03 03:30:00"), "w3"),
+      ("k0", ts("2026-01-03 05:00:00"), ts("2026-01-03 05:00:00"), "empty"))
+      .toDF("k", "s", "e", "tag")
+    val got = RangeJoin
+      .pointInInterval(points, intervals, "t", "s", "e", Seq("k"), 3600L)
+      .select("id", "tag")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    val want = points
+      .join(intervals, Seq("k"))
+      .filter(col("t") >= col("s") && col("t") < col("e"))
+      .select("id", "tag")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must exercise at least one match")
+    // an interval spanning many buckets must not duplicate matches
+    val dup = RangeJoin
+      .pointInInterval(points, intervals, "t", "s", "e", Seq("k"), 3600L)
+      .groupBy("id", "tag").count().filter(col("count") > 1).count()
+    assert(dup == 0)
+  }
+}
