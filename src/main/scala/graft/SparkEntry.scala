@@ -709,6 +709,19 @@ object SparkEntry {
         col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Dedup clusters: q19's jaccard pair list → connected components →
+    * per-doc cluster assignment (cluster_id = canonical keeper). The
+    * iterative min-label + pointer-jump loop in [[graft.ops.Clusters]]
+    * is the scale path; the oracle walks the same closure with a
+    * recursive CTE. */
+  private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs =
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), shingleLen = 3, threshold = 0.5)
+    graft.ops.Clusters.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -762,7 +775,8 @@ object SparkEntry {
     "q46_grouping_sets" -> (qGroupingSets _),
     "q47_histogram" -> (qHistogram _),
     "q48_json_extract" -> (qJsonExtract _),
-    "q49_session_window" -> (qSessionWindow _))
+    "q49_session_window" -> (qSessionWindow _),
+    "q50_dedup_clusters" -> (qDedupClusters _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -1117,5 +1131,30 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_events,
                 round(sum(value), 2) AS total_value
          FROM sct GROUP BY user_id, sid
-         ORDER BY user_id, session_start""")
+         ORDER BY user_id, session_start""",
+    "q50_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(t) - 2, 1) + 1),
+                  i -> array_to_string(t[i:i+2], ' ')))) AS shingle FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter
+                   JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+                   WHERE round(CAST(n_inter AS DOUBLE)
+                         / (sa.n + sb.n - n_inter), 4) >= 0.5),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         walk(id, label) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id),
+         cc AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+         SELECT cc.id AS doc_id, cc.cluster_id,
+                CAST(count(*) OVER (PARTITION BY cc.cluster_id) AS BIGINT)
+                  AS cluster_size
+         FROM cc ORDER BY doc_id""")
 }

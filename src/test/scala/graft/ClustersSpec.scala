@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Clusters
+
+class ClustersSpec extends SparkSpec {
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    Clusters
+      .connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+  }
+
+  test("blobs, a bridge, and an isolated pair resolve to component minima") {
+    // {1,2,3,4} clique-ish, {10,11,12} chained to it via 4-10, {20,21}
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (1, 3), (3, 4), (4, 10), (10, 11), (11, 12), (20, 21))
+    val got = components(edges)
+    for (id <- Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L))
+      assert(got(id) === ((1L, 7L)), s"node $id")
+    for (id <- Seq(20L, 21L)) assert(got(id) === ((20L, 2L)), s"node $id")
+  }
+
+  test("path graph (pointer-jump worst case) contracts to the global min") {
+    // a 60-node path with ids descending, so the min sits at the far end
+    // and labels must travel the whole diameter
+    val edges = (1L until 60L).map(i => (60L - i, 60L - i + 1L))
+    val got = components(edges)
+    assert(got.size === 60)
+    assert(got.values.forall(_ == ((1L, 60L))))
+  }
+
+  test("per-doc assignment covers exactly the paired docs") {
+    import spark.implicits._
+    val pairs = Seq[(Long, Long)]((5, 9), (9, 7), (100, 101)).toDF("id_a", "id_b")
+    val out = Clusters.connectedComponents(pairs)
+    assert(out.select("id").as[Long].collect().sorted === Array(5L, 7L, 9L, 100L, 101L))
+    assert(
+      out.filter(col("cluster_id") === 5).count() === 3 &&
+        out.filter(col("cluster_id") === 100).count() === 2)
+  }
+}
