@@ -1,0 +1,104 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Event
+import graft.system.PartsRegistry
+
+/** Background-merge analogue (`OPTIMIZE TABLE`): the process ClickHouse's
+  * too-many-parts flow control (reference `setup.sh:70-76`,
+  * `scripts/insert_data.sh` delay/throw ladder) exists to wait FOR. Each
+  * small insert block leaves one part per touched hourly partition;
+  * merges fold them back into few big sorted parts, which is what lets
+  * the delay/throw gate release. The reference delegates merging to the
+  * ClickHouse server; this is that delegated surface.
+  *
+  * Mechanics, sized for a real cluster:
+  *
+  *  - plan driver-side from the FS listing only (O(parts) metadata, no
+  *    data read): partitions holding more than `maxPartsPerPartition`
+  *    files are merge victims;
+  *  - one distributed job rewrites ALL victim partitions: read with
+  *    `basePath` so `part_hour` survives, shuffle keyed on
+  *    (partition, salt) where salt width = ⌈partition bytes /
+  *    targetBytes⌉ per partition (broadcast map), re-sort within tasks
+  *    to keep the table's `ORDER BY (event_time, id)` invariant, write
+  *    to a temp dir;
+  *  - swap per partition: move new files in, delete merged inputs. Plain
+  *    filesystems make the swap non-atomic (a concurrent reader can see
+  *    a partition double or thin for an instant); ClickHouse solves this
+  *    with versioned part sets — out of scope here and irrelevant to the
+  *    single-writer reference harness.
+  */
+object Compaction {
+
+  final case class Report(
+      partitionsCompacted: Long,
+      partsBefore: Long,
+      partsAfter: Long,
+      bytesRewritten: Long)
+
+  /** Merge every partition that holds more than `maxPartsPerPartition`
+    * parts down to ⌈bytes/targetBytes⌉ (≥1) parts. Returns what moved. */
+  def compact(
+      spark: SparkSession,
+      tablePath: String,
+      maxPartsPerPartition: Int = 8,
+      targetBytes: Long = 128L * 1024 * 1024): Report = {
+    val registry = new PartsRegistry(spark, tablePath, "compaction")
+    val byPartition = registry.listFiles().groupBy(_.partition)
+    val victims = byPartition.filter(_._2.size > maxPartsPerPartition)
+    if (victims.isEmpty) return Report(0, byPartition.map(_._2.size).sum.toLong, byPartition.map(_._2.size).sum.toLong, 0)
+
+    val fs = EventTable.hadoopFs(spark, tablePath)
+    val tmp = new Path(tablePath, s".compaction_tmp_${System.nanoTime()}")
+
+    // per-partition output width from the byte budget
+    val outFiles: Map[String, Int] = victims.map { case (p, files) =>
+      p -> math.max(1, math.ceil(files.map(_.len).sum.toDouble / targetBytes).toInt)
+    }
+    val bytesRewritten = victims.values.flatten.map(_.len).sum
+
+    val victimDirs = victims.keys.map(p => s"$tablePath/${Event.partitionCol}=$p").toSeq
+    val df = spark.read
+      .option("basePath", tablePath)
+      .schema(Event.schema.add(Event.partitionCol, "int"))
+      .parquet(victimDirs: _*)
+
+    // salt width per partition via a broadcast-sized literal map; the
+    // shuffle then lands each output part on exactly one writer task
+    val widthMap = map(
+      outFiles.toSeq.flatMap { case (p, n) => Seq(lit(p.toInt), lit(n)) }: _*)
+    val nOut = math.max(outFiles.values.sum, 1)
+    df.withColumn("__w", widthMap(col(Event.partitionCol)))
+      .repartition(nOut, col(Event.partitionCol), pmod(col("id"), col("__w")))
+      .drop("__w")
+      .sortWithinPartitions("event_time", "id")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(Event.partitionCol)
+      .parquet(tmp.toString)
+
+    // swap: move merged outputs in, drop merged inputs
+    victims.foreach { case (p, files) =>
+      val liveDir = new Path(tablePath, s"${Event.partitionCol}=$p")
+      val tmpDir = new Path(tmp, s"${Event.partitionCol}=$p")
+      fs.listStatus(tmpDir).toIndexedSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          fs.rename(st.getPath, new Path(liveDir, s"merged-${st.getPath.getName}"))
+        }
+      files.foreach(f => fs.delete(f.path, false))
+    }
+    fs.delete(tmp, true)
+
+    val after = registry.listFiles().groupBy(_.partition)
+    Report(
+      victims.size.toLong,
+      byPartition.map(_._2.size).sum.toLong,
+      after.map(_._2.size).sum.toLong,
+      bytesRewritten)
+  }
+}

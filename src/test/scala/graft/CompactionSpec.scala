@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ingest.{FlowControl, FlowControlSettings}
+import graft.system.PartsRegistry
+import graft.table.{Compaction, EventTable}
+
+/** Compaction is what the flow-control gate waits for: many small insert
+  * blocks push parts-per-partition over the delay/throw thresholds;
+  * merging folds them back under. The reference delegates this to
+  * ClickHouse's background merges (`setup.sh:70-76`); here it's the
+  * explicit `Compaction.compact`. */
+class CompactionSpec extends SparkSpec {
+
+  test("merges over-limit partitions, preserves rows, releases the gate") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val registry = new PartsRegistry(spark, dir, "test_local")
+    val flow = new FlowControl(
+      FlowControlSettings(partsToDelayInsert = 8, partsToThrowInsert = 16))
+
+    // 12 small blocks over the same hours -> 12 parts per touched partition
+    val t0 = java.sql.Timestamp.valueOf("2026-02-01 12:00:00")
+    for (seed <- 1 to 12) {
+      val batch = graft.gen.DataGen.batch(spark, 200, t0, Some(seed.toLong))
+      EventTable.append(batch.toDF(), dir)
+    }
+    val before = registry.listFiles().groupBy(_.partition).map(_._2.size)
+    assert(before.max > 8, s"setup must exceed the limit, got ${before.max}")
+    assert(flow.decide(before.max.toLong).isInstanceOf[graft.ingest.FlowControl.Delay])
+
+    val expected = EventTable.read(spark, dir)
+      .orderBy("id", "event_time").collect().toSeq
+
+    val report = Compaction.compact(spark, dir, maxPartsPerPartition = 8)
+    assert(report.partitionsCompacted > 0)
+    assert(report.partsAfter < report.partsBefore)
+
+    val after = registry.listFiles().groupBy(_.partition).map(_._2.size)
+    assert(after.max <= 8, s"still over limit after compaction: ${after.max}")
+    assert(flow.decide(after.max.toLong) == graft.ingest.FlowControl.Ok)
+
+    // merged table is row-identical, partition column included
+    val got = EventTable.read(spark, dir)
+      .orderBy("id", "event_time").collect().toSeq
+    assert(got == expected)
+  }
+
+  test("under-limit tables are untouched") {
+    val dir = Files.createTempDirectory("graft_compact2").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-02-01 12:00:00")
+    val batch = graft.gen.DataGen.batch(spark, 200, t0, Some(7L))
+    EventTable.append(batch.toDF(), dir)
+    val registry = new PartsRegistry(spark, dir, "test_local")
+    val filesBefore = registry.listFiles().map(f => (f.path.toString, f.mtime))
+
+    val report = Compaction.compact(spark, dir, maxPartsPerPartition = 8)
+    assert(report.partitionsCompacted == 0 && report.bytesRewritten == 0)
+    assert(registry.listFiles().map(f => (f.path.toString, f.mtime)) == filesBefore)
+  }
+}
