@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Streaming counterparts of the batch dedup family — for a training-data
+  * pipeline that ingests continuously, dedup has to happen in-stream with
+  * bounded state, not as a nightly batch over everything seen so far.
+  *
+  * All three use watermarks so the state store holds only the watermark
+  * horizon: a key's dedup entry (or join buffer row) is dropped once the
+  * event-time watermark passes it. Without the watermark, streaming
+  * dedup state grows without bound — the classic slow-death deployment
+  * bug these wrappers exist to make unrepresentable.
+  */
+object StreamDedup {
+
+  /** Exact dedup on a key set within the watermark horizon: re-deliveries
+    * and retries collapse to the first arrival. State is O(distinct keys
+    * per horizon). */
+  def dedupByKey(
+      stream: DataFrame,
+      timeCol: String,
+      keys: Seq[String],
+      watermarkDelay: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Near-dup dedup in-stream: 64-bit SimHash of the text is the dedup
+    * key, so near-identical re-crawls (same fingerprint) collapse while
+    * genuinely different documents pass. Exact-fingerprint matching only
+    * — banded Hamming verification stays a batch concern
+    * ([[graft.ops.Dedup.simhashPairs]]); in-stream this is the
+    * first-line filter. */
+  def dedupByFingerprint(
+      docs: DataFrame,
+      textCol: String,
+      timeCol: String,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("fingerprint", VectorFunctions.simhash64(col(textCol)))
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+
+  /** Stream-stream interval join: rows of `follow` that occur on the same
+    * key within `[0, gap]` after a row of `lead`. Both sides buffer only
+    * the watermark horizon; the range condition bounds the join state on
+    * the `lead` side (Spark drops buffered rows once no future match can
+    * arrive). */
+  def followedWithin(
+      lead: DataFrame,
+      follow: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      gap: String = "10 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = lead.withWatermark(timeCol, watermarkDelay).alias("lead")
+    val f = follow.withWatermark(timeCol, watermarkDelay).alias("follow")
+    l.join(
+      f,
+      expr(
+        s"""lead.$keyCol = follow.$keyCol AND
+            follow.$timeCol >= lead.$timeCol AND
+            follow.$timeCol <= lead.$timeCol + INTERVAL $gap"""))
+  }
+}

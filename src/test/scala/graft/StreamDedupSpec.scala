@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.model.Event
+import graft.streaming.StreamDedup
+
+class StreamDedupSpec extends SparkSpec {
+
+  private def ev(id: Long, t: String, typ: String, value: Double) =
+    Event(id, Timestamp.valueOf(t), 1, typ, value, 0, "d", "{}",
+      Timestamp.valueOf(t), Timestamp.valueOf(t))
+
+  test("watermarked key dedup collapses re-deliveries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = StreamDedup
+      .dedupByKey(source.toDF(), "event_time", Seq("id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_keys")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(
+        ev(1, "2026-05-01 10:00:00", "click", 1.0),
+        ev(1, "2026-05-01 10:00:00", "click", 1.0), // same-batch dup
+        ev(2, "2026-05-01 10:01:00", "view", 2.0))
+      query.processAllAvailable()
+      source.addData(ev(1, "2026-05-01 10:02:00", "click", 1.0)) // cross-batch dup
+      query.processAllAvailable()
+      source.addData(ev(3, "2026-05-01 10:03:00", "click", 3.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_keys").select("id").as[Long].collect().sorted
+      assert(ids === Array(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
+  test("simhash fingerprint dedup collapses near-identical docs in-stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val docs = source.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamDedup
+      .dedupByFingerprint(docs, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_fp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val body = ("lorem ipsum dolor sit amet " * 20).trim
+      source.addData((1L, Timestamp.valueOf("2026-05-01 10:00:00"), body))
+      query.processAllAvailable()
+      // identical body re-crawled -> same fingerprint -> dropped
+      source.addData((2L, Timestamp.valueOf("2026-05-01 10:05:00"), body))
+      // a genuinely different document passes
+      source.addData((3L, Timestamp.valueOf("2026-05-01 10:06:00"),
+        "completely different content about spark streaming dedup"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_fp").select("doc_id").as[Long].collect().sorted
+      assert(ids === Array(1L, 3L))
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join finds follows within the gap only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val all = source.toDF()
+    val joined = StreamDedup.followedWithin(
+      all.filter($"event_type" === "purchase"),
+      all.filter($"event_type" === "error"),
+      "user_id", "event_time", gap = "10 minutes", watermarkDelay = "30 minutes")
+      .select($"lead.id".as("purchase_id"), $"follow.id".as("error_id"))
+    val query = joined.writeStream.format("memory").queryName("follows")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(
+        ev(10, "2026-05-01 10:00:00", "purchase", 5.0),
+        ev(11, "2026-05-01 10:04:00", "error", 0.0), // within 10m of purchase 10
+        ev(20, "2026-05-01 10:30:00", "purchase", 7.0),
+        ev(21, "2026-05-01 10:55:00", "error", 0.0), // 25m after purchase 20 -> out
+        ev(99, "2026-05-01 12:00:00", "view", 0.0)) // advances the watermark
+      query.processAllAvailable()
+      source.addData(ev(98, "2026-05-01 13:00:00", "view", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("follows").as[(Long, Long)].collect().toSet
+      assert(got === Set((10L, 11L)))
+    } finally query.stop()
+  }
+}
