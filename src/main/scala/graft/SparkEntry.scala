@@ -722,6 +722,34 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF top terms per document. Term frequency and document frequency
+    * are both map-side-combinable hash aggregates; the one wide shuffle is
+    * the tf⋈df join on `term`; the corpus size joins in as a broadcast
+    * scalar. tfidf is rounded *before* ranking so cross-engine ln() ulps
+    * can't flip the row_number order (ties then break on term asc). */
+  private def qTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3 && col("doc_id") < 50)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -776,7 +804,8 @@ object SparkEntry {
     "q47_histogram" -> (qHistogram _),
     "q48_json_extract" -> (qJsonExtract _),
     "q49_session_window" -> (qSessionWindow _),
-    "q50_dedup_clusters" -> (qDedupClusters _))
+    "q50_dedup_clusters" -> (qDedupClusters _),
+    "q51_tfidf" -> (qTfidf _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -1156,5 +1185,20 @@ object SparkEntry {
          SELECT cc.id AS doc_id, cc.cluster_id,
                 CAST(count(*) OVER (PARTITION BY cc.cluster_id) AS BIGINT)
                   AS cluster_size
-         FROM cc ORDER BY doc_id""")
+         FROM cc ORDER BY doc_id""",
+    "q51_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, term,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         ranked AS (SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term) AS rk
+           FROM scored)
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf FROM ranked
+         WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk""")
 }
