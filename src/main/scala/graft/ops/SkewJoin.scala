@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys. A shuffle join lands every row of a
+  * hot key on one reducer; when one key carries 50% of a 100 TB fact
+  * table, that reducer IS the job. AQE's skew-split handles the
+  * sort-merge case after the fact; salting fixes the layout up front and
+  * also covers the cases AQE can't touch (aggregations keyed on the join
+  * output, stream-static joins, pre-AQE shuffle reuse).
+  *
+  * Mechanics: the skewed side gets a per-row salt in [0, S); the compact
+  * side is replicated S× via an explode; the join key becomes
+  * (key, salt), spreading each hot key over S reducers. Cost: the compact
+  * side's shuffle volume multiplies by S — use for dimension-sized right
+  * sides (if the right side fits a broadcast, broadcast instead; salting
+  * is for the in-between: too big to broadcast, too small to matter
+  * against the fact's skew).
+  *
+  * The salt derives from `xxhash64` of the left row's columns, so results
+  * are deterministic row-for-row and no RNG state rides the shuffle.
+  */
+object SkewJoin {
+
+  /** Inner equi-join `left ⋈ right` on `keys`, with `left` salted S ways.
+    * Result equals `left.join(right, keys)` exactly (the salt column
+    * never leaves this function). */
+  def salted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      saltWidth: Int): DataFrame = {
+    require(saltWidth >= 1, s"saltWidth must be >= 1, got $saltWidth")
+    val l = left.withColumn(
+      "__salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltWidth.toLong)))
+    val r = right.withColumn(
+      "__salt",
+      explode(sequence(lit(0L), lit(saltWidth.toLong - 1))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SkewJoin
+
+class SkewJoinSpec extends SparkSpec {
+
+  test("salted join equals the plain join and spreads the hot key") {
+    import spark.implicits._
+    // AQE would re-coalesce this deliberately tiny shuffle into one
+    // partition and mask the layout under test
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try testBody()
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+  }
+
+  private def testBody(): Unit = {
+    // 100k facts, 90% on one key — the classic one-reducer profile
+    val facts = spark.range(100000)
+      .select(
+        when(col("id") % 10 < 9, lit(7L)).otherwise(col("id") % 100).as("k"),
+        col("id").as("fact_id"))
+    val dims = spark.range(100)
+      .select(col("id").as("k"), concat(lit("d"), col("id")).as("label"))
+
+    val plain = facts.join(dims, Seq("k"))
+    // layout reference: the dim fits a broadcast here, so force the
+    // sort-merge path salting exists to fix (at the real scale the dim
+    // is past the broadcast threshold and this is what Spark plans)
+    val shuffled = facts.join(dims.hint("merge"), Seq("k"))
+    val salted = SkewJoin.salted(facts, dims.hint("merge"), Seq("k"), saltWidth = 8)
+
+    assert(salted.columns.toSeq === plain.columns.toSeq)
+    val pAgg = plain.agg(count(lit(1)), sum("fact_id")).first()
+    val sAgg = salted.agg(count(lit(1)), sum("fact_id")).first()
+    assert(sAgg === pAgg)
+
+    // layout: the hot key's rows must span several shuffle partitions
+    def hotSpread(df: org.apache.spark.sql.DataFrame): Int = df
+      .filter(col("k") === 7)
+      .select(spark_partition_id().as("p"))
+      .distinct()
+      .count()
+      .toInt
+    assert(hotSpread(shuffled) === 1, "shuffle join collapses the hot key to one task")
+    assert(hotSpread(salted) >= 4, "salted join must spread the hot key")
+  }
+
+  test("saltWidth 1 degenerates to the plain join") {
+    import spark.implicits._
+    val l = Seq((1L, "a"), (2L, "b"), (2L, "c")).toDF("k", "x")
+    val r = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "y")
+    val got = SkewJoin.salted(l, r, Seq("k"), 1)
+      .orderBy("k", "x").collect().map(_.toSeq)
+    val want = l.join(r, Seq("k")).orderBy("k", "x").collect().map(_.toSeq)
+    assert(got === want)
+  }
+}
