@@ -750,6 +750,43 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Text normalization — the canonical pre-tokenization cleanup pass:
+    * lowercase, strip non-alphanumerics, collapse whitespace. Map-only,
+    * codegen'd `regexp_replace`, scales linearly. */
+  private def qTextNormalize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"),
+        length(col("text")).cast("long").as("n_chars_raw"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+      .orderBy(col("doc_id"))
+
+  /** End-to-end curation pipeline — the composite a training-data run
+    * actually executes: quality/language gates from the one-pass
+    * `TextStats` kernel, then near-dup removal keeping each cluster's
+    * canonical (min-id) member. One map-side kernel pass + the q50
+    * clustering; the final anti-join is a broadcast (dup lists are tiny
+    * relative to the corpus). */
+  private def qCuration(s: SparkSession, d: String): DataFrame = {
+    val rep = graft.ops.TextAnalysis.report(t(s, d, "documents"))
+    val dupLosers = graft.ops.Clusters
+      .connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), shingleLen = 3, threshold = 0.5))
+      .filter(col("cluster_id") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    rep
+      .filter(
+        col("lang_guess") === "en" &&
+          col("quality") >= 0.6 &&
+          col("n_tokens").between(20, 95))
+      .join(broadcast(dupLosers), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -805,7 +842,9 @@ object SparkEntry {
     "q48_json_extract" -> (qJsonExtract _),
     "q49_session_window" -> (qSessionWindow _),
     "q50_dedup_clusters" -> (qDedupClusters _),
-    "q51_tfidf" -> (qTfidf _))
+    "q51_tfidf" -> (qTfidf _),
+    "q52_text_normalize" -> (qTextNormalize _),
+    "q53_curation" -> (qCuration _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -1200,5 +1239,61 @@ object SparkEntry {
                ORDER BY tfidf DESC, term) AS rk
            FROM scored)
          SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf FROM ranked
-         WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk""")
+         WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk""",
+    "q52_text_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g')) AS norm_text,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+         FROM documents ORDER BY doc_id""",
+    "q53_curation" ->
+      """WITH RECURSIVE b AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, text,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stopwords,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+           len(list_filter(toks, t -> t IN ('the','and','of'))) AS s_en,
+           len(list_filter(toks, t -> t IN ('der','und','das'))) AS s_de,
+           len(list_filter(toks, t -> t IN ('el','los','que'))) AS s_es,
+           len(list_filter(toks, t -> t IN ('le','les','est'))) AS s_fr
+           FROM b),
+         rep AS (SELECT doc_id, n_tokens,
+           round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5
+             + least(CAST(n_stopwords AS DOUBLE)*10.0/greatest(CAST(n_tokens AS DOUBLE),1.0), 1.0)*0.5
+             - least(CAST(n_punct AS DOUBLE)/greatest(CAST(length(text) AS DOUBLE),1.0)*5.0, 1.0)*0.25,
+             4) AS quality,
+           CASE WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_en = greatest(s_en,s_de,s_es,s_fr) THEN 'en'
+                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_de = greatest(s_en,s_de,s_es,s_fr) THEN 'de'
+                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_es = greatest(s_en,s_de,s_es,s_fr) THEN 'es'
+                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_fr = greatest(s_en,s_de,s_es,s_fr) THEN 'fr'
+                ELSE 'und' END AS lang_guess
+           FROM c),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(t) - 2, 1) + 1),
+                  i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter
+                   JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+                   WHERE round(CAST(n_inter AS DOUBLE)
+                         / (sa.n + sb.n - n_inter), 4) >= 0.5),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         walk(id, label) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id),
+         cc AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+         SELECT r.doc_id, r.n_tokens, r.quality, r.lang_guess FROM rep r
+         WHERE r.lang_guess = 'en' AND r.quality >= 0.6
+           AND r.n_tokens BETWEEN 20 AND 95
+           AND NOT EXISTS (SELECT 1 FROM cc
+                           WHERE cc.id = r.doc_id AND cc.cluster_id <> r.doc_id)
+         ORDER BY r.doc_id""")
 }
