@@ -787,6 +787,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Sketched quantiles (`approx_percentile`, Greenwald-Khanna): the
+    * mergeable fixed-memory path that replaces q37's exact operator when
+    * distinct values per group stop fitting anywhere. No DuckDB oracle —
+    * sketches are engine-specific — so the driver records rows-only;
+    * `QuantilesSpec` bounds the error against the exact operator. */
+  private def qApproxQuantiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("qs"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("qs"), 1), 2).as("p50"),
+        round(element_at(col("qs"), 2), 2).as("p90"),
+        round(element_at(col("qs"), 3), 2).as("p99"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -844,7 +862,8 @@ object SparkEntry {
     "q50_dedup_clusters" -> (qDedupClusters _),
     "q51_tfidf" -> (qTfidf _),
     "q52_text_normalize" -> (qTextNormalize _),
-    "q53_curation" -> (qCuration _))
+    "q53_curation" -> (qCuration _),
+    "q54_approx_quantiles" -> (qApproxQuantiles _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->

@@ -41,6 +41,26 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregate pair:\n$p")
   }
 
+  test("events table scans prune part_hour partitions under a partition filter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val batch = graft.gen.DataGen.batch(
+      spark, 2000, java.sql.Timestamp.valueOf("2026-02-01 00:30:00"), Some(5L))
+    graft.table.EventTable.append(batch.toDF(), tmp)
+    val hours = new java.io.File(tmp).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("part_hour="))
+    assert(hours >= 20, s"fixture must span many hours, got $hours")
+    val pruned = graft.table.EventTable.read(spark, tmp)
+      .filter(org.apache.spark.sql.functions.col("part_hour") === 2026013112)
+    val scan = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("part_hour"), s"partition filter not applied: $scan")
+    // the physical proof: only one partition directory's files are read
+    val files = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(files == Seq(1), s"expected exactly 1 pruned partition, got $files")
+  }
+
   test("q10 fact-fact join keeps the aggregate above one shuffle exchange pair") {
     val p = plan("q10_join_shuffle")
     // large-side equi-join: either SMJ or shuffled hash — but never a

@@ -6,6 +6,24 @@ import graft.ops.Quantiles
 
 class QuantilesSpec extends SparkSpec {
 
+  test("approx_percentile stays within 1% relative error of the exact operator") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = Seq.tabulate(20000)(i => (s"g${i % 2}", rnd.nextDouble() * 1000.0))
+      .toDF("g", "v").cache()
+    val probes = Seq(0.5, 0.9, 0.99)
+    val exact = Quantiles
+      .exact(df, Seq("g"), col("v"), probes.map(p => p -> s"p$p"))
+      .collect().map(r => r.getString(0) -> probes.indices.map(i => r.getDouble(i + 1))).toMap
+    val approx = df.groupBy("g")
+      .agg(expr(s"approx_percentile(v, array(${probes.mkString(",")}), 10000)").as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for (g <- exact.keys; i <- probes.indices) {
+      val (e, a) = (exact(g)(i), approx(g)(i))
+      assert(math.abs(a - e) / e < 0.01, s"group $g probe ${probes(i)}: exact=$e approx=$a")
+    }
+  }
+
   test("distributed exact quantiles match Spark's percentile aggregate") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
