@@ -194,10 +194,15 @@ object Dedup {
       shingleLen: Int,
       threshold: Double): DataFrame = {
     // per-doc distinct shingles as 64-bit hashes (string payload never
-    // leaves the map side; collisions ~1e-10 at fixture vocab)
+    // leaves the map side; collisions ~1e-10 at fixture vocab). The
+    // relation is read three times (candidate explode + both verify
+    // joins); localCheckpoint computes the hashing once instead of
+    // re-deriving it per branch — O(docs · shingles · 8B) of executor
+    // storage, the smallest relation in the pipeline
     val arrs = docs.select(
       col("doc_id"),
       shingleHashes(col("text"), shingleLen).as("arr"))
+      .localCheckpoint()
 
     // exact verification on the candidate pairs only
     prefixCandidates(arrs, threshold)
@@ -237,10 +242,16 @@ object Dedup {
       .withColumn("df", count(lit(1)).over(wDf))
       .withColumn("rnk", row_number().over(wDoc))
       .filter(col("rnk") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("n"), col("shingle"))
 
+    // length filter (PPJoin): J ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ, so
+    // size-incompatible prefix collisions never become candidates —
+    // lossless, and it cuts the dominant cost (candidate verification)
     prefix.as("a").join(prefix.as("b"), Seq("shingle"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(
+        col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= ceil(col("a.n") * threshold) &&
+          col("a.n") >= ceil(col("b.n") * threshold))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
   }
