@@ -805,6 +805,59 @@ object SparkEntry {
         round(element_at(col("qs"), 3), 2).as("p99"))
       .orderBy(col("l_returnflag"))
 
+  /** Window-function breadth: ranking (ntile, percent_rank, cume_dist)
+    * and navigation (lag, lead, nth_value) over one per-key sort — all
+    * resolve in a single WindowExec pass. */
+  private def qWindowFunctions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, d, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        nth_value(col("o_totalprice"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("second_lowest"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Ordered array aggregation re-projected to a scalar: collect per-key
+    * sets, sort deterministically, join to a string — the aggregate-to-
+    * array surface with an engine-neutral output. */
+  private def qArrayAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .join(t(s, d, "customer").filter(col("c_custkey") < 300),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        array_join(sort_array(collect_list(col("c_custkey"))), ",")
+          .as("custkeys"))
+      .orderBy(col("n_name"))
+
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL keep duplicate
+    * multiplicity (Spark rewrites them to count-tagged joins; no
+    * row-by-row anti semantics to hand-build). */
+  private def qSetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val lo = t(s, d, "lineitem").select(col("l_suppkey").as("k"))
+      .filter(col("l_quantity") <= 25)
+    val hi = t(s, d, "lineitem").select(col("l_suppkey").as("k"))
+      .filter(col("l_quantity") > 25)
+    val both = lo.intersectAll(hi).groupBy(col("k"))
+      .agg(count(lit(1)).as("n")).withColumn("side", lit("intersect_all"))
+    val onlyLo = lo.exceptAll(hi).groupBy(col("k"))
+      .agg(count(lit(1)).as("n")).withColumn("side", lit("except_all"))
+    both.unionByName(onlyLo)
+      .filter(col("k") < 40)
+      .orderBy(col("side"), col("k"))
+      .select(col("side"), col("k"), col("n"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -863,7 +916,10 @@ object SparkEntry {
     "q51_tfidf" -> (qTfidf _),
     "q52_text_normalize" -> (qTextNormalize _),
     "q53_curation" -> (qCuration _),
-    "q54_approx_quantiles" -> (qApproxQuantiles _))
+    "q54_approx_quantiles" -> (qApproxQuantiles _),
+    "q55_window_functions" -> (qWindowFunctions _),
+    "q56_array_agg" -> (qArrayAgg _),
+    "q57_setops_all" -> (qSetOpsAll _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -1314,5 +1370,36 @@ object SparkEntry {
            AND r.n_tokens BETWEEN 20 AND 95
            AND NOT EXISTS (SELECT 1 FROM cc
                            WHERE cc.id = r.doc_id AND cc.cluster_id <> r.doc_id)
-         ORDER BY r.doc_id""")
+         ORDER BY r.doc_id""",
+    "q55_window_functions" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_lowest
+         FROM orders WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q56_array_agg" ->
+      """SELECT n_name, count(*) AS n_customers,
+           array_to_string(list_sort(list(c_custkey)), ',') AS custkeys
+         FROM nation JOIN customer ON n_nationkey = c_nationkey
+         WHERE c_custkey < 300
+         GROUP BY n_name ORDER BY n_name""",
+    "q57_setops_all" ->
+      """WITH lo AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity <= 25),
+         hi AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 25),
+         ia AS (SELECT k FROM lo INTERSECT ALL SELECT k FROM hi),
+         ea AS (SELECT k FROM lo EXCEPT ALL SELECT k FROM hi)
+         SELECT side, k, n FROM (
+           SELECT 'intersect_all' AS side, k, count(*) AS n FROM ia
+           WHERE k < 40 GROUP BY k
+           UNION ALL
+           SELECT 'except_all' AS side, k, count(*) AS n FROM ea
+           WHERE k < 40 GROUP BY k) t
+         ORDER BY side, k""")
 }
