@@ -46,6 +46,38 @@ class CompactionSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("compaction releases a throttled stream end-to-end") {
+    val dir = Files.createTempDirectory("graft_compact3").toString
+    val flow = new FlowControl(FlowControlSettings(
+      partsToDelayInsert = 3, partsToThrowInsert = 5, delayMillis = 1))
+    val parts = new PartsRegistry(spark, dir, "test_local")
+    val metrics = new graft.system.MetricsRegistry(spark)
+    val ingest = new graft.ingest.Ingest(dir, flow, parts, metrics)
+    val streaming = new graft.streaming.StreamingIngest(spark, ingest, rowsPerSecond = 2000)
+    val query = streaming.start("500 milliseconds")
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      while (!streaming.triggered && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(streaming.triggered, "flow control must throw under sustained inserts")
+
+      // the stream is now rejecting every batch; merge parts down
+      val report = Compaction.compact(spark, dir, maxPartsPerPartition = 1)
+      assert(report.partitionsCompacted > 0)
+      val maxParts = parts.listFiles().groupBy(_.partition).map(_._2.size).max
+      assert(maxParts < 3, s"compaction must clear the delay threshold, got $maxParts")
+
+      // and the stream resumes appending
+      val completedBefore = streaming.completedBatches
+      val resumeDeadline = System.currentTimeMillis() + 60000
+      while (streaming.completedBatches == completedBefore &&
+        System.currentTimeMillis() < resumeDeadline)
+        Thread.sleep(200)
+      assert(streaming.completedBatches > completedBefore,
+        "stream must append again once merges caught up")
+    } finally query.stop()
+  }
+
   test("under-limit tables are untouched") {
     val dir = Files.createTempDirectory("graft_compact2").toString
     val t0 = java.sql.Timestamp.valueOf("2026-02-01 12:00:00")
