@@ -858,6 +858,27 @@ object SparkEntry {
       .select(col("side"), col("k"), col("n"))
   }
 
+  /** Outer-join family: customers with zero orders survive the left
+    * outer (null-aware aggregation), order rows with no qualifying
+    * customer survive the full outer's right leg. One shuffle pair;
+    * null keys coalesce into the output domain explicitly. */
+  private def qOuterJoins(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ords = t(s, d, "orders")
+      .filter(col("o_custkey") <= 320 && col("o_totalprice") > 150000.0)
+      .select(col("o_custkey"), col("o_totalprice"))
+    cust
+      .join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("c_custkey"), lit(-1L)).as("custkey_grp"))
+      .agg(
+        count(col("o_custkey")).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_spend"),
+        count(when(col("c_custkey").isNull, 1)).as("n_unmatched_orders"))
+      .orderBy(col("custkey_grp"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -919,7 +940,8 @@ object SparkEntry {
     "q54_approx_quantiles" -> (qApproxQuantiles _),
     "q55_window_functions" -> (qWindowFunctions _),
     "q56_array_agg" -> (qArrayAgg _),
-    "q57_setops_all" -> (qSetOpsAll _))
+    "q57_setops_all" -> (qSetOpsAll _),
+    "q58_outer_joins" -> (qOuterJoins _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -1401,5 +1423,15 @@ object SparkEntry {
            UNION ALL
            SELECT 'except_all' AS side, k, count(*) AS n FROM ea
            WHERE k < 40 GROUP BY k) t
-         ORDER BY side, k""")
+         ORDER BY side, k""",
+    "q58_outer_joins" ->
+      """SELECT coalesce(c_custkey, -1) AS custkey_grp,
+           count(o_custkey) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend,
+           count(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_unmatched_orders
+         FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey <= 300) c
+         FULL OUTER JOIN (SELECT o_custkey, o_totalprice FROM orders
+                          WHERE o_custkey <= 320 AND o_totalprice > 150000.0) o
+           ON c_custkey = o_custkey
+         GROUP BY custkey_grp ORDER BY custkey_grp""")
 }
