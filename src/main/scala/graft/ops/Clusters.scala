@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the endgame of
@@ -73,6 +74,80 @@ object Clusters {
       changed = jumped.filter(col("label") =!= col("old")).count()
       assign = jumped.select(col("id"), col("label"))
     }
+    val sizes = assign.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    assign
+      .join(sizes, "label")
+      .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * contractions (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014): provably O(log² n) rounds on ANY graph shape,
+    * where min-label propagation's round count tracks the diameter. Same
+    * output contract as [[connectedComponents]]; prefer this one when the
+    * pair graph may contain long chains (transitive near-dup runs),
+    * the default when it's blob-shaped near-cliques.
+    *
+    * Each round: large-star hangs every neighbor larger than a node onto
+    * that node's minimum neighbor; small-star re-hangs the smaller
+    * neighbors. Both are one windowed min over the node's edge group —
+    * no joins inside a round; the loop stops at an exact edge-set
+    * fixpoint, at which point the graph is a forest of stars rooted at
+    * component minima. */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val a = col(idA).cast("long")
+    val b = col(idB).cast("long")
+
+    // large-star: for each node u (over the symmetric neighborhood),
+    // m = min(Γ(u) ∪ {u}); emit (v, m) for strictly larger neighbors v
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val wu = Window.partitionBy(col("u"))
+      sym
+        .withColumn("m", least(min(col("v")).over(wu), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: orient edges child→parent (u > v); for each child u,
+    // m = min of its parents; re-hang every parent (and u) onto m
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(
+        greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val wu = Window.partitionBy(col("u"))
+      val withMin = dir.withColumn("m", min(col("v")).over(wu))
+      withMin.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withMin.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var edges = pairs.select(a.as("u"), b.as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).count() == 0
+      edges = next
+    }
+
+    // converged: edges are (member, root); roots themselves appear only
+    // on the parent side
+    val members = edges.select(col("u").as("id"), col("v").as("label"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("label", col("id"))
+    val assign = members.union(roots)
     val sizes = assign.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     assign
       .join(sizes, "label")

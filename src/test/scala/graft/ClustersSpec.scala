@@ -34,6 +34,32 @@ class ClustersSpec extends SparkSpec {
     assert(got.values.forall(_ == ((1L, 60L))))
   }
 
+  test("large-star/small-star agrees with pointer-jump on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      val df = edges.toDF("id_a", "id_b")
+      val viaJump = Clusters.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val viaStar = Clusters.connectedComponentsStar(df)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(viaStar === viaJump, s"trial $trial with ${edges.size} edges")
+    }
+  }
+
+  test("large-star/small-star contracts the descending path graph") {
+    val edges = (1L until 60L).map(i => (60L - i, 60L - i + 1L))
+    import spark.implicits._
+    val got = Clusters.connectedComponentsStar(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size === 60)
+    assert(got.values.forall(_ == ((1L, 60L))))
+  }
+
   test("per-doc assignment covers exactly the paired docs") {
     import spark.implicits._
     val pairs = Seq[(Long, Long)]((5, 9), (9, 7), (100, 101)).toDF("id_a", "id_b")
