@@ -97,6 +97,34 @@ object Multimodal {
     }
   }
 
+  /** Resize stage: payload → payload at a new geometry, schema preserved
+    * so stages compose (`resize ∘ extractFeatures` order-free). The byte
+    * transform is the stub (a real stage wraps an image scaler here);
+    * deterministic: output length scales by the pixel ratio, bytes are
+    * strided picks from the input. Runs in the same mapPartitions shape
+    * as decode, so a real scaler shares the per-task init. */
+  def resize(
+      media: Dataset[MediaRow],
+      targetW: Int,
+      targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.media_type != "image") r
+        else {
+          val ratio = (targetW.toLong * targetH).toDouble / (r.width.toLong * r.height)
+          val outLen = math.max(1, math.ceil(r.payload.length * ratio).toInt)
+          // ??? real scaler goes here; strided byte sampling keeps it
+          // deterministic and size-faithful
+          val out = Array.tabulate[Byte](outLen) { i =>
+            r.payload(((i.toLong * r.payload.length) / outLen).toInt)
+          }
+          r.copy(payload = out, width = targetW, height = targetH)
+        }
+      }
+    }
+  }
+
   /** Metadata report over the features table — plain relational ops, shows
     * the decoded output is a first-class queryable relation. */
   def mediaReport(features: DataFrame): DataFrame =

@@ -205,4 +205,22 @@ class OpsSpec extends SparkSpec {
     val report = Multimodal.mediaReport(feats.toDF()).collect()
     assert(report.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
   }
+
+  test("multimodal resize: geometry updates, payload scales, non-images pass through") {
+    val media = Multimodal.syntheticMedia(spark, 60, partitions = 4)
+    val resized = Multimodal.resize(media, 320, 240).collect()
+    val orig = media.collect().map(r => r.media_id -> r).toMap
+    resized.foreach { r =>
+      val o = orig(r.media_id)
+      if (o.media_type == "image") {
+        assert(r.width == 320 && r.height == 240)
+        // quarter the pixels -> about a quarter the payload
+        assert(r.payload.length == math.max(1, math.ceil(o.payload.length * 0.25).toInt))
+      } else assert(r.payload.sameElements(o.payload) && r.width == o.width)
+    }
+    // deterministic across partitionings
+    val again = Multimodal.resize(Multimodal.syntheticMedia(spark, 60, partitions = 2), 320, 240)
+      .collect().map(r => r.media_id -> r.payload.toSeq).toMap
+    assert(resized.map(r => r.media_id -> r.payload.toSeq).toMap == again)
+  }
 }
