@@ -879,6 +879,64 @@ object SparkEntry {
       .orderBy(col("custkey_grp"))
   }
 
+  /** Correlated + scalar subqueries through SQL text — Catalyst
+    * decorrelates the per-customer average into a join; the global
+    * average is one broadcast scalar. */
+  private def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("orders_sq")
+    s.sql("""
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_big,
+             -- sum, not avg: dividing doubles lands on half-cent rounding
+             -- boundaries whose tie-break differs per engine
+             round(sum(o_totalprice), 2) AS total_big
+      FROM orders_sq o
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_sq)
+        AND o_totalprice > (SELECT 0.5 * avg(i.o_totalprice) FROM orders_sq i
+                            WHERE i.o_custkey = o.o_custkey)
+      GROUP BY o_custkey
+      HAVING count(*) >= 2
+      ORDER BY o_custkey""")
+  }
+
+  /** String-function surface: concat_ws, lpad, substring, upper/lower,
+    * replace, split+size — all codegen'd, map-only. */
+  private def qStringFunctions(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .filter(col("c_custkey") <= 100)
+      .select(
+        col("c_custkey"),
+        concat_ws("|", upper(col("c_name")), lower(col("c_mktsegment")))
+          .as("tagged"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        substring(col("c_name"), 1, 10).as("prefix10"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        size(split(col("c_name"), "#")).cast("long").as("name_tokens"),
+        reverse(lower(col("c_mktsegment"))).as("rseg"),
+        repeat(lit("*"), pmod(col("c_nationkey"), lit(5)).cast("int") + 1)
+          .as("stars"),
+        instr(col("c_name"), "1").cast("long").as("pos_one"))
+      .orderBy(col("c_custkey"))
+
+  /** Datetime-function surface: field extraction, date_trunc ladder,
+    * date arithmetic, last_day, datediff — over order dates. */
+  private def qDatetimeFunctions(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        last_day(to_date(col("o_orderdate"))).cast("timestamp").as("month_end"),
+        date_add(to_date(col("o_orderdate")), 90).cast("timestamp").as("due_date"),
+        datediff(to_date(lit("2026-01-01")), to_date(col("o_orderdate")))
+          .cast("long").as("age_days"))
+      .orderBy(col("o_orderkey"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -941,7 +999,10 @@ object SparkEntry {
     "q55_window_functions" -> (qWindowFunctions _),
     "q56_array_agg" -> (qArrayAgg _),
     "q57_setops_all" -> (qSetOpsAll _),
-    "q58_outer_joins" -> (qOuterJoins _))
+    "q58_outer_joins" -> (qOuterJoins _),
+    "q59_scalar_subquery" -> (qScalarSubquery _),
+    "q60_string_functions" -> (qStringFunctions _),
+    "q61_datetime_functions" -> (qDatetimeFunctions _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -1433,5 +1494,38 @@ object SparkEntry {
          FULL OUTER JOIN (SELECT o_custkey, o_totalprice FROM orders
                           WHERE o_custkey <= 320 AND o_totalprice > 150000.0) o
            ON c_custkey = o_custkey
-         GROUP BY custkey_grp ORDER BY custkey_grp""")
+         GROUP BY custkey_grp ORDER BY custkey_grp""",
+    "q59_scalar_subquery" ->
+      """SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_big,
+             round(sum(o_totalprice), 2) AS total_big
+         FROM orders o
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+           AND o_totalprice > (SELECT 0.5 * avg(i.o_totalprice) FROM orders i
+                               WHERE i.o_custkey = o.o_custkey)
+         GROUP BY o_custkey
+         HAVING count(*) >= 2
+         ORDER BY o_custkey""",
+    "q60_string_functions" ->
+      """SELECT c_custkey,
+           concat_ws('|', upper(c_name), lower(c_mktsegment)) AS tagged,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           substring(c_name, 1, 10) AS prefix10,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           CAST(len(string_split(c_name, '#')) AS BIGINT) AS name_tokens,
+           reverse(lower(c_mktsegment)) AS rseg,
+           repeat('*', CAST(c_nationkey % 5 AS INT) + 1) AS stars,
+           CAST(strpos(c_name, '1') AS BIGINT) AS pos_one
+         FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""",
+    "q61_datetime_functions" ->
+      """SELECT o_orderkey, o_orderdate,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + 90 AS TIMESTAMP) AS due_date,
+           CAST(DATE '2026-01-01' - CAST(o_orderdate AS DATE) AS BIGINT) AS age_days
+         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
 }

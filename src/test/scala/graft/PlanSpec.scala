@@ -61,6 +61,22 @@ class PlanSpec extends SparkSpec {
     assert(files == Seq(1), s"expected exactly 1 pruned partition, got $files")
   }
 
+  test("q40 range join stays an equi-join (no broadcast-nested-loop fallback)") {
+    val p = plan("q40_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degraded to nested-loop:\n$p")
+  }
+
+  test("q55 resolves all six window functions in a single sort") {
+    val p = plan("q55_window_functions")
+    // two Window nodes are expected (nth_value uses a distinct frame) but
+    // only ONE sort+exchange pair — the frames share the partitioning/order
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 1,
+      s"window functions must share one shuffle:\n$p")
+    val sorts = "\\bSort \\[".r.findAllMatchIn(p).size
+    assert(sorts <= 2, s"expected at most one logical sort (plus output order), got $sorts:\n$p")
+  }
+
   test("q10 fact-fact join keeps the aggregate above one shuffle exchange pair") {
     val p = plan("q10_join_shuffle")
     // large-side equi-join: either SMJ or shuffled hash — but never a
