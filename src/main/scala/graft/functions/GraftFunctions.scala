@@ -143,5 +143,27 @@ object GraftFunctions {
           .withZone(java.time.ZoneOffset.UTC)
         f.format(ts.toInstant).toInt
       })
+
+    // dedup / similarity / text kernels as SQL spellings, so `spark.sql`
+    // text reaches the same codegen expressions as the Column API (no
+    // UDF detour). Literal-int arguments (k) are extracted at plan time.
+    def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"expected integer literal, got $other")
+      }
+    reg.createOrReplaceTempFunction(
+      "simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dot", es => VecDot(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes",
+      es => ShingleHashes(es.head, litInt(es(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig",
+      es => MinHashSig(es.head, litInt(es(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "edit_distance", es => EditDistance(es.head, es(1)), "built-in")
   }
 }

@@ -6,6 +6,27 @@ import graft.functions.{GraftFunctions, Impl}
 
 class FunctionsSpec extends SparkSpec {
 
+  test("kernel functions are callable from SQL text and match the Column API") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox jumps over the lazy dog", "the quick brown fox"))
+      .toDF("id", "a", "b").createOrReplaceTempView("kernel_probe")
+    val r = spark.sql("""
+      SELECT simhash64(a) AS sh,
+             edit_distance(a, b) AS ed,
+             size(shingle_hashes(a, 3)) AS nsh,
+             size(minhash_sig(shingle_hashes(a, 3), 16)) AS nmh,
+             vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot
+      FROM kernel_probe""").first()
+    val viaCols = spark.table("kernel_probe").select(
+      graft.functions.VectorFunctions.simhash64(org.apache.spark.sql.functions.col("a"))).first().getLong(0)
+    assert(r.getAs[Long]("sh") === viaCols)
+    assert(r.getAs[Int]("ed") === 24)
+    assert(r.getAs[Int]("nsh") === 7) // 9 tokens -> 7 distinct 3-shingles
+    assert(r.getAs[Int]("nmh") === 16)
+    assert(r.getAs[Double]("dot") === 11.0)
+  }
+
   test("formatReadableSize matches the ClickHouse unit ladder") {
     // golden values per ClickHouse docs semantics (binary units, 2dp)
     assert(Impl.formatReadableSize(0).toString == "0.00 B")
