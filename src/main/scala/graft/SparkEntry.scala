@@ -937,6 +937,47 @@ object SparkEntry {
           .cast("long").as("age_days"))
       .orderBy(col("o_orderkey"))
 
+  /** Funnel analysis: per (user, day), earliest time of each step; a user
+    * converts when the steps happen in order. One conditional-min hash
+    * aggregate (map-side combinable) + one small re-aggregate — no joins,
+    * no windows, the shape that survives arbitrarily many users. */
+  private def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    def stepMin(t: String) = min(when(col("event_type") === t, col("ts")))
+    ev.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        stepMin("view").as("t_view"),
+        stepMin("click").as("t_click"),
+        stepMin("purchase").as("t_purchase"))
+      .filter(col("t_view").isNotNull)
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_viewers"),
+        count(when(col("t_click") > col("t_view"), 1)).as("n_clicked"),
+        count(when(
+          col("t_purchase") > col("t_click") && col("t_click") > col("t_view"),
+          1)).as("n_converted"))
+      .orderBy(col("day"))
+  }
+
+  /** Retention cohorts: users grouped by first-seen day, activity counted
+    * per (cohort, day offset). Two hash aggregates and one shuffle join
+    * on user_id — the cohort table is aggregated (small) but joined
+    * key-to-key, not broadcast, so the shape holds when users outgrow
+    * one executor. */
+  private def qRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .groupBy(
+        col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1002,7 +1043,9 @@ object SparkEntry {
     "q58_outer_joins" -> (qOuterJoins _),
     "q59_scalar_subquery" -> (qScalarSubquery _),
     "q60_string_functions" -> (qStringFunctions _),
-    "q61_datetime_functions" -> (qDatetimeFunctions _))
+    "q61_datetime_functions" -> (qDatetimeFunctions _),
+    "q62_funnel" -> (qFunnel _),
+    "q63_retention" -> (qRetention _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -1527,5 +1570,26 @@ object SparkEntry {
            CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
            CAST(CAST(o_orderdate AS DATE) + 90 AS TIMESTAMP) AS due_date,
            CAST(DATE '2026-01-01' - CAST(o_orderdate AS DATE) AS BIGINT) AS age_days
-         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
+         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+    "q62_funnel" ->
+      """WITH steps AS (
+           SELECT user_id, date_trunc('day', ts) AS day,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           FROM events GROUP BY 1, 2)
+         SELECT day, count(*) AS n_viewers,
+           count(CASE WHEN t_click > t_view THEN 1 END) AS n_clicked,
+           count(CASE WHEN t_purchase > t_click AND t_click > t_view
+                 THEN 1 END) AS n_converted
+         FROM steps WHERE t_view IS NOT NULL
+         GROUP BY day ORDER BY day""",
+    "q63_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+         cohorts AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+         SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
+         FROM ev JOIN cohorts ON ev.user_id = cohorts.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""")
 }
