@@ -40,6 +40,58 @@ object WindowedStats {
     * state — the custom-state surface `KeyValueGroupedDataset` offers). */
   final case class UserSession(user_id: Int, n_events: Long, last_value: Double)
 
+  /** Streaming sessionizer via flatMapGroupsWithState — the in-stream
+    * counterpart of the batch lag+cumsum sessionization (q36): events
+    * grouped per user, a session closes when a gap ≥ `gapMillis` appears,
+    * and CLOSED sessions are emitted downstream (zero or many per
+    * trigger — the reason this is flatMap, not map). State per user is
+    * one open session regardless of stream length.
+    *
+    * Batches may arrive with intra-batch disorder; events are sorted
+    * in-group per trigger. Cross-trigger late events older than the open
+    * session's last timestamp would need a watermark + event-time timeout
+    * in production; the NoTimeout default keeps the state machine
+    * testable (see memory: ProcessingTimeTimeout + MemoryStream spins the
+    * state store). */
+  final case class SessionOut(
+      user_id: Int, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  final case class OpenSession(
+      start: Long, last: Long, n: Long, total: Double)
+
+  def sessionize(
+      events: Dataset[Event],
+      gapMillis: Long = 30L * 60 * 1000,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, timeout) {
+        case (userId, rows, state: GroupState[OpenSession]) =>
+          val sorted = rows.toSeq.sortBy(_.event_time.getTime)
+          val closed = Seq.newBuilder[SessionOut]
+          var open = state.getOption
+          sorted.foreach { e =>
+            val t = e.event_time.getTime
+            open match {
+              case Some(s) if t - s.last >= gapMillis =>
+                closed += SessionOut(
+                  userId, new Timestamp(s.start), new Timestamp(s.last),
+                  s.n, math.round(s.total * 100.0) / 100.0)
+                open = Some(OpenSession(t, t, 1L, e.value))
+              case Some(s) =>
+                open = Some(OpenSession(s.start, t, s.n + 1, s.total + e.value))
+              case None =>
+                open = Some(OpenSession(t, t, 1L, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   def userSessions(
       events: Dataset[Event],
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserSession] = {

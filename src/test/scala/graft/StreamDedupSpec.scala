@@ -61,6 +61,35 @@ class StreamDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer emits closed sessions only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = graft.streaming.WindowedStats
+      .sessionize(source.toDS(), gapMillis = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10m apart (one session), then a 40m gap opens
+      // a second session — the first closes only when the gap appears
+      source.addData(
+        ev(1, "2026-05-01 10:00:00", "click", 1.0).copy(user_id = 1),
+        ev(2, "2026-05-01 10:10:00", "view", 2.0).copy(user_id = 1))
+      query.processAllAvailable()
+      assert(spark.table("stream_sessions").count() === 0, "no gap yet")
+
+      source.addData(ev(3, "2026-05-01 10:50:00", "click", 3.0).copy(user_id = 1))
+      query.processAllAvailable()
+      val got = spark.table("stream_sessions")
+        .as[graft.streaming.WindowedStats.SessionOut].collect()
+      assert(got.length === 1)
+      assert(got(0).user_id === 1 && got(0).n_events === 2L &&
+        got(0).total_value === 3.0 &&
+        got(0).session_start.toString == "2026-05-01 10:00:00.0" &&
+        got(0).session_end.toString == "2026-05-01 10:10:00.0")
+    } finally query.stop()
+  }
+
   test("stream-stream interval join finds follows within the gap only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
