@@ -978,6 +978,24 @@ object SparkEntry {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Null-ordering control: Spark sorts nulls FIRST ascending by default
+    * where DuckDB/Postgres sort them LAST — portable plans must pin the
+    * null position explicitly, which is what this query proves (both
+    * directions, with a null-producing left join). */
+  private def qNullsOrdering(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer").filter(col("c_custkey") <= 120)
+      .select(col("c_custkey"), col("c_name"))
+    val big = t(s, d, "orders").filter(col("o_totalprice") > 350000.0)
+      .groupBy(col("o_custkey"))
+      .agg(round(max(col("o_totalprice")), 2).as("best_big_order"))
+    cust
+      .join(big, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("best_big_order"))
+      .orderBy(
+        col("best_big_order").desc_nulls_last,
+        col("c_custkey").asc)
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1045,7 +1063,8 @@ object SparkEntry {
     "q60_string_functions" -> (qStringFunctions _),
     "q61_datetime_functions" -> (qDatetimeFunctions _),
     "q62_funnel" -> (qFunnel _),
-    "q63_retention" -> (qRetention _))
+    "q63_retention" -> (qRetention _),
+    "q64_nulls_ordering" -> (qNullsOrdering _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -1591,5 +1610,13 @@ object SparkEntry {
            CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
            CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
          FROM ev JOIN cohorts ON ev.user_id = cohorts.user_id
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q64_nulls_ordering" ->
+      """SELECT c_custkey, c_name, best_big_order FROM (
+           SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 120) c
+         LEFT JOIN (
+           SELECT o_custkey, round(max(o_totalprice), 2) AS best_big_order
+           FROM orders WHERE o_totalprice > 350000.0 GROUP BY o_custkey) o
+           ON c_custkey = o_custkey
+         ORDER BY best_big_order DESC NULLS LAST, c_custkey ASC""")
 }
