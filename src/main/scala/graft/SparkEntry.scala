@@ -996,6 +996,49 @@ object SparkEntry {
         col("c_custkey").asc)
   }
 
+  /** Three-valued-logic corner: NOT IN against a null-bearing subquery
+    * matches nothing (NULL ≠ x is unknown), while NOT EXISTS keeps its
+    * row-by-row semantics. Engines that "fix" this silently corrupt
+    * migrated workloads; this query proves both behave per standard. */
+  private def qNotInNullTrap(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("orders_nt")
+    t(s, d, "customer").createOrReplaceTempView("customer_nt")
+    s.sql("""
+      WITH t AS (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                             ELSE o_custkey END AS k
+                 FROM orders_nt WHERE o_orderkey <= 5000)
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM customer_nt
+         WHERE c_custkey NOT IN (SELECT k FROM t)) AS n_not_in,
+        (SELECT CAST(count(*) AS BIGINT) FROM customer_nt c
+         WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.k = c.c_custkey))
+          AS n_not_exists,
+        (SELECT CAST(count(*) AS BIGINT) FROM t WHERE k IS NULL)
+          AS n_nulls""")
+  }
+
+  /** Training-shard assignment: pack documents into shards of ~8k tokens
+    * by cumulative token count per source (deterministic doc order). One
+    * window cumsum per source — the sequence-packing prep step before a
+    * tokenizer run. */
+  private def qShardAssign(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "documents")
+      .select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn(
+        "shard",
+        floor((col("cum_tokens") - 1) / 8000L).cast("long"))
+      .groupBy(col("source"), col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"))
+      .orderBy(col("source"), col("shard"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1064,7 +1107,9 @@ object SparkEntry {
     "q61_datetime_functions" -> (qDatetimeFunctions _),
     "q62_funnel" -> (qFunnel _),
     "q63_retention" -> (qRetention _),
-    "q64_nulls_ordering" -> (qNullsOrdering _))
+    "q64_nulls_ordering" -> (qNullsOrdering _),
+    "q65_not_in_null_trap" -> (qNotInNullTrap _),
+    "q66_shard_assign" -> (qShardAssign _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -1618,5 +1663,29 @@ object SparkEntry {
            SELECT o_custkey, round(max(o_totalprice), 2) AS best_big_order
            FROM orders WHERE o_totalprice > 350000.0 GROUP BY o_custkey) o
            ON c_custkey = o_custkey
-         ORDER BY best_big_order DESC NULLS LAST, c_custkey ASC""")
+         ORDER BY best_big_order DESC NULLS LAST, c_custkey ASC""",
+    "q65_not_in_null_trap" ->
+      """WITH t AS (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                               ELSE o_custkey END AS k
+                   FROM orders WHERE o_orderkey <= 5000)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM t)) AS n_not_in,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.k = c.c_custkey))
+             AS n_not_exists,
+           (SELECT CAST(count(*) AS BIGINT) FROM t WHERE k IS NULL)
+             AS n_nulls""",
+    "q66_shard_assign" ->
+      """WITH toks AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         cum AS (SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           FROM toks)
+         SELECT source, CAST(floor((cum_tokens - 1) / 8000) AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         FROM cum GROUP BY 1, 2 ORDER BY source, shard""")
 }
