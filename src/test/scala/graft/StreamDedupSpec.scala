@@ -90,6 +90,39 @@ class StreamDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedup state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val source = MemoryStream[Event]
+    // memory sink can't recover from a checkpoint; the parquet sink can
+    def start() = StreamDedup
+      .dedupByKey(source.toDF(), "event_time", Seq("id"), "1 hour")
+      .select($"id", $"event_type")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    val q1 = start()
+    try {
+      source.addData(ev(1, "2026-05-01 10:00:00", "click", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart against the same checkpoint: the dedup entry for id=1 must
+    // still be in the restored state store
+    val q2 = start()
+    try {
+      source.addData(
+        ev(1, "2026-05-01 10:05:00", "click", 1.0), // dup across restart
+        ev(2, "2026-05-01 10:06:00", "view", 2.0))
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(out).select("id").as[Long].collect().sorted
+      assert(ids === Array(1L, 2L), "id=1 must not re-emit after restart")
+    } finally q2.stop()
+  }
+
   test("stream-stream interval join finds follows within the gap only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
