@@ -1039,6 +1039,51 @@ object SparkEntry {
       .orderBy(col("source"), col("shard"))
   }
 
+  /** Data-quality audit: null rates, key uniqueness, and referential
+    * integrity (lineitem→orders orphans via anti join) as one stacked
+    * report — each check is an aggregate or anti join that scales as a
+    * scan. The shape every ingest pipeline runs before publishing. */
+  private def qDataQuality(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val ords = t(s, d, "orders")
+    val nullRates = li.agg(
+      count(lit(1)).as("n"),
+      count(when(col("l_orderkey").isNull, 1)).as("bad"))
+      .select(lit("lineitem_null_orderkey").as("check_name"), col("n"), col("bad"))
+    val dupKeys = ords.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n"), count(when(col("c") > 1, 1)).as("bad"))
+      .select(lit("orders_pk_unique").as("check_name"), col("n"), col("bad"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(ords.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("bad"))
+      .select(lit("lineitem_fk_orphans").as("check_name"),
+        lit(null).cast("long").as("n"), col("bad"))
+    nullRates.unionByName(dupKeys).unionByName(orphans)
+      .orderBy(col("check_name"))
+  }
+
+  /** Skew diagnostics — the measurement that decides when
+    * [[graft.ops.SkewJoin]] is worth its replication cost: rows, distinct
+    * keys, max single-key share, and top-5-key share for the candidate
+    * join key. Two aggregates; the key-count relation is tiny. */
+  private def qSkewStats(s: SparkSession, d: String): DataFrame = {
+    val byKey = events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    byKey
+      .select(
+        col("c"),
+        row_number().over(Window.orderBy(col("c").desc, col("user_id"))).as("rk"))
+      .agg(
+        sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6)
+          .as("max_key_share"),
+        round(sum(when(col("rk") <= 5, col("c"))).cast("double") / sum(col("c")), 6)
+          .as("top5_share"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1109,7 +1154,9 @@ object SparkEntry {
     "q63_retention" -> (qRetention _),
     "q64_nulls_ordering" -> (qNullsOrdering _),
     "q65_not_in_null_trap" -> (qNotInNullTrap _),
-    "q66_shard_assign" -> (qShardAssign _))
+    "q66_shard_assign" -> (qShardAssign _),
+    "q67_data_quality" -> (qDataQuality _),
+    "q68_skew_stats" -> (qSkewStats _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -1687,5 +1734,30 @@ object SparkEntry {
          SELECT source, CAST(floor((cum_tokens - 1) / 8000) AS BIGINT) AS shard,
            count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
-         FROM cum GROUP BY 1, 2 ORDER BY source, shard""")
+         FROM cum GROUP BY 1, 2 ORDER BY source, shard""",
+    "q67_data_quality" ->
+      """SELECT check_name, n, bad FROM (
+           SELECT 'lineitem_null_orderkey' AS check_name, count(*) AS n,
+             count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS bad
+           FROM lineitem
+           UNION ALL
+           SELECT 'orders_pk_unique', count(*),
+             count(CASE WHEN c > 1 THEN 1 END)
+           FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+           UNION ALL
+           SELECT 'lineitem_fk_orphans', NULL, count(*)
+           FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) t
+         ORDER BY check_name""",
+    "q68_skew_stats" ->
+      """WITH byKey AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+         ranked AS (SELECT c,
+             row_number() OVER (ORDER BY c DESC, user_id) AS rk
+           FROM byKey)
+         SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS max_key_share,
+           round(CAST(sum(CASE WHEN rk <= 5 THEN c END) AS DOUBLE) / sum(c), 6)
+             AS top5_share
+         FROM ranked""")
 }
