@@ -5,16 +5,18 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of (point-in-time) join — for each left row, attach the payload of
-  * the latest right row whose time is ≤ the left row's time, within the
-  * same key group (a tie at equal time matches). The shape every
-  * market-data / feature-store lookup needs and Spark lacks natively.
+  * the nearest right row at-or-before (backward, default) or at-or-after
+  * (forward) the left row's time within the same key group, optionally
+  * only when within a tolerance. The shape every market-data /
+  * feature-store lookup needs and Spark lacks natively.
   *
   * Composed from existing operators (preference (a) over a custom plan):
-  * tag both sides, union, and carry the payload forward with a running
+  * tag both sides, union, and carry the payload across with a running
   * `last(_, ignoreNulls)` window ordered by (time, tag) — right rows sort
-  * before left rows at equal time, giving `>=` semantics. One shuffle on
-  * the key, one sort, no join node at all; at 1000 executors this scales
-  * exactly like any windowed aggregation over the key.
+  * before left rows at equal time, giving ≥/≤ inclusive semantics; the
+  * forward direction is the same traversal over descending time. One
+  * shuffle on the key, one sort, no join node at all; at 1000 executors
+  * this scales exactly like any windowed aggregation over the key.
   */
 object AsOfJoin {
 
@@ -24,7 +26,11 @@ object AsOfJoin {
     * @param rightTime right's event-time column name
     * @param keys      equi-key columns present on both sides
     * @param payload   right columns to attach (null when no right row
-    *                  precedes the left row — filter for inner semantics)
+    *                  qualifies — filter for inner semantics)
+    * @param forward   false = latest right at-or-before (default);
+    *                  true = earliest right at-or-after
+    * @param toleranceMillis when set, a match further than this from the
+    *                  left time yields null payload (per-row, exact)
     */
   def asOf(
       left: DataFrame,
@@ -32,26 +38,44 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       keys: Seq[String],
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      forward: Boolean = false,
+      toleranceMillis: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left.select(
       Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
         leftCols.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)) :+
+        lit(null).cast("timestamp").as("__rt"): _*)
     val r = right.select(
       Seq(col(rightTime).as("__t"), lit(0).as("__tag")) ++
         leftCols.map(c =>
           if (keys.contains(c)) col(c)
           else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+        payload.map(col) :+ col(rightTime).as("__rt"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__tag"))
+      .orderBy(
+        (if (forward) col("__t").desc else col("__t").asc), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val carried = l.unionByName(r)
       .select(
-        Seq(col("__tag")) ++ leftCols.map(col) ++
-          payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+        Seq(col("__tag"), col("__t")) ++ leftCols.map(col) ++
+          payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)) :+
+          last(col("__rt"), ignoreNulls = true).over(w).as("__rt"): _*)
       .filter(col("__tag") === 1)
-      .drop("__tag")
+    val gated = toleranceMillis match {
+      case None => carried
+      case Some(tol) =>
+        val gapMs =
+          if (forward)
+            (unix_millis(col("__rt")) - unix_millis(col("__t")))
+          else
+            (unix_millis(col("__t")) - unix_millis(col("__rt")))
+        val ok = col("__rt").isNotNull && gapMs <= tol
+        carried.select(
+          Seq(col("__tag"), col("__t")) ++ leftCols.map(col) ++
+            payload.map(p => when(ok, col(p)).as(p)) :+ col("__rt"): _*)
+    }
+    gated.drop("__tag", "__t", "__rt")
   }
 }

@@ -28,6 +28,36 @@ class AsOfSessionSpec extends SparkSpec {
     assert(out == Map(1L -> Some(1.0), 2L -> None, 3L -> Some(2.0), 4L -> Some(5.0)))
   }
 
+  test("forward asOf picks the earliest following quote; tolerance nulls stale matches") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "a", ts("2026-01-01 10:30:00")), // next quote 11:00
+      (2L, "a", ts("2026-01-01 11:30:00")), // nothing follows -> null
+      (3L, "a", ts("2026-01-01 10:00:00")), // tie with 10:00 quote -> matches it
+      (4L, "a", ts("2026-01-01 11:10:00"))) // 10m after the 11:00 quote
+      .toDF("id", "k", "t")
+    val right = Seq(
+      ("a", ts("2026-01-01 10:00:00"), 1.0),
+      ("a", ts("2026-01-01 11:00:00"), 2.0))
+      .toDF("k", "qt", "v")
+    val fwd = AsOfJoin
+      .asOf(left, right, "t", "qt", Seq("k"), Seq("v"), forward = true)
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(fwd == Map(1L -> Some(2.0), 2L -> None, 3L -> Some(1.0), 4L -> None))
+
+    // backward with 20-minute tolerance: 30-minute-stale matches null out;
+    // an exact-time tie and a 10-minute-fresh match survive
+    val tol = AsOfJoin
+      .asOf(left, right, "t", "qt", Seq("k"), Seq("v"),
+        toleranceMillis = Some(20L * 60 * 1000))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(tol == Map(1L -> None, 2L -> None, 3L -> Some(1.0), 4L -> Some(2.0)))
+  }
+
   test("sessionize splits on gaps above the threshold with deterministic running ids") {
     import spark.implicits._
     val df = Seq(
