@@ -77,6 +77,12 @@ class PlanSpec extends SparkSpec {
     assert(sorts <= 2, s"expected at most one logical sort (plus output order), got $sorts:\n$p")
   }
 
+  test("q62 funnel is pure aggregation — no join or window nodes") {
+    val p = plan("q62_funnel")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"funnel must stay a two-level aggregate:\n$p")
+  }
+
   test("q10 fact-fact join keeps the aggregate above one shuffle exchange pair") {
     val p = plan("q10_join_shuffle")
     // large-side equi-join: either SMJ or shuffled hash — but never a
