@@ -131,23 +131,31 @@ object Similarity {
     * blocks. Per-task memory is 2·n/nBlocks vectors, shuffle volume is
     * O(n·nBlocks), and the O(n²/2) dot products are spread over
     * nBlocks·(nBlocks+1)/2 independent tasks — no driver collect, no
-    * full-corpus broadcast. Size nBlocks so a block fits in task memory
+    * full-corpus broadcast. nBlocks defaults to auto
+    * (corpus count / 8192, min 16) so a block fits in task memory at any scale
     * (exact all-pairs is inherently quadratic compute; beyond that the
     * LSH-bucketed `nearDupPairs` is the tool).
     * Accumulation order matches `cosine()` exactly (same doubles). */
   def exactNearDupPairs(
       corpus: DataFrame,
       threshold: Double,
-      nBlocks: Int = 16): DataFrame = {
+      nBlocks: Int = 0): DataFrame = {
     val sess = corpus.sparkSession
     import sess.implicits._
+    // auto-size blocks so one block-pair task holds a bounded number of
+    // vectors regardless of corpus size (B grows with n; compute stays
+    // O(n²) — the exact kernel's cost — but no task ever buffers more
+    // than ~2·8192 vectors). One count() action at plan time.
+    val nB =
+      if (nBlocks > 0) nBlocks
+      else math.max(16, math.ceil(corpus.count() / 8192.0).toInt)
     val vecs = corpus
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
 
     // one row per block: id-sorted (id, vec, norm) triples
     val blocks = vecs
-      .groupByKey { case (id, _) => (((id % nBlocks) + nBlocks) % nBlocks).toInt }
+      .groupByKey { case (id, _) => (((id % nB) + nB) % nB).toInt }
       .mapGroups { (b, it) =>
         val arr = it.map { case (id, v) =>
           var n = 0.0; var i = 0
@@ -161,7 +169,7 @@ object Similarity {
     // pair (lo, hi); a group then holds exactly the two blocks it scores
     val pairs = blocks
       .flatMap { case (b, arr) =>
-        (0 until nBlocks).iterator.map { o =>
+        (0 until nB).iterator.map { o =>
           val lo = math.min(b, o); val hi = math.max(b, o)
           (lo, hi, b, arr)
         }
