@@ -58,6 +58,40 @@ class AsOfSessionSpec extends SparkSpec {
     assert(tol == Map(1L -> None, 2L -> None, 3L -> Some(1.0), 4L -> Some(2.0)))
   }
 
+  test("asOf matches a naive max-preceding-quote join on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def randTs() = new java.sql.Timestamp(
+      ts("2026-01-01 00:00:00").getTime + rnd.nextInt(86400) * 1000L)
+    val left = Seq.tabulate(400)(i => (i.toLong, s"k${rnd.nextInt(5)}", randTs()))
+      .toDF("id", "k", "t")
+    // +i millis keeps quote times unique per key: at an exact qt tie the
+    // window's pick among right rows would be order-dependent while the
+    // naive reference takes max(v) — not a semantics difference worth pinning
+    val right = Seq.tabulate(120) { i =>
+      val qt = new java.sql.Timestamp(
+        ts("2026-01-01 00:00:00").getTime + rnd.nextInt(86400) * 1000L + i)
+      (s"k${rnd.nextInt(5)}", qt, i.toDouble)
+    }.toDF("k", "qt", "v")
+
+    val got = AsOfJoin.asOf(left, right, "t", "qt", Seq("k"), Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+    // naive reference: join all preceding quotes, keep the latest
+    // (tie-break max v to mirror deterministic pick on distinct qt values)
+    val naive = left.join(right, Seq("k"))
+      .filter(col("qt") <= col("t"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("qt"), col("v"))).as("best"))
+      .select(col("id"), col("best.v"))
+      .collect().map(r => r.getLong(0) -> Some(r.getDouble(1))).toMap
+    val want = left.select("id").as[Long].collect()
+      .map(id => id -> naive.getOrElse(id, None)).toMap
+    assert(got === want)
+  }
+
   test("sessionize splits on gaps above the threshold with deterministic running ids") {
     import spark.implicits._
     val df = Seq(

@@ -34,7 +34,7 @@ class ClustersSpec extends SparkSpec {
     assert(got.values.forall(_ == ((1L, 60L))))
   }
 
-  test("large-star/small-star agrees with pointer-jump on random graphs") {
+  test("large-star/small-star agrees with pointer-jump and union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
     for (trial <- 1 to 5) {
@@ -48,6 +48,24 @@ class ClustersSpec extends SparkSpec {
       val viaStar = Clusters.connectedComponentsStar(df)
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       assert(viaStar === viaJump, s"trial $trial with ${edges.size} edges")
+
+      // third, algorithm-independent reference: textbook union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      val uf = byRoot.flatMap { case (_, members) =>
+        val m = members.min
+        members.map(x => x -> ((m, members.size.toLong)))
+      }
+      assert(viaJump === uf, s"trial $trial vs union-find")
     }
   }
 
