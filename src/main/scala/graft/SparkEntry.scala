@@ -554,7 +554,10 @@ object SparkEntry {
     val w = Window
       .partitionBy(col("event_type"))
       .orderBy(
-        pmod(col("event_id") * lit(2654435761L), lit(1000000007L)),
+        // pre-mod keeps the product < 2^63 at any corpus size (DuckDB
+        // errors on BIGINT overflow where Spark wraps); ties from the
+        // narrowed domain break on event_id
+        pmod(pmod(col("event_id"), lit(1000003L)) * lit(2654435761L), lit(1000000007L)),
         col("event_id"))
     events(s, d)
       .withColumn("rk", row_number().over(w))
@@ -1438,7 +1441,7 @@ object SparkEntry {
     "q41_stratified_sample" ->
       """WITH r AS (SELECT event_type, event_id, user_id,
              row_number() OVER (PARTITION BY event_type
-               ORDER BY (event_id * 2654435761) % 1000000007, event_id) AS rk
+               ORDER BY ((event_id % 1000003) * 2654435761) % 1000000007, event_id) AS rk
            FROM events)
          SELECT event_type, rk, event_id, user_id FROM r WHERE rk <= 40
          ORDER BY event_type, rk""",
