@@ -1087,6 +1087,22 @@ object SparkEntry {
           .as("top5_share"))
   }
 
+  /** LATERAL correlated subquery — per-customer top-2 orders through SQL
+    * text; Catalyst rewrites the lateral into a ranked window join, the
+    * same plan the q13 DataFrame form produces. */
+  private def qLateral(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("customer_lat")
+    t(s, d, "orders").createOrReplaceTempView("orders_lat")
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer_lat c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey <= 150
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1159,7 +1175,8 @@ object SparkEntry {
     "q65_not_in_null_trap" -> (qNotInNullTrap _),
     "q66_shard_assign" -> (qShardAssign _),
     "q67_data_quality" -> (qDataQuality _),
-    "q68_skew_stats" -> (qSkewStats _))
+    "q68_skew_stats" -> (qSkewStats _),
+    "q69_lateral" -> (qLateral _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -1762,5 +1779,13 @@ object SparkEntry {
            round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS max_key_share,
            round(CAST(sum(CASE WHEN rk <= 5 THEN c END) AS DOUBLE) / sum(c), 6)
              AS top5_share
-         FROM ranked""")
+         FROM ranked""",
+    "q69_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         WHERE c.c_custkey <= 150
+         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
 }
