@@ -335,14 +335,23 @@ object SparkEntry {
         count(lit(1)).as("n_items"))
       .orderBy(col("l_returnflag"))
 
-  /** Approximate distinct (HyperLogLog++) next to the exact count —
-    * rows-only check (approx sketches differ across engines by design). */
+  /** Approximate distinct (HyperLogLog++) next to the exact count. Raw
+    * sketch values differ across engines by design, so the compared
+    * output carries the exact count plus a deterministic DERIVED check —
+    * |approx − exact|/exact ≤ 0.1, true on any sane sketch (Spark runs
+    * rsd 0.02, DuckDB's HLL error is ~0.4%) — which makes the query
+    * fully hash-checkable while still executing the sketch. */
   private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.1).as("approx_ok"))
       .orderBy(col("l_returnflag"))
 
   /** IVF-bucketed approximate top-k (second ANN scale path; rows-only —
@@ -381,19 +390,30 @@ object SparkEntry {
     * is engine-specific, so the compared projection keeps the
     * deterministic columns; the verbatim text (including
     * formatReadableSize over bytes_on_disk) still executes. */
+  /** q33's parts fixture, built once per (JVM, data dir) — the bench then
+    * measures the parity query itself, not two parquet writes plus a
+    * min() action on every invocation. */
+  private val partsFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def qPartsSqlParity(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val ev = events(s, d).select(col("event_id").as("id"), col("ts").as("event_time"))
-    val minHour = ev
-      .agg(min(GraftFunctions.toYYYYMMDDhh(col("event_time")))).head.getInt(0)
-    val keep = ev.filter(GraftFunctions.toYYYYMMDDhh(col("event_time")) <= minHour + 17)
-    val dir = java.nio.file.Files.createTempDirectory("graft_parts_sql").toString
-    graft.table.EventTable.append(keep.filter(pmod(col("id"), lit(2)) === 0), dir)
-    graft.table.EventTable.append(keep.filter(pmod(col("id"), lit(2)) === 1), dir)
+    val dir = partsFixtureDirs.computeIfAbsent(d, (dd: String) => {
+      val ev = events(s, dd).select(col("event_id").as("id"), col("ts").as("event_time"))
+      val minHour = ev
+        .agg(min(GraftFunctions.toYYYYMMDDhh(col("event_time")))).head.getInt(0)
+      val keep = ev.filter(GraftFunctions.toYYYYMMDDhh(col("event_time")) <= minHour + 17)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_parts_sql").toString
+      graft.table.EventTable.append(keep.filter(pmod(col("id"), lit(2)) === 0), tmp)
+      graft.table.EventTable.append(keep.filter(pmod(col("id"), lit(2)) === 1), tmp)
+      tmp
+    })
     val parts = new graft.system.PartsRegistry(s, dir, "test_local")
     val metrics = new graft.system.MetricsRegistry(s)
     graft.table.Ddl.registerSystemViews(s, metrics, parts)
-    val verbatim = s.sql(
+    // zero-arg count() is a ClickHouse spelling that shadows a Spark
+    // builtin — scoped to this one analysis, restored right after
+    val verbatim = GraftFunctions.withZeroArgCount(s)(s.sql(
       """SELECT
         |    table,
         |    partition,
@@ -404,7 +424,7 @@ object SparkEntry {
         |WHERE active AND database = currentDatabase() AND table = 'test_local'
         |GROUP BY table, partition
         |ORDER BY parts_count DESC
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin))
     verbatim
       .select(col("table"), col("partition"), col("parts_count"), col("total_rows"))
       .orderBy(col("partition"))
@@ -771,8 +791,11 @@ object SparkEntry {
     * actually executes: quality/language gates from the one-pass
     * `TextStats` kernel, then near-dup removal keeping each cluster's
     * canonical (min-id) member. One map-side kernel pass + the q50
-    * clustering; the final anti-join is a broadcast (dup lists are tiny
-    * relative to the corpus). */
+    * clustering; the final anti-join is deliberately UNhinted: near-dup
+    * losers on a web corpus can be 20–50% of all documents, so pinning
+    * broadcast() on a data-dependent unbounded relation is a driver OOM
+    * at scale — AQE broadcasts it at runtime exactly when it measures
+    * small, and shuffles the doc_id-keyed anti-join cleanly otherwise. */
   private def qCuration(s: SparkSession, d: String): DataFrame = {
     val rep = graft.ops.TextAnalysis.report(t(s, d, "documents"))
     val dupLosers = graft.ops.Clusters
@@ -785,7 +808,7 @@ object SparkEntry {
         col("lang_guess") === "en" &&
           col("quality") >= 0.6 &&
           col("n_tokens").between(20, 95))
-      .join(broadcast(dupLosers), Seq("doc_id"), "left_anti")
+      .join(dupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_guess"))
       .orderBy(col("doc_id"))
   }
@@ -1365,6 +1388,12 @@ object SparkEntry {
            count(DISTINCT l_partkey) AS distinct_parts,
            count(DISTINCT l_suppkey) AS distinct_supps,
            count(*) AS n_items
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q29_approx_distinct" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+             * 1.0 / count(DISTINCT l_partkey) <= 0.1 AS approx_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q30_window_agg" ->
       """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,

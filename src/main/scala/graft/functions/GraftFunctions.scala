@@ -118,7 +118,6 @@ object GraftFunctions {
     * the casts remove. */
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.Count
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "formatReadableSize",
@@ -126,16 +125,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "rand_letters",
       es => RandLetters(Cast(es.head, LongType), Cast(es(1), IntegerType)), "built-in")
-    // ClickHouse spellings the reference SQL uses: `currentDatabase()`
-    // (Spark calls it current_database) and zero-argument `count()`
-    // (Spark requires count(*)). The count shim delegates non-empty
-    // argument lists to the builtin semantics unchanged.
+    // ClickHouse spelling the reference SQL uses: `currentDatabase()`
+    // (Spark calls it current_database) — a pure alias, safe to leave
+    // registered session-wide. The zero-arg `count()` spelling shadows a
+    // BUILTIN, so it is NOT registered here: use `withZeroArgCount` to
+    // scope it to the parity query that needs it.
     reg.createOrReplaceTempFunction(
       "currentDatabase",
       _ => org.apache.spark.sql.catalyst.expressions.CurrentDatabase(), "built-in")
-    reg.createOrReplaceTempFunction(
-      "count",
-      es => if (es.isEmpty) Count(Seq(Literal(1))) else Count(es), "built-in")
     spark.udf.register("toYYYYMMDDhh",
       (ts: java.sql.Timestamp) => { // registered for SQL-text parity only;
         // the Column API path uses the codegen'd date_format composition.
@@ -165,5 +162,30 @@ object GraftFunctions {
       es => MinHashSig(es.head, litInt(es(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "edit_distance", es => EditDistance(es.head, es(1)), "built-in")
+  }
+
+  /** Run `body` with ClickHouse's zero-argument `count()` spelling
+    * available (Spark requires `count(*)`), restoring the builtin
+    * afterwards. Scoped because this shadows a builtin for the whole
+    * session: leaving it registered would route every later
+    * `count`/`count(DISTINCT …)` through the shim — a session-wide
+    * behavior change a per-query helper must not make. Non-empty argument
+    * lists delegate to builtin semantics unchanged even inside the scope. */
+  def withZeroArgCount[A](spark: SparkSession)(body: => A): A = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+    val reg = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier("count")
+    val prevInfo = reg.lookupFunction(ident)
+    val prevBuilder = reg.lookupFunctionBuilder(ident)
+    reg.createOrReplaceTempFunction(
+      "count",
+      es => if (es.isEmpty) Count(Seq(Literal(1))) else Count(es), "built-in")
+    try body
+    finally (prevInfo, prevBuilder) match {
+      case (Some(info), Some(builder)) => reg.registerFunction(ident, info, builder)
+      case _ => reg.dropFunction(ident)
+    }
   }
 }

@@ -57,12 +57,23 @@ object AsOfJoin {
       .orderBy(
         (if (forward) col("__t").desc else col("__t").asc), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry the whole matched right row as ONE struct, not per-column
+    // last(ignoreNulls): a legitimately-NULL payload field in the nearest
+    // qualifying right row must be attached as NULL, not skipped in favor
+    // of an older row's value (and the tolerance gate below must compare
+    // against the match time of the row the payload actually came from).
+    // The struct is built only on right rows (null on left rows), so one
+    // last(ignoreNulls) picks the nearest right row as-is, nulls included.
+    val matched = when(
+      col("__tag") === 0,
+      struct(col("__rt").as("__mrt") +: payload.map(col): _*))
     val carried = l.unionByName(r)
+      .withColumn("__m", last(matched, ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
       .select(
         Seq(col("__tag"), col("__t")) ++ leftCols.map(col) ++
-          payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)) :+
-          last(col("__rt"), ignoreNulls = true).over(w).as("__rt"): _*)
-      .filter(col("__tag") === 1)
+          payload.map(p => col("__m").getField(p).as(p)) :+
+          col("__m").getField("__mrt").as("__rt"): _*)
     val gated = toleranceMillis match {
       case None => carried
       case Some(tol) =>

@@ -136,8 +136,10 @@ object Clusters {
     var converged = false
     while (!converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).limit(1).count() == 0
+      // one action per round: the edge sets are equal iff their symmetric
+      // difference is empty (both are distinct()-ed, so set semantics);
+      // isEmpty is a limit(1) probe, not a full count
+      converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
       edges = next
     }
 

@@ -1,5 +1,9 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,15 +12,18 @@ import graft.functions.Impl
 
 /** Multimodal-column plumbing (SURVEY.md §2.12): image/audio/video as
   * opaque `binary` columns with typed metadata, plus decode / feature-
-  * extract / frame-sample stages.
+  * extract / resize / frame-sample stages.
   *
-  * The actual codecs are NOT in this container, so the decode kernel is a
-  * clearly-marked deterministic fake — but everything Spark-side is real
-  * and tested: the schema, the binary column handling, the mapPartitions
-  * batch shape (the Scala analogue of `mapInPandas` — one iterator per
-  * partition, so a real decoder would amortize model/codec init per
-  * partition, not per row), and the partition-count control that keeps
-  * decode tasks balanced at scale.
+  * The IMAGE path is real end-to-end: `syntheticMedia` encodes actual
+  * PNGs (deterministic pixels), `extractFeatures` decodes them with the
+  * JDK's `javax.imageio` (no external dependency) and pools pixel
+  * statistics into the feature vector, and `resize` is a true
+  * nearest-neighbor pixel rescale with PNG re-encode. Audio/video codecs
+  * are NOT in this container, so those two branches keep a clearly-marked
+  * deterministic stub — but they run through the same mapPartitions batch
+  * shape (one iterator per partition, so a real codec would amortize its
+  * init per task, not per row) and the same partition-count control that
+  * keeps decode tasks balanced at scale.
   */
 object Multimodal {
 
@@ -34,9 +41,14 @@ object Multimodal {
       media_id: Long,
       media_type: String,
       n_bytes: Long,
-      // STUB feature vector — a real pipeline emits e.g. CLIP embeddings
+      // images: pooled per-bucket mean channel intensity from the REAL
+      // decode; audio/video: stub feature vector (see stubDecodeFeatures)
       features: Array[Double],
-      n_frames_sampled: Int)
+      n_frames_sampled: Int,
+      // geometry read back from the decoded image (0 for non-images) —
+      // the proof the decode actually ran
+      decoded_w: Int,
+      decoded_h: Int)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -46,25 +58,55 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("duration_ms", LongType, nullable = false)))
 
-  /** Deterministic synthetic media table: payload bytes derived from
-    * splitmix64 so tests are reproducible at any scale/partitioning. */
+  /** Deterministic per-id image geometry — small PNGs (≤ 32×28) so media
+    * fixtures stay cheap at any row count. */
+  private def imageGeometry(id: Long): (Int, Int) =
+    (16 + (id % 3).toInt * 8, 12 + (id % 2).toInt * 16)
+
+  /** Encode a real PNG whose pixels are a deterministic function of `id`
+    * only (splitmix64 per pixel) — reproducible at any partitioning. */
+  private[graft] def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (Impl.mix64(id * 1000003L + y * w + x) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic media table: image payloads are REAL PNGs,
+    * audio/video payloads are splitmix64 byte streams; both reproducible
+    * at any scale/partitioning. */
   def syntheticMedia(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { id =>
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val len = 64 + (Impl.mix64(id) & 0xFF).toInt
-      val payload = Array.tabulate[Byte](len)(i => Impl.mix64(id * 1000003L + i).toByte)
-      MediaRow(id, kind, payload, 640, 480, if (kind == "video") 10000L else 0L)
+      if (kind == "image") {
+        val (w, h) = imageGeometry(id)
+        MediaRow(id, kind, syntheticPng(id, w, h), w, h, 0L)
+      } else {
+        val len = 64 + (Impl.mix64(id) & 0xFF).toInt
+        val payload = Array.tabulate[Byte](len)(i => Impl.mix64(id * 1000003L + i).toByte)
+        MediaRow(id, kind, payload, 640, 480, if (kind == "video") 10000L else 0L)
+      }
     }
   }
 
-  /** STUB decode kernel — stands in for an image/audio codec. Deterministic
-    * function of the payload bytes only. A real implementation replaces
-    * ONLY this function; the pipeline shape stays identical. */
+  /** STUB decode kernel for audio/video — those codecs aren't in this
+    * container. Deterministic function of the payload bytes only. A real
+    * implementation replaces ONLY this function; the pipeline shape stays
+    * identical. */
   private def stubDecodeFeatures(payload: Array[Byte], dims: Int): Array[Double] = {
-    // ??? real codec goes here (e.g. JPEG decode → pooled embedding);
+    // ??? real codec goes here (e.g. ffmpeg decode → pooled embedding);
     // deterministic fake: chunked byte means, normalized.
     val out = new Array[Double](dims)
     var i = 0
@@ -76,50 +118,95 @@ object Multimodal {
     out.map(v => math.round(v / perBucket * 10000.0) / 10000.0)
   }
 
+  /** REAL image feature kernel: mean channel intensity pooled into `dims`
+    * buckets by pixel index — deterministic, and only computable from a
+    * successful decode (geometry comes from the decoded image, not the
+    * metadata columns). */
+  private def pngDecodeFeatures(payload: Array[Byte], dims: Int): (Array[Double], Int, Int) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](dims)
+    val counts = new Array[Long](dims)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / (3.0 * 255.0)
+        val b = (y * w + x) % dims
+        sums(b) += lum
+        counts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val feats = Array.tabulate(dims) { b =>
+      if (counts(b) == 0) 0.0
+      else math.round(sums(b) / counts(b) * 10000.0) / 10000.0
+    }
+    (feats, w, h)
+  }
+
   /** Decode + feature-extract via mapPartitions: iterator-per-partition so
-    * a real decoder initializes once per task (the reason this is NOT a
-    * per-row UDF). frameStride models video frame-sampling. */
+    * decoder init happens once per task (the reason this is NOT a per-row
+    * UDF). Images run the real ImageIO decode; frameStride models video
+    * frame-sampling on the stub branch. */
   def extractFeatures(
       media: Dataset[MediaRow],
       dims: Int = 16,
       frameStride: Int = 10): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init happens HERE in a real decoder (codec, model)
+      // per-partition codec init: no temp-file cache churn per image
+      ImageIO.setUseCache(false)
       rows.map { r =>
-        val sampledFrames =
-          if (r.media_type == "video") math.max(1, (r.duration_ms / 1000 / frameStride).toInt)
-          else 1
-        MediaFeatures(
-          r.media_id, r.media_type, r.payload.length.toLong,
-          stubDecodeFeatures(r.payload, dims), sampledFrames)
+        if (r.media_type == "image") {
+          val (feats, w, h) = pngDecodeFeatures(r.payload, dims)
+          MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+            feats, 1, w, h)
+        } else {
+          val sampledFrames =
+            if (r.media_type == "video") math.max(1, (r.duration_ms / 1000 / frameStride).toInt)
+            else 1
+          MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+            stubDecodeFeatures(r.payload, dims), sampledFrames, 0, 0)
+        }
       }
     }
   }
 
-  /** Resize stage: payload → payload at a new geometry, schema preserved
-    * so stages compose (`resize ∘ extractFeatures` order-free). The byte
-    * transform is the stub (a real stage wraps an image scaler here);
-    * deterministic: output length scales by the pixel ratio, bytes are
-    * strided picks from the input. Runs in the same mapPartitions shape
-    * as decode, so a real scaler shares the per-task init. */
+  /** Resize stage: a REAL nearest-neighbor pixel rescale with PNG
+    * re-encode for images (deterministic — no interpolation, so the
+    * output bytes are a pure function of the input pixels); non-images
+    * pass through. Schema preserved so stages compose
+    * (`resize ∘ extractFeatures` order-free); same mapPartitions shape as
+    * decode, so a heavier scaler would share the per-task init. */
   def resize(
       media: Dataset[MediaRow],
       targetW: Int,
       targetH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
       rows.map { r =>
         if (r.media_type != "image") r
         else {
-          val ratio = (targetW.toLong * targetH).toDouble / (r.width.toLong * r.height)
-          val outLen = math.max(1, math.ceil(r.payload.length * ratio).toInt)
-          // ??? real scaler goes here; strided byte sampling keeps it
-          // deterministic and size-faithful
-          val out = Array.tabulate[Byte](outLen) { i =>
-            r.payload(((i.toLong * r.payload.length) / outLen).toInt)
+          val src = ImageIO.read(new ByteArrayInputStream(r.payload))
+          val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < targetH) {
+            val sy = (y.toLong * src.getHeight / targetH).toInt
+            var x = 0
+            while (x < targetW) {
+              dst.setRGB(x, y, src.getRGB((x.toLong * src.getWidth / targetW).toInt, sy))
+              x += 1
+            }
+            y += 1
           }
-          r.copy(payload = out, width = targetW, height = targetH)
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(dst, "png", out)
+          r.copy(payload = out.toByteArray, width = targetW, height = targetH)
         }
       }
     }
@@ -134,6 +221,8 @@ object Multimodal {
         count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
         round(avg(element_at(col("features"), 1)), 4).as("avg_f0"),
-        sum(col("n_frames_sampled")).as("total_frames"))
+        sum(col("n_frames_sampled")).as("total_frames"),
+        max(col("decoded_w")).as("max_decoded_w"),
+        max(col("decoded_h")).as("max_decoded_h"))
       .orderBy(col("media_type"))
 }

@@ -36,7 +36,14 @@ object Quantiles {
       probes: Seq[(Double, String)]): DataFrame = {
     val g = groupCols.map(col)
     val base = df.select(g :+ valueCol.cast("double").as("__v"): _*)
-    val counts = base.groupBy(g :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+    // percentile_cont ignores NULL values but keeps the group (NULL
+    // result). Dropping null rows up front would lose all-NULL groups, so
+    // instead they stay as zero-count rows: they sort first (nulls-first),
+    // occupy the empty rank range [1, 0], never satisfy a rank-membership
+    // predicate, and contribute nothing to __n — a group with no non-null
+    // value interpolates max(NULL) = NULL, group row preserved.
+    val counts = base.groupBy(g :+ col("__v"): _*)
+      .agg(count(col("__v")).as("__c"))
     val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(g: _*)

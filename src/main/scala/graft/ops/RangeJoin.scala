@@ -34,17 +34,24 @@ object RangeJoin {
       endCol: String,
       keys: Seq[String],
       bucketSeconds: Long): DataFrame = {
+    // bucket at MICROsecond resolution — Spark timestamps are exactly
+    // microsecond precision, so no sub-unit truncation exists. The old
+    // unix_timestamp (whole seconds) version dropped matches for interval
+    // ends with sub-second fractions: floor((sec(end)-1)/w) could exclude
+    // a bucket the true end still reaches into.
+    val bucketMicros = bucketSeconds * 1000000L
     val bucket = (c: org.apache.spark.sql.Column) =>
-      floor(unix_timestamp(c) / bucketSeconds).cast("long")
+      floor(unix_micros(c) / bucketMicros).cast("long")
     val p = points.withColumn("__b", bucket(col(pointTime)))
     val iv = intervals.withColumn(
       "__b",
       explode(
         sequence(
           bucket(col(startCol)),
-          // end is exclusive: an interval ending exactly on a bucket
-          // boundary does not reach into that bucket
-          floor((unix_timestamp(col(endCol)) - 1) / bucketSeconds)
+          // end is exclusive: subtracting one microsecond (the timestamp
+          // quantum) excludes the next bucket exactly when end falls on a
+          // bucket boundary, and only then
+          floor((unix_micros(col(endCol)) - 1) / bucketMicros)
             .cast("long"))))
     p.join(iv, keys :+ "__b")
       .filter(

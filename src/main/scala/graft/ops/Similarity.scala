@@ -153,9 +153,14 @@ object Similarity {
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
 
-    // one row per block: id-sorted (id, vec, norm) triples
+    // one row per block: id-sorted (id, vec, norm) triples. Block on a
+    // mixed hash of the id, not the raw id — raw `id % nB` is uniform only
+    // when ids cover every residue class; filtered/sparse id sets would
+    // leave blocks empty (skew) and sequential ids would stripe.
     val blocks = vecs
-      .groupByKey { case (id, _) => (((id % nB) + nB) % nB).toInt }
+      .groupByKey { case (id, _) =>
+        java.lang.Long.remainderUnsigned(graft.functions.Impl.mix64(id), nB.toLong).toInt
+      }
       .mapGroups { (b, it) =>
         val arr = it.map { case (id, v) =>
           var n = 0.0; var i = 0
@@ -195,6 +200,10 @@ object Similarity {
             j <- (i + 1 until arr.length).iterator
             r <- score(arr(i), arr(j))
           } yield r
+        } else if (entries.length < 2) {
+          // the partner block is empty (small corpus / sparse hash range):
+          // nothing to score against — without this guard entries(1) throws
+          Iterator.empty
         } else {
           val as = entries(0)._4; val bs = entries(1)._4
           for {
@@ -337,25 +346,71 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥ τ,
-    * via LSH bucketing (no cross join). Approximate: a pair whose
-    * signatures differ is never scored — the recall/threshold trade is
-    * the point (exactness at all-pairs scale needs the block grid). */
+    * via multi-table LSH banding (no cross join). Approximate: a pair
+    * colliding in no table is never scored — the recall/threshold trade
+    * is the point (exactness at all-pairs scale needs the block grid).
+    *
+    * Scale geometry (the round-2 version had ONE fixed 8-plane table =
+    * 256 buckets forever, so bucket occupancy — and within-bucket pair
+    * work — grew linearly with n, quadratic total):
+    *   - bucket count per table is 2^nPlanes and nPlanes defaults to
+    *     auto-scaling with log₂(n), holding expected occupancy of random
+    *     (non-dup) vectors roughly constant as the corpus grows;
+    *   - nTables independent tables recover the recall the longer
+    *     signatures cost (union of collisions);
+    *   - only (table, sig, vec_id) travels through the candidate shuffle —
+    *     embeddings are re-joined per surviving candidate for the exact
+    *     cosine verify, like `Dedup.minhashPairs` re-joins signatures.
+    */
   def nearDupPairs(
       corpus: DataFrame,
       threshold: Double,
-      nPlanes: Int = 8,
+      nPlanes: Int = 0,
+      nTables: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val dim = embeddingDim(corpus)
-    val planes = hyperplanes(nPlanes, dim, seed)
-    val signed = corpus.select(
-      col("vec_id"), col("embedding"),
-      lshSignature(col("embedding"), planes).as("sig"))
-    val a = signed.select(col("sig"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = signed.select(col("sig"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, "sig")
-      .filter(col("id_a") < col("id_b"))
+    val cand = nearDupCandidates(corpus, nPlanes, nTables, seed)
+    val embA = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val embB = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    cand
+      .join(embA, "id_a")
+      .join(embB, "id_b")
       .withColumn("score", cosine(col("emb_a"), col("emb_b")))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
+  }
+
+  /** Candidate pairs for [[nearDupPairs]] — exposed for the hot-bucket
+    * scale test, which asserts candidates stay near-linear in n on a
+    * corpus of mutually-dissimilar vectors. nPlanes = 0 → auto:
+    * log₂(n/16) clamped to [8, 24], so per-table bucket count 2^planes
+    * tracks n/16 and expected random-collision candidates stay O(n) as
+    * the corpus grows (the r2 version's FIXED 256 buckets made them
+    * O(n²)); nTables independent tables buy back the recall the longer
+    * signatures cost. */
+  private[graft] def nearDupCandidates(
+      corpus: DataFrame,
+      nPlanes: Int,
+      nTables: Int,
+      seed: Long): DataFrame = {
+    val dim = embeddingDim(corpus)
+    val p =
+      if (nPlanes > 0) nPlanes
+      else {
+        val n = corpus.count().toDouble // one count() action at plan time
+        math.min(24, math.max(8, math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
+      }
+    val tables = Array.tabulate(nTables)(t => hyperplanes(p, dim, seed + t * 7919L))
+    val signed = corpus.select(
+      col("vec_id"),
+      explode(array(tables.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("table"), lshSignature(col("embedding"), planes).as("sig"))
+      }.toIndexedSeq: _*)).as("ts"))
+      .select(col("vec_id"), col("ts.table"), col("ts.sig"))
+    val a = signed.select(col("table"), col("sig"), col("vec_id").as("id_a"))
+    val b = signed.select(col("table"), col("sig"), col("vec_id").as("id_b"))
+    a.join(b, Seq("table", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair may collide in several tables
   }
 }

@@ -58,6 +58,36 @@ class AsOfSessionSpec extends SparkSpec {
     assert(tol == Map(1L -> None, 2L -> None, 3L -> Some(1.0), 4L -> Some(2.0)))
   }
 
+  test("asOf attaches the nearest row AS-IS: a legit-NULL payload is not skipped") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "a", ts("2026-01-01 10:30:00")), // nearest quote 10:20 has NULL v
+      (2L, "a", ts("2026-01-01 10:10:00"))) // nearest quote 10:00 has v=1.0
+      .toDF("id", "k", "t")
+    val right = Seq(
+      ("a", ts("2026-01-01 10:00:00"), Some(1.0)),
+      ("a", ts("2026-01-01 10:20:00"), None)) // the NULL that must be carried
+      .toDF("k", "qt", "v")
+    val out = AsOfJoin.asOf(left, right, "t", "qt", Seq("k"), Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // r2's per-column last(ignoreNulls) skipped the 10:20 NULL and carried
+    // the stale 10:00 value for id=1 — reference as-of semantics attach
+    // the matched row unchanged, nulls included
+    assert(out == Map(1L -> None, 2L -> Some(1.0)))
+
+    // tolerance gates on the time of the row the payload came from: id=1's
+    // nearest row (10:20, NULL) is within 15 min, id=2's (10:00) is too —
+    // both keep their own row's payload, no cross-row mixing
+    val tol = AsOfJoin.asOf(left, right, "t", "qt", Seq("k"), Seq("v"),
+      toleranceMillis = Some(15L * 60 * 1000))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(tol == Map(1L -> None, 2L -> Some(1.0)))
+  }
+
   test("asOf matches a naive max-preceding-quote join on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

@@ -61,8 +61,16 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(0) == "1.12 KiB")
     assert(r.getString(1).length == 5 && r.getString(1).forall(_.isLetter))
     assert(r.getString(2) == "default")
-    // ClickHouse zero-arg count() (the parts query's spelling)
-    assert(spark.sql("SELECT count() FROM range(3)").head.getLong(0) == 3L)
+    // ClickHouse zero-arg count() (the parts query's spelling) — scoped:
+    // inside the scope both spellings work, outside the builtin is back
+    // untouched (no session-wide shadow from a per-query helper)
+    GraftFunctions.withZeroArgCount(spark) {
+      assert(spark.sql("SELECT count() FROM range(3)").head.getLong(0) == 3L)
+      assert(spark.sql("SELECT count(id) FROM range(3)").head.getLong(0) == 3L)
+    }
+    intercept[Exception](spark.sql("SELECT count() FROM range(3)").collect())
+    assert(spark.sql("SELECT count(*), count(DISTINCT id % 2) FROM range(4)")
+      .head.getLong(0) == 4L)
   }
 
   test("formatReadableSize works as a Column (codegen path)") {

@@ -166,6 +166,76 @@ class OpsSpec extends SparkSpec {
     assert(result.contains((0L, 1000L)) && result.contains((1L, 1001L)))
   }
 
+  test("exact near-dup block grid survives tiny corpora and sparse id sets") {
+    import spark.implicits._
+    // 5 vectors whose ids cover few residue classes — with auto nB=16 most
+    // blocks are empty, so many block-pair groups have one present partner
+    // (the r2 version read entries(1) there and threw)
+    val rows = Seq(100L, 200L, 300L, 416L, 532L).map { id =>
+      (id, Array.tabulate(8)(i => math.sin(id * 0.1 + i).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    for (nB <- Seq(0, 8, 64)) {
+      val got = Similarity.exactNearDupPairs(corpus, threshold = 0.5, nBlocks = nB)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // independent driver-side brute force over the same doubles
+      val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble) }
+      val want = (for {
+        (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+        dot = va.zip(vb).map { case (x, y) => x * y }.sum
+        na = math.sqrt(va.map(x => x * x).sum)
+        nb = math.sqrt(vb.map(x => x * x).sum)
+        if dot / (na * nb) >= 0.5
+      } yield (ia, ib)).toSet
+      assert(got == want, s"nBlocks=$nB: got $got, want $want")
+    }
+    // empty corpus: no rows, no crash
+    assert(Similarity.exactNearDupPairs(
+      corpus.filter($"vec_id" < 0), threshold = 0.5, nBlocks = 4).count() == 0L)
+  }
+
+  test("banded nearDupPairs: recall vs the exact block grid on planted near-dups") {
+    import spark.implicits._
+    val dim = 64
+    val rows = for {
+      cluster <- 0 until 25
+      member <- 0 until 4
+    } yield {
+      val base = Array.tabulate(dim)(i => math.sin(cluster * 37.0 + i).toFloat * 10f)
+      val jitter = Array.tabulate(dim)(i =>
+        (graft.functions.Impl.mix64(cluster * 100L + member * 7L + i) % 100L) / 1000f)
+      (cluster * 4L + member, base.zip(jitter).map { case (b, j) => b + j })
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.exactNearDupPairs(corpus, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairs(corpus, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"nearDupPairs recall $recall (found ${lsh.size}, true ${exact.size})")
+    // every reported pair really clears the threshold (verify step is exact)
+    assert((lsh -- exact).isEmpty, "nearDupPairs must not report sub-threshold pairs")
+  }
+
+  test("nearDupPairs candidates grow linearly with n, not quadratically") {
+    import spark.implicits._
+    // mutually-dissimilar pseudo-random vectors: any candidate is a random
+    // bucket collision. With auto planes (buckets ∝ n) the expected
+    // candidate count is O(n); the r2 fixed-256-bucket geometry gave O(n²)
+    def randomCorpus(n: Int) = (0 until n).map { id =>
+      (id.toLong, Array.tabulate(32)(i =>
+        (graft.functions.Impl.mix64(id * 1000L + i) % 1000L) / 500f))
+    }.toDF("vec_id", "embedding")
+    val small = Similarity.nearDupCandidates(randomCorpus(4096), 0, 8, 42L).count()
+    val big = Similarity.nearDupCandidates(randomCorpus(16384), 0, 8, 42L).count()
+    val growth = big.toDouble / math.max(1L, small)
+    // 4× the rows: linear → ~4×, quadratic → ~16×. Allow generous noise.
+    assert(growth <= 6.5,
+      s"candidate growth $growth ( $small → $big ) suggests quadratic bucketing")
+    assert(big <= 16384L * 128, s"candidates not near-linear: $big")
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq(
@@ -206,21 +276,47 @@ class OpsSpec extends SparkSpec {
     assert(report.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
   }
 
-  test("multimodal resize: geometry updates, payload scales, non-images pass through") {
+  test("multimodal images decode for real: ImageIO geometry matches the encoded PNG") {
+    val media = Multimodal.syntheticMedia(spark, 45, partitions = 3)
+    val metaById = media.collect().map(r => r.media_id -> r).toMap
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.exists(_.media_type == "image"))
+    feats.foreach { f =>
+      if (f.media_type == "image") {
+        val m = metaById(f.media_id)
+        // geometry came out of ImageIO.read on the payload, not the
+        // metadata columns — equality proves a real decode happened
+        assert(f.decoded_w == m.width && f.decoded_h == m.height,
+          s"media ${f.media_id}: decoded ${f.decoded_w}x${f.decoded_h}, " +
+            s"encoded ${m.width}x${m.height}")
+        // real pixels: pooled luminance is strictly inside (0, 1)
+        assert(f.features.exists(v => v > 0.0 && v < 1.0))
+      } else assert(f.decoded_w == 0 && f.decoded_h == 0)
+    }
+  }
+
+  test("multimodal resize: real pixel rescale, geometry verified by re-decode") {
     val media = Multimodal.syntheticMedia(spark, 60, partitions = 4)
-    val resized = Multimodal.resize(media, 320, 240).collect()
+    val resized = Multimodal.resize(media, 24, 20).collect()
     val orig = media.collect().map(r => r.media_id -> r).toMap
     resized.foreach { r =>
       val o = orig(r.media_id)
       if (o.media_type == "image") {
-        assert(r.width == 320 && r.height == 240)
-        // quarter the pixels -> about a quarter the payload
-        assert(r.payload.length == math.max(1, math.ceil(o.payload.length * 0.25).toInt))
+        assert(r.width == 24 && r.height == 20)
+        // the resized payload is a valid PNG of the target geometry
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        assert(img.getWidth == 24 && img.getHeight == 20)
       } else assert(r.payload.sameElements(o.payload) && r.width == o.width)
     }
     // deterministic across partitionings
-    val again = Multimodal.resize(Multimodal.syntheticMedia(spark, 60, partitions = 2), 320, 240)
+    val again = Multimodal.resize(Multimodal.syntheticMedia(spark, 60, partitions = 2), 24, 20)
       .collect().map(r => r.media_id -> r.payload.toSeq).toMap
     assert(resized.map(r => r.media_id -> r.payload.toSeq).toMap == again)
+    // stages compose: features of resized images reflect the new geometry
+    val featsAfter = Multimodal.extractFeatures(
+      Multimodal.resize(Multimodal.syntheticMedia(spark, 12, partitions = 2), 24, 20))
+      .collect()
+    featsAfter.filter(_.media_type == "image")
+      .foreach(f => assert(f.decoded_w == 24 && f.decoded_h == 20))
   }
 }

@@ -83,6 +83,41 @@ class PlanSpec extends SparkSpec {
       s"funnel must stay a two-level aggregate:\n$p")
   }
 
+  test("q53 curation anti-join carries no pinned broadcast hint") {
+    // broadcasting the data-dependent dup-loser list is an OOM at scale:
+    // the plan must leave the anti-join strategy to AQE (hint absent),
+    // which broadcasts at runtime only when the measured size is small
+    val analyzed = SparkEntry.queries("q53_curation")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"q53 must not pin a join-side hint:\n$analyzed")
+  }
+
+  test("q69 LATERAL rewrites to a ranked join, never a nested-loop product") {
+    val p = plan("q69_lateral")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LATERAL degraded to a nested-loop product:\n$p")
+  }
+
+  test("q35 as-of join plans with zero join nodes") {
+    val p = plan("q35_asof_join")
+    assert(!p.contains("Join"), s"as-of must be the union+window shape, no join:\n$p")
+  }
+
+  test("AsOfJoin core: one hash-partition exchange, no join, no extra sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val left = Seq((1L, "a", "2026-01-01 10:00:00")).toDF("id", "k", "t")
+      .select($"id", $"k", to_timestamp($"t").as("t"))
+    val right = Seq(("a", "2026-01-01 09:00:00", 1.0)).toDF("k", "rt", "v")
+      .select($"k", to_timestamp($"rt").as("rt"), $"v")
+    val p = graft.ops.AsOfJoin.asOf(left, right, "t", "rt", Seq("k"), Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of core must not plan a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
+      s"as-of core is one key shuffle:\n$p")
+  }
+
   test("q10 fact-fact join keeps the aggregate above one shuffle exchange pair") {
     val p = plan("q10_join_shuffle")
     // large-side equi-join: either SMJ or shuffled hash — but never a

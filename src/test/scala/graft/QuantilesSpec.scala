@@ -24,6 +24,22 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("NULL values are ignored; all-NULL groups survive with NULL quantiles") {
+    import spark.implicits._
+    val df = Seq[(String, Option[Double])](
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", None), ("b", None))
+      .toDF("g", "v")
+    val rows = Quantiles.exact(df, Seq("g"), col("v"), Seq(0.5 -> "p50"))
+      .orderBy("g").collect()
+    // group a: percentile_cont over (1,3) ignoring the NULL → 2.0
+    assert(rows(0).getString(0) == "a" && rows(0).getDouble(1) == 2.0)
+    // group b: only NULLs → the group row is kept, quantile is NULL
+    // (percentile_cont semantics; r2 inflated __n with rank-bearing NULLs)
+    assert(rows(1).getString(0) == "b" && rows(1).isNullAt(1))
+    assert(rows.length == 2)
+  }
+
   test("distributed exact quantiles match Spark's percentile aggregate") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -46,4 +46,53 @@ class RangeJoinSpec extends SparkSpec {
       .groupBy("id", "tag").count().filter(col("count") > 1).count()
     assert(dup == 0)
   }
+
+  test("sub-second endpoints: no silent drops at bucket boundaries") {
+    import spark.implicits._
+    def mts(s: String, millis: Int) =
+      new java.sql.Timestamp(ts(s).getTime + millis)
+    // interval end reaches 300 ms past a 10 s bucket boundary: the point
+    // at boundary+100ms is inside — second-truncated bucketing computed
+    // the end bucket as floor((sec(end)-1)/10) and dropped it (ADVICE r2)
+    val points = Seq(
+      (1L, "k", mts("2026-01-01 10:00:20", 100)), // in [start, end) → match
+      (2L, "k", mts("2026-01-01 10:00:20", 400)), // past end → no match
+      (3L, "k", mts("2026-01-01 10:00:10", 0)),   // exact start → match
+      (4L, "k", mts("2026-01-01 10:00:09", 999))) // 1 ms before start → no
+      .toDF("id", "k", "t")
+    val intervals = Seq(
+      ("k", mts("2026-01-01 10:00:10", 0), mts("2026-01-01 10:00:20", 300), "w"))
+      .toDF("k", "s", "e", "tag")
+    val got = RangeJoin
+      .pointInInterval(points, intervals, "t", "s", "e", Seq("k"), 10L)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"sub-second boundary handling wrong: $got")
+
+    // exclusive end EXACTLY on a boundary: the point AT the end (id=3,
+    // 10:00:10.000) is excluded, the one 1 ms before (id=4) is included
+    val exact = Seq(("k", ts("2026-01-01 10:00:00"), ts("2026-01-01 10:00:10"), "w"))
+      .toDF("k", "s", "e", "tag")
+    val got2 = RangeJoin
+      .pointInInterval(points, exact, "t", "s", "e", Seq("k"), 10L)
+      .select("id").as[Long].collect().toSet
+    assert(got2 == Set(4L), s"exclusive-end boundary wrong: $got2")
+
+    // randomized: millisecond-jittered points/intervals vs the naive filter
+    val rnd = new scala.util.Random(5)
+    val rp = Seq.tabulate(800) { i =>
+      (i.toLong, s"k${i % 2}", mts("2026-01-01 10:00:00", rnd.nextInt(120000)))
+    }.toDF("id", "k", "t")
+    val ri = Seq.tabulate(40) { i =>
+      val s0 = rnd.nextInt(100000)
+      (s"k${i % 2}", mts("2026-01-01 10:00:00", s0),
+        mts("2026-01-01 10:00:00", s0 + 1 + rnd.nextInt(30000)), s"w$i")
+    }.toDF("k", "s", "e", "tag")
+    val gotR = RangeJoin.pointInInterval(rp, ri, "t", "s", "e", Seq("k"), 7L)
+      .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val wantR = rp.join(ri, Seq("k"))
+      .filter(col("t") >= col("s") && col("t") < col("e"))
+      .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gotR == wantR)
+    assert(wantR.nonEmpty)
+  }
 }
