@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.gen.DataGen
+import graft.system.{MetricsRegistry, PartsRegistry}
+import graft.table.EventTable
+
+/** Dev probe: per-stage timing of one ingest batch (generation, cache+T5
+  * aggregate, registry listings, partitioned write) to locate the ingest
+  * bottleneck. Not part of the driver contract. */
+object IngestProfile {
+  def main(args: Array[String]): Unit = {
+    val batchSize = args.lift(0).map(_.toLong).getOrElse(100000L)
+    val dir = "/tmp/graft_ingest_profile"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    EventTable.drop(spark, dir)
+    EventTable.create(spark, dir)
+    val parts = new PartsRegistry(spark, dir, "bench")
+    val metrics = new MetricsRegistry(spark)
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm
+    EventTable.append(DataGen.batch(spark, batchSize, new Timestamp(1690000000000L), Some(0L)).toDF(), dir)
+    EventTable.append(DataGen.batch(spark, batchSize, new Timestamp(1690000001000L), Some(1L)).toDF(), dir)
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (i <- 0 until 5) {
+      val (df, tGen) = time {
+        DataGen.batch(spark, batchSize, new Timestamp(1700000000000L + i * 1000L), Some(100L + i)).toDF()
+      }
+      val (_, tList) = time(parts.maxPartsPerPartition())
+      val staging = new org.apache.hadoop.fs.Path(dir, s".staging-$i")
+      val (_, tWrite) = time(EventTable.append(df, staging.toString))
+      val (_, tPublish) = time {
+        fs.listStatus(staging)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_hour="))
+          .foreach { d =>
+            val target = new org.apache.hadoop.fs.Path(dir, d.getPath.getName)
+            if (!fs.exists(target)) fs.mkdirs(target)
+            fs.listStatus(d.getPath)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .foreach(f => fs.rename(f.getPath,
+                new org.apache.hadoop.fs.Path(target, f.getPath.getName)))
+          }
+      }
+      val (_, tClean) = time(fs.delete(staging, true))
+      println(f"batch $i: gen=$tGen%.3f list=$tList%.3f write=$tWrite%.3f " +
+        f"publish=$tPublish%.3f clean=$tClean%.3f")
+      val _ = metrics
+    }
+    spark.stop()
+  }
+}

@@ -1,9 +1,9 @@
 package graft.ingest
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 
-import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+
 import graft.system.{MetricsRegistry, PartsRegistry}
 import graft.table.EventTable
 
@@ -12,10 +12,23 @@ import graft.table.EventTable
   * `insert_batch` → server-side MergeTree insert path (SURVEY.md §3.2;
   * reference: `scripts/insert_data.sh:27-51`).
   *
-  * Gate semantics (all pre-write, driver-side — cheap registry reads):
-  *   T5: distinct partitions in the block vs `maxPartitionsPerInsertBlock`;
-  *   T3: max active parts per partition ≥ throw → TooManyPartsException;
-  *   T2: ≥ delay → sleep `delayMillis`, count `DelayedInserts`, proceed.
+  * Gate semantics:
+  *   T3: max active parts per partition ≥ throw → TooManyPartsException
+  *       (pre-write, FS-listing read only);
+  *   T2: ≥ delay → sleep `delayMillis`, count `DelayedInserts`, proceed;
+  *   T5: distinct partitions in the block vs `maxPartitionsPerInsertBlock`
+  *       — checked on the STAGED layout before publish (below).
+  *
+  * Write path (the ingest hot loop — one Spark job per block, not three):
+  * the block is written straight to a dot-prefixed staging directory
+  * under the table (invisible to readers and the parts registry). The T5
+  * partition count and the row/byte accounting then fall out of the
+  * staged layout (dir listing + parallel footer metadata reads — no data
+  * pass), and publishing is a per-file rename into the partition dirs —
+  * so a rejected or failed block leaves NOTHING behind: insert blocks
+  * are all-or-nothing, the MergeTree semantic. The previous shape
+  * (persist + countDistinct pre-pass + cached write) computed the block
+  * three times and ran ~2× slower per batch.
   */
 final class Ingest(
     tablePath: String,
@@ -24,43 +37,62 @@ final class Ingest(
     metrics: MetricsRegistry,
     filesPerPartition: Int = 1) {
 
-  /** Append one insert block; returns rows written. The block is cached
-    * for the duration of the call so the T5 pre-check and the write share
-    * one computation (a generated/derived block would otherwise be
-    * recomputed per pass). */
+  /** Append one insert block; returns rows written. */
   def append(block: DataFrame): Long = {
     val s = flow.settings
-    val cached = block.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // T5 — partition-count cap per insert block (computes + caches).
-      val touched = cached
-        .select(GraftFunctions.toYYYYMMDDhh(col("event_time")).as("ph"))
-        .agg(countDistinct(col("ph")).as("n"), count(lit(1)).as("rows"))
-        .head()
-      val nPartitions = touched.getLong(0)
-      val nRows = touched.getLong(1)
-      if (nPartitions > s.maxPartitionsPerInsertBlock) {
+
+    // T2/T3 — delay / throw ladder on the most-loaded partition
+    // (FS-listing reads only; no data pass, no footer I/O).
+    flow.decide(parts.maxPartsPerPartition()) match {
+      case FlowControl.Delay(millis) =>
+        metrics("DelayedInserts").add(1)
+        Thread.sleep(millis)
+      case FlowControl.Throw(p) =>
         metrics("RejectedInserts").add(1)
-        throw new TooManyPartitionsException(nPartitions, s.maxPartitionsPerInsertBlock)
+        throw new TooManyPartsException(p, s.partsToThrowInsert)
+      case FlowControl.Ok => ()
+    }
+
+    val conf = block.sparkSession.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
+    val staging = new Path(tablePath, s".staging-${java.util.UUID.randomUUID()}")
+    try {
+      // one job: generate/shuffle/sort/encode straight into staging
+      EventTable.append(block, staging.toString, filesPerPartition)
+
+      // T5 — partition-count cap, read off the staged layout (no data pass)
+      val stagedDirs =
+        if (!fs.exists(staging)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(staging)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("part_hour="))
+      if (stagedDirs.length > s.maxPartitionsPerInsertBlock) {
+        metrics("RejectedInserts").add(1)
+        throw new TooManyPartitionsException(
+          stagedDirs.length.toLong, s.maxPartitionsPerInsertBlock)
       }
 
-      // T2/T3 — delay / throw ladder on the most-loaded partition
-      // (FS-listing reads only; no footer I/O on the hot path).
-      flow.decide(parts.maxPartsPerPartition()) match {
-        case FlowControl.Delay(millis) =>
-          metrics("DelayedInserts").add(1)
-          Thread.sleep(millis)
-        case FlowControl.Throw(p) =>
-          metrics("RejectedInserts").add(1)
-          throw new TooManyPartsException(p, s.partsToThrowInsert)
-        case FlowControl.Ok => ()
-      }
+      // row count from staged parquet footers — metadata-only, read in
+      // parallel (an Observation would be cleaner but its listener never
+      // fires for batches inside streaming foreachBatch)
+      val stagedFiles = stagedDirs.flatMap(d =>
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+      val nRows = java.util.Arrays.stream(stagedFiles).parallel()
+        .mapToLong(f => graft.system.PartsRegistry.footerRowCount(conf, f.getPath))
+        .sum()
 
-      val bytesBefore = parts.totalBytesOnDisk()
-      EventTable.append(cached, tablePath, filesPerPartition)
+      // publish: rename staged files into the partition dirs (file names
+      // carry the write job's UUID — no cross-batch collisions)
+      var bytes = 0L
+      stagedFiles.foreach { f =>
+        val target = new Path(tablePath, f.getPath.getParent.getName)
+        if (!fs.exists(target)) fs.mkdirs(target)
+        bytes += f.getLen
+        fs.rename(f.getPath, new Path(target, f.getPath.getName))
+      }
       metrics("InsertedRows").add(nRows)
-      metrics("InsertedBytes").add(parts.totalBytesOnDisk() - bytesBefore)
+      metrics("InsertedBytes").add(bytes)
       nRows
-    } finally cached.unpersist(blocking = false)
+    } finally fs.delete(staging, true)
   }
 }

@@ -84,11 +84,19 @@ final class PartsRegistry(spark: SparkSession, tablePath: String, val tableName:
   def partCounts(): Map[String, Long] =
     listFiles().groupBy(_.partition).map { case (k, v) => k -> v.size.toLong }
 
-  private def footerRowCount(p: Path): Long = {
+  private def footerRowCount(p: Path): Long =
+    PartsRegistry.footerRowCount(spark.sparkContext.hadoopConfiguration, p)
+}
+
+object PartsRegistry {
+  /** Exact row count from a parquet footer — metadata-only read, no data
+    * pages touched. Shared by the registry cache and the ingest publish
+    * path's row accounting. */
+  private[graft] def footerRowCount(
+      conf: org.apache.hadoop.conf.Configuration, p: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val in = HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration)
-    val reader = ParquetFileReader.open(in)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     try reader.getRecordCount finally reader.close()
   }
 }
