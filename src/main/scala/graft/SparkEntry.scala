@@ -815,21 +815,34 @@ object SparkEntry {
 
   /** Sketched quantiles (`approx_percentile`, Greenwald-Khanna): the
     * mergeable fixed-memory path that replaces q37's exact operator when
-    * distinct values per group stop fitting anywhere. No DuckDB oracle —
-    * sketches are engine-specific — so the driver records rows-only;
-    * `QuantilesSpec` bounds the error against the exact operator. */
-  private def qApproxQuantiles(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
+    * distinct values per group stop fitting anywhere. Raw sketch values
+    * are engine-specific, so the compared output carries the EXACT
+    * percentile_cont values (via the rank-range operator, which the q37
+    * oracle already proves) plus a derived per-probe tolerance boolean —
+    * |sketch − exact| ≤ 1% of exact — making the query hash-checkable
+    * while still executing the sketch; `QuantilesSpec` separately bounds
+    * the sketch error. */
+  private def qApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val approx = t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
           .as("qs"))
+    val exact = graft.ops.Quantiles.exact(
+      t(s, d, "lineitem"), Seq("l_returnflag"), col("l_extendedprice"),
+      Seq(0.5 -> "e50", 0.9 -> "e90", 0.99 -> "e99"))
+    approx.join(exact, "l_returnflag")
       .select(
         col("l_returnflag"),
-        round(element_at(col("qs"), 1), 2).as("p50"),
-        round(element_at(col("qs"), 2), 2).as("p90"),
-        round(element_at(col("qs"), 3), 2).as("p99"))
+        round(col("e50"), 2).as("p50"),
+        round(col("e90"), 2).as("p90"),
+        round(col("e99"), 2).as("p99"),
+        (abs(element_at(col("qs"), 1) - col("e50")) <= col("e50") * 0.01 &&
+          abs(element_at(col("qs"), 2) - col("e90")) <= col("e90") * 0.01 &&
+          abs(element_at(col("qs"), 3) - col("e99")) <= col("e99") * 0.01)
+          .as("sketch_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Window-function breadth: ranking (ntile, percent_rank, cume_dist)
     * and navigation (lag, lead, nth_value) over one per-key sort — all
@@ -1657,6 +1670,18 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM cc
                            WHERE cc.id = r.doc_id AND cc.cluster_id <> r.doc_id)
          ORDER BY r.doc_id""",
+    "q54_approx_quantiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+           abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+             <= quantile_cont(l_extendedprice, 0.5) * 0.01 AND
+           abs(approx_quantile(l_extendedprice, 0.9) - quantile_cont(l_extendedprice, 0.9))
+             <= quantile_cont(l_extendedprice, 0.9) * 0.01 AND
+           abs(approx_quantile(l_extendedprice, 0.99) - quantile_cont(l_extendedprice, 0.99))
+             <= quantile_cont(l_extendedprice, 0.99) * 0.01 AS sketch_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q55_window_functions" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
            CAST(ntile(4) OVER w AS BIGINT) AS quartile,

@@ -231,15 +231,16 @@ object Dedup {
     val sh = arrs.select(
       col("doc_id"), size(col("arr")).as("n"), explode(col("arr")).as("shingle"))
 
-    // document frequency as an unordered window over the shingle — one
-    // shuffle instead of a groupBy + re-join pair (the join would shuffle
-    // sh by shingle anyway); a hot shingle costs one task O(df) rows,
-    // linear, same distribution the explode already has
-    val wDf = Window.partitionBy(col("shingle"))
+    // document frequency via hash aggregate + join back: the df relation
+    // is one row per distinct shingle (vocab-sized, map-side combined),
+    // small enough that AQE broadcasts it — so the df attach is sort-free
+    // and costs no extra shuffle of the big exploded relation (a window
+    // over `shingle` would sort all n·|d| rows instead)
+    val dfMap = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // global rarest-first order; prefix length = n − ⌈τ·n⌉ + 1
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
     val prefix = sh
-      .withColumn("df", count(lit(1)).over(wDf))
+      .join(dfMap, "shingle")
       .withColumn("rnk", row_number().over(wDoc))
       .filter(col("rnk") <= col("n") - ceil(col("n") * threshold) + 1)
       .select(col("doc_id"), col("n"), col("shingle"))
