@@ -49,8 +49,8 @@ object Clusters {
     var assign = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    var changed = true
+    while (changed) {
       val nbrMin = edges
         .join(assign.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id"))
@@ -71,7 +71,9 @@ object Clusters {
           col("old"),
           least(col("mid"), coalesce(col("jump"), col("mid"))).as("label"))
         .localCheckpoint()
-      changed = jumped.filter(col("label") =!= col("old")).count()
+      // fixpoint probe, not a full count — limit(1) short-circuits the
+      // scan as soon as one changed label is found
+      changed = !jumped.filter(col("label") =!= col("old")).isEmpty
       assign = jumped.select(col("id"), col("label"))
     }
     val sizes = assign.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))

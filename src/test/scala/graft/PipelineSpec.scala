@@ -80,6 +80,27 @@ class PipelineSpec extends SparkSpec {
     assert(perDir.sum > 36, s"expected >1.5 files/partition on average, got ${perDir.sum}/24")
   }
 
+  test("staged append: empty blocks are a clean no-op; rejected blocks leave no files") {
+    val dir = Files.createTempDirectory("graft_stage").toString
+    val flow = new graft.ingest.FlowControl(FlowControlSettings(
+      maxPartitionsPerInsertBlock = 10))
+    val metrics = new graft.system.MetricsRegistry(spark)
+    val parts = new graft.system.PartsRegistry(spark, dir, "test_local")
+    val ingest = new graft.ingest.Ingest(dir, flow, parts, metrics)
+    // empty block: zero rows, zero staged partitions, nothing published
+    val batch = graft.gen.DataGen.batch(
+      spark, 100, java.sql.Timestamp.valueOf("2026-02-01 12:00:00"), Some(9L))
+    assert(ingest.append(batch.toDF().filter(org.apache.spark.sql.functions.lit(false))) == 0L)
+    assert(parts.totalActiveParts() == 0L)
+    // rejected block (24 partitions > cap 10): table stays empty — no
+    // partial partition dirs, no leftover staging dirs
+    intercept[graft.ingest.TooManyPartitionsException](ingest.append(batch.toDF()))
+    assert(parts.totalActiveParts() == 0L)
+    val leftovers = new java.io.File(dir).listFiles()
+    assert(leftovers == null || !leftovers.exists(_.getName.startsWith(".staging")),
+      s"staging dirs must be cleaned up: ${leftovers.mkString(",")}")
+  }
+
   test("partition cap (T5) rejects a block touching too many partitions") {
     val dir = Files.createTempDirectory("graft_cap").toString
     val flow = new graft.ingest.FlowControl(FlowControlSettings(
