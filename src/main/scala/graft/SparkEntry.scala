@@ -1139,6 +1139,56 @@ object SparkEntry {
       ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
   }
 
+  /** Benchmark decontamination: shingle-containment of a small eval set
+    * (docs with id % 97 == 0 stand in for it) against the whole corpus.
+    * Containment — not Jaccard — because a long document embedding a
+    * short eval item verbatim is exactly what must be flagged. Bench side
+    * broadcasts; corpus side is one map pass + one aggregate shuffle. */
+  private def qContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    graft.ops.Curation.contamination(
+      docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      shingleLen = 3, tau = 0.5)
+      .orderBy(col("corpus_id"), col("bench_id"))
+  }
+
+  /** PII scrub audit: plant deterministic e-mails (every doc) and phone
+    * numbers (even ids) into the corpus, then count + redact them with
+    * the map-only scrub pass. Hash-checked end-to-end, scrubbed text
+    * included (length + text), so the redaction itself is oracle-proven. */
+  private def qPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val planted = t(s, d, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" or call +1 555-"),
+            lpad((pmod(col("doc_id"), lit(900)) + 100).cast("string"), 3, "0"),
+            lit("-0000")))
+          .otherwise(lit(""))).as("text"))
+    graft.ops.Curation.scrubPii(planted, col("text"))
+      .select(
+        col("doc_id"),
+        col("n_emails").cast("long").as("n_emails"),
+        col("n_phones").cast("long").as("n_phones"),
+        length(col("scrubbed")).cast("long").as("n_chars_scrubbed"),
+        substring(col("scrubbed"), -40, 40).as("tail_scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-domain cap (web-corpus balance): keep the 10 lowest-id docs per
+    * source, report the per-source survivors. One window shuffle. */
+  private def qDomainCap(s: SparkSession, d: String): DataFrame =
+    graft.ops.Curation.capPerDomain(
+      t(s, d, "documents"), col("source"), cap = 10, orderCol = col("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        max(col("doc_id")).as("max_kept_id"),
+        sum(col("n_chars")).cast("long").as("kept_chars"))
+      .orderBy(col("source"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1212,7 +1262,10 @@ object SparkEntry {
     "q66_shard_assign" -> (qShardAssign _),
     "q67_data_quality" -> (qDataQuality _),
     "q68_skew_stats" -> (qSkewStats _),
-    "q69_lateral" -> (qLateral _))
+    "q69_lateral" -> (qLateral _),
+    "q70_contamination" -> (qContamination _),
+    "q71_pii_scrub" -> (qPiiScrub _),
+    "q72_domain_cap" -> (qDomainCap _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -1841,5 +1894,51 @@ object SparkEntry {
                   WHERE o.o_custkey = c.c_custkey
                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
          WHERE c.c_custkey <= 150
-         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
+    "q70_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(t) - 2, 1) + 1),
+                  i -> array_to_string(t[i:i+2], ' ')))) AS shingle FROM toks),
+         bench AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+         bsize AS (SELECT doc_id AS bench_id, count(*) AS b_n FROM bench GROUP BY 1),
+         inter AS (SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+                     count(*) AS n_inter
+                   FROM sh c JOIN bench b ON c.shingle = b.shingle
+                   GROUP BY 1, 2)
+         SELECT corpus_id, bench_id,
+           round(CAST(n_inter AS DOUBLE) / b_n, 4) AS containment
+         FROM inter JOIN bsize USING (bench_id)
+         WHERE CAST(n_inter AS DOUBLE) / b_n >= 0.5
+         ORDER BY corpus_id, bench_id""",
+    "q71_pii_scrub" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com' ||
+             CASE WHEN doc_id % 2 = 0
+               THEN ' or call +1 555-' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-0000'
+               ELSE '' END AS text
+           FROM documents),
+         scrubbed AS (
+           SELECT doc_id,
+             len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text, '\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS n_phones,
+             regexp_replace(
+               regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+               '\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '[PHONE]', 'g') AS s
+           FROM planted)
+         SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           CAST(len(s) AS BIGINT) AS n_chars_scrubbed,
+           CASE WHEN len(s) >= 40 THEN substr(s, len(s) - 39, 40) ELSE s END AS tail_scrubbed
+         FROM scrubbed ORDER BY doc_id""",
+    "q72_domain_cap" ->
+      """WITH ranked AS (
+           SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents)
+         SELECT source, count(*) AS n_kept, max(doc_id) AS max_kept_id,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         FROM ranked WHERE rn <= 10
+         GROUP BY source ORDER BY source""")
 }

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * beyond near-dup removal (SURVEY.md §2.12): benchmark decontamination,
+  * PII scrubbing, and per-domain caps.
+  */
+object Curation {
+
+  /** Benchmark-contamination check: flag corpus documents that CONTAIN a
+    * benchmark document — containment |A∩B| / |B| over k-shingle sets,
+    * not Jaccard: a 10k-token web page that embeds a 100-token eval item
+    * verbatim has tiny Jaccard but containment 1.0, and it's exactly the
+    * document decontamination must drop.
+    *
+    * Scale: the benchmark side is small by nature (eval sets are
+    * thousands of docs, the corpus is billions) — its exploded shingle
+    * relation broadcasts, so the corpus side is one map pass + one
+    * aggregate shuffle keyed on (corpus_id, bench_id); no corpus
+    * self-join anywhere. Shingles travel as 64-bit hashes (codegen
+    * kernel), never strings.
+    *
+    * @return (corpus_id, bench_id, containment ≥ tau) rows, containment
+    *         rounded 4dp. Self-matches (bench doc present in the corpus)
+    *         surface with containment 1.0 — genuine contamination.
+    */
+  def contamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      shingleLen: Int = 3,
+      tau: Double = 0.8): DataFrame = {
+    val c = corpus.select(
+      col("doc_id").as("corpus_id"),
+      explode(Dedup.shingleHashes(col("text"), shingleLen)).as("shingle"))
+    val b = bench.select(
+      col("doc_id").as("bench_id"),
+      explode(Dedup.shingleHashes(col("text"), shingleLen)).as("shingle"))
+    val bSizes = b.groupBy(col("bench_id")).agg(count(lit(1)).as("b_n"))
+    c.join(broadcast(b), "shingle")
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(bSizes), "bench_id")
+      .withColumn(
+        "containment",
+        round(col("n_inter").cast("double") / col("b_n").cast("double"), 4))
+      .filter(col("containment") >= tau)
+      .select(col("corpus_id"), col("bench_id"), col("containment"))
+  }
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+  /** PII scrub: count and redact e-mail addresses and phone numbers with
+    * codegen'd regexps — map-only, linear, the shape of every policy
+    * filter pass. Returns the scrubbed text plus per-kind match counts so
+    * the pass is auditable (and hash-checkable against an oracle). */
+  def scrubPii(docs: DataFrame, textCol: Column): DataFrame = {
+    val afterEmail = regexp_replace(textCol, emailRe, "[EMAIL]")
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(textCol, lit(emailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(textCol, lit(phoneRe), lit(0))))
+      .withColumn("scrubbed", regexp_replace(afterEmail, phoneRe, "[PHONE]"))
+  }
+
+  /** Per-domain cap — the classic web-corpus balance rule ("at most N
+    * documents per registrable domain"): deterministic keep = lowest
+    * doc_id per domain. One window shuffle on the domain key; skewed
+    * domains cost one task O(domain size) — the same distribution any
+    * per-domain pass already has. */
+  def capPerDomain(
+      docs: DataFrame,
+      domainCol: Column,
+      cap: Int,
+      orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(domainCol).orderBy(orderCol)
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+}

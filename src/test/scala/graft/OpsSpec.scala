@@ -236,6 +236,51 @@ class OpsSpec extends SparkSpec {
     assert(big <= 16384L * 128, s"candidates not near-linear: $big")
   }
 
+  test("contamination flags verbatim inclusion that jaccard misses") {
+    import spark.implicits._
+    val benchText = "the quick brown fox jumps over the lazy dog today"
+    val filler = (0 until 200).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$filler $benchText $filler"), // long doc EMBEDDING the bench doc
+      (2L, "completely unrelated words only here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val flagged = graft.ops.Curation.contamination(corpus, bench, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1 contains every bench shingle → containment 1.0 — while its
+    // jaccard vs the bench doc is ~8/400, far below any dedup threshold
+    assert(flagged.toSeq == Seq((1L, 100L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(
+      corpus.union(bench).toDF("doc_id", "text"), 3, 0.5).count()
+    assert(jac == 0L, "jaccard dedup must NOT catch the embedded eval doc")
+  }
+
+  test("pii scrub counts and redacts emails and phones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jane.doe@corp.io or +1 555-123-4567 ok"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Curation.scrubPii(df, col("text"))
+      .select("doc_id", "n_emails", "n_phones", "scrubbed")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1, 1, "reach me at [EMAIL] or [PHONE] ok")))
+    assert(out(2L) == ((0, 0, "no pii here at all")))
+  }
+
+  test("per-domain cap keeps the lowest-order rows per domain") {
+    import spark.implicits._
+    val df = (0 until 30).map(i => (i.toLong, s"d${i % 3}", s"t$i")).toDF("doc_id", "dom", "text")
+    val kept = graft.ops.Curation.capPerDomain(df, col("dom"), 4, col("doc_id"))
+      .select("dom", "doc_id").as[(String, Long)].collect()
+    assert(kept.length == 12)
+    kept.groupBy(_._1).foreach { case (dom, rows) =>
+      val ids = rows.map(_._2).sorted.toSeq
+      val lowest = (0 until 30).map(_.toLong).filter(i => s"d${i % 3}" == dom).take(4)
+      assert(ids == lowest, s"$dom kept $ids")
+    }
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq(
