@@ -50,6 +50,38 @@ object Curation {
       .select(col("corpus_id"), col("bench_id"), col("containment"))
   }
 
+  /** Streaming-safe decontamination FILTER: drop documents whose shingle
+    * containment against any benchmark doc reaches `tau`. The benchmark
+    * side is collected once (eval sets are small by nature — the one
+    * deliberate driver action here) and inlined as literal arrays, so the
+    * check is a stateless map-only expression: it runs unchanged on a
+    * streaming DataFrame (no join, no shuffle, no state store), which the
+    * join-based [[contamination]] report cannot.
+    *
+    * At 1000 executors this is the shape you want anyway: the bench
+    * shingle sets ride the closure once per executor, every incoming
+    * micro-batch row pays O(|doc| + Σ|bench|) with zero exchanges. */
+  def contaminationFilter(
+      docs: DataFrame,
+      bench: DataFrame,
+      shingleLen: Int = 3,
+      tau: Double = 0.8): DataFrame = {
+    val benchSets = bench
+      .select(Dedup.shingleHashes(col("text"), shingleLen).as("arr"))
+      .collect()
+      .map(_.getSeq[Long](0))
+      .filter(_.nonEmpty)
+    val sh = Dedup.shingleHashes(col("text"), shingleLen)
+    val contaminated = benchSets
+      .map { arr =>
+        val litArr = array(arr.map(lit).toIndexedSeq: _*)
+        size(array_intersect(sh, litArr)).cast("double") >= lit(tau * arr.size)
+      }
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    docs.filter(!contaminated)
+  }
+
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val phoneRe = "\\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
 

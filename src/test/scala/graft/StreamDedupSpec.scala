@@ -61,6 +61,44 @@ class StreamDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination filter drops embedded eval docs in-flight") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val benchText = "the quick brown fox jumps over the lazy dog today"
+    val filler = (0 until 50).map(i => s"w$i").mkString(" ")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val source = MemoryStream[(Long, String)]
+    val docs = source.toDF().toDF("doc_id", "text")
+    // stateless map-only filter: runs on a streaming DataFrame directly
+    val query = graft.ops.Curation.contaminationFilter(docs, bench, 3, 0.8)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(
+        (1L, s"$filler $benchText $filler"), // embeds the eval doc → drop
+        (2L, "clean document with its own words entirely"),
+        (3L, benchText)) // verbatim eval doc → drop
+      query.processAllAvailable()
+      source.addData((4L, s"another clean one $filler"))
+      query.processAllAvailable()
+      val ids = spark.table("decontam").select("doc_id").as[Long].collect().sorted
+      assert(ids === Array(2L, 4L))
+    } finally query.stop()
+
+    // batch equivalence: the filter drops exactly the docs the join-based
+    // contamination report flags
+    val batch = Seq(
+      (1L, s"$filler $benchText $filler"),
+      (2L, "clean document with its own words entirely"),
+      (3L, benchText),
+      (4L, s"another clean one $filler")).toDF("doc_id", "text")
+    val kept = graft.ops.Curation.contaminationFilter(batch, bench, 3, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = graft.ops.Curation.contamination(batch, bench, 3, 0.8)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L) -- flagged)
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
