@@ -101,6 +101,28 @@ class PipelineSpec extends SparkSpec {
       s"staging dirs must be cleaned up: ${leftovers.mkString(",")}")
   }
 
+  test("concurrent staged appends do not interfere (UUID staging, per-file rename)") {
+    val dir = Files.createTempDirectory("graft_conc").toString
+    val flow = new graft.ingest.FlowControl(FlowControlSettings(
+      partsToDelayInsert = 1000000, partsToThrowInsert = 2000000))
+    val metrics = new graft.system.MetricsRegistry(spark)
+    val parts = new graft.system.PartsRegistry(spark, dir, "test_local")
+    val ingest = new graft.ingest.Ingest(dir, flow, parts, metrics)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rows = Future.sequence((0 until 4).toList.map { i =>
+      Future(ingest.append(graft.gen.DataGen.batch(
+        spark, 600, java.sql.Timestamp.valueOf("2026-02-01 12:00:00"), Some(70L + i)).toDF()))
+    })
+    assert(Await.result(rows, 120.seconds).sum == 2400L)
+    assert(metrics.value("InsertedRows") == 2400L)
+    // every batch landed: 4 parts per touched partition, rows add up
+    assert(graft.table.EventTable.read(spark, dir).count() == 2400L)
+    assert(parts.partCounts().values.forall(_ == 4L),
+      s"each batch contributes one part per partition: ${parts.partCounts()}")
+  }
+
   test("partition cap (T5) rejects a block touching too many partitions") {
     val dir = Files.createTempDirectory("graft_cap").toString
     val flow = new graft.ingest.FlowControl(FlowControlSettings(

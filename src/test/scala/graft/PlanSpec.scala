@@ -118,6 +118,14 @@ class PlanSpec extends SparkSpec {
       s"as-of core is one key shuffle:\n$p")
   }
 
+  test("q70 contamination broadcasts the bench side — corpus is never self-joined") {
+    val p = plan("q70_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench shingles must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"contamination must not shuffle-join the corpus:\n$p")
+  }
+
   test("q10 fact-fact join keeps the aggregate above one shuffle exchange pair") {
     val p = plan("q10_join_shuffle")
     // large-side equi-join: either SMJ or shuffled hash — but never a
