@@ -1177,6 +1177,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Soft dedup: near-dup clusters (jaccard ≥ 0.8 → CC) weight each doc
+    * 1/|cluster|; the deterministic multiplicative-hash sample keeps one
+    * expected survivor per cluster. Report: survivors joined back with
+    * their cluster size, so both the sampling rule and the clustering
+    * are oracle-checked in one output. */
+  private def qSoftDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val clusters = graft.ops.Clusters.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, shingleLen = 3, threshold = 0.8))
+    graft.ops.Curation.softDedupSample(docs.select(col("doc_id"), col("source")), clusters)
+      .groupBy(col("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("min_kept_id"),
+        max(col("doc_id")).as("max_kept_id"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Per-domain cap (web-corpus balance): keep the 10 lowest-id docs per
     * source, report the per-source survivors. One window shuffle. */
   private def qDomainCap(s: SparkSession, d: String): DataFrame =
@@ -1265,7 +1283,8 @@ object SparkEntry {
     "q69_lateral" -> (qLateral _),
     "q70_contamination" -> (qContamination _),
     "q71_pii_scrub" -> (qPiiScrub _),
-    "q72_domain_cap" -> (qDomainCap _))
+    "q72_domain_cap" -> (qDomainCap _),
+    "q73_soft_dedup" -> (qSoftDedup _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -1940,5 +1959,37 @@ object SparkEntry {
          SELECT source, count(*) AS n_kept, max(doc_id) AS max_kept_id,
            CAST(sum(n_chars) AS BIGINT) AS kept_chars
          FROM ranked WHERE rn <= 10
-         GROUP BY source ORDER BY source""")
+         GROUP BY source ORDER BY source""",
+    "q73_soft_dedup" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(t) - 2, 1) + 1),
+                  i -> array_to_string(t[i:i+2], ' ')))) AS shingle FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter
+                   JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+                   WHERE round(CAST(n_inter AS DOUBLE)
+                         / (sa.n + sb.n - n_inter), 4) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         walk(id, label) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id),
+         cc AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+         csize AS (SELECT id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                     AS cluster_size FROM cc),
+         weighted AS (
+           SELECT d.doc_id, coalesce(cs.cluster_size, 1) AS cluster_size,
+             CAST(((d.doc_id % 1000003) * 2654435761) % 1000000007 AS DOUBLE)
+               / 1000000007.0 AS u
+           FROM documents d LEFT JOIN csize cs ON cs.id = d.doc_id)
+         SELECT cluster_size, count(*) AS n_kept,
+           min(doc_id) AS min_kept_id, max(doc_id) AS max_kept_id
+         FROM weighted WHERE u * cluster_size < 1.0
+         GROUP BY cluster_size ORDER BY cluster_size""")
 }

@@ -97,6 +97,28 @@ object Curation {
       .withColumn("scrubbed", regexp_replace(afterEmail, phoneRe, "[PHONE]"))
   }
 
+  /** Repetition-aware ("soft dedup") sampling: keep each document with
+    * probability 1/|its near-dup cluster|, so every cluster contributes
+    * ONE expected survivor — the soft alternative to hard dedup when the
+    * duplication signal itself carries information (popular pages) but
+    * must not dominate the token budget n-fold.
+    *
+    * Deterministic and engine-reproducible: the keep decision is a
+    * multiplicative-hash uniform in [0,1) (pre-mod keeps the product
+    * under 2^63 — DuckDB errors on BIGINT overflow where Spark wraps),
+    * so the oracle can replay it exactly. Unclustered docs have cluster
+    * size 1 and always survive. One broadcastable join against the
+    * (doc_id → cluster_size) relation; otherwise map-only. */
+  def softDedupSample(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val sizes = clusters.select(col("id").as("doc_id"), col("cluster_size"))
+    val u = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000000007L))
+      .cast("double") / lit(1000000007.0)
+    docs
+      .join(sizes, Seq("doc_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .filter(u * col("cluster_size") < 1.0)
+  }
+
   /** Per-domain cap — the classic web-corpus balance rule ("at most N
     * documents per registrable domain"): deterministic keep = lowest
     * doc_id per domain. One window shuffle on the domain key; skewed

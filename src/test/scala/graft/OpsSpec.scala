@@ -268,6 +268,21 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == ((0, 0, "no pii here at all")))
   }
 
+  test("soft dedup keeps every singleton and ~1/size of each cluster, deterministically") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(id => (id, s"t$id")).toDF("doc_id", "text")
+    // one planted cluster: docs 0-9, size 10; everything else unclustered
+    val clusters = (0L until 10L).map(id => (id, 0L, 10L))
+      .toDF("id", "cluster_id", "cluster_size")
+    val kept = graft.ops.Curation.softDedupSample(docs, clusters)
+      .select("doc_id").as[Long].collect().toSet
+    def u(id: Long) = ((id % 1000003L) * 2654435761L % 1000000007L).toDouble / 1000000007.0
+    // singletons always survive (u < 1); cluster members iff u < 1/10
+    val expected = (10L until 100L).toSet ++ (0L until 10L).filter(id => u(id) * 10 < 1.0)
+    assert(kept == expected)
+    assert((10L until 100L).forall(kept.contains), "singletons must all survive")
+  }
+
   test("per-domain cap keeps the lowest-order rows per domain") {
     import spark.implicits._
     val df = (0 until 30).map(i => (i.toLong, s"d${i % 3}", s"t$i")).toDF("doc_id", "dom", "text")
