@@ -1207,6 +1207,45 @@ object SparkEntry {
         sum(col("n_chars")).cast("long").as("kept_chars"))
       .orderBy(col("source"))
 
+  /** q74's incrementally-maintained rollup, built once per (JVM, dir):
+    * the events fixture is appended in two halves with a partition-scoped
+    * `Rollup.refresh` after each — so the relation the query reads was
+    * produced by incremental maintenance, and the oracle (a plain
+    * aggregation of the raw events) proves the maintenance correct. */
+  private val rollupFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qRollupIncremental(s: SparkSession, d: String): DataFrame = {
+    val roll = rollupFixtureDirs.computeIfAbsent(d, (dd: String) => {
+      val evAll = events(s, dd).select(
+        col("event_id").as("id"), col("ts").as("event_time"),
+        col("event_type"), col("value"))
+      // bound the fixture to the first 18 event hours (q33's convention):
+      // the full span is ~720 hourly partitions at sf0.1 and the point
+      // here is maintenance correctness, not partition count
+      val minHour = evAll
+        .agg(min(GraftFunctions.toYYYYMMDDhh(col("event_time")))).head.getInt(0)
+      val ev = evAll.filter(
+        GraftFunctions.toYYYYMMDDhh(col("event_time")) <= minHour + 17)
+      val base = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+      val rollDir = base + "_rollup"
+      val rollup = new graft.table.Rollup(
+        s, base, rollDir, "part_hour", Seq("event_type"),
+        Seq(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value")))
+      Seq(0, 1).foreach { parity =>
+        val half = ev.filter(pmod(col("id"), lit(2)) === parity)
+        graft.table.EventTable.append(half, base)
+        rollup.refresh(half
+          .select(GraftFunctions.toYYYYMMDDhh(col("event_time")).as("h"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq)
+      }
+      rollDir
+    })
+    s.read.parquet(roll)
+      .select(col("part_hour"), col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("part_hour"), col("event_type"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1284,7 +1323,8 @@ object SparkEntry {
     "q70_contamination" -> (qContamination _),
     "q71_pii_scrub" -> (qPiiScrub _),
     "q72_domain_cap" -> (qDomainCap _),
-    "q73_soft_dedup" -> (qSoftDedup _))
+    "q73_soft_dedup" -> (qSoftDedup _),
+    "q74_rollup_incremental" -> (qRollupIncremental _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -1991,5 +2031,12 @@ object SparkEntry {
          SELECT cluster_size, count(*) AS n_kept,
            min(doc_id) AS min_kept_id, max(doc_id) AS max_kept_id
          FROM weighted WHERE u * cluster_size < 1.0
-         GROUP BY cluster_size ORDER BY cluster_size""")
+         GROUP BY cluster_size ORDER BY cluster_size""",
+    "q74_rollup_incremental" ->
+      """WITH h AS (SELECT CAST(strftime(ts, '%Y%m%d%H') AS INTEGER) AS ph,
+                      event_type, value FROM events)
+         SELECT ph AS part_hour, event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+         FROM h WHERE ph <= (SELECT min(ph) FROM h) + 17
+         GROUP BY 1, 2 ORDER BY 1, 2""")
 }

@@ -1,0 +1,50 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained pre-aggregation — the Spark restatement of
+  * ClickHouse's AggregatingMergeTree/materialized-view pattern over the
+  * engine's hourly-partitioned table (reference table family:
+  * `sql/create_local.sql`).
+  *
+  * The rollup is itself a partitioned parquet table holding one
+  * aggregated row-group per (partition, dims) slice. `refresh(touched)`
+  * recomputes ONLY the touched partitions from the base table — the base
+  * scan is partition-pruned by the `isin` filter, and the write uses
+  * dynamic partition overwrite so untouched rollup partitions are never
+  * rewritten. Maintenance cost is therefore O(new data), not O(table):
+  * at 100 TB an hourly batch touches a handful of hour partitions and
+  * the refresh reads exactly those directories.
+  *
+  * Aggregates must be re-aggregable from raw rows (count/sum/min/max —
+  * the same restriction AggregatingMergeTree's merge states encode).
+  */
+final class Rollup(
+    spark: SparkSession,
+    basePath: String,
+    rollupPath: String,
+    partitionCol: String,
+    dims: Seq[String],
+    aggs: Seq[Column]) {
+
+  /** Recompute the rollup slices for `touched` partition values from the
+    * base table (pruned scan) and swap exactly those partitions in. */
+  def refresh(touched: Seq[Int]): Unit = {
+    if (touched.isEmpty) return
+    val base = spark.read.parquet(basePath)
+      .filter(col(partitionCol).isin(touched.map(Integer.valueOf): _*))
+    base
+      .groupBy((partitionCol +: dims).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      // one file per rollup partition: the aggregate is tiny by design
+      .repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(rollupPath)
+  }
+
+  /** The rollup as a queryable relation (partition column included). */
+  def read(): DataFrame = spark.read.parquet(rollupPath)
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.table.{EventTable, Rollup}
+
+class RollupSpec extends SparkSpec {
+
+  private def touchedHours(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.select(graft.functions.GraftFunctions.toYYYYMMDDhh(col("event_time")).as("h"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+  test("incremental refresh keeps the rollup equal to the full aggregation") {
+    val base = Files.createTempDirectory("graft_rollup_base").toString
+    val roll = Files.createTempDirectory("graft_rollup_agg").toString + "/r"
+    val rollup = new Rollup(
+      spark, base, roll,
+      partitionCol = "part_hour", dims = Seq("event_type"),
+      aggs = Seq(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value")))
+
+    def check(): Unit = {
+      val got = rollup.read()
+        .select("part_hour", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      val want = EventTable.read(spark, base)
+        .groupBy(col("part_hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("tv"))
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == want)
+      assert(got.nonEmpty)
+    }
+
+    // batch 1: 24 hours starting midnight
+    val b1 = graft.gen.DataGen.batch(
+      spark, 3000, java.sql.Timestamp.valueOf("2026-03-01 12:00:00"), Some(1L)).toDF()
+    EventTable.append(b1, base)
+    rollup.refresh(touchedHours(b1))
+    check()
+
+    // batch 2: overlaps 12 of batch 1's hours (same day, later start)
+    val b2 = graft.gen.DataGen.batch(
+      spark, 3000, java.sql.Timestamp.valueOf("2026-03-02 00:00:00"), Some(2L)).toDF()
+    val untouched = rollup.read()
+      .filter(!col("part_hour").isin(touchedHours(b2).map(Integer.valueOf): _*))
+      .count()
+    assert(untouched > 0, "fixture must leave some partitions untouched")
+    val beforeFiles = new java.io.File(roll).listFiles()
+      .filter(_.getName.startsWith("part_hour="))
+      .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.lastModified())).toSet)
+      .toMap
+    EventTable.append(b2, base)
+    rollup.refresh(touchedHours(b2))
+    check()
+
+    // incrementality: partitions outside batch 2's hours were NOT rewritten
+    val touchedSet = touchedHours(b2).map(h => s"part_hour=$h").toSet
+    val afterFiles = new java.io.File(roll).listFiles()
+      .filter(_.getName.startsWith("part_hour="))
+      .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.lastModified())).toSet)
+      .toMap
+    beforeFiles.keys.filterNot(touchedSet).foreach { p =>
+      assert(afterFiles(p) == beforeFiles(p), s"untouched partition $p was rewritten")
+    }
+  }
+
+  test("refresh scan is partition-pruned to the touched hours") {
+    val base = Files.createTempDirectory("graft_rollup_prune").toString
+    val b = graft.gen.DataGen.batch(
+      spark, 2000, java.sql.Timestamp.valueOf("2026-03-01 12:00:00"), Some(7L)).toDF()
+    EventTable.append(b, base)
+    val hour = touchedHours(b).min
+    val pruned = spark.read.parquet(base).filter(col("part_hour").isin(hour))
+    val files = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(files == Seq(1), s"expected 1 pruned partition, got $files")
+  }
+}
