@@ -126,6 +126,15 @@ class PlanSpec extends SparkSpec {
       s"contamination must not shuffle-join the corpus:\n$p")
   }
 
+  test("q22/q23 ANN queries broadcast the query side, never cartesian the corpus") {
+    for (q <- Seq("q22_cosine_topk", "q23_lsh_topk")) {
+      val p = plan(q)
+      assert(p.contains("Broadcast"), s"$q: query side must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$q: corpus must not shuffle against the query side:\n$p")
+    }
+  }
+
   test("q10 fact-fact join keeps the aggregate above one shuffle exchange pair") {
     val p = plan("q10_join_shuffle")
     // large-side equi-join: either SMJ or shuffled hash — but never a
