@@ -1,0 +1,35 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** `Dataset.localCheckpoint()` pins its blocks in the block manager for
+  * the life of the JVM — there is no public API to release them (the
+  * blocks belong to an internal RDD the public `unpersist` never sees).
+  * Iterative operators (connected components) supersede a checkpoint
+  * every round; without an explicit release each round's blocks
+  * accumulate until they crowd out execution memory — on a long-lived
+  * session (a bench loop, a notebook, a streaming driver) that is a
+  * slow JVM-wide leak. This bridge lives in the `org.apache.spark.sql`
+  * package solely to reach the checkpointed RDD behind `LogicalRDD`. */
+object CheckpointRelease {
+
+  /** Release the storage blocks behind a `localCheckpoint()`ed frame.
+    * Safe only once no live plan references the frame (its lineage is
+    * truncated — the data cannot be recomputed). No-op for frames that
+    * are not checkpoint scans. */
+  def release(df: DataFrame): Unit = df.queryExecution.logical match {
+    case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
+
+  /** Drop every persisted/checkpointed RDD in the session's context —
+    * the between-queries sweep for batch harnesses (Bench/Verify run 74
+    * independent queries in one JVM; anything a finished query left
+    * pinned is pure memory pressure for the next one). */
+  def sweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+}
