@@ -35,7 +35,11 @@ final class Ingest(
     flow: FlowControl,
     parts: PartsRegistry,
     metrics: MetricsRegistry,
-    filesPerPartition: Int = 1) {
+    filesPerPartition: Int = 1,
+    // live rollup maintenance (the materialized-view-on-insert semantic of
+    // the AggregatingMergeTree pattern): when set, every published block
+    // refreshes exactly its touched partitions
+    rollup: Option[graft.table.Rollup] = None) {
 
   /** Append one insert block; returns rows written. */
   def append(block: DataFrame): Long = {
@@ -92,6 +96,14 @@ final class Ingest(
       }
       metrics("InsertedRows").add(nRows)
       metrics("InsertedBytes").add(bytes)
+
+      // rollup maintenance after publish: the touched-partition list falls
+      // out of the staged dir names (no extra scan), and refresh prunes
+      // its base read to exactly those hours — O(new data), not O(table)
+      if (rollup.nonEmpty && stagedDirs.nonEmpty)
+        rollup.get.refresh(stagedDirs
+          .map(_.getPath.getName.stripPrefix("part_hour=").toInt)
+          .toIndexedSeq)
       nRows
     } finally fs.delete(staging, true)
   }

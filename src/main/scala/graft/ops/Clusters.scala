@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CheckpointRelease
 
 /** Connected components over an undirected edge list — the endgame of
   * every near-dup pipeline: pair lists (minhash/simhash/jaccard output)
@@ -46,9 +47,10 @@ object Clusters {
       .distinct()
       .localCheckpoint()
 
-    var assign = edges.select(col("u").as("id")).distinct()
+    var assignCp = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    var assign = assignCp
     var changed = true
     while (changed) {
       val nbrMin = edges
@@ -74,8 +76,14 @@ object Clusters {
       // fixpoint probe, not a full count — limit(1) short-circuits the
       // scan as soon as one changed label is found
       changed = !jumped.filter(col("label") =!= col("old")).isEmpty
+      // `jumped` is eagerly materialized above — the previous round's
+      // checkpoint blocks are now unreachable by any live plan; release
+      // them so a long convergence doesn't pin O(rounds · n) block memory
+      CheckpointRelease.release(assignCp)
+      assignCp = jumped
       assign = jumped.select(col("id"), col("label"))
     }
+    CheckpointRelease.release(edges)
     val sizes = assign.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     assign
       .join(sizes, "label")
@@ -142,6 +150,9 @@ object Clusters {
       // difference is empty (both are distinct()-ed, so set semantics);
       // isEmpty is a limit(1) probe, not a full count
       converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      // the probe above was the last reader of the old edge set — release
+      // its checkpoint blocks before they stack up round over round
+      CheckpointRelease.release(edges)
       edges = next
     }
 

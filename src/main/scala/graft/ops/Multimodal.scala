@@ -18,12 +18,22 @@ import graft.functions.Impl
   * PNGs (deterministic pixels), `extractFeatures` decodes them with the
   * JDK's `javax.imageio` (no external dependency) and pools pixel
   * statistics into the feature vector, and `resize` is a true
-  * nearest-neighbor pixel rescale with PNG re-encode. Audio/video codecs
-  * are NOT in this container, so those two branches keep a clearly-marked
-  * deterministic stub — but they run through the same mapPartitions batch
-  * shape (one iterator per partition, so a real codec would amortize its
-  * init per task, not per row) and the same partition-count control that
-  * keeps decode tasks balanced at scale.
+  * nearest-neighbor pixel rescale with PNG re-encode.
+  *
+  * The AUDIO path is real too: payloads are valid WAV files (PCM 16-bit
+  * containers written by `javax.sound.sampled` — also JDK built-in),
+  * decoded back through `AudioSystem.getAudioInputStream`; features are
+  * per-bucket RMS energy, and channel count / duration are read from the
+  * DECODED stream, not the metadata columns — the proof the codec ran.
+  * The synthetic waveform is a fixed-amplitude sine, so decoded RMS has
+  * a closed-form expected value (amp/√2) the test suite asserts.
+  *
+  * VIDEO codecs are NOT in this container (no JDK equivalent), so that
+  * one branch keeps a clearly-marked deterministic stub — but it runs
+  * through the same mapPartitions batch shape (one iterator per
+  * partition, so a real codec would amortize its init per task, not per
+  * row) and the same partition-count control that keeps decode tasks
+  * balanced at scale.
   */
 object Multimodal {
 
@@ -41,14 +51,19 @@ object Multimodal {
       media_id: Long,
       media_type: String,
       n_bytes: Long,
-      // images: pooled per-bucket mean channel intensity from the REAL
-      // decode; audio/video: stub feature vector (see stubDecodeFeatures)
+      // images: pooled per-bucket mean channel intensity; audio: per-bucket
+      // RMS energy — both from REAL decodes; video: stub feature vector
+      // (see stubDecodeFeatures)
       features: Array[Double],
       n_frames_sampled: Int,
       // geometry read back from the decoded image (0 for non-images) —
       // the proof the decode actually ran
       decoded_w: Int,
-      decoded_h: Int)
+      decoded_h: Int,
+      // audio analogue of the geometry proof: channel count and duration
+      // read from the decoded WAV stream (0 for non-audio)
+      decoded_channels: Int,
+      decoded_dur_ms: Long)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -81,28 +96,112 @@ object Multimodal {
     out.toByteArray
   }
 
+  private val wavSampleRate = 8000
+
+  /** Deterministic per-id audio shape: (channels, samples, amplitude).
+    * Channels alternate 1/2, durations land in 100–140 ms, amplitude in
+    * (0.2, 0.9) of full scale — small files, non-trivial decode. */
+  private def audioGeometry(id: Long): (Int, Int, Double) = (
+    1 + (id % 2).toInt,
+    800 + (id % 5).toInt * 80,
+    0.2 + (Impl.mix64(id) & 0xFF) / 365.0)
+
+  /** Encode a real WAV (PCM 16-bit little-endian) via `javax.sound.
+    * sampled`: a fixed-amplitude sine per channel, frequency offset per
+    * channel so stereo frames aren't duplicated mono. Deterministic in
+    * `id` only. */
+  private[graft] def syntheticWav(
+      id: Long, channels: Int, nSamples: Int, amp: Double): Array[Byte] = {
+    val freq = 200.0 + (id % 7).toDouble * 60.0
+    val pcm = new Array[Byte](nSamples * channels * 2)
+    var i = 0
+    while (i < nSamples) {
+      var c = 0
+      while (c < channels) {
+        val v = amp * math.sin(
+          2.0 * math.Pi * (freq + c * 40.0) * i / wavSampleRate)
+        val s = math.max(-32767, math.min(32767, math.round(v * 32767.0))).toInt
+        val off = (i * channels + c) * 2
+        pcm(off) = (s & 0xFF).toByte
+        pcm(off + 1) = ((s >> 8) & 0xFF).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      wavSampleRate.toFloat, 16, channels, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic synthetic media table: image payloads are REAL PNGs,
-    * audio/video payloads are splitmix64 byte streams; both reproducible
-    * at any scale/partitioning. */
+    * audio payloads are REAL WAVs, video payloads are splitmix64 byte
+    * streams (stub codec); all reproducible at any scale/partitioning. */
   def syntheticMedia(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { id =>
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      if (kind == "image") {
-        val (w, h) = imageGeometry(id)
-        MediaRow(id, kind, syntheticPng(id, w, h), w, h, 0L)
-      } else {
-        val len = 64 + (Impl.mix64(id) & 0xFF).toInt
-        val payload = Array.tabulate[Byte](len)(i => Impl.mix64(id * 1000003L + i).toByte)
-        MediaRow(id, kind, payload, 640, 480, if (kind == "video") 10000L else 0L)
+      kind match {
+        case "image" =>
+          val (w, h) = imageGeometry(id)
+          MediaRow(id, kind, syntheticPng(id, w, h), w, h, 0L)
+        case "audio" =>
+          val (ch, ns, amp) = audioGeometry(id)
+          MediaRow(id, kind, syntheticWav(id, ch, ns, amp), 0, 0,
+            ns.toLong * 1000L / wavSampleRate)
+        case _ =>
+          val len = 64 + (Impl.mix64(id) & 0xFF).toInt
+          val payload = Array.tabulate[Byte](len)(i => Impl.mix64(id * 1000003L + i).toByte)
+          MediaRow(id, kind, payload, 640, 480, 10000L)
       }
     }
   }
 
-  /** STUB decode kernel for audio/video — those codecs aren't in this
-    * container. Deterministic function of the payload bytes only. A real
+  /** REAL audio decode kernel: parse the WAV container back through
+    * `AudioSystem`, read the PCM frames, pool per-bucket RMS energy
+    * (normalized to full scale) into `dims` buckets by frame index.
+    * Channel count and duration come from the DECODED stream — only a
+    * successful parse can produce them. */
+  private def wavDecodeFeatures(
+      payload: Array[Byte], dims: Int): (Array[Double], Int, Long) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    val fmt = in.getFormat
+    val channels = fmt.getChannels
+    val nFrames = in.getFrameLength.toInt
+    val bytes = in.readAllBytes()
+    in.close()
+    val sumsq = new Array[Double](dims)
+    val counts = new Array[Long](dims)
+    var f = 0
+    while (f < nFrames) {
+      val b = f * dims / math.max(1, nFrames)
+      var c = 0
+      while (c < channels) {
+        val off = (f * channels + c) * 2
+        val s = ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort / 32768.0
+        sumsq(b) += s * s
+        counts(b) += 1
+        c += 1
+      }
+      f += 1
+    }
+    val feats = Array.tabulate(dims) { b =>
+      if (counts(b) == 0) 0.0
+      else math.round(math.sqrt(sumsq(b) / counts(b)) * 10000.0) / 10000.0
+    }
+    val durMs = nFrames.toLong * 1000L / fmt.getSampleRate.toLong
+    (feats, channels, durMs)
+  }
+
+  /** STUB decode kernel for video — no video codec ships with the JDK.
+    * Deterministic function of the payload bytes only. A real
     * implementation replaces ONLY this function; the pipeline shape stays
     * identical. */
   private def stubDecodeFeatures(payload: Array[Byte], dims: Int): Array[Double] = {
@@ -161,16 +260,20 @@ object Multimodal {
       // per-partition codec init: no temp-file cache churn per image
       ImageIO.setUseCache(false)
       rows.map { r =>
-        if (r.media_type == "image") {
-          val (feats, w, h) = pngDecodeFeatures(r.payload, dims)
-          MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
-            feats, 1, w, h)
-        } else {
-          val sampledFrames =
-            if (r.media_type == "video") math.max(1, (r.duration_ms / 1000 / frameStride).toInt)
-            else 1
-          MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
-            stubDecodeFeatures(r.payload, dims), sampledFrames, 0, 0)
+        r.media_type match {
+          case "image" =>
+            val (feats, w, h) = pngDecodeFeatures(r.payload, dims)
+            MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+              feats, 1, w, h, 0, 0L)
+          case "audio" =>
+            val (feats, ch, durMs) = wavDecodeFeatures(r.payload, dims)
+            MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+              feats, 1, 0, 0, ch, durMs)
+          case _ =>
+            val sampledFrames =
+              math.max(1, (r.duration_ms / 1000 / frameStride).toInt)
+            MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+              stubDecodeFeatures(r.payload, dims), sampledFrames, 0, 0, 0, 0L)
         }
       }
     }
@@ -223,6 +326,8 @@ object Multimodal {
         round(avg(element_at(col("features"), 1)), 4).as("avg_f0"),
         sum(col("n_frames_sampled")).as("total_frames"),
         max(col("decoded_w")).as("max_decoded_w"),
-        max(col("decoded_h")).as("max_decoded_h"))
+        max(col("decoded_h")).as("max_decoded_h"),
+        max(col("decoded_channels")).as("max_channels"),
+        max(col("decoded_dur_ms")).as("max_dur_ms"))
       .orderBy(col("media_type"))
 }

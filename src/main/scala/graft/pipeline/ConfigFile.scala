@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import graft.ingest.FlowControlSettings
+
+/** Shell-style config loader — the reference sources its settings file
+  * (`scripts/setup.sh:7-11`) of KEY=VALUE lines
+  * (`config/clickhouse.conf.example:6-19`); a user switching engines
+  * reuses the SAME file via `--config path`: the documented keys map
+  * onto [[Orchestrator.Config]].
+  *
+  *   - `BATCH_SIZE`, `INSERT_INTERVAL`, `MAX_INSERT_COUNT` → insert loop
+  *   - `PARTS_TO_DELAY_INSERT`, `PARTS_TO_THROW_INSERT`,
+  *     `MAX_PARTITIONS_PER_INSERT_BLOCK` → [[FlowControlSettings]]
+  *   - `LOG_LEVEL` → pipeline logger threshold
+  *   - `CH_HOST`/`CH_PORT`/`CH_USER`/`CH_PASSWORD`/`CH_DATABASE` have no
+  *     analogue here (there is no server to connect to) — they parse
+  *     fine and are reported as ignored, so a verbatim reference config
+  *     loads without edits.
+  */
+object ConfigFile {
+
+  private val connectionKeys =
+    Set("CH_HOST", "CH_PORT", "CH_USER", "CH_PASSWORD", "CH_DATABASE")
+
+  /** Parse shell-style KEY=VALUE lines: full-line `#` comments and blank
+    * lines skipped, optional single/double quotes stripped, unquoted
+    * trailing comments dropped. Unknown keys are kept (caller decides). */
+  def parse(lines: Iterator[String]): Map[String, String] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains('='))
+      .map { l =>
+        val (k, rest) = l.span(_ != '=')
+        val raw = rest.drop(1).trim
+        val v =
+          if (raw.length >= 2 && (raw.head == '"' || raw.head == '\'') &&
+            raw.last == raw.head) raw.substring(1, raw.length - 1)
+          else raw.takeWhile(_ != '#').trim
+        k.trim -> v
+      }
+      .toMap
+
+  def load(path: String): Map[String, String] = {
+    val src = scala.io.Source.fromFile(path)
+    try parse(src.getLines()) finally src.close()
+  }
+
+  /** Translate a parsed config onto [[Orchestrator.Config]]; keys absent
+    * from the file keep `base`'s values, so CLI positionals and the file
+    * compose (file first, explicit args win).
+    * @return (config, logLevel, ignoredKeys) */
+  def apply(
+      kv: Map[String, String],
+      base: Orchestrator.Config): (Orchestrator.Config, String, Seq[String]) = {
+    def long(key: String, dflt: Long): Long =
+      kv.get(key).map(_.toLong).getOrElse(dflt)
+    val intervalSec = kv.get("INSERT_INTERVAL").map(_.toLong)
+    val cfg = base.copy(
+      batchSize = long("BATCH_SIZE", base.batchSize),
+      insertIntervalMillis =
+        intervalSec.map(_ * 1000L).getOrElse(base.insertIntervalMillis),
+      // a configured interval means the reference's paced loop — honor it
+      sleepBetweenBatches =
+        intervalSec.map(_ > 0L).getOrElse(base.sleepBetweenBatches),
+      maxInsertCount = long("MAX_INSERT_COUNT", base.maxInsertCount.toLong).toInt,
+      flow = FlowControlSettings(
+        partsToDelayInsert =
+          long("PARTS_TO_DELAY_INSERT", base.flow.partsToDelayInsert),
+        partsToThrowInsert =
+          long("PARTS_TO_THROW_INSERT", base.flow.partsToThrowInsert),
+        maxPartitionsPerInsertBlock = long(
+          "MAX_PARTITIONS_PER_INSERT_BLOCK",
+          base.flow.maxPartitionsPerInsertBlock),
+        delayMillis = base.flow.delayMillis))
+    val logLevel = kv.getOrElse("LOG_LEVEL", "INFO")
+    val ignored = kv.keys.filter(connectionKeys).toSeq.sorted
+    (cfg, logLevel, ignored)
+  }
+}

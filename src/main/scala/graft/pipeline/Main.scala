@@ -20,8 +20,11 @@ object Main {
 
   private val ts = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
   private var logWriter: Option[PrintWriter] = None
+  private val levels = Map("DEBUG" -> 0, "INFO" -> 1, "WARN" -> 2, "ERROR" -> 3)
+  private var logThreshold = 1 // LOG_LEVEL (conf.example:22)
 
   private def log(level: String, msg: String): Unit = {
+    if (levels.getOrElse(level, 1) < logThreshold) return
     val line = s"[${LocalDateTime.now.format(ts)}] [$level] $msg"
     println(line)
     logWriter.foreach { w => w.println(line); w.flush() }
@@ -29,12 +32,29 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val streaming = args.contains("--streaming")
-    val positional = args.filterNot(_.startsWith("--"))
+    // --config loads the reference's shell-style settings file
+    // (`config/clickhouse.conf.example`) as defaults; explicit positional
+    // args still win over it
+    val cfgIdx = args.indexOf("--config")
+    val cfgPath = args.find(_.startsWith("--config="))
+      .map(_.substring("--config=".length))
+      .orElse(
+        if (cfgIdx >= 0 && cfgIdx + 1 < args.length) Some(args(cfgIdx + 1))
+        else None)
+    val positional = args.zipWithIndex.collect {
+      case (a, i) if !a.startsWith("--") && (cfgIdx < 0 || i != cfgIdx + 1) => a
+    }
     val tablePath = positional.headOption.getOrElse("/tmp/graft_table")
-    val batchSize = positional.lift(1).map(_.toLong).getOrElse(100000L)
-    val maxBatches = positional.lift(2).map(_.toInt).getOrElse(60)
-    val delay = positional.lift(3).map(_.toLong).getOrElse(50L)
-    val throwAt = positional.lift(4).map(_.toLong).getOrElse(100L)
+    val fileKv = cfgPath.map(ConfigFile.load).getOrElse(Map.empty[String, String])
+    val (fileCfg, logLevel, ignoredKeys) =
+      ConfigFile(fileKv, Orchestrator.Config(tablePath = tablePath))
+    logThreshold = levels.getOrElse(logLevel.toUpperCase, 1)
+    val batchSize = positional.lift(1).map(_.toLong).getOrElse(fileCfg.batchSize)
+    val maxBatches = positional.lift(2).map(_.toInt).getOrElse(fileCfg.maxInsertCount)
+    val delay = positional.lift(3).map(_.toLong)
+      .getOrElse(fileCfg.flow.partsToDelayInsert)
+    val throwAt = positional.lift(4).map(_.toLong)
+      .getOrElse(fileCfg.flow.partsToThrowInsert)
 
     new File("logs").mkdirs()
     logWriter = Some(new PrintWriter(new FileWriter(
@@ -50,16 +70,20 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    cfgPath.foreach(p => log("INFO", s"loaded config file $p" +
+      (if (ignoredKeys.nonEmpty)
+        s" (no server to connect to — ignoring ${ignoredKeys.mkString(", ")})"
+      else "")))
     log("INFO", s"starting pipeline: table=$tablePath batch=$batchSize " +
       s"max=$maxBatches delay=$delay throw=$throwAt streaming=$streaming")
 
     if (streaming) { runStreaming(spark, tablePath, batchSize, maxBatches, delay, throwAt); return }
 
-    val report = Orchestrator.run(spark, Orchestrator.Config(
+    val report = Orchestrator.run(spark, fileCfg.copy(
       tablePath = tablePath,
       batchSize = batchSize,
       maxInsertCount = maxBatches,
-      flow = FlowControlSettings(
+      flow = fileCfg.flow.copy(
         partsToDelayInsert = delay, partsToThrowInsert = throwAt)))
 
     report.batches.foreach { b =>

@@ -35,6 +35,63 @@ class PipelineSpec extends SparkSpec {
     assert(parts.length == 24, s"expected 24 hourly partitions, got ${parts.length}")
   }
 
+  test("config-file loader: the reference's conf.example translates verbatim") {
+    // the documented keys, reference spellings (conf.example:6-19) —
+    // including quoted values and connection keys with no Spark analogue
+    val text =
+      """# ClickHouse config (comment line)
+        |CH_HOST="localhost"
+        |CH_PORT="9000"
+        |CH_USER="default"
+        |CH_PASSWORD=""
+        |CH_DATABASE="default"
+        |PARTS_TO_DELAY_INSERT=50
+        |PARTS_TO_THROW_INSERT=100
+        |MAX_PARTITIONS_PER_INSERT_BLOCK=100
+        |BATCH_SIZE=100000
+        |INSERT_INTERVAL=1
+        |MAX_INSERT_COUNT=60
+        |LOG_LEVEL="INFO"
+        |""".stripMargin
+    val kv = graft.pipeline.ConfigFile.parse(text.linesIterator)
+    assert(kv("CH_HOST") == "localhost") // quotes stripped
+    assert(kv("CH_PASSWORD") == "")
+    val (cfg, logLevel, ignored) = graft.pipeline.ConfigFile(
+      kv, Orchestrator.Config(tablePath = "/tmp/t"))
+    assert(cfg.batchSize == 100000L)
+    assert(cfg.maxInsertCount == 60)
+    assert(cfg.insertIntervalMillis == 1000L)
+    assert(cfg.sleepBetweenBatches) // a configured interval means pacing
+    assert(cfg.flow.partsToDelayInsert == 50)
+    assert(cfg.flow.partsToThrowInsert == 100)
+    assert(cfg.flow.maxPartitionsPerInsertBlock == 100)
+    assert(logLevel == "INFO")
+    assert(ignored == Seq("CH_DATABASE", "CH_HOST", "CH_PASSWORD", "CH_PORT", "CH_USER"))
+    // keys absent from the file keep the base config's values
+    val (partial, _, _) = graft.pipeline.ConfigFile(
+      Map("BATCH_SIZE" -> "500"), Orchestrator.Config(tablePath = "/tmp/t"))
+    assert(partial.batchSize == 500L && partial.maxInsertCount == 60)
+    assert(!partial.sleepBetweenBatches)
+  }
+
+  test("config-driven e2e run: shrunk thresholds from a file trigger flow control") {
+    val dir = Files.createTempDirectory("graft_conf_e2e")
+    val conf = dir.resolve("graft.conf")
+    Files.writeString(conf,
+      """PARTS_TO_DELAY_INSERT=3
+        |PARTS_TO_THROW_INSERT=5
+        |BATCH_SIZE=2000
+        |INSERT_INTERVAL=0
+        |MAX_INSERT_COUNT=20
+        |""".stripMargin)
+    val (cfg, _, _) = graft.pipeline.ConfigFile(
+      graft.pipeline.ConfigFile.load(conf.toString),
+      Orchestrator.Config(tablePath = dir.resolve("table").toString))
+    val report = Orchestrator.run(spark,
+      cfg.copy(flow = cfg.flow.copy(delayMillis = 1)))
+    assert(report.flowControlTriggered && report.finalStatus.status == "THROW")
+  }
+
   test("monitor reports have the reference query shapes") {
     val dir = Files.createTempDirectory("graft_mon").toString
     val flow = new graft.ingest.FlowControl(FlowControlSettings(

@@ -67,6 +67,45 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("ingest-path auto-refresh: append → query rollup, no manual refresh") {
+    val base = Files.createTempDirectory("graft_rollup_live").toString
+    val roll = Files.createTempDirectory("graft_rollup_live_agg").toString + "/r"
+    val rollup = new Rollup(
+      spark, base, roll,
+      partitionCol = "part_hour", dims = Seq("event_type"),
+      aggs = Seq(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value")))
+    val metrics = new graft.system.MetricsRegistry(spark)
+    val ingest = new graft.ingest.Ingest(
+      base,
+      new graft.ingest.FlowControl(graft.ingest.FlowControlSettings(
+        partsToDelayInsert = 1000, partsToThrowInsert = 2000)),
+      new graft.system.PartsRegistry(spark, base, "test_local"),
+      metrics,
+      rollup = Some(rollup))
+
+    // two appends through the ingest gate — the rollup must track the
+    // base table without any refresh() call from the caller
+    Seq(1L, 2L).foreach { seed =>
+      ingest.append(graft.gen.DataGen.batch(
+        spark, 2000,
+        java.sql.Timestamp.valueOf("2026-03-01 12:00:00"), Some(seed)).toDF())
+      val got = rollup.read()
+        .select("part_hour", "event_type", "n_events", "total_value")
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      val want = EventTable.read(spark, base)
+        .groupBy(col("part_hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("tv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(got == want && got.nonEmpty)
+    }
+  }
+
   test("refresh scan is partition-pruned to the touched hours") {
     val base = Files.createTempDirectory("graft_rollup_prune").toString
     val b = graft.gen.DataGen.batch(
