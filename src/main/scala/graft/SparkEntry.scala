@@ -1254,6 +1254,15 @@ object SparkEntry {
         sum(col("n_chars")).cast("long").as("kept_chars"))
       .orderBy(col("source"))
 
+  /** Within-document repetition filter (duplicate-word fraction + top
+    * bigram share) — the quality gate that catches boilerplate/spam that
+    * cross-document dedup can't (a unique page repeating one phrase).
+    * Map-only tokenization, doc-keyed hash aggregates; no window. */
+  private def qRepetition(s: SparkSession, d: String): DataFrame =
+    graft.ops.Curation.repetitionReport(
+      t(s, d, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   /** q74's incrementally-maintained rollup, built once per (JVM, dir):
     * the events fixture is appended in two halves with a partition-scoped
     * `Rollup.refresh` after each — so the relation the query reads was
@@ -1371,7 +1380,8 @@ object SparkEntry {
     "q71_pii_scrub" -> (qPiiScrub _),
     "q72_domain_cap" -> (qDomainCap _),
     "q73_soft_dedup" -> (qSoftDedup _),
-    "q74_rollup_incremental" -> (qRollupIncremental _))
+    "q74_rollup_incremental" -> (qRollupIncremental _),
+    "q75_repetition" -> (qRepetition _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2093,5 +2103,26 @@ object SparkEntry {
          SELECT ph AS part_hour, event_type, count(*) AS n_events,
            round(sum(value), 2) AS total_value
          FROM h WHERE ph <= (SELECT min(ph) FROM h) + 17
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q75_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+           FROM documents),
+         w AS (
+           SELECT doc_id, count(*) AS n_words, count(DISTINCT x.w) AS n_distinct
+           FROM t, unnest(ws) AS x(w) GROUP BY doc_id),
+         bg AS (
+           SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+           FROM t, unnest(range(1, len(ws))) AS r(i)),
+         bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+         bt AS (SELECT doc_id, max(c) AS top_bigram_count, sum(c) AS n_bigrams
+                FROM bc GROUP BY doc_id)
+         SELECT w.doc_id, w.n_words,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS dup_word_frac,
+           bt.top_bigram_count,
+           round(CAST(top_bigram_count AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac,
+           ((1.0 - CAST(n_distinct AS DOUBLE) / n_words) > 0.62
+             OR (CAST(top_bigram_count AS DOUBLE) / n_bigrams) > 0.08) AS repetitive
+         FROM w JOIN bt USING (doc_id) ORDER BY w.doc_id""")
 }

@@ -119,6 +119,62 @@ object Curation {
       .filter(u * col("cluster_size") < 1.0)
   }
 
+  /** Within-document repetition metrics — the classic repetition filter
+    * for web corpora (duplicate-word fraction and the share of the most
+    * frequent word bigram): a document that keeps repeating the same
+    * phrase is boilerplate or spam, and it poisons a token budget even
+    * when it is unique corpus-wide, which is why this pass runs BESIDE
+    * cross-document dedup, not instead of it.
+    *
+    * Scale: tokenization + bigram assembly are map-only array ops
+    * (codegen'd `split`/`zip_with`/`slice` — no UDF), and everything
+    * downstream is two hash aggregates keyed on doc_id (plus one on
+    * (doc_id, bigram)), so partial aggregation runs map-side and the
+    * only shuffles are on the document key — embarrassingly parallel at
+    * any corpus size, no window, no sort.
+    *
+    * @return one row per doc: n_words, dup_word_frac (1 − distinct/total,
+    *         rounded 4dp), top_bigram_count, top_bigram_frac (rounded
+    *         4dp), repetitive (thresholds applied to the UNROUNDED
+    *         fractions). Single-word docs have no bigrams and drop out,
+    *         matching a relational oracle's inner join. */
+  def repetitionReport(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      dupWordTau: Double = 0.62,
+      topBigramTau: Double = 0.08): DataFrame = {
+    val ws = split(regexp_replace(lower(trim(textCol)), "\\s+", " "), " ")
+    val base = docs.select(idCol.as("doc_id"), ws.as("__ws"))
+    val nBigrams = greatest(size(col("__ws")) - 1, lit(0))
+    val words = base
+      .select(col("doc_id"), explode(col("__ws")).as("__w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("__w")).as("__nd"))
+    val bigrams = base
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("__ws"), lit(1), nBigrams),
+          slice(col("__ws"), lit(2), nBigrams),
+          (a, b) => concat(a, lit(" "), b))).as("__bg"))
+      .groupBy(col("doc_id"), col("__bg"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("__c")).as("top_bigram_count"), sum(col("__c")).as("__nb"))
+    val dupFrac =
+      lit(1.0) - col("__nd").cast("double") / col("n_words").cast("double")
+    val topFrac =
+      col("top_bigram_count").cast("double") / col("__nb").cast("double")
+    words.join(bigrams, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round(dupFrac, 4).as("dup_word_frac"),
+        col("top_bigram_count"),
+        round(topFrac, 4).as("top_bigram_frac"),
+        (dupFrac > dupWordTau || topFrac > topBigramTau).as("repetitive"))
+  }
+
   /** Per-domain cap — the classic web-corpus balance rule ("at most N
     * documents per registrable domain"): deterministic keep = lowest
     * doc_id per domain. One window shuffle on the domain key; skewed

@@ -28,12 +28,20 @@ import graft.functions.Impl
   * The synthetic waveform is a fixed-amplitude sine, so decoded RMS has
   * a closed-form expected value (amp/√2) the test suite asserts.
   *
-  * VIDEO codecs are NOT in this container (no JDK equivalent), so that
-  * one branch keeps a clearly-marked deterministic stub — but it runs
-  * through the same mapPartitions batch shape (one iterator per
-  * partition, so a real codec would amortize its init per task, not per
-  * row) and the same partition-count control that keeps decode tasks
-  * balanced at scale.
+  * The VIDEO path is real as of round 4: no video codec ships with the
+  * JDK, but YUV4MPEG2 (Y4M) is a public, self-describing UNCOMPRESSED
+  * video container (plain-text `YUV4MPEG2 W.. H.. F..` header, then
+  * `FRAME` markers with raw YUV planes) that needs no external library
+  * to write or parse. `syntheticMedia` encodes real multi-frame Y4M
+  * streams; `extractFeatures` parses the container back — geometry and
+  * frame rate from the DECODED header, frame-sampling every
+  * `frameStride`-th frame, per-sampled-frame mean luma pooled into the
+  * feature vector. The synthetic frames carry a per-frame constant base
+  * luma under a mean-preserving checkerboard, so sampled features have
+  * a closed-form expected value the test suite asserts. A compressed
+  * codec (H.264 etc.) would replace only the two private kernels; the
+  * mapPartitions batch shape — one iterator per partition, so codec
+  * init amortizes per task, not per row — stays identical.
   */
 object Multimodal {
 
@@ -51,18 +59,18 @@ object Multimodal {
       media_id: Long,
       media_type: String,
       n_bytes: Long,
-      // images: pooled per-bucket mean channel intensity; audio: per-bucket
-      // RMS energy — both from REAL decodes; video: stub feature vector
-      // (see stubDecodeFeatures)
+      // images: pooled per-bucket mean channel intensity; audio:
+      // per-bucket RMS energy; video: per-sampled-frame mean luma —
+      // all three from REAL decodes
       features: Array[Double],
       n_frames_sampled: Int,
-      // geometry read back from the decoded image (0 for non-images) —
-      // the proof the decode actually ran
+      // geometry read back from the decoded image / Y4M header (0 for
+      // audio) — the proof the decode actually ran
       decoded_w: Int,
       decoded_h: Int,
-      // audio analogue of the geometry proof: channel count and duration
-      // read from the decoded WAV stream (0 for non-audio)
+      // channel count from the decoded WAV stream (0 for non-audio)
       decoded_channels: Int,
+      // stream duration from the decoded container (0 for images)
       decoded_dur_ms: Long)
 
   val mediaSchema: StructType = StructType(Seq(
@@ -138,9 +146,52 @@ object Multimodal {
     out.toByteArray
   }
 
+  private val y4mFps = 25
+
+  /** Deterministic per-id video shape: (width, height, frames). Even
+    * dimensions (the checkerboard below needs them to cancel exactly),
+    * 20–50 frames → 0.8–2 s clips at 25 fps. */
+  private[graft] def videoGeometry(id: Long): (Int, Int, Int) =
+    (16 + (id % 2).toInt * 8, 12 + (id % 3).toInt * 4, 20 + (id % 4).toInt * 10)
+
+  /** Per-frame base luma (40..167): the frame's mean pixel value by
+    * construction, and the closed form the decode test recomputes. */
+  private[graft] def frameLuma(id: Long, f: Int): Int =
+    40 + (Impl.mix64(id * 131L + f) & 0x7F).toInt
+
+  /** Encode a real YUV4MPEG2 stream (C444, 25 fps): plain-text header,
+    * then per frame a `FRAME` marker + raw Y/U/V planes. Each frame's Y
+    * plane is its base luma under a ±8 checkerboard — pixels vary, but
+    * with even dimensions the frame MEAN equals the base exactly; chroma
+    * planes are constant mid-scale. Deterministic in `id` only. */
+  private[graft] def syntheticY4m(
+      id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F$y4mFps:1 Ip A1:1 C444\n".getBytes("US-ASCII"))
+    val frameMarker = "FRAME\n".getBytes("US-ASCII")
+    var f = 0
+    while (f < nFrames) {
+      out.write(frameMarker)
+      val base = frameLuma(id, f)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out.write(base + (if (((x + y) & 1) == 0) 8 else -8))
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < 2 * w * h) { out.write(128); i += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
   /** Deterministic synthetic media table: image payloads are REAL PNGs,
-    * audio payloads are REAL WAVs, video payloads are splitmix64 byte
-    * streams (stub codec); all reproducible at any scale/partitioning. */
+    * audio payloads are REAL WAVs, video payloads are REAL Y4M streams;
+    * all reproducible at any scale/partitioning. */
   def syntheticMedia(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { id =>
@@ -156,9 +207,9 @@ object Multimodal {
           MediaRow(id, kind, syntheticWav(id, ch, ns, amp), 0, 0,
             ns.toLong * 1000L / wavSampleRate)
         case _ =>
-          val len = 64 + (Impl.mix64(id) & 0xFF).toInt
-          val payload = Array.tabulate[Byte](len)(i => Impl.mix64(id * 1000003L + i).toByte)
-          MediaRow(id, kind, payload, 640, 480, 10000L)
+          val (w, h, nf) = videoGeometry(id)
+          MediaRow(id, kind, syntheticY4m(id, w, h, nf), w, h,
+            nf.toLong * 1000L / y4mFps)
       }
     }
   }
@@ -200,21 +251,69 @@ object Multimodal {
     (feats, channels, durMs)
   }
 
-  /** STUB decode kernel for video — no video codec ships with the JDK.
-    * Deterministic function of the payload bytes only. A real
-    * implementation replaces ONLY this function; the pipeline shape stays
-    * identical. */
-  private def stubDecodeFeatures(payload: Array[Byte], dims: Int): Array[Double] = {
-    // ??? real codec goes here (e.g. ffmpeg decode → pooled embedding);
-    // deterministic fake: chunked byte means, normalized.
-    val out = new Array[Double](dims)
-    var i = 0
-    while (i < payload.length) {
-      out(i % dims) += (payload(i) & 0xFF) / 255.0
-      i += 1
+  /** REAL video decode kernel: parse the YUV4MPEG2 container — geometry,
+    * frame rate and chroma mode from the DECODED header, not the metadata
+    * columns — then FRAME-SAMPLE every `frameStride`-th frame (seeking
+    * over skipped frames: uncompressed frames have a fixed byte size, the
+    * same random-access trick a keyframe-indexed codec reader uses), pool
+    * each sampled frame's mean luma into `dims` buckets by sample order.
+    * @return (features, width, height, framesSampled, durationMs) */
+  private def y4mDecodeFeatures(
+      payload: Array[Byte], dims: Int,
+      frameStride: Int): (Array[Double], Int, Int, Int, Long) = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (payload(i) != '\n') i += 1
+      i
     }
-    val perBucket = math.max(1.0, payload.length.toDouble / dims)
-    out.map(v => math.round(v / perBucket * 10000.0) / 10000.0)
+    val hEnd = lineEnd(0)
+    val header = new String(payload, 0, hEnd, "US-ASCII")
+    val toks = header.split(' ')
+    require(toks(0) == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+    var w = 0; var h = 0; var fpsNum = y4mFps; var fpsDen = 1
+    var chroma = "420" // the format's default when no C tag is present
+    toks.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
+      t.head match {
+        case 'W' => w = t.tail.toInt
+        case 'H' => h = t.tail.toInt
+        case 'F' =>
+          val p = t.tail.split(':'); fpsNum = p(0).toInt; fpsDen = p(1).toInt
+        case 'C' => chroma = t.tail
+        case _ => ()
+      }
+    }
+    val frameBytes = chroma match {
+      case "444" => 3 * w * h
+      case "422" => 2 * w * h
+      case "420" | "420jpeg" | "420mpeg2" | "420paldv" => w * h * 3 / 2
+      case other => throw new IllegalArgumentException(
+        s"unsupported chroma subsampling C$other")
+    }
+    val sums = new Array[Double](dims)
+    val counts = new Array[Long](dims)
+    var pos = hEnd + 1
+    var f = 0
+    var sampled = 0
+    while (pos < payload.length) {
+      require(new String(payload, pos, 5, "US-ASCII") == "FRAME",
+        s"bad frame marker at byte $pos")
+      pos = lineEnd(pos) + 1 // marker line may carry per-frame params
+      if (f % frameStride == 0) {
+        var s = 0.0
+        var i = 0
+        while (i < w * h) { s += (payload(pos + i) & 0xFF); i += 1 }
+        sums(sampled % dims) += s / (w * h) / 255.0
+        counts(sampled % dims) += 1
+        sampled += 1
+      }
+      pos += frameBytes
+      f += 1
+    }
+    val feats = Array.tabulate(dims) { b =>
+      if (counts(b) == 0) 0.0
+      else math.round(sums(b) / counts(b) * 10000.0) / 10000.0
+    }
+    (feats, w, h, sampled, f.toLong * 1000L * fpsDen / fpsNum)
   }
 
   /** REAL image feature kernel: mean channel intensity pooled into `dims`
@@ -249,8 +348,9 @@ object Multimodal {
 
   /** Decode + feature-extract via mapPartitions: iterator-per-partition so
     * decoder init happens once per task (the reason this is NOT a per-row
-    * UDF). Images run the real ImageIO decode; frameStride models video
-    * frame-sampling on the stub branch. */
+    * UDF). Images decode through ImageIO, audio through AudioSystem,
+    * video through the Y4M parser; `frameStride` = sample every Nth
+    * video frame. */
   def extractFeatures(
       media: Dataset[MediaRow],
       dims: Int = 16,
@@ -270,10 +370,10 @@ object Multimodal {
             MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
               feats, 1, 0, 0, ch, durMs)
           case _ =>
-            val sampledFrames =
-              math.max(1, (r.duration_ms / 1000 / frameStride).toInt)
+            val (feats, w, h, sampled, durMs) =
+              y4mDecodeFeatures(r.payload, dims, frameStride)
             MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
-              stubDecodeFeatures(r.payload, dims), sampledFrames, 0, 0, 0, 0L)
+              feats, sampled, w, h, 0, durMs)
         }
       }
     }

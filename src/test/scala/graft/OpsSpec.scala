@@ -296,6 +296,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition report: phrase-looping doc flagged, varied doc passes") {
+    import spark.implicits._
+    val looping = "spam  phrase spam phrase\tspam phrase spam phrase" // messy whitespace
+    val varied = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq((0L, looping), (1L, varied)).toDF("doc_id", "text")
+    val rep = graft.ops.Curation
+      .repetitionReport(df, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .collect()
+    // doc 0: 8 words / 2 distinct → dup 0.75; "spam phrase" 4 of 7 bigrams
+    assert(rep(0).getLong(1) == 8L)
+    assert(rep(0).getDouble(2) == 0.75)
+    assert(rep(0).getLong(3) == 4L)
+    assert(rep(0).getDouble(4) == 0.5714)
+    assert(rep(0).getBoolean(5))
+    // doc 1: all words and bigrams unique → dup 0, top share 1/19
+    assert(rep(1).getDouble(2) == 0.0)
+    assert(rep(1).getLong(3) == 1L)
+    assert(!rep(1).getBoolean(5))
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq(
@@ -351,7 +372,42 @@ class OpsSpec extends SparkSpec {
             s"encoded ${m.width}x${m.height}")
         // real pixels: pooled luminance is strictly inside (0, 1)
         assert(f.features.exists(v => v > 0.0 && v < 1.0))
-      } else assert(f.decoded_w == 0 && f.decoded_h == 0)
+      } else if (f.media_type == "audio")
+        assert(f.decoded_w == 0 && f.decoded_h == 0)
+    }
+  }
+
+  test("multimodal video decodes for real: Y4M header fields + closed-form frame luma") {
+    val stride = 10
+    val media = Multimodal.syntheticMedia(spark, 45, partitions = 3)
+    val feats = Multimodal
+      .extractFeatures(media, dims = 16, frameStride = stride).collect()
+    assert(feats.exists(_.media_type == "video"))
+    feats.foreach { f =>
+      if (f.media_type == "video") {
+        val (w, h, nf) = Multimodal.videoGeometry(f.media_id)
+        // geometry, frame count and duration all come out of the parsed
+        // Y4M header/stream, not the metadata columns
+        assert(f.decoded_w == w && f.decoded_h == h,
+          s"media ${f.media_id}: decoded ${f.decoded_w}x${f.decoded_h}, encoded ${w}x$h")
+        val expectSampled = (nf + stride - 1) / stride
+        assert(f.n_frames_sampled == expectSampled,
+          s"media ${f.media_id}: sampled ${f.n_frames_sampled}, expected $expectSampled")
+        assert(f.decoded_dur_ms == nf.toLong * 40L, // 25 fps → 40 ms/frame
+          s"media ${f.media_id}: duration ${f.decoded_dur_ms} ms")
+        // each sampled frame's mean luma equals its base exactly (the
+        // ±8 checkerboard cancels on even dimensions) — recompute the
+        // per-bucket pooled value in closed form from the generator
+        val expected = Array.tabulate(16) { b =>
+          val means = (0 until nf by stride).zipWithIndex
+            .collect { case (frame, s) if s % 16 == b =>
+              Multimodal.frameLuma(f.media_id, frame) / 255.0 }
+          if (means.isEmpty) 0.0
+          else math.round(means.sum / means.size * 10000.0) / 10000.0
+        }
+        assert(f.features.sameElements(expected),
+          s"media ${f.media_id}: features ${f.features.toSeq} != ${expected.toSeq}")
+      }
     }
   }
 
@@ -379,7 +435,7 @@ class OpsSpec extends SparkSpec {
           assert(math.abs(v - expected) < 0.05 * expected + 0.01,
             s"media ${f.media_id}: bucket RMS $v, expected ≈ $expected")
         }
-      } else assert(f.decoded_channels == 0 && f.decoded_dur_ms == 0L)
+      } else assert(f.decoded_channels == 0)
     }
   }
 
