@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: print one or more `SparkEntry` query results at sf0.01
+  * (QueryProbe times them; this one shows the rows).
+  * Usage: `runMain graft.ShowQ q25_multimodal_report q26_datagen_stats` */
+object ShowQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- args) {
+      println(s"=== $q ===")
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.01").show(50, false)
+    }
+    spark.stop()
+  }
+}

@@ -293,26 +293,64 @@ object SparkEntry {
     Similarity.exactNearDupPairs(t(s, d, "embeddings"), threshold = 0.45)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Multimodal plumbing: synthetic binary media → mapPartitions feature
-    * extraction (stubbed codec) → relational report. Rows-only check (the
-    * media table is engine-generated, not a fixture). */
+  /** Multimodal plumbing: synthetic binary media → mapPartitions decode +
+    * feature extraction (real PNG/WAV/Y4M codecs) → derived-check report.
+    * Hash-checked via the q29/q54 pattern: every decoded geometry /
+    * feature / stream property is compared Spark-side against its closed
+    * form recomputed from `media_id` (NOT by re-running the codecs), so
+    * the DuckDB oracle is a constant `VALUES` relation and a hash mismatch
+    * pinpoints a broken codec. */
   private def qMultimodalReport(s: SparkSession, d: String): DataFrame =
-    Multimodal.mediaReport(
-      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300)).toDF())
-
-  /** Seeded distributed datagen domain check: deterministic aggregate over
-    * a generated batch (rows-only check — xxhash64 streams aren't
-    * reproducible in DuckDB). */
-  private def qDatagenStats(s: SparkSession, d: String): DataFrame =
-    DataGen.batch(s, 10000, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    Multimodal.decodeChecks(
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300)))
       .toDF()
-      .groupBy(col("event_type"))
+      .groupBy(col("media_type"))
       .agg(
-        count(lit(1)).as("n"),
-        min(col("id")).as("min_id"),
-        max(col("user_id")).as("max_user"),
-        round(avg(col("value")), 2).as("avg_value"))
-      .orderBy(col("event_type"))
+        count(lit(1)).as("n_media"),
+        bool_and(col("geom_ok")).as("geom_ok"),
+        bool_and(col("feat_ok")).as("feat_ok"),
+        bool_and(col("stream_ok")).as("stream_ok"))
+      .orderBy(col("media_type"))
+
+  /** Seeded distributed datagen domain check, hash-checked via derived
+    * booleans: each generated column is tested against its exact domain
+    * from the reference generator (`scripts/generate_data.py:23-31` —
+    * id ≤ 10^18, user_id ≤ 1e6, status 0–255, value [0,10000) at 2dp,
+    * 24 h hourly spread, 4 event types, 50-letter descriptions), plus the
+    * exact row count. The xxhash64 streams aren't reproducible in DuckDB,
+    * but domain conformance is engine-independent, so the oracle is a
+    * constant one-row SELECT. */
+  private def qDatagenStats(s: SparkSession, d: String): DataFrame = {
+    val bt = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val btLit = lit(bt)
+    DataGen.batch(s, 10000, bt)
+      .toDF()
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (min(col("id")) >= 1L && max(col("id")) <= DataGen.IdMax)
+          .as("id_ok"),
+        (min(col("user_id")) >= 1 && max(col("user_id")) <= DataGen.UserIdMax)
+          .as("user_ok"),
+        (min(col("status")) >= 0 && max(col("status")) < DataGen.StatusMax)
+          .as("status_ok"),
+        (min(col("value")) >= 0.0 && max(col("value")) < DataGen.ValueMax &&
+          max(abs(col("value") * 100 - round(col("value") * 100, 0))) < 1e-6)
+          .as("value_ok"),
+        (bool_and(col("event_time") <= btLit &&
+          col("event_time") > btLit - expr("INTERVAL 24 HOURS")) &&
+          countDistinct(col("event_time")) === DataGen.HourSpread)
+          .as("time_ok"),
+        (bool_and(col("event_type").isin(graft.model.Event.eventTypes: _*)) &&
+          countDistinct(col("event_type")) ===
+            graft.model.Event.eventTypes.size.toLong)
+          .as("type_ok"),
+        bool_and(length(col("description")) === DataGen.DescriptionLen &&
+          col("description").rlike("^[A-Za-z]+$"))
+          .as("desc_ok"),
+        bool_and(col("metadata") === "{}" &&
+          col("created_at") === btLit && col("updated_at") === btLit)
+          .as("meta_ok"))
+  }
 
   /** ROLLUP aggregation (grouping-sets family; subtotals + grand total). */
   private def qRollup(s: SparkSession, d: String): DataFrame =
@@ -1560,6 +1598,21 @@ object SparkEntry {
              / (sqrt(a.nn) * sqrt(b.nn)) AS score
            FROM n a JOIN n b ON a.vec_id < b.vec_id) s
          WHERE score >= 0.45 ORDER BY id_a, id_b""",
+    // q25/q26 use the q29/q54 derived-check pattern: the Spark side emits
+    // conformance booleans only it can compute (codec roundtrips, seeded
+    // generator domains), so the oracle is the constant relation those
+    // booleans must equal — a hash mismatch means a check failed.
+    "q25_multimodal_report" ->
+      """SELECT media_type, CAST(n AS BIGINT) AS n_media,
+           true AS geom_ok, true AS feat_ok, true AS stream_ok
+         FROM (VALUES ('audio', 100), ('image', 100), ('video', 100))
+           AS t(media_type, n)
+         ORDER BY media_type""",
+    "q26_datagen_stats" ->
+      """SELECT CAST(10000 AS BIGINT) AS n_rows,
+           true AS id_ok, true AS user_ok, true AS status_ok,
+           true AS value_ok, true AS time_ok, true AS type_ok,
+           true AS desc_ok, true AS meta_ok""",
     "q27_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
            round(sum(l_extendedprice), 2) AS total_price

@@ -415,6 +415,93 @@ object Multimodal {
     }
   }
 
+  /** Per-row check verdict: every expectation below is recomputed in
+    * closed form from `media_id` alone (the generator's formulas), NOT by
+    * re-running the codecs — so agreement proves the encode→decode
+    * roundtrip, not that the same code ran twice. */
+  final case class MediaCheck(
+      media_type: String,
+      geom_ok: Boolean, // decoded geometry == generator geometry
+      feat_ok: Boolean, // features within ε of their closed form
+      stream_ok: Boolean) // decoded channels / duration / frame count match
+
+  /** Expected image features WITHOUT the PNG codec: pool the splitmix64
+    * pixel formula directly (`syntheticPng` writes pixel p of image id as
+    * mix64(id·1000003 + p) & 0xFFFFFF). An ImageIO decode that matches
+    * this proves the lossless roundtrip end-to-end. */
+  private[graft] def expectedImageFeatures(id: Long, dims: Int): Array[Double] = {
+    val (w, h) = imageGeometry(id)
+    val sums = new Array[Double](dims)
+    val counts = new Array[Long](dims)
+    var p = 0
+    while (p < w * h) {
+      val rgb = (Impl.mix64(id * 1000003L + p) & 0xFFFFFF).toInt
+      val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / (3.0 * 255.0)
+      sums(p % dims) += lum
+      counts(p % dims) += 1
+      p += 1
+    }
+    Array.tabulate(dims) { b =>
+      if (counts(b) == 0) 0.0
+      else math.round(sums(b) / counts(b) * 10000.0) / 10000.0
+    }
+  }
+
+  /** Derived-check rows for the driver's hash-compared oracle (the
+    * q29/q54 pattern): every geometry / feature / stream property the
+    * decode produced is compared against its closed form, so the oracle
+    * side is a constant `SELECT true, …` and a hash mismatch pinpoints a
+    * broken codec. Runs as the same mapPartitions batch shape as
+    * `extractFeatures`. */
+  def decodeChecks(
+      features: Dataset[MediaFeatures],
+      dims: Int = 16,
+      frameStride: Int = 10): Dataset[MediaCheck] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      f.media_type match {
+        case "image" =>
+          val (w, h) = imageGeometry(f.media_id)
+          val exp = expectedImageFeatures(f.media_id, dims)
+          MediaCheck("image",
+            geom_ok = f.decoded_w == w && f.decoded_h == h,
+            // PNG is lossless and both sides round to 4 decimals → exact
+            feat_ok = f.features.sameElements(exp),
+            stream_ok = f.decoded_channels == 0 && f.decoded_dur_ms == 0L &&
+              f.n_frames_sampled == 1)
+        case "audio" =>
+          val (ch, ns, amp) = audioGeometry(f.media_id)
+          // fixed-amplitude sine → every RMS bucket sits near amp/√2; the
+          // tolerance covers partial periods in short buckets (same bound
+          // the test suite asserts)
+          val expRms = amp / math.sqrt(2.0)
+          MediaCheck("audio",
+            geom_ok = f.decoded_w == 0 && f.decoded_h == 0,
+            feat_ok = f.features.forall(v =>
+              math.abs(v - expRms) < 0.05 * expRms + 0.01),
+            stream_ok = f.decoded_channels == ch &&
+              f.decoded_dur_ms == ns.toLong * 1000L / wavSampleRate)
+        case _ =>
+          val (w, h, nf) = videoGeometry(f.media_id)
+          // mean-preserving checkerboard → sampled frame means equal
+          // frameLuma exactly; recompute the bucket pooling in closed form
+          val expSampled = (nf + frameStride - 1) / frameStride
+          val exp = Array.tabulate(dims) { b =>
+            val means = (0 until nf by frameStride).zipWithIndex
+              .collect { case (frame, s) if s % dims == b =>
+                frameLuma(f.media_id, frame) / 255.0 }
+            if (means.isEmpty) 0.0
+            else math.round(means.sum / means.size * 10000.0) / 10000.0
+          }
+          MediaCheck("video",
+            geom_ok = f.decoded_w == w && f.decoded_h == h,
+            feat_ok = f.features.sameElements(exp),
+            stream_ok = f.n_frames_sampled == expSampled &&
+              f.decoded_dur_ms == nf.toLong * 1000L / y4mFps)
+      }
+    }
+  }
+
   /** Metadata report over the features table — plain relational ops, shows
     * the decoded output is a first-class queryable relation. */
   def mediaReport(features: DataFrame): DataFrame =

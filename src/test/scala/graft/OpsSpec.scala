@@ -357,6 +357,33 @@ class OpsSpec extends SparkSpec {
     assert(report.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
   }
 
+  test("multimodal decodeChecks: every closed-form check holds for all three codecs") {
+    val media = Multimodal.syntheticMedia(spark, 45, partitions = 3)
+    val checks = Multimodal
+      .decodeChecks(Multimodal.extractFeatures(media)).collect()
+    assert(checks.length == 45)
+    assert(checks.map(_.media_type).toSet == Set("image", "audio", "video"))
+    checks.foreach { c =>
+      assert(c.geom_ok && c.feat_ok && c.stream_ok,
+        s"${c.media_type}: geom=${c.geom_ok} feat=${c.feat_ok} stream=${c.stream_ok}")
+    }
+  }
+
+  test("multimodal decodeChecks: a corrupted decode fails its check") {
+    import spark.implicits._
+    // hand-build a features row whose geometry disagrees with the
+    // generator's closed form — the check must catch it
+    val good = Multimodal
+      .extractFeatures(Multimodal.syntheticMedia(spark, 3, partitions = 1))
+      .collect()
+    val broken = good.map(f => f.copy(decoded_w = f.decoded_w + 1))
+    val checks = Multimodal
+      .decodeChecks(spark.createDataset(broken.toSeq)).collect()
+    // audio expects decoded_w == 0, image/video expect the generator's
+    // geometry — an inflated decoded_w breaks all three
+    assert(checks.forall(!_.geom_ok), "inflated decoded_w must fail geom_ok")
+  }
+
   test("multimodal images decode for real: ImageIO geometry matches the encoded PNG") {
     val media = Multimodal.syntheticMedia(spark, 45, partitions = 3)
     val metaById = media.collect().map(r => r.media_id -> r).toMap
