@@ -428,6 +428,24 @@ object SparkEntry {
     * is engine-specific, so the compared projection keeps the
     * deterministic columns; the verbatim text (including
     * formatReadableSize over bytes_on_disk) still executes. */
+  /** Fixture temp dirs are deleted when the JVM exits — without this,
+    * every bench/verify run leaves pair-list/parts/rollup parquet behind
+    * in /tmp, accumulating across rounds. */
+  private def cleanupOnExit(path: String): String = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }))
+    path
+  }
+
+  private def tempFixtureDir(prefix: String): String =
+    cleanupOnExit(java.nio.file.Files.createTempDirectory(prefix).toString)
+
   /** q33's parts fixture, built once per (JVM, data dir) — the bench then
     * measures the parity query itself, not two parquet writes plus a
     * min() action on every invocation. */
@@ -441,7 +459,7 @@ object SparkEntry {
       val minHour = ev
         .agg(min(GraftFunctions.toYYYYMMDDhh(col("event_time")))).head.getInt(0)
       val keep = ev.filter(GraftFunctions.toYYYYMMDDhh(col("event_time")) <= minHour + 17)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_parts_sql").toString
+      val tmp = tempFixtureDir("graft_parts_sql")
       graft.table.EventTable.append(keep.filter(pmod(col("id"), lit(2)) === 0), tmp)
       graft.table.EventTable.append(keep.filter(pmod(col("id"), lit(2)) === 1), tmp)
       tmp
@@ -475,7 +493,7 @@ object SparkEntry {
     * ClickHouse descriptions — fully deterministic. */
   private def qMetricsSqlParity(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val dir = java.nio.file.Files.createTempDirectory("graft_metrics_sql").toString
+    val dir = tempFixtureDir("graft_metrics_sql")
     val parts = new graft.system.PartsRegistry(s, dir, "test_local")
     val metrics = new graft.system.MetricsRegistry(s)
     graft.table.Ddl.registerSystemViews(s, metrics, parts)
@@ -796,8 +814,7 @@ object SparkEntry {
     val path = pairsFixtureDirs.computeIfAbsent(
       (d, threshold.toString),
       (_: (String, String)) => {
-        val tmp =
-          java.nio.file.Files.createTempDirectory("graft_pairs").toString
+        val tmp = tempFixtureDir("graft_pairs")
         Dedup.ngramJaccardPairs(
           t(s, d, "documents"), shingleLen = 3, threshold = threshold)
           .write.mode("overwrite").parquet(tmp)
@@ -1321,8 +1338,8 @@ object SparkEntry {
         .agg(min(GraftFunctions.toYYYYMMDDhh(col("event_time")))).head.getInt(0)
       val ev = evAll.filter(
         GraftFunctions.toYYYYMMDDhh(col("event_time")) <= minHour + 17)
-      val base = java.nio.file.Files.createTempDirectory("graft_rollup").toString
-      val rollDir = base + "_rollup"
+      val base = tempFixtureDir("graft_rollup")
+      val rollDir = cleanupOnExit(base + "_rollup")
       val rollup = new graft.table.Rollup(
         s, base, rollDir, "part_hour", Seq("event_type"),
         Seq(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value")))

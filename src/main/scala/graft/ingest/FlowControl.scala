@@ -27,6 +27,18 @@ final class TooManyPartitionsException(partitions: Long, cap: Long)
   extends RuntimeException(
     s"Too many partitions for single INSERT block ($partitions > $cap)")
 
+/** Rollup (materialized-view) maintenance failed AFTER the insert block
+  * was already published: the base-table write is durable and counted, so
+  * a caller catching this must NOT retry the insert — only the rollup
+  * refresh itself is stale (re-runnable via `Rollup.refresh`). Distinct
+  * type so callers can tell "write failed, retry" from "write committed,
+  * view stale". */
+final class RollupRefreshException(cause: Throwable)
+  extends RuntimeException(
+    "rollup refresh failed after the insert block was already published; " +
+      "do not retry the insert — re-run Rollup.refresh for the affected " +
+      "partitions instead", cause)
+
 object FlowControl {
   sealed trait Decision
   case object Ok extends Decision

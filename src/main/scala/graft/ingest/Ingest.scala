@@ -99,11 +99,21 @@ final class Ingest(
 
       // rollup maintenance after publish: the touched-partition list falls
       // out of the staged dir names (no extra scan), and refresh prunes
-      // its base read to exactly those hours — O(new data), not O(table)
-      if (rollup.nonEmpty && stagedDirs.nonEmpty)
-        rollup.get.refresh(stagedDirs
+      // its base read to exactly those hours — O(new data), not O(table).
+      // The block is ALREADY COMMITTED here (files renamed, metrics
+      // counted), so a refresh failure surfaces as the distinct
+      // RollupRefreshException — callers must not re-insert on it, only
+      // re-run the refresh.
+      if (rollup.nonEmpty && stagedDirs.nonEmpty) {
+        try rollup.get.refresh(stagedDirs
           .map(_.getPath.getName.stripPrefix("part_hour=").toInt)
           .toIndexedSeq)
+        catch {
+          case e: Throwable =>
+            metrics("FailedRollupRefreshes").add(1)
+            throw new RollupRefreshException(e)
+        }
+      }
       nRows
     } finally fs.delete(staging, true)
   }

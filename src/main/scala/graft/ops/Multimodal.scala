@@ -261,11 +261,16 @@ object Multimodal {
   private def y4mDecodeFeatures(
       payload: Array[Byte], dims: Int,
       frameStride: Int): (Array[Double], Int, Int, Int, Long) = {
+    // all scans are bounds-guarded: malformed/truncated input must fail
+    // as a descriptive parse error, not ArrayIndexOutOfBoundsException
     def lineEnd(from: Int): Int = {
       var i = from
-      while (payload(i) != '\n') i += 1
+      while (i < payload.length && payload(i) != '\n') i += 1
+      require(i < payload.length,
+        s"truncated Y4M stream: no newline after byte $from")
       i
     }
+    require(payload.length >= 10, "truncated Y4M stream: no header")
     val hEnd = lineEnd(0)
     val header = new String(payload, 0, hEnd, "US-ASCII")
     val toks = header.split(' ')
@@ -294,10 +299,17 @@ object Multimodal {
     var pos = hEnd + 1
     var f = 0
     var sampled = 0
+    require(w > 0 && h > 0, s"bad Y4M geometry ${w}x$h in header '$header'")
     while (pos < payload.length) {
-      require(new String(payload, pos, 5, "US-ASCII") == "FRAME",
+      require(pos + 5 <= payload.length &&
+        new String(payload, pos, 5, "US-ASCII") == "FRAME",
         s"bad frame marker at byte $pos")
       pos = lineEnd(pos) + 1 // marker line may carry per-frame params
+      // the header's frame size must actually fit in the remaining bytes
+      // before any plane is read — a lying header fails here, not mid-scan
+      require(pos + frameBytes <= payload.length,
+        s"truncated Y4M frame $f at byte $pos: " +
+          s"need $frameBytes bytes, have ${payload.length - pos}")
       if (f % frameStride == 0) {
         var s = 0.0
         var i = 0

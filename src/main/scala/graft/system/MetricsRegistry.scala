@@ -32,6 +32,7 @@ final class MetricsRegistry(spark: SparkSession) {
 
   referenceMetrics.foreach { case (n, d) => counter(n, d) }
   counter("RejectedInserts", "Number of INSERT queries rejected by flow control (too many parts)")
+  counter("FailedRollupRefreshes", "Number of rollup (materialized view) refreshes that failed after their insert block was published")
 
   def counter(name: String, description: String = ""): LongAccumulator =
     counters.getOrElseUpdate(name, {

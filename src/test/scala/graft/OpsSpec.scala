@@ -369,6 +369,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal Y4M decode rejects truncated input with a parse error") {
+    import spark.implicits._
+    val good = Multimodal.syntheticY4m(7L, 16, 12, 3)
+    // cut mid-frame: the header promises more plane bytes than exist
+    val row = Multimodal.MediaRow(
+      7L, "video", good.take(good.length - 10), 16, 12, 120L)
+    val e = intercept[Exception] {
+      Multimodal.extractFeatures(spark.createDataset(Seq(row))).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    val msgs = chain(e).map(t => s"${t.getClass.getName}: ${t.getMessage}")
+    assert(msgs.exists(_.contains("truncated Y4M")),
+      s"expected a descriptive parse error, got: ${msgs.mkString(" <- ")}")
+    assert(!chain(e).exists(_.isInstanceOf[ArrayIndexOutOfBoundsException]),
+      "malformed input must not surface as a raw bounds exception")
+  }
+
   test("multimodal decodeChecks: a corrupted decode fails its check") {
     import spark.implicits._
     // hand-build a features row whose geometry disagrees with the

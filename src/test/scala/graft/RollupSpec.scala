@@ -106,6 +106,30 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("refresh failure after publish is a distinct error; the block stays committed") {
+    val base = Files.createTempDirectory("graft_rollup_fail").toString
+    val roll = Files.createTempDirectory("graft_rollup_fail_agg").toString + "/r"
+    // a rollup over a column the base table doesn't have: refresh always
+    // fails, but only AFTER the insert block has been published
+    val badRollup = new Rollup(
+      spark, base, roll,
+      partitionCol = "part_hour", dims = Seq("no_such_column"),
+      aggs = Seq(count(lit(1)).as("n_events")))
+    val ingest = new graft.ingest.Ingest(
+      base,
+      new graft.ingest.FlowControl(graft.ingest.FlowControlSettings(
+        partsToDelayInsert = 1000, partsToThrowInsert = 2000)),
+      new graft.system.PartsRegistry(spark, base, "test_local"),
+      new graft.system.MetricsRegistry(spark),
+      rollup = Some(badRollup))
+    val block = graft.gen.DataGen.batch(
+      spark, 2000, java.sql.Timestamp.valueOf("2026-03-01 12:00:00"), Some(9L)).toDF()
+    intercept[graft.ingest.RollupRefreshException] { ingest.append(block) }
+    // the base write committed before the refresh ran: a caller catching
+    // the distinct type must NOT re-insert (that would double the rows)
+    assert(EventTable.read(spark, base).count() == 2000)
+  }
+
   test("refresh scan is partition-pruned to the touched hours") {
     val base = Files.createTempDirectory("graft_rollup_prune").toString
     val b = graft.gen.DataGen.batch(

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ingest.{FlowControl, FlowControlSettings, Ingest}
+import graft.monitor.Monitor
+import graft.streaming.StreamingIngest
+import graft.system.{MetricsRegistry, PartsRegistry}
+import graft.table.EventTable
+
+/** End-to-end streaming acceptance test mirroring the reference's
+  * flow-control deadline (`README.md:8`: trigger within 60 s of sustained
+  * inserts): a live rate-source stream through the same `Ingest.append`
+  * gate must pass OK → DELAY → THROW within a bounded number of triggers,
+  * keep running after the rejection (T7 log-and-continue), and leave the
+  * final monitoring report populated. The batch-mode equivalent lives in
+  * `PipelineSpec`; this is the one reference behavior that was previously
+  * proven only there plus unit streaming pieces. */
+class StreamingFlowControlSpec extends SparkSpec {
+
+  test("streaming e2e: DELAY then THROW within bounded triggers, report populated") {
+    val dir = Files.createTempDirectory("graft_stream_flow").toString
+    EventTable.create(spark, dir)
+    // thresholds sized so the ladder climbs in a handful of micro-batches:
+    // each batch adds ≤1 part per hourly partition, so the gate reads
+    // 0,1,2,… — DELAY at 2, THROW at 4
+    val flow = new FlowControl(FlowControlSettings(
+      partsToDelayInsert = 2, partsToThrowInsert = 4, delayMillis = 10))
+    val metrics = new MetricsRegistry(spark)
+    val parts = new PartsRegistry(spark, dir, "test_local")
+    val ingest = new Ingest(dir, flow, parts, metrics)
+    val monitor = new Monitor(metrics, parts, flow)
+    val stream = new StreamingIngest(spark, ingest, rowsPerSecond = 500)
+
+    val query = stream.start(triggerInterval = "200 milliseconds")
+    try {
+      // DELAY must be observed strictly before THROW: poll the monitor at
+      // the reference's cadence (scaled down) and record the transitions
+      var sawDelay = false
+      var delayBeforeThrow = false
+      val deadline = System.currentTimeMillis() + 120000L
+      while (!stream.triggered && System.currentTimeMillis() < deadline) {
+        val st = monitor.status()
+        if (st.status == "DELAY" || st.delayedInserts > 0) sawDelay = true
+        if (sawDelay && !stream.triggered) delayBeforeThrow = true
+        Thread.sleep(100)
+      }
+      assert(stream.triggered,
+        s"flow control did not trigger before the deadline " +
+          s"(batches=${stream.completedBatches}, status=${monitor.status()})")
+      assert(sawDelay && delayBeforeThrow,
+        "the DELAY rung must be observed before the THROW rejection")
+      // bounded trigger count: the ladder needs ~4 appends to reach the
+      // throw threshold; far more completed batches means the gate leaked
+      assert(stream.completedBatches <= 20,
+        s"expected the throw within ~4 appends, took ${stream.completedBatches}")
+      // T7: the rejection is caught inside foreachBatch — the query must
+      // still be alive (the reference logs and continues, setup.sh:129-134)
+      assert(query.isActive, "query must keep running after a rejected batch")
+
+      // final report populated, THROW state visible to the monitor
+      val report = monitor.status()
+      assert(report.totalActiveParts > 0)
+      assert(report.maxPartsPerPartition >= flow.settings.partsToThrowInsert)
+      assert(report.status == "THROW")
+      assert(metrics.value("DelayedInserts") >= 1L)
+      assert(metrics.value("RejectedInserts") >= 1L)
+      assert(metrics.value("InsertedRows") > 0L)
+      // the two reference monitoring queries still run against this state
+      assert(monitor.partsReport().collect().nonEmpty)
+      assert(monitor.metricsReport().collect().length == 10)
+    } finally query.stop()
+  }
+}
