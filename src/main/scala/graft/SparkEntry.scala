@@ -1318,6 +1318,39 @@ object SparkEntry {
       t(s, d, "documents"), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** q76's exact brute-force top-k, materialized once per (JVM, dir) —
+    * it is oracle SCAFFOLDING (the recall ground truth), not the operator
+    * under test, so the bench times the PQ path, not an extra cross join
+    * per run (the q54 precedent). 50 (query_id, vec_id) rows. */
+  private val bruteTopkFixture =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
+
+  /** Product-quantization ANN (Jégou et al. 2011): 16×-compressed codes +
+    * ADC scan + exact rerank, checked via the derived-recall pattern —
+    * the PQ top-k is joined against the exact brute-force top-k and the
+    * compared row carries (result count, recall ≥ 0.85), so the DuckDB
+    * oracle is a constant and the sketch itself is what's measured.
+    * Codebook training (distributed Lloyd) runs live inside the timed
+    * query — it IS the PQ cost, like q19's live pair generation. */
+  private def qPqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val pq = Similarity.pqTopK(queries, corpus, k = 5, m = 16)
+      .select(col("query_id"), col("vec_id"))
+    val truth = bruteTopkFixture.computeIfAbsent(d, (dd: String) => {
+      Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .select(col("query_id"), col("vec_id"))
+        .as[(Long, Long)].collect()
+    }).toSeq.toDF("query_id", "vec_id")
+    // 10 queries × k=5 = 50 rows; recall floor 0.85 → ≥ 43 overlaps
+    pq.agg(count(lit(1)).as("n_results"))
+      .crossJoin(pq.join(broadcast(truth), Seq("query_id", "vec_id"))
+        .agg((count(lit(1)) >= 43L).as("recall_ok")))
+  }
+
   /** q74's incrementally-maintained rollup, built once per (JVM, dir):
     * the events fixture is appended in two halves with a partition-scoped
     * `Rollup.refresh` after each — so the relation the query reads was
@@ -1436,7 +1469,8 @@ object SparkEntry {
     "q72_domain_cap" -> (qDomainCap _),
     "q73_soft_dedup" -> (qSoftDedup _),
     "q74_rollup_incremental" -> (qRollupIncremental _),
-    "q75_repetition" -> (qRepetition _))
+    "q75_repetition" -> (qRepetition _),
+    "q76_pq_topk" -> (qPqTopK _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2194,5 +2228,10 @@ object SparkEntry {
            round(CAST(top_bigram_count AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac,
            ((1.0 - CAST(n_distinct AS DOUBLE) / n_words) > 0.62
              OR (CAST(top_bigram_count AS DOUBLE) / n_bigrams) > 0.08) AS repetitive
-         FROM w JOIN bt USING (doc_id) ORDER BY w.doc_id""")
+         FROM w JOIN bt USING (doc_id) ORDER BY w.doc_id""",
+    // derived-check oracle (q29/q54 pattern): the Spark side emits the PQ
+    // result count and a recall-vs-brute-force boolean; the constant
+    // relation below is what they must equal on any conformant run
+    "q76_pq_topk" ->
+      "SELECT CAST(50 AS BIGINT) AS n_results, true AS recall_ok")
 }

@@ -345,6 +345,215 @@ object Similarity {
     topKFromScored(scored, k)
   }
 
+  /** Product-quantization ANN (public method: Jégou, Douze, Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
+    * the third ANN scale path next to LSH and IVF, for the regime where
+    * raw float arrays stop fitting in memory: each vector is compressed
+    * to `m` one-byte codes (dim·4 bytes → m bytes; the default 64-dim /
+    * m=16 fixture geometry is exactly 16×), scored against queries via
+    * asymmetric distance (ADC: one m×nCodes lookup table per query, then
+    * m table reads + adds per corpus vector — no float math in the hot
+    * scan), and the top `k·rerankFactor` ADC candidates per query are
+    * re-scored EXACTLY against their full embeddings (the rerank pass
+    * fixes quantization-induced rank inversions near the cut).
+    *
+    * Scale shape:
+    *   - codebook training is the same distributed Lloyd machinery as
+    *     [[ivfTopK]] (per-partition partial sums over all m subspaces at
+    *     once, one reduce per iteration), run on a deterministic
+    *     hash-sample of ≤ `trainCap` vectors (PQ codebooks converge on a
+    *     sample; training cost stays bounded as the corpus grows);
+    *   - encoding is one broadcast-codebook map pass; the encoded relation
+    *     carries (vec_id, m bytes) — this is what a 100 TB index stores;
+    *   - ADC scoring is mapPartitions with a per-(partition, query) LUT
+    *     and a bounded per-query top-C heap, so the shuffle out of the
+    *     scan is O(partitions · queries · C), never O(n);
+    *   - only the C·|Q| rerank candidates re-touch raw embeddings.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int = 16,
+      nCodes: Int = 256,
+      kmeansIters: Int = 2,
+      rerankFactor: Int = 4,
+      trainCap: Int = 65536,
+      seed: Long = 42L): DataFrame = {
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    val dim = embeddingDim(corpus)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val vecs = corpus
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+
+    // ---- train: distributed Lloyd over all m subspaces at once --------
+    // deterministic hash-sample for training (the full pass is pointless
+    // past ~64k vectors; the sample keeps training O(1) in corpus size)
+    val n = vecs.count()
+    val sampleEvery = math.max(1L, n / trainCap)
+    // the sample is read by the seed pass + every Lloyd iteration: pin it
+    // so training re-reads memory, not parquet (released after the loop)
+    val train = vecs.filter { case (id, _) =>
+      java.lang.Long.remainderUnsigned(Impl.mix64(id ^ seed), sampleEvery) == 0L
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed codebooks from a hashed-id top-nCodes sample (only nCodes rows
+    // reach the driver, same bound as ivfTopK's seeding)
+    val seedRows = train.toDF("vec_id", "embedding")
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(nCodes)
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    require(seedRows.nonEmpty, "PQ training needs a non-empty corpus")
+    // codebooks(mi)(code)(j): seed code c of subspace mi from sample row
+    // c's mi-th subvector (cycled if the sample is smaller than nCodes)
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m, nCodes) { (mi, c) =>
+        val v = seedRows(c % seedRows.length)._2
+        Array.tabulate(sub)(j => v(mi * sub + j).toDouble)
+      }
+
+    def nearestCode(emb: Array[Float], mi: Int, book: Array[Array[Double]]): Int = {
+      val off = mi * sub
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var d = 0.0; var j = 0
+        while (j < sub) {
+          val t = emb(off + j).toDouble - cw(j); d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    for (_ <- 0 until kmeansIters) {
+      val bcB = sess.sparkContext.broadcast(codebooks)
+      val (sums, counts) = train.mapPartitions { it =>
+        val books = bcB.value
+        val s = Array.fill(m, nCodes)(new Array[Double](sub))
+        val cnt = Array.fill(m)(new Array[Long](nCodes))
+        it.foreach { case (_, emb) =>
+          var mi = 0
+          while (mi < m) {
+            val c = nearestCode(emb, mi, books(mi))
+            val acc = s(mi)(c); val off = mi * sub
+            var j = 0
+            while (j < sub) { acc(j) += emb(off + j).toDouble; j += 1 }
+            cnt(mi)(c) += 1
+            mi += 1
+          }
+        }
+        Iterator.single((s, cnt))
+      }.reduce { (a, b) =>
+        val (sa, ca) = a; val (sb, cb) = b
+        for (mi <- 0 until m; c <- 0 until nCodes) {
+          var j = 0
+          while (j < sub) { sa(mi)(c)(j) += sb(mi)(c)(j); j += 1 }
+          ca(mi)(c) += cb(mi)(c)
+        }
+        (sa, ca)
+      }
+      codebooks = Array.tabulate(m, nCodes) { (mi, c) =>
+        if (counts(mi)(c) == 0L) codebooks(mi)(c) // empty cell keeps centroid
+        else sums(mi)(c).map(_ / counts(mi)(c))
+      }
+    }
+    train.unpersist(blocking = false)
+
+    // ---- encode: (vec_id, m bytes) — the compressed index relation ----
+    val bcBooks = sess.sparkContext.broadcast(codebooks)
+    val encoded = vecs.mapPartitions { it =>
+      val books = bcBooks.value
+      it.map { case (id, emb) =>
+        val codes = new Array[Byte](m)
+        var mi = 0
+        while (mi < m) {
+          codes(mi) = nearestCode(emb, mi, books(mi)).toByte; mi += 1
+        }
+        (id, codes)
+      }
+    }
+
+    // ---- ADC scan: per-(partition, query) LUT + bounded top-C heap ----
+    val qRows = queries
+      .select(col("query_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .collect() // the query set — small by contract, broadcast below
+    val bcQ = sess.sparkContext.broadcast(qRows)
+    val cTop = math.max(k, k * rerankFactor)
+    val candidates = encoded.mapPartitions { it =>
+      val books = bcBooks.value
+      val qs = bcQ.value
+      // LUT(q)(mi)(code) = dot(q_mi, codeword); normApprox uses the
+      // codeword norms (‖x‖² ≈ Σ_mi ‖c_mi‖², exact when residuals are
+      // orthogonal to the codewords — the standard PQ estimate)
+      val lut = qs.map { case (_, qe) =>
+        Array.tabulate(m, nCodes) { (mi, c) =>
+          val cw = books(mi)(c); val off = mi * sub
+          var d = 0.0; var j = 0
+          while (j < sub) { d += qe(off + j).toDouble * cw(j); j += 1 }
+          d
+        }
+      }
+      val codeNormSq = Array.tabulate(m, nCodes) { (mi, c) =>
+        val cw = books(mi)(c)
+        var s = 0.0; var j = 0
+        while (j < sub) { s += cw(j) * cw(j); j += 1 }
+        s
+      }
+      // per-query bounded min-heaps of (score, vec_id)
+      val heaps = Array.fill(qs.length)(
+        new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by[(Double, Long), Double](_._1).reverse))
+      it.foreach { case (id, codes) =>
+        var nrmSq = 0.0
+        var mi = 0
+        while (mi < m) { nrmSq += codeNormSq(mi)(codes(mi) & 0xFF); mi += 1 }
+        val nrm = math.sqrt(nrmSq)
+        var qi = 0
+        while (qi < qs.length) {
+          val t = lut(qi)
+          var d = 0.0
+          mi = 0
+          while (mi < m) { d += t(mi)(codes(mi) & 0xFF); mi += 1 }
+          val score = if (nrm == 0.0) 0.0 else d / nrm // ‖q‖ constant per query
+          val h = heaps(qi)
+          if (h.size < cTop) h.enqueue((score, id))
+          else if (score > h.head._1) { h.dequeue(); h.enqueue((score, id)) }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        val qid = qs(qi)._1
+        h.iterator.map { case (s, id) => (qid, id, s) }
+      }
+    }.toDF("query_id", "vec_id", "adc_score")
+    // global top-C per query over the per-partition survivors
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    val topCand = candidates
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= cTop)
+      .select(col("query_id"), col("vec_id"))
+
+    // ---- exact rerank: only C·|Q| rows re-touch raw embeddings --------
+    val qDf = queries.select(
+      col("query_id").cast("long").as("query_id"), col("embedding").as("q_emb"))
+    val scored = topCand
+      .join(corpus.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").as("c_emb")), "vec_id")
+      .join(broadcast(qDf), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("c_emb")).as("score"))
+    topKFromScored(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥ τ,
     * via multi-table LSH banding (no cross join). Approximate: a pair
     * colliding in no table is never scored — the recall/threshold trade

@@ -114,6 +114,44 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"ivf recall $recall")
   }
 
+  test("pq top-k: recall >= 0.85 vs brute force at 16x compression") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val corpus = emb.select($"vec_id", $"embedding")
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // m=16 over 64-dim floats: 256 B/vector → 16 B of codes = 16×
+    val pq = Similarity.pqTopK(queries, corpus, k = 5, m = 16)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.85, s"pq recall $recall (found ${pq.size}, true ${brute.size})")
+  }
+
+  test("pq top-k: planted clusters survive quantization end-to-end") {
+    import spark.implicits._
+    val dim = 64
+    val rows = for {
+      cluster <- 0 until 10
+      member <- 0 until 5
+    } yield {
+      val base = Array.tabulate(dim)(i => math.sin(cluster * 37.0 + i).toFloat * 10f)
+      val jitter = Array.tabulate(dim)(i =>
+        (graft.functions.Impl.mix64(cluster * 100L + member * 7L + i) % 100L) / 1000f)
+      (cluster * 5L + member, base.zip(jitter).map { case (b, j) => b + j })
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(queries, corpus, k = 5, m = 16)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"pq recall $recall on planted clusters")
+  }
+
   test("lsh top-k derives dim from data: 128-dim clusters separated only in the upper dims") {
     import spark.implicits._
     // the cluster signal lives entirely in dims 64..127 — a quantizer that
