@@ -1,0 +1,40 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+/** Dev probe: measure approximate-operator recalls on the real fixtures
+  * (used to pick safe derived-oracle floors). */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+      val brute = Similarity.bruteForceTopK(queries, corpus, 5)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      val lsh = Similarity.lshTopK(queries, corpus, 5)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      val ivf = Similarity.ivfTopK(queries, corpus, 5)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val mh = Dedup.minhashPairs(docs)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sh = Dedup.simhashPairs(docs)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      println(s"== $d")
+      println(s"lsh recall ${(brute & lsh).size.toDouble / brute.size} (|lsh|=${lsh.size})")
+      println(s"ivf recall ${(brute & ivf).size.toDouble / brute.size} (|ivf|=${ivf.size})")
+      println(s"minhash recall ${(exact & mh).size.toDouble / exact.size} (|exact|=${exact.size} |mh|=${mh.size})")
+      println(s"simhash recall ${(exact & sh).size.toDouble / exact.size} (|sh|=${sh.size})")
+    }
+    spark.stop()
+  }
+}

@@ -1,18 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev probe: print one or more `SparkEntry` query results at sf0.01
-  * (QueryProbe times them; this one shows the rows).
-  * Usage: `runMain graft.ShowQ q25_multimodal_report q26_datagen_stats` */
+/** Dev probe: print one or more `SparkEntry` query results (QueryProbe
+  * times them; this one shows the rows). A leading absolute-path argument
+  * overrides the sf0.01 default data dir.
+  * Usage: `runMain graft.ShowQ [/root/testdata/sf0.1] q25_multimodal_report` */
 object ShowQ {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- args) {
+    val (dir, qs) =
+      if (args.nonEmpty && args(0).startsWith("/")) (args(0), args.drop(1))
+      else ("/root/testdata/sf0.01", args)
+    for (q <- qs) {
       println(s"=== $q ===")
-      SparkEntry.queries(q)(spark, "/root/testdata/sf0.01").show(50, false)
+      SparkEntry.queries(q)(spark, dir).show(50, false)
     }
     spark.stop()
   }

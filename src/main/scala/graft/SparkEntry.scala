@@ -255,16 +255,41 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(t(s, d, "documents"), shingleLen = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** MinHash+LSH near-dup candidates (no SQL oracle — xxhash64-based;
-    * cross-checked against exact Jaccard in the ScalaTest suite). */
-  private def qMinhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashPairs(t(s, d, "documents"))
-      .orderBy(col("id_a"), col("id_b"))
+  /** MinHash+LSH near-dup candidates, hash-checked via derived recall
+    * (the q29/q54 pattern): the banded-signature pairs are joined against
+    * the exact 3-gram-Jaccard@0.8 pair fixture (the planted ground truth
+    * DuckDB can also compute — q19's oracle), and the compared row
+    * carries SF-independent conformance booleans. The xxhash64 signature
+    * values themselves aren't DuckDB-reproducible; their RESULT is. */
+  private def qMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    val mh = Dedup.minhashPairs(t(s, d, "documents"))
+      .select(col("id_a"), col("id_b"))
+    val exact = ngramPairsFixture(s, d, threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+    // observed recall on the fixtures is 1.0 at every SF; 0.9 is the
+    // banding guarantee floor (b=8, r=4 S-curve at j≥0.8)
+    mh.agg(count(lit(1)).as("n_pairs")).select((col("n_pairs") > 0L).as("mh_nonzero"))
+      .crossJoin(exact.agg((count(lit(1)) > 0L).as("exact_nonzero")))
+      .crossJoin(mh.join(exact, Seq("id_a", "id_b")).agg(count(lit(1)).as("m"))
+        .crossJoin(exact.agg(count(lit(1)).as("e")))
+        .select((col("m").cast("double") / col("e") >= 0.9).as("recall_ok")))
+  }
 
-  /** SimHash near-dup pairs (no SQL oracle — bit-level hashing). */
-  private def qSimhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(t(s, d, "documents"))
-      .orderBy(col("id_a"), col("id_b"))
+  /** SimHash near-dup pairs, hash-checked via derived recall vs the same
+    * exact-Jaccard fixture. The hamming≤3 banding guarantee misses true
+    * pairs at hamming 5–11 by design — measured recall on the fixtures is
+    * ~0.75 at every SF, so the conformance floor is 0.7 (a broken
+    * fingerprint or banding collapses it to ~0). */
+  private def qSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.simhashPairs(t(s, d, "documents"))
+      .select(col("id_a"), col("id_b"))
+    val exact = ngramPairsFixture(s, d, threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+    sh.agg(count(lit(1)).as("n_pairs")).select((col("n_pairs") > 0L).as("sh_nonzero"))
+      .crossJoin(sh.join(exact, Seq("id_a", "id_b")).agg(count(lit(1)).as("m"))
+        .crossJoin(exact.agg(count(lit(1)).as("e")))
+        .select((col("m").cast("double") / col("e") >= 0.7).as("recall_ok")))
+  }
 
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
   private def qCosineTopK(s: SparkSession, d: String): DataFrame = {
@@ -276,15 +301,39 @@ object SparkEntry {
       k = 5)
   }
 
-  /** LSH-bucketed approximate top-k (no SQL oracle — approximate by
-    * design; recall vs brute force is asserted in the test suite). */
+  /** Derived conformance checks for an approximate top-k result against
+    * the brute-force fixture, in ONE aggregation pass: result count
+    * (SF-independent: 10 queries × k), the self-top-1 invariant (every
+    * query vector is in the corpus, so rank 1 must be the query itself at
+    * cosine 1.0 — any bucketing/probing bug that drops the query's own
+    * bucket breaks this), and a recall floor vs exact brute force. */
+  private def annCheck(
+      s: SparkSession, d: String,
+      topk: DataFrame, minMatches: Long): DataFrame =
+    topk.join(
+      broadcast(bruteTruth(s, d).withColumn("hit", lit(1))),
+      Seq("query_id", "vec_id"), "left")
+      .agg(
+        count(lit(1)).as("n_results"),
+        bool_and(when(col("rank") === 1,
+          col("query_id") === col("vec_id") && col("score") === 1.0)
+          .otherwise(lit(true))).as("self_top1_ok"),
+        (sum(coalesce(col("hit"), lit(0))) >= minMatches).as("recall_ok"))
+
+  /** LSH-bucketed approximate top-k, hash-checked via [[annCheck]]:
+    * sign-LSH is weak by design for mid-similarity neighbors (measured
+    * recall 0.30–0.44 on the fixtures), so the recall floor is 0.2 —
+    * the self-top-1 invariant is the sharp check (identical vectors
+    * collide in every table). */
   private def qLshTopK(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    Similarity.lshTopK(
-      emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding")),
-      emb.select(col("vec_id"), col("embedding")),
-      k = 5)
+    annCheck(s, d,
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        emb.select(col("vec_id"), col("embedding")),
+        k = 5),
+      minMatches = 10) // 0.2 × 50
   }
 
   /** Exact embedding near-dup pairs (cosine ≥ 0.45; fixture max ≈ 0.55) —
@@ -392,15 +441,19 @@ object SparkEntry {
           col("exact_parts") <= 0.1).as("approx_ok"))
       .orderBy(col("l_returnflag"))
 
-  /** IVF-bucketed approximate top-k (second ANN scale path; rows-only —
-    * approximate by design, recall asserted in the test suite). */
+  /** IVF-bucketed approximate top-k (second ANN scale path), hash-checked
+    * via [[annCheck]]: measured recall 0.64–0.74 on the fixtures with
+    * nProbes=4 of 16 cells → floor 0.5; self-top-1 holds because a query
+    * always probes its own cell. */
   private def qIvfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    Similarity.ivfTopK(
-      emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding")),
-      emb.select(col("vec_id"), col("embedding")),
-      k = 5)
+    annCheck(s, d,
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        emb.select(col("vec_id"), col("embedding")),
+        k = 5),
+      minMatches = 25) // 0.5 × 50
   }
 
   /** CUBE aggregation (all grouping-set combinations). */
@@ -1318,12 +1371,26 @@ object SparkEntry {
       t(s, d, "documents"), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
-  /** q76's exact brute-force top-k, materialized once per (JVM, dir) —
-    * it is oracle SCAFFOLDING (the recall ground truth), not the operator
-    * under test, so the bench times the PQ path, not an extra cross join
-    * per run (the q54 precedent). 50 (query_id, vec_id) rows. */
+  /** The exact brute-force top-k ground truth for q23/q32/q76,
+    * materialized once per (JVM, dir) — it is oracle SCAFFOLDING (the
+    * recall reference), not the operator under test, so the bench times
+    * each ANN path, not an extra cross join per run (the q54 precedent).
+    * 50 (query_id, vec_id) rows. */
   private val bruteTopkFixture =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
+
+  private def bruteTruth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    bruteTopkFixture.computeIfAbsent(d, (dd: String) => {
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        emb.select(col("vec_id"), col("embedding")), k = 5)
+        .select(col("query_id"), col("vec_id"))
+        .as[(Long, Long)].collect()
+    }).toSeq.toDF("query_id", "vec_id")
+  }
 
   /** Product-quantization ANN (Jégou et al. 2011): 16×-compressed codes +
     * ADC scan + exact rerank, checked via the derived-recall pattern —
@@ -1333,21 +1400,16 @@ object SparkEntry {
     * Codebook training (distributed Lloyd) runs live inside the timed
     * query — it IS the PQ cost, like q19's live pair generation. */
   private def qPqTopK(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val emb = t(s, d, "embeddings")
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding"))
-    val corpus = emb.select(col("vec_id"), col("embedding"))
-    val pq = Similarity.pqTopK(queries, corpus, k = 5, m = 16)
+    val pq = Similarity.pqTopK(
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      emb.select(col("vec_id"), col("embedding")),
+      k = 5, m = 16)
       .select(col("query_id"), col("vec_id"))
-    val truth = bruteTopkFixture.computeIfAbsent(d, (dd: String) => {
-      Similarity.bruteForceTopK(queries, corpus, k = 5)
-        .select(col("query_id"), col("vec_id"))
-        .as[(Long, Long)].collect()
-    }).toSeq.toDF("query_id", "vec_id")
     // 10 queries × k=5 = 50 rows; recall floor 0.85 → ≥ 43 overlaps
     pq.agg(count(lit(1)).as("n_results"))
-      .crossJoin(pq.join(broadcast(truth), Seq("query_id", "vec_id"))
+      .crossJoin(pq.join(broadcast(bruteTruth(s, d)), Seq("query_id", "vec_id"))
         .agg((count(lit(1)) >= 43L).as("recall_ok")))
   }
 
@@ -1615,6 +1677,20 @@ object SparkEntry {
            JOIN sizes sa ON sa.doc_id = id_a
            JOIN sizes sb ON sb.doc_id = id_b) s
          WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    // q20/q21/q23/q32 use the q29/q54 derived-check pattern: the Spark
+    // side emits SF-independent conformance booleans (recall floors vs an
+    // exact ground truth, self-top-1 invariants, result counts); the
+    // hash-compared oracle is the constant relation they must equal.
+    "q20_minhash_pairs" ->
+      "SELECT true AS mh_nonzero, true AS exact_nonzero, true AS recall_ok",
+    "q21_simhash_pairs" ->
+      "SELECT true AS sh_nonzero, true AS recall_ok",
+    "q23_lsh_topk" ->
+      """SELECT CAST(50 AS BIGINT) AS n_results,
+           true AS self_top1_ok, true AS recall_ok""",
+    "q32_ivf_topk" ->
+      """SELECT CAST(50 AS BIGINT) AS n_results,
+           true AS self_top1_ok, true AS recall_ok""",
     "q22_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                     FROM embeddings WHERE vec_id < 10),
