@@ -135,6 +135,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q32/q76 ANN checks broadcast the small sides, never shuffle-join the corpus") {
+    for (q <- Seq("q32_ivf_topk", "q76_pq_topk")) {
+      val p = plan(q)
+      assert(p.contains("Broadcast"), s"$q: truth/query side must broadcast:\n$p")
+      // the 1-row × 1-row crossJoin of the check aggregates is fine; a
+      // SortMergeJoin would mean the corpus itself is being shuffled
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: corpus must not shuffle against the check sides:\n$p")
+    }
+  }
+
   test("q10 fact-fact join keeps the aggregate above one shuffle exchange pair") {
     val p = plan("q10_join_shuffle")
     // large-side equi-join: either SMJ or shuffled hash — but never a
