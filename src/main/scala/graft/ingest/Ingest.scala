@@ -41,9 +41,27 @@ final class Ingest(
     // refreshes exactly its touched partitions
     rollup: Option[graft.table.Rollup] = None) {
 
-  /** Append one insert block; returns rows written. */
-  def append(block: DataFrame): Long = {
+  /** Append one insert block; returns rows written.
+    *
+    * `batchId` makes the append IDEMPOTENT — the exactly-once contract
+    * Structured Streaming's `foreachBatch` expects from its sink: a batch
+    * id that already committed is skipped (returns 0, nothing counted).
+    * The commit marker (`.batch_commits/batch-<id>`) is written only
+    * AFTER publish, so a replay of any COMPLETED micro-batch — the normal
+    * restart case: the trigger finished but the checkpoint offset commit
+    * didn't — inserts nothing twice. (A crash strictly between the
+    * per-file renames and the marker write can still leave a partial
+    * block; closing that window needs a manifest-commit protocol, which
+    * the one-directory-rename layout here deliberately trades away for
+    * partition-parallel publishes.)
+    */
+  def append(block: DataFrame, batchId: Option[Long] = None): Long = {
     val s = flow.settings
+    val conf0 = block.sparkSession.sparkContext.hadoopConfiguration
+    val fs0 = new Path(tablePath).getFileSystem(conf0)
+    val marker = batchId.map(id =>
+      new Path(tablePath, s".batch_commits/batch-$id"))
+    if (marker.exists(fs0.exists)) return 0L // replayed batch: already in
 
     // T2/T3 — delay / throw ladder on the most-loaded partition
     // (FS-listing reads only; no data pass, no footer I/O).
@@ -96,6 +114,15 @@ final class Ingest(
       }
       metrics("InsertedRows").add(nRows)
       metrics("InsertedBytes").add(bytes)
+
+      // exactly-once marker: published → any replay of this batch id is a
+      // no-op from here on (content records rows/bytes for forensics)
+      marker.foreach { mk =>
+        fs.mkdirs(mk.getParent)
+        val out = fs.create(mk, false)
+        out.write(s"rows=$nRows bytes=$bytes\n".getBytes("UTF-8"))
+        out.close()
+      }
 
       // rollup maintenance after publish: the touched-partition list falls
       // out of the staged dir names (no extra scan), and refresh prunes

@@ -70,9 +70,13 @@ final class StreamingIngest(
       .load()
     toEvents(rate).writeStream
       .trigger(Trigger.ProcessingTime(triggerInterval))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         try {
-          ingest.append(batch)
+          // batchId → idempotent append: a micro-batch replayed after a
+          // restart (trigger completed, offset commit didn't) is skipped
+          // by the sink's commit marker — the foreachBatch exactly-once
+          // contract
+          ingest.append(batch, Some(batchId))
           batchesCompleted += 1
         } catch {
           case _: TooManyPartsException | _: TooManyPartitionsException =>

@@ -158,6 +158,28 @@ class PipelineSpec extends SparkSpec {
       s"staging dirs must be cleaned up: ${leftovers.mkString(",")}")
   }
 
+  test("batchId makes append idempotent: a replayed micro-batch inserts nothing twice") {
+    val dir = Files.createTempDirectory("graft_idem").toString
+    val flow = new graft.ingest.FlowControl(FlowControlSettings(
+      partsToDelayInsert = 1000000, partsToThrowInsert = 2000000))
+    val metrics = new graft.system.MetricsRegistry(spark)
+    val parts = new graft.system.PartsRegistry(spark, dir, "test_local")
+    val ingest = new graft.ingest.Ingest(dir, flow, parts, metrics)
+    val block = graft.gen.DataGen.batch(
+      spark, 1000, java.sql.Timestamp.valueOf("2026-02-01 12:00:00"), Some(3L)).toDF()
+    assert(ingest.append(block, batchId = Some(7L)) == 1000L)
+    val partsAfterFirst = parts.totalActiveParts()
+    // the foreachBatch replay case: same batch id again → skipped, no new
+    // rows, no new parts, metrics counted once
+    assert(ingest.append(block, batchId = Some(7L)) == 0L)
+    assert(graft.table.EventTable.read(spark, dir).count() == 1000L)
+    assert(parts.totalActiveParts() == partsAfterFirst)
+    assert(metrics.value("InsertedRows") == 1000L)
+    // a NEW batch id still inserts (the marker is per-id, not a latch)
+    assert(ingest.append(block, batchId = Some(8L)) == 1000L)
+    assert(graft.table.EventTable.read(spark, dir).count() == 2000L)
+  }
+
   test("concurrent staged appends do not interfere (UUID staging, per-file rename)") {
     val dir = Files.createTempDirectory("graft_conc").toString
     val flow = new graft.ingest.FlowControl(FlowControlSettings(
