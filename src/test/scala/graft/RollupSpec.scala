@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.table.{EventTable, Rollup}
@@ -104,6 +105,62 @@ class RollupSpec extends SparkSpec {
         .toMap
       assert(got == want && got.nonEmpty)
     }
+  }
+
+  test("streaming ingest maintains the rollup live (materialized view over a stream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_rollup_stream").toString
+    val roll = Files.createTempDirectory("graft_rollup_stream_agg").toString + "/r"
+    val rollup = new Rollup(
+      spark, base, roll,
+      partitionCol = "part_hour", dims = Seq("event_type"),
+      aggs = Seq(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value")))
+    val ingest = new graft.ingest.Ingest(
+      base,
+      new graft.ingest.FlowControl(graft.ingest.FlowControlSettings(
+        partsToDelayInsert = 1000000, partsToThrowInsert = 2000000)),
+      new graft.system.PartsRegistry(spark, base, "test_local"),
+      new graft.system.MetricsRegistry(spark),
+      rollup = Some(rollup))
+    def ev(id: Long, t: String, typ: String, v: Double) =
+      graft.model.Event(id, java.sql.Timestamp.valueOf(t), 1, typ, v, 0,
+        "d", "{}", java.sql.Timestamp.valueOf(t), java.sql.Timestamp.valueOf(t))
+    // finite MemoryStream through the SAME foreachBatch sink shape as
+    // StreamingIngest (idempotent batchId append + live rollup refresh) —
+    // processAllAvailable makes each comparison race-free
+    val source = MemoryStream[graft.model.Event]
+    val query = source.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        ingest.append(batch, Some(batchId)): Unit
+      }
+      .start()
+    def check(): Unit = {
+      val got = rollup.read()
+        .select("part_hour", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      val want = EventTable.read(spark, base)
+        .groupBy(col("part_hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("tv"))
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == want && got.nonEmpty,
+        s"rollup diverged from base: $got vs $want")
+    }
+    try {
+      source.addData(
+        ev(1, "2026-05-01 10:00:00", "click", 1.5),
+        ev(2, "2026-05-01 10:30:00", "view", 2.5),
+        ev(3, "2026-05-01 11:00:00", "click", 3.0))
+      query.processAllAvailable()
+      check() // rollup tracks the stream with zero manual refreshes
+      source.addData( // second micro-batch overlaps hour 10 (incremental merge)
+        ev(4, "2026-05-01 10:15:00", "click", 4.0),
+        ev(5, "2026-05-01 12:00:00", "purchase", 5.0))
+      query.processAllAvailable()
+      check()
+    } finally query.stop()
   }
 
   test("refresh failure after publish is a distinct error; the block stays committed") {
