@@ -24,6 +24,35 @@ import org.apache.spark.sql.graftbridge.CheckpointRelease
   * fast failure can't deflate the total. The short total-only line prints
   * LAST because the driver keeps the tail of stdout.
   */
+/** The bench harness's measurement decisions, pure and unit-tested
+  * (`BenchSpec`) — the parts that decide what number gets recorded must
+  * not live only inside a main() that needs a 40 s run to exercise. */
+private[graft] object BenchLogic {
+  /** Steady-state min over SUCCESSFUL runs only; None if every run
+    * errored (the query is then dropped from the total — a fast failure
+    * must not deflate it). */
+  def minOverGood(runs: Seq[Option[Double]]): Option[Double] = {
+    val good = runs.flatten
+    if (good.isEmpty) None else Some(good.min)
+  }
+
+  /** A query is an outlier worth re-checking when its min exceeds both an
+    * absolute floor and 8× the suite median — a transient stall inflates
+    * one query's every run, which min-of-N cannot save. */
+  def suspectThreshold(goodMins: Seq[Double]): Double =
+    if (goodMins.isEmpty) Double.MaxValue
+    else math.max(4.0, 8.0 * goodMins.sorted.apply(goodMins.size / 2))
+
+  /** A fresh post-loop re-run replaces the recorded min only when it
+    * halves it — evidence the recorded value was contention, not code.
+    * Returns (final time, was flagged suspect). */
+  def resolveRecheck(recorded: Double, fresh: Option[Double]): (Double, Boolean) =
+    fresh match {
+      case Some(f) if f < recorded / 2 => (f, true)
+      case _ => (recorded, false)
+    }
+}
+
 object Bench {
   private def loadavg(): String =
     try {
@@ -122,31 +151,23 @@ object Bench {
         name -> (1 to math.max(1, runsPerQuery)).map(i =>
           timeOnce(name, fn, s"run $i"))
     }
-    var mins: Seq[(String, Option[Double])] = results.map { case (k, ts) =>
-      val good = ts.flatten
-      k -> (if (good.isEmpty) None else Some(good.min))
-    }
+    var mins: Seq[(String, Option[Double])] =
+      results.map { case (k, ts) => k -> BenchLogic.minOverGood(ts) }
     // suspect detection: a transient stall (GC storm, external load spike)
     // inflates one query's every run; min-of-N can't save it. Any query
     // whose min is an outlier vs the suite — above 8× the median and above
     // an absolute floor — gets one fresh re-run now that the box may have
     // recovered; if the re-run halves the time, the fresh value replaces
     // the poisoned one and the query is flagged "suspect" in the artifact.
-    val goodMins = mins.flatMap(_._2)
+    val threshold = BenchLogic.suspectThreshold(mins.flatMap(_._2))
     val suspects = scala.collection.mutable.ListBuffer.empty[String]
-    if (goodMins.nonEmpty) {
-      val med = goodMins.sorted.apply(goodMins.size / 2)
-      val threshold = math.max(4.0, 8.0 * med)
-      mins = mins.map {
-        case (k, Some(v)) if v > threshold =>
-          timeOnce(k, selected(k), "suspect-recheck") match {
-            case Some(fresh) if fresh < v / 2 =>
-              suspects += k
-              k -> Some(fresh)
-            case _ => k -> Some(v)
-          }
-        case other => other
-      }
+    mins = mins.map {
+      case (k, Some(v)) if v > threshold =>
+        val (finalTime, flagged) = BenchLogic.resolveRecheck(
+          v, timeOnce(k, selected(k), "suspect-recheck"))
+        if (flagged) suspects += k
+        k -> Some(finalTime)
+      case other => other
     }
     val calibEnd = calibrate(spark)
     val loadEnd = loadavg()

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the bench harness's measurement decisions — the
+  * logic that picks which number lands in BENCH_r{N}.json (steady-state
+  * min, errored-run exclusion, contention-outlier re-checks). */
+class BenchSpec extends AnyFunSuite {
+
+  test("min over successful runs only; all-errored queries drop out") {
+    assert(BenchLogic.minOverGood(Seq(Some(2.0), Some(1.5))) == Some(1.5))
+    // an errored run (None) contributes nothing — a query that fails fast
+    // in milliseconds cannot deflate the recorded time
+    assert(BenchLogic.minOverGood(Seq(None, Some(3.0))) == Some(3.0))
+    assert(BenchLogic.minOverGood(Seq(None, None)) == None)
+    assert(BenchLogic.minOverGood(Nil) == None)
+  }
+
+  test("suspect threshold: 8x the suite median with a 4s absolute floor") {
+    // median 0.5 → 8×0.5 = 4.0 → the floor dominates equal
+    assert(BenchLogic.suspectThreshold(Seq(0.5, 0.4, 0.6)) == 4.0)
+    // fast suite (median 0.1): the floor keeps sub-4s queries unflagged —
+    // re-running a 1 s query wastes time and can't indicate starvation
+    assert(BenchLogic.suspectThreshold(Seq(0.1, 0.1, 0.1)) == 4.0)
+    // slow suite (median 2.0): the scaled bound takes over
+    assert(BenchLogic.suspectThreshold(Seq(2.0, 1.0, 3.0)) == 16.0)
+    // empty suite: nothing can be a suspect
+    assert(BenchLogic.suspectThreshold(Nil) == Double.MaxValue)
+  }
+
+  test("recheck replaces the recorded time only when the fresh run halves it") {
+    // 70s recorded, 0.5s fresh (the r4 q40 case): replaced and flagged
+    assert(BenchLogic.resolveRecheck(70.0, Some(0.5)) == ((0.5, true)))
+    // fresh run confirms the recorded time: keep it, not a suspect —
+    // a genuinely slow query must still read as genuinely slow
+    assert(BenchLogic.resolveRecheck(10.0, Some(9.0)) == ((10.0, false)))
+    // boundary: exactly half does not count as contention evidence
+    assert(BenchLogic.resolveRecheck(10.0, Some(5.0)) == ((10.0, false)))
+    // the recheck itself errored: keep the recorded value
+    assert(BenchLogic.resolveRecheck(10.0, None) == ((10.0, false)))
+  }
+}
