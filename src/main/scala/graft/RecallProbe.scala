@@ -23,6 +23,8 @@ object RecallProbe {
         .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
       val ivf = Similarity.ivfTopK(queries, corpus, 5)
         .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      val ivfpq = Similarity.ivfPqTopK(queries, corpus, 5)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
       val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       val mh = Dedup.minhashPairs(docs)
@@ -32,6 +34,7 @@ object RecallProbe {
       println(s"== $d")
       println(s"lsh recall ${(brute & lsh).size.toDouble / brute.size} (|lsh|=${lsh.size})")
       println(s"ivf recall ${(brute & ivf).size.toDouble / brute.size} (|ivf|=${ivf.size})")
+      println(s"ivfpq recall ${(brute & ivfpq).size.toDouble / brute.size} (|ivfpq|=${ivfpq.size})")
       println(s"minhash recall ${(exact & mh).size.toDouble / exact.size} (|exact|=${exact.size} |mh|=${mh.size})")
       println(s"simhash recall ${(exact & sh).size.toDouble / exact.size} (|sh|=${sh.size})")
     }

@@ -456,6 +456,21 @@ object SparkEntry {
       minMatches = 25) // 0.5 × 50
   }
 
+  /** IVF-PQ composed index (FAISS-style IVFADC: coarse cells + 16×
+    * residual PQ codes + ADC + exact rerank), hash-checked via
+    * [[annCheck]] with the same floors as plain IVF — the residual
+    * compression must not cost recall once the rerank runs. */
+  private def qIvfPqTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    annCheck(s, d,
+      Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        emb.select(col("vec_id"), col("embedding")),
+        k = 5),
+      minMatches = 25) // 0.5 × 50, measured 0.64–0.76 on the fixtures
+  }
+
   /** CUBE aggregation (all grouping-set combinations). */
   private def qCube(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -1532,7 +1547,8 @@ object SparkEntry {
     "q73_soft_dedup" -> (qSoftDedup _),
     "q74_rollup_incremental" -> (qRollupIncremental _),
     "q75_repetition" -> (qRepetition _),
-    "q76_pq_topk" -> (qPqTopK _))
+    "q76_pq_topk" -> (qPqTopK _),
+    "q77_ivfpq_topk" -> (qIvfPqTopK _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2309,5 +2325,8 @@ object SparkEntry {
     // result count and a recall-vs-brute-force boolean; the constant
     // relation below is what they must equal on any conformant run
     "q76_pq_topk" ->
-      "SELECT CAST(50 AS BIGINT) AS n_results, true AS recall_ok")
+      "SELECT CAST(50 AS BIGINT) AS n_results, true AS recall_ok",
+    "q77_ivfpq_topk" ->
+      """SELECT CAST(50 AS BIGINT) AS n_results,
+           true AS self_top1_ok, true AS recall_ok""")
 }

@@ -230,22 +230,41 @@ object Similarity {
     * shuffle); the probe join shuffles O(n) corpus rows by cell id.
     * Recall is tuned by nProbes and improves with refinement iterations.
     */
-  def ivfTopK(
-      queries: DataFrame,
-      corpus: DataFrame,
-      k: Int,
-      nCentroids: Int = 16,
-      nProbes: Int = 4,
-      kmeansIters: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    val sess = corpus.sparkSession
-    import sess.implicits._
-    val vecs = corpus
-      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
-      .as[(Long, Array[Float])]
+  /** Cosine of `emb` against a (cell, centroid, norm) triple. */
+  private def cosTo(emb: Array[Float], cent: (Int, Array[Double], Double)): Double = {
+    val (_, cv, cn) = cent
+    var d = 0.0; var nA = 0.0; var i = 0
+    val n = math.min(emb.length, cv.length)
+    while (i < n) {
+      d += emb(i).toDouble * cv(i)
+      nA += emb(i).toDouble * emb(i).toDouble
+      i += 1
+    }
+    d / (math.sqrt(nA) * cn)
+  }
 
-    // seed centroids: distributed top-k by hashed id — a reproducible
-    // pseudo-random sample; only these nCentroids rows are collected
+  private def nearestCell(
+      emb: Array[Float], cs: Array[(Int, Array[Double], Double)]): Int = {
+    var best = 0; var bestScore = Double.MinValue
+    cs.foreach { c =>
+      val s = cosTo(emb, c); if (s > bestScore) { bestScore = s; best = c._1 }
+    }
+    best
+  }
+
+  /** The coarse quantizer shared by [[ivfTopK]] and [[ivfPqTopK]]:
+    * deterministic distributed seeding (top-nCentroids by hashed id —
+    * only those rows reach the driver) + `kmeansIters` Lloyd iterations
+    * as per-partition partial (sum, count) vectors merged by one reduce —
+    * nCentroids·dim doubles per partition, never a per-row shuffle.
+    * Empty cells keep their previous centroid. */
+  private[graft] def trainCentroids(
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      nCentroids: Int,
+      kmeansIters: Int,
+      seed: Long): Array[(Int, Array[Double], Double)] = {
+    val sess = vecs.sparkSession
+    import sess.implicits._
     val seedRows = vecs.toDF("vec_id", "embedding")
       .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
       .limit(nCentroids)
@@ -257,28 +276,6 @@ object Similarity {
         val dv = v.map(_.toDouble)
         (c, dv, math.sqrt(dv.map(x => x * x).sum))
       }
-
-    def cosTo(emb: Array[Float], cent: (Int, Array[Double], Double)): Double = {
-      val (_, cv, cn) = cent
-      var d = 0.0; var nA = 0.0; var i = 0
-      val n = math.min(emb.length, cv.length)
-      while (i < n) {
-        d += emb(i).toDouble * cv(i)
-        nA += emb(i).toDouble * emb(i).toDouble
-        i += 1
-      }
-      d / (math.sqrt(nA) * cn)
-    }
-
-    def nearestCell(emb: Array[Float], cs: Array[(Int, Array[Double], Double)]): Int = {
-      var best = 0; var bestScore = Double.MinValue
-      cs.foreach { c => val s = cosTo(emb, c); if (s > bestScore) { bestScore = s; best = c._1 } }
-      best
-    }
-
-    // Lloyd refinement: per-partition partial (sum, count) per cell,
-    // merged with one reduce — nCentroids·dim doubles per partition, no
-    // per-row shuffle. Empty cells keep their previous centroid.
     val dim = if (cents.nonEmpty) cents(0)._2.length else 0
     for (_ <- 0 until kmeansIters) {
       val bcC = sess.sparkContext.broadcast(cents)
@@ -316,7 +313,23 @@ object Similarity {
         }
       }
     }
+    cents
+  }
 
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbes: Int = 4,
+      kmeansIters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    val vecs = corpus
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val cents = trainCentroids(vecs, nCentroids, kmeansIters, seed)
     val bc = sess.sparkContext.broadcast(cents)
 
     val assigned = vecs.mapPartitions { it =>
@@ -343,6 +356,107 @@ object Similarity {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(max(col("score")).as("score"))
     topKFromScored(scored, k)
+  }
+
+  /** Nearest PQ codeword (L2) for subspace `mi` of `emb`. */
+  private def nearestCode(
+      emb: Array[Float], mi: Int, sub: Int, book: Array[Array[Double]]): Int = {
+    val off = mi * sub
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cw = book(c)
+      var d = 0.0; var j = 0
+      while (j < sub) {
+        val t = emb(off + j).toDouble - cw(j); d += t * t; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def pqEncode(
+      emb: Array[Float], books: Array[Array[Array[Double]]], sub: Int): Array[Byte] = {
+    val codes = new Array[Byte](books.length)
+    var mi = 0
+    while (mi < books.length) {
+      codes(mi) = nearestCode(emb, mi, sub, books(mi)).toByte; mi += 1
+    }
+    codes
+  }
+
+  /** PQ codebook training shared by [[pqTopK]] and [[ivfPqTopK]]:
+    * distributed Lloyd over all `m` subspaces at once — per-partition
+    * partial (sum, count) per (subspace, code) merged by one reduce — on
+    * a deterministic hash-sample of ≤ `trainCap` rows (codebooks converge
+    * on a sample; training stays O(1) in corpus size). The sample is
+    * pinned for the seed pass + every iteration, released after. */
+  private[graft] def trainCodebooks(
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      m: Int,
+      sub: Int,
+      nCodes: Int,
+      kmeansIters: Int,
+      trainCap: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    val sess = vecs.sparkSession
+    import sess.implicits._
+    val n = vecs.count()
+    val sampleEvery = math.max(1L, n / trainCap)
+    val train = vecs.filter { case (id, _) =>
+      java.lang.Long.remainderUnsigned(Impl.mix64(id ^ seed), sampleEvery) == 0L
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed codebooks from a hashed-id top-nCodes sample (only nCodes rows
+    // reach the driver, same bound as the coarse quantizer's seeding)
+    val seedRows = train.toDF("vec_id", "embedding")
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(nCodes)
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    require(seedRows.nonEmpty, "PQ training needs a non-empty corpus")
+    // codebooks(mi)(code)(j): seed code c of subspace mi from sample row
+    // c's mi-th subvector (cycled if the sample is smaller than nCodes)
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m, nCodes) { (mi, c) =>
+        val v = seedRows(c % seedRows.length)._2
+        Array.tabulate(sub)(j => v(mi * sub + j).toDouble)
+      }
+    for (_ <- 0 until kmeansIters) {
+      val bcB = sess.sparkContext.broadcast(codebooks)
+      val (sums, counts) = train.mapPartitions { it =>
+        val books = bcB.value
+        val s = Array.fill(m, nCodes)(new Array[Double](sub))
+        val cnt = Array.fill(m)(new Array[Long](nCodes))
+        it.foreach { case (_, emb) =>
+          var mi = 0
+          while (mi < m) {
+            val c = nearestCode(emb, mi, sub, books(mi))
+            val acc = s(mi)(c); val off = mi * sub
+            var j = 0
+            while (j < sub) { acc(j) += emb(off + j).toDouble; j += 1 }
+            cnt(mi)(c) += 1
+            mi += 1
+          }
+        }
+        Iterator.single((s, cnt))
+      }.reduce { (a, b) =>
+        val (sa, ca) = a; val (sb, cb) = b
+        for (mi <- 0 until m; c <- 0 until nCodes) {
+          var j = 0
+          while (j < sub) { sa(mi)(c)(j) += sb(mi)(c)(j); j += 1 }
+          ca(mi)(c) += cb(mi)(c)
+        }
+        (sa, ca)
+      }
+      codebooks = Array.tabulate(m, nCodes) { (mi, c) =>
+        if (counts(mi)(c) == 0L) codebooks(mi)(c) // empty cell keeps centroid
+        else sums(mi)(c).map(_ / counts(mi)(c))
+      }
+    }
+    train.unpersist(blocking = false)
+    codebooks
   }
 
   /** Product-quantization ANN (public method: Jégou, Douze, Schmid,
@@ -388,96 +502,13 @@ object Similarity {
     val vecs = corpus
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
-
-    // ---- train: distributed Lloyd over all m subspaces at once --------
-    // deterministic hash-sample for training (the full pass is pointless
-    // past ~64k vectors; the sample keeps training O(1) in corpus size)
-    val n = vecs.count()
-    val sampleEvery = math.max(1L, n / trainCap)
-    // the sample is read by the seed pass + every Lloyd iteration: pin it
-    // so training re-reads memory, not parquet (released after the loop)
-    val train = vecs.filter { case (id, _) =>
-      java.lang.Long.remainderUnsigned(Impl.mix64(id ^ seed), sampleEvery) == 0L
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seed codebooks from a hashed-id top-nCodes sample (only nCodes rows
-    // reach the driver, same bound as ivfTopK's seeding)
-    val seedRows = train.toDF("vec_id", "embedding")
-      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
-      .limit(nCodes)
-      .as[(Long, Array[Float])]
-      .collect()
-      .sortBy(_._1)
-    require(seedRows.nonEmpty, "PQ training needs a non-empty corpus")
-    // codebooks(mi)(code)(j): seed code c of subspace mi from sample row
-    // c's mi-th subvector (cycled if the sample is smaller than nCodes)
-    var codebooks: Array[Array[Array[Double]]] =
-      Array.tabulate(m, nCodes) { (mi, c) =>
-        val v = seedRows(c % seedRows.length)._2
-        Array.tabulate(sub)(j => v(mi * sub + j).toDouble)
-      }
-
-    def nearestCode(emb: Array[Float], mi: Int, book: Array[Array[Double]]): Int = {
-      val off = mi * sub
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < book.length) {
-        val cw = book(c)
-        var d = 0.0; var j = 0
-        while (j < sub) {
-          val t = emb(off + j).toDouble - cw(j); d += t * t; j += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-
-    for (_ <- 0 until kmeansIters) {
-      val bcB = sess.sparkContext.broadcast(codebooks)
-      val (sums, counts) = train.mapPartitions { it =>
-        val books = bcB.value
-        val s = Array.fill(m, nCodes)(new Array[Double](sub))
-        val cnt = Array.fill(m)(new Array[Long](nCodes))
-        it.foreach { case (_, emb) =>
-          var mi = 0
-          while (mi < m) {
-            val c = nearestCode(emb, mi, books(mi))
-            val acc = s(mi)(c); val off = mi * sub
-            var j = 0
-            while (j < sub) { acc(j) += emb(off + j).toDouble; j += 1 }
-            cnt(mi)(c) += 1
-            mi += 1
-          }
-        }
-        Iterator.single((s, cnt))
-      }.reduce { (a, b) =>
-        val (sa, ca) = a; val (sb, cb) = b
-        for (mi <- 0 until m; c <- 0 until nCodes) {
-          var j = 0
-          while (j < sub) { sa(mi)(c)(j) += sb(mi)(c)(j); j += 1 }
-          ca(mi)(c) += cb(mi)(c)
-        }
-        (sa, ca)
-      }
-      codebooks = Array.tabulate(m, nCodes) { (mi, c) =>
-        if (counts(mi)(c) == 0L) codebooks(mi)(c) // empty cell keeps centroid
-        else sums(mi)(c).map(_ / counts(mi)(c))
-      }
-    }
-    train.unpersist(blocking = false)
+    val codebooks = trainCodebooks(vecs, m, sub, nCodes, kmeansIters, trainCap, seed)
 
     // ---- encode: (vec_id, m bytes) — the compressed index relation ----
     val bcBooks = sess.sparkContext.broadcast(codebooks)
     val encoded = vecs.mapPartitions { it =>
       val books = bcBooks.value
-      it.map { case (id, emb) =>
-        val codes = new Array[Byte](m)
-        var mi = 0
-        while (mi < m) {
-          codes(mi) = nearestCode(emb, mi, books(mi)).toByte; mi += 1
-        }
-        (id, codes)
-      }
+      it.map { case (id, emb) => (id, pqEncode(emb, books, sub)) }
     }
 
     // ---- ADC scan: per-(partition, query) LUT + bounded top-C heap ----
@@ -543,6 +574,154 @@ object Similarity {
       .select(col("query_id"), col("vec_id"))
 
     // ---- exact rerank: only C·|Q| rows re-touch raw embeddings --------
+    val qDf = queries.select(
+      col("query_id").cast("long").as("query_id"), col("embedding").as("q_emb"))
+    val scored = topCand
+      .join(corpus.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").as("c_emb")), "vec_id")
+      .join(broadcast(qDf), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("c_emb")).as("score"))
+    topKFromScored(scored, k)
+  }
+
+  /** IVF-PQ composed index (the canonical 100 TB ANN layout — FAISS's
+    * IVFADC, Jégou et al. 2011 §IV): the coarse quantizer from [[ivfTopK]]
+    * partitions the corpus into cells, and within each cell vectors are
+    * stored as PQ codes of their RESIDUAL (vector − centroid) — residuals
+    * concentrate near zero, so the same code budget quantizes them much
+    * more finely than raw vectors. Everything runs on L2-normalized
+    * copies, which turns cosine into a plain dot product and makes the
+    * ADC decomposition exact:
+    *
+    *   dot(q, x) = dot(q, c_cell) + dot(q, r)
+    *             ≈ dot(q, c_cell) + Σ_mi LUT(q)(mi)(code_mi)
+    *
+    * one scalar per (query, probed cell) + m table reads per vector. A
+    * query scores only its nProbes nearest cells; the per-partition
+    * bounded top-C heaps and the exact rerank against raw embeddings are
+    * the same machinery as [[pqTopK]]. Stored state per vector: cell id +
+    * m bytes — what a 1000-executor index would hold in memory while the
+    * raw floats stay on disk for the rerank. */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbes: Int = 4,
+      m: Int = 16,
+      nCodes: Int = 256,
+      kmeansIters: Int = 2,
+      rerankFactor: Int = 4,
+      trainCap: Int = 65536,
+      seed: Long = 42L): DataFrame = {
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    val dim = embeddingDim(corpus)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+
+    def normalize(v: Array[Float]): Array[Float] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v else v.map(x => (x / n).toFloat)
+    }
+
+    val vecsN = corpus
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, normalize(v)) }
+
+    // ---- coarse quantizer + residual computation ----------------------
+    val cents = trainCentroids(vecsN, nCentroids, kmeansIters, seed)
+    val bcC = sess.sparkContext.broadcast(cents)
+    val resid = vecsN.mapPartitions { it =>
+      val cs = bcC.value
+      it.map { case (id, v) =>
+        val cell = nearestCell(v, cs)
+        val cv = cs(cell)._2
+        val r = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) { r(i) = (v(i) - cv(i)).toFloat; i += 1 }
+        (id, cell, r)
+      }
+    }
+
+    // ---- PQ codebooks on residuals, cell+codes index ------------------
+    val books = trainCodebooks(
+      resid.map { case (id, _, r) => (id, r) },
+      m, sub, nCodes, kmeansIters, trainCap, seed)
+    val bcB = sess.sparkContext.broadcast(books)
+    val encoded = resid.mapPartitions { it =>
+      val bs = bcB.value
+      it.map { case (id, cell, r) => (cell, id, pqEncode(r, bs, sub)) }
+    }
+
+    // ---- ADC scan: scalar dot(q, centroid) + residual LUT per query ---
+    val qRows = queries
+      .select(col("query_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .collect() // the query set — small by contract
+      .map { case (qid, v) => (qid, normalize(v)) }
+    val bcQ = sess.sparkContext.broadcast(qRows)
+    val cTop = math.max(k, k * rerankFactor)
+    val candidates = encoded.mapPartitions { it =>
+      val cs = bcC.value
+      val bs = bcB.value
+      val qs = bcQ.value
+      // per query: the nProbes probed cells with dot(q, centroid), and
+      // one m×nCodes residual LUT (cell-independent — residual codebooks
+      // are shared across cells, so LUT memory is queries × m × nCodes)
+      val probed: Array[Map[Int, Double]] = qs.map { case (_, qe) =>
+        cs.map(c => c._1 -> {
+          var d = 0.0; var i = 0
+          val n = math.min(qe.length, c._2.length)
+          while (i < n) { d += qe(i).toDouble * c._2(i); i += 1 }
+          d
+        }).sortBy(-_._2).take(nProbes).toMap
+      }
+      val lut = qs.map { case (_, qe) =>
+        Array.tabulate(m, nCodes) { (mi, c) =>
+          val cw = bs(mi)(c); val off = mi * sub
+          var d = 0.0; var j = 0
+          while (j < sub) { d += qe(off + j).toDouble * cw(j); j += 1 }
+          d
+        }
+      }
+      val heaps = Array.fill(qs.length)(
+        new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by[(Double, Long), Double](_._1).reverse))
+      it.foreach { case (cell, id, codes) =>
+        var qi = 0
+        while (qi < qs.length) {
+          probed(qi).get(cell) match {
+            case Some(centDot) =>
+              val t = lut(qi)
+              var d = centDot
+              var mi = 0
+              while (mi < m) { d += t(mi)(codes(mi) & 0xFF); mi += 1 }
+              val h = heaps(qi)
+              if (h.size < cTop) h.enqueue((d, id))
+              else if (d > h.head._1) { h.dequeue(); h.enqueue((d, id)) }
+            case None => () // query does not probe this cell
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        val qid = qs(qi)._1
+        h.iterator.map { case (s, id) => (qid, id, s) }
+      }
+    }.toDF("query_id", "vec_id", "adc_score")
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    val topCand = candidates
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= cTop)
+      .select(col("query_id"), col("vec_id"))
+
+    // ---- exact rerank on raw embeddings -------------------------------
     val qDf = queries.select(
       col("query_id").cast("long").as("query_id"), col("embedding").as("q_emb"))
     val scored = topCand

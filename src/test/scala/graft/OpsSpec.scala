@@ -152,6 +152,49 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"pq recall $recall on planted clusters")
   }
 
+  test("ivf-pq top-k: residual codes lose nothing vs plain IVF after rerank") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val corpus = emb.select($"vec_id", $"embedding")
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(queries, corpus, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rIvf = (brute & ivf).size.toDouble / brute.size
+    val rPq = (brute & ivfpq).size.toDouble / brute.size
+    // the recall limit is the cell probing, shared by both paths; the 16×
+    // residual compression must not cost recall once the rerank runs
+    assert(rPq >= rIvf - 0.1, s"ivf-pq recall $rPq fell below plain ivf $rIvf")
+    assert(rPq >= 0.5, s"ivf-pq recall $rPq under the conformance floor")
+  }
+
+  test("ivf-pq top-k: planted clusters survive the composed index") {
+    import spark.implicits._
+    val dim = 64
+    val rows = for {
+      cluster <- 0 until 10
+      member <- 0 until 5
+    } yield {
+      val base = Array.tabulate(dim)(i => math.sin(cluster * 37.0 + i).toFloat * 10f)
+      val jitter = Array.tabulate(dim)(i =>
+        (graft.functions.Impl.mix64(cluster * 100L + member * 7L + i) % 100L) / 1000f)
+      (cluster * 5L + member, base.zip(jitter).map { case (b, j) => b + j })
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(queries, corpus, k = 5, nCentroids = 10, nProbes = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"ivf-pq recall $recall on planted clusters")
+  }
+
   test("lsh top-k derives dim from data: 128-dim clusters separated only in the upper dims") {
     import spark.implicits._
     // the cluster signal lives entirely in dims 64..127 — a quantizer that

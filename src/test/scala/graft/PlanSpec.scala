@@ -136,7 +136,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q32/q76 ANN checks broadcast the small sides, never shuffle-join the corpus") {
-    for (q <- Seq("q32_ivf_topk", "q76_pq_topk")) {
+    for (q <- Seq("q32_ivf_topk", "q76_pq_topk", "q77_ivfpq_topk")) {
       val p = plan(q)
       assert(p.contains("Broadcast"), s"$q: truth/query side must broadcast:\n$p")
       // the 1-row × 1-row crossJoin of the check aggregates is fine; a
