@@ -456,6 +456,16 @@ object SparkEntry {
       minMatches = 25) // 0.5 × 50
   }
 
+  /** Overlapping token-window chunking (training prep between curation
+    * and packing): 32-token windows advancing by 24 (8-token overlap).
+    * Map-only codegen built-ins; fully SQL-expressible → real row-compare
+    * oracle, not a derived check. */
+  private def qChunking(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkDocuments(
+      t(s, d, "documents"), col("doc_id"), col("text"),
+      chunkTokens = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** IVF-PQ composed index (FAISS-style IVFADC: coarse cells + 16×
     * residual PQ codes + ADC + exact rerank), hash-checked via
     * [[annCheck]] with the same floors as plain IVF — the residual
@@ -1548,7 +1558,8 @@ object SparkEntry {
     "q74_rollup_incremental" -> (qRollupIncremental _),
     "q75_repetition" -> (qRepetition _),
     "q76_pq_topk" -> (qPqTopK _),
-    "q77_ivfpq_topk" -> (qIvfPqTopK _))
+    "q77_ivfpq_topk" -> (qIvfPqTopK _),
+    "q78_chunking" -> (qChunking _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2328,5 +2339,13 @@ object SparkEntry {
       "SELECT CAST(50 AS BIGINT) AS n_results, true AS recall_ok",
     "q77_ivfpq_topk" ->
       """SELECT CAST(50 AS BIGINT) AS n_results,
-           true AS self_top1_ok, true AS recall_ok""")
+           true AS self_top1_ok, true AS recall_ok""",
+    "q78_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks), 1), 24)) AS start FROM t)
+         SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
+           CAST(least(32, len(toks) - start) AS INT) AS n_tokens,
+           array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+         FROM s ORDER BY doc_id, chunk_id""")
 }

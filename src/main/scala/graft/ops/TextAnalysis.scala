@@ -24,6 +24,41 @@ object TextAnalysis {
       split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
       t => length(t) > 0))
 
+  /** Split documents into overlapping token-window chunks — the training
+    * prep step between curation and sequence packing (a long document
+    * becomes several `chunkTokens`-token windows advancing by
+    * `chunkTokens − overlap`, so context isn't cut dead at window edges).
+    * Map-only: `sequence` + `posexplode` + `slice` are all codegen'd
+    * built-ins, no shuffle, no UDF — output rows ≈ n_tokens/stride per
+    * doc regardless of corpus size.
+    *
+    * @return (doc_id, chunk_id, n_tokens, chunk_text) — chunk_id counts
+    *         windows from 0; the final window may be short (never empty).
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens=$chunkTokens)")
+    val stride = chunkTokens - overlap
+    docs
+      .select(idCol.as("doc_id"), tokens(textCol).as("toks"))
+      .select(
+        col("doc_id"), col("toks"),
+        posexplode(sequence(
+          lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
+      .select(
+        col("doc_id"),
+        col("pos").as("chunk_id"),
+        size(slice(col("toks"), col("col") + lit(1), lit(chunkTokens)))
+          .as("n_tokens"),
+        array_join(slice(col("toks"), col("col") + lit(1), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Stopword ratio over a fixed small stopword list. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
 

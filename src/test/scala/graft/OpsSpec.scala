@@ -410,6 +410,28 @@ class OpsSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("chunking: overlapping windows cover every token, last window short not empty") {
+    import spark.implicits._
+    val doc = (1 to 50).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.chunkDocuments(
+      Seq((7L, doc)).toDF("doc_id", "text"), col("doc_id"), col("text"),
+      chunkTokens = 32, overlap = 8)
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_tokens", "chunk_text")
+      .as[(Int, Int, String)].collect()
+    // 50 tokens, stride 24 → windows at 0, 24, 48
+    assert(out.map(c => (c._1, c._2)).toSeq == Seq((0, 32), (1, 26), (2, 2)))
+    assert(out(0)._3.startsWith("t1 ") && out(0)._3.endsWith(" t32"))
+    // overlap: window 1 re-covers tokens 25..32 before advancing
+    assert(out(1)._3.startsWith("t25 ") && out(1)._3.endsWith(" t50"))
+    assert(out(2)._3 == "t49 t50")
+    // degenerate short doc: exactly one window, never zero
+    val one = TextAnalysis.chunkDocuments(
+      Seq((1L, "a b")).toDF("doc_id", "text"), col("doc_id"), col("text"), 32, 8)
+      .select("n_tokens").as[Int].collect()
+    assert(one.toSeq == Seq(2))
+  }
+
   test("text analysis columns are consistent") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat, happily!").toDF("text")
