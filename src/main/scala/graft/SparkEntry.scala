@@ -466,6 +466,16 @@ object SparkEntry {
       chunkTokens = 32, overlap = 8)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Fixed-length training-sequence packing with document carry-over:
+    * per-source token streams cut every 64 tokens, one manifest row per
+    * (document, sequence) crossing. One source-partitioned window
+    * shuffle; fully SQL-expressible → real row-compare oracle. */
+  private def qSequencePack(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.packSequences(
+      t(s, d, "documents"), col("source"), col("doc_id"), col("text"),
+      seqTokens = 64)
+      .orderBy(col("source"), col("seq_id"), col("doc_id"))
+
   /** IVF-PQ composed index (FAISS-style IVFADC: coarse cells + 16×
     * residual PQ codes + ADC + exact rerank), hash-checked via
     * [[annCheck]] with the same floors as plain IVF — the residual
@@ -1559,7 +1569,8 @@ object SparkEntry {
     "q75_repetition" -> (qRepetition _),
     "q76_pq_topk" -> (qPqTopK _),
     "q77_ivfpq_topk" -> (qIvfPqTopK _),
-    "q78_chunking" -> (qChunking _))
+    "q78_chunking" -> (qChunking _),
+    "q79_sequence_pack" -> (qSequencePack _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2347,5 +2358,24 @@ object SparkEntry {
          SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
            CAST(least(32, len(toks) - start) AS INT) AS n_tokens,
            array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
-         FROM s ORDER BY doc_id, chunk_id""")
+         FROM s ORDER BY doc_id, chunk_id""",
+    "q79_sequence_pack" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, tok,
+             CAST(coalesce(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum
+           FROM t),
+         x AS (
+           SELECT source, doc_id, tok, cum,
+             unnest(range(cum // 64, (cum + tok - 1) // 64 + 1)) AS seq_id
+           FROM c WHERE tok > 0)
+         SELECT source, seq_id, doc_id,
+           greatest(0, seq_id * 64 - cum) AS tok_start,
+           least(tok, (seq_id + 1) * 64 - cum) AS tok_end
+         FROM x ORDER BY source, seq_id, doc_id""")
 }

@@ -59,6 +59,50 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Pack documents into fixed-length training sequences with carry-over
+    * — the assembler after chunking/curation: within each source,
+    * documents concatenate in doc_id order into one token stream cut
+    * every `seqTokens` tokens, and a document whose tokens straddle a cut
+    * carries over into the next sequence. Emits one row per
+    * (document, sequence) crossing with the half-open token range
+    * [tok_start, tok_end) of the document that lands in that sequence —
+    * the manifest a training loader needs to build batches without ever
+    * re-reading the corpus.
+    *
+    * Scale: the running token offset is a window cumsum PARTITIONED BY
+    * source (per-source sort, no global single-partition window); the
+    * crossing explode is `sequence` + `explode`, map-only after the one
+    * window shuffle. Output rows = docs + sequence cuts.
+    */
+  def packSequences(
+      docs: DataFrame,
+      sourceCol: Column,
+      idCol: Column,
+      textCol: Column,
+      seqTokens: Int): DataFrame = {
+    require(seqTokens > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val c = lit(seqTokens.toLong)
+    docs
+      .select(sourceCol.as("source"), idCol.as("doc_id"),
+        tokenCount(textCol).cast("long").as("tok"))
+      .withColumn("cum", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .filter(col("tok") > 0)
+      .select(
+        col("source"), col("doc_id"), col("tok"), col("cum"),
+        explode(sequence(
+          floor(col("cum") / c).cast("long"),
+          floor((col("cum") + col("tok") - 1) / c).cast("long"))).as("seq_id"))
+      .select(
+        col("source"),
+        col("seq_id"),
+        col("doc_id"),
+        greatest(lit(0L), col("seq_id") * c - col("cum")).as("tok_start"),
+        least(col("tok"), (col("seq_id") + 1) * c - col("cum")).as("tok_end"))
+  }
+
   /** Stopword ratio over a fixed small stopword list. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
 

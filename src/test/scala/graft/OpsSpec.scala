@@ -432,6 +432,35 @@ class OpsSpec extends SparkSpec {
     assert(one.toSeq == Seq(2))
   }
 
+  test("sequence packing: carry-over manifest covers every token exactly once") {
+    import spark.implicits._
+    // source A: docs of 10, 100, 3 tokens; seq length 16
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      ("A", 1L, doc(10)), ("A", 2L, doc(100)), ("A", 3L, doc(3)),
+      ("B", 9L, doc(16))).toDF("source", "doc_id", "text")
+    val out = TextAnalysis.packSequences(
+      docs, col("source"), col("doc_id"), col("text"), seqTokens = 16)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // every token of every doc appears in exactly one (seq, range) row
+    val byDoc = out.groupBy(r => (r._1, r._3)).view.mapValues(_.sortBy(_._2))
+    assert(byDoc(("A", 1L)).map(r => (r._4, r._5)).toSeq == Seq((0L, 10L)))
+    // doc 2 (100 toks, starts at global offset 10): crosses seqs 0..6
+    val d2 = byDoc(("A", 2L)).map(r => (r._2, r._4, r._5)).toSeq
+    assert(d2.head == ((0L, 0L, 6L)), s"doc2 head $d2") // fills seq 0's last 6
+    assert(d2.last == ((6L, 86L, 100L)))
+    assert(d2.map(r => r._3 - r._2).sum == 100L, "all 100 tokens packed")
+    // ranges are contiguous across sequence cuts
+    d2.sliding(2).foreach { case Seq(a, b) => assert(a._3 == b._2); case _ => () }
+    // every non-final sequence of source A holds exactly 16 tokens
+    val seqSums = out.filter(_._1 == "A").groupBy(_._2).view
+      .mapValues(_.map(r => r._5 - r._4).sum)
+    val lastSeq = seqSums.keys.max
+    seqSums.foreach { case (s, sum) => if (s < lastSeq) assert(sum == 16L, s"seq $s: $sum") }
+    // a doc exactly filling one sequence: one row, full range
+    assert(byDoc(("B", 9L)).map(r => (r._2, r._4, r._5)).toSeq == Seq((0L, 0L, 16L)))
+  }
+
   test("text analysis columns are consistent") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat, happily!").toDF("text")
