@@ -466,6 +466,28 @@ object SparkEntry {
       chunkTokens = 32, overlap = 8)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Per-source data card — the release summary a dataset ships: doc and
+    * token counts, mean quality, language share, exact-duplicate share
+    * (docs whose normalized fingerprint repeats corpus-wide). Composes
+    * the per-doc text report + one fingerprint-keyed agg + one source
+    * agg; every stage partial-aggregates before its shuffle. */
+  private def qDataCard(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val rep = TextAnalysis.report(docs)
+    val fpCounts = rep.groupBy(col("fp")).agg(count(lit(1)).as("fp_n"))
+    rep
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .join(fpCounts, "fp")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        sum(when(col("lang_guess") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("fp_n") > 1L, 1L).otherwise(0L)).as("n_dup_docs"))
+      .orderBy(col("source"))
+  }
+
   /** Fixed-length training-sequence packing with document carry-over:
     * per-source token streams cut every 64 tokens, one manifest row per
     * (document, sequence) crossing. One source-partitioned window
@@ -1570,7 +1592,8 @@ object SparkEntry {
     "q76_pq_topk" -> (qPqTopK _),
     "q77_ivfpq_topk" -> (qIvfPqTopK _),
     "q78_chunking" -> (qChunking _),
-    "q79_sequence_pack" -> (qSequencePack _))
+    "q79_sequence_pack" -> (qSequencePack _),
+    "q80_data_card" -> (qDataCard _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2377,5 +2400,38 @@ object SparkEntry {
          SELECT source, seq_id, doc_id,
            greatest(0, seq_id * 64 - cum) AS tok_start,
            least(tok, (seq_id + 1) * 64 - cum) AS tok_end
-         FROM x ORDER BY source, seq_id, doc_id""")
+         FROM x ORDER BY source, seq_id, doc_id""",
+    "q80_data_card" ->
+      """WITH b AS (SELECT doc_id, source, text,
+                    string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, source,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stopwords,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+           length(text) AS n_chars,
+           len(list_filter(toks, t -> t IN ('the','and','of'))) AS s_en,
+           len(list_filter(toks, t -> t IN ('der','und','das'))) AS s_de,
+           len(list_filter(toks, t -> t IN ('el','los','que'))) AS s_es,
+           len(list_filter(toks, t -> t IN ('le','les','est'))) AS s_fr,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM b),
+         q AS (SELECT doc_id, source, n_tokens, fp,
+           round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5
+             + least(CAST(n_stopwords AS DOUBLE)*10.0/greatest(CAST(n_tokens AS DOUBLE),1.0), 1.0)*0.5
+             - least(CAST(n_punct AS DOUBLE)/greatest(CAST(n_chars AS DOUBLE),1.0)*5.0, 1.0)*0.25,
+             4) AS quality,
+           CASE WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_en = greatest(s_en,s_de,s_es,s_fr) THEN 'en'
+                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_de = greatest(s_en,s_de,s_es,s_fr) THEN 'de'
+                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_es = greatest(s_en,s_de,s_es,s_fr) THEN 'es'
+                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_fr = greatest(s_en,s_de,s_es,s_fr) THEN 'fr'
+                ELSE 'und' END AS lang_guess
+           FROM c),
+         f AS (SELECT fp, count(*) AS fp_n FROM q GROUP BY fp)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality), 4) AS avg_quality,
+           CAST(sum(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           CAST(sum(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+         FROM q JOIN f USING (fp)
+         GROUP BY source ORDER BY source""")
 }

@@ -461,6 +461,27 @@ class OpsSpec extends SparkSpec {
     assert(byDoc(("B", 9L)).map(r => (r._2, r._4, r._5)).toSeq == Seq((0L, 0L, 16L)))
   }
 
+  test("data card counts exact-duplicate docs across sources") {
+    import spark.implicits._
+    // "cat sat" appears in two sources (normalized-identical after
+    // whitespace collapse) → both copies count as dup docs in their card
+    val docs = Seq(
+      ("A", 1L, "the cat sat"), ("A", 2L, "unique a text"),
+      ("B", 3L, "the   cat  sat"), ("B", 4L, "other b words"))
+      .toDF("source", "doc_id", "text")
+    val rep = TextAnalysis.report(docs)
+    val fpCounts = rep.groupBy($"fp").agg(count(lit(1)).as("fp_n"))
+    val card = rep.join(docs.select($"doc_id", $"source"), "doc_id")
+      .join(fpCounts, "fp")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"fp_n" > 1L, 1L).otherwise(0L)).as("n_dup_docs"))
+      .orderBy($"source")
+      .as[(String, Long, Long)].collect()
+    assert(card.toSeq == Seq(("A", 2L, 1L), ("B", 2L, 1L)))
+  }
+
   test("text analysis columns are consistent") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat, happily!").toDF("text")
