@@ -146,6 +146,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q78 chunking is map-only: no hash shuffle, no join") {
+    val p = plan("q78_chunking")
+    // the only exchange allowed is the output-order range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+  }
+
+  test("q79 sequence packing shuffles once (source-partitioned window), never globally") {
+    val p = plan("q79_sequence_pack")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
+      s"packing is exactly one source-keyed shuffle:\n$p")
+    // a single-partition window (empty partitionBy) would be the global
+    // cumsum anti-pattern — the one shuffle must key on the source column
+    assert(p.contains("hashpartitioning(source"),
+      s"window must partition by source:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing must not collapse to one partition:\n$p")
+  }
+
   test("q10 fact-fact join keeps the aggregate above one shuffle exchange pair") {
     val p = plan("q10_join_shuffle")
     // large-side equi-join: either SMJ or shuffled hash — but never a
