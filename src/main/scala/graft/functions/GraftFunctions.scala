@@ -155,6 +155,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "vec_dot", es => VecDot(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "vec_cosine", es => VecCosine(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "shingle_hashes",
       es => ShingleHashes(es.head, litInt(es(1))), "built-in")
     reg.createOrReplaceTempFunction(

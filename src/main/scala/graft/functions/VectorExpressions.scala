@@ -32,6 +32,40 @@ object VecOps {
     s
   }
 
+  /** Fused cosine: dot product and both squared norms in ONE pass over
+    * the arrays — the composed `dot(a,b)/(√dot(a,a)·√dot(b,b))` reads
+    * each array three times per row, which is the dominant cost on ANN
+    * rerank/scoring paths. Each accumulator sums in index order exactly
+    * as the three separate [[dot]] loops would, so the result is
+    * bit-for-bit identical to the composition (oracle parity holds). */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      d += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    // norms over the full arrays, like norm(a) = √dot(a,a) would compute
+    var i2 = n
+    while (i2 < a.numElements()) {
+      val x = if (aFloat) a.getFloat(i2).toDouble else a.getDouble(i2)
+      na += x * x; i2 += 1
+    }
+    var i3 = n
+    while (i3 < b.numElements()) {
+      val y = if (bFloat) b.getFloat(i3).toDouble else b.getDouble(i3)
+      nb += y * y; i3 += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** FNV-1a 64 over UTF8 bytes, finalized with splitmix64 — the per-token
     * hash for simhash/minhash (public-domain constructions). */
   def tokenHash(s: UTF8String): Long = {
@@ -292,6 +326,25 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def prettyName: String = "vec_dot"
 }
 
+/** `vec_cosine(a, b)` — one-pass fused cosine similarity (dot + both
+  * norms in a single array traversal; bit-identical to the composed
+  * `vec_dot` formulation). */
+case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val aF = isFloat(left)
+  @transient private lazy val bF = isFloat(right)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecOps.cosine($a, $b, $aF, $bF)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_cosine"
+}
+
 /** `simhash64(text)` — one-pass 64-bit SimHash (SURVEY.md §2.12 dedup). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -347,6 +400,8 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
 
 object VectorFunctions {
   def vecDot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
+  def vecCosine(a: Column, b: Column): Column =
+    column(VecCosine(expression(a), expression(b)))
   def simhash64(text: Column): Column = column(SimHash64(expression(text)))
   def minhashSig(shingles: Column, k: Int): Column = column(MinHashSig(expression(shingles), k))
   def shingleHashes(text: Column, k: Int): Column = column(ShingleHashes(expression(text), k))

@@ -26,7 +26,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused one-pass cosine (codegen `VecCosine`): the composed
+    * `dot/(norm·norm)` form reads each array three times per row —
+    * measurable on the ANN scoring/rerank paths, where this is the hot
+    * expression. Bit-identical accumulation order, so oracle hashes are
+    * unchanged. */
+  def cosine(a: Column, b: Column): Column = VectorFunctions.vecCosine(a, b)
 
   /** Embedding dimensionality read from the data (one-row action at plan
     * time). Hardcoding the fixture's 64 would silently truncate LSH

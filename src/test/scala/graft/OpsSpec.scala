@@ -410,6 +410,32 @@ class OpsSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("fused vec_cosine is bit-identical to the composed dot/norm form") {
+    import spark.implicits._
+    // random float vectors: the fused kernel must reproduce the composed
+    // formulation EXACTLY (same accumulation order), not just within eps —
+    // the ANN oracle hashes depend on it
+    val rows = (0 until 200).map { i =>
+      val a = Array.tabulate(64)(j =>
+        (graft.functions.Impl.mix64(i * 64L + j) % 1000L) / 250.0f)
+      val b = Array.tabulate(64)(j =>
+        (graft.functions.Impl.mix64(i * 64L + j + 7919L) % 1000L) / 250.0f)
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val composed =
+      Similarity.dot($"a", $"b") / (Similarity.norm($"a") * Similarity.norm($"b"))
+    val diff = df.filter(Similarity.cosine($"a", $"b") =!= composed).count()
+    assert(diff == 0L, "fused cosine diverged from the composed form")
+    // SQL spelling registered alongside vec_dot
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("vecs_fused_test")
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM vecs_fused_test WHERE vec_cosine(a, b) <> vec_dot(a, b)/(sqrt(vec_dot(a, a))*sqrt(vec_dot(b, b)))")
+      .head.getLong(0)
+    assert(viaSql == 0L)
+  }
+
   test("chunking: overlapping windows cover every token, last window short not empty") {
     import spark.implicits._
     val doc = (1 to 50).map(i => s"t$i").mkString(" ")
