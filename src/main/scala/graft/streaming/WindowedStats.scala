@@ -35,6 +35,31 @@ object WindowedStats {
         col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Tumbling-window p50/p95 per event_type — the live monitoring
+    * aggregate (latency-style percentile dashboards) over the stream.
+    * `percentile_approx` keeps one bounded GK sketch per open
+    * (window, type) group, merged incrementally across micro-batches;
+    * with the watermark bounding open windows, state is
+    * O(types × windows in horizon) sketches regardless of stream length
+    * — the streaming counterpart of the batch q37/q54 quantile paths. */
+  def quantilesPerWindow(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "2 hours",
+      accuracy: Int = 1000): DataFrame =
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(
+        window(col("event_time"), windowDuration).as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(accuracy)).as("p95"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("p50"), col("p95"))
+
   /** Per-user session state via mapGroupsWithState: running event count +
     * last-seen, with processing-time timeout evicting idle users (bounded
     * state — the custom-state surface `KeyValueGroupedDataset` offers). */

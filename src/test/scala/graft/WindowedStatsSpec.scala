@@ -14,6 +14,43 @@ class WindowedStatsSpec extends SparkSpec {
     Event(id, Timestamp.valueOf(t), 1, typ, value, 0, "d", "{}",
       Timestamp.valueOf(t), Timestamp.valueOf(t))
 
+  test("tumbling-window quantiles: sketch p50/p95 over a closed window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = WindowedStats
+      .quantilesPerWindow(source.toDF(), "1 hour", "30 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("win_quant")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // values 1..100 inside hour 10, split across two micro-batches so
+      // the per-window sketch must MERGE incrementally
+      source.addData((1 to 60).map(i =>
+        ev(i.toLong, "2026-05-01 10:05:00", "click", i.toDouble)): _*)
+      query.processAllAvailable()
+      source.addData((61 to 100).map(i =>
+        ev(i.toLong, "2026-05-01 10:45:00", "click", i.toDouble)): _*)
+      query.processAllAvailable()
+      source.addData(ev(999, "2026-05-01 13:00:00", "login", 1.0)) // close hour 10
+      query.processAllAvailable()
+      val rows = spark.table("win_quant")
+        .select("window_start", "event_type", "n_events", "p50", "p95")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+      val hour10 = rows.filter(r => r._1 == "2026-05-01 10:00:00.0" && r._2 == "click")
+      assert(hour10.length == 1, s"expected one closed hour-10 row, got ${rows.toSeq}")
+      val (_, _, n, p50, p95) = hour10.head
+      assert(n == 100L)
+      // GK sketch at accuracy 1000 over 100 exact values: ±2 ranks
+      assert(math.abs(p50 - 50.0) <= 2.0, s"p50 $p50")
+      assert(math.abs(p95 - 95.0) <= 2.0, s"p95 $p95")
+    } finally query.stop()
+  }
+
   test("tumbling-window counts with watermark emit closed windows only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
