@@ -69,12 +69,72 @@ object TextAnalysis {
     * the manifest a training loader needs to build batches without ever
     * re-reading the corpus.
     *
-    * Scale: the running token offset is a window cumsum PARTITIONED BY
-    * source (per-source sort, no global single-partition window); the
-    * crossing explode is `sequence` + `explode`, map-only after the one
-    * window shuffle. Output rows = docs + sequence cuts.
+    * Scale: the running token offset is the textbook TWO-PASS distributed
+    * prefix scan, not a per-source window — a window cumsum parallelizes
+    * only by source cardinality, and 20 sources on a 100 TB corpus means
+    * 20 reducers sorting 5 TB each. Here the data range-partitions on
+    * (source, doc_id) into as many partitions as the cluster likes;
+    * pass 1 computes per-(partition, source) token subtotals (one tiny
+    * row per pair reaches the driver — partitions × sources counts, the
+    * same metadata bound as IVF's centroid seeding); pass 2 resumes each
+    * partition's running offsets from the broadcast prefix totals and
+    * emits the crossings locally. The result is identical to the
+    * windowed form for ANY partition count (the equivalence is a test).
     */
   def packSequences(
+      docs: DataFrame,
+      sourceCol: Column,
+      idCol: Column,
+      textCol: Column,
+      seqTokens: Int): DataFrame = {
+    require(seqTokens > 0)
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val base = docs
+      .select(sourceCol.as("source"), idCol.cast("long").as("doc_id"),
+        tokenCount(textCol).cast("long").as("tok"))
+      .filter(col("tok") > 0)
+      .repartitionByRange(col("source"), col("doc_id"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(String, Long, Long)]
+    // pass 1: per-(partition, source) subtotals — partition-index order is
+    // the global (source, doc_id) order because of the range partitioning
+    val subtotals: Array[(Int, Seq[(String, Long)])] =
+      base.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (s, _, tok) => m(s) = m.getOrElse(s, 0L) + tok }
+        Iterator.single((pid, m.toSeq))
+      }.collect()
+    // driver: running offset per source at each partition's start
+    val offsets = scala.collection.mutable.HashMap.empty[Int, Map[String, Long]]
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    subtotals.sortBy(_._1).foreach { case (pid, subs) =>
+      offsets(pid) = running.toMap
+      subs.foreach { case (s, t) => running(s) = running.getOrElse(s, 0L) + t }
+    }
+    val bcOff = sess.sparkContext.broadcast(offsets.toMap)
+    val c = seqTokens.toLong
+    // pass 2: local scan resuming from the broadcast prefix totals
+    base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = scala.collection.mutable.HashMap.empty[String, Long]
+      bcOff.value.getOrElse(pid, Map.empty).foreach { case (k, v) => off(k) = v }
+      it.flatMap { case (s, id, tok) =>
+        val cum = off.getOrElse(s, 0L)
+        off(s) = cum + tok
+        (cum / c to (cum + tok - 1) / c).iterator.map { seq =>
+          (s, seq, id,
+            math.max(0L, seq * c - cum),
+            math.min(tok, (seq + 1) * c - cum))
+        }
+      }
+    }.toDF("source", "seq_id", "doc_id", "tok_start", "tok_end")
+  }
+
+  /** Reference formulation of [[packSequences]] as a per-source window
+    * cumsum — result-identical, kept for the equivalence test and for
+    * corpora whose source cardinality matches the cluster (where one
+    * shuffle beats two passes). */
+  private[graft] def packSequencesWindowed(
       docs: DataFrame,
       sourceCol: Column,
       idCol: Column,
@@ -86,7 +146,7 @@ object TextAnalysis {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val c = lit(seqTokens.toLong)
     docs
-      .select(sourceCol.as("source"), idCol.as("doc_id"),
+      .select(sourceCol.as("source"), idCol.cast("long").as("doc_id"),
         tokenCount(textCol).cast("long").as("tok"))
       .withColumn("cum", coalesce(sum(col("tok")).over(w), lit(0L)))
       .filter(col("tok") > 0)

@@ -508,6 +508,23 @@ class OpsSpec extends SparkSpec {
     assert(card.toSeq == Seq(("A", 2L, 1L), ("B", 2L, 1L)))
   }
 
+  test("sequence packing: two-pass prefix scan equals the windowed form at any partitioning") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("documents"))
+    val windowed = TextAnalysis.packSequencesWindowed(
+      docs, col("source"), col("doc_id"), col("text"), seqTokens = 64)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    for (parts <- Seq(1, 3, 13)) {
+      val scanned = TextAnalysis.packSequences(
+        docs.repartition(parts), col("source"), col("doc_id"), col("text"),
+        seqTokens = 64)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(scanned == windowed,
+        s"prefix scan diverged from windowed form at $parts input partitions")
+    }
+    assert(windowed.nonEmpty)
+  }
+
   test("text analysis columns are consistent") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat, happily!").toDF("text")

@@ -154,16 +154,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"chunking must not join:\n$p")
   }
 
-  test("q79 sequence packing shuffles once (source-partitioned window), never globally") {
+  test("q79 sequence packing never collapses to a single partition") {
+    // the operator is a two-pass distributed prefix scan (range-partition
+    // + per-partition subtotals + broadcast offsets); the visible plan is
+    // the scan result + output sort — what must NEVER appear is a global
+    // single-partition exchange or a window keyed on nothing
     val p = plan("q79_sequence_pack")
-    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
-      s"packing is exactly one source-keyed shuffle:\n$p")
-    // a single-partition window (empty partitionBy) would be the global
-    // cumsum anti-pattern — the one shuffle must key on the source column
-    assert(p.contains("hashpartitioning(source"),
-      s"window must partition by source:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"packing must not collapse to one partition:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the scan shape has no hash shuffle at all:\n$p")
   }
 
   test("q10 fact-fact join keeps the aggregate above one shuffle exchange pair") {
