@@ -1269,26 +1269,25 @@ object SparkEntry {
   }
 
   /** Training-shard assignment: pack documents into shards of ~8k tokens
-    * by cumulative token count per source (deterministic doc order). One
-    * window cumsum per source — the sequence-packing prep step before a
-    * tokenizer run. */
-  private def qShardAssign(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, d, "documents")
-      .select(
-        col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    * by cumulative token count per source (deterministic doc order) —
+    * the sequence-packing prep step before a tokenizer run. The cumsum is
+    * the shared two-pass `PrefixScan` (parallelism tracks the cluster,
+    * not source cardinality — the same scale fix as q79). */
+  private def qShardAssign(s: SparkSession, d: String): DataFrame =
+    graft.ops.PrefixScan.runningTotal(
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      col("source"), col("doc_id"), col("n_tokens"))
+      // inclusive total = exclusive cum + the row's own value
       .withColumn(
         "shard",
-        floor((col("cum_tokens") - 1) / 8000L).cast("long"))
-      .groupBy(col("source"), col("shard"))
+        floor((col("cum") + col("value") - 1) / 8000L).cast("long"))
+      .groupBy(col("group").as("source"), col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("shard_tokens"))
+        sum(col("value")).as("shard_tokens"))
       .orderBy(col("source"), col("shard"))
-  }
 
   /** Data-quality audit: null rates, key uniqueness, and referential
     * integrity (lineitem→orders orphans via anti join) as one stacked

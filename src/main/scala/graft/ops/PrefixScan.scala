@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed running totals — the textbook two-pass prefix scan.
+  *
+  * A `sum().over(Window.partitionBy(group).orderBy(ord))` cumsum
+  * parallelizes only by the group key's cardinality: ~20 sources on a
+  * 100 TB corpus funnels the sort through ~20 reducers. This scan
+  * parallelizes by the CLUSTER instead: range-partition on (group, ord),
+  * compute per-(partition, group) subtotals in one pass — only
+  * partitions × groups tiny rows ever reach the driver, the same
+  * metadata bound as IVF's centroid seeding — then resume each
+  * partition's running offsets from the broadcast prefix totals in a
+  * second local pass. Consumers: [[TextAnalysis.packSequences]] (token
+  * offsets) and the shard assigner (byte/token cumsum).
+  */
+object PrefixScan {
+
+  /** EXCLUSIVE running total of `valueCol` over rows ordered by
+    * (`groupCol`, `ordCol`), restarting at 0 per group value.
+    *
+    * @return (group, ord, value, cum) — `cum` excludes the current row
+    *         (add `value` for the inclusive total). Output partitioning
+    *         is the range partitioning on (group, ord).
+    */
+  def runningTotal(
+      df: DataFrame,
+      groupCol: Column,
+      ordCol: Column,
+      valueCol: Column): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    val base = df
+      .select(groupCol.cast("string").as("group"),
+        ordCol.cast("long").as("ord"), valueCol.cast("long").as("value"))
+      .repartitionByRange(col("group"), col("ord"))
+      .sortWithinPartitions(col("group"), col("ord"))
+      .as[(String, Long, Long)]
+    // pass 1: per-(partition, group) subtotals; partition index order IS
+    // the global (group, ord) order under the range partitioning
+    val subtotals: Array[(Int, Seq[(String, Long)])] =
+      base.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (g, _, v) => m(g) = m.getOrElse(g, 0L) + v }
+        Iterator.single((pid, m.toSeq))
+      }.collect()
+    val offsets = scala.collection.mutable.HashMap.empty[Int, Map[String, Long]]
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    subtotals.sortBy(_._1).foreach { case (pid, subs) =>
+      offsets(pid) = running.toMap
+      subs.foreach { case (g, v) => running(g) = running.getOrElse(g, 0L) + v }
+    }
+    val bcOff = sess.sparkContext.broadcast(offsets.toMap)
+    // pass 2: local scan resuming from the broadcast prefix totals
+    base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = scala.collection.mutable.HashMap.empty[String, Long]
+      bcOff.value.getOrElse(pid, Map.empty).foreach { case (k, v) => off(k) = v }
+      it.map { case (g, o, v) =>
+        val cum = off.getOrElse(g, 0L)
+        off(g) = cum + v
+        (g, o, v, cum)
+      }
+    }.toDF("group", "ord", "value", "cum")
+  }
+}

@@ -88,46 +88,25 @@ object TextAnalysis {
       textCol: Column,
       seqTokens: Int): DataFrame = {
     require(seqTokens > 0)
-    val sess = docs.sparkSession
-    import sess.implicits._
-    val base = docs
-      .select(sourceCol.as("source"), idCol.cast("long").as("doc_id"),
-        tokenCount(textCol).cast("long").as("tok"))
-      .filter(col("tok") > 0)
-      .repartitionByRange(col("source"), col("doc_id"))
-      .sortWithinPartitions(col("source"), col("doc_id"))
-      .as[(String, Long, Long)]
-    // pass 1: per-(partition, source) subtotals — partition-index order is
-    // the global (source, doc_id) order because of the range partitioning
-    val subtotals: Array[(Int, Seq[(String, Long)])] =
-      base.rdd.mapPartitionsWithIndex { (pid, it) =>
-        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-        it.foreach { case (s, _, tok) => m(s) = m.getOrElse(s, 0L) + tok }
-        Iterator.single((pid, m.toSeq))
-      }.collect()
-    // driver: running offset per source at each partition's start
-    val offsets = scala.collection.mutable.HashMap.empty[Int, Map[String, Long]]
-    val running = scala.collection.mutable.HashMap.empty[String, Long]
-    subtotals.sortBy(_._1).foreach { case (pid, subs) =>
-      offsets(pid) = running.toMap
-      subs.foreach { case (s, t) => running(s) = running.getOrElse(s, 0L) + t }
-    }
-    val bcOff = sess.sparkContext.broadcast(offsets.toMap)
-    val c = seqTokens.toLong
-    // pass 2: local scan resuming from the broadcast prefix totals
-    base.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val off = scala.collection.mutable.HashMap.empty[String, Long]
-      bcOff.value.getOrElse(pid, Map.empty).foreach { case (k, v) => off(k) = v }
-      it.flatMap { case (s, id, tok) =>
-        val cum = off.getOrElse(s, 0L)
-        off(s) = cum + tok
-        (cum / c to (cum + tok - 1) / c).iterator.map { seq =>
-          (s, seq, id,
-            math.max(0L, seq * c - cum),
-            math.min(tok, (seq + 1) * c - cum))
-        }
-      }
-    }.toDF("source", "seq_id", "doc_id", "tok_start", "tok_end")
+    val c = lit(seqTokens.toLong)
+    val scanned = PrefixScan.runningTotal(
+      docs.select(sourceCol.as("s"), idCol.as("i"),
+        tokenCount(textCol).cast("long").as("t")).filter(col("t") > 0),
+      col("s"), col("i"), col("t"))
+    // the crossing explode stays declarative codegen on top of the scan
+    scanned
+      .select(
+        col("group").as("source"), col("ord").as("doc_id"),
+        col("value").as("tok"), col("cum"),
+        explode(sequence(
+          floor(col("cum") / c).cast("long"),
+          floor((col("cum") + col("value") - 1) / c).cast("long"))).as("seq_id"))
+      .select(
+        col("source"),
+        col("seq_id"),
+        col("doc_id"),
+        greatest(lit(0L), col("seq_id") * c - col("cum")).as("tok_start"),
+        least(col("tok"), (col("seq_id") + 1) * c - col("cum")).as("tok_end"))
   }
 
   /** Reference formulation of [[packSequences]] as a per-source window
