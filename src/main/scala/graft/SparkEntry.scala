@@ -745,17 +745,49 @@ object SparkEntry {
     * by a multiplicative-hash order — reproducible on any engine (unlike
     * TABLESAMPLE), one window shuffle on the stratum key. */
   private def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
-    val w = Window
-      .partitionBy(col("event_type"))
-      .orderBy(
+    import s.implicits._
+    val k = 40
+    // per-partition partial top-k FIRST (bounded per-type heaps inside
+    // mapPartitions — the classic distributed top-k-per-group): only
+    // partitions × types × k survivors reach the window, so the final
+    // per-type sort is over a tiny relation instead of the whole corpus
+    // inside |types| = 5 reducer partitions. Result-identical: every
+    // true global top-k row survives its own partition's cut.
+    val pruned = events(s, d)
+      .select(col("event_type"), col("event_id").cast("long"),
+        col("user_id").cast("long"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
         // pre-mod keeps the product < 2^63 at any corpus size (DuckDB
         // errors on BIGINT overflow where Spark wraps); ties from the
         // narrowed domain break on event_id
+        def hk(id: Long): Long = ((id % 1000003L) * 2654435761L) % 1000000007L
+        val heaps = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long, Long)]]
+        it.foreach { case (typ, id, uid) =>
+          val h = heaps.getOrElseUpdate(typ,
+            // max-heap on (hash, id): the root is the WORST survivor
+            new scala.collection.mutable.PriorityQueue[(Long, Long, Long)]()(
+              Ordering.by[(Long, Long, Long), (Long, Long)](r => (r._1, r._2))))
+          val row = (hk(id), id, uid)
+          if (h.size < k) h.enqueue(row)
+          else if (Ordering.Tuple2[Long, Long].lt((row._1, row._2), (h.head._1, h.head._2))) {
+            h.dequeue(); h.enqueue(row)
+          }
+        }
+        heaps.iterator.flatMap { case (typ, h) =>
+          h.iterator.map { case (_, id, uid) => (typ, id, uid) }
+        }
+      }
+      .toDF("event_type", "event_id", "user_id")
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(
         pmod(pmod(col("event_id"), lit(1000003L)) * lit(2654435761L), lit(1000000007L)),
         col("event_id"))
-    events(s, d)
+    pruned
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 40)
+      .filter(col("rk") <= k)
       .select(col("event_type"), col("rk"), col("event_id"), col("user_id"))
       .orderBy(col("event_type"), col("rk"))
   }
