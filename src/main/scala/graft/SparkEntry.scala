@@ -695,17 +695,44 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
 
   /** Generator/UDTF surface: explode tokens, top-5 by frequency per
-    * source (tie-break on token). */
+    * source (tie-break on token). The per-source window runs over
+    * per-partition partial top-5 survivors, not the full vocabulary —
+    * the same bounded-heap cut as q41, so a 10M-token vocabulary never
+    * funnels through |sources| reducers. */
   private def qTokenTopK(s: SparkSession, d: String): DataFrame = {
-    val counts = t(s, d, "documents")
+    import s.implicits._
+    val k = 5
+    val pruned = t(s, d, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)]
+      .mapPartitions { it =>
+        // min-heap on (n desc, token asc): the root is the worst survivor
+        val heaps = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, String)]]
+        val worstFirst = Ordering.by[(Long, String), (Long, String)] {
+          case (n, tok) => (-n, tok)
+        } // max-heap by "badness": smallest n first, then latest token
+        it.foreach { case (src, tok, n) =>
+          val h = heaps.getOrElseUpdate(src,
+            new scala.collection.mutable.PriorityQueue[(Long, String)]()(worstFirst))
+          if (h.size < k) h.enqueue((n, tok))
+          else {
+            val (wn, wt) = h.head
+            if (n > wn || (n == wn && tok < wt)) { h.dequeue(); h.enqueue((n, tok)) }
+          }
+        }
+        heaps.iterator.flatMap { case (src, h) =>
+          h.iterator.map { case (n, tok) => (src, tok, n) }
+        }
+      }
+      .toDF("source", "token", "n")
     val w = Window.partitionBy(col("source"))
       .orderBy(col("n").desc, col("token"))
-    counts
+    pruned
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
       .select(col("source"), col("rnk"), col("token"), col("n"))
       .orderBy(col("source"), col("rnk"))
   }
