@@ -508,6 +508,30 @@ class OpsSpec extends SparkSpec {
     assert(card.toSeq == Seq(("A", 2L, 1L), ("B", 2L, 1L)))
   }
 
+  test("PrefixScan.runningTotal equals the in-memory scan on skewed random groups") {
+    import spark.implicits._
+    // deterministic pseudo-random rows with heavy group skew (half the
+    // rows land in one group — the exact shape that breaks a per-group
+    // window) across several input partitionings
+    val rows = (0 until 3000).map { i =>
+      val h = graft.functions.Impl.mix64(i.toLong)
+      val g = if ((h & 1L) == 0L) "hot" else s"g${math.floorMod(h, 7L)}"
+      (g, i.toLong, math.floorMod(h >> 8, 50L) + 1L)
+    }
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(_._2).scanLeft((g, -1L, 0L, 0L)) { case ((_, _, acc, v0), (_, o, v)) =>
+        (g, o, acc + v0, v)
+      }.drop(1).map { case (gg, o, cum, v) => (gg, o, v, cum) }
+    }.toSet
+    for (parts <- Seq(1, 4, 17)) {
+      val got = graft.ops.PrefixScan.runningTotal(
+        rows.toDF("g", "o", "v").repartition(parts),
+        col("g"), col("o"), col("v"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"scan diverged at $parts input partitions")
+    }
+  }
+
   test("sequence packing: two-pass prefix scan equals the windowed form at any partitioning") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("documents"))
