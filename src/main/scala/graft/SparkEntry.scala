@@ -316,7 +316,7 @@ object SparkEntry {
       .agg(
         count(lit(1)).as("n_results"),
         bool_and(when(col("rank") === 1,
-          col("query_id") === col("vec_id") && col("score") === 1.0)
+          col("query_id") === col("vec_id") && abs(col("score") - 1.0) < 1e-9)
           .otherwise(lit(true))).as("self_top1_ok"),
         (sum(coalesce(col("hit"), lit(0))) >= minMatches).as("recall_ok"))
 
@@ -1376,20 +1376,49 @@ object SparkEntry {
   /** Skew diagnostics — the measurement that decides when
     * [[graft.ops.SkewJoin]] is worth its replication cost: rows, distinct
     * keys, max single-key share, and top-5-key share for the candidate
-    * join key. Two aggregates; the key-count relation is tiny. */
+    * join key. No window: at 100 TB the per-key relation is ~10⁸–10⁹
+    * rows, and a partition-less `row_number().over(orderBy(c))` would
+    * funnel all of it through one reducer — in the very query whose job
+    * is measuring skew. Instead each partition folds its keys into
+    * (sum, count, max, bounded top-5 heap) — one partial row per
+    * partition — and one final aggregate merges them; the global top-5
+    * counts are the top 5 of partitions×5 candidates (any global top-5
+    * value is a partition top-5 value), and the share only needs their
+    * sum, so ties cost nothing. */
   private def qSkewStats(s: SparkSession, d: String): DataFrame = {
-    val byKey = events(s, d).groupBy(col("user_id"))
+    import s.implicits._
+    val k = 5
+    val partials = events(s, d).groupBy(col("user_id"))
       .agg(count(lit(1)).as("c"))
-    byKey
-      .select(
-        col("c"),
-        row_number().over(Window.orderBy(col("c").desc, col("user_id"))).as("rk"))
+      .select(col("c"))
+      .as[Long]
+      .mapPartitions { it =>
+        var total = 0L; var n = 0L; var mx = 0L
+        val heap = // min-heap: root is the smallest survivor
+          scala.collection.mutable.PriorityQueue.empty[Long](Ordering.Long.reverse)
+        it.foreach { c =>
+          total += c; n += 1L; if (c > mx) mx = c
+          if (heap.size < k) heap.enqueue(c)
+          else if (c > heap.head) { heap.dequeue(); heap.enqueue(c) }
+        }
+        if (n == 0L) Iterator.empty
+        else Iterator.single((total, n, mx, heap.toSeq))
+      }
+      .toDF("s", "n", "mx", "top")
+    partials
       .agg(
-        sum(col("c")).as("n_rows"),
-        count(lit(1)).as("n_keys"),
-        round(max(col("c")).cast("double") / sum(col("c")), 6)
-          .as("max_key_share"),
-        round(sum(when(col("rk") <= 5, col("c"))).cast("double") / sum(col("c")), 6)
+        sum(col("s")).as("n_rows"),
+        sum(col("n")).as("n_keys"),
+        max(col("mx")).as("mx"),
+        flatten(collect_list(col("top"))).as("cands"))
+      .select(
+        col("n_rows"),
+        col("n_keys"),
+        round(col("mx").cast("double") / col("n_rows"), 6).as("max_key_share"),
+        round(
+          aggregate(
+            slice(reverse(array_sort(col("cands"))), 1, k),
+            lit(0L), (acc, v) => acc + v).cast("double") / col("n_rows"), 6)
           .as("top5_share"))
   }
 

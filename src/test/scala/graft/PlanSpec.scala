@@ -173,4 +173,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"fact join degraded to a cross product:\n$p")
   }
+
+  test("no query plans a partition-less Window over an unbounded relation") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
+      TakeOrderedAndProjectExec, LocalTableScanExec}
+    // A global (partition-less) window funnels its whole input through ONE
+    // reducer — a scale-killer unless something below it already bounds
+    // cardinality independent of data size: a groupless (global) aggregate
+    // emits exactly one row, a limit/top-k emits ≤ k, a local relation is
+    // a fixture. A grouped aggregate does NOT count — its output tracks
+    // key cardinality (the q68 failure mode this guard pins).
+    def boundedBelow(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec | _: LocalTableScanExec => true
+      // a join driven by a bounded side stays bounded (q45's hour spine:
+      // one-row agg → sequence explode → LEFT join against hourly aggs)
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        boundedBelow(j.left) || boundedBelow(j.right)
+      case other => other.children.nonEmpty && other.children.forall(boundedBelow)
+    }
+    // executedPlan under AQE is an AdaptiveSparkPlanExec LEAF wrapping the
+    // real plan — unwrap it (and any reused stages) before collecting
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.flatMap { q =>
+      val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      nodes(exec).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+          s"$q: ${w.windowExpression.mkString(", ")}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"partition-less Window over an unbounded relation in:\n${offenders.mkString("\n")}")
+  }
 }
