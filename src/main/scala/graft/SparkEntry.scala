@@ -513,6 +513,87 @@ object SparkEntry {
       minMatches = 25) // 0.5 × 50, measured 0.64–0.76 on the fixtures
   }
 
+  /** SemDeDup semantic dedup (Abbas et al. 2023), hash-checked via a
+    * planted-duplicate derived oracle: every vec_id ≡ 0 (mod 97) gets a
+    * near-copy (deterministic ±0.5% per-component perturbation,
+    * cosine ≈ 0.99998) at id + 10⁹. After clustering + within-cell
+    * dedup at cosine ≥ 0.95: every BASE vector must survive (base ids
+    * are always the smaller canonical, and the fixture's max organic
+    * cosine ≈ 0.55 is far under the ceiling — strict boolean), and
+    * ≥ 90% of the planted copies must be dropped (a copy survives only
+    * if the Lloyd boundary splits it from its original — rare by
+    * construction). n_planted is recomputed by DuckDB from the table. */
+  private def qSemanticDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, d, "embeddings")
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val offset = 1000000000L
+    def plantedOf(ds: org.apache.spark.sql.Dataset[(Long, Array[Float])]) =
+      ds.filter(_._1 % 97 == 0).map { case (id, v) =>
+        val r = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) {
+          val eps = ((graft.functions.Impl.mix64(id * 31L + i) & 0xFFFFL)
+            .toDouble / 65535.0 - 0.5) * 0.01
+          r(i) = (v(i) * (1.0 + eps)).toFloat
+          i += 1
+        }
+        (id + offset, r)
+      }
+    val corpus = base.union(plantedOf(base)).toDF("vec_id", "embedding")
+    val surv = Similarity.semanticDedup(corpus, threshold = 0.95)
+      .select(col("vec_id"))
+    val baseIds = base.map(_._1).toDF("vec_id")
+    val plantedIds = plantedOf(base).map(_._1).toDF("vec_id")
+    plantedIds.agg(count(lit(1)).as("np"))
+      .crossJoin(plantedIds.join(surv, "vec_id").agg(count(lit(1)).as("kp")))
+      .crossJoin(baseIds.agg(count(lit(1)).as("nb")))
+      .crossJoin(baseIds.join(surv, "vec_id").agg(count(lit(1)).as("kb")))
+      .select(
+        col("np").as("n_planted"),
+        (col("kb") === col("nb")).as("base_kept_ok"),
+        ((col("np") - col("kp")).cast("double") / col("np") >= 0.9)
+          .as("planted_removed_ok"))
+  }
+
+  /** Perceptual image dedup (dHash over REAL decoded pixels), hash-checked
+    * via a planted-copy derived oracle: every synthetic image gets (a) a
+    * decode→re-encode copy at id + 10⁶ (identical pixels → Hamming 0 —
+    * found structurally, strict boolean) and (b) a 2× pixel-duplication
+    * upscale at id + 2·10⁶ (same picture, different resolution — the
+    * area-averaged dHash stays within the banding guarantee for ≥ 90%).
+    * Unrelated random-pixel images sit near Hamming 32, so any
+    * cross-image pair is a hard failure. n_images is the generator's
+    * closed form (⌈300/3⌉ image rows), a DuckDB constant. */
+  private def qImageDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val images = Multimodal.syntheticMedia(s, 300).filter(_.media_type == "image")
+    val off1 = 1000000L; val off2 = 2000000L
+    val reenc = Multimodal.scaleBy(
+      images.map(r => r.copy(media_id = r.media_id + off1)), 1)
+    val up = Multimodal.scaleBy(
+      images.map(r => r.copy(media_id = r.media_id + off2)), 2)
+    val pairs = Multimodal.imageNearDupPairs(images.union(reenc).union(up))
+      .select(col("id_a"), col("id_b"))
+    val nImages = images.map(_.media_id).toDF("id").agg(count(lit(1)).as("n_images"))
+    val reencFound = images.map(r => (r.media_id, r.media_id + off1))
+      .toDF("id_a", "id_b").join(pairs, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("kr"))
+    val upFound = images.map(r => (r.media_id, r.media_id + off2))
+      .toDF("id_a", "id_b").join(pairs, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("ku"))
+    val falsePairs = pairs
+      .filter(pmod(col("id_a"), lit(off1)) =!= pmod(col("id_b"), lit(off1)))
+      .agg(count(lit(1)).as("nf"))
+    nImages.crossJoin(reencFound).crossJoin(upFound).crossJoin(falsePairs)
+      .select(
+        col("n_images"),
+        (col("kr") === col("n_images")).as("reencode_found_ok"),
+        (col("ku").cast("double") / col("n_images") >= 0.9).as("rescale_recall_ok"),
+        (col("nf") === 0L).as("no_false_ok"))
+  }
+
   /** CUBE aggregation (all grouping-set combinations). */
   private def qCube(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -1680,7 +1761,9 @@ object SparkEntry {
     "q77_ivfpq_topk" -> (qIvfPqTopK _),
     "q78_chunking" -> (qChunking _),
     "q79_sequence_pack" -> (qSequencePack _),
-    "q80_data_card" -> (qDataCard _))
+    "q80_data_card" -> (qDataCard _),
+    "q81_semantic_dedup" -> (qSemanticDedup _),
+    "q82_image_dedup" -> (qImageDedup _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2520,5 +2603,15 @@ object SparkEntry {
            CAST(sum(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
            CAST(sum(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
          FROM q JOIN f USING (fp)
-         GROUP BY source ORDER BY source""")
+         GROUP BY source ORDER BY source""",
+    "q81_semantic_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+           true AS base_kept_ok,
+           true AS planted_removed_ok
+         FROM embeddings WHERE vec_id % 97 = 0""",
+    "q82_image_dedup" ->
+      """SELECT CAST(100 AS BIGINT) AS n_images,
+           true AS reencode_found_ok,
+           true AS rescale_recall_ok,
+           true AS no_false_ok""")
 }

@@ -62,6 +62,7 @@ final class Ingest(
     val marker = batchId.map(id =>
       new Path(tablePath, s".batch_commits/batch-$id"))
     if (marker.exists(fs0.exists)) return 0L // replayed batch: already in
+    replayPendingRefreshes(fs0)
 
     // T2/T3 — delay / throw ladder on the most-loaded partition
     // (FS-listing reads only; no data pass, no footer I/O).
@@ -130,12 +131,25 @@ final class Ingest(
       // The block is ALREADY COMMITTED here (files renamed, metrics
       // counted), so a refresh failure surfaces as the distinct
       // RollupRefreshException — callers must not re-insert on it, only
-      // re-run the refresh.
+      // re-run the refresh. A pending-refresh file written BEFORE the
+      // refresh (and deleted after it succeeds) makes that re-run
+      // automatic: the next append — same process or after a restart —
+      // replays it, so a caught RollupRefreshException never strands the
+      // view stale.
       if (rollup.nonEmpty && stagedDirs.nonEmpty) {
-        try rollup.get.refresh(stagedDirs
+        val touched = stagedDirs
           .map(_.getPath.getName.stripPrefix("part_hour=").toInt)
-          .toIndexedSeq)
-        catch {
+          .toIndexedSeq
+        val pending = new Path(tablePath,
+          s".rollup_pending/pending-${java.util.UUID.randomUUID()}")
+        fs.mkdirs(pending.getParent)
+        val out = fs.create(pending, false)
+        out.write(touched.mkString(",").getBytes("UTF-8"))
+        out.close()
+        try {
+          rollup.get.refresh(touched)
+          fs.delete(pending, false)
+        } catch {
           case e: Throwable =>
             metrics("FailedRollupRefreshes").add(1)
             throw new RollupRefreshException(e)
@@ -144,4 +158,27 @@ final class Ingest(
       nRows
     } finally fs.delete(staging, true)
   }
+
+  /** Re-run rollup refreshes that failed after their block was already
+    * published (the `.rollup_pending` files [[append]] leaves behind).
+    * Refresh recomputes the touched partitions from the base table, so a
+    * replay is idempotent; a replay that fails again keeps its pending
+    * file for the next attempt and never blocks the insert path. */
+  private def replayPendingRefreshes(fs: org.apache.hadoop.fs.FileSystem): Unit =
+    if (rollup.nonEmpty) {
+      val dir = new Path(tablePath, ".rollup_pending")
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { f =>
+        try {
+          val in = fs.open(f.getPath)
+          val body = new String(in.readAllBytes(), "UTF-8")
+          in.close()
+          val touched = body.trim.split(",").filter(_.nonEmpty).map(_.toInt).toIndexedSeq
+          rollup.get.refresh(touched)
+          fs.delete(f.getPath, false)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            metrics("FailedRollupRefreshes").add(1)
+        }
+      }
+    }
 }

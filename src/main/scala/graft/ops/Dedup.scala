@@ -115,16 +115,32 @@ object Dedup {
     * 16-bit chunks (two fingerprints within Hamming distance 3 share at
     * least one exact chunk — the classic pigeonhole trick), bucket-join on
     * chunks, verify true Hamming distance ≤ maxHamming. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      docs.select(col("doc_id"), simhash(col("text")).as("fp")),
+      maxHamming, nBands = 4)
+
+  /** Hamming-banded near-identical pairs over ANY 64-bit fingerprint
+    * relation (doc_id, fp) — the shared kernel behind [[simhashPairs]]
+    * and the perceptual image dedup ([[Multimodal.imageNearDupPairs]]):
+    * split the fingerprint into `nBands` equal chunks, bucket-join on
+    * exact chunk matches (pigeonhole: two fingerprints within Hamming
+    * distance < nBands MUST share a chunk — recall below that distance
+    * is structural, not probabilistic), then verify the true Hamming
+    * distance. Shuffle is O(n·nBands) signature rows; only colliding
+    * buckets are ever paired. */
+  def hammingPairs(fp: DataFrame, maxHamming: Int, nBands: Int = 4): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0, s"nBands $nBands must divide 64")
+    val bits = 64 / nBands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val banded = fp.select(
       col("doc_id"), col("fp"),
       explode(transform(
-        sequence(lit(0), lit(3)),
+        sequence(lit(0), lit(nBands - 1)),
         b => struct(
           b.as("band"),
-          call_function("shiftright", col("fp"), b * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("chunk")))).as("bc"))
+          call_function("shiftright", col("fp"), b * bits)
+            .bitwiseAND(lit(mask)).as("chunk")))).as("bc"))
       .select(col("doc_id"), col("fp"), col("bc.band"), col("bc.chunk"))
     val a = banded.select(col("band"), col("chunk"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("band"), col("chunk"), col("doc_id").as("id_b"), col("fp").as("fp_b"))

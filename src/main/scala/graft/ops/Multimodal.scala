@@ -427,6 +427,128 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual difference hash (dHash — public method: Krawetz,
+    * "Kind of Like That", hackerfactor.com 2013): area-average the
+    * decoded image onto a 9×8 grayscale grid, emit one bit per
+    * horizontally adjacent cell pair (left > right). Area averaging —
+    * not point sampling — is what makes the hash survive re-encodes and
+    * rescales: the grid cell means approximate the same image regions at
+    * any resolution. */
+  private[graft] def dhash64(img: BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    // exact fractional-coverage box filter, NOT floor-binning: each grid
+    // cell's mean integrates the continuous image over its region, so an
+    // integer-factor pixel duplication leaves every cell mean identical
+    // (weights and sums scale together) and arbitrary rescales move it
+    // only at the region edges — this is what makes the hash perceptual
+    val mean = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy.toDouble * h / gh; val y1 = (gy + 1).toDouble * h / gh
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx.toDouble * w / gw; val x1 = (gx + 1).toDouble * w / gw
+        var sum = 0.0; var wgt = 0.0
+        var y = math.floor(y0).toInt
+        while (y < math.ceil(y1).toInt && y < h) {
+          val oy = math.min(y1, y + 1.0) - math.max(y0, y.toDouble)
+          if (oy > 0) {
+            var x = math.floor(x0).toInt
+            while (x < math.ceil(x1).toInt && x < w) {
+              val ox = math.min(x1, x + 1.0) - math.max(x0, x.toDouble)
+              if (ox > 0) {
+                val rgb = img.getRGB(x, y)
+                val gray = (((rgb >> 16) & 0xFF) * 299 +
+                  ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0
+                sum += gray * ox * oy
+                wgt += ox * oy
+              }
+              x += 1
+            }
+          }
+          y += 1
+        }
+        mean(gy)(gx) = if (wgt == 0.0) 0.0 else sum / wgt
+        gx += 1
+      }
+      gy += 1
+    }
+    var bitsOut = 0L
+    var i = 0
+    gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        if (mean(gy)(gx) > mean(gy)(gx + 1)) bitsOut |= (1L << i)
+        i += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    bitsOut
+  }
+
+  /** Perceptual fingerprints for the image rows: (doc_id, fp) — decode
+    * through ImageIO, dHash the pixels. Non-images are dropped (audio /
+    * video perceptual dedup would hash their own decoded streams). Same
+    * mapPartitions batch shape as [[extractFeatures]]. */
+  def imageDhash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.collect {
+        case r if r.media_type == "image" =>
+          (r.media_id, dhash64(ImageIO.read(new ByteArrayInputStream(r.payload))))
+      }
+    }.toDF("doc_id", "fp")
+  }
+
+  /** Perceptual image near-duplicate pairs: dHash fingerprints fed to the
+    * shared Hamming-banding kernel ([[Dedup.hammingPairs]]). With the
+    * default 8 bands of 8 bits, every pair within Hamming distance 7 is
+    * found structurally (pigeonhole), so the default maxHamming = 7 has
+    * recall 1.0 by construction; random-content images sit near Hamming
+    * 32 and never verify. Scale shape is the simhash one: O(n·bands)
+    * signature shuffle, only colliding buckets pair. */
+  def imageNearDupPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 7,
+      nBands: Int = 8): DataFrame =
+    Dedup.hammingPairs(imageDhash(media), maxHamming, nBands)
+
+  /** Integer-factor nearest-neighbor upscale (pixel duplication) with PNG
+    * re-encode — the deterministic "same picture, different resolution"
+    * transform the perceptual-dedup tests plant. Non-images pass
+    * through. */
+  def scaleBy(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor >= 1)
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        if (r.media_type != "image") r
+        else {
+          val src = ImageIO.read(new ByteArrayInputStream(r.payload))
+          val tw = src.getWidth * factor; val th = src.getHeight * factor
+          val dst = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              dst.setRGB(x, y, src.getRGB(x / factor, y / factor))
+              x += 1
+            }
+            y += 1
+          }
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(dst, "png", out)
+          r.copy(payload = out.toByteArray, width = tw, height = th)
+        }
+      }
+    }
+  }
+
   /** Per-row check verdict: every expectation below is recomputed in
     * closed form from `media_id` alone (the generator's formulas), NOT by
     * re-running the codecs — so agreement proves the encode→decode

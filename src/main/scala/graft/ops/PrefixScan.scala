@@ -21,6 +21,12 @@ object PrefixScan {
   /** EXCLUSIVE running total of `valueCol` over rows ordered by
     * (`groupCol`, `ordCol`), restarting at 0 per group value.
     *
+    * PRECONDITION: (group, ord) keys must be UNIQUE. Rows tying on both
+    * keys have no defined order after the range sort, so their relative
+    * `cum` values would be nondeterministic (and could diverge from a
+    * windowed cumsum). Aggregate duplicate keys before scanning. Current
+    * callers satisfy this structurally — doc_id is unique per source.
+    *
     * @return (group, ord, value, cum) — `cum` excludes the current row
     *         (add `value` for the inclusive total). Output partitioning
     *         is the range partitioning on (group, ord).

@@ -363,6 +363,123 @@ object Similarity {
     topKFromScored(scored, k)
   }
 
+  /** L2-normalize a float vector (zero vectors pass through) — shared by
+    * the cosine-as-dot paths (IVF-PQ, semantic dedup). */
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /** Semantic deduplication (public method: Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster the embedding space with the same
+    * distributed Lloyd coarse quantizer as [[ivfTopK]], then WITHIN each
+    * cell drop every document whose cosine to a lower-id cell-mate is
+    * ≥ `threshold` — the lower id is the kept canonical. Cross-cell
+    * pairs are never scored: that miss rate is the published method's
+    * contract (semantic duplicates land in the same cell because they
+    * are near-identical in embedding space).
+    *
+    * Scale shape:
+    *   - centroid training is [[trainCentroids]] — per-partition partial
+    *     sums, one reduce per iteration, O(nCentroids·dim) driver state;
+    *   - assignment is one broadcast-centroid map pass (no shuffle);
+    *   - within-cell scoring reuses the bounded block grid of
+    *     [[exactNearDupPairs]], keyed by (cell, blockLo, blockHi): a task
+    *     holds two blocks of ~4096 vectors regardless of corpus size, and
+    *     within-cell compute is quadratic only in the CELL (n²/nCentroids
+    *     total) — the published trade for never scoring all pairs;
+    *   - vectors are L2-normalized once, so cosine is a plain dot.
+    *
+    * @param corpus (vec_id, embedding)
+    * @return surviving (vec_id, cell) rows — input minus dropped dups.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      threshold: Double,
+      nCentroids: Int = 16,
+      kmeansIters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    val vecsN = corpus
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, normalize(v)) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = vecsN.count()
+      // blocks sized so a block-pair task holds ~2·4096 vectors at the
+      // EXPECTED cell occupancy n/nCentroids (skewed cells degrade
+      // gracefully: more rows per block, never more blocks per task)
+      val nB = math.max(1,
+        math.ceil(n.toDouble / nCentroids / 4096.0).toInt)
+      val cents = trainCentroids(vecsN, nCentroids, kmeansIters, seed)
+      val bcC = sess.sparkContext.broadcast(cents)
+      val assigned = vecsN.mapPartitions { it =>
+        val cs = bcC.value
+        it.map { case (id, v) =>
+          val b = java.lang.Long.remainderUnsigned(Impl.mix64(id), nB.toLong).toInt
+          (nearestCell(v, cs), b, id, v)
+        }
+      }
+      val blocks = assigned
+        .groupByKey { case (cell, b, _, _) => (cell, b) }
+        .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Float])]) =>
+          (key._1, key._2,
+            it.map { case (_, _, id, v) => (id, v) }.toArray.sortBy(_._1))
+        }
+      val losers = blocks
+        .flatMap { case (cell, b, arr) =>
+          (0 until nB).iterator.map { o =>
+            val lo = math.min(b, o); val hi = math.max(b, o)
+            ((cell, lo, hi), b, arr)
+          }
+        }
+        .groupByKey(_._1)
+        .flatMapGroups { (key: ((Int, Int, Int)), it: Iterator[(((Int, Int, Int)), Int, Array[(Long, Array[Float])])]) =>
+          val (cell, lo, hi) = key
+          def dot(a: Array[Float], bv: Array[Float]): Double = {
+            var d = 0.0; var j = 0
+            val m = math.min(a.length, bv.length)
+            while (j < m) { d += a(j).toDouble * bv(j).toDouble; j += 1 }
+            d
+          }
+          val entries = it.toArray.sortBy(_._2)
+          // emit the LARGER id of every within-cell pair ≥ threshold —
+          // the smaller id is the kept canonical
+          if (lo == hi) {
+            val arr = entries(0)._3
+            for {
+              i <- arr.indices.iterator
+              j <- (i + 1 until arr.length).iterator
+              if dot(arr(i)._2, arr(j)._2) >= threshold
+            } yield (cell, math.max(arr(i)._1, arr(j)._1))
+          } else if (entries.length < 2) Iterator.empty
+          else {
+            val as = entries(0)._3; val bs = entries(1)._3
+            for {
+              x <- as.iterator
+              y <- bs.iterator
+              if dot(x._2, y._2) >= threshold
+            } yield (cell, math.max(x._1, y._1))
+          }
+        }
+        .toDF("cell", "vec_id")
+        .select(col("vec_id")).distinct()
+        // materialize here so the persisted vecsN can be released below
+        // without the survivors plan recomputing the normalize pass
+        .localCheckpoint()
+      assigned
+        .toDF("cell", "b", "vec_id", "emb")
+        .select(col("vec_id"), col("cell"))
+        .join(losers, Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+    } finally vecsN.unpersist(blocking = false)
+  }
+
   /** Nearest PQ codeword (L2) for subspace `mi` of `emb`. */
   private def nearestCode(
       emb: Array[Float], mi: Int, sub: Int, book: Array[Array[Double]]): Int = {
@@ -504,9 +621,14 @@ object Similarity {
     val dim = embeddingDim(corpus)
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
+    // persisted: trainCodebooks (count + sample) and the ADC encode pass
+    // below both traverse the corpus — without the pin each action would
+    // re-run the scan+cast (released after the candidates materialize)
     val vecs = corpus
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val codebooks = trainCodebooks(vecs, m, sub, nCodes, kmeansIters, trainCap, seed)
 
     // ---- encode: (vec_id, m bytes) — the compressed index relation ----
@@ -570,6 +692,9 @@ object Similarity {
         h.iterator.map { case (s, id) => (qid, id, s) }
       }
     }.toDF("query_id", "vec_id", "adc_score")
+      // materialize the (small) candidate set so the pinned corpus can be
+      // released in the finally without the downstream plan re-scanning
+      .localCheckpoint()
     // global top-C per query over the per-partition survivors
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_score").desc, col("vec_id"))
@@ -588,6 +713,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         cosine(col("q_emb"), col("c_emb")).as("score"))
     topKFromScored(scored, k)
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** IVF-PQ composed index (the canonical 100 TB ANN layout — FAISS's
@@ -633,11 +759,16 @@ object Similarity {
       if (n == 0.0) v else v.map(x => (x / n).toFloat)
     }
 
+    // persisted: the coarse-quantizer iterations, residual-codebook
+    // training, and the ADC encode each traverse these relations —
+    // without the pins every action re-runs normalize + nearestCell over
+    // the whole corpus (released after the candidates materialize)
     val vecsN = corpus
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, normalize(v)) }
-
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // ---- coarse quantizer + residual computation ----------------------
     val cents = trainCentroids(vecsN, nCentroids, kmeansIters, seed)
     val bcC = sess.sparkContext.broadcast(cents)
@@ -651,7 +782,8 @@ object Similarity {
         while (i < v.length) { r(i) = (v(i) - cv(i)).toFloat; i += 1 }
         (id, cell, r)
       }
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // ---- PQ codebooks on residuals, cell+codes index ------------------
     val books = trainCodebooks(
@@ -719,6 +851,9 @@ object Similarity {
         h.iterator.map { case (s, id) => (qid, id, s) }
       }
     }.toDF("query_id", "vec_id", "adc_score")
+      // materialize the (small) candidate set so the pinned corpus
+      // relations can be released without a downstream re-scan
+      .localCheckpoint()
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_score").desc, col("vec_id"))
     val topCand = candidates
@@ -736,6 +871,8 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         cosine(col("q_emb"), col("c_emb")).as("score"))
     topKFromScored(scored, k)
+    } finally resid.unpersist(blocking = false)
+    } finally vecsN.unpersist(blocking = false)
   }
 
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥ τ,

@@ -81,6 +81,12 @@ final class StreamingIngest(
         } catch {
           case _: TooManyPartsException | _: TooManyPartitionsException =>
             flowControlTriggered = true // T7: log-and-continue
+          case _: graft.ingest.RollupRefreshException =>
+            // the block IS committed (distinct type's contract) — count it
+            // and keep streaming; the pending-refresh file the sink left
+            // behind is replayed by the next batch's append, so the view
+            // heals without manual intervention
+            batchesCompleted += 1
         }
       }
       .start()

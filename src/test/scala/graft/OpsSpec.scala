@@ -299,6 +299,42 @@ class OpsSpec extends SparkSpec {
     assert((lsh -- exact).isEmpty, "nearDupPairs must not report sub-threshold pairs")
   }
 
+  test("semantic dedup keeps one canonical per planted cluster, randoms untouched") {
+    import spark.implicits._
+    val dim = 16
+    // 3 tight semantic clusters of 4 members each (cosine ≈ 0.9999
+    // within, far below threshold across) + 20 mutually-dissimilar
+    // random vectors that must all survive
+    val clustered = for {
+      cluster <- 0 until 3
+      member <- 0 until 4
+    } yield {
+      val center = Array.tabulate(dim)(i =>
+        math.sin(cluster * 41.0 + i * 1.7).toFloat * 5f)
+      val v = Array.tabulate(dim) { i =>
+        val eps = (graft.functions.Impl.mix64(
+          cluster * 1000L + member * 13L + i) % 100L) / 100000f
+        center(i) * (1f + eps)
+      }
+      (100L + cluster * 10L + member, v)
+    }
+    val randoms = (0 until 20).map { id =>
+      (500L + id, Array.tabulate(dim)(i =>
+        (graft.functions.Impl.mix64(id * 7919L + i) % 1000L) / 500f))
+    }
+    val corpus = (clustered ++ randoms).toDF("vec_id", "embedding")
+    val surv = Similarity.semanticDedup(
+      corpus, threshold = 0.95, nCentroids = 4, kmeansIters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    for (cluster <- 0 until 3) {
+      val ids = (0 until 4).map(m => 100L + cluster * 10L + m).toSet
+      assert((surv & ids) == Set(ids.min),
+        s"cluster $cluster should keep exactly its min id, kept ${surv & ids}")
+    }
+    assert(randoms.map(_._1).forall(surv.contains),
+      "no dissimilar vector may be dropped")
+  }
+
   test("nearDupPairs candidates grow linearly with n, not quadratically") {
     import spark.implicits._
     // mutually-dissimilar pseudo-random vectors: any candidate is a random
@@ -702,6 +738,30 @@ class OpsSpec extends SparkSpec {
         }
       } else assert(f.decoded_channels == 0)
     }
+  }
+
+  test("perceptual image dedup: re-encoded and upscaled copies found, unrelated images distinct") {
+    import spark.implicits._
+    val images = Multimodal.syntheticMedia(spark, 90).filter(_.media_type == "image")
+    val baseIds = images.map(_.media_id).collect().toSet
+    val reenc = Multimodal.scaleBy(
+      images.map(r => r.copy(media_id = r.media_id + 1000L)), 1)
+    val up = Multimodal.scaleBy(
+      images.map(r => r.copy(media_id = r.media_id + 2000L)), 2)
+    val pairs = Multimodal.imageNearDupPairs(images.union(reenc).union(up))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // decode→re-encode keeps pixels byte-identical: Hamming 0, inside the
+    // banding guarantee — every pair MUST be found
+    assert(baseIds.forall(id => pairs.contains((id, id + 1000L))),
+      "a re-encoded identical copy was not paired with its original")
+    // 2× pixel duplication shifts grid-cell means only where 9∤width
+    // boundaries split a duplicated pixel — ≥90% stay within maxHamming
+    val upRecall = baseIds.count(id => pairs.contains((id, id + 2000L))).toDouble / baseIds.size
+    assert(upRecall >= 0.9, s"upscaled-copy recall $upRecall")
+    // random-pixel images are mutually dissimilar (Hamming ≈ 32): any
+    // pair across different base images is a false positive
+    assert(pairs.forall { case (a, b) => a % 1000L == b % 1000L },
+      s"cross-image false positives: ${pairs.filter { case (a, b) => a % 1000L != b % 1000L }}")
   }
 
   test("multimodal resize: real pixel rescale, geometry verified by re-decode") {

@@ -187,6 +187,49 @@ class RollupSpec extends SparkSpec {
     assert(EventTable.read(spark, base).count() == 2000)
   }
 
+  test("a failed rollup refresh is replayed by the next append (self-healing view)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_rollup_heal").toString
+    val roll = Files.createTempDirectory("graft_rollup_heal_agg").toString + "/r"
+    val rollup = new Rollup(
+      spark, base, roll,
+      partitionCol = "part_hour", dims = Seq("event_type"),
+      aggs = Seq(count(lit(1)).as("n_events")))
+    val ingest = new graft.ingest.Ingest(
+      base,
+      new graft.ingest.FlowControl(graft.ingest.FlowControlSettings(
+        partsToDelayInsert = 1000, partsToThrowInsert = 2000)),
+      new graft.system.PartsRegistry(spark, base, "test_local"),
+      new graft.system.MetricsRegistry(spark),
+      rollup = Some(rollup))
+    ingest.append(graft.gen.DataGen.batch(
+      spark, 2000, java.sql.Timestamp.valueOf("2026-03-01 12:00:00"), Some(1L)).toDF())
+    // simulate "refresh failed after publish": drop one rollup partition
+    // and leave the pending file append writes before each refresh
+    val hour = rollup.read().select("part_hour").as[Int].head()
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(roll, s"part_hour=$hour"), true)
+    val pending = new org.apache.hadoop.fs.Path(base, ".rollup_pending/pending-test")
+    fs.mkdirs(pending.getParent)
+    val out = fs.create(pending, false)
+    out.write(hour.toString.getBytes("UTF-8")); out.close()
+    assert(!rollup.read().select("part_hour").as[Int].collect().contains(hour),
+      "fixture must start with the rollup partition missing")
+    // the next append replays the pending refresh before inserting
+    ingest.append(graft.gen.DataGen.batch(
+      spark, 500, java.sql.Timestamp.valueOf("2026-03-02 12:00:00"), Some(2L)).toDF())
+    val healed = rollup.read().filter(col("part_hour") === hour)
+      .agg(coalesce(sum(col("n_events")), lit(0L))).as[Long].head()
+    val expected = EventTable.read(spark, base)
+      .filter(col("part_hour") === hour).count()
+    assert(healed == expected,
+      s"replayed refresh must restore the dropped partition ($healed != $expected)")
+    assert(fs.listStatus(
+      new org.apache.hadoop.fs.Path(base, ".rollup_pending")).isEmpty,
+      "the consumed pending file must be deleted")
+  }
+
   test("refresh scan is partition-pruned to the touched hours") {
     val base = Files.createTempDirectory("graft_rollup_prune").toString
     val b = graft.gen.DataGen.batch(
