@@ -34,4 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // stamped into Bench's JSON: an sbt-forked bench run carries ~30%
+  // JVM/wrapper overhead vs the standalone `java -cp` invocation, and
+  // the artifact must say which one produced it
+  "-Dgraft.wrapper=sbt",
 )

@@ -320,11 +320,12 @@ object SparkEntry {
           .otherwise(lit(true))).as("self_top1_ok"),
         (sum(coalesce(col("hit"), lit(0))) >= minMatches).as("recall_ok"))
 
-  /** LSH-bucketed approximate top-k, hash-checked via [[annCheck]]:
-    * sign-LSH is weak by design for mid-similarity neighbors (measured
-    * recall 0.30–0.44 on the fixtures), so the recall floor is 0.2 —
-    * the self-top-1 invariant is the sharp check (identical vectors
-    * collide in every table). */
+  /** Multi-probe LSH approximate top-k, hash-checked via [[annCheck]]:
+    * probing the nProbes nearest buckets per table (Lv et al. 2007)
+    * lifts mid-similarity recall on the uniform-random fixtures from the
+    * single-probe 0.30–0.44 to a measured 0.76 (sf0.01) / 0.90 (sf0.1),
+    * so the floor is 0.5; the self-top-1 invariant stays the sharp check
+    * (identical vectors share the base bucket in every table). */
   private def qLshTopK(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     annCheck(s, d,
@@ -333,7 +334,7 @@ object SparkEntry {
           .select(col("vec_id").as("query_id"), col("embedding")),
         emb.select(col("vec_id"), col("embedding")),
         k = 5),
-      minMatches = 10) // 0.2 × 50
+      minMatches = 25) // 0.5 × 50, measured 0.76–0.90 with multi-probe
   }
 
   /** Exact embedding near-dup pairs (cosine ≥ 0.45; fixture max ≈ 0.55) —
@@ -592,6 +593,26 @@ object SparkEntry {
         (col("kr") === col("n_images")).as("reencode_found_ok"),
         (col("ku").cast("double") / col("n_images") >= 0.9).as("rescale_recall_ok"),
         (col("nf") === 0L).as("no_false_ok"))
+  }
+
+  /** Unicode-aware tokenizer mode, row-compared against DuckDB's
+    * `regexp_extract_all` (RE2 spells the scripts `\p{Han}` where Java
+    * wants `\p{IsHan}` — identical semantics, which is exactly what this
+    * oracle proves). The fixture corpus is pure ASCII, so each document
+    * gets a deterministic CJK + hyphenated tail grafted on: the
+    * whitespace mode counts that tail as 2 glued "tokens" while the
+    * unicode mode yields per-ideograph tokens and splits the hyphen —
+    * the divergence (and the per-mode counts) is the compared output. */
+  private def qUnicodeTokens(s: SparkSession, d: String): DataFrame = {
+    val aug = t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" 数据管道,tokenizer-test 你好")).as("text"))
+    aug.select(
+      col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).as("n_ws"),
+      size(TextAnalysis.tokensUnicode(col("text"))).as("n_uni"),
+      element_at(TextAnalysis.tokensUnicode(col("text")), -1).as("last_token"))
+      .orderBy(col("doc_id"))
   }
 
   /** CUBE aggregation (all grouping-set combinations). */
@@ -1763,7 +1784,8 @@ object SparkEntry {
     "q79_sequence_pack" -> (qSequencePack _),
     "q80_data_card" -> (qDataCard _),
     "q81_semantic_dedup" -> (qSemanticDedup _),
-    "q82_image_dedup" -> (qImageDedup _))
+    "q82_image_dedup" -> (qImageDedup _),
+    "q83_unicode_tokens" -> (qUnicodeTokens _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2613,5 +2635,17 @@ object SparkEntry {
       """SELECT CAST(100 AS BIGINT) AS n_images,
            true AS reencode_found_ok,
            true AS rescale_recall_ok,
-           true AS no_false_ok""")
+           true AS no_false_ok""",
+    "q83_unicode_tokens" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text2, ' ')) AS INT) AS n_ws,
+           CAST(len(regexp_extract_all(text2,
+             '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]|[\p{L}\p{N}]+')) AS INT)
+             AS n_uni,
+           list_extract(regexp_extract_all(text2,
+             '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]|[\p{L}\p{N}]+'), -1)
+             AS last_token
+         FROM (SELECT doc_id, concat(text, ' 数据管道,tokenizer-test 你好') AS text2
+               FROM documents)
+         ORDER BY doc_id""")
 }

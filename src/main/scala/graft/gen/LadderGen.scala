@@ -1,0 +1,94 @@
+package graft.gen
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic scaled-up companions of the driver fixtures for the
+  * bench's scale ladder (the driver's parquet stops at sf0.1; scaling
+  * exponents need a second, larger point). Mirrors the fixtures' shapes:
+  * `events` keeps the 30-day window / 5 uniform types / `{"k": n}` props
+  * and grows user cardinality with row count (as the fixtures do between
+  * sf0.01 and sf0.1); `documents` keeps the 31-word vocabulary, 20
+  * sources, 5-language mix and 10–100-token lengths; `embeddings` keeps
+  * 64 dims and 10 labels. Everything derives from `xxhash64(id, seed,
+  * tag)` column expressions — fully distributed, codegen'd, no driver
+  * loops — so generation cost is a small constant of the bench run.
+  */
+object LadderGen {
+
+  /** The sf0.1 documents vocabulary (31 words), verbatim. */
+  private val vocab = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+
+  /** Generate into `outDir/{events,documents,embeddings}.parquet`.
+    * Embeddings grow by `embFactor` (the fixtures grow them ~4× per
+    * decade, and the exact all-pairs kernel is deliberately quadratic),
+    * the row tables by `factor`. Idempotent: skipped when the sentinel
+    * of the last table already exists (content is a pure function of
+    * (baseDir counts, factor, seed)). Returns per-table factors. */
+  def generate(
+      spark: SparkSession,
+      baseDir: String,
+      outDir: String,
+      factor: Int,
+      embFactor: Int = 4,
+      seed: Long = 42L): Map[String, Int] = {
+    val done = new org.apache.hadoop.fs.Path(s"$outDir/embeddings.parquet/_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      val nEvents = spark.read.parquet(s"$baseDir/events.parquet").count() * factor
+      val nDocs = spark.read.parquet(s"$baseDir/documents.parquet").count() * factor
+      val nEmb = spark.read.parquet(s"$baseDir/embeddings.parquet").count() * embFactor
+      val nUsers = math.max(1L, nEvents / 67L) // fixtures: 100k rows / 1500 users
+
+      def h(tag: Int) = xxhash64(col("id"), lit(seed), lit(tag))
+
+      val epoch2024Micros = 1704067200L * 1000000L // 2024-01-01T00:00:00Z
+      spark.range(0, nEvents, 1, 32)
+        .select(
+          col("id").as("event_id"),
+          timestamp_micros(lit(epoch2024Micros) +
+            pmod(h(1), lit(30L * 86400L * 1000000L))).as("ts"),
+          pmod(h(2), lit(nUsers)).as("user_id"),
+          element_at(
+            array(Seq("click", "error", "purchase", "signup", "view").map(lit): _*),
+            (pmod(h(3), lit(5L)) + 1L).cast("int")).as("event_type"),
+          (pmod(h(4), lit(56000L)).cast("double") / 100.0).as("value"),
+          concat(lit("{\"k\": "), pmod(h(5), lit(100L)), lit("}")).as("props"))
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+      val langs = array(Seq("en", "de", "es", "fr", "zh").map(lit): _*)
+      val vocabCol = array(vocab.map(lit): _*)
+      spark.range(0, nDocs, 1, 32)
+        .select(
+          col("id").as("doc_id"),
+          concat_ws(" ", transform(
+            sequence(lit(1), (pmod(h(6), lit(91L)) + 10L).cast("int")),
+            i => element_at(vocabCol,
+              (pmod(xxhash64(col("id"), lit(seed), i), lit(31L)) + 1L).cast("int"))))
+            .as("text"),
+          // the fixtures run ~40% en, ~15% each for the rest
+          element_at(langs, when(pmod(h(7), lit(20L)) < 8, 1)
+            .when(pmod(h(7), lit(20L)) < 11, 2)
+            .when(pmod(h(7), lit(20L)) < 14, 3)
+            .when(pmod(h(7), lit(20L)) < 17, 4)
+            .otherwise(5)).as("lang"),
+          concat(lit("src"), pmod(col("id"), lit(20L))).as("source"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+      spark.range(0, nEmb, 1, 32)
+        .select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(64)),
+            i => ((pmod(xxhash64(col("id"), lit(seed + 7L), i), lit(1200001L))
+              .cast("double") / 1000000.0) - 0.6).cast("float")).as("embedding"),
+          pmod(h(8), lit(10L)).cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+    Map("events" -> factor, "documents" -> factor, "embeddings" -> embFactor)
+  }
+}

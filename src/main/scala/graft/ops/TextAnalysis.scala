@@ -17,6 +17,30 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Unicode-aware tokens: the whitespace split undercounts CJK (an
+    * unsegmented run is one "token") and glues punctuation onto words.
+    * This mode extracts each CJK ideograph/kana/hangul as its own token
+    * (the convention CJK token counting uses — there are no spaces to
+    * split on) and otherwise takes letter/digit runs, dropping
+    * punctuation. Ordered alternation: the CJK branch must win over the
+    * general letter class, which also matches ideographs. Still a single
+    * codegen'd `regexp_extract_all`, and SQL-expressible — DuckDB's RE2
+    * spells the scripts `\p{Han}` where Java wants `\p{IsHan}`, same
+    * semantics (the q83 oracle is the cross-engine parity proof). */
+  val unicodeTokenPattern: String =
+    "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]|[\\p{L}\\p{N}]+"
+
+  def tokensUnicode(text: Column): Column =
+    regexp_extract_all(text, lit(unicodeTokenPattern), lit(0))
+
+  /** Mode switch used by chunking/packing/data-card: `unicode = false`
+    * keeps the corpus-exact whitespace split. */
+  def tokensMode(text: Column, unicode: Boolean): Column =
+    if (unicode) tokensUnicode(text) else tokens(text)
+
+  def tokenCountMode(text: Column, unicode: Boolean): Column =
+    size(tokensMode(text, unicode))
+
   /** BPE-ish subword count: word chunks + digit runs + punctuation, the
     * shape of a byte-pair tokenizer's pre-tokenization regex. */
   def bpeishTokenCount(text: Column): Column =
@@ -40,12 +64,13 @@ object TextAnalysis {
       idCol: Column,
       textCol: Column,
       chunkTokens: Int,
-      overlap: Int): DataFrame = {
+      overlap: Int,
+      unicode: Boolean = false): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap $overlap must be in [0, chunkTokens=$chunkTokens)")
     val stride = chunkTokens - overlap
     docs
-      .select(idCol.as("doc_id"), tokens(textCol).as("toks"))
+      .select(idCol.as("doc_id"), tokensMode(textCol, unicode).as("toks"))
       .select(
         col("doc_id"), col("toks"),
         posexplode(sequence(
@@ -86,12 +111,13 @@ object TextAnalysis {
       sourceCol: Column,
       idCol: Column,
       textCol: Column,
-      seqTokens: Int): DataFrame = {
+      seqTokens: Int,
+      unicode: Boolean = false): DataFrame = {
     require(seqTokens > 0)
     val c = lit(seqTokens.toLong)
     val scanned = PrefixScan.runningTotal(
       docs.select(sourceCol.as("s"), idCol.as("i"),
-        tokenCount(textCol).cast("long").as("t")).filter(col("t") > 0),
+        tokenCountMode(textCol, unicode).cast("long").as("t")).filter(col("t") > 0),
       col("s"), col("i"), col("t"))
     // the crossing explode stays declarative codegen on top of the scan
     scanned

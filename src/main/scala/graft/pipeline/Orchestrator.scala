@@ -17,6 +17,16 @@ import graft.table.EventTable
   */
 object Orchestrator {
 
+  /** Auto-compaction policy: after `afterDelays` CONSECUTIVE delayed
+    * checks, run the background merge the gate is waiting for
+    * ([[graft.table.Compaction]]) instead of delaying forever — the
+    * reference waits for the ClickHouse server's merges here; with the
+    * hook the engine performs its own. */
+  final case class AutoCompact(
+      afterDelays: Int = 3,
+      maxPartsPerPartition: Int = 8,
+      targetBytes: Long = 128L * 1024 * 1024)
+
   final case class Config(
       tablePath: String,
       batchSize: Long = 100000L, // BATCH_SIZE (conf.example:17)
@@ -26,17 +36,20 @@ object Orchestrator {
         partsToDelayInsert = 50, partsToThrowInsert = 100), // conf.example:12-13
       cleanup: Boolean = true,
       seed: Option[Long] = Some(42L),
-      sleepBetweenBatches: Boolean = false) // true mirrors the 1 s cadence
+      sleepBetweenBatches: Boolean = false, // true mirrors the 1 s cadence
+      autoCompact: Option[AutoCompact] = None)
 
   final case class BatchResult(
       batch: Int, rows: Long, elapsedMillis: Long,
-      failed: Boolean, error: Option[String], status: FlowStatus)
+      failed: Boolean, error: Option[String], status: FlowStatus,
+      compacted: Boolean = false)
 
   final case class RunReport(
       batches: Seq[BatchResult],
       totalRows: Long,
       flowControlTriggered: Boolean,
-      finalStatus: FlowStatus)
+      finalStatus: FlowStatus,
+      compactions: Int = 0)
 
   def run(spark: SparkSession, cfg: Config): RunReport = {
     if (cfg.cleanup) EventTable.drop(spark, cfg.tablePath) // S9
@@ -54,6 +67,8 @@ object Orchestrator {
     val results = Seq.newBuilder[BatchResult]
     var i = 1
     var stop = false
+    var consecutiveDelays = 0
+    var compactions = 0
     while (i <= cfg.maxInsertCount && !stop) {
       val t0 = System.nanoTime()
       val batchTime = new Timestamp(1700000000000L + i * 1000L) // deterministic anchor
@@ -65,8 +80,25 @@ object Orchestrator {
             triggered = true // T7: log-and-continue semantics (setup.sh:129-134)
             (0L, true, Some(e.getMessage))
         }
-      val st = monitor.status() // per-iteration report (setup.sh:137-138)
-      results += BatchResult(i, rows, (System.nanoTime() - t0) / 1000000L, failed, err, st)
+      var st = monitor.status() // per-iteration report (setup.sh:137-138)
+      // auto-compaction: DELAY persisting `afterDelays` checks means the
+      // gate is waiting for a background merge that (without the hook)
+      // never comes — run it now and re-read the gate, so the loop heals
+      // instead of riding the ladder up to THROW
+      consecutiveDelays = if (st.status == "DELAY") consecutiveDelays + 1 else 0
+      var compacted = false
+      cfg.autoCompact.foreach { ac =>
+        if (consecutiveDelays >= ac.afterDelays) {
+          graft.table.Compaction.compact(
+            spark, cfg.tablePath, ac.maxPartsPerPartition, ac.targetBytes)
+          compactions += 1
+          compacted = true
+          consecutiveDelays = 0
+          st = monitor.status() // gate re-read off the merged layout
+        }
+      }
+      results += BatchResult(
+        i, rows, (System.nanoTime() - t0) / 1000000L, failed, err, st, compacted)
       if (st.maxPartsPerPartition >= flow.settings.partsToThrowInsert) {
         triggered = true
         stop = true // hard stop (setup.sh:141-145)
@@ -75,6 +107,6 @@ object Orchestrator {
       i += 1
     }
     val all = results.result()
-    RunReport(all, all.map(_.rows).sum, triggered, monitor.status())
+    RunReport(all, all.map(_.rows).sum, triggered, monitor.status(), compactions)
   }
 }

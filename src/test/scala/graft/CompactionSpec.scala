@@ -46,6 +46,30 @@ class CompactionSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("auto-compaction: sustained DELAY fires the merge and the gate returns OK unattended") {
+    val dir = Files.createTempDirectory("graft_autocompact").toString
+    val report = graft.pipeline.Orchestrator.run(spark, graft.pipeline.Orchestrator.Config(
+      tablePath = dir,
+      batchSize = 1000,
+      maxInsertCount = 12,
+      flow = FlowControlSettings(
+        partsToDelayInsert = 3, partsToThrowInsert = 6, delayMillis = 1),
+      autoCompact = Some(graft.pipeline.Orchestrator.AutoCompact(
+        afterDelays = 2, maxPartsPerPartition = 2))))
+    // without the hook these settings ride DELAY up to THROW and stop
+    // early (the PipelineSpec acceptance test); with it the loop heals
+    assert(report.compactions >= 1, "sustained DELAY must fire a compaction")
+    assert(!report.flowControlTriggered, "gate must never reach THROW")
+    assert(report.batches.size == 12, "every batch must run — no early stop")
+    assert(report.batches.forall(!_.failed))
+    assert(report.batches.exists(_.status.status == "DELAY"),
+      "fixture must actually sustain DELAY before the merge")
+    // the compacting batch re-reads the gate off the merged layout: OK
+    assert(report.batches.filter(_.compacted).forall(_.status.status == "OK"),
+      "compaction must release the gate in the same iteration")
+    assert(report.totalRows == 12L * 1000)
+  }
+
   test("compaction releases a throttled stream end-to-end") {
     val dir = Files.createTempDirectory("graft_compact3").toString
     val flow = new FlowControl(FlowControlSettings(

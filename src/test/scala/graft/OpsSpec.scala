@@ -299,6 +299,30 @@ class OpsSpec extends SparkSpec {
     assert((lsh -- exact).isEmpty, "nearDupPairs must not report sub-threshold pairs")
   }
 
+  test("multi-probe LSH dominates single-probe on mid-similarity neighbors") {
+    import spark.implicits._
+    // uniform random vectors: the regime where single-probe sign-LSH is
+    // weakest (no true near-dups, every neighbor is mid-similarity)
+    val corpus = (0 until 2000).map { id =>
+      (id.toLong, Array.tabulate(64)(i =>
+        (graft.functions.Impl.mix64(id * 523L + i) % 1000L) / 500f))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(probes: Int) = {
+      val got = Similarity.lshTopK(queries, corpus, k = 5, nProbes = probes)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val single = recallAt(0) // nProbes = 0 → base bucket only (pre-2007 LSH)
+    val multi = recallAt(8)
+    assert(multi >= single,
+      s"multi-probe recall $multi must not trail single-probe $single")
+    assert(multi >= 0.5, s"multi-probe recall $multi under the q23 floor")
+  }
+
   test("semantic dedup keeps one canonical per planted cluster, randoms untouched") {
     import spark.implicits._
     val dim = 16
@@ -583,6 +607,37 @@ class OpsSpec extends SparkSpec {
         s"prefix scan diverged from windowed form at $parts input partitions")
     }
     assert(windowed.nonEmpty)
+  }
+
+  test("unicode tokenizer: per-ideograph CJK, punctuation dropped, chunking/packing honor the mode") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "hello world"),
+      (2L, "srcA", "数据管道很快"),                 // 6 ideographs, no spaces
+      (3L, "srcB", "mixed 批处理 tokens, with-punct 42")
+    ).toDF("doc_id", "source", "text")
+    val counts = docs.select(col("doc_id"),
+      TextAnalysis.tokenCountMode(col("text"), unicode = true).as("n"))
+      .as[(Long, Int)].collect().toMap
+    // whitespace mode would count doc 2 as ONE token; unicode counts 6
+    assert(counts == Map(1L -> 2, 2L -> 6, 3L -> 8), s"got $counts")
+    // chunking in unicode mode windows over the per-ideograph stream
+    val chunks = TextAnalysis.chunkDocuments(
+      docs.filter($"doc_id" === 2), col("doc_id"), col("text"),
+      chunkTokens = 4, overlap = 1, unicode = true)
+      .select("chunk_id", "n_tokens", "chunk_text")
+      .as[(Int, Int, String)].collect().sortBy(_._1)
+    assert(chunks.map(_._3).toSeq == Seq("数 据 管 道", "道 很 快"), s"got ${chunks.toSeq}")
+    // packing in unicode mode cuts on unicode token offsets: 2+6+8 = 16
+    // tokens over srcA(8)+srcB(8) → seq boundaries at 5 per source
+    val packed = TextAnalysis.packSequences(
+      docs, col("source"), col("doc_id"), col("text"),
+      seqTokens = 5, unicode = true)
+      .select("source", "seq_id", "doc_id", "tok_start", "tok_end")
+      .collect()
+    val srcATokens = packed.filter(_.getString(0) == "srcA")
+      .map(r => r.getLong(4) - r.getLong(3)).sum
+    assert(srcATokens == 8, s"srcA must pack all 8 unicode tokens, got $srcATokens")
   }
 
   test("text analysis columns are consistent") {
