@@ -188,8 +188,8 @@ object Bench {
       // conformance joins consume the per-dir exact-Jaccard fixture,
       // which only the driver corpus has
       "q16_dedup_exact", "q17_text_report", "q19_ngram_jaccard",
-      "q43_edit_distance", "q38_token_topk", "q78_chunking",
-      "q79_sequence_pack", "q80_data_card",
+      "q43_edit_distance", "q84_edit_distance_banded", "q38_token_topk",
+      "q78_chunking", "q79_sequence_pack", "q80_data_card",
       // embeddings scale path (factor 4; exact q24 is deliberately O(n²))
       "q22_cosine_topk", "q24_neardup_embeddings", "q76_pq_topk",
       "q77_ivfpq_topk", "q81_semantic_dedup")

