@@ -188,7 +188,7 @@ object Bench {
       // conformance joins consume the per-dir exact-Jaccard fixture,
       // which only the driver corpus has
       "q16_dedup_exact", "q17_text_report", "q19_ngram_jaccard",
-      "q43_edit_distance", "q84_edit_distance_banded", "q38_token_topk",
+      "q43_edit_distance", "q38_token_topk",
       "q78_chunking", "q79_sequence_pack", "q80_data_card",
       // embeddings scale path (factor 4; exact q24 is deliberately O(n²))
       "q22_cosine_topk", "q24_neardup_embeddings", "q76_pq_topk",
@@ -207,6 +207,14 @@ object Bench {
       val genSec = (System.nanoTime() - tGen) / 1e9
       val embSet = Set("q22_cosine_topk", "q24_neardup_embeddings",
         "q76_pq_topk", "q77_ivfpq_topk", "q81_semantic_dedup")
+      // operator-only ladder rows: q84's QUERY embeds its quadratic exact
+      // reference twin (that's its conformance contract), which would
+      // drown the banded operator's own scaling — measure the operator
+      // directly at both scales instead
+      val ladderOps: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+        Seq("op_edit_distance_banded" -> ((ss: SparkSession, dir: String) =>
+          graft.ops.Dedup.editDistanceNearDups(
+            ss.read.parquet(s"$dir/documents.parquet"))))
       val minsMap = mins.toMap
       val ladderErrors = scala.collection.mutable.ListBuffer.empty[String]
       val entries = scala.collection.mutable.ListBuffer.empty[String]
@@ -220,6 +228,15 @@ object Bench {
           exps += q -> exp
           entries += s""""$q":{"f":$f,"t":${ms(t)},"exp":$exp}"""
         }
+      }
+      for ((name, fn) <- ladderOps;
+           base <- timeOnce(name, fn, "ladder-base", sfDir, ladderErrors);
+           t <- timeOnce(name, fn, "ladder", ladderDir, ladderErrors)) {
+        ladderTotal += t
+        val f = factors("documents")
+        val exp = math.round(math.log(t / base) / math.log(f) * 100.0) / 100.0
+        exps += name -> exp
+        entries += s""""$name":{"f":$f,"t":${ms(t)},"exp":$exp}"""
       }
       scalingJson = entries.mkString("{", ",", "}")
       val ladderErrJson = ladderErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
