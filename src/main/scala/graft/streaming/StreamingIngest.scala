@@ -32,13 +32,21 @@ final class StreamingIngest(
     spark: SparkSession,
     ingest: Ingest,
     rowsPerSecond: Long = 100000L,
-    seed: Long = 42L) {
+    seed: Long = 42L,
+    // streaming twin of Orchestrator.Config.autoCompact: when the gate
+    // reads DELAY after `afterDelays` consecutive micro-batches, run the
+    // background merge the gate is waiting for instead of riding the
+    // ladder up to THROW
+    autoCompact: Option[StreamingIngest.AutoCompact] = None) {
 
   @volatile private var flowControlTriggered = false
   @volatile private var batchesCompleted = 0L
+  @volatile private var compactionsRun = 0L
+  private var consecutiveDelays = 0 // foreachBatch runs serially per query
 
   def triggered: Boolean = flowControlTriggered
   def completedBatches: Long = batchesCompleted
+  def compactions: Long = compactionsRun
 
   /** rate-source rows → the reference 10-column event schema. Derivation
     * mirrors DataGen's deterministic mode keyed by the rate `value`. */
@@ -88,7 +96,32 @@ final class StreamingIngest(
             // heals without manual intervention
             batchesCompleted += 1
         }
+        autoCompact.foreach { ac =>
+          consecutiveDelays =
+            if (ac.parts.maxPartsPerPartition() >= ac.delayThreshold)
+              consecutiveDelays + 1
+            else 0
+          if (consecutiveDelays >= ac.afterDelays) {
+            graft.table.Compaction.compact(
+              spark, ac.tablePath, ac.maxPartsPerPartition)
+            compactionsRun += 1
+            consecutiveDelays = 0
+          }
+        }
       }
       .start()
   }
+}
+
+object StreamingIngest {
+  /** Streaming auto-compaction policy: read the gate off `parts` after
+    * each micro-batch; `afterDelays` consecutive DELAY-range readings
+    * fire [[graft.table.Compaction.compact]] on `tablePath` — the merge
+    * the reference waits for ClickHouse's background threads to run. */
+  final case class AutoCompact(
+      tablePath: String,
+      parts: graft.system.PartsRegistry,
+      delayThreshold: Long,
+      afterDelays: Int = 3,
+      maxPartsPerPartition: Int = 8)
 }

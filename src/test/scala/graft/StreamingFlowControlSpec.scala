@@ -71,4 +71,44 @@ class StreamingFlowControlSpec extends SparkSpec {
       assert(monitor.metricsReport().collect().length == 10)
     } finally query.stop()
   }
+
+  test("streaming auto-compaction: sustained DELAY self-heals, stream never reaches THROW") {
+    val dir = Files.createTempDirectory("graft_stream_autocompact").toString
+    EventTable.create(spark, dir)
+    // same ladder shape as the acceptance test above — but with the
+    // auto-compaction hook on, the gate must heal at the DELAY rung and
+    // the THROW threshold must never be reached
+    val flow = new FlowControl(FlowControlSettings(
+      partsToDelayInsert = 3, partsToThrowInsert = 8, delayMillis = 10))
+    val metrics = new MetricsRegistry(spark)
+    val parts = new PartsRegistry(spark, dir, "test_local")
+    val ingest = new Ingest(dir, flow, parts, metrics)
+    val monitor = new Monitor(metrics, parts, flow)
+    val stream = new StreamingIngest(spark, ingest, rowsPerSecond = 500,
+      autoCompact = Some(StreamingIngest.AutoCompact(
+        tablePath = dir, parts = parts,
+        delayThreshold = flow.settings.partsToDelayInsert,
+        afterDelays = 2, maxPartsPerPartition = 2)))
+
+    val query = stream.start(triggerInterval = "200 milliseconds")
+    try {
+      val deadline = System.currentTimeMillis() + 120000L
+      while ((stream.compactions < 2 || stream.completedBatches < 12) &&
+        !stream.triggered && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+      }
+      assert(!stream.triggered,
+        s"gate must never reach THROW with auto-compaction on " +
+          s"(batches=${stream.completedBatches}, status=${monitor.status()})")
+      assert(stream.compactions >= 2,
+        s"sustained DELAY must fire compactions, got ${stream.compactions}")
+      assert(stream.completedBatches >= 12,
+        "the stream must keep inserting well past where the ladder would have thrown")
+      assert(query.isActive)
+      // the merge really ran: the gate reads under the throw threshold
+      assert(monitor.status().maxPartsPerPartition < flow.settings.partsToThrowInsert)
+      assert(metrics.value("RejectedInserts") == 0L,
+        "no batch may be rejected when compaction keeps the gate open")
+    } finally query.stop()
+  }
 }
