@@ -600,13 +600,17 @@ object SparkEntry {
     * wants `\p{IsHan}` — identical semantics, which is exactly what this
     * oracle proves). The fixture corpus is pure ASCII, so each document
     * gets a deterministic CJK + hyphenated tail grafted on: the
-    * whitespace mode counts that tail as 2 glued "tokens" while the
+    * whitespace mode counts that tail as glued "tokens" while the
     * unicode mode yields per-ideograph tokens and splits the hyphen —
-    * the divergence (and the per-mode counts) is the compared output. */
+    * the divergence (and the per-mode counts) is the compared output.
+    * The tail deliberately includes no-separator alnum+CJK runs
+    * ("iPhone15を", "GPU加速") so the parity check exercises the
+    * mixed-run split, not just CJK after a space/comma. */
   private def qUnicodeTokens(s: SparkSession, d: String): DataFrame = {
     val aug = t(s, d, "documents")
       .select(col("doc_id"),
-        concat(col("text"), lit(" 数据管道,tokenizer-test 你好")).as("text"))
+        concat(col("text"),
+          lit(" 数据管道,tokenizer-test iPhone15を GPU加速 你好")).as("text"))
     aug.select(
       col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).as("n_ws"),
@@ -975,8 +979,10 @@ object SparkEntry {
 
   /** Banded edit-distance near-dup (the scale path for q43's exact
     * join, whose length-band candidates the scale ladder measures
-    * quadratic): simhash Hamming-banded candidates + exact Myers verify
-    * under the identical predicate. Derived oracle: DuckDB recomputes
+    * quadratic): MinHash banded candidates (`Dedup.editDistanceNearDups`
+    * → `minhashCandidates`, so the 0.9 recall floor rests on MinHash
+    * band-collision probability) + exact Myers verify under the
+    * identical predicate. Derived oracle: DuckDB recomputes
     * the exact pair count via `levenshtein`; the banded result must
     * cover ≥ 0.9 of it (recall) and may not contain anything outside it
     * (precision 1 — the verify is exact, so a violation means the
@@ -2668,12 +2674,13 @@ object SparkEntry {
       """SELECT doc_id,
            CAST(len(string_split(text2, ' ')) AS INT) AS n_ws,
            CAST(len(regexp_extract_all(text2,
-             '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]|[\p{L}\p{N}]+')) AS INT)
+             '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]|(?:[^\P{L}\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]|\p{N})+')) AS INT)
              AS n_uni,
            list_extract(regexp_extract_all(text2,
-             '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]|[\p{L}\p{N}]+'), -1)
+             '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]|(?:[^\P{L}\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]|\p{N})+'), -1)
              AS last_token
-         FROM (SELECT doc_id, concat(text, ' 数据管道,tokenizer-test 你好') AS text2
+         FROM (SELECT doc_id,
+                 concat(text, ' 数据管道,tokenizer-test iPhone15を GPU加速 你好') AS text2
                FROM documents)
          ORDER BY doc_id""",
     "q84_edit_distance_banded" ->

@@ -26,9 +26,14 @@ object LadderGen {
   /** Generate into `outDir/{events,documents,embeddings}.parquet`.
     * Embeddings grow by `embFactor` (the fixtures grow them ~4× per
     * decade, and the exact all-pairs kernel is deliberately quadratic),
-    * the row tables by `factor`. Idempotent: skipped when the sentinel
-    * of the last table already exists (content is a pure function of
-    * (baseDir counts, factor, seed)). Returns per-table factors. */
+    * the row tables by `factor`. Idempotent — but the cache key is the
+    * full generation identity `(baseDir, base row counts, factor,
+    * embFactor, seed)`, written to `outDir/_GRAFT_LADDER_ID` after a
+    * successful build: a bare `_SUCCESS` check would silently reuse a
+    * ladder derived from a DIFFERENT base (e.g. an sf0.01 bench after an
+    * sf0.1 one against the same default outDir), making every scaling
+    * exponent garbage (ADVICE r6). Mismatch → regenerate in place.
+    * Returns per-table factors. */
   def generate(
       spark: SparkSession,
       baseDir: String,
@@ -36,12 +41,30 @@ object LadderGen {
       factor: Int,
       embFactor: Int = 4,
       seed: Long = 42L): Map[String, Int] = {
-    val done = new org.apache.hadoop.fs.Path(s"$outDir/embeddings.parquet/_SUCCESS")
-    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
-      val nEvents = spark.read.parquet(s"$baseDir/events.parquet").count() * factor
-      val nDocs = spark.read.parquet(s"$baseDir/documents.parquet").count() * factor
-      val nEmb = spark.read.parquet(s"$baseDir/embeddings.parquet").count() * embFactor
+    import org.apache.hadoop.fs.Path
+    val idPath = new Path(s"$outDir/_GRAFT_LADDER_ID")
+    val fs = idPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // parquet counts are metadata-only reads — cheap enough to form the
+    // cache key on every call, which is what makes stale reuse impossible
+    val nEventsBase = spark.read.parquet(s"$baseDir/events.parquet").count()
+    val nDocsBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
+    val nEmbBase = spark.read.parquet(s"$baseDir/embeddings.parquet").count()
+    val fingerprint =
+      s"$baseDir|events=$nEventsBase|docs=$nDocsBase|emb=$nEmbBase|" +
+        s"factor=$factor|embFactor=$embFactor|seed=$seed"
+    val cached =
+      if (!fs.exists(idPath)) None
+      else {
+        val in = fs.open(idPath)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    if (!cached.contains(fingerprint)) {
+      if (fs.exists(idPath)) fs.delete(idPath, false)
+      val nEvents = nEventsBase * factor
+      val nDocs = nDocsBase * factor
+      val nEmb = nEmbBase * embFactor
       val nUsers = math.max(1L, nEvents / 67L) // fixtures: 100k rows / 1500 users
 
       def h(tag: Int) = xxhash64(col("id"), lit(seed), lit(tag))
@@ -88,6 +111,11 @@ object LadderGen {
               .cast("double") / 1000000.0) - 0.6).cast("float")).as("embedding"),
           pmod(h(8), lit(10L)).cast("int").as("label"))
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+      // stamp the identity LAST — a crash mid-generation leaves no ID
+      // file, so the next run regenerates instead of trusting debris
+      val out = fs.create(idPath, true)
+      try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
     }
     Map("events" -> factor, "documents" -> factor, "embeddings" -> embFactor)
   }

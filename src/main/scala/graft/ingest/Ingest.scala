@@ -162,22 +162,36 @@ final class Ingest(
   /** Re-run rollup refreshes that failed after their block was already
     * published (the `.rollup_pending` files [[append]] leaves behind).
     * Refresh recomputes the touched partitions from the base table, so a
-    * replay is idempotent; a replay that fails again keeps its pending
-    * file for the next attempt and never blocks the insert path. */
+    * replay is idempotent; a replay whose REFRESH fails again keeps its
+    * pending file for the next attempt and never blocks the insert path.
+    * A file that fails to PARSE (e.g. truncated by a crash mid-write) is
+    * different: retrying can never succeed, so it is quarantined under
+    * `.rollup_quarantine` — without that split, one corrupt file would
+    * fail on every subsequent append forever (ADVICE r6). */
   private def replayPendingRefreshes(fs: org.apache.hadoop.fs.FileSystem): Unit =
     if (rollup.nonEmpty) {
       val dir = new Path(tablePath, ".rollup_pending")
       if (fs.exists(dir)) fs.listStatus(dir).foreach { f =>
-        try {
-          val in = fs.open(f.getPath)
-          val body = new String(in.readAllBytes(), "UTF-8")
-          in.close()
-          val touched = body.trim.split(",").filter(_.nonEmpty).map(_.toInt).toIndexedSeq
-          rollup.get.refresh(touched)
-          fs.delete(f.getPath, false)
-        } catch {
-          case scala.util.control.NonFatal(_) =>
+        val parsed =
+          try {
+            val in = fs.open(f.getPath)
+            val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+            Some(body.trim.split(",").filter(_.nonEmpty).map(_.toInt).toIndexedSeq)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case Some(touched) =>
+            try {
+              rollup.get.refresh(touched)
+              fs.delete(f.getPath, false)
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                metrics("FailedRollupRefreshes").add(1)
+            }
+          case None =>
             metrics("FailedRollupRefreshes").add(1)
+            val qdir = new Path(tablePath, ".rollup_quarantine")
+            fs.mkdirs(qdir)
+            fs.rename(f.getPath, new Path(qdir, f.getPath.getName))
         }
       }
     }

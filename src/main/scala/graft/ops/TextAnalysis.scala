@@ -22,13 +22,21 @@ object TextAnalysis {
     * This mode extracts each CJK ideograph/kana/hangul as its own token
     * (the convention CJK token counting uses — there are no spaces to
     * split on) and otherwise takes letter/digit runs, dropping
-    * punctuation. Ordered alternation: the CJK branch must win over the
-    * general letter class, which also matches ideographs. Still a single
-    * codegen'd `regexp_extract_all`, and SQL-expressible — DuckDB's RE2
-    * spells the scripts `\p{Han}` where Java wants `\p{IsHan}`, same
-    * semantics (the q83 oracle is the cross-engine parity proof). */
+    * punctuation. The run branch must EXCLUDE the CJK scripts — `\p{L}`
+    * includes Han/kana/hangul, so a greedy `[\p{L}\p{N}]+` would swallow
+    * a CJK char glued to an alnum run ("iPhone15を", "GPU加速" — common
+    * in real Japanese/Chinese text). Neither Java regex nor RE2 shares a
+    * class-intersection syntax, so "letter minus CJK" is spelled as a
+    * double negation portable to both: `[^\P{L}\p{IsHan}…]` = NOT
+    * (non-letter OR CJK) = letter AND not CJK; digits rejoin via
+    * alternation. Still a single codegen'd `regexp_extract_all`, and
+    * SQL-expressible — DuckDB's RE2 spells the scripts `\p{Han}` where
+    * Java wants `\p{IsHan}`, same semantics (the q83 oracle, whose
+    * grafted tail includes a no-separator alnum+CJK run, is the
+    * cross-engine parity proof). */
   val unicodeTokenPattern: String =
-    "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]|[\\p{L}\\p{N}]+"
+    "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]|" +
+      "(?:[^\\P{L}\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]|\\p{N})+"
 
   def tokensUnicode(text: Column): Column =
     regexp_extract_all(text, lit(unicodeTokenPattern), lit(0))

@@ -641,13 +641,21 @@ class OpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "srcA", "hello world"),
       (2L, "srcA", "数据管道很快"),                 // 6 ideographs, no spaces
-      (3L, "srcB", "mixed 批处理 tokens, with-punct 42")
+      (3L, "srcB", "mixed 批处理 tokens, with-punct 42"),
+      // no separator between the alnum run and the CJK char: the run
+      // branch must NOT swallow the ideograph (ADVICE r6) — 2+3+2 tokens
+      (4L, "srcB", "iPhone15を GPU加速 abc漢")
     ).toDF("doc_id", "source", "text")
     val counts = docs.select(col("doc_id"),
       TextAnalysis.tokenCountMode(col("text"), unicode = true).as("n"))
       .as[(Long, Int)].collect().toMap
     // whitespace mode would count doc 2 as ONE token; unicode counts 6
-    assert(counts == Map(1L -> 2, 2L -> 6, 3L -> 8), s"got $counts")
+    assert(counts == Map(1L -> 2, 2L -> 6, 3L -> 8, 4L -> 7), s"got $counts")
+    val mixed = docs.filter($"doc_id" === 4)
+      .select(TextAnalysis.tokensUnicode(col("text")))
+      .as[Seq[String]].head()
+    assert(mixed == Seq("iPhone15", "を", "GPU", "加", "速", "abc", "漢"),
+      s"mixed alnum+CJK run must split at the script boundary, got $mixed")
     // chunking in unicode mode windows over the per-ideograph stream
     val chunks = TextAnalysis.chunkDocuments(
       docs.filter($"doc_id" === 2), col("doc_id"), col("text"),

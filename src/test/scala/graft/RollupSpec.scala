@@ -230,6 +230,42 @@ class RollupSpec extends SparkSpec {
       "the consumed pending file must be deleted")
   }
 
+  test("a corrupt pending file is quarantined, not retried forever") {
+    val base = Files.createTempDirectory("graft_rollup_corrupt").toString
+    val roll = Files.createTempDirectory("graft_rollup_corrupt_agg").toString + "/r"
+    val rollup = new Rollup(
+      spark, base, roll,
+      partitionCol = "part_hour", dims = Seq("event_type"),
+      aggs = Seq(count(lit(1)).as("n_events")))
+    val ingest = new graft.ingest.Ingest(
+      base,
+      new graft.ingest.FlowControl(graft.ingest.FlowControlSettings(
+        partsToDelayInsert = 1000, partsToThrowInsert = 2000)),
+      new graft.system.PartsRegistry(spark, base, "test_local"),
+      new graft.system.MetricsRegistry(spark),
+      rollup = Some(rollup))
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant a pending file a crash truncated mid-write: unparseable hours
+    val pending = new org.apache.hadoop.fs.Path(base, ".rollup_pending/pending-corrupt")
+    fs.mkdirs(pending.getParent)
+    val out = fs.create(pending, false)
+    out.write("12,34,garb@ge".getBytes("UTF-8")); out.close()
+    // appends must succeed, and the corrupt file must move to quarantine
+    // (NOT stay pending — that would re-fail on every append forever)
+    ingest.append(graft.gen.DataGen.batch(
+      spark, 500, java.sql.Timestamp.valueOf("2026-03-01 12:00:00"), Some(3L)).toDF())
+    assert(!fs.exists(pending), "corrupt pending file must leave .rollup_pending")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      base, ".rollup_quarantine/pending-corrupt")),
+      "corrupt pending file must be quarantined for forensics")
+    // and the next append sees a clean pending dir (no repeat failures)
+    ingest.append(graft.gen.DataGen.batch(
+      spark, 500, java.sql.Timestamp.valueOf("2026-03-02 12:00:00"), Some(4L)).toDF())
+    assert(fs.listStatus(
+      new org.apache.hadoop.fs.Path(base, ".rollup_pending")).isEmpty)
+  }
+
   test("refresh scan is partition-pruned to the touched hours") {
     val base = Files.createTempDirectory("graft_rollup_prune").toString
     val b = graft.gen.DataGen.batch(
