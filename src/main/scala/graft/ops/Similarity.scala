@@ -422,13 +422,22 @@ object Similarity {
     *     sums, one reduce per iteration, O(nCentroids·dim) driver state;
     *   - assignment is one broadcast-centroid map pass (no shuffle);
     *   - within-cell scoring reuses the bounded block grid of
-    *     [[exactNearDupPairs]], keyed by (cell, blockLo, blockHi): a task
-    *     holds two blocks of ~4096 vectors regardless of corpus size, and
-    *     within-cell compute is quadratic only in the CELL (n²/nCentroids
-    *     total) — the published trade for never scoring all pairs;
+    *     [[exactNearDupPairs]], keyed by (cell, blockLo, blockHi), with
+    *     the block count sized PER CELL from measured cell counts (one
+    *     count aggregation over the assignment — nCentroids rows to the
+    *     driver, never a vector): every block holds ≤ `blockBudget`
+    *     vectors even when the whole corpus lands in one cell, so a
+    *     block-pair task is bounded at ~2·`blockBudget` rows under any
+    *     skew. (Sizing from EXPECTED occupancy n/nCentroids — the r6
+    *     shape — let a degenerate single-hot-cell corpus inflate blocks
+    *     nCentroids-fold past the budget.) Within-cell compute stays
+    *     quadratic only in the CELL — the published trade for never
+    *     scoring all pairs;
     *   - vectors are L2-normalized once, so cosine is a plain dot.
     *
     * @param corpus (vec_id, embedding)
+    * @param taskRowsProbe test instrumentation: when set, records the
+    *        max vectors materialized by any block-pair task.
     * @return surviving (vec_id, cell) rows — input minus dropped dups.
     */
   def semanticDedup(
@@ -436,7 +445,9 @@ object Similarity {
       threshold: Double,
       nCentroids: Int = 16,
       kmeansIters: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      blockBudget: Int = 4096,
+      taskRowsProbe: Option[MaxAccumulator] = None): DataFrame = {
     val sess = corpus.sparkSession
     import sess.implicits._
     val vecsN = corpus
@@ -445,19 +456,30 @@ object Similarity {
       .map { case (id, v) => (id, normalize(v)) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = vecsN.count()
-      // blocks sized so a block-pair task holds ~2·4096 vectors at the
-      // EXPECTED cell occupancy n/nCentroids (skewed cells degrade
-      // gracefully: more rows per block, never more blocks per task)
-      val nB = math.max(1,
-        math.ceil(n.toDouble / nCentroids / 4096.0).toInt)
       val cents = trainCentroids(vecsN, nCentroids, kmeansIters, seed)
       val bcC = sess.sparkContext.broadcast(cents)
-      val assigned = vecsN.mapPartitions { it =>
+      val cellOf = vecsN.mapPartitions { it =>
         val cs = bcC.value
-        it.map { case (id, v) =>
+        it.map { case (id, v) => (nearestCell(v, cs), id, v) }
+      }
+      // measured per-cell occupancy → per-cell block count: blocks hold
+      // ≤ blockBudget rows regardless of how skewed the cells are. The
+      // 0.8 headroom absorbs mod-hash imbalance (blocks are id-hash
+      // assigned, not ranked — ranking within a hot cell would be the
+      // very single-reducer shape this operator avoids), so the expected
+      // block is 80% of budget and the observed max stays under it
+      val nBPerCell = cellOf
+        .groupByKey(_._1).count().collect()
+        .map { case (cell, cnt) =>
+          cell -> math.max(1, math.ceil(cnt.toDouble / (blockBudget * 0.8)).toInt)
+        }.toMap
+      val bcNB = sess.sparkContext.broadcast(nBPerCell)
+      val assigned = cellOf.mapPartitions { it =>
+        val nbm = bcNB.value
+        it.map { case (cell, id, v) =>
+          val nB = nbm(cell)
           val b = java.lang.Long.remainderUnsigned(Impl.mix64(id), nB.toLong).toInt
-          (nearestCell(v, cs), b, id, v)
+          (cell, b, id, v)
         }
       }
       val blocks = assigned
@@ -468,7 +490,7 @@ object Similarity {
         }
       val losers = blocks
         .flatMap { case (cell, b, arr) =>
-          (0 until nB).iterator.map { o =>
+          (0 until bcNB.value(cell)).iterator.map { o =>
             val lo = math.min(b, o); val hi = math.max(b, o)
             ((cell, lo, hi), b, arr)
           }
@@ -483,6 +505,7 @@ object Similarity {
             d
           }
           val entries = it.toArray.sortBy(_._2)
+          taskRowsProbe.foreach(_.add(entries.iterator.map(_._3.length.toLong).sum))
           // emit the LARGER id of every within-cell pair ≥ threshold —
           // the smaller id is the kept canonical
           if (lo == hi) {
@@ -978,4 +1001,18 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in several tables
   }
+}
+
+/** Max-tracking accumulator — test instrumentation for per-task memory
+  * bounds (e.g. [[Similarity.semanticDedup]]'s block-pair row budget).
+  * Register with `spark.sparkContext.register(acc)` before use. */
+final class MaxAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+  private var m = 0L
+  override def isZero: Boolean = m == 0L
+  override def copy(): MaxAccumulator = { val a = new MaxAccumulator; a.m = m; a }
+  override def reset(): Unit = m = 0L
+  override def add(v: Long): Unit = m = math.max(m, v)
+  override def merge(other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+    m = math.max(m, other.value)
+  override def value: Long = m
 }

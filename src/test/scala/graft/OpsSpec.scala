@@ -386,6 +386,30 @@ class OpsSpec extends SparkSpec {
       "no dissimilar vector may be dropped")
   }
 
+  test("semanticDedup bounds per-task rows under a single hot cell (measured cell counts)") {
+    import spark.implicits._
+    // degenerate skew: every embedding is identical, so ALL n vectors
+    // land in one Lloyd cell. Expected-occupancy sizing (r6) would put
+    // them in blocks nCentroids× the budget; per-cell sizing keeps each
+    // block ≤ blockBudget, so a block-pair task sees ≤ 2× the budget.
+    val n = 600
+    val budget = 64
+    val corpus = (0 until n)
+      .map(id => (id.toLong, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val probe = new graft.ops.MaxAccumulator
+    spark.sparkContext.register(probe, "semanticDedupTaskRows")
+    val surv = Similarity.semanticDedup(
+      corpus, threshold = 0.95, nCentroids = 4, kmeansIters = 1,
+      blockBudget = budget, taskRowsProbe = Some(probe))
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv == Set(0L),
+      s"all-identical corpus must keep exactly the min id, kept ${surv.size} ids")
+    assert(probe.value > 0, "probe must have observed at least one task")
+    assert(probe.value <= 2L * budget,
+      s"per-task rows ${probe.value} must stay within 2× the $budget budget")
+  }
+
   test("nearDupPairs candidates grow linearly with n, not quadratically") {
     import spark.implicits._
     // mutually-dissimilar pseudo-random vectors: any candidate is a random
