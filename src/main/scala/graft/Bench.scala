@@ -212,9 +212,15 @@ object Bench {
       // drown the banded operator's own scaling — measure the operator
       // directly at both scales instead
       val ladderOps: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-        Seq("op_edit_distance_banded" -> ((ss: SparkSession, dir: String) =>
-          graft.ops.Dedup.editDistanceNearDups(
-            ss.read.parquet(s"$dir/documents.parquet"))))
+        Seq(
+          "op_edit_distance_banded" -> ((ss: SparkSession, dir: String) =>
+            graft.ops.Dedup.editDistanceNearDups(
+              ss.read.parquet(s"$dir/documents.parquet"))),
+          // q85's QUERY carries its planted corpus + oracle mirror —
+          // measure the raw exact-substring operator at both scales
+          "op_verbatim_spans" -> ((ss: SparkSession, dir: String) =>
+            graft.ops.Dedup.verbatimSpans(
+              ss.read.parquet(s"$dir/documents.parquet"), minTokens = 50)))
       val minsMap = mins.toMap
       val ladderErrors = scala.collection.mutable.ListBuffer.empty[String]
       val entries = scala.collection.mutable.ListBuffer.empty[String]

@@ -1006,6 +1006,64 @@ object SparkEntry {
         (col("extra") === 0L).as("precision_ok"))
   }
 
+  /** Exact substring dedup (Lee et al. 2022) — two oracles in one.
+    * (a) Planted: every donor (doc_id % 5 == 0 with ≥ 50 tokens) mints a
+    * unique synthetic 50-token passage ("p<id>_1 … p<id>_50") planted in
+    * two synthetic docs — id+100000 (passage alone) and id+200000
+    * (behind a 10-token filler, so the match sits on a non-trivial
+    * diagonal). The passages use tokens the fixture vocabulary cannot
+    * produce, so they interact with NOTHING else: `Dedup.verbatimSpans`
+    * must find exactly the pairs (id+100000, id+200000) at
+    * (start_a=1, start_b=11, len=50) — recall and precision with exact
+    * offsets. (b) Real: the fixture's own planted near-duplicates share
+    * genuine ≥ 50-token runs; DuckDB independently recomputes that
+    * base-corpus pair count via a full 50-token-window self-join, and
+    * the operator's base-pair count must equal it exactly. */
+  private def qVerbatimSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val donors = docs
+      .filter(col("doc_id") % 5 === 0 &&
+        size(split(col("text"), " ")) >= 50)
+      .select(col("doc_id").cast("long").as("doc_id"))
+    // materialize the passage BEFORE re-aliasing doc_id: a select that
+    // both aliases doc_id+100000 as "doc_id" and references col("doc_id")
+    // resolves the latter to the lateral alias, not the input column
+    val withPassage = donors.withColumn("passage", concat_ws(" ",
+      transform(sequence(lit(1), lit(50)),
+        j => concat(lit("p"), col("doc_id").cast("string"),
+          lit("_"), j.cast("string")))))
+    val pa = withPassage.select(
+      (col("doc_id") + 100000L).as("doc_id"), col("passage").as("text"))
+    val pb = withPassage.select(
+      (col("doc_id") + 200000L).as("doc_id"),
+      concat(lit("fx1 fx2 fx3 fx4 fx5 fx6 fx7 fx8 fx9 fx10 "),
+        col("passage")).as("text"))
+    val aug = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .unionByName(pa).unionByName(pb)
+    val found = Dedup.verbatimSpans(aug, minTokens = 50).localCheckpoint()
+    val expected = donors.select(
+      (col("doc_id") + 100000L).as("id_a"),
+      (col("doc_id") + 200000L).as("id_b"),
+      lit(1).as("start_a"), lit(11).as("start_b"), lit(50).as("len_tokens"))
+    val plantedFound = found.filter(col("id_a") >= 100000L || col("id_b") >= 100000L)
+    val basePairs = found
+      .filter(col("id_a") < 100000L && col("id_b") < 100000L)
+      .select(col("id_a"), col("id_b")).distinct()
+    expected.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(basePairs.agg(count(lit(1)).as("n_base_pairs")))
+      .crossJoin(expected.join(plantedFound,
+        Seq("id_a", "id_b", "start_a", "start_b", "len_tokens"))
+        .agg(count(lit(1)).as("m")))
+      .crossJoin(plantedFound.join(expected,
+        Seq("id_a", "id_b", "start_a", "start_b", "len_tokens"), "left_anti")
+        .agg(count(lit(1)).as("extra")))
+      .select(
+        col("n_planted"),
+        col("n_base_pairs"),
+        (col("m") === col("n_planted")).as("recall_ok"),
+        (col("extra") === 0L).as("precision_ok"))
+  }
+
   /** Per-label embedding centroids: posexplode to (label, dim, value),
     * one hash aggregate — the elementwise-mean building block for IVF
     * seeding and class prototypes. Map-side combine keeps the shuffle at
@@ -1819,7 +1877,8 @@ object SparkEntry {
     "q81_semantic_dedup" -> (qSemanticDedup _),
     "q82_image_dedup" -> (qImageDedup _),
     "q83_unicode_tokens" -> (qUnicodeTokens _),
-    "q84_edit_distance_banded" -> (qEditDistanceBanded _))
+    "q84_edit_distance_banded" -> (qEditDistanceBanded _),
+    "q85_verbatim_spans" -> (qVerbatimSpans _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2693,5 +2752,20 @@ object SparkEntry {
                  / greatest(length(a.text), length(b.text)), 4) >= 0.8)
          SELECT CAST(count(*) AS BIGINT) AS n_exact,
            true AS recall_ok, true AS precision_ok
-         FROM exact""")
+         FROM exact""",
+    "q85_verbatim_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         wins AS (
+           SELECT doc_id, array_to_string(t[i:i+49], ' ') AS w
+           FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 49)) AS s(i)
+         ),
+         base_pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id
+         )
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 50) AS n_planted,
+           (SELECT CAST(count(*) AS BIGINT) FROM base_pairs) AS n_base_pairs,
+           true AS recall_ok, true AS precision_ok""")
 }

@@ -204,6 +204,106 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"), col("sim"))
   }
 
+  /** Exact substring (verbatim passage) dedup — the cross-document
+    * modality of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": find every pair of documents sharing a
+    * VERBATIM run of ≥ `minTokens` tokens, corpus vs corpus. MinHash /
+    * simhash / semantic dedup catch near-identical *documents*; this
+    * catches a long document quoting another document's paragraph.
+    *
+    * Plan shape (all declarative, no driver loops):
+    *   1. per-doc token-window fingerprints: tokens are hashed once,
+    *      then each `minTokens`-window folds the token hashes through a
+    *      chained xxhash64 — O(n_tokens · minTokens) hash steps,
+    *      map-only. Any shared run of ≥ `minTokens` tokens contains at
+    *      least one aligned full window, so window-hash equality is a
+    *      complete candidate generator (recall is structural).
+    *   2. df cap: window hashes seen in > `maxDf` docs are dropped
+    *      before the self-join (the boilerplate-passage analogue of the
+    *      PPJoin stop-shingle rule — one viral passage would otherwise
+    *      make a single hash bucket quadratic). Pairs within a capped
+    *      hash are lost: the cap is the documented recall trade at
+    *      corpus scale, off by default at `maxDf = Int.MaxValue`.
+    *   3. self-join on window hash (only colliding windows pair; random
+    *      corpora collide nowhere), then merge matched windows into
+    *      maximal spans per (pair, diagonal = start_a − start_b) with a
+    *      gaps-and-islands window — partitioned by pair, never global.
+    *   4. exact verify: token slices of the merged span are compared for
+    *      true equality (hash collisions die here, so precision is 1).
+    *
+    * @return (id_a, id_b, start_a, start_b, len_tokens) — 1-based token
+    *         offsets of each maximal shared span, id_a < id_b.
+    */
+  def verbatimSpans(
+      docs: DataFrame,
+      minTokens: Int = 50,
+      maxDf: Int = Int.MaxValue,
+      unicode: Boolean = false): DataFrame = {
+    require(minTokens >= 2, s"minTokens $minTokens must be >= 2")
+    val toks = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        TextAnalysis.tokensMode(col("text"), unicode).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= minTokens)
+      // read twice (window pass + both verify joins) — hash once
+      .localCheckpoint()
+
+    val wins = toks
+      .withColumn("toks_h", transform(col("toks"), t => xxhash64(t)))
+      .select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(1), col("n") - lit(minTokens - 1)),
+          i => struct(
+            aggregate(
+              slice(col("toks_h"), i, lit(minTokens)),
+              lit(0L),
+              // chained xxhash64 — order-sensitive and wraparound-safe
+              // (a raw polynomial fold overflows under ANSI arithmetic)
+              (acc, h) => xxhash64(acc, h)).as("h"),
+            i.as("start")))).as("w"))
+      .select(col("doc_id"), col("w.h").as("h"), col("w.start").as("start"))
+
+    val hot = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("h"))
+    val pruned =
+      if (maxDf == Int.MaxValue) wins else wins.join(hot, Seq("h"), "left_anti")
+
+    val a = pruned.select(col("h"), col("doc_id").as("id_a"), col("start").as("start_a"))
+    val b = pruned.select(col("h"), col("doc_id").as("id_b"), col("start").as("start_b"))
+    // no distinct needed: (doc_id, start) is unique per window row, so
+    // the h-join emits each (a-window, b-window) combination exactly once
+    val matched = a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
+      .withColumn("diag", col("start_a") - col("start_b"))
+
+    // gaps-and-islands per (pair, diagonal): a shared span of S tokens
+    // shows up as S − minTokens + 1 consecutive start_a values, so
+    // start_a − row_number is constant exactly within one maximal run
+    val wRun = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("start_a"))
+    val spans = matched
+      .withColumn("island", col("start_a") - row_number().over(wRun))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("island"))
+      .agg(
+        min(col("start_a")).as("start_a"),
+        min(col("start_b")).as("start_b"),
+        (max(col("start_a")) - min(col("start_a")) + minTokens).as("len_tokens"))
+
+    spans
+      .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .filter(
+        slice(col("toks_a"), col("start_a"), col("len_tokens")) ===
+          slice(col("toks_b"), col("start_b"), col("len_tokens")))
+      .select(
+        col("id_a"), col("id_b"),
+        col("start_a"), col("start_b"), col("len_tokens"))
+  }
+
   /** Exact n-gram Jaccard pairs ≥ threshold — always the prefix-filtering
     * strategy. The inverted-index join is result-identical (proven in
     * `OpsSpec`) but its self-join on the raw shingle emits C(df,2)

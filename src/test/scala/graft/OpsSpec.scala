@@ -18,6 +18,39 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall too low (found ${mh.size}, true ${exact.size})")
   }
 
+  test("verbatimSpans finds exactly the planted cross-doc passages with exact offsets") {
+    import spark.implicits._
+    // doc 1: 100 unique tokens. doc 2 embeds doc1[30..89] (60 tokens) at
+    // offset 21. doc 3 is unrelated. doc 4 embeds TWO disjoint 50-token
+    // passages of doc 1 on different diagonals. doc 5 shares only 49
+    // tokens — below minTokens, must not pair.
+    val w = (1 to 100).map(i => s"w$i")
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"${prefix}$i")
+    val corpus = Seq(
+      (1L, w.mkString(" ")),
+      (2L, (words("f2_", 20) ++ w.slice(29, 89) ++ words("g2_", 10)).mkString(" ")),
+      (3L, words("f3_", 80).mkString(" ")),
+      (4L, (w.slice(0, 50) ++ words("f4_", 30) ++ w.slice(50, 100)).mkString(" ")),
+      (5L, (w.slice(0, 49) ++ words("f5_", 40)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val found = Dedup.verbatimSpans(corpus, minTokens = 50)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    val expected = Set(
+      (1L, 2L, 30, 21, 60),   // one maximal merged span, not 11 windows
+      (1L, 4L, 1, 1, 50),     // diagonal 0
+      (1L, 4L, 51, 81, 50))   // diagonal -30
+    assert(found == expected, s"got $found")
+    // df cap: a passage planted into many docs is dropped once its df
+    // exceeds maxDf (the boilerplate trade), leaving rarer pairs intact
+    val viral = (10 to 30).map(i =>
+      (100L + i, (words(s"v${i}_", 5) ++ w.slice(0, 60)).mkString(" ")))
+    val withViral = corpus.unionByName(viral.toDF("doc_id", "text"))
+    val capped = Dedup.verbatimSpans(withViral, minTokens = 50, maxDf = 5)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    assert(!capped.exists(p => p._1 >= 110L && p._2 >= 110L),
+      s"viral passage pairs must be pruned by the df cap, got ${capped.size} rows")
+  }
+
   test("simhash pairs: high recall on true near-dups, precision vs loose jaccard") {
     // simhash hamming≤3 approximates token-profile similarity — looser
     // than 3-gram jaccard@0.5, so precision is measured against a loose
