@@ -1064,6 +1064,36 @@ object SparkEntry {
         (col("extra") === 0L).as("precision_ok"))
   }
 
+  /** eTLD+1 registrable-domain canonicalization — cross-engine parity
+    * relation. Deterministic URLs are minted from doc_id across the rule
+    * classes of the bundled public-suffix snapshot (plain TLD with
+    * www+sub subdomains, private-suffix tenant, multi-label registry
+    * with uppercase+port normalization, deep subdomains, wildcard *.ck,
+    * exception !www.ck, unknown TLD via the implicit "*" rule, and a
+    * bare public suffix that must map to NULL). The Spark side computes
+    * `registrable_domain(url)` for real; DuckDB builds the expected
+    * answer per rule class with string ops — 500 row-hashed parity
+    * rows covering every branch of the PSL algorithm. */
+  private def qRegistrableDomain(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val idS = col("doc_id").cast("string")
+    val shape = pmod(col("doc_id"), lit(9))
+    val url = when(shape === 0,
+        concat(lit("https://www.sub"), idS, lit(".example-site.com/a/b?q=1")))
+      .when(shape === 1, concat(lit("http://user"), idS, lit(".blogspot.com/post")))
+      .when(shape === 2, concat(lit("https://SHOP"), idS, lit(".CO.UK:8443/x")))
+      .when(shape === 3, concat(lit("http://a.b.host"), idS, lit(".ac.uk")))
+      .when(shape === 4, concat(lit("https://docs.team"), idS, lit(".github.io/readme")))
+      .when(shape === 5, concat(lit("http://web.zone"), idS, lit(".ck/p")))
+      .when(shape === 6, lit("http://www.ck/z"))
+      .when(shape === 7, concat(lit("https://cdn.site"), idS, lit(".example/x")))
+      .otherwise(lit("http://co.uk"))
+    docs.select(col("doc_id"), url.as("url"))
+      .withColumn("dom",
+        graft.functions.DomainFunctions.registrableDomain(col("url")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-label embedding centroids: posexplode to (label, dim, value),
     * one hash aggregate — the elementwise-mean building block for IVF
     * seeding and class prototypes. Map-side combine keeps the shuffle at
@@ -1878,7 +1908,8 @@ object SparkEntry {
     "q82_image_dedup" -> (qImageDedup _),
     "q83_unicode_tokens" -> (qUnicodeTokens _),
     "q84_edit_distance_banded" -> (qEditDistanceBanded _),
-    "q85_verbatim_spans" -> (qVerbatimSpans _))
+    "q85_verbatim_spans" -> (qVerbatimSpans _),
+    "q86_registrable_domain" -> (qRegistrableDomain _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2767,5 +2798,28 @@ object SparkEntry {
            (SELECT CAST(count(*) AS BIGINT) FROM documents
              WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 50) AS n_planted,
            (SELECT CAST(count(*) AS BIGINT) FROM base_pairs) AS n_base_pairs,
-           true AS recall_ok, true AS precision_ok""")
+           true AS recall_ok, true AS precision_ok""",
+    "q86_registrable_domain" ->
+      """SELECT doc_id,
+           CASE doc_id % 9
+             WHEN 0 THEN 'https://www.sub' || doc_id || '.example-site.com/a/b?q=1'
+             WHEN 1 THEN 'http://user' || doc_id || '.blogspot.com/post'
+             WHEN 2 THEN 'https://SHOP' || doc_id || '.CO.UK:8443/x'
+             WHEN 3 THEN 'http://a.b.host' || doc_id || '.ac.uk'
+             WHEN 4 THEN 'https://docs.team' || doc_id || '.github.io/readme'
+             WHEN 5 THEN 'http://web.zone' || doc_id || '.ck/p'
+             WHEN 6 THEN 'http://www.ck/z'
+             WHEN 7 THEN 'https://cdn.site' || doc_id || '.example/x'
+             ELSE 'http://co.uk' END AS url,
+           CASE doc_id % 9
+             WHEN 0 THEN 'example-site.com'
+             WHEN 1 THEN 'user' || doc_id || '.blogspot.com'
+             WHEN 2 THEN 'shop' || doc_id || '.co.uk'
+             WHEN 3 THEN 'host' || doc_id || '.ac.uk'
+             WHEN 4 THEN 'team' || doc_id || '.github.io'
+             WHEN 5 THEN 'web.zone' || doc_id || '.ck'
+             WHEN 6 THEN 'www.ck'
+             WHEN 7 THEN 'site' || doc_id || '.example'
+             ELSE NULL END AS dom
+         FROM documents ORDER BY doc_id""")
 }

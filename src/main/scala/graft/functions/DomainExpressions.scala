@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Snapshot SUBSET of the Mozilla Public Suffix List
+  * (https://publicsuffix.org — public, Mozilla-maintained), curated to
+  * the suffixes and rule classes web-curation corpora most commonly hit:
+  * generic + country TLDs, the multi-label country registries
+  * (co.uk-family), the canonical wildcard/exception pair (*.ck /
+  * !www.ck), and the PSL "private" hosting suffixes (blogspot.com,
+  * github.io, …) that make each tenant its own registrable domain. The
+  * MATCHER implements the full published algorithm — exception beats
+  * wildcard beats longest exact beats the implicit "*" rule — so a
+  * deployment can swap in the complete list verbatim (one string per
+  * rule, same syntax) without touching code.
+  */
+object PublicSuffixes {
+  /** PSL-syntax rules: plain suffix, "*." wildcard, "!" exception. */
+  val snapshot: Seq[String] = Seq(
+    // generic TLDs
+    "com", "net", "org", "edu", "gov", "mil", "int", "info", "biz",
+    "name", "pro", "mobi", "tel", "travel", "museum", "coop", "aero",
+    "asia", "cat", "jobs", "xyz", "app", "dev", "page", "art", "blog",
+    "cloud", "club", "online", "shop", "site", "store", "tech", "space",
+    "live", "news", "wiki", "zone",
+    // country TLDs commonly carrying direct registrations
+    "io", "ai", "co", "me", "tv", "cc", "ws", "to", "fm", "am", "gg",
+    "de", "fr", "it", "nl", "es", "se", "no", "fi", "dk", "pl", "pt",
+    "ch", "at", "be", "cz", "sk", "hu", "ro", "bg", "gr", "ie", "li",
+    "lu", "lv", "lt", "ee", "is", "mt", "cy", "si", "hr", "rs", "ua",
+    "ru", "su", "by", "kz", "ge", "md", "eu", "us", "ca", "mx", "cl",
+    "pe", "uy", "ec", "ve", "bo", "py", "cr", "pa", "do", "gt", "sv",
+    "hn", "ni", "cu", "jm", "tt", "bs", "bb",
+    // multi-label country registries
+    "uk", "co.uk", "org.uk", "net.uk", "me.uk", "ltd.uk", "plc.uk",
+    "ac.uk", "gov.uk", "sch.uk", "nhs.uk", "police.uk",
+    "au", "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "jp", "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "nz", "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz",
+    "za", "co.za", "org.za", "net.za", "ac.za", "gov.za", "web.za",
+    "br", "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "in", "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "gov.in", "res.in", "nic.in",
+    "cn", "com.cn", "net.cn", "org.cn", "edu.cn", "gov.cn", "ac.cn",
+    "kr", "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr",
+    "ar", "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "tr", "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr",
+    "il", "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "sg", "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "hk", "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "tw", "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
+    "th", "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th",
+    "id", "co.id", "or.id", "ac.id", "go.id", "web.id", "my.id",
+    "my", "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "ph", "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "vn", "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    // wildcard + exception (the PSL's canonical pair)
+    "*.ck", "!www.ck", "*.bd",
+    // PSL private section: hosting platforms where each tenant is its
+    // own registrable domain
+    "blogspot.com", "github.io", "githubusercontent.com", "gitlab.io",
+    "herokuapp.com", "netlify.app", "vercel.app", "web.app",
+    "firebaseapp.com", "appspot.com", "pages.dev", "workers.dev",
+    "s3.amazonaws.com", "cloudfront.net", "azurewebsites.net",
+    "wordpress.com", "tumblr.com", "weebly.com", "wixsite.com",
+    "readthedocs.io", "neocities.org", "glitch.me")
+
+  // materialized for the kernel: rule string -> class
+  private[functions] val exact = new java.util.HashSet[String]()
+  private[functions] val wildcard = new java.util.HashSet[String]()
+  private[functions] val exception = new java.util.HashSet[String]()
+  snapshot.foreach { r =>
+    if (r.startsWith("!")) exception.add(r.substring(1))
+    else if (r.startsWith("*.")) wildcard.add(r.substring(2))
+    else exact.add(r)
+  }
+}
+
+/** Static kernel behind `registrable_domain` — called from generated
+  * code, one allocation-light pass per row. */
+object DomainOps {
+
+  /** Extract the lowercased host from a URL or bare host string; null
+    * when no parseable host exists. */
+  private def hostOf(url: String): String = {
+    var s = url
+    val scheme = s.indexOf("://")
+    if (scheme >= 0) s = s.substring(scheme + 3)
+    val at = s.indexOf('@')
+    val slash0 = s.indexWhere(c => c == '/' || c == '?' || c == '#')
+    if (at >= 0 && (slash0 < 0 || at < slash0)) s = s.substring(at + 1)
+    val cut = s.indexWhere(c => c == '/' || c == '?' || c == '#')
+    if (cut >= 0) s = s.substring(0, cut)
+    if (s.startsWith("[")) return null // IPv6 literal: no registrable domain
+    val colon = s.indexOf(':')
+    if (colon >= 0) s = s.substring(0, colon)
+    while (s.endsWith(".")) s = s.substring(0, s.length - 1)
+    if (s.isEmpty) null else s.toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** Full PSL algorithm over the bundled snapshot: exception > wildcard
+    * > longest exact > implicit "*". Returns null when the host IS a
+    * public suffix (or an IP / unparseable input) — callers that need a
+    * total key coalesce to the raw host. */
+  def registrableDomainJ(url: String): String = {
+    if (url == null) return null
+    val host = hostOf(url)
+    if (host == null) return null
+    val labels = host.split('.')
+    val n = labels.length
+    if (n == 0) return null
+    // IPv4: digits-only final label
+    if (labels(n - 1).forall(c => c >= '0' && c <= '9')) return null
+    var best = 1 // the PSL implicit "*" rule: unknown TLDs are suffixes
+    var i = 0
+    while (i < n) {
+      val s = labels.slice(i, n).mkString(".")
+      val k = n - i
+      if (PublicSuffixes.exception.contains(s)) {
+        // exception rule: the public suffix is the rule minus its
+        // leftmost label — and it beats everything else
+        best = k - 1
+        i = n // break
+      } else {
+        if (PublicSuffixes.exact.contains(s) && k > best) best = k
+        if (i > 0 && PublicSuffixes.wildcard.contains(s) && k + 1 > best)
+          best = k + 1
+        i += 1
+      }
+    }
+    if (best >= n) null // the host is itself (or inside) a public suffix
+    else labels.slice(n - best - 1, n).mkString(".")
+  }
+
+  def registrableDomain(url: UTF8String): UTF8String = {
+    if (url == null) return null
+    val r = registrableDomainJ(url.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+}
+
+/** `registrable_domain(url)` — eTLD+1 canonicalization of a URL or host
+  * under the bundled public-suffix snapshot: `www.a.example.co.uk` →
+  * `example.co.uk`, while `a.blogspot.com` and `b.blogspot.com` stay
+  * distinct (each tenant of a private-suffix host is its own domain).
+  * Null when the host is itself a public suffix, an IP literal, or
+  * unparseable — coalesce at the call site when a total key is needed. */
+case class RegistrableDomain(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    DomainOps.registrableDomain(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.DomainOps.registrableDomain($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): RegistrableDomain =
+    copy(child = c)
+  override def prettyName: String = "registrable_domain"
+}
+
+object DomainFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  def registrableDomain(url: Column): Column =
+    column(RegistrableDomain(expression(url)))
+}

@@ -191,4 +191,24 @@ object Curation {
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }
+
+  /** [[capPerDomain]] on the REGISTRABLE (eTLD+1) domain of a URL
+    * column: `www.example.com`, `example.com` and `a.b.example.com`
+    * cap as ONE domain, while `a.blogspot.com` / `b.blogspot.com` stay
+    * two (private-suffix tenants). Raw-host capping treats every
+    * subdomain as its own domain — the classic web-curation mistake the
+    * public-suffix list exists to fix. Hosts with no registrable domain
+    * (bare public suffixes, IPs) fall back to the raw value so the cap
+    * stays total. The canonicalization is one codegen'd expression —
+    * map-side, no extra shuffle beyond the cap's own window. */
+  def capPerRegistrableDomain(
+      docs: DataFrame,
+      urlCol: Column,
+      cap: Int,
+      orderCol: Column): DataFrame =
+    capPerDomain(
+      docs.withColumn("__dom",
+        coalesce(graft.functions.DomainFunctions.registrableDomain(urlCol), urlCol)),
+      col("__dom"), cap, orderCol)
+      .drop("__dom")
 }

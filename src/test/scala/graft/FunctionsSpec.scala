@@ -98,4 +98,53 @@ class FunctionsSpec extends SparkSpec {
       .as[Int].collect().head
     assert(out == 2026081205)
   }
+
+  test("registrableDomain implements the full PSL algorithm on the snapshot") {
+    val cases = Seq(
+      // plain TLD, subdomain strip + scheme/path/query/port/userinfo
+      "https://www.sub.example.com/a/b?q=1" -> "example.com",
+      "http://user:pw@deep.a.example.org:8080/x#f" -> "example.org",
+      "example.com" -> "example.com", // bare host, no scheme
+      "EXAMPLE.COM." -> "example.com", // case + trailing dot
+      // multi-label registries: co.uk is the suffix, not uk
+      "https://a.b.shop.co.uk/" -> "shop.co.uk",
+      "http://news.bbc.ac.uk" -> "bbc.ac.uk",
+      // private suffixes: each tenant is its own registrable domain
+      "http://a.blogspot.com" -> "a.blogspot.com",
+      "http://x.y.b.blogspot.com" -> "b.blogspot.com",
+      "https://team.github.io" -> "team.github.io",
+      // wildcard *.ck: anything.ck is a suffix...
+      "http://web.zone.ck/p" -> "web.zone.ck",
+      // ...except the !www.ck exception rule
+      "http://www.ck/z" -> "www.ck",
+      "http://sub.www.ck" -> "www.ck",
+      // unknown TLD: the PSL implicit "*" rule
+      "https://cdn.site.example/x" -> "site.example")
+    for ((url, want) <- cases)
+      assert(graft.functions.DomainOps.registrableDomainJ(url) == want,
+        s"$url should canonicalize to $want")
+    // no registrable domain: bare suffixes, IPs, IPv6, unparseable
+    for (url <- Seq("http://co.uk", "https://blogspot.com/", "http://zone.ck",
+        "http://10.1.2.3/x", "http://[::1]:8080/", "https:///nohost"))
+      assert(graft.functions.DomainOps.registrableDomainJ(url) == null,
+        s"$url must have no registrable domain")
+  }
+
+  test("capPerRegistrableDomain caps subdomains together, private-suffix tenants apart") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://www.example.com/1"),
+      (2L, "https://sub.example.com/2"),
+      (3L, "https://example.com/3"),
+      (4L, "http://a.blogspot.com/x"),
+      (5L, "http://b.blogspot.com/y"),
+      (6L, "http://co.uk") // no registrable domain: falls back to raw key
+    ).toDF("doc_id", "url")
+    val kept = graft.ops.Curation
+      .capPerRegistrableDomain(docs, col("url"), cap = 2, orderCol = col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    // example.com family capped to 2 (ids 1,2); blogspot tenants are
+    // DISTINCT domains so both survive; the suffix-only row survives
+    assert(kept == Set(1L, 2L, 4L, 5L, 6L), s"got $kept")
+  }
 }
