@@ -1094,6 +1094,33 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE subword token counts — exact cross-engine oracle. The default
+    * codec is trained (Sennrich merges, deterministic tie-break) on the
+    * fixture vocabulary in bare + space-prefixed piece form, so a doc
+    * whose whitespace tokens are ALL vocabulary words must BPE-encode to
+    * exactly one subword token per word: n_bpe == n_ws, an equality
+    * DuckDB can recompute — it emerges from the trainer converging and
+    * the ranked-merge encode loop applying every chain correctly, so any
+    * encoder/trainer bug breaks the hash. Non-conforming docs (planted
+    * near-dups with mutated words) get the structural bounds
+    * n_words ≤ n_bpe ≤ n_chars instead, verified for real on the Spark
+    * side; both engines compute conformance identically. */
+  private def qBpeTokens(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.functions.Bpe.seedWords
+    val toks = split(col("text"), " ")
+    val allVocab = forall(toks, t => t.isin(vocab.map(lit): _*))
+    val nBpe = TextAnalysis.bpeTokenCount(col("text"))
+    val nWords = size(filter(toks, t => length(t) > 0))
+    t(s, d, "documents").select(
+      col("doc_id"),
+      size(toks).as("n_ws"),
+      allVocab.as("all_vocab"),
+      when(allVocab, nBpe === size(toks))
+        .otherwise(nBpe >= nWords && nBpe <= length(col("text")))
+        .as("bpe_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-label embedding centroids: posexplode to (label, dim, value),
     * one hash aggregate — the elementwise-mean building block for IVF
     * seeding and class prototypes. Map-side combine keeps the shuffle at
@@ -1909,7 +1936,8 @@ object SparkEntry {
     "q83_unicode_tokens" -> (qUnicodeTokens _),
     "q84_edit_distance_banded" -> (qEditDistanceBanded _),
     "q85_verbatim_spans" -> (qVerbatimSpans _),
-    "q86_registrable_domain" -> (qRegistrableDomain _))
+    "q86_registrable_domain" -> (qRegistrableDomain _),
+    "q87_bpe_tokens" -> (qBpeTokens _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2821,5 +2849,16 @@ object SparkEntry {
              WHEN 6 THEN 'www.ck'
              WHEN 7 THEN 'site' || doc_id || '.example'
              ELSE NULL END AS dom
+         FROM documents ORDER BY doc_id""",
+    "q87_bpe_tokens" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+           len(list_filter(string_split(text, ' '), x -> x NOT IN
+             ('a','agg','batch','big','column','customer','data','dup',
+              'fast','filter','group','hash','join','key','line','merge',
+              'order','part','query','row','scan','slow','small','sort',
+              'spark','stream','table','the','value','vector','window'))) = 0
+             AS all_vocab,
+           true AS bpe_ok
          FROM documents ORDER BY doc_id""")
 }

@@ -49,6 +49,28 @@ object TextAnalysis {
   def tokenCountMode(text: Column, unicode: Boolean): Column =
     size(tokensMode(text, unicode))
 
+  /** Token-counting modes for the packing/chunking/data-card surface.
+    * `Whitespace`/`Unicode` split to real token arrays; `Bpe` counts
+    * SUBWORD tokens under the bundled merge table ([[graft.functions.Bpe]])
+    * — what a real training pipeline packs by. BPE is count-only: its
+    * tokens are not space-joinable text, so [[chunkDocuments]] (which
+    * re-materializes chunk text) keeps the array modes. */
+  sealed trait TokenMode
+  object TokenMode {
+    case object Whitespace extends TokenMode
+    case object Unicode extends TokenMode
+    case object Bpe extends TokenMode
+  }
+
+  def tokenCountMode(text: Column, mode: TokenMode): Column = mode match {
+    case TokenMode.Whitespace => size(tokens(text))
+    case TokenMode.Unicode => size(tokensUnicode(text))
+    case TokenMode.Bpe => graft.functions.BpeFunctions.bpeTokenCount(text)
+  }
+
+  def bpeTokenCount(text: Column): Column =
+    graft.functions.BpeFunctions.bpeTokenCount(text)
+
   /** BPE-ish subword count: word chunks + digit runs + punctuation, the
     * shape of a byte-pair tokenizer's pre-tokenization regex. */
   def bpeishTokenCount(text: Column): Column =
@@ -120,12 +142,26 @@ object TextAnalysis {
       idCol: Column,
       textCol: Column,
       seqTokens: Int,
-      unicode: Boolean = false): DataFrame = {
+      unicode: Boolean = false): DataFrame =
+    packSequencesMode(docs, sourceCol, idCol, textCol, seqTokens,
+      if (unicode) TokenMode.Unicode else TokenMode.Whitespace)
+
+  /** [[packSequences]] generalized over [[TokenMode]] — `TokenMode.Bpe`
+    * packs by exact subword counts (the unit real loaders batch by);
+    * the manifest semantics (crossings, carry-over, conservation) are
+    * mode-independent because the scan only consumes per-doc counts. */
+  def packSequencesMode(
+      docs: DataFrame,
+      sourceCol: Column,
+      idCol: Column,
+      textCol: Column,
+      seqTokens: Int,
+      mode: TokenMode): DataFrame = {
     require(seqTokens > 0)
     val c = lit(seqTokens.toLong)
     val scanned = PrefixScan.runningTotal(
       docs.select(sourceCol.as("s"), idCol.as("i"),
-        tokenCountMode(textCol, unicode).cast("long").as("t")).filter(col("t") > 0),
+        tokenCountMode(textCol, mode).cast("long").as("t")).filter(col("t") > 0),
       col("s"), col("i"), col("t"))
     // the crossing explode stays declarative codegen on top of the scan
     scanned

@@ -99,6 +99,53 @@ class FunctionsSpec extends SparkSpec {
     assert(out == 2026081205)
   }
 
+  test("BPE trainer reproduces the hand-computed Sennrich merge sequence") {
+    // corpus {low:5, lower:2}: pair counts (l,o)=7 (o,w)=7 (w,e)=2 (e,r)=2;
+    // ties break lexicographically, so the exact merge order is forced
+    val merges = graft.functions.Bpe.train(
+      Seq(("low".map(_.toString), 5L), ("lower".map(_.toString), 2L)),
+      numMerges = 10)
+    assert(merges == Seq(
+      ("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")),
+      s"got $merges")
+  }
+
+  test("BPE encoder applies ranked merges exactly (hand-computed tokens)") {
+    val codec = new graft.functions.BpeCodec(Seq(
+      ("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")))
+    assert(codec.tokenize("lower") == Seq("lower"))
+    assert(codec.tokenize("low") == Seq("low"))
+    assert(codec.tokenize("lowest") == Seq("low", "e", "s", "t"))
+    assert(codec.tokenize("slow") == Seq("s", "low"))
+    assert(codec.countTokens(
+      org.apache.spark.unsafe.types.UTF8String.fromString("lower lowest")) ==
+      1 + 5) // " lowest" piece has no space-prefixed merges -> 5 symbols
+  }
+
+  test("BPE pre-tokenizer: contractions, space-attach, digit and punct runs") {
+    val codec = new graft.functions.BpeCodec(Nil)
+    assert(codec.pieces("it's a low-cost test 42") ==
+      Seq("it", "'s", " a", " low", "-", "cost", " test", " 42"))
+    // no trailing-whitespace lookahead (documented deviation): a double
+    // space is one whitespace-run piece, the following word is bare
+    assert(codec.pieces("x  y") == Seq("x", "  ", "y"))
+  }
+
+  test("default BPE codec: fixture vocab words are single tokens, unseen words split") {
+    import spark.implicits._
+    val c = graft.functions.Bpe.defaultCodec
+    def n(s: String) =
+      c.countTokens(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    assert(n("the data query") == 3,
+      s"fixture words must be whole tokens, got ${c.tokenize("the data query")}")
+    assert(n("data") == 1)
+    assert(n("zebra") > 1, "unseen word must split into subwords")
+    // the codegen expression path matches the kernel
+    val viaExpr = Seq("the data query", "zebra").toDF("text")
+      .select(graft.ops.TextAnalysis.bpeTokenCount(col("text"))).as[Int].collect()
+    assert(viaExpr.toSeq == Seq(3, n("zebra")))
+  }
+
   test("registrableDomain implements the full PSL algorithm on the snapshot") {
     val cases = Seq(
       // plain TLD, subdomain strip + scheme/path/query/port/userinfo

@@ -732,6 +732,33 @@ class OpsSpec extends SparkSpec {
     assert(srcATokens == 8, s"srcA must pack all 8 unicode tokens, got $srcATokens")
   }
 
+  test("packSequencesMode(Bpe) conserves exact subword counts across sequences") {
+    import spark.implicits._
+    import TextAnalysis.TokenMode
+    val docs = Seq(
+      (1L, "srcA", "the data query"),        // 3 bpe tokens (vocab words)
+      (2L, "srcA", "zebra stream"),          // unseen word splits: > 2
+      (3L, "srcA", "hash join hash join")    // 4 bpe tokens
+    ).toDF("doc_id", "source", "text")
+    val counts = docs.select(
+      TextAnalysis.tokenCountMode(col("text"), TokenMode.Bpe).as("n"))
+      .as[Int].collect()
+    val total = counts.sum
+    assert(counts(0) == 3 && counts(2) == 4 && counts(1) > 2, s"got ${counts.toSeq}")
+    val packed = TextAnalysis.packSequencesMode(
+      docs, col("source"), col("doc_id"), col("text"),
+      seqTokens = 4, mode = TokenMode.Bpe)
+      .select("doc_id", "tok_start", "tok_end")
+      .as[(Long, Long, Long)].collect()
+    // every subword token lands in exactly one sequence slice
+    assert(packed.map(r => r._3 - r._2).sum == total,
+      s"packed ${packed.map(r => r._3 - r._2).sum} of $total bpe tokens")
+    // doc 3 (4 tokens) must straddle a 4-token boundary given the
+    // preceding counts are not a multiple of 4
+    val doc3 = packed.filter(_._1 == 3L)
+    assert(doc3.length >= 1 && doc3.map(r => r._3 - r._2).sum == 4)
+  }
+
   test("text analysis columns are consistent") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat, happily!").toDF("text")
