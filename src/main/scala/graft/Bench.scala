@@ -1,4 +1,6 @@
 package graft
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.graftbridge.CheckpointRelease
 
@@ -51,6 +53,25 @@ private[graft] object BenchLogic {
       case Some(f) if f < recorded / 2 => (f, true)
       case _ => (recorded, false)
     }
+
+  /** Round-over-round drift gate (r6: a load-polluted run recorded
+    * 2–5× inflation on q58/q62/q63/q75 that the 8×-median outlier rule
+    * is too coarse to see): any query above `factor`× its previously
+    * recorded round also earns a recheck. */
+  def driftSuspect(
+      recorded: Double, prev: Option[Double], factor: Double = 2.5): Boolean =
+    prev.exists(p => p > 0 && recorded > factor * p)
+
+  /** Pull the per-query seconds out of a prior BENCH_r*.json artifact.
+    * Format-tolerant by construction: query keys are globally unique in
+    * the line and carry a plain numeric value only in the "queries" map
+    * (scaling/ladder entries nest objects, error/suspect lists carry no
+    * colon-number), so one regex over the whole file is exact. */
+  def parsePrevQueries(content: String): Map[String, Double] =
+    "\"(q[0-9][0-9a-zA-Z_]*)\":([0-9][0-9.]*)".r
+      .findAllMatchIn(content)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
 }
 
 object Bench {
@@ -157,39 +178,78 @@ object Bench {
     var mins: Seq[(String, Option[Double])] =
       results.map { case (k, ts) => k -> BenchLogic.minOverGood(ts) }
     // suspect detection: a transient stall (GC storm, external load spike)
-    // inflates one query's every run; min-of-N can't save it. Any query
-    // whose min is an outlier vs the suite — above 8× the median and above
-    // an absolute floor — gets one fresh re-run now that the box may have
-    // recovered; if the re-run halves the time, the fresh value replaces
-    // the poisoned one and the query is flagged "suspect" in the artifact.
+    // inflates one query's every run; min-of-N can't save it. Two gates,
+    // each earning one fresh re-run now that the box may have recovered:
+    //   - intra-suite outlier: min above 8× the suite median and an
+    //     absolute floor (catches order-of-magnitude poisoning);
+    //   - round-over-round drift: min above 2.5× the query's previously
+    //     recorded round (r6's 2–5× load pollution sailed under the 8×
+    //     rule). The prior round is the newest BENCH_r*.json in the CWD,
+    //     overridable via SPARK_GRAFT_BENCH_PREV.
+    // If the re-run halves the time, the fresh value replaces the
+    // poisoned one and the query is flagged "suspect" in the artifact.
+    val prevQueries: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_BENCH_PREV")
+        .map(p => Seq(java.nio.file.Paths.get(p)))
+        .getOrElse {
+          val cwd = java.nio.file.Paths.get(".")
+          val rx = "BENCH_r(\\d+)\\.json".r
+          val found = java.nio.file.Files.list(cwd).iterator().asScala
+            .flatMap { p =>
+              rx.findFirstMatchIn(p.getFileName.toString)
+                .map(m => (m.group(1).toInt, p))
+            }.toSeq
+          found.sortBy(-_._1).take(1).map(_._2)
+        }
+        .headOption
+        .flatMap { p =>
+          try Some(BenchLogic.parsePrevQueries(
+            java.nio.file.Files.readString(p)))
+          catch { case _: Throwable => None }
+        }
+        .getOrElse(Map.empty)
     val threshold = BenchLogic.suspectThreshold(mins.flatMap(_._2))
     val suspects = scala.collection.mutable.ListBuffer.empty[String]
     mins = mins.map {
-      case (k, Some(v)) if v > threshold =>
+      case (k, Some(v)) if v > threshold ||
+          BenchLogic.driftSuspect(v, prevQueries.get(k)) =>
         val (finalTime, flagged) = BenchLogic.resolveRecheck(
           v, timeOnce(k, selected(k), "suspect-recheck"))
         if (flagged) suspects += k
         k -> Some(finalTime)
       case other => other
     }
+    // close out the MAIN measurement phase before the ladder starts:
+    // r6's recorded artifact interleaved them, so the ladder's 300 s of
+    // generation + re-timing polluted main-loop minima and vice versa —
+    // and the single calib pair could not say which phase was starved
+    val calibEnd = calibrate(spark)
+    val loadEnd = loadavg()
+
     // ---- scale ladder: re-time representative scale-path queries on a
     // generated ~10× corpus (embeddings ~4×, the fixtures' own growth
     // rate per decade) and report per-query scaling exponents
     // exp = log(t_scaled/t_base)/log(factor) — the number that flags a
-    // superlinear plan long before a real cluster would. Queries over
-    // TPC-H tables (not regenerable) and fixed-size fixtures are outside
-    // the ladder. One run per query: exponents compare a warmed min to a
-    // single run, so treat ±0.15 as noise.
+    // superlinear plan long before a real cluster would. Fixed-size
+    // fixture consumers are outside the ladder. One run per query:
+    // exponents compare a warmed min to a single run, so treat ±0.15 as
+    // noise. The ladder is its OWN phase with its own calib pair (in the
+    // ladder JSON) so its exponents and the main-loop minima are each
+    // adjudicable alone.
     val ladderQueries = Seq(
       // events scale path (factor 10)
       "q30_window_agg", "q35_asof_join", "q36_sessionize", "q40_range_join",
-      "q47_histogram", "q49_session_window", "q62_funnel", "q68_skew_stats",
+      "q47_histogram", "q49_session_window", "q62_funnel", "q63_retention",
+      "q68_skew_stats",
       // documents scale path (factor 10); q20/q21 are excluded — their
       // conformance joins consume the per-dir exact-Jaccard fixture,
       // which only the driver corpus has
       "q16_dedup_exact", "q17_text_report", "q19_ngram_jaccard",
       "q43_edit_distance", "q38_token_topk",
       "q78_chunking", "q79_sequence_pack", "q80_data_card",
+      // TPC-H join/window family (factor 10 orders/lineitem/customer
+      // companions — r6 had no measured exponent for the join family)
+      "q10_join_shuffle", "q13_window_topk", "q58_outer_joins",
       // embeddings scale path (factor 4; exact q24 is deliberately O(n²))
       "q22_cosine_topk", "q24_neardup_embeddings", "q76_pq_topk",
       "q77_ivfpq_topk", "q81_semantic_dedup")
@@ -199,6 +259,7 @@ object Bench {
     var ladderJson = "null"
     var scalingJson = "{}"
     if (ladderOn) try {
+      val ladderCalibStart = calibrate(spark)
       val factor = 10
       val ladderDir = sys.env.getOrElse(
         "SPARK_GRAFT_LADDER_DIR", s"/tmp/graft_ladder_x$factor")
@@ -207,6 +268,7 @@ object Bench {
       val genSec = (System.nanoTime() - tGen) / 1e9
       val embSet = Set("q22_cosine_topk", "q24_neardup_embeddings",
         "q76_pq_topk", "q77_ivfpq_topk", "q81_semantic_dedup")
+      val tpchSet = Set("q10_join_shuffle", "q13_window_topk", "q58_outer_joins")
       // operator-only ladder rows: q84's QUERY embeds its quadratic exact
       // reference twin (that's its conformance contract), which would
       // drown the banded operator's own scaling — measure the operator
@@ -229,7 +291,10 @@ object Bench {
       for (q <- ladderQueries; base <- minsMap.getOrElse(q, None)) {
         timeOnce(q, selected(q), "ladder", ladderDir, ladderErrors).foreach { t =>
           ladderTotal += t
-          val f = if (embSet(q)) factors("embeddings") else factors("events")
+          val f =
+            if (embSet(q)) factors("embeddings")
+            else if (tpchSet(q)) factors("orders")
+            else factors("events")
           val exp = math.round(math.log(t / base) / math.log(f) * 100.0) / 100.0
           exps += q -> exp
           entries += s""""$q":{"f":$f,"t":${ms(t)},"exp":$exp}"""
@@ -250,14 +315,16 @@ object Bench {
       // there by contract — everything else demands a fix or an account)
       val superlinear = exps.filter(_._2 > 1.3).map("\"" + _._1 + "\"")
         .mkString("[", ",", "]")
+      // the ladder phase carries its OWN calib pair: a starved ladder
+      // (r6: generation + re-timing ran concurrently with the main loop
+      // under sbt) is now visible without contaminating the main calib
+      val ladderCalibEnd = calibrate(spark)
       ladderJson = s"""{"factor":$factor,"emb_factor":${factors("embeddings")},""" +
         s""""gen_sec":${ms(genSec)},"total":${ms(ladderTotal)},""" +
+        s""""calib":{"start":${ms(ladderCalibStart)},"end":${ms(ladderCalibEnd)}},""" +
         s""""n_queries":${entries.size},"superlinear":$superlinear,""" +
         s""""errors":$ladderErrJson}"""
     } catch { case _: Throwable => () }
-
-    val calibEnd = calibrate(spark)
-    val loadEnd = loadavg()
     // the driver captures only the TAIL of the output: keep the JSON line
     // short (ms precision — full doubles made the r1/r2 line long enough
     // to truncate mid-line) and emit the total-only line as the very LAST

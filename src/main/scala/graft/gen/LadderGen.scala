@@ -8,32 +8,35 @@ import org.apache.spark.sql.functions._
   * exponents need a second, larger point). Mirrors the fixtures' shapes:
   * `events` keeps the 30-day window / 5 uniform types / `{"k": n}` props
   * and grows user cardinality with row count (as the fixtures do between
-  * sf0.01 and sf0.1); `documents` keeps the 31-word vocabulary, 20
-  * sources, 5-language mix and 10–100-token lengths; `embeddings` keeps
-  * 64 dims and 10 labels. Everything derives from `xxhash64(id, seed,
-  * tag)` column expressions — fully distributed, codegen'd, no driver
-  * loops — so generation cost is a small constant of the bench run.
+  * sf0.01 and sf0.1); `documents` keeps 20 sources, the 5-language mix
+  * and 10–100-token lengths, but draws words from a ~10k-word Zipf(1.0)
+  * vocabulary (inverse-CDF on xxhash64 — `k = ⌊e^(u·ln N)⌋` gives
+  * P(k) ∝ 1/k exactly) instead of the fixtures' 31-word vocab: under 31
+  * words every 3-shingle is hot, so text-operator exponents measured the
+  * vocabulary, not the plan (r6 flagged q19 superlinear for exactly this
+  * reason); `embeddings` keeps 64 dims and 10 labels; `orders` /
+  * `lineitem` / `customer` mirror the TPC-H-ish fixture domains
+  * (status/priority/segment values, price/quantity/date ranges,
+  * ~4 lines per order, custkey fanout growing with rows) so the join
+  * and window family ladders too. Everything derives from
+  * `xxhash64(id, seed, tag)` column expressions — fully distributed,
+  * codegen'd, no driver loops — so generation cost is a small constant
+  * of the bench run.
   */
 object LadderGen {
 
-  /** The sf0.1 documents vocabulary (31 words), verbatim. */
-  private val vocab = Seq(
-    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
-    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
-    "order", "part", "query", "row", "scan", "slow", "small", "sort",
-    "spark", "stream", "table", "the", "value", "vector", "window")
-
-  /** Generate into `outDir/{events,documents,embeddings}.parquet`.
-    * Embeddings grow by `embFactor` (the fixtures grow them ~4× per
-    * decade, and the exact all-pairs kernel is deliberately quadratic),
-    * the row tables by `factor`. Idempotent — but the cache key is the
-    * full generation identity `(baseDir, base row counts, factor,
-    * embFactor, seed)`, written to `outDir/_GRAFT_LADDER_ID` after a
-    * successful build: a bare `_SUCCESS` check would silently reuse a
-    * ladder derived from a DIFFERENT base (e.g. an sf0.01 bench after an
-    * sf0.1 one against the same default outDir), making every scaling
-    * exponent garbage (ADVICE r6). Mismatch → regenerate in place.
-    * Returns per-table factors. */
+  /** Generate into `outDir/{events,documents,embeddings,orders,lineitem,
+    * customer}.parquet`. Embeddings grow by `embFactor` (the fixtures
+    * grow them ~4× per decade, and the exact all-pairs kernel is
+    * deliberately quadratic), the row tables by `factor`. Idempotent —
+    * but the cache key is the full generation identity `(baseDir, base
+    * row counts, factor, embFactor, seed)`, written to
+    * `outDir/_GRAFT_LADDER_ID` after a successful build: a bare
+    * `_SUCCESS` check would silently reuse a ladder derived from a
+    * DIFFERENT base (e.g. an sf0.01 bench after an sf0.1 one against the
+    * same default outDir), making every scaling exponent garbage
+    * (ADVICE r6). Mismatch → regenerate in place. Returns per-table
+    * factors. */
   def generate(
       spark: SparkSession,
       baseDir: String,
@@ -46,12 +49,18 @@ object LadderGen {
     val fs = idPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // parquet counts are metadata-only reads — cheap enough to form the
     // cache key on every call, which is what makes stale reuse impossible
-    val nEventsBase = spark.read.parquet(s"$baseDir/events.parquet").count()
-    val nDocsBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
-    val nEmbBase = spark.read.parquet(s"$baseDir/embeddings.parquet").count()
+    def baseCount(t: String): Long =
+      spark.read.parquet(s"$baseDir/$t.parquet").count()
+    val nEventsBase = baseCount("events")
+    val nDocsBase = baseCount("documents")
+    val nEmbBase = baseCount("embeddings")
+    val nOrdersBase = baseCount("orders")
+    val nLineBase = baseCount("lineitem")
+    val nCustBase = baseCount("customer")
     val fingerprint =
       s"$baseDir|events=$nEventsBase|docs=$nDocsBase|emb=$nEmbBase|" +
-        s"factor=$factor|embFactor=$embFactor|seed=$seed"
+        s"orders=$nOrdersBase|line=$nLineBase|cust=$nCustBase|" +
+        s"factor=$factor|embFactor=$embFactor|seed=$seed|vocab=zipf10k"
     val cached =
       if (!fs.exists(idPath)) None
       else {
@@ -65,6 +74,9 @@ object LadderGen {
       val nEvents = nEventsBase * factor
       val nDocs = nDocsBase * factor
       val nEmb = nEmbBase * embFactor
+      val nOrders = nOrdersBase * factor
+      val nLine = nLineBase * factor
+      val nCust = nCustBase * factor
       val nUsers = math.max(1L, nEvents / 67L) // fixtures: 100k rows / 1500 users
 
       def h(tag: Int) = xxhash64(col("id"), lit(seed), lit(tag))
@@ -84,15 +96,26 @@ object LadderGen {
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
       val langs = array(Seq("en", "de", "es", "fr", "zh").map(lit): _*)
-      val vocabCol = array(vocab.map(lit): _*)
+      // Zipf(1.0) over a 10k-word vocabulary via inverse CDF: u uniform
+      // in (0,1) → k = ⌊e^(u·ln(N+1))⌋ has P(k) ≈ 1/(k·H_N). Word ids
+      // become "w<k>" tokens — df-skewed like real text (hot function
+      // words, a long rare tail), so prefix filters and df caps have
+      // something real to prune.
+      val vocabN = 10000.0
+      def zipfWord(i: org.apache.spark.sql.Column) = {
+        val u = (pmod(xxhash64(col("id"), lit(seed), i), lit(1000000L))
+          .cast("double") + 0.5) / 1000000.0
+        val k = least(
+          greatest(floor(exp(u * math.log(vocabN + 1.0))), lit(1.0)),
+          lit(vocabN)).cast("int")
+        concat(lit("w"), k.cast("string"))
+      }
       spark.range(0, nDocs, 1, 32)
         .select(
           col("id").as("doc_id"),
           concat_ws(" ", transform(
             sequence(lit(1), (pmod(h(6), lit(91L)) + 10L).cast("int")),
-            i => element_at(vocabCol,
-              (pmod(xxhash64(col("id"), lit(seed), i), lit(31L)) + 1L).cast("int"))))
-            .as("text"),
+            i => zipfWord(i))).as("text"),
           // the fixtures run ~40% en, ~15% each for the rest
           element_at(langs, when(pmod(h(7), lit(20L)) < 8, 1)
             .when(pmod(h(7), lit(20L)) < 11, 2)
@@ -112,11 +135,68 @@ object LadderGen {
           pmod(h(8), lit(10L)).cast("int").as("label"))
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
+      // TPC-H-ish companions, fixture domains (TESTDATA.md sf tables):
+      // orders 1995-01-01..2001-08-01, totalprice ~1000..500k, status
+      // O/P/F, 5 priorities; lineitem ~4 lines/order, qty 1..50, price
+      // ~900..105k, discount 0..0.10, tax 0..0.08, N/A/R × O/F;
+      // customer Customer#<9digits>, 25 nations, acctbal -1000..10k,
+      // 5 market segments. Custkey/orderkey fanout scales with factor.
+      val epoch1995Micros = 788918400L * 1000000L // 1995-01-01T00:00:00Z
+      val orderSpanMicros = 2404L * 86400L * 1000000L // → 2001-08-01
+      spark.range(0, nOrders, 1, 32)
+        .select(
+          col("id").as("o_orderkey"),
+          pmod(h(9), lit(nCust)).as("o_custkey"),
+          element_at(array(Seq("O", "P", "F").map(lit): _*),
+            (pmod(h(10), lit(3L)) + 1L).cast("int")).as("o_orderstatus"),
+          (lit(1000.0) +
+            pmod(h(11), lit(49900000L)).cast("double") / 100.0).as("o_totalprice"),
+          timestamp_micros(lit(epoch1995Micros) +
+            pmod(h(12), lit(orderSpanMicros))).as("o_orderdate"),
+          element_at(array(Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+            "4-NOT SPECIFIED", "5-LOW").map(lit): _*),
+            (pmod(h(13), lit(5L)) + 1L).cast("int")).as("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+      spark.range(0, nLine, 1, 32)
+        .select(
+          pmod(h(14), lit(nOrders)).as("l_orderkey"),
+          pmod(h(15), lit(20000L * factor)).as("l_partkey"),
+          pmod(h(16), lit(1000L * factor)).as("l_suppkey"),
+          (pmod(h(17), lit(7L)) + 1L).cast("int").as("l_linenumber"),
+          (pmod(h(18), lit(50L)) + 1L).cast("double").as("l_quantity"),
+          (lit(900.0) +
+            pmod(h(19), lit(10410000L)).cast("double") / 100.0).as("l_extendedprice"),
+          (pmod(h(20), lit(11L)).cast("double") / 100.0).as("l_discount"),
+          (pmod(h(21), lit(9L)).cast("double") / 100.0).as("l_tax"),
+          element_at(array(Seq("N", "A", "R").map(lit): _*),
+            (pmod(h(22), lit(3L)) + 1L).cast("int")).as("l_returnflag"),
+          element_at(array(Seq("O", "F").map(lit): _*),
+            (pmod(h(23), lit(2L)) + 1L).cast("int")).as("l_linestatus"),
+          timestamp_micros(lit(epoch1995Micros) +
+            pmod(h(24), lit(orderSpanMicros))).as("l_shipdate"))
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+      spark.range(0, nCust, 1, 32)
+        .select(
+          col("id").as("c_custkey"),
+          concat(lit("Customer#"),
+            lpad(col("id").cast("string"), 9, "0")).as("c_name"),
+          pmod(h(25), lit(25L)).cast("int").as("c_nationkey"),
+          (lit(-1000.0) +
+            pmod(h(26), lit(1100000L)).cast("double") / 100.0).as("c_acctbal"),
+          element_at(array(Seq("AUTOMOBILE", "BUILDING", "MACHINERY",
+            "FURNITURE", "HOUSEHOLD").map(lit): _*),
+            (pmod(h(27), lit(5L)) + 1L).cast("int")).as("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
       // stamp the identity LAST — a crash mid-generation leaves no ID
       // file, so the next run regenerates instead of trusting debris
       val out = fs.create(idPath, true)
       try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
     }
-    Map("events" -> factor, "documents" -> factor, "embeddings" -> embFactor)
+    Map(
+      "events" -> factor, "documents" -> factor, "embeddings" -> embFactor,
+      "orders" -> factor, "lineitem" -> factor, "customer" -> factor)
   }
 }

@@ -39,4 +39,33 @@ class BenchSpec extends AnyFunSuite {
     // the recheck itself errored: keep the recorded value
     assert(BenchLogic.resolveRecheck(10.0, None) == ((10.0, false)))
   }
+
+  test("round-over-round drift gate: >2.5x the prior round earns a recheck") {
+    assert(BenchLogic.driftSuspect(1.3, Some(0.5)))          // 2.6× drift
+    assert(!BenchLogic.driftSuspect(1.2, Some(0.5)))         // 2.4×: fine
+    assert(!BenchLogic.driftSuspect(9.9, None))              // no prior round
+    assert(!BenchLogic.driftSuspect(1.0, Some(0.0)))         // degenerate prior
+    assert(BenchLogic.driftSuspect(3.1, Some(1.0), 3.0))     // custom factor
+  }
+
+  test("parsePrevQueries reads only the numeric per-query seconds from an artifact") {
+    val artifact =
+      """{"metric":"total","value":62.5,"unit":"sec","wrapper":"sbt",
+        |"calib":{"start":0.19,"end":0.07},
+        |"errors":[],"suspect":["q57_setops_all"],
+        |"ladder":{"factor":10,"superlinear":["q19_ngram_jaccard"],
+        |  "errors":["q99_phantom"]},
+        |"scaling":{"q19_ngram_jaccard":{"f":10,"t":26.4,"exp":1.37}},
+        |"queries":{"q01_parts_report":0.52,"q19_ngram_jaccard":2.68,
+        |  "q57_setops_all":null,"q84_edit_distance_banded":1.22},
+        |"sf":"/root/testdata/sf0.1"}""".stripMargin
+    val prev = BenchLogic.parsePrevQueries(artifact)
+    assert(prev == Map(
+      "q01_parts_report" -> 0.52,
+      "q19_ngram_jaccard" -> 2.68,
+      "q84_edit_distance_banded" -> 1.22), s"got $prev")
+    // nulls, suspect/error name lists, and nested scaling objects must
+    // not contribute entries
+    assert(!prev.contains("q57_setops_all") && !prev.contains("q99_phantom"))
+  }
 }
