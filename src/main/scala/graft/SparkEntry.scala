@@ -1064,6 +1064,56 @@ object SparkEntry {
         (col("extra") === 0L).as("precision_ok"))
   }
 
+  /** Passage-level decontamination (two-corpus verbatim spans) — the
+    * train-vs-benchmark composition of q85's operator. Probes are built
+    * from the corpus itself so DuckDB can recompute the ground truth
+    * exactly: every donor (doc_id % 5 == 0, ≥ 50 tokens) contributes its
+    * first 50 tokens as a real probe (id + 500000), plus a
+    * vocabulary-disjoint synthetic negative (id + 600000) that must
+    * match nothing. `verbatimSpansAcross` must (a) find every donor's
+    * self-match at exact offsets (1, 1, 50), (b) produce EXACTLY the
+    * (corpus doc, probe) pair set DuckDB recomputes via a full
+    * window-equality join — near-dups of a donor sharing its prefix are
+    * legitimate extra matches and both engines must agree on them — and
+    * (c) keep every negative unmatched. */
+  private def qDecontaminateSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val corpus = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val donors = docs
+      .filter(col("doc_id") % 5 === 0 &&
+        size(split(col("text"), " ")) >= 50)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val real = donors.select(
+      (col("doc_id") + 500000L).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 50)).as("text"))
+    val neg = donors
+      .withColumn("negtext", concat_ws(" ",
+        transform(sequence(lit(1), lit(50)),
+          j => concat(lit("n"), col("doc_id").cast("string"),
+            lit("_"), j.cast("string")))))
+      .select((col("doc_id") + 600000L).as("doc_id"), col("negtext").as("text"))
+    val found = Dedup.verbatimSpansAcross(
+      corpus, real.unionByName(neg), minTokens = 50).localCheckpoint()
+    val selfExpected = donors.select(
+      col("doc_id").as("id_a"),
+      (col("doc_id") + 500000L).as("id_b"),
+      lit(1).as("start_a"), lit(1).as("start_b"), lit(50).as("len_tokens"))
+    val realPairs = found.filter(col("id_b") < 600000L)
+      .select(col("id_a"), col("id_b")).distinct()
+    selfExpected.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(realPairs.agg(count(lit(1)).as("n_matches")))
+      .crossJoin(selfExpected.join(found,
+        Seq("id_a", "id_b", "start_a", "start_b", "len_tokens"))
+        .agg(count(lit(1)).as("k")))
+      .crossJoin(found.filter(col("id_b") >= 600000L)
+        .agg(count(lit(1)).as("nneg")))
+      .select(
+        col("n_probes"),
+        col("n_matches"),
+        (col("k") === col("n_probes")).as("self_match_ok"),
+        (col("nneg") === 0L).as("negatives_clean_ok"))
+  }
+
   /** eTLD+1 registrable-domain canonicalization — cross-engine parity
     * relation. Deterministic URLs are minted from doc_id across the rule
     * classes of the bundled public-suffix snapshot (plain TLD with
@@ -1937,7 +1987,8 @@ object SparkEntry {
     "q84_edit_distance_banded" -> (qEditDistanceBanded _),
     "q85_verbatim_spans" -> (qVerbatimSpans _),
     "q86_registrable_domain" -> (qRegistrableDomain _),
-    "q87_bpe_tokens" -> (qBpeTokens _))
+    "q87_bpe_tokens" -> (qBpeTokens _),
+    "q88_decontaminate_spans" -> (qDecontaminateSpans _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2860,5 +2911,23 @@ object SparkEntry {
               'spark','stream','table','the','value','vector','window'))) = 0
              AS all_vocab,
            true AS bpe_ok
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "q88_decontaminate_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         donors AS (
+           SELECT doc_id, array_to_string(t[1:50], ' ') AS ptext
+           FROM toks WHERE doc_id % 5 = 0 AND len(t) >= 50
+         ),
+         wins AS (
+           SELECT doc_id, array_to_string(t[i:i+49], ' ') AS w
+           FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 49)) AS s(i)
+         ),
+         m AS (
+           SELECT DISTINCT w.doc_id AS id_a, d.doc_id + 500000 AS id_b
+           FROM wins w JOIN donors d ON w.w = d.ptext
+         )
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM donors) AS n_probes,
+           (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_matches,
+           true AS self_match_ok, true AS negatives_clean_ok""")
 }

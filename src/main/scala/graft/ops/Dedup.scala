@@ -240,14 +240,61 @@ object Dedup {
       maxDf: Int = Int.MaxValue,
       unicode: Boolean = false): DataFrame = {
     require(minTokens >= 2, s"minTokens $minTokens must be >= 2")
+    val (toks, wins) = tokenWindows(docs, minTokens, unicode)
+    val pruned = capWindowDf(wins, maxDf)
+    val a = pruned.select(col("h"), col("doc_id").as("id_a"), col("start").as("start_a"))
+    val b = pruned.select(col("h"), col("doc_id").as("id_b"), col("start").as("start_b"))
+    // no distinct needed: (doc_id, start) is unique per window row, so
+    // the h-join emits each (a-window, b-window) combination exactly once
+    val matched = a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
+    mergeAndVerifySpans(matched, toks, toks, minTokens)
+  }
+
+  /** Two-corpus variant of [[verbatimSpans]] — passage-level
+    * DECONTAMINATION: find every (corpus doc, probe doc) pair sharing a
+    * verbatim run of ≥ `minTokens` tokens, e.g. training corpus vs
+    * benchmark/eval set. q70's containment check catches near-whole-doc
+    * inclusion; this catches a benchmark passage quoted inside a much
+    * larger training document, at token-span granularity, with exact
+    * offsets for surgical removal. Same plan as the one-corpus form
+    * (windows → hash join → island merge → exact verify); the df cap
+    * applies to the CORPUS side, where viral boilerplate lives — probe
+    * sets are the small side and every probe window must stay findable.
+    *
+    * @return (id_a, id_b, start_a, start_b, len_tokens): id_a/start_a
+    *         index the corpus doc, id_b/start_b the probe doc. */
+  def verbatimSpansAcross(
+      corpus: DataFrame,
+      probes: DataFrame,
+      minTokens: Int = 50,
+      maxDf: Int = Int.MaxValue,
+      unicode: Boolean = false): DataFrame = {
+    require(minTokens >= 2, s"minTokens $minTokens must be >= 2")
+    val (cToks, cWins) = tokenWindows(corpus, minTokens, unicode)
+    val (pToks, pWins) = tokenWindows(probes, minTokens, unicode)
+    val a = capWindowDf(cWins, maxDf)
+      .select(col("h"), col("doc_id").as("id_a"), col("start").as("start_a"))
+    val b = pWins.select(col("h"), col("doc_id").as("id_b"), col("start").as("start_b"))
+    val matched = a.join(b, Seq("h"))
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
+    mergeAndVerifySpans(matched, cToks, pToks, minTokens)
+  }
+
+  /** Tokenize, filter to ≥ minTokens, and emit per-window chained
+    * xxhash64 fingerprints (order-sensitive and wraparound-safe — a raw
+    * polynomial fold overflows under ANSI arithmetic). Returns
+    * (toks: (doc_id, toks, n) — checkpointed, it feeds the window pass
+    * AND the verify joins; wins: (doc_id, h, start)). */
+  private def tokenWindows(
+      docs: DataFrame, minTokens: Int, unicode: Boolean): (DataFrame, DataFrame) = {
     val toks = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         TextAnalysis.tokensMode(col("text"), unicode).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= minTokens)
-      // read twice (window pass + both verify joins) — hash once
       .localCheckpoint()
-
     val wins = toks
       .withColumn("toks_h", transform(col("toks"), t => xxhash64(t)))
       .select(
@@ -258,44 +305,49 @@ object Dedup {
             aggregate(
               slice(col("toks_h"), i, lit(minTokens)),
               lit(0L),
-              // chained xxhash64 — order-sensitive and wraparound-safe
-              // (a raw polynomial fold overflows under ANSI arithmetic)
               (acc, h) => xxhash64(acc, h)).as("h"),
             i.as("start")))).as("w"))
       .select(col("doc_id"), col("w.h").as("h"), col("w.start").as("start"))
+    (toks, wins)
+  }
 
-    val hot = wins.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > maxDf)
-      .select(col("h"))
-    val pruned =
-      if (maxDf == Int.MaxValue) wins else wins.join(hot, Seq("h"), "left_anti")
+  /** Drop window hashes seen in more than `maxDf` docs — the
+    * boilerplate-passage analogue of the PPJoin stop-shingle rule. */
+  private def capWindowDf(wins: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) wins
+    else {
+      val hot = wins.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") > maxDf)
+        .select(col("h"))
+      wins.join(hot, Seq("h"), "left_anti")
+    }
 
-    val a = pruned.select(col("h"), col("doc_id").as("id_a"), col("start").as("start_a"))
-    val b = pruned.select(col("h"), col("doc_id").as("id_b"), col("start").as("start_b"))
-    // no distinct needed: (doc_id, start) is unique per window row, so
-    // the h-join emits each (a-window, b-window) combination exactly once
-    val matched = a.join(b, Seq("h"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
-      .withColumn("diag", col("start_a") - col("start_b"))
-
-    // gaps-and-islands per (pair, diagonal): a shared span of S tokens
-    // shows up as S − minTokens + 1 consecutive start_a values, so
-    // start_a − row_number is constant exactly within one maximal run
+  /** Merge matched windows into maximal spans per (pair, diagonal) with
+    * a gaps-and-islands window — partitioned by pair, never global — and
+    * verify the merged token slices for true equality (hash collisions
+    * die here, so precision is 1). */
+  private def mergeAndVerifySpans(
+      matched: DataFrame,
+      toksA: DataFrame,
+      toksB: DataFrame,
+      minTokens: Int): DataFrame = {
+    // a shared span of S tokens shows up as S − minTokens + 1 consecutive
+    // start_a values on one diagonal, so start_a − row_number is constant
+    // exactly within one maximal run
+    val withDiag = matched.withColumn("diag", col("start_a") - col("start_b"))
     val wRun = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
       .orderBy(col("start_a"))
-    val spans = matched
+    val spans = withDiag
       .withColumn("island", col("start_a") - row_number().over(wRun))
       .groupBy(col("id_a"), col("id_b"), col("diag"), col("island"))
       .agg(
         min(col("start_a")).as("start_a"),
         min(col("start_b")).as("start_b"),
         (max(col("start_a")) - min(col("start_a")) + minTokens).as("len_tokens"))
-
     spans
-      .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .join(toksA.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toksB.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
       .filter(
         slice(col("toks_a"), col("start_a"), col("len_tokens")) ===
           slice(col("toks_b"), col("start_b"), col("len_tokens")))

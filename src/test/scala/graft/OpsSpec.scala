@@ -51,6 +51,26 @@ class OpsSpec extends SparkSpec {
       s"viral passage pairs must be pruned by the df cap, got ${capped.size} rows")
   }
 
+  test("verbatimSpansAcross finds probe passages inside corpus docs at exact offsets") {
+    import spark.implicits._
+    val w = (1 to 120).map(i => s"w$i")
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"${prefix}$i")
+    // corpus doc 1 embeds the probe passage (w31..w85, 55 tokens) at
+    // token offset 21; doc 2 is unrelated; doc 3 shares only 49 tokens
+    val corpus = Seq(
+      (1L, (words("c1_", 20) ++ w.slice(30, 85) ++ words("d1_", 5)).mkString(" ")),
+      (2L, words("c2_", 90).mkString(" ")),
+      (3L, (words("c3_", 10) ++ w.slice(30, 79)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      (100L, w.slice(30, 85).mkString(" ")),   // 55 tokens: hits doc 1 fully, doc 3 partially (49 < 50: no)
+      (101L, words("z_", 60).mkString(" "))    // negative control
+    ).toDF("doc_id", "text")
+    val found = Dedup.verbatimSpansAcross(corpus, probes, minTokens = 50)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    assert(found == Set((1L, 100L, 21, 1, 55)), s"got $found")
+  }
+
   test("simhash pairs: high recall on true near-dups, precision vs loose jaccard") {
     // simhash hamming≤3 approximates token-profile similarity — looser
     // than 3-gram jaccard@0.5, so precision is measured against a loose
