@@ -1114,6 +1114,42 @@ object SparkEntry {
         (col("nneg") === 0L).as("negatives_clean_ok"))
   }
 
+  /** Within-document repeated spans + surgical removal — the intra-doc
+    * half of Lee et al. 2022, find→remove end to end. Every planted doc
+    * (doc_id % 7 == 0, ≥ 12 tokens) gets its own opening 12-token
+    * phrase appended TWICE, creating exactly 3 occurrence pairs; the
+    * DuckDB oracle is a full SQL mirror of the operator (window
+    * self-join + gaps-and-islands merge), so n_spans is recomputed
+    * end-to-end, not asserted. Removal feeds the (start_dup, len)
+    * ranges back through `removeSpans`: the cleaned corpus must have no
+    * repeats left AND exactly the original corpus token count — the
+    * cut removed precisely what the plant added. */
+  private def qRepeatedSpans(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val phrase = concat_ws(" ", slice(split(col("text"), " "), 1, 12))
+    val cond = col("doc_id") % 7 === 0 && size(split(col("text"), " ")) >= 12
+    val aug = base.withColumn("text",
+      when(cond, concat(col("text"), lit(" "), phrase, lit(" "), phrase))
+        .otherwise(col("text")))
+    val found = Dedup.repeatedSpansWithin(aug, minTokens = 12).localCheckpoint()
+    val cleaned = Dedup.removeSpans(aug,
+      found.select(col("doc_id"), col("start_dup").as("start"), col("len_tokens")))
+      .localCheckpoint()
+    val clean2 = Dedup.repeatedSpansWithin(cleaned, minTokens = 12)
+    base.filter(cond).agg(count(lit(1)).as("n_planted"))
+      .crossJoin(found.agg(count(lit(1)).as("n_spans")))
+      .crossJoin(clean2.agg(count(lit(1)).as("nc")))
+      .crossJoin(cleaned.agg(
+        sum(size(split(col("text"), " "))).as("tok_clean")))
+      .crossJoin(base.agg(
+        sum(size(split(col("text"), " "))).as("tok_base")))
+      .select(
+        col("n_planted"), col("n_spans"),
+        (col("nc") === 0L).as("clean_ok"),
+        (col("tok_clean") === col("tok_base")).as("tokens_ok"))
+  }
+
   /** eTLD+1 registrable-domain canonicalization — cross-engine parity
     * relation. Deterministic URLs are minted from doc_id across the rule
     * classes of the bundled public-suffix snapshot (plain TLD with
@@ -1988,7 +2024,8 @@ object SparkEntry {
     "q85_verbatim_spans" -> (qVerbatimSpans _),
     "q86_registrable_domain" -> (qRegistrableDomain _),
     "q87_bpe_tokens" -> (qBpeTokens _),
-    "q88_decontaminate_spans" -> (qDecontaminateSpans _))
+    "q88_decontaminate_spans" -> (qDecontaminateSpans _),
+    "q89_repeated_spans" -> (qRepeatedSpans _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2929,5 +2966,26 @@ object SparkEntry {
          SELECT
            (SELECT CAST(count(*) AS BIGINT) FROM donors) AS n_probes,
            (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_matches,
-           true AS self_match_ok, true AS negatives_clean_ok""")
+           true AS self_match_ok, true AS negatives_clean_ok""",
+    "q89_repeated_spans" ->
+      """WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         aug AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 AND len(t) >= 12
+                 THEN text || ' ' || array_to_string(t[1:12], ' ')
+                      || ' ' || array_to_string(t[1:12], ' ')
+                 ELSE text END AS text2 FROM base),
+         toks AS (SELECT doc_id, string_split(text2, ' ') AS t FROM aug),
+         wins AS (SELECT doc_id, i, array_to_string(t[i:i+11], ' ') AS w
+                  FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 11)) s(i)),
+         matched AS (SELECT a.doc_id, a.i AS sa, b.i AS sb
+                     FROM wins a JOIN wins b
+                       ON a.doc_id = b.doc_id AND a.w = b.w AND a.i < b.i),
+         isl AS (SELECT doc_id, sa, sb,
+                 sa - row_number() OVER (PARTITION BY doc_id, sa - sb ORDER BY sa) AS g
+                 FROM matched),
+         spans AS (SELECT doc_id FROM isl GROUP BY doc_id, sa - sb, g)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 12) AS n_planted,
+           (SELECT CAST(count(*) AS BIGINT) FROM spans) AS n_spans,
+           true AS clean_ok, true AS tokens_ok""")
 }

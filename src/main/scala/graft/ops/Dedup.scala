@@ -282,6 +282,72 @@ object Dedup {
     mergeAndVerifySpans(matched, cToks, pToks, minTokens)
   }
 
+  /** Within-document repeated spans — the INTRA-document half of Lee et
+    * al. 2022 (loops, boilerplate stutter, copy-paste inside one doc):
+    * every pair of occurrences of a verbatim run of ≥ `minTokens` tokens
+    * INSIDE the same document. Same window machinery as
+    * [[verbatimSpans]]; the join is per-document (doc_id, h), so a
+    * pathological self-repeating doc costs O(occurrences²) bounded by
+    * its own length — never cross-document work.
+    *
+    * @return (doc_id, start_keep, start_dup, len_tokens) with
+    *         start_keep < start_dup — feed the (start_dup, len_tokens)
+    *         ranges to [[removeSpans]] to keep first occurrences. */
+  def repeatedSpansWithin(
+      docs: DataFrame,
+      minTokens: Int = 50,
+      unicode: Boolean = false): DataFrame = {
+    require(minTokens >= 2, s"minTokens $minTokens must be >= 2")
+    val (toks, wins) = tokenWindows(docs, minTokens, unicode)
+    val a = wins.select(col("doc_id"), col("h"), col("start").as("start_a"))
+    val b = wins.select(col("doc_id"), col("h"), col("start").as("start_b"))
+    val matched = a.join(b, Seq("doc_id", "h"))
+      .filter(col("start_a") < col("start_b"))
+      .select(
+        col("doc_id").as("id_a"), col("doc_id").as("id_b"),
+        col("start_a"), col("start_b"))
+    mergeAndVerifySpans(matched, toks, toks, minTokens)
+      .select(
+        col("id_a").as("doc_id"),
+        col("start_a").as("start_keep"),
+        col("start_b").as("start_dup"),
+        col("len_tokens"))
+  }
+
+  /** Surgically cut token ranges out of documents — the removal step
+    * after [[repeatedSpansWithin]] / [[verbatimSpansAcross]] locate
+    * them. `spans` rows are (doc_id, start, len_tokens), 1-based token
+    * offsets; overlapping or duplicate ranges are fine (a token inside
+    * ANY range is dropped). Declarative: ranges collect per doc (small —
+    * bounded by spans per doc), the cut is one codegen'd
+    * filter-with-index over the token array, no UDF, no shuffle beyond
+    * the per-doc collect. Docs with no spans pass through verbatim. */
+  def removeSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      unicode: Boolean = false): DataFrame = {
+    val cuts = spans
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("start"), col("len_tokens"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start"), col("len_tokens"))).as("cuts"))
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("cuts").isNull, col("text"))
+          .otherwise(array_join(
+            filter(
+              TextAnalysis.tokensMode(col("text"), unicode),
+              (t, i) => !exists(col("cuts"), c =>
+                i + 1 >= c.getField("start") &&
+                  i + 1 < c.getField("start") + c.getField("len_tokens"))),
+            " "))
+          .as("text"))
+  }
+
   /** Tokenize, filter to ≥ minTokens, and emit per-window chained
     * xxhash64 fingerprints (order-sensitive and wraparound-safe — a raw
     * polynomial fold overflows under ANSI arithmetic). Returns

@@ -71,6 +71,31 @@ class OpsSpec extends SparkSpec {
     assert(found == Set((1L, 100L, 21, 1, 55)), s"got $found")
   }
 
+  test("repeatedSpansWithin + removeSpans: find and cut intra-doc repeats exactly") {
+    import spark.implicits._
+    val w = (1 to 40).map(i => s"w$i")
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"${prefix}$i")
+    // doc 1: 15-token phrase at 1..15 repeated at 31..45 (gap between);
+    // doc 2: no repeats; doc 3: phrase repeated ADJACENT (16..30)
+    val corpus = Seq(
+      (1L, (w.slice(0, 15) ++ words("f_", 15) ++ w.slice(0, 15)).mkString(" ")),
+      (2L, words("g_", 40).mkString(" ")),
+      (3L, (w.slice(0, 15) ++ w.slice(0, 15) ++ words("h_", 5)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val found = Dedup.repeatedSpansWithin(corpus, minTokens = 12)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(found == Set((1L, 1, 31, 15), (3L, 1, 16, 15)), s"got $found")
+    // cut the dup occurrences: both docs return to a repeat-free form
+    // with exactly the duplicate tokens gone
+    val cleaned = Dedup.removeSpans(corpus,
+      Dedup.repeatedSpansWithin(corpus, minTokens = 12)
+        .select(col("doc_id"), col("start_dup").as("start"), col("len_tokens")))
+    val counts = cleaned.select(col("doc_id"), size(split(col("text"), " ")))
+      .as[(Long, Int)].collect().toMap
+    assert(counts == Map(1L -> 30, 2L -> 40, 3L -> 20), s"got $counts")
+    assert(Dedup.repeatedSpansWithin(cleaned, minTokens = 12).count() == 0)
+  }
+
   test("simhash pairs: high recall on true near-dups, precision vs loose jaccard") {
     // simhash hamming≤3 approximates token-profile similarity — looser
     // than 3-gram jaccard@0.5, so precision is measured against a loose
