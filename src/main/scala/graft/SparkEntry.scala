@@ -1150,6 +1150,17 @@ object SparkEntry {
         (col("tok_clean") === col("tok_base")).as("tokens_ok"))
   }
 
+  /** Bigram LM quality score (CCNet-style perplexity filtering) — full
+    * per-doc cross-engine mirror: both engines train the same bigram +
+    * unigram counts over the corpus and score every document's mean
+    * smoothed bigram log-probability, row-hashed over 500 docs. Any
+    * divergence in counting, smoothing, or the join shape breaks the
+    * hash. */
+  private def qLmScore(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmScore(
+      t(s, d, "documents").select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"))
+
   /** eTLD+1 registrable-domain canonicalization — cross-engine parity
     * relation. Deterministic URLs are minted from doc_id across the rule
     * classes of the bundled public-suffix snapshot (plain TLD with
@@ -2025,7 +2036,8 @@ object SparkEntry {
     "q86_registrable_domain" -> (qRegistrableDomain _),
     "q87_bpe_tokens" -> (qBpeTokens _),
     "q88_decontaminate_spans" -> (qDecontaminateSpans _),
-    "q89_repeated_spans" -> (qRepeatedSpans _))
+    "q89_repeated_spans" -> (qRepeatedSpans _),
+    "q90_lm_score" -> (qLmScore _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2987,5 +2999,18 @@ object SparkEntry {
            (SELECT CAST(count(*) AS BIGINT) FROM documents
              WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 12) AS n_planted,
            (SELECT CAST(count(*) AS BIGINT) FROM spans) AS n_spans,
-           true AS clean_ok, true AS tokens_ok""")
+           true AS clean_ok, true AS tokens_ok""",
+    "q90_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                 FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) s(i)),
+         uni AS (SELECT t[i] AS w1, count(*) AS cu
+                 FROM toks CROSS JOIN unnest(generate_series(1, len(t))) s(i)
+                 GROUP BY 1),
+         bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+         v AS (SELECT CAST(count(*) AS DOUBLE) AS vocab FROM uni)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((cb + 0.5) / (cu + 0.5 * vocab))), 4) AS lm_score
+         FROM big JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+         GROUP BY doc_id ORDER BY doc_id""")
 }

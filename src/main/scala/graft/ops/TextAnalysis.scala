@@ -237,6 +237,58 @@ object TextAnalysis {
     round(lenScore * lit(0.5) + stopScore * lit(0.5) - punctPenalty * lit(0.25), 4)
   }
 
+  /** Bigram language-model quality score — the corpus-statistics member
+    * of the quality-filter family (public method: CCNet, Wenzek et al.
+    * 2020, filters by KenLM perplexity; this is the deterministic
+    * distributed shape with a bigram model and add-α smoothing).
+    * Per doc: the mean over its token bigrams of
+    * ln((C(w1,w2) + α) / (C(w1) + α·V)) — fluent text reuses frequent
+    * transitions and scores high; gibberish / mangled extraction scores
+    * low. Model counts train on `model` (default: the scored corpus
+    * itself — self-scoring, like TF-IDF); pass a curated reference to
+    * score against clean text instead.
+    *
+    * Scale shape: two hash aggregates build the model (bigram + unigram
+    * counts — vocabulary-sized, map-combined); scoring is one join of
+    * the exploded bigram stream against them (AQE broadcasts
+    * real-vocabulary models) and one per-doc average. No windows, no
+    * driver loops. Docs with < 2 tokens have no bigrams and are not
+    * scored (no row).
+    *
+    * @return (doc_id, n_bigrams, lm_score) — lm_score rounded 4dp. */
+  def lmScore(
+      docs: DataFrame,
+      model: Option[DataFrame] = None,
+      alpha: Double = 0.5): DataFrame = {
+    def bigrams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2) // sequence(1, 0) would DESCEND, not empty
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(
+          element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val train = model.getOrElse(docs)
+    val uni = train
+      .select(explode(split(col("text"), " ")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val bc = bigrams(train)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val v = uni.agg(count(lit(1)).as("vocab"))
+    bigrams(docs)
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(v)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(
+          (coalesce(col("cb"), lit(0L)) + lit(alpha)) /
+            (coalesce(col("cu"), lit(0L)) + lit(alpha) * col("vocab")))), 4)
+          .as("lm_score"))
+  }
+
   /** N-gram-heuristic language ID: score each candidate language by
     * counting marker-token hits; highest score wins, 'und' when nothing
     * matches. Markers chosen to be disjoint so the argmax is stable. */

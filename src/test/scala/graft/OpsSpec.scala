@@ -804,6 +804,32 @@ class OpsSpec extends SparkSpec {
     assert(doc3.length >= 1 && doc3.map(r => r._3 - r._2).sum == 4)
   }
 
+  test("lmScore: hand-computed smoothed bigram log-prob; fluent beats shuffled") {
+    import spark.implicits._
+    // single doc "a b a b": cu(a)=cu(b)=2, cb(a,b)=2, cb(b,a)=1, V=2,
+    // score = (2·ln(2.5/3) + ln(1.5/3)) / 3 — computed by hand
+    val tiny = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(tiny)
+      .select("n_bigrams", "lm_score").as[(Long, Double)].head()
+    val want = math.rint(
+      (2 * math.log(2.5 / 3.0) + math.log(1.5 / 3.0)) / 3.0 * 1e4) / 1e4
+    assert(got == ((3L, want)), s"got $got want (3, $want)")
+    // corpus of fluent docs reusing the same transitions + one doc of
+    // the same tokens in a transition-breaking order: fluency wins
+    val fluent = (1 to 8).map(i => (i.toLong, "the cat sat on the mat"))
+    val shuffled = Seq((99L, "mat the on sat cat the"))
+    val scored = TextAnalysis.lmScore((fluent ++ shuffled).toDF("doc_id", "text"))
+      .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
+    assert(scored(1L) > scored(99L),
+      s"fluent ${scored(1L)} must outscore shuffled ${scored(99L)}")
+    // scoring against an external model: unseen bigrams smooth, not crash
+    val ext = TextAnalysis.lmScore(
+      Seq((7L, "dog cat zzz")).toDF("doc_id", "text"),
+      model = Some(fluent.toDF("doc_id", "text")))
+      .select("doc_id").as[Long].collect()
+    assert(ext.toSeq == Seq(7L))
+  }
+
   test("text analysis columns are consistent") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat, happily!").toDF("text")
