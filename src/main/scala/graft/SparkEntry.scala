@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 import graft.gen.DataGen
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2. Queries run over the driver's
@@ -1161,6 +1161,69 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"), col("text")))
       .orderBy(col("doc_id"))
 
+  /** Gopher quality rule-set (Rae et al. 2021 A1.1) — cross-engine parity
+    * relation over minted rule-class documents. The fixture text is flat
+    * single-line prose, so each doc_id class grafts (or replaces with) a
+    * deterministic violation of one rule: bullet-started lines, lines
+    * ending "...", "#" symbol runs, numeric (non-alphabetic) word blocks,
+    * a 5-word truncation, a stop-word strip, and a single-letter-word
+    * block that drags mean word length under 3. Spark runs
+    * `TextAnalysis.gopherReport` for real; DuckDB recomputes every
+    * fraction and verdict with list/regex ops on the identical minted
+    * text — 500 row-hashed rows covering all seven rules both passing
+    * and failing. */
+  private def qGopherRules(s: SparkSession, d: String): DataFrame = {
+    val numBlock = Seq.fill(3)(
+      "111 222 333 444 555 666 777 888 999 000").mkString(" ")
+    val zBlock = Seq.fill(60)("z").mkString(" ")
+    val bulletDoc = Seq(
+      "• one", "• two", "• three", "• four", "• five",
+      "- six", "- seven", "- eight", "- nine", "ten plain").mkString("\n")
+    // default class: a stop-word-rich tail so the corpus exercises the
+    // PASSING side of every rule too (base vocab rarely has ≥2 Gopher
+    // stops); keep then splits within the class on the word-count rule
+    val passTail = "the data and that model have to be of use with the " +
+      "team over time and the plan will hold for now and then some more to come"
+    val ws = split(col("text"), " ")
+    val shape = pmod(col("doc_id"), lit(8))
+    val minted = when(shape === 0, lit(bulletDoc))
+      .when(shape === 1,
+        concat(col("text"), lit(" tail...\nalpha beta...\ngamma delta...")))
+      .when(shape === 2, concat(col("text"), lit(" ### ### ### ###")))
+      .when(shape === 3, concat(col("text"), lit(" " + numBlock)))
+      .when(shape === 4, array_join(slice(ws, 1, 5), " "))
+      .when(shape === 5,
+        array_join(filter(ws,
+          w => !w.isin(TextAnalysis.gopherStopwords.map(lit): _*)), " "))
+      .when(shape === 6, concat(col("text"), lit(" " + zBlock)))
+      .otherwise(concat(col("text"), lit(" " + passTail)))
+    TextAnalysis.gopherReport(
+      t(s, d, "documents").select(col("doc_id"), minted.as("text")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget mixture selection (data mixing) — full-relation
+    * cross-engine check. Per-source budgets are minted from the source
+    * ordinal (300 + 100·(n mod 5)) so both engines agree without a
+    * budget table; rank is the 4dp quality score, weight the whitespace
+    * token count. Spark rides the distributed prefix scan (rank order
+    * encoded into the scan key); DuckDB recomputes with a plain
+    * partitioned window cumsum — the same relation from two shapes, so
+    * any scan/encode/decode bug breaks the 500-row hash, including the
+    * exact budget-boundary doc. */
+  private def qMixtureSelect(s: SparkSession, d: String): DataFrame = {
+    val budgets =
+      (0 until 50).map(i => s"src$i" -> (300L + 100L * (i % 5))).toMap
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    Curation.mixtureSelect(
+      docs,
+      rank = TextAnalysis.qualityScore(col("text")),
+      weight = TextAnalysis.tokenCount(col("text")),
+      budgets = budgets)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** eTLD+1 registrable-domain canonicalization — cross-engine parity
     * relation. Deterministic URLs are minted from doc_id across the rule
     * classes of the bundled public-suffix snapshot (plain TLD with
@@ -2037,7 +2100,9 @@ object SparkEntry {
     "q87_bpe_tokens" -> (qBpeTokens _),
     "q88_decontaminate_spans" -> (qDecontaminateSpans _),
     "q89_repeated_spans" -> (qRepeatedSpans _),
-    "q90_lm_score" -> (qLmScore _))
+    "q90_lm_score" -> (qLmScore _),
+    "q91_gopher_rules" -> (qGopherRules _),
+    "q92_mixture_select" -> (qMixtureSelect _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3012,5 +3077,86 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            round(avg(ln((cb + 0.5) / (cu + 0.5 * vocab))), 4) AS lm_score
          FROM big JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
-         GROUP BY doc_id ORDER BY doc_id""")
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q91_gopher_rules" ->
+      """WITH minted AS (
+           SELECT doc_id,
+             CASE doc_id % 8
+               WHEN 0 THEN '• one' || chr(10) || '• two' || chr(10) || '• three' || chr(10) ||
+                           '• four' || chr(10) || '• five' || chr(10) || '- six' || chr(10) ||
+                           '- seven' || chr(10) || '- eight' || chr(10) || '- nine' || chr(10) || 'ten plain'
+               WHEN 1 THEN text || ' tail...' || chr(10) || 'alpha beta...' || chr(10) || 'gamma delta...'
+               WHEN 2 THEN text || ' ### ### ### ###'
+               WHEN 3 THEN text || ' ' || trim(repeat('111 222 333 444 555 666 777 888 999 000 ', 3))
+               WHEN 4 THEN array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+               WHEN 5 THEN array_to_string(list_filter(string_split(text, ' '),
+                             w -> w NOT IN ('the','be','to','of','and','that','have','with')), ' ')
+               WHEN 6 THEN text || ' ' || trim(repeat('z ', 60))
+               ELSE text || ' the data and that model have to be of use with the team over time and the plan will hold for now and then some more to come' END AS text
+           FROM documents),
+         m AS (
+           SELECT doc_id, text,
+             regexp_split_to_array(text, '\s+') AS w,
+             string_split(text, chr(10)) AS ln
+           FROM minted),
+         c AS (
+           SELECT doc_id,
+             len(w) AS n_words,
+             CAST(greatest(len(w), 1) AS DOUBLE) AS nw,
+             CAST(greatest(len(ln), 1) AS DOUBLE) AS nl,
+             list_aggregate(list_transform(w, x -> len(x)), 'sum') AS sumlen,
+             len(text) - len(replace(text, '#', '')) AS hashes,
+             CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS ells,
+             len(list_filter(ln, l -> starts_with(l, '• ') OR starts_with(l, '- '))) AS bullets,
+             len(list_filter(ln, l -> ends_with(l, '...'))) AS ell_lines,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alphas,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(w, s))) AS stop_hits
+           FROM m),
+         f AS (
+           SELECT doc_id,
+             CAST(n_words AS INT) AS n_words,
+             round(CAST(sumlen AS DOUBLE) / nw, 4) AS mean_word_len,
+             round(CAST(hashes + ells AS DOUBLE) / nw, 4) AS symbol_ratio,
+             round(CAST(bullets AS DOUBLE) / nl, 4) AS bullet_frac,
+             round(CAST(ell_lines AS DOUBLE) / nl, 4) AS ellipsis_frac,
+             round(CAST(alphas AS DOUBLE) / nw, 4) AS alpha_frac,
+             CAST(stop_hits AS INT) AS stop_hits
+           FROM c)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+           ellipsis_frac, alpha_frac, stop_hits,
+           n_words BETWEEN 50 AND 100000 AS r_word_count,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_len,
+           symbol_ratio < 0.1 AS r_symbol,
+           bullet_frac < 0.9 AS r_bullet,
+           ellipsis_frac < 0.3 AS r_ellipsis,
+           alpha_frac >= 0.8 AS r_alpha,
+           stop_hits >= 2 AS r_stop,
+           (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+             AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+         FROM f ORDER BY doc_id""",
+    "q92_mixture_select" ->
+      """WITH b AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, source,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stopwords,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+           length(text) AS n_chars
+           FROM b),
+         q AS (SELECT doc_id, source, n_tokens,
+           round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5
+             + least(CAST(n_stopwords AS DOUBLE)*10.0/greatest(CAST(n_tokens AS DOUBLE),1.0), 1.0)*0.5
+             - least(CAST(n_punct AS DOUBLE)/greatest(CAST(n_chars AS DOUBLE),1.0)*5.0, 1.0)*0.25,
+             4) AS quality
+           FROM c),
+         w AS (SELECT doc_id, source, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY quality DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens,
+           CAST(300 + 100 * (CAST(substr(source, 4) AS INT) % 5) AS BIGINT) AS budget
+           FROM q)
+         SELECT source, doc_id, quality, n_tokens, cum_tokens, budget,
+           cum_tokens < budget AS selected
+         FROM w ORDER BY source, doc_id""")
 }

@@ -192,6 +192,60 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Token-budget mixture selection — the "data mixing" primitive: given
+    * per-source token budgets (a mixture weighting, DoReMi/Pile-style),
+    * keep each source's best documents by a quality rank until its
+    * budget is spent. Greedy whole-document packing: a doc is selected
+    * iff the tokens already taken from its source (by strictly better
+    * rank) are still under budget — so the budget-crossing doc is the
+    * last one in.
+    *
+    * Scale shape: the obvious cumsum-window parallelizes only by source
+    * count (~20 reducers for a 20-source 100 TB corpus); this rides
+    * [[PrefixScan.runningTotal]] instead — range-partition by (source,
+    * rank), per-partition subtotals (partitions × sources tiny rows to
+    * the driver), local rescan from broadcast offsets. Rank order is
+    * encoded into the scan's long key as
+    * (10000 − round(rank·1e4)) · 2^40 + doc_id, i.e. rank descending
+    * with doc_id as the deterministic tie-break; budgets ride along as a
+    * broadcast map literal, never a join.
+    *
+    * PRECONDITIONS: rank quantized at 4dp in (−100, 100); 0 ≤ doc_id
+    * < 2^40 (both hold for every corpus this library mints or reads —
+    * 2^40 docs is ~1000× a 100 TB corpus's doc count).
+    *
+    * @return (source, doc_id, quality, n_tokens, cum_tokens, budget,
+    *         selected) — cum_tokens EXCLUDES the current doc. */
+  def mixtureSelect(
+      docs: DataFrame,
+      rank: Column,
+      weight: Column,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    val prep = docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("source"),
+      round(rank * lit(10000)).cast("long").as("r4"),
+      weight.cast("long").as("w"))
+    val enc = (lit(10000L) - col("r4")) * lit(1L << 40) + col("doc_id")
+    val budgetCol = coalesce(
+      element_at(typedLit(budgets), col("source")), lit(defaultBudget))
+    // decode with exact integer arithmetic: ord can exceed 2^53, so a
+    // double floor(ord / 2^40) could round; (ord − ord % 2^40) is an
+    // exact multiple k·2^40 with k ≤ ~12500 — exactly representable
+    PrefixScan.runningTotal(prep, col("source"), enc, col("w"))
+      .select(
+        col("group").as("source"),
+        pmod(col("ord"), lit(1L << 40)).as("doc_id"),
+        ((lit(10000L) -
+          (col("ord") - pmod(col("ord"), lit(1L << 40))) / lit(1L << 40))
+          / lit(10000.0)).as("quality"),
+        col("value").as("n_tokens"),
+        col("cum").as("cum_tokens"))
+      .withColumn("budget", budgetCol)
+      .withColumn("selected", col("cum_tokens") < col("budget"))
+  }
+
   /** [[capPerDomain]] on the REGISTRABLE (eTLD+1) domain of a URL
     * column: `www.example.com`, `example.com` and `a.b.example.com`
     * cap as ONE domain, while `a.blogspot.com` / `b.blogspot.com` stay

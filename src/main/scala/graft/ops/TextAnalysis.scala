@@ -289,6 +289,73 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  /** The Gopher rule-set's stop list (Rae et al. 2021 A1.1: "contains at
+    * least 2 of the following: the, be, to, of, and, that, have, with"). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality rule-set (Rae et al. 2021, Appendix A1.1) — the
+    * published per-document heuristic filter battery, as one map-only
+    * relation of per-rule verdicts. Rules, with the paper's thresholds:
+    * word count in [50, 100k]; mean word length in [3, 10]; symbol-to-word
+    * ratio ("#" or "...") < 0.1; < 90% of lines bullet-started; < 30% of
+    * lines ellipsis-ended; ≥ 80% of words contain an alphabetic char;
+    * ≥ 2 distinct stop-list hits. `keep` = all rules pass.
+    *
+    * Scale shape: every column is a pure codegen expression over the text
+    * (split + higher-order array functions) — per-row work only, no
+    * shuffle, no UDFs; at 100 TB this is a single map stage that fuses
+    * into whatever scan feeds it. Words split on `\s+` (not the corpus's
+    * single-space convention) because the line-based rules make newlines
+    * first-class here.
+    *
+    * @return (doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    *         ellipsis_frac, alpha_frac, stop_hits, r_* booleans, keep);
+    *         fractions rounded 4dp for cross-engine comparison. */
+  def gopherReport(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val words = split(text, "\\s+")
+    val nWords = size(words)
+    val nWordsD = greatest(nWords, lit(1)).cast("double")
+    val meanLen = round(
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWordsD, 4)
+    // "#" or "..." occurrences; replace-then-length-diff counts both
+    // engines identically (no regex, no overlap ambiguity)
+    val hashCnt = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellCnt = ((length(text) - length(replace(text, lit("..."), lit("")))) / lit(3))
+      .cast("long")
+    val symbolRatio = round((hashCnt + ellCnt).cast("double") / nWordsD, 4)
+    val lines = split(text, "\n")
+    val nLinesD = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = round(
+      size(filter(lines, l => l.startsWith("• ").or(l.startsWith("- ")))).cast("double") / nLinesD, 4)
+    val ellipsisFrac = round(
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / nLinesD, 4)
+    val alphaFrac = round(
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWordsD, 4)
+    val stopHits = size(filter(
+      array(gopherStopwords.map(lit): _*), s => array_contains(words, s)))
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"))
+      .withColumn("r_word_count", col("n_words").between(50, 100000))
+      .withColumn("r_mean_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("r_symbol", col("symbol_ratio") < 0.1)
+      .withColumn("r_bullet", col("bullet_frac") < 0.9)
+      .withColumn("r_ellipsis", col("ellipsis_frac") < 0.3)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop", col("stop_hits") >= 2)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
   /** N-gram-heuristic language ID: score each candidate language by
     * counting marker-token hits; highest score wins, 'und' when nothing
     * matches. Markers chosen to be disjoint so the argmax is stable. */

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 class OpsSpec extends SparkSpec {
 
@@ -828,6 +828,62 @@ class OpsSpec extends SparkSpec {
       model = Some(fluent.toDF("doc_id", "text")))
       .select("doc_id").as[Long].collect()
     assert(ext.toSeq == Seq(7L))
+  }
+
+  test("gopherReport: each rule fires on its hand-built violation") {
+    import spark.implicits._
+    val pass = ("the data and that model have to be of use with care " +
+      Seq.fill(40)("word").mkString(" ")) // 52 words, all alpha, stops
+    val docs = Seq(
+      (1L, pass),
+      (2L, "tiny doc the of"), // word count < 50
+      (3L, pass + " " + Seq.fill(80)("z").mkString(" ")), // mean len < 3
+      (4L, pass + " " + Seq.fill(10)("###").mkString(" ")), // symbols ≥ 0.1
+      (5L, Seq.fill(9)("• b").mkString("\n") + "\nplain"), // 90% bullets
+      (6L, pass + "\nx...\ny...\nz...\nw...\nv...\nu..."), // >30% ellipsis lines
+      (7L, pass + " " + Seq.fill(30)("123").mkString(" ")), // alpha < 80%
+      (8L, Seq.fill(60)("word").mkString(" "))) // no stop words
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherReport(docs)
+      .select("doc_id", "r_word_count", "r_mean_len", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop", "keep")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).map(_ == true)).toMap
+    assert(got(1L).forall(identity), s"doc 1 must pass all: ${got(1L)}")
+    val failIdx = Map(2L -> 0, 3L -> 1, 4L -> 2, 5L -> 3, 6L -> 4, 7L -> 5, 8L -> 6)
+    for ((id, idx) <- failIdx) {
+      assert(!got(id)(idx), s"doc $id must fail rule index $idx: ${got(id)}")
+      assert(!got(id)(7), s"doc $id keep must be false")
+    }
+  }
+
+  test("mixtureSelect: greedy by rank desc, budget boundary doc included") {
+    import spark.implicits._
+    // src a: ranks .9/.8/.7 with 10 tokens each, budget 25 → the .7 doc
+    // starts at cum 20 < 25 (boundary doc in), nothing after; src b:
+    // unknown source → default budget 0 → nothing selected
+    val docs = Seq(
+      (1L, "a", 0.9, 10L), (2L, "a", 0.8, 10L), (3L, "a", 0.7, 10L),
+      (4L, "a", 0.6, 10L), (5L, "b", 0.9, 10L))
+      .toDF("doc_id", "source", "rank", "w")
+    val got = Curation.mixtureSelect(
+      docs, col("rank"), col("w"), Map("a" -> 25L))
+      .select("doc_id", "cum_tokens", "selected")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 0L, true), (2L, 10L, true), (3L, 20L, true),
+      (4L, 30L, false), (5L, 0L, false)))
+    // rank tie → doc_id ascending breaks it deterministically
+    val tied = Seq((9L, "c", 0.5, 10L), (3L, "c", 0.5, 10L))
+      .toDF("doc_id", "source", "rank", "w")
+    val sel = Curation.mixtureSelect(tied, col("rank"), col("w"), Map("c" -> 10L))
+      .filter(col("selected")).select("doc_id").as[Long].collect()
+    assert(sel.toSeq == Seq(3L))
+    // decoded quality survives the ord round-trip, negatives included
+    val neg = Curation.mixtureSelect(
+      Seq((1L, "d", -0.25, 5L)).toDF("doc_id", "source", "rank", "w"),
+      col("rank"), col("w"), Map.empty, defaultBudget = 100L)
+      .select("quality", "selected").as[(Double, Boolean)].head()
+    assert(neg == ((-0.25, true)))
   }
 
   test("text analysis columns are consistent") {
