@@ -1224,6 +1224,43 @@ object SparkEntry {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Perceptual video near-dup via the temporal gradient hash — q82's
+    * planted-invariance design on the video modality: every clip gets a
+    * brightness-shifted twin (+5 luma, re-encoded) and a 2× spatial
+    * upscale twin (pixel duplication, re-encoded); both transforms
+    * preserve the mean-centered luma curve, so the banded Hamming join must
+    * recover every planted pair exactly and pair no unrelated clips
+    * (random lumas sit near Hamming 32). The decode → hash → band →
+    * verify path runs for real on the Spark side; DuckDB pins the
+    * derived booleans. */
+  private def qVideoDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vids = Multimodal.syntheticMedia(s, 300).filter(_.media_type == "video")
+    val off1 = 1000000L; val off2 = 2000000L
+    val bright = Multimodal.videoShiftLuma(
+      vids.map(r => r.copy(media_id = r.media_id + off1)), 5)
+    val up = Multimodal.videoScaleBy(
+      vids.map(r => r.copy(media_id = r.media_id + off2)), 2)
+    val pairs = Multimodal.videoNearDupPairs(vids.union(bright).union(up))
+      .select(col("id_a"), col("id_b"))
+    val nVids = vids.map(_.media_id).toDF("id").agg(count(lit(1)).as("n_videos"))
+    val brightFound = vids.map(r => (r.media_id, r.media_id + off1))
+      .toDF("id_a", "id_b").join(pairs, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("kb"))
+    val upFound = vids.map(r => (r.media_id, r.media_id + off2))
+      .toDF("id_a", "id_b").join(pairs, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("ku"))
+    val falsePairs = pairs
+      .filter(pmod(col("id_a"), lit(off1)) =!= pmod(col("id_b"), lit(off1)))
+      .agg(count(lit(1)).as("nf"))
+    nVids.crossJoin(brightFound).crossJoin(upFound).crossJoin(falsePairs)
+      .select(
+        col("n_videos"),
+        (col("kb") === col("n_videos")).as("brightness_found_ok"),
+        (col("ku") === col("n_videos")).as("rescale_found_ok"),
+        (col("nf") === 0L).as("no_false_ok"))
+  }
+
   /** eTLD+1 registrable-domain canonicalization — cross-engine parity
     * relation. Deterministic URLs are minted from doc_id across the rule
     * classes of the bundled public-suffix snapshot (plain TLD with
@@ -2102,7 +2139,8 @@ object SparkEntry {
     "q89_repeated_spans" -> (qRepeatedSpans _),
     "q90_lm_score" -> (qLmScore _),
     "q91_gopher_rules" -> (qGopherRules _),
-    "q92_mixture_select" -> (qMixtureSelect _))
+    "q92_mixture_select" -> (qMixtureSelect _),
+    "q93_video_dedup" -> (qVideoDedup _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3158,5 +3196,10 @@ object SparkEntry {
            FROM q)
          SELECT source, doc_id, quality, n_tokens, cum_tokens, budget,
            cum_tokens < budget AS selected
-         FROM w ORDER BY source, doc_id""")
+         FROM w ORDER BY source, doc_id""",
+    "q93_video_dedup" ->
+      """SELECT CAST(100 AS BIGINT) AS n_videos,
+           true AS brightness_found_ok,
+           true AS rescale_found_ok,
+           true AS no_false_ok""")
 }

@@ -517,6 +517,210 @@ object Multimodal {
       nBands: Int = 8): DataFrame =
     Dedup.hammingPairs(imageDhash(media), maxHamming, nBands)
 
+  /** Parse a Y4M stream into (width, height, chroma, header end, frame
+    * payload bytes) — the shared header walk for the frame-level video
+    * ops below. Bounds-guarded like [[y4mDecodeFeatures]]. */
+  private def y4mHeader(payload: Array[Byte]): (Int, Int, String, Int, Int) = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < payload.length && payload(i) != '\n') i += 1
+      require(i < payload.length,
+        s"truncated Y4M stream: no newline after byte $from")
+      i
+    }
+    require(payload.length >= 10, "truncated Y4M stream: no header")
+    val hEnd = lineEnd(0)
+    val header = new String(payload, 0, hEnd, "US-ASCII")
+    val toks = header.split(' ')
+    require(toks(0) == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+    var w = 0; var h = 0; var chroma = "420"
+    toks.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
+      t.head match {
+        case 'W' => w = t.tail.toInt
+        case 'H' => h = t.tail.toInt
+        case 'C' => chroma = t.tail
+        case _ => ()
+      }
+    }
+    require(w > 0 && h > 0, s"bad Y4M geometry ${w}x$h in header '$header'")
+    val frameBytes = chroma match {
+      case "444" => 3 * w * h
+      case "422" => 2 * w * h
+      case "420" | "420jpeg" | "420mpeg2" | "420paldv" => w * h * 3 / 2
+      case other => throw new IllegalArgumentException(
+        s"unsupported chroma subsampling C$other")
+    }
+    (w, h, chroma, hEnd, frameBytes)
+  }
+
+  /** Per-frame mean lumas of a Y4M stream — the 1-D "time series" of the
+    * clip every temporal signature derives from. */
+  private[graft] def y4mFrameLumas(payload: Array[Byte]): Array[Double] = {
+    val (w, h, _, hEnd, frameBytes) = y4mHeader(payload)
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < payload.length && payload(i) != '\n') i += 1
+      require(i < payload.length, s"truncated Y4M frame header at $from")
+      i
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var pos = hEnd + 1
+    while (pos < payload.length) {
+      require(pos + 5 <= payload.length &&
+        new String(payload, pos, 5, "US-ASCII") == "FRAME",
+        s"bad frame marker at byte $pos")
+      pos = lineEnd(pos) + 1
+      require(pos + frameBytes <= payload.length,
+        s"truncated Y4M frame at byte $pos")
+      var s = 0.0
+      var i = 0
+      while (i < w * h) { s += (payload(pos + i) & 0xFF); i += 1 }
+      out += s / (w * h)
+      pos += frameBytes
+    }
+    out.toArray
+  }
+
+  /** 64-bit temporal hash over a clip's frame-luma series: 8 evenly-
+    * spaced samples (position i·(n−1)/7 — endpoints always included),
+    * each encoded as its MEAN-CENTERED luma rounded to a signed byte
+    * (the coarse-quantized luminance-curve family — MPEG-7's video
+    * signature quantizes frame-luminance differences the same way).
+    * Mean-centering buys exposure invariance: a uniform brightness shift
+    * moves every sample and the mean together; spatial rescales keep
+    * frame MEANS exact, so re-encodes at other resolutions hash
+    * identically. A pure gradient hash (sign bits only) carries at most
+    * n−1 informative bits and collides badly on short clips — a
+    * 20-frame clip leaves ~19 usable bits, putting random pairs inside
+    * Hamming 7 with probability ~0.18; quantized bytes use all 64 bits
+    * regardless of clip length. Unrelated clips land near Hamming 32;
+    * each 8-bit Hamming band is exactly one sample byte. */
+  private[graft] def temporalHash64(lumas: Array[Double]): Long = {
+    require(lumas.nonEmpty, "temporalHash64 of an empty clip")
+    val n = lumas.length
+    val s = Array.tabulate(8)(i => lumas(((i.toLong * (n - 1)) / 7).toInt))
+    val mean = s.sum / 8.0
+    var bits = 0L
+    var i = 0
+    while (i < 8) {
+      val q = math.max(-128L, math.min(127L, math.round(s(i) - mean)))
+      bits |= (q & 0xFFL) << (8 * i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Temporal fingerprints for the video rows: (doc_id, fp) — decode the
+    * Y4M stream, hash the frame-luma series. Non-videos are dropped.
+    * Same mapPartitions batch shape as [[imageDhash]]. */
+  def videoTemporalHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.collect {
+        case r if r.media_type == "video" =>
+          (r.media_id, temporalHash64(y4mFrameLumas(r.payload)))
+      }
+    }.toDF("doc_id", "fp")
+  }
+
+  /** Perceptual video near-duplicate pairs: temporal hashes fed to the
+    * shared Hamming-banding kernel ([[Dedup.hammingPairs]]) — the same
+    * structural-recall contract as [[imageNearDupPairs]] (8×8 bands find
+    * every pair within Hamming 7 by pigeonhole). Scale shape:
+    * O(n·bands) signature shuffle, only colliding buckets pair; the
+    * decode is one map pass over the payload column. */
+  def videoNearDupPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 7,
+      nBands: Int = 8): DataFrame =
+    Dedup.hammingPairs(videoTemporalHash(media), maxHamming, nBands)
+
+  /** Integer-factor spatial upscale of Y4M video by pixel duplication
+    * with re-encode — "same clip, different resolution". Every frame's
+    * mean luma is EXACTLY preserved (each pixel's weight scales with the
+    * pixel count), so the temporal hash is invariant by construction.
+    * C444 streams only (the only layout [[syntheticMedia]] emits); non-
+    * videos pass through. */
+  def videoScaleBy(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor >= 1)
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.media_type != "video" || factor == 1) r
+        else {
+          val p = r.payload
+          val (w, h, chroma, hEnd, frameBytes) = y4mHeader(p)
+          require(chroma == "444", s"videoScaleBy supports C444 only, got C$chroma")
+          val nw = w * factor; val nh = h * factor
+          val out = new ByteArrayOutputStream()
+          val header = new String(p, 0, hEnd, "US-ASCII")
+            .replaceFirst(s"W$w", s"W$nw").replaceFirst(s"H$h", s"H$nh")
+          out.write((header + "\n").getBytes("US-ASCII"))
+          var pos = hEnd + 1
+          while (pos < p.length) {
+            var i = pos
+            while (i < p.length && p(i) != '\n') i += 1
+            out.write(p, pos, i - pos + 1) // FRAME marker line verbatim
+            pos = i + 1
+            var plane = 0
+            while (plane < 3) {
+              val base = pos + plane * w * h
+              var y = 0
+              while (y < h) {
+                var rep = 0
+                while (rep < factor) {
+                  var x = 0
+                  while (x < w) {
+                    var rx = 0
+                    while (rx < factor) { out.write(p(base + y * w + x)); rx += 1 }
+                    x += 1
+                  }
+                  rep += 1
+                }
+                y += 1
+              }
+              plane += 1
+            }
+            pos += frameBytes
+          }
+          r.copy(payload = out.toByteArray, width = nw, height = nh)
+        }
+      }
+    }
+  }
+
+  /** Uniform luma shift (brightness change) with Y4M re-encode — the
+    * "same clip, different exposure" transform. Y-plane bytes shift by
+    * `delta` (clamped to [0,255]); chroma planes pass through. The
+    * temporal hash is invariant while no pixel clamps (every pairwise
+    * luma comparison shifts together). */
+  def videoShiftLuma(media: Dataset[MediaRow], delta: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.media_type != "video") r
+        else {
+          val p = r.payload.clone()
+          val (w, h, _, hEnd, frameBytes) = y4mHeader(p)
+          var pos = hEnd + 1
+          while (pos < p.length) {
+            var i = pos
+            while (i < p.length && p(i) != '\n') i += 1
+            pos = i + 1
+            var j = 0
+            while (j < w * h) { // Y plane only
+              val v = (p(pos + j) & 0xFF) + delta
+              p(pos + j) = math.max(0, math.min(255, v)).toByte
+              j += 1
+            }
+            pos += frameBytes
+          }
+          r.copy(payload = p)
+        }
+      }
+    }
+  }
+
   /** Integer-factor nearest-neighbor upscale (pixel duplication) with PNG
     * re-encode — the deterministic "same picture, different resolution"
     * transform the perceptual-dedup tests plant. Non-images pass

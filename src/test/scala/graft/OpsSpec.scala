@@ -886,6 +886,34 @@ class OpsSpec extends SparkSpec {
     assert(neg == ((-0.25, true)))
   }
 
+  test("video temporal hash: quantized luma curve, invariances, no cross-clip collisions") {
+    import spark.implicits._
+    // hand case (8 lumas → samples are the series itself): seven 10s and
+    // one 18 center to mean 11 → bytes -1×7 then +7
+    assert(Multimodal.temporalHash64(
+      Array(10.0, 10, 10, 10, 10, 10, 10, 18)) == 0x07FFFFFFFFFFFFFFL)
+    assert(Multimodal.temporalHash64(Array.fill(30)(99.0)) == 0L) // flat clip
+    val vids = Multimodal.syntheticMedia(spark, 30).filter(_.media_type == "video")
+    val base = Multimodal.videoTemporalHash(vids)
+      .as[(Long, Long)].collect().toMap
+    assert(base.size == 10)
+    // brightness shift and 2× pixel-duplication upscale are hash-exact
+    val bright = Multimodal.videoTemporalHash(Multimodal.videoShiftLuma(vids, 5))
+      .as[(Long, Long)].collect().toMap
+    val up = Multimodal.videoTemporalHash(Multimodal.videoScaleBy(vids, 2))
+      .as[(Long, Long)].collect().toMap
+    assert(bright == base, "luma shift must not move the temporal hash")
+    assert(up == base, "spatial upscale must not move the temporal hash")
+    // distinct clips stay far apart in Hamming space
+    val fps = base.values.toSeq
+    val minDist = (for (a <- fps; b <- fps if a != b)
+      yield java.lang.Long.bitCount(a ^ b)).min
+    assert(minDist > 7, s"distinct clips too close: Hamming $minDist")
+    // upscale re-encodes a real stream: geometry doubles, means survive
+    val g = Multimodal.videoScaleBy(vids, 2).collect().head
+    assert(g.width % 2 == 0 && g.payload.length > 0)
+  }
+
   test("text analysis columns are consistent") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat, happily!").toDF("text")
