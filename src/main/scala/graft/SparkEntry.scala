@@ -1261,6 +1261,48 @@ object SparkEntry {
         (col("nf") === 0L).as("no_false_ok"))
   }
 
+  /** Perceptual audio near-dup via the gain-invariant spectral
+    * fingerprint — the strongest oracle of the media trio: because the
+    * fingerprint is invariant to volume and channel layout BY DESIGN,
+    * the complete pair relation has a closed form — every pair of clips
+    * sharing (tone class, channel layout) and nothing else — which
+    * DuckDB recomputes combinatorially (Σ C(3m, 2) over the 14
+    * classes) while Spark has to reproduce it from actual WAV decodes,
+    * Goertzel filters, banding, and Hamming verification. Planted gain
+    * (×0.5) and mono-downmix twins must each be found for all 100
+    * clips. */
+  private def qAudioDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val auds = Multimodal.syntheticMedia(s, 300).filter(_.media_type == "audio")
+    val off1 = 1000000L; val off2 = 2000000L
+    val gain = Multimodal.audioGainScale(
+      auds.map(r => r.copy(media_id = r.media_id + off1)), 0.5)
+    val down = Multimodal.audioDownmixMono(
+      auds.map(r => r.copy(media_id = r.media_id + off2)))
+    val pairs = Multimodal.audioNearDupPairs(auds.union(gain).union(down))
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val nA = auds.map(_.media_id).toDF("id").agg(count(lit(1)).as("n_audio"))
+    val nPairs = pairs.agg(count(lit(1)).as("np"))
+    val gainFound = auds.map(r => (r.media_id, r.media_id + off1))
+      .toDF("id_a", "id_b").join(pairs, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("kg"))
+    val downFound = auds.map(r => (r.media_id, r.media_id + off2))
+      .toDF("id_a", "id_b").join(pairs, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("kd"))
+    def cls(c: Column, m: Int) = pmod(pmod(c, lit(off1)), lit(m))
+    val crossClass = pairs.filter(
+      cls(col("id_a"), 7) =!= cls(col("id_b"), 7) ||
+        cls(col("id_a"), 2) =!= cls(col("id_b"), 2))
+      .agg(count(lit(1)).as("nx"))
+    nA.crossJoin(nPairs).crossJoin(gainFound).crossJoin(downFound)
+      .crossJoin(crossClass)
+      .select(
+        col("n_audio"), col("np").as("n_pairs"),
+        (col("kg") === col("n_audio")).as("gain_found_ok"),
+        (col("kd") === col("n_audio")).as("downmix_found_ok"),
+        (col("nx") === 0L).as("same_class_ok"))
+  }
+
   /** eTLD+1 registrable-domain canonicalization — cross-engine parity
     * relation. Deterministic URLs are minted from doc_id across the rule
     * classes of the bundled public-suffix snapshot (plain TLD with
@@ -2140,7 +2182,8 @@ object SparkEntry {
     "q90_lm_score" -> (qLmScore _),
     "q91_gopher_rules" -> (qGopherRules _),
     "q92_mixture_select" -> (qMixtureSelect _),
-    "q93_video_dedup" -> (qVideoDedup _))
+    "q93_video_dedup" -> (qVideoDedup _),
+    "q94_audio_dedup" -> (qAudioDedup _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3201,5 +3244,14 @@ object SparkEntry {
       """SELECT CAST(100 AS BIGINT) AS n_videos,
            true AS brightness_found_ok,
            true AS rescale_found_ok,
-           true AS no_false_ok""")
+           true AS no_false_ok""",
+    "q94_audio_dedup" ->
+      """WITH ids AS (SELECT 1 + 3*k AS id FROM generate_series(0, 99) s(k)),
+         cls AS (SELECT id % 7 AS f, id % 2 AS ch, count(*) AS m
+                 FROM ids GROUP BY 1, 2)
+         SELECT CAST(100 AS BIGINT) AS n_audio,
+           CAST(sum(3*m*(3*m - 1)/2) AS BIGINT) AS n_pairs,
+           true AS gain_found_ok, true AS downmix_found_ok,
+           true AS same_class_ok
+         FROM cls""")
 }

@@ -150,10 +150,20 @@ object Dedup {
     * is structural, not probabilistic), then verify the true Hamming
     * distance. Shuffle is O(n·nBands) signature rows; only colliding
     * buckets are ever paired. */
-  def hammingPairs(fp: DataFrame, maxHamming: Int, nBands: Int = 4): DataFrame = {
+  def hammingPairs(
+      fp: DataFrame, maxHamming: Int, nBands: Int = 4,
+      skipBands: Set[Int] = Set.empty): DataFrame = {
     require(nBands > 0 && 64 % nBands == 0, s"nBands $nBands must divide 64")
+    require(nBands - skipBands.size > maxHamming,
+      s"need more than maxHamming=$maxHamming active bands for the " +
+        s"pigeonhole recall guarantee, have ${nBands - skipBands.size}")
     val bits = 64 / nBands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
+    // skipBands: bands carrying no signature bits (sparse-spectrum
+    // layouts pack < 64 bits) would bucket the ENTIRE corpus on their
+    // constant chunk — exclude them from candidate generation; the
+    // verify still measures distance over the full fingerprint, and the
+    // pigeonhole contract just needs > maxHamming active bands
     val banded = fp.select(
       col("doc_id"), col("fp"),
       explode(transform(
@@ -163,6 +173,8 @@ object Dedup {
           call_function("shiftright", col("fp"), b * bits)
             .bitwiseAND(lit(mask)).as("chunk")))).as("bc"))
       .select(col("doc_id"), col("fp"), col("bc.band"), col("bc.chunk"))
+      .filter(if (skipBands.isEmpty) lit(true)
+        else !col("band").isin(skipBands.toSeq: _*))
     val a = banded.select(col("band"), col("chunk"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("band"), col("chunk"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("band", "chunk"))

@@ -721,6 +721,192 @@ object Multimodal {
     }
   }
 
+  /** The probe grid for [[audioSpectralHash]]: every tone frequency the
+    * synthetic corpus can emit (200 + 60k base tones plus their +40 Hz
+    * stereo offsets) — on real audio, swap in a mel/chroma grid; the
+    * hash layout is grid-size-agnostic up to 16 bins. */
+  private[graft] val audioProbeFreqs: Array[Double] = {
+    val base = (0 to 6).map(k => 200.0 + 60.0 * k)
+    (base ++ base.map(_ + 40.0)).sorted.toArray
+  }
+
+  /** Goertzel filter energy of `x` at `freq` — the O(n) single-bin DFT
+    * (Goertzel 1958), the standard tone-detection kernel when you need a
+    * handful of bins rather than a full FFT. */
+  private[graft] def goertzelEnergy(
+      x: Array[Double], freq: Double, rate: Double): Double = {
+    val coeff = 2.0 * math.cos(2.0 * math.Pi * freq / rate)
+    var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < x.length) {
+      val s0 = x(i) + coeff * s1 - s2
+      s2 = s1; s1 = s0; i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** Decode a WAV payload to channel-averaged [-1, 1) samples plus the
+    * sample rate — the mono mix every spectral feature derives from. */
+  private def wavMonoMix(payload: Array[Byte]): (Array[Double], Double) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    val fmt = in.getFormat
+    val channels = fmt.getChannels
+    val nFrames = in.getFrameLength.toInt
+    val bytes = in.readAllBytes()
+    in.close()
+    val mono = new Array[Double](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0.0
+      var c = 0
+      while (c < channels) {
+        val off = (f * channels + c) * 2
+        acc += ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort / 32768.0
+        c += 1
+      }
+      mono(f) = acc / channels
+      f += 1
+    }
+    (mono, fmt.getSampleRate.toDouble)
+  }
+
+  /** 64-bit spectral fingerprint of an audio clip: Goertzel energies at
+    * the probe grid over the whole mono mix, each bin's ENERGY FRACTION
+    * (of the grid total) quantized to a 5-level 4-bit THERMOMETER code —
+    * level = round(4·√fraction), bits 1^level 0^(4−level). Fraction
+    * normalization buys gain invariance (a volume change scales every
+    * bin and the total together); thermometer coding makes Hamming
+    * distance track level distance (±1 level = exactly 1 bit — a binary
+    * reflected code would collapse 0↔15 to one bit), the same reason
+    * the binarized-spectrogram family (Haitsma–Kalker 2002) codes
+    * energy DIFFERENCES as bits. 14 probe bins → 56 bits; the top byte
+    * is structurally zero, so pair generation skips band 7
+    * ([[Dedup.hammingPairs]] skipBands). */
+  private[graft] def audioSpectralHash64(payload: Array[Byte]): Long = {
+    val (mono, rate) = wavMonoMix(payload)
+    val energies = audioProbeFreqs.map(f => goertzelEnergy(mono, f, rate))
+    val total = energies.sum
+    var fp = 0L
+    var i = 0
+    while (i < energies.length) {
+      val frac = if (total <= 0.0) 0.0 else energies(i) / total
+      val level = math.min(4L, math.round(4.0 * math.sqrt(frac)))
+      fp |= ((1L << level) - 1) << (4 * i)
+      i += 1
+    }
+    fp
+  }
+
+  /** Spectral fingerprints for the audio rows: (doc_id, fp). Non-audio
+    * rows are dropped. Same mapPartitions batch shape as
+    * [[imageDhash]] / [[videoTemporalHash]]. */
+  def audioSpectralHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.collect {
+        case r if r.media_type == "audio" =>
+          (r.media_id, audioSpectralHash64(r.payload))
+      }
+    }.toDF("doc_id", "fp")
+  }
+
+  /** Perceptual audio near-duplicate pairs: spectral fingerprints
+    * through the shared Hamming-banding kernel. Band 7 (the zero top
+    * byte of the 56-bit layout) is excluded from candidate generation —
+    * it would bucket the whole corpus — leaving 7 active bands, so every
+    * pair within the default maxHamming 2 still collides somewhere by
+    * pigeonhole. The default tolerance is one ±1-level quantization
+    * wobble in two bins; same-tone-different-gain clips land at 0. */
+  def audioNearDupPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 2,
+      nBands: Int = 8): DataFrame =
+    Dedup.hammingPairs(audioSpectralHash(media), maxHamming, nBands,
+      skipBands = Set(7))
+
+  /** Uniform gain change with WAV re-encode — "same recording, different
+    * volume". PCM samples scale by `factor` (clamped to 16-bit range);
+    * the spectral hash is invariant because energy fractions are. */
+  def audioGainScale(media: Dataset[MediaRow], factor: Double): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.media_type != "audio") r
+        else {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(r.payload))
+          val fmt = in.getFormat
+          val nFrames = in.getFrameLength
+          val bytes = in.readAllBytes()
+          in.close()
+          var off = 0
+          while (off + 1 < bytes.length) {
+            val s = ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort
+            val v = math.max(-32768, math.min(32767, math.round(s * factor))).toInt
+            bytes(off) = (v & 0xFF).toByte
+            bytes(off + 1) = ((v >> 8) & 0xFF).toByte
+            off += 2
+          }
+          val stream = new javax.sound.sampled.AudioInputStream(
+            new ByteArrayInputStream(bytes), fmt, nFrames)
+          val out = new ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          r.copy(payload = out.toByteArray)
+        }
+      }
+    }
+  }
+
+  /** Channel-averaging downmix to mono with WAV re-encode — "same
+    * recording, mono master". The spectral hash computes on the mono mix
+    * already, so the fingerprint is invariant by construction; mono
+    * inputs pass through unchanged. */
+  def audioDownmixMono(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.media_type != "audio") r
+        else {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(r.payload))
+          val fmt = in.getFormat
+          val channels = fmt.getChannels
+          if (channels == 1) { in.close(); r }
+          else {
+            val nFrames = in.getFrameLength.toInt
+            val bytes = in.readAllBytes()
+            in.close()
+            val monoBytes = new Array[Byte](nFrames * 2)
+            var f = 0
+            while (f < nFrames) {
+              var acc = 0L
+              var c = 0
+              while (c < channels) {
+                val off = (f * channels + c) * 2
+                acc += ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort
+                c += 1
+              }
+              val v = (acc / channels).toInt
+              monoBytes(f * 2) = (v & 0xFF).toByte
+              monoBytes(f * 2 + 1) = ((v >> 8) & 0xFF).toByte
+              f += 1
+            }
+            val monoFmt = new javax.sound.sampled.AudioFormat(
+              fmt.getSampleRate, 16, 1, true, false)
+            val stream = new javax.sound.sampled.AudioInputStream(
+              new ByteArrayInputStream(monoBytes), monoFmt, nFrames.toLong)
+            val out = new ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+            r.copy(payload = out.toByteArray)
+          }
+        }
+      }
+    }
+  }
+
   /** Integer-factor nearest-neighbor upscale (pixel duplication) with PNG
     * re-encode — the deterministic "same picture, different resolution"
     * transform the perceptual-dedup tests plant. Non-images pass

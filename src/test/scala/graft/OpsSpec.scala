@@ -914,6 +914,49 @@ class OpsSpec extends SparkSpec {
     assert(g.width % 2 == 0 && g.payload.length > 0)
   }
 
+  test("audio spectral hash: Goertzel tone pickup, gain/downmix invariance") {
+    import spark.implicits._
+    // Goertzel sanity: a pure 260 Hz sine concentrates energy at its bin
+    val rate = 8000.0
+    val sine = Array.tabulate(1000)(i =>
+      0.5 * math.sin(2 * math.Pi * 260.0 * i / rate))
+    val eHot = Multimodal.goertzelEnergy(sine, 260.0, rate)
+    val eCold = Multimodal.goertzelEnergy(sine, 500.0, rate)
+    assert(eHot > 1000 * eCold, s"hot $eHot vs cold $eCold")
+    val auds = Multimodal.syntheticMedia(spark, 30).filter(_.media_type == "audio")
+    val base = Multimodal.audioSpectralHash(auds).as[(Long, Long)].collect().toMap
+    assert(base.size == 10)
+    assert(base.values.forall(fp => (fp >>> 56) == 0L), "top byte must be zero")
+    val gain = Multimodal.audioSpectralHash(Multimodal.audioGainScale(auds, 0.5))
+      .as[(Long, Long)].collect().toMap
+    val down = Multimodal.audioSpectralHash(Multimodal.audioDownmixMono(auds))
+      .as[(Long, Long)].collect().toMap
+    assert(gain == base, "gain change must not move the spectral hash")
+    assert(down == base, "mono downmix must not move the spectral hash")
+    // clips in different (tone, channel) classes stay beyond maxHamming 2
+    val byClass = base.groupBy { case (id, _) => (id % 7, id % 2) }
+    for (((c1, g1), i) <- byClass.zipWithIndex; ((c2, g2), j) <- byClass.zipWithIndex
+         if i < j; a <- g1.values; b <- g2.values)
+      assert(java.lang.Long.bitCount(a ^ b) > 2, s"classes $c1/$c2 too close")
+    // same-class clips (any gain, any duration) hash identically
+    for ((_, g) <- byClass) assert(g.values.toSet.size == 1)
+  }
+
+  test("hammingPairs skipBands: constant band excluded, recall kept") {
+    import spark.implicits._
+    // two fps differing by 1 bit in band 0; band 7 is constant zero
+    val fp = Seq((1L, 0x00FF00L), (2L, 0x00FE00L), (3L, 0x123456L))
+      .toDF("doc_id", "fp")
+    val got = Dedup.hammingPairs(fp, maxHamming = 2, nBands = 8,
+      skipBands = Set(7))
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(fp, maxHamming = 7, nBands = 8,
+        skipBands = (0 to 6).toSet)
+    }
+  }
+
   test("text analysis columns are consistent") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat, happily!").toDF("text")
