@@ -247,6 +247,7 @@ object Bench {
       "q16_dedup_exact", "q17_text_report", "q19_ngram_jaccard",
       "q43_edit_distance", "q38_token_topk",
       "q78_chunking", "q79_sequence_pack", "q80_data_card",
+      "q90_lm_score", "q91_gopher_rules", "q92_mixture_select",
       // TPC-H join/window family (factor 10 orders/lineitem/customer
       // companions — r6 had no measured exponent for the join family)
       "q10_join_shuffle", "q13_window_topk", "q58_outer_joins",
@@ -273,16 +274,30 @@ object Bench {
       // reference twin (that's its conformance contract), which would
       // drown the banded operator's own scaling — measure the operator
       // directly at both scales instead
-      val ladderOps: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      // (name, factor override — None rides factors("documents"), fn)
+      val ladderOps: Seq[(String, Option[Double],
+          (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
         Seq(
-          "op_edit_distance_banded" -> ((ss: SparkSession, dir: String) =>
+          ("op_edit_distance_banded", None, (ss: SparkSession, dir: String) =>
             graft.ops.Dedup.editDistanceNearDups(
               ss.read.parquet(s"$dir/documents.parquet"))),
           // q85's QUERY carries its planted corpus + oracle mirror —
           // measure the raw exact-substring operator at both scales
-          "op_verbatim_spans" -> ((ss: SparkSession, dir: String) =>
+          ("op_verbatim_spans", None, (ss: SparkSession, dir: String) =>
             graft.ops.Dedup.verbatimSpans(
-              ss.read.parquet(s"$dir/documents.parquet"), minTokens = 50)))
+              ss.read.parquet(s"$dir/documents.parquet"), minTokens = 50)),
+          // media fingerprint + banded near-dup at 5× the clip count —
+          // decode, hash, band, verify are all per-row or per-collision.
+          // Audio is excluded: the synthetic corpus packs its clips into
+          // 14 tone/channel classes, so the TRUE dup-pair relation (the
+          // operator's output) grows quadratically by corpus
+          // construction — it would measure the fixture, not the plan
+          ("op_media_neardup", Some(5.0), (ss: SparkSession, dir: String) => {
+            val n = if (dir == sfDir) 300L else 1500L
+            val media = graft.ops.Multimodal.syntheticMedia(ss, n)
+            graft.ops.Multimodal.imageNearDupPairs(media)
+              .unionByName(graft.ops.Multimodal.videoNearDupPairs(media))
+          }))
       val minsMap = mins.toMap
       val ladderErrors = scala.collection.mutable.ListBuffer.empty[String]
       val entries = scala.collection.mutable.ListBuffer.empty[String]
@@ -300,11 +315,11 @@ object Bench {
           entries += s""""$q":{"f":$f,"t":${ms(t)},"exp":$exp}"""
         }
       }
-      for ((name, fn) <- ladderOps;
+      for ((name, fOverride, fn) <- ladderOps;
            base <- timeOnce(name, fn, "ladder-base", sfDir, ladderErrors);
            t <- timeOnce(name, fn, "ladder", ladderDir, ladderErrors)) {
         ladderTotal += t
-        val f = factors("documents")
+        val f = fOverride.getOrElse(factors("documents").toDouble)
         val exp = math.round(math.log(t / base) / math.log(f) * 100.0) / 100.0
         exps += name -> exp
         entries += s""""$name":{"f":$f,"t":${ms(t)},"exp":$exp}"""

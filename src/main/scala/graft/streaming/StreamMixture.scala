@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming counterpart of the batch data-mixing primitive
+  * ([[graft.ops.Curation.mixtureSelect]]): a continuously-ingesting
+  * pipeline can't sort the whole corpus by quality before spending its
+  * budgets — it has to decide per arrival. This is the ARRIVAL-ORDER
+  * quota gate: each source spends its token budget on documents in the
+  * order they arrive, and everything after the budget crosses is marked
+  * unselected (kept as a row, so downstream can count displacement or
+  * route rejects elsewhere).
+  *
+  * State per source is ONE running long — bounded by source count, not
+  * stream length, the property every `*GroupsWithState` operator here
+  * maintains. Sources are assumed few and long-lived (the 20-source
+  * corpus shape); a deployment with churning sources would add an
+  * event-time timeout to evict dead ones.
+  */
+object StreamMixture {
+
+  final case class DocIn(doc_id: Long, source: String, n_tokens: Long)
+
+  final case class GateOut(
+      doc_id: Long, source: String, n_tokens: Long,
+      cum_before: Long, selected: Boolean)
+
+  // public: the state encoder's generated code invokes the constructor
+  final case class Spent(total: Long)
+
+  /** Gate `docs` per source against token `budgets`. A doc is selected
+    * iff its source's running total BEFORE it is still under budget —
+    * the budget-crossing doc is the last one in, matching the batch
+    * operator's greedy contract. Within a trigger, docs are processed in
+    * doc_id order (micro-batches have no defined row order; the sort
+    * makes replays deterministic). */
+  def budgetGate(
+      docs: Dataset[DocIn],
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L): Dataset[GateOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Spent, GateOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (source, rows, state: GroupState[Spent]) =>
+          val budget = budgets.getOrElse(source, defaultBudget)
+          var spent = state.getOption.map(_.total).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val sel = spent < budget
+            val row = GateOut(d.doc_id, source, d.n_tokens, spent, sel)
+            if (sel) spent += d.n_tokens
+            row
+          }
+          state.update(Spent(spent))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamMixture
+import graft.streaming.StreamMixture.DocIn
+
+class StreamMixtureSpec extends SparkSpec {
+
+  test("budget gate spends per-source quota across triggers; boundary doc in") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[DocIn]
+    val query = StreamMixture
+      .budgetGate(source.toDS(), Map("a" -> 25L), defaultBudget = 0L)
+      .writeStream.format("memory").queryName("gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(DocIn(1, "a", 10), DocIn(2, "a", 10), DocIn(9, "zz", 5))
+      query.processAllAvailable()
+      // state carries 20 spent tokens into the next trigger: doc 3 starts
+      // under budget (boundary doc in), doc 4 is past it
+      source.addData(DocIn(3, "a", 10), DocIn(4, "a", 10))
+      query.processAllAvailable()
+      val got = spark.table("gate")
+        .select("doc_id", "cum_before", "selected")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(
+        (1L, 0L, true), (2L, 10L, true), (3L, 20L, true),
+        (4L, 30L, false), (9L, 0L, false)))
+    } finally query.stop()
+  }
+
+  test("budget gate matches the batch operator's greedy contract") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same docs through both operators with rank = -doc_id (so batch rank
+    // order == streaming doc_id order): selections must agree
+    val docs = Seq(
+      (1L, "s", 7L), (2L, "s", 7L), (3L, "s", 7L), (4L, "s", 7L))
+    val batch = graft.ops.Curation.mixtureSelect(
+      docs.toDF("doc_id", "source", "w")
+        .withColumn("rank", org.apache.spark.sql.functions.expr("1.0 - doc_id / 100.0")),
+      org.apache.spark.sql.functions.col("rank"),
+      org.apache.spark.sql.functions.col("w"),
+      Map("s" -> 20L))
+      .select("doc_id", "selected").as[(Long, Boolean)].collect().toMap
+    val source = MemoryStream[DocIn]
+    val query = StreamMixture
+      .budgetGate(source.toDS(), Map("s" -> 20L))
+      .writeStream.format("memory").queryName("gate_parity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(docs.map { case (id, s, w) => DocIn(id, s, w) }: _*)
+      query.processAllAvailable()
+      val stream = spark.table("gate_parity")
+        .select("doc_id", "selected").as[(Long, Boolean)].collect().toMap
+      assert(stream == batch, s"stream $stream vs batch $batch")
+    } finally query.stop()
+  }
+}
