@@ -1303,6 +1303,48 @@ object SparkEntry {
         (col("nx") === 0L).as("same_class_ok"))
   }
 
+  /** Incremental (batch-vs-corpus) MinHash dedup — the daily-ingest
+    * shape. The minted batch has three classes: verbatim copies of
+    * corpus docs (identical signatures — every planted pair MUST
+    * surface, an exact count DuckDB recomputes), truncated copies (drop
+    * the last 5 tokens — high-but-not-1 Jaccard, banded recall floor
+    * 0.9), and vocabulary-disjoint gibberish (tokens minted from doc_id
+    * — zero matches allowed). Found-pair checks join on the planted
+    * (corpus_id = batch_id − offset) identity, so a wrong-pair match
+    * can't masquerade as recall. */
+  private def qIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val corpus = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val offA = 10000000L; val offB = 20000000L; val offC = 30000000L
+    val ws = split(col("text"), " ")
+    val copies = corpus.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + offA).as("doc_id"), col("text"))
+    val truncs = corpus.filter(col("doc_id") % 9 === 3 && size(ws) >= 20)
+      .select((col("doc_id") + offB).as("doc_id"),
+        array_join(slice(ws, lit(1), size(ws) - 5), " ").as("text"))
+    val gibberish = corpus.filter(col("doc_id") % 9 === 6)
+      .select((col("doc_id") + offC).as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(30)),
+          i => concat(lit("g"), col("doc_id"), lit("x"), i)), " ").as("text"))
+    val batch = copies.unionByName(truncs).unionByName(gibberish)
+    val pairs = Dedup.minhashPairsAcross(corpus, batch).localCheckpoint()
+    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
+    val nCopies = copies.agg(count(lit(1)).as("n_copies"))
+    val nTruncs = truncs.agg(count(lit(1)).as("n_truncs"))
+    def plantedFound(off: Long) = pairs
+      .filter(col("batch_id") - col("corpus_id") === off)
+      .agg(count(lit(1)))
+    nCorpus.crossJoin(nCopies.crossJoin(plantedFound(offA).toDF("ka")))
+      .crossJoin(nTruncs.crossJoin(plantedFound(offB).toDF("kt")))
+      .crossJoin(pairs.filter(col("batch_id") >= offC)
+        .agg(count(lit(1)).as("ng")))
+      .select(
+        col("n_corpus"), col("n_copies"), col("n_truncs"),
+        (col("ka") === col("n_copies")).as("copies_found_ok"),
+        (col("kt").cast("double") >=
+          col("n_truncs").cast("double") * 0.9).as("trunc_recall_ok"),
+        (col("ng") === 0L).as("no_gibberish_ok"))
+  }
+
   /** eTLD+1 registrable-domain canonicalization — cross-engine parity
     * relation. Deterministic URLs are minted from doc_id across the rule
     * classes of the bundled public-suffix snapshot (plain TLD with
@@ -2183,7 +2225,8 @@ object SparkEntry {
     "q91_gopher_rules" -> (qGopherRules _),
     "q92_mixture_select" -> (qMixtureSelect _),
     "q93_video_dedup" -> (qVideoDedup _),
-    "q94_audio_dedup" -> (qAudioDedup _))
+    "q94_audio_dedup" -> (qAudioDedup _),
+    "q95_incremental_dedup" -> (qIncrementalDedup _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3253,5 +3296,15 @@ object SparkEntry {
            CAST(sum(3*m*(3*m - 1)/2) AS BIGINT) AS n_pairs,
            true AS gain_found_ok, true AS downmix_found_ok,
            true AS same_class_ok
-         FROM cls""")
+         FROM cls""",
+    "q95_incremental_dedup" ->
+      """SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_corpus,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id % 9 = 0) AS n_copies,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id % 9 = 3
+               AND len(string_split(text, ' ')) >= 20) AS n_truncs,
+           true AS copies_found_ok, true AS trunc_recall_ok,
+           true AS no_gibberish_ok""")
 }

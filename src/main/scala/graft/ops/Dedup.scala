@@ -86,6 +86,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Incremental (batch-vs-corpus) MinHash near-dup — the daily-ingest
+    * shape: dedup a NEW batch against the corpus already ingested,
+    * without the corpus self-joining anything. Both sides band their
+    * signatures; the join is batch-bands ⋈ corpus-bands on (band,
+    * bucket), so corpus work is one banding pass (at 100 TB you'd
+    * persist the banded corpus index once and join each day's batch
+    * against it — the banding here is exactly that index's definition),
+    * and only buckets the batch actually touches produce candidates.
+    * Verification compares signatures, never texts, like
+    * [[minhashPairs]].
+    *
+    * @return (corpus_id, batch_id, est_jaccard ≥ threshold) — a batch
+    *         doc may legitimately match several corpus docs. */
+  def minhashPairsAcross(
+      corpus: DataFrame,
+      batch: DataFrame,
+      shingleLen: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def sigOf(d: DataFrame) = d.select(
+      col("doc_id"),
+      minhashSignature(shingleHashes(col("text"), shingleLen), numHashes).as("sig"))
+    def bandOf(sig: DataFrame) = sig.select(
+      col("doc_id"),
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(
+          b.as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string"))), b).as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val corpusSig = sigOf(corpus)
+    val batchSig = sigOf(batch)
+    val cand = bandOf(corpusSig).select(
+        col("band"), col("bucket"), col("doc_id").as("corpus_id"))
+      .join(bandOf(batchSig).select(
+        col("band"), col("bucket"), col("doc_id").as("batch_id")),
+        Seq("band", "bucket"))
+      .select(col("corpus_id"), col("batch_id"))
+      .distinct()
+    cand
+      .join(corpusSig.select(col("doc_id").as("corpus_id"), col("sig").as("sig_a")),
+        "corpus_id")
+      .join(batchSig.select(col("doc_id").as("batch_id"), col("sig").as("sig_b")),
+        "batch_id")
+      .withColumn(
+        "est_jaccard",
+        size(filter(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          x => x)).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("corpus_id"), col("batch_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
   /** Banded MinHash candidate pairs (id_a, id_b) — the collision pass of
     * [[minhashPairs]] without its Jaccard verify, reused wherever a
     * linear candidate generator feeds a DIFFERENT exact verifier

@@ -957,6 +957,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("minhashPairsAcross: batch matches corpus, never itself") {
+    import spark.implicits._
+    val body = ("alpha beta gamma delta epsilon zeta eta theta " * 5).trim
+    val other = ("one two three four five six seven eight nine ten " * 5).trim
+    val corpus = Seq((1L, body), (2L, other)).toDF("doc_id", "text")
+    // batch: a verbatim copy of doc 1, and a disjoint-vocabulary doc;
+    // note the corpus contains TWO near-identical docs only across sides
+    val batch = Seq((100L, body), (101L, "qq ww ee rr tt yy uu ii oo pp"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashPairsAcross(corpus, batch)
+      .select("corpus_id", "batch_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 100L)))
+    // corpus-side near-dups must NOT surface: the operator joins across
+    // sides only (corpus docs 1+3 identical here)
+    val corpus2 = corpus.union(Seq((3L, body)).toDF("doc_id", "text"))
+    val cross = Dedup.minhashPairsAcross(corpus2, batch)
+      .select("corpus_id", "batch_id").as[(Long, Long)].collect().sorted
+    assert(cross.toSeq == Seq((1L, 100L), (3L, 100L)))
+  }
+
   test("text analysis columns are consistent") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat, happily!").toDF("text")
