@@ -1345,6 +1345,63 @@ object SparkEntry {
         (col("ng") === 0L).as("no_gibberish_ok"))
   }
 
+  /** Distributed PCA + whitening over the embeddings table. The one
+    * cross-engine scalar is the covariance TRACE — Spark derives it from
+    * the distributed moment pass (Σxxᵀ/n − μμᵀ) while DuckDB sums 64
+    * per-dimension `var_pop`s from a zipped unnest; they agree only if
+    * the moment aggregation is exactly right. The booleans pin the
+    * eigen-solve to that same trace (Σλ = tr(C) — basis invariance),
+    * orthonormality, descending order, the top-k≥average ratio, and the
+    * whitening CONTRACT verified by a second distributed moment pass
+    * over the whitened output (covariance = I within 1e−6). */
+  private def qPcaWhiten(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val embs = t(s, d, "embeddings")
+    val model = graft.ops.Embeddings.fitPca(embs)
+    val k = 8
+    val white = graft.ops.Embeddings.whiten(embs, model, k)
+    // second moment pass: population covariance of the whitened output
+    val (wn, wSums, wProds) = white.select(col("whitened")).rdd.treeAggregate(
+      (0L, new Array[Double](k), new Array[Double](k * k)))(
+      seqOp = { case ((c, sAcc, p), row) =>
+        val v = row.getSeq[Double](0)
+        var i = 0
+        while (i < k) {
+          sAcc(i) += v(i)
+          var j = 0
+          while (j < k) { p(i * k + j) += v(i) * v(j); j += 1 }
+          i += 1
+        }
+        (c + 1, sAcc, p)
+      },
+      combOp = { case ((c1, s1, p1), (c2, s2, p2)) =>
+        var i = 0
+        while (i < s1.length) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < p1.length) { p1(i) += p2(i); i += 1 }
+        (c1 + c2, s1, p1)
+      })
+    val wCovDev = (for (i <- 0 until k; j <- 0 until k) yield {
+      val cij = wProds(i * k + j) / wn - (wSums(i) / wn) * (wSums(j) / wn)
+      math.abs(cij - (if (i == j) 1.0 else 0.0))
+    }).max
+    val eigSumOk =
+      math.abs(model.eigenvalues.sum - model.trace) <= 1e-8 * math.max(model.trace, 1.0)
+    val orthoDev = (for (i <- 0 until k; j <- i until k) yield {
+      val dot = (0 until model.dim)
+        .map(t => model.components(i)(t) * model.components(j)(t)).sum
+      math.abs(dot - (if (i == j) 1.0 else 0.0))
+    }).max
+    val descOk = model.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12)
+    val topkOk =
+      model.eigenvalues.take(k).sum >= model.trace * k / model.dim - 1e-9
+    Seq((model.dim, model.n,
+      BigDecimal(model.trace).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      eigSumOk, orthoDev < 1e-8, descOk, wCovDev < 1e-6, topkOk))
+      .toDF("dim", "n", "total_var", "eig_sum_ok", "orthonormal_ok",
+        "eig_desc_ok", "whiten_ok", "topk_ratio_ok")
+  }
+
   /** eTLD+1 registrable-domain canonicalization — cross-engine parity
     * relation. Deterministic URLs are minted from doc_id across the rule
     * classes of the bundled public-suffix snapshot (plain TLD with
@@ -2226,7 +2283,8 @@ object SparkEntry {
     "q92_mixture_select" -> (qMixtureSelect _),
     "q93_video_dedup" -> (qVideoDedup _),
     "q94_audio_dedup" -> (qAudioDedup _),
-    "q95_incremental_dedup" -> (qIncrementalDedup _))
+    "q95_incremental_dedup" -> (qIncrementalDedup _),
+    "q96_pca_whiten" -> (qPcaWhiten _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3306,5 +3364,14 @@ object SparkEntry {
              WHERE doc_id % 9 = 3
                AND len(string_split(text, ' ')) >= 20) AS n_truncs,
            true AS copies_found_ok, true AS trunc_recall_ok,
-           true AS no_gibberish_ok""")
+           true AS no_gibberish_ok""",
+    "q96_pca_whiten" ->
+      """WITH u AS (SELECT unnest(embedding) AS v,
+                    unnest(range(len(embedding))) AS pos FROM embeddings),
+         vp AS (SELECT pos, var_pop(v) AS vv FROM u GROUP BY pos)
+         SELECT CAST(64 AS INT) AS dim,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n,
+           round((SELECT sum(vv) FROM vp), 4) AS total_var,
+           true AS eig_sum_ok, true AS orthonormal_ok, true AS eig_desc_ok,
+           true AS whiten_ok, true AS topk_ratio_ok""")
 }

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Embedding-matrix operators (SURVEY.md §2.12): distributed PCA and
+  * whitening — the preprocessing step the embedding-space curation
+  * family (SemDeDup, clustering-based pruning; Abbas et al. 2023 whiten
+  * before clustering) assumes.
+  *
+  * Scale shape: the only distributed work is ONE moment aggregation —
+  * per-partition (count, Σx, Σxxᵀ) accumulators combined associatively
+  * (`treeAggregate`), i.e. d + d² doubles per partition and nothing
+  * else on the wire. For d = 64 that is a 33 KB payload regardless of
+  * corpus size. The eigen-solve is O(d³) on the DRIVER — at d ≤ a few
+  * thousand that is milliseconds and never worth a cluster round-trip.
+  * Projection/whitening is a per-row O(d·k) map.
+  */
+object Embeddings {
+
+  /** PCA model: per-dim means, eigenvalues (descending), eigenvectors
+    * (rows of `components`, orthonormal), and the covariance trace. */
+  final case class PcaModel(
+      dim: Int,
+      n: Long,
+      means: Array[Double],
+      eigenvalues: Array[Double],
+      components: Array[Array[Double]],
+      trace: Double)
+
+  /** Fit PCA on an `embedding: array<float>` column via one distributed
+    * moment pass + a driver-side cyclic Jacobi eigen-solve (the textbook
+    * symmetric eigensolver — unconditionally convergent, no external
+    * linear-algebra dependency). Population covariance (divide by n),
+    * matching SQL `var_pop`. */
+  def fitPca(embs: DataFrame): PcaModel = {
+    val rows = embs.select(col("embedding")).rdd
+    val (n, sums, prods) = rows.treeAggregate(
+      (0L, null: Array[Double], null: Array[Double]))(
+      seqOp = { case ((c, s0, p0), row) =>
+        val v = row.getSeq[Float](0)
+        val d = v.length
+        val s = if (s0 == null) new Array[Double](d) else s0
+        val p = if (p0 == null) new Array[Double](d * d) else p0
+        var i = 0
+        while (i < d) {
+          val vi = v(i).toDouble
+          s(i) += vi
+          var j = 0
+          while (j < d) { p(i * d + j) += vi * v(j); j += 1 }
+          i += 1
+        }
+        (c + 1, s, p)
+      },
+      combOp = {
+        case ((c1, s1, p1), (c2, s2, p2)) =>
+          if (s1 == null) (c2, s2, p2)
+          else if (s2 == null) (c1, s1, p1)
+          else {
+            var i = 0
+            while (i < s1.length) { s1(i) += s2(i); i += 1 }
+            i = 0
+            while (i < p1.length) { p1(i) += p2(i); i += 1 }
+            (c1 + c2, s1, p1)
+          }
+      })
+    require(n > 0, "fitPca on an empty relation")
+    val d = sums.length
+    val means = sums.map(_ / n)
+    val cov = Array.tabulate(d, d)((i, j) => prods(i * d + j) / n - means(i) * means(j))
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.zipWithIndex.sortBy(-_._1).map(_._2)
+    PcaModel(d, n, means,
+      order.map(vals),
+      order.map(k => vecs.map(_(k))), // eigvec k is COLUMN k of the rotation
+      trace)
+  }
+
+  /** Cyclic Jacobi rotations on a symmetric matrix until off-diagonal
+    * mass vanishes. Returns (eigenvalues, rotation matrix V with
+    * eigenvectors as COLUMNS). */
+  private[graft] def jacobiEigen(
+      a0: Array[Array[Double]],
+      tol: Double = 1e-12,
+      maxSweeps: Int = 50): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val sgn = if (theta >= 0.0) 1.0 else -1.0
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    ((0 until d).map(i => a(i)(i)).toArray, v)
+  }
+
+  /** Project onto the top `k` components and scale each coordinate by
+    * 1/√(λ + eps) — whitening: the output's population covariance is the
+    * k×k identity (up to eps). Per-row O(d·k) map over a broadcast
+    * model; no shuffle. */
+  def whiten(embs: DataFrame, model: PcaModel, k: Int, eps: Double = 1e-9): DataFrame = {
+    require(k >= 1 && k <= model.dim, s"k $k out of range 1..${model.dim}")
+    val sess = embs.sparkSession
+    import sess.implicits._
+    val bc = sess.sparkContext.broadcast(
+      (model.means, model.components.take(k), model.eigenvalues.take(k), eps))
+    embs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (means, comps, vals, e) = bc.value
+        it.map { case (id, emb) =>
+          val y = new Array[Double](comps.length)
+          var j = 0
+          while (j < comps.length) {
+            var acc = 0.0
+            var i = 0
+            while (i < emb.length) {
+              acc += (emb(i) - means(i)) * comps(j)(i)
+              i += 1
+            }
+            y(j) = acc / math.sqrt(vals(j) + e)
+            j += 1
+          }
+          (id, y)
+        }
+      }.toDF("vec_id", "whitened")
+  }
+}

@@ -977,6 +977,39 @@ class OpsSpec extends SparkSpec {
     assert(cross.toSeq == Seq((1L, 100L), (3L, 100L)))
   }
 
+  test("PCA: Jacobi eigen on a known matrix; fit recovers planted axis; whitening") {
+    import spark.implicits._
+    import graft.ops.Embeddings
+    // [[2,1],[1,2]] has eigenvalues 3 and 1
+    val (vals, _) = Embeddings.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(vals.sorted.zip(Seq(1.0, 3.0)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // planted dominant axis: x_i = t·u + small orthogonal wiggle, u = (3,4)/5
+    val pts = (0 until 200).map { i =>
+      val tt = (i % 20) - 9.5
+      val w = ((i % 7) - 3.0) * 0.01
+      (i.toLong, Array((tt * 0.6 + w * 0.8).toFloat, (tt * 0.8 - w * 0.6).toFloat), 0)
+    }
+    val df = pts.toDF("vec_id", "embedding", "label")
+    val m = Embeddings.fitPca(df)
+    assert(math.abs(m.eigenvalues.sum - m.trace) < 1e-9 * m.trace)
+    val u = m.components(0)
+    assert(math.abs(math.abs(u(0)) - 0.6) < 1e-3 &&
+      math.abs(math.abs(u(1)) - 0.8) < 1e-3, s"top axis ${u.toSeq}")
+    // whitened covariance is the identity
+    val w2 = Embeddings.whiten(df, m, 2)
+    val ys = w2.select("whitened").as[Array[Double]].collect()
+    val n = ys.length
+    def cov(i: Int, j: Int) =
+      ys.map(y => y(i) * y(j)).sum / n -
+        (ys.map(_(i)).sum / n) * (ys.map(_(j)).sum / n)
+    // var = λ/(λ+eps): the planted minor axis has tiny λ, so the eps
+    // bias (~eps/λ) is visible here — 1e-5 bounds it; q96's real
+    // embeddings have λ ~0.015 → bias ~7e-8
+    assert(math.abs(cov(0, 0) - 1.0) < 1e-5 && math.abs(cov(1, 1) - 1.0) < 1e-5
+      && math.abs(cov(0, 1)) < 1e-5)
+  }
+
   test("text analysis columns are consistent") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat, happily!").toDF("text")
