@@ -1402,6 +1402,34 @@ object SparkEntry {
         "eig_desc_ok", "whiten_ok", "topk_ratio_ok")
   }
 
+  /** Robust outlier detection: per event type, median + MAD (median
+    * absolute deviation — the robust-statistics location/scale pair) and
+    * the count of values beyond 3·MAD. Full cross-engine relation: both
+    * engines run the identical two-pass exact interpolated-median
+    * pipeline (Spark `percentile` ≡ DuckDB `median` ≡ percentile_cont).
+    * Scale shape: two grouped exact percentiles over ~5 groups (the q37
+    * exact-quantile family — spillable; q54's sketch is the
+    * approximate-at-scale twin) with the tiny per-group medians
+    * broadcast back — no row ever carries more than its own deviation. */
+  private def qMadOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(max(col("med")), 4).as("med"),
+        round(max(col("mad")), 4).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** eTLD+1 registrable-domain canonicalization — cross-engine parity
     * relation. Deterministic URLs are minted from doc_id across the rule
     * classes of the bundled public-suffix snapshot (plain TLD with
@@ -2284,7 +2312,8 @@ object SparkEntry {
     "q93_video_dedup" -> (qVideoDedup _),
     "q94_audio_dedup" -> (qAudioDedup _),
     "q95_incremental_dedup" -> (qIncrementalDedup _),
-    "q96_pca_whiten" -> (qPcaWhiten _))
+    "q96_pca_whiten" -> (qPcaWhiten _),
+    "q97_mad_outliers" -> (qMadOutliers _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3373,5 +3402,17 @@ object SparkEntry {
            (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n,
            round((SELECT sum(vv) FROM vp), 4) AS total_var,
            true AS eig_sum_ok, true AS orthonormal_ok, true AS eig_desc_ok,
-           true AS whiten_ok, true AS topk_ratio_ok""")
+           true AS whiten_ok, true AS topk_ratio_ok""",
+    "q97_mad_outliers" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+         m AS (SELECT event_type, median(value) AS med FROM e GROUP BY 1),
+         d2 AS (SELECT e.event_type, abs(value - med) AS adev, med
+                FROM e JOIN m USING (event_type)),
+         md AS (SELECT event_type, median(adev) AS mad FROM d2 GROUP BY 1)
+         SELECT d2.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(max(d2.med), 4) AS med, round(max(md.mad), 4) AS mad,
+           CAST(sum(CASE WHEN adev > 3*md.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+         FROM d2 JOIN md USING (event_type)
+         GROUP BY 1 ORDER BY 1""")
 }
