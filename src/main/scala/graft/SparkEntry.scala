@@ -1430,6 +1430,21 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Z-order (Morton) key parity — the bit-spreading cascade behind
+    * [[graft.table.Layout.clusterByZOrder]] recomputed by DuckDB with
+    * raw `<<`/`|`/`&` arithmetic on minted 20-bit coordinates: 500 rows
+    * where any mask, shift, or interleave slip breaks the hash. The
+    * layout-level payoff (zone-map pruning tight in BOTH dimensions) is
+    * asserted in `OpsSpec` against a single-key-sorted baseline. */
+  private def qZorder(s: SparkSession, d: String): DataFrame = {
+    val x = (col("doc_id") * lit(2654435761L)) % lit(1048576L)
+    val y = (col("doc_id") * lit(40503L)) % lit(1048576L)
+    t(s, d, "documents")
+      .select(col("doc_id"), x.as("x"), y.as("y"))
+      .withColumn("z", GraftFunctions.zorder2(col("x"), col("y")))
+      .orderBy(col("doc_id"))
+  }
+
   /** eTLD+1 registrable-domain canonicalization — cross-engine parity
     * relation. Deterministic URLs are minted from doc_id across the rule
     * classes of the bundled public-suffix snapshot (plain TLD with
@@ -2313,7 +2328,8 @@ object SparkEntry {
     "q94_audio_dedup" -> (qAudioDedup _),
     "q95_incremental_dedup" -> (qIncrementalDedup _),
     "q96_pca_whiten" -> (qPcaWhiten _),
-    "q97_mad_outliers" -> (qMadOutliers _))
+    "q97_mad_outliers" -> (qMadOutliers _),
+    "q98_zorder" -> (qZorder _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3414,5 +3430,22 @@ object SparkEntry {
            CAST(sum(CASE WHEN adev > 3*md.mad THEN 1 ELSE 0 END) AS BIGINT)
              AS n_outliers
          FROM d2 JOIN md USING (event_type)
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    "q98_zorder" ->
+      """WITH c AS (SELECT doc_id,
+             (doc_id * 2654435761) % 1048576 AS x,
+             (doc_id * 40503) % 1048576 AS y FROM documents),
+         ax0 AS (SELECT *, x & 4294967295 AS a0, y & 4294967295 AS b0 FROM c),
+         ax1 AS (SELECT *, (a0 | (a0 << 16)) & 281470681808895 AS a1,
+                           (b0 | (b0 << 16)) & 281470681808895 AS b1 FROM ax0),
+         ax2 AS (SELECT *, (a1 | (a1 << 8)) & 71777214294589695 AS a2,
+                           (b1 | (b1 << 8)) & 71777214294589695 AS b2 FROM ax1),
+         ax3 AS (SELECT *, (a2 | (a2 << 4)) & 1085102592571150095 AS a3,
+                           (b2 | (b2 << 4)) & 1085102592571150095 AS b3 FROM ax2),
+         ax4 AS (SELECT *, (a3 | (a3 << 2)) & 3689348814741910323 AS a4,
+                           (b3 | (b3 << 2)) & 3689348814741910323 AS b4 FROM ax3),
+         ax5 AS (SELECT *, (a4 | (a4 << 1)) & 6148914691236517205 AS a5,
+                           (b4 | (b4 << 1)) & 6148914691236517205 AS b5 FROM ax4)
+         SELECT doc_id, x, y, (a5 | (b5 << 1)) AS z
+         FROM ax5 ORDER BY doc_id""")
 }

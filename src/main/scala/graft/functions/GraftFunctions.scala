@@ -110,6 +110,29 @@ object GraftFunctions {
   def randLetters(seed: Column, n: Int): Column =
     column(RandLetters(expression(seed), expression(lit(n))))
 
+  /** Spread the low 32 bits of `c` to the even bit positions of a 64-bit
+    * value (Morton/Z-curve bit spreading, the textbook magic-mask
+    * cascade). Pure built-in bitwise Column ops — codegen'd, foldable,
+    * and spelled identically in any engine with `<<`, `|`, `&`. */
+  def mortonSpread(c: Column): Column = {
+    val m0 = lit(0x0000FFFF0000FFFFL); val m1 = lit(0x00FF00FF00FF00FFL)
+    val m2 = lit(0x0F0F0F0F0F0F0F0FL); val m3 = lit(0x3333333333333333L)
+    val m4 = lit(0x5555555555555555L)
+    val x0 = c.cast(LongType).bitwiseAND(lit(0xFFFFFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 16)).bitwiseAND(m0)
+    val x2 = x1.bitwiseOR(shiftleft(x1, 8)).bitwiseAND(m1)
+    val x3 = x2.bitwiseOR(shiftleft(x2, 4)).bitwiseAND(m2)
+    val x4 = x3.bitwiseOR(shiftleft(x3, 2)).bitwiseAND(m3)
+    x4.bitwiseOR(shiftleft(x4, 1)).bitwiseAND(m4)
+  }
+
+  /** 64-bit Z-order (Morton) key of two 32-bit coordinates: bits of `x`
+    * on even positions, `y` on odd. Sorting by this key gives locality
+    * in BOTH dimensions — the multi-column data-skipping layout
+    * (Z-ordered clustering) every modern table format offers. */
+  def zorder2(x: Column, y: Column): Column =
+    mortonSpread(x).bitwiseOR(shiftleft(mortonSpread(y), 1))
+
   /** Register SQL spellings matching the ClickHouse names so `spark.sql`
     * can run the reference's query text (`sql/query_parts.sql`,
     * `sql/query_metrics.sql`) as-is. Inputs are cast inside the builders:

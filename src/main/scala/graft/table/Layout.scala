@@ -1,0 +1,55 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Multi-dimensional data layout (SURVEY.md §2.12 storage extension):
+  * Z-order clustering + the zone-map pruning it exists to serve.
+  *
+  * At 100 TB the scan you DON'T run is the fastest one: a reader that
+  * keeps per-file min/max (a zone map — what parquet row-group stats,
+  * system.parts, and every modern table format's file index are) can
+  * skip a file whose [min, max] window misses the predicate. Sorting by
+  * ONE key makes that work for one column; interleaving the bits of two
+  * keys (Z-order) makes windows tight in BOTH — the standard trade for
+  * multi-dimensional point/range workloads.
+  */
+object Layout {
+
+  /** Cluster `df` into `numPartitions` range partitions of the Z-order
+    * key of (x, y) — each output partition covers a contiguous Z range,
+    * i.e. a small rectangle-ish region of the key plane. One range
+    * shuffle, the same cost any global sort pays. */
+  def clusterByZOrder(
+      df: DataFrame, x: Column, y: Column, numPartitions: Int): DataFrame =
+    df.withColumn("__z", GraftFunctions.zorder2(x, y))
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+
+  /** Per-partition [min, max] of each named column — the zone map a
+    * data-skipping reader consults before opening a file. One map-side
+    * pass; output is partitions × columns tiny rows. */
+  def zoneMap(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.withColumn("__pid", spark_partition_id())
+      .groupBy(col("__pid")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fraction of partitions a point lookup `c = probe` can SKIP given
+    * the zone map — averaged over `probes`. The zone map is
+    * driver-sized by construction (partitions × columns). */
+  def skipFraction(zoneMap: DataFrame, c: String, probes: Seq[Long]): Double = {
+    val windows = zoneMap.select(col(s"min_$c").cast("long"),
+      col(s"max_$c").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    require(windows.nonEmpty, "empty zone map")
+    val fracs = probes.map { p =>
+      windows.count { case (lo, hi) => p < lo || p > hi }.toDouble / windows.length
+    }
+    fracs.sum / probes.size
+  }
+}

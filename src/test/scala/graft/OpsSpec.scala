@@ -1010,6 +1010,33 @@ class OpsSpec extends SparkSpec {
       && math.abs(cov(0, 1)) < 1e-5)
   }
 
+  test("zorder: hand-computed interleave; clustering prunes BOTH dims") {
+    import spark.implicits._
+    import graft.table.Layout
+    // interleave(x=0b11, y=0b10) = y1 x1 y0 x0 = 1 1 0 1 = 13
+    val z = Seq((3L, 2L)).toDF("x", "y")
+      .select(graft.functions.GraftFunctions.zorder2(col("x"), col("y")))
+      .as[Long].head()
+    assert(z == 13L, s"got $z")
+    // full 256×256 grid; compare z-order layout vs sort-by-x layout
+    val grid = spark.range(0, 65536, 1, 8)
+      .select((col("id") % 256).as("x"), (col("id") / 256).as("y"))
+    val probes = Seq(10L, 100L, 200L, 250L)
+    val zoned = Layout.zoneMap(
+      Layout.clusterByZOrder(grid, col("x"), col("y"), 16), Seq("x", "y"))
+      .localCheckpoint()
+    val sorted = Layout.zoneMap(
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x")),
+      Seq("x", "y")).localCheckpoint()
+    val zx = Layout.skipFraction(zoned, "x", probes)
+    val zy = Layout.skipFraction(zoned, "y", probes)
+    val sx = Layout.skipFraction(sorted, "x", probes)
+    val sy = Layout.skipFraction(sorted, "y", probes)
+    // single-key sort prunes x only; z-order prunes meaningfully on BOTH
+    assert(sx > 0.8 && sy < 0.1, s"sorted layout sx=$sx sy=$sy")
+    assert(zx > 0.4 && zy > 0.4, s"zorder layout zx=$zx zy=$zy")
+  }
+
   test("text analysis columns are consistent") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat, happily!").toDF("text")
