@@ -1445,6 +1445,38 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Misra–Gries heavy hitters over the token stream — the frequency
+    * member of the sketch family (HLL q29, quantile sketch q54). Two
+    * planted tokens are grafted onto EVERY document often enough to
+    * clear the n/k survival threshold (6 and 5 copies vs n/16 ≈ 4.1
+    * doc-equivalents), so the MG guarantee makes them MUST-FINDs; their
+    * exact counts are recomputed by both engines (Spark exact groupBy,
+    * DuckDB unnest+count — closed-form 6N and 5N), and the sketch
+    * estimates must sit in the published [freq − n/k, freq] band. */
+  private def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hot = " hotA hotA hotA hotA hotA hotA hotB hotB hotB hotB hotB"
+    val minted = t(s, d, "documents")
+      .select(concat(col("text"), lit(hot)).as("text"))
+    val toks = minted.select(explode(split(col("text"), " ")).as("t"))
+      .localCheckpoint()
+    val k = 16
+    val sketch = graft.ops.Frequency.heavyHitters(toks, col("t"), k).toMap
+    val nTokens = toks.count()
+    val exact = toks.filter(col("t").isin("hotA", "hotB"))
+      .groupBy(col("t")).agg(count(lit(1)).as("exact"))
+      .as[(String, Long)].collect().toMap
+    val slack = nTokens / k
+    Seq("hotA", "hotB").map { tok =>
+      val ex = exact(tok)
+      val est = sketch.get(tok)
+      (tok, ex, nTokens,
+        est.isDefined,
+        est.exists(e => e <= ex && ex <= e + slack))
+    }.toDF("token", "exact_count", "n_tokens", "found_ok", "bound_ok")
+      .orderBy(col("token"))
+  }
+
   /** eTLD+1 registrable-domain canonicalization — cross-engine parity
     * relation. Deterministic URLs are minted from doc_id across the rule
     * classes of the bundled public-suffix snapshot (plain TLD with
@@ -2329,7 +2361,8 @@ object SparkEntry {
     "q95_incremental_dedup" -> (qIncrementalDedup _),
     "q96_pca_whiten" -> (qPcaWhiten _),
     "q97_mad_outliers" -> (qMadOutliers _),
-    "q98_zorder" -> (qZorder _))
+    "q98_zorder" -> (qZorder _),
+    "q99_heavy_hitters" -> (qHeavyHitters _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3447,5 +3480,16 @@ object SparkEntry {
          ax5 AS (SELECT *, (a4 | (a4 << 1)) & 6148914691236517205 AS a5,
                            (b4 | (b4 << 1)) & 6148914691236517205 AS b5 FROM ax4)
          SELECT doc_id, x, y, (a5 | (b5 << 1)) AS z
-         FROM ax5 ORDER BY doc_id""")
+         FROM ax5 ORDER BY doc_id""",
+    "q99_heavy_hitters" ->
+      """WITH m AS (SELECT text ||
+             ' hotA hotA hotA hotA hotA hotA hotB hotB hotB hotB hotB' AS text
+           FROM documents),
+         tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM m)
+         SELECT t AS token,
+           CAST(count(*) AS BIGINT) AS exact_count,
+           (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_tokens,
+           true AS found_ok, true AS bound_ok
+         FROM tok WHERE t IN ('hotA', 'hotB')
+         GROUP BY 1 ORDER BY 1""")
 }

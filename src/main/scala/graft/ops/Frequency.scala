@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Frequency sketching (SURVEY.md §2.12 sketch family, joining the HLL
+  * distinct-count and KLL-style quantile members): Misra–Gries heavy
+  * hitters — the mergeable k-counter summary (Misra & Gries 1982;
+  * mergeability per Agarwal et al. 2012's mergeable-summaries
+  * framework).
+  *
+  * Guarantee: with k counters over n items, every item with
+  * freq > n/k survives, and each surviving estimate sits in
+  * [freq − n/k, freq]. The summary is k (token, count) pairs per
+  * partition — constant-size shuffle regardless of corpus size, the
+  * whole point versus an exact groupBy whose shuffle is
+  * vocabulary-sized.
+  */
+object Frequency {
+
+  /** Mergeable Misra–Gries over the values of `tokenCol` (one token per
+    * row — explode upstream). Returns the surviving (token, est) pairs,
+    * largest first; `est ≤ true freq ≤ est + n/k`. */
+  def heavyHitters(df: DataFrame, tokenCol: Column, k: Int): Seq[(String, Long)] = {
+    require(k >= 2, s"k $k must be >= 2")
+    val summary = df.select(tokenCol.cast("string").as("t"))
+      .rdd.map(_.getString(0))
+      .treeAggregate(Map.empty[String, Long])(
+        seqOp = (m, t) => add(m, t, 1L, k),
+        combOp = (m1, m2) => merge(m1, m2, k))
+    summary.toSeq.sortBy(-_._2)
+  }
+
+  /** MG insert: bump an existing counter, open a new one if a slot is
+    * free, else decrement all (the classic step — each decrement
+    * "charges" k distinct items, which is where the n/k bound comes
+    * from). */
+  private[graft] def add(
+      m: Map[String, Long], t: String, w: Long, k: Int): Map[String, Long] =
+    if (m.contains(t)) m.updated(t, m(t) + w)
+    else if (m.size < k - 1) m.updated(t, w)
+    else {
+      val dec = math.min(w, m.values.min)
+      val kept = m.view.mapValues(_ - dec).filter(_._2 > 0).toMap
+      if (w > dec) kept.updated(t, w - dec) else kept
+    }
+
+  /** MG merge (mergeable-summaries): sum counters, then if over k−1
+    * survivors subtract the k-th largest count from all and drop the
+    * non-positive — error adds, never multiplies. */
+  private[graft] def merge(
+      m1: Map[String, Long], m2: Map[String, Long], k: Int): Map[String, Long] = {
+    val summed = m2.foldLeft(m1) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    if (summed.size <= k - 1) summed
+    else {
+      val kth = summed.values.toSeq.sortBy(-_).apply(k - 1)
+      summed.view.mapValues(_ - kth).filter(_._2 > 0).toMap
+    }
+  }
+}

@@ -1037,6 +1037,30 @@ class OpsSpec extends SparkSpec {
     assert(zx > 0.4 && zy > 0.4, s"zorder layout zx=$zx zy=$zy")
   }
 
+  test("Misra-Gries: survival guarantee, estimate band, merge behavior") {
+    import spark.implicits._
+    import graft.ops.Frequency
+    // pure-kernel checks first: n=10 'a' + 9 singletons, k=4 → 'a'
+    // (freq > n/4) must survive any insertion order
+    val items = Seq.fill(10)("a") ++ (1 to 9).map(i => s"s$i")
+    val m = items.foldLeft(Map.empty[String, Long])(
+      (acc, t) => Frequency.add(acc, t, 1L, 4))
+    assert(m.contains("a"), s"guaranteed heavy hitter lost: $m")
+    assert(m("a") <= 10 && m("a") >= 10 - 19 / 4)
+    // merge keeps ≤ k−1 counters and never raises an estimate
+    val merged = Frequency.merge(
+      Map("a" -> 5L, "b" -> 3L, "c" -> 1L),
+      Map("a" -> 2L, "d" -> 4L, "e" -> 1L), 4)
+    assert(merged.size <= 3 && merged("a") <= 7L)
+    // distributed: skewed stream over 8 partitions
+    val df = spark.range(0, 10000, 1, 8)
+      .select(when(col("id") % 3 === 0, "heavy")
+        .otherwise(concat(lit("t"), col("id"))).as("t"))
+    val hh = Frequency.heavyHitters(df, col("t"), 8).toMap
+    assert(hh.contains("heavy"), s"sketch $hh")
+    assert(hh("heavy") <= 3334 && hh("heavy") >= 3334 - 10000 / 8)
+  }
+
   test("text analysis columns are consistent") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat, happily!").toDF("text")
