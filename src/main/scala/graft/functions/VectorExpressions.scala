@@ -308,6 +308,121 @@ case class TextStats(child: Expression, markerSets: Seq[Seq[String]])
   override def prettyName: String = "text_stats"
 }
 
+object GopherStatsKernel {
+
+  private val wordSep: Array[Byte] =
+    Array(' ', '\t', '\n', 0x0B, '\f', '\r').map(_.toByte)
+  private def isSep(b: Byte): Boolean = {
+    var i = 0
+    while (i < wordSep.length) { if (wordSep(i) == b) return true; i += 1 }
+    false
+  }
+
+  /** One-pass raw statistics for the Gopher rule battery. Returns
+    * [nWords, sumWordLen, nHash, nEllipsis, nLines, nBulletLines,
+    * nEllipsisLines, nAlphaWords, stopHits]. Exactly mirrors the
+    * composed-HOF formulation it replaced (whose codegen COMPILE cost
+    * dominated the query): words are Java `split("\\s+", -1)` fields —
+    * leading/trailing separators produce empty words, empty text is one
+    * empty word; word length counts CODE POINTS (continuation bytes
+    * skipped); "..." counts non-overlapping left-to-right (replace
+    * semantics); lines are '\n' fields; stopHits counts DISTINCT
+    * stop-list members present. */
+  def stats(text: UTF8String, stops: Array[String]): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nWords = 0L; var sumLen = 0L; var nAlpha = 0L
+    val stopSeen = new Array[Boolean](stops.length)
+    def endWord(s: Int, e: Int): Unit = {
+      nWords += 1
+      var cp = 0L; var alpha = false
+      var i = s
+      while (i < e) {
+        if ((bytes(i) & 0xC0) != 0x80) cp += 1
+        val c = bytes(i)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha = true
+        i += 1
+      }
+      sumLen += cp
+      if (alpha) nAlpha += 1
+      var s2 = 0
+      while (s2 < stops.length) {
+        if (!stopSeen(s2)) {
+          val w = stops(s2)
+          if (w.length == e - s && {
+            var k = 0; var eq = true
+            while (k < w.length && eq) { eq = bytes(s + k) == w.charAt(k).toByte; k += 1 }
+            eq
+          }) stopSeen(s2) = true
+        }
+        s2 += 1
+      }
+    }
+    var pos = 0; var start = 0
+    while (pos < len) {
+      if (isSep(bytes(pos))) {
+        endWord(start, pos)
+        while (pos < len && isSep(bytes(pos))) pos += 1
+        start = pos
+      } else pos += 1
+    }
+    endWord(start, len)
+    // symbol counts: '#' chars; "..." non-overlapping left-to-right
+    var nHash = 0L; var nEll = 0L
+    pos = 0
+    while (pos < len) {
+      if (bytes(pos) == '#') { nHash += 1; pos += 1 }
+      else if (bytes(pos) == '.' && pos + 2 < len &&
+        bytes(pos + 1) == '.' && bytes(pos + 2) == '.') { nEll += 1; pos += 3 }
+      else pos += 1
+    }
+    // lines: '\n' fields; bullet prefix "• " (E2 80 A2 20) or "- ",
+    // ellipsis suffix "..."
+    var nLines = 0L; var nBullet = 0L; var nEllLine = 0L
+    var ls = 0
+    var p2 = 0
+    def endLine(s: Int, e: Int): Unit = {
+      nLines += 1
+      val n = e - s
+      if ((n >= 2 && bytes(s) == '-' && bytes(s + 1) == ' ') ||
+        (n >= 4 && (bytes(s) & 0xFF) == 0xE2 && (bytes(s + 1) & 0xFF) == 0x80 &&
+          (bytes(s + 2) & 0xFF) == 0xA2 && bytes(s + 3) == ' ')) nBullet += 1
+      if (n >= 3 && bytes(e - 1) == '.' && bytes(e - 2) == '.' && bytes(e - 3) == '.')
+        nEllLine += 1
+    }
+    while (p2 < len) {
+      if (bytes(p2) == '\n') { endLine(ls, p2); ls = p2 + 1 }
+      p2 += 1
+    }
+    endLine(ls, len)
+    var stopHits = 0L
+    var s3 = 0
+    while (s3 < stopSeen.length) { if (stopSeen(s3)) stopHits += 1; s3 += 1 }
+    new GenericArrayData(Array(
+      nWords, sumLen, nHash, nEll, nLines, nBullet, nEllLine, nAlpha, stopHits))
+  }
+}
+
+/** `gopher_stats(text)` — one-pass raw statistics for the Gopher rule
+  * battery (word/line/symbol/stop-list counts in a single byte walk).
+  * The composed higher-order-function formulation generated a codegen
+  * method so large its janino COMPILE time (~2 s) dominated the whole
+  * query at fixture scale; this is one static call. */
+case class GopherStats(child: Expression, stops: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val stopArr: Array[String] = stops.toArray
+  override def nullSafeEval(v: Any): Any =
+    GopherStatsKernel.stats(v.asInstanceOf[UTF8String], stopArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stops", stopArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.GopherStatsKernel.stats($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): GopherStats =
+    copy(child = c)
+  override def prettyName: String = "gopher_stats"
+}
+
 /** `vec_dot(a, b)` — dot product of two numeric arrays as a codegen'd
   * scalar (SURVEY.md §2.12 similarity-search kernel). */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
@@ -409,4 +524,6 @@ object VectorFunctions {
     column(EditDistance(expression(a), expression(b)))
   def textStats(text: Column, markerSets: Seq[Seq[String]]): Column =
     column(TextStats(expression(text), markerSets))
+  def gopherStats(text: Column, stops: Seq[String]): Column =
+    column(GopherStats(expression(text), stops))
 }

@@ -313,37 +313,27 @@ object TextAnalysis {
     *         ellipsis_frac, alpha_frac, stop_hits, r_* booleans, keep);
     *         fractions rounded 4dp for cross-engine comparison. */
   def gopherReport(docs: DataFrame): DataFrame = {
-    val text = col("text")
-    val words = split(text, "\\s+")
-    val nWords = size(words)
-    val nWordsD = greatest(nWords, lit(1)).cast("double")
-    val meanLen = round(
-      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWordsD, 4)
-    // "#" or "..." occurrences; replace-then-length-diff counts both
-    // engines identically (no regex, no overlap ambiguity)
-    val hashCnt = length(text) - length(replace(text, lit("#"), lit("")))
-    val ellCnt = ((length(text) - length(replace(text, lit("..."), lit("")))) / lit(3))
-      .cast("long")
-    val symbolRatio = round((hashCnt + ellCnt).cast("double") / nWordsD, 4)
-    val lines = split(text, "\n")
-    val nLinesD = greatest(size(lines), lit(1)).cast("double")
-    val bulletFrac = round(
-      size(filter(lines, l => l.startsWith("• ").or(l.startsWith("- ")))).cast("double") / nLinesD, 4)
-    val ellipsisFrac = round(
-      size(filter(lines, l => l.endsWith("..."))).cast("double") / nLinesD, 4)
-    val alphaFrac = round(
-      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWordsD, 4)
-    val stopHits = size(filter(
-      array(gopherStopwords.map(lit): _*), s => array_contains(words, s)))
-    docs.select(
-      col("doc_id"),
-      nWords.as("n_words"),
-      meanLen.as("mean_word_len"),
-      symbolRatio.as("symbol_ratio"),
-      bulletFrac.as("bullet_frac"),
-      ellipsisFrac.as("ellipsis_frac"),
-      alphaFrac.as("alpha_frac"),
-      stopHits.as("stop_hits"))
+    // one-pass codegen kernel: [nWords, sumWordLen, nHash, nEllipsis,
+    // nLines, nBulletLines, nEllipsisLines, nAlphaWords, stopHits].
+    // The composed HOF formulation (split/filter/aggregate per metric)
+    // was semantically identical but generated a janino method so large
+    // its COMPILE time (~2 s) dominated the query at any fixture scale
+    val st = graft.functions.VectorFunctions.gopherStats(
+      col("text"), gopherStopwords)
+    def s(i: Int) = element_at(col("__st"), i)
+    val nWords = s(1).cast("int")
+    val nWordsD = greatest(s(1), lit(1L)).cast("double")
+    val nLinesD = greatest(s(5), lit(1L)).cast("double")
+    docs.select(col("doc_id"), st.as("__st"))
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        round(s(2).cast("double") / nWordsD, 4).as("mean_word_len"),
+        round((s(3) + s(4)).cast("double") / nWordsD, 4).as("symbol_ratio"),
+        round(s(6).cast("double") / nLinesD, 4).as("bullet_frac"),
+        round(s(7).cast("double") / nLinesD, 4).as("ellipsis_frac"),
+        round(s(8).cast("double") / nWordsD, 4).as("alpha_frac"),
+        s(9).cast("int").as("stop_hits"))
       .withColumn("r_word_count", col("n_words").between(50, 100000))
       .withColumn("r_mean_len", col("mean_word_len").between(3.0, 10.0))
       .withColumn("r_symbol", col("symbol_ratio") < 0.1)
