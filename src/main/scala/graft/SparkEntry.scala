@@ -1477,6 +1477,24 @@ object SparkEntry {
       .orderBy(col("token"))
   }
 
+  /** Corpus drift (PSI) between two snapshots — full per-bucket
+    * cross-engine relation. Snapshot B mints a deliberate quality
+    * regression (every third doc truncated to 8 words, dragging its
+    * length score down); both engines bucket the 4dp quality score at
+    * 0.2 width, Laplace-smooth, and compute each bucket's PSI term —
+    * counts, proportions, and terms all hash-compared, so the drift
+    * math itself is what's verified, planted shift included. */
+  private def qDriftPsi(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val truncated = array_join(slice(split(col("text"), " "), 1, 8), " ")
+    val snapB = docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, truncated).otherwise(col("text")).as("text"))
+    def bucket(df: DataFrame) = df.select(
+      floor(TextAnalysis.qualityScore(col("text")) * lit(5)).as("q"))
+    Curation.distributionDrift(bucket(docs), bucket(snapB), col("q"))
+      .orderBy(col("bucket"))
+  }
+
   /** eTLD+1 registrable-domain canonicalization — cross-engine parity
     * relation. Deterministic URLs are minted from doc_id across the rule
     * classes of the bundled public-suffix snapshot (plain TLD with
@@ -2362,7 +2380,8 @@ object SparkEntry {
     "q96_pca_whiten" -> (qPcaWhiten _),
     "q97_mad_outliers" -> (qMadOutliers _),
     "q98_zorder" -> (qZorder _),
-    "q99_heavy_hitters" -> (qHeavyHitters _))
+    "q99_heavy_hitters" -> (qHeavyHitters _),
+    "q100_drift_psi" -> (qDriftPsi _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3491,5 +3510,41 @@ object SparkEntry {
            (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_tokens,
            true AS found_ok, true AS bound_ok
          FROM tok WHERE t IN ('hotA', 'hotB')
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    "q100_drift_psi" ->
+      """WITH sb AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+             THEN array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+             ELSE text END AS text FROM documents),
+         qual_a AS (SELECT string_split(text, ' ') AS toks, text FROM documents),
+         qual_b AS (SELECT string_split(text, ' ') AS toks, text FROM sb),
+         qa AS (SELECT CAST(floor(round(
+             least(CAST(len(toks) AS DOUBLE)/50.0, 1.0)*0.5
+             + least(CAST(len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS DOUBLE)*10.0
+                 / greatest(CAST(len(toks) AS DOUBLE), 1.0), 1.0)*0.5
+             - least(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0)*5.0, 1.0)*0.25,
+             4) * 5) AS BIGINT) AS bucket FROM qual_a),
+         qb AS (SELECT CAST(floor(round(
+             least(CAST(len(toks) AS DOUBLE)/50.0, 1.0)*0.5
+             + least(CAST(len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS DOUBLE)*10.0
+                 / greatest(CAST(len(toks) AS DOUBLE), 1.0), 1.0)*0.5
+             - least(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0)*5.0, 1.0)*0.25,
+             4) * 5) AS BIGINT) AS bucket FROM qual_b),
+         ca AS (SELECT bucket, count(*) AS n_a FROM qa GROUP BY 1),
+         cb AS (SELECT bucket, count(*) AS n_b FROM qb GROUP BY 1),
+         j AS (SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+                 CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+                 CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+               FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket),
+         t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+                      CAST(sum(n_b) AS DOUBLE) AS tb,
+                      CAST(count(*) AS DOUBLE) AS k FROM j)
+         SELECT bucket, n_a, n_b,
+           round((n_a + 0.5) / (ta + 0.5*k), 6) AS p_a,
+           round((n_b + 0.5) / (tb + 0.5*k), 6) AS p_b,
+           round(((n_a + 0.5) / (ta + 0.5*k) - (n_b + 0.5) / (tb + 0.5*k))
+             * ln(((n_a + 0.5) / (ta + 0.5*k)) / ((n_b + 0.5) / (tb + 0.5*k))), 6)
+             AS psi_term
+         FROM j CROSS JOIN t ORDER BY bucket""")
 }

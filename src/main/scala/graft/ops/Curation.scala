@@ -246,6 +246,38 @@ object Curation {
       .withColumn("selected", col("cum_tokens") < col("budget"))
   }
 
+  /** Distribution drift between two corpus snapshots — the monitoring
+    * op a continuously-refreshed training corpus runs per release:
+    * bucket a per-doc score in both snapshots and report each bucket's
+    * Population Stability Index term
+    * (p_a − p_b)·ln(p_a / p_b) (the standard drift score; ≥ 0.2 total
+    * conventionally means "investigate"). Laplace-smoothed with 0.5 per
+    * present bucket so one-sided buckets contribute finite terms.
+    *
+    * Scale shape: two map-combined grouped counts (bucket cardinality ≈
+    * tens) + a full outer join on bucket + two scalar totals broadcast
+    * — nothing data-sized ever shuffles twice.
+    *
+    * @return (bucket, n_a, n_b, p_a, p_b, psi_term) — proportions and
+    *         terms rounded 6dp; total PSI = sum(psi_term). */
+  def distributionDrift(
+      a: DataFrame, b: DataFrame, bucket: Column): DataFrame = {
+    val ca = a.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n_b"))
+    val joined = ca.join(cb, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val totals = joined.agg(
+      sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"),
+      count(lit(1)).as("k"))
+    val pa = (col("n_a") + lit(0.5)) / (col("ta") + lit(0.5) * col("k"))
+    val pb = (col("n_b") + lit(0.5)) / (col("tb") + lit(0.5) * col("k"))
+    joined.crossJoin(broadcast(totals))
+      .select(
+        col("bucket"), col("n_a"), col("n_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_term"))
+  }
+
   /** [[capPerDomain]] on the REGISTRABLE (eTLD+1) domain of a URL
     * column: `www.example.com`, `example.com` and `a.b.example.com`
     * cap as ONE domain, while `a.blogspot.com` / `b.blogspot.com` stay

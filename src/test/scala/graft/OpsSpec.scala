@@ -1061,6 +1061,26 @@ class OpsSpec extends SparkSpec {
     assert(hh("heavy") <= 3334 && hh("heavy") >= 3334 - 10000 / 8)
   }
 
+  test("distributionDrift: hand-computed PSI, zero on identical snapshots") {
+    import spark.implicits._
+    val a = Seq(0L, 0L, 0L, 1L).toDF("q")
+    val same = Curation.distributionDrift(a, a, col("q"))
+      .select("psi_term").as[Double].collect()
+    assert(same.forall(_ == 0.0), s"identical snapshots must have PSI 0: ${same.toSeq}")
+    // a=[3×0, 1×1], b=[1×0, 3×1], k=2: p_a0=3.5/5, p_b0=1.5/5 →
+    // term0 = 0.4·ln(7/3); symmetric for bucket 1
+    val b = Seq(0L, 1L, 1L, 1L).toDF("q")
+    val got = Curation.distributionDrift(a, b, col("q"))
+      .orderBy("bucket").select("psi_term").as[Double].collect()
+    val want = math.rint(0.4 * math.log(3.5 / 1.5) * 1e6) / 1e6
+    assert(got.toSeq == Seq(want, want), s"got ${got.toSeq} want $want")
+    // one-sided bucket stays finite via smoothing
+    val c = Seq(5L, 5L).toDF("q")
+    val oneSided = Curation.distributionDrift(a, c, col("q"))
+      .select("psi_term").as[Double].collect()
+    assert(oneSided.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("text analysis columns are consistent") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat, happily!").toDF("text")
