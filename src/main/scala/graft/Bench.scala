@@ -240,7 +240,7 @@ object Bench {
       // events scale path (factor 10)
       "q30_window_agg", "q35_asof_join", "q36_sessionize", "q40_range_join",
       "q47_histogram", "q49_session_window", "q62_funnel", "q63_retention",
-      "q68_skew_stats",
+      "q68_skew_stats", "q97_mad_outliers",
       // documents scale path (factor 10); q20/q21 are excluded — their
       // conformance joins consume the per-dir exact-Jaccard fixture,
       // which only the driver corpus has
@@ -248,6 +248,7 @@ object Bench {
       "q43_edit_distance", "q38_token_topk",
       "q78_chunking", "q79_sequence_pack", "q80_data_card",
       "q90_lm_score", "q91_gopher_rules", "q92_mixture_select",
+      "q95_incremental_dedup", "q100_drift_psi",
       // TPC-H join/window family (factor 10 orders/lineitem/customer
       // companions — r6 had no measured exponent for the join family)
       "q10_join_shuffle", "q13_window_topk", "q58_outer_joins",
