@@ -1495,6 +1495,39 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Bloom membership prefilter — the cheap gate in front of the dedup
+    * joins (q95's banding only runs on rows the filter can't rule out).
+    * Structural contract: copies of corpus docs MUST pass (a Bloom
+    * filter has no false negatives — an exact count both engines
+    * recompute), and vocabulary-unique fresh docs may pass only at the
+    * false-positive rate (≤ 5× the configured 1% as slack). The filter
+    * is built distributed and probed through a codegen expression, no
+    * UDF. */
+  private def qBloomPrefilter(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.select(xxhash64(col("text")).as("fp"))
+    val copies = docs.filter(col("doc_id") % 4 === 0)
+      .select(xxhash64(col("text")).as("fp"), lit("copy").as("cls"))
+    val fresh = docs.select(
+      xxhash64(concat(col("text"), lit(" zz"), col("doc_id"))).as("fp"),
+      lit("fresh").as("cls"))
+    val flagged = Dedup.bloomPrefilter(
+      corpus, copies.unionByName(fresh), col("fp"),
+      expectedItems = 100000L, fpp = 0.01).localCheckpoint()
+    val agg = flagged.groupBy(col("cls")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("might_exist"), 1L).otherwise(0L)).as("passed"))
+    val c = agg.filter(col("cls") === "copy")
+      .select(col("n").as("n_copies"), col("passed").as("cp"))
+    val f = agg.filter(col("cls") === "fresh")
+      .select(col("n").as("n_fresh"), col("passed").as("fp_passed"))
+    c.crossJoin(f).select(
+      col("n_copies"), col("n_fresh"),
+      (col("cp") === col("n_copies")).as("no_false_negatives_ok"),
+      (col("fp_passed").cast("double") <=
+        col("n_fresh").cast("double") * 0.05).as("fp_rate_ok"))
+  }
+
   /** eTLD+1 registrable-domain canonicalization — cross-engine parity
     * relation. Deterministic URLs are minted from doc_id across the rule
     * classes of the bundled public-suffix snapshot (plain TLD with
@@ -2381,7 +2414,8 @@ object SparkEntry {
     "q97_mad_outliers" -> (qMadOutliers _),
     "q98_zorder" -> (qZorder _),
     "q99_heavy_hitters" -> (qHeavyHitters _),
-    "q100_drift_psi" -> (qDriftPsi _))
+    "q100_drift_psi" -> (qDriftPsi _),
+    "q101_bloom_prefilter" -> (qBloomPrefilter _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3546,5 +3580,11 @@ object SparkEntry {
            round(((n_a + 0.5) / (ta + 0.5*k) - (n_b + 0.5) / (tb + 0.5*k))
              * ln(((n_a + 0.5) / (ta + 0.5*k)) / ((n_b + 0.5) / (tb + 0.5*k))), 6)
              AS psi_term
-         FROM j CROSS JOIN t ORDER BY bucket""")
+         FROM j CROSS JOIN t ORDER BY bucket""",
+    "q101_bloom_prefilter" ->
+      """SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id % 4 = 0) AS n_copies,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_fresh,
+           true AS no_false_negatives_ok, true AS fp_rate_ok""")
 }

@@ -423,6 +423,28 @@ case class GopherStats(child: Expression, stops: Seq[String])
   override def prettyName: String = "gopher_stats"
 }
 
+/** `bloom_might_contain(key)` — probe a broadcast-sized Bloom filter as
+  * a codegen'd scalar (the per-row half of the dedup prefilter; no UDF
+  * serialization on the hot path — the filter rides the plan as a
+  * reference object, exactly how Spark's own runtime-filter probe
+  * works). */
+case class BloomMightContain(
+    child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    filter.mightContainLong(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(
+      "bloom", filter, classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+  override def prettyName: String = "bloom_might_contain"
+}
+
 /** `vec_dot(a, b)` — dot product of two numeric arrays as a codegen'd
   * scalar (SURVEY.md §2.12 similarity-search kernel). */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {

@@ -1081,6 +1081,21 @@ class OpsSpec extends SparkSpec {
     assert(oneSided.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("bloomPrefilter: no false negatives, bounded false positives, codegen probe") {
+    import spark.implicits._
+    val corpus = (1L to 2000L).map(i => i * 7919L).toDF("fp")
+    val present = (1L to 500L).map(i => (i * 7919L, true))
+    val absent = (1L to 500L).map(i => (i * 7919L + 1L, false))
+    val batch = (present ++ absent).toDF("fp", "in_corpus")
+    val got = Dedup.bloomPrefilter(corpus, batch, col("fp"), 2000L, 0.01)
+      .select("in_corpus", "might_exist").as[(Boolean, Boolean)].collect()
+    // every present key passes — structural
+    assert(got.filter(_._1).forall(_._2))
+    // absent keys pass only at ~fpp
+    val fpRate = got.filter(!_._1).count(_._2).toDouble / 500
+    assert(fpRate <= 0.05, s"false-positive rate $fpRate")
+  }
+
   test("text analysis columns are consistent") {
     import spark.implicits._
     val df = Seq("the cat sat on the mat, happily!").toDF("text")
