@@ -35,6 +35,19 @@ class PlanSpec extends SparkSpec {
       s"scan must not read unprojected columns: $readSchema")
   }
 
+  test("q92 mixture selection plans no Window (the prefix scan IS the point)") {
+    val p = plan("q92_mixture_select")
+    assert(!p.contains("Window"),
+      s"mixtureSelect must ride the distributed prefix scan, not a cumsum window:\n$p")
+  }
+
+  test("q98 z-order scan prunes to doc_id only") {
+    val p = plan("q98_zorder")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      s"z-key derivation needs only doc_id: $readSchema")
+  }
+
   test("q16 dedup aggregates map-side before the key shuffle (partial agg)") {
     val p = plan("q16_dedup_exact")
     assert("HashAggregate".r.findAllMatchIn(p).size >= 2,
