@@ -165,6 +165,8 @@ object Dedup {
       keyCol: Column,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
+    require(corpusKeys.columns.length == 1,
+      s"corpusKeys must be a single key column, got ${corpusKeys.columns.toSeq}")
     val bloom = corpusKeys.stat.bloomFilter(
       corpusKeys.columns.head, expectedItems, fpp)
     // probe via a codegen expression carrying the filter as a plan
