@@ -54,6 +54,16 @@ private[graft] object BenchLogic {
       case _ => (recorded, false)
     }
 
+  /** A gated query whose recheck did NOT halve is evidence of either a
+    * real regression or SUSTAINED load pollution (the recheck raced the
+    * same environment) — either way the inflated number is being
+    * recorded and the reader must see that, not a silent `suspect:[]`
+    * (r7's sbt-wrapped artifact carried 3–5× inflation on q39/q40/q81
+    * invisibly). The two calib pairs beside it let the reader tell the
+    * cases apart: degraded calib → pollution, clean calib → regression. */
+  def unresolvedDrift(wasGated: Boolean, flagged: Boolean): Boolean =
+    wasGated && !flagged
+
   /** Round-over-round drift gate (r6: a load-polluted run recorded
     * 2–5× inflation on q58/q62/q63/q75 that the 8×-median outlier rule
     * is too coarse to see): any query above `factor`× its previously
@@ -210,12 +220,17 @@ object Bench {
         .getOrElse(Map.empty)
     val threshold = BenchLogic.suspectThreshold(mins.flatMap(_._2))
     val suspects = scala.collection.mutable.ListBuffer.empty[String]
+    // gated queries whose recheck failed to halve: the inflated minimum
+    // IS recorded (there is no better number) but never silently — see
+    // BenchLogic.unresolvedDrift
+    val drifted = scala.collection.mutable.ListBuffer.empty[String]
     mins = mins.map {
       case (k, Some(v)) if v > threshold ||
           BenchLogic.driftSuspect(v, prevQueries.get(k)) =>
         val (finalTime, flagged) = BenchLogic.resolveRecheck(
           v, timeOnce(k, selected(k), "suspect-recheck"))
         if (flagged) suspects += k
+        if (BenchLogic.unresolvedDrift(wasGated = true, flagged)) drifted += k
         k -> Some(finalTime)
       case other => other
     }
@@ -351,6 +366,7 @@ object Bench {
     val total = mins.flatMap(_._2).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val susJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val driftJson = drifted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibJson = s"""{"start":${ms(calibStart)},"end":${ms(calibEnd)}}"""
     val loadJson = s"""{"start":$loadStart,"end":$loadEnd}"""
     val fixJson = fixtures.map { case (k, v) => s"\"$k\":${ms(v)}" }
@@ -361,9 +377,9 @@ object Bench {
     // like with like
     val wrapperName = sys.props.getOrElse("graft.wrapper", "standalone")
     val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","runs":$runsPerQuery,"agg":"min","calib":$calibJson,"load":$loadJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","runs":$runsPerQuery,"agg":"min","calib":$calibJson,"load":$loadJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"sf":"$sfDir"}"""
     val shortJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","calib":$calibJson,"errors":$errJson,"suspect":$susJson,"ladder":$ladderJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","calib":$calibJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"ladder":$ladderJson,"sf":"$sfDir"}"""
     // belt-and-braces for log-scraping consumers: the file copy also keeps
     // the raw per-run times (first-vs-second delta = JVM drift) that would
     // make the stdout line too long to survive the tail capture
@@ -373,7 +389,7 @@ object Bench {
           ts.map(_.map(ms).getOrElse("null")).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       val full =
-        s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","runs":$runsPerQuery,"agg":"min","calib":$calibJson,"load":$loadJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"raw":$raw,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","runs":$runsPerQuery,"agg":"min","calib":$calibJson,"load":$loadJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"raw":$raw,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full + "\n")
     }
     spark.stop()

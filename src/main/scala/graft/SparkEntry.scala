@@ -1528,6 +1528,56 @@ object SparkEntry {
         col("n_fresh").cast("double") * 0.05).as("fp_rate_ok"))
   }
 
+  /** End-to-end gated incremental dedup — the COMPOSED daily-ingest
+    * pipeline (q101's Bloom gates routed in FRONT of q95's banded join,
+    * plus the exact-fingerprint lane): the same minted three-class batch
+    * as q95 — verbatim copies, truncations, gibberish — classified in
+    * one `Dedup.incrementalDedup` call. Booleans: every copy classes
+    * `exact` (structural — the fingerprint Bloom has no false negatives
+    * and the confirming join removes its false positives), truncations
+    * class `near` at ≥0.9 recall (banded-MinHash recall, as q95), and
+    * every gibberish doc classes `new` (a bucket-Bloom false positive
+    * may enter the banded join but dies at the signature verify). The
+    * join-input shrink the gates buy is proven by row count in
+    * `OpsSpec`; the plan guard pins both gates present in the plan. */
+  private def qIncrementalDedupGated(s: SparkSession, d: String): DataFrame = {
+    val corpus = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val offA = 10000000L; val offB = 20000000L; val offC = 30000000L
+    val ws = split(col("text"), " ")
+    val copies = corpus.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + offA).as("doc_id"), col("text"))
+    val truncs = corpus.filter(col("doc_id") % 9 === 3 && size(ws) >= 20)
+      .select((col("doc_id") + offB).as("doc_id"),
+        array_join(slice(ws, lit(1), size(ws) - 5), " ").as("text"))
+    val gibberish = corpus.filter(col("doc_id") % 9 === 6)
+      .select((col("doc_id") + offC).as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(30)),
+          i => concat(lit("g"), col("doc_id"), lit("x"), i)), " ").as("text"))
+    val batch = copies.unionByName(truncs).unionByName(gibberish)
+    val cls = graft.ops.Dedup.incrementalDedup(
+      corpus, batch, expectedCorpusDocs = 100000L).localCheckpoint()
+    val agg = cls.groupBy(
+      when(col("batch_id") >= offC, "gib")
+        .when(col("batch_id") >= offB, "trunc")
+        .otherwise("copy").as("minted"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cls") === "exact", 1L).otherwise(0L)).as("n_ex"),
+        sum(when(col("cls") === "near", 1L).otherwise(0L)).as("n_nr"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_nw"))
+    val c = agg.filter(col("minted") === "copy")
+      .select(col("n").as("n_copies"), col("n_ex").as("c_ex"))
+    val tr = agg.filter(col("minted") === "trunc")
+      .select(col("n").as("n_truncs"), col("n_nr").as("t_nr"))
+    val g = agg.filter(col("minted") === "gib")
+      .select(col("n").as("n_gib"), col("n_nw").as("g_nw"))
+    c.crossJoin(tr).crossJoin(g).select(
+      col("n_copies"), col("n_truncs"), col("n_gib"),
+      (col("c_ex") === col("n_copies")).as("copies_exact_ok"),
+      (col("t_nr").cast("double") >=
+        col("n_truncs").cast("double") * 0.9).as("trunc_near_ok"),
+      (col("g_nw") === col("n_gib")).as("gib_new_ok"))
+  }
+
   /** eTLD+1 registrable-domain canonicalization — cross-engine parity
     * relation. Deterministic URLs are minted from doc_id across the rule
     * classes of the bundled public-suffix snapshot (plain TLD with
@@ -1555,6 +1605,36 @@ object SparkEntry {
     docs.select(col("doc_id"), url.as("url"))
       .withColumn("dom",
         graft.functions.DomainFunctions.registrableDomain(col("url")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL canonicalization below the domain level — cross-engine parity
+    * relation. Deterministic URL mutations are minted from doc_id across
+    * the normalizer's rule classes (scheme/host case, default vs
+    * non-default ports, fragments, tracking-parameter strip with
+    * order-preserved survivors, bare-`/` path drop, trailing host dots,
+    * scheme-less inputs, preserved userinfo); the Spark side runs
+    * `canonical_url` for real while DuckDB concatenates the expected
+    * normalized string per shape. */
+  private def qCanonicalUrl(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val idS = col("doc_id").cast("string")
+    val shape = pmod(col("doc_id"), lit(8))
+    val url = when(shape === 0, concat(lit("HTTP://WWW.Example"), idS,
+        lit(".COM:80/Path/Page?a=1&utm_source=x&b=2#frag")))
+      .when(shape === 1, concat(lit("https://Site"), idS, lit(".org:443/x")))
+      .when(shape === 2, concat(lit("https://site"), idS, lit(".org:8443/x")))
+      .when(shape === 3, concat(lit("http://host"), idS,
+        lit(".net/?utm_campaign=c&utm_medium=m")))
+      .when(shape === 4, concat(lit("http://a.b"), idS, lit(".com/p#section")))
+      .when(shape === 5, concat(lit("http://x"), idS,
+        lit(".com./q?gclid=123&keep=1")))
+      .when(shape === 6, concat(lit("Mixed"), idS, lit(".COM/Path")))
+      .otherwise(concat(lit("https://u:p@secure"), idS,
+        lit(".io:443/a?fbclid=z&x=2")))
+    docs.select(col("doc_id"), url.as("url"))
+      .withColumn("canon",
+        graft.functions.DomainFunctions.canonicalUrl(col("url")))
       .orderBy(col("doc_id"))
   }
 
@@ -2415,7 +2495,9 @@ object SparkEntry {
     "q98_zorder" -> (qZorder _),
     "q99_heavy_hitters" -> (qHeavyHitters _),
     "q100_drift_psi" -> (qDriftPsi _),
-    "q101_bloom_prefilter" -> (qBloomPrefilter _))
+    "q101_bloom_prefilter" -> (qBloomPrefilter _),
+    "q102_incremental_dedup_gated" -> (qIncrementalDedupGated _),
+    "q103_canonical_url" -> (qCanonicalUrl _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3586,5 +3668,42 @@ object SparkEntry {
            (SELECT CAST(count(*) AS BIGINT) FROM documents
              WHERE doc_id % 4 = 0) AS n_copies,
            (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_fresh,
-           true AS no_false_negatives_ok, true AS fp_rate_ok""")
+           true AS no_false_negatives_ok, true AS fp_rate_ok""",
+    "q102_incremental_dedup_gated" ->
+      """SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id % 9 = 0) AS n_copies,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id % 9 = 3
+               AND len(string_split(text, ' ')) >= 20) AS n_truncs,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id % 9 = 6) AS n_gib,
+           true AS copies_exact_ok, true AS trunc_near_ok,
+           true AS gib_new_ok""",
+    "q103_canonical_url" ->
+      """SELECT doc_id,
+           CASE doc_id % 8
+             WHEN 0 THEN 'HTTP://WWW.Example' || doc_id ||
+               '.COM:80/Path/Page?a=1&utm_source=x&b=2#frag'
+             WHEN 1 THEN 'https://Site' || doc_id || '.org:443/x'
+             WHEN 2 THEN 'https://site' || doc_id || '.org:8443/x'
+             WHEN 3 THEN 'http://host' || doc_id ||
+               '.net/?utm_campaign=c&utm_medium=m'
+             WHEN 4 THEN 'http://a.b' || doc_id || '.com/p#section'
+             WHEN 5 THEN 'http://x' || doc_id || '.com./q?gclid=123&keep=1'
+             WHEN 6 THEN 'Mixed' || doc_id || '.COM/Path'
+             ELSE 'https://u:p@secure' || doc_id || '.io:443/a?fbclid=z&x=2'
+           END AS url,
+           CASE doc_id % 8
+             WHEN 0 THEN 'http://www.example' || doc_id ||
+               '.com/Path/Page?a=1&b=2'
+             WHEN 1 THEN 'https://site' || doc_id || '.org/x'
+             WHEN 2 THEN 'https://site' || doc_id || '.org:8443/x'
+             WHEN 3 THEN 'http://host' || doc_id || '.net'
+             WHEN 4 THEN 'http://a.b' || doc_id || '.com/p'
+             WHEN 5 THEN 'http://x' || doc_id || '.com/q?keep=1'
+             WHEN 6 THEN 'mixed' || doc_id || '.com/Path'
+             ELSE 'https://u:p@secure' || doc_id || '.io/a?x=2'
+           END AS canon
+         FROM documents ORDER BY doc_id""")
 }

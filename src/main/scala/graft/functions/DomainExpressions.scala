@@ -167,8 +167,128 @@ case class RegistrableDomain(child: Expression) extends UnaryExpression {
   override def prettyName: String = "registrable_domain"
 }
 
+/** Static kernel behind `canonical_url` — URL normalization BELOW the
+  * domain level, the other classic web-curation dedup key next to
+  * [[DomainOps.registrableDomain]] (which normalizes the host only).
+  * RFC 3986 syntax-based normalization plus the web-curation extras:
+  *
+  *   - scheme and host lowercased (path/query case is significant and
+  *     preserved); surrounding whitespace trimmed;
+  *   - fragment stripped (never part of the resource);
+  *   - default ports stripped (`:80` for http, `:443` for https; a bare
+  *     trailing `:` likewise);
+  *   - trailing dots on the host stripped (`example.com.` ≡
+  *     `example.com` in DNS);
+  *   - tracking query parameters removed ([[UrlOps.trackingParams]] —
+  *     the published utm_* and click-id families), preserving the relative
+  *     order of the remaining parameters; an emptied query drops its
+  *     `?`;
+  *   - a bare `/` path with no query is dropped (`http://a.com/` ≡
+  *     `http://a.com`);
+  *   - userinfo and any non-default port are PRESERVED — stripping them
+  *     would merge genuinely distinct resources;
+  *   - IDN hosts: ASCII case folding only; punycode labels pass through
+  *     untouched (full IDNA requires tables this normalizer does not
+  *     ship).
+  *
+  * Null in → null out; an input with no host material returns null. */
+object UrlOps {
+  /** Parameters that identify a CAMPAIGN or CLICK, not a resource —
+    * the documented strip list (utm family per Google Analytics docs;
+    * platform click-ids; common newsletter/analytics ids). */
+  val trackingParams: Set[String] = Set(
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "utm_id", "gclid", "dclid", "gbraid", "wbraid", "fbclid", "msclkid",
+    "twclid", "igshid", "mc_cid", "mc_eid", "yclid", "_ga", "_gl",
+    "vero_id", "oly_anon_id", "oly_enc_id", "s_cid", "ref_src")
+
+  def canonicalUrlJ(url: String): String = {
+    if (url == null) return null
+    var s = url.trim
+    if (s.isEmpty) return null
+    val hash = s.indexOf('#')
+    if (hash >= 0) s = s.substring(0, hash)
+    var scheme: String = null
+    var rest = s
+    val sep = s.indexOf("://")
+    if (sep >= 0) {
+      scheme = s.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+      rest = s.substring(sep + 3)
+    }
+    val cut = rest.indexWhere(c => c == '/' || c == '?')
+    var auth = if (cut >= 0) rest.substring(0, cut) else rest
+    val pathq = if (cut >= 0) rest.substring(cut) else ""
+    // authority = [userinfo@]host[:port] — userinfo preserved verbatim
+    val at = auth.lastIndexOf('@')
+    val user = if (at >= 0) auth.substring(0, at + 1) else ""
+    val hostport = if (at >= 0) auth.substring(at + 1) else auth
+    var host = hostport
+    var port = ""
+    if (hostport.startsWith("[")) { // IPv6 literal: bracket-delimited
+      val e = hostport.indexOf(']')
+      if (e >= 0) { host = hostport.substring(0, e + 1); port = hostport.substring(e + 1) }
+    } else {
+      val colon = hostport.indexOf(':')
+      if (colon >= 0) { host = hostport.substring(0, colon); port = hostport.substring(colon) }
+    }
+    if (!host.startsWith("[")) host = host.toLowerCase(java.util.Locale.ROOT)
+    while (host.endsWith(".")) host = host.substring(0, host.length - 1)
+    if (host.isEmpty) return null
+    if (port == ":" || (port == ":80" && scheme == "http") ||
+      (port == ":443" && scheme == "https")) port = ""
+    val q = pathq.indexOf('?')
+    var path = if (q >= 0) pathq.substring(0, q) else pathq
+    var query: String = if (q >= 0) pathq.substring(q + 1) else null
+    if (query != null) {
+      val kept = query.split('&').filter { p =>
+        if (p.isEmpty) false
+        else {
+          val eq = p.indexOf('=')
+          val key = (if (eq >= 0) p.substring(0, eq) else p)
+            .toLowerCase(java.util.Locale.ROOT)
+          !trackingParams.contains(key)
+        }
+      }
+      query = if (kept.isEmpty) null else kept.mkString("&")
+    }
+    if (path == "/" && query == null) path = ""
+    val sb = new java.lang.StringBuilder(s.length)
+    if (scheme != null) sb.append(scheme).append("://")
+    sb.append(user).append(host).append(port).append(path)
+    if (query != null) sb.append('?').append(query)
+    sb.toString
+  }
+
+  def canonicalUrl(url: UTF8String): UTF8String = {
+    if (url == null) return null
+    val r = canonicalUrlJ(url.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+}
+
+/** `canonical_url(url)` — codegen'd URL canonicalization
+  * ([[UrlOps.canonicalUrlJ]] semantics). Composes with
+  * `registrable_domain` for the two classic web-curation dedup keys:
+  * exact-page identity (this) and site identity (eTLD+1). */
+case class CanonicalUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    UrlOps.canonicalUrl(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlOps.canonicalUrl($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): CanonicalUrl =
+    copy(child = c)
+  override def prettyName: String = "canonical_url"
+}
+
 object DomainFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
   def registrableDomain(url: Column): Column =
     column(RegistrableDomain(expression(url)))
+  def canonicalUrl(url: Column): Column =
+    column(CanonicalUrl(expression(url)))
 }

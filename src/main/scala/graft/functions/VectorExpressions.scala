@@ -433,12 +433,34 @@ case class BloomMightContain(
     filter: org.apache.spark.util.sketch.BloomFilter)
     extends UnaryExpression {
   override def dataType: DataType = BooleanType
-  override def nullSafeEval(v: Any): Any =
-    filter.mightContainLong(v.asInstanceOf[Long])
+  // The probe must mirror how `stat.bloomFilter` INSERTED the keys, or
+  // the no-false-negatives contract silently breaks: integral keys are
+  // put as longs, but string keys are put as their UTF-8 bytes (binary).
+  // Dispatch on the child's type so each lane probes its build twin.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_might_contain needs a long, string, or binary key, got $other")
+    }
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case LongType   => filter.mightContainLong(v.asInstanceOf[Long])
+    case StringType => filter.mightContainBinary(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    case BinaryType => filter.mightContainBinary(v.asInstanceOf[Array[Byte]])
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj(
       "bloom", filter, classOf[org.apache.spark.util.sketch.BloomFilter].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+    child.dataType match {
+      case LongType   => defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+      case StringType =>
+        defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+      case BinaryType =>
+        defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c)")
+    }
   }
   override protected def withNewChildInternal(c: Expression): BloomMightContain =
     copy(child = c)

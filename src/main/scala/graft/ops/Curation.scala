@@ -212,7 +212,11 @@ object Curation {
     *
     * PRECONDITIONS: rank quantized at 4dp in (−100, 100); 0 ≤ doc_id
     * < 2^40 (both hold for every corpus this library mints or reads —
-    * 2^40 docs is ~1000× a 100 TB corpus's doc count).
+    * 2^40 docs is ~1000× a 100 TB corpus's doc count). Both bounds are
+    * ENFORCED per-row: a violating input raises rather than silently
+    * corrupting the encoded sort key. The check is folded into the
+    * encode projection itself (no extra pass, and column pruning can't
+    * drop it because it guards the values the scan consumes).
     *
     * @return (source, doc_id, quality, n_tokens, cum_tokens, budget,
     *         selected) — cum_tokens EXCLUDES the current doc. */
@@ -222,10 +226,16 @@ object Curation {
       weight: Column,
       budgets: Map[String, Long],
       defaultBudget: Long = 0L): DataFrame = {
+    def bounded(c: Column, lo: Long, hi: Long, what: String): Column =
+      when(c.between(lo, hi), c).otherwise(raise_error(concat(
+        lit(s"mixtureSelect: $what must be in [$lo, $hi], got "),
+        c.cast("string"))))
     val prep = docs.select(
-      col("doc_id").cast("long").as("doc_id"),
+      bounded(col("doc_id").cast("long"), 0L, (1L << 40) - 1, "doc_id")
+        .as("doc_id"),
       col("source"),
-      round(rank * lit(10000)).cast("long").as("r4"),
+      bounded(round(rank * lit(10000)).cast("long"), -999999L, 999999L,
+        "round(rank*1e4)").as("r4"),
       weight.cast("long").as("w"))
     val enc = (lit(10000L) - col("r4")) * lit(1L << 40) + col("doc_id")
     val budgetCol = coalesce(

@@ -107,24 +107,11 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
-    def sigOf(d: DataFrame) = d.select(
-      col("doc_id"),
-      minhashSignature(shingleHashes(col("text"), shingleLen), numHashes).as("sig"))
-    def bandOf(sig: DataFrame) = sig.select(
-      col("doc_id"),
-      explode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => struct(
-          b.as("band"),
-          xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string"))), b).as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    val corpusSig = sigOf(corpus)
-    val batchSig = sigOf(batch)
-    val cand = bandOf(corpusSig).select(
+    val corpusSig = sigOf(corpus, shingleLen, numHashes)
+    val batchSig = sigOf(batch, shingleLen, numHashes)
+    val cand = bandOf(corpusSig, bands, rowsPerBand).select(
         col("band"), col("bucket"), col("doc_id").as("corpus_id"))
-      .join(bandOf(batchSig).select(
+      .join(bandOf(batchSig, bands, rowsPerBand).select(
         col("band"), col("bucket"), col("doc_id").as("batch_id")),
         Seq("band", "bucket"))
       .select(col("corpus_id"), col("batch_id"))
@@ -143,6 +130,30 @@ object Dedup {
       .select(col("corpus_id"), col("batch_id"),
         round(col("est_jaccard"), 4).as("est_jaccard"))
   }
+
+  /** Per-doc MinHash signature relation (doc_id, sig) — map-side only. */
+  private[graft] def sigOf(
+      d: DataFrame, shingleLen: Int, numHashes: Int): DataFrame =
+    d.select(
+      col("doc_id"),
+      minhashSignature(shingleHashes(col("text"), shingleLen), numHashes)
+        .as("sig"))
+
+  /** Banded signature relation (doc_id, band, bucket) — `bands` rows per
+    * doc; this IS the persistable LSH index definition every MinHash
+    * join in this file buckets on. */
+  private[graft] def bandOf(
+      sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(
+      col("doc_id"),
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(
+          b.as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string"))), b).as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
   /** Bloom-filter membership prefilter — the cheap gate in FRONT of the
     * expensive dedup joins: build a Bloom filter over the corpus's exact
@@ -167,15 +178,145 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     require(corpusKeys.columns.length == 1,
       s"corpusKeys must be a single key column, got ${corpusKeys.columns.toSeq}")
+    // `stat.bloomFilter` inserts integral keys widened to long but string
+    // keys as their UTF-8 bytes — the probe must take the SAME lane as the
+    // build, or string keys silently false-negative (breaking the one
+    // guarantee the gate exists for). Resolve both key types and require
+    // they land on the same lane.
+    import org.apache.spark.sql.types._
+    def lane(t: DataType): String = t match {
+      case ByteType | ShortType | IntegerType | LongType => "long"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case other => throw new IllegalArgumentException(
+        s"bloomPrefilter keys must be integral, string, or binary; got $other")
+    }
+    val corpusLane = lane(corpusKeys.schema.head.dataType)
+    val batchLane = lane(batch.select(keyCol).schema.head.dataType)
+    require(corpusLane == batchLane,
+      s"corpus keys probe as $corpusLane but batch keys as $batchLane — " +
+        "the Bloom probe would silently miss; align the key types")
     val bloom = corpusKeys.stat.bloomFilter(
       corpusKeys.columns.head, expectedItems, fpp)
+    val probeKey = if (batchLane == "long") keyCol.cast("long") else keyCol
     // probe via a codegen expression carrying the filter as a plan
     // reference — no UDF serialization per row
     batch.withColumn("might_exist",
       org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.functions.BloomMightContain(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-            keyCol.cast("long")), bloom)))
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(probeKey),
+          bloom)))
+  }
+
+  /** Batch band rows gated by a Bloom filter over the CORPUS's band
+    * buckets: a batch band row whose (band, bucket) key definitely has
+    * no corpus twin cannot produce a candidate (candidates require
+    * exact bucket equality; Bloom has no false negatives), so it is
+    * dropped BEFORE the banded join. Row-level, not doc-level: a doc
+    * with one colliding bucket joins on that bucket only. Split out of
+    * [[incrementalDedup]] so the shrink it buys is directly countable
+    * (`OpsSpec`). */
+  private[graft] def gatedBandRows(
+      corpusBands: DataFrame,
+      batchBands: DataFrame,
+      expectedBuckets: Long,
+      fpp: Double): DataFrame = {
+    val bk = xxhash64(col("band"), col("bucket"))
+    bloomPrefilter(
+      corpusBands.select(bk.as("bk")),
+      batchBands.withColumn("bk", bk), col("bk"), expectedBuckets, fpp)
+      .filter(col("might_exist"))
+      .drop("bk", "might_exist")
+  }
+
+  /** Incremental dedup, composed end-to-end — the daily-ingest operator:
+    * classify each NEW batch doc against the already-ingested corpus as
+    *
+    *   - `exact`: a corpus doc with the identical content fingerprint
+    *     exists (verbatim copy);
+    *   - `near`: no verbatim twin, but a banded-MinHash match at
+    *     `threshold` exists ([[minhashPairsAcross]] semantics);
+    *   - `new`: definitely unseen — and, for most such docs, PROVEN
+    *     unseen by Bloom filters alone, without entering any join.
+    *
+    * Composition (the point of this operator — each piece exists alone
+    * as [[bloomPrefilter]] / [[minhashPairsAcross]], q101 / q95):
+    *
+    *   1. a Bloom over corpus content fingerprints gates the exact join:
+    *      only `might_exist` batch rows probe the corpus fingerprint
+    *      table (false positives die in that join);
+    *   2. a Bloom over corpus BAND BUCKETS gates the banded join at the
+    *      band-row level ([[gatedBandRows]]): batch band rows with no
+    *      possible corpus collision never shuffle.
+    *
+    * Scale shape: the corpus is read for three map-side passes
+    * (fingerprints, band index, the two distributed Bloom builds) and
+    * never self-joins; at 100 TB all four corpus artifacts — fp table,
+    * band index, both Blooms — are the persistable daily-ingest index,
+    * built once and reused per batch, so the per-batch cost is the
+    * batch's own banding plus joins whose inputs the gates have already
+    * shrunk to the plausibly-duplicate subset.
+    *
+    * @return (batch_id, cls, n_exact, n_near, best_jaccard) — one row
+    *         per batch doc; best_jaccard is null for cls='new',
+    *         n_* count the matching corpus docs per lane. */
+  def incrementalDedup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      shingleLen: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      expectedCorpusDocs: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // exact lane: fingerprint bloom → confirming join
+    val corpusFp = corpus.select(
+      col("doc_id").as("corpus_id"), xxhash64(col("text")).as("fp"))
+    val batchFp = batch.select(
+      col("doc_id").as("batch_id"), xxhash64(col("text")).as("fp"))
+    val exactM = bloomPrefilter(
+        corpusFp.select("fp"), batchFp, col("fp"), expectedCorpusDocs, fpp)
+      .filter(col("might_exist"))
+      .join(corpusFp, Seq("fp"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_exact"))
+    // near lane: band-bucket bloom → banded join → signature verify
+    val corpusSig = sigOf(corpus, shingleLen, numHashes)
+    val batchSig = sigOf(batch, shingleLen, numHashes)
+    val corpusBands = bandOf(corpusSig, bands, rowsPerBand)
+    val gated = gatedBandRows(
+      corpusBands, bandOf(batchSig, bands, rowsPerBand),
+      expectedBuckets = expectedCorpusDocs * bands, fpp = fpp)
+    val nearM = corpusBands.select(
+        col("band"), col("bucket"), col("doc_id").as("corpus_id"))
+      .join(gated.select(
+        col("band"), col("bucket"), col("doc_id").as("batch_id")),
+        Seq("band", "bucket"))
+      .select(col("corpus_id"), col("batch_id")).distinct()
+      .join(corpusSig.select(col("doc_id").as("corpus_id"), col("sig").as("sig_a")),
+        "corpus_id")
+      .join(batchSig.select(col("doc_id").as("batch_id"), col("sig").as("sig_b")),
+        "batch_id")
+      .withColumn("est_jaccard",
+        size(filter(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          x => x)).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_near"),
+        round(max(col("est_jaccard")), 4).as("best_jaccard"))
+    batch.select(col("doc_id").as("batch_id"))
+      .join(exactM, Seq("batch_id"), "left")
+      .join(nearM, Seq("batch_id"), "left")
+      .select(
+        col("batch_id"),
+        when(col("n_exact") > 0, lit("exact"))
+          .when(col("n_near") > 0, lit("near"))
+          .otherwise(lit("new")).as("cls"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("best_jaccard"))
   }
 
   /** Banded MinHash candidate pairs (id_a, id_b) — the collision pass of

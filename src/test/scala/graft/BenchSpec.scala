@@ -40,6 +40,20 @@ class BenchSpec extends AnyFunSuite {
     assert(BenchLogic.resolveRecheck(10.0, None) == ((10.0, false)))
   }
 
+  test("a gated recheck that fails to halve is stamped drifted, not silent") {
+    // the r7 failure mode: sustained co-load meant the recheck was ALSO
+    // slow, resolveRecheck kept the inflated value with flagged=false,
+    // and the artifact read suspect:[] — indistinguishable from clean.
+    // unresolvedDrift is the bit that must surface in the "drifted" list.
+    val (kept, flagged) = BenchLogic.resolveRecheck(10.0, Some(9.0))
+    assert(kept == 10.0 && !flagged)
+    assert(BenchLogic.unresolvedDrift(wasGated = true, flagged))
+    // a resolved transient (fresh run halved) is suspect, NOT drifted
+    assert(!BenchLogic.unresolvedDrift(wasGated = true, flagged = true))
+    // an ungated query is neither
+    assert(!BenchLogic.unresolvedDrift(wasGated = false, flagged = false))
+  }
+
   test("round-over-round drift gate: >2.5x the prior round earns a recheck") {
     assert(BenchLogic.driftSuspect(1.3, Some(0.5)))          // 2.6× drift
     assert(!BenchLogic.driftSuspect(1.2, Some(0.5)))         // 2.4×: fine

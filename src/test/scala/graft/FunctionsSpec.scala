@@ -177,6 +177,52 @@ class FunctionsSpec extends SparkSpec {
         s"$url must have no registrable domain")
   }
 
+  test("canonicalUrl: every normalization rule, and what must be preserved") {
+    import graft.functions.UrlOps.canonicalUrlJ
+    val cases = Seq(
+      // scheme+host case, default port, fragment, tracking params
+      "HTTP://WWW.Example.COM:80/Path?a=1&utm_source=x&b=2#f" ->
+        "http://www.example.com/Path?a=1&b=2",
+      "https://Site.ORG:443/x" -> "https://site.org/x",
+      // non-default port preserved
+      "https://site.org:8443/x" -> "https://site.org:8443/x",
+      // emptied query drops '?'; bare '/' path drops
+      "http://host.net/?utm_campaign=c&utm_medium=m" -> "http://host.net",
+      "http://host.net/" -> "http://host.net",
+      // deeper path keeps its trailing slash (a/ and a may differ)
+      "http://host.net/a/" -> "http://host.net/a/",
+      // trailing host dots; bare colon port
+      "http://x.com./q" -> "http://x.com/q",
+      "http://x.com:/q" -> "http://x.com/q",
+      // scheme-less input: host case folds, path case preserved
+      "Mixed.COM/Path" -> "mixed.com/Path",
+      // userinfo preserved; https default port stripped behind it
+      "https://u:p@Secure.IO:443/a?fbclid=z&x=2" -> "https://u:p@secure.io/a?x=2",
+      // query param ORDER of survivors is preserved
+      "http://a.com/p?z=1&gclid=g&y=2&utm_id=u&x=3" -> "http://a.com/p?z=1&y=2&x=3",
+      // valueless and empty params: tracking dropped, others kept
+      "http://a.com/p?utm_source&keep" -> "http://a.com/p?keep",
+      // IPv6 literal: bracket form preserved, default port stripped
+      "http://[2001:DB8::1]:80/x" -> "http://[2001:DB8::1]/x",
+      // path/query percent-encoding and case untouched
+      "http://a.com/A%2Fb?K=V" -> "http://a.com/A%2Fb?K=V")
+    for ((url, want) <- cases)
+      assert(canonicalUrlJ(url) == want, s"$url → ${canonicalUrlJ(url)}, want $want")
+    assert(canonicalUrlJ(null) == null)
+    assert(canonicalUrlJ("   ") == null)
+    assert(canonicalUrlJ("https:///nopath") == null)
+    // idempotence: canonical output is a fixed point
+    for ((url, _) <- cases)
+      assert(canonicalUrlJ(canonicalUrlJ(url)) == canonicalUrlJ(url),
+        s"not idempotent on $url")
+    // the codegen expression path matches the kernel
+    import spark.implicits._
+    val viaExpr = Seq("HTTP://WWW.Example.COM:80/P?utm_id=1&k=2#f").toDF("url")
+      .select(graft.functions.DomainFunctions.canonicalUrl(col("url")))
+      .as[String].head()
+    assert(viaExpr == "http://www.example.com/P?k=2")
+  }
+
   test("capPerRegistrableDomain caps subdomains together, private-suffix tenants apart") {
     import spark.implicits._
     val docs = Seq(

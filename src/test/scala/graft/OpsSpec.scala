@@ -4,9 +4,20 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
-class OpsSpec extends SparkSpec {
+class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
-  private lazy val docs = spark.read.parquet(sf("documents")).cache()
+  // Cached for reuse across tests, but NOT as the bare parquet relation:
+  // the session-wide CacheManager would substitute a bare cached relation
+  // into every other suite's plan over the same path (notably PlanSpec's
+  // schema-pruning guards, which would then see the cached full schema).
+  // The repartition node makes the cached plan unmatchable by a plain scan.
+  private lazy val docs =
+    spark.read.parquet(sf("documents")).repartition(4).cache()
+
+  override def afterAll(): Unit = {
+    docs.unpersist(blocking = false)
+    super.afterAll()
+  }
 
   test("minhash candidates recover the true near-dup pairs (recall vs exact jaccard)") {
     val exact = Dedup.ngramJaccardPairs(docs, shingleLen = 3, threshold = 0.8)
@@ -886,6 +897,26 @@ class OpsSpec extends SparkSpec {
     assert(neg == ((-0.25, true)))
   }
 
+  test("mixtureSelect: out-of-domain rank or doc_id fails loudly, not silently") {
+    import spark.implicits._
+    def run(docId: Long, rank: Double): Unit =
+      Curation.mixtureSelect(
+        Seq((docId, "a", rank, 5L)).toDF("doc_id", "source", "rank", "w"),
+        col("rank"), col("w"), Map("a" -> 100L)).collect()
+    // a rank of 250 would overflow nothing but breaks the documented
+    // (−100,100) quantization domain; a doc_id ≥ 2^40 would bleed into
+    // the rank field of the encoded scan key — both must raise
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString("\n")
+    val e1 = intercept[Exception] { run(1L, 250.0) }
+    assert(chain(e1).contains("rank"), chain(e1))
+    val e2 = intercept[Exception] { run(1L << 41, 0.5) }
+    assert(chain(e2).contains("doc_id"), chain(e2))
+    // boundary values stay in-domain
+    run((1L << 40) - 1, 99.9999)
+  }
+
   test("video temporal hash: quantized luma curve, invariances, no cross-clip collisions") {
     import spark.implicits._
     // hand case (8 lumas → samples are the series itself): seven 10s and
@@ -1094,6 +1125,61 @@ class OpsSpec extends SparkSpec {
     // absent keys pass only at ~fpp
     val fpRate = got.filter(!_._1).count(_._2).toDouble / 500
     assert(fpRate <= 0.05, s"false-positive rate $fpRate")
+  }
+
+  test("bloomPrefilter: string keys take the binary probe lane (no false negatives)") {
+    import spark.implicits._
+    // stat.bloomFilter inserts strings as UTF-8 bytes; a long-cast probe
+    // would false-negative on every key (strings cast to null longs)
+    val corpus = (1 to 1000).map(i => s"fp_$i").toDF("fp")
+    val present = (1 to 300).map(i => (s"fp_$i", true))
+    val absent = (1 to 300).map(i => (s"zz_$i", false))
+    val batch = (present ++ absent).toDF("fp", "in_corpus")
+    val got = Dedup.bloomPrefilter(corpus, batch, col("fp"), 1000L, 0.01)
+      .select("in_corpus", "might_exist").as[(Boolean, Boolean)].collect()
+    assert(got.filter(_._1).forall(_._2), "string key false negative")
+    val fpRate = got.filter(!_._1).count(_._2).toDouble / 300
+    assert(fpRate <= 0.05, s"false-positive rate $fpRate")
+  }
+
+  test("incrementalDedup: classifies exact/near/new; the bucket gate shrinks the join input") {
+    import spark.implicits._
+    def words(p: String, i: Long, n: Int) =
+      (0 until n).map(j => s"$p${i}w$j").mkString(" ")
+    val corpus = (0L until 60L).map(i => (i, words("c", i, 30)))
+      .toDF("doc_id", "text")
+    val copies = (0L until 10L).map(i => (1000L + i, words("c", i, 30)))
+    val truncs = (10L until 20L).map(i => (2000L + i, words("c", i, 27)))
+    val gib = (0L until 20L).map(i => (3000L + i, words("g", i, 30)))
+    val batch = (copies ++ truncs ++ gib).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch, expectedCorpusDocs = 1000L)
+      .select("batch_id", "cls").as[(Long, String)].collect().toMap
+    assert(got.size == 40)
+    assert((1000L until 1010L).forall(got(_) == "exact"), "verbatim copies")
+    assert((2010L until 2020L).count(id => got(id) == "near") >= 9,
+      s"trunc near recall: ${(2010L until 2020L).map(got)}")
+    assert((3000L until 3020L).forall(got(_) == "new"), "gibberish")
+    // join-input shrink, on the production code path: half the batch's
+    // band rows belong to gibberish docs whose buckets have no corpus
+    // twin — the gate must drop (nearly) all of them before the join
+    val corpusBands = Dedup.bandOf(Dedup.sigOf(corpus, 3, 32), 8, 4)
+    val batchBands = Dedup.bandOf(Dedup.sigOf(batch, 3, 32), 8, 4)
+    val gated = Dedup.gatedBandRows(corpusBands, batchBands, 8000L, 0.01)
+    val (total, kept) = (batchBands.count(), gated.count())
+    assert(total == 40L * 8)
+    assert(kept <= total - 150,
+      s"gate kept $kept of $total band rows — no shrink")
+  }
+
+  test("bloomPrefilter: mismatched key lanes fail fast") {
+    import spark.implicits._
+    val corpus = Seq("a", "b").toDF("fp")
+    val batch = Seq(1L, 2L).toDF("fp")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomPrefilter(corpus, batch, col("fp"), 10L)
+    }
+    assert(e.getMessage.contains("lane") || e.getMessage.contains("align"),
+      e.getMessage)
   }
 
   test("text analysis columns are consistent") {

@@ -8,8 +8,18 @@ class PlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(q: String): String =
+  /** Plans must be asserted against what a fresh session would execute.
+    * Suites share one SparkContext (and thus one CacheManager), and run
+    * concurrently under sbt — a sibling suite that caches a relation over
+    * the same fixture path would otherwise get substituted into the plan
+    * under test, changing its scan shape (seen: a cached full-schema
+    * `documents` relation defeating the q98 pruning guard). Clearing the
+    * cache immediately before planning keeps the guard about the ENGINE,
+    * not about whatever another suite happened to cache first. */
+  private def plan(q: String): String = {
+    spark.catalog.clearCache()
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+  }
 
   test("q01 top-k collapses to TakeOrderedAndProject (no global sort)") {
     assert(plan("q01_parts_report").contains("TakeOrderedAndProject"))
@@ -46,6 +56,23 @@ class PlanSpec extends SparkSpec {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
       s"z-key derivation needs only doc_id: $readSchema")
+  }
+
+  test("incrementalDedup keeps both Bloom gates in the executed plan, no product joins") {
+    import org.apache.spark.sql.functions.col
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val p = graft.ops.Dedup.incrementalDedup(
+        docs, docs.limit(50), expectedCorpusDocs = 100000L)
+      .queryExecution.executedPlan.toString
+    // both gates — the fingerprint bloom AND the band-bucket bloom — must
+    // survive optimization as probe filters; losing either silently
+    // un-gates a join (the composition IS the operator)
+    assert("bloom_might_contain".r.findAllMatchIn(p).size >= 2,
+      s"expected both bloom probes in the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gated dedup degraded to a product join:\n$p")
   }
 
   test("q16 dedup aggregates map-side before the key shuffle (partial agg)") {
