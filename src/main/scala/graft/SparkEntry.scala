@@ -1638,6 +1638,87 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR importance weighting (Xie et al. 2023) — planted-oracle
+    * relation. A synthetic TARGET corpus is minted over a 50-word
+    * vocabulary the fixture never uses ("alphaN"); the RAW corpus is the
+    * fixture with every 10th doc's text replaced by target-vocabulary
+    * text. `Curation.dsirWeights` must then rank EVERY planted doc above
+    * EVERY background doc: planted docs sum positive per-instance
+    * log-ratios (their n-grams dominate the target model), background
+    * docs sum negative ones (their n-grams never occur in the target) —
+    * a full-separation boolean no sampling noise can blur, since the
+    * estimator is deterministic. DuckDB recomputes the minting counts;
+    * the ratio arithmetic is pinned exactly in OpsSpec (identical
+    * corpora → all-zero weights; unigram additivity). */
+  private def qDsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    def alphaText(seed: Column) = array_join(
+      transform(sequence(lit(0), lit(29)),
+        j => concat(lit("alpha"), pmod(seed + j, lit(50)))), " ")
+    val target = s.range(1, 151).toDF("doc_id")
+      .select(col("doc_id"), alphaText(col("doc_id") * 7).as("text"))
+    val planted = pmod(col("doc_id"), lit(10)) === 0
+    val raw = docs.select(col("doc_id"),
+      when(planted, alphaText((col("doc_id") / lit(10)).cast("long")))
+        .otherwise(col("text")).as("text"))
+    val w = graft.ops.Curation.dsirWeights(raw, target, col("text"))
+      .localCheckpoint()
+    val agg = w.withColumn("planted", pmod(col("doc_id"), lit(10)) === 0)
+      .groupBy("planted")
+      .agg(count(lit(1)).as("n"),
+        min("log_weight").as("min_w"), max("log_weight").as("max_w"))
+    val p = agg.filter(col("planted"))
+      .select(col("n").as("n_planted"), col("min_w").as("p_min"))
+    val bgr = agg.filter(!col("planted"))
+      .select(col("n").as("n_background"), col("max_w").as("b_max"))
+    p.crossJoin(bgr).select(
+      col("n_planted"), col("n_background"),
+      (col("p_min") > col("b_max")).as("planted_upweighted_ok"),
+      (col("p_min") > 0.0).as("planted_positive_ok"),
+      (col("b_max") < 0.0).as("background_negative_ok"))
+  }
+
+  /** Model-based quality classifier — planted linearly-separable
+    * oracle. Labels are minted from doc_id parity with texts whose
+    * stopword ratio separates the classes with margin 1 (good docs are
+    * built from TextAnalysis's own stopword list, bad docs from long
+    * synthetic words); `QualityClassifier.fit` runs real distributed
+    * Newton iterations over the engine's text-feature kernels, and the
+    * fitted model must re-classify every doc correctly (exact
+    * separation both engines verify by recomputing the minting rule)
+    * and must have converged. */
+  private def qQualityClassifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val stops = graft.ops.TextAnalysis.stopwords // the, a, of, to, and, in, is
+    val stopArr = array(stops.map(lit): _*)
+    val good = array_join(
+      transform(sequence(lit(0), lit(19)),
+        j => element_at(stopArr, (pmod(col("doc_id") + j, lit(7)) + 1).cast("int"))),
+      " ")
+    val bad = array_join(
+      transform(sequence(lit(0), lit(19)),
+        j => concat(lit("w"), col("doc_id"), lit("x"), j)), " ")
+    val labeled = docs.select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0, good).otherwise(bad).as("text"),
+      (pmod(col("doc_id"), lit(2)) === 0).cast("double").as("label"))
+      .localCheckpoint()
+    val feats = graft.ops.QualityClassifier.textFeatures(col("text"))
+    val model = graft.ops.QualityClassifier.fit(labeled, feats, col("label"))
+    val scored = labeled.withColumn("p",
+      graft.ops.QualityClassifier.score(feats, model))
+    scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("label")).cast("long").as("n_good"),
+        sum(when((col("p") >= 0.5) === (col("label") === 1.0), 0L)
+          .otherwise(1L)).as("errs"))
+      .select(col("n_docs"), col("n_good"),
+        (col("errs") === 0L).as("perfect_separation_ok"))
+      .crossJoin(Seq((model.converged, model.iters <= 25))
+        .toDF("converged_ok", "iters_ok"))
+  }
+
   /** BPE subword token counts — exact cross-engine oracle. The default
     * codec is trained (Sennrich merges, deterministic tie-break) on the
     * fixture vocabulary in bare + space-prefixed piece form, so a doc
@@ -2497,7 +2578,9 @@ object SparkEntry {
     "q100_drift_psi" -> (qDriftPsi _),
     "q101_bloom_prefilter" -> (qBloomPrefilter _),
     "q102_incremental_dedup_gated" -> (qIncrementalDedupGated _),
-    "q103_canonical_url" -> (qCanonicalUrl _))
+    "q103_canonical_url" -> (qCanonicalUrl _),
+    "q104_dsir_weights" -> (qDsirWeights _),
+    "q105_quality_classifier" -> (qQualityClassifier _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3705,5 +3788,20 @@ object SparkEntry {
              WHEN 6 THEN 'mixed' || doc_id || '.com/Path'
              ELSE 'https://u:p@secure' || doc_id || '.io/a?x=2'
            END AS canon
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "q104_dsir_weights" ->
+      """SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id % 10 = 0) AS n_planted,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id % 10 <> 0) AS n_background,
+           true AS planted_upweighted_ok, true AS planted_positive_ok,
+           true AS background_negative_ok""",
+    "q105_quality_classifier" ->
+      """SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id % 2 = 0) AS n_good,
+           true AS perfect_separation_ok, true AS converged_ok,
+           true AS iters_ok""")
 }

@@ -256,6 +256,102 @@ object Curation {
       .withColumn("selected", col("cum_tokens") < col("budget"))
   }
 
+  /** Hashed-n-gram buckets of a text column — the DSIR feature map:
+    * word unigrams (and bigrams when `ngramLen` ≥ 2) hashed into
+    * `buckets` counters. One occurrence per n-gram INSTANCE (not
+    * distinct): the importance weight below is a sum over instances, so
+    * repeated n-grams must count. */
+  private def ngramBuckets(text: Column, buckets: Int, ngramLen: Int): Column = {
+    val toks = split(text, " ")
+    val unis = transform(toks, w => pmod(xxhash64(w), lit(buckets.toLong)))
+    if (ngramLen <= 1) unis
+    else {
+      // sequence(1, n-1) would COUNT DOWN for n=1 (Spark auto-steps -1);
+      // guard single-token docs to an empty bigram array instead
+      val bis = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => pmod(xxhash64(concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1))), lit(buckets.toLong))))
+        .otherwise(array().cast("array<bigint>"))
+      concat(unis, bis)
+    }
+  }
+
+  /** Per-corpus bucket occurrence counts — one map-combinable grouped
+    * count, at most `buckets` output rows regardless of corpus size. */
+  private def bucketCounts(df: DataFrame, text: Column,
+      buckets: Int, ngramLen: Int): DataFrame =
+    df.select(explode(ngramBuckets(text, buckets, ngramLen)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public method): score
+    * every RAW document by how target-like it is,
+    * `log p̂_target(x) − log p̂_raw(x)` under hashed-n-gram bag models
+    * fitted on the two corpora. The selection next to [[mixtureSelect]]:
+    * q92 selects by a quality rank under budgets; this REWEIGHTS toward
+    * a target distribution.
+    *
+    * Estimation is exact and deterministic: each corpus contributes one
+    * map-combinable bucket-count aggregate (≤ `buckets` rows on the
+    * wire); per-bucket log-ratios are Laplace-smoothed
+    * `log((c_t + s)/(N_t + s·B)) − log((c_r + s)/(N_r + s·B))`; a doc's
+    * weight is the sum of its n-gram INSTANCES' ratios, so weights are
+    * exactly additive over unigram-disjoint concatenation (an OpsSpec
+    * invariant) and exactly zero when the corpora are identical.
+    *
+    * Scale shape: two grouped counts + a broadcast join of the B-row
+    * ratio table against the raw side's exploded n-grams + one per-doc
+    * sum — no data-sized shuffle beyond the per-doc aggregation, and B
+    * (default 16k) is independent of corpus size.
+    *
+    * @return (doc_id, n_ngrams, log_weight) — log_weight rounded 6dp. */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      text: Column,
+      buckets: Int = 1 << 14,
+      ngramLen: Int = 2,
+      smoothing: Double = 0.5): DataFrame = {
+    require(buckets > 0 && smoothing > 0, "need buckets > 0, smoothing > 0")
+    val tc = bucketCounts(target, text, buckets, ngramLen)
+      .withColumnRenamed("n", "n_t")
+    val rc = bucketCounts(raw, text, buckets, ngramLen)
+      .withColumnRenamed("n", "n_r")
+    val joined = tc.join(rc, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_t", "n_r"))
+    val totals = joined.agg(
+      sum(col("n_t")).as("tot_t"), sum(col("n_r")).as("tot_r"))
+    val s = lit(smoothing)
+    val b = lit(buckets.toDouble)
+    val ratios = joined.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("n_t") + s) / (col("tot_t") + s * b)) -
+          log((col("n_r") + s) / (col("tot_r") + s * b))).as("lr"))
+    raw.select(col("doc_id"),
+        explode(ngramBuckets(text, buckets, ngramLen)).as("bucket"))
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        round(sum(col("lr")), 6).as("log_weight"))
+  }
+
+  /** Top-k importance selection over [[dsirWeights]] — deterministic
+    * variant (weight desc, doc_id tie-break; the paper's Gumbel-noise
+    * resampling adds `−log(−log u)` per doc before the same top-k, a
+    * caller-side one-liner when sampling diversity matters more than
+    * reproducibility). TakeOrderedAndProject shape — no global sort. */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      text: Column,
+      k: Int,
+      buckets: Int = 1 << 14,
+      ngramLen: Int = 2): DataFrame =
+    dsirWeights(raw, target, text, buckets, ngramLen)
+      .orderBy(col("log_weight").desc, col("doc_id"))
+      .limit(k)
+
   /** Distribution drift between two corpus snapshots — the monitoring
     * op a continuously-refreshed training corpus runs per release:
     * bucket a per-doc score in both snapshots and report each bucket's

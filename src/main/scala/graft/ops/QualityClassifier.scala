@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality classification — the trained-classifier
+  * slot of a curation pipeline (the CCNet/fastText pattern: label a
+  * small seed of "good" vs "bad" documents, fit a linear model over
+  * cheap text features, score the whole corpus), next to the
+  * STATISTICAL quality scores already in [[TextAnalysis]] (bigram LM
+  * q90, Gopher rules q91).
+  *
+  * The model is L2-regularized logistic regression fitted by
+  * distributed Newton iterations (IRLS): each iteration is ONE
+  * `treeAggregate` computing the exact gradient (d+1 doubles) and
+  * Hessian ((d+1)² doubles) of the regularized log-loss; the driver
+  * solves the (d+1)-dimensional system. With d = a handful of
+  * engineered features the per-iteration wire cost is constant
+  * regardless of corpus size, and Newton converges quadratically
+  * (typically < 10 iterations) — the same scale shape as
+  * [[Embeddings.fitPca]]'s moment pass.
+  *
+  * Scoring is a pure column expression (codegen'd sigmoid of a dot
+  * product) — map-side, usable inside any downstream select/filter.
+  */
+object QualityClassifier {
+
+  /** Fitted model. `converged` means the gradient norm fell under the
+    * tolerance before `maxIter` ran out. */
+  final case class Model(
+      weights: Array[Double],
+      bias: Double,
+      iters: Int,
+      gradNorm: Double,
+      converged: Boolean)
+
+  /** Fit by distributed Newton/IRLS. `features` are column expressions
+    * evaluated per doc (keep them cheap/codegen — they run once per
+    * iteration); `label` must evaluate to 0.0/1.0.
+    *
+    * L2 (`lambda` > 0) keeps the solve well-posed even on linearly
+    * separable data, where unregularized logistic regression diverges
+    * (weights grow without bound chasing loss → 0). */
+  def fit(
+      docs: DataFrame,
+      features: Seq[Column],
+      label: Column,
+      lambda: Double = 1e-3,
+      maxIter: Int = 25,
+      tol: Double = 1e-9): Model = {
+    require(features.nonEmpty, "need at least one feature column")
+    require(lambda > 0, "lambda must be > 0 (separable data diverges at 0)")
+    val d = features.length
+    val n1 = d + 1 // + intercept
+    val data = docs.select(
+      (features.map(_.cast("double")) :+ label.cast("double")): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](n1)
+        var i = 0
+        while (i < d) { x(i) = r.getDouble(i); i += 1 }
+        x(d) = 1.0 // intercept slot
+        (x, r.getDouble(d))
+      }
+    data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = new Array[Double](n1)
+      var iter = 0
+      var gnorm = Double.MaxValue
+      while (iter < maxIter && gnorm > tol) {
+        val (g, h) = data.treeAggregate(
+          (new Array[Double](n1), new Array[Double](n1 * n1)))(
+          seqOp = { case ((g, h), (x, y)) =>
+            var z = 0.0
+            var i = 0
+            while (i < n1) { z += w(i) * x(i); i += 1 }
+            val p = 1.0 / (1.0 + math.exp(-z))
+            val r = p - y
+            val s = p * (1.0 - p)
+            i = 0
+            while (i < n1) {
+              g(i) += r * x(i)
+              var j = 0
+              while (j < n1) { h(i * n1 + j) += s * x(i) * x(j); j += 1 }
+              i += 1
+            }
+            (g, h)
+          },
+          combOp = { case ((g1, h1), (g2, h2)) =>
+            var i = 0
+            while (i < g1.length) { g1(i) += g2(i); i += 1 }
+            i = 0
+            while (i < h1.length) { h1(i) += h2(i); i += 1 }
+            (g1, h1)
+          })
+        // L2 on weights, not the intercept
+        var i = 0
+        while (i < d) {
+          g(i) += lambda * w(i)
+          h(i * n1 + i) += lambda
+          i += 1
+        }
+        // tiny ridge on the intercept cell keeps the solve non-singular
+        // on degenerate inputs (all-same-label partitions)
+        h(d * n1 + d) += 1e-12
+        val step = solve(h, g, n1)
+        i = 0
+        while (i < n1) { w(i) -= step(i); i += 1 }
+        gnorm = math.sqrt(g.map(v => v * v).sum)
+        iter += 1
+      }
+      Model(w.take(d), w(d), iter, gnorm, gnorm <= tol)
+    } finally data.unpersist(blocking = false)
+  }
+
+  /** In-place Gaussian elimination with partial pivoting on an n×n
+    * row-major matrix — n = features+1 (single digits), driver-side. */
+  private def solve(a: Array[Double], b: Array[Double], n: Int): Array[Double] = {
+    val m = a.clone(); val x = b.clone()
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) { if (math.abs(m(r * n + col)) > math.abs(m(piv * n + col))) piv = r; r += 1 }
+      if (piv != col) {
+        var j = 0
+        while (j < n) {
+          val t = m(col * n + j); m(col * n + j) = m(piv * n + j); m(piv * n + j) = t
+          j += 1
+        }
+        val t = x(col); x(col) = x(piv); x(piv) = t
+      }
+      val p = m(col * n + col)
+      require(math.abs(p) > 1e-300, "singular normal matrix — add features or raise lambda")
+      r = 0
+      while (r < n) {
+        if (r != col) {
+          val f = m(r * n + col) / p
+          var j = col
+          while (j < n) { m(r * n + j) -= f * m(col * n + j); j += 1 }
+          x(r) -= f * x(col)
+        }
+        r += 1
+      }
+      col += 1
+    }
+    var i = 0
+    while (i < n) { x(i) /= m(i * n + i); i += 1 }
+    x
+  }
+
+  /** Probability-of-good as a column: sigmoid(w·x + b). Pure codegen
+    * arithmetic over the same feature expressions used in [[fit]]. */
+  def score(features: Seq[Column], model: Model): Column = {
+    require(features.length == model.weights.length,
+      s"model has ${model.weights.length} weights, got ${features.length} features")
+    val z = features.zip(model.weights)
+      .map { case (f, w) => f.cast("double") * lit(w) }
+      .reduce(_ + _) + lit(model.bias)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** The standard cheap text-quality feature set over a text column —
+    * the statistical surface [[TextAnalysis]] already computes, shaped
+    * for [[fit]]/[[score]]: stopword ratio, punctuation ratio, mean
+    * word length. All codegen kernels, map-side. */
+  def textFeatures(text: Column): Seq[Column] = {
+    val nTok = greatest(TextAnalysis.tokenCount(text).cast("double"), lit(1.0))
+    Seq(
+      TextAnalysis.stopwordCount(text).cast("double") / nTok,
+      TextAnalysis.punctCount(text).cast("double") / nTok,
+      length(text).cast("double") / nTok)
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, QualityClassifier, Similarity, TextAnalysis}
 
 class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
@@ -1169,6 +1169,79 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(total == 40L * 8)
     assert(kept <= total - 150,
       s"gate kept $kept of $total band rows — no shrink")
+  }
+
+  test("dsirWeights: zero on identical corpora, unigram-additive, separates planted docs") {
+    import spark.implicits._
+    // identical corpora: every bucket's target and raw counts agree, so
+    // every log-ratio — and therefore every doc weight — is EXACTLY 0.0
+    val corpus = (1L to 40L).map(i =>
+      (i, (0 until 10).map(j => s"w${(i + j) % 25}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val zero = Curation.dsirWeights(corpus, corpus, col("text"))
+      .select("log_weight").as[Double].collect()
+    assert(zero.length == 40 && zero.forall(_ == 0.0), zero.mkString(","))
+    // unigram additivity: a doc that is the concatenation of two others
+    // weighs exactly their sum (same run → same ratio table; instances
+    // of the concat are the multiset union). 6dp rounding ⇒ 1e-5 tol.
+    val target = (1L to 20L).map(i =>
+      (i, (0 until 8).map(j => s"t${(i * 3 + j) % 15}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = "t1 t2 t3 u4"
+    val b = "u5 t6 u7"
+    val parts = Seq((1L, a), (2L, b), (3L, s"$a $b")).toDF("doc_id", "text")
+    val w = Curation.dsirWeights(parts, target, col("text"), ngramLen = 1)
+      .select("doc_id", "log_weight").as[(Long, Double)].collect().toMap
+    assert(math.abs(w(3L) - (w(1L) + w(2L))) < 1e-5,
+      s"additivity: ${w(3L)} vs ${w(1L)} + ${w(2L)}")
+    // separation: target-vocabulary docs above, disjoint-vocab docs below
+    val tgt = (1L to 30L).map(i =>
+      (i, (0 until 10).map(j => s"alpha${(i + j) % 12}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val raw = ((1L to 30L).map(i =>
+      (i, (0 until 10).map(j => s"b${i}w$j").mkString(" "))) ++
+      (101L to 110L).map(i =>
+        (i, (0 until 10).map(j => s"alpha${(i + j) % 12}").mkString(" "))))
+      .toDF("doc_id", "text")
+    val sep = Curation.dsirWeights(raw, tgt, col("text"))
+      .select("doc_id", "log_weight").as[(Long, Double)].collect()
+    val planted = sep.filter(_._1 > 100L).map(_._2)
+    val background = sep.filter(_._1 <= 100L).map(_._2)
+    assert(planted.min > background.max,
+      s"planted min ${planted.min} vs background max ${background.max}")
+    // and the deterministic top-k selection returns exactly the planted set
+    val picked = Curation.dsirSelect(raw, tgt, col("text"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked == (101L to 110L).toSet, s"got $picked")
+  }
+
+  test("QualityClassifier: Newton converges on separable data and separates exactly") {
+    import spark.implicits._
+    // 2D linearly separable with a margin band removed around x1+x2=1
+    val pts = (0 until 400).map { i =>
+      val x1 = (i % 20) / 20.0
+      val x2 = ((i * 7 + 3) % 20) / 20.0
+      (x1, x2, x1 + x2)
+    }.collect {
+      case (x1, x2, s) if s > 1.1 => (x1, x2, 1.0)
+      case (x1, x2, s) if s < 0.9 => (x1, x2, 0.0)
+    }
+    val df = pts.toDF("x1", "x2", "y")
+    val feats = Seq(col("x1"), col("x2"))
+    val model = QualityClassifier.fit(df, feats, col("y"))
+    assert(model.converged, s"gradNorm ${model.gradNorm} after ${model.iters} iters")
+    assert(model.iters < 25, s"Newton should converge fast, took ${model.iters}")
+    // both weights positive (the separating direction is (1,1)) and the
+    // boundary sits inside the margin band: perfect re-classification
+    assert(model.weights.forall(_ > 0), model.weights.mkString(","))
+    val errs = df
+      .withColumn("p", QualityClassifier.score(feats, model))
+      .filter((col("p") >= 0.5) =!= (col("y") === 1.0)).count()
+    assert(errs == 0L, s"$errs misclassified")
+    // score is a pure column: usable in a filter pushdown-friendly select
+    val probs = df.select(QualityClassifier.score(feats, model))
+      .as[Double].collect()
+    assert(probs.forall(p => p >= 0.0 && p <= 1.0))
   }
 
   test("bloomPrefilter: mismatched key lanes fail fast") {
