@@ -54,15 +54,19 @@ private[graft] object BenchLogic {
       case _ => (recorded, false)
     }
 
-  /** A gated query whose recheck did NOT halve is evidence of either a
-    * real regression or SUSTAINED load pollution (the recheck raced the
-    * same environment) — either way the inflated number is being
-    * recorded and the reader must see that, not a silent `suspect:[]`
-    * (r7's sbt-wrapped artifact carried 3–5× inflation on q39/q40/q81
-    * invisibly). The two calib pairs beside it let the reader tell the
-    * cases apart: degraded calib → pollution, clean calib → regression. */
-  def unresolvedDrift(wasGated: Boolean, flagged: Boolean): Boolean =
-    wasGated && !flagged
+  /** A DRIFT-gated query whose recheck did NOT halve is evidence of
+    * either a real regression or SUSTAINED load pollution (the recheck
+    * raced the same environment) — either way the inflated number is
+    * being recorded and the reader must see that, not a silent
+    * `suspect:[]` (r7's sbt-wrapped artifact carried 3–5× inflation on
+    * q39/q40/q81 invisibly). The two calib pairs beside it let the
+    * reader tell the cases apart: degraded calib → pollution, clean
+    * calib → regression. Only the round-over-round gate feeds this: an
+    * intra-suite OUTLIER whose recheck confirms it is just a genuinely
+    * slow query (already visible in the queries map), not drift — a
+    * new slow query has no prior round to have drifted FROM. */
+  def unresolvedDrift(driftGated: Boolean, flagged: Boolean): Boolean =
+    driftGated && !flagged
 
   /** Round-over-round drift gate (r6: a load-polluted run recorded
     * 2–5× inflation on q58/q62/q63/q75 that the 8×-median outlier rule
@@ -227,10 +231,11 @@ object Bench {
     mins = mins.map {
       case (k, Some(v)) if v > threshold ||
           BenchLogic.driftSuspect(v, prevQueries.get(k)) =>
+        val driftGated = BenchLogic.driftSuspect(v, prevQueries.get(k))
         val (finalTime, flagged) = BenchLogic.resolveRecheck(
           v, timeOnce(k, selected(k), "suspect-recheck"))
         if (flagged) suspects += k
-        if (BenchLogic.unresolvedDrift(wasGated = true, flagged)) drifted += k
+        if (BenchLogic.unresolvedDrift(driftGated, flagged)) drifted += k
         k -> Some(finalTime)
       case other => other
     }
@@ -302,6 +307,12 @@ object Bench {
           ("op_verbatim_spans", None, (ss: SparkSession, dir: String) =>
             graft.ops.Dedup.verbatimSpans(
               ss.read.parquet(s"$dir/documents.parquet"), minTokens = 50)),
+          // q89's QUERY likewise wraps the operator in its oracle mirror
+          // (slowest new r7 query at 2.8 s) — ladder the operator alone
+          // to prove the per-(doc, hash) self-join stays corpus-linear
+          ("op_repeated_spans", None, (ss: SparkSession, dir: String) =>
+            graft.ops.Dedup.repeatedSpansWithin(
+              ss.read.parquet(s"$dir/documents.parquet"), minTokens = 20)),
           // media fingerprint + banded near-dup at 5× the clip count —
           // decode, hash, band, verify are all per-row or per-collision.
           // Audio is excluded: the synthetic corpus packs its clips into

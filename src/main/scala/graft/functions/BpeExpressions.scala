@@ -81,6 +81,28 @@ object Bpe {
     "order", "part", "query", "row", "scan", "slow", "small", "sort",
     "spark", "stream", "table", "the", "value", "vector", "window")
 
+  /** Parse a published GPT-2-style `merges.txt` into a codec: one
+    * "a b" pair per line, rank = line order, `#`-prefixed header and
+    * blank lines skipped. The published file writes its byte-to-unicode
+    * remap's whitespace stand-ins as printable characters — those are
+    * translated to this codec's code-point symbols (Ġ U+0120 → space,
+    * Ċ U+010A → newline) AFTER the two fields split, so the pair list
+    * then feeds [[BpeCodec]] verbatim. This is the "drop in the
+    * published merges" path; `FunctionsSpec` pins it with a golden
+    * subset of the real gpt2 table. */
+  def fromMergesLines(lines: Seq[String]): BpeCodec = {
+    def tr(s: String): String =
+      s.replace('Ġ', ' ').replace('Ċ', '\n')
+    val pairs = lines
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l =>
+        val sp = l.split(' ')
+        require(sp.length == 2, s"malformed merges line: '$l'")
+        (tr(sp(0)), tr(sp(1)))
+      }
+    new BpeCodec(pairs)
+  }
+
   lazy val defaultCodec: BpeCodec = {
     val corpus = seedWords.flatMap { w =>
       Seq(

@@ -16,6 +16,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VecOps {
 
+  /** Σ table(idx) over an array of long indices — the lookup-and-sum
+    * kernel behind `BucketRatioSum` (DSIR scoring). Sequential
+    * left-to-right accumulation. */
+  def indexSum(idx: ArrayData, table: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = idx.numElements()
+    while (i < n) { s += table(idx.getLong(i).toInt); i += 1 }
+    s
+  }
+
   /** Sequential dot product, double accumulation. Accumulation order is
     * identical to `aggregate(zip_with(...))` so results are bit-for-bit
     * the same as the HOF formulation (oracle parity). */
@@ -465,6 +476,25 @@ case class BloomMightContain(
   override protected def withNewChildInternal(c: Expression): BloomMightContain =
     copy(child = c)
   override def prettyName: String = "bloom_might_contain"
+}
+
+/** `bucket_ratio_sum(indices)` — Σ table(i) over an array<bigint> of
+  * bucket indices, the table riding the plan as a reference object
+  * (the [[BloomMightContain]] pattern): the DSIR scoring pass becomes
+  * one map-side codegen'd scalar per doc instead of an explode +
+  * broadcast-join + re-aggregation. Indices must be in [0, |table|). */
+case class BucketRatioSum(child: Expression, table: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    VecOps.indexSum(v.asInstanceOf[ArrayData], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ratioTable", table, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.indexSum($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): BucketRatioSum =
+    copy(child = c)
+  override def prettyName: String = "bucket_ratio_sum"
 }
 
 /** `vec_dot(a, b)` — dot product of two numeric arrays as a codegen'd

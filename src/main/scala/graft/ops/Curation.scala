@@ -262,17 +262,22 @@ object Curation {
     * distinct): the importance weight below is a sum over instances, so
     * repeated n-grams must count. */
   private def ngramBuckets(text: Column, buckets: Int, ngramLen: Int): Column = {
-    val toks = split(text, " ")
-    val unis = transform(toks, w => pmod(xxhash64(w), lit(buckets.toLong)))
+    // hash words once, derive bigram buckets from the PAIR OF WORD
+    // HASHES via zip_with over two shifted slices: an element_at(toks,
+    // i) lambda would re-evaluate the split per element (O(L²) splits
+    // per doc — HOF lambdas don't get subexpression elimination), and a
+    // per-bigram string concat allocates; xxhash64(h_i, h_{i+1}) is one
+    // codegen'd mix of two longs. slice-with-length-0 makes single-token
+    // docs contribute an empty bigram array (sequence(1, n-1) would
+    // COUNT DOWN for n=1).
+    val th = transform(split(text, " "), w => xxhash64(w))
+    val b = lit(buckets.toLong)
+    val unis = transform(th, h => pmod(h, b))
     if (ngramLen <= 1) unis
     else {
-      // sequence(1, n-1) would COUNT DOWN for n=1 (Spark auto-steps -1);
-      // guard single-token docs to an empty bigram array instead
-      val bis = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => pmod(xxhash64(concat_ws(" ",
-            element_at(toks, i), element_at(toks, i + 1))), lit(buckets.toLong))))
-        .otherwise(array().cast("array<bigint>"))
+      val n1 = greatest(size(th) - 1, lit(0))
+      val bis = zip_with(slice(th, lit(1), n1), slice(th, lit(2), n1),
+        (x, y) => pmod(xxhash64(x, y), b))
       concat(unis, bis)
     }
   }
@@ -300,10 +305,16 @@ object Curation {
     * exactly additive over unigram-disjoint concatenation (an OpsSpec
     * invariant) and exactly zero when the corpora are identical.
     *
-    * Scale shape: two grouped counts + a broadcast join of the B-row
-    * ratio table against the raw side's exploded n-grams + one per-doc
-    * sum — no data-sized shuffle beyond the per-doc aggregation, and B
-    * (default 16k) is independent of corpus size.
+    * Scale shape: the FIT is two grouped counts collapsing to ≤ B rows
+    * each (B default 16k, independent of corpus size — they collect to
+    * a driver-side double[B] ratio table, the model); the SCORING pass
+    * is then map-only — one codegen'd lookup-and-sum per doc
+    * (`BucketRatioSum`, the table riding the plan as a reference
+    * object), no explode, no join, no shuffle. The first formulation
+    * (element_at-lambda bigrams — O(L²) splits per doc, since HOF
+    * lambdas get no subexpression elimination — feeding an exploded
+    * broadcast join) timed 5× slower at sf0.1. B is driver-bounded
+    * (8·B bytes; ≤ ~10⁷ is comfortable — the paper uses 10⁴).
     *
     * @return (doc_id, n_ngrams, log_weight) — log_weight rounded 6dp. */
   def dsirWeights(
@@ -314,26 +325,29 @@ object Curation {
       ngramLen: Int = 2,
       smoothing: Double = 0.5): DataFrame = {
     require(buckets > 0 && smoothing > 0, "need buckets > 0, smoothing > 0")
-    val tc = bucketCounts(target, text, buckets, ngramLen)
-      .withColumnRenamed("n", "n_t")
-    val rc = bucketCounts(raw, text, buckets, ngramLen)
-      .withColumnRenamed("n", "n_r")
-    val joined = tc.join(rc, Seq("bucket"), "full_outer")
-      .na.fill(0L, Seq("n_t", "n_r"))
-    val totals = joined.agg(
-      sum(col("n_t")).as("tot_t"), sum(col("n_r")).as("tot_r"))
-    val s = lit(smoothing)
-    val b = lit(buckets.toDouble)
-    val ratios = joined.crossJoin(broadcast(totals))
-      .select(col("bucket"),
-        (log((col("n_t") + s) / (col("tot_t") + s * b)) -
-          log((col("n_r") + s) / (col("tot_r") + s * b))).as("lr"))
+    def countsOf(df: DataFrame): (Array[Long], Long) = {
+      val arr = new Array[Long](buckets)
+      var tot = 0L
+      bucketCounts(df, text, buckets, ngramLen).collect().foreach { r =>
+        val c = r.getLong(1)
+        arr(r.getLong(0).toInt) = c
+        tot += c
+      }
+      (arr, tot)
+    }
+    val (tc, totT) = countsOf(target)
+    val (rc, totR) = countsOf(raw)
+    val table = Array.tabulate(buckets) { b =>
+      math.log((tc(b) + smoothing) / (totT + smoothing * buckets)) -
+        math.log((rc(b) + smoothing) / (totR + smoothing * buckets))
+    }
+    val arr = ngramBuckets(text, buckets, ngramLen)
     raw.select(col("doc_id"),
-        explode(ngramBuckets(text, buckets, ngramLen)).as("bucket"))
-      .join(broadcast(ratios), Seq("bucket"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_ngrams"),
-        round(sum(col("lr")), 6).as("log_weight"))
+      size(arr).as("n_ngrams"),
+      round(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BucketRatioSum(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(arr),
+          table)), 6).as("log_weight"))
   }
 
   /** Top-k importance selection over [[dsirWeights]] — deterministic

@@ -45,6 +45,32 @@ object StreamDedup {
       .withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("fingerprint"))
 
+  /** Gate a STREAM against a static already-ingested corpus — the
+    * streaming twin of [[graft.ops.Dedup.incrementalDedup]]'s front
+    * gate: the corpus's exact content fingerprints are folded into a
+    * Bloom filter ONCE at plan construction (a batch job over the
+    * static side), and every streamed row is probed map-side by the
+    * same codegen expression the batch gate uses — no state store, no
+    * stream-side shuffle, no per-row UDF. Rows that definitely aren't
+    * in the corpus (`might_exist = false`) can short-circuit straight
+    * to the sink; the `might_exist` minority routes to the expensive
+    * verify (an exact join or banded MinHash in `foreachBatch`, both
+    * batch operators).
+    *
+    * State story at scale: the filter is immutable for the lifetime of
+    * the query — exactly the daily-ingest contract, where the corpus
+    * index is rebuilt between streaming runs, not inside one. ~1.2 GB
+    * per 10⁹ keys at 1% fpp rides task broadcast like any reference
+    * object. */
+  def corpusGate(
+      stream: DataFrame,
+      corpusKeys: DataFrame,
+      keyCol: org.apache.spark.sql.Column,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame =
+    graft.ops.Dedup.bloomPrefilter(
+      corpusKeys, stream, keyCol, expectedItems, fpp)
+
   /** Stream-stream interval join: rows of `follow` that occur on the same
     * key within `[0, gap]` after a row of `lead`. Both sides buffer only
     * the watermark horizon; the range condition bounds the join state on

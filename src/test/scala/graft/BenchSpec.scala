@@ -47,11 +47,12 @@ class BenchSpec extends AnyFunSuite {
     // unresolvedDrift is the bit that must surface in the "drifted" list.
     val (kept, flagged) = BenchLogic.resolveRecheck(10.0, Some(9.0))
     assert(kept == 10.0 && !flagged)
-    assert(BenchLogic.unresolvedDrift(wasGated = true, flagged))
+    assert(BenchLogic.unresolvedDrift(driftGated = true, flagged))
     // a resolved transient (fresh run halved) is suspect, NOT drifted
-    assert(!BenchLogic.unresolvedDrift(wasGated = true, flagged = true))
-    // an ungated query is neither
-    assert(!BenchLogic.unresolvedDrift(wasGated = false, flagged = false))
+    assert(!BenchLogic.unresolvedDrift(driftGated = true, flagged = true))
+    // an intra-suite outlier whose recheck confirms it is a genuinely
+    // slow query, not drift — it has no prior round to have drifted from
+    assert(!BenchLogic.unresolvedDrift(driftGated = false, flagged = false))
   }
 
   test("round-over-round drift gate: >2.5x the prior round earns a recheck") {

@@ -146,6 +146,41 @@ class FunctionsSpec extends SparkSpec {
     assert(viaExpr.toSeq == Seq(3, n("zebra")))
   }
 
+  test("BpeCodec consumes the published gpt2 merges format (golden subset)") {
+    // The opening ranks of the published gpt2 merges.txt (Radford et al.
+    // 2019; file distributed publicly with the model), verbatim incl.
+    // the version header and the Ġ space stand-in. Hand-derived
+    // encodings below pin the WHOLE drop-in path: header skip, Ġ→space
+    // translation, rank order, and the ranked-merge encode loop.
+    val published = Seq(
+      "#version: 0.2",
+      "Ġ t", "Ġ a", "h e", "i n", "r e", "o n", "Ġt he", "e r",
+      "Ġ s", "a t", "Ġ w", "Ġ o", "e n", "Ġ c", "i t", "i s",
+      "a n", "o r", "e s", "Ġ b", "e d", "Ġ f", "in g", "Ġ p",
+      "o u", "Ġa n", "a l", "a r", "Ġt o", "Ġ m", "Ġo f", "Ġ in",
+      "Ġ d", "Ġ h", "Ġan d")
+    val c = graft.functions.Bpe.fromMergesLines(published)
+    assert(c.merges.length == 35) // header skipped
+    assert(c.merges.head == ((" ", "t")) && c.merges(6) == ((" t", "he")))
+    // " the": (Ġ,t) then (h,e) then (Ġt,he) — the famous single token
+    assert(c.tokenize(" the") == Seq(" the"))
+    // " and" chains rank 1 → 25 → 34
+    assert(c.tokenize(" and") == Seq(" and"))
+    // " of", " in" complete under the subset; bare "the" does not
+    // (only the space-prefixed "Ġt he" merge is in the first 34 ranks)
+    assert(c.tokenize(" of") == Seq(" of"))
+    assert(c.tokenize(" in") == Seq(" in"))
+    assert(c.tokenize("the") == Seq("t", "he"))
+    // ranked order beats textual order: in " house", (o,u) rank 24
+    // fires before (Ġ,h) rank 33, and nothing joins the tail
+    assert(c.tokenize(" house") == Seq(" h", "ou", "s", "e"))
+    // a full sentence through the pre-tokenizer + encoder
+    assert(c.tokenize("he is in the house") ==
+      Seq("he", " ", "is", " in", " the", " h", "ou", "s", "e"))
+    assert(c.countTokens(
+      org.apache.spark.unsafe.types.UTF8String.fromString("he is in the house")) == 9)
+  }
+
   test("registrableDomain implements the full PSL algorithm on the snapshot") {
     val cases = Seq(
       // plain TLD, subdomain strip + scheme/path/query/port/userinfo

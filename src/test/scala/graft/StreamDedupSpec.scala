@@ -37,6 +37,33 @@ class StreamDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("corpusGate probes a static corpus bloom in-stream: no false negatives, no state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (1L to 500L).map(i => s"seen_$i").toDF("fp")
+    val source = MemoryStream[(Long, String)]
+    val gated = StreamDedup.corpusGate(
+      source.toDF().toDF("doc_id", "fp"), corpus, col("fp"),
+      expectedItems = 500L)
+    val query = gated.writeStream.format("memory").queryName("corpus_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData((1L, "seen_17"), (2L, "fresh_a"), (3L, "seen_400"))
+      query.processAllAvailable()
+      // the filter is immutable across triggers — later batches probe it too
+      source.addData((4L, "fresh_b"), (5L, "seen_1"))
+      query.processAllAvailable()
+      val got = spark.table("corpus_gate")
+        .select("doc_id", "might_exist").as[(Long, Boolean)].collect().toMap
+      assert(got(1L) && got(3L) && got(5L), "corpus keys must pass (no FN)")
+      assert(!got(2L) && !got(4L), "fresh keys gated out (fpp 1% on 2 keys)")
+      // stateless: the progress metrics carry no state store rows
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
   test("simhash fingerprint dedup collapses near-identical docs in-stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
