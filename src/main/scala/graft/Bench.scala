@@ -80,15 +80,29 @@ private[graft] object BenchLogic {
     * Format-tolerant by construction: query keys are globally unique in
     * the line and carry a plain numeric value only in the "queries" map
     * (scaling/ladder entries nest objects, error/suspect lists carry no
-    * colon-number), so one regex over the whole file is exact. */
+    * colon-number), so one regex over the whole file is exact.
+    *
+    * The driver's BENCH_r*.json is NOT the bare artifact: it wraps the
+    * stdout tail as a JSON string under "tail", so every interior quote
+    * arrives escaped (`\"q98_zorder\":0.203`) — the round-8 gate's
+    * format-exact regex found 0 matches in exactly the files it was
+    * built to guard (VERDICT r8 #3). Unescape the one JSON-string
+    * escape that affects the pattern before matching; on a bare
+    * artifact the replacement is a no-op. */
   def parsePrevQueries(content: String): Map[String, Double] =
     "\"(q[0-9][0-9a-zA-Z_]*)\":([0-9][0-9.]*)".r
-      .findAllMatchIn(content)
+      .findAllMatchIn(content.replace("\\\"", "\""))
       .map(m => m.group(1) -> m.group(2).toDouble)
       .toMap
 }
 
 object Bench {
+  /** Default on-disk home for the FULL artifact, written every run: the
+    * driver captures only a (truncating) stdout tail, so round-over-round
+    * drift gating reads this file first (r8 lost q01–q55 history to the
+    * tail cut). Overridable via SPARK_GRAFT_BENCH_OUT. */
+  private[graft] val fullLatestPath = "BENCH_full_latest.json"
+
   private def loadavg(): String =
     try {
       val parts = java.nio.file.Files
@@ -206,14 +220,22 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_PREV")
         .map(p => Seq(java.nio.file.Paths.get(p)))
         .getOrElse {
-          val cwd = java.nio.file.Paths.get(".")
-          val rx = "BENCH_r(\\d+)\\.json".r
-          val found = java.nio.file.Files.list(cwd).iterator().asScala
-            .flatMap { p =>
-              rx.findFirstMatchIn(p.getFileName.toString)
-                .map(m => (m.group(1).toInt, p))
-            }.toSeq
-          found.sortBy(-_._1).take(1).map(_._2)
+          // prefer the full artifact this harness now always writes
+          // (the driver's wrapper truncates its tail capture, which
+          // starved r8's gate of q01–q55 history); fall back to the
+          // newest driver-recorded round
+          val fullLatest = java.nio.file.Paths.get(fullLatestPath)
+          if (java.nio.file.Files.exists(fullLatest)) Seq(fullLatest)
+          else {
+            val cwd = java.nio.file.Paths.get(".")
+            val rx = "BENCH_r(\\d+)\\.json".r
+            val found = java.nio.file.Files.list(cwd).iterator().asScala
+              .flatMap { p =>
+                rx.findFirstMatchIn(p.getFileName.toString)
+                  .map(m => (m.group(1).toInt, p))
+              }.toSeq
+            found.sortBy(-_._1).take(1).map(_._2)
+          }
         }
         .headOption
         .flatMap { p =>
@@ -319,6 +341,32 @@ object Bench {
           // 14 tone/channel classes, so the TRUE dup-pair relation (the
           // operator's output) grows quadratically by corpus
           // construction — it would measure the fixture, not the plan
+          // distributed BPE training: 8 merges over the documents
+          // corpus. The one corpus-linear pass is the counted-vocab
+          // build; each merge then runs on the COLLAPSED vocab (near
+          //-constant across corpus scale for the synthetic fixture's
+          // closed vocabulary), so expect exp well below 1.
+          ("op_bpe_train", None, (ss: SparkSession, dir: String) => {
+            import ss.implicits._
+            val vocab = graft.functions.Bpe.countedVocab(
+              ss.read.parquet(s"$dir/documents.parquet"), "text")
+            graft.functions.Bpe.trainDistributed(vocab, 8).toDF("a", "b")
+          }),
+          // q106's QUERY embeds a brute-force exact conformance scan —
+          // ladder the operator alone: fixed-size batch probing the
+          // corpus IVF index. Expect exp ≈ 1 (one corpus assignment
+          // pass) — the self-join alternative would ladder at ~2.
+          ("op_incr_semdedup", Some(factors("embeddings").toDouble),
+            (ss: SparkSession, dir: String) => {
+              val corpus = ss.read.parquet(s"$dir/embeddings.parquet")
+                .selectExpr("CAST(vec_id AS LONG) AS vec_id",
+                  "CAST(embedding AS array<float>) AS embedding")
+              val batch = corpus
+                .where("vec_id % 5 = 0 AND vec_id < 2500")
+                .selectExpr("vec_id + 1000000 AS batch_id", "embedding")
+              graft.ops.Similarity
+                .incrementalSemanticDedup(corpus, batch, 0.8)
+            }),
           ("op_media_neardup", Some(5.0), (ss: SparkSession, dir: String) => {
             val n = if (dir == sfDir) 300L else 1500L
             val media = graft.ops.Multimodal.syntheticMedia(ss, n)
@@ -394,14 +442,16 @@ object Bench {
     // belt-and-braces for log-scraping consumers: the file copy also keeps
     // the raw per-run times (first-vs-second delta = JVM drift) that would
     // make the stdout line too long to survive the tail capture
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+    locally {
       val raw = results.map { case (k, ts) =>
         s"\"" + k + "\":" +
           ts.map(_.map(ms).getOrElse("null")).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       val full =
         s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","runs":$runsPerQuery,"agg":"min","calib":$calibJson,"load":$loadJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"raw":$raw,"sf":"$sfDir"}"""
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full + "\n")
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", fullLatestPath)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full + "\n")
+      catch { case _: Throwable => () }
     }
     spark.stop()
     // full line first, short line LAST: the driver keeps the tail of

@@ -21,16 +21,26 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) — Spark's reader rejects it
-    * unless nanos are surfaced as Long (SPARK-40819); convert to
-    * microsecond timestamps with integer division (a double division would
-    * lose precision: epoch-nanos ≈ 1.7e18 > 2^53). */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
+  /** Fixture timestamp variance is part of the driver contract: the
+    * generator has shipped `ts` as TIMESTAMP(NANOS) (Spark's reader
+    * rejects it unless nanos surface as Long — SPARK-40819; integer
+    * division, since epoch-nanos ≈ 1.7e18 > 2^53 would lose precision in
+    * a double) and as naive `timestamp[us]` (isAdjustedToUTC=false, which
+    * Spark reads as TIMESTAMP_NTZ — `unix_micros` and friends reject it
+    * at analysis). Normalize both spellings to TIMESTAMP here; the
+    * session TZ is pinned UTC, so the NTZ cast is micros-preserving and
+    * matches the DuckDB oracle's naive-timestamp semantics. */
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn(
+          "ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -556,6 +566,81 @@ object SparkEntry {
         (col("kb") === col("nb")).as("base_kept_ok"),
         ((col("np") - col("kp")).cast("double") / col("np") >= 0.9)
           .as("planted_removed_ok"))
+  }
+
+  /** Incremental SEMANTIC dedup — the embedding twin of q102's gated
+    * MinHash composition: a new batch (perturbed copies of every 5th
+    * corpus vector + 60 pseudo-random probe vectors) is classified
+    * near/new by probing the corpus IVF index
+    * ([[Similarity.incrementalSemanticDedup]]); the corpus never
+    * self-joins. The in-query conformance oracle is a brute-force exact
+    * scan over the same batch (bounded: |batch|·|corpus| cosines at
+    * fixture scale only — the operator under test never runs it):
+    * every planted copy must classify `near`, index recall over the
+    * exact-near set must be ≥ 0.95, and a false `near` is impossible
+    * (probe scores are true cosines) — asserted anyway. */
+  private def qIncrSemanticDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val corpus = t(s, d, "embeddings")
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+    val base = corpus.as[(Long, Array[Float])]
+    val dim = base.head()._2.length
+    val offset = 1000000000L
+    val planted = base.filter(_._1 % 5 == 0).map { case (id, v) =>
+      val r = new Array[Float](v.length)
+      var i = 0
+      while (i < v.length) {
+        val eps = ((graft.functions.Impl.mix64(id * 131L + i) & 0xFFFFL)
+          .toDouble / 65535.0 - 0.5) * 0.01
+        r(i) = (v(i) * (1.0 + eps)).toFloat
+        i += 1
+      }
+      (id + offset, r)
+    }
+    val randoms = s.range(60).map { j =>
+      val r = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        r(i) = (((graft.functions.Impl.mix64(j * 977L + i) & 0xFFFFL)
+          .toDouble / 65535.0) - 0.5).toFloat
+        i += 1
+      }
+      (2L * offset + j, r)
+    }
+    val batch = planted.union(randoms).toDF("batch_id", "embedding")
+    val got = Similarity.incrementalSemanticDedup(corpus, batch, threshold = 0.8)
+    val exact = corpus
+      .crossJoin(broadcast(batch.select(
+        col("batch_id"), col("embedding").as("b_emb"))))
+      .groupBy(col("batch_id"))
+      .agg(max(Similarity.cosine(col("b_emb"), col("embedding")))
+        .as("exact_best"))
+    got.join(exact, "batch_id")
+      .select(
+        col("batch_id"),
+        (col("status") === "near").as("pred_near"),
+        (col("exact_best") >= 0.8).as("true_near"))
+      .agg(
+        sum(when(col("batch_id") < 2L * offset, 1L).otherwise(0L))
+          .as("npl"),
+        sum(when(col("batch_id") >= 2L * offset, 1L).otherwise(0L))
+          .as("nrand"),
+        sum(when(col("batch_id") < 2L * offset && !col("pred_near"), 1L)
+          .otherwise(0L)).as("planted_missed"),
+        sum(when(col("true_near"), 1L).otherwise(0L)).as("n_true_near"),
+        sum(when(col("true_near") && !col("pred_near"), 1L).otherwise(0L))
+          .as("missed"),
+        sum(when(col("pred_near") && !col("true_near"), 1L).otherwise(0L))
+          .as("false_near"))
+      .crossJoin(corpus.agg(count(lit(1)).as("n_corpus")))
+      .select(
+        col("n_corpus"),
+        col("npl").as("n_planted"),
+        col("nrand").as("n_random"),
+        (col("planted_missed") === 0L).as("planted_near_ok"),
+        (col("missed").cast("double")
+          <= col("n_true_near").cast("double") * 0.05).as("recall_ok"),
+        (col("false_near") === 0L).as("no_false_ok"))
   }
 
   /** Perceptual image dedup (dHash over REAL decoded pixels), hash-checked
@@ -2580,7 +2665,8 @@ object SparkEntry {
     "q102_incremental_dedup_gated" -> (qIncrementalDedupGated _),
     "q103_canonical_url" -> (qCanonicalUrl _),
     "q104_dsir_weights" -> (qDsirWeights _),
-    "q105_quality_classifier" -> (qQualityClassifier _))
+    "q105_quality_classifier" -> (qQualityClassifier _),
+    "q106_incremental_semdedup" -> (qIncrSemanticDedup _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3803,5 +3889,13 @@ object SparkEntry {
            (SELECT CAST(count(*) AS BIGINT) FROM documents
              WHERE doc_id % 2 = 0) AS n_good,
            true AS perfect_separation_ok, true AS converged_ok,
-           true AS iters_ok""")
+           true AS iters_ok""",
+    "q106_incremental_semdedup" ->
+      """SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_corpus,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+             WHERE vec_id % 5 = 0) AS n_planted,
+           CAST(60 AS BIGINT) AS n_random,
+           true AS planted_near_ok, true AS recall_ok,
+           true AS no_false_ok""")
 }

@@ -15,10 +15,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a query that throws before producing output must leave an explicit
+    // trace, not just a stderr line: round 8's q40 analysis-error left NO
+    // entry in CORRECTNESS_r08.json, so the artifact read 104/104 green
+    // against a declared surface of 105 (ADVICE r8). verify_errors.json
+    // maps every failed query to its error, and is written even when
+    // empty so its absence is itself a signal.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name -> String.valueOf(e.getMessage).take(500)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -37,6 +45,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }

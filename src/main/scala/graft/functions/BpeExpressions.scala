@@ -60,6 +60,89 @@ object Bpe {
     merges.toList
   }
 
+  /** Corpus-scale Sennrich merge training — the distributed twin of
+    * [[train]] (which is driver-side over a `Seq` and exists for seed
+    * vocabularies and as this method's conformance oracle).
+    *
+    * Shape per merge iteration: one map-combined hash aggregation over
+    * the counted vocabulary's adjacent pairs, then ONLY the argmax pair
+    * reaches the driver (`orderBy(...).limit(1)` plans as a per-partition
+    * partial top-1 — no full sort, no full collect), then a narrow map
+    * applies the merge. Per-merge cost is flat in CORPUS size: the
+    * vocabulary relation is distinct word forms with counts, which the
+    * one-time [[countedVocab]] aggregation already collapsed — the
+    * textbook reason BPE training runs on counted vocab, here expressed
+    * so the vocab itself can exceed driver memory.
+    *
+    * Determinism matches [[train]] exactly: ties break on (count desc,
+    * pair lexicographic asc); Spark's UTF8String binary ordering agrees
+    * with Java's String ordering on the pre-tokenizer's piece alphabet.
+    * Lineage is truncated with a localCheckpoint every 8 merges so the
+    * plan doesn't deepen linearly in `numMerges`.
+    *
+    * @param words counted vocabulary: (syms array&lt;string&gt;, freq long)
+    */
+  def trainDistributed(
+      words: org.apache.spark.sql.DataFrame,
+      numMerges: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.{col, desc, sum}
+    val sess = words.sparkSession
+    import sess.implicits._
+    var vocab = words
+      .select(col("syms").cast("array<string>"), col("freq").cast("long"))
+      .as[(Seq[String], Long)]
+      .map { case (s, f) => (s.toArray, f) }
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var it = 0
+    var done = false
+    while (it < numMerges && !done) {
+      val top = vocab
+        .flatMap { case (syms, f) =>
+          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), f))
+        }
+        .toDF("a", "b", "f")
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("f")).as("c"))
+        .orderBy(desc("c"), col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val best = (top(0).getString(0), top(0).getString(1))
+        merges += best
+        vocab = vocab.map { case (syms, f) => (applyMerge(syms, best), f) }
+        if ((it + 1) % 8 == 0) vocab = vocab.localCheckpoint(true)
+      }
+      it += 1
+    }
+    merges.toList
+  }
+
+  /** Distributed counted-vocabulary build feeding [[trainDistributed]]:
+    * pre-tokenize every document with the SAME scanner the encoder uses
+    * ([[BpeCodec.pieces]] — merge-independent), then one hash-agg word
+    * count. Output: (syms array&lt;string&gt;, freq long), one row per
+    * distinct piece — the only pass whose cost is linear in corpus
+    * size; everything after runs on the collapsed vocab. */
+  def countedVocab(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val scanner = new BpeCodec(Nil)
+    docs.select(col(textCol).cast("string")).as[String]
+      .flatMap(t => if (t == null) Iterator.empty else scanner.pieces(t))
+      .groupBy(col("value")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (piece, f) =>
+        (piece.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))).toSeq, f)
+      }
+      .toDF("syms", "freq")
+  }
+
   private def applyMerge(syms: Array[String], m: (String, String)): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0

@@ -40,8 +40,14 @@ object RangeJoin {
     // ends with sub-second fractions: floor((sec(end)-1)/w) could exclude
     // a bucket the true end still reaches into.
     val bucketMicros = bucketSeconds * 1000000L
+    // cast before unix_micros: it accepts only TIMESTAMP, and fixture
+    // columns may arrive as TIMESTAMP_NTZ (naive parquet timestamps).
+    // TIMESTAMP→TIMESTAMP is a no-op; NTZ→TIMESTAMP reinterprets in the
+    // session TZ (pinned UTC), preserving the underlying micros.
+    val micros = (c: org.apache.spark.sql.Column) =>
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
     val bucket = (c: org.apache.spark.sql.Column) =>
-      floor(unix_micros(c) / bucketMicros).cast("long")
+      floor(micros(c) / bucketMicros).cast("long")
     val p = points.withColumn("__b", bucket(col(pointTime)))
     val iv = intervals.withColumn(
       "__b",
@@ -51,7 +57,7 @@ object RangeJoin {
           // end is exclusive: subtracting one microsecond (the timestamp
           // quantum) excludes the next bucket exactly when end falls on a
           // bucket boundary, and only then
-          floor((unix_micros(col(endCol)) - 1) / bucketMicros)
+          floor((micros(col(endCol)) - 1) / bucketMicros)
             .cast("long"))))
     p.join(iv, keys :+ "__b")
       .filter(

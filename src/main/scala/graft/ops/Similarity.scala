@@ -538,6 +538,102 @@ object Similarity {
     } finally vecsN.unpersist(blocking = false)
   }
 
+  /** The persistable IVF index: the coarse quantizer's centroids (tiny —
+    * nCentroids·dim doubles, broadcast) plus the corpus→cell assignment
+    * relation `(cell, vec_id, embedding)`. At 100 TB the assignment is
+    * written once as cell-partitioned parquet and every later batch
+    * probes it — [[buildIvfIndex]] here is that index's definition, and
+    * [[incrementalSemanticDedup]] consumes it without ever re-touching
+    * more of the corpus than the probed cells. */
+  private[graft] case class IvfIndex(
+      centroids: Array[(Int, Array[Double], Double)],
+      assigned: DataFrame)
+
+  private[graft] def buildIvfIndex(
+      corpus: DataFrame,
+      nCentroids: Int,
+      kmeansIters: Int,
+      seed: Long): IvfIndex = {
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    val vecs = corpus
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val cents = trainCentroids(vecs, nCentroids, kmeansIters, seed)
+    val bc = sess.sparkContext.broadcast(cents)
+    val assigned = vecs.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, emb) => (nearestCell(emb, cs), id, emb) }
+    }.toDF("cell", "vec_id", "embedding")
+    IvfIndex(cents, assigned)
+  }
+
+  /** Incremental SEMANTIC dedup — the embedding twin of
+    * [[graft.ops.Dedup.minhashPairsAcross]] (q95/q102): classify a new
+    * batch of embeddings as `near` (semantic duplicate of something
+    * already ingested) or `new`, by probing the persisted corpus IVF
+    * index — the corpus never self-joins and never reshuffles.
+    *
+    * Shape per batch row: score the `nProbes` closest cells' corpus
+    * members exactly (scores are TRUE cosines — false "near" labels are
+    * impossible; the approximation shows up only as recall on borderline
+    * items, the standard IVF contract). The probed batch is broadcast —
+    * a daily increment is small next to the corpus by definition — so
+    * the only data motion over the corpus is a streamed scan of the
+    * probed cells' partitions.
+    *
+    * @return one row per batch item:
+    *         (batch_id, best_corpus_id, best_score, status∈{near,new});
+    *         items whose probed cells hold no corpus vectors come back
+    *         `new` with best_corpus_id −1 / best_score −1.
+    */
+  def incrementalSemanticDedup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      threshold: Double,
+      nCentroids: Int = 16,
+      nProbes: Int = 4,
+      kmeansIters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    val index = buildIvfIndex(corpus, nCentroids, kmeansIters, seed)
+    val bc = sess.sparkContext.broadcast(index.centroids)
+    val probed = batch
+      .select(col("batch_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (bid, emb) =>
+          cs.map(c => (c._1, cosTo(emb, c)))
+            .sortBy(-_._2).take(nProbes)
+            .map { case (cell, _) => (cell, bid, emb) }
+        }
+      }.toDF("cell", "batch_id", "b_emb")
+    val best = index.assigned.join(broadcast(probed), "cell")
+      .select(
+        col("batch_id"),
+        col("vec_id"),
+        cosine(col("b_emb"), col("embedding")).as("score"))
+      // argmax with deterministic tie-break: max on (score, −vec_id)
+      // keeps the LOWEST corpus id among equal scores
+      .groupBy(col("batch_id"))
+      .agg(max(struct(
+        col("score").as("score"), (-col("vec_id")).as("nid"))).as("b"))
+      .select(
+        col("batch_id"),
+        (-col("b.nid")).as("best_corpus_id"),
+        col("b.score").as("best_score"))
+    batch.select(col("batch_id").cast("long"))
+      .join(best, Seq("batch_id"), "left")
+      .select(
+        col("batch_id"),
+        coalesce(col("best_corpus_id"), lit(-1L)).as("best_corpus_id"),
+        round(coalesce(col("best_score"), lit(-1.0)), 4).as("best_score"),
+        when(col("best_score") >= threshold, "near").otherwise("new")
+          .as("status"))
+  }
+
   /** Nearest PQ codeword (L2) for subspace `mi` of `emb`. */
   private def nearestCode(
       emb: Array[Float], mi: Int, sub: Int, book: Array[Array[Double]]): Int = {

@@ -83,4 +83,24 @@ class BenchSpec extends AnyFunSuite {
     // not contribute entries
     assert(!prev.contains("q57_setops_all") && !prev.contains("q99_phantom"))
   }
+
+  test("parsePrevQueries reads the driver's escaped tail-wrapper format") {
+    // the driver's BENCH_r*.json wraps the stdout tail as a JSON STRING,
+    // so every interior quote is escaped — the exact spelling (verbatim
+    // from BENCH_r07.json) on which the round-8 gate found 0 matches and
+    // let 11× load pollution through with drifted:[] (VERDICT r8 #3).
+    // The tail is also routinely TRUNCATED mid-number at its start.
+    val wrapper =
+      """{"n":7,"rc":0,"cpus":32,"sf":0.1,
+        |"tail":"92,\"q39_pivot\":1.536,\"q40_range_join\":2.028,\"q98_zorder\":0.203,\"q57_setops_all\":null,\"suspect\":[\"q44_embedding_centroids\"]"}"""
+        .stripMargin
+    val prev = BenchLogic.parsePrevQueries(wrapper)
+    assert(prev == Map(
+      "q39_pivot" -> 1.536,
+      "q40_range_join" -> 2.028,
+      "q98_zorder" -> 0.203), s"got $prev")
+    // …and a synthetic 3× drift against the parsed history gets gated
+    assert(BenchLogic.driftSuspect(0.61, prev.get("q98_zorder")))
+    assert(!BenchLogic.driftSuspect(0.25, prev.get("q98_zorder")))
+  }
 }

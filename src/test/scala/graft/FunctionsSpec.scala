@@ -110,6 +110,42 @@ class FunctionsSpec extends SparkSpec {
       s"got $merges")
   }
 
+  test("distributed BPE trainer equals the driver trainer on the seed vocabulary") {
+    import spark.implicits._
+    // the defaultCodec seed corpus — every seed word in bare and
+    // space-prefixed piece form, exactly as lazy defaultCodec trains.
+    // 64 merges bound the suite cost (one Spark job per merge) while
+    // still crossing dozens of count-ties, where divergence would show.
+    val corpus = graft.functions.Bpe.seedWords.flatMap { w =>
+      Seq((w.map(_.toString), 1L), ((" " + w).map(_.toString), 1L))
+    }
+    val driver = graft.functions.Bpe.train(corpus, 64)
+    val words = corpus.toDF("syms", "freq")
+    val dist = graft.functions.Bpe.trainDistributed(words, 64)
+    assert(dist == driver,
+      s"first divergence at ${dist.zip(driver).indexWhere(p => p._1 != p._2)}")
+  }
+
+  test("countedVocab + distributed trainer match hand-counted vocab training") {
+    import spark.implicits._
+    // "low low low low low lower lower" pre-tokenizes to {low:1, " low":4,
+    // " lower":2} — counts differ from the classic {low:5, lower:2}
+    // because the space-prefixed piece forms are distinct words
+    val docs = Seq("low low low low low lower lower").toDF("text")
+    val vocab = graft.functions.Bpe.countedVocab(docs, "text")
+      .as[(Seq[String], Long)].collect()
+      .map { case (s, f) => (s.mkString, f) }.toMap
+    assert(vocab == Map("low" -> 1L, " low" -> 4L, " lower" -> 2L),
+      s"got $vocab")
+    val counted = Seq(
+      ("low".map(_.toString), 1L),
+      (" low".map(_.toString), 4L),
+      (" lower".map(_.toString), 2L))
+    val dist = graft.functions.Bpe.trainDistributed(
+      graft.functions.Bpe.countedVocab(docs, "text"), 10)
+    assert(dist == graft.functions.Bpe.train(counted, 10))
+  }
+
   test("BPE encoder applies ranked merges exactly (hand-computed tokens)") {
     val codec = new graft.functions.BpeCodec(Seq(
       ("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")))

@@ -475,6 +475,47 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "no dissimilar vector may be dropped")
   }
 
+  test("incrementalSemanticDedup: planted batch copies near, disjoint vectors new") {
+    import spark.implicits._
+    val dim = 16
+    // corpus: 200 deterministic pseudo-random vectors
+    val corpusRows = (0 until 200).map { id =>
+      (id.toLong, Array.tabulate(dim)(i =>
+        ((graft.functions.Impl.mix64(id * 131L + i) & 0xFFFFL) / 65535f) - 0.5f))
+    }
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    // batch: a perturbed copy of every 4th corpus vector (must classify
+    // near, and find its own source) + 40 fresh random vectors (must
+    // classify new: with dim=16 the expected |cosine| of two random
+    // directions is ~0.25 ≪ the 0.9 threshold)
+    val copies = corpusRows.filter(_._1 % 4 == 0).map { case (id, v) =>
+      (1000L + id, v.zipWithIndex.map { case (x, i) =>
+        x * (1f + ((graft.functions.Impl.mix64(id + i * 7L) % 100L) / 10000f))
+      })
+    }
+    val fresh = (0 until 40).map { j =>
+      (5000L + j, Array.tabulate(dim)(i =>
+        ((graft.functions.Impl.mix64(j * 7919L + 31L * i + 5L) & 0xFFFFL)
+          / 65535f) - 0.5f))
+    }
+    val batch = (copies ++ fresh).toDF("batch_id", "embedding")
+    val got = Similarity
+      .incrementalSemanticDedup(corpus, batch, threshold = 0.9,
+        nCentroids = 8, nProbes = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(got.size == copies.size + fresh.size)
+    // recall floor on planted copies: every one near, pointing at its source
+    for ((bid, _) <- copies) {
+      val (best, status) = got(bid)
+      assert(status == "near", s"planted $bid must be near, got $status")
+      assert(best == bid - 1000L, s"planted $bid must match its source, got $best")
+    }
+    // random-direction vectors never reach 0.9 cosine
+    for ((bid, _) <- fresh)
+      assert(got(bid)._2 == "new", s"fresh $bid must be new")
+  }
+
   test("semanticDedup bounds per-task rows under a single hot cell (measured cell counts)") {
     import spark.implicits._
     // degenerate skew: every embedding is identical, so ALL n vectors
