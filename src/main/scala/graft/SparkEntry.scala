@@ -1804,6 +1804,56 @@ object SparkEntry {
         .toDF("converged_ok", "iters_ok"))
   }
 
+  /** Classifier evaluation (q107): Mann-Whitney AUC + decile calibration
+    * ([[graft.ops.ClassifierEval]]) over deterministic hash scores on
+    * the 1/1000 grid with 1-in-7 label noise — every number is
+    * recomputed exactly by the DuckDB oracle (rank-sum AUC with
+    * average-rank ties ≡ the operator's histogram formula, since each
+    * distinct grid score occupies its own histogram cell). Alongside,
+    * the REAL pipeline shape: q105's classifier fit on a 2/3 train
+    * split of the planted fixture, evaluated on the holdout — separable
+    * by construction, so holdout AUC saturates and ships as a boolean. */
+  private def qClassifierEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val h = (col("doc_id") * lit(2654435761L)) % 1000
+    val scored = docs.select(
+      col("doc_id"),
+      (h / lit(1000.0)).as("score"),
+      when((col("doc_id") % 7 === 0) =!= (h >= 500), 1.0).otherwise(0.0)
+        .as("y"))
+    val (auc, np, nn) =
+      graft.ops.ClassifierEval.aucValue(scored, col("y"), col("score"))
+    // train/holdout evaluation of the trained model (q105's fixture)
+    val stops = graft.ops.TextAnalysis.stopwords
+    val stopArr = array(stops.map(lit): _*)
+    val good = array_join(
+      transform(sequence(lit(0), lit(19)),
+        j => element_at(stopArr, (pmod(col("doc_id") + j, lit(7)) + 1).cast("int"))),
+      " ")
+    val bad = array_join(
+      transform(sequence(lit(0), lit(19)),
+        j => concat(lit("w"), col("doc_id"), lit("x"), j)), " ")
+    val labeled = docs.select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0, good).otherwise(bad).as("text"),
+      (pmod(col("doc_id"), lit(2)) === 0).cast("double").as("label"))
+      .localCheckpoint()
+    val feats = graft.ops.QualityClassifier.textFeatures(col("text"))
+    val model = graft.ops.QualityClassifier.fit(
+      labeled.filter(pmod(col("doc_id"), lit(3)) =!= 0), feats, col("label"))
+    val holdout = labeled.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .withColumn("p", graft.ops.QualityClassifier.score(feats, model))
+    val (modelAuc, _, _) =
+      graft.ops.ClassifierEval.aucValue(holdout, col("label"), col("p"))
+    graft.ops.ClassifierEval.calibration(scored, col("y"), col("score"))
+      .withColumn("auc", round(lit(auc), 6))
+      .withColumn("n_pos", lit(np))
+      .withColumn("n_neg", lit(nn))
+      .withColumn("model_auc_ok", lit(modelAuc >= 0.99))
+      .orderBy(col("bucket"))
+  }
+
   /** BPE subword token counts — exact cross-engine oracle. The default
     * codec is trained (Sennrich merges, deterministic tie-break) on the
     * fixture vocabulary in bare + space-prefixed piece form, so a doc
@@ -2666,7 +2716,8 @@ object SparkEntry {
     "q103_canonical_url" -> (qCanonicalUrl _),
     "q104_dsir_weights" -> (qDsirWeights _),
     "q105_quality_classifier" -> (qQualityClassifier _),
-    "q106_incremental_semdedup" -> (qIncrSemanticDedup _))
+    "q106_incremental_semdedup" -> (qIncrSemanticDedup _),
+    "q107_classifier_eval" -> (qClassifierEval _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3897,5 +3948,30 @@ object SparkEntry {
              WHERE vec_id % 5 = 0) AS n_planted,
            CAST(60 AS BIGINT) AS n_random,
            true AS planted_near_ok, true AS recall_ok,
-           true AS no_false_ok""")
+           true AS no_false_ok""",
+    "q107_classifier_eval" ->
+      """WITH s AS (SELECT doc_id,
+             ((doc_id * 2654435761) % 1000) / 1000.0 AS score,
+             CASE WHEN ((doc_id % 7 = 0) <>
+                        (((doc_id * 2654435761) % 1000) >= 500))
+                  THEN 1.0 ELSE 0.0 END AS y
+           FROM documents),
+         t AS (SELECT CAST(sum(y) AS DOUBLE) AS np,
+                      CAST(count(*) - sum(y) AS DOUBLE) AS nn FROM s),
+         r AS (SELECT y, rank() OVER (ORDER BY score)
+                 + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS arank
+               FROM s),
+         a AS (SELECT round((sum(CASE WHEN y = 1.0 THEN arank ELSE 0 END)
+                 - (SELECT np FROM t) * ((SELECT np FROM t) + 1) / 2.0)
+                 / ((SELECT np FROM t) * (SELECT nn FROM t)), 6) AS auc
+               FROM r)
+         SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(score), 4) AS mean_score,
+           round(avg(y), 4) AS frac_pos,
+           (SELECT auc FROM a) AS auc,
+           (SELECT CAST(np AS BIGINT) FROM t) AS n_pos,
+           (SELECT CAST(nn AS BIGINT) FROM t) AS n_neg,
+           true AS model_auc_ok
+         FROM s GROUP BY 1 ORDER BY 1""")
 }

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Evaluation for binary quality classifiers ([[QualityClassifier]]):
+  * Mann-Whitney AUC and decile calibration, both shaped for a corpus
+  * that never fits on the driver.
+  *
+  * AUC is computed over a QUANTIZED score histogram: one map-combined
+  * hash aggregation buckets scores into `scoreBuckets` fixed cells, and
+  * only the non-empty cells (≤ `scoreBuckets` rows — the same bounded-
+  * collect contract as DSIR's 16k-cell bag models) reach the driver,
+  * where the exact rank-sum runs over the histogram. Within-cell scores
+  * count as ties, so the result is EXACT whenever distinct scores sit on
+  * the bucket grid (every fixture/oracle here) and otherwise converges
+  * at 1/`scoreBuckets` resolution — the standard distributed-AUC trade
+  * (Spark's own BinaryClassificationMetrics downsamples thresholds the
+  * same way). A sorted global rank would need a partition-less window —
+  * the plan shape this repo bans.
+  */
+object ClassifierEval {
+
+  /** (auc, nPos, nNeg) — histogram rank-sum AUC with average-rank tie
+    * handling: Σ over cells of np·(negBelow + nn/2) / (nPos·nNeg),
+    * algebraically the Mann-Whitney U formula. Scores must lie in
+    * [0, 1] (probabilities). */
+  def aucValue(
+      scored: DataFrame,
+      label: Column,
+      score: Column,
+      scoreBuckets: Int = 100000): (Double, Long, Long) = {
+    val cell = least(floor(score * scoreBuckets), lit(scoreBuckets - 1))
+      .cast("long")
+    val hist = scored
+      .select(cell.as("cell"), label.cast("int").as("y"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("np"))
+      .orderBy(col("cell"))
+      .collect()
+    var cumNeg = 0L
+    var u = 0.0
+    var nPos = 0L
+    var nNeg = 0L
+    hist.foreach { r =>
+      val n = r.getLong(1); val np = r.getLong(2); val nn = n - np
+      u += np.toDouble * cumNeg + 0.5 * np.toDouble * nn
+      cumNeg += nn; nPos += np; nNeg += nn
+    }
+    require(nPos > 0 && nNeg > 0,
+      s"AUC undefined: nPos=$nPos nNeg=$nNeg (need both classes)")
+    (u / (nPos.toDouble * nNeg.toDouble), nPos, nNeg)
+  }
+
+  /** Decile (or `nBuckets`-ile) calibration table: per predicted-
+    * probability bucket, row count, mean predicted probability, and the
+    * observed positive rate — a well-calibrated model has
+    * mean_score ≈ frac_pos per bucket. One hash aggregation, `nBuckets`
+    * output rows. */
+  def calibration(
+      scored: DataFrame,
+      label: Column,
+      score: Column,
+      nBuckets: Int = 10): DataFrame =
+    scored
+      .select(
+        least(floor(score * nBuckets), lit(nBuckets - 1)).cast("long")
+          .as("bucket"),
+        score.cast("double").as("s"),
+        label.cast("double").as("y"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("s")), 4).as("mean_score"),
+        round(avg(col("y")), 4).as("frac_pos"))
+      .orderBy(col("bucket"))
+}

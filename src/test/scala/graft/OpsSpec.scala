@@ -475,6 +475,36 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "no dissimilar vector may be dropped")
   }
 
+  test("ClassifierEval: hand-computed AUC (separation, ties, mixed) and calibration") {
+    import spark.implicits._
+    import graft.ops.ClassifierEval
+    def auc(rows: Seq[(Double, Double)]): Double =
+      ClassifierEval.aucValue(
+        rows.toDF("y", "s"), col("y"), col("s"))._1
+    // perfect separation
+    assert(auc(Seq((1.0, 0.9), (1.0, 0.8), (0.0, 0.7), (0.0, 0.6))) == 1.0)
+    // total tie: average-rank handling gives exactly 0.5
+    assert(auc(Seq((1.0, 0.5), (0.0, 0.5))) == 0.5)
+    // mixed, hand-computed: U = 3 (0.9 beats all) + 1.5 (0.5 beats 0.1,
+    // ties 0.5) + 1 (0.3 beats 0.1) = 5.5 over 9 pairs
+    val mixed = Seq((1.0, 0.9), (1.0, 0.5), (1.0, 0.3),
+      (0.0, 0.7), (0.0, 0.5), (0.0, 0.1))
+    assert(math.abs(auc(mixed) - 5.5 / 9.0) < 1e-12)
+    // single-class input must fail loudly, not return NaN
+    intercept[IllegalArgumentException] {
+      auc(Seq((1.0, 0.4), (1.0, 0.6)))
+    }
+    // calibration: bucket edges, score 1.0 clamps into the top bucket
+    val cal = ClassifierEval
+      .calibration(
+        Seq((1.0, 1.0), (0.0, 0.95), (1.0, 0.05), (0.0, 0.0))
+          .toDF("y", "s"), col("y"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(cal.toSeq == Seq((0L, 2L, 0.025, 0.5), (9L, 2L, 0.975, 0.5)),
+      s"got ${cal.toSeq}")
+  }
+
   test("incrementalSemanticDedup: planted batch copies near, disjoint vectors new") {
     import spark.implicits._
     val dim = 16
