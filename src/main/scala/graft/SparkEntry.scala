@@ -1804,6 +1804,28 @@ object SparkEntry {
         .toDF("converged_ok", "iters_ok"))
   }
 
+  /** Distributed BPE merge training (q108): every document contributes
+    * the text "low lower lowest", so the counted vocabulary is
+    * {low:n, " lower":n, " lowest":n} and the Sennrich merge sequence is
+    * derivable by hand INDEPENDENT of n — pair counts (l,o)=3n and
+    * (o,w)=3n tie (lex picks (l,o)), then (lo,w)=3n, then the 2n tier
+    * (" ",low) before (low,e) by lex, then the n tier in lexicographic
+    * order with early stop when no pairs remain: exactly 7 merges. The
+    * oracle is that literal sequence — [[graft.functions.Bpe
+    * .trainDistributed]] must reproduce canonical Sennrich order
+    * (count desc, pair lex asc) from distributed pair counting. */
+  private def qBpeTrainMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"))
+      .withColumn("text", lit("low lower lowest"))
+    val merges = graft.functions.Bpe
+      .trainDistributed(graft.functions.Bpe.countedVocab(docs, "text"), 10)
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b) }
+      .toDF("rank", "left", "right")
+      .orderBy(col("rank"))
+  }
+
   /** Classifier evaluation (q107): Mann-Whitney AUC + decile calibration
     * ([[graft.ops.ClassifierEval]]) over deterministic hash scores on
     * the 1/1000 grid with 1-in-7 label noise — every number is
@@ -2717,7 +2739,8 @@ object SparkEntry {
     "q104_dsir_weights" -> (qDsirWeights _),
     "q105_quality_classifier" -> (qQualityClassifier _),
     "q106_incremental_semdedup" -> (qIncrSemanticDedup _),
-    "q107_classifier_eval" -> (qClassifierEval _))
+    "q107_classifier_eval" -> (qClassifierEval _),
+    "q108_bpe_train_merges" -> (qBpeTrainMerges _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -3973,5 +3996,15 @@ object SparkEntry {
            (SELECT CAST(np AS BIGINT) FROM t) AS n_pos,
            (SELECT CAST(nn AS BIGINT) FROM t) AS n_neg,
            true AS model_auc_ok
-         FROM s GROUP BY 1 ORDER BY 1""")
+         FROM s GROUP BY 1 ORDER BY 1""",
+    "q108_bpe_train_merges" ->
+      """SELECT * FROM (VALUES
+           (1, 'l', 'o'),
+           (2, 'lo', 'w'),
+           (3, ' ', 'low'),
+           (4, ' low', 'e'),
+           (5, ' lowe', 'r'),
+           (6, ' lowe', 's'),
+           (7, ' lowes', 't'))
+         AS m(rank, "left", "right") ORDER BY rank""")
 }
