@@ -587,6 +587,16 @@ object Similarity {
     *         items whose probed cells hold no corpus vectors come back
     *         `new` with best_corpus_id −1 / best_score −1.
     */
+  /** The `nProbes` closest coarse cells for one vector — the probe set
+    * shared by every IVF consumer (ivfTopK's inline variant predates it;
+    * incremental semantic dedup and the streaming gate use this). */
+  private[graft] def probeCells(
+      emb: Array[Float],
+      cs: Array[(Int, Array[Double], Double)],
+      nProbes: Int): Seq[Int] =
+    cs.map(c => (c._1, cosTo(emb, c))).sortBy(-_._2).take(nProbes)
+      .map(_._1).toSeq
+
   def incrementalSemanticDedup(
       corpus: DataFrame,
       batch: DataFrame,
@@ -605,9 +615,7 @@ object Similarity {
       .mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (bid, emb) =>
-          cs.map(c => (c._1, cosTo(emb, c)))
-            .sortBy(-_._2).take(nProbes)
-            .map { case (cell, _) => (cell, bid, emb) }
+          probeCells(emb, cs, nProbes).map(cell => (cell, bid, emb))
         }
       }.toDF("cell", "batch_id", "b_emb")
     val best = index.assigned.join(broadcast(probed), "cell")

@@ -71,6 +71,59 @@ object StreamDedup {
     graft.ops.Dedup.bloomPrefilter(
       corpusKeys, stream, keyCol, expectedItems, fpp)
 
+  /** Semantic matches of a STREAM against a static embedding corpus —
+    * the embedding twin of [[corpusGate]] and the streaming twin of
+    * [[graft.ops.Similarity.incrementalSemanticDedup]]: the corpus IVF
+    * index (broadcast centroids + cell-assignment relation, persisted
+    * for the query's lifetime) is built ONCE at plan construction; each
+    * streamed row maps to its `nProbes` closest cells and a
+    * stream-static join scores ONLY those cells' corpus vectors.
+    *
+    * Stateless: no state store, no watermark needed — every emitted row
+    * is a true-cosine match pair, duplicates impossible (a corpus
+    * vector lives in exactly one cell). Index immutability over the run
+    * is the same daily-ingest contract as [[corpusGate]]: rebuild the
+    * index between streaming runs, not inside one.
+    *
+    * @return one row per (streamed row, corpus near-dup):
+    *         (idCol, corpus_id, score ≥ threshold).
+    */
+  def semanticMatches(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      nCentroids: Int = 16,
+      nProbes: Int = 4,
+      kmeansIters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    import graft.ops.Similarity
+    val index = Similarity.buildIvfIndex(corpus, nCentroids, kmeansIters, seed)
+    val assigned = index.assigned
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = sess.sparkContext.broadcast(index.centroids)
+    stream
+      .select(col(idCol).cast("long"), col(embCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, emb) =>
+          Similarity.probeCells(emb, cs, nProbes)
+            .map(cell => (cell, id, emb))
+        }
+      }.toDF("cell", idCol, "s_emb")
+      .join(assigned, "cell")
+      .select(
+        col(idCol),
+        col("vec_id").as("corpus_id"),
+        round(Similarity.cosine(col("s_emb"), col("embedding")), 4)
+          .as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** Stream-stream interval join: rows of `follow` that occur on the same
     * key within `[0, gap]` after a row of `lead`. Both sides buffer only
     * the watermark horizon; the range condition bounds the join state on

@@ -64,6 +64,41 @@ class StreamDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("semanticMatches probes a static IVF index in-stream: copies hit, fresh vectors pass, no state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 16
+    def vec(seedBase: Long): Array[Float] = Array.tabulate(dim)(i =>
+      ((graft.functions.Impl.mix64(seedBase + i) & 0xFFFFL) / 65535f) - 0.5f)
+    val corpusRows = (0 until 120).map(id => (id.toLong, vec(id * 131L)))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val source = MemoryStream[(Long, Array[Float])]
+    val matches = StreamDedup.semanticMatches(
+      source.toDF().toDF("doc_id", "embedding"), corpus,
+      "doc_id", "embedding", threshold = 0.9, nCentroids = 8, nProbes = 3)
+    val query = matches.writeStream.format("memory").queryName("sem_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def copyOf(id: Long) = (1000L + id,
+        corpusRows(id.toInt)._2.map(x => x * 1.001f))
+      source.addData(copyOf(7), (5000L, vec(991L * 7919L)))
+      query.processAllAvailable()
+      // the index is immutable across triggers — batch 2 probes it too
+      source.addData(copyOf(42), (5001L, vec(993L * 7919L)))
+      query.processAllAvailable()
+      val got = spark.table("sem_gate")
+        .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(got.contains((1007L, 7L)), s"copy of 7 must match, got $got")
+      assert(got.contains((1042L, 42L)), s"copy of 42 must match, got $got")
+      assert(!got.exists(_._1 >= 5000L),
+        s"fresh random vectors must emit no match, got $got")
+      // stateless: the progress metrics carry no state store rows
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
   test("simhash fingerprint dedup collapses near-identical docs in-stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
