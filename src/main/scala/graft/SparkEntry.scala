@@ -1804,6 +1804,45 @@ object SparkEntry {
         .toDF("converged_ok", "iters_ok"))
   }
 
+  /** Temperature-weighted mixture (q110): multinomial temperature
+    * sampling targets at α = 0.5 (p_d ∝ n_d^α — upsamples small
+    * domains) with deterministic exact-k selection per domain ordered
+    * by an arithmetic hash both engines compute identically
+    * ([[graft.ops.Curation.temperatureTargets]]/`temperatureSelect`).
+    * The oracle recomputes weights, targets, selected counts AND the
+    * selected-id checksum, so the exact membership is pinned. */
+  private def qTemperatureMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+    val budget = docs.count() / 2
+    val targets = graft.ops.Curation
+      .temperatureTargets(docs, col("source"), 0.5, budget)
+    val sel = graft.ops.Curation.temperatureSelect(
+      docs, col("source"), col("doc_id"), targets,
+      Some((col("doc_id") * lit(2654435761L)) % lit(1000000007L)))
+    targets
+      .join(
+        sel.groupBy(col("domain")).agg(
+          count(lit(1)).as("n_selected"),
+          sum(col("doc_id")).cast("long").as("sel_id_sum")),
+        "domain")
+      .orderBy(col("domain"))
+  }
+
+  /** Threshold sweep (q109): confusion counts + precision/recall/F1 at
+    * ten cuts over the same deterministic hash-grid scores as q107 —
+    * DuckDB recomputes every cell exactly (integer counts; the ratio
+    * columns are deterministic double arithmetic over them, with the
+    * same greatest(·,1) zero-denominator guard on both sides). */
+  private def qThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val h = (col("doc_id") * lit(2654435761L)) % 1000
+    val scored = t(s, d, "documents").select(col("doc_id")).select(
+      (h / lit(1000.0)).as("score"),
+      when((col("doc_id") % 7 === 0) =!= (h >= 500), 1.0).otherwise(0.0)
+        .as("y"))
+    graft.ops.ClassifierEval.thresholdSweep(
+      scored, col("y"), col("score"), (0 until 10).map(_ / 10.0))
+  }
+
   /** Distributed BPE merge training (q108): every document contributes
     * the text "low lower lowest", so the counted vocabulary is
     * {low:n, " lower":n, " lowest":n} and the Sennrich merge sequence is
@@ -2740,7 +2779,9 @@ object SparkEntry {
     "q105_quality_classifier" -> (qQualityClassifier _),
     "q106_incremental_semdedup" -> (qIncrSemanticDedup _),
     "q107_classifier_eval" -> (qClassifierEval _),
-    "q108_bpe_train_merges" -> (qBpeTrainMerges _))
+    "q108_bpe_train_merges" -> (qBpeTrainMerges _),
+    "q109_threshold_sweep" -> (qThresholdSweep _),
+    "q110_temperature_mixture" -> (qTemperatureMixture _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -4006,5 +4047,47 @@ object SparkEntry {
            (5, ' lowe', 'r'),
            (6, ' lowe', 's'),
            (7, ' lowes', 't'))
-         AS m(rank, "left", "right") ORDER BY rank""")
+         AS m(rank, "left", "right") ORDER BY rank""",
+    "q109_threshold_sweep" ->
+      """WITH s AS (SELECT
+             ((doc_id * 2654435761) % 1000) / 1000.0 AS score,
+             CASE WHEN ((doc_id % 7 = 0) <>
+                        (((doc_id * 2654435761) % 1000) >= 500))
+                  THEN 1 ELSE 0 END AS y
+           FROM documents),
+         th AS (SELECT k / 10.0 AS threshold FROM generate_series(0, 9) g(k)),
+         c AS (SELECT threshold,
+             CAST(sum(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN score >= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN score < threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN score < threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           FROM s CROSS JOIN th GROUP BY threshold)
+         SELECT threshold, tp, fp, fn, tn,
+           round(tp / CAST(greatest(tp + fp, 1) AS DOUBLE), 6) AS precision,
+           round(tp / CAST(greatest(tp + fn, 1) AS DOUBLE), 6) AS recall,
+           round(2.0 * tp / CAST(greatest(2*tp + fp + fn, 1) AS DOUBLE), 6) AS f1
+         FROM c ORDER BY threshold""",
+    "q110_temperature_mixture" ->
+      """WITH c AS (SELECT source AS domain,
+             CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         t AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z,
+             (SELECT CAST(floor(count(*) / 2.0) AS BIGINT) FROM documents)
+               AS budget
+           FROM c),
+         tg AS (SELECT domain, n_docs,
+             round(sqrt(CAST(n_docs AS DOUBLE)) / z, 6) AS weight,
+             least(n_docs, CAST(floor(budget *
+               (sqrt(CAST(n_docs AS DOUBLE)) / z)) AS BIGINT)) AS target
+           FROM c CROSS JOIN t),
+         r AS (SELECT source AS domain, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+           FROM documents),
+         sel AS (SELECT r.domain,
+             CAST(count(*) AS BIGINT) AS n_selected,
+             CAST(sum(doc_id) AS BIGINT) AS sel_id_sum
+           FROM r JOIN tg USING (domain) WHERE rn <= target GROUP BY 1)
+         SELECT domain, n_docs, weight, target, n_selected, sel_id_sum
+         FROM tg JOIN sel USING (domain) ORDER BY domain""")
 }

@@ -52,6 +52,45 @@ object ClassifierEval {
     (u / (nPos.toDouble * nNeg.toDouble), nPos, nNeg)
   }
 
+  /** Precision/recall threshold sweep: confusion counts and P/R/F1 at
+    * each cut. One map-combined hash aggregation — rows explode K-fold
+    * (K = |thresholds|, e.g. 10) but partial aggregation collapses them
+    * partition-side, so the shuffle carries K·partitions rows. Counts
+    * are exact; the derived ratios are deterministic double arithmetic
+    * over exact integers. */
+  def thresholdSweep(
+      scored: DataFrame,
+      label: Column,
+      score: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val sess = scored.sparkSession
+    import sess.implicits._
+    scored
+      .select(score.cast("double").as("s"), label.cast("int").as("y"))
+      .crossJoin(broadcast(thresholds.toDF("threshold")))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("s") >= col("threshold") && col("y") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("s") >= col("threshold") && col("y") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("s") < col("threshold") && col("y") === 1, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("s") < col("threshold") && col("y") === 0, 1L)
+          .otherwise(0L)).as("tn"))
+      .select(
+        col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp") / greatest(col("tp") + col("fp"), lit(1L)), 6)
+          .as("precision"),
+        round(col("tp") / greatest(col("tp") + col("fn"), lit(1L)), 6)
+          .as("recall"),
+        round(lit(2.0) * col("tp")
+          / greatest(lit(2L) * col("tp") + col("fp") + col("fn"), lit(1L)), 6)
+          .as("f1"))
+      .orderBy(col("threshold"))
+  }
+
   /** Decile (or `nBuckets`-ile) calibration table: per predicted-
     * probability bucket, row count, mean predicted probability, and the
     * observed positive rate — a well-calibrated model has

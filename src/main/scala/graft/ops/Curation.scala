@@ -192,6 +192,60 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Temperature-weighted mixture targets — the doc-count twin of
+    * [[mixtureSelect]]'s token budgets (published method: the
+    * multinomial temperature sampling of multilingual/multi-domain
+    * pretraining, p_d ∝ n_d^α — α < 1 upsamples small domains relative
+    * to their natural share): per domain, weight = n_d^α / Σ n_e^α and
+    * target = min(n_d, ⌊budget · weight⌋). One count aggregation
+    * (|domains| rows); everything downstream is arithmetic on it.
+    *
+    * @return (domain, n_docs, weight 6dp, target) */
+  def temperatureTargets(
+      docs: DataFrame,
+      domainCol: Column,
+      alpha: Double,
+      budget: Long): DataFrame = {
+    val counts = docs.groupBy(domainCol.as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totalPow = counts
+      .agg(sum(pow(col("n_docs").cast("double"), alpha)).as("z"))
+    counts.crossJoin(broadcast(totalPow))
+      .select(
+        col("domain"), col("n_docs"),
+        round(pow(col("n_docs").cast("double"), alpha) / col("z"), 6)
+          .as("weight"),
+        least(
+          col("n_docs"),
+          floor(lit(budget.toDouble)
+            * (pow(col("n_docs").cast("double"), alpha) / col("z")))
+            .cast("long")).as("target"))
+  }
+
+  /** Deterministic exact-k selection against [[temperatureTargets]]:
+    * per domain keep the `target` docs with the smallest
+    * (xxhash64(id), id) — a reproducible pseudo-random subsample on any
+    * engine (unlike TABLESAMPLE). The per-domain rank window partitions
+    * by domain, the same unit [[capPerDomain]] uses; for a corpus whose
+    * single hottest domain overwhelms one reducer, the map-only
+    * hash-threshold variant (accept iff hash < target/n_d · 2^64) trades
+    * exact-k for binomial-k with no window at all. */
+  def temperatureSelect(
+      docs: DataFrame,
+      domainCol: Column,
+      idCol: Column,
+      targets: DataFrame,
+      orderCol: Option[Column] = None): DataFrame = {
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(orderCol.getOrElse(xxhash64(idCol)), idCol)
+    docs
+      .withColumn("domain", domainCol)
+      .join(broadcast(targets.select(col("domain"), col("target"))), "domain")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("target"))
+      .drop("__rn", "target")
+  }
+
   /** Token-budget mixture selection — the "data mixing" primitive: given
     * per-source token budgets (a mixture weighting, DoReMi/Pile-style),
     * keep each source's best documents by a quality rank until its

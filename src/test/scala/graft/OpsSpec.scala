@@ -505,6 +505,58 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"got ${cal.toSeq}")
   }
 
+  test("ClassifierEval.thresholdSweep: hand-computed confusion cells and edge thresholds") {
+    import spark.implicits._
+    // scores: pos {0.9, 0.4}, neg {0.6, 0.1}
+    val rows = Seq((1.0, 0.9), (1.0, 0.4), (0.0, 0.6), (0.0, 0.1))
+      .toDF("y", "s")
+    val got = graft.ops.ClassifierEval
+      .thresholdSweep(rows, col("y"), col("s"), Seq(0.0, 0.5, 1.0))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // t=0.0: everything predicted positive; t=0.5: tp=1 fp=1 fn=1 tn=1;
+    // t=1.0: nothing predicted positive — precision hits the
+    // zero-denominator guard (0, not null/NaN)
+    assert(got.toSeq == Seq(
+      (0.0, 2L, 2L, 0L, 0L, 0.5, 1.0),
+      (0.5, 1L, 1L, 1L, 1L, 0.5, 0.5),
+      (1.0, 0L, 0L, 2L, 2L, 0.0, 0.0)), s"got ${got.toSeq}")
+  }
+
+  test("temperature mixture: alpha<1 upsamples small domains; exact-k deterministic selection") {
+    import spark.implicits._
+    import graft.ops.Curation
+    // domains a:100 docs, b:400 docs → sqrt weights 10/30, 20/30: the
+    // small domain's 1/3 share doubles its natural 1/5
+    val docs = ((0 until 100).map(i => (i.toLong, "a"))
+      ++ (1000 until 1400).map(i => (i.toLong, "b"))).toDF("doc_id", "dom")
+    val targets = Curation
+      .temperatureTargets(docs, col("dom"), alpha = 0.5, budget = 90L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(targets("a") == ((100L, 0.333333, 30L)), s"got ${targets("a")}")
+    assert(targets("b") == ((400L, 0.666667, 60L)), s"got ${targets("b")}")
+    val sel = Curation.temperatureSelect(
+      docs, col("dom"), col("doc_id"),
+      Curation.temperatureTargets(docs, col("dom"), 0.5, 90L))
+    val byDom = sel.groupBy(col("dom")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom == Map("a" -> 30L, "b" -> 60L), s"got $byDom")
+    // deterministic: same input → identical membership on a second run
+    val ids1 = sel.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Curation.temperatureSelect(
+      docs, col("dom"), col("doc_id"),
+      Curation.temperatureTargets(docs, col("dom"), 0.5, 90L))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // a target never exceeds its domain size
+    val tiny = Curation
+      .temperatureTargets(docs, col("dom"), 0.5, 10000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(tiny("a") <= 100L && tiny("b") <= 400L)
+  }
+
   test("incrementalSemanticDedup: planted batch copies near, disjoint vectors new") {
     import spark.implicits._
     val dim = 16
