@@ -1804,6 +1804,32 @@ object SparkEntry {
         .toDF("converged_ok", "iters_ok"))
   }
 
+  /** Line-level exact dedup (q111): the C4/RefinedWeb sub-document
+    * boilerplate pass ([[graft.ops.Curation.lineDedup]]). Docs are
+    * minted into 10-word lines plus planted boilerplate (one line in
+    * every doc, another in every even doc); any line repeated across
+    * the corpus is removed from all docs. The oracle recomputes the
+    * minting AND the dedup, so the surviving reassembled text (and not
+    * just the counts) is compared hash-exact. */
+  private def qLineDedup(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val minted = transform(
+      sequence(lit(0), ceil(size(words) / lit(10.0)).cast("int") - 1),
+      i => array_join(slice(words, i * 10 + 1, lit(10)), " "))
+    val withBoiler = t(s, d, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(minted,
+          array(lit("subscribe to our newsletter today"),
+            lit("follow us on social media"))))
+        .otherwise(
+          concat(minted, array(lit("subscribe to our newsletter today"))))
+        .as("lines"))
+    graft.ops.Curation
+      .lineDedup(withBoiler, col("doc_id"), col("lines"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-weighted mixture (q110): multinomial temperature
     * sampling targets at α = 0.5 (p_d ∝ n_d^α — upsamples small
     * domains) with deterministic exact-k selection per domain ordered
@@ -2781,7 +2807,8 @@ object SparkEntry {
     "q107_classifier_eval" -> (qClassifierEval _),
     "q108_bpe_train_merges" -> (qBpeTrainMerges _),
     "q109_threshold_sweep" -> (qThresholdSweep _),
-    "q110_temperature_mixture" -> (qTemperatureMixture _))
+    "q110_temperature_mixture" -> (qTemperatureMixture _),
+    "q111_line_dedup" -> (qLineDedup _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -4089,5 +4116,36 @@ object SparkEntry {
              CAST(sum(doc_id) AS BIGINT) AS sel_id_sum
            FROM r JOIN tg USING (domain) WHERE rn <= target GROUP BY 1)
          SELECT domain, n_docs, weight, target, n_selected, sel_id_sum
-         FROM tg JOIN sel USING (domain) ORDER BY domain""")
+         FROM tg JOIN sel USING (domain) ORDER BY domain""",
+    "q111_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+           FROM documents),
+         l0 AS (SELECT doc_id,
+             list_transform(
+               range(CAST(ceil(len(words) / 10.0) AS BIGINT)),
+               i -> array_to_string(
+                 list_slice(words, i*10 + 1, i*10 + 10), ' ')) AS mints
+           FROM w),
+         lb AS (SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+               THEN mints ||
+                 ['subscribe to our newsletter today',
+                  'follow us on social media']
+               ELSE mints || ['subscribe to our newsletter today']
+             END AS lines
+           FROM l0),
+         e AS (SELECT doc_id, unnest(lines) AS line,
+             generate_subscripts(lines, 1) AS pos FROM lb),
+         c AS (SELECT line, count(*) AS n FROM e GROUP BY 1),
+         k AS (SELECT e.doc_id, e.pos, e.line
+           FROM e JOIN c USING (line) WHERE n < 2),
+         r AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean
+           FROM k GROUP BY 1)
+         SELECT lb.doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(lines) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(text_clean, '') AS text_clean
+         FROM lb LEFT JOIN r USING (doc_id) ORDER BY doc_id""")
 }

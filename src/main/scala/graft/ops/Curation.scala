@@ -192,6 +192,54 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Corpus-wide exact LINE dedup — the C4/RefinedWeb-style sub-document
+    * pass: a line occurring in ≥ `minRepeats` documents is boilerplate
+    * (cookie banners, nav text, licence footers) and is removed from
+    * EVERY document, preserving the order of what survives.
+    *
+    * Shape: posexplode (map-only) → one count aggregation keyed on the
+    * line text → anti-join exploded lines against the repeated set →
+    * one per-doc reassembly aggregation. Two shuffles total, both
+    * hash-partitioned. A planet-scale boilerplate line concentrates its
+    * occurrences on one reducer in the anti-join; AQE skew-join splits
+    * it, and the Bloom-gate pattern ([[graft.ops.Dedup.bloomPrefilter]]
+    * over the repeated-line set) keeps non-boilerplate rows from
+    * shuffling at all when the repeated set is small enough to sketch.
+    *
+    * @param docs (idCol, linesCol array&lt;string&gt;)
+    * @return (idCol, n_lines, n_removed, text_clean) — text_clean joins
+    *         surviving lines with '\n'; a fully-boilerplate doc yields
+    *         the empty string. */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: Column,
+      linesCol: Column,
+      minRepeats: Int = 2): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), linesCol.as("lines"))
+    val exploded = base
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+    val repeated = exploded
+      .groupBy(col("line")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minRepeats)
+      .select(col("line"))
+    val kept = exploded.join(repeated, Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("text_clean"))
+    base.select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Temperature-weighted mixture targets — the doc-count twin of
     * [[mixtureSelect]]'s token budgets (published method: the
     * multinomial temperature sampling of multilingual/multi-domain

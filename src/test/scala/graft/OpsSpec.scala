@@ -475,6 +475,30 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "no dissimilar vector may be dropped")
   }
 
+  test("lineDedup: boilerplate removed everywhere, order kept, all-boilerplate doc empties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("unique alpha", "BOILER", "unique beta")),
+      (2L, Seq("BOILER", "unique gamma")),
+      (3L, Seq("BOILER")), // nothing survives
+      (4L, Seq("only here", "also only here")))
+      .toDF("doc_id", "lines")
+    val got = graft.ops.Curation
+      .lineDedup(docs, col("doc_id"), col("lines"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got(1L) == ((3L, 1L, "unique alpha\nunique beta")))
+    assert(got(2L) == ((2L, 1L, "unique gamma")))
+    assert(got(3L) == ((1L, 1L, "")), "fully-boilerplate doc yields empty text")
+    assert(got(4L) == ((2L, 0L, "only here\nalso only here")))
+    // minRepeats above the occurrence count keeps everything
+    val kept = graft.ops.Curation
+      .lineDedup(docs, col("doc_id"), col("lines"), minRepeats = 4)
+      .agg(sum(col("n_removed"))).collect()(0).getLong(0)
+    assert(kept == 0L)
+  }
+
   test("ClassifierEval: hand-computed AUC (separation, ties, mixed) and calibration") {
     import spark.implicits._
     import graft.ops.ClassifierEval
