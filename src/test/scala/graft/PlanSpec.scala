@@ -214,6 +214,28 @@ class PlanSpec extends SparkSpec {
       s"fact join degraded to a cross product:\n$p")
   }
 
+  test("q106 probes broadcast against the corpus index — no shuffle join, no product") {
+    val p = plan("q106_incremental_semdedup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe join must broadcast the batch side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the conformance scan must ride a broadcast, never a cartesian")
+  }
+
+  test("q110 selection joins broadcast the |domains|-row targets relation") {
+    val p = plan("q110_temperature_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      s"targets join must broadcast:\n$p")
+  }
+
+  test("q111 line dedup anti-joins the repeated set and keeps docs partitioned") {
+    val p = plan("q111_line_dedup")
+    assert(p.contains("LeftAnti"),
+      s"repeated-line removal must plan as an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no product joins:\n$p")
+  }
+
   test("no query plans a partition-less Window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec
