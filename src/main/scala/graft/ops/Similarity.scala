@@ -597,6 +597,36 @@ object Similarity {
     cs.map(c => (c._1, cosTo(emb, c))).sortBy(-_._2).take(nProbes)
       .map(_._1).toSeq
 
+  /** Write the index as two parquet relations under `path`: `assigned/`
+    * (cell-keyed corpus — at 100 TB this is the write-once layout every
+    * later batch probes, partitioned by cell so a probe touches only
+    * its cells' files) and `centroids/` (nCentroids tiny rows). */
+  private[graft] def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val sess = index.assigned.sparkSession
+    import sess.implicits._
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/assigned")
+    index.centroids.toSeq.map { case (c, v, n) => (c, v.toSeq, n) }
+      .toDF("cell", "centroid", "norm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  private[graft] def loadIvfIndex(
+      sess: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    import sess.implicits._
+    val cents = sess.read.parquet(s"$path/centroids")
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"),
+        col("norm").cast("double"))
+      .as[(Int, Seq[Double], Double)]
+      .collect()
+      .map { case (c, v, n) => (c, v.toArray, n) }
+      .sortBy(_._1)
+    val assigned = sess.read.parquet(s"$path/assigned")
+      .select(col("cell").cast("int"), col("vec_id").cast("long"),
+        col("embedding").cast("array<float>"))
+    IvfIndex(cents, assigned)
+  }
+
   def incrementalSemanticDedup(
       corpus: DataFrame,
       batch: DataFrame,
@@ -604,10 +634,21 @@ object Similarity {
       nCentroids: Int = 16,
       nProbes: Int = 4,
       kmeansIters: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    val sess = corpus.sparkSession
+      seed: Long = 42L): DataFrame =
+    incrementalSemanticDedup(
+      buildIvfIndex(corpus, nCentroids, kmeansIters, seed),
+      batch, threshold, nProbes)
+
+  /** Probe-only variant against a prebuilt (possibly reloaded) index —
+    * the daily-ingest entry: the corpus is never re-read, re-trained,
+    * or re-assigned. */
+  private[graft] def incrementalSemanticDedup(
+      index: IvfIndex,
+      batch: DataFrame,
+      threshold: Double,
+      nProbes: Int): DataFrame = {
+    val sess = batch.sparkSession
     import sess.implicits._
-    val index = buildIvfIndex(corpus, nCentroids, kmeansIters, seed)
     val bc = sess.sparkContext.broadcast(index.centroids)
     val probed = batch
       .select(col("batch_id").cast("long"), col("embedding").cast("array<float>"))

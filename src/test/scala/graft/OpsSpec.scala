@@ -622,6 +622,39 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(got(bid)._2 == "new", s"fresh $bid must be new")
   }
 
+  test("IVF index round-trips through parquet: reloaded index classifies identically") {
+    import spark.implicits._
+    val dim = 16
+    val corpusRows = (0 until 150).map { id =>
+      (id.toLong, Array.tabulate(dim)(i =>
+        ((graft.functions.Impl.mix64(id * 131L + i) & 0xFFFFL) / 65535f) - 0.5f))
+    }
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val batch = (corpusRows.filter(_._1 % 6 == 0).map { case (id, v) =>
+      (900L + id, v.map(_ * 1.002f))
+    } ++ (0 until 25).map { j =>
+      (3000L + j, Array.tabulate(dim)(i =>
+        ((graft.functions.Impl.mix64(j * 4021L + 17L * i) & 0xFFFFL)
+          / 65535f) - 0.5f))
+    }).toDF("batch_id", "embedding")
+    val built = Similarity.buildIvfIndex(
+      corpus, nCentroids = 8, kmeansIters = 2, seed = 42L)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf").toString
+    Similarity.saveIvfIndex(built, path)
+    val reloaded = Similarity.loadIvfIndex(spark, path)
+    assert(reloaded.centroids.toSeq.map(c => (c._1, c._2.toSeq, c._3)) ==
+      built.centroids.toSeq.map(c => (c._1, c._2.toSeq, c._3)),
+      "centroids must survive the round-trip bit-exact")
+    def classify(idx: Similarity.IvfIndex) = Similarity
+      .incrementalSemanticDedup(idx, batch, threshold = 0.9, nProbes = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(classify(reloaded) == classify(built),
+      "reloaded index must classify the batch identically")
+  }
+
   test("semanticDedup bounds per-task rows under a single hot cell (measured cell counts)") {
     import spark.implicits._
     // degenerate skew: every embedding is identical, so ALL n vectors
