@@ -449,8 +449,13 @@ object Bench {
       }.mkString("{", ",", "}")
       val full =
         s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","runs":$runsPerQuery,"agg":"min","calib":$calibJson,"load":$loadJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"raw":$raw,"sf":"$sfDir"}"""
-      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", fullLatestPath)
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full + "\n")
+      // a SPARK_GRAFT_BENCH_ONE-filtered run must not replace the
+      // default drift baseline with a partial query map — only a full
+      // run writes there (an explicit BENCH_OUT path is always honored)
+      val p = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .orElse(if (only.isEmpty) Some(fullLatestPath) else None)
+      try p.foreach(path => java.nio.file.Files
+        .writeString(java.nio.file.Paths.get(path), full + "\n"))
       catch { case _: Throwable => () }
     }
     spark.stop()
@@ -460,5 +465,11 @@ object Bench {
     // (r4 printed short-first and the tail cut removed it entirely.)
     println(json)
     println(shortJson)
+    // honest exit status (ADVICE r8): a query that errored must surface
+    // in the wrapper's top-level rc, not only inside the escaped tail —
+    // r8's wrapper reported rc:0 around errors:["q40_range_join"]. The
+    // artifact lines are already printed and the full file written, so
+    // a capturing driver loses nothing.
+    if (errors.nonEmpty) sys.exit(2)
   }
 }
