@@ -581,6 +581,29 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(tiny("a") <= 100L && tiny("b") <= 400L)
   }
 
+  test("ClassifierEval.aucValue equals the pairwise Mann-Whitney definition on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 8) {
+      // grid scores (k/100) so every distinct score owns its histogram
+      // cell — the regime where the operator is exact by contract
+      val rows = Seq.fill(20 + rnd.nextInt(30))(
+        (if (rnd.nextBoolean()) 1.0 else 0.0, rnd.nextInt(101) / 100.0))
+      val pos = rows.filter(_._1 == 1.0).map(_._2)
+      val neg = rows.filter(_._1 == 0.0).map(_._2)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val brute = pos.flatMap(p => neg.map(n =>
+          if (p > n) 1.0 else if (p == n) 0.5 else 0.0)).sum /
+          (pos.size.toDouble * neg.size)
+        val (got, np, nn) = graft.ops.ClassifierEval.aucValue(
+          rows.toDF("y", "s"), col("y"), col("s"))
+        assert(np == pos.size && nn == neg.size)
+        assert(math.abs(got - brute) < 1e-12,
+          s"trial $trial: got $got, brute $brute")
+      }
+    }
+  }
+
   test("incrementalSemanticDedup: planted batch copies near, disjoint vectors new") {
     import spark.implicits._
     val dim = 16
