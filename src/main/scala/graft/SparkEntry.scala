@@ -1804,6 +1804,25 @@ object SparkEntry {
         .toDF("converged_ok", "iters_ok"))
   }
 
+  /** Source-priority canonical dedup (q112): when identical content
+    * arrives from several sources, keep the most-trusted source's copy
+    * ([[graft.ops.Dedup.exactKeepByPriority]]) — clusters minted as
+    * triples of consecutive doc_ids spread over four synthetic sources,
+    * priority [s2, s0], everything else ranks behind. The oracle
+    * replays the rule with its own window, comparing every survivor
+    * row, cluster size, and demotion count. */
+  private def qPriorityDedup(s: SparkSession, d: String): DataFrame = {
+    val m = t(s, d, "documents").select(
+      col("doc_id"),
+      concat(lit("s"), (col("doc_id") % 4).cast("string")).as("source"),
+      expr("doc_id div 3").cast("long").as("ckey"))
+    graft.ops.Dedup
+      .exactKeepByPriority(m, col("ckey"), col("source"), Seq("s2", "s0"))
+      .select(col("doc_id"), col("source"), col("ckey"),
+        col("dup_count"), col("demoted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Line-level exact dedup (q111): the C4/RefinedWeb sub-document
     * boilerplate pass ([[graft.ops.Curation.lineDedup]]). Docs are
     * minted into 10-word lines plus planted boilerplate (one line in
@@ -2808,7 +2827,8 @@ object SparkEntry {
     "q108_bpe_train_merges" -> (qBpeTrainMerges _),
     "q109_threshold_sweep" -> (qThresholdSweep _),
     "q110_temperature_mixture" -> (qTemperatureMixture _),
-    "q111_line_dedup" -> (qLineDedup _))
+    "q111_line_dedup" -> (qLineDedup _),
+    "q112_priority_dedup" -> (qPriorityDedup _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -4147,5 +4167,23 @@ object SparkEntry {
            CAST(len(lines) AS BIGINT) AS n_lines,
            CAST(len(lines) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
            coalesce(text_clean, '') AS text_clean
-         FROM lb LEFT JOIN r USING (doc_id) ORDER BY doc_id""")
+         FROM lb LEFT JOIN r USING (doc_id) ORDER BY doc_id""",
+    "q112_priority_dedup" ->
+      """WITH m AS (SELECT doc_id,
+             's' || CAST(doc_id % 4 AS VARCHAR) AS source,
+             CAST(doc_id // 3 AS BIGINT) AS ckey
+           FROM documents),
+         r AS (SELECT *, CASE source WHEN 's2' THEN 0 WHEN 's0' THEN 1
+             ELSE 2 END AS rk FROM m),
+         w AS (SELECT *,
+             row_number() OVER (PARTITION BY ckey ORDER BY rk, doc_id) AS rn,
+             count(*) OVER (PARTITION BY ckey) AS dup_count,
+             sum(CASE WHEN rk < 2 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY ckey) AS listed
+           FROM r)
+         SELECT doc_id, source, ckey,
+           CAST(dup_count AS BIGINT) AS dup_count,
+           CAST(listed - CASE WHEN rk < 2 THEN 1 ELSE 0 END AS BIGINT)
+             AS demoted
+         FROM w WHERE rn = 1 ORDER BY doc_id""")
 }

@@ -30,6 +30,45 @@ object Dedup {
     docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Exact dedup with a SOURCE-PRIORITY canonical rule — the real
+    * pipeline's cross-source variant of [[exactKeepRows]]: when the same
+    * content arrives from several sources (a curated dump AND a raw
+    * crawl), keep the copy from the most-trusted source, not the lowest
+    * id. Priority is a per-source rank (lower wins, ties fall back to
+    * doc_id), shipped as a broadcast literal map — unlisted sources sink
+    * below every listed one. Same single key-hash shuffle as
+    * [[exactKeepRows]]; the window partitions by content key, so the
+    * parallelism unit is distinct content, never a hot source.
+    *
+    * @return surviving rows + `dup_count` (cluster size) + `demoted`
+    *         (how many listed-source copies lost to the winner). */
+  def exactKeepByPriority(
+      docs: DataFrame,
+      key: Column,
+      sourceCol: Column,
+      priority: Seq[String]): DataFrame = {
+    require(priority.nonEmpty, "need at least one prioritized source")
+    val rank = priority.zipWithIndex
+      .foldLeft(lit(priority.size)) { case (acc, (s, i)) =>
+        when(sourceCol === s, i).otherwise(acc)
+      }
+    val byKey = Window.partitionBy(key)
+    docs
+      .withColumn("__rank", rank)
+      .withColumn("rn",
+        row_number().over(byKey.orderBy(col("__rank"), col("doc_id"))))
+      .withColumn("dup_count", count(lit(1)).over(byKey))
+      // listed-source copies that lost to the winner: cluster's listed
+      // count, minus one when the winner itself is listed (the filter
+      // keeps only the rn=1 row, where this evaluates per-cluster)
+      .withColumn("demoted",
+        sum(when(col("__rank") < lit(priority.size), 1L).otherwise(0L))
+          .over(byKey) -
+          when(col("__rank") < lit(priority.size), 1L).otherwise(0L))
+      .filter(col("rn") === 1)
+      .drop("rn", "__rank")
+  }
+
   /** Word-k-shingles of a text column (distinct, as array<string>) — the
     * human-readable form for debugging/UDF surfaces. */
   def shingles(text: Column, k: Int): Column = {

@@ -475,6 +475,30 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "no dissimilar vector may be dropped")
   }
 
+  test("exactKeepByPriority: trusted source wins, unlisted sinks, demotions counted") {
+    import spark.implicits._
+    val docs = Seq(
+      // cluster A: crawl id 1 vs curated id 5 — curated wins despite
+      // the higher id; the listed crawl copy is demoted
+      (1L, "crawl", "A"), (5L, "curated", "A"),
+      // cluster B: two curated copies — doc_id breaks the tie; the
+      // unlisted copy never counts as demoted
+      (2L, "curated", "B"), (3L, "curated", "B"), (4L, "junk", "B"),
+      // cluster C: only unlisted sources — lowest id wins, demoted 0
+      (7L, "junk", "C"), (6L, "misc", "C"))
+      .toDF("doc_id", "source", "ckey")
+    val got = graft.ops.Dedup
+      .exactKeepByPriority(docs, col("ckey"), col("source"),
+        Seq("curated", "crawl"))
+      .collect()
+      .map(r => r.getString(2) ->
+        (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("A") == ((5L, "curated", 2L, 1L)), s"got ${got("A")}")
+    assert(got("B") == ((2L, "curated", 3L, 1L)), s"got ${got("B")}")
+    assert(got("C") == ((6L, "misc", 2L, 0L)), s"got ${got("C")}")
+  }
+
   test("lineDedup: boilerplate removed everywhere, order kept, all-boilerplate doc empties") {
     import spark.implicits._
     val docs = Seq(
