@@ -134,6 +134,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -456,7 +457,12 @@ object Bench {
         .orElse(if (only.isEmpty) Some(fullLatestPath) else None)
       try p.foreach(path => java.nio.file.Files
         .writeString(java.nio.file.Paths.get(path), full + "\n"))
-      catch { case _: Throwable => () }
+      catch {
+        // a failed baseline write starves the NEXT round's drift gate —
+        // surface it loudly instead of silently degrading that gate
+        case t: Throwable =>
+          System.err.println(s"[bench] WARN: failed to write full artifact: $t")
+      }
     }
     spark.stop()
     // full line first, short line LAST: the driver keeps the tail of

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 import graft.gen.DataGen
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, LangId, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2. Queries run over the driver's
@@ -1804,6 +1804,57 @@ object SparkEntry {
         .toDF("converged_ok", "iters_ok"))
   }
 
+  /** Trained language identification (q113) — planted multilingual
+    * oracle. Docs are minted into [[graft.ops.LangId]]'s 8 languages
+    * (3 scripts) by `doc_id mod 8`, with text cycling through each
+    * language's word inventory; the DISTRIBUTED multinomial softmax
+    * Newton trainer ([[LangId.fitMultinomial]]) fits on the `doc_id mod
+    * 3 = 0` third and the quantized integer model must then classify
+    * EVERY minted doc correctly (full separation — the deterministic
+    * boolean both engines agree on; DuckDB recomputes the minting
+    * counts). The bundled-model path is cross-engine-checked per doc in
+    * q17/q80 instead, where the oracle replays the quantized scores as
+    * exact BIGINT arithmetic. */
+  private def qLangIdTrained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = LangId.languages.size
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val li = pmod(col("doc_id"), lit(k)).cast("int")
+    val nested = array(LangId.inventories.map {
+      case (_, inv) => array(inv.map(lit): _*)
+    }: _*)
+    val invSizes = array(LangId.inventories.map(i => lit(i._2.size)): _*)
+    val len = element_at(invSizes, li + 1)
+    // 32 words at stride 7: each doc wraps its inventory (32·7 > 2·|inv|),
+    // so every minted doc samples the language's WHOLE profile — a
+    // narrow stride left some docs windowed entirely inside the English
+    // common-noun section, which genuinely reads less English
+    val words = transform(sequence(lit(0), lit(31)),
+      j => element_at(element_at(nested, li + 1),
+        (pmod(col("doc_id") * 5 + j * 7, len) + 1).cast("int")))
+    val minted = docs.select(col("doc_id"), li.as("y"),
+      array_join(words, " ").as("text")).localCheckpoint()
+    val train = minted.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .withColumn("bk",
+        graft.functions.VectorFunctions.charBigramBuckets(col("text")))
+    val model = LangId.fitMultinomial(train, col("bk"), col("y"), k = k)
+    val langArr = array(LangId.languages.map(lit): _*)
+    minted
+      .withColumn("pred", LangId.predict(col("text"), model))
+      .withColumn("lang", element_at(langArr, col("y") + 1))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(pmod(col("doc_id"), lit(3)) === 0, 1L).otherwise(0L))
+          .as("n_train"),
+        sum(when(col("pred") === col("lang"), 0L).otherwise(1L)).as("errs"))
+      .select(col("lang"), col("n_docs"), col("n_train"),
+        (col("errs") === 0L).as("all_correct_ok"))
+      .crossJoin(Seq((model.converged, model.iters <= 20))
+        .toDF("converged_ok", "iters_ok"))
+      .orderBy(col("lang"))
+  }
+
   /** Source-priority canonical dedup (q112): when identical content
     * arrives from several sources, keep the most-trusted source's copy
     * ([[graft.ops.Dedup.exactKeepByPriority]]) — clusters minted as
@@ -2828,7 +2879,8 @@ object SparkEntry {
     "q109_threshold_sweep" -> (qThresholdSweep _),
     "q110_temperature_mixture" -> (qTemperatureMixture _),
     "q111_line_dedup" -> (qLineDedup _),
-    "q112_priority_dedup" -> (qPriorityDedup _))
+    "q112_priority_dedup" -> (qPriorityDedup _),
+    "q113_langid_trained" -> (qLangIdTrained _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -2928,29 +2980,28 @@ object SparkEntry {
            SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100)
          SELECT min(doc_id) AS keep_id, count(*) AS dup_count
          FROM all_docs GROUP BY text ORDER BY keep_id""",
+    // lang_guess replays the TRAINED quantized langid model per doc:
+    // code points → script-partitioned buckets → exact-BIGINT class
+    // scores under the embedded weight tables → identical argmax /
+    // margin / tie rule as LangId.predict. No floating point anywhere.
     "q17_text_report" ->
-      """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      ("""WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
          c AS (SELECT doc_id, text,
            len(toks) AS n_tokens,
            len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stopwords,
-           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-           len(list_filter(toks, t -> t IN ('the','and','of'))) AS s_en,
-           len(list_filter(toks, t -> t IN ('der','und','das'))) AS s_de,
-           len(list_filter(toks, t -> t IN ('el','los','que'))) AS s_es,
-           len(list_filter(toks, t -> t IN ('le','les','est'))) AS s_fr
-           FROM b)
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+           FROM b),
+         cp AS (SELECT *, """ + LangId.cpsSql("text") + """ AS cps FROM c),
+         bkt AS (SELECT *, """ + LangId.bucketsFromCpsSql("cps") + """ AS bk FROM cp),
+         sc AS (SELECT *, """ + LangId.scoreColumnsSql("bk", LangId.default) + """ FROM bkt)
          SELECT doc_id, n_tokens, n_stopwords, n_punct,
            round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5
              + least(CAST(n_stopwords AS DOUBLE)*10.0/greatest(CAST(n_tokens AS DOUBLE),1.0), 1.0)*0.5
              - least(CAST(n_punct AS DOUBLE)/greatest(CAST(length(text) AS DOUBLE),1.0)*5.0, 1.0)*0.25,
              4) AS quality,
-           CASE WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_en = greatest(s_en,s_de,s_es,s_fr) THEN 'en'
-                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_de = greatest(s_en,s_de,s_es,s_fr) THEN 'de'
-                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_es = greatest(s_en,s_de,s_es,s_fr) THEN 'es'
-                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_fr = greatest(s_en,s_de,s_es,s_fr) THEN 'fr'
-                ELSE 'und' END AS lang_guess,
+           """ + LangId.caseSql("bk", LangId.default, TextAnalysis.reportMarginMicro) + """ AS lang_guess,
            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-         FROM c ORDER BY doc_id""",
+         FROM sc ORDER BY doc_id"""),
     "q18_token_stats" ->
       """SELECT source,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -3268,27 +3319,22 @@ object SparkEntry {
                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
          FROM documents ORDER BY doc_id""",
     "q53_curation" ->
-      """WITH RECURSIVE b AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      ("""WITH RECURSIVE b AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
          c AS (SELECT doc_id, text,
            len(toks) AS n_tokens,
            len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stopwords,
-           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-           len(list_filter(toks, t -> t IN ('the','and','of'))) AS s_en,
-           len(list_filter(toks, t -> t IN ('der','und','das'))) AS s_de,
-           len(list_filter(toks, t -> t IN ('el','los','que'))) AS s_es,
-           len(list_filter(toks, t -> t IN ('le','les','est'))) AS s_fr
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
            FROM b),
+         cpx AS (SELECT *, """ + LangId.cpsSql("text") + """ AS cps FROM c),
+         bkt AS (SELECT *, """ + LangId.bucketsFromCpsSql("cps") + """ AS bk FROM cpx),
+         scx AS (SELECT *, """ + LangId.scoreColumnsSql("bk", LangId.default) + """ FROM bkt),
          rep AS (SELECT doc_id, n_tokens,
            round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5
              + least(CAST(n_stopwords AS DOUBLE)*10.0/greatest(CAST(n_tokens AS DOUBLE),1.0), 1.0)*0.5
              - least(CAST(n_punct AS DOUBLE)/greatest(CAST(length(text) AS DOUBLE),1.0)*5.0, 1.0)*0.25,
              4) AS quality,
-           CASE WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_en = greatest(s_en,s_de,s_es,s_fr) THEN 'en'
-                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_de = greatest(s_en,s_de,s_es,s_fr) THEN 'de'
-                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_es = greatest(s_en,s_de,s_es,s_fr) THEN 'es'
-                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_fr = greatest(s_en,s_de,s_es,s_fr) THEN 'fr'
-                ELSE 'und' END AS lang_guess
-           FROM c),
+           """ + LangId.caseSql("bk", LangId.default, TextAnalysis.reportMarginMicro) + """ AS lang_guess
+           FROM scx),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
                   range(1, greatest(len(t) - 2, 1) + 1),
                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
@@ -3314,7 +3360,7 @@ object SparkEntry {
            AND r.n_tokens BETWEEN 20 AND 95
            AND NOT EXISTS (SELECT 1 FROM cc
                            WHERE cc.id = r.doc_id AND cc.cluster_id <> r.doc_id)
-         ORDER BY r.doc_id""",
+         ORDER BY r.doc_id"""),
     "q54_approx_quantiles" ->
       """WITH s AS (
            SELECT l_returnflag,
@@ -3637,30 +3683,25 @@ object SparkEntry {
            least(tok, (seq_id + 1) * 64 - cum) AS tok_end
          FROM x ORDER BY source, seq_id, doc_id""",
     "q80_data_card" ->
-      """WITH b AS (SELECT doc_id, source, text,
+      ("""WITH b AS (SELECT doc_id, source, text,
                     string_split(text, ' ') AS toks FROM documents),
-         c AS (SELECT doc_id, source,
+         c AS (SELECT doc_id, source, text,
            len(toks) AS n_tokens,
            len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stopwords,
            length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
            length(text) AS n_chars,
-           len(list_filter(toks, t -> t IN ('the','and','of'))) AS s_en,
-           len(list_filter(toks, t -> t IN ('der','und','das'))) AS s_de,
-           len(list_filter(toks, t -> t IN ('el','los','que'))) AS s_es,
-           len(list_filter(toks, t -> t IN ('le','les','est'))) AS s_fr,
            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
            FROM b),
+         cpx AS (SELECT *, """ + LangId.cpsSql("text") + """ AS cps FROM c),
+         bkt AS (SELECT *, """ + LangId.bucketsFromCpsSql("cps") + """ AS bk FROM cpx),
+         scx AS (SELECT *, """ + LangId.scoreColumnsSql("bk", LangId.default) + """ FROM bkt),
          q AS (SELECT doc_id, source, n_tokens, fp,
            round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5
              + least(CAST(n_stopwords AS DOUBLE)*10.0/greatest(CAST(n_tokens AS DOUBLE),1.0), 1.0)*0.5
              - least(CAST(n_punct AS DOUBLE)/greatest(CAST(n_chars AS DOUBLE),1.0)*5.0, 1.0)*0.25,
              4) AS quality,
-           CASE WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_en = greatest(s_en,s_de,s_es,s_fr) THEN 'en'
-                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_de = greatest(s_en,s_de,s_es,s_fr) THEN 'de'
-                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_es = greatest(s_en,s_de,s_es,s_fr) THEN 'es'
-                WHEN greatest(s_en,s_de,s_es,s_fr) > 0 AND s_fr = greatest(s_en,s_de,s_es,s_fr) THEN 'fr'
-                ELSE 'und' END AS lang_guess
-           FROM c),
+           """ + LangId.caseSql("bk", LangId.default, TextAnalysis.reportMarginMicro) + """ AS lang_guess
+           FROM scx),
          f AS (SELECT fp, count(*) AS fp_n FROM q GROUP BY fp)
          SELECT source, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -3668,7 +3709,7 @@ object SparkEntry {
            CAST(sum(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
            CAST(sum(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
          FROM q JOIN f USING (fp)
-         GROUP BY source ORDER BY source""",
+         GROUP BY source ORDER BY source"""),
     "q81_semantic_dedup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_planted,
            true AS base_kept_ok,
@@ -4156,7 +4197,7 @@ object SparkEntry {
            FROM l0),
          e AS (SELECT doc_id, unnest(lines) AS line,
              generate_subscripts(lines, 1) AS pos FROM lb),
-         c AS (SELECT line, count(*) AS n FROM e GROUP BY 1),
+         c AS (SELECT line, count(DISTINCT doc_id) AS n FROM e GROUP BY 1),
          k AS (SELECT e.doc_id, e.pos, e.line
            FROM e JOIN c USING (line) WHERE n < 2),
          r AS (SELECT doc_id,
@@ -4185,5 +4226,20 @@ object SparkEntry {
            CAST(dup_count AS BIGINT) AS dup_count,
            CAST(listed - CASE WHEN rk < 2 THEN 1 ELSE 0 END AS BIGINT)
              AS demoted
-         FROM w WHERE rn = 1 ORDER BY doc_id""")
+         FROM w WHERE rn = 1 ORDER BY doc_id""",
+    "q113_langid_trained" -> {
+      // the minting rule is doc_id mod K → language, replayed here; the
+      // trained model's full separation is the engine-side boolean
+      val langCase = LangId.languages.zipWithIndex
+        .map { case (l, i) => s"WHEN $i THEN '$l'" }.mkString(" ")
+      s"""WITH m AS (SELECT doc_id,
+             CAST(doc_id % ${LangId.languages.size} AS INT) AS y
+           FROM documents)
+         SELECT CASE y $langCase END AS lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           true AS all_correct_ok, true AS converged_ok, true AS iters_ok
+         FROM m GROUP BY 1 ORDER BY lang"""
+    })
 }

@@ -34,9 +34,26 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Bpe {
 
+  /** Code-point lexicographic compare — the driver-side twin of Spark's
+    * `UTF8String` binary ordering (UTF-8 byte order == code-point order),
+    * so [[train]] and [[trainDistributed]] share ONE tie-break order on
+    * all of Unicode. Plain `String` compare (UTF-16 code units) diverges
+    * when a supplementary-plane symbol ties against U+E000..U+FFFF. */
+  private[graft] def codePointCompare(x: String, y: String): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(i)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+    }
+    Integer.compare(x.length, y.length)
+  }
+
   /** Sennrich merge training over a (symbol-sequence, frequency) corpus:
     * repeatedly merge the most frequent adjacent pair. Deterministic:
-    * ties break on (count desc, pair lexicographic asc). */
+    * ties break on (count desc, pair code-point-lexicographic asc) —
+    * the same total order [[trainDistributed]] gets from Spark. */
   def train(words: Seq[(Seq[String], Long)], numMerges: Int): Seq[(String, String)] = {
     var vocab: Array[(Array[String], Long)] =
       words.map { case (syms, f) => (syms.toArray, f) }.toArray
@@ -51,7 +68,16 @@ object Bpe {
       }
       if (counts.isEmpty) done = true
       else {
-        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        val best = counts.toSeq.min(new Ordering[((String, String), Long)] {
+          def compare(p: ((String, String), Long), q: ((String, String), Long)): Int = {
+            val byCount = java.lang.Long.compare(q._2, p._2) // count desc
+            if (byCount != 0) byCount
+            else {
+              val byA = codePointCompare(p._1._1, q._1._1)
+              if (byA != 0) byA else codePointCompare(p._1._2, q._1._2)
+            }
+          }
+        })._1
         merges += best
         vocab = vocab.map { case (syms, f) => (applyMerge(syms, best), f) }
       }
@@ -75,8 +101,10 @@ object Bpe {
     * so the vocab itself can exceed driver memory.
     *
     * Determinism matches [[train]] exactly: ties break on (count desc,
-    * pair lexicographic asc); Spark's UTF8String binary ordering agrees
-    * with Java's String ordering on the pre-tokenizer's piece alphabet.
+    * pair lexicographic asc), where BOTH trainers compare by code
+    * points — Spark's UTF8String binary (UTF-8 byte) order here, and
+    * [[codePointCompare]] driver-side — so the shared total order holds
+    * on all of Unicode, supplementary planes included.
     * Lineage is truncated with a localCheckpoint every 8 merges so the
     * plan doesn't deepen linearly in `numMerges`.
     *

@@ -27,6 +27,61 @@ object VecOps {
     s
   }
 
+  /** Language-ID bucket layout: the 64-bucket space is PARTITIONED BY
+    * SCRIPT so text in one script has structurally zero mass in another
+    * script's buckets (a pure-Latin doc can never score as Greek or
+    * Cyrillic — the property a trained langid gets from fastText's
+    * char-ngram features, made explicit here). Latin/common code points
+    * (< U+0370) share 48 buckets; Greek (U+0370–03FF), Cyrillic
+    * (U+0400–052F) and everything higher get reserved ranges. A pair's
+    * group is the max of its two characters' groups, so word-boundary
+    * (space + letter) pairs stay in the word's script. */
+  final val LangIdBuckets = 64
+  private final val LatinB = 48
+
+  def scriptGroup(cp: Int): Int =
+    if (cp < 0x370) 0 // Latin, digits, punctuation, Latin-1/Extended
+    else if (cp <= 0x3FF) 1 // Greek
+    else if (cp <= 0x52F) 2 // Cyrillic (+ supplement)
+    else 3 // everything higher (CJK, Arabic, emoji, ...)
+
+  def pairBucket(cp1: Int, cp2: Int): Int = {
+    val g = math.max(scriptGroup(cp1), scriptGroup(cp2))
+    val h = cp1.toLong * 31L + cp2
+    g match {
+      case 0 => (h % LatinB).toInt
+      case 1 => LatinB + (h % 5).toInt
+      case 2 => LatinB + 5 + (h % 5).toInt
+      case _ => LatinB + 10 + (h % 6).toInt
+    }
+  }
+
+  /** Char-BIGRAM hashed buckets — the language-ID feature map: one
+    * [[pairBucket]] id per adjacent CODE-POINT pair, in text order.
+    * The hash is deliberately simple-arithmetic so a SQL engine can
+    * replay it verbatim from `ord(substr(...))` code points — the
+    * cross-engine oracle for the trained classifier recomputes these
+    * buckets in DuckDB (`LangId.bucketsFromCpsSql`). One pass, O(len);
+    * an `L`-code-point doc yields exactly `max(L-1, 0)` buckets. */
+  def charBigramBuckets(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    if (len < 2) return new GenericArrayData(Array.empty[Long])
+    val out = new java.util.ArrayList[java.lang.Long](len)
+    var i = 0
+    var prev = -1
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      if (prev >= 0) out.add(pairBucket(prev, cp).toLong)
+      prev = cp
+      i += Character.charCount(cp)
+    }
+    val arr = new Array[Long](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Sequential dot product, double accumulation. Accumulation order is
     * identical to `aggregate(zip_with(...))` so results are bit-for-bit
     * the same as the HOF formulation (oracle parity). */
@@ -575,6 +630,20 @@ case class EditDistance(left: Expression, right: Expression)
   override def prettyName: String = "edit_distance"
 }
 
+/** `char_bigram_buckets(text)` — script-partitioned hashed char-bigram
+  * bucket ids (the language-ID feature map; see
+  * [[VecOps.charBigramBuckets]]). */
+case class CharBigramBuckets(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.charBigramBuckets(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.charBigramBuckets($c)")
+  override protected def withNewChildInternal(c: Expression): CharBigramBuckets =
+    copy(child = c)
+  override def prettyName: String = "char_bigram_buckets"
+}
+
 /** `shingle_hashes(text, k)` — distinct 64-bit word-k-shingle hashes. */
 case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -594,6 +663,8 @@ object VectorFunctions {
   def simhash64(text: Column): Column = column(SimHash64(expression(text)))
   def minhashSig(shingles: Column, k: Int): Column = column(MinHashSig(expression(shingles), k))
   def shingleHashes(text: Column, k: Int): Column = column(ShingleHashes(expression(text), k))
+  def charBigramBuckets(text: Column): Column =
+    column(CharBigramBuckets(expression(text)))
   def editDistance(a: Column, b: Column): Column =
     column(EditDistance(expression(a), expression(b)))
   def textStats(text: Column, markerSets: Seq[Seq[String]]): Column =

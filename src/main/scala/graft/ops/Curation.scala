@@ -219,7 +219,7 @@ object Curation {
     val exploded = base
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
     val repeated = exploded
-      .groupBy(col("line")).agg(count(lit(1)).as("n"))
+      .groupBy(col("line")).agg(countDistinct(col("doc_id")).as("n"))
       .filter(col("n") >= minRepeats)
       .select(col("line"))
     val kept = exploded.join(repeated, Seq("line"), "left_anti")

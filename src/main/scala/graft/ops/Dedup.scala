@@ -35,7 +35,7 @@ object Dedup {
     * content arrives from several sources (a curated dump AND a raw
     * crawl), keep the copy from the most-trusted source, not the lowest
     * id. Priority is a per-source rank (lower wins, ties fall back to
-    * doc_id), shipped as a broadcast literal map — unlisted sources sink
+    * `idCol`, default `doc_id`) — unlisted sources sink
     * below every listed one. Same single key-hash shuffle as
     * [[exactKeepRows]]; the window partitions by content key, so the
     * parallelism unit is distinct content, never a hot source.
@@ -46,7 +46,8 @@ object Dedup {
       docs: DataFrame,
       key: Column,
       sourceCol: Column,
-      priority: Seq[String]): DataFrame = {
+      priority: Seq[String],
+      idCol: Column = col("doc_id")): DataFrame = {
     require(priority.nonEmpty, "need at least one prioritized source")
     val rank = priority.zipWithIndex
       .foldLeft(lit(priority.size)) { case (acc, (s, i)) =>
@@ -56,7 +57,7 @@ object Dedup {
     docs
       .withColumn("__rank", rank)
       .withColumn("rn",
-        row_number().over(byKey.orderBy(col("__rank"), col("doc_id"))))
+        row_number().over(byKey.orderBy(col("__rank"), idCol)))
       .withColumn("dup_count", count(lit(1)).over(byKey))
       // listed-source copies that lost to the winner: cluster's listed
       // count, minus one when the winner itself is listed (the filter

@@ -1,0 +1,459 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained language identification — the CCNet-style per-document
+  * language gate (Wenzek et al. 2020 run fastText here; this is the
+  * reference-free analogue built from the engine's own machinery):
+  * hashed char-bigram features ([[graft.functions.VecOps.charBigramBuckets]],
+  * the DSIR bucket trick of `Curation.dsirWeights`) through a
+  * MULTINOMIAL softmax extension of [[QualityClassifier]]'s
+  * Newton/IRLS.
+  *
+  * Two trainers share one objective (the `Bpe.train`/`trainDistributed`
+  * twin pattern):
+  *   - [[fitMultinomialLocal]] — driver-side over in-memory samples;
+  *     trains the bundled default model once per JVM (deterministic:
+  *     fixed corpus, fixed iteration order), so `oracleSql` can embed
+  *     its quantized weights WITHOUT a SparkSession.
+  *   - [[fitMultinomial]] — distributed treeAggregate of the exact
+  *     (gradient, Hessian) the local twin accumulates; one
+  *     map-combined pass per Newton step, `(K·(B+1))²` doubles on the
+  *     wire per task, independent of corpus size.
+  *
+  * Inference is EXACT-INTEGER cross-engine arithmetic: weights are
+  * quantized to 1e-6 (`Long` micro-units) and a doc's class score is
+  *   `score_k = Σ_b count_b · Wµ[k][b] + n_bigrams · biasµ[k]`
+  * — integer products and sums both Spark (via `BucketRatioSum`, whose
+  * double accumulation is exact below 2^53) and DuckDB (`list_sum`
+  * over BIGINTs) compute bit-identically, so the argmax (ties broken
+  * by canonical class order) can NEVER diverge between the engines.
+  * The optional margin gate emits `und` when the top-2 normalized
+  * score gap is under `marginMicro`·1e-6 — low-confidence word soup
+  * stays unlabeled instead of picking a pseudo-random language.
+  *
+  * Scale shape: scoring is map-only codegen (one `char_bigram_buckets`
+  * pass + K table lookups per doc — no shuffle, no join, no UDF);
+  * training cost is `iters` map-combined aggregations whose wire size
+  * is model-sized, not data-sized.
+  */
+object LangId {
+
+  /** Feature-space width — [[graft.functions.VecOps.LangIdBuckets]],
+    * script-partitioned (48 Latin + reserved Greek/Cyrillic/other
+    * ranges): a pure-Latin doc has structurally zero mass in another
+    * script's buckets, so script confusion is impossible by
+    * construction and the trained weights only have to separate WITHIN
+    * a script. 64 keeps the Newton system (K·65 params) driver-trivial
+    * and the oracle SQL compact. */
+  val buckets: Int = graft.functions.VecOps.LangIdBuckets
+
+  /** Micro-units per weight unit: weights quantize to 1e-6. */
+  val microScale = 1e6
+
+  final case class MultiModel(
+      languages: Seq[String],
+      weights: Array[Array[Double]], // K × B
+      bias: Array[Double], // K
+      iters: Int,
+      gradNorm: Double,
+      converged: Boolean) {
+
+    /** 1e-6-quantized integer weight tables — the published form both
+      * engines score with. */
+    lazy val weightsMicro: Array[Array[Long]] =
+      weights.map(_.map(w => math.round(w * microScale)))
+    lazy val biasMicro: Array[Long] = bias.map(b => math.round(b * microScale))
+  }
+
+  /** Per-language word inventories for the bundled model — common words
+    * of eight languages across three scripts (Latin, Cyrillic, Greek).
+    * Public linguistic knowledge; lowercase on purpose (scoring
+    * lowercases before bigrams). */
+  val inventories: Seq[(String, Seq[String])] = Seq(
+    // English is deliberately the broadest inventory (~100 top words,
+    // function words AND common nouns/verbs): generic English noun
+    // phrases must pull toward 'en', not toward whichever Latin
+    // neighbor shares the most accidental bigrams.
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "was", "for",
+      "with", "his", "they", "this", "have", "from", "not", "she", "which",
+      "there", "been", "their", "would", "about", "could", "people", "other",
+      "because", "these", "through", "where", "should", "world", "thing",
+      "right", "think", "year", "work", "only", "know", "time", "will",
+      "one", "all", "what", "when", "make", "can", "like", "just", "take",
+      "into", "your", "good", "some", "them", "see", "than", "then", "now",
+      "look", "come", "over", "also", "back", "after", "use", "two", "how",
+      "our", "first", "well", "way", "even", "new", "want", "any", "give",
+      "day", "most", "part", "line", "order", "group", "table", "value",
+      "data", "number", "word", "water", "call", "state", "system", "row",
+      "small", "large", "long", "great", "little", "own", "old", "big",
+      "high", "different", "place", "point", "hand", "week", "case"),
+    "de" -> Seq("der", "und", "das", "nicht", "ist", "sich", "auch", "mit",
+      "ein", "eine", "aber", "wird", "noch", "nach", "wenn", "kann", "doch",
+      "schon", "mehr", "immer", "hier", "durch", "wurde", "zwischen", "haben",
+      "diese", "einem", "wieder", "gegen", "nur", "zeit", "jahr", "beim",
+      "unter", "wissen", "machen", "deutsch", "sprache", "leben", "welt"),
+    "es" -> Seq("el", "los", "que", "de", "la", "las", "una", "con", "por",
+      "para", "como", "pero", "sus", "este", "entre", "cuando", "muy",
+      "sobre", "tambien", "hasta", "donde", "quien", "desde", "todo", "nos",
+      "durante", "todos", "uno", "ellos", "eso", "ante", "siempre", "ahora",
+      "cada", "nuevo", "hacer", "tiempo", "mundo", "vida", "porque"),
+    "fr" -> Seq("le", "les", "est", "des", "une", "dans", "qui", "pas",
+      "pour", "avec", "sur", "sont", "aux", "ses", "mais", "comme", "tout",
+      "nous", "vous", "elle", "leur", "bien", "aussi", "deux", "cette",
+      "entre", "sans", "peut", "apres", "meme", "encore", "toujours",
+      "depuis", "contre", "chose", "faire", "temps", "monde", "tres", "ans"),
+    "it" -> Seq("il", "che", "della", "per", "con", "del", "sono", "una",
+      "anche", "come", "piu", "questo", "hanno", "dalla", "essere", "nella",
+      "quando", "ancora", "dopo", "senza", "stato", "due", "quella", "cosa",
+      "fare", "tempo", "mondo", "vita", "perche", "molto", "tutti", "prima",
+      "loro", "fatto", "anni", "solo", "sempre", "tutto", "altro", "gli"),
+    "pt" -> Seq("os", "das", "dos", "uma", "com", "nao", "mais", "como",
+      "mas", "foi", "ele", "tem", "seu", "sua", "pelo", "pela", "ate",
+      "isso", "ela", "entre", "depois", "sem", "mesmo", "aos", "seus",
+      "quem", "nas", "esse", "eles", "voce", "essa", "num", "nem", "suas",
+      "muito", "tambem", "coisa", "fazer", "tempo", "ainda"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "быть", "он", "с", "это", "а",
+      "по", "как", "она", "эти", "они", "мы", "этот", "но", "весь", "год",
+      "от", "так", "для", "мочь", "человек", "один", "еще", "такой",
+      "только", "себя", "свое", "какой", "когда", "уже", "очень", "время",
+      "если", "жизнь", "день", "мир"),
+    "el" -> Seq("και", "το", "της", "να", "που", "με", "την", "για", "τον",
+      "στο", "ένα", "είναι", "από", "δεν", "μια", "αυτό", "στην", "μου",
+      "τους", "ότι", "αλλά", "όπως", "πολύ", "μετά", "χωρίς", "πριν",
+      "κάθε", "εδώ", "τώρα", "κόσμος", "χρόνος", "ζωή", "μέρα", "άνθρωπος",
+      "μόνο", "πάντα", "ακόμα", "γιατί", "όταν", "είχε"))
+
+  val languages: Seq[String] = inventories.map(_._1)
+
+  /** Deterministic bundled training corpus: per language, `docsPerLang`
+    * docs of `wordsPerDoc` words cycling through the inventory with a
+    * doc-dependent stride — enough lexical variety that the fit
+    * generalizes past exact word order. */
+  private[graft] def mintedCorpus(
+      docsPerLang: Int = 48,
+      wordsPerDoc: Int = 24): Seq[(String, Int)] =
+    inventories.zipWithIndex.flatMap { case ((_, inv), k) =>
+      (0 until docsPerLang).map { i =>
+        val words = (0 until wordsPerDoc)
+          .map(j => inv((i * 7 + j * (1 + i % 3)) % inv.size))
+        (words.mkString(" "), k)
+      }
+    }
+
+  // ---- shared feature map (driver-side twin of char_bigram_buckets) ----
+
+  /** Driver-side twin of [[graft.functions.VecOps.charBigramBuckets]] —
+    * identical bucket ids by construction (same code-point pairs, same
+    * [[graft.functions.VecOps.pairBucket]]). */
+  private[graft] def bigramBucketsLocal(text: String): Array[Int] = {
+    val s = text
+    if (s.length < 2) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    var prev = -1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (prev >= 0) out += graft.functions.VecOps.pairBucket(prev, cp)
+      prev = cp
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** Normalized bucket-frequency vector (the training feature space —
+    * inference never materializes it; it scores via instance sums). */
+  private[graft] def featuresLocal(text: String): Array[Double] = {
+    val x = new Array[Double](buckets)
+    val ids = bigramBucketsLocal(text.toLowerCase(java.util.Locale.ROOT))
+    if (ids.isEmpty) return x
+    val inv = 1.0 / ids.length
+    ids.foreach(id => x(id) += inv)
+    x
+  }
+
+  // ---- trainers ----
+
+  /** Driver-side multinomial softmax Newton — the deterministic twin of
+    * [[fitMultinomial]] (identical gradient/Hessian per sample; only
+    * the accumulation order differs, which the conformance spec bounds).
+    * L2 on weights (not intercepts) keeps the over-parameterized
+    * softmax identified and separable data convergent. */
+  def fitMultinomialLocal(
+      samples: Seq[(Array[Double], Int)],
+      k: Int,
+      dim: Int,
+      lambda: Double = 1e-3,
+      maxIter: Int = 20,
+      tol: Double = 1e-8): MultiModel = {
+    require(samples.nonEmpty && k >= 2)
+    val n1 = dim + 1
+    val p = k * n1
+    val w = new Array[Double](p)
+    var iter = 0
+    var gnorm = Double.MaxValue
+    while (iter < maxIter && gnorm > tol) {
+      val g = new Array[Double](p)
+      val h = new Array[Double](p * p)
+      samples.foreach { case (xs, y) =>
+        accumulate(w, xs, y, k, n1, g, h)
+      }
+      regularizeAndStep(w, g, h, k, n1, dim, lambda)
+      gnorm = math.sqrt(g.map(v => v * v).sum)
+      iter += 1
+    }
+    toModel(w, k, n1, dim, iter, gnorm, gnorm <= tol)
+  }
+
+  /** Distributed multinomial softmax Newton over (bucket-array, label)
+    * rows. Per iteration: ONE treeAggregate whose partial is the
+    * (gradient, Hessian) pair — `K·(B+1) + (K·(B+1))²` doubles,
+    * model-sized regardless of corpus size; the solve is driver-side
+    * Gaussian elimination ([[QualityClassifier.solve]], reused). */
+  def fitMultinomial(
+      docs: DataFrame,
+      bucketsCol: Column,
+      labelCol: Column,
+      k: Int,
+      dim: Int = buckets,
+      lambda: Double = 1e-3,
+      maxIter: Int = 20,
+      tol: Double = 1e-8): MultiModel = {
+    require(k >= 2)
+    val n1 = dim + 1
+    val p = k * n1
+    val data = docs
+      .select(bucketsCol.cast("array<long>").as("bk"), labelCol.cast("int").as("y"))
+      .rdd.map { r =>
+        val ids = r.getSeq[Long](0)
+        val x = new Array[Double](dim)
+        if (ids.nonEmpty) {
+          val inv = 1.0 / ids.length
+          ids.foreach(id => x(id.toInt) += inv)
+        }
+        (x, r.getInt(1))
+      }
+    data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = new Array[Double](p)
+      var iter = 0
+      var gnorm = Double.MaxValue
+      while (iter < maxIter && gnorm > tol) {
+        val (g, h) = data.treeAggregate(
+          (new Array[Double](p), new Array[Double](p * p)))(
+          seqOp = { case ((g, h), (xs, y)) =>
+            accumulate(w, xs, y, k, n1, g, h)
+            (g, h)
+          },
+          combOp = { case ((g1, h1), (g2, h2)) =>
+            var i = 0
+            while (i < g1.length) { g1(i) += g2(i); i += 1 }
+            i = 0
+            while (i < h1.length) { h1(i) += h2(i); i += 1 }
+            (g1, h1)
+          })
+        regularizeAndStep(w, g, h, k, n1, dim, lambda)
+        gnorm = math.sqrt(g.map(v => v * v).sum)
+        iter += 1
+      }
+      toModel(w, k, n1, dim, iter, gnorm, gnorm <= tol)
+    } finally data.unpersist(blocking = false)
+  }
+
+  /** Per-sample softmax gradient/Hessian contribution, shared verbatim
+    * by both trainers. Parameters are laid out class-major:
+    * `w[k·n1 + j]`, j = dim is the intercept. Hessian block (a,b) is
+    * `x xᵀ · p_a (δ_ab − p_b)` (the standard softmax Fisher). */
+  private def accumulate(
+      w: Array[Double], xs: Array[Double], y: Int,
+      k: Int, n1: Int, g: Array[Double], h: Array[Double]): Unit = {
+    val dim = n1 - 1
+    val p = k * n1
+    // class logits, max-shifted softmax
+    val z = new Array[Double](k)
+    var a = 0
+    while (a < k) {
+      var s = w(a * n1 + dim) // intercept
+      var j = 0
+      while (j < dim) { s += w(a * n1 + j) * xs(j); j += 1 }
+      z(a) = s
+      a += 1
+    }
+    var zmax = z(0)
+    a = 1
+    while (a < k) { if (z(a) > zmax) zmax = z(a); a += 1 }
+    var zsum = 0.0
+    a = 0
+    while (a < k) { z(a) = math.exp(z(a) - zmax); zsum += z(a); a += 1 }
+    a = 0
+    while (a < k) { z(a) /= zsum; a += 1 } // z now = probabilities
+    // gradient: (p_a − 1{a=y}) ⊗ [x, 1]
+    a = 0
+    while (a < k) {
+      val r = z(a) - (if (a == y) 1.0 else 0.0)
+      var j = 0
+      while (j < dim) { g(a * n1 + j) += r * xs(j); j += 1 }
+      g(a * n1 + dim) += r
+      a += 1
+    }
+    // Hessian: block (a,b) scaled outer product; exploit symmetry by
+    // filling the full square (solver expects dense row-major)
+    a = 0
+    while (a < k) {
+      var b = 0
+      while (b < k) {
+        val s = z(a) * ((if (a == b) 1.0 else 0.0) - z(b))
+        if (s != 0.0) {
+          var i = 0
+          while (i < n1) {
+            val xi = if (i == dim) 1.0 else xs(i)
+            if (xi != 0.0) {
+              val base = (a * n1 + i) * p + b * n1
+              val sxi = s * xi
+              var j = 0
+              while (j < dim) { h(base + j) += sxi * xs(j); j += 1 }
+              h(base + dim) += sxi
+            }
+            i += 1
+          }
+        }
+        b += 1
+      }
+      a += 1
+    }
+  }
+
+  /** L2 on weights (not intercepts) + tiny intercept ridge, then one
+    * in-place Newton step via [[QualityClassifier.solve]]. */
+  private def regularizeAndStep(
+      w: Array[Double], g: Array[Double], h: Array[Double],
+      k: Int, n1: Int, dim: Int, lambda: Double): Unit = {
+    val p = k * n1
+    var a = 0
+    while (a < k) {
+      var j = 0
+      while (j < dim) {
+        val idx = a * n1 + j
+        g(idx) += lambda * w(idx)
+        h(idx * p + idx) += lambda
+        j += 1
+      }
+      val ic = a * n1 + dim
+      h(ic * p + ic) += 1e-9 // keeps the softmax gauge freedom non-singular
+      a += 1
+    }
+    val step = QualityClassifier.solve(h, g, p)
+    var i = 0
+    while (i < p) { w(i) -= step(i); i += 1 }
+  }
+
+  private def toModel(
+      w: Array[Double], k: Int, n1: Int, dim: Int,
+      iters: Int, gnorm: Double, conv: Boolean): MultiModel =
+    MultiModel(
+      languages.take(k) ++ (languages.size until k).map(i => s"c$i"),
+      Array.tabulate(k)(a => Array.tabulate(dim)(j => w(a * n1 + j))),
+      Array.tabulate(k)(a => w(a * n1 + dim)),
+      iters, gnorm, conv)
+
+  /** The bundled default model — trained once per JVM on the minted
+    * multilingual corpus, deterministically (fixed corpus, fixed
+    * accumulation order), so every entrypoint (including `oracleSql`,
+    * which has no SparkSession) sees identical quantized weights. */
+  lazy val default: MultiModel = {
+    val corpus = mintedCorpus()
+    fitMultinomialLocal(
+      corpus.map { case (t, y) => (featuresLocal(t), y) },
+      k = languages.size, dim = buckets)
+  }
+
+  // ---- inference ----
+
+  /** Exact-integer class scores for `text` under a quantized model:
+    * `Σ_b count_b·Wµ[k][b] + n·biasµ[k]`, one `Long` per class. */
+  def scoreCols(text: Column, model: MultiModel): Seq[Column] = {
+    val arr = graft.functions.VectorFunctions.charBigramBuckets(lower(text))
+    val n = size(arr).cast("long")
+    model.weightsMicro.zip(model.biasMicro).map { case (wk, bk) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BucketRatioSum(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(arr),
+          wk.map(_.toDouble))).cast("long") + n * lit(bk)
+    }
+  }
+
+  /** Predicted language code; `und` when the doc has no bigrams or the
+    * top-2 normalized score margin is below `marginMicro`·1e-6 (0 ⇒
+    * pure argmax). Ties break by canonical class order — the identical
+    * rule the generated oracle SQL replays, over identical integers. */
+  def predict(text: Column, model: MultiModel = default,
+      marginMicro: Long = 0L): Column = {
+    val arr = graft.functions.VectorFunctions.charBigramBuckets(lower(text))
+    val n = size(arr).cast("long")
+    val scores = scoreCols(text, model)
+    val top = greatest(scores: _*)
+    val sorted = sort_array(array(scores: _*), asc = false)
+    val margin = top - element_at(sorted, 2)
+    val pick = model.languages.zip(scores).foldRight(lit("und")) {
+      case ((langCode, s), acc) => when(s === top, langCode).otherwise(acc)
+    }
+    when(n === 0 || margin < n * lit(marginMicro), "und").otherwise(pick)
+  }
+
+  // ---- cross-engine SQL generation (DuckDB dialect) ----
+
+  /** DuckDB expression for the CODE-POINT list of `textSql` (lowercased
+    * inside) — step 1 of the SQL twin of `char_bigram_buckets`. */
+  def cpsSql(textSql: String): String =
+    s"""list_transform(range(1, length(lower($textSql)) + 1),
+       i -> ord(substr(lower($textSql), CAST(i AS INT), 1)))"""
+
+  /** DuckDB expression mapping a code-point-list column to the
+    * script-partitioned bucket-id list — step 2; replays
+    * [[graft.functions.VecOps.pairBucket]] verbatim (group = max of the
+    * two chars' script groups; per-group modulus + base). */
+  def bucketsFromCpsSql(cpsCol: String): String = {
+    def grp(c: String) =
+      s"""(CASE WHEN $c < 880 THEN 0 WHEN $c <= 1023 THEN 1
+          WHEN $c <= 1327 THEN 2 ELSE 3 END)"""
+    val c1 = s"CAST($cpsCol[CAST(i AS INT)] AS BIGINT)"
+    val c2 = s"CAST($cpsCol[CAST(i AS INT) + 1] AS BIGINT)"
+    s"""list_transform(range(1, len($cpsCol)),
+       i -> CASE greatest(${grp(c1)}, ${grp(c2)})
+            WHEN 0 THEN ($c1 * 31 + $c2) % 48
+            WHEN 1 THEN 48 + ($c1 * 31 + $c2) % 5
+            WHEN 2 THEN 53 + ($c1 * 31 + $c2) % 5
+            ELSE 58 + ($c1 * 31 + $c2) % 6 END)"""
+  }
+
+  /** DuckDB expression for class `k`'s exact-integer score over a
+    * bucket-list column `bkSql`. */
+  def scoreSql(bkSql: String, model: MultiModel, k: Int): String = {
+    val tbl = model.weightsMicro(k).mkString("[", ",", "]")
+    s"""(coalesce(list_sum(list_transform($bkSql, b -> CAST($tbl[CAST(b AS INT)+1] AS BIGINT))), 0)
+       + CAST(len($bkSql) AS BIGINT) * ${model.biasMicro(k)})"""
+  }
+
+  /** SELECT-list fragment computing one score column per class
+    * (`s0..s{K-1}`) from a bucket-list column — meant for a CTE so the
+    * weight tables appear ONCE each in the generated SQL. */
+  def scoreColumnsSql(bkCol: String, model: MultiModel): String =
+    model.languages.indices
+      .map(i => s"${scoreSql(bkCol, model, i)} AS s$i")
+      .mkString(",\n           ")
+
+  /** DuckDB CASE predicting the language from the `s0..s{K-1}` score
+    * columns of [[scoreColumnsSql]] — the identical argmax / margin /
+    * canonical-tie rule as [[predict]], over identical integers. */
+  def caseSql(bkCol: String, model: MultiModel, marginMicro: Long = 0L): String = {
+    val names = model.languages.indices.map(i => s"s$i")
+    val top = s"greatest(${names.mkString(", ")})"
+    val second = s"list_sort([${names.mkString(", ")}], 'DESC')[2]"
+    val whens = model.languages.zip(names).map { case (langCode, s) =>
+      s"WHEN $s = $top THEN '$langCode'"
+    }
+    s"""CASE WHEN len($bkCol) = 0 OR ($top - $second) < CAST(len($bkCol) AS BIGINT) * $marginMicro
+       THEN 'und' ${whens.mkString(" ")} ELSE 'und' END"""
+  }
+}

@@ -114,7 +114,7 @@ object QualityClassifier {
 
   /** In-place Gaussian elimination with partial pivoting on an n×n
     * row-major matrix — n = features+1 (single digits), driver-side. */
-  private def solve(a: Array[Double], b: Array[Double], n: Int): Array[Double] = {
+  private[ops] def solve(a: Array[Double], b: Array[Double], n: Int): Array[Double] = {
     val m = a.clone(); val x = b.clone()
     var col = 0
     while (col < n) {

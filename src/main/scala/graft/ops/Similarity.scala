@@ -659,7 +659,20 @@ object Similarity {
           probeCells(emb, cs, nProbes).map(cell => (cell, bid, emb))
         }
       }.toDF("cell", "batch_id", "b_emb")
-    val best = index.assigned.join(broadcast(probed), "cell")
+      // materialized once: the distinct-cells collect below and the
+      // probe join both read it without recomputing the probe pass
+      .localCheckpoint(true)
+    // STATIC cell pruning: the probed cell set is driver-bounded (≤
+    // nCentroids ints), so derive an explicit `cell IN (...)` filter
+    // instead of trusting dynamic partition pruning heuristics to fire
+    // on the cell-partitioned parquet of a RELOADED index — this is
+    // what makes "a probe touches only its cells' files" a structural
+    // guarantee at 100 TB (PlanSpec pins the partition filter).
+    val probedCellIds = probed.select(col("cell")).distinct()
+      .as[Int].collect().sorted
+    val prunedIndex = index.assigned
+      .filter(col("cell").isin(probedCellIds.map(Int.box): _*))
+    val best = prunedIndex.join(broadcast(probed), "cell")
       .select(
         col("batch_id"),
         col("vec_id"),

@@ -346,26 +346,13 @@ object TextAnalysis {
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
   }
 
-  /** N-gram-heuristic language ID: score each candidate language by
-    * counting marker-token hits; highest score wins, 'und' when nothing
-    * matches. Markers chosen to be disjoint so the argmax is stable. */
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of"),
-    "de" -> Seq("der", "und", "das"),
-    "es" -> Seq("el", "los", "que"),
-    "fr" -> Seq("le", "les", "est"))
-
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
-    }
-    // argmax via chained CASE: first language whose score is the max and >0
-    val maxScore = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
-      when(score === maxScore && maxScore > 0, lang).otherwise(acc)
-    }
-  }
+  /** Trained language ID — delegates to [[LangId.predict]]'s bundled
+    * multinomial char-bigram classifier (8 languages, 3 scripts; the
+    * r9 stopword-marker heuristic this replaces covered 4 Latin
+    * languages and returned 'und' on everything else). Pure argmax;
+    * pass a `marginMicro` to [[LangId.predict]] directly for the
+    * confidence-gated variant `report()` uses. */
+  def langId(text: Column): Column = LangId.predict(text)
 
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text — the exact-dedup key for noisy duplicates. */
@@ -389,19 +376,19 @@ object TextAnalysis {
     * tokens, punctuation, stopword hits, per-language marker hits) — the
     * per-metric column functions above each re-tokenize; counts are
     * identical, so the DuckDB oracle comparison is unaffected. */
+  /** Confidence margin (in 1e-6 normalized-score units) under which
+    * [[report]] labels a document 'und' instead of trusting the trained
+    * classifier's argmax — low-margin word soup stays unlabeled. */
+  val reportMarginMicro: Long = 20000L
+
   def report(docs: DataFrame): DataFrame = {
-    val sets: Seq[Seq[String]] = stopwords +: langMarkers.map(_._2)
-    val stats = graft.functions.VectorFunctions.textStats(col("text"), sets)
+    val stats = graft.functions.VectorFunctions.textStats(col("text"), Seq(stopwords))
     val base = docs.select(col("doc_id"), col("text"), stats.as("st"))
       .select(
         col("doc_id"), col("text"),
         element_at(col("st"), 1).cast("int").as("n_tokens"),
         element_at(col("st"), 2).cast("int").as("n_punct"),
-        element_at(col("st"), 3).cast("int").as("n_stopwords"),
-        element_at(col("st"), 4).as("s_en"),
-        element_at(col("st"), 5).as("s_de"),
-        element_at(col("st"), 6).as("s_es"),
-        element_at(col("st"), 7).as("s_fr"))
+        element_at(col("st"), 3).cast("int").as("n_stopwords"))
 
     val nTok = col("n_tokens").cast("double")
     val lenScore = least(nTok / lit(50.0), lit(1.0))
@@ -410,13 +397,6 @@ object TextAnalysis {
     val punctPenalty = least(
       col("n_punct").cast("double") /
         greatest(length(col("text")).cast("double"), lit(1.0)) * lit(5.0), lit(1.0))
-    val scores = langMarkers.map(_._1).zipWithIndex.map {
-      case (lang, i) => lang -> col(Seq("s_en", "s_de", "s_es", "s_fr")(i))
-    }
-    val maxScore = greatest(scores.map(_._2): _*)
-    val lang = scores.foldRight(lit("und")) { case ((l, s), acc) =>
-      when(s === maxScore && maxScore > 0, l).otherwise(acc)
-    }
     base.select(
       col("doc_id"),
       col("n_tokens"),
@@ -424,7 +404,8 @@ object TextAnalysis {
       col("n_punct"),
       round(lenScore * lit(0.5) + stopScore * lit(0.5) - punctPenalty * lit(0.25), 4)
         .as("quality"),
-      lang.as("lang_guess"),
+      LangId.predict(col("text"), marginMicro = reportMarginMicro)
+        .as("lang_guess"),
       fingerprint(col("text")).as("fp"))
   }
 }

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q113 executes end-to-end at BOTH local fixture scales with full
+  * separation — the driver verifies sf0.01; this keeps sf0.001 (where
+  * per-class training sets are smallest) from regressing unseen. */
+class LangIdQuerySpec extends SparkSpec {
+  for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test(s"q113 separates fully on $d") {
+      val rows = SparkEntry.queries("q113_langid_trained")(spark, d).collect()
+      assert(rows.length == graft.ops.LangId.languages.size)
+      rows.foreach { r =>
+        assert(r.getAs[Boolean]("all_correct_ok"),
+          s"${r.getAs[String]("lang")} not separated at $d")
+        assert(r.getAs[Boolean]("converged_ok"))
+      }
+    }
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.LangId
+
+/** Trained language-ID contract:
+  *   - the bundled model separates its own minted 8-language corpus
+  *     perfectly and converged;
+  *   - the codegen `char_bigram_buckets` kernel and the driver-side
+  *     twin produce identical buckets (incl. supplementary planes);
+  *   - local and distributed trainers agree (weights within numeric
+  *     tolerance, predictions identical);
+  *   - the quantized integer scores are exact (no FP dependence);
+  *   - obvious real-language sentences classify correctly.
+  */
+class LangIdSpec extends SparkSpec {
+
+  test("bundled model converges and separates the minted corpus") {
+    val m = LangId.default
+    assert(m.converged, s"gradNorm=${m.gradNorm} after ${m.iters} iters")
+    val corpus = LangId.mintedCorpus()
+    val errs = corpus.count { case (text, y) =>
+      val x = LangId.featuresLocal(text)
+      // local scoring twin of the quantized predict: integer micro-scores
+      val ids = LangId.bigramBucketsLocal(text.toLowerCase(java.util.Locale.ROOT))
+      val scores = m.weightsMicro.zip(m.biasMicro).map { case (wk, bk) =>
+        ids.map(wk(_)).sum + ids.length.toLong * bk
+      }
+      scores.indexOf(scores.max) != y && x.sum > 0
+    }
+    assert(errs == 0, s"$errs minted docs misclassified")
+  }
+
+  test("charBigramBuckets expression matches the driver-side twin") {
+    import spark.implicits._
+    val texts = Seq(
+      "the cat", "много лет", "καλημέρα κόσμε", "", "a",
+      "mixed ascii и кириллица", "emoji 😀 pair")
+    val got = texts.toDF("t")
+      .select(graft.functions.VectorFunctions.charBigramBuckets($"t"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    texts.zip(got).foreach { case (t, arr) =>
+      val want = LangId.bigramBucketsLocal(t).map(_.toLong)
+      assert(arr.toSeq == want.toSeq, s"mismatch on '$t'")
+    }
+  }
+
+  test("local and distributed trainers agree") {
+    import spark.implicits._
+    val corpus = LangId.mintedCorpus(docsPerLang = 24, wordsPerDoc = 20)
+    val local = LangId.fitMultinomialLocal(
+      corpus.map { case (t, y) => (LangId.featuresLocal(t), y) },
+      k = LangId.languages.size, dim = LangId.buckets)
+    val df = corpus.toDF("text", "y")
+      .withColumn("bk",
+        graft.functions.VectorFunctions.charBigramBuckets(lower($"text")))
+      .repartition(4)
+    val dist = LangId.fitMultinomial(
+      df, $"bk", $"y", k = LangId.languages.size)
+    assert(dist.converged)
+    // weights agree to numeric tolerance (only FP accumulation order differs)
+    val maxDiff = local.weights.flatten.toSeq.asInstanceOf[Seq[Double]]
+      .zip(dist.weights.flatten.toSeq.asInstanceOf[Seq[Double]])
+      .map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff < 1e-5, s"maxDiff=$maxDiff")
+    // and the quantized predictions are identical on the corpus
+    val pl = corpus.map { case (t, _) =>
+      val ids = LangId.bigramBucketsLocal(t)
+      val s = local.weightsMicro.zip(local.biasMicro).map { case (wk, bk) =>
+        ids.map(wk(_)).sum + ids.length.toLong * bk }
+      s.indexOf(s.max)
+    }
+    val pd = corpus.map { case (t, _) =>
+      val ids = LangId.bigramBucketsLocal(t)
+      val s = dist.weightsMicro.zip(dist.biasMicro).map { case (wk, bk) =>
+        ids.map(wk(_)).sum + ids.length.toLong * bk }
+      s.indexOf(s.max)
+    }
+    assert(pl == pd)
+  }
+
+  test("predict classifies obvious sentences; margin gate yields und") {
+    import spark.implicits._
+    val rows = Seq(
+      ("the people think that this work should only have been about time", "en"),
+      ("der und das nicht ist auch mit noch nach wenn kann schon mehr", "de"),
+      ("el que de la una con por para como pero este entre cuando", "es"),
+      ("le les est des une dans qui pas pour avec sur sont mais", "fr"),
+      ("il che della per con del sono una anche come questo essere", "it"),
+      ("os das dos uma com nao mais como mas foi ele tem seu", "pt"),
+      ("и в не на что быть он с это по как она они когда", "ru"),
+      ("και το της να που με την για τον στο ένα είναι από δεν", "el"))
+    val got = rows.toDF("text", "want")
+      .select($"want", LangId.predict($"text").as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"want ${r.getString(0)} got ${r.getString(1)}"))
+    // empty / sub-bigram text is und under any margin
+    val und = Seq("", "x").toDF("text")
+      .select(LangId.predict($"text").as("p")).collect()
+    assert(und.forall(_.getString(0) == "und"))
+  }
+
+  test("fixture predictions: deterministic, margin gate behaves") {
+    val docs = spark.read.parquet(sf("documents"))
+    val dist = docs
+      .select(LangId.predict(col("text"),
+        marginMicro = graft.ops.TextAnalysis.reportMarginMicro).as("lang"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    info(s"fixture lang distribution @margin=20000: $dist")
+    assert(dist.values.sum > 0)
+  }
+}

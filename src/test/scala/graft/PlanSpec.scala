@@ -222,6 +222,47 @@ class PlanSpec extends SparkSpec {
       "the conformance scan must ride a broadcast, never a cartesian")
   }
 
+  test("reloaded IVF index probe scan prunes to the probed cell partitions") {
+    import spark.implicits._
+    val dim = 8
+    val corpus = (0 until 120).map { id =>
+      (id.toLong, Array.tabulate(dim)(i =>
+        ((graft.functions.Impl.mix64(id * 131L + i) & 0xFFFFL) / 65535f) - 0.5f))
+    }.toDF("vec_id", "embedding")
+    // 2 probes × 2 items ≤ 4 of the 8 cells — pruning must be visible
+    val batch = (0 until 2).map { j =>
+      (j.toLong, Array.tabulate(dim)(i =>
+        ((graft.functions.Impl.mix64(j * 77L + i) & 0xFFFFL) / 65535f) - 0.5f))
+    }.toDF("batch_id", "embedding")
+    val built = graft.ops.Similarity.buildIvfIndex(
+      corpus, nCentroids = 8, kmeansIters = 2, seed = 42L)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-plan").toString
+    graft.ops.Similarity.saveIvfIndex(built, path)
+    val reloaded = graft.ops.Similarity.loadIvfIndex(spark, path)
+    val out = graft.ops.Similarity.incrementalSemanticDedup(
+      reloaded, batch, threshold = 0.9, nProbes = 2)
+    // the 100 TB contract: a probe touches ONLY its cells' files — the
+    // explicit `cell IN (...)` derived from the (driver-bounded) probed
+    // cell set must reach the parquet scan as a PARTITION filter, not
+    // ride on DPP heuristics
+    // sparkPlan (pre-AQE wrapping) keeps the FileSourceScanExec leaves
+    // reachable; the cell filter is a static literal so it is final here
+    val scans = out.queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .filter(_.metadata.get("Location").exists(_.contains("assigned")))
+    assert(scans.nonEmpty, "expected a parquet scan of the reloaded assigned/ relation")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.map(_.name).exists(_ == "cell")),
+      s"assigned/ scan must carry a cell partition filter, got: ${scan.partitionFilters}")
+    // physical proof: strictly fewer partition dirs read than exist
+    val total = new java.io.File(s"$path/assigned").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    val read = scan.selectedPartitions.partitionCount
+    assert(read < total,
+      s"probe read $read of $total cell partitions — nothing was pruned")
+  }
+
   test("q110 selection joins broadcast the |domains|-row targets relation") {
     val p = plan("q110_temperature_mixture")
     assert(p.contains("BroadcastHashJoin"),
