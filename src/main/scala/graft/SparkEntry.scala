@@ -1961,6 +1961,61 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Distributed unigram-LM training (q114): every document contributes
+    * "ab abc", so the counted pieces are {"ab":n, " abc":n} and the
+    * Kudo EM+prune trajectory is derivable by hand INDEPENDENT of n.
+    * Seed = singles {a,b,c,' '} + multis {ab, bc, " a", " ab", abc,
+    * " abc"}. At seed probabilities a whole-piece Viterbi path always
+    * beats any split (one factor ≥ 1/13 vs a product of ≥2 such), so
+    * after the first EM pass the Viterbi segmentations are [ab] and
+    * [" abc"] and only those pieces gain mass; the four off-path multis
+    * carry prune loss EXACTLY 0 (removal changes no Viterbi path), so
+    * with shrink 0.75 over ≤6 multis ([[graft.functions.Unigram
+    * .train]]'s prune-count rule = 1 per round) they prune purely in
+    * code-point-lex order: " a", " ab", "abc", "bc" — then the target
+    * vocabulary of 6 (4 singles + the 2 load-bearing pieces) is
+    * reached. The oracle is that literal sequence — [[graft.functions
+    * .Unigram.trainDistributed]] must reproduce the canonical
+    * (loss asc, piece lex asc) prune order from distributed
+    * micro-quantized lattice aggregation. */
+  private def qUnigramTrainPrunes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"))
+      .withColumn("text", lit("ab abc"))
+    val (_, prunes) = graft.functions.Unigram.trainDistributed(
+      graft.functions.Unigram.countedPieces(docs, "text"),
+      maxPieceLen = 4, targetVocab = 6, emIters = 1)
+    prunes.toDF("rank", "piece").orderBy(col("rank"))
+  }
+
+  /** Unigram-LM subword token counts (q115) — the q87 mirror for the
+    * second tokenizer family real loaders batch by (Kudo 2018 /
+    * SentencePiece). The default codec is EM-trained at class-load on
+    * the fixture vocabulary in bare + space-prefixed piece form
+    * ([[graft.functions.Unigram.defaultCodec]]), so a doc whose
+    * whitespace tokens are ALL vocabulary words must Viterbi-encode to
+    * exactly one token per word: n_uni == n_ws, an equality DuckDB can
+    * recompute — it emerges from EM concentrating the mass on the
+    * whole-word pieces and the Viterbi path preferring them, so any
+    * lattice/trainer bug breaks the hash. Non-conforming docs get the
+    * structural bounds n_words ≤ n_uni ≤ n_chars instead, verified for
+    * real on the Spark side. */
+  private def qUnigramTokens(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.functions.Bpe.seedWords
+    val toks = split(col("text"), " ")
+    val allVocab = forall(toks, t => t.isin(vocab.map(lit): _*))
+    val nUni = TextAnalysis.unigramTokenCount(col("text"))
+    val nWords = size(filter(toks, t => length(t) > 0))
+    t(s, d, "documents").select(
+      col("doc_id"),
+      size(toks).as("n_ws"),
+      allVocab.as("all_vocab"),
+      when(allVocab, nUni === size(toks))
+        .otherwise(nUni >= nWords && nUni <= length(col("text")))
+        .as("uni_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Classifier evaluation (q107): Mann-Whitney AUC + decile calibration
     * ([[graft.ops.ClassifierEval]]) over deterministic hash scores on
     * the 1/1000 grid with 1-in-7 label noise — every number is
@@ -2880,7 +2935,9 @@ object SparkEntry {
     "q110_temperature_mixture" -> (qTemperatureMixture _),
     "q111_line_dedup" -> (qLineDedup _),
     "q112_priority_dedup" -> (qPriorityDedup _),
-    "q113_langid_trained" -> (qLangIdTrained _))
+    "q113_langid_trained" -> (qLangIdTrained _),
+    "q114_unigram_train_prunes" -> (qUnigramTrainPrunes _),
+    "q115_unigram_tokens" -> (qUnigramTokens _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -4241,5 +4298,23 @@ object SparkEntry {
              AS n_train,
            true AS all_correct_ok, true AS converged_ok, true AS iters_ok
          FROM m GROUP BY 1 ORDER BY lang"""
-    })
+    },
+    "q114_unigram_train_prunes" ->
+      """SELECT * FROM (VALUES
+           (1, ' a'),
+           (2, ' ab'),
+           (3, 'abc'),
+           (4, 'bc'))
+         AS p(rank, piece) ORDER BY rank""",
+    "q115_unigram_tokens" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+           len(list_filter(string_split(text, ' '), x -> x NOT IN
+             ('a','agg','batch','big','column','customer','data','dup',
+              'fast','filter','group','hash','join','key','line','merge',
+              'order','part','query','row','scan','slow','small','sort',
+              'spark','stream','table','the','value','vector','window'))) = 0
+             AS all_vocab,
+           true AS uni_ok
+         FROM documents ORDER BY doc_id""")
 }

@@ -1,0 +1,562 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram language-model subword tokenization (published method:
+  * Kudo 2018, "Subword Regularization: Improving Neural Network
+  * Translation Models with Multiple Subword Candidates" — the
+  * SentencePiece unigram model). The second tokenizer family real
+  * training loaders batch by, beside BPE ([[Bpe]]): a vocabulary of
+  * pieces with log-probabilities, a word segmented by the Viterbi best
+  * path, trained by EM over the segmentation lattice with loss-ranked
+  * vocabulary pruning.
+  *
+  * Training loop (Kudo 2018 §3; SentencePiece `unigram_model_trainer`):
+  *   1. seed vocabulary = frequent substrings of the counted word
+  *      vocabulary (all substrings up to `maxPieceLen`, top-`maxSeed`
+  *      by occurrence count; every single code point always kept);
+  *   2. EM: E-step computes expected piece counts by forward–backward
+  *      over each word's segmentation lattice, M-step re-normalizes
+  *      `p(piece) = c(piece) / Σc`;
+  *   3. prune: for each piece, the likelihood loss if it were removed —
+  *      computed, as in the SentencePiece implementation, from the
+  *      Viterbi segmentation with vs without the piece — ranks the
+  *      vocabulary; the lowest-loss pieces (never single code points)
+  *      are dropped, `1 − shrink` of the multi-piece vocabulary per
+  *      round, until the target size;
+  *   4. repeat 2–3 to the target, then one final EM settle.
+  *
+  * Determinism contract (shared by BOTH trainer twins, like
+  * [[Bpe.train]]/[[Bpe.trainDistributed]]): expected counts and losses
+  * are quantized per word to integer micro-units (×1e6, half-up) BEFORE
+  * aggregation, so the distributed sum is an order-independent long
+  * sum — bit-identical to the driver twin regardless of partitioning.
+  * Every piece keeps a floor of one micro-count in the M-step (so
+  * single-character fallback scoring never hits log 0). Prune ties
+  * break on (loss asc, piece code-point-lexicographic asc) — the same
+  * total order the BPE twins share ([[Bpe.codePointCompare]]).
+  * Viterbi ties prefer the longer piece (scanning splits longest-first
+  * with strict improvement).
+  */
+object Unigram {
+
+  /** One micro-unit = 1e-6 of an expected count / loss nat. */
+  private val Micro = 1e6
+
+  private def quantize(x: Double): Long = math.round(x * Micro)
+
+  // ---------------------------------------------------------------
+  // codec
+  // ---------------------------------------------------------------
+
+  /** Score for a single code point absent from the vocabulary — the
+    * unknown-character fallback at inference (training corpora always
+    * seed their own characters). Well below any floor-count piece. */
+  private[graft] val UnkLogp: Double = math.log(1e-12)
+
+  // ---------------------------------------------------------------
+  // seed vocabulary
+  // ---------------------------------------------------------------
+
+  /** All substrings (by code points) of `word` with 1..maxLen points. */
+  private[graft] def substrings(word: String, maxLen: Int): Iterator[String] = {
+    val cps = word.codePoints().toArray
+    val offsets = new Array[Int](cps.length + 1)
+    var i = 0
+    var off = 0
+    while (i < cps.length) {
+      offsets(i) = off; off += Character.charCount(cps(i)); i += 1
+    }
+    offsets(cps.length) = off
+    for {
+      s <- (0 until cps.length).iterator
+      e <- (s + 1) to math.min(cps.length, s + maxLen)
+    } yield word.substring(offsets(s), offsets(e))
+  }
+
+  private def singleCodePoints(word: String): Iterator[String] =
+    word.codePoints().toArray.iterator
+      .map(cp => new String(Character.toChars(cp)))
+
+  /** Driver-side seed: substring occurrence counts over the counted
+    * vocabulary, top `maxSeed` multis by (count desc, lex asc); all
+    * single code points always retained. */
+  private[graft] def seedLocal(
+      words: Seq[(String, Long)],
+      maxLen: Int,
+      maxSeed: Int): Seq[(String, Long)] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- words; sub <- substrings(w, maxLen))
+      counts(sub) = counts.getOrElse(sub, 0L) + f
+    val (singles, multis) = counts.toSeq
+      .partition(p => p._1.codePointCount(0, p._1.length) == 1)
+    val ord = new Ordering[(String, Long)] {
+      def compare(p: (String, Long), q: (String, Long)): Int = {
+        val byCount = java.lang.Long.compare(q._2, p._2)
+        if (byCount != 0) byCount else Bpe.codePointCompare(p._1, q._1)
+      }
+    }
+    singles.sorted(ord) ++ multis.sorted(ord).take(math.max(0, maxSeed - singles.size))
+  }
+
+  // ---------------------------------------------------------------
+  // lattice algorithms (shared by both twins: the distributed E-step
+  // runs exactly this code per word on executors)
+  // ---------------------------------------------------------------
+
+  /** Per-word forward–backward expected piece counts (posterior
+    * occupancy × freq), micro-quantized. Returns (piece, microCount)
+    * pairs — NOT aggregated, so the caller's sum is a long sum. */
+  private[graft] def expectedCountsMicro(
+      word: String,
+      freq: Long,
+      logp: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int): Iterator[(String, Long)] = {
+    val cps = word.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return Iterator.empty
+    val offsets = new Array[Int](n + 1)
+    var off = 0
+    var i = 0
+    while (i < n) { offsets(i) = off; off += Character.charCount(cps(i)); i += 1 }
+    offsets(n) = off
+    def piece(s: Int, e: Int): String = word.substring(offsets(s), offsets(e))
+    def lp(s: Int, e: Int): Double = {
+      val v = logp.get(piece(s, e))
+      if (v != null) v.doubleValue
+      else if (e - s == 1) UnkLogp
+      else Double.NegativeInfinity
+    }
+    val NegInf = Double.NegativeInfinity
+    def logAdd(a: Double, b: Double): Double =
+      if (a == NegInf) b else if (b == NegInf) a
+      else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+    val alpha = Array.fill(n + 1)(NegInf); alpha(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var s = math.max(0, j - maxLen)
+      while (s < j) {
+        val l = lp(s, j)
+        if (l != NegInf && alpha(s) != NegInf)
+          alpha(j) = logAdd(alpha(j), alpha(s) + l)
+        s += 1
+      }
+      j += 1
+    }
+    if (alpha(n) == NegInf) return Iterator.empty // unsegmentable (never: chars seeded)
+    val beta = Array.fill(n + 1)(NegInf); beta(n) = 0.0
+    var s0 = n - 1
+    while (s0 >= 0) {
+      var e = s0 + 1
+      val eMax = math.min(n, s0 + maxLen)
+      while (e <= eMax) {
+        val l = lp(s0, e)
+        if (l != NegInf && beta(e) != NegInf)
+          beta(s0) = logAdd(beta(s0), l + beta(e))
+        e += 1
+      }
+      s0 -= 1
+    }
+    val acc = scala.collection.mutable.HashMap.empty[String, Double]
+    var s1 = 0
+    while (s1 < n) {
+      var e = s1 + 1
+      val eMax = math.min(n, s1 + maxLen)
+      while (e <= eMax) {
+        val l = lp(s1, e)
+        if (l != NegInf) {
+          val post = math.exp(alpha(s1) + l + beta(e) - alpha(n))
+          if (post > 0) {
+            val p = piece(s1, e)
+            acc(p) = acc.getOrElse(p, 0.0) + post
+          }
+        }
+        e += 1
+      }
+      s1 += 1
+    }
+    acc.iterator.map { case (p, occ) => (p, quantize(occ * freq)) }
+      .filter(_._2 != 0L)
+  }
+
+  /** Viterbi best-path log-probability and pieces; `excluded` (if
+    * non-null) is scored as absent — the prune-loss alternative path.
+    * Tie-break: scanning start positions ascending (longest piece
+    * first) with strict improvement, so the longer piece wins ties. */
+  private[graft] def viterbi(
+      word: String,
+      logp: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int,
+      excluded: String): (Double, List[String]) = {
+    val cps = word.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return (0.0, Nil)
+    val offsets = new Array[Int](n + 1)
+    var off = 0
+    var i = 0
+    while (i < n) { offsets(i) = off; off += Character.charCount(cps(i)); i += 1 }
+    offsets(n) = off
+    def piece(s: Int, e: Int): String = word.substring(offsets(s), offsets(e))
+    val NegInf = Double.NegativeInfinity
+    val best = Array.fill(n + 1)(NegInf); best(0) = 0.0
+    val back = Array.fill(n + 1)(-1)
+    var j = 1
+    while (j <= n) {
+      var s = math.max(0, j - maxLen)
+      while (s < j) {
+        if (best(s) != NegInf) {
+          val p = piece(s, j)
+          val v = logp.get(p)
+          val l =
+            if (excluded != null && p == excluded) NegInf
+            else if (v != null) v.doubleValue
+            else if (j - s == 1) UnkLogp
+            else NegInf
+          if (l != NegInf) {
+            val cand = best(s) + l
+            if (cand > best(j)) { best(j) = cand; back(j) = s }
+          }
+        }
+        s += 1
+      }
+      j += 1
+    }
+    if (best(n) == NegInf) return (NegInf, Nil)
+    var out = List.empty[String]
+    var e = n
+    while (e > 0) { val s = back(e); out = piece(s, e) :: out; e = s }
+    (best(n), out)
+  }
+
+  // ---------------------------------------------------------------
+  // driver-twin trainer
+  // ---------------------------------------------------------------
+
+  private def toLogpMap(probs: Seq[(String, Double)]): java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    probs.foreach { case (p, lp) => m.put(p, lp) }
+    m
+  }
+
+  /** M-step from aggregated micro-counts: floor every surviving piece
+    * at one micro-count, normalize, log. Deterministic doubles (both
+    * twins run this exact code on the same longs). */
+  private def mStep(
+      vocab: Seq[String],
+      micro: collection.Map[String, Long]): Seq[(String, Double)] = {
+    val floored = vocab.map(p => (p, math.max(micro.getOrElse(p, 0L), 1L)))
+    val total = floored.iterator.map(_._2).sum.toDouble
+    floored.map { case (p, c) => (p, math.log(c / total)) }
+  }
+
+  private def initProbs(seed: Seq[(String, Long)]): Seq[(String, Double)] = {
+    val total = seed.iterator.map(_._2).sum.toDouble
+    seed.map { case (p, c) => (p, math.log(c / total)) }
+  }
+
+  /** Losses (micro) for pruning: for each piece on some word's Viterbi
+    * path, Σ_w freq·(V(w) − V_without_piece(w)), each term quantized
+    * per word. Pieces never on a path stay at exactly 0. */
+  private def lossesLocal(
+      words: Seq[(String, Long)],
+      logp: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int): collection.Map[String, Long] = {
+    val acc = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- words) {
+      wordLossesMicro(w, f, logp, maxLen).foreach { case (p, l) =>
+        acc(p) = acc.getOrElse(p, 0L) + l
+      }
+    }
+    acc
+  }
+
+  /** Per-word prune-loss contributions (micro) for the distinct
+    * multi-point pieces on the word's Viterbi path. */
+  private[graft] def wordLossesMicro(
+      word: String,
+      freq: Long,
+      logp: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int): Iterator[(String, Long)] = {
+    val (v, path) = viterbi(word, logp, maxLen, null)
+    if (path.isEmpty) return Iterator.empty
+    path.distinct.iterator
+      .filter(p => p.codePointCount(0, p.length) > 1)
+      .map { p =>
+        val (vAlt, _) = viterbi(word, logp, maxLen, p)
+        val loss = if (vAlt == Double.NegativeInfinity) Double.MaxValue / Micro
+          else (v - vAlt) * freq
+        (p, quantize(loss))
+      }
+      .filter(_._2 != 0L)
+  }
+
+  /** How many multi-point pieces round `r` prunes: `1 − shrink` of the
+    * current multi vocabulary (at least 1), capped at the distance to
+    * `targetVocab`. */
+  private def pruneCount(vocabSize: Int, multiCount: Int, targetVocab: Int, shrink: Double): Int =
+    math.min(vocabSize - targetVocab,
+      math.max(1, math.floor((1.0 - shrink) * multiCount).toInt))
+
+  private def selectPrunes(
+      vocab: Seq[(String, Double)],
+      losses: collection.Map[String, Long],
+      k: Int): Seq[String] = {
+    val multis = vocab.map(_._1)
+      .filter(p => p.codePointCount(0, p.length) > 1)
+    multis
+      .map(p => (p, losses.getOrElse(p, 0L)))
+      .sorted(new Ordering[(String, Long)] {
+        def compare(a: (String, Long), b: (String, Long)): Int = {
+          val byLoss = java.lang.Long.compare(a._2, b._2)
+          if (byLoss != 0) byLoss else Bpe.codePointCompare(a._1, b._1)
+        }
+      })
+      .take(k)
+      .map(_._1)
+  }
+
+  /** Driver-side trainer twin (seed vocabularies; [[trainDistributed]]'s
+    * conformance oracle). Returns (final vocab with log-probs, prune
+    * log as (rank, piece) in prune order). */
+  def train(
+      words: Seq[(String, Long)],
+      maxPieceLen: Int,
+      targetVocab: Int,
+      emIters: Int,
+      shrink: Double = 0.75,
+      maxSeed: Int = 1 << 20): (Seq[(String, Double)], Seq[(Int, String)]) = {
+    val seed = seedLocal(words, maxPieceLen, maxSeed)
+    var vocab = initProbs(seed)
+    val pruneLog = scala.collection.mutable.ListBuffer.empty[(Int, String)]
+    var rank = 0
+    def em(): Unit = {
+      var it = 0
+      while (it < emIters) {
+        val logp = toLogpMap(vocab)
+        val acc = scala.collection.mutable.HashMap.empty[String, Long]
+        for ((w, f) <- words; (p, c) <- expectedCountsMicro(w, f, logp, maxPieceLen))
+          acc(p) = acc.getOrElse(p, 0L) + c
+        vocab = mStep(vocab.map(_._1), acc)
+        it += 1
+      }
+    }
+    var stuck = false
+    while (vocab.size > targetVocab && !stuck) {
+      em()
+      val logp = toLogpMap(vocab)
+      val losses = lossesLocal(words, logp, maxPieceLen)
+      val k = pruneCount(vocab.size, vocab.count(v =>
+        v._1.codePointCount(0, v._1.length) > 1), targetVocab, shrink)
+      val pruned = selectPrunes(vocab, losses, k)
+      if (pruned.isEmpty) stuck = true // nothing prunable (all singles)
+      else {
+        pruned.foreach { p => rank += 1; pruneLog += ((rank, p)) }
+        val gone = pruned.toSet
+        vocab = vocab.filterNot(v => gone.contains(v._1))
+      }
+    }
+    em()
+    (vocab, pruneLog.toList)
+  }
+
+  // ---------------------------------------------------------------
+  // distributed trainer twin
+  // ---------------------------------------------------------------
+
+  /** Counted piece vocabulary from documents — the unigram analogue of
+    * [[Bpe.countedVocab]], and deliberately the SAME pre-tokenizer
+    * ([[BpeCodec.pieces]], merge-independent): one corpus-linear
+    * flatMap + hash-agg; everything downstream runs on the collapsed
+    * (piece, freq) relation. */
+  def countedPieces(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val scanner = new BpeCodec(Nil)
+    docs.select(col(textCol).cast("string")).as[String]
+      .flatMap(t => if (t == null) Iterator.empty else scanner.pieces(t))
+      .groupBy(col("value")).agg(count(lit(1)).as("freq"))
+      .toDF("word", "freq")
+  }
+
+  /** Corpus-scale trainer — the distributed twin of [[train]].
+    *
+    * Shape: the corpus-linear pass happened once in [[countedPieces]];
+    * every E-step and loss pass here is ONE map-combined long-sum
+    * aggregation over the counted vocabulary (per-word lattice work is
+    * executor-local; only the vocab-sized (piece, micro) relation is
+    * collected — the same bounded-collect contract as IVF centroids and
+    * PQ codebooks, capped by `maxSeed`). Per-round cost is flat in
+    * corpus size. The counted vocab is localCheckpointed once so the
+    * plan doesn't deepen with EM rounds.
+    *
+    * Determinism matches [[train]] bit-exactly: per-word micro
+    * quantization makes every aggregation an order-independent long
+    * sum; seed top-K and prune ranking share the (count/loss, code
+    * point lex) total orders; all double arithmetic (M-step, lattice
+    * scores) runs the same shared code on the same longs.
+    */
+  def trainDistributed(
+      words: org.apache.spark.sql.DataFrame,
+      maxPieceLen: Int,
+      targetVocab: Int,
+      emIters: Int,
+      shrink: Double = 0.75,
+      maxSeed: Int = 1 << 20): (Seq[(String, Double)], Seq[(Int, String)]) = {
+    import org.apache.spark.sql.functions.{col, desc, sum}
+    val sess = words.sparkSession
+    import sess.implicits._
+    val vocabDs = words
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)]
+      .localCheckpoint(true)
+
+    // seed: substring counts — one agg; the single-code-point flag is
+    // computed executor-side so both lanes stay declarative: singles
+    // are ALL kept (bounded by the corpus charset), multis take the
+    // partial top-K (orderBy+limit plans per-partition top-K — no full
+    // sort, no full collect of the substring relation)
+    val subCounts = vocabDs
+      .flatMap { case (w, f) =>
+        substrings(w, maxPieceLen).map(s =>
+          (s, f, s.codePointCount(0, s.length) == 1))
+      }
+      .toDF("piece", "f", "single")
+      .groupBy(col("piece"), col("single")).agg(sum(col("f")).as("c"))
+      .localCheckpoint(true)
+    val singles = subCounts.filter(col("single"))
+      .select(col("piece"), col("c")).as[(String, Long)].collect()
+    val nSingles = singles.length
+    val multis = subCounts.filter(!col("single"))
+      .orderBy(desc("c"), col("piece"))
+      .limit(math.max(0, maxSeed - nSingles))
+      .select(col("piece"), col("c")).as[(String, Long)].collect()
+    val ord = new Ordering[(String, Long)] {
+      def compare(p: (String, Long), q: (String, Long)): Int = {
+        val byCount = java.lang.Long.compare(q._2, p._2)
+        if (byCount != 0) byCount else Bpe.codePointCompare(p._1, q._1)
+      }
+    }
+    val seed: Seq[(String, Long)] =
+      singles.sorted(ord).toSeq ++ multis.sorted(ord).toSeq
+
+    var vocab = initProbs(seed)
+    val pruneLog = scala.collection.mutable.ListBuffer.empty[(Int, String)]
+    var rank = 0
+    val maxLen = maxPieceLen
+
+    def emRound(): Unit = {
+      val logp = toLogpMap(vocab)
+      val counts = vocabDs
+        .flatMap { case (w, f) => expectedCountsMicro(w, f, logp, maxLen) }
+        .toDF("piece", "micro")
+        .groupBy(col("piece")).agg(sum(col("micro")).as("c"))
+        .as[(String, Long)]
+        .collect()
+      vocab = mStep(vocab.map(_._1), counts.toMap)
+    }
+
+    def em(): Unit = { var it = 0; while (it < emIters) { emRound(); it += 1 } }
+
+    var stuck = false
+    while (vocab.size > targetVocab && !stuck) {
+      em()
+      val logp = toLogpMap(vocab)
+      val losses = vocabDs
+        .flatMap { case (w, f) => wordLossesMicro(w, f, logp, maxLen) }
+        .toDF("piece", "micro")
+        .groupBy(col("piece")).agg(sum(col("micro")).as("l"))
+        .as[(String, Long)]
+        .collect()
+        .toMap
+      val k = pruneCount(vocab.size, vocab.count(v =>
+        v._1.codePointCount(0, v._1.length) > 1), targetVocab, shrink)
+      val pruned = selectPrunes(vocab, losses, k)
+      if (pruned.isEmpty) stuck = true
+      else {
+        pruned.foreach { p => rank += 1; pruneLog += ((rank, p)) }
+        val gone = pruned.toSet
+        vocab = vocab.filterNot(v => gone.contains(v._1))
+      }
+    }
+    em()
+    (vocab, pruneLog.toList)
+  }
+
+  /** The default codec: trained at class-load from the SAME fixture
+    * vocabulary as [[Bpe.defaultCodec]] (bare + space-prefixed word
+    * forms), no pruning (target = seed size), two EM settles — so the
+    * whole-word pieces carry essentially all probability mass and a
+    * document whose whitespace tokens are all vocabulary words
+    * Viterbi-encodes to exactly one token per word (the q115 oracle
+    * equality), while unseen text still segments by subword/char
+    * fallback. */
+  lazy val defaultCodec: UnigramCodec = {
+    val corpus = Bpe.seedWords.flatMap(w => Seq((w, 1L), ((" " + w), 1L)))
+    val maxLen = corpus.iterator
+      .map(p => p._1.codePointCount(0, p._1.length)).max
+    val (vocab, _) = train(corpus, maxLen, Int.MaxValue, emIters = 2)
+    new UnigramCodec(vocab, maxLen)
+  }
+}
+
+/** Viterbi unigram-LM encoder over a trained (piece, logp) vocabulary —
+  * serializable so the expression ships it to executors once per
+  * query; shares [[BpeCodec.pieces]]'s pre-tokenizer so BPE and
+  * unigram counts are comparable piece-for-piece. */
+final class UnigramCodec(
+    val vocab: Seq[(String, Double)],
+    val maxPieceLen: Int) extends Serializable {
+
+  @transient private lazy val logp: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    vocab.foreach { case (p, lp) => m.put(p, lp) }
+    m
+  }
+
+  @transient private lazy val scanner = new BpeCodec(Nil)
+
+  private[graft] def encodePiece(piece: String): List[String] =
+    Unigram.viterbi(piece, logp, maxPieceLen, null)._2
+
+  def countTokens(text: UTF8String): Int = {
+    if (text == null) return 0
+    var total = 0
+    scanner.pieces(text.toString).foreach(p => total += encodePiece(p).length)
+    total
+  }
+
+  def tokenize(text: String): Seq[String] =
+    scanner.pieces(text).flatMap(encodePiece)
+}
+
+/** `unigram_token_count(text)` — exact Viterbi subword token count
+  * under the codec's unigram model; one codegen'd scalar per row,
+  * map-only (the [[BpeTokenCount]] shape). */
+case class UnigramTokenCount(child: Expression, codec: UnigramCodec)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    codec.countTokens(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramCodec", codec, "graft.functions.UnigramCodec")
+    defineCodeGen(ctx, ev, c => s"$ref.countTokens($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): UnigramTokenCount =
+    copy(child = c)
+  override def prettyName: String = "unigram_token_count"
+}
+
+object UnigramFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  def unigramTokenCount(text: Column): Column =
+    column(UnigramTokenCount(expression(text), Unigram.defaultCodec))
+  def unigramTokenCount(text: Column, codec: UnigramCodec): Column =
+    column(UnigramTokenCount(expression(text), codec))
+}

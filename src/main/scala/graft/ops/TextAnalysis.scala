@@ -60,16 +60,22 @@ object TextAnalysis {
     case object Whitespace extends TokenMode
     case object Unicode extends TokenMode
     case object Bpe extends TokenMode
+    case object Unigram extends TokenMode
   }
 
   def tokenCountMode(text: Column, mode: TokenMode): Column = mode match {
     case TokenMode.Whitespace => size(tokens(text))
     case TokenMode.Unicode => size(tokensUnicode(text))
     case TokenMode.Bpe => graft.functions.BpeFunctions.bpeTokenCount(text)
+    case TokenMode.Unigram =>
+      graft.functions.UnigramFunctions.unigramTokenCount(text)
   }
 
   def bpeTokenCount(text: Column): Column =
     graft.functions.BpeFunctions.bpeTokenCount(text)
+
+  def unigramTokenCount(text: Column): Column =
+    graft.functions.UnigramFunctions.unigramTokenCount(text)
 
   /** BPE-ish subword count: word chunks + digit runs + punctuation, the
     * shape of a byte-pair tokenizer's pre-tokenization regex. */

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Unigram, UnigramCodec, UnigramFunctions}
+import graft.ops.TextAnalysis
+
+class UnigramSpec extends SparkSpec {
+
+  /** The q114 fixture: every doc is "ab abc", so the counted pieces are
+    * {"ab": n, " abc": n}. Seed = singles {a, b, c, " "} + multis
+    * {ab, bc, " a", " ab", abc, " abc"}. After one EM pass the Viterbi
+    * segmentations are [ab] and [" abc"] (a whole-piece path always
+    * beats any split at seed probabilities, and EM only reinforces the
+    * winners), so " a", " ab", abc, bc sit on no Viterbi path — loss
+    * exactly 0 — and the prune order is their code-point lex order, one
+    * per round (shrink 0.75 over ≤6 multis prunes 1 each). */
+  val fixture = Seq(("ab", 5L), (" abc", 5L))
+  val expectedPrunes = Seq((1, " a"), (2, " ab"), (3, "abc"), (4, "bc"))
+
+  test("driver trainer prunes the fixture in the hand-derived order") {
+    val (vocab, prunes) = Unigram.train(fixture, maxPieceLen = 4,
+      targetVocab = 6, emIters = 1)
+    assert(prunes === expectedPrunes)
+    assert(vocab.map(_._1).toSet === Set("a", "b", "c", " ", "ab", " abc"))
+    // the retained multis carry essentially all probability mass
+    val p = vocab.toMap
+    assert(math.exp(p("ab")) > 0.4 && math.exp(p(" abc")) > 0.4)
+  }
+
+  test("distributed trainer is the bit-exact twin of the driver trainer") {
+    import spark.implicits._
+    for (parts <- Seq(1, 7)) {
+      val words = fixture.toDF("word", "freq").repartition(parts)
+      val (dv, dp) = Unigram.trainDistributed(words, maxPieceLen = 4,
+        targetVocab = 6, emIters = 1)
+      val (lv, lp) = Unigram.train(fixture, maxPieceLen = 4,
+        targetVocab = 6, emIters = 1)
+      assert(dp === lp)
+      assert(dv.sortBy(_._1) === lv.sortBy(_._1)) // identical doubles
+    }
+  }
+
+  test("twins agree on a messier multi-frequency corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("the", 11L), (" the", 9L), ("them", 4L), (" theme", 3L),
+      ("cat", 7L), (" cat", 6L), ("cats", 2L), ("dog", 5L),
+      (" dogma", 1L), ("a", 13L), (" a", 8L))
+    val (dv, dp) = Unigram.trainDistributed(
+      corpus.toDF("word", "freq").repartition(5),
+      maxPieceLen = 6, targetVocab = 18, emIters = 2)
+    val (lv, lp) = Unigram.train(corpus, maxPieceLen = 6,
+      targetVocab = 18, emIters = 2)
+    assert(dp === lp)
+    assert(dv.sortBy(_._1) === lv.sortBy(_._1))
+    assert(dv.size === 18)
+    // every single code point survives pruning
+    val singles = corpus.flatMap(_._1.toSeq).map(_.toString).toSet
+    assert(singles.subsetOf(dv.map(_._1).toSet))
+  }
+
+  test("default codec encodes every fixture-vocabulary word as one token") {
+    val codec = Unigram.defaultCodec
+    for (w <- graft.functions.Bpe.seedWords) {
+      assert(codec.encodePiece(w) === List(w), s"bare '$w'")
+      assert(codec.encodePiece(" " + w) === List(" " + w), s"prefixed '$w'")
+    }
+    // so an all-vocabulary sentence counts one token per word
+    val s = "the big customer query the small part table"
+    val n = s.split(" ").length
+    assert(codec.tokenize(s).length === n)
+    // out-of-vocabulary inflection splits into genuine subwords
+    assert(codec.tokenize(" joins") === Seq(" join", "s"))
+  }
+
+  test("unseen words fall back to subword/char segmentation, unknown chars to singles") {
+    val codec = Unigram.defaultCodec
+    val toks = codec.tokenize("zqzq")
+    assert(toks.nonEmpty && toks.mkString === "zqzq")
+    val greek = codec.tokenize("Ωμέγα")
+    assert(greek.nonEmpty && greek.mkString === "Ωμέγα")
+    // structural bounds: words <= tokens <= chars
+    val messy = "the zqzq 12345 customer!!"
+    val n = codec.tokenize(messy).length
+    assert(n >= 4 && n <= messy.length)
+  }
+
+  test("unigram_token_count expression matches the driver codec (codegen ships it)") {
+    import spark.implicits._
+    val texts = Seq(
+      "the big customer query",
+      "zqzq unknown words here",
+      "",
+      "the the the")
+    val df = texts.toDF("text")
+    val got = df.select(UnigramFunctions.unigramTokenCount(col("text")).as("n"))
+      .as[Int].collect().toSeq
+    val want = texts.map(t => Unigram.defaultCodec.countTokens(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    assert(got === want)
+  }
+
+  test("packSequences in TokenMode.Unigram conserves per-doc token counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "the big customer query joins the small part table"),
+      (2L, "s1", "zqzq unknown words"),
+      (3L, "s1", "a hash join beats a sort merge join"),
+      (4L, "s2", "stream the data fast"))
+      .toDF("doc_id", "source", "text")
+    val packed = TextAnalysis.packSequencesMode(
+      docs, col("source"), col("doc_id"), col("text"), 5,
+      TextAnalysis.TokenMode.Unigram)
+    val got = packed.groupBy(col("doc_id"))
+      .agg(sum(col("tok_end") - col("tok_start")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val want = docs.select(col("doc_id"),
+      TextAnalysis.unigramTokenCount(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // sequences are full except the last per source
+    val bySeq = packed.groupBy(col("source"), col("seq_id"))
+      .agg(sum(col("tok_end") - col("tok_start")).as("n"))
+      .orderBy(col("source"), col("seq_id"))
+      .as[(String, Long, Long)].collect()
+    for (src <- Seq("s1", "s2")) {
+      val rows = bySeq.filter(_._1 == src)
+      rows.dropRight(1).foreach(r => assert(r._3 === 5L))
+    }
+  }
+}
