@@ -205,9 +205,11 @@ object Dedup {
     *
     * Scale note: the filter is built distributed (Spark's
     * `stat.bloomFilter` aggregates per-partition filters) but lives
-    * broadcast — ~1.2 GB per 10⁹ keys at 1% fpp. At the extreme, shard
-    * the corpus by key range and carry one bloom per shard; the per-row
-    * probe shape below is unchanged.
+    * broadcast — ~1.2 GB per 10⁹ keys at 1% fpp. At the extreme, pass
+    * `nShards > 1` to [[buildDedupIndex]] (or build a
+    * [[graft.functions.ShardedBloom]] directly): the corpus shards by
+    * key range with one filter per shard, and the per-row probe shape
+    * is unchanged.
     *
     * @return batch with a `might_exist` boolean column. */
   def bloomPrefilter(
@@ -308,33 +310,109 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.7,
       expectedCorpusDocs: Long = 1000000L,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01): DataFrame =
+    incrementalDedup(
+      buildDedupIndex(corpus, shingleLen, bands, rowsPerBand,
+        expectedCorpusDocs, fpp),
+      batch, threshold)
+
+  /** The persistable text-dedup index — the four corpus artifacts
+    * [[incrementalDedup]] consumes, materialized once: the exact
+    * fingerprint table, the MinHash signature table, the banded LSH
+    * index, and the two gate Blooms. The embedding side's
+    * [[Similarity]] IVF index got save/load parity first; this is the
+    * text twin, so daily ingest probes BOTH modalities without ever
+    * re-scanning the corpus. */
+  case class DedupIndex(
+      shingleLen: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      fingerprints: DataFrame, // (corpus_id, fp)
+      sigs: DataFrame, // (corpus_id, sig)
+      bandIndex: DataFrame, // (corpus_id, band, bucket)
+      fpBloom: graft.functions.ShardedBloom,
+      bandBloom: graft.functions.ShardedBloom)
+
+  /** Build the index with three map-side corpus passes (fingerprints;
+    * signatures; bands — each localCheckpointed so later probes reuse
+    * the materialized relation) plus the two distributed Bloom builds.
+    * The corpus never self-joins.
+    *
+    * `nShards` sizes the gate Blooms for cardinality: 1 (default) is a
+    * single broadcast filter; past ~10⁹ fingerprints, shard by key
+    * range ([[graft.functions.ShardedBloom]]) so no single filter must
+    * hold the whole corpus — the probe shape (one codegen scalar per
+    * row) is unchanged. */
+  def buildDedupIndex(
+      corpus: DataFrame,
+      shingleLen: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      expectedCorpusDocs: Long = 1000000L,
+      fpp: Double = 0.01,
+      nShards: Int = 1): DedupIndex = {
+    import graft.functions.ShardedBloom
+    val sess = corpus.sparkSession
+    import sess.implicits._
     val numHashes = bands * rowsPerBand
+    val fingerprints = corpus
+      .select(col("doc_id").as("corpus_id"), xxhash64(col("text")).as("fp"))
+      .localCheckpoint(true)
+    val fpBloom = ShardedBloom.build(
+      fingerprints.select(col("fp")).as[Long].rdd,
+      nShards, expectedCorpusDocs, fpp)
+    val sigs = sigOf(corpus, shingleLen, numHashes)
+      .select(col("doc_id").as("corpus_id"), col("sig"))
+      .localCheckpoint(true)
+    val bandIdx = bandOf(
+        sigs.select(col("corpus_id").as("doc_id"), col("sig")),
+        bands, rowsPerBand)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
+      .localCheckpoint(true)
+    val bandBloom = ShardedBloom.build(
+      bandIdx.select(xxhash64(col("band"), col("bucket")).as("bk"))
+        .as[Long].rdd,
+      nShards, expectedCorpusDocs * bands, fpp)
+    DedupIndex(shingleLen, bands, rowsPerBand,
+      fingerprints, sigs, bandIdx, fpBloom, bandBloom)
+  }
+
+  private def bloomProbe(
+      key: Column,
+      bloom: graft.functions.ShardedBloom): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ShardedBloomMightContain(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(key), bloom))
+
+  /** Probe-only incremental dedup against a prebuilt (possibly
+    * [[loadDedupIndex]]-reloaded) index — the daily-ingest entry: the
+    * corpus is never re-read, re-shingled, or re-bloomed; per-batch
+    * cost is the batch's own fingerprint/sig/band passes plus joins
+    * whose inputs the two Bloom gates have already shrunk to the
+    * plausibly-duplicate subset. */
+  def incrementalDedup(
+      index: DedupIndex,
+      batch: DataFrame,
+      threshold: Double): DataFrame = {
+    val numHashes = index.bands * index.rowsPerBand
     // exact lane: fingerprint bloom → confirming join
-    val corpusFp = corpus.select(
-      col("doc_id").as("corpus_id"), xxhash64(col("text")).as("fp"))
     val batchFp = batch.select(
       col("doc_id").as("batch_id"), xxhash64(col("text")).as("fp"))
-    val exactM = bloomPrefilter(
-        corpusFp.select("fp"), batchFp, col("fp"), expectedCorpusDocs, fpp)
-      .filter(col("might_exist"))
-      .join(corpusFp, Seq("fp"))
+    val exactM = batchFp
+      .filter(bloomProbe(col("fp"), index.fpBloom))
+      .join(index.fingerprints, Seq("fp"))
       .groupBy("batch_id")
       .agg(count(lit(1)).as("n_exact"))
     // near lane: band-bucket bloom → banded join → signature verify
-    val corpusSig = sigOf(corpus, shingleLen, numHashes)
-    val batchSig = sigOf(batch, shingleLen, numHashes)
-    val corpusBands = bandOf(corpusSig, bands, rowsPerBand)
-    val gated = gatedBandRows(
-      corpusBands, bandOf(batchSig, bands, rowsPerBand),
-      expectedBuckets = expectedCorpusDocs * bands, fpp = fpp)
-    val nearM = corpusBands.select(
-        col("band"), col("bucket"), col("doc_id").as("corpus_id"))
+    val batchSig = sigOf(batch, index.shingleLen, numHashes)
+    val gated = bandOf(batchSig, index.bands, index.rowsPerBand)
+      .filter(bloomProbe(xxhash64(col("band"), col("bucket")), index.bandBloom))
+    val nearM = index.bandIndex
       .join(gated.select(
         col("band"), col("bucket"), col("doc_id").as("batch_id")),
         Seq("band", "bucket"))
       .select(col("corpus_id"), col("batch_id")).distinct()
-      .join(corpusSig.select(col("doc_id").as("corpus_id"), col("sig").as("sig_a")),
+      .join(index.sigs.select(col("corpus_id"), col("sig").as("sig_a")),
         "corpus_id")
       .join(batchSig.select(col("doc_id").as("batch_id"), col("sig").as("sig_b")),
         "batch_id")
@@ -357,6 +435,63 @@ object Dedup {
         coalesce(col("n_exact"), lit(0L)).as("n_exact"),
         coalesce(col("n_near"), lit(0L)).as("n_near"),
         col("best_jaccard"))
+  }
+
+  /** Write the index under `path` as four relations: `fingerprints/`,
+    * `sigs/`, `bands/` (band-partitioned parquet), and `blooms/` (the
+    * two serialized gate filters as binary rows) plus `params/` (the
+    * banding geometry a probe must match). FS-agnostic: everything
+    * goes through Spark writers. */
+  def saveDedupIndex(index: DedupIndex, path: String): Unit = {
+    val sess = index.fingerprints.sparkSession
+    import sess.implicits._
+    index.fingerprints.write.mode("overwrite").parquet(s"$path/fingerprints")
+    index.sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    index.bandIndex.write.mode("overwrite")
+      .partitionBy("band").parquet(s"$path/bands")
+    def ser(b: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos); bos.toByteArray
+    }
+    def rows(name: String, b: graft.functions.ShardedBloom) =
+      b.shards.zipWithIndex.map { case (s, i) => (name, i, ser(s)) }.toSeq
+    (rows("fp", index.fpBloom) ++ rows("band", index.bandBloom))
+      .toDF("name", "shard", "bytes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/blooms")
+    Seq((index.shingleLen, index.bands, index.rowsPerBand))
+      .toDF("shingle_len", "bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Reload a [[saveDedupIndex]] layout. The relations come back as
+    * parquet scans (lazily read — a probe's joins stream them), the
+    * Blooms deserialize bit-exact, and the banding geometry rides the
+    * index so a probe can never run with mismatched parameters. */
+  def loadDedupIndex(
+      sess: org.apache.spark.sql.SparkSession, path: String): DedupIndex = {
+    import sess.implicits._
+    val Array((sl, nb, rpb)) = sess.read.parquet(s"$path/params")
+      .select(col("shingle_len").cast("int"), col("bands").cast("int"),
+        col("rows_per_band").cast("int"))
+      .as[(Int, Int, Int)].collect()
+    val bloomRows = sess.read.parquet(s"$path/blooms")
+      .select(col("name"), col("shard").cast("int"), col("bytes"))
+      .as[(String, Int, Array[Byte])].collect()
+    def de(name: String): graft.functions.ShardedBloom =
+      new graft.functions.ShardedBloom(
+        bloomRows.filter(_._1 == name).sortBy(_._2).map(r =>
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(r._3))))
+    DedupIndex(sl, nb, rpb,
+      sess.read.parquet(s"$path/fingerprints")
+        .select(col("corpus_id").cast("long"), col("fp").cast("long")),
+      sess.read.parquet(s"$path/sigs")
+        .select(col("corpus_id").cast("long"),
+          col("sig").cast("array<long>")),
+      sess.read.parquet(s"$path/bands")
+        .select(col("corpus_id").cast("long"), col("band").cast("int"),
+          col("bucket").cast("long")),
+      de("fp"), de("band"))
   }
 
   /** Banded MinHash candidate pairs (id_a, id_b) — the collision pass of

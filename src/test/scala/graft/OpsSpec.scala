@@ -1398,6 +1398,113 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"gate kept $kept of $total band rows — no shrink")
   }
 
+  test("dedup index: save/load round-trip classifies bit-exact, probe-only path never touches the corpus") {
+    import spark.implicits._
+    def words(p: String, i: Long, n: Int) =
+      (0 until n).map(j => s"$p${i}w$j").mkString(" ")
+    val corpus = (0L until 60L).map(i => (i, words("c", i, 30)))
+      .toDF("doc_id", "text")
+    val batch = ((0L until 10L).map(i => (1000L + i, words("c", i, 30))) ++
+      (10L until 20L).map(i => (2000L + i, words("c", i, 27))) ++
+      (0L until 20L).map(i => (3000L + i, words("g", i, 30))))
+      .toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(corpus, expectedCorpusDocs = 1000L)
+    val fresh = Dedup.incrementalDedup(index, batch, threshold = 0.7)
+      .orderBy("batch_id")
+      .as[(Long, String, Long, Long, Option[Double])].collect().toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("dedup_index").toString
+    try {
+      Dedup.saveDedupIndex(index, dir)
+      val reloaded = Dedup.loadDedupIndex(spark, dir)
+      assert(reloaded.shingleLen === index.shingleLen)
+      assert(reloaded.bands === index.bands)
+      assert(reloaded.rowsPerBand === index.rowsPerBand)
+      // classification from the reloaded index is identical — relations
+      // AND both Blooms survived the round trip bit-exact
+      val again = Dedup.incrementalDedup(reloaded, batch, threshold = 0.7)
+        .orderBy("batch_id")
+        .as[(Long, String, Long, Long, Option[Double])].collect().toSeq
+      assert(again === fresh)
+      // and identical to the one-shot composition over the raw corpus
+      val oneShot = Dedup
+        .incrementalDedup(corpus, batch, expectedCorpusDocs = 1000L)
+        .orderBy("batch_id")
+        .as[(Long, String, Long, Long, Option[Double])].collect().toSeq
+      assert(oneShot === fresh)
+      // the probe plan reads the index parquet, not the corpus: both
+      // bloom gates present, no re-shingling of 60 corpus docs. The
+      // batch must be file-backed here — over a LocalRelation batch,
+      // ConvertToLocalRelation folds the fp gate at optimize time, so
+      // the executed plan under-counts the production shape.
+      batch.write.mode("overwrite").parquet(s"$dir/batch")
+      val fileBatch = spark.read.parquet(s"$dir/batch")
+      val plan = Dedup.incrementalDedup(reloaded, fileBatch, threshold = 0.7)
+        .queryExecution.executedPlan.toString
+      assert("bloom_might_contain".r.findAllMatchIn(plan).size >= 2)
+      assert(plan.contains("parquet"), "probe should scan the saved index")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("sharded bloom: no false negatives across shard boundaries; sharded gates classify like the single filter") {
+    import spark.implicits._
+    import graft.functions.ShardedBloom
+    val n = 8
+    // keys spanning the full signed range, plus both sides of every
+    // range-shard boundary (pos = u<<32 with u at the shard cut)
+    val boundary = (1 until n).flatMap { s =>
+      val u = (s.toLong << 32) / n
+      Seq((u << 32) ^ Long.MinValue, ((u << 32) - 1) ^ Long.MinValue)
+    }
+    val bulk = (1L to 4000L).map(i => i * -6364136223846793005L)
+    val present = (bulk ++ boundary ++
+      Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue)).distinct
+    val sb = ShardedBloom.build(
+      spark.sparkContext.parallelize(present, 7), n, present.size.toLong, 0.01)
+    assert(present.forall(sb.mightContainLong), "false negative")
+    assert(present.map(k => ShardedBloom.shardOf(k, n)).distinct.size > 1,
+      "fixture should span several shards")
+    val absent = (1L to 2000L).map(i => i * 2862933555777941757L + 3037000499L)
+      .filterNot(present.toSet)
+    val fpRate = absent.count(sb.mightContainLong).toDouble / absent.size
+    assert(fpRate <= 0.05, s"false-positive rate $fpRate")
+
+    // gate parity: a 4-shard index classifies exactly like the 1-shard
+    // index, and its band gate shrinks the join input just as much
+    def words(p: String, i: Long, c: Int) =
+      (0 until c).map(j => s"$p${i}w$j").mkString(" ")
+    val corpus = (0L until 60L).map(i => (i, words("c", i, 30)))
+      .toDF("doc_id", "text")
+    val batch = ((0L until 10L).map(i => (1000L + i, words("c", i, 30))) ++
+      (0L until 20L).map(i => (3000L + i, words("g", i, 30))))
+      .toDF("doc_id", "text")
+    val single = Dedup.buildDedupIndex(corpus, expectedCorpusDocs = 1000L)
+    val sharded = Dedup.buildDedupIndex(corpus, expectedCorpusDocs = 1000L,
+      nShards = 4)
+    assert(sharded.fpBloom.nShards === 4 && single.fpBloom.nShards === 1)
+    val a = Dedup.incrementalDedup(single, batch, 0.7)
+      .orderBy("batch_id")
+      .as[(Long, String, Long, Long, Option[Double])].collect().toSeq
+    val b = Dedup.incrementalDedup(sharded, batch, 0.7)
+      .orderBy("batch_id")
+      .as[(Long, String, Long, Long, Option[Double])].collect().toSeq
+    assert(a === b)
+    def gateKept(ix: Dedup.DedupIndex): Long = {
+      val bands = Dedup.bandOf(Dedup.sigOf(batch, 3, 32), 8, 4)
+      bands.filter(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.ShardedBloomMightContain(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            xxhash64(col("band"), col("bucket"))), ix.bandBloom))).count()
+    }
+    val (k1, k4) = (gateKept(single), gateKept(sharded))
+    // gibberish rows (2/3 of the batch) must die in BOTH gates
+    assert(k1 <= 30L * 8 - 150 && k4 <= 30L * 8 - 150,
+      s"gate shrink: single kept $k1, sharded kept $k4 of 240")
+  }
+
   test("dsirWeights: zero on identical corpora, unigram-additive, separates planted docs") {
     import spark.implicits._
     // identical corpora: every bucket's target and raw counts agree, so
