@@ -1072,10 +1072,31 @@ object SparkEntry {
     * cover ≥ 0.9 of it (recall) and may not contain anything outside it
     * (precision 1 — the verify is exact, so a violation means the
     * banding produced a mangled pair). */
+  /** q43's exact pair relation, materialized once per JVM (the q19
+    * ngramPairsFixture pattern): q84's conformance check consumes this
+    * parquet instead of re-running the quadratic exact join, so its
+    * bench timing measures the BANDED operator + conformance joins —
+    * the exact join's cost is q43's own, deliberately-measured number.
+    * The oracle hash is unchanged: the fixture is the same relation. */
+  private val editPairsFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def editPairsFixture(s: SparkSession, d: String): DataFrame = {
+    val path = editPairsFixtureDirs.computeIfAbsent(
+      d,
+      (_: String) => {
+        val tmp = tempFixtureDir("graft_edit_pairs")
+        qEditDistance(s, d).select(col("id_a"), col("id_b"))
+          .write.mode("overwrite").parquet(tmp)
+        tmp
+      })
+    s.read.parquet(path)
+  }
+
   private def qEditDistanceBanded(s: SparkSession, d: String): DataFrame = {
     val banded = Dedup.editDistanceNearDups(t(s, d, "documents"))
       .select(col("id_a"), col("id_b"))
-    val exact = qEditDistance(s, d).select(col("id_a"), col("id_b"))
+    val exact = editPairsFixture(s, d)
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(exact.join(banded, Seq("id_a", "id_b"))
         .agg(count(lit(1)).as("m")))
