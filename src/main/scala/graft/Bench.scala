@@ -357,6 +357,35 @@ object Bench {
           // ladder the operator alone: fixed-size batch probing the
           // corpus IVF index. Expect exp ≈ 1 (one corpus assignment
           // pass) — the self-join alternative would ladder at ~2.
+          // distributed unigram-LM training: one corpus-linear counted-
+          // pieces pass, then every EM/loss round is a map-combined agg
+          // over the COLLAPSED piece vocabulary (near-constant for the
+          // synthetic fixture's closed vocabulary) — the op_bpe_train
+          // twin for the second tokenizer family; expect exp well
+          // below 1
+          ("op_unigram_train", None, (ss: SparkSession, dir: String) => {
+            import ss.implicits._
+            val pieces = graft.functions.Unigram.countedPieces(
+              ss.read.parquet(s"$dir/documents.parquet"), "text")
+            val (vocab, _) = graft.functions.Unigram.trainDistributed(
+              pieces, maxPieceLen = 4, targetVocab = 400, emIters = 1)
+            vocab.toDF("piece", "logp")
+          }),
+          // q102's QUERY wraps its oracle mirror — ladder the persistable
+          // text-dedup index (build + fixed-size batch probe) alone: the
+          // corpus-linear passes are the three map-side artifact builds
+          // and the corpus never self-joins, so expect exp ≈ 1 (the
+          // self-join alternative ladders at ~2) — the text twin of
+          // op_incr_semdedup
+          ("op_incr_textdedup", None, (ss: SparkSession, dir: String) => {
+            val corpus = ss.read.parquet(s"$dir/documents.parquet")
+              .selectExpr("doc_id", "text")
+            val batch = corpus.where("doc_id % 50 = 0 AND doc_id < 25000")
+              .selectExpr("doc_id + 1000000 AS doc_id", "text")
+            val index = graft.ops.Dedup.buildDedupIndex(
+              corpus, expectedCorpusDocs = 1000000L)
+            graft.ops.Dedup.incrementalDedup(index, batch, 0.7)
+          }),
           ("op_incr_semdedup", Some(factors("embeddings").toDouble),
             (ss: SparkSession, dir: String) => {
               val corpus = ss.read.parquet(s"$dir/embeddings.parquet")

@@ -1503,6 +1503,21 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // gibberish rows (2/3 of the batch) must die in BOTH gates
     assert(k1 <= 30L * 8 - 150 && k4 <= 30L * 8 - 150,
       s"gate shrink: single kept $k1, sharded kept $k4 of 240")
+    // a sharded index survives the save/load round trip shard-exact
+    val dir = java.nio.file.Files
+      .createTempDirectory("dedup_index_sharded").toString
+    try {
+      Dedup.saveDedupIndex(sharded, dir)
+      val back = Dedup.loadDedupIndex(spark, dir)
+      assert(back.fpBloom.nShards === 4 && back.bandBloom.nShards === 4)
+      val c = Dedup.incrementalDedup(back, batch, 0.7)
+        .orderBy("batch_id")
+        .as[(Long, String, Long, Long, Option[Double])].collect().toSeq
+      assert(c === b)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
   }
 
   test("dsirWeights: zero on identical corpora, unigram-additive, separates planted docs") {
