@@ -875,15 +875,21 @@ object SparkEntry {
     * parity) via the distributed rank-range operator — Spark's built-in
     * `percentile` buffers whole groups in executor memory; this stays
     * spillable at 100 TB (see [[graft.ops.Quantiles]]). */
-  private def qQuantiles(s: SparkSession, d: String): DataFrame =
+  private def qQuantiles(s: SparkSession, d: String): DataFrame = {
+    // interpolated quantiles of 2dp prices have ≤4 decimal digits, so a
+    // DECIMAL(28,6) cast recovers the EXACT value from the double before
+    // rounding — double-rounding at a half-cent boundary (p50 landing on
+    // x.245) otherwise diverges between engines (sf0.001 hit this)
+    def r2(c: Column) = round(c.cast("decimal(28,6)"), 2).cast("double")
     graft.ops.Quantiles.exact(
       t(s, d, "lineitem"), Seq("l_returnflag"), col("l_extendedprice"),
       Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
       .select(col("l_returnflag"),
-        round(col("p50"), 2).as("p50"),
-        round(col("p90"), 2).as("p90"),
-        round(col("p99"), 2).as("p99"))
+        r2(col("p50")).as("p50"),
+        r2(col("p90")).as("p90"),
+        r2(col("p99")).as("p99"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Generator/UDTF surface: explode tokens, top-5 by frequency per
     * source (tie-break on token). The per-source window runs over
@@ -3240,9 +3246,9 @@ object SparkEntry {
          ORDER BY user_id, session_id""",
     "q37_quantiles" ->
       """SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+           CAST(round(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p50,
+           CAST(round(CAST(quantile_cont(l_extendedprice, 0.9) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p90,
+           CAST(round(CAST(quantile_cont(l_extendedprice, 0.99) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p99
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q38_token_topk" ->
       """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
