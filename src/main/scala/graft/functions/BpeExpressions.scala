@@ -224,6 +224,30 @@ object Bpe {
     // token); train() stops early once no pairs remain
     new BpeCodec(train(corpus, 1000))
   }
+
+  /** Persist a trained merge table as the deployable artifact: one
+    * (rank, left, right) parquet — rank is the merge priority the
+    * encoder dispatches on, so order round-trips exactly. FS-agnostic
+    * via Spark writers; [[fromMergesLines]] remains the loader for the
+    * PUBLISHED text format. */
+  def saveCodec(codec: BpeCodec, sess: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import sess.implicits._
+    codec.merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+  }
+
+  def loadCodec(sess: org.apache.spark.sql.SparkSession,
+      path: String): BpeCodec = {
+    import org.apache.spark.sql.functions.col
+    import sess.implicits._
+    new BpeCodec(sess.read.parquet(s"$path/merges")
+      .orderBy(col("rank"))
+      .select(col("left").cast("string"), col("right").cast("string"))
+      .as[(String, String)].collect().toSeq)
+  }
 }
 
 /** Ranked-merge BPE encoder over a fixed merge table — serializable so

@@ -504,6 +504,39 @@ object Unigram {
     val (vocab, _) = train(corpus, maxLen, Int.MaxValue, emIters = 2)
     new UnigramCodec(vocab, maxLen)
   }
+
+  /** Persist a trained unigram model as the deployable artifact a
+    * pipeline trains once and ships to every later job: `vocab/` =
+    * (piece, logp) parquet (doubles round-trip parquet bit-exact, so a
+    * reloaded codec segments IDENTICALLY), `params/` = the
+    * `maxPieceLen` the Viterbi lattice must match. FS-agnostic via
+    * Spark writers — the tokenizer twin of the dedup/IVF index
+    * save/load. */
+  def saveCodec(codec: UnigramCodec, sess: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import sess.implicits._
+    codec.vocab.toDF("piece", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    Seq(codec.maxPieceLen).toDF("max_piece_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def loadCodec(sess: org.apache.spark.sql.SparkSession,
+      path: String): UnigramCodec = {
+    import org.apache.spark.sql.functions.col
+    import sess.implicits._
+    val maxLen = sess.read.parquet(s"$path/params")
+      .select(col("max_piece_len").cast("int")).as[Int].collect().head
+    // deterministic order: the codec's behavior only depends on the
+    // piece→logp map, but a stable vocab Seq keeps saved artifacts
+    // byte-comparable across save→load→save cycles
+    val vocab = sess.read.parquet(s"$path/vocab")
+      .select(col("piece").cast("string"), col("logp").cast("double"))
+      .as[(String, Double)].collect()
+      .sortWith((a, b) => Bpe.codePointCompare(a._1, b._1) < 0)
+      .toSeq
+    new UnigramCodec(vocab, maxLen)
+  }
 }
 
 /** Viterbi unigram-LM encoder over a trained (piece, logp) vocabulary —

@@ -101,6 +101,32 @@ class UnigramSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("trained codecs persist and reload as identical tokenizers") {
+    import graft.functions.{Bpe, Unigram}
+    val dir = java.nio.file.Files.createTempDirectory("codecs").toString
+    val probes = Seq(
+      "the big customer query", " joins", "zqzq 123 Ωμέγα!!", "", "low lower lowest")
+    try {
+      // unigram: logp doubles round-trip parquet bit-exact → identical
+      // Viterbi decisions even at score ties
+      val uni = Unigram.defaultCodec
+      Unigram.saveCodec(uni, spark, s"$dir/uni")
+      val uni2 = Unigram.loadCodec(spark, s"$dir/uni")
+      assert(uni2.maxPieceLen === uni.maxPieceLen)
+      assert(uni2.vocab.toMap === uni.vocab.toMap) // exact doubles
+      probes.foreach(p => assert(uni2.tokenize(p) === uni.tokenize(p), p))
+      // bpe: merge ranks round-trip in order
+      val bpe = Bpe.defaultCodec
+      Bpe.saveCodec(bpe, spark, s"$dir/bpe")
+      val bpe2 = Bpe.loadCodec(spark, s"$dir/bpe")
+      assert(bpe2.merges === bpe.merges)
+      probes.foreach(p => assert(bpe2.tokenize(p) === bpe.tokenize(p), p))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("packSequences in TokenMode.Unigram conserves per-doc token counts") {
     import spark.implicits._
     val docs = Seq(
