@@ -292,6 +292,12 @@ object Bench {
       "q78_chunking", "q79_sequence_pack", "q80_data_card",
       "q90_lm_score", "q91_gopher_rules", "q92_mixture_select",
       "q95_incremental_dedup", "q100_drift_psi",
+      // fixed query set over a scaling corpus (inverted-index probe) and
+      // the map-only C4 battery — both should ladder ≈ linear. q117 is
+      // NOT laddered as a query: its exact-recall conformance scan is a
+      // corpus × (corpus/100) cross join, quadratic by construction
+      // (the q24 situation) — op_sq8_ann below ladders the operator
+      "q116_bm25_topk", "q118_c4_rules",
       // TPC-H join/window family (factor 10 orders/lineitem/customer
       // companions — r6 had no measured exponent for the join family)
       "q10_join_shuffle", "q13_window_topk", "q58_outer_joins",
@@ -396,6 +402,21 @@ object Bench {
                 .selectExpr("vec_id + 1000000 AS batch_id", "embedding")
               graft.ops.Similarity
                 .incrementalSemanticDedup(corpus, batch, 0.8)
+            }),
+          // q117's QUERY embeds the exact-recall conformance cross join
+          // (quadratic by construction) — ladder the SQ8 operator alone:
+          // a FIXED 5-query probe of the scaling quantized corpus. The
+          // scale fit, quantization, and dot scan are all one corpus
+          // pass, so expect exp ≈ 1
+          ("op_sq8_ann", Some(factors("embeddings").toDouble),
+            (ss: SparkSession, dir: String) => {
+              val corpus = ss.read.parquet(s"$dir/embeddings.parquet")
+                .selectExpr("CAST(vec_id AS LONG) AS vec_id",
+                  "CAST(embedding AS array<float>) AS embedding")
+              val queries = corpus
+                .where("vec_id % 100 = 0 AND vec_id < 500")
+                .selectExpr("vec_id AS query_id", "embedding")
+              graft.ops.ScalarQuant.sq8TopK(corpus, queries, 10)
             }),
           ("op_media_neardup", Some(5.0), (ss: SparkSession, dir: String) => {
             val n = if (dir == sfDir) 300L else 1500L

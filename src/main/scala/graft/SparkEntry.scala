@@ -2043,6 +2043,96 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed vocabulary queries for q116 — shared by the Spark query and
+    * the generated oracle SQL so both engines score the same text. */
+  private val bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "spark join hash",
+    1 -> "customer order line",
+    2 -> "vector scan filter",
+    3 -> "merge sort window",
+    4 -> "the a big table")
+
+  /** BM25 top-k retrieval (q116): the corpus-as-inverted-index scoring
+    * loop ([[graft.ops.Retrieval.bm25TopK]]) — five fixed vocabulary
+    * queries, top-10 docs each. Per-(query, term, doc) contributions are
+    * quantized to integer millionths BEFORE the per-doc sum, so the
+    * score is an order-independent exact long sum and the oracle replays
+    * the whole pipeline — postings, document frequencies, idf, length
+    * normalization, ranking — comparing the 50-row relation hash-exact
+    * including rank order. */
+  private def qBm25TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queries = bm25Queries.toDF("query_id", "qtext")
+    graft.ops.Retrieval
+      .bm25TopK(t(s, d, "documents").select(col("doc_id"), col("text")),
+        queries, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Scalar-quantized (int8) ANN (q117): the SQ member of the ANN family
+    * ([[graft.ops.ScalarQuant.sq8TopK]]). Every 100th corpus vector
+    * probes the quantized corpus for its top-10 by exact integer dot;
+    * the conformance column checks ≥ 7/10 overlap with the exact
+    * float-dot top-10. The oracle replays the per-dim scale fit, the
+    * `floor(x/s·127+½)` quantization, the integer dots, both rankings,
+    * and the overlap — any quantization or tie-break slip breaks the
+    * hash. */
+  private def qSq8TopK(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val sq = graft.ops.ScalarQuant.sq8TopK(corpus, queries, 10)
+    val exact = corpus
+      .crossJoin(broadcast(
+        queries.select(col("query_id"), col("embedding").as("q_emb"))))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions
+          .vecDot(col("q_emb"), col("embedding")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    val exactTop = exact.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 10).select(col("query_id"), col("vec_id"))
+    val overlap = sq.join(exactTop, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    sq.join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot_q"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= 7L).as("recall_ok"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Sentence tail grafted by the q118 minting — five ≥3-word lines each
+    * ending in a terminal mark, so a doc carrying it passes the C4
+    * sentence floor. Shared with the generated oracle SQL. */
+  private val c4SentTail: String =
+    "one two three four.\nfive six seven eight!\n" +
+      "nine ten eleven twelve?\nthis line ends well.\nthe last line here."
+
+  /** C4 filter battery (q118): the published page/line cleaning rules
+    * (Raffel et al. 2020 §2.2, [[graft.ops.TextAnalysis.c4Report]]) over
+    * minted rule-class docs — one violation class per doc_id mod 6
+    * (plain no-sentence text, passing tail, lorem ipsum, curly brace, a
+    * dropped javascript line, a blocklist word). The oracle recomputes
+    * the minting AND every rule with list/regex ops, comparing counts,
+    * flags, the keep verdict, and the surviving rejoined text. */
+  private def qC4Rules(s: SparkSession, d: String): DataFrame = {
+    val shape = pmod(col("doc_id"), lit(6))
+    val minted = when(shape === 1, concat(col("text"), lit("\n" + c4SentTail)))
+      .when(shape === 2, concat(col("text"),
+        lit("\n" + c4SentTail + "\nmore lorem ipsum filler text.")))
+      .when(shape === 3, concat(col("text"),
+        lit("\n" + c4SentTail + "\nconfig { width: 10 }")))
+      .when(shape === 4, concat(col("text"),
+        lit("\njavascript must be enabled to view this.\n" + c4SentTail)))
+      .when(shape === 5, concat(col("text"),
+        lit("\n" + c4SentTail + "\nthis mentions badword openly.")))
+      .otherwise(col("text"))
+    TextAnalysis.c4Report(
+      t(s, d, "documents").select(col("doc_id"), minted.as("text")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Classifier evaluation (q107): Mann-Whitney AUC + decile calibration
     * ([[graft.ops.ClassifierEval]]) over deterministic hash scores on
     * the 1/1000 grid with 1-in-7 label noise — every number is
@@ -2964,7 +3054,10 @@ object SparkEntry {
     "q112_priority_dedup" -> (qPriorityDedup _),
     "q113_langid_trained" -> (qLangIdTrained _),
     "q114_unigram_train_prunes" -> (qUnigramTrainPrunes _),
-    "q115_unigram_tokens" -> (qUnigramTokens _))
+    "q115_unigram_tokens" -> (qUnigramTokens _),
+    "q116_bm25_topk" -> (qBm25TopK _),
+    "q117_sq8_ann" -> (qSq8TopK _),
+    "q118_c4_rules" -> (qC4Rules _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -4343,5 +4436,128 @@ object SparkEntry {
               'spark','stream','table','the','value','vector','window'))) = 0
              AS all_vocab,
            true AS uni_ok
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "q116_bm25_topk" -> {
+      val qVals = bm25Queries
+        .map { case (i, q) => s"($i, '$q')" }.mkString(", ")
+      s"""WITH q(query_id, qtext) AS (VALUES $qVals),
+         d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+         post AS (SELECT doc_id, term, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+                  WHERE term <> '' GROUP BY 1, 2),
+         dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+         stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+                   FROM d),
+         qt AS (SELECT DISTINCT query_id, term FROM
+                  (SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+                   FROM q) u WHERE term <> ''),
+         sc AS (SELECT qt.query_id, post.doc_id,
+                  count(*) AS n_hits,
+                  sum(CAST(floor(
+                    ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+                      * CAST(post.tf AS DOUBLE) * (1.2 + 1.0)
+                      / (CAST(post.tf AS DOUBLE)
+                         + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                      * 1000000.0 + 0.5) AS BIGINT)) AS score_q6
+                FROM post JOIN qt USING (term) JOIN dl USING (doc_id)
+                     CROSS JOIN stats JOIN dfs ON post.term = dfs.term
+                GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, n_hits, score_q6,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_q6 DESC, doc_id) AS rank
+               FROM sc)
+         SELECT query_id, rank, doc_id, n_hits,
+           CAST(score_q6 AS DOUBLE) / 1000000.0 AS score
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+    },
+    // dim 64 pinned by the fixture (TESTDATA.md); the Spark side reads it
+    // from the data, the oracle iterates the literal grid
+    "q117_sq8_ann" ->
+      """WITH s AS (SELECT i,
+                 greatest(max(abs(CAST(embedding[i] AS DOUBLE))), 1e-30) AS sv
+               FROM embeddings, generate_series(1, 64) t(i) GROUP BY i),
+         sl AS (SELECT list(sv ORDER BY i) AS sl FROM s),
+         cq AS (SELECT vec_id,
+                  list_transform(list_zip(embedding, (SELECT sl FROM sl)),
+                    x -> CAST(floor(CAST(x[1] AS DOUBLE) / x[2] * 127.0
+                                    + 0.5) AS INT)) AS qv
+                FROM embeddings),
+         qq AS (SELECT vec_id AS query_id, qv AS qqv FROM cq
+                WHERE vec_id % 100 = 0),
+         dots AS (SELECT qq.query_id, cq.vec_id,
+                    CAST(list_sum(list_transform(list_zip(qq.qqv, cq.qv),
+                      x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT) AS dot_q
+                  FROM cq, qq),
+         sqr AS (SELECT query_id, vec_id, dot_q,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY dot_q DESC, vec_id) AS rank
+                 FROM dots),
+         sqt AS (SELECT * FROM sqr WHERE rank <= 10),
+         ex AS (SELECT q.vec_id AS query_id, c.vec_id,
+                  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot
+                FROM embeddings c,
+                     (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q),
+         exr AS (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY dot DESC, vec_id) AS r
+                 FROM ex),
+         ext AS (SELECT query_id, vec_id FROM exr WHERE r <= 10),
+         ov AS (SELECT sqt.query_id, count(*) AS n_overlap
+                FROM sqt JOIN ext ON sqt.query_id = ext.query_id
+                                 AND sqt.vec_id = ext.vec_id
+                GROUP BY 1)
+         SELECT sqt.query_id, rank, vec_id, dot_q,
+           coalesce(ov.n_overlap, 0) AS n_overlap,
+           coalesce(ov.n_overlap, 0) >= 7 AS recall_ok
+         FROM sqt LEFT JOIN ov ON sqt.query_id = ov.query_id
+         ORDER BY sqt.query_id, rank""",
+    "q118_c4_rules" -> {
+      val tail = c4SentTail.replace("\n", "\\n")
+      val block = TextAnalysis.c4Blockwords
+        .map(w =>
+          s"regexp_matches(lower(text), '(^|[^a-z])$w([^a-z]|$$)')")
+        .mkString("(", " OR ", ")")
+      s"""WITH m AS (SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 1 THEN text || e'\\n$tail'
+               WHEN 2 THEN text ||
+                 e'\\n$tail\\nmore lorem ipsum filler text.'
+               WHEN 3 THEN text || e'\\n$tail\\nconfig { width: 10 }'
+               WHEN 4 THEN text ||
+                 e'\\njavascript must be enabled to view this.\\n$tail'
+               WHEN 5 THEN text ||
+                 e'\\n$tail\\nthis mentions badword openly.'
+               ELSE text END AS text
+           FROM documents),
+         r AS (SELECT doc_id, text,
+                 string_split(text, chr(10)) AS lines,
+                 list_filter(string_split(text, chr(10)), l ->
+                   regexp_matches(l, '[.!?"]$$')
+                   AND len(string_split(l, ' ')) >= 3
+                   AND NOT contains(lower(l), 'javascript')) AS kept
+               FROM m),
+         t2 AS (SELECT doc_id,
+                  CAST(len(lines) AS INT) AS n_lines,
+                  CAST(len(kept) AS INT) AS n_kept_lines,
+                  -- array_to_string of an EMPTY list is NULL in DuckDB
+                  -- where Spark's array_join gives '' — coalesce both uses
+                  CAST(len(regexp_extract_all(
+                    coalesce(array_to_string(kept, chr(10)), ''),
+                    '[.!?]')) AS INT) AS n_sentences,
+                  contains(lower(text), 'lorem ipsum') AS has_lorem,
+                  contains(text, '{') AS has_brace,
+                  $block AS has_blockword,
+                  coalesce(array_to_string(kept, chr(10)), '') AS kept_text
+                FROM r)
+         SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+           has_brace, has_blockword,
+           (n_sentences >= 5 AND NOT has_lorem AND NOT has_brace
+            AND NOT has_blockword) AS keep,
+           kept_text
+         FROM t2 ORDER BY doc_id"""
+    })
 }

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval: Okapi BM25 (Robertson et al., TREC-3 1994)
+  * with the non-negative idf variant Lucene ships,
+  * `idf = ln(1 + (N − df + ½)/(df + ½))` — the retrieval primitive an
+  * LLM-data pipeline runs for benchmark decontamination lookups,
+  * targeted corpus audits ("show me what we have about X"), and
+  * hard-negative mining.
+  *
+  * Scale shape — the distributed inverted index, expressed relationally:
+  * the posting list `(term, doc_id, tf)` is one explode + hash agg over
+  * the corpus; document frequencies are a second map-combined agg over
+  * it (posting-list-sized input, term-sized output); `N` and `avgdl` are
+  * a 1-row agg. Scoring joins the query terms against the postings ON
+  * TERM — the work is proportional to the matched posting lists, never
+  * to the corpus, and parallelism is per-term (AQE broadcasts the query
+  * side; a planetary stop-term's posting list rides skew-join splitting).
+  * Top-k ranks within each query_id partition — never a global window.
+  *
+  * Determinism: per-(query, term, doc) contributions are quantized to
+  * integer millionths BEFORE the per-doc sum, so the score is an
+  * order-independent long sum and ranking ties break on the exact
+  * integer — a float sum would depend on reduction order across
+  * partitions.
+  */
+object Retrieval {
+
+  /** Posting lists `(term, doc_id, tf)` from single-space-tokenized
+    * `(doc_id, text)` — the corpus-side index build: one explode + one
+    * hash agg, map-side combined. */
+  def postings(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    .filter(col("term") =!= "")
+    .groupBy(col("term"), col("doc_id"))
+    .agg(count(lit(1)).as("tf"))
+
+  /** BM25 scores for every (query, matched doc) pair.
+    *
+    * @param docs    (doc_id, text)
+    * @param queries (query_id, qtext) — expected small (broadcast side).
+    * @param k1      term-frequency saturation (default 1.2)
+    * @param b       length normalization (default 0.75)
+    * @return (query_id, doc_id, n_hits, score_q6) where `n_hits` is the
+    *         number of distinct query terms matched and `score_q6` the
+    *         BM25 score in integer millionths (exact, order-independent).
+    */
+  def bm25Scores(
+      docs: DataFrame,
+      queries: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val post = postings(docs)
+    // df per term + corpus stats; ln() runs on the same integer inputs in
+    // any engine, so the quantized idf replays bit-for-bit cross-engine
+    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // exact long sum / count (not avg) so the double is engine-independent
+    val stats = docs
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val dl = docs.select(
+      col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
+    val qTerms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val contrib = idf * tfD * (lit(k1) + 1.0) /
+      (tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    post
+      .join(broadcast(qTerms), Seq("term")) // inverted-index probe
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(dfs, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        sum(floor(contrib * lit(1e6) + lit(0.5)).cast("long")).as("score_q6"))
+  }
+
+  /** Top-k retrieval: `k` best docs per query by exact quantized score,
+    * doc_id tie-break. Ranks within each query_id partition.
+    *
+    * @return (query_id, rank, doc_id, n_hits, score) — score back in
+    *         double form, exact at 6 dp. */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q6").desc, col("doc_id"))
+    bm25Scores(docs, queries, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_hits"),
+        (col("score_q6").cast("double") / 1e6).as("score"))
+  }
+}

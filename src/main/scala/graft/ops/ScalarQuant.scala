@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar (int8) quantization for embeddings — the SQ member of the ANN
+  * family (beside brute-force q22, sign-LSH q23, IVF q32, PQ q76, IVF-PQ
+  * q77; Faiss's `SQ8` / Jégou et al.'s scalar baseline): each dimension
+  * is mapped independently to a signed byte under a per-dimension
+  * symmetric scale, cutting vector bytes 4× (float32 → int8) while
+  * keeping distances a pure integer dot product.
+  *
+  * Scale shape: the scale model is ONE map-combined hash agg over the
+  * exploded dimensions (d rows out regardless of corpus size — 64 values
+  * to the driver, the centroid-collect precedent), quantization is a
+  * per-row `transform` over a broadcast literal array, and search is an
+  * integer dot against the quantized corpus — 4× less memory bandwidth
+  * than the float scan, no shuffle beyond the per-query top-k window.
+  *
+  * Determinism: quantization is `floor(x/s·127 + ½)` on IEEE doubles —
+  * identical in any engine given the same floats (no locale/rounding-mode
+  * dependence, unlike a half-even `round`) — and the search dot is an
+  * exact long sum, so results are bit-reproducible cross-engine.
+  */
+object ScalarQuant {
+
+  /** Per-dimension symmetric scales: `absmax_i = max |x_i|` over the
+    * corpus, floored at 1e-30 so an all-zero dimension maps to 0 instead
+    * of NaN. Returns the d-element scale array (driver-side, bounded by
+    * the dimensionality — never corpus size). */
+  def fitScales(corpus: DataFrame): Array[Double] = {
+    val rows = corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(greatest(max(abs(col("v").cast("double"))), lit(1e-30)).as("s"))
+      .orderBy(col("pos"))
+      .collect()
+    rows.map(_.getDouble(1))
+  }
+
+  /** Quantized copy of `vecCol` under `scales`: int array in
+    * [-127, 127], `q_i = floor(x_i / s_i · 127 + ½)`. */
+  def quantize(vecCol: Column, scales: Array[Double]): Column = {
+    val sLit = array(scales.map(lit): _*)
+    zip_with(vecCol, sLit, (x, s) =>
+      floor(x.cast("double") / s * lit(127.0) + lit(0.5)).cast("int"))
+  }
+
+  /** Exact integer dot product of two quantized vectors (long — exact
+    * and order-independent, unlike a float sum). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Top-k search in the quantized space.
+    *
+    * @param corpus  (vec_id, embedding)
+    * @param queries (query_id, embedding) — small, broadcast.
+    * @return (query_id, rank, vec_id, dot_q) — `k` rows per query by
+    *         integer dot desc, vec_id tie-break. */
+  def sq8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      scalesOpt: Option[Array[Double]] = None): DataFrame = {
+    val scales = scalesOpt.getOrElse(fitScales(corpus))
+    val c = corpus.select(
+      col("vec_id"), quantize(col("embedding"), scales).as("c_q"))
+    val q = queries.select(
+      col("query_id"), quantize(col("embedding"), scales).as("q_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        intDot(col("q_q"), col("c_q")).as("dot_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot_q"))
+  }
+}

@@ -414,4 +414,59 @@ object TextAnalysis {
         .as("lang_guess"),
       fingerprint(col("text")).as("fp"))
   }
+
+  /** Placeholder blocklist for the C4 "bad word" page rule — the paper
+    * uses the public "List of Dirty, Naughty, Obscene..." list; the rule
+    * machinery (word-boundary match, page-level drop) is what matters
+    * here, so a benign stand-in keeps the fixture printable. */
+  val c4Blockwords: Seq[String] = Seq("badword", "blockedterm")
+
+  /** C4 heuristic filter battery (Raffel et al. 2020 §2.2 — the
+    * published page/line cleaning rules beside the Gopher battery q91).
+    * Line rules (a line survives iff ALL pass): ends in a terminal
+    * punctuation mark (`.` `!` `?` `"`); has ≥ 3 space-separated words;
+    * does not mention "javascript" (case-insensitive). Page rules (the
+    * doc is dropped iff ANY fires): < `minSentences` sentences in the
+    * surviving text (sentence ≈ terminal-punct occurrence); contains
+    * "lorem ipsum" (case-insensitive); contains a curly brace; contains
+    * a blocklist word. The span-level dedup step of C4 is the verbatim
+    * spans operator (q85/q88), not re-implemented here.
+    *
+    * Scale shape: every column is a pure codegen expression (split +
+    * higher-order array functions + regexp counts) — per-row work only,
+    * no shuffle, no UDFs; one map stage that fuses into the scan, the
+    * gopherReport shape.
+    *
+    * @return (doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    *         has_brace, has_blockword, keep, kept_text) — `kept_text` is
+    *         the surviving lines rejoined (empty when no line survives),
+    *         so line-rule slips break the hash, not just the counts. */
+  def c4Report(docs: DataFrame, minSentences: Int = 5): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val lineKeep = (l: Column) =>
+      l.rlike("[.!?\"]$") &&
+        size(split(l, " ")) >= 3 &&
+        !lower(l).contains("javascript")
+    val kept = filter(lines, lineKeep)
+    val keptText = array_join(kept, "\n")
+    val lowered = lower(col("text"))
+    val hasBlock = c4Blockwords
+      .map(w => lowered.rlike("(^|[^a-z])" + w + "([^a-z]|$)"))
+      .reduce(_ || _)
+    docs.select(
+      col("doc_id"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept_lines"),
+      regexp_count(keptText, lit("[.!?]")).cast("int").as("n_sentences"),
+      lowered.contains("lorem ipsum").as("has_lorem"),
+      col("text").contains("{").as("has_brace"),
+      hasBlock.as("has_blockword"),
+      keptText.as("kept_text"))
+      .withColumn("keep",
+        col("n_sentences") >= minSentences &&
+          !col("has_lorem") && !col("has_brace") && !col("has_blockword"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        col("n_sentences"), col("has_lorem"), col("has_brace"),
+        col("has_blockword"), col("keep"), col("kept_text"))
+  }
 }

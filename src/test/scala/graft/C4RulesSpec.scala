@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+class C4RulesSpec extends SparkSpec {
+
+  private def report(texts: (Long, String)*) = {
+    import spark.implicits._
+    TextAnalysis.c4Report(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  private val fiveSentences =
+    "one two three here.\ntwo more words now!\nthird line of words?\n" +
+      "fourth line ends well.\nfifth and last line."
+
+  test("a five-terminal-sentence page passes every rule") {
+    val r = report(1L -> fiveSentences)(1L)
+    assert(r.getAs[Int]("n_lines") === 5)
+    assert(r.getAs[Int]("n_kept_lines") === 5)
+    assert(r.getAs[Int]("n_sentences") === 5)
+    assert(r.getAs[Boolean]("keep"))
+    assert(r.getAs[String]("kept_text") === fiveSentences)
+  }
+
+  test("line rules: no terminal punct, < 3 words, and javascript all drop") {
+    val text = fiveSentences +
+      "\nno terminal punct here\nshort one.\nthis javascript line ends."
+    val r = report(1L -> text)(1L)
+    assert(r.getAs[Int]("n_lines") === 8)
+    assert(r.getAs[Int]("n_kept_lines") === 5) // the three offenders drop
+    assert(r.getAs[String]("kept_text") === fiveSentences)
+    assert(r.getAs[Boolean]("keep")) // dropped lines don't kill the page
+  }
+
+  test("page rules: sentence floor, lorem ipsum, brace, blockword") {
+    val rs = report(
+      1L -> "too few sentences here.\nonly two of them!",
+      2L -> (fiveSentences + "\nsome Lorem Ipsum boilerplate."),
+      3L -> (fiveSentences + "\nvar x = { a: 1 }"),
+      4L -> (fiveSentences + "\nthis has badword inside."))
+    assert(!rs(1L).getAs[Boolean]("keep"))
+    assert(rs(1L).getAs[Int]("n_sentences") === 2)
+    assert(!rs(2L).getAs[Boolean]("keep") && rs(2L).getAs[Boolean]("has_lorem"))
+    assert(!rs(3L).getAs[Boolean]("keep") && rs(3L).getAs[Boolean]("has_brace"))
+    assert(!rs(4L).getAs[Boolean]("keep") &&
+      rs(4L).getAs[Boolean]("has_blockword"))
+  }
+
+  test("blockword matches whole words only, not substrings") {
+    val rs = report(
+      1L -> (fiveSentences + "\nthe word badwords is different."),
+      2L -> (fiveSentences + "\nBADWORD shouts in caps."))
+    assert(!rs(1L).getAs[Boolean]("has_blockword")) // 'badwords' ≠ 'badword'
+    assert(rs(2L).getAs[Boolean]("has_blockword"))  // case-insensitive
+  }
+
+  test("a page with no surviving lines reports empty kept_text, keep=false") {
+    val r = report(1L -> "just words with no punctuation at all")(1L)
+    assert(r.getAs[Int]("n_kept_lines") === 0)
+    assert(r.getAs[Int]("n_sentences") === 0)
+    assert(r.getAs[String]("kept_text") === "")
+    assert(!r.getAs[Boolean]("keep"))
+  }
+}

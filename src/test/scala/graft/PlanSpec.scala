@@ -277,6 +277,30 @@ class PlanSpec extends SparkSpec {
       s"no product joins:\n$p")
   }
 
+  test("q116 BM25 broadcasts the query terms against the postings — no product") {
+    val p = plan("q116_bm25_topk")
+    assert(p.contains("Broadcast"),
+      s"query terms must broadcast against the posting lists:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian between queries and the corpus:\n$p")
+  }
+
+  test("q117 SQ8 broadcasts the probe side, never shuffle-joins the corpus scan") {
+    val p = plan("q117_sq8_ann")
+    assert(p.contains("Broadcast"),
+      s"probe vectors must broadcast against the quantized corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product in the scoring scan:\n$p")
+  }
+
+  test("q118 C4 battery is map-only: no join, no window, no hash shuffle") {
+    val p = plan("q118_c4_rules")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the rule battery must stay a pure map stage:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"no hash exchange — only the final presentation sort:\n$p")
+  }
+
   test("no query plans a partition-less Window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+
+  private def docs3 = {
+    import spark.implicits._
+    Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b")).toDF("doc_id", "text")
+  }
+
+  test("bm25 matches the hand-computed Okapi formula (Lucene idf)") {
+    import spark.implicits._
+    val q = Seq((0, "a b")).toDF("query_id", "qtext")
+    val got = Retrieval.bm25Scores(docs3, q)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // N=3, avgdl=8/3; df(a)=2, df(b)=2 → idf=ln(1+1.5/2.5)
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    def contrib(tf: Long, dl: Double): Double =
+      idf * tf * (1.2 + 1.0) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (8.0 / 3.0)))
+    def q6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    assert(got(1L) === q6(contrib(2, 3)) + q6(contrib(1, 3))) // a×2, b×1
+    assert(got(2L) === q6(contrib(1, 2)))                     // a×1
+    assert(got(3L) === q6(contrib(3, 3)))                     // b×3
+  }
+
+  test("n_hits counts DISTINCT matched query terms") {
+    import spark.implicits._
+    val q = Seq((0, "a a b")).toDF("query_id", "qtext")
+    val hits = Retrieval.bm25Scores(docs3, q)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(hits(1L) === 2L) // a and b, not a twice
+    assert(hits(2L) === 1L)
+    assert(hits(3L) === 1L)
+  }
+
+  test("top-k ranks by score desc with doc_id tie-break; k bounds rows") {
+    import spark.implicits._
+    // identical docs → identical scores → tie broken on doc_id ascending
+    val d = Seq((5L, "a b"), (2L, "a b"), (9L, "c c")).toDF("doc_id", "text")
+    val q = Seq((0, "a")).toDF("query_id", "qtext")
+    val top = Retrieval.bm25TopK(d, q, k = 2)
+      .orderBy(col("rank")).collect()
+    assert(top.length === 2)
+    assert(top.map(_.getLong(2)).toSeq === Seq(2L, 5L))
+    assert(top.map(_.getInt(1)).toSeq === Seq(1, 2))
+  }
+
+  test("unmatched docs and unknown query terms produce no rows") {
+    import spark.implicits._
+    val q = Seq((0, "zzz")).toDF("query_id", "qtext")
+    assert(Retrieval.bm25Scores(docs3, q).count() === 0L)
+    val q2 = Seq((1, "c")).toDF("query_id", "qtext")
+    val rows = Retrieval.bm25Scores(docs3, q2).collect()
+    assert(rows.map(_.getLong(1)).toSeq === Seq(2L)) // only d2 has c
+  }
+
+  test("scores are positive and higher tf at equal length scores higher") {
+    import spark.implicits._
+    val d = Seq((1L, "a x x"), (2L, "a a x")).toDF("doc_id", "text")
+    val q = Seq((0, "a")).toDF("query_id", "qtext")
+    val s = Retrieval.bm25Scores(d, q)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(s(2L) > s(1L) && s(1L) > 0L)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ScalarQuant
+
+class ScalarQuantSpec extends SparkSpec {
+
+  test("fitScales is the per-dimension absolute max") {
+    import spark.implicits._
+    val c = Seq(
+      (1L, Seq(2.0f, -4.0f)),
+      (2L, Seq(-3.0f, 1.0f))).toDF("vec_id", "embedding")
+    assert(ScalarQuant.fitScales(c).toSeq === Seq(3.0, 4.0))
+  }
+
+  test("quantize is floor(x/s*127 + 1/2), symmetric in [-127, 127]") {
+    import spark.implicits._
+    val c = Seq(
+      (1L, Seq(2.0f, -4.0f)),
+      (2L, Seq(-3.0f, 1.0f))).toDF("vec_id", "embedding")
+    val s = ScalarQuant.fitScales(c)
+    val q = c.select(col("vec_id"),
+      ScalarQuant.quantize(col("embedding"), s).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // d1: floor(2/3*127+.5)=85, floor(-4/4*127+.5)=floor(-126.5)=-127
+    assert(q(1L) === Seq(85, -127))
+    // d2: floor(-3/3*127+.5)=-127, floor(1/4*127+.5)=floor(32.25)=32
+    assert(q(2L) === Seq(-127, 32))
+  }
+
+  test("intDot is the exact integer dot product") {
+    import spark.implicits._
+    val df = Seq((Seq(127, -127, 3), Seq(127, 127, -2))).toDF("a", "b")
+    val d = df.select(ScalarQuant.intDot(col("a"), col("b"))).head.getLong(0)
+    assert(d === 127L * 127 - 127L * 127 - 6L)
+  }
+
+  test("an all-zero dimension quantizes to 0, not NaN") {
+    import spark.implicits._
+    val c = Seq((1L, Seq(0.0f, 5.0f))).toDF("vec_id", "embedding")
+    val s = ScalarQuant.fitScales(c)
+    assert(s(0) === 1e-30)
+    val q = c.select(ScalarQuant.quantize(col("embedding"), s))
+      .head.getSeq[Int](0)
+    assert(q === Seq(0, 127))
+  }
+
+  test("sq8TopK: a corpus vector queried against itself ranks first") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = ScalarQuant.sq8TopK(corpus, queries, 5)
+    val first = top.filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(first.size === 3)
+    first.foreach { case (q, v) => assert(q === v, s"query $q top-1 was $v") }
+    // exactly k rows per query, ranks 1..k
+    val byQ = top.collect().groupBy(_.getLong(0))
+    byQ.values.foreach(rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 5)))
+  }
+
+  test("quantized ranking tracks the exact float-dot ranking closely") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Seq.tabulate(80)(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val corpus = base.toDF("vec_id", "embedding")
+    val queries = corpus.limit(3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val sq = ScalarQuant.sq8TopK(corpus, queries, 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    // exact top-10 by double dot, computed driver-side
+    val vecs = base.toMap
+    val exact = queries.collect().map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1)
+      qid -> base.map { case (id, v) =>
+        (id, v.zip(qv).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+      }.sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSet
+    }.toMap
+    assert(vecs.size === 80)
+    exact.foreach { case (q, ex) =>
+      assert(sq(q).intersect(ex).size >= 7,
+        s"query $q overlap ${sq(q).intersect(ex).size}")
+    }
+  }
+}
