@@ -292,6 +292,11 @@ object Bench {
       "q78_chunking", "q79_sequence_pack", "q80_data_card",
       "q90_lm_score", "q91_gopher_rules", "q92_mixture_select",
       "q95_incremental_dedup", "q100_drift_psi",
+      // round-10 additions: all three are the bare operator (no embedded
+      // quadratic conformance mirror) — split is one content-key shuffle,
+      // top-ngrams the two-stage postings agg, normalize-dedup a map
+      // kernel + one dedup join; each should ladder ≈ linear
+      "q119_leakfree_split", "q120_top_ngrams", "q121_normalize_dedup",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -2133,6 +2133,73 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-free train/val/test split (q119): deterministic
+    * content-keyed split assignment
+    * ([[graft.ops.Curation.leakFreeSplit]]) over minted duplicate
+    * groups — five docs share each content key, so a row-id split WOULD
+    * leak, and the content-keyed one structurally cannot. The canonical
+    * id is hashed with the arithmetic both engines compute identically;
+    * the oracle replays grouping, hashing, the cumulative 80/10/10
+    * bucket cuts, the per-split counts/id-checksum, and the leak audit
+    * (`leaked` must be 0). */
+  private def qLeakFreeSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(
+      col("doc_id"), col("source"),
+      concat(lit("grp "), floor(col("doc_id") / lit(5)).cast("long"))
+        .as("key"))
+    val assigned = Curation.leakFreeSplit(
+      docs, col("key"), col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      c => pmod(c * lit(2654435761L), lit(Curation.SplitBuckets)))
+    Curation.splitReport(assigned, col("key"), col("doc_id"))
+      .orderBy(col("split"))
+  }
+
+  /** WIMBD corpus n-gram analytics (q120, Elazar et al. 2023): the
+    * exact top-20 corpus trigrams with occurrence count, document
+    * frequency, and ppm share ([[graft.ops.TextAnalysis.topNgrams]]).
+    * The oracle replays the explode, the two-stage postings
+    * aggregation, the share arithmetic, and the (count desc, ngram)
+    * total order. */
+  private def qTopNgrams(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.topNgrams(
+      t(s, d, "documents"), col("doc_id"), col("text"), n = 3, k = 20)
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+
+  /** Normalization-keyed exact dedup (q121): five classes of
+    * byte-level noise that defeat raw exact hashing — doubled spaces,
+    * NBSP substitution, zero-width insertion, control-char framing,
+    * typographic quote/dash swaps — are minted onto copies of every
+    * doc; keyed on [[graft.functions.NormalizeFunctions.normalizeText]]
+    * every mutant must rejoin its base (`all_matched` per class). The
+    * oracle replays BOTH the minting and the full four-stage
+    * normalization contract as a regexp_replace chain, so the kernel's
+    * drop/map/collapse/trim classes are pinned cross-engine on
+    * arbitrary fixture text, not just on the minted noise. */
+  private def qNormalizeDedup(s: SparkSession, d: String): DataFrame = {
+    val norm = graft.functions.NormalizeFunctions.normalizeText _
+    val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val cls = pmod(col("doc_id"), lit(5))
+    val mutated = // NBSP / ZWSP / BEL / RSQUO / EN-DASH, escape-spelled
+      when(cls === 0, regexp_replace(col("text"), " ", "  "))
+        .when(cls === 1, regexp_replace(col("text"), " ", "\u00A0"))
+        .when(cls === 2, regexp_replace(col("text"), " ", " \u200B"))
+        .when(cls === 3, concat(lit("\t"), col("text"), lit(" \u0007")))
+        .otherwise(regexp_replace(
+          regexp_replace(col("text"), "'", "\u2019"), "-", "\u2013"))
+    val baseNorm = base.select(norm(col("text")).as("norm")).distinct()
+      .withColumn("__hit", lit(1L))
+    base
+      .select(cls.as("mutation_class"), norm(mutated).as("norm"))
+      .join(baseNorm, Seq("norm"), "left")
+      .groupBy(col("mutation_class"))
+      .agg(
+        count(lit(1)).as("n_mutants"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+      .withColumn("all_matched", col("n_mutants") === col("n_matched"))
+      .orderBy(col("mutation_class"))
+  }
+
   /** Classifier evaluation (q107): Mann-Whitney AUC + decile calibration
     * ([[graft.ops.ClassifierEval]]) over deterministic hash scores on
     * the 1/1000 grid with 1-in-7 label noise — every number is
@@ -3057,7 +3124,10 @@ object SparkEntry {
     "q115_unigram_tokens" -> (qUnigramTokens _),
     "q116_bm25_topk" -> (qBm25TopK _),
     "q117_sq8_ann" -> (qSq8TopK _),
-    "q118_c4_rules" -> (qC4Rules _))
+    "q118_c4_rules" -> (qC4Rules _),
+    "q119_leakfree_split" -> (qLeakFreeSplit _),
+    "q120_top_ngrams" -> (qTopNgrams _),
+    "q121_normalize_dedup" -> (qNormalizeDedup _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -4559,5 +4629,90 @@ object SparkEntry {
             AND NOT has_blockword) AS keep,
            kept_text
          FROM t2 ORDER BY doc_id"""
-    })
+    },
+    "q119_leakfree_split" ->
+      """WITH k AS (SELECT doc_id, source,
+               'grp ' || CAST(doc_id // 5 AS VARCHAR) AS key
+             FROM documents),
+         c AS (SELECT key, min(doc_id) AS canon FROM k GROUP BY 1),
+         b AS (SELECT key,
+                 ((canon * 2654435761) % 1000000 + 1000000) % 1000000
+                   AS bkt
+               FROM c),
+         a AS (SELECT k.doc_id, k.key,
+                 CASE WHEN b.bkt < 800000 THEN 'train'
+                      WHEN b.bkt < 900000 THEN 'val'
+                      ELSE 'test' END AS split
+               FROM k JOIN b USING (key)),
+         leak AS (SELECT count(*) AS leaked FROM
+                   (SELECT key FROM a GROUP BY key
+                    HAVING count(DISTINCT split) > 1) t)
+         SELECT split, count(*) AS n_docs,
+           count(DISTINCT key) AS n_keys,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           (SELECT leaked FROM leak) AS leaked
+         FROM a GROUP BY split ORDER BY split""",
+    "q120_top_ngrams" ->
+      """WITH d AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS ws
+             FROM documents),
+         g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS ngram
+               FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1,
+                         greatest(len(ws) - 2, 0))) AS i
+                     FROM d)),
+         pc AS (SELECT ngram, doc_id, count(*) AS tf FROM g GROUP BY 1, 2),
+         agg AS (SELECT ngram, CAST(sum(tf) AS BIGINT) AS n_occurrences,
+                   count(*) AS n_docs
+                 FROM pc GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS tot FROM agg),
+         r AS (SELECT ngram, n_occurrences, n_docs,
+                 CAST(floor(n_occurrences * 1000000.0 /
+                   greatest((SELECT tot FROM tot), 1)) AS BIGINT)
+                   AS share_ppm,
+                 row_number() OVER (ORDER BY n_occurrences DESC, ngram)
+                   AS rn
+               FROM agg)
+         SELECT ngram, n_occurrences, n_docs, share_ppm
+         FROM r WHERE rn <= 20 ORDER BY n_occurrences DESC, ngram""",
+    // the four-stage normalize_text contract replayed verbatim:
+    // 1 drop invisibles, 2 map quote/dash classes, 3 collapse
+    // whitespace runs, 4 trim — RE2 \x{hex} classes, chr() literals
+    "q121_normalize_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         m AS (SELECT doc_id % 5 AS mutation_class,
+                 CASE CAST(doc_id % 5 AS INT)
+                   WHEN 0 THEN replace(text, ' ', '  ')
+                   WHEN 1 THEN replace(text, ' ', chr(160))
+                   WHEN 2 THEN replace(text, ' ', ' ' || chr(8203))
+                   WHEN 3 THEN chr(9) || text || ' ' || chr(7)
+                   ELSE replace(replace(text, chr(39), chr(8217)),
+                                '-', chr(8211))
+                 END AS text
+               FROM base),
+         bn AS (SELECT DISTINCT trim(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace(text,
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{00AD}\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+                    '[\x{2018}-\x{201B}]', chr(39), 'g'),
+                    '[\x{201C}-\x{201F}]', '"', 'g'),
+                    '[\x{2010}-\x{2015}\x{2212}]', '-', 'g'),
+                    '[\t\n\r \x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+', ' ', 'g'))
+                  AS norm
+                FROM base),
+         mn AS (SELECT mutation_class, trim(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace(text,
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{00AD}\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+                    '[\x{2018}-\x{201B}]', chr(39), 'g'),
+                    '[\x{201C}-\x{201F}]', '"', 'g'),
+                    '[\x{2010}-\x{2015}\x{2212}]', '-', 'g'),
+                    '[\t\n\r \x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+', ' ', 'g'))
+                  AS norm
+                FROM m)
+         SELECT mutation_class, count(*) AS n_mutants,
+           CAST(sum(CASE WHEN bn.norm IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_matched,
+           count(*) = sum(CASE WHEN bn.norm IS NOT NULL THEN 1 ELSE 0 END)
+             AS all_matched
+         FROM mn LEFT JOIN bn ON mn.norm = bn.norm
+         GROUP BY mutation_class ORDER BY mutation_class""")
 }

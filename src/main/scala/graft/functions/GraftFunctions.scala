@@ -148,6 +148,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "rand_letters",
       es => RandLetters(Cast(es.head, LongType), Cast(es(1), IntegerType)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "normalize_text",
+      es => NormalizeText(Cast(es.head, StringType)), "built-in")
     // ClickHouse spelling the reference SQL uses: `currentDatabase()`
     // (Spark calls it current_database) — a pure alias, safe to leave
     // registered session-wide. The zero-arg `count()` spelling shadows a

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text normalization ahead of fingerprinting — the canonicalization
+  * pass every exact-dedup pipeline runs before hashing (C4 and
+  * RefinedWeb both normalize whitespace/punctuation before their
+  * dedup keys; without it, a stray U+00A0 makes two byte-different
+  * "duplicates" that no exact hash can join).
+  *
+  * The contract is a fixed, engine-replayable four-stage pipeline,
+  * executed in ONE code-point pass (the stages commute into it because
+  * the drop class, the map class, and the whitespace class are
+  * pairwise disjoint and the mapped outputs are never whitespace):
+  *
+  *  1. DROP invisible noise: C0 controls except `\t \n \r`, DEL
+  *     (U+007F), soft hyphen (U+00AD), zero-widths U+200B–U+200D, BOM
+  *     (U+FEFF).
+  *  2. MAP typographic variants to ASCII: single-quote family
+  *     U+2018–U+201B → `'`; double-quote family U+201C–U+201F → `"`;
+  *     hyphen/dash family U+2010–U+2015 and minus U+2212 → `-`.
+  *  3. COLLAPSE every whitespace run to one space; the whitespace
+  *     class is space, `\t \n \r`, NBSP (U+00A0), U+2000–U+200A,
+  *     U+202F, U+205F, U+3000.
+  *  4. TRIM leading/trailing whitespace.
+  *
+  * Each stage is expressible as a regexp_replace chain, so a SQL
+  * engine replays the whole function verbatim (the q121 oracle does).
+  * Case is PRESERVED — fold separately when wanted; NFC/NFKC proper is
+  * deliberately out of scope (locale tables change across Unicode
+  * versions; this contract never will).
+  */
+object NormImpl {
+
+  private def isDrop(cp: Int): Boolean =
+    (cp < 0x20 && cp != '\t' && cp != '\n' && cp != '\r') ||
+      cp == 0x7f || cp == 0xad ||
+      (cp >= 0x200b && cp <= 0x200d) || cp == 0xfeff
+
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == 0xa0 ||
+      (cp >= 0x2000 && cp <= 0x200a) || cp == 0x202f || cp == 0x205f ||
+      cp == 0x3000
+
+  /** ASCII image of a mapped code point, or -1 when the code point is
+    * not in the map class. */
+  private def mapAscii(cp: Int): Int = cp match {
+    case 0x2018 | 0x2019 | 0x201a | 0x201b => '\''
+    case 0x201c | 0x201d | 0x201e | 0x201f => '"'
+    case 0x2010 | 0x2011 | 0x2012 | 0x2013 | 0x2014 | 0x2015 | 0x2212 => '-'
+    case _ => -1
+  }
+
+  def normalizeText(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pending = false // a whitespace run is open and output is non-empty
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (isDrop(cp)) ()
+      else if (isWs(cp)) { if (sb.length > 0) pending = true }
+      else {
+        if (pending) { sb.append(' '); pending = false }
+        val m = mapAscii(cp)
+        if (m >= 0) sb.append(m.toChar) else sb.appendCodePoint(cp)
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `normalize_text(s)` — the dedup-canonicalization kernel above as a
+  * native codegen expression (one static call per row, stays inside
+  * whole-stage codegen; a UDF here would put a SerDe boundary in front
+  * of every fingerprint). */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  // input contract: StringType (the Column wrapper casts)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    NormImpl.normalizeText(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormImpl.normalizeText($c)")
+  override protected def withNewChildInternal(c: Expression): NormalizeText =
+    copy(c)
+  override def prettyName: String = "normalize_text"
+}
+
+object NormalizeFunctions {
+  /** Column API: normalize `c` per the [[NormImpl]] contract. */
+  def normalizeText(c: Column): Column =
+    column(NormalizeText(expression(c.cast("string"))))
+}

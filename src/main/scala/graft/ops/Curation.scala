@@ -519,4 +519,95 @@ object Curation {
         coalesce(graft.functions.DomainFunctions.registrableDomain(urlCol), urlCol)),
       col("__dom"), cap, orderCol)
       .drop("__dom")
+
+  /** Leakage-free train/val/test split — the data-split primitive every
+    * training pipeline needs: assign each document to a named split by a
+    * deterministic hash of its CONTENT key, never its row id, so
+    * byte-identical duplicates can never straddle a split boundary (the
+    * classic train/test leak of row-id splitting over an undeduplicated
+    * corpus; Lee et al. 2022 §6.2 measure exactly this overlap in C4).
+    * The hash is keyed on the content group's canonical id (min doc id
+    * over the group), so every member of a duplicate group lands in the
+    * same split by construction, and re-running over a grown corpus
+    * keeps every already-assigned group in its split (the canonical id
+    * is stable under appends with fresh, larger ids).
+    *
+    * Fraction semantics: `fractions` are normalized and mapped onto
+    * `SplitBuckets` = 10⁶ contiguous hash buckets via exact cumulative
+    * integer cuts — so the realized shares are exact in the bucket
+    * measure and binomial in the key measure (no global count, no
+    * second pass).
+    *
+    * Scale shape: ONE shuffle on the content key (a min-id window over
+    * `partitionBy(keyCol)` — the same partition unit exact dedup uses;
+    * parallelism = distinct content keys), then map-only bucket
+    * arithmetic. No join, no driver state, nothing collected.
+    *
+    * @param bucket maps the canonical id to a bucket in [0, 10⁶) —
+    *        default `pmod(xxhash64(·), 10⁶)`; tests and cross-engine
+    *        oracles substitute an arithmetic hash both engines share.
+    * @return input rows + (`split_key_canon`, `split`) */
+  val SplitBuckets = 1000000L
+
+  def leakFreeSplit(
+      docs: DataFrame,
+      keyCol: Column,
+      idCol: Column,
+      fractions: Seq[(String, Double)],
+      bucket: Column => Column = c => pmod(xxhash64(c), lit(SplitBuckets)))
+      : DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be non-empty and positive")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      "split names must be distinct")
+    val total = fractions.map(_._2).sum
+    val cuts = fractions.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * SplitBuckets))
+    val withCanon = docs
+      .withColumn("split_key_canon",
+        min(idCol).over(Window.partitionBy(keyCol)))
+      .withColumn("__bkt", bucket(col("split_key_canon")))
+    val named = fractions.map(_._1).zip(cuts)
+    val splitExpr = named.dropRight(1)
+      .foldLeft(Option.empty[Column]) { case (acc, (name, cut)) =>
+        Some(acc match {
+          case Some(w) => w.when(col("__bkt") < cut, name)
+          case None    => when(col("__bkt") < cut, name)
+        })
+      }
+      .map(_.otherwise(lit(named.last._1)))
+      .getOrElse(lit(named.last._1))
+    withCanon.withColumn("split", splitExpr).drop("__bkt")
+  }
+
+  /** Per-split audit over a [[leakFreeSplit]] assignment: doc and
+    * distinct-key counts per split plus the corpus-wide leak count —
+    * content keys observed in more than one split, which
+    * [[leakFreeSplit]] makes structurally impossible (the column exists
+    * so a pipeline can assert `leaked = 0` relationally after any
+    * manual re-splitting). Two hash aggregations on the same content
+    * key + a broadcast 1-row join. */
+  def splitReport(
+      assigned: DataFrame,
+      keyCol: Column,
+      idCol: Column): DataFrame = {
+    // ONE corpus pass: collapse to per-(key, split) rows (≤ |keys| —
+    // corpus-scale only before this agg), checkpoint the tiny result so
+    // the per-split and leak branches don't each re-derive the full
+    // assignment lineage (scan + window) a second time
+    val perKeySplit = assigned
+      .groupBy(keyCol.as("__key"), col("split"))
+      .agg(count(lit(1)).as("__n"), sum(idCol).cast("long").as("__sum"))
+      .localCheckpoint()
+    val leak = perKeySplit.groupBy(col("__key"))
+      .agg(count(lit(1)).as("__ns"))
+      .agg(sum(when(col("__ns") > 1, 1L).otherwise(0L)).as("leaked"))
+    perKeySplit
+      .groupBy(col("split"))
+      .agg(
+        sum(col("__n")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_keys"),
+        sum(col("__sum")).cast("long").as("sum_ids"))
+      .crossJoin(broadcast(leak))
+  }
 }

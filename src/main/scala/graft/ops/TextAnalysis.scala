@@ -469,4 +469,68 @@ object TextAnalysis {
         col("n_sentences"), col("has_lorem"), col("has_brace"),
         col("has_blockword"), col("keep"), col("kept_text"))
   }
+
+  /** WIMBD-style corpus n-gram analytics (Elazar et al. 2023, "What's
+    * In My Big Data?"): the EXACT top-k most frequent word n-grams
+    * corpus-wide, with document frequency beside the raw occurrence
+    * count and an integer parts-per-million share of all n-gram
+    * occurrences — the first report WIMBD runs on every corpus it
+    * audits (and the input to boilerplate discovery: a trigram with
+    * df ≈ corpus size IS the template text line dedup strips).
+    *
+    * Scale shape: the n-gram explode is corpus-linear; the first
+    * aggregation keys on (ngram, doc) with map-side partial combine
+    * (within-doc repeats collapse before the shuffle), the second runs
+    * over the already-collapsed postings — the exact two-stage shape
+    * the BM25 postings build uses ([[Retrieval]]). Top-k is
+    * TakeOrderedAndProject (count desc, ngram asc — total order, no
+    * global sort materialized, no partition-less window). The total
+    * n-gram count rides a broadcast 1-row join. Exact counting at
+    * 100 TB shuffles the full distinct-(ngram, doc) relation once —
+    * WIMBD's own map-reduce shape; [[graft.ops.Frequency]]'s
+    * Misra-Gries sketch is the bounded-memory alternative when top-k,
+    * not exact df, is the question.
+    *
+    * @return exactly k rows: (ngram, n_occurrences, n_docs, share_ppm)
+    *         ordered by (n_occurrences desc, ngram asc). */
+  def topNgrams(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int,
+      k: Int): DataFrame = {
+    require(n >= 1, s"n-gram length must be >= 1, got $n")
+    require(k >= 1, s"top-k must be >= 1, got $k")
+    val words = filter(split(textCol, " "), w => w =!= "")
+    // sequence(1, 0) DESCENDS in Spark — guard the short-doc case
+    val grams = when(size(words) >= n,
+      transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val postings = docs
+      .select(idCol.as("__doc"), explode(grams).as("ngram"))
+      .groupBy(col("ngram"), col("__doc"))
+      .agg(count(lit(1)).as("__tf"))
+    val agg = postings
+      .groupBy(col("ngram"))
+      .agg(
+        sum(col("__tf")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+    // Σ occurrences ≡ Σ_doc max(0, |words|−n+1): a map-only 1-row agg
+    // over the corpus — NOT a second pass through the exploded n-gram
+    // lineage (which Spark would otherwise recompute wholesale just to
+    // total it)
+    val total = docs
+      .select(greatest(size(words) - (n - 1), lit(0)).as("__c"))
+      .agg(sum(col("__c")).cast("long").as("__total"))
+    agg.crossJoin(broadcast(total))
+      .select(
+        col("ngram"), col("n_occurrences"), col("n_docs"),
+        // double math: long·10⁶ would overflow past ~9·10¹² occurrences
+        floor(col("n_occurrences").cast("double") * lit(1000000.0) /
+          greatest(col("__total"), lit(1L))).cast("long").as("share_ppm"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{GraftFunctions, NormImpl, NormalizeFunctions}
+
+class NormalizeSpec extends SparkSpec {
+
+  private def norm(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t")
+      .select(NormalizeFunctions.normalizeText(col("t")))
+      .head.getString(0)
+  }
+
+  test("stage 1: invisible noise drops — controls, DEL, SHY, ZW, BOM") {
+    assert(norm("a\u0000b\u0007c") === "abc")
+    assert(norm("a\u007Fb") === "ab")
+    assert(norm("hy\u00ADphen") === "hyphen")
+    assert(norm("a\u200B\u200C\u200Db") === "ab")
+    assert(norm("\uFEFFbom") === "bom")
+    // tab/newline/CR are NOT dropped — they are whitespace (stage 3)
+    assert(norm("a\tb\nc\rd") === "a b c d")
+  }
+
+  test("stage 2: typographic quotes and dashes map to ASCII") {
+    assert(norm("‘a’ ‛a‚") === "'a' 'a'")
+    assert(norm("“q” „q‟") === "\"q\" \"q\"")
+    assert(norm("a–b—c‐d−e") === "a-b-c-d-e")
+  }
+
+  test("stage 3+4: whitespace runs collapse, ends trim") {
+    assert(norm("  a   b  ") === "a b")
+    assert(norm("a\u00A0b\u2003c\u202Fd\u205Fe\u3000f") === "a b c d e f")
+    assert(norm("\t\n  \r") === "")
+    assert(norm("") === "")
+  }
+
+  test("the stages compose: zero-width inside a whitespace run") {
+    // ZWSP drops FIRST, so the flanking spaces still form one run
+    assert(norm("a \u200B b") === "a b")
+    // dropped control at the end leaves nothing to keep the tail space
+    assert(norm("x \u0007") === "x")
+  }
+
+  test("case, letters, and astral code points are preserved") {
+    assert(norm("MiXeD CaSe") === "MiXeD CaSe")
+    assert(norm("café 中文") === "café 中文")
+    val emoji = new String(Character.toChars(0x1f600))
+    assert(norm(s"a ${emoji} b") === s"a ${emoji} b")
+  }
+
+  test("idempotence over a noise battery") {
+    val battery = Seq(
+      "a\u00A0b\u200B c’s “x” — y\u0007",
+      "  lots\t\tof\u3000noise \u00AD here  ",
+      "clean already")
+    battery.foreach { s =>
+      val once = norm(s)
+      assert(norm(once) === once, s"not idempotent on: $s")
+    }
+  }
+
+  test("interpreted eval matches the codegen column path") {
+    val cases = Seq("a\u00A0b", " x \u200By ", "‘q’", "")
+    cases.foreach { s =>
+      val interp = NormImpl.normalizeText(UTF8String.fromString(s)).toString
+      assert(interp === norm(s))
+    }
+  }
+
+  test("SQL registration: normalize_text reaches the same kernel") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT normalize_text('  a\u00A0b’c  ') AS n")
+      .head.getString(0)
+    assert(r === "a b'c")
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+
+class SplitSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "key")
+  }
+
+  test("every member of a duplicate group lands in the same split") {
+    // 40 content groups of 5 duplicates each — a row-id split WOULD leak
+    val d = docs(Seq.tabulate(200)(i => (i.toLong, s"grp ${i / 5}")))
+    val a = Curation.leakFreeSplit(
+      d, col("key"), col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val perKey = a.groupBy("key")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+    assert(perKey.count() === 0L)
+    assert(a.count() === 200L)
+  }
+
+  test("cumulative bucket cuts are exact at the boundaries") {
+    // bucket = the canonical id itself: 50/50 cuts at 500000
+    val d = docs(Seq(
+      (499999L, "a"), (500000L, "b"), (0L, "c"), (999999L, "d")))
+    val a = Curation.leakFreeSplit(
+      d, col("key"), col("doc_id"),
+      Seq("first" -> 0.5, "second" -> 0.5), identity)
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a(499999L) === "first")
+    assert(a(500000L) === "second")
+    assert(a(0L) === "first")
+    assert(a(999999L) === "second")
+  }
+
+  test("realized shares track the requested fractions") {
+    val d = docs(Seq.tabulate(5000)(i => (i.toLong, s"k$i")))
+    val a = Curation.leakFreeSplit(
+      d, col("key"), col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = a.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") / 5000.0 - 0.8) < 0.03)
+    assert(math.abs(counts.getOrElse("val", 0L) / 5000.0 - 0.1) < 0.03)
+    assert(math.abs(counts.getOrElse("test", 0L) / 5000.0 - 0.1) < 0.03)
+  }
+
+  test("assignment is deterministic and stable under corpus appends") {
+    val before = docs(Seq.tabulate(300)(i => (i.toLong, s"g${i / 3}")))
+    // append fresh docs with LARGER ids into existing groups: the
+    // canonical id (min) is unchanged, so no group may move splits
+    val after = docs(Seq.tabulate(300)(i => (i.toLong, s"g${i / 3}")) ++
+      Seq.tabulate(100)(i => (1000L + i, s"g$i")))
+    val fr = Seq("train" -> 0.9, "heldout" -> 0.1)
+    val a1 = Curation.leakFreeSplit(before, col("key"), col("doc_id"), fr)
+      .select("key", "split").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val a2 = Curation.leakFreeSplit(after, col("key"), col("doc_id"), fr)
+      .select("key", "split").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    a1.foreach { case (k, s) => assert(a2(k) === s, s"group $k moved") }
+  }
+
+  test("splitReport audits counts and flags a corrupted assignment") {
+    val d = docs(Seq.tabulate(100)(i => (i.toLong, s"g${i / 2}")))
+    val a = Curation.leakFreeSplit(
+      d, col("key"), col("doc_id"), Seq("train" -> 0.5, "test" -> 0.5))
+    val clean = Curation.splitReport(a, col("key"), col("doc_id"))
+      .collect()
+    assert(clean.forall(_.getAs[Long]("leaked") === 0L))
+    assert(clean.map(_.getAs[Long]("n_docs")).sum === 100L)
+    // corrupt one row into the other split: exactly one leaked key
+    val corrupted = a.withColumn("split",
+      when(col("doc_id") === 0L,
+        when(col("split") === "train", "test").otherwise("train"))
+        .otherwise(col("split")))
+    val rep = Curation.splitReport(corrupted, col("key"), col("doc_id"))
+      .collect()
+    assert(rep.forall(_.getAs[Long]("leaked") === 1L))
+  }
+
+  test("degenerate and invalid fraction lists") {
+    val d = docs(Seq((1L, "a"), (2L, "b")))
+    val one = Curation.leakFreeSplit(
+      d, col("key"), col("doc_id"), Seq("all" -> 1.0))
+    assert(one.select("split").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("all"))
+    intercept[IllegalArgumentException] {
+      Curation.leakFreeSplit(d, col("key"), col("doc_id"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.leakFreeSplit(d, col("key"), col("doc_id"),
+        Seq("x" -> 0.5, "x" -> 0.5))
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+class TopNgramsSpec extends SparkSpec {
+
+  private def corpus(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("trigram counts, document frequency, and ppm share by hand") {
+    val d = corpus(
+      (1L, "a b c a b c"), // "a b c"×2, "b c a", "c a b" → 4 trigrams
+      (2L, "a b c d"))     // "a b c", "b c d"           → 2 trigrams
+    val top = TextAnalysis.topNgrams(d, col("doc_id"), col("text"), 3, 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 6 total occurrences; "a b c" appears 3× across 2 docs
+    assert(top.head === (("a b c", 3L, 2L, 500000L)))
+    // remaining singles tie at 1 and order lexicographically
+    assert(top.tail.toSeq === Seq(
+      ("b c a", 1L, 1L, 166666L),
+      ("b c d", 1L, 1L, 166666L),
+      ("c a b", 1L, 1L, 166666L)))
+  }
+
+  test("k truncates the ordered result; n=1 is plain word counting") {
+    val d = corpus((1L, "x x y"), (2L, "y z"))
+    val top2 = TextAnalysis.topNgrams(d, col("doc_id"), col("text"), 1, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // x:2 (1 doc), y:2 (2 docs) — count tie broken by ngram asc
+    assert(top2.toSeq === Seq(("x", 2L, 1L), ("y", 2L, 2L)))
+  }
+
+  test("empty tokens are filtered and short docs contribute nothing") {
+    val d = corpus(
+      (1L, "a  b   c"), // double spaces mint empty split tokens
+      (2L, "a b"))      // shorter than a trigram
+    val top = TextAnalysis.topNgrams(d, col("doc_id"), col("text"), 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq === Seq(("a b c", 1L)))
+  }
+
+  test("invalid parameters are rejected") {
+    val d = corpus((1L, "a b"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.topNgrams(d, col("doc_id"), col("text"), 0, 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.topNgrams(d, col("doc_id"), col("text"), 2, 0)
+    }
+  }
+}
