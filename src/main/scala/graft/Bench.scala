@@ -301,7 +301,14 @@ object Bench {
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a
       // corpus × (corpus/100) cross join, quadratic by construction
-      // (the q24 situation) — op_sq8_ann below ladders the operator
+      // (the q24 situation) — op_sq8_ann below ladders the operator.
+      // q122 is likewise excluded: its conformance embeds brute-force
+      // exact kNN, and the knnGraph operator itself is Θ(n·√n) BY
+      // CONTRACT at fixed recall (IVF all-vectors graph build with
+      // nlist ∝ √n — the published FAISS shape; only an all-pairs join
+      // would be n², and HNSW-style n·log n graphs aren't expressible
+      // as a shuffle join) — a ladder row would flag the contract, not
+      // a regression
       "q116_bm25_topk", "q118_c4_rules",
       // TPC-H join/window family (factor 10 orders/lineitem/customer
       // companions — r6 had no measured exponent for the join family)

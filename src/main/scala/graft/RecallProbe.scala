@@ -37,6 +37,18 @@ object RecallProbe {
       println(s"ivfpq recall ${(brute & ivfpq).size.toDouble / brute.size} (|ivfpq|=${ivfpq.size})")
       println(s"minhash recall ${(exact & mh).size.toDouble / exact.size} (|exact|=${exact.size} |mh|=${mh.size})")
       println(s"simhash recall ${(exact & sh).size.toDouble / exact.size} (|sh|=${sh.size})")
+      // knn-graph recall vs exact (self removed), q122's floor source
+      val gq = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val gExact = Similarity.bruteForceTopK(gq, corpus, 6)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      for ((nc, np) <- Seq((16, 4), (16, 6), (32, 8))) {
+        val g = Similarity.knnGraph(corpus, 5, nCentroids = nc, nProbes = np)
+          .select("src_id", "nbr_id").as[(Long, Long)].collect().toSet
+        println(s"knnGraph(nc=$nc np=$np) recall " +
+          s"${(gExact & g).size.toDouble / gq.count() / 5.0} (|g|=${g.size})")
+      }
     }
     spark.stop()
   }

@@ -2200,6 +2200,62 @@ object SparkEntry {
       .orderBy(col("mutation_class"))
   }
 
+  /** k-NN graph (q122): IVF-bounded nearest-neighbor graph over the
+    * embeddings corpus ([[graft.ops.Similarity.knnGraph]]), audited
+    * structurally (exact degree k everywhere, no self edges) and for
+    * recall against an in-query brute-force exact top-k on every 25th
+    * vector — the q106/q117 conformance pattern: the booleans must come
+    * out true and the oracle pins them with the corpus-derived counts
+    * (kmeans centroids aren't SQL-replayable; the recall floor carries
+    * a wide margin over the measured value so float-summation jitter in
+    * centroid training can't flip it). */
+  private def qKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val corpus = t(s, d, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    // nProbes 6/16 cells: the fixture embeddings are near-isotropic
+    // (the hardest case for coarse quantization — q32's ivfTopK measures
+    // 0.64-0.74 on them), RecallProbe measures 0.70-0.73 here; the 0.5
+    // floor leaves jitter margin
+    val graph = Similarity.knnGraph(corpus, k, nProbes = 6).localCheckpoint()
+    val audit = graph
+      .groupBy(col("src_id"))
+      .agg(
+        count(lit(1)).as("deg"),
+        sum(when(col("nbr_id") === col("src_id"), 1L).otherwise(0L))
+          .as("selfs"))
+      .agg(
+        count(lit(1)).as("n_in_graph"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"),
+        sum(col("selfs")).as("n_self"))
+    val probes = corpus.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(probes, corpus, k + 1)
+      .filter(col("vec_id") =!= col("query_id"))
+    val rec = probes.select(col("query_id"))
+      .join(
+        graph.join(exact,
+          graph("src_id") === exact("query_id") &&
+            graph("nbr_id") === exact("vec_id"))
+          .groupBy(graph("src_id").as("query_id"))
+          .agg(count(lit(1)).as("n_overlap")),
+        Seq("query_id"), "left")
+      .agg(
+        count(lit(1)).as("n_probed"),
+        sum(coalesce(col("n_overlap"), lit(0L))).as("total_overlap"))
+    corpus.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(audit))
+      .crossJoin(broadcast(rec))
+      .select(
+        col("n_vectors"), col("n_probed"),
+        (col("n_in_graph") === col("n_vectors") &&
+          col("min_deg") === k && col("max_deg") === k).as("edges_ok"),
+        (col("n_self") === 0L).as("no_self_ok"),
+        (col("total_overlap").cast("double") >=
+          lit(0.5 * k) * col("n_probed")).as("recall_ok"))
+  }
+
   /** Classifier evaluation (q107): Mann-Whitney AUC + decile calibration
     * ([[graft.ops.ClassifierEval]]) over deterministic hash scores on
     * the 1/1000 grid with 1-in-7 label noise — every number is
@@ -3127,7 +3183,8 @@ object SparkEntry {
     "q118_c4_rules" -> (qC4Rules _),
     "q119_leakfree_split" -> (qLeakFreeSplit _),
     "q120_top_ngrams" -> (qTopNgrams _),
-    "q121_normalize_dedup" -> (qNormalizeDedup _))
+    "q121_normalize_dedup" -> (qNormalizeDedup _),
+    "q122_knn_graph" -> (qKnnGraph _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -4714,5 +4771,15 @@ object SparkEntry {
            count(*) = sum(CASE WHEN bn.norm IS NOT NULL THEN 1 ELSE 0 END)
              AS all_matched
          FROM mn LEFT JOIN bn ON mn.norm = bn.norm
-         GROUP BY mutation_class ORDER BY mutation_class""")
+         GROUP BY mutation_class ORDER BY mutation_class""",
+    // kmeans centroids aren't SQL-replayable: the oracle pins the
+    // corpus-derived counts exactly and the conformance booleans the
+    // Spark side must prove (q106/q117 pattern)
+    "q122_knn_graph" ->
+      """SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+             AS n_vectors,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+             WHERE vec_id % 25 = 0) AS n_probed,
+           true AS edges_ok, true AS no_self_ok, true AS recall_ok""")
 }

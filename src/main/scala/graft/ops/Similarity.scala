@@ -696,6 +696,73 @@ object Similarity {
           .as("status"))
   }
 
+  /** k-NN graph over the corpus embeddings — the neighborhood primitive
+    * semantic curation builds on (SemDeDup clusters with prototypes,
+    * D4's cluster-then-prune — Tirumala et al. 2023 — and graph-density
+    * quality scoring all start from "who are my k nearest neighbors").
+    *
+    * Scale shape: candidates come from the IVF cell structure, NEVER an
+    * all-pairs join. Each vector probes its `nProbes` nearest cells and
+    * is scored only against those cells' members, so the candidate
+    * relation is one cell-keyed shuffle join of two corpus-scale sides
+    * (work ∝ n · nProbes · avg-cell-size; AQE's skew split handles a
+    * hot cell). A candidate pair appears exactly once — the neighbor
+    * side is `assigned`, one cell per vector — so no dedup pass is
+    * needed before the per-source rank window (partitioned by src, the
+    * same unit every top-k here uses). The approximation is the
+    * standard IVF contract: scores are true cosines, misses only come
+    * from a true neighbor living outside every probed cell.
+    *
+    * Cost contract: with `nCentroids` ∝ √n (cells ~√n wide — the
+    * standard IVF sizing) both the assignment pass and the candidate
+    * join are Θ(n·√n) at fixed `nProbes`/recall. That is the honest
+    * floor for an all-vectors graph build expressed as a shuffle join
+    * (all-pairs is n²; the n·log n graphs — HNSW — are pointer-chasing
+    * structures with no relational shape), so this operator is NOT in
+    * the linear-ladder set: growing it 10× at fixed recall costs ~30×
+    * by design.
+    *
+    * @return (src_id, rank, nbr_id, score 6dp) — up to `k` rows per
+    *         vector (fewer only when the probed cells hold fewer than
+    *         `k` other vectors), rank by (cosine desc, nbr_id). */
+  def knnGraph(
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbes: Int = 4,
+      kmeansIters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    knnGraph(buildIvfIndex(corpus, nCentroids, kmeansIters, seed),
+      k, nProbes)
+  }
+
+  private[graft] def knnGraph(
+      index: IvfIndex, k: Int, nProbes: Int): DataFrame = {
+    val sess = index.assigned.sparkSession
+    import sess.implicits._
+    val bc = sess.sparkContext.broadcast(index.centroids)
+    val probes = index.assigned
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, emb) =>
+          probeCells(emb, cs, nProbes).map(cell => (cell, id, emb))
+        }
+      }.toDF("cell", "src_id", "src_emb")
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    index.assigned.join(probes, "cell")
+      .filter(col("vec_id") =!= col("src_id"))
+      .select(col("src_id"), col("vec_id").as("nbr_id"),
+        cosine(col("src_emb"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("rank"), col("nbr_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Nearest PQ codeword (L2) for subspace `mi` of `emb`. */
   private def nearestCode(
       emb: Array[Float], mi: Int, sub: Int, book: Array[Array[Double]]): Int = {

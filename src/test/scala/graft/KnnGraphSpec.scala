@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+class KnnGraphSpec extends SparkSpec {
+
+  private def corpus(n: Int, dim: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    Seq.tabulate(n)(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("structure: k neighbors per vector, no self edges, ranked by score") {
+    val c = corpus(120, 16, 3)
+    val g = Similarity.knnGraph(c, k = 4).cache()
+    try {
+      val deg = g.groupBy("src_id").count()
+        .collect().map(_.getLong(1)).toSeq
+      assert(deg.size === 120)
+      assert(deg.forall(_ === 4L))
+      assert(g.filter(col("src_id") === col("nbr_id")).count() === 0L)
+      // scores non-increasing in rank within each source
+      val bad = g.alias("a").join(g.alias("b"),
+        col("a.src_id") === col("b.src_id") &&
+          col("a.rank") === col("b.rank") - 1 &&
+          col("a.score") < col("b.score"))
+      assert(bad.count() === 0L)
+    } finally g.unpersist()
+  }
+
+  test("neighbor scores are the true cosines") {
+    val c = corpus(60, 8, 11)
+    val g = Similarity.knnGraph(c, k = 3)
+    val direct = g
+      .join(c.select(col("vec_id").as("src_id"), col("embedding").as("se")),
+        "src_id")
+      .join(c.select(col("vec_id").as("nbr_id"), col("embedding").as("ne")),
+        "nbr_id")
+      .select(col("score"),
+        round(Similarity.cosine(col("se"), col("ne")), 6).as("direct"))
+      .filter(col("score") =!= col("direct"))
+    assert(direct.count() === 0L)
+  }
+
+  test("recall vs brute force clears the IVF contract floor") {
+    val c = corpus(300, 16, 7)
+    val k = 5
+    val g = Similarity.knnGraph(c, k, nCentroids = 12, nProbes = 4)
+    val probes = c.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(probes, c, k + 1)
+      .filter(col("vec_id") =!= col("query_id"))
+    val hits = g.join(exact,
+      g("src_id") === exact("query_id") && g("nbr_id") === exact("vec_id"))
+      .count()
+    // 30 probes × 5 = 150 exact slots (self removed leaves >= k rows)
+    assert(hits >= 0.7 * 30 * k, s"recall too low: $hits / ${30 * k}")
+  }
+
+  test("a tiny corpus yields the complete graph minus self") {
+    val c = corpus(4, 8, 5)
+    val g = Similarity.knnGraph(c, k = 10, nCentroids = 2, nProbes = 2)
+    // every vector can reach at most the 3 others that share its probed
+    // cells; with nProbes == nCentroids every pair is reachable
+    val deg = g.groupBy("src_id").count()
+      .collect().map(_.getLong(1)).toSeq
+    assert(deg.size === 4)
+    assert(deg.forall(_ === 3L))
+  }
+
+  test("k must be positive") {
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraph(corpus(5, 4, 1), k = 0)
+    }
+  }
+}
