@@ -301,6 +301,49 @@ class PlanSpec extends SparkSpec {
       s"no hash exchange — only the final presentation sort:\n$p")
   }
 
+  test("leakFreeSplit is one content-key exchange + window — no join, no second shuffle") {
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source").as("key"))
+    val p = graft.ops.Curation.leakFreeSplit(
+      docs, col("key"), col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllMatchIn(p).size == 1,
+      s"exactly one exchange (the content-key window):\n$p")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    assert("Window".r.findAllMatchIn(p).size >= 1)
+  }
+
+  test("q120 top-ngrams: one explode pass, top-k not a global sort") {
+    val p = plan("q120_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject:\n$p")
+    assert("Generate".r.findAllMatchIn(p).size == 1,
+      s"the corpus-total branch must be map-only, not a second explode:\n$p")
+    assert(!p.contains("Window"), s"no rank window:\n$p")
+  }
+
+  test("q121 normalization runs as the codegen kernel, dedup join never a product") {
+    val p = plan("q121_normalize_dedup")
+    assert(p.contains("normalize_text"),
+      s"the codegen expression must appear in the plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the normalized-key join must be an equi-join:\n$p")
+  }
+
+  test("q122 knn-graph candidates come from the cell join, never a product") {
+    val p = plan("q122_knn_graph")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs fallback anywhere:\n$p")
+    // the only BNL joins allowed are the 1-row audit crossJoins; the
+    // conformance brute force is itself a pinned broadcast
+    assert(!p.contains("BroadcastNestedLoopJoin Inner"),
+      s"candidate generation must stay the cell equi-join:\n$p")
+  }
+
   test("no query plans a partition-less Window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec
