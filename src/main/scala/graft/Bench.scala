@@ -308,7 +308,10 @@ object Bench {
       // nlist ∝ √n — the published FAISS shape; only an all-pairs join
       // would be n², and HNSW-style n·log n graphs aren't expressible
       // as a shuffle join) — a ladder row would flag the contract, not
-      // a regression
+      // a regression. q123 (exact triplet mining) samples every 10th
+      // vector as an anchor, so its broadcast scan is n²/10 by
+      // construction — the scale path is hardTripletsGraph (same
+      // Θ(n·√n) note as knnGraph)
       "q116_bm25_topk", "q118_c4_rules",
       // TPC-H join/window family (factor 10 orders/lineitem/customer
       // companions — r6 had no measured exponent for the join family)

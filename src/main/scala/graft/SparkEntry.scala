@@ -2256,6 +2256,21 @@ object SparkEntry {
           lit(0.5 * k) * col("n_probed")).as("recall_ok"))
   }
 
+  /** Contrastive triplet mining (q123): hardest positive + hardest
+    * negative per anchor over the labeled embeddings
+    * ([[graft.ops.Similarity.hardTriplets]]) for every 10th vector as
+    * the mining batch — fully exact and fully replayed by the oracle
+    * (cosines, both arg-extremes with their id tie-breaks, the margin,
+    * and the violation flag), the q22 cosine-replay pattern. */
+  private def qHardTriplets(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings").select(
+      col("vec_id").cast("long").as("vec_id"), col("embedding"),
+      col("label"))
+    val anchors = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("anchor_id"), col("embedding"), col("label"))
+    Similarity.hardTriplets(emb, anchors).orderBy(col("anchor_id"))
+  }
+
   /** Classifier evaluation (q107): Mann-Whitney AUC + decile calibration
     * ([[graft.ops.ClassifierEval]]) over deterministic hash scores on
     * the 1/1000 grid with 1-in-7 label noise — every number is
@@ -3184,7 +3199,8 @@ object SparkEntry {
     "q119_leakfree_split" -> (qLeakFreeSplit _),
     "q120_top_ngrams" -> (qTopNgrams _),
     "q121_normalize_dedup" -> (qNormalizeDedup _),
-    "q122_knn_graph" -> (qKnnGraph _))
+    "q122_knn_graph" -> (qKnnGraph _),
+    "q123_hard_triplets" -> (qHardTriplets _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -4781,5 +4797,39 @@ object SparkEntry {
              AS n_vectors,
            (SELECT CAST(count(*) AS BIGINT) FROM embeddings
              WHERE vec_id % 25 = 0) AS n_probed,
-           true AS edges_ok, true AS no_self_ok, true AS recall_ok""")
+           true AS edges_ok, true AS no_self_ok, true AS recall_ok""",
+    "q123_hard_triplets" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, embedding AS a_emb,
+               label AS a_label
+             FROM embeddings WHERE vec_id % 10 = 0),
+         s AS (SELECT a.anchor_id, a.a_label, c.vec_id,
+                 c.label AS c_label,
+                 list_sum(list_transform(list_zip(a.a_emb, c.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.a_emb,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   AS score
+               FROM embeddings c, a WHERE c.vec_id <> a.anchor_id),
+         hp AS (SELECT anchor_id, vec_id, score FROM
+                 (SELECT anchor_id, vec_id, score, row_number() OVER
+                    (PARTITION BY anchor_id ORDER BY score ASC, vec_id)
+                    AS rn
+                  FROM s WHERE c_label = a_label) t WHERE rn = 1),
+         hn AS (SELECT anchor_id, vec_id, score FROM
+                 (SELECT anchor_id, vec_id, score, row_number() OVER
+                    (PARTITION BY anchor_id ORDER BY score DESC, vec_id)
+                    AS rn
+                  FROM s WHERE c_label <> a_label) t WHERE rn = 1)
+         SELECT a.anchor_id, a.a_label AS label,
+           coalesce(hp.vec_id, -1) AS pos_id,
+           round(hp.score, 4) AS pos_score,
+           coalesce(hn.vec_id, -1) AS neg_id,
+           round(hn.score, 4) AS neg_score,
+           round(hp.score - hn.score, 4) AS margin,
+           hn.score >= hp.score AS violating
+         FROM a LEFT JOIN hp USING (anchor_id)
+              LEFT JOIN hn USING (anchor_id)
+         ORDER BY a.anchor_id""")
 }

@@ -763,6 +763,99 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
+  /** Contrastive triplet mining (FaceNet, Schroff et al. 2015 §3.2) —
+    * the training-data op behind every embedding-model fine-tune: for
+    * each anchor, the hardest positive (LOWEST-cosine same-label
+    * vector: the pair the model most needs pulled together) and the
+    * hardest negative (HIGHEST-cosine other-label vector: the closest
+    * impostor). `violating` marks triplets the current embedding gets
+    * wrong (negative at least as close as the positive) — the rows a
+    * miner feeds back into training.
+    *
+    * Exact variant: anchors are one mining batch — small by definition
+    * — so they broadcast against a single corpus scan, and the
+    * per-anchor argmin/argmax ride ONE map-combined conditional
+    * min/max-of-struct aggregate (no window, no rank shuffle; the only
+    * exchange carries |anchors|·partitions partial rows). The
+    * all-vectors scale path is [[hardTripletsGraph]].
+    *
+    * @param corpus  (vec_id, embedding, label)
+    * @param anchors (anchor_id, embedding, label)
+    * @return (anchor_id, label, pos_id, pos_score, neg_id, neg_score,
+    *         margin, violating); a missing class side yields id −1 and
+    *         null scores. Ties break to the lowest candidate id. */
+  def hardTriplets(corpus: DataFrame, anchors: DataFrame): DataFrame = {
+    val a = anchors.select(
+      col("anchor_id").cast("long").as("anchor_id"),
+      col("embedding").as("a_emb"), col("label").as("a_label"))
+    val c = corpus.select(
+      col("vec_id").cast("long").as("vec_id"),
+      col("embedding").as("c_emb"), col("label").as("c_label"))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"), col("vec_id"),
+        col("c_label"), cosine(col("a_emb"), col("c_emb")).as("score"))
+    tripletsFromScored(scored)
+  }
+
+  /** Shared tail: per-anchor hardest positive/negative from a scored
+    * candidate relation — min/max over (score, id) structs so the
+    * tie-break (lowest id) folds into the same map-combined agg. */
+  private def tripletsFromScored(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("anchor_id"), col("a_label").as("label"))
+      .agg(
+        min(when(col("c_label") === col("a_label"),
+          struct(col("score"), col("vec_id")))).as("hp"),
+        max(when(col("c_label") =!= col("a_label"),
+          struct(col("score"), (-col("vec_id")).as("nid")))).as("hn"))
+      .select(
+        col("anchor_id"), col("label"),
+        coalesce(col("hp.vec_id"), lit(-1L)).as("pos_id"),
+        round(col("hp.score"), 4).as("pos_score"),
+        coalesce(-col("hn.nid"), lit(-1L)).as("neg_id"),
+        round(col("hn.score"), 4).as("neg_score"),
+        round(col("hp.score") - col("hn.score"), 4).as("margin"),
+        (col("hn.score") >= col("hp.score")).as("violating"))
+
+  /** All-vectors triplet mining bounded by the IVF cell structure —
+    * the [[knnGraph]] shape with labels riding the assignment: every
+    * vector is an anchor, candidates come only from its `nProbes`
+    * nearest cells (hardest-in-probed-cells; the exact twin above is
+    * the conformance oracle on a sampled anchor set). Same Θ(n·√n)
+    * contract as the graph build. */
+  def hardTripletsGraph(
+      corpus: DataFrame,
+      nCentroids: Int = 16,
+      nProbes: Int = 4,
+      kmeansIters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    val vecs = corpus
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"),
+        col("label").cast("int"))
+      .as[(Long, Array[Float], Int)]
+    val cents = trainCentroids(
+      vecs.map(v => (v._1, v._2)), nCentroids, kmeansIters, seed)
+    val bc = sess.sparkContext.broadcast(cents)
+    val assigned = vecs.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, emb, lb) => (nearestCell(emb, cs), id, emb, lb) }
+    }.toDF("cell", "vec_id", "c_emb", "c_label")
+    val probes = vecs.mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (id, emb, lb) =>
+        probeCells(emb, cs, nProbes).map(cell => (cell, id, emb, lb))
+      }
+    }.toDF("cell", "anchor_id", "a_emb", "a_label")
+    val scored = assigned.join(probes, "cell")
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"), col("vec_id"),
+        col("c_label"), cosine(col("a_emb"), col("c_emb")).as("score"))
+    tripletsFromScored(scored)
+  }
+
   /** Nearest PQ codeword (L2) for subspace `mi` of `emb`. */
   private def nearestCode(
       emb: Array[Float], mi: Int, sub: Int, book: Array[Array[Double]]): Int = {

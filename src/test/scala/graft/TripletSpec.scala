@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+class TripletSpec extends SparkSpec {
+
+  private def corpus() = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.8f, 0.6f), 0),
+      (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(0.6f, 0.8f), 1),
+      (4L, Seq(-1.0f, 0.0f), 1),
+      (5L, Seq(0.0f, -1.0f), 2)).toDF("vec_id", "embedding", "label")
+  }
+
+  test("hardest positive is the farthest same-label, negative the closest impostor") {
+    val c = corpus()
+    val anchors = c.filter(col("vec_id").isin(0L, 4L))
+      .select(col("vec_id").as("anchor_id"), col("embedding"), col("label"))
+    val t = Similarity.hardTriplets(c, anchors)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // anchor 0 (label 0): positives {1: .8, 2: 0} → pos 2; negatives
+    // {3: .6, 4: −1} → neg 3; impostor closer than positive → violating
+    val r0 = t(0L)
+    assert(r0.getAs[Long]("pos_id") === 2L)
+    assert(r0.getAs[Double]("pos_score") === 0.0)
+    assert(r0.getAs[Long]("neg_id") === 3L)
+    assert(r0.getAs[Double]("neg_score") === 0.6)
+    assert(r0.getAs[Double]("margin") === -0.6)
+    assert(r0.getAs[Boolean]("violating"))
+    // anchor 4 (label 1): single positive 3 (−0.6); negatives
+    // {0: −1, 1: −0.8, 2: 0, 5: 0} tie at 0 → lowest id 2
+    val r4 = t(4L)
+    assert(r4.getAs[Long]("pos_id") === 3L)
+    assert(r4.getAs[Double]("pos_score") === -0.6)
+    assert(r4.getAs[Long]("neg_id") === 2L)
+    assert(r4.getAs[Double]("neg_score") === 0.0)
+    assert(r4.getAs[Boolean]("violating"))
+  }
+
+  test("an anchor whose label is unique gets pos −1 with null scores") {
+    val c = corpus()
+    val anchors = c.filter(col("vec_id") === 5L)
+      .select(col("vec_id").as("anchor_id"), col("embedding"), col("label"))
+    val r = Similarity.hardTriplets(c, anchors).head
+    assert(r.getAs[Long]("pos_id") === -1L)
+    assert(r.isNullAt(r.fieldIndex("pos_score")))
+    // negatives tie at 0.0 between ids 0 and 4 → lowest id wins
+    assert(r.getAs[Long]("neg_id") === 0L)
+    assert(r.isNullAt(r.fieldIndex("margin")))
+    assert(r.isNullAt(r.fieldIndex("violating")))
+  }
+
+  test("graph variant: labels respected and hardest-negative recall clears the floor") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val c = Seq.tabulate(240)(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val g = Similarity.hardTripletsGraph(c, nCentroids = 12, nProbes = 6)
+      .cache()
+    try {
+      assert(g.count() === 240L)
+      val labels = c.select(col("vec_id").as("lid"), col("label").as("llabel"))
+      val wrongPos = g.join(labels, col("pos_id") === col("lid"))
+        .filter(col("label") =!= col("llabel")).count()
+      val wrongNeg = g.join(labels, col("neg_id") === col("lid"))
+        .filter(col("label") === col("llabel")).count()
+      assert(wrongPos === 0L, "a positive with a different label")
+      assert(wrongNeg === 0L, "a negative with the anchor's label")
+      // the mined negative must match the exact hardest negative for a
+      // healthy share of anchors (IVF contract, not exactness)
+      val anchors = c.filter(col("vec_id") % 8 === 0)
+        .select(col("vec_id").as("anchor_id"), col("embedding"), col("label"))
+      val exact = Similarity.hardTriplets(c, anchors)
+        .select(col("anchor_id"), col("neg_id").as("exact_neg"))
+      val agree = g.join(exact, "anchor_id")
+        .filter(col("neg_id") === col("exact_neg")).count()
+      assert(agree >= 15, s"exact-negative agreement too low: $agree/30")
+    } finally g.unpersist()
+  }
+}
