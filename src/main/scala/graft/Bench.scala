@@ -297,6 +297,10 @@ object Bench {
       // top-ngrams the two-stage postings agg, normalize-dedup a map
       // kernel + one dedup join; each should ladder ≈ linear
       "q119_leakfree_split", "q120_top_ngrams", "q121_normalize_dedup",
+      // JSONL codec: serialize + mangle + permissive parse, map-only
+      // until the per-source audit agg; OOV rate: explode + broadcast
+      // membership join + map-side-collapsed per-doc agg
+      "q124_jsonl_codec", "q125_oov_rate",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -2256,6 +2256,62 @@ object SparkEntry {
           lit(0.5 * k) * col("n_probed")).as("recall_ok"))
   }
 
+  /** JSONL wire-format codec with corrupt-record quarantine (q124) —
+    * the JSON twin of the TSV codec (q07, SURVEY §2.1 S2): every doc
+    * row serializes to a JSON line (`to_json`), every 7th line is
+    * mangled (truncated mid-object — the classic torn-write shape),
+    * and the permissive parse (`from_json`) must quarantine exactly
+    * the mangled lines while round-tripping every intact one
+    * field-for-field. Map-only until the audit aggregate; the oracle
+    * replays the corrupt set and the per-source valid counts/id
+    * checksums exactly, and pins the round-trip booleans. */
+  private def qJsonlCodec(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val line = to_json(struct(
+      col("doc_id"), col("lang"), col("source"), col("n_chars")))
+    val wire = docs.select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        substring(line, 1, 10)).otherwise(line).as("jline"))
+    val schema = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+    val parsed = wire.withColumn("p",
+      from_json(col("jline"), schema, Map.empty[String, String]))
+    parsed
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("p.doc_id").isNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        sum(when(col("p.doc_id").isNotNull, col("p.doc_id"))
+          .otherwise(0L)).cast("long").as("valid_id_sum"),
+        min(when(col("p.doc_id").isNotNull,
+          col("p.doc_id") === col("doc_id") &&
+            col("p.lang") === col("lang") &&
+            col("p.source") === col("source") &&
+            col("p.n_chars") === col("n_chars"))).as("roundtrip_ok"),
+        min(col("p.doc_id").isNull === (pmod(col("doc_id"), lit(7)) === 0))
+          .as("quarantine_exact"))
+      .orderBy(col("source"))
+  }
+
+  /** OOV-rate audit (q125): per-doc out-of-vocabulary fraction against
+    * the corpus's own top-100 unigram vocabulary
+    * ([[graft.ops.TextAnalysis.oovRate]] over [[graft.ops.TextAnalysis
+    * .topNgrams]](n=1)) — the oracle recomputes the vocabulary (count
+    * desc, word asc), the membership join, and every per-doc count and
+    * 4dp rate. Docs that miss the vocabulary entirely and docs fully
+    * inside it both occur in the fixture, so the rate's extremes are
+    * exercised. */
+  private def qOovRate(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val vocab = TextAnalysis
+      .topNgrams(docs, col("doc_id"), col("text"), n = 1, k = 100)
+      .select(col("ngram").as("word"))
+    TextAnalysis.oovRate(docs, col("doc_id"), col("text"), vocab)
+      .orderBy(col("doc_id"))
+  }
+
   /** Contrastive triplet mining (q123): hardest positive + hardest
     * negative per anchor over the labeled embeddings
     * ([[graft.ops.Similarity.hardTriplets]]) for every 10th vector as
@@ -3200,7 +3256,9 @@ object SparkEntry {
     "q120_top_ngrams" -> (qTopNgrams _),
     "q121_normalize_dedup" -> (qNormalizeDedup _),
     "q122_knn_graph" -> (qKnnGraph _),
-    "q123_hard_triplets" -> (qHardTriplets _))
+    "q123_hard_triplets" -> (qHardTriplets _),
+    "q124_jsonl_codec" -> (qJsonlCodec _),
+    "q125_oov_rate" -> (qOovRate _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -4831,5 +4889,58 @@ object SparkEntry {
            hn.score >= hp.score AS violating
          FROM a LEFT JOIN hp USING (anchor_id)
               LEFT JOIN hn USING (anchor_id)
-         ORDER BY a.anchor_id""")
+         ORDER BY a.anchor_id""",
+    // full codec replay: DuckDB serializes, mangles, validity-checks and
+    // re-extracts with its own JSON kernel — both engines must agree on
+    // the quarantine set AND the parsed field values
+    "q124_jsonl_codec" ->
+      """WITH w AS (SELECT doc_id, lang, source, n_chars,
+               CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,
+                 source := source, n_chars := n_chars)) AS VARCHAR)
+                 AS line
+             FROM documents),
+         m AS (SELECT doc_id, lang, source, n_chars,
+                 CASE WHEN doc_id % 7 = 0 THEN left(line, 10)
+                      ELSE line END AS jline
+               FROM w),
+         p AS (SELECT *,
+                 CASE WHEN json_valid(jline) THEN
+                   CAST(json_extract(jline, '$.doc_id') AS BIGINT)
+                 END AS p_doc,
+                 CASE WHEN json_valid(jline) THEN
+                   json_extract_string(jline, '$.lang') END AS p_lang,
+                 CASE WHEN json_valid(jline) THEN
+                   json_extract_string(jline, '$.source') END AS p_source,
+                 CASE WHEN json_valid(jline) THEN
+                   CAST(json_extract(jline, '$.n_chars') AS BIGINT)
+                 END AS p_nchars
+               FROM m)
+         SELECT source, count(*) AS n_lines,
+           CAST(sum(CASE WHEN p_doc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(sum(CASE WHEN p_doc IS NOT NULL THEN p_doc ELSE 0 END)
+             AS BIGINT) AS valid_id_sum,
+           bool_and(CASE WHEN p_doc IS NOT NULL THEN
+             p_doc = doc_id AND p_lang = lang AND p_source = source
+               AND p_nchars = n_chars END) AS roundtrip_ok,
+           bool_and((p_doc IS NULL) = (doc_id % 7 = 0))
+             AS quarantine_exact
+         FROM p GROUP BY source ORDER BY source""",
+    "q125_oov_rate" ->
+      """WITH d AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS ws
+             FROM documents),
+         tk AS (SELECT doc_id, unnest(ws) AS tok FROM d),
+         cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+         v AS (SELECT tok FROM
+                (SELECT tok, row_number() OVER (ORDER BY c DESC, tok)
+                   AS rn
+                 FROM cnt) t WHERE rn <= 100)
+         SELECT tk.doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS oov_rate
+         FROM tk LEFT JOIN v ON tk.tok = v.tok
+         GROUP BY tk.doc_id ORDER BY tk.doc_id""")
 }

@@ -533,4 +533,37 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
   }
+
+  /** Per-document out-of-vocabulary rate against a reference
+    * vocabulary — the tokenizer-coverage audit every vocab swap runs
+    * first (a vocab that leaves 20% of tokens OOV fragments every
+    * sequence into fallback pieces; SentencePiece's own docs call this
+    * the character-coverage check). Pairs with [[topNgrams]](n=1) for
+    * a corpus-derived vocabulary or the BPE/unigram piece tables.
+    *
+    * Scale shape: tokens explode corpus-linearly; membership is a
+    * broadcast LEFT join (a vocabulary is bounded by construction —
+    * 32k–256k rows; past broadcast size the sharded Bloom gate
+    * ([[graft.functions.ShardedBloom]]) is the documented fallback);
+    * the per-doc aggregate collapses map-side because a doc's token
+    * rows never leave their input partition.
+    *
+    * @return (doc_id, n_tokens, n_oov, oov_rate 4dp) */
+  def oovRate(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      vocab: DataFrame): DataFrame = {
+    val toks = docs.select(
+      idCol.as("doc_id"),
+      explode(filter(split(textCol, " "), w => w =!= "")).as("__tok"))
+    val v = vocab.select(col(vocab.columns.head).as("__tok")).distinct()
+      .withColumn("__in", lit(1L))
+    toks.join(broadcast(v), Seq("__tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 4))
+  }
 }

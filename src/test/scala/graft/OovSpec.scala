@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+class OovSpec extends SparkSpec {
+
+  private def run(docs: Seq[(Long, String)], vocab: Seq[String]) = {
+    import spark.implicits._
+    TextAnalysis.oovRate(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      vocab.toDF("word"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+  }
+
+  test("counts and rate by hand, extremes included") {
+    val r = run(
+      Seq((1L, "a b a x"), (2L, "x y z"), (3L, "a b")),
+      Seq("a", "b"))
+    assert(r(1L) === ((4L, 1L, 0.25))) // x is OOV
+    assert(r(2L) === ((3L, 3L, 1.0)))  // fully OOV
+    assert(r(3L) === ((2L, 0L, 0.0)))  // fully covered
+  }
+
+  test("duplicate vocabulary rows must not duplicate token rows") {
+    val r = run(Seq((1L, "a a b")), Seq("a", "a", "b", "b"))
+    assert(r(1L) === ((3L, 0L, 0.0)))
+  }
+
+  test("empty split tokens are not counted") {
+    val r = run(Seq((1L, "a  b   c")), Seq("a"))
+    assert(r(1L) === ((3L, 2L, 0.6667)))
+  }
+}
