@@ -2295,6 +2295,51 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Epoch shuffle (q127): deterministic two-level training-order
+    * permutation ([[graft.ops.Curation.epochShuffle]]) with the shared
+    * arithmetic hash — the full (doc_id, shard, position) assignment is
+    * dumped and the oracle replays hash, shard mod, and the per-shard
+    * rank exactly. */
+  private def qEpochShuffle(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    Curation.epochShuffle(
+      docs, col("doc_id"), seed = 1L, nShards = 8,
+      hash = Some(pmod(col("doc_id") * lit(2654435761L) + lit(12345L),
+        lit(1000000007L))))
+      .orderBy(col("shard"), col("position"))
+  }
+
+  /** Markup extraction (q126): the WET step — six minted markup shapes
+    * (plain, wrapped tags, script block, style block, comment + inline
+    * tags, entity battery) over every fixture doc, extracted by the
+    * [[graft.functions.HtmlFunctions.extractHtmlText]] kernel; the
+    * oracle replays the ENTIRE staged contract as the literal
+    * regex/replace chain, comparing the extracted text itself
+    * hash-exact, not just counts. */
+  private def qHtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val shape = pmod(col("doc_id"), lit(6))
+    val minted = when(shape === 1,
+        concat(lit("<p class=\"x\">"), col("text"), lit("</p><br>")))
+      .when(shape === 2, concat(
+        lit("<script type=\"text/javascript\">alert(1);</script>"),
+        col("text")))
+      .when(shape === 3, concat(
+        lit("<style>p { color: red }</style><div>"), col("text"),
+        lit("</div>")))
+      .when(shape === 4, concat(
+        lit("<!-- hidden\ncomment --><b>lead</b> "), col("text")))
+      .when(shape === 5, concat(
+        lit("&lt;tag&gt; &amp;lt; &quot;q&quot; &#39;s&#39; a&nbsp;b "),
+        col("text")))
+      .otherwise(col("text"))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.functions.HtmlFunctions.extractHtmlText(minted)
+          .as("extracted"))
+      .withColumn("n_chars_out", length(col("extracted")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** OOV-rate audit (q125): per-doc out-of-vocabulary fraction against
     * the corpus's own top-100 unigram vocabulary
     * ([[graft.ops.TextAnalysis.oovRate]] over [[graft.ops.TextAnalysis
@@ -3258,7 +3303,9 @@ object SparkEntry {
     "q122_knn_graph" -> (qKnnGraph _),
     "q123_hard_triplets" -> (qHardTriplets _),
     "q124_jsonl_codec" -> (qJsonlCodec _),
-    "q125_oov_rate" -> (qOovRate _))
+    "q125_oov_rate" -> (qOovRate _),
+    "q126_html_extract" -> (qHtmlExtract _),
+    "q127_epoch_shuffle" -> (qEpochShuffle _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -4942,5 +4989,53 @@ object SparkEntry {
            round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
              / count(*), 4) AS oov_rate
          FROM tk LEFT JOIN v ON tk.tok = v.tok
-         GROUP BY tk.doc_id ORDER BY tk.doc_id""")
+         GROUP BY tk.doc_id ORDER BY tk.doc_id""",
+    // the staged extraction contract replayed literally: script/style/
+    // comment blocks, generic tags, entity decode (specific first,
+    // &amp; LAST), whitespace collapse + trim
+    "q126_html_extract" ->
+      """WITH m AS (SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 1 THEN '<p class="x">' || text || '</p><br>'
+               WHEN 2 THEN
+                 '<script type="text/javascript">alert(1);</script>'
+                   || text
+               WHEN 3 THEN '<style>p { color: red }</style><div>'
+                 || text || '</div>'
+               WHEN 4 THEN '<!-- hidden' || chr(10)
+                 || 'comment --><b>lead</b> ' || text
+               WHEN 5 THEN
+                 '&lt;tag&gt; &amp;lt; &quot;q&quot; &#39;s&#39; '
+                   || 'a&nbsp;b ' || text
+               ELSE text END AS html
+           FROM documents),
+         e AS (SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html,
+                         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&apos;', chr(39)),
+                 '&nbsp;', ' '), '&amp;', '&'),
+               '[ \t\n\r]+', ' ', 'g')) AS extracted
+           FROM m)
+         SELECT doc_id, extracted,
+           CAST(length(extracted) AS BIGINT) AS n_chars_out
+         FROM e ORDER BY doc_id""",
+    "q127_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+               ((doc_id * 2654435761 + 12345) % 1000000007 + 1000000007)
+                 % 1000000007 AS hk
+             FROM documents),
+         a AS (SELECT doc_id, hk, (hk % 8 + 8) % 8 AS shard FROM h)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+             ORDER BY hk, doc_id) AS INT) AS position
+         FROM a ORDER BY shard, position""")
 }

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Markup-to-text extraction — the WET step every web-crawl pipeline
+  * runs before any text analysis (the reference-free analogue of
+  * Common Crawl's WARC→WET extraction; C4 and RefinedWeb both start
+  * from extracted text). The contract is a fixed, engine-replayable
+  * staged pipeline:
+  *
+  *  1. `<script …>…</script>` blocks (case-insensitive, content
+  *     included) → one space; an UNCLOSED script tag degrades to a
+  *     plain tag (rule 4), keeping its content — the regex
+  *     `(?is)<script[^>]*>.*?</script>` behavior.
+  *  2. `<style …>…</style>` likewise.
+  *  3. `<!-- comments -->` (content included) → one space; unclosed
+  *     `<!--` degrades to rule 4.
+  *  4. Every remaining `<…>` tag → one space; a `<` with no closing
+  *     `>` anywhere after it is literal text.
+  *  5. Entity decode: `&lt; &gt; &quot; &#39; &apos;` → their
+  *     characters, `&nbsp;` → space, and `&amp;` → `&` LAST (so
+  *     `&amp;lt;` yields literal `&lt;`, per HTML semantics); decoded
+  *     text is never re-scanned for tags.
+  *  6. ASCII whitespace runs (space `\t \n \r`) collapse to one
+  *     space; ends trimmed.
+  *
+  * Executed in ONE left-to-right pass (innermost-first on the
+  * malformed interleavings where the staged-regex order would differ —
+  * equivalent on any well-formed markup, which is what the q126 oracle
+  * replays with the literal regex chain). Raw non-ASCII whitespace is
+  * untouched — compose with `normalize_text` for full
+  * canonicalization.
+  */
+object HtmlImpl {
+
+  private def startsWithIgnoreCase(s: String, i: Int, pat: String): Boolean =
+    s.regionMatches(true, i, pat, 0, pat.length)
+
+  /** Index of case-insensitive `pat` in `s` at/after `from`, or -1. */
+  private def indexOfIgnoreCase(s: String, pat: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = s.length - pat.length
+    while (i <= last) {
+      if (s.regionMatches(true, i, pat, 0, pat.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private val entities: Array[(String, Char)] = Array(
+    ("&lt;", '<'), ("&gt;", '>'), ("&quot;", '"'),
+    ("&#39;", '\''), ("&apos;", '\''), ("&nbsp;", ' '), ("&amp;", '&'))
+
+  def extractHtmlText(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pending = false
+    def space(): Unit = if (sb.length > 0) pending = true
+    def emit(c: Char): Unit = {
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') space()
+      else {
+        if (pending) { sb.append(' '); pending = false }
+        sb.append(c)
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        // block forms first; each degrades to the generic tag (or to a
+        // literal '<') exactly when its regex would fail to match
+        var handled = false
+        if (startsWithIgnoreCase(s, i, "<!--")) {
+          val e = s.indexOf("-->", i + 4)
+          if (e >= 0) { space(); i = e + 3; handled = true }
+        } else if (startsWithIgnoreCase(s, i, "<script")) {
+          // `<script[^>]*>`: the open tag ends at the FIRST '>' (the
+          // char class only excludes '>', so an interior '<' is allowed)
+          val openEnd = s.indexOf('>', i)
+          if (openEnd >= 0) {
+            val close = indexOfIgnoreCase(s, "</script>", openEnd + 1)
+            if (close >= 0) { space(); i = close + "</script>".length; handled = true }
+          }
+        } else if (startsWithIgnoreCase(s, i, "<style")) {
+          val openEnd = s.indexOf('>', i)
+          if (openEnd >= 0) {
+            val close = indexOfIgnoreCase(s, "</style>", openEnd + 1)
+            if (close >= 0) { space(); i = close + "</style>".length; handled = true }
+          }
+        }
+        if (!handled) {
+          val e = s.indexOf('>', i)
+          if (e >= 0) { space(); i = e + 1 }
+          else { emit(c); i += 1 }
+        }
+      } else if (c == '&') {
+        var k = 0
+        var done = false
+        while (k < entities.length && !done) {
+          val (pat, ch) = entities(k)
+          if (s.startsWith(pat, i)) { emit(ch); i += pat.length; done = true }
+          k += 1
+        }
+        if (!done) { emit(c); i += 1 }
+      } else {
+        emit(c)
+        i += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `extract_html_text(s)` — the staged markup-extraction contract above
+  * as a native codegen expression. */
+case class ExtractHtmlText(child: Expression) extends UnaryExpression {
+  // input contract: StringType (the Column wrapper casts)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    HtmlImpl.extractHtmlText(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlImpl.extractHtmlText($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractHtmlText =
+    copy(c)
+  override def prettyName: String = "extract_html_text"
+}
+
+object HtmlFunctions {
+  /** Column API: extract text from markup per the [[HtmlImpl]] contract. */
+  def extractHtmlText(c: Column): Column =
+    column(ExtractHtmlText(expression(c.cast("string"))))
+}

@@ -580,6 +580,43 @@ object Curation {
     withCanon.withColumn("split", splitExpr).drop("__bkt")
   }
 
+  /** Deterministic epoch shuffle — the training-order primitive every
+    * dataloader needs: a reproducible pseudo-random permutation of the
+    * corpus, keyed by (seed, id), WITHOUT a global sort. The WebDataset
+    * two-level shape: shard = hash mod `nShards` (which shard file a
+    * row lands in), position = rank of (hash, id) within its shard
+    * (the read order inside the shard). Different seeds give
+    * independent epoch orders; the same seed reproduces bit-identically
+    * on any cluster layout.
+    *
+    * Scale shape: one hash shuffle into shards + a per-shard rank
+    * window — parallelism = `nShards` (size shards so n/nShards rows
+    * sort in one task; 10k shards over 100 TB ≈ 10 GB/shard, the
+    * standard shard-file size). A total-order `orderBy(rand)` would
+    * funnel the corpus through a global range sort instead.
+    *
+    * @param hash per-row order key, defaulting to `xxhash64(id, seed)`
+    *        — tests and cross-engine oracles substitute an arithmetic
+    *        hash both engines share.
+    * @return input rows + (`shard`, `position`), position 1-based
+    *         within shard. */
+  def epochShuffle(
+      docs: DataFrame,
+      idCol: Column,
+      seed: Long,
+      nShards: Int,
+      hash: Option[Column] = None): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = hash.getOrElse(xxhash64(idCol, lit(seed)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), idCol)
+    docs
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("position", row_number().over(w))
+      .drop("__h")
+  }
+
   /** Per-split audit over a [[leakFreeSplit]] assignment: doc and
     * distinct-key counts per split plus the corpus-wide leak count —
     * content keys observed in more than one split, which

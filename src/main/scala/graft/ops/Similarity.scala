@@ -333,16 +333,24 @@ object Similarity {
         }
         Iterator.single((sums, counts))
       }
-      val (sums, counts) = partials.reduce { (a, b) =>
-        val (sa, ca) = a; val (sb, cb) = b
+      // collect + driver fold, NOT Dataset.reduce: one tiny row per
+      // partition travels either way, but reduce sends its merge lambda
+      // through ClosureCleaner, which NPEs transiently under sbt's
+      // concurrent test classloaders (asm ClassReader on a vanished
+      // resource stream); collect ships no user closure at all
+      val partialRows = partials.collect()
+      val (sums, counts) = partialRows.head
+      var p = 1
+      while (p < partialRows.length) {
+        val (sb, cb) = partialRows(p)
         var c = 0
-        while (c < sa.length) {
+        while (c < sums.length) {
           var i = 0
-          while (i < dim) { sa(c)(i) += sb(c)(i); i += 1 }
-          ca(c) += cb(c)
+          while (i < dim) { sums(c)(i) += sb(c)(i); i += 1 }
+          counts(c) += cb(c)
           c += 1
         }
-        (sa, ca)
+        p += 1
       }
       cents = cents.map { case (c, old, oldNorm) =>
         if (counts(c) == 0L) (c, old, oldNorm)
@@ -939,9 +947,13 @@ object Similarity {
           }
         }
         Iterator.single((s, cnt))
-      }.reduce { (a, b) =>
-        val (sa, ca) = a; val (sb, cb) = b
-        for (mi <- 0 until m; c <- 0 until nCodes) {
+      }.collect() match { case rows =>
+        // driver fold, NOT Dataset.reduce — same per-partition wire
+        // cost, but no merge lambda through ClosureCleaner (transient
+        // NPE under sbt's concurrent test classloaders)
+        val (sa, ca) = rows.head
+        for (p <- 1 until rows.length; mi <- 0 until m; c <- 0 until nCodes) {
+          val (sb, cb) = rows(p)
           var j = 0
           while (j < sub) { sa(mi)(c)(j) += sb(mi)(c)(j); j += 1 }
           ca(mi)(c) += cb(mi)(c)

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{GraftFunctions, HtmlFunctions, HtmlImpl}
+
+class HtmlSpec extends SparkSpec {
+
+  private def ext(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t")
+      .select(HtmlFunctions.extractHtmlText(col("t")))
+      .head.getString(0)
+  }
+
+  test("script and style blocks vanish with their content, case-insensitive") {
+    assert(ext("a<script>x=1;</script>b") === "a b")
+    assert(ext("a<SCRIPT type='t'>if (x<y) f();</SCRIPT>b") === "a b")
+    assert(ext("a<style>p{c:red}</style>b") === "a b")
+    assert(ext("<StYlE media=\"all\">*{}</sTyLe>done") === "done")
+  }
+
+  test("comments vanish, generic tags become spaces") {
+    assert(ext("x<!-- a\nmulti-line\ncomment -->y") === "x y")
+    assert(ext("<p>a</p><br><div class='c'>b</div>") === "a b")
+    assert(ext("a<b>bold</b>c") === "a bold c")
+  }
+
+  test("unclosed blocks degrade exactly as the staged regexes would") {
+    // unclosed script: the regex can't match, so only the open tag is
+    // stripped and the content survives
+    assert(ext("a<script>kept text") === "a kept text")
+    // '<' with no '>' anywhere after it is literal
+    assert(ext("3 < 5 and 7 > 2") === "3 2")
+    assert(ext("ends with <") === "ends with <")
+    // unclosed comment degrades to the generic-tag rule: strips to the
+    // first '>' when one exists
+    assert(ext("a<!-- x > y") === "a y")
+  }
+
+  test("entity decode: specific entities first, &amp; last") {
+    assert(ext("&lt;tag&gt;") === "<tag>")
+    assert(ext("&quot;q&quot; &#39;s&#39; &apos;t&apos;") ===
+      "\"q\" 's' 't'")
+    assert(ext("a&nbsp;&nbsp;b") === "a b")
+    assert(ext("&amp;lt; is a literal") === "&lt; is a literal")
+    assert(ext("&unknown; stays") === "&unknown; stays")
+    // decoded text is NOT re-scanned for tags
+    assert(ext("&lt;script&gt;x&lt;/script&gt;") === "<script>x</script>")
+  }
+
+  test("whitespace collapses and ends trim") {
+    assert(ext("  <p>  a \t b  </p>  ") === "a b")
+    assert(ext("<br><br>") === "")
+    assert(ext("") === "")
+  }
+
+  test("interpreted eval matches the codegen column path") {
+    val cases = Seq("a<b>c</b>", "<script>x</script>y", "&lt;z&gt;", "")
+    cases.foreach { s =>
+      val interp = HtmlImpl.extractHtmlText(UTF8String.fromString(s)).toString
+      assert(interp === ext(s))
+    }
+  }
+
+  test("SQL registration reaches the same kernel") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT extract_html_text('<p>hello</p> <b>world</b>') AS t")
+      .head.getString(0)
+    assert(r === "hello world")
+  }
+}

@@ -85,6 +85,31 @@ class SplitSpec extends SparkSpec {
     assert(rep.forall(_.getAs[Long]("leaked") === 1L))
   }
 
+  test("epochShuffle: a valid permutation, reproducible, seed-sensitive") {
+    import spark.implicits._
+    val d = (0L until 400L).toDF("doc_id")
+    val e1 = Curation.epochShuffle(d, col("doc_id"), seed = 7L, nShards = 8)
+    // positions are exactly 1..count within each shard
+    val badPos = e1.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("position")).as("mx"),
+        min(col("position")).as("mn"),
+        countDistinct(col("position")).as("nd"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 ||
+        col("nd") =!= col("n"))
+    assert(badPos.count() === 0L)
+    assert(e1.count() === 400L)
+    // bit-identical reproduction under a different partitioning
+    val e2 = Curation.epochShuffle(
+      d.repartition(7), col("doc_id"), seed = 7L, nShards = 8)
+    assert(e1.except(e2).count() === 0L && e2.except(e1).count() === 0L)
+    // a different seed permutes differently
+    val e3 = Curation.epochShuffle(d, col("doc_id"), seed = 8L, nShards = 8)
+    assert(e1.join(e3, Seq("doc_id", "shard", "position")).count() < 100L)
+    intercept[IllegalArgumentException] {
+      Curation.epochShuffle(d, col("doc_id"), 1L, 0)
+    }
+  }
+
   test("degenerate and invalid fraction lists") {
     val d = docs(Seq((1L, "a"), (2L, "b")))
     val one = Curation.leakFreeSplit(
