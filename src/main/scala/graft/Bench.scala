@@ -301,8 +301,10 @@ object Bench {
       // until the per-source audit agg; OOV rate: explode + broadcast
       // membership join + map-side-collapsed per-doc agg
       "q124_jsonl_codec", "q125_oov_rate",
-      // epoch shuffle: one shard shuffle + per-shard rank windows
-      "q127_epoch_shuffle",
+      // epoch shuffle: one shard shuffle + per-shard rank windows;
+      // pipeline v2: map-stage extract+normalize+gate, then the split's
+      // one content-key shuffle
+      "q127_epoch_shuffle", "q128_curation_pipeline2",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -2309,6 +2309,50 @@ object SparkEntry {
       .orderBy(col("shard"), col("position"))
   }
 
+  /** Web-curation pipeline v2 (q128): the round's operators composed
+    * the way a crawl run chains them — markup extraction (q126's six
+    * minted shapes) → typographic normalization → token-count gate →
+    * leakage-free 90/10 split keyed on the NORMALIZED text (duplicates
+    * co-locate by construction). The oracle replays every stage: the
+    * regex extraction chain, the normalization chain, the token gate,
+    * the canonical-id hash and cuts, and the per-split audit. */
+  private def qCurationPipeline2(s: SparkSession, d: String): DataFrame = {
+    val shape = pmod(col("doc_id"), lit(6))
+    val minted = when(shape === 1,
+        concat(lit("<p class=\"x\">"), col("text"), lit("</p><br>")))
+      .when(shape === 2, concat(
+        lit("<script type=\"text/javascript\">alert(1);</script>"),
+        col("text")))
+      .when(shape === 3, concat(
+        lit("<style>p { color: red }</style><div>"), col("text"),
+        lit("</div>")))
+      .when(shape === 4, concat(
+        lit("<!-- hidden\ncomment --><b>lead</b> "), col("text")))
+      .when(shape === 5, concat(
+        lit("&lt;tag&gt; &amp;lt; &quot;q&quot; &#39;s&#39; a&nbsp;b "),
+        col("text")))
+      .otherwise(col("text"))
+    val norm = graft.functions.NormalizeFunctions.normalizeText(
+      graft.functions.HtmlFunctions.extractHtmlText(minted))
+    val staged = t(s, d, "documents")
+      .select(col("doc_id"), norm.as("norm"))
+      .withColumn("n_tok",
+        size(filter(split(col("norm"), " "), w => w =!= "")))
+      .withColumn("kept", col("n_tok") >= 5)
+    val assigned = Curation.leakFreeSplit(
+      staged, col("norm"), col("doc_id"),
+      Seq("train" -> 0.9, "heldout" -> 0.1),
+      c => pmod(c * lit(2654435761L), lit(Curation.SplitBuckets)))
+    assigned
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        countDistinct(col("norm")).as("n_keys"),
+        sum(col("doc_id")).cast("long").as("sum_ids"))
+      .orderBy(col("split"))
+  }
+
   /** Markup extraction (q126): the WET step — six minted markup shapes
     * (plain, wrapped tags, script block, style block, comment + inline
     * tags, entity battery) over every fixture doc, extracted by the
@@ -3305,7 +3349,8 @@ object SparkEntry {
     "q124_jsonl_codec" -> (qJsonlCodec _),
     "q125_oov_rate" -> (qOovRate _),
     "q126_html_extract" -> (qHtmlExtract _),
-    "q127_epoch_shuffle" -> (qEpochShuffle _))
+    "q127_epoch_shuffle" -> (qEpochShuffle _),
+    "q128_curation_pipeline2" -> (qCurationPipeline2 _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -5037,5 +5082,68 @@ object SparkEntry {
          SELECT doc_id, shard,
            CAST(row_number() OVER (PARTITION BY shard
              ORDER BY hk, doc_id) AS INT) AS position
-         FROM a ORDER BY shard, position""")
+         FROM a ORDER BY shard, position""",
+    // every stage replayed: q126's extraction chain, q121's
+    // normalization chain, the token gate, q119's canonical-id hash and
+    // cumulative cuts (90/10), the per-split audit
+    "q128_curation_pipeline2" ->
+      """WITH m AS (SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 1 THEN '<p class="x">' || text || '</p><br>'
+               WHEN 2 THEN
+                 '<script type="text/javascript">alert(1);</script>'
+                   || text
+               WHEN 3 THEN '<style>p { color: red }</style><div>'
+                 || text || '</div>'
+               WHEN 4 THEN '<!-- hidden' || chr(10)
+                 || 'comment --><b>lead</b> ' || text
+               WHEN 5 THEN
+                 '&lt;tag&gt; &amp;lt; &quot;q&quot; &#39;s&#39; '
+                   || 'a&nbsp;b ' || text
+               ELSE text END AS html
+           FROM documents),
+         e AS (SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html,
+                         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&apos;', chr(39)),
+                 '&nbsp;', ' '), '&amp;', '&'),
+               '[ \t\n\r]+', ' ', 'g')) AS extracted
+           FROM m),
+         nn AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace(extracted,
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{00AD}\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+                    '[\x{2018}-\x{201B}]', chr(39), 'g'),
+                    '[\x{201C}-\x{201F}]', '"', 'g'),
+                    '[\x{2010}-\x{2015}\x{2212}]', '-', 'g'),
+                    '[\t\n\r \x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+', ' ', 'g'))
+                  AS norm
+                FROM e),
+         tok AS (SELECT doc_id, norm,
+                   len(list_filter(string_split(norm, ' '),
+                     w -> w <> '')) >= 5 AS kept
+                 FROM nn),
+         c AS (SELECT norm, min(doc_id) AS canon FROM tok GROUP BY 1),
+         b AS (SELECT norm,
+                 ((canon * 2654435761) % 1000000 + 1000000) % 1000000
+                   AS bkt
+               FROM c),
+         a AS (SELECT tok.doc_id, tok.norm, tok.kept,
+                 CASE WHEN b.bkt < 900000 THEN 'train'
+                      ELSE 'heldout' END AS split
+               FROM tok JOIN b USING (norm))
+         SELECT split, count(*) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           count(DISTINCT norm) AS n_keys,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM a GROUP BY split ORDER BY split""")
 }

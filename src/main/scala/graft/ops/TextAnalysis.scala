@@ -548,6 +548,13 @@ object TextAnalysis {
     * the per-doc aggregate collapses map-side because a doc's token
     * rows never leave their input partition.
     *
+    * A doc with ZERO tokens has no rows to explode and is absent from
+    * the output (there is no rate to report for it) — left-join the
+    * result back to the corpus when every doc must appear.
+    *
+    * @param vocab its FIRST column is the word list (deduplicated
+    *        defensively — a duplicate vocab row must not double-count
+    *        matched tokens).
     * @return (doc_id, n_tokens, n_oov, oov_rate 4dp) */
   def oovRate(
       docs: DataFrame,
