@@ -43,11 +43,12 @@ object RecallProbe {
       val gExact = Similarity.bruteForceTopK(gq, corpus, 6)
         .filter(col("vec_id") =!= col("query_id"))
         .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      val nQ = gq.count()
       for ((nc, np) <- Seq((16, 4), (16, 6), (32, 8))) {
         val g = Similarity.knnGraph(corpus, 5, nCentroids = nc, nProbes = np)
           .select("src_id", "nbr_id").as[(Long, Long)].collect().toSet
         println(s"knnGraph(nc=$nc np=$np) recall " +
-          s"${(gExact & g).size.toDouble / gq.count() / 5.0} (|g|=${g.size})")
+          s"${(gExact & g).size.toDouble / nQ / 5.0} (|g|=${g.size})")
       }
     }
     spark.stop()

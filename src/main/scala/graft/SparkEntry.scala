@@ -2150,7 +2150,10 @@ object SparkEntry {
     val assigned = Curation.leakFreeSplit(
       docs, col("key"), col("doc_id"),
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-      c => pmod(c * lit(2654435761L), lit(Curation.SplitBuckets)))
+      // pre-reduce before the Knuth multiply so the product can't
+      // overflow a 64-bit long for any id (the repo's oracle-hash rule)
+      c => pmod(pmod(c, lit(1000003L)) * lit(2654435761L),
+        lit(Curation.SplitBuckets)))
     Curation.splitReport(assigned, col("key"), col("doc_id"))
       .orderBy(col("split"))
   }
@@ -2178,7 +2181,12 @@ object SparkEntry {
     * arbitrary fixture text, not just on the minted noise. */
   private def qNormalizeDedup(s: SparkSession, d: String): DataFrame = {
     val norm = graft.functions.NormalizeFunctions.normalizeText _
-    val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+    // prime every base with ASCII quote/dash punctuation: the fixture
+    // text is bare `w<k>` tokens, so without this the class-4 swap
+    // would be a no-op and the quote/dash map stages would pass
+    // vacuously, never actually exercised cross-engine
+    val base = t(s, d, "documents").select(
+      col("doc_id"), concat(lit("'q' - "), col("text")).as("text"))
     val cls = pmod(col("doc_id"), lit(5))
     val mutated = // NBSP / ZWSP / BEL / RSQUO / EN-DASH, escape-spelled
       when(cls === 0, regexp_replace(col("text"), " ", "  "))
@@ -2304,21 +2312,19 @@ object SparkEntry {
     val docs = t(s, d, "documents").select(col("doc_id"))
     Curation.epochShuffle(
       docs, col("doc_id"), seed = 1L, nShards = 8,
-      hash = Some(pmod(col("doc_id") * lit(2654435761L) + lit(12345L),
+      hash = Some(pmod(
+        pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L)
+          + lit(12345L),
         lit(1000000007L))))
       .orderBy(col("shard"), col("position"))
   }
 
-  /** Web-curation pipeline v2 (q128): the round's operators composed
-    * the way a crawl run chains them — markup extraction (q126's six
-    * minted shapes) → typographic normalization → token-count gate →
-    * leakage-free 90/10 split keyed on the NORMALIZED text (duplicates
-    * co-locate by construction). The oracle replays every stage: the
-    * regex extraction chain, the normalization chain, the token gate,
-    * the canonical-id hash and cuts, and the per-split audit. */
-  private def qCurationPipeline2(s: SparkSession, d: String): DataFrame = {
+  /** The six minted markup shapes q126 pins and q128 re-consumes —
+    * one definition so the two queries (and their oracles' shared CASE
+    * block) can never desynchronize. */
+  private def mintedMarkup: Column = {
     val shape = pmod(col("doc_id"), lit(6))
-    val minted = when(shape === 1,
+    when(shape === 1,
         concat(lit("<p class=\"x\">"), col("text"), lit("</p><br>")))
       .when(shape === 2, concat(
         lit("<script type=\"text/javascript\">alert(1);</script>"),
@@ -2332,6 +2338,17 @@ object SparkEntry {
         lit("&lt;tag&gt; &amp;lt; &quot;q&quot; &#39;s&#39; a&nbsp;b "),
         col("text")))
       .otherwise(col("text"))
+  }
+
+  /** Web-curation pipeline v2 (q128): the round's operators composed
+    * the way a crawl run chains them — markup extraction (q126's six
+    * minted shapes) → typographic normalization → token-count gate →
+    * leakage-free 90/10 split keyed on the NORMALIZED text (duplicates
+    * co-locate by construction). The oracle replays every stage: the
+    * regex extraction chain, the normalization chain, the token gate,
+    * the canonical-id hash and cuts, and the per-split audit. */
+  private def qCurationPipeline2(s: SparkSession, d: String): DataFrame = {
+    val minted = mintedMarkup
     val norm = graft.functions.NormalizeFunctions.normalizeText(
       graft.functions.HtmlFunctions.extractHtmlText(minted))
     val staged = t(s, d, "documents")
@@ -2342,7 +2359,8 @@ object SparkEntry {
     val assigned = Curation.leakFreeSplit(
       staged, col("norm"), col("doc_id"),
       Seq("train" -> 0.9, "heldout" -> 0.1),
-      c => pmod(c * lit(2654435761L), lit(Curation.SplitBuckets)))
+      c => pmod(pmod(c, lit(1000003L)) * lit(2654435761L),
+        lit(Curation.SplitBuckets)))
     assigned
       .groupBy(col("split"))
       .agg(
@@ -2361,21 +2379,7 @@ object SparkEntry {
     * regex/replace chain, comparing the extracted text itself
     * hash-exact, not just counts. */
   private def qHtmlExtract(s: SparkSession, d: String): DataFrame = {
-    val shape = pmod(col("doc_id"), lit(6))
-    val minted = when(shape === 1,
-        concat(lit("<p class=\"x\">"), col("text"), lit("</p><br>")))
-      .when(shape === 2, concat(
-        lit("<script type=\"text/javascript\">alert(1);</script>"),
-        col("text")))
-      .when(shape === 3, concat(
-        lit("<style>p { color: red }</style><div>"), col("text"),
-        lit("</div>")))
-      .when(shape === 4, concat(
-        lit("<!-- hidden\ncomment --><b>lead</b> "), col("text")))
-      .when(shape === 5, concat(
-        lit("&lt;tag&gt; &amp;lt; &quot;q&quot; &#39;s&#39; a&nbsp;b "),
-        col("text")))
-      .otherwise(col("text"))
+    val minted = mintedMarkup
     t(s, d, "documents")
       .select(col("doc_id"),
         graft.functions.HtmlFunctions.extractHtmlText(minted)
@@ -3351,6 +3355,40 @@ object SparkEntry {
     "q126_html_extract" -> (qHtmlExtract _),
     "q127_epoch_shuffle" -> (qEpochShuffle _),
     "q128_curation_pipeline2" -> (qCurationPipeline2 _))
+
+
+  // SQL fragments shared by the q126/q128 oracles — one spelling so
+  // the minted shapes and the extraction chain cannot desynchronize
+  private val mintedMarkupSql: String =
+    s"""CASE CAST(doc_id % 6 AS INT)
+               WHEN 1 THEN '<p class="x">' || text || '</p><br>'
+               WHEN 2 THEN
+                 '<script type="text/javascript">alert(1);</script>'
+                   || text
+               WHEN 3 THEN '<style>p { color: red }</style><div>'
+                 || text || '</div>'
+               WHEN 4 THEN '<!-- hidden' || chr(10)
+                 || 'comment --><b>lead</b> ' || text
+               WHEN 5 THEN
+                 '&lt;tag&gt; &amp;lt; &quot;q&quot; &#39;s&#39; '
+                   || 'a&nbsp;b ' || text
+               ELSE text END AS html"""
+
+  private val htmlExtractSql: String =
+    """trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html,
+                         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&apos;', chr(39)),
+                 '&nbsp;', ' '), '&amp;', '&'),
+               '[ \t\n\r]+', ' ', 'g')) AS extracted"""
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -4859,8 +4897,8 @@ object SparkEntry {
              FROM documents),
          c AS (SELECT key, min(doc_id) AS canon FROM k GROUP BY 1),
          b AS (SELECT key,
-                 ((canon * 2654435761) % 1000000 + 1000000) % 1000000
-                   AS bkt
+                 (((canon % 1000003) * 2654435761) % 1000000 + 1000000)
+                   % 1000000 AS bkt
                FROM c),
          a AS (SELECT k.doc_id, k.key,
                  CASE WHEN b.bkt < 800000 THEN 'train'
@@ -4902,7 +4940,9 @@ object SparkEntry {
     // 1 drop invisibles, 2 map quote/dash classes, 3 collapse
     // whitespace runs, 4 trim — RE2 \x{hex} classes, chr() literals
     "q121_normalize_dedup" ->
-      """WITH base AS (SELECT doc_id, text FROM documents),
+      """WITH base AS (SELECT doc_id,
+               chr(39) || 'q' || chr(39) || ' - ' || text AS text
+             FROM documents),
          m AS (SELECT doc_id % 5 AS mutation_class,
                  CASE CAST(doc_id % 5 AS INT)
                    WHEN 0 THEN replace(text, ' ', '  ')
@@ -5039,44 +5079,19 @@ object SparkEntry {
     // comment blocks, generic tags, entity decode (specific first,
     // &amp; LAST), whitespace collapse + trim
     "q126_html_extract" ->
-      """WITH m AS (SELECT doc_id,
-             CASE CAST(doc_id % 6 AS INT)
-               WHEN 1 THEN '<p class="x">' || text || '</p><br>'
-               WHEN 2 THEN
-                 '<script type="text/javascript">alert(1);</script>'
-                   || text
-               WHEN 3 THEN '<style>p { color: red }</style><div>'
-                 || text || '</div>'
-               WHEN 4 THEN '<!-- hidden' || chr(10)
-                 || 'comment --><b>lead</b> ' || text
-               WHEN 5 THEN
-                 '&lt;tag&gt; &amp;lt; &quot;q&quot; &#39;s&#39; '
-                   || 'a&nbsp;b ' || text
-               ELSE text END AS html
+      raw"""WITH m AS (SELECT doc_id,
+             ${mintedMarkupSql}
            FROM documents),
          e AS (SELECT doc_id,
-             trim(regexp_replace(
-               replace(replace(replace(replace(replace(replace(replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(html,
-                         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                     '(?s)<!--.*?-->', ' ', 'g'),
-                   '<[^>]*>', ' ', 'g'),
-                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                 '&#39;', chr(39)), '&apos;', chr(39)),
-                 '&nbsp;', ' '), '&amp;', '&'),
-               '[ \t\n\r]+', ' ', 'g')) AS extracted
+             ${htmlExtractSql}
            FROM m)
          SELECT doc_id, extracted,
            CAST(length(extracted) AS BIGINT) AS n_chars_out
          FROM e ORDER BY doc_id""",
     "q127_epoch_shuffle" ->
       """WITH h AS (SELECT doc_id,
-               ((doc_id * 2654435761 + 12345) % 1000000007 + 1000000007)
-                 % 1000000007 AS hk
+               (((doc_id % 1000003) * 2654435761 + 12345) % 1000000007
+                 + 1000000007) % 1000000007 AS hk
              FROM documents),
          a AS (SELECT doc_id, hk, (hk % 8 + 8) % 8 AS shard FROM h)
          SELECT doc_id, shard,
@@ -5087,36 +5102,11 @@ object SparkEntry {
     // normalization chain, the token gate, q119's canonical-id hash and
     // cumulative cuts (90/10), the per-split audit
     "q128_curation_pipeline2" ->
-      """WITH m AS (SELECT doc_id,
-             CASE CAST(doc_id % 6 AS INT)
-               WHEN 1 THEN '<p class="x">' || text || '</p><br>'
-               WHEN 2 THEN
-                 '<script type="text/javascript">alert(1);</script>'
-                   || text
-               WHEN 3 THEN '<style>p { color: red }</style><div>'
-                 || text || '</div>'
-               WHEN 4 THEN '<!-- hidden' || chr(10)
-                 || 'comment --><b>lead</b> ' || text
-               WHEN 5 THEN
-                 '&lt;tag&gt; &amp;lt; &quot;q&quot; &#39;s&#39; '
-                   || 'a&nbsp;b ' || text
-               ELSE text END AS html
+      raw"""WITH m AS (SELECT doc_id,
+             ${mintedMarkupSql}
            FROM documents),
          e AS (SELECT doc_id,
-             trim(regexp_replace(
-               replace(replace(replace(replace(replace(replace(replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(html,
-                         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                     '(?s)<!--.*?-->', ' ', 'g'),
-                   '<[^>]*>', ' ', 'g'),
-                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                 '&#39;', chr(39)), '&apos;', chr(39)),
-                 '&nbsp;', ' '), '&amp;', '&'),
-               '[ \t\n\r]+', ' ', 'g')) AS extracted
+             ${htmlExtractSql}
            FROM m),
          nn AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
                   regexp_replace(regexp_replace(regexp_replace(extracted,
@@ -5133,8 +5123,8 @@ object SparkEntry {
                  FROM nn),
          c AS (SELECT norm, min(doc_id) AS canon FROM tok GROUP BY 1),
          b AS (SELECT norm,
-                 ((canon * 2654435761) % 1000000 + 1000000) % 1000000
-                   AS bkt
+                 (((canon % 1000003) * 2654435761) % 1000000 + 1000000)
+                   % 1000000 AS bkt
                FROM c),
          a AS (SELECT tok.doc_id, tok.norm, tok.kept,
                  CASE WHEN b.bkt < 900000 THEN 'train'

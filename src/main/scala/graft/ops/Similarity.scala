@@ -952,11 +952,13 @@ object Similarity {
         // cost, but no merge lambda through ClosureCleaner (transient
         // NPE under sbt's concurrent test classloaders)
         val (sa, ca) = rows.head
-        for (p <- 1 until rows.length; mi <- 0 until m; c <- 0 until nCodes) {
+        for (p <- 1 until rows.length) {
           val (sb, cb) = rows(p)
-          var j = 0
-          while (j < sub) { sa(mi)(c)(j) += sb(mi)(c)(j); j += 1 }
-          ca(mi)(c) += cb(mi)(c)
+          for (mi <- 0 until m; c <- 0 until nCodes) {
+            var j = 0
+            while (j < sub) { sa(mi)(c)(j) += sb(mi)(c)(j); j += 1 }
+            ca(mi)(c) += cb(mi)(c)
+          }
         }
         (sa, ca)
       }
