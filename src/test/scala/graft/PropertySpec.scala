@@ -87,4 +87,76 @@ class PropertySpec extends AnyFunSuite {
         VecOps.dot(ad(a), ad(a), aFloat = false, bFloat = false) >= 0.0
     })
   }
+
+  // generator biased toward the text kernels' interesting code points:
+  // drop/map/whitespace classes, markup chars, plain text, astral
+  private val noisyText: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf(" ", "\t", "\n", "\r", "\u00A0", "\u2003", "\u3000"),
+    1 -> Gen.oneOf("\u0000", "\u0007", "\u007F", "\u00AD", "\u200B",
+      "\uFEFF"),
+    1 -> Gen.oneOf("\u2018", "\u2019", "\u201C", "\u201D", "\u2013",
+      "\u2014", "\u2212"),
+    1 -> Gen.oneOf("<", ">", "&", "/", "!", "-", "'", "\"",
+      "<b>", "</b>", "<script>", "</script>", "<!--", "-->",
+      "&amp;", "&lt;", "&nbsp;"),
+    1 -> Gen.oneOf("\u00E9", "\u4E2D", new String(Character.toChars(0x1F600)))
+  )).map(_.mkString)
+
+  test("normalize_text: idempotent; drop class absent; whitespace canonical") {
+    import graft.functions.NormImpl
+    def norm(x: String) =
+      NormImpl.normalizeText(UTF8String.fromString(x)).toString
+    check("normalize")(Prop.forAll(noisyText) { s =>
+      val once = norm(s)
+      val dropAbsent = once.forall { c =>
+        val cp = c.toInt
+        !(cp < 0x20 && c != '\t' && c != '\n' && c != '\r') &&
+          cp != 0x7f && cp != 0xad && !(cp >= 0x200b && cp <= 0x200d) &&
+          cp != 0xfeff
+      }
+      val wsCanonical = !once.contains("  ") && !once.contains('\t') &&
+        !once.contains('\n') && !once.contains('\u00A0') &&
+        once == once.trim
+      norm(once) == once && dropAbsent && wsCanonical
+    })
+  }
+
+  test("extract_html_text: equals the staged regex contract on well-formed markup") {
+    import graft.functions.HtmlImpl
+    def kernel(x: String) =
+      HtmlImpl.extractHtmlText(UTF8String.fromString(x)).toString
+    // the oracle's literal staged pipeline, in-JVM (java.util.regex
+    // agrees with RE2 on these patterns); equivalence is contractual on
+    // WELL-FORMED markup — raw '<' in text ahead of a block is the
+    // documented divergence, so text runs exclude '<'
+    def staged(x: String): String = {
+      var t = x
+      t = t.replaceAll("(?is)<script[^>]*>.*?</script>", " ")
+      t = t.replaceAll("(?is)<style[^>]*>.*?</style>", " ")
+      t = t.replaceAll("(?s)<!--.*?-->", " ")
+      t = t.replaceAll("<[^>]*>", " ")
+      for ((pat, ch) <- Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"))
+        t = t.replace(pat, ch)
+      t.replaceAll("[ \t\n\r]+", " ").trim
+    }
+    val inner = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf(" ", "=", ";", "(", ")"))).map(_.mkString)
+    val piece: Gen[String] = Gen.frequency(
+      6 -> Gen.listOf(Gen.frequency(
+        6 -> Gen.alphaNumChar.map(_.toString),
+        2 -> Gen.oneOf(" ", "\t", "\n", ">", "&", "'"),
+        1 -> Gen.oneOf("&amp;", "&lt;", "&gt;", "&nbsp;", "&#39;")))
+        .map(_.mkString),
+      2 -> Gen.oneOf("<b>", "</b>", "<div class='x'>", "</div>", "<br/>"),
+      1 -> inner.map(c => s"<script type='t'>$c</script>"),
+      1 -> inner.map(c => s"<style>$c</style>"),
+      1 -> inner.map(c => s"<!--$c-->"))
+    val markup = Gen.listOf(piece).map(_.mkString)
+    check("extract-equiv")(Prop.forAll(markup) { s =>
+      kernel(s) == staged(s)
+    })
+  }
 }
