@@ -745,6 +745,20 @@ object Similarity {
       k, nProbes)
   }
 
+  /** [[knnGraph]] over a persisted index ([[saveIvfIndex]] layout) —
+    * the periodic-refresh path: reload the write-once corpus index and
+    * rebuild the graph with zero re-training and zero re-assignment
+    * (bit-exact with the in-memory build — the centroid round-trip is
+    * lossless). */
+  def knnGraphFromIndex(
+      sess: org.apache.spark.sql.SparkSession,
+      path: String,
+      k: Int,
+      nProbes: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    knnGraph(loadIvfIndex(sess, path), k, nProbes)
+  }
+
   private[graft] def knnGraph(
       index: IvfIndex, k: Int, nProbes: Int): DataFrame = {
     val sess = index.assigned.sparkSession

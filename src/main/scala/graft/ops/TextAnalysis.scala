@@ -573,4 +573,44 @@ object TextAnalysis {
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 4))
   }
+
+  /** [[oovRate]]'s scale lane past broadcast-join vocabulary size: the
+    * membership test rides a key-range-sharded Bloom gate
+    * ([[graft.functions.ShardedBloom]]) over xxhash64 of the token, so
+    * the whole audit is MAP-ONLY — no explode, no join, no shuffle at
+    * all; per-doc counts come straight off the token array. The gate
+    * admits ~fpp false vocabulary hits, so `n_oov` can only
+    * UNDER-count by that margin (no false negatives — a vocab token is
+    * never miscounted as OOV); the join lane is the exact twin. Unlike
+    * the join lane, zero-token docs are KEPT (n_tokens 0, null rate).
+    */
+  def oovRateBloom(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      vocab: DataFrame,
+      nShards: Int = 4,
+      fpp: Double = 0.001): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val words = vocab.select(col(vocab.columns.head).as("w")).distinct()
+    val n = words.count()
+    val bloom = graft.functions.ShardedBloom.build(
+      words.select(xxhash64(col("w"))).as[Long].rdd,
+      nShards, math.max(n, 1L), fpp)
+    val probe = (t: Column) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.ShardedBloomMightContain(
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .expression(xxhash64(t)),
+          bloom))
+    val toks = filter(split(textCol, " "), w => w =!= "")
+    docs.select(
+      idCol.as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => !probe(t))).cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          round(col("n_oov") / col("n_tokens"), 4)))
+  }
 }

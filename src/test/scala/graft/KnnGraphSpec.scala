@@ -71,6 +71,23 @@ class KnnGraphSpec extends SparkSpec {
     assert(deg.forall(_ === 3L))
   }
 
+  test("graph from a reloaded persisted index is bit-identical") {
+    val c = corpus(90, 8, 19)
+    val index = Similarity.buildIvfIndex(c, 8, 2, 42L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("knn_idx").toString
+    try {
+      Similarity.saveIvfIndex(index, dir)
+      val mem = Similarity.knnGraph(index, 3, 4)
+      val disk = Similarity.knnGraphFromIndex(spark, dir, 3, 4)
+      assert(mem.except(disk).count() === 0L)
+      assert(disk.except(mem).count() === 0L)
+      assert(disk.count() === 270L)
+    } finally
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+  }
+
   test("k must be positive") {
     intercept[IllegalArgumentException] {
       Similarity.knnGraph(corpus(5, 4, 1), k = 0)

@@ -34,4 +34,39 @@ class OovSpec extends SparkSpec {
     val r = run(Seq((1L, "a  b   c")), Seq("a"))
     assert(r(1L) === ((3L, 2L, 0.6667)))
   }
+
+  test("the map-only Bloom lane agrees with the exact join lane") {
+    import spark.implicits._
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, s"w${i % 7} w${i % 11} u${i} w${i % 7}"))
+      .toDF("doc_id", "text")
+    val vocab = (0 until 11).map(i => s"w$i").toDF("word")
+    val exact = TextAnalysis
+      .oovRate(docs, col("doc_id"), col("text"), vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val bloom = TextAnalysis
+      .oovRateBloom(docs, col("doc_id"), col("text"), vocab, nShards = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(bloom.size === 60)
+    exact.foreach { case (id, (nt, no)) =>
+      val (bt, bo) = bloom(id)
+      assert(bt === nt)
+      // false positives can only SHRINK the OOV count; at fpp 0.001
+      // over this vocabulary they don't occur at all
+      assert(bo === no, s"doc $id: bloom $bo vs exact $no")
+    }
+  }
+
+  test("Bloom lane keeps zero-token docs with a null rate") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRateBloom(
+      docs, col("doc_id"), col("text"), Seq("a").toDF("word"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 0L)
+    assert(out(1L).isNullAt(3))
+    assert(out(2L).getLong(2) === 1L)
+  }
 }
