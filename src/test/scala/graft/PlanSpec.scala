@@ -344,6 +344,36 @@ class PlanSpec extends SparkSpec {
       s"candidate generation must stay the cell equi-join:\n$p")
   }
 
+  test("q124 JSONL codec is map-only until the per-source audit agg") {
+    val p = plan("q124_jsonl_codec")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("Generate"),
+      s"serialize/mangle/parse must stay one map stage:\n$p")
+  }
+
+  test("q125 OOV membership join broadcasts the vocabulary") {
+    val p = plan("q125_oov_rate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab membership must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus-side token relation must never shuffle for the join:\n$p")
+  }
+
+  test("q127 epoch shuffle: one hash exchange, no join") {
+    val p = plan("q127_epoch_shuffle")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    assert("hashpartitioning".r.findAllMatchIn(p).size == 1,
+      s"exactly the shard exchange:\n$p")
+  }
+
+  test("q128 pipeline v2 fuses extract+normalize into the map stage — no explode") {
+    val p = plan("q128_curation_pipeline2")
+    assert(p.contains("extract_html_text") && p.contains("normalize_text"),
+      s"both kernels must appear fused in the plan:\n$p")
+    assert(!p.contains("Generate"),
+      s"the token gate must ride size(filter(...)), not an explode:\n$p")
+  }
+
   test("no query plans a partition-less Window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec
