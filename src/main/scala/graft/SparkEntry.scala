@@ -2319,6 +2319,31 @@ object SparkEntry {
       .orderBy(col("shard"), col("position"))
   }
 
+  /** Compression-ratio signal (q129): `deflate_ratio` over three
+    * per-doc variants — the doc repeated 4× (repetition must crush the
+    * ratio), the doc itself, and a fixed-length deterministic
+    * random-letter string ([[graft.functions.GraftFunctions
+    * .randLetters]], near-incompressible). Deflate output is not
+    * SQL-replayable, so the oracle pins the derived per-doc booleans:
+    * strict repetitive < natural ordering (measured margin 0.25 vs
+    * 0.386 across the fixture), sane bounds, and the random lane
+    * inside (0.6, 0.95) — wide enough for zlib-build variance, tight
+    * enough that a broken kernel (ratio 0 or ≥1) fails every row. */
+  private def qDeflateRatio(s: SparkSession, d: String): DataFrame = {
+    val ratio = graft.functions.CompressFunctions.deflateRatio _
+    val rep = ratio(concat(col("text"), col("text"), col("text"),
+      col("text")))
+    val nat = ratio(col("text"))
+    val rnd = ratio(GraftFunctions.randLetters(xxhash64(col("doc_id")), 300))
+    t(s, d, "documents").select(
+      col("doc_id"),
+      (rep < nat).as("rep_lt_nat"),
+      (rep > 0.0 && nat > 0.0 && rep <= 1.05 && nat <= 1.05)
+        .as("bounded"),
+      (rnd > 0.6 && rnd < 0.95).as("rand_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The six minted markup shapes q126 pins and q128 re-consumes —
     * one definition so the two queries (and their oracles' shared CASE
     * block) can never desynchronize. */
@@ -3354,7 +3379,8 @@ object SparkEntry {
     "q125_oov_rate" -> (qOovRate _),
     "q126_html_extract" -> (qHtmlExtract _),
     "q127_epoch_shuffle" -> (qEpochShuffle _),
-    "q128_curation_pipeline2" -> (qCurationPipeline2 _))
+    "q128_curation_pipeline2" -> (qCurationPipeline2 _),
+    "q129_deflate_ratio" -> (qDeflateRatio _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5098,6 +5124,12 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY shard
              ORDER BY hk, doc_id) AS INT) AS position
          FROM a ORDER BY shard, position""",
+    // deflate isn't SQL-replayable: the oracle pins the derived
+    // conformance booleans (q106/q122 pattern)
+    "q129_deflate_ratio" ->
+      """SELECT doc_id, true AS rep_lt_nat, true AS bounded,
+           true AS rand_ok
+         FROM documents ORDER BY doc_id""",
     // every stage replayed: q126's extraction chain, q121's
     // normalization chain, the token gate, q119's canonical-id hash and
     // cumulative cuts (90/10), the per-split audit

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compression-ratio quality signal — deflate(text) / raw bytes. A
+  * near-duplicate-free, natural-language page deflates to ~0.3–0.6 of
+  * its size; boilerplate/templated spam (repeated menus, keyword
+  * stuffing) crushes far below that, and random identifiers sit near
+  * (or just above) 1.0 — which is why compression ratio is a standard
+  * cheap curation gate beside the Gopher/C4 rule batteries (it catches
+  * repetition the rule sets don't enumerate; the same idea as
+  * within-doc repeated-span density, at one-pass cost).
+  *
+  * Determinism contract: java.util.zip.Deflater, BEST_COMPRESSION
+  * level, default strategy, raw deflate (nowrap — no zlib header so
+  * the ratio reflects content alone), over the UTF-8 bytes. Output is
+  * deterministic for a fixed JDK zlib; cross-SQL-engine replay is NOT
+  * possible (no deflate in SQL), so oracles pin derived orderings
+  * (repetitive < natural < random), not raw ratios.
+  */
+object CompressImpl {
+
+  /** deflate-compressed size in bytes of `s`'s UTF-8 encoding. */
+  def deflatedSize(bytes: Array[Byte]): Int = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_COMPRESSION, /* nowrap = */ true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  /** compressed/raw ratio, 4dp; an empty string reports 0.0 (nothing
+    * to measure — callers gate on length first). */
+  def deflateRatio(u: UTF8String): Double = {
+    val bytes = u.getBytes
+    if (bytes.isEmpty) 0.0
+    else math.round(deflatedSize(bytes).toDouble / bytes.length * 10000.0) /
+      10000.0
+  }
+}
+
+/** `deflate_ratio(s)` — the compression-ratio signal as a native
+  * codegen expression (one static call per row; the Deflater is
+  * per-call — cheap next to the deflate itself and thread-safe by
+  * construction). */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  // input contract: StringType (the Column wrapper casts)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    CompressImpl.deflateRatio(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CompressImpl.deflateRatio($c)")
+  override protected def withNewChildInternal(c: Expression): DeflateRatio =
+    copy(c)
+  override def prettyName: String = "deflate_ratio"
+}
+
+object CompressFunctions {
+  /** Column API: deflate-compression ratio of `c` per [[CompressImpl]]. */
+  def deflateRatio(c: Column): Column =
+    column(DeflateRatio(expression(c.cast("string"))))
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{CompressFunctions, CompressImpl}
+
+class CompressSpec extends SparkSpec {
+
+  private def r(s: String): Double =
+    CompressImpl.deflateRatio(UTF8String.fromString(s))
+
+  test("repetition crushes the ratio; structure beats noise") {
+    assert(r("ab" * 500) < 0.05)
+    val natural = "the quick brown fox jumps over the lazy dog and " * 8
+    assert(r(natural) < 0.5)
+    val noise = Seq.tabulate(300)(i =>
+      graft.functions.Impl.mix64(i.toLong).toHexString).mkString
+    assert(r(noise) > 0.5)
+    assert(r(natural) < r(noise))
+  }
+
+  test("edge cases: empty is 0, ratios bounded, deterministic") {
+    assert(r("") === 0.0)
+    assert(r("x") > 0.0)
+    val s = "some moderately sized input string 12345"
+    assert(r(s) === r(s))
+    assert(r(s) <= 1.2) // tiny inputs may expand slightly, never wildly
+  }
+
+  test("more repetition never compresses worse") {
+    val base = "segment of text with words in it. "
+    val r2 = r(base * 2)
+    val r8 = r(base * 8)
+    val r32 = r(base * 32)
+    assert(r8 < r2 && r32 < r8)
+  }
+
+  test("column path matches the driver kernel") {
+    import spark.implicits._
+    val rows = Seq("aa" * 100, "mixed content 123", "")
+    val got = rows.toDF("t")
+      .select(CompressFunctions.deflateRatio(col("t")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got === rows.map(r))
+  }
+}
