@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.functions.{CompressFunctions, HtmlFunctions, NormalizeFunctions}
+
+/** The round's text kernels are pure per-row expressions, so they must
+  * run unchanged inside a streaming micro-batch — stateless (no state
+  * store, no watermark), the property that lets the batch curation
+  * chain (extract → normalize → signal) lift to the ingest stream
+  * as-is. */
+class StreamKernelSpec extends SparkSpec {
+
+  test("extract+normalize+deflate run stateless in a streaming pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val out = source.toDF().toDF("doc_id", "html")
+      .select(
+        col("doc_id"),
+        NormalizeFunctions.normalizeText(
+          HtmlFunctions.extractHtmlText(col("html"))).as("txt"))
+      .withColumn("ratio", CompressFunctions.deflateRatio(col("txt")))
+    val q = out.writeStream
+      .format("memory").queryName("kernel_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(
+        (1L, "<p>hello  world</p>"),
+        (2L, "<script>x=1</script>spam " * 1 + "spam spam spam spam"))
+      q.processAllAvailable()
+      source.addData((3L, "&lt;tag&gt; ‘q’"))
+      q.processAllAvailable()
+      val rows = spark.table("kernel_stream")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getDouble(2)))).toMap
+      assert(rows(1L)._1 === "hello world")
+      assert(rows(3L)._1 === "<tag> 'q'")
+      assert(rows(2L)._2 > 0.0 && rows(2L)._2 <= 1.2)
+      // stateless: the progress log reports no state operators
+      val p = q.lastProgress
+      assert(p == null || p.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+}
