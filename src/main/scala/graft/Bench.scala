@@ -305,8 +305,9 @@ object Bench {
       // pipeline v2: map-stage extract+normalize+gate, then the split's
       // one content-key shuffle
       "q127_epoch_shuffle", "q128_curation_pipeline2",
-      // deflate-ratio battery: three per-row kernel calls, map-only
-      "q129_deflate_ratio",
+      // deflate-ratio battery: three per-row kernel calls, map-only;
+      // outlink domains: regex extract + two codegen kernels + one agg
+      "q129_deflate_ratio", "q130_outlink_domains",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

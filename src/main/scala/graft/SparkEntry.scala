@@ -2319,6 +2319,45 @@ object SparkEntry {
       .orderBy(col("shard"), col("position"))
   }
 
+  /** Outlink domain analysis (q130): the link-graph step — three
+    * minted anchors per doc (uppercase host + default port + tracking
+    * param; fragment + co.uk multi-label suffix; an already-canonical
+    * CDN link) are extracted (`regexp_extract_all` on the href
+    * attribute), canonicalized ([[graft.functions.DomainFunctions
+    * .canonicalUrl]]), reduced to eTLD+1
+    * ([[graft.functions.DomainFunctions.registrableDomain]], full
+    * PSL), and aggregated per domain. The oracle re-extracts with its
+    * own regex and constructs the expected canonical form and domain
+    * per minted shape — every kernel rule on these shapes is pinned
+    * including the sample URL string. */
+  private def qOutlinkDomains(s: SparkSession, d: String): DataFrame = {
+    val a = pmod(col("doc_id"), lit(7))
+    val b = pmod(col("doc_id"), lit(3))
+    val html = concat(
+      lit("<a href=\"https://WWW.News"), a,
+      lit(".COM:443/p/?utm_source=t&id="), col("doc_id"),
+      lit("\">x</a> "), col("text"),
+      lit(" <a class=\"l\" href=\"http://blog"), b,
+      lit(".co.uk/q#frag\">y</a>"),
+      lit(" <a href=\"https://cdn.shared.org/lib.js\">z</a>"))
+    t(s, d, "documents").select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("html"),
+          lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+      .select(col("doc_id"),
+        graft.functions.DomainFunctions.canonicalUrl(col("href"))
+          .as("curl"))
+      .withColumn("domain", coalesce(
+        graft.functions.DomainFunctions.registrableDomain(col("curl")),
+        col("curl")))
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("curl")).as("sample_url"))
+      .orderBy(col("domain"))
+  }
+
   /** Compression-ratio signal (q129): `deflate_ratio` over three
     * per-doc variants — the doc repeated 4× (repetition must crush the
     * ratio), the doc itself, and a fixed-length deterministic
@@ -3380,7 +3419,8 @@ object SparkEntry {
     "q126_html_extract" -> (qHtmlExtract _),
     "q127_epoch_shuffle" -> (qEpochShuffle _),
     "q128_curation_pipeline2" -> (qCurationPipeline2 _),
-    "q129_deflate_ratio" -> (qDeflateRatio _))
+    "q129_deflate_ratio" -> (qDeflateRatio _),
+    "q130_outlink_domains" -> (qOutlinkDomains _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5130,6 +5170,44 @@ object SparkEntry {
       """SELECT doc_id, true AS rep_lt_nat, true AS bounded,
            true AS rand_ok
          FROM documents ORDER BY doc_id""",
+    // the oracle re-extracts hrefs with its own regex and CONSTRUCTS
+    // the expected canonical/domain per minted shape — the kernels'
+    // case-fold/port/tracking/fragment/PSL rules are pinned on these
+    // shapes down to the sample URL string
+    "q130_outlink_domains" ->
+      """WITH m AS (SELECT doc_id,
+             '<a href="https://WWW.News' || CAST(doc_id % 7 AS VARCHAR)
+               || '.COM:443/p/?utm_source=t&id='
+               || CAST(doc_id AS VARCHAR) || '">x</a> ' || text
+               || ' <a class="l" href="http://blog'
+               || CAST(doc_id % 3 AS VARCHAR) || '.co.uk/q#frag">y</a>'
+               || ' <a href="https://cdn.shared.org/lib.js">z</a>'
+               AS html
+           FROM documents),
+         l AS (SELECT doc_id,
+                 unnest(regexp_extract_all(html, 'href="([^"]*)"', 1))
+                   AS href
+               FROM m),
+         c AS (SELECT doc_id,
+                 CASE
+                   WHEN href LIKE 'https://WWW.News%' THEN
+                     'https://www.news' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.com/p/?id=' || CAST(doc_id AS VARCHAR)
+                   WHEN href LIKE 'http://blog%' THEN
+                     'http://blog' || CAST(doc_id % 3 AS VARCHAR)
+                       || '.co.uk/q'
+                   ELSE 'https://cdn.shared.org/lib.js' END AS curl,
+                 CASE
+                   WHEN href LIKE 'https://WWW.News%' THEN
+                     'news' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                   WHEN href LIKE 'http://blog%' THEN
+                     'blog' || CAST(doc_id % 3 AS VARCHAR) || '.co.uk'
+                   ELSE 'shared.org' END AS domain
+               FROM l)
+         SELECT domain, count(*) AS n_links,
+           count(DISTINCT doc_id) AS n_docs,
+           min(curl) AS sample_url
+         FROM c GROUP BY domain ORDER BY domain""",
     // every stage replayed: q126's extraction chain, q121's
     // normalization chain, the token gate, q119's canonical-id hash and
     // cumulative cuts (90/10), the per-split audit
