@@ -308,6 +308,8 @@ object Bench {
       // deflate-ratio battery: three per-row kernel calls, map-only;
       // outlink domains: regex extract + two codegen kernels + one agg
       "q129_deflate_ratio", "q130_outlink_domains",
+      // number-blind dedup: two map-minted classes + one key join
+      "q131_numberblind_dedup",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

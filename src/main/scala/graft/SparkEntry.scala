@@ -2319,6 +2319,41 @@ object SparkEntry {
       .orderBy(col("shard"), col("position"))
   }
 
+  /** Number-blind dedup keys (q131): digit-folded fingerprints — the
+    * standard trick for catching near-dups that differ only in
+    * volatile numerics (timestamps, counters, view counts): the dedup
+    * key is the text with every digit folded to `0`. Minted mutants in
+    * two classes: digit-shifted copies (translate digits — MUST rejoin
+    * their base under the folded key) and a marker-prepend NEGATIVE
+    * control (must NOT match: the fold is digit-blind, not
+    * content-blind). Pure built-ins on both engines (`translate`,
+    * `regexp_replace`) — no custom kernel needed, which is the point:
+    * the fold composes with [[graft.ops.Dedup]]'s exact lane as a key
+    * expression. */
+  private def qNumberBlindDedup(s: SparkSession, d: String): DataFrame = {
+    val fold = (c: Column) => regexp_replace(c, "[0-9]", "0")
+    val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val cls = pmod(col("doc_id"), lit(2))
+    val mutated = when(cls === 0,
+        translate(col("text"), "0123456789", "9876543210"))
+      .otherwise(concat(lit("ctrl "), col("text")))
+    val baseKeys = base.select(fold(col("text")).as("key")).distinct()
+      .withColumn("__hit", lit(1L))
+    base
+      .select(cls.as("mutation_class"), fold(mutated).as("key"))
+      .join(baseKeys, Seq("key"), "left")
+      .groupBy(col("mutation_class"))
+      .agg(
+        count(lit(1)).as("n_mutants"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+      .withColumn("expected_matched",
+        when(col("mutation_class") === 0, col("n_mutants"))
+          .otherwise(lit(0L)))
+      .withColumn("class_ok",
+        col("n_matched") === col("expected_matched"))
+      .orderBy(col("mutation_class"))
+  }
+
   /** Outlink domain analysis (q130): the link-graph step — three
     * minted anchors per doc (uppercase host + default port + tracking
     * param; fragment + co.uk multi-label suffix; an already-canonical
@@ -3420,7 +3455,8 @@ object SparkEntry {
     "q127_epoch_shuffle" -> (qEpochShuffle _),
     "q128_curation_pipeline2" -> (qCurationPipeline2 _),
     "q129_deflate_ratio" -> (qDeflateRatio _),
-    "q130_outlink_domains" -> (qOutlinkDomains _))
+    "q130_outlink_domains" -> (qOutlinkDomains _),
+    "q131_numberblind_dedup" -> (qNumberBlindDedup _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5208,6 +5244,29 @@ object SparkEntry {
            count(DISTINCT doc_id) AS n_docs,
            min(curl) AS sample_url
          FROM c GROUP BY domain ORDER BY domain""",
+    "q131_numberblind_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         m AS (SELECT doc_id % 2 AS mutation_class,
+                 CASE WHEN doc_id % 2 = 0
+                   THEN translate(text, '0123456789', '9876543210')
+                   ELSE 'ctrl ' || text END AS text
+               FROM base),
+         bk AS (SELECT DISTINCT
+                  regexp_replace(text, '[0-9]', '0', 'g') AS key
+                FROM base),
+         mk AS (SELECT mutation_class,
+                  regexp_replace(text, '[0-9]', '0', 'g') AS key
+                FROM m),
+         j AS (SELECT mutation_class,
+                 CASE WHEN bk.key IS NOT NULL THEN 1 ELSE 0 END AS hit
+               FROM mk LEFT JOIN bk ON mk.key = bk.key)
+         SELECT mutation_class, count(*) AS n_mutants,
+           CAST(sum(hit) AS BIGINT) AS n_matched,
+           CAST(CASE WHEN mutation_class = 0 THEN count(*) ELSE 0 END
+             AS BIGINT) AS expected_matched,
+           sum(hit) = CASE WHEN mutation_class = 0 THEN count(*)
+             ELSE 0 END AS class_ok
+         FROM j GROUP BY mutation_class ORDER BY mutation_class""",
     // every stage replayed: q126's extraction chain, q121's
     // normalization chain, the token gate, q119's canonical-id hash and
     // cumulative cuts (90/10), the per-split audit
