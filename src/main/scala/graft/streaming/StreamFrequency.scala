@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Streaming heavy hitters — trending terms over an unbounded token
+  * stream with BOUNDED state (the streaming member of the frequency
+  * family beside [[graft.ops.Frequency]]'s batch Misra–Gries): tokens
+  * hash-shard into `nShards` groups, each group holds ONE k-counter
+  * Misra–Gries summary in `mapGroupsWithState` — total state is
+  * `nShards · (k−1)` counters regardless of stream length, and every
+  * trigger emits each touched shard's updated summary (Update mode).
+  *
+  * Because the shards PARTITION the token space (a token hashes to
+  * exactly one shard), the reader-side combine is a plain union — no
+  * cross-shard merge error — and each estimate carries its own shard's
+  * bound `est ≤ freq ≤ est + n_shard/k`, which is TIGHTER than the
+  * single-summary n/k (sharding helps the sketch, the same reason the
+  * batch lane tree-merges partition summaries).
+  */
+object StreamFrequency {
+
+  /** One shard's current sketch: `n` items seen, surviving counters. */
+  case class ShardSummary(shard: Long, n: Long, counters: Map[String, Long])
+
+  /** Stateful per-shard Misra–Gries over `tokenCol` (one token per
+    * row — explode upstream). Update-mode output: the latest row per
+    * shard is that shard's live summary. */
+  def shardSummaries(
+      stream: DataFrame,
+      tokenCol: Column,
+      k: Int,
+      nShards: Int): Dataset[ShardSummary] = {
+    require(k >= 2, s"k $k must be >= 2")
+    require(nShards >= 1, s"nShards $nShards must be >= 1")
+    val sess = stream.sparkSession
+    import sess.implicits._
+    stream
+      .select(tokenCol.cast("string").as("t"),
+        pmod(xxhash64(tokenCol.cast("string")), lit(nShards.toLong))
+          .as("shard"))
+      .as[(String, Long)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[(Long, Map[String, Long]), ShardSummary](
+        GroupStateTimeout.NoTimeout) { (shard, it, state) =>
+        var (n, m) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+        it.foreach { case (t, _) =>
+          m = graft.ops.Frequency.add(m, t, 1L, k)
+          n += 1
+        }
+        state.update((n, m))
+        ShardSummary(shard, n, m)
+      }
+  }
+
+  /** Combine the latest summary of each shard into a global top list —
+    * a plain union (shards are token-disjoint), largest first. */
+  def mergeTop(summaries: Seq[ShardSummary]): Seq[(String, Long)] =
+    summaries
+      .groupBy(_.shard).values.map(_.maxBy(_.n)) // latest row per shard
+      .toSeq
+      .flatMap(_.counters.toSeq)
+      .sortBy { case (t, c) => (-c, t) }
+}

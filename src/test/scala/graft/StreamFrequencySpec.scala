@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamFrequency
+
+class StreamFrequencySpec extends SparkSpec {
+
+  test("per-shard MG state stays bounded and the planted hot term surfaces") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    val nShards = 4
+    val source = MemoryStream[String]
+    val out = StreamFrequency.shardSummaries(
+      source.toDF().toDF("token"), col("token"), k, nShards)
+    val q = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // trigger 1: hot term + background noise
+      source.addData(Seq.fill(120)("hot") ++
+        (1 to 80).map(i => s"bg$i"): _*)
+      q.processAllAvailable()
+      // trigger 2: hot keeps trending, fresh noise arrives
+      source.addData(Seq.fill(90)("hot") ++
+        (81 to 160).map(i => s"bg$i"): _*)
+      q.processAllAvailable()
+      val rows = spark.table("hh_stream").as[StreamFrequency.ShardSummary]
+        .collect().toSeq
+      val top = StreamFrequency.mergeTop(rows)
+      assert(top.head._1 === "hot", s"top was ${top.take(3)}")
+      // MG bound within hot's own shard: est <= 210 <= est + n_shard/k
+      val est = top.head._2
+      val hotShard = rows.filter(_.counters.contains("hot")).maxBy(_.n)
+      assert(est <= 210L)
+      assert(est + hotShard.n / k >= 210L,
+        s"est $est + ${hotShard.n}/$k below true 210")
+      // bounded state: every shard summary carries < k counters, and
+      // the state store holds at most nShards rows
+      assert(rows.forall(_.counters.size <= k - 1))
+      val p = q.lastProgress
+      assert(p.stateOperators.nonEmpty &&
+        p.stateOperators.head.numRowsTotal <= nShards)
+    } finally q.stop()
+  }
+
+  test("guards reject degenerate parameters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    intercept[IllegalArgumentException] {
+      StreamFrequency.shardSummaries(
+        source.toDF().toDF("token"), col("token"), 1, 4)
+    }
+    intercept[IllegalArgumentException] {
+      StreamFrequency.shardSummaries(
+        source.toDF().toDF("token"), col("token"), 8, 0)
+    }
+  }
+}
