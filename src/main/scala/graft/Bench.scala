@@ -308,8 +308,10 @@ object Bench {
       // deflate-ratio battery: three per-row kernel calls, map-only;
       // outlink domains: regex extract + two codegen kernels + one agg
       "q129_deflate_ratio", "q130_outlink_domains",
-      // number-blind dedup: two map-minted classes + one key join
-      "q131_numberblind_dedup",
+      // number-blind dedup: two map-minted classes + one key join;
+      // daily cycle: index build + append + three classifications, all
+      // linear passes (the corpus never self-joins)
+      "q131_numberblind_dedup", "q132_daily_dedup_cycle",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

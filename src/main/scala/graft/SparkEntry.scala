@@ -2319,6 +2319,55 @@ object SparkEntry {
       .orderBy(col("shard"), col("position"))
   }
 
+  /** Daily dedup cycle (q132): the full ingest loop classify → append
+    * → classify, end to end — day-1 batch (every-10th-doc copies +
+    * fully synthetic fresh docs) probes the corpus index; its `new`
+    * docs are folded in with [[graft.ops.Dedup.appendToDedupIndex]]
+    * (no corpus re-read — artifact union + Bloom insertion); day-2
+    * copies of those fresh docs must then classify `exact` against the
+    * appended index while remaining `new` against the stale one. The
+    * oracle pins the minted counts and the four cycle booleans
+    * (q106/q122 pattern — the Bloom internals aren't SQL-replayable). */
+  private def qDailyDedupCycle(s: SparkSession, d: String): DataFrame = {
+    val corpus = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val index = Dedup.buildDedupIndex(corpus, expectedCorpusDocs = 100000L)
+    val copies = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val freshText = array_join(
+      transform(sequence(lit(1), lit(20)),
+        j => concat(lit("zq"), col("doc_id") * 31 + j)), " ")
+    val fresh = corpus.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 200000L).as("doc_id"), freshText.as("text"))
+    val day1 = copies.unionByName(fresh).localCheckpoint()
+    val c1 = Dedup.incrementalDedup(index, day1, 0.7).localCheckpoint()
+    val appended = Dedup.appendToDedupIndex(
+      index,
+      day1.join(c1.filter(col("cls") === "new")
+        .select(col("batch_id").as("doc_id")), "doc_id"))
+    val day2 = fresh.select(
+      (col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val c2stale = Dedup.incrementalDedup(index, day2, 0.7)
+    val c2fresh = Dedup.incrementalDedup(appended, day2, 0.7)
+    val a1 = c1.agg(
+      sum(when(col("batch_id") < 200000L && col("cls") === "exact", 1L)
+        .otherwise(0L)).as("copies_exact"),
+      sum(when(col("batch_id") >= 200000L && col("cls") === "new", 1L)
+        .otherwise(0L)).as("fresh_new"),
+      count(lit(1)).as("n_day1"))
+    val a2 = c2stale.agg(
+      sum(when(col("cls") === "new", 1L).otherwise(0L)).as("stale_new"),
+      count(lit(1)).as("n_day2"))
+    val a3 = c2fresh.agg(
+      sum(when(col("cls") === "exact", 1L).otherwise(0L)).as("seen_exact"))
+    a1.crossJoin(broadcast(a2)).crossJoin(broadcast(a3))
+      .select(
+        col("n_day1"), col("n_day2"),
+        (col("copies_exact") + col("fresh_new") === col("n_day1"))
+          .as("day1_ok"),
+        (col("stale_new") === col("n_day2")).as("stale_blind_ok"),
+        (col("seen_exact") === col("n_day2")).as("appended_sees_ok"))
+  }
+
   /** Number-blind dedup keys (q131): digit-folded fingerprints — the
     * standard trick for catching near-dups that differ only in
     * volatile numerics (timestamps, counters, view counts): the dedup
@@ -3456,7 +3505,8 @@ object SparkEntry {
     "q128_curation_pipeline2" -> (qCurationPipeline2 _),
     "q129_deflate_ratio" -> (qDeflateRatio _),
     "q130_outlink_domains" -> (qOutlinkDomains _),
-    "q131_numberblind_dedup" -> (qNumberBlindDedup _))
+    "q131_numberblind_dedup" -> (qNumberBlindDedup _),
+    "q132_daily_dedup_cycle" -> (qDailyDedupCycle _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5267,6 +5317,18 @@ object SparkEntry {
            sum(hit) = CASE WHEN mutation_class = 0 THEN count(*)
              ELSE 0 END AS class_ok
          FROM j GROUP BY mutation_class ORDER BY mutation_class""",
+    // Bloom internals aren't SQL-replayable: the oracle pins the minted
+    // batch sizes and the cycle booleans (q106/q122 pattern)
+    "q132_daily_dedup_cycle" ->
+      """SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id % 10 = 0)
+           + (SELECT CAST(count(*) AS BIGINT) FROM documents
+               WHERE doc_id % 10 = 5) AS n_day1,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id % 10 = 5) AS n_day2,
+           true AS day1_ok, true AS stale_blind_ok,
+           true AS appended_sees_ok""",
     // every stage replayed: q126's extraction chain, q121's
     // normalization chain, the token gate, q119's canonical-id hash and
     // cumulative cuts (90/10), the per-split audit

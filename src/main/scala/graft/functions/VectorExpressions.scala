@@ -562,7 +562,11 @@ object ShardedBloom {
   /** One-pass distributed build: per-partition filters per touched
     * shard, tree-merged (`mergeInPlace` — same sizing params per shard,
     * so merges are always compatible); untouched shards come back as
-    * empty filters (probe false). */
+    * empty filters (probe false). Keys are expected HASH-DISTRIBUTED
+    * (every gate in this library feeds xxhash64 outputs): the range
+    * shards split the top 32 bits, so clustered raw keys (sequential
+    * ids) would pile into one shard and overload its per-shard
+    * sizing — hash first. */
   def build(
       keys: org.apache.spark.rdd.RDD[Long],
       nShards: Int,
@@ -589,6 +593,36 @@ object ShardedBloom {
         a
       })
     new ShardedBloom(merged.map(f => if (f == null) mk() else f))
+  }
+
+  /** Deep copy via the filter's own serialization (BloomFilter exposes
+    * no clone; bit-exact round-trip). */
+  private[graft] def copyOf(b: ShardedBloom): ShardedBloom =
+    new ShardedBloom(b.shards.map { s =>
+      val bos = new java.io.ByteArrayOutputStream()
+      s.writeTo(bos)
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+    })
+
+  /** A new filter = `base` plus `keys`, built distributed: each
+    * partition inserts into its own COPY of `base`, copies tree-merge
+    * by bitwise OR — re-OR-ing the base bits is idempotent, so the
+    * result is exactly base ∪ inserted. Insertion can never create a
+    * false negative; fpp drifts up as total load passes the original
+    * sizing (rebuild with a larger `expectedItems` when the corpus
+    * outgrows it — the standard Bloom operations contract). */
+  def inserted(
+      base: ShardedBloom,
+      keys: org.apache.spark.rdd.RDD[Long]): ShardedBloom = {
+    val n = base.nShards
+    keys.treeAggregate(copyOf(base))(
+      (acc, k) => { acc.shards(shardOf(k, n)).putLong(k); acc },
+      (a, b) => {
+        var i = 0
+        while (i < n) { a.shards(i).mergeInPlace(b.shards(i)); i += 1 }
+        a
+      })
   }
 }
 

@@ -377,6 +377,48 @@ object Dedup {
       fingerprints, sigs, bandIdx, fpBloom, bandBloom)
   }
 
+  /** Fold a batch of NEW docs into an existing index — the append that
+    * closes the daily dedup cycle: classify today's batch
+    * ([[incrementalDedup]]), keep its `new` docs, append THEM so
+    * tomorrow's batch dedups against today's. No corpus re-read
+    * anywhere: the three relational artifacts are computed for the
+    * batch alone (same three map passes, at the index's pinned
+    * geometry) and unioned; the two Bloom gates grow by distributed
+    * insertion into a copy of the original filters
+    * ([[graft.functions.ShardedBloom.inserted]] — never a false
+    * negative; fpp drifts up once total load passes the original
+    * sizing, at which point a rebuild with larger `expectedCorpusDocs`
+    * is due). Classification against the appended index is IDENTICAL
+    * to an index rebuilt over corpus ∪ batch: the gates only prefilter
+    * — every match is confirmed by the exact joins downstream. */
+  def appendToDedupIndex(index: DedupIndex, newDocs: DataFrame): DedupIndex = {
+    import graft.functions.ShardedBloom
+    val sess = newDocs.sparkSession
+    import sess.implicits._
+    val numHashes = index.bands * index.rowsPerBand
+    val newFp = newDocs
+      .select(col("doc_id").as("corpus_id"), xxhash64(col("text")).as("fp"))
+      .localCheckpoint(true)
+    val newSigs = sigOf(newDocs, index.shingleLen, numHashes)
+      .select(col("doc_id").as("corpus_id"), col("sig"))
+      .localCheckpoint(true)
+    val newBands = bandOf(
+        newSigs.select(col("corpus_id").as("doc_id"), col("sig")),
+        index.bands, index.rowsPerBand)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
+      .localCheckpoint(true)
+    DedupIndex(
+      index.shingleLen, index.bands, index.rowsPerBand,
+      index.fingerprints.unionByName(newFp),
+      index.sigs.unionByName(newSigs),
+      index.bandIndex.unionByName(newBands),
+      ShardedBloom.inserted(index.fpBloom,
+        newFp.select(col("fp")).as[Long].rdd),
+      ShardedBloom.inserted(index.bandBloom,
+        newBands.select(xxhash64(col("band"), col("bucket")).as("bk"))
+          .as[Long].rdd))
+  }
+
   private def bloomProbe(
       key: Column,
       bloom: graft.functions.ShardedBloom): Column =

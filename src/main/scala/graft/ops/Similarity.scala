@@ -605,6 +605,31 @@ object Similarity {
     cs.map(c => (c._1, cosTo(emb, c))).sortBy(-_._2).take(nProbes)
       .map(_._1).toSeq
 
+  /** Fold NEW embeddings into an existing IVF index without
+    * retraining — the embedding twin of
+    * [[graft.ops.Dedup.appendToDedupIndex]]: each new vector is
+    * assigned to its nearest EXISTING cell (standard IVF practice —
+    * centroids stay frozen between periodic retrains) and the
+    * assignment relation unions. Probes see the appended vectors
+    * immediately; cell balance drifts only as far as the data
+    * distribution does, which is the signal for the periodic
+    * re-train. */
+  private[graft] def appendToIvfIndex(
+      index: IvfIndex, newVecs: DataFrame): IvfIndex = {
+    val sess = newVecs.sparkSession
+    import sess.implicits._
+    val bc = sess.sparkContext.broadcast(index.centroids)
+    val assigned = newVecs
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, emb) => (nearestCell(emb, cs), id, emb) }
+      }.toDF("cell", "vec_id", "embedding")
+      .localCheckpoint(true)
+    IvfIndex(index.centroids, index.assigned.unionByName(assigned))
+  }
+
   /** Write the index as two parquet relations under `path`: `assigned/`
     * (cell-keyed corpus — at 100 TB this is the write-once layout every
     * later batch probes, partitioned by cell so a probe touches only

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+class DedupAppendSpec extends SparkSpec {
+
+  private def doc(i: Int): String =
+    s"alpha$i beta${i * 7} gamma${i % 13} delta epsilon$i zeta eta theta " +
+      s"iota kappa lambda${i * 3} mu nu xi omicron pi rho"
+
+  private def docs(ids: Seq[Int], idBase: Long = 0L,
+      textOf: Int => String = doc) = {
+    import spark.implicits._
+    ids.map(i => (idBase + i, textOf(i))).toDF("doc_id", "text")
+  }
+
+  test("the daily cycle: append today's new docs, tomorrow sees them") {
+    val day0 = docs(0 until 40)
+    val index = Dedup.buildDedupIndex(day0, expectedCorpusDocs = 1000L)
+    // day 1: 10 verbatim copies of day 0 + 10 brand-new docs
+    val day1 = docs(0 until 10, idBase = 1000L)
+      .unionByName(docs(100 until 110, idBase = 2000L))
+    val c1 = Dedup.incrementalDedup(index, day1, 0.7)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1000L until 1010L).foreach(id => assert(c1(id) === "exact"))
+    (2100L until 2110L).foreach(id => assert(c1(id) === "new"))
+    // append ONLY the new docs (the real pipeline's post-classify step)
+    val appended = Dedup.appendToDedupIndex(
+      index, docs(100 until 110, idBase = 2000L))
+    // day 2: copies of day-1's new docs — `new` against the stale
+    // index, `exact` against the appended one
+    val day2 = docs(100 until 110, idBase = 3000L)
+    val stale = Dedup.incrementalDedup(index, day2, 0.7)
+      .collect().map(r => r.getString(1)).toSeq
+    assert(stale.forall(_ === "new"))
+    val fresh = Dedup.incrementalDedup(appended, day2, 0.7)
+      .collect().map(r => r.getString(1)).toSeq
+    assert(fresh.forall(_ === "exact"))
+  }
+
+  test("appended index classifies identically to a full rebuild") {
+    val day0 = docs(0 until 30)
+    val newDocs = docs(200 until 220, idBase = 5000L)
+    val appended = Dedup.appendToDedupIndex(
+      Dedup.buildDedupIndex(day0, expectedCorpusDocs = 1000L), newDocs)
+    val rebuilt = Dedup.buildDedupIndex(
+      day0.unionByName(newDocs), expectedCorpusDocs = 1000L)
+    // probes: copies from both eras, truncated variants, fresh docs
+    val probe = docs(Seq(3, 7), idBase = 7000L)
+      .unionByName(docs(Seq(205, 210), idBase = 7100L))
+      .unionByName(docs(Seq(900, 901), idBase = 7200L))
+    def cls(ix: Dedup.DedupIndex) =
+      Dedup.incrementalDedup(ix, probe, 0.7)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    assert(cls(appended) === cls(rebuilt))
+  }
+
+  test("ShardedBloom.inserted keeps every old and new key, preserves shape") {
+    import spark.implicits._
+    import graft.functions.ShardedBloom
+    // keys must be hash-distributed (the real gates' keys are xxhash64
+    // outputs) — raw sequential longs all share top-32-bits 0 and would
+    // pile into shard 0, overloading its per-shard sizing
+    val baseKeys = (0L until 500L).map(graft.functions.Impl.mix64)
+    val newKeys = (10000L until 10300L).map(graft.functions.Impl.mix64)
+    for (nShards <- Seq(1, 4)) {
+      val base = ShardedBloom.build(
+        spark.sparkContext.parallelize(baseKeys), nShards, 1000L, 0.01)
+      val grown = ShardedBloom.inserted(
+        base, spark.sparkContext.parallelize(newKeys))
+      assert(grown.nShards === nShards)
+      baseKeys.foreach(k => assert(grown.mightContainLong(k)))
+      newKeys.foreach(k => assert(grown.mightContainLong(k)))
+      // the base instance is untouched (inserted works on a copy)
+      val fp = newKeys.count(base.mightContainLong)
+      assert(fp < 30, s"base mutated or fpp implausible: $fp")
+    }
+  }
+
+  test("IVF append: probes see appended vectors immediately, no retrain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def vec() = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val day0 = Seq.tabulate(80)(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(day0, 8, 2, 42L)
+    val newVecs = Seq.tabulate(10)(i => (500L + i, vec()))
+      .toDF("vec_id", "embedding")
+    val appended = Similarity.appendToIvfIndex(index, newVecs)
+    // batch = exact copies of the appended vectors
+    val batch = newVecs.select(
+      (col("vec_id") + 1000L).as("batch_id"), col("embedding"))
+    val stale = Similarity.incrementalSemanticDedup(index, batch, 0.95, 8)
+      .collect().map(_.getString(3)).toSeq
+    assert(stale.forall(_ === "new"))
+    val fresh = Similarity.incrementalSemanticDedup(appended, batch, 0.95, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    fresh.foreach { case (bid, best, st) =>
+      assert(st === "near")
+      assert(best === bid - 1000L, s"batch $bid matched $best")
+    }
+  }
+}
