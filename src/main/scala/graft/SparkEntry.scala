@@ -2330,14 +2330,17 @@ object SparkEntry {
     * (q106/q122 pattern — the Bloom internals aren't SQL-replayable). */
   private def qDailyDedupCycle(s: SparkSession, d: String): DataFrame = {
     val corpus = t(s, d, "documents").select(col("doc_id"), col("text"))
+    // offsets derived from the measured id ceiling so the minted eras
+    // can't collide on a larger corpus (the ladder runs this at 10x)
+    val base = corpus.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val index = Dedup.buildDedupIndex(corpus, expectedCorpusDocs = 100000L)
     val copies = corpus.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + base).as("doc_id"), col("text"))
     val freshText = array_join(
       transform(sequence(lit(1), lit(20)),
         j => concat(lit("zq"), col("doc_id") * 31 + j)), " ")
     val fresh = corpus.filter(col("doc_id") % 10 === 5)
-      .select((col("doc_id") + 200000L).as("doc_id"), freshText.as("text"))
+      .select((col("doc_id") + 2L * base).as("doc_id"), freshText.as("text"))
     val day1 = copies.unionByName(fresh).localCheckpoint()
     val c1 = Dedup.incrementalDedup(index, day1, 0.7).localCheckpoint()
     val appended = Dedup.appendToDedupIndex(
@@ -2345,13 +2348,13 @@ object SparkEntry {
       day1.join(c1.filter(col("cls") === "new")
         .select(col("batch_id").as("doc_id")), "doc_id"))
     val day2 = fresh.select(
-      (col("doc_id") + 100000L).as("doc_id"), col("text"))
+      (col("doc_id") + base).as("doc_id"), col("text"))
     val c2stale = Dedup.incrementalDedup(index, day2, 0.7)
     val c2fresh = Dedup.incrementalDedup(appended, day2, 0.7)
     val a1 = c1.agg(
-      sum(when(col("batch_id") < 200000L && col("cls") === "exact", 1L)
+      sum(when(col("batch_id") < 2L * base && col("cls") === "exact", 1L)
         .otherwise(0L)).as("copies_exact"),
-      sum(when(col("batch_id") >= 200000L && col("cls") === "new", 1L)
+      sum(when(col("batch_id") >= 2L * base && col("cls") === "new", 1L)
         .otherwise(0L)).as("fresh_new"),
       count(lit(1)).as("n_day1"))
     val a2 = c2stale.agg(

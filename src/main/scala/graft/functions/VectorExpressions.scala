@@ -605,24 +605,26 @@ object ShardedBloom {
         new java.io.ByteArrayInputStream(bos.toByteArray))
     })
 
-  /** A new filter = `base` plus `keys`, built distributed: each
-    * partition inserts into its own COPY of `base`, copies tree-merge
-    * by bitwise OR — re-OR-ing the base bits is idempotent, so the
-    * result is exactly base ∪ inserted. Insertion can never create a
-    * false negative; fpp drifts up as total load passes the original
-    * sizing (rebuild with a larger `expectedItems` when the corpus
-    * outgrows it — the standard Bloom operations contract). */
+  /** A new filter = `base` plus `keys`. Shape matters here: the
+    * append batch's keys are small next to the filter they grow (the
+    * class doc's 100 TB sizing is ~1.2 GB per 10⁹ corpus keys), so the
+    * keys STREAM TO THE DRIVER (`toLocalIterator` — one partition in
+    * flight) and insert into a single copy; the filter itself never
+    * ships. The distributed alternative (per-partition copies,
+    * OR-merged) would move partitions × filter-size through task
+    * closures and shuffle to save shipping the far smaller key set. A
+    * batch large enough to strain the streamed path has outgrown
+    * appending — rebuild with larger `expectedItems` (insertion never
+    * creates a false negative; fpp drifts up past the original sizing,
+    * the standard Bloom operations contract). */
   def inserted(
       base: ShardedBloom,
       keys: org.apache.spark.rdd.RDD[Long]): ShardedBloom = {
-    val n = base.nShards
-    keys.treeAggregate(copyOf(base))(
-      (acc, k) => { acc.shards(shardOf(k, n)).putLong(k); acc },
-      (a, b) => {
-        var i = 0
-        while (i < n) { a.shards(i).mergeInPlace(b.shards(i)); i += 1 }
-        a
-      })
+    val grown = copyOf(base)
+    val n = grown.nShards
+    keys.toLocalIterator.foreach(k =>
+      grown.shards(shardOf(k, n)).putLong(k))
+    grown
   }
 }
 

@@ -593,11 +593,15 @@ object TextAnalysis {
       fpp: Double = 0.001): DataFrame = {
     val sess = docs.sparkSession
     import sess.implicits._
-    val words = vocab.select(col(vocab.columns.head).as("w")).distinct()
-    val n = words.count()
-    val bloom = graft.functions.ShardedBloom.build(
-      words.select(xxhash64(col("w"))).as[Long].rdd,
-      nShards, math.max(n, 1L), fpp)
+    // one vocabulary scan: the hashed-key RDD is cached across the
+    // sizing count and the filter build, then released
+    val keys = vocab.select(col(vocab.columns.head).as("w")).distinct()
+      .select(xxhash64(col("w"))).as[Long].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try graft.functions.ShardedBloom.build(
+        keys, nShards, math.max(keys.count(), 1L), fpp)
+      finally keys.unpersist(blocking = false)
     val probe = (t: Column) =>
       org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.functions.ShardedBloomMightContain(

@@ -37,6 +37,10 @@ object StreamFrequency {
     val sess = stream.sparkSession
     import sess.implicits._
     stream
+      // null tokens carry no frequency signal and would null the shard
+      // (killing the query at the non-nullable decode) — drop them,
+      // matching the batch lane's tolerance
+      .filter(tokenCol.isNotNull)
       .select(tokenCol.cast("string").as("t"),
         pmod(xxhash64(tokenCol.cast("string")), lit(nShards.toLong))
           .as("shard"))
