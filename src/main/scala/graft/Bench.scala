@@ -326,7 +326,9 @@ object Bench {
       // a regression. q123 (exact triplet mining) samples every 10th
       // vector as an anchor, so its broadcast scan is n²/10 by
       // construction — the scale path is hardTripletsGraph (same
-      // Θ(n·√n) note as knnGraph)
+      // Θ(n·√n) note as knnGraph). q133's pool comes from the same
+      // n²/50 brute-force retrieval (the MMR rerank itself is
+      // pool-bounded per query — constant in corpus size)
       "q116_bm25_topk", "q118_c4_rules",
       // TPC-H join/window family (factor 10 orders/lineitem/customer
       // companions — r6 had no measured exponent for the join family)

@@ -2319,6 +2319,36 @@ object SparkEntry {
       .orderBy(col("shard"), col("position"))
   }
 
+  /** MMR diversity re-rank (q133): every 50th vector retrieves its
+    * exact cosine top-10 pool, then
+    * [[graft.ops.Retrieval.mmrRerank]] greedily picks 5 at λ = 0.7.
+    * The conformance surface: MMR's first pick reduces to argmax
+    * relevance, and with the query itself in its own pool (cosine
+    * 1.0), rank-1 must be EXACTLY the query id — oracle-computable —
+    * plus selection-size/subset/distinctness audits. */
+  private def qMmrRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val pool = Similarity.bruteForceTopK(queries, emb, 10)
+      .select(col("query_id"), col("vec_id"), col("score").as("rel"))
+      .join(emb, "vec_id")
+    val sel = graft.ops.Retrieval.mmrRerank(pool, k = 5, lambda = 0.7)
+    val inPool = pool.select(col("query_id"), col("vec_id"))
+      .withColumn("__in", lit(1L))
+    sel.join(inPool, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        min(when(col("rank") === 1, col("vec_id"))).as("rank1_vec"),
+        count(lit(1)).as("n_selected"),
+        (sum(coalesce(col("__in"), lit(0L))) === count(lit(1)))
+          .as("all_from_pool"),
+        (countDistinct(col("vec_id")) === count(lit(1)))
+          .as("distinct_ok"))
+      .orderBy(col("query_id"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -3509,7 +3539,8 @@ object SparkEntry {
     "q129_deflate_ratio" -> (qDeflateRatio _),
     "q130_outlink_domains" -> (qOutlinkDomains _),
     "q131_numberblind_dedup" -> (qNumberBlindDedup _),
-    "q132_daily_dedup_cycle" -> (qDailyDedupCycle _))
+    "q132_daily_dedup_cycle" -> (qDailyDedupCycle _),
+    "q133_mmr_rerank" -> (qMmrRerank _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5332,6 +5363,14 @@ object SparkEntry {
              WHERE doc_id % 10 = 5) AS n_day2,
            true AS day1_ok, true AS stale_blind_ok,
            true AS appended_sees_ok""",
+    // greedy MMR isn't SQL-replayable, but its FIRST pick is exact
+    // (argmax relevance = the self-match) — the oracle pins rank1 to
+    // the query id plus the structural audits
+    "q133_mmr_rerank" ->
+      """SELECT vec_id AS query_id, vec_id AS rank1_vec,
+           CAST(5 AS BIGINT) AS n_selected,
+           true AS all_from_pool, true AS distinct_ok
+         FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id""",
     // every stage replayed: q126's extraction chain, q121's
     // normalization chain, the token gate, q119's canonical-id hash and
     // cumulative cuts (90/10), the per-split audit

@@ -104,4 +104,90 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("n_hits"),
         (col("score_q6").cast("double") / 1e6).as("score"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversity pass between retrieval and consumption
+    * (RAG context assembly, dedup of near-identical hits): greedily
+    * pick, k times, the candidate maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} cos(c, s)` — relevance traded
+    * against redundancy with what's already picked. Step 1 reduces to
+    * argmax relevance (the selected set is empty), a property the
+    * conformance oracle pins exactly.
+    *
+    * Scale shape: MMR is sequential BY DEFINITION (each pick depends
+    * on the previous), so the greedy runs per query over its OWN
+    * candidate pool — `groupByKey(query).mapGroups`, parallelism =
+    * queries, per-group cost O(pool²) with the rerank pool small by
+    * construction (you rerank a top-50, not a corpus; the pool
+    * size is the retrieval stage's k, bounded before this operator
+    * ever runs).
+    *
+    * @param candidates (query_id, vec_id, rel, embedding) — one pool
+    *        row per candidate; ties break to the lowest vec_id.
+    * @return (query_id, rank, vec_id, mmr_score 6dp) — min(k, pool)
+    *         rows per query in pick order. */
+  def mmrRerank(
+      candidates: DataFrame,
+      k: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda not in [0,1]")
+    val sess = candidates.sparkSession
+    import sess.implicits._
+    candidates
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("rel").cast("double"), col("embedding").cast("array<float>"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val pool = it.toArray.sortBy(_._2) // deterministic base order
+        val n = pool.length
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          val d = math.min(a.length, b.length)
+          while (i < d) {
+            dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+            nb += b(i).toDouble * b(i); i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+        }
+        val picked = new Array[Boolean](n)
+        // max cosine of each candidate to the selected set, maintained
+        // incrementally: one pool pass per pick
+        val maxSim = Array.fill(n)(0.0)
+        val out = Seq.newBuilder[(Long, Int, Long, Double)]
+        var step = 0
+        while (step < math.min(k, n)) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val s = lambda * pool(i)._3 -
+                (if (step == 0) 0.0 else (1.0 - lambda) * maxSim(i))
+              if (s > bestScore ||
+                  (s == bestScore && best >= 0 &&
+                    pool(i)._2 < pool(best)._2)) {
+                best = i; bestScore = s
+              }
+            }
+            i += 1
+          }
+          picked(best) = true
+          out += ((qid, step + 1, pool(best)._2,
+            math.round(bestScore * 1e6) / 1e6))
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val c = cos(pool(j)._4, pool(best)._4)
+              if (c > maxSim(j)) maxSim(j) = c
+            }
+            j += 1
+          }
+          step += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "rank", "vec_id", "mmr_score")
+  }
 }

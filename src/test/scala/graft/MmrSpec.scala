@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Retrieval
+
+class MmrSpec extends SparkSpec {
+
+  private def pool(rows: (Long, Long, Double, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("query_id", "vec_id", "rel", "embedding")
+  }
+
+  test("greedy trace by hand: diversity beats a redundant higher-rel pick") {
+    // c2 is nearly collinear with c1; c3 orthogonal with lower rel
+    val p = pool(
+      (1L, 10L, 1.0, Seq(1f, 0f)),
+      (1L, 11L, 0.9, Seq(1f, 0.01f)),
+      (1L, 12L, 0.5, Seq(0f, 1f)))
+    val out = Retrieval.mmrRerank(p, 3, 0.5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // step 1: pure relevance -> c1 at lambda*rel = 0.5
+    assert(out(0) === ((1, 10L, 0.5)))
+    // step 2: c3's 0.25 beats c2's 0.45 - 0.5*cos(~1) < 0
+    assert(out(1)._2 === 12L)
+    assert(out(1)._3 === 0.25)
+    // step 3: the redundant c2 comes last with a negative margin
+    assert(out(2)._2 === 11L)
+    assert(out(2)._3 < 0.0)
+  }
+
+  test("lambda = 1 is pure relevance order; ties break to lowest id") {
+    val p = pool(
+      (1L, 21L, 0.7, Seq(1f, 0f)),
+      (1L, 20L, 0.7, Seq(0f, 1f)),
+      (1L, 22L, 0.9, Seq(1f, 1f)))
+    val order = Retrieval.mmrRerank(p, 3, 1.0)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(order === Seq(22L, 20L, 21L))
+  }
+
+  test("k past the pool yields exactly the pool; queries stay independent") {
+    val p = pool(
+      (1L, 1L, 0.5, Seq(1f, 0f)),
+      (2L, 2L, 0.4, Seq(0f, 1f)),
+      (2L, 3L, 0.6, Seq(1f, 0f)))
+    val out = Retrieval.mmrRerank(p, 10, 0.7)
+    assert(out.filter(col("query_id") === 1L).count() === 1L)
+    assert(out.filter(col("query_id") === 2L).count() === 2L)
+    val r1 = out.filter(col("query_id") === 2L && col("rank") === 1)
+      .head.getLong(2)
+    assert(r1 === 3L)
+  }
+
+  test("degenerate parameters are rejected") {
+    val p = pool((1L, 1L, 0.5, Seq(1f, 0f)))
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(p, 0, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(p, 3, 1.5)
+    }
+  }
+}
