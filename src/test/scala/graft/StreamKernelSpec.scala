@@ -13,6 +13,32 @@ import graft.functions.{CompressFunctions, HtmlFunctions, NormalizeFunctions}
   * as-is. */
 class StreamKernelSpec extends SparkSpec {
 
+  test("the Bloom OOV lane lifts to a stream: map-only, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = Seq("alpha", "beta", "gamma").toDF("word")
+    val source = MemoryStream[(Long, String)]
+    val out = graft.ops.TextAnalysis.oovRateBloom(
+      source.toDF().toDF("doc_id", "text"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"), vocab)
+    val q = out.writeStream.format("memory").queryName("oov_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData((1L, "alpha beta zz"), (2L, "alpha gamma"))
+      q.processAllAvailable()
+      source.addData((3L, "qq rr ss"))
+      q.processAllAvailable()
+      val rows = spark.table("oov_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(rows(1L) === ((3L, 1L)))
+      assert(rows(2L) === ((2L, 0L)))
+      assert(rows(3L) === ((3L, 3L)))
+      val p = q.lastProgress
+      assert(p == null || p.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("extract+normalize+deflate run stateless in a streaming pipeline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
