@@ -94,6 +94,54 @@ private[graft] object BenchLogic {
       .findAllMatchIn(content.replace("\\\"", "\""))
       .map(m => m.group(1) -> m.group(2).toDouble)
       .toMap
+
+  /** Core count a prior artifact was measured at, if it recorded one.
+    * Both the driver's wrapper (`"cpus":32` at top level) and this
+    * harness's own artifact (since round 11) carry it. Round 10's
+    * "bimodal q43" adjudication (VERDICT r10 #1) turned out to be
+    * exactly this: the driver benches at local[32] (q43 ≈ 1.05 s), the
+    * standalone recipe defaulted to local[4] (q43 ≈ 3.3 s) — the most
+    * CPU-bound query in the suite showing an 8×-core gap, not a JIT
+    * flip. A baseline measured at a different core count is not
+    * comparable and must not feed the drift gate. */
+  def parsePrevCpus(content: String): Option[Int] =
+    "\"cpus\":(\\d+)".r.findFirstMatchIn(content.replace("\\\"", "\""))
+      .map(_.group(1).toInt)
+
+  /** The drift gate only fires on a like-for-like baseline: unknown
+    * prior cpus is accepted (pre-r11 artifacts — almost all were 32),
+    * a KNOWN mismatch empties the baseline. */
+  def comparableBaseline(prevCpus: Option[Int], currentCpus: Int): Boolean =
+    prevCpus.forall(_ == currentCpus)
+
+  /** Drift-gate baseline selection (VERDICT r10 #2). The r5–r10 gate
+    * compared against `BENCH_full_latest.json`, which EVERY full run —
+    * including mid-round scratch runs — overwrites: a query that slows
+    * in any accepted run becomes its own baseline, so q43's 3.2× shift
+    * sailed through three committed artifacts with `drifted:[]`. The
+    * baseline must be the ROUND BOUNDARY: the newest committed
+    * `BENCH_r*.json`. `BENCH_full_latest` is kept only as the backstop
+    * when no round artifact exists yet (a fresh checkout mid-round-1),
+    * because the driver's tail capture truncates and would otherwise
+    * starve the gate of per-query history entirely.
+    *
+    * Pure over a filename list so `BenchSpec` can prove the ordering:
+    * returns the chosen filename, or None when nothing usable exists. */
+  def pickBaseline(fileNames: Seq[String],
+                   fullLatest: String = "BENCH_full_latest.json"): Option[String] = {
+    val rx = "^BENCH_r(\\d+)(_standalone)?\\.json$".r
+    val rounds = fileNames.flatMap { n =>
+      rx.findFirstMatchIn(n).map(m =>
+        (m.group(1).toInt, m.group(2) != null, n))
+    }
+    if (rounds.nonEmpty)
+      // within a round, prefer the standalone companion: it is the bare
+      // full artifact (complete query map), while the driver-recorded
+      // file wraps a TRUNCATED stdout tail that loses early queries
+      Some(rounds.maxBy { case (round, standalone, _) =>
+        (round, standalone) }._3)
+    else fileNames.find(_ == fullLatest)
+  }
 }
 
 object Bench {
@@ -219,30 +267,31 @@ object Bench {
     // poisoned one and the query is flagged "suspect" in the artifact.
     val prevQueries: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_BENCH_PREV")
-        .map(p => Seq(java.nio.file.Paths.get(p)))
-        .getOrElse {
-          // prefer the full artifact this harness now always writes
-          // (the driver's wrapper truncates its tail capture, which
-          // starved r8's gate of q01–q55 history); fall back to the
-          // newest driver-recorded round
-          val fullLatest = java.nio.file.Paths.get(fullLatestPath)
-          if (java.nio.file.Files.exists(fullLatest)) Seq(fullLatest)
-          else {
-            val cwd = java.nio.file.Paths.get(".")
-            val rx = "BENCH_r(\\d+)\\.json".r
-            val found = java.nio.file.Files.list(cwd).iterator().asScala
-              .flatMap { p =>
-                rx.findFirstMatchIn(p.getFileName.toString)
-                  .map(m => (m.group(1).toInt, p))
-              }.toSeq
-            found.sortBy(-_._1).take(1).map(_._2)
-          }
+        .map(java.nio.file.Paths.get(_))
+        .orElse {
+          // the committed ROUND artifact is the baseline; the floating
+          // full_latest (which every run overwrites, absorbing its own
+          // regressions — VERDICT r10 #2) is only the no-round backstop
+          val cwd = java.nio.file.Paths.get(".")
+          val names = java.nio.file.Files.list(cwd).iterator().asScala
+            .map(_.getFileName.toString).toSeq
+          BenchLogic.pickBaseline(names, fullLatestPath)
+            .map(java.nio.file.Paths.get(_))
         }
-        .headOption
         .flatMap { p =>
-          try Some(BenchLogic.parsePrevQueries(
-            java.nio.file.Files.readString(p)))
-          catch { case _: Throwable => None }
+          try {
+            val content = java.nio.file.Files.readString(p)
+            val prevCpus = BenchLogic.parsePrevCpus(content)
+            if (BenchLogic.comparableBaseline(prevCpus, cpus.toInt))
+              Some(BenchLogic.parsePrevQueries(content))
+            else {
+              System.err.println(s"[bench] drift baseline $p was measured " +
+                s"at cpus=${prevCpus.get}, this run is cpus=$cpus — not " +
+                "comparable (the r10 'bimodal q43' was exactly this); " +
+                "drift gate disabled for this run")
+              None
+            }
+          } catch { case _: Throwable => None }
         }
         .getOrElse(Map.empty)
     val threshold = BenchLogic.suspectThreshold(mins.flatMap(_._2))
@@ -287,8 +336,13 @@ object Bench {
       // documents scale path (factor 10); q20/q21 are excluded — their
       // conformance joins consume the per-dir exact-Jaccard fixture,
       // which only the driver corpus has
+      // q43 is NOT laddered: its length-band exact join is quadratic by
+      // contract (the documented exact twin of q84's banded scale path)
+      // and re-proving that cost 235–248 s of a ~365 s ladder phase every
+      // run (VERDICT r10 #1). op_edit_distance_banded below ladders the
+      // operator that actually ships at scale (exp ≈ 0.3).
       "q16_dedup_exact", "q17_text_report", "q19_ngram_jaccard",
-      "q43_edit_distance", "q38_token_topk",
+      "q38_token_topk",
       "q78_chunking", "q79_sequence_pack", "q80_data_card",
       "q90_lm_score", "q91_gopher_rules", "q92_mixture_select",
       "q95_incremental_dedup", "q100_drift_psi",
@@ -519,9 +573,9 @@ object Bench {
     // like with like
     val wrapperName = sys.props.getOrElse("graft.wrapper", "standalone")
     val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","runs":$runsPerQuery,"agg":"min","calib":$calibJson,"load":$loadJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","cpus":$cpus,"runs":$runsPerQuery,"agg":"min","calib":$calibJson,"load":$loadJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"sf":"$sfDir"}"""
     val shortJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","calib":$calibJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"ladder":$ladderJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","cpus":$cpus,"calib":$calibJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"ladder":$ladderJson,"sf":"$sfDir"}"""
     // belt-and-braces for log-scraping consumers: the file copy also keeps
     // the raw per-run times (first-vs-second delta = JVM drift) that would
     // make the stdout line too long to survive the tail capture
@@ -531,7 +585,7 @@ object Bench {
           ts.map(_.map(ms).getOrElse("null")).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       val full =
-        s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","runs":$runsPerQuery,"agg":"min","calib":$calibJson,"load":$loadJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"raw":$raw,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","cpus":$cpus,"runs":$runsPerQuery,"agg":"min","calib":$calibJson,"load":$loadJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"raw":$raw,"sf":"$sfDir"}"""
       // a SPARK_GRAFT_BENCH_ONE-filtered run must not replace the
       // default drift baseline with a partial query map — only a full
       // run writes there (an explicit BENCH_OUT path is always honored)

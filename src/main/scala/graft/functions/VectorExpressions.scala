@@ -209,38 +209,153 @@ object VecOps {
     * points; results match `levenshtein()` in Spark and DuckDB (unit edit
     * costs). The shorter string is used as the bit-packed pattern. */
   def editDistance(a: UTF8String, b: UTF8String): Int = {
-    val s = a.toString.codePoints().toArray
-    val t = b.toString.codePoints().toArray
-    if (s.length <= t.length) myers(s, t) else myers(t, s)
+    val sc = myersScratch.get()
+    val la = decodeUtf8(a, sc, 0)
+    val lb = decodeUtf8(b, sc, 1)
+    if (la <= lb) myers(sc.cp(0), la, sc.cp(1), lb, sc)
+    else myers(sc.cp(1), lb, sc.cp(0), la, sc)
   }
 
-  /** Block bit-parallel Levenshtein: pattern `p` (bit-packed), text `t`.
-    * Boundary D[0][j] = j, D[i][0] = i — full edit distance, not
-    * approximate matching, hence the +1 horizontal carry into row 0. */
-  private def myers(p: Array[Int], t: Array[Int]): Int = {
-    val m = p.length
-    if (m == 0) return t.length
+  /** Per-thread reusable buffers for the Myers kernel. The round-2..10
+    * kernel allocated a `String`, two boxed codepoint arrays and a
+    * `HashMap<Integer,long[]>` with one node per pattern position on
+    * EVERY call — at q43's 222k verify pairs that is tens of millions of
+    * short-lived heap nodes, and the resulting GC/JIT variance is the
+    * bimodal 1.0 s / 3.2 s timing VERDICT r10 #1 adjudicated. All state
+    * below is primitive, grown on demand, and reused across calls: the
+    * steady-state kernel allocates nothing.
+    *
+    * `peq` is an open-addressed, generation-stamped pattern-bitmask
+    * table (`keys`/`gen` validate a slot; rows live at `slot*w`), so
+    * "clearing" between calls is one counter bump, not an array fill. */
+  private final class MyersScratch {
+    val cp = Array(new Array[Int](256), new Array[Int](256))
+    var keys = new Array[Int](0)
+    var gen = new Array[Int](0)
+    var peq = new Array[Long](0)
+    var pv = new Array[Long](8)
+    var mv = new Array[Long](8)
+    var generation = 0
+    def ensureCp(which: Int, n: Int): Array[Int] = {
+      if (cp(which).length < n)
+        cp(which) = new Array[Int](java.lang.Integer.highestOneBit(n - 1) << 1)
+      cp(which)
+    }
+    def ensureTable(size: Int, w: Int): Unit = {
+      if (keys.length < size) {
+        keys = new Array[Int](size)
+        gen = new Array[Int](size) // zeroed => no slot matches generation ≥ 1
+      }
+      if (peq.length < size * w) peq = new Array[Long](size * w)
+      if (pv.length < w) { pv = new Array[Long](w); mv = new Array[Long](w) }
+    }
+  }
+  private val myersScratch = new ThreadLocal[MyersScratch] {
+    override def initialValue(): MyersScratch = new MyersScratch
+  }
+
+  /** Decode the UTF8String's code points into the scratch buffer
+    * `which`, returning the count. Valid UTF-8 decodes in one pass with
+    * zero garbage; a malformed sequence falls back to the JDK path
+    * (String + replacement chars — the exact behavior of the previous
+    * kernel, so conformance on dirty input is unchanged). */
+  private def decodeUtf8(s: UTF8String, sc: MyersScratch, which: Int): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val buf = sc.ensureCp(which, math.max(1, n))
+    var i = 0
+    var out = 0
+    while (i < n) {
+      val b0 = bytes(i) & 0xff
+      if (b0 < 0x80) { buf(out) = b0; i += 1 }
+      else {
+        val len =
+          if (b0 >= 0xc2 && b0 <= 0xdf) 2
+          else if (b0 >= 0xe0 && b0 <= 0xef) 3
+          else if (b0 >= 0xf0 && b0 <= 0xf4) 4
+          else -1
+        if (len < 0 || i + len > n) return decodeFallback(s, sc, which)
+        var cp = b0 & (0x7f >> len)
+        var k = 1
+        while (k < len) {
+          val bk = bytes(i + k) & 0xff
+          if ((bk & 0xc0) != 0x80) return decodeFallback(s, sc, which)
+          cp = (cp << 6) | (bk & 0x3f)
+          k += 1
+        }
+        buf(out) = cp
+        i += len
+      }
+      out += 1
+    }
+    out
+  }
+
+  private def decodeFallback(s: UTF8String, sc: MyersScratch, which: Int): Int = {
+    val arr = s.toString.codePoints().toArray
+    val buf = sc.ensureCp(which, math.max(1, arr.length))
+    System.arraycopy(arr, 0, buf, 0, arr.length)
+    arr.length
+  }
+
+  /** Block bit-parallel Levenshtein: pattern `p(0..m)` (bit-packed),
+    * text `t(0..n)`. Boundary D[0][j] = j, D[i][0] = i — full edit
+    * distance, not approximate matching, hence the +1 horizontal carry
+    * into row 0. All scratch state comes from the thread-local — the
+    * kernel allocates nothing in steady state. */
+  private def myers(p: Array[Int], m: Int, t: Array[Int], n: Int,
+                    sc: MyersScratch): Int = {
+    if (m == 0) return n
     val w = (m + 63) >>> 6
-    val peq = new java.util.HashMap[Integer, Array[Long]]()
+    var size = 4
+    while (size < m * 2) size <<= 1
+    val mask = size - 1
+    sc.ensureTable(size, w)
+    // generation stamping makes the table "cleared" in O(1); a wrap of
+    // the counter would alias stale slots, so reset the stamps first
+    if (sc.generation == Int.MaxValue) {
+      java.util.Arrays.fill(sc.gen, 0); sc.generation = 0
+    }
+    sc.generation += 1
+    val generation = sc.generation
+    val keys = sc.keys
+    val gen = sc.gen
+    val peq = sc.peq
+    val pv = sc.pv
+    val mv = sc.mv
     var i = 0
     while (i < m) {
-      var arr = peq.get(p(i))
-      if (arr == null) { arr = new Array[Long](w); peq.put(p(i), arr) }
-      arr(i >>> 6) |= 1L << (i & 63)
+      val cp = p(i)
+      var h = cp * 0x9e3779b1
+      h ^= h >>> 16
+      var slot = h & mask
+      while (gen(slot) == generation && keys(slot) != cp)
+        slot = (slot + 1) & mask
+      if (gen(slot) != generation) {
+        gen(slot) = generation
+        keys(slot) = cp
+        java.util.Arrays.fill(peq, slot * w, slot * w + w, 0L)
+      }
+      peq(slot * w + (i >>> 6)) |= 1L << (i & 63)
       i += 1
     }
-    val zeros = new Array[Long](w)
-    val pv = Array.fill(w)(-1L)
-    val mv = new Array[Long](w)
+    java.util.Arrays.fill(pv, 0, w, -1L)
+    java.util.Arrays.fill(mv, 0, w, 0L)
     val lastMask = 1L << ((m - 1) & 63)
     var score = m
     var j = 0
-    while (j < t.length) {
-      val eqArr = peq.getOrDefault(t(j), zeros)
+    while (j < n) {
+      val cp = t(j)
+      var h = cp * 0x9e3779b1
+      h ^= h >>> 16
+      var slot = h & mask
+      while (gen(slot) == generation && keys(slot) != cp)
+        slot = (slot + 1) & mask
+      val eqBase = if (gen(slot) == generation) slot * w else -1
       var hin = 1
       var k = 0
       while (k < w) {
-        var eq = eqArr(k)
+        var eq = if (eqBase < 0) 0L else peq(eqBase + k)
         val pvk = pv(k)
         val mvk = mv(k)
         if (hin < 0) eq |= 1L

@@ -103,4 +103,57 @@ class BenchSpec extends AnyFunSuite {
     assert(BenchLogic.driftSuspect(0.61, prev.get("q98_zorder")))
     assert(!BenchLogic.driftSuspect(0.25, prev.get("q98_zorder")))
   }
+
+  test("drift baseline is the committed round artifact, not the floating full_latest") {
+    // VERDICT r10 #2: BENCH_full_latest.json is overwritten by every run
+    // (including mid-round scratch runs), so a regression introduced
+    // mid-round becomes its own baseline — q43's 3.2× shift passed three
+    // committed artifacts with drifted:[]. The gate must baseline against
+    // the ROUND BOUNDARY: the newest committed BENCH_r*.json.
+    val cwd = Seq("BENCH_r09.json", "BENCH_r10.json",
+      "BENCH_full_latest.json", "CORRECTNESS_r10.json", "build.sbt")
+    assert(BenchLogic.pickBaseline(cwd) == Some("BENCH_r10.json"))
+    // within a round the standalone companion wins: it is the bare full
+    // artifact, while the driver file wraps a truncated stdout tail
+    assert(BenchLogic.pickBaseline(cwd :+ "BENCH_r10_standalone.json")
+      == Some("BENCH_r10_standalone.json"))
+    // mid-round regression scenario: full_latest already absorbed the slow
+    // number, but gating against r10's committed 1.0 s still fires
+    val committedPrev = Map("q43_edit_distance" -> 1.0)
+    assert(BenchLogic.driftSuspect(3.2, committedPrev.get("q43_edit_distance")))
+    // numeric (not lexicographic) round ordering
+    assert(BenchLogic.pickBaseline(
+      Seq("BENCH_r02.json", "BENCH_r10.json", "BENCH_r09.json"))
+      == Some("BENCH_r10.json"))
+    // full_latest remains the backstop ONLY when no round artifact exists
+    // (fresh checkout mid-round-1 — the driver's tail capture truncates,
+    // so dropping it entirely would starve the gate of history)
+    assert(BenchLogic.pickBaseline(Seq("BENCH_full_latest.json", "build.sbt"))
+      == Some("BENCH_full_latest.json"))
+    assert(BenchLogic.pickBaseline(Seq("build.sbt")) == None)
+    // standalone-run companions (BENCH_r10_standalone.json) are still
+    // round artifacts and sort by their round number
+    assert(BenchLogic.pickBaseline(Seq("BENCH_r09_standalone.json"))
+      == Some("BENCH_r09_standalone.json"))
+  }
+
+  test("drift gate refuses a baseline measured at a different core count") {
+    // the r10 'bimodal q43' adjudication: driver benches at local[32]
+    // (q43 ≈ 1.05 s), the standalone recipe defaulted to local[4]
+    // (q43 ≈ 3.3 s) — same code, 8× the cores on the suite's most
+    // CPU-bound query. Comparing across that is not drift.
+    val driverWrapper = """{"n":10,"rc":0,"cpus":32,"sf":0.1,"tail":"..."}"""
+    assert(BenchLogic.parsePrevCpus(driverWrapper) == Some(32))
+    assert(BenchLogic.comparableBaseline(Some(32), 32))
+    assert(!BenchLogic.comparableBaseline(Some(32), 4))
+    // pre-r11 standalone artifacts recorded no cpus — accepted as-is
+    // rather than discarding the only history available
+    assert(BenchLogic.parsePrevCpus("""{"metric":"total","value":94.0}""")
+      == None)
+    assert(BenchLogic.comparableBaseline(None, 32))
+    // the harness's own artifact (r11+) records cpus unescaped
+    assert(BenchLogic.parsePrevCpus(
+      """{"metric":"total","wrapper":"standalone","cpus":4,"value":1}""")
+      == Some(4))
+  }
 }
