@@ -2331,9 +2331,19 @@ object SparkEntry {
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     val queries = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
+    // pool MEMBERSHIP comes from the exact ranking; rel is recomputed
+    // UNROUNDED (bruteForceTopK rounds its reported score to 4 dp, and a
+    // non-self candidate at cosine ≥ 0.99995 would round to 1.0 and tie
+    // the self-pick — ADVICE r10). With exact rel the first-pick-is-self
+    // invariant is structural: only a bit-identical duplicate can tie.
     val pool = Similarity.bruteForceTopK(queries, emb, 10)
-      .select(col("query_id"), col("vec_id"), col("score").as("rel"))
+      .select(col("query_id"), col("vec_id"))
       .join(emb, "vec_id")
+      .join(queries.select(col("query_id"), col("embedding").as("q_emb")),
+        "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cosine(col("q_emb"), col("embedding")).as("rel"),
+        col("embedding"))
     val sel = graft.ops.Retrieval.mmrRerank(pool, k = 5, lambda = 0.7)
     val inPool = pool.select(col("query_id"), col("vec_id"))
       .withColumn("__in", lit(1L))
@@ -2347,6 +2357,43 @@ object SparkEntry {
         (countDistinct(col("vec_id")) === count(lit(1)))
           .as("distinct_ok"))
       .orderBy(col("query_id"))
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (q134): the two
+    * retrieval lanes the engine already ships — sparse BM25
+    * ([[graft.ops.Retrieval.bm25TopK]], integer-millionth scores) and
+    * dense int8 ANN ([[graft.ops.ScalarQuant.sq8TopK]], exact integer
+    * dots) — fused by [[graft.ops.Retrieval.rrfFuse]], the way
+    * retrieval actually runs in decontamination and hard-negative
+    * mining (a lexical match the embedding missed and vice versa).
+    * Probes are every 100th doc of the embedded corpus (the doc_id =
+    * vec_id join), querying with their own text and embedding; each
+    * lane returns its top-10, RRF (k=60) fuses to a top-10.
+    *
+    * Both lane rankings are exact-integer (quantized BM25 sum, int8
+    * dot) and the fused score is an integer sum of
+    * `floor(1e6/(60+rank))`, so the oracle replays BOTH rankings AND
+    * the fused order hash-exact — rank ties break on doc_id in both
+    * engines. */
+  private def qRrfHybrid(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val corpus = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val probes = corpus.filter(col("doc_id") % 100 === 0)
+    val sparse = graft.ops.Retrieval.bm25TopK(
+      corpus.select(col("doc_id"), col("text")),
+      probes.select(col("doc_id").as("query_id"), col("text").as("qtext")),
+      k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = graft.ops.ScalarQuant.sq8TopK(
+      corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+      probes.select(col("doc_id").as("query_id"), col("embedding")),
+      k = 10)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    graft.ops.Retrieval.rrfFuse(Seq(sparse, dense), topK = 10)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Daily dedup cycle (q132): the full ingest loop classify → append
@@ -3540,7 +3587,8 @@ object SparkEntry {
     "q130_outlink_domains" -> (qOutlinkDomains _),
     "q131_numberblind_dedup" -> (qNumberBlindDedup _),
     "q132_daily_dedup_cycle" -> (qDailyDedupCycle _),
-    "q133_mmr_rerank" -> (qMmrRerank _))
+    "q133_mmr_rerank" -> (qMmrRerank _),
+    "q134_rrf_hybrid" -> (qRrfHybrid _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5408,5 +5456,73 @@ object SparkEntry {
              AS n_kept,
            count(DISTINCT norm) AS n_keys,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
-         FROM a GROUP BY split ORDER BY split""")
+         FROM a GROUP BY split ORDER BY split""",
+    // both lanes replayed end-to-end (the q116 BM25 pipeline over the
+    // embedded corpus + the q117 int8 quantize/dot ranking), then the
+    // integer RRF sum and the fused order — dim 64 pinned by the
+    // fixture (TESTDATA.md), k_rrf = 60
+    "q134_rrf_hybrid" ->
+      """WITH c AS (SELECT d.doc_id, d.text, e.embedding
+                FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         dd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM c),
+         dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM dd),
+         post AS (SELECT doc_id, term, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(toks) AS term FROM dd)
+                  WHERE term <> '' GROUP BY 1, 2),
+         dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+         stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+                   FROM dd),
+         q AS (SELECT doc_id AS query_id, text AS qtext FROM c
+               WHERE doc_id % 100 = 0),
+         qt AS (SELECT DISTINCT query_id, term FROM
+                  (SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+                   FROM q) u WHERE term <> ''),
+         sc AS (SELECT qt.query_id, post.doc_id,
+                  sum(CAST(floor(
+                    ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+                      * CAST(post.tf AS DOUBLE) * (1.2 + 1.0)
+                      / (CAST(post.tf AS DOUBLE)
+                         + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                      * 1000000.0 + 0.5) AS BIGINT)) AS score_q6
+                FROM post JOIN qt USING (term) JOIN dl USING (doc_id)
+                     CROSS JOIN stats JOIN dfs ON post.term = dfs.term
+                GROUP BY 1, 2),
+         sp AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_q6 DESC, doc_id) AS rank
+                FROM sc),
+         spt AS (SELECT query_id, doc_id, rank FROM sp WHERE rank <= 10),
+         s AS (SELECT i,
+                 greatest(max(abs(CAST(embedding[i] AS DOUBLE))), 1e-30) AS sv
+               FROM c, generate_series(1, 64) t(i) GROUP BY i),
+         sl AS (SELECT list(sv ORDER BY i) AS sl FROM s),
+         cq AS (SELECT doc_id,
+                  list_transform(list_zip(embedding, (SELECT sl FROM sl)),
+                    x -> CAST(floor(CAST(x[1] AS DOUBLE) / x[2] * 127.0
+                                    + 0.5) AS INT)) AS qv
+                FROM c),
+         qq AS (SELECT doc_id AS query_id, qv AS qqv FROM cq
+                WHERE doc_id % 100 = 0),
+         dots AS (SELECT qq.query_id, cq.doc_id,
+                    CAST(list_sum(list_transform(list_zip(qq.qqv, cq.qv),
+                      x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT) AS dot_q
+                  FROM cq, qq),
+         dn AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dot_q DESC, doc_id) AS rank
+                FROM dots),
+         dnt AS (SELECT query_id, doc_id, rank FROM dn WHERE rank <= 10),
+         lanes AS (SELECT * FROM spt UNION ALL SELECT * FROM dnt),
+         fused AS (SELECT query_id, doc_id, count(*) AS n_lanes,
+                     sum(CAST(floor(1000000.0 / (60 + rank)) AS BIGINT))
+                       AS rrf_q6
+                   FROM lanes GROUP BY 1, 2),
+         fr AS (SELECT query_id, doc_id, n_lanes, rrf_q6,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_q6 DESC, doc_id) AS rank
+                FROM fused)
+         SELECT query_id, rank, doc_id, n_lanes,
+           CAST(rrf_q6 AS DOUBLE) / 1000000.0 AS rrf_score
+         FROM fr WHERE rank <= 10 ORDER BY query_id, rank""")
 }

@@ -383,23 +383,39 @@ object Dedup {
     * tomorrow's batch dedups against today's. No corpus re-read
     * anywhere: the three relational artifacts are computed for the
     * batch alone (same three map passes, at the index's pinned
-    * geometry) and unioned; the two Bloom gates grow by distributed
+    * geometry) and unioned; the two Bloom gates grow by DRIVER-STREAMED
     * insertion into a copy of the original filters
-    * ([[graft.functions.ShardedBloom.inserted]] — never a false
-    * negative; fpp drifts up once total load passes the original
-    * sizing, at which point a rebuild with larger `expectedCorpusDocs`
-    * is due). Classification against the appended index is IDENTICAL
-    * to an index rebuilt over corpus ∪ batch: the gates only prefilter
-    * — every match is confirmed by the exact joins downstream. */
+    * ([[graft.functions.ShardedBloom.inserted]] streams the batch's
+    * keys through the driver via `toLocalIterator` — never a false
+    * negative, and fine for daily-batch-sized appends; a corpus-sized
+    * append should rebuild instead. fpp drifts up once total load
+    * passes the original sizing, at which point a rebuild with larger
+    * `expectedCorpusDocs` is due). Classification against the appended
+    * index is IDENTICAL to an index rebuilt over corpus ∪ batch: the
+    * gates only prefilter — every match is confirmed by the exact
+    * joins downstream.
+    *
+    * The batch is exact-deduped on its content fingerprint first
+    * (lowest doc_id wins): two identical docs in one batch each
+    * classify `new` against the EXISTING index, and without this both
+    * would enter the index as duplicate fingerprints/sigs/bands,
+    * silently violating the dedup invariant across appends
+    * (ADVICE r10). */
   def appendToDedupIndex(index: DedupIndex, newDocs: DataFrame): DedupIndex = {
     import graft.functions.ShardedBloom
     val sess = newDocs.sparkSession
     import sess.implicits._
     val numHashes = index.bands * index.rowsPerBand
-    val newFp = newDocs
-      .select(col("doc_id").as("corpus_id"), xxhash64(col("text")).as("fp"))
+    val batch = newDocs
+      .withColumn("__fp", xxhash64(col("text")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val newFp = batch
+      .select(col("doc_id").as("corpus_id"), col("__fp").as("fp"))
       .localCheckpoint(true)
-    val newSigs = sigOf(newDocs, index.shingleLen, numHashes)
+    val newSigs = sigOf(batch.drop("__fp"), index.shingleLen, numHashes)
       .select(col("doc_id").as("corpus_id"), col("sig"))
       .localCheckpoint(true)
     val newBands = bandOf(

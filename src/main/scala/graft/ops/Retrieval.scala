@@ -105,6 +105,51 @@ object Retrieval {
         (col("score_q6").cast("double") / 1e6).as("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * how hybrid retrieval actually runs in decontamination and
+    * hard-negative mining: a sparse (BM25) and a dense (ANN) ranking
+    * each see matches the other is blind to, and RRF combines them
+    * using only RANKS, so the incomparable score scales never meet:
+    * `rrf(d) = Σ_lanes 1/(k_rrf + rank_lane(d))`.
+    *
+    * Scale shape: each input ranking is already top-k per query (k rows
+    * per query per lane), so the union is (lanes × k × queries) rows —
+    * never corpus-sized; one hash agg on (query_id, doc_id) and a
+    * per-query ranking window finish the job. The expensive work
+    * happened in the lanes, which each carry their own scale story
+    * (inverted-index probe / quantized scan).
+    *
+    * Determinism: contributions are quantized to integer millionths
+    * `floor(1e6 / (k_rrf + rank))` BEFORE the per-doc sum — exact in
+    * any engine — and fused ties break on doc_id, so the fused order
+    * replays bit-for-bit cross-engine.
+    *
+    * @param rankings one DataFrame per lane, each (query_id, doc_id,
+    *        rank) with rank 1-based and at most one row per
+    *        (query_id, doc_id) — the contract of a top-k ranking.
+    * @param topK     fused list length per query.
+    * @param kRrf     rank damping (60 is the paper's canonical value).
+    * @return (query_id, rank, doc_id, n_lanes, rrf_score) — rrf_score
+    *         is the exact quantized sum in double form (6 dp). */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val lanes = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val contrib =
+      floor(lit(1000000.0) / (lit(kRrf) + col("rank"))).cast("long")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_q6").desc, col("doc_id"))
+    lanes
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_lanes"), sum(contrib).as("rrf_q6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_lanes"),
+        (col("rrf_q6").cast("double") / 1e6).as("rrf_score"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     * 1998) — the diversity pass between retrieval and consumption
     * (RAG context assembly, dedup of near-identical hits): greedily
@@ -157,7 +202,8 @@ object Retrieval {
         val maxSim = Array.fill(n)(0.0)
         val out = Seq.newBuilder[(Long, Int, Long, Double)]
         var step = 0
-        while (step < math.min(k, n)) {
+        var exhausted = false
+        while (step < math.min(k, n) && !exhausted) {
           var best = -1
           var bestScore = Double.NegativeInfinity
           var i = 0
@@ -165,26 +211,32 @@ object Retrieval {
             if (!picked(i)) {
               val s = lambda * pool(i)._3 -
                 (if (step == 0) 0.0 else (1.0 - lambda) * maxSim(i))
-              if (s > bestScore ||
-                  (s == bestScore && best >= 0 &&
-                    pool(i)._2 < pool(best)._2)) {
-                best = i; bestScore = s
-              }
+              // first-wins over the vec_id-sorted pool IS the documented
+              // lowest-vec_id tie-break: a later index never has a
+              // smaller vec_id, so strict > suffices
+              if (s > bestScore) { best = i; bestScore = s }
             }
             i += 1
           }
-          picked(best) = true
-          out += ((qid, step + 1, pool(best)._2,
-            math.round(bestScore * 1e6) / 1e6))
-          var j = 0
-          while (j < n) {
-            if (!picked(j)) {
-              val c = cos(pool(j)._4, pool(best)._4)
-              if (c > maxSim(j)) maxSim(j) = c
+          if (best < 0) {
+            // every remaining candidate scored NaN (a NaN rel passed by
+            // a caller): no comparison can succeed — stop picking
+            // rather than indexing with -1 (ADVICE r10)
+            exhausted = true
+          } else {
+            picked(best) = true
+            out += ((qid, step + 1, pool(best)._2,
+              math.round(bestScore * 1e6) / 1e6))
+            var j = 0
+            while (j < n) {
+              if (!picked(j)) {
+                val c = cos(pool(j)._4, pool(best)._4)
+                if (c > maxSim(j)) maxSim(j) = c
+              }
+              j += 1
             }
-            j += 1
+            step += 1
           }
-          step += 1
         }
         out.result().iterator
       }

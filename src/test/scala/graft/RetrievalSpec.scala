@@ -66,4 +66,57 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
     assert(s(2L) > s(1L) && s(1L) > 0L)
   }
+
+  test("rrfFuse: both-lane docs beat single-lane docs at equal ranks") {
+    import spark.implicits._
+    // lane A: d10 rank 1, d20 rank 2; lane B: d10 rank 2, d30 rank 1
+    val a = Seq((0L, 10L, 1), (0L, 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 30L, 1), (0L, 10L, 2)).toDF("query_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), topK = 10)
+      .orderBy(col("rank")).collect()
+    def c(r: Int): Long = math.floor(1e6 / (60 + r)).toLong
+    // d10 = 1/(60+1) + 1/(60+2), d30 = 1/(60+1), d20 = 1/(60+2)
+    assert(fused.map(_.getLong(2)).toSeq === Seq(10L, 30L, 20L))
+    assert(fused.map(_.getLong(3)).toSeq === Seq(2L, 1L, 1L)) // n_lanes
+    assert(fused.head.getDouble(4) === (c(1) + c(2)) / 1e6)
+    assert(fused(1).getDouble(4) === c(1) / 1e6)
+  }
+
+  test("rrfFuse: equal fused scores tie-break on doc_id, topK bounds rows") {
+    import spark.implicits._
+    // two docs each rank 1 in exactly one lane → identical contribution
+    val a = Seq((0L, 7L, 1)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 3L, 1)).toDF("query_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), topK = 1).collect()
+    assert(fused.length === 1 && fused.head.getLong(2) === 3L)
+  }
+
+  test("rrfFuse keeps queries independent") {
+    import spark.implicits._
+    val a = Seq((0L, 1L, 1), (9L, 2L, 1)).toDF("query_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a), topK = 5)
+    val byQ = fused.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byQ === Map(0L -> 1L, 9L -> 2L))
+    // each is rank 1 within its own query
+    assert(fused.collect().forall(_.getInt(1) == 1))
+  }
+
+  test("mmrRerank survives an all-NaN relevance pool without throwing") {
+    import spark.implicits._
+    // ADVICE r10: NaN rel makes every comparison false — the greedy
+    // must stop picking, not index with best = -1
+    val pool = Seq(
+      (0L, 1L, Double.NaN, Array(1.0f, 0.0f)),
+      (0L, 2L, Double.NaN, Array(0.0f, 1.0f)))
+      .toDF("query_id", "vec_id", "rel", "embedding")
+    assert(Retrieval.mmrRerank(pool, k = 2, lambda = 0.7).count() === 0L)
+    // a clean pool still picks k
+    val ok = Seq(
+      (0L, 1L, 0.9, Array(1.0f, 0.0f)),
+      (0L, 2L, 0.5, Array(0.0f, 1.0f)))
+      .toDF("query_id", "vec_id", "rel", "embedding")
+    val sel = Retrieval.mmrRerank(ok, k = 2, lambda = 0.7)
+      .orderBy(col("rank")).collect()
+    assert(sel.map(_.getLong(2)).toSeq === Seq(1L, 2L))
+  }
 }
