@@ -478,6 +478,19 @@ object Bench {
               corpus, expectedCorpusDocs = 1000000L)
             graft.ops.Dedup.incrementalDedup(index, batch, 0.7)
           }),
+          // q135's QUERY wraps its cycle booleans — ladder the span
+          // index alone: build (tokenize + window passes, corpus-
+          // linear, no self-join) + fixed-size batch probe (work ∝
+          // batch windows + matches). Expect exp ≈ 1 — the one-shot
+          // corpus×corpus span join this replaces ladders at ~2.
+          ("op_span_index", None, (ss: SparkSession, dir: String) => {
+            val corpus = ss.read.parquet(s"$dir/documents.parquet")
+              .selectExpr("doc_id", "text")
+            val batch = corpus.where("doc_id % 50 = 0 AND doc_id < 25000")
+              .selectExpr("doc_id + 1000000 AS doc_id", "text")
+            val index = graft.ops.Dedup.buildSpanIndex(corpus, minTokens = 20)
+            graft.ops.Dedup.probeSpanIndex(index, batch)
+          }),
           ("op_incr_semdedup", Some(factors("embeddings").toDouble),
             (ss: SparkSession, dir: String) => {
               val corpus = ss.read.parquet(s"$dir/embeddings.parquet")

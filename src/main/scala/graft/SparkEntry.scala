@@ -2396,6 +2396,76 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Span-index decontamination cycle (q135): the persistable
+    * verbatim-span index ([[graft.ops.Dedup.buildSpanIndex]] /
+    * `probeSpanIndex` / `appendToSpanIndex]]) driven end to end the way
+    * decontamination actually runs — build once over the corpus, probe
+    * a benchmark batch, ingest only the CLEAN probes, and prove the
+    * appended index catches tomorrow's quotes of them with zero corpus
+    * re-reads. Day-1 probes: a 25-token verbatim slice (offset 3) from
+    * every 10th ≥30-token doc (each must report exactly its planted
+    * span: origin doc, start_a 3, start_b 1, len 25 — structural
+    * recall: a 25-token run contains an aligned 20-token window) plus
+    * fully-minted fresh docs (no 20-token corpus run can match). Day-2
+    * probes quote the fresh docs' first 20 tokens: blind against the
+    * stale index, found exactly against the appended one. The oracle
+    * replays the minted counts and pins the cycle booleans (q106/q122
+    * pattern — window hashing isn't SQL-replayable, the exact token
+    * verify makes the booleans structural). */
+  private def qSpanIndexCycle(s: SparkSession, d: String): DataFrame = {
+    val minTok = 20
+    val corpus = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val base = corpus.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val index = Dedup.buildSpanIndex(corpus, minTokens = minTok)
+    val planted = corpus
+      .filter(size(split(col("text"), " ")) >= 30 && col("doc_id") % 10 === 0)
+      .select((col("doc_id") + base).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 3, 25), " ").as("text"))
+    val freshText = array_join(
+      transform(sequence(lit(1), lit(25)),
+        j => concat(lit("zq"), col("doc_id") * 37 + j)), " ")
+    val fresh = corpus.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 2L * base).as("doc_id"), freshText.as("text"))
+    val day1 = planted.unionByName(fresh).localCheckpoint()
+    val spans1 = Dedup.probeSpanIndex(index, day1).localCheckpoint()
+    // decontamination-driven ingest: only probes with NO corpus overlap
+    // enter the index (must be exactly the fresh docs)
+    val clean = day1.join(
+      spans1.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti").localCheckpoint()
+    val appended = Dedup.appendToSpanIndex(index, clean)
+    val day2 = fresh.select(
+      (col("doc_id") + base).as("doc_id"),
+      array_join(slice(split(col("text"), " "), 1, minTok), " ").as("text"))
+      .localCheckpoint()
+    val spans2Stale = Dedup.probeSpanIndex(index, day2)
+    val spans2App = Dedup.probeSpanIndex(appended, day2)
+    val nPlanted = planted.count()
+    val nFresh = fresh.count()
+    // each planted probe reports EXACTLY its planted span geometry
+    val plantedExact = spans1
+      .filter(col("id_a") === col("id_b") - base &&
+        col("start_a") === 3 && col("start_b") === 1 &&
+        col("len_tokens") === 25)
+      .select(col("id_b")).distinct().count()
+    val freshHit = spans1
+      .filter(col("id_b") >= 2L * base).count()
+    val cleanN = clean.count()
+    val staleN = spans2Stale.count()
+    // day-2 quotes resolve to their fresh origin doc, full 20 tokens
+    val appHit = spans2App
+      .filter(col("id_a") === col("id_b") - base &&
+        col("start_a") === 1 && col("start_b") === 1 &&
+        col("len_tokens") === minTok)
+      .select(col("id_b")).distinct().count()
+    import s.implicits._
+    Seq((nPlanted, nFresh,
+      plantedExact == nPlanted, freshHit == 0L && cleanN == nFresh,
+      staleN == 0L, appHit == nFresh))
+      .toDF("n_planted", "n_fresh", "planted_exact_ok", "fresh_blind_ok",
+        "stale_blind_ok", "appended_ok")
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -3588,7 +3658,8 @@ object SparkEntry {
     "q131_numberblind_dedup" -> (qNumberBlindDedup _),
     "q132_daily_dedup_cycle" -> (qDailyDedupCycle _),
     "q133_mmr_rerank" -> (qMmrRerank _),
-    "q134_rrf_hybrid" -> (qRrfHybrid _))
+    "q134_rrf_hybrid" -> (qRrfHybrid _),
+    "q135_span_index_cycle" -> (qSpanIndexCycle _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5524,5 +5595,18 @@ object SparkEntry {
                 FROM fused)
          SELECT query_id, rank, doc_id, n_lanes,
            CAST(rrf_q6 AS DOUBLE) / 1000000.0 AS rrf_score
-         FROM fr WHERE rank <= 10 ORDER BY query_id, rank""")
+         FROM fr WHERE rank <= 10 ORDER BY query_id, rank""",
+    // minted counts replayed; the cycle booleans are pinned (q106/q122
+    // pattern): window hashing isn't SQL-replayable, but the operator's
+    // exact token-slice verify makes them structural, not statistical
+    "q135_span_index_cycle" ->
+      """WITH pl AS (SELECT count(*) AS n_planted FROM documents
+               WHERE len(string_split(text, ' ')) >= 30 AND doc_id % 10 = 0),
+         fr AS (SELECT count(*) AS n_fresh FROM documents
+                WHERE doc_id % 10 = 5)
+         SELECT CAST(pl.n_planted AS BIGINT) AS n_planted,
+           CAST(fr.n_fresh AS BIGINT) AS n_fresh,
+           true AS planted_exact_ok, true AS fresh_blind_ok,
+           true AS stale_blind_ok, true AS appended_ok
+         FROM pl, fr""")
 }

@@ -105,4 +105,29 @@ class DedupAppendSpec extends SparkSpec {
       assert(best === bid - 1000L, s"batch $bid matched $best")
     }
   }
+
+  test("append exact-dedups its batch: identical docs enter the index once") {
+    import spark.implicits._
+    // ADVICE r10: two identical docs in one batch each classify `new`
+    // against the EXISTING index — without intra-batch dedup both would
+    // enter as duplicate fingerprints/sigs/bands
+    val index = Dedup.buildDedupIndex(docs(0 until 20),
+      expectedCorpusDocs = 1000L)
+    val dupText = doc(777)
+    val batch = Seq((5000L, dupText), (5001L, dupText), (5002L, doc(778)))
+      .toDF("doc_id", "text")
+    val appended = Dedup.appendToDedupIndex(index, batch)
+    // only the lowest doc_id of the duplicate pair survives
+    val fps = appended.fingerprints
+      .filter(col("corpus_id") >= 5000L)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(fps === Seq(5000L, 5002L))
+    assert(appended.sigs.filter(col("corpus_id") === 5001L).count() === 0L)
+    assert(appended.bandIndex
+      .filter(col("corpus_id") === 5001L).count() === 0L)
+    // a later copy still classifies exact against the surviving entry
+    val day2 = Seq((9000L, dupText)).toDF("doc_id", "text")
+    val c = Dedup.incrementalDedup(appended, day2, 0.7).collect()
+    assert(c.length === 1 && c.head.getString(1) === "exact")
+  }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** The persistable verbatim-span decontamination index: probe-equality
+  * with the one-shot operator, parquet round-trip, and append-equals-
+  * rebuild — including a df-cap crossing where the batch retroactively
+  * evicts existing window rows. */
+class SpanIndexSpec extends SparkSpec {
+
+  // 40 distinct tokens per doc; doc i and doc i+1 share nothing unless
+  // planted below
+  private def corpusDoc(i: Int): String =
+    (0 until 40).map(j => s"c${i}t$j").mkString(" ")
+
+  private def corpus(ids: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, corpusDoc(i))).toDF("doc_id", "text")
+  }
+
+  /** Probes: doc 900+i quotes tokens 5..24 (20 tokens) of corpus doc i. */
+  private def quoting(ids: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    ids.map { i =>
+      val toks = corpusDoc(i).split(" ").slice(4, 24)
+      (900L + i, ("pre1 pre2 " + toks.mkString(" ") + " post1 post2"))
+    }.toDF("doc_id", "text")
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("probeSpanIndex is bit-exact with one-shot verbatimSpansAcross") {
+    val c = corpus(0 until 20)
+    val p = quoting(Seq(1, 5, 17))
+      .unionByName(corpus(Seq(800))) // a probe with no corpus overlap
+    val index = Dedup.buildSpanIndex(c, minTokens = 10)
+    val got = sortedRows(Dedup.probeSpanIndex(index, p))
+    val want = sortedRows(Dedup.verbatimSpansAcross(c, p, minTokens = 10))
+    assert(got === want)
+    assert(got.nonEmpty) // the planted quotes are actually found
+    // and the found spans carry the planted geometry: 20 shared tokens
+    val spans = Dedup.probeSpanIndex(index, p).collect()
+    assert(spans.forall(_.getAs[Int]("len_tokens") == 20))
+  }
+
+  test("save/load round-trips the index bit-exact (probe equality)") {
+    val c = corpus(0 until 15)
+    val p = quoting(Seq(2, 9))
+    val index = Dedup.buildSpanIndex(c, minTokens = 10, maxDf = 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("span_index_spec").toString
+    Dedup.saveSpanIndex(index, dir)
+    val loaded = Dedup.loadSpanIndex(spark, dir)
+    assert(loaded.minTokens === 10 && loaded.maxDf === 5
+      && !loaded.unicode)
+    assert(sortedRows(Dedup.probeSpanIndex(loaded, p))
+      === sortedRows(Dedup.probeSpanIndex(index, p)))
+    // the persisted relations themselves round-trip exactly
+    assert(sortedRows(loaded.windows) === sortedRows(index.windows))
+    assert(sortedRows(loaded.dfStats) === sortedRows(index.dfStats))
+  }
+
+  test("append equals rebuild, and the appended index sees the batch") {
+    val day0 = corpus(0 until 12)
+    val batch = corpus(100 until 108)
+    val appended = Dedup.appendToSpanIndex(
+      Dedup.buildSpanIndex(day0, minTokens = 10), batch)
+    val rebuilt = Dedup.buildSpanIndex(
+      day0.unionByName(batch), minTokens = 10)
+    val probes = quoting(Seq(3, 101, 106))
+    assert(sortedRows(Dedup.probeSpanIndex(appended, probes))
+      === sortedRows(Dedup.probeSpanIndex(rebuilt, probes)))
+    // quotes of batch docs are blind against the STALE index
+    val stale = Dedup.probeSpanIndex(
+      Dedup.buildSpanIndex(day0, minTokens = 10), quoting(Seq(101, 106)))
+    assert(stale.count() === 0L)
+  }
+
+  test("a batch pushing a window over the df cap evicts existing rows too") {
+    import spark.implicits._
+    // the same 12-token passage in 2 corpus docs; cap at 3 docs
+    val passage = (0 until 12).map(j => s"viral$j").mkString(" ")
+    def carriers(ids: Seq[Int]): DataFrame =
+      ids.map(i => (i.toLong, s"lead${i}a lead${i}b $passage tail$i"))
+        .toDF("doc_id", "text")
+    val day0 = carriers(Seq(0, 1)).unionByName(corpus(Seq(50)))
+    val index = Dedup.buildSpanIndex(day0, minTokens = 12, maxDf = 3)
+    // under the cap: a probe quoting the passage finds both carriers
+    val probe = Seq((900L, passage)).toDF("doc_id", "text")
+    assert(Dedup.probeSpanIndex(index, probe).count() === 2L)
+    // two more carriers arrive: df(passage windows) = 4 > 3
+    val appended = Dedup.appendToSpanIndex(index, carriers(Seq(100, 101)))
+    val rebuilt = Dedup.buildSpanIndex(
+      day0.unionByName(carriers(Seq(100, 101))), minTokens = 12, maxDf = 3)
+    // the now-viral passage is capped out of BOTH — including the rows
+    // that were already in the index before the append
+    assert(Dedup.probeSpanIndex(appended, probe).count() === 0L)
+    assert(Dedup.probeSpanIndex(rebuilt, probe).count() === 0L)
+    assert(sortedRows(appended.windows) === sortedRows(rebuilt.windows))
+    assert(sortedRows(appended.dfStats) === sortedRows(rebuilt.dfStats))
+  }
+}
