@@ -1832,8 +1832,9 @@ object SparkEntry {
   }
 
   /** Trained language identification (q113) — planted multilingual
-    * oracle. Docs are minted into [[graft.ops.LangId]]'s 8 languages
-    * (3 scripts) by `doc_id mod 8`, with text cycling through each
+    * oracle. Docs are minted into [[graft.ops.LangId]]'s 11 languages
+    * (6 scripts — Latin ×6, Greek, Cyrillic, and the zh/ja/ko CJK
+    * lanes) by `doc_id mod 11`, with text cycling through each
     * language's word inventory; the DISTRIBUTED multinomial softmax
     * Newton trainer ([[LangId.fitMultinomial]]) fits on the `doc_id mod
     * 3 = 0` third and the quantized integer model must then classify
@@ -3804,9 +3805,9 @@ object SparkEntry {
            len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stopwords,
            length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
            FROM b),
-         cp AS (SELECT *, """ + LangId.cpsSql("text") + """ AS cps FROM c),
-         bkt AS (SELECT *, """ + LangId.bucketsFromCpsSql("cps") + """ AS bk FROM cp),
-         sc AS (SELECT *, """ + LangId.scoreColumnsSql("bk", LangId.default) + """ FROM bkt)
+         cp AS MATERIALIZED (SELECT *, """ + LangId.cpsSql("text") + """ AS cps FROM c),
+         bkt AS MATERIALIZED (SELECT *, """ + LangId.bucketsFromCpsSql("cps") + """ AS bk FROM cp),
+         sc AS MATERIALIZED (SELECT *, """ + LangId.scoreColumnsSql("bk", LangId.default) + """ FROM bkt)
          SELECT doc_id, n_tokens, n_stopwords, n_punct,
            round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5
              + least(CAST(n_stopwords AS DOUBLE)*10.0/greatest(CAST(n_tokens AS DOUBLE),1.0), 1.0)*0.5
@@ -4138,9 +4139,9 @@ object SparkEntry {
            len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stopwords,
            length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
            FROM b),
-         cpx AS (SELECT *, """ + LangId.cpsSql("text") + """ AS cps FROM c),
-         bkt AS (SELECT *, """ + LangId.bucketsFromCpsSql("cps") + """ AS bk FROM cpx),
-         scx AS (SELECT *, """ + LangId.scoreColumnsSql("bk", LangId.default) + """ FROM bkt),
+         cpx AS MATERIALIZED (SELECT *, """ + LangId.cpsSql("text") + """ AS cps FROM c),
+         bkt AS MATERIALIZED (SELECT *, """ + LangId.bucketsFromCpsSql("cps") + """ AS bk FROM cpx),
+         scx AS MATERIALIZED (SELECT *, """ + LangId.scoreColumnsSql("bk", LangId.default) + """ FROM bkt),
          rep AS (SELECT doc_id, n_tokens,
            round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5
              + least(CAST(n_stopwords AS DOUBLE)*10.0/greatest(CAST(n_tokens AS DOUBLE),1.0), 1.0)*0.5
@@ -4505,9 +4506,9 @@ object SparkEntry {
            length(text) AS n_chars,
            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
            FROM b),
-         cpx AS (SELECT *, """ + LangId.cpsSql("text") + """ AS cps FROM c),
-         bkt AS (SELECT *, """ + LangId.bucketsFromCpsSql("cps") + """ AS bk FROM cpx),
-         scx AS (SELECT *, """ + LangId.scoreColumnsSql("bk", LangId.default) + """ FROM bkt),
+         cpx AS MATERIALIZED (SELECT *, """ + LangId.cpsSql("text") + """ AS cps FROM c),
+         bkt AS MATERIALIZED (SELECT *, """ + LangId.bucketsFromCpsSql("cps") + """ AS bk FROM cpx),
+         scx AS MATERIALIZED (SELECT *, """ + LangId.scoreColumnsSql("bk", LangId.default) + """ FROM bkt),
          q AS (SELECT doc_id, source, n_tokens, fp,
            round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5
              + least(CAST(n_stopwords AS DOUBLE)*10.0/greatest(CAST(n_tokens AS DOUBLE),1.0), 1.0)*0.5

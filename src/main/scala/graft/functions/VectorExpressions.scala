@@ -27,23 +27,30 @@ object VecOps {
     s
   }
 
-  /** Language-ID bucket layout: the 64-bucket space is PARTITIONED BY
+  /** Language-ID bucket layout: the 76-bucket space is PARTITIONED BY
     * SCRIPT so text in one script has structurally zero mass in another
-    * script's buckets (a pure-Latin doc can never score as Greek or
-    * Cyrillic — the property a trained langid gets from fastText's
-    * char-ngram features, made explicit here). Latin/common code points
-    * (< U+0370) share 48 buckets; Greek (U+0370–03FF), Cyrillic
-    * (U+0400–052F) and everything higher get reserved ranges. A pair's
-    * group is the max of its two characters' groups, so word-boundary
-    * (space + letter) pairs stay in the word's script. */
-  final val LangIdBuckets = 64
+    * script's buckets (a pure-Latin doc can never score as Greek,
+    * Cyrillic or hangul — the property a trained langid gets from
+    * fastText's char-ngram features, made explicit here). Latin/common
+    * code points (< U+0370) share 48 buckets; Greek (U+0370–03FF),
+    * Cyrillic (U+0400–052F), kana (U+3040–30FF), Han (U+4E00–9FFF) and
+    * hangul syllables (U+AC00–D7AF) get reserved ranges — the CJK lanes
+    * make zh/ja/ko separable (ja from zh by kana mass, ko by hangul;
+    * the largest non-Latin web corpora no longer fall to `und`).
+    * Everything else (Arabic, Hebrew, emoji, …) shares the tail pair. A
+    * pair's group is the max of its two characters' groups, so
+    * word-boundary (space + letter) pairs stay in the word's script. */
+  final val LangIdBuckets = 76
   private final val LatinB = 48
 
   def scriptGroup(cp: Int): Int =
     if (cp < 0x370) 0 // Latin, digits, punctuation, Latin-1/Extended
     else if (cp <= 0x3FF) 1 // Greek
     else if (cp <= 0x52F) 2 // Cyrillic (+ supplement)
-    else 3 // everything higher (CJK, Arabic, emoji, ...)
+    else if (cp >= 0x3040 && cp <= 0x30FF) 3 // hiragana + katakana
+    else if (cp >= 0x4E00 && cp <= 0x9FFF) 4 // CJK unified Han
+    else if (cp >= 0xAC00 && cp <= 0xD7AF) 5 // hangul syllables
+    else 6 // everything else (Arabic, Hebrew, emoji, ...)
 
   def pairBucket(cp1: Int, cp2: Int): Int = {
     val g = math.max(scriptGroup(cp1), scriptGroup(cp2))
@@ -52,7 +59,10 @@ object VecOps {
       case 0 => (h % LatinB).toInt
       case 1 => LatinB + (h % 5).toInt
       case 2 => LatinB + 5 + (h % 5).toInt
-      case _ => LatinB + 10 + (h % 6).toInt
+      case 3 => LatinB + 10 + (h % 5).toInt
+      case 4 => LatinB + 15 + (h % 6).toInt
+      case 5 => LatinB + 21 + (h % 5).toInt
+      case _ => LatinB + 26 + (h % 2).toInt
     }
   }
 

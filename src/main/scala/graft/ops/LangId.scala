@@ -41,12 +41,13 @@ import org.apache.spark.sql.functions._
 object LangId {
 
   /** Feature-space width — [[graft.functions.VecOps.LangIdBuckets]],
-    * script-partitioned (48 Latin + reserved Greek/Cyrillic/other
-    * ranges): a pure-Latin doc has structurally zero mass in another
-    * script's buckets, so script confusion is impossible by
+    * script-partitioned (48 Latin + reserved Greek/Cyrillic/kana/Han/
+    * hangul/other ranges): a pure-Latin doc has structurally zero mass
+    * in another script's buckets, so script confusion is impossible by
     * construction and the trained weights only have to separate WITHIN
-    * a script. 64 keeps the Newton system (K·65 params) driver-trivial
-    * and the oracle SQL compact. */
+    * a script — zh/ja/ko separate structurally (ja from zh by kana
+    * mass, ko by hangul). 76 keeps the Newton system (K·77 params)
+    * driver-tractable and the oracle SQL compact. */
   val buckets: Int = graft.functions.VecOps.LangIdBuckets
 
   /** Micro-units per weight unit: weights quantize to 1e-6. */
@@ -68,9 +69,10 @@ object LangId {
   }
 
   /** Per-language word inventories for the bundled model — common words
-    * of eight languages across three scripts (Latin, Cyrillic, Greek).
-    * Public linguistic knowledge; lowercase on purpose (scoring
-    * lowercases before bigrams). */
+    * of eleven languages across six scripts (Latin, Cyrillic, Greek,
+    * kana+Han, Han, hangul). Public linguistic knowledge (basic common-
+    * word vocabulary); lowercase on purpose (scoring lowercases before
+    * bigrams — a no-op for the unicameral scripts). */
   val inventories: Seq[(String, Seq[String])] = Seq(
     // English is deliberately the broadest inventory (~100 top words,
     // function words AND common nouns/verbs): generic English noun
@@ -123,7 +125,28 @@ object LangId {
       "στο", "ένα", "είναι", "από", "δεν", "μια", "αυτό", "στην", "μου",
       "τους", "ότι", "αλλά", "όπως", "πολύ", "μετά", "χωρίς", "πριν",
       "κάθε", "εδώ", "τώρα", "κόσμος", "χρόνος", "ζωή", "μέρα", "άνθρωπος",
-      "μόνο", "πάντα", "ακόμα", "γιατί", "όταν", "είχε"))
+      "μόνο", "πάντα", "ακόμα", "γιατί", "όταν", "είχε"),
+    // zh: simplified-Chinese common words — pure Han, so zh mass lives
+    // entirely in the Han lane
+    "zh" -> Seq("我们", "你们", "他们", "中国", "时间", "世界", "生活",
+      "工作", "学习", "朋友", "家庭", "问题", "事情", "地方", "东西",
+      "孩子", "老师", "学生", "今天", "明天", "现在", "可以", "什么",
+      "因为", "所以", "但是", "如果", "没有", "知道", "觉得", "喜欢",
+      "开始", "已经", "非常", "一起", "大家", "很多", "一个", "这个",
+      "说话"),
+    // ja: kana function words + everyday kana/Han mix — the kana lane
+    // separates ja from zh even where the Han characters overlap
+    "ja" -> Seq("の", "は", "を", "に", "が", "と", "で", "です", "ます",
+      "した", "する", "いる", "ある", "この", "その", "それ", "これ",
+      "わたし", "あなた", "日本", "今日", "明日", "時間", "世界", "生活",
+      "仕事", "学校", "友達", "家族", "問題", "ところ", "こと", "もの",
+      "子供", "先生", "学生", "とても", "たくさん", "みんな", "言葉"),
+    // ko: hangul-syllable common words — the hangul lane is ko's alone
+    "ko" -> Seq("이", "그", "저", "것", "수", "있다", "없다", "하다",
+      "되다", "우리", "당신", "그들", "한국", "시간", "세계", "생활",
+      "학교", "친구", "가족", "문제", "아이", "선생님", "학생", "오늘",
+      "내일", "어제", "지금", "아주", "많이", "모두", "사람", "나라",
+      "마음", "생각", "말씀", "세상", "하루", "이야기", "사랑", "공부"))
 
   val languages: Seq[String] = inventories.map(_._1)
 
@@ -344,8 +367,19 @@ object LangId {
       a += 1
     }
     val step = QualityClassifier.solve(h, g, p)
+    // trust region: a full Newton step overshoots and oscillates when a
+    // class pair is nearly separated (the Hessian is close to singular
+    // along the separating direction — observed on small minted corpora
+    // once the 11-class CJK model landed). Capping the step NORM keeps
+    // the update a damped Newton direction; deterministic, and shared
+    // verbatim by both trainers so the twins cannot diverge from each
+    // other.
+    var sn2 = 0.0
     var i = 0
-    while (i < p) { w(i) -= step(i); i += 1 }
+    while (i < p) { sn2 += step(i) * step(i); i += 1 }
+    val scale = { val sn = math.sqrt(sn2); if (sn > 80.0) 80.0 / sn else 1.0 }
+    i = 0
+    while (i < p) { w(i) -= scale * step(i); i += 1 }
   }
 
   private def toModel(
@@ -414,9 +448,17 @@ object LangId {
     * [[graft.functions.VecOps.pairBucket]] verbatim (group = max of the
     * two chars' script groups; per-group modulus + base). */
   def bucketsFromCpsSql(cpsCol: String): String = {
+    // script-group ladder (code points): Latin < 0x370(880), Greek ≤
+    // 0x3FF(1023), Cyrillic ≤ 0x52F(1327), kana 0x3040–30FF
+    // (12352–12543), Han 0x4E00–9FFF (19968–40959), hangul 0xAC00–D7AF
+    // (44032–55215), everything else → 6
     def grp(c: String) =
       s"""(CASE WHEN $c < 880 THEN 0 WHEN $c <= 1023 THEN 1
-          WHEN $c <= 1327 THEN 2 ELSE 3 END)"""
+          WHEN $c <= 1327 THEN 2
+          WHEN $c BETWEEN 12352 AND 12543 THEN 3
+          WHEN $c BETWEEN 19968 AND 40959 THEN 4
+          WHEN $c BETWEEN 44032 AND 55215 THEN 5
+          ELSE 6 END)"""
     val c1 = s"CAST($cpsCol[CAST(i AS INT)] AS BIGINT)"
     val c2 = s"CAST($cpsCol[CAST(i AS INT) + 1] AS BIGINT)"
     s"""list_transform(range(1, len($cpsCol)),
@@ -424,7 +466,10 @@ object LangId {
             WHEN 0 THEN ($c1 * 31 + $c2) % 48
             WHEN 1 THEN 48 + ($c1 * 31 + $c2) % 5
             WHEN 2 THEN 53 + ($c1 * 31 + $c2) % 5
-            ELSE 58 + ($c1 * 31 + $c2) % 6 END)"""
+            WHEN 3 THEN 58 + ($c1 * 31 + $c2) % 5
+            WHEN 4 THEN 63 + ($c1 * 31 + $c2) % 6
+            WHEN 5 THEN 69 + ($c1 * 31 + $c2) % 5
+            ELSE 74 + ($c1 * 31 + $c2) % 2 END)"""
   }
 
   /** DuckDB expression for class `k`'s exact-integer score over a

@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.ops.LangId
 
 /** Trained language-ID contract:
-  *   - the bundled model separates its own minted 8-language corpus
-  *     perfectly and converged;
+  *   - the bundled model separates its own minted 11-language corpus
+  *     (6 scripts incl. the zh/ja/ko CJK lanes) perfectly and converged;
   *   - the codegen `char_bigram_buckets` kernel and the driver-side
   *     twin produce identical buckets (incl. supplementary planes);
   *   - local and distributed trainers agree (weights within numeric
@@ -89,7 +89,10 @@ class LangIdSpec extends SparkSpec {
       ("il che della per con del sono una anche come questo essere", "it"),
       ("os das dos uma com nao mais como mas foi ele tem seu", "pt"),
       ("и в не на что быть он с это по как она они когда", "ru"),
-      ("και το της να που με την για τον στο ένα είναι από δεν", "el"))
+      ("και το της να που με την για τον στο ένα είναι από δεν", "el"),
+      ("我们 今天 学习 中国 时间 很多 朋友 知道 没有 可以", "zh"),
+      ("わたし は 今日 学校 に いる です この 時間 とても", "ja"),
+      ("우리 오늘 학교 친구 시간 사람 생각 지금 모두 이야기", "ko"))
     val got = rows.toDF("text", "want")
       .select($"want", LangId.predict($"text").as("got"))
       .collect()
