@@ -2467,6 +2467,39 @@ object SparkEntry {
         "stale_blind_ok", "appended_ok")
   }
 
+  /** Minted repetition-violation classes for q136 — one string per
+    * class, shared verbatim with the generated oracle SQL (q118
+    * pattern) so the two engines mint identical documents. */
+  private val repClassTails: Seq[(Int, String)] = Seq(
+    // 3 identical appended lines → duplicate-line rules trip
+    1 -> "\nlinedup alpha beta\nlinedup alpha beta\nlinedup alpha beta",
+    // an appended paragraph repeated → duplicate-paragraph rules trip
+    2 -> "\n\npara one two three\n\npara one two three",
+    // one dominant word bigram repeated 30× → top-2/3/4-gram rules trip
+    3 -> (" " + Seq.fill(30)("spamtok tokspam").mkString(" ")),
+    // a 5-word phrase repeated 4× → duplicate-5…10-gram rules trip
+    4 -> (" " + Seq.fill(4)("q1w q2w q3w q4w q5w").mkString(" ")))
+
+  /** Gopher A1.1 repetition battery (q136):
+    * [[graft.ops.TextAnalysis.gopherRepetitionReport]] — the full
+    * published repetition rule-set (duplicate lines/paragraphs + their
+    * character fractions, top 2-/3-/4-gram and duplicate 5-…-10-gram
+    * character fractions) over minted violation classes. FULL replay:
+    * the oracle recomputes every fraction and the keep verdict from
+    * the same minted text — no pinned booleans anywhere. */
+  private def qGopherRepetition(s: SparkSession, d: String): DataFrame = {
+    val cls = pmod(col("doc_id"), lit(5)).cast("int")
+    val minted = repClassTails.foldRight(col("text")) {
+      case ((c, tail), acc) => when(cls === c, concat(col("text"), lit(tail)))
+        .otherwise(acc)
+    }
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), minted.as("text"))
+    graft.ops.TextAnalysis.gopherRepetitionReport(docs)
+      .withColumn("cls", cls.cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -3660,7 +3693,8 @@ object SparkEntry {
     "q132_daily_dedup_cycle" -> (qDailyDedupCycle _),
     "q133_mmr_rerank" -> (qMmrRerank _),
     "q134_rrf_hybrid" -> (qRrfHybrid _),
-    "q135_span_index_cycle" -> (qSpanIndexCycle _))
+    "q135_span_index_cycle" -> (qSpanIndexCycle _),
+    "q136_gopher_repetition" -> (qGopherRepetition _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5609,5 +5643,101 @@ object SparkEntry {
            CAST(fr.n_fresh AS BIGINT) AS n_fresh,
            true AS planted_exact_ok, true AS fresh_blind_ok,
            true AS stale_blind_ok, true AS appended_ok
-         FROM pl, fr""")
+         FROM pl, fr""",
+    // FULL replay: every fraction and the keep verdict recomputed from
+    // the same minted text — lines/paragraphs by occurrence and by
+    // character mass, one (n, gram) relation for all nine n-gram sizes
+    "q136_gopher_repetition" -> {
+      val mintCase = repClassTails.map { case (c, tail) =>
+        s"WHEN $c THEN text || e'${tail.replace("\n", "\\n")}'"
+      }.mkString(" ")
+      s"""WITH m AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS cls,
+             CASE CAST(doc_id % 5 AS INT) $mintCase ELSE text END AS text
+           FROM documents),
+         w AS (SELECT doc_id, text,
+                 string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                   ' ') AS ws
+               FROM m),
+         lu AS (SELECT doc_id,
+                  unnest(list_filter(string_split(text, chr(10)),
+                    l -> l <> '')) AS u
+                FROM m),
+         lc AS (SELECT doc_id, u, count(*) AS c FROM lu GROUP BY 1, 2),
+         la AS (SELECT doc_id, sum(c) AS n_lines,
+                  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_l,
+                  sum(CASE WHEN c >= 2 THEN c * length(u) ELSE 0 END)
+                    AS dupch_l
+                FROM lc GROUP BY 1),
+         pu AS (SELECT doc_id,
+                  unnest(list_filter(
+                    string_split(text, chr(10) || chr(10)), l -> l <> ''))
+                    AS u
+                FROM m),
+         pc AS (SELECT doc_id, u, count(*) AS c FROM pu GROUP BY 1, 2),
+         pa AS (SELECT doc_id, sum(c) AS n_paras,
+                  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_p,
+                  sum(CASE WHEN c >= 2 THEN c * length(u) ELSE 0 END)
+                    AS dupch_p
+                FROM pc GROUP BY 1),
+         gr AS (SELECT doc_id, n,
+                  unnest(list_transform(range(1, len(ws) - n + 2),
+                    i -> array_to_string(ws[i:i+n-1], ' '))) AS g
+                FROM w, generate_series(2, 10) s(n)),
+         gc AS (SELECT doc_id, n, g, count(*) AS c FROM gr GROUP BY 1, 2, 3),
+         ga AS (SELECT doc_id, n,
+                  max(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS top,
+                  sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup
+                FROM gc GROUP BY 1, 2),
+         gp AS (SELECT doc_id,
+                  coalesce(max(CASE WHEN n = 2 THEN top END), 0) AS top2,
+                  coalesce(max(CASE WHEN n = 3 THEN top END), 0) AS top3,
+                  coalesce(max(CASE WHEN n = 4 THEN top END), 0) AS top4,
+                  coalesce(max(CASE WHEN n = 5 THEN dup END), 0) AS dup5,
+                  coalesce(max(CASE WHEN n = 6 THEN dup END), 0) AS dup6,
+                  coalesce(max(CASE WHEN n = 7 THEN dup END), 0) AS dup7,
+                  coalesce(max(CASE WHEN n = 8 THEN dup END), 0) AS dup8,
+                  coalesce(max(CASE WHEN n = 9 THEN dup END), 0) AS dup9,
+                  coalesce(max(CASE WHEN n = 10 THEN dup END), 0) AS dup10
+                FROM ga GROUP BY 1),
+         j AS (SELECT w.doc_id, m.cls, len(w.ws) AS n_words,
+                 coalesce(la.n_lines, 0) AS n_lines,
+                 coalesce(pa.n_paras, 0) AS n_paras,
+                 CAST(greatest(length(w.text), 1) AS DOUBLE) AS nch,
+                 CAST(coalesce(la.dup_l, 0) AS DOUBLE)
+                   / greatest(coalesce(la.n_lines, 0), 1) AS f1,
+                 CAST(coalesce(pa.dup_p, 0) AS DOUBLE)
+                   / greatest(coalesce(pa.n_paras, 0), 1) AS f2,
+                 coalesce(la.dupch_l, 0) AS c1,
+                 coalesce(pa.dupch_p, 0) AS c2,
+                 gp.top2, gp.top3, gp.top4,
+                 gp.dup5, gp.dup6, gp.dup7, gp.dup8, gp.dup9, gp.dup10
+               FROM w JOIN m USING (doc_id)
+                 LEFT JOIN la ON w.doc_id = la.doc_id
+                 LEFT JOIN pa ON w.doc_id = pa.doc_id
+                 LEFT JOIN gp ON w.doc_id = gp.doc_id)
+         SELECT doc_id, n_words,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_paras AS BIGINT) AS n_paras,
+           round(f1, 4) AS dup_line_frac,
+           round(f2, 4) AS dup_para_frac,
+           round(c1 / nch, 4) AS dup_line_char_frac,
+           round(c2 / nch, 4) AS dup_para_char_frac,
+           round(top2 / nch, 4) AS top_2gram_char_frac,
+           round(top3 / nch, 4) AS top_3gram_char_frac,
+           round(top4 / nch, 4) AS top_4gram_char_frac,
+           round(dup5 / nch, 4) AS dup_5gram_char_frac,
+           round(dup6 / nch, 4) AS dup_6gram_char_frac,
+           round(dup7 / nch, 4) AS dup_7gram_char_frac,
+           round(dup8 / nch, 4) AS dup_8gram_char_frac,
+           round(dup9 / nch, 4) AS dup_9gram_char_frac,
+           round(dup10 / nch, 4) AS dup_10gram_char_frac,
+           (f1 <= 0.30 AND f2 <= 0.30 AND c1 / nch <= 0.20
+             AND c2 / nch <= 0.20 AND top2 / nch <= 0.20
+             AND top3 / nch <= 0.18 AND top4 / nch <= 0.16
+             AND dup5 / nch <= 0.15 AND dup6 / nch <= 0.14
+             AND dup7 / nch <= 0.13 AND dup8 / nch <= 0.12
+             AND dup9 / nch <= 0.11 AND dup10 / nch <= 0.10) AS rep_keep,
+           CAST(cls AS BIGINT) AS cls
+         FROM j ORDER BY doc_id"""
+    })
 }

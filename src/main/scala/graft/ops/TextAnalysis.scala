@@ -352,6 +352,129 @@ object TextAnalysis {
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
   }
 
+  /** Gopher A1.1 REPETITION battery (Rae et al. 2021, Table A1) — the
+    * full published set, completing [[graft.ops.Curation.repetitionReport]]'s
+    * dup-word + top-bigram subset:
+    *   - duplicate line / paragraph fractions (occurrence-counted) and
+    *     their CHARACTER fractions;
+    *   - top 2-/3-/4-gram character fractions: the characters covered
+    *     by the heaviest REPEATED word n-gram (`max over grams with
+    *     count ≥ 2 of count × chars`, 0 when nothing repeats — the max
+    *     needs no tie-break, both engines agree structurally, and a
+    *     fully-unique document can never trip a repetition rule on the
+    *     accident of one long n-gram);
+    *   - duplicate 5-…-10-gram character fractions: characters covered
+    *     by every gram occurring ≥ 2 times (`Σ count × chars`;
+    *     overlapping occurrences double-count — the deterministic
+    *     definition a SQL engine replays verbatim).
+    * Character weights are the gram's own length including its
+    * single-space separators; the denominator is `length(text)`.
+    * `rep_keep` applies the paper's thresholds to the UNROUNDED
+    * fractions: dup-line 0.30, dup-para 0.30, dup-line-chars 0.20,
+    * dup-para-chars 0.20, top-2/3/4 0.20/0.18/0.16, dup-5…10
+    * 0.15/0.14/0.13/0.12/0.11/0.10 (keep = all ≤).
+    *
+    * Scale shape: one explode per structure (lines, paragraphs, and a
+    * single flattened (n, gram) explode for all nine n-gram sizes) into
+    * map-side-combinable hash aggregates keyed on the document — no
+    * windows, no sorts, no self-joins; the n-gram relation is ≤ 9× the
+    * corpus token count and collapses at the first partial aggregate. */
+  def gopherRepetitionReport(docs: DataFrame): DataFrame = {
+    val ws = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
+    val nW = size(ws)
+    val nChars = greatest(length(col("text")), lit(1)).cast("double")
+    val base = docs.select(col("doc_id"), col("text"), ws.as("__ws"))
+      .localCheckpoint(false)
+    // ---- duplicate lines / paragraphs (and their character mass)
+    def dupStructure(sep: String, prefix: String): DataFrame = base
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), sep), l => l =!= "")).as("__u"))
+      .groupBy(col("doc_id"), col("__u"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("__c")).as(s"n_$prefix"),
+        sum(when(col("__c") >= 2, col("__c")).otherwise(0L))
+          .as(s"__dup_$prefix"),
+        sum(when(col("__c") >= 2, col("__c") * length(col("__u")))
+          .otherwise(0L)).as(s"__dupch_$prefix"))
+    val lines = dupStructure("\n", "lines")
+    val paras = dupStructure("\n\n", "paras")
+    // ---- one flattened (n, gram) relation for all nine sizes
+    val gramStructs = (2 to 10).map { n =>
+      when(nW >= n,
+        transform(sequence(lit(1), nW - lit(n - 1)),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(col("__ws"), i, lit(n))).as("g"))))
+        .otherwise(slice(
+          transform(sequence(lit(1), lit(1)),
+            i => struct(lit(n).as("n"),
+              concat_ws(" ", slice(col("__ws"), i, lit(n))).as("g"))),
+          1, 0))
+    }
+    val perN = base
+      .select(col("doc_id"), explode(flatten(array(gramStructs: _*))).as("gr"))
+      .select(col("doc_id"), col("gr.n").as("n"), col("gr.g").as("g"))
+      .groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(
+        max(when(col("__c") >= 2, col("__c") * length(col("g")))
+          .otherwise(0L)).as("__top"),
+        sum(when(col("__c") >= 2, col("__c") * length(col("g")))
+          .otherwise(0L)).as("__dup"))
+    def nAgg(n: Int, c: String) =
+      coalesce(max(when(col("n") === n, col(c))), lit(0L))
+    val grams = perN.groupBy(col("doc_id"))
+      .agg(
+        nAgg(2, "__top").as("__top2"), nAgg(3, "__top").as("__top3"),
+        nAgg(4, "__top").as("__top4"), nAgg(5, "__dup").as("__dup5"),
+        nAgg(6, "__dup").as("__dup6"), nAgg(7, "__dup").as("__dup7"),
+        nAgg(8, "__dup").as("__dup8"), nAgg(9, "__dup").as("__dup9"),
+        nAgg(10, "__dup").as("__dup10"))
+    def frac(c: Column, d: Column) = c.cast("double") / d
+    val nLinesD = greatest(col("n_lines"), lit(1L)).cast("double")
+    val nParasD = greatest(col("n_paras"), lit(1L)).cast("double")
+    val fr: Seq[(String, Column, Double)] = Seq(
+      ("dup_line_frac", frac(col("__dup_lines"), nLinesD), 0.30),
+      ("dup_para_frac", frac(col("__dup_paras"), nParasD), 0.30),
+      ("dup_line_char_frac", frac(col("__dupch_lines"), nChars), 0.20),
+      ("dup_para_char_frac", frac(col("__dupch_paras"), nChars), 0.20),
+      ("top_2gram_char_frac", frac(col("__top2"), nChars), 0.20),
+      ("top_3gram_char_frac", frac(col("__top3"), nChars), 0.18),
+      ("top_4gram_char_frac", frac(col("__top4"), nChars), 0.16),
+      ("dup_5gram_char_frac", frac(col("__dup5"), nChars), 0.15),
+      ("dup_6gram_char_frac", frac(col("__dup6"), nChars), 0.14),
+      ("dup_7gram_char_frac", frac(col("__dup7"), nChars), 0.13),
+      ("dup_8gram_char_frac", frac(col("__dup8"), nChars), 0.12),
+      ("dup_9gram_char_frac", frac(col("__dup9"), nChars), 0.11),
+      ("dup_10gram_char_frac", frac(col("__dup10"), nChars), 0.10))
+    val keep = fr.map { case (_, c, tau) => c <= lit(tau) }.reduce(_ && _)
+    base
+      .join(lines, Seq("doc_id"), "left")
+      .join(paras, Seq("doc_id"), "left")
+      .join(grams, Seq("doc_id"), "left")
+      .na.fill(0L)
+      .select(
+        Seq(col("doc_id"), nW.as("n_words"),
+          col("n_lines"), col("n_paras")) ++
+        fr.map { case (name, c, _) => round(c, 4).as(name) } :+
+        keep.as("rep_keep"): _*)
+  }
+
+  /** [[gopherReport]] consuming the FULL battery: the paper's heuristic
+    * rules joined with [[gopherRepetitionReport]]'s thirteen repetition
+    * rules; `keep_full` = both verdicts. One extra doc-keyed join — the
+    * battery stays embarrassingly parallel. */
+  def gopherFullReport(docs: DataFrame): DataFrame =
+    gopherReport(docs)
+      .join(gopherRepetitionReport(docs)
+        .select(col("doc_id"), col("dup_line_frac"), col("dup_para_frac"),
+          col("top_2gram_char_frac"), col("dup_5gram_char_frac"),
+          col("rep_keep")),
+        "doc_id")
+      .withColumn("keep_full", col("keep") && col("rep_keep"))
+
   /** Trained language ID — delegates to [[LangId.predict]]'s bundled
     * multinomial char-bigram classifier (8 languages, 3 scripts; the
     * r9 stopword-marker heuristic this replaces covered 4 Latin

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+/** Gopher A1.1 repetition battery: hand-computed fractions per rule
+  * family, threshold behavior, and the full-report join. */
+class GopherRepetitionSpec extends SparkSpec {
+
+  private def report(rows: (Long, String)*) = {
+    import spark.implicits._
+    TextAnalysis.gopherRepetitionReport(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+  }
+
+  test("duplicate line and paragraph fractions are occurrence-counted") {
+    val m = report(
+      // 4 lines, 3 of them the same: dup_line_frac = 3/4; the dup line
+      // is 3 chars, text = 15 chars -> dup_line_char_frac = 9/15
+      (1L, "abc\nabc\nabc\nzzz"),
+      // 2 identical paragraphs of 7 chars each (text 16 chars)
+      (2L, "one two\n\none two"),
+      (3L, "all lines unique\nno repeats here"))
+    assert(m(1L).getAs[Double]("dup_line_frac") === 0.75)
+    assert(m(1L).getAs[Double]("dup_line_char_frac") === 0.6)
+    assert(m(1L).getAs[Boolean]("rep_keep") === false)
+    assert(m(2L).getAs[Double]("dup_para_frac") === 1.0)
+    assert(m(2L).getAs[Long]("n_paras") === 2L)
+    // the two identical paragraphs are also two identical lines
+    assert(m(2L).getAs[Double]("dup_line_frac") === 1.0)
+    assert(m(3L).getAs[Double]("dup_line_frac") === 0.0)
+  }
+
+  test("top n-gram char fraction is the heaviest gram's character mass") {
+    // "ab cd ab cd ab cd": 2-grams = [ab cd]x3, [cd ab]x2 -> top2 =
+    // 3*5 = 15 chars of 17 total
+    val m = report((1L, "ab cd ab cd ab cd"))
+    val r = m(1L)
+    assert(r.getAs[Double]("top_2gram_char_frac")
+      === math.round(15.0 / 17.0 * 1e4) / 1e4)
+    assert(r.getAs[Boolean]("rep_keep") === false) // 0.88 > 0.20
+  }
+
+  test("duplicate n-gram char fraction sums every repeated gram's mass") {
+    // 5-gram "a b c d e" occurs twice (positions 1 and 7), no other
+    // 5-gram repeats: dup5 = 2*9 = 18 chars of 21
+    val m = report((1L, "a b c d e f a b c d e"))
+    val r = m(1L)
+    assert(r.getAs[Double]("dup_5gram_char_frac")
+      === math.round(18.0 / 21.0 * 1e4) / 1e4)
+    // no 10-gram repeats in an 11-word doc
+    assert(r.getAs[Double]("dup_10gram_char_frac") === 0.0)
+  }
+
+  test("clean text keeps; all thresholds use the unrounded fractions") {
+    val m = report(
+      (1L, "every single word here is written exactly once with no repeats at all"))
+    assert(m(1L).getAs[Boolean]("rep_keep") === true)
+    assert(m(1L).getAs[Double]("dup_5gram_char_frac") === 0.0)
+  }
+
+  test("gopherFullReport joins the heuristic rules with the battery") {
+    import spark.implicits._
+    val docs = Seq(
+      // passes word-count floor? no (short) -> keep false, rep clean
+      (1L, "short clean text"),
+      // long repetitive spam: enough words but repetitive
+      (2L, Seq.fill(30)("the spam line keeps repeating here").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFullReport(docs)
+      .select(col("doc_id"), col("keep"), col("rep_keep"), col("keep_full"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got(1L)._2 === true)   // clean, just short
+    assert(got(1L)._3 === false)  // heuristic battery rejects
+    assert(got(2L)._2 === false)  // repetition battery rejects
+    assert(got(2L)._3 === false)
+  }
+}
