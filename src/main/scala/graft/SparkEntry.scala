@@ -2500,6 +2500,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Padding-waste packing audit (q137): the whole-document best-fit-
+    * decreasing packer ([[graft.ops.TextAnalysis.packBinsBestFit]]) +
+    * per-shard waste report ([[graft.ops.TextAnalysis.packingWasteReport]]).
+    * Token counts are minted from {16, 32, 64} (doc_id mod 3) — every
+    * size divides seqTokens = 64, so descending best-fit provably
+    * reaches the packing lower bound `⌈total/64⌉` in every shard and
+    * the ORACLE can replay the exact bin count, padded-token count and
+    * waste fraction in SQL (the q79 stream packer stays the default
+    * path; its only waste is each source's final partial sequence). */
+  private def qPackWaste(s: SparkSession, d: String): DataFrame = {
+    val tok = element_at(array(lit(16L), lit(32L), lit(64L)),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val docs = t(s, d, "documents")
+      .select(col("source"), col("doc_id"), tok.as("tok"))
+    val manifest = TextAnalysis.packBinsBestFit(
+      docs, col("source"), col("doc_id"), col("tok"),
+      seqTokens = 64, shardDocs = 256)
+    TextAnalysis.packingWasteReport(manifest, 64)
+      .orderBy(col("source"), col("shard"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -3694,7 +3715,8 @@ object SparkEntry {
     "q133_mmr_rerank" -> (qMmrRerank _),
     "q134_rrf_hybrid" -> (qRrfHybrid _),
     "q135_span_index_cycle" -> (qSpanIndexCycle _),
-    "q136_gopher_repetition" -> (qGopherRepetition _))
+    "q136_gopher_repetition" -> (qGopherRepetition _),
+    "q137_pack_waste" -> (qPackWaste _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5739,5 +5761,28 @@ object SparkEntry {
              AND dup9 / nch <= 0.11 AND dup10 / nch <= 0.10) AS rep_keep,
            CAST(cls AS BIGINT) AS cls
          FROM j ORDER BY doc_id"""
-    })
+    },
+    // minted sizes {16,32,64} all divide seqTokens=64, so descending
+    // best-fit reaches the packing lower bound in every shard and the
+    // bin count / padding / waste fraction replay exactly in SQL; the
+    // two verdict booleans are structural under that minting
+    "q137_pack_waste" ->
+      """WITH m AS (SELECT source, doc_id,
+             CAST(CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS BIGINT) AS tok,
+             CAST(floor(doc_id / 256.0) AS BIGINT) AS shard
+           FROM documents),
+         a AS (SELECT source, shard, count(*) AS n_docs,
+                 CAST(sum(tok) AS BIGINT) AS total_tokens
+               FROM m GROUP BY 1, 2),
+         b AS (SELECT source, shard, n_docs,
+                 CAST(floor((total_tokens + 63) / 64.0) AS BIGINT) AS n_bins,
+                 total_tokens
+               FROM a)
+         SELECT source, shard, n_docs, n_bins, total_tokens,
+           CAST(n_bins * 64 - total_tokens AS BIGINT) AS padded_tokens,
+           round(CAST(n_bins * 64 - total_tokens AS DOUBLE)
+             / CAST(n_bins * 64 AS DOUBLE), 4) AS waste_frac,
+           true AS capacity_ok, true AS bins_optimal
+         FROM b ORDER BY source, shard""")
 }

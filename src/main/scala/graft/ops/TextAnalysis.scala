@@ -218,6 +218,108 @@ object TextAnalysis {
         least(col("tok"), (col("seq_id") + 1) * c - col("cum")).as("tok_end"))
   }
 
+  /** Whole-document best-fit-decreasing bin packing — the OTHER packing
+    * regime beside [[packSequences]]' concatenate-and-cut stream: when
+    * sequences must hold whole documents (no mid-document cuts — e.g.
+    * contrastive or instruction tuning), unused bin tail is PADDING,
+    * and the packer's job is to minimize it. Best-fit-decreasing is
+    * the classic near-optimal heuristic (≤ 11/9·OPT + 1); the greedy
+    * carry-over stream packer REMAINS the default q79 path (its waste
+    * is only each source's final partial sequence, by construction).
+    *
+    * Scale shape: packing is sequential BY DEFINITION (each placement
+    * depends on every open bin), so it runs per bounded SHARD — the
+    * deterministic doc_id-range group `floor(doc_id / shardDocs)`
+    * within a source, at most `shardDocs` docs regardless of id
+    * sparsity — via `groupByKey.flatMapGroups`: parallelism = shards,
+    * per-shard cost O(docs · bins), driver never involved. This is how
+    * production loader-side packers shard; cross-shard waste is the
+    * documented trade for boundedness.
+    *
+    * Determinism: docs sort (tokens DESC, doc_id ASC); ties among bins
+    * break to the fullest bin (min remaining), then lowest bin id —
+    * the canonical BFD rule.
+    *
+    * @param tokCol per-doc token count (callers chunk first:
+    *        `tok > seqTokens` throws — an unsplittable doc larger than
+    *        a sequence has no valid placement).
+    * @return (source, shard, bin, doc_id, tok) — bin ids dense from 0
+    *         per shard in creation order. */
+  def packBinsBestFit(
+      docs: DataFrame,
+      sourceCol: Column,
+      idCol: Column,
+      tokCol: Column,
+      seqTokens: Int,
+      shardDocs: Int = 4096): DataFrame = {
+    require(seqTokens > 0 && shardDocs > 0)
+    val sess = docs.sparkSession
+    import sess.implicits._
+    docs
+      .select(sourceCol.cast("string").as("source"),
+        idCol.cast("long").as("doc_id"), tokCol.cast("long").as("tok"))
+      .filter(col("tok") > 0)
+      .select(col("source"),
+        floor(col("doc_id") / shardDocs.toLong).as("shard"),
+        col("doc_id"), col("tok"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey { case (source, shard, _, _) => (source, shard) }
+      .flatMapGroups { (key: (String, Long),
+                        it: Iterator[(String, Long, Long, Long)]) =>
+        val (source, shard) = key
+        val ds = it.map { case (_, _, id, tok) => (id, tok) }.toArray
+          .sortBy { case (id, tok) => (-tok, id) }
+        val binRem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.iterator.map { case (id, tok) =>
+          require(tok <= seqTokens,
+            s"doc $id has $tok tokens > seqTokens=$seqTokens — chunk first")
+          var best = -1
+          var i = 0
+          while (i < binRem.length) {
+            if (binRem(i) >= tok &&
+                (best < 0 || binRem(i) < binRem(best))) best = i
+            i += 1
+          }
+          if (best < 0) { binRem += seqTokens.toLong; best = binRem.length - 1 }
+          binRem(best) -= tok
+          (source, shard, best.toLong, id, tok)
+        }
+      }
+      .toDF("source", "shard", "bin", "doc_id", "tok")
+  }
+
+  /** Padding-waste audit over a [[packBinsBestFit]] manifest: per
+    * (source, shard) the bin count, token total, padded-token count
+    * `n_bins·seqTokens − total` and waste fraction, plus the two
+    * structural verdicts — every bin within capacity, and bin count at
+    * the packing lower bound `⌈total/seqTokens⌉` (guaranteed when doc
+    * sizes divide `seqTokens`; otherwise a measurement, not a
+    * contract). One doc-keyed hash agg and one shard agg — map-side
+    * combinable, no windows. */
+  def packingWasteReport(manifest: DataFrame, seqTokens: Int): DataFrame = {
+    val seq = lit(seqTokens.toLong)
+    val binFill = manifest
+      .groupBy(col("source"), col("shard"), col("bin"))
+      .agg(sum(col("tok")).as("__fill"), count(lit(1)).as("__docs"))
+    binFill
+      .groupBy(col("source"), col("shard"))
+      .agg(
+        sum(col("__docs")).as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum(col("__fill")).as("total_tokens"),
+        max(col("__fill")).as("__maxfill"))
+      .select(
+        col("source"), col("shard"), col("n_docs"), col("n_bins"),
+        col("total_tokens"),
+        (col("n_bins") * seq - col("total_tokens")).as("padded_tokens"),
+        round((col("n_bins") * seq - col("total_tokens")).cast("double") /
+          (col("n_bins") * seq).cast("double"), 4).as("waste_frac"),
+        (col("__maxfill") <= seq).as("capacity_ok"),
+        (col("n_bins") ===
+          floor((col("total_tokens") + seq - lit(1L)) / seq).cast("long"))
+          .as("bins_optimal"))
+  }
+
   /** Stopword ratio over a fixed small stopword list. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
 

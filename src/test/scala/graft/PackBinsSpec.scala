@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+/** Whole-document best-fit-decreasing packing + the padding-waste
+  * audit; the greedy carry-over stream packer stays the default q79
+  * path (its own oracle locks that). */
+class PackBinsSpec extends SparkSpec {
+
+  private def pack(seqTokens: Int, rows: (String, Long, Long)*) = {
+    import spark.implicits._
+    TextAnalysis.packBinsBestFit(
+      rows.toDF("source", "doc_id", "tok"),
+      col("source"), col("doc_id"), col("tok"), seqTokens)
+  }
+
+  test("best-fit-decreasing places the textbook example optimally") {
+    // sizes 6,5,4,3,2 into capacity 10: BFD -> {6,4}, {5,3,2} = 2 bins
+    val m = pack(10,
+      ("s", 1L, 6L), ("s", 2L, 5L), ("s", 3L, 4L), ("s", 4L, 3L),
+      ("s", 5L, 2L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin"))
+      .toMap
+    assert(m(1L) === m(3L))                  // 6 + 4
+    assert(m(2L) === m(4L) && m(2L) === m(5L)) // 5 + 3 + 2
+    assert(m(1L) !== m(2L))
+  }
+
+  test("ties break to the fullest bin, then lowest bin id") {
+    // two 7s open two bins (rem 3 each); the 3 must land in bin 0
+    val m = pack(10,
+      ("s", 1L, 7L), ("s", 2L, 7L), ("s", 3L, 3L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin"))
+      .toMap
+    assert(m(3L) === m(1L)) // doc 1 sorted first -> bin 0
+  }
+
+  test("an unsplittable doc larger than a sequence throws") {
+    val ex = intercept[org.apache.spark.SparkException] {
+      pack(10, ("s", 1L, 11L)).collect()
+    }
+    assert(ex.getMessage.contains("chunk first")
+      || Option(ex.getCause).exists(_.getMessage.contains("chunk first")))
+  }
+
+  test("waste report: hand-computed padding, capacity and optimality") {
+    // capacity 10: {9}, {8}, {2,1} -> wait, BFD: 9,8,2,1 -> 9+1, 8+2 =
+    // 2 bins, total 20, padded 0
+    val report = TextAnalysis.packingWasteReport(
+      pack(10, ("s", 1L, 9L), ("s", 2L, 8L), ("s", 3L, 2L), ("s", 4L, 1L)),
+      10).collect()
+    assert(report.length === 1)
+    val r = report.head
+    assert(r.getAs[Long]("n_bins") === 2L)
+    assert(r.getAs[Long]("total_tokens") === 20L)
+    assert(r.getAs[Long]("padded_tokens") === 0L)
+    assert(r.getAs[Double]("waste_frac") === 0.0)
+    assert(r.getAs[Boolean]("capacity_ok") && r.getAs[Boolean]("bins_optimal"))
+  }
+
+  test("non-divisor sizes: optimality is a measurement, not a contract") {
+    // capacity 10, sizes 7,7,7: 3 bins of fill 7 -> padded 9, lower
+    // bound ceil(21/10) = 3 -> still optimal here; sizes 6,6,6,6:
+    // 4 bins, lower bound ceil(24/10) = 3 -> NOT at the bound
+    val r = TextAnalysis.packingWasteReport(
+      pack(10, ("s", 1L, 6L), ("s", 2L, 6L), ("s", 3L, 6L), ("s", 4L, 6L)),
+      10).collect().head
+    assert(r.getAs[Long]("n_bins") === 4L)
+    assert(!r.getAs[Boolean]("bins_optimal"))
+    assert(r.getAs[Boolean]("capacity_ok"))
+    assert(r.getAs[Double]("waste_frac") === 0.4) // 16/40
+  }
+
+  test("shards bound the sequential work and never mix sources") {
+    import spark.implicits._
+    val docs = (0L until 600L).map(i => (s"src${i % 2}", i, 16L))
+      .toDF("source", "doc_id", "tok")
+    val m = TextAnalysis.packBinsBestFit(
+      docs, col("source"), col("doc_id"), col("tok"),
+      seqTokens = 64, shardDocs = 256)
+    // shard = floor(doc_id/256): ids 0..255 -> 0, 256..511 -> 1, ...
+    val shards = m.select(col("source"), col("shard")).distinct().count()
+    assert(shards === 6L) // 2 sources x 3 id ranges
+    // 16-token docs pack 4 per bin, no cross-shard bins
+    val fills = m.groupBy(col("source"), col("shard"), col("bin"))
+      .agg(sum(col("tok")).as("fill"))
+      .collect().map(_.getAs[Long]("fill"))
+    assert(fills.forall(_ <= 64L))
+  }
+}
