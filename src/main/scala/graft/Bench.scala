@@ -366,6 +366,13 @@ object Bench {
       // daily cycle: index build + append + three classifications, all
       // linear passes (the corpus never self-joins)
       "q131_numberblind_dedup", "q132_daily_dedup_cycle",
+      // Gopher repetition battery: explodes into map-side-combinable
+      // doc-keyed aggs (the (n, gram) relation is ≤ 9× tokens and
+      // collapses at the first partial agg); pack waste: one minted
+      // map pass + per-shard BFD (shards bounded at 256 docs) + two
+      // aggs — both should ladder ≈ linear. q135 is excluded as a
+      // cycle-conformance query (op_span_index ladders the operator)
+      "q136_gopher_repetition", "q137_pack_waste",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a
@@ -389,7 +396,12 @@ object Bench {
       "q10_join_shuffle", "q13_window_topk", "q58_outer_joins",
       // embeddings scale path (factor 4; exact q24 is deliberately O(n²))
       "q22_cosine_topk", "q24_neardup_embeddings", "q76_pq_topk",
-      "q77_ivfpq_topk", "q81_semantic_dedup")
+      "q77_ivfpq_topk", "q81_semantic_dedup",
+      // hybrid RRF: both lanes are bounded by the EMBEDDED corpus (the
+      // doc_id = vec_id join), so it rides the embeddings factor; the
+      // probe set grows with the corpus (every 100th embedded doc) but
+      // each probe's work is matched-postings / quantized-scan sized
+      "q134_rrf_hybrid")
     def ms(v: Double): String = (math.round(v * 1000.0) / 1000.0).toString
     val ladderOn = only.isEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER", "1") != "0"
@@ -404,7 +416,8 @@ object Bench {
       val factors = graft.gen.LadderGen.generate(spark, sfDir, ladderDir, factor)
       val genSec = (System.nanoTime() - tGen) / 1e9
       val embSet = Set("q22_cosine_topk", "q24_neardup_embeddings",
-        "q76_pq_topk", "q77_ivfpq_topk", "q81_semantic_dedup")
+        "q76_pq_topk", "q77_ivfpq_topk", "q81_semantic_dedup",
+        "q134_rrf_hybrid")
       val tpchSet = Set("q10_join_shuffle", "q13_window_topk", "q58_outer_joins")
       // operator-only ladder rows: q84's QUERY embeds its quadratic exact
       // reference twin (that's its conformance contract), which would

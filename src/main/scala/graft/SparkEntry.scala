@@ -1865,7 +1865,11 @@ object SparkEntry {
     val train = minted.filter(pmod(col("doc_id"), lit(3)) === 0)
       .withColumn("bk",
         graft.functions.VectorFunctions.charBigramBuckets(col("text")))
-    val model = LangId.fitMultinomial(train, col("bk"), col("y"), k = k)
+    // tol 1e-6: the published weights quantize to 1e-6 micro-units, so
+    // driving the gradient to 1e-8 buys nothing the argmax can see —
+    // it only buys two more (K·77)²-sized Newton iterations
+    val model = LangId.fitMultinomial(train, col("bk"), col("y"), k = k,
+      tol = 1e-6)
     val langArr = array(LangId.languages.map(lit): _*)
     minted
       .withColumn("pred", LangId.predict(col("text"), model))
@@ -2441,30 +2445,35 @@ object SparkEntry {
       .localCheckpoint()
     val spans2Stale = Dedup.probeSpanIndex(index, day2)
     val spans2App = Dedup.probeSpanIndex(appended, day2)
-    val nPlanted = planted.count()
-    val nFresh = fresh.count()
-    // each planted probe reports EXACTLY its planted span geometry
-    val plantedExact = spans1
-      .filter(col("id_a") === col("id_b") - base &&
+    // ONE action assembles every verdict (the q132 crossJoin shape) —
+    // six separate driver counts cost six jobs over the same relations
+    val a0 = day1.agg(
+      sum(when(col("doc_id") < 2L * base, 1L).otherwise(0L))
+        .as("n_planted"),
+      sum(when(col("doc_id") >= 2L * base, 1L).otherwise(0L))
+        .as("n_fresh"))
+    // each planted probe must report EXACTLY its planted span geometry
+    val a1 = spans1.agg(
+      countDistinct(when(col("id_a") === col("id_b") - base &&
         col("start_a") === 3 && col("start_b") === 1 &&
-        col("len_tokens") === 25)
-      .select(col("id_b")).distinct().count()
-    val freshHit = spans1
-      .filter(col("id_b") >= 2L * base).count()
-    val cleanN = clean.count()
-    val staleN = spans2Stale.count()
+        col("len_tokens") === 25, col("id_b"))).as("planted_exact"),
+      coalesce(sum(when(col("id_b") >= 2L * base, 1L).otherwise(0L)),
+        lit(0L)).as("fresh_hit"))
+    val a2 = clean.agg(count(lit(1)).as("n_clean"))
+    val a3 = spans2Stale.agg(count(lit(1)).as("stale_n"))
     // day-2 quotes resolve to their fresh origin doc, full 20 tokens
-    val appHit = spans2App
-      .filter(col("id_a") === col("id_b") - base &&
+    val a4 = spans2App.agg(
+      countDistinct(when(col("id_a") === col("id_b") - base &&
         col("start_a") === 1 && col("start_b") === 1 &&
-        col("len_tokens") === minTok)
-      .select(col("id_b")).distinct().count()
-    import s.implicits._
-    Seq((nPlanted, nFresh,
-      plantedExact == nPlanted, freshHit == 0L && cleanN == nFresh,
-      staleN == 0L, appHit == nFresh))
-      .toDF("n_planted", "n_fresh", "planted_exact_ok", "fresh_blind_ok",
-        "stale_blind_ok", "appended_ok")
+        col("len_tokens") === minTok, col("id_b"))).as("app_hit"))
+    a0.crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
+      .crossJoin(broadcast(a3)).crossJoin(broadcast(a4))
+      .select(col("n_planted"), col("n_fresh"),
+        (col("planted_exact") === col("n_planted")).as("planted_exact_ok"),
+        (col("fresh_hit") === 0L && col("n_clean") === col("n_fresh"))
+          .as("fresh_blind_ok"),
+        (col("stale_n") === 0L).as("stale_blind_ok"),
+        (col("app_hit") === col("n_fresh")).as("appended_ok"))
   }
 
   /** Minted repetition-violation classes for q136 — one string per

@@ -218,7 +218,7 @@ object LangId {
     var gnorm = Double.MaxValue
     while (iter < maxIter && gnorm > tol) {
       val g = new Array[Double](p)
-      val h = new Array[Double](p * p)
+      val h = new Array[Double](p * (p + 1) / 2)
       samples.foreach { case (xs, y) =>
         accumulate(w, xs, y, k, n1, g, h)
       }
@@ -257,14 +257,23 @@ object LangId {
         }
         (x, r.getInt(1))
       }
+      // each treeAggregate partial is model-sized — (K·(B+1))² doubles,
+      // ~5.5 MB for the 11-class model — and is shipped BOTH ways per
+      // partition per iteration. The per-sample map work is trivial, so
+      // fewer, larger partitions cut the dominant wire cost 4× without
+      // touching the math (addition is exact-order-independent only
+      // across partials, and the twin-agreement spec bounds that).
+      .coalesce(8)
     data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val w = new Array[Double](p)
       var iter = 0
       var gnorm = Double.MaxValue
+      val dbg = sys.env.contains("GRAFT_LANGID_DEBUG")
       while (iter < maxIter && gnorm > tol) {
+        val t0 = System.nanoTime()
         val (g, h) = data.treeAggregate(
-          (new Array[Double](p), new Array[Double](p * p)))(
+          (new Array[Double](p), new Array[Double](p * (p + 1) / 2)))(
           seqOp = { case ((g, h), (xs, y)) =>
             accumulate(w, xs, y, k, n1, g, h)
             (g, h)
@@ -276,7 +285,9 @@ object LangId {
             while (i < h1.length) { h1(i) += h2(i); i += 1 }
             (g1, h1)
           })
+        val t1 = System.nanoTime()
         regularizeAndStep(w, g, h, k, n1, dim, lambda)
+        if (dbg) System.err.println(f"[langid] iter=$iter agg=${(t1 - t0) / 1e9}%.3fs solve=${(System.nanoTime() - t1) / 1e9}%.3fs")
         gnorm = math.sqrt(g.map(v => v * v).sum)
         iter += 1
       }
@@ -293,13 +304,26 @@ object LangId {
       k: Int, n1: Int, g: Array[Double], h: Array[Double]): Unit = {
     val dim = n1 - 1
     val p = k * n1
+    // a document touches a fraction of the script-partitioned buckets
+    // (a pure-Latin doc has structurally zero mass outside its 48
+    // lanes), so gather the nonzero feature indices ONCE and loop only
+    // those below — bit-exact with the dense loops (a zero entry
+    // contributes exactly 0.0 to every sum) at a fraction of the work,
+    // which matters now the Hessian is (11·77)²
+    val nzBuf = new Array[Int](dim)
+    var nnz = 0
+    var j0 = 0
+    while (j0 < dim) {
+      if (xs(j0) != 0.0) { nzBuf(nnz) = j0; nnz += 1 }
+      j0 += 1
+    }
     // class logits, max-shifted softmax
     val z = new Array[Double](k)
     var a = 0
     while (a < k) {
       var s = w(a * n1 + dim) // intercept
-      var j = 0
-      while (j < dim) { s += w(a * n1 + j) * xs(j); j += 1 }
+      var t = 0
+      while (t < nnz) { val j = nzBuf(t); s += w(a * n1 + j) * xs(j); t += 1 }
       z(a) = s
       a += 1
     }
@@ -315,30 +339,54 @@ object LangId {
     a = 0
     while (a < k) {
       val r = z(a) - (if (a == y) 1.0 else 0.0)
-      var j = 0
-      while (j < dim) { g(a * n1 + j) += r * xs(j); j += 1 }
+      var t = 0
+      while (t < nnz) { val j = nzBuf(t); g(a * n1 + j) += r * xs(j); t += 1 }
       g(a * n1 + dim) += r
       a += 1
     }
-    // Hessian: block (a,b) scaled outer product; exploit symmetry by
-    // filling the full square (solver expects dense row-major)
+    // Hessian: block (a,b) scaled outer product over the nonzero
+    // support ∪ {intercept}. H is symmetric (s_ab = s_ba and the
+    // within-block outer product is symmetric), so only the UPPER
+    // TRIANGLE is accumulated, packed row-major
+    // (idx(i,j) = i·p − i(i−1)/2 + (j − i), j ≥ i) — this halves both
+    // the fill work and the model-sized treeAggregate wire; the step
+    // solver mirrors before solving, bit-identical to the dense form
+    // (the lower triangle was always the exact same doubles).
     a = 0
     while (a < k) {
-      var b = 0
+      var b = a
       while (b < k) {
         val s = z(a) * ((if (a == b) 1.0 else 0.0) - z(b))
         if (s != 0.0) {
-          var i = 0
-          while (i < n1) {
-            val xi = if (i == dim) 1.0 else xs(i)
-            if (xi != 0.0) {
-              val base = (a * n1 + i) * p + b * n1
-              val sxi = s * xi
-              var j = 0
-              while (j < dim) { h(base + j) += sxi * xs(j); j += 1 }
-              h(base + dim) += sxi
+          var ti = 0
+          while (ti <= nnz) {
+            val i = if (ti == nnz) dim else nzBuf(ti)
+            val ig = a * n1 + i
+            val rowOff = ig * p - (ig * (ig - 1)) / 2 - ig
+            val xi = if (ti == nnz) 1.0 else xs(i)
+            val sxi = s * xi
+            if (b > a) {
+              // strictly-upper block: every column qualifies
+              var tj = 0
+              while (tj < nnz) {
+                val j = nzBuf(tj)
+                h(rowOff + b * n1 + j) += sxi * xs(j)
+                tj += 1
+              }
+              h(rowOff + b * n1 + dim) += sxi
+            } else {
+              // diagonal block: nzBuf is shared by rows and columns,
+              // so j_glob ≥ i_glob ⟺ tj ≥ ti; an intercept row keeps
+              // only the intercept column (the block's maximum index)
+              var tj = if (ti == nnz) nnz else ti
+              while (tj < nnz) {
+                val j = nzBuf(tj)
+                h(rowOff + a * n1 + j) += sxi * xs(j)
+                tj += 1
+              }
+              h(rowOff + a * n1 + dim) += sxi
             }
-            i += 1
+            ti += 1
           }
         }
         b += 1
@@ -348,25 +396,42 @@ object LangId {
   }
 
   /** L2 on weights (not intercepts) + tiny intercept ridge, then one
-    * in-place Newton step via [[QualityClassifier.solve]]. */
+    * in-place Newton step via [[QualityClassifier.solve]]. `h` arrives
+    * upper-triangle-packed from [[accumulate]]; the dense square the
+    * solver expects is mirrored here — bit-identical to the old dense
+    * accumulation (the lower triangle was always the same doubles). */
   private def regularizeAndStep(
       w: Array[Double], g: Array[Double], h: Array[Double],
       k: Int, n1: Int, dim: Int, lambda: Double): Unit = {
     val p = k * n1
+    val hd = new Array[Double](p * p)
+    var i = 0
+    var src = 0
+    while (i < p) {
+      var j = i
+      while (j < p) {
+        val v = h(src)
+        hd(i * p + j) = v
+        hd(j * p + i) = v
+        src += 1
+        j += 1
+      }
+      i += 1
+    }
     var a = 0
     while (a < k) {
       var j = 0
       while (j < dim) {
         val idx = a * n1 + j
         g(idx) += lambda * w(idx)
-        h(idx * p + idx) += lambda
+        hd(idx * p + idx) += lambda
         j += 1
       }
       val ic = a * n1 + dim
-      h(ic * p + ic) += 1e-9 // keeps the softmax gauge freedom non-singular
+      hd(ic * p + ic) += 1e-9 // keeps the softmax gauge freedom non-singular
       a += 1
     }
-    val step = QualityClassifier.solve(h, g, p)
+    val step = QualityClassifier.solve(hd, g, p)
     // trust region: a full Newton step overshoots and oscillates when a
     // class pair is nearly separated (the Hessian is close to singular
     // along the separating direction — observed on small minted corpora
@@ -375,11 +440,11 @@ object LangId {
     // verbatim by both trainers so the twins cannot diverge from each
     // other.
     var sn2 = 0.0
-    var i = 0
-    while (i < p) { sn2 += step(i) * step(i); i += 1 }
+    var si = 0
+    while (si < p) { sn2 += step(si) * step(si); si += 1 }
     val scale = { val sn = math.sqrt(sn2); if (sn > 80.0) 80.0 / sn else 1.0 }
-    i = 0
-    while (i < p) { w(i) -= scale * step(i); i += 1 }
+    si = 0
+    while (si < p) { w(si) -= scale * step(si); si += 1 }
   }
 
   private def toModel(

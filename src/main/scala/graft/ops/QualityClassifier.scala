@@ -113,7 +113,13 @@ object QualityClassifier {
   }
 
   /** In-place Gaussian elimination with partial pivoting on an n×n
-    * row-major matrix — n = features+1 (single digits), driver-side. */
+    * row-major matrix, driver-side. Forward elimination + back
+    * substitution (n³/3 multiply-adds), NOT Gauss–Jordan (n³): at the
+    * quality classifier's single-digit n the difference is nothing, but
+    * `LangId.fitMultinomial` solves the same system at n = K·(B+1)
+    * (847 for the 11-class CJK model) once per Newton iteration, where
+    * the full-elimination variant alone cost ~1 s × 12 iterations of
+    * q113's bench time. */
   private[ops] def solve(a: Array[Double], b: Array[Double], n: Int): Array[Double] = {
     val m = a.clone(); val x = b.clone()
     var col = 0
@@ -131,10 +137,10 @@ object QualityClassifier {
       }
       val p = m(col * n + col)
       require(math.abs(p) > 1e-300, "singular normal matrix — add features or raise lambda")
-      r = 0
+      r = col + 1
       while (r < n) {
-        if (r != col) {
-          val f = m(r * n + col) / p
+        val f = m(r * n + col) / p
+        if (f != 0.0) {
           var j = col
           while (j < n) { m(r * n + j) -= f * m(col * n + j); j += 1 }
           x(r) -= f * x(col)
@@ -143,8 +149,14 @@ object QualityClassifier {
       }
       col += 1
     }
-    var i = 0
-    while (i < n) { x(i) /= m(i * n + i); i += 1 }
+    var i = n - 1
+    while (i >= 0) {
+      var s = x(i)
+      var j = i + 1
+      while (j < n) { s -= m(i * n + j) * x(j); j += 1 }
+      x(i) = s / m(i * n + i)
+      i -= 1
+    }
     x
   }
 
