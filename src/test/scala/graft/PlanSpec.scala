@@ -214,6 +214,40 @@ class PlanSpec extends SparkSpec {
       s"fact join degraded to a cross product:\n$p")
   }
 
+  test("q134 RRF lanes broadcast their query sides, never cartesian the corpus") {
+    val p = plan("q134_rrf_hybrid")
+    // BM25 probes the postings with broadcast query terms; the SQ8 lane
+    // broadcasts the quantized probe vectors — both lanes' per-doc work
+    // must stay proportional to matches, never corpus × corpus
+    assert(p.contains("Broadcast"), s"query sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no lane may cartesian the corpus:\n$p")
+  }
+
+  test("q136 repetition battery plans no windows and no products") {
+    val p = plan("q136_gopher_repetition")
+    // every structure (lines, paragraphs, nine n-gram lanes) collapses
+    // through map-side-combinable hash aggregates keyed on the doc; the
+    // only joins are doc-keyed merges of the per-structure aggregates
+    assert(!p.contains("Window"), s"battery must not window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"battery must not product-join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"aggregates must partial-combine map-side:\n$p")
+  }
+
+  test("q137 pack-waste audit: shard-keyed groups, no window, no join") {
+    val p = plan("q137_pack_waste")
+    // per-shard BFD runs in flatMapGroups over (source, shard); the
+    // audit is two hash aggs on top — nothing may window or join
+    assert(!p.contains("Window"), s"packing must not window:\n$p")
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.contains("TakeOrderedAndProject"),
+      s"packing must not collapse to one partition:\n$p")
+  }
+
   test("q106 probes broadcast against the corpus index — no shuffle join, no product") {
     val p = plan("q106_incremental_semdedup")
     assert(p.contains("BroadcastHashJoin"),

@@ -159,4 +159,38 @@ class PropertySpec extends AnyFunSuite {
       kernel(s) == staged(s)
     })
   }
+
+  test("editDistance: allocation-free kernel matches DP on random multi-script text") {
+    // the r11 kernel decodes UTF-8 manually into thread-local scratch
+    // (1/2/3/4-byte sequences) — exercise every byte-length class incl.
+    // supplementary-plane code points, plus repeated calls on one
+    // thread (generation-stamped table reuse must never leak state)
+    def dp(a: String, b: String): Int = {
+      val s = a.codePoints().toArray
+      val t = b.codePoints().toArray
+      val prev = Array.tabulate(t.length + 1)(identity)
+      val cur = new Array[Int](t.length + 1)
+      for (i <- 1 to s.length) {
+        cur(0) = i
+        for (j <- 1 to t.length) {
+          val sub = prev(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(t.length)
+    }
+    // 1-byte ASCII, 2-byte Latin-1/Cyrillic, 3-byte CJK, 4-byte emoji
+    val cps = Seq(0x61, 0x62, 0x20, 0xE9, 0x449, 0x8A9E, 0x3042, 0xD55C,
+      0x1F600, 0x1F680)
+    val text = Gen.listOf(Gen.oneOf(cps))
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString)
+    check("myers-dp")(Prop.forAll(text, text) { (a, b) =>
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      val d1 = VecOps.editDistance(ua, ub)
+      // second call on the same thread reuses the scratch — must agree
+      d1 == dp(a, b) && VecOps.editDistance(ub, ua) == d1
+    })
+  }
 }
