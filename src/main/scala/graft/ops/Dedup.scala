@@ -967,27 +967,39 @@ object Dedup {
     * AND the verify joins; wins: (doc_id, h, start)). */
   private def tokenWindows(
       docs: DataFrame, minTokens: Int, unicode: Boolean): (DataFrame, DataFrame) = {
-    val toks = docs
-      .select(col("doc_id").cast("long").as("doc_id"),
-        TextAnalysis.tokensMode(col("text"), unicode).as("toks"))
-      .withColumn("n", size(col("toks")))
-      .filter(col("n") >= minTokens)
-      .localCheckpoint()
-    val wins = toks
-      .withColumn("toks_h", transform(col("toks"), t => xxhash64(t)))
-      .select(
-        col("doc_id"),
-        explode(transform(
-          sequence(lit(1), col("n") - lit(minTokens - 1)),
-          i => struct(
-            aggregate(
-              slice(col("toks_h"), i, lit(minTokens)),
-              lit(0L),
-              (acc, h) => xxhash64(acc, h)).as("h"),
-            i.as("start")))).as("w"))
-      .select(col("doc_id"), col("w.h").as("h"), col("w.start").as("start"))
-    (toks, wins)
+    val toks = tokensOf(docs, minTokens, unicode).localCheckpoint()
+    (toks, winsOf(toks, minTokens))
   }
+
+  private def tokensOf(
+      docs: DataFrame, minTokens: Int, unicode: Boolean): DataFrame = docs
+    .select(col("doc_id").cast("long").as("doc_id"),
+      TextAnalysis.tokensMode(col("text"), unicode).as("toks"))
+    .withColumn("n", size(col("toks")))
+    .filter(col("n") >= minTokens)
+
+  private def winsOf(toks: DataFrame, minTokens: Int): DataFrame = toks
+    .withColumn("toks_h", transform(col("toks"), t => xxhash64(t)))
+    .select(
+      col("doc_id"),
+      explode(transform(
+        sequence(lit(1), col("n") - lit(minTokens - 1)),
+        i => struct(
+          aggregate(
+            slice(col("toks_h"), i, lit(minTokens)),
+            lit(0L),
+            (acc, h) => xxhash64(acc, h)).as("h"),
+          i.as("start")))).as("w"))
+    .select(col("doc_id"), col("w.h").as("h"), col("w.start").as("start"))
+
+  /** Streaming-safe window fingerprints — the [[tokenWindows]] window
+    * pass WITHOUT the batch-side token checkpoint (a streaming plan
+    * cannot localCheckpoint, and the in-stream gate doesn't need the
+    * token arrays: the exact verify is the batch side's job). Map-only,
+    * identical hashes to the batch pass by construction. */
+  private[graft] def windowFingerprints(
+      docs: DataFrame, minTokens: Int, unicode: Boolean): DataFrame =
+    winsOf(tokensOf(docs, minTokens, unicode), minTokens)
 
   /** Drop window hashes seen in more than `maxDf` docs — the
     * boilerplate-passage analogue of the PPJoin stop-shingle rule. */

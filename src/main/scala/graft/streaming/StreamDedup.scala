@@ -124,6 +124,49 @@ object StreamDedup {
       .filter(col("score") >= threshold)
   }
 
+  /** Verbatim-span candidate matches of a STREAM against the persisted
+    * span index — the third index modality's streaming gate beside
+    * [[corpusGate]] (exact fingerprints) and [[semanticMatches]]
+    * (embeddings): each streamed doc's `minTokens`-window fingerprints
+    * (the identical map-only chained-xxhash64 pass batch probes run)
+    * stream-static-join the index's df-capped window relation ON the
+    * hash.
+    *
+    * Emitted rows are WINDOW-level hits (corpus doc + both 1-based
+    * token offsets); the batch probe's island-merge + exact-verify
+    * stages need a per-pair ranking window, which streaming forbids —
+    * so the in-stream form is the CANDIDATE gate: a doc with any hit
+    * is quarantined for the batch-side exact pass, a doc with none is
+    * structurally clean (any shared run ≥ minTokens contains an
+    * aligned window, so window-hash recall is complete; a false hit
+    * needs a 64-bit hash collision).
+    *
+    * Stateless: no state store, no watermark. Index immutability over
+    * the run is the same daily-ingest contract as the other gates —
+    * rebuild or append between streaming runs, not inside one.
+    *
+    * @return one row per (streamed window, matching corpus window):
+    *         (idCol, corpus_id, start_corpus, start_stream). */
+  def spanMatches(
+      stream: DataFrame,
+      index: graft.ops.Dedup.SpanIndex,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val wins = graft.ops.Dedup.windowFingerprints(
+      stream.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text")),
+      index.minTokens, index.unicode)
+    wins
+      .select(col("h"), col("doc_id").as(idCol),
+        col("start").as("start_stream"))
+      .join(index.windows
+        .select(col("h"), col("corpus_id"),
+          col("start").as("start_corpus")),
+        "h")
+      .select(col(idCol), col("corpus_id"),
+        col("start_corpus"), col("start_stream"))
+  }
+
   /** Stream-stream interval join: rows of `follow` that occur on the same
     * key within `[0, gap]` after a row of `lead`. Both sides buffer only
     * the watermark horizon; the range condition bounds the join state on

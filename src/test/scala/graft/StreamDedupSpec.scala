@@ -249,4 +249,41 @@ class StreamDedupSpec extends SparkSpec {
       assert(got === Set((10L, 11L)))
     } finally query.stop()
   }
+
+  test("spanMatches probes the static span index in-stream: quotes hit, fresh text passes, no state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def corpusDoc(i: Int): String =
+      (0 until 30).map(j => s"c${i}w$j").mkString(" ")
+    val corpus = (0 until 20).map(i => (i.toLong, corpusDoc(i)))
+      .toDF("doc_id", "text")
+    val index = graft.ops.Dedup.buildSpanIndex(corpus, minTokens = 10)
+    val source = MemoryStream[(Long, String)]
+    val matches = StreamDedup.spanMatches(
+      source.toDF().toDF("doc_id", "text"), index)
+    val query = matches.writeStream.format("memory").queryName("span_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // doc 900 quotes tokens 5..14 of corpus doc 3; doc 901 is fresh
+      val quote = corpusDoc(3).split(" ").slice(4, 14).mkString(" ")
+      source.addData((900L, s"lead pad $quote tail end"),
+        (901L, (0 until 15).map(j => s"fresh$j").mkString(" ")))
+      query.processAllAvailable()
+      // the index is immutable across triggers — a second batch probes it
+      val quote2 = corpusDoc(11).split(" ").slice(0, 10).mkString(" ")
+      source.addData((902L, quote2))
+      query.processAllAvailable()
+      val got = spark.table("span_gate")
+        .select("doc_id", "corpus_id", "start_corpus", "start_stream")
+        .as[(Long, Long, Int, Int)].collect()
+      // 900's 10-token quote aligns exactly one window on each side
+      assert(got.filter(_._1 == 900L).toSeq === Seq((900L, 3L, 5, 3)))
+      assert(!got.exists(_._1 == 901L), "fresh text must emit nothing")
+      assert(got.filter(_._1 == 902L).toSeq === Seq((902L, 11L, 1, 1)))
+      // stateless: the gate holds no streaming state at all
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
 }
