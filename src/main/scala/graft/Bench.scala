@@ -373,6 +373,9 @@ object Bench {
       // aggs — both should ladder ≈ linear. q135 is excluded as a
       // cycle-conformance query (op_span_index ladders the operator)
       "q136_gopher_repetition", "q137_pack_waste",
+      // pipeline v3: the battery's doc-keyed aggs + the split's one
+      // content-key shuffle + the two-pass prefix-scan pack — linear
+      "q138_curation_pipeline3",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -2489,6 +2489,90 @@ object SparkEntry {
     // a 5-word phrase repeated 4× → duplicate-5…10-gram rules trip
     4 -> (" " + Seq.fill(4)("q1w q2w q3w q4w q5w").mkString(" ")))
 
+  /** The q136 oracle's CTE chain — minted classes through the FULL
+    * repetition battery, ending in `rk` (per-doc fractions + the
+    * thirteen-rule `rep_keep` on unrounded values). Shared verbatim by
+    * the q136 oracle and the q138 pipeline oracle so the two can never
+    * disagree on what the battery computes. */
+  private lazy val repetitionOracleCtes: String = {
+    val mintCase = repClassTails.map { case (c, tail) =>
+      s"WHEN $c THEN text || e'${tail.replace("\n", "\\n")}'"
+    }.mkString(" ")
+    s"""m AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS cls,
+             CASE CAST(doc_id % 5 AS INT) $mintCase ELSE text END AS text
+           FROM documents),
+         w AS (SELECT doc_id, text,
+                 string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                   ' ') AS ws
+               FROM m),
+         lu AS (SELECT doc_id,
+                  unnest(list_filter(string_split(text, chr(10)),
+                    l -> l <> '')) AS u
+                FROM m),
+         lc AS (SELECT doc_id, u, count(*) AS c FROM lu GROUP BY 1, 2),
+         la AS (SELECT doc_id, sum(c) AS n_lines,
+                  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_l,
+                  sum(CASE WHEN c >= 2 THEN c * length(u) ELSE 0 END)
+                    AS dupch_l
+                FROM lc GROUP BY 1),
+         pu AS (SELECT doc_id,
+                  unnest(list_filter(
+                    string_split(text, chr(10) || chr(10)), l -> l <> ''))
+                    AS u
+                FROM m),
+         pc AS (SELECT doc_id, u, count(*) AS c FROM pu GROUP BY 1, 2),
+         pa AS (SELECT doc_id, sum(c) AS n_paras,
+                  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_p,
+                  sum(CASE WHEN c >= 2 THEN c * length(u) ELSE 0 END)
+                    AS dupch_p
+                FROM pc GROUP BY 1),
+         gr AS (SELECT doc_id, n,
+                  unnest(list_transform(range(1, len(ws) - n + 2),
+                    i -> array_to_string(ws[i:i+n-1], ' '))) AS g
+                FROM w, generate_series(2, 10) s(n)),
+         gc AS (SELECT doc_id, n, g, count(*) AS c FROM gr GROUP BY 1, 2, 3),
+         ga AS (SELECT doc_id, n,
+                  max(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS top,
+                  sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup
+                FROM gc GROUP BY 1, 2),
+         gp AS (SELECT doc_id,
+                  coalesce(max(CASE WHEN n = 2 THEN top END), 0) AS top2,
+                  coalesce(max(CASE WHEN n = 3 THEN top END), 0) AS top3,
+                  coalesce(max(CASE WHEN n = 4 THEN top END), 0) AS top4,
+                  coalesce(max(CASE WHEN n = 5 THEN dup END), 0) AS dup5,
+                  coalesce(max(CASE WHEN n = 6 THEN dup END), 0) AS dup6,
+                  coalesce(max(CASE WHEN n = 7 THEN dup END), 0) AS dup7,
+                  coalesce(max(CASE WHEN n = 8 THEN dup END), 0) AS dup8,
+                  coalesce(max(CASE WHEN n = 9 THEN dup END), 0) AS dup9,
+                  coalesce(max(CASE WHEN n = 10 THEN dup END), 0) AS dup10
+                FROM ga GROUP BY 1),
+         j AS (SELECT w.doc_id, m.cls, len(w.ws) AS n_words,
+                 coalesce(la.n_lines, 0) AS n_lines,
+                 coalesce(pa.n_paras, 0) AS n_paras,
+                 CAST(greatest(length(w.text), 1) AS DOUBLE) AS nch,
+                 CAST(coalesce(la.dup_l, 0) AS DOUBLE)
+                   / greatest(coalesce(la.n_lines, 0), 1) AS f1,
+                 CAST(coalesce(pa.dup_p, 0) AS DOUBLE)
+                   / greatest(coalesce(pa.n_paras, 0), 1) AS f2,
+                 coalesce(la.dupch_l, 0) AS c1,
+                 coalesce(pa.dupch_p, 0) AS c2,
+                 gp.top2, gp.top3, gp.top4,
+                 gp.dup5, gp.dup6, gp.dup7, gp.dup8, gp.dup9, gp.dup10
+               FROM w JOIN m USING (doc_id)
+                 LEFT JOIN la ON w.doc_id = la.doc_id
+                 LEFT JOIN pa ON w.doc_id = pa.doc_id
+                 LEFT JOIN gp ON w.doc_id = gp.doc_id),
+         rk AS (SELECT *,
+                  (f1 <= 0.30 AND f2 <= 0.30 AND c1 / nch <= 0.20
+                    AND c2 / nch <= 0.20 AND top2 / nch <= 0.20
+                    AND top3 / nch <= 0.18 AND top4 / nch <= 0.16
+                    AND dup5 / nch <= 0.15 AND dup6 / nch <= 0.14
+                    AND dup7 / nch <= 0.13 AND dup8 / nch <= 0.12
+                    AND dup9 / nch <= 0.11 AND dup10 / nch <= 0.10)
+                    AS rep_keep
+                FROM j)"""
+  }
+
   /** Gopher A1.1 repetition battery (q136):
     * [[graft.ops.TextAnalysis.gopherRepetitionReport]] — the full
     * published repetition rule-set (duplicate lines/paragraphs + their
@@ -2528,6 +2612,52 @@ object SparkEntry {
       seqTokens = 64, shardDocs = 256)
     TextAnalysis.packingWasteReport(manifest, 64)
       .orderBy(col("source"), col("shard"))
+  }
+
+  /** Curation pipeline v3 (q138): the repetition-aware training-prep
+    * chain — the q136 minted classes through the FULL Gopher A1.1
+    * repetition battery as a GATE, survivors through the leak-free
+    * content split (q128's hash/cut contract), each split packed by
+    * the q79 carry-over stream packer with a per-split tail-waste
+    * audit. Every stage is exactly replayable: the battery (shared CTE
+    * chain with q136), the split hash and cuts, and the stream
+    * packer's sequence count (`⌈total/seqTokens⌉` — concatenate-and-
+    * cut has no intra-stream waste, so the audit is pure arithmetic);
+    * `conservation_ok` pins the packing manifest's token totals
+    * against the split's own (engine-side structural check). */
+  private def qCurationPipeline3(s: SparkSession, d: String): DataFrame = {
+    val cls = pmod(col("doc_id"), lit(5)).cast("int")
+    val minted = repClassTails.foldRight(col("text")) {
+      case ((c, tail), acc) => when(cls === c, concat(col("text"), lit(tail)))
+        .otherwise(acc)
+    }
+    val docs = t(s, d, "documents").select(col("doc_id"), minted.as("text"))
+    val kept = docs
+      .join(graft.ops.TextAnalysis.gopherRepetitionReport(docs)
+        .select(col("doc_id"), col("rep_keep")), "doc_id")
+      .filter(col("rep_keep"))
+      .select(col("doc_id"), col("text"))
+    val assigned = Curation.leakFreeSplit(
+      kept, col("text"), col("doc_id"),
+      Seq("train" -> 0.9, "heldout" -> 0.1),
+      c => pmod(pmod(c, lit(1000003L)) * lit(2654435761L),
+        lit(Curation.SplitBuckets)))
+      .localCheckpoint()
+    val manifest = TextAnalysis.packSequences(
+      assigned, col("split"), col("doc_id"), col("text"), seqTokens = 64)
+    val man = manifest.groupBy(col("source"))
+      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+        sum(col("tok_end") - col("tok_start")).as("manifest_tokens"))
+    val tot = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+    tot.join(man, tot("split") === man("source"))
+      .select(col("split"), col("n_docs"), col("total_tokens"),
+        col("n_seqs"),
+        (col("n_seqs") * lit(64L) - col("total_tokens")).as("tail_waste"),
+        (col("manifest_tokens") === col("total_tokens"))
+          .as("conservation_ok"))
+      .orderBy(col("split"))
   }
 
   /** Daily dedup cycle (q132): the full ingest loop classify → append
@@ -3725,7 +3855,8 @@ object SparkEntry {
     "q134_rrf_hybrid" -> (qRrfHybrid _),
     "q135_span_index_cycle" -> (qSpanIndexCycle _),
     "q136_gopher_repetition" -> (qGopherRepetition _),
-    "q137_pack_waste" -> (qPackWaste _))
+    "q137_pack_waste" -> (qPackWaste _),
+    "q138_curation_pipeline3" -> (qCurationPipeline3 _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5678,74 +5809,11 @@ object SparkEntry {
     // FULL replay: every fraction and the keep verdict recomputed from
     // the same minted text — lines/paragraphs by occurrence and by
     // character mass, one (n, gram) relation for all nine n-gram sizes
-    "q136_gopher_repetition" -> {
-      val mintCase = repClassTails.map { case (c, tail) =>
-        s"WHEN $c THEN text || e'${tail.replace("\n", "\\n")}'"
-      }.mkString(" ")
-      s"""WITH m AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS cls,
-             CASE CAST(doc_id % 5 AS INT) $mintCase ELSE text END AS text
-           FROM documents),
-         w AS (SELECT doc_id, text,
-                 string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),
-                   ' ') AS ws
-               FROM m),
-         lu AS (SELECT doc_id,
-                  unnest(list_filter(string_split(text, chr(10)),
-                    l -> l <> '')) AS u
-                FROM m),
-         lc AS (SELECT doc_id, u, count(*) AS c FROM lu GROUP BY 1, 2),
-         la AS (SELECT doc_id, sum(c) AS n_lines,
-                  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_l,
-                  sum(CASE WHEN c >= 2 THEN c * length(u) ELSE 0 END)
-                    AS dupch_l
-                FROM lc GROUP BY 1),
-         pu AS (SELECT doc_id,
-                  unnest(list_filter(
-                    string_split(text, chr(10) || chr(10)), l -> l <> ''))
-                    AS u
-                FROM m),
-         pc AS (SELECT doc_id, u, count(*) AS c FROM pu GROUP BY 1, 2),
-         pa AS (SELECT doc_id, sum(c) AS n_paras,
-                  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_p,
-                  sum(CASE WHEN c >= 2 THEN c * length(u) ELSE 0 END)
-                    AS dupch_p
-                FROM pc GROUP BY 1),
-         gr AS (SELECT doc_id, n,
-                  unnest(list_transform(range(1, len(ws) - n + 2),
-                    i -> array_to_string(ws[i:i+n-1], ' '))) AS g
-                FROM w, generate_series(2, 10) s(n)),
-         gc AS (SELECT doc_id, n, g, count(*) AS c FROM gr GROUP BY 1, 2, 3),
-         ga AS (SELECT doc_id, n,
-                  max(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS top,
-                  sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup
-                FROM gc GROUP BY 1, 2),
-         gp AS (SELECT doc_id,
-                  coalesce(max(CASE WHEN n = 2 THEN top END), 0) AS top2,
-                  coalesce(max(CASE WHEN n = 3 THEN top END), 0) AS top3,
-                  coalesce(max(CASE WHEN n = 4 THEN top END), 0) AS top4,
-                  coalesce(max(CASE WHEN n = 5 THEN dup END), 0) AS dup5,
-                  coalesce(max(CASE WHEN n = 6 THEN dup END), 0) AS dup6,
-                  coalesce(max(CASE WHEN n = 7 THEN dup END), 0) AS dup7,
-                  coalesce(max(CASE WHEN n = 8 THEN dup END), 0) AS dup8,
-                  coalesce(max(CASE WHEN n = 9 THEN dup END), 0) AS dup9,
-                  coalesce(max(CASE WHEN n = 10 THEN dup END), 0) AS dup10
-                FROM ga GROUP BY 1),
-         j AS (SELECT w.doc_id, m.cls, len(w.ws) AS n_words,
-                 coalesce(la.n_lines, 0) AS n_lines,
-                 coalesce(pa.n_paras, 0) AS n_paras,
-                 CAST(greatest(length(w.text), 1) AS DOUBLE) AS nch,
-                 CAST(coalesce(la.dup_l, 0) AS DOUBLE)
-                   / greatest(coalesce(la.n_lines, 0), 1) AS f1,
-                 CAST(coalesce(pa.dup_p, 0) AS DOUBLE)
-                   / greatest(coalesce(pa.n_paras, 0), 1) AS f2,
-                 coalesce(la.dupch_l, 0) AS c1,
-                 coalesce(pa.dupch_p, 0) AS c2,
-                 gp.top2, gp.top3, gp.top4,
-                 gp.dup5, gp.dup6, gp.dup7, gp.dup8, gp.dup9, gp.dup10
-               FROM w JOIN m USING (doc_id)
-                 LEFT JOIN la ON w.doc_id = la.doc_id
-                 LEFT JOIN pa ON w.doc_id = pa.doc_id
-                 LEFT JOIN gp ON w.doc_id = gp.doc_id)
+    // FULL replay via the shared battery CTE chain (repetitionOracleCtes
+    // — also consumed by the q138 pipeline oracle): every fraction and
+    // the keep verdict recomputed from the same minted text
+    "q136_gopher_repetition" ->
+      s"""WITH $repetitionOracleCtes
          SELECT doc_id, n_words,
            CAST(n_lines AS BIGINT) AS n_lines,
            CAST(n_paras AS BIGINT) AS n_paras,
@@ -5762,15 +5830,9 @@ object SparkEntry {
            round(dup8 / nch, 4) AS dup_8gram_char_frac,
            round(dup9 / nch, 4) AS dup_9gram_char_frac,
            round(dup10 / nch, 4) AS dup_10gram_char_frac,
-           (f1 <= 0.30 AND f2 <= 0.30 AND c1 / nch <= 0.20
-             AND c2 / nch <= 0.20 AND top2 / nch <= 0.20
-             AND top3 / nch <= 0.18 AND top4 / nch <= 0.16
-             AND dup5 / nch <= 0.15 AND dup6 / nch <= 0.14
-             AND dup7 / nch <= 0.13 AND dup8 / nch <= 0.12
-             AND dup9 / nch <= 0.11 AND dup10 / nch <= 0.10) AS rep_keep,
+           rep_keep,
            CAST(cls AS BIGINT) AS cls
-         FROM j ORDER BY doc_id"""
-    },
+         FROM rk ORDER BY doc_id""",
     // minted sizes {16,32,64} all divide seqTokens=64, so descending
     // best-fit reaches the packing lower bound in every shard and the
     // bin count / padding / waste fraction replay exactly in SQL; the
@@ -5793,5 +5855,33 @@ object SparkEntry {
            round(CAST(n_bins * 64 - total_tokens AS DOUBLE)
              / CAST(n_bins * 64 AS DOUBLE), 4) AS waste_frac,
            true AS capacity_ok, true AS bins_optimal
-         FROM b ORDER BY source, shard""")
+         FROM b ORDER BY source, shard""",
+    // the whole chain replayed: the shared battery CTEs gate on
+    // rep_keep, the split replays q128's canonical-id hash and 90/10
+    // cuts, and the stream packer's audit is pure arithmetic
+    // (concatenate-and-cut wastes only each stream's tail);
+    // conservation_ok is the engine-side manifest check, pinned true
+    "q138_curation_pipeline3" ->
+      s"""WITH $repetitionOracleCtes,
+         kept AS (SELECT m.doc_id, m.text FROM rk
+                  JOIN m ON rk.doc_id = m.doc_id WHERE rk.rep_keep),
+         kc AS (SELECT text, min(doc_id) AS canon FROM kept GROUP BY 1),
+         kb AS (SELECT text,
+                  (((canon % 1000003) * 2654435761) % 1000000 + 1000000)
+                    % 1000000 AS bkt
+                FROM kc),
+         a AS (SELECT kept.doc_id, kept.text,
+                 CASE WHEN kb.bkt < 900000 THEN 'train'
+                      ELSE 'heldout' END AS split
+               FROM kept JOIN kb USING (text)),
+         t2 AS (SELECT split, count(*) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                    AS total_tokens
+                FROM a GROUP BY 1)
+         SELECT split, n_docs, total_tokens,
+           CAST(floor((total_tokens + 63) / 64.0) AS BIGINT) AS n_seqs,
+           CAST(CAST(floor((total_tokens + 63) / 64.0) AS BIGINT) * 64
+             - total_tokens AS BIGINT) AS tail_waste,
+           true AS conservation_ok
+         FROM t2 ORDER BY split""")
 }
