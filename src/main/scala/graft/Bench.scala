@@ -108,11 +108,17 @@ private[graft] object BenchLogic {
     "\"cpus\":(\\d+)".r.findFirstMatchIn(content.replace("\\\"", "\""))
       .map(_.group(1).toInt)
 
-  /** The drift gate only fires on a like-for-like baseline: unknown
-    * prior cpus is accepted (pre-r11 artifacts — almost all were 32),
-    * a KNOWN mismatch empties the baseline. */
+  /** The drift gate only fires on a like-for-like baseline. Unknown
+    * prior cpus is REJECTED: the pre-r11 artifacts without the field
+    * are exactly the ambiguous ones (the r10 standalone was measured
+    * at 4 cores, the r9 one at 32 — there is no way to tell from the
+    * file), and a silently-incomparable baseline corrupts the gate in
+    * both directions: a 4-core baseline under a 32-core run can never
+    * fire, a 32-core baseline under a 4-core run flags every CPU-bound
+    * query. Every artifact since round 11 records cpus, so the gate
+    * only goes quiet for the one transition round. */
   def comparableBaseline(prevCpus: Option[Int], currentCpus: Int): Boolean =
-    prevCpus.forall(_ == currentCpus)
+    prevCpus.contains(currentCpus)
 
   /** Drift-gate baseline selection (VERDICT r10 #2). The r5–r10 gate
     * compared against `BENCH_full_latest.json`, which EVERY full run —
@@ -286,9 +292,10 @@ object Bench {
               Some(BenchLogic.parsePrevQueries(content))
             else {
               System.err.println(s"[bench] drift baseline $p was measured " +
-                s"at cpus=${prevCpus.get}, this run is cpus=$cpus — not " +
-                "comparable (the r10 'bimodal q43' was exactly this); " +
-                "drift gate disabled for this run")
+                s"at cpus=${prevCpus.map(_.toString).getOrElse("UNKNOWN")}, " +
+                s"this run is cpus=$cpus — not comparable (the r10 " +
+                "'bimodal q43' was exactly this); drift gate disabled " +
+                "for this run")
               None
             }
           } catch { case _: Throwable => None }

@@ -2580,18 +2580,24 @@ object SparkEntry {
     * character fractions) over minted violation classes. FULL replay:
     * the oracle recomputes every fraction and the keep verdict from
     * the same minted text — no pinned booleans anywhere. */
-  private def qGopherRepetition(s: SparkSession, d: String): DataFrame = {
+  /** The minted repetition-violation corpus — ONE spelling consumed by
+    * q136 and q138 (and replayed by the shared `repetitionOracleCtes`):
+    * an edit to the classes cannot desynchronize the two queries from
+    * the oracle chain. */
+  private def mintedRepetitionDocs(s: SparkSession, d: String): DataFrame = {
     val cls = pmod(col("doc_id"), lit(5)).cast("int")
     val minted = repClassTails.foldRight(col("text")) {
       case ((c, tail), acc) => when(cls === c, concat(col("text"), lit(tail)))
         .otherwise(acc)
     }
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), minted.as("text"))
-    graft.ops.TextAnalysis.gopherRepetitionReport(docs)
-      .withColumn("cls", cls.cast("long"))
-      .orderBy(col("doc_id"))
+    t(s, d, "documents").select(col("doc_id"), minted.as("text"))
   }
+
+  private def qGopherRepetition(s: SparkSession, d: String): DataFrame =
+    graft.ops.TextAnalysis
+      .gopherRepetitionReport(mintedRepetitionDocs(s, d))
+      .withColumn("cls", pmod(col("doc_id"), lit(5)).cast("int").cast("long"))
+      .orderBy(col("doc_id"))
 
   /** Padding-waste packing audit (q137): the whole-document best-fit-
     * decreasing packer ([[graft.ops.TextAnalysis.packBinsBestFit]]) +
@@ -2626,12 +2632,7 @@ object SparkEntry {
     * `conservation_ok` pins the packing manifest's token totals
     * against the split's own (engine-side structural check). */
   private def qCurationPipeline3(s: SparkSession, d: String): DataFrame = {
-    val cls = pmod(col("doc_id"), lit(5)).cast("int")
-    val minted = repClassTails.foldRight(col("text")) {
-      case ((c, tail), acc) => when(cls === c, concat(col("text"), lit(tail)))
-        .otherwise(acc)
-    }
-    val docs = t(s, d, "documents").select(col("doc_id"), minted.as("text"))
+    val docs = mintedRepetitionDocs(s, d)
     val kept = docs
       .join(graft.ops.TextAnalysis.gopherRepetitionReport(docs)
         .select(col("doc_id"), col("rep_keep")), "doc_id")

@@ -222,8 +222,11 @@ object VecOps {
     val sc = myersScratch.get()
     val la = decodeUtf8(a, sc, 0)
     val lb = decodeUtf8(b, sc, 1)
-    if (la <= lb) myers(sc.cp(0), la, sc.cp(1), lb, sc)
-    else myers(sc.cp(1), lb, sc.cp(0), la, sc)
+    val r =
+      if (la <= lb) myers(sc.cp(0), la, sc.cp(1), lb, sc)
+      else myers(sc.cp(1), lb, sc.cp(0), la, sc)
+    sc.release()
+    r
   }
 
   /** Per-thread reusable buffers for the Myers kernel. The round-2..10
@@ -235,14 +238,22 @@ object VecOps {
     * below is primitive, grown on demand, and reused across calls: the
     * steady-state kernel allocates nothing.
     *
-    * `peq` is an open-addressed, generation-stamped pattern-bitmask
-    * table (`keys`/`gen` validate a slot; rows live at `slot*w`), so
-    * "clearing" between calls is one counter bump, not an array fill. */
+    * The pattern-bitmask table is open-addressed and generation-stamped
+    * (`keys`/`gen` validate a slot; `rowOf` points each live slot at a
+    * dense `peq` pool row), so "clearing" between calls is one counter
+    * bump, not an array fill, and pool size tracks DISTINCT pattern
+    * chars, not slot count. */
   private final class MyersScratch {
     val cp = Array(new Array[Int](256), new Array[Int](256))
     var keys = new Array[Int](0)
     var gen = new Array[Int](0)
-    var peq = new Array[Long](0)
+    var rowOf = new Array[Int](0)
+    // peq rows live in a DENSE pool indexed through rowOf, sized by the
+    // DISTINCT pattern chars actually observed — a slot-indexed pool
+    // (slots × w) is O(m²/64) longs for an m-codepoint pattern, and a
+    // thread-local that big would strand gigabytes per executor thread
+    // on one long-document call. Natural text needs alphabet-sized rows.
+    var peq = new Array[Long](256)
     var pv = new Array[Long](8)
     var mv = new Array[Long](8)
     var generation = 0
@@ -255,9 +266,22 @@ object VecOps {
       if (keys.length < size) {
         keys = new Array[Int](size)
         gen = new Array[Int](size) // zeroed => no slot matches generation ≥ 1
+        rowOf = new Array[Int](size)
       }
-      if (peq.length < size * w) peq = new Array[Long](size * w)
       if (pv.length < w) { pv = new Array[Long](w); mv = new Array[Long](w) }
+    }
+    def ensurePoolRow(row: Int, w: Int): Unit =
+      if ((row + 1) * w > peq.length)
+        peq = java.util.Arrays.copyOf(peq,
+          math.max(peq.length * 2, (row + 1) * w))
+    /** Drop outsized scratch after a pathological call so the
+      * thread-local's steady-state footprint stays bounded. */
+    def release(): Unit = {
+      if (peq.length > (1 << 20)) peq = new Array[Long](256)
+      if (keys.length > (1 << 20)) {
+        keys = new Array[Int](0); gen = new Array[Int](0)
+        rowOf = new Array[Int](0); generation = 0
+      }
     }
   }
   private val myersScratch = new ThreadLocal[MyersScratch] {
@@ -293,6 +317,16 @@ object VecOps {
           cp = (cp << 6) | (bk & 0x3f)
           k += 1
         }
+        // structural checks alone admit overlong encodings, CESU-8
+        // surrogates and cp > U+10FFFF; the JDK path the fallback takes
+        // replaces those with U+FFFD, and conformance with the previous
+        // kernel (and Spark/DuckDB levenshtein on dirty input) requires
+        // the same treatment — so any non-shortest-form or invalid
+        // scalar value bails to the fallback too
+        val minCp = len match { case 2 => 0x80 case 3 => 0x800 case _ => 0x10000 }
+        if (cp < minCp || cp > 0x10ffff ||
+            (cp >= 0xd800 && cp <= 0xdfff))
+          return decodeFallback(s, sc, which)
         buf(out) = cp
         i += len
       }
@@ -330,9 +364,10 @@ object VecOps {
     val generation = sc.generation
     val keys = sc.keys
     val gen = sc.gen
-    val peq = sc.peq
+    val rowOf = sc.rowOf
     val pv = sc.pv
     val mv = sc.mv
+    var nextRow = 0
     var i = 0
     while (i < m) {
       val cp = p(i)
@@ -344,11 +379,15 @@ object VecOps {
       if (gen(slot) != generation) {
         gen(slot) = generation
         keys(slot) = cp
-        java.util.Arrays.fill(peq, slot * w, slot * w + w, 0L)
+        sc.ensurePoolRow(nextRow, w)
+        java.util.Arrays.fill(sc.peq, nextRow * w, nextRow * w + w, 0L)
+        rowOf(slot) = nextRow
+        nextRow += 1
       }
-      peq(slot * w + (i >>> 6)) |= 1L << (i & 63)
+      sc.peq(rowOf(slot) * w + (i >>> 6)) |= 1L << (i & 63)
       i += 1
     }
+    val peq = sc.peq
     java.util.Arrays.fill(pv, 0, w, -1L)
     java.util.Arrays.fill(mv, 0, w, 0L)
     val lastMask = 1L << ((m - 1) & 63)
@@ -361,7 +400,7 @@ object VecOps {
       var slot = h & mask
       while (gen(slot) == generation && keys(slot) != cp)
         slot = (slot + 1) & mask
-      val eqBase = if (gen(slot) == generation) slot * w else -1
+      val eqBase = if (gen(slot) == generation) rowOf(slot) * w else -1
       var hin = 1
       var k = 0
       while (k < w) {

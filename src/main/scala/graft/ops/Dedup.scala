@@ -396,11 +396,15 @@ object Dedup {
     * joins downstream.
     *
     * The batch is exact-deduped on its content fingerprint first
-    * (lowest doc_id wins): two identical docs in one batch each
-    * classify `new` against the EXISTING index, and without this both
-    * would enter the index as duplicate fingerprints/sigs/bands,
-    * silently violating the dedup invariant across appends
-    * (ADVICE r10). */
+    * (lowest doc_id wins), AND against the index's own fingerprint
+    * relation: two identical docs in one batch each classify `new`
+    * against the EXISTING index, and a direct caller may hand this a
+    * batch containing content already indexed — either way, without
+    * the guard duplicate fingerprints/sigs/bands enter, silently
+    * violating the dedup invariant across appends (ADVICE r10 + the
+    * r11 review pass). Both guards are batch-sized work: one window
+    * over the batch, one left-anti against the materialized
+    * fingerprint relation. */
   def appendToDedupIndex(index: DedupIndex, newDocs: DataFrame): DedupIndex = {
     import graft.functions.ShardedBloom
     val sess = newDocs.sparkSession
@@ -412,6 +416,8 @@ object Dedup {
         Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
       .filter(col("__rn") === 1)
       .drop("__rn")
+      .join(index.fingerprints.select(col("fp").as("__fp")),
+        Seq("__fp"), "left_anti")
     val newFp = batch
       .select(col("doc_id").as("corpus_id"), col("__fp").as("fp"))
       .localCheckpoint(true)

@@ -146,11 +146,13 @@ class BenchSpec extends AnyFunSuite {
     assert(BenchLogic.parsePrevCpus(driverWrapper) == Some(32))
     assert(BenchLogic.comparableBaseline(Some(32), 32))
     assert(!BenchLogic.comparableBaseline(Some(32), 4))
-    // pre-r11 standalone artifacts recorded no cpus — accepted as-is
-    // rather than discarding the only history available
+    // pre-r11 standalone artifacts recorded no cpus and are exactly the
+    // ambiguous ones (r10's was 4-core, r9's 32-core): REJECTED — a
+    // silently-incomparable baseline corrupts the gate in both
+    // directions, and every artifact since r11 records the field
     assert(BenchLogic.parsePrevCpus("""{"metric":"total","value":94.0}""")
       == None)
-    assert(BenchLogic.comparableBaseline(None, 32))
+    assert(!BenchLogic.comparableBaseline(None, 32))
     // the harness's own artifact (r11+) records cpus unescaped
     assert(BenchLogic.parsePrevCpus(
       """{"metric":"total","wrapper":"standalone","cpus":4,"value":1}""")

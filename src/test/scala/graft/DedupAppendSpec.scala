@@ -130,4 +130,23 @@ class DedupAppendSpec extends SparkSpec {
     val c = Dedup.incrementalDedup(appended, day2, 0.7).collect()
     assert(c.length === 1 && c.head.getString(1) === "exact")
   }
+
+  test("append drops batch docs whose content is already indexed") {
+    import spark.implicits._
+    // the r11 review's other half of the invariant: a direct caller
+    // handing append a batch containing an already-indexed doc must
+    // not create duplicate fingerprints across the index boundary
+    val day0 = docs(0 until 20)
+    val index = Dedup.buildDedupIndex(day0, expectedCorpusDocs = 1000L)
+    val batch = Seq((7000L, doc(3)), (7001L, doc(555)))
+      .toDF("doc_id", "text") // doc(3) is already indexed verbatim
+    val appended = Dedup.appendToDedupIndex(index, batch)
+    val added = appended.fingerprints.filter(col("corpus_id") >= 7000L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(added === Seq(7001L))
+    // the indexed original is untouched and still matches
+    val probe = Seq((9100L, doc(3))).toDF("doc_id", "text")
+    val c = Dedup.incrementalDedup(appended, probe, 0.7).collect()
+    assert(c.length === 1 && c.head.getString(1) === "exact")
+  }
 }

@@ -53,6 +53,28 @@ class EditDistanceSpec extends SparkSpec {
     }
   }
 
+  test("malformed UTF-8 falls back to the JDK replacement-char path") {
+    // the manual decoder's structural checks alone would admit these;
+    // each must take the fallback so distances match what the previous
+    // kernel (String round-trip, U+FFFD replacements) computed
+    val bad = Seq(
+      Array(0xe0, 0x80, 0x80).map(_.toByte), // overlong NUL
+      Array(0xed, 0xa0, 0x80).map(_.toByte), // CESU-8 surrogate D800
+      Array(0xf4, 0x90, 0x80, 0x80).map(_.toByte), // cp 0x110000
+      Array('a'.toByte, 0xc0.toByte), // truncated tail
+      Array(0xff.toByte, 'b'.toByte)) // invalid lead
+    for (bytes <- bad) {
+      val u = UTF8String.fromBytes(bytes)
+      // the JDK's decoded form is the reference the fallback must match
+      val jdk = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val want = dp(jdk, "abc")
+      assert(kernel(new String(bytes,
+        java.nio.charset.StandardCharsets.UTF_8), "abc") === want)
+      assert(VecOps.editDistance(u, UTF8String.fromString("abc")) === want,
+        s"bytes=${bytes.map(b => f"$b%02x").mkString(",")}")
+    }
+  }
+
   test("edit_distance column agrees with Spark's levenshtein") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
