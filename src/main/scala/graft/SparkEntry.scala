@@ -2556,8 +2556,15 @@ object SparkEntry {
                    / greatest(coalesce(pa.n_paras, 0), 1) AS f2,
                  coalesce(la.dupch_l, 0) AS c1,
                  coalesce(pa.dupch_p, 0) AS c2,
-                 gp.top2, gp.top3, gp.top4,
-                 gp.dup5, gp.dup6, gp.dup7, gp.dup8, gp.dup9, gp.dup10
+                 coalesce(gp.top2, 0) AS top2,
+                 coalesce(gp.top3, 0) AS top3,
+                 coalesce(gp.top4, 0) AS top4,
+                 coalesce(gp.dup5, 0) AS dup5,
+                 coalesce(gp.dup6, 0) AS dup6,
+                 coalesce(gp.dup7, 0) AS dup7,
+                 coalesce(gp.dup8, 0) AS dup8,
+                 coalesce(gp.dup9, 0) AS dup9,
+                 coalesce(gp.dup10, 0) AS dup10
                FROM w JOIN m USING (doc_id)
                  LEFT JOIN la ON w.doc_id = la.doc_id
                  LEFT JOIN pa ON w.doc_id = pa.doc_id

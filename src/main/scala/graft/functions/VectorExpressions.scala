@@ -275,13 +275,19 @@ object VecOps {
         peq = java.util.Arrays.copyOf(peq,
           math.max(peq.length * 2, (row + 1) * w))
     /** Drop outsized scratch after a pathological call so the
-      * thread-local's steady-state footprint stays bounded. */
+      * thread-local's steady-state footprint stays bounded — EVERY
+      * grow-only buffer, including the codepoint decode buffers (one
+      * 100 MB document would otherwise strand ~2× its codepoint count
+      * in ints per executor thread for the JVM's lifetime). */
     def release(): Unit = {
       if (peq.length > (1 << 20)) peq = new Array[Long](256)
       if (keys.length > (1 << 20)) {
         keys = new Array[Int](0); gen = new Array[Int](0)
         rowOf = new Array[Int](0); generation = 0
       }
+      if (cp(0).length > (1 << 20)) cp(0) = new Array[Int](256)
+      if (cp(1).length > (1 << 20)) cp(1) = new Array[Int](256)
+      if (pv.length > 4096) { pv = new Array[Long](8); mv = new Array[Long](8) }
     }
   }
   private val myersScratch = new ThreadLocal[MyersScratch] {

@@ -240,9 +240,14 @@ object TextAnalysis {
     * break to the fullest bin (min remaining), then lowest bin id —
     * the canonical BFD rule.
     *
-    * @param tokCol per-doc token count (callers chunk first:
-    *        `tok > seqTokens` throws — an unsplittable doc larger than
-    *        a sequence has no valid placement).
+    * @param tokCol per-doc token count. The contract is deliberately
+    *        asymmetric at the two edges: `tok > seqTokens` THROWS
+    *        (an unsplittable doc larger than a sequence has no valid
+    *        placement — silently truncating would corrupt the
+    *        manifest; chunk first), while `tok ≤ 0` is DROPPED (a doc
+    *        with no tokens carries nothing to pack — the same
+    *        zero-token convention as [[packSequences]]; size any
+    *        all-docs audit off the input relation, not the manifest).
     * @return (source, shard, bin, doc_id, tok) — bin ids dense from 0
     *         per shard in creation order. */
   def packBinsBestFit(

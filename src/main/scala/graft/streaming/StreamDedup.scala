@@ -152,6 +152,10 @@ object StreamDedup {
       index: graft.ops.Dedup.SpanIndex,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    require(!Set("corpus_id", "h", "start_corpus", "start_stream")
+      .contains(idCol),
+      s"idCol '$idCol' collides with a spanMatches output column — " +
+        "alias the stream's id column first")
     val wins = graft.ops.Dedup.windowFingerprints(
       stream.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text")),

@@ -60,6 +60,18 @@ class GopherRepetitionSpec extends SparkSpec {
     assert(m(1L).getAs[Double]("dup_5gram_char_frac") === 0.0)
   }
 
+  test("sub-2-word docs report zero fractions and keep (no NULL leakage)") {
+    // a one-word doc has no n-grams of any size and one trivial line —
+    // every fraction must come back 0.0 and rep_keep true, matching
+    // what the (coalesced) oracle CTE chain computes for the same doc
+    val m = report((1L, "single"), (2L, ""))
+    for (id <- Seq(1L, 2L)) {
+      assert(m(id).getAs[Double]("top_2gram_char_frac") === 0.0)
+      assert(m(id).getAs[Double]("dup_10gram_char_frac") === 0.0)
+      assert(m(id).getAs[Boolean]("rep_keep") === true, s"doc $id")
+    }
+  }
+
   test("gopherFullReport joins the heuristic rules with the battery") {
     import spark.implicits._
     val docs = Seq(
