@@ -467,6 +467,60 @@ object LangId {
       k = languages.size, dim = buckets)
   }
 
+  // ---- model persistence ----
+
+  /** Write a trained model under `path` as two relations — the same
+    * FS-agnostic parquet convention as the BPE/unigram tokenizer
+    * artifacts and the dedup/IVF/span indexes: `weights/` one row per
+    * (class, bucket) micro-quantized weight, `params/` the class list
+    * (order is the tie-break contract!), biases, dims and fit
+    * diagnostics. The QUANTIZED integers are the published form, so a
+    * reloaded model scores bit-identically on every engine. */
+  def saveModel(model: MultiModel, path: String): Unit = {
+    val sess = org.apache.spark.sql.SparkSession.active
+    import sess.implicits._
+    model.weightsMicro.zipWithIndex.flatMap { case (wk, k) =>
+      wk.zipWithIndex.map { case (w, b) => (k, b, w) }
+    }.toSeq.toDF("class_idx", "bucket", "w_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    model.languages.zipWithIndex.map { case (l, k) =>
+      (k, l, model.biasMicro(k), model.weights(k).length,
+        model.iters, model.gradNorm, model.converged)
+    }.toDF("class_idx", "lang", "bias_micro", "dim", "iters",
+      "grad_norm", "converged")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Reload a [[saveModel]] layout. Double weights are reconstructed
+    * from the micro-units (weight = µ/1e6), so `weightsMicro` of the
+    * reloaded model round-trips bit-exactly — predictions and the
+    * generated oracle SQL cannot drift across the round trip. */
+  def loadModel(
+      sess: org.apache.spark.sql.SparkSession, path: String): MultiModel = {
+    import sess.implicits._
+    val params = sess.read.parquet(s"$path/params")
+      .select(col("class_idx").cast("int"), col("lang"),
+        col("bias_micro").cast("long"), col("dim").cast("int"),
+        col("iters").cast("int"), col("grad_norm").cast("double"),
+        col("converged").cast("boolean"))
+      .as[(Int, String, Long, Int, Int, Double, Boolean)]
+      .collect().sortBy(_._1)
+    require(params.nonEmpty, s"no model params under $path")
+    val dim = params.head._4
+    val k = params.length
+    val w = Array.fill(k)(new Array[Double](dim))
+    sess.read.parquet(s"$path/weights")
+      .select(col("class_idx").cast("int"), col("bucket").cast("int"),
+        col("w_micro").cast("long"))
+      .as[(Int, Int, Long)].collect()
+      .foreach { case (ci, b, wm) => w(ci)(b) = wm / microScale }
+    MultiModel(
+      params.map(_._2).toSeq,
+      w,
+      params.map(_._3 / microScale),
+      params.head._5, params.head._6, params.head._7)
+  }
+
   // ---- inference ----
 
   /** Exact-integer class scores for `text` under a quantized model:

@@ -104,6 +104,29 @@ class LangIdSpec extends SparkSpec {
     assert(und.forall(_.getString(0) == "und"))
   }
 
+  test("model parquet round-trip: quantized weights and predictions bit-exact") {
+    val m = LangId.default
+    val dir = java.nio.file.Files
+      .createTempDirectory("langid_model_spec").toString
+    LangId.saveModel(m, dir)
+    val r = LangId.loadModel(spark, dir)
+    assert(r.languages === m.languages) // order IS the tie-break contract
+    assert(r.converged === m.converged && r.iters === m.iters)
+    // the quantized integers are the published form — they must
+    // round-trip bit-exactly
+    assert(r.weightsMicro.map(_.toSeq).toSeq === m.weightsMicro.map(_.toSeq).toSeq)
+    assert(r.biasMicro.toSeq === m.biasMicro.toSeq)
+    // and scoring through the reloaded model is identical
+    import spark.implicits._
+    val texts = Seq("the people think that this work should only have been",
+      "我们 今天 学习 中国 时间", "και το της να που με την")
+    val got = texts.toDF("text")
+      .select(LangId.predict(col("text"), r).as("p"),
+        LangId.predict(col("text"), m).as("q"))
+      .collect()
+    got.foreach(row => assert(row.getString(0) === row.getString(1)))
+  }
+
   test("fixture predictions: deterministic, margin gate behaves") {
     val docs = spark.read.parquet(sf("documents"))
     val dist = docs
