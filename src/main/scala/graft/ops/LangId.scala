@@ -509,11 +509,21 @@ object LangId {
     val dim = params.head._4
     val k = params.length
     val w = Array.fill(k)(new Array[Double](dim))
-    sess.read.parquet(s"$path/weights")
+    val rows = sess.read.parquet(s"$path/weights")
       .select(col("class_idx").cast("int"), col("bucket").cast("int"),
         col("w_micro").cast("long"))
       .as[(Int, Int, Long)].collect()
-      .foreach { case (ci, b, wm) => w(ci)(b) = wm / microScale }
+    // a mixed-generation or truncated artifact must fail loudly, not
+    // load as a silently-different model (missing rows would read as
+    // weight 0.0 — the opposite of the bit-exact round-trip contract)
+    require(rows.length == k * dim,
+      s"weights under $path carry ${rows.length} rows, " +
+        s"expected k×dim = ${k * dim} — mixed or truncated artifact")
+    rows.foreach { case (ci, b, wm) =>
+      require(ci >= 0 && ci < k && b >= 0 && b < dim,
+        s"weight row ($ci, $b) outside k=$k × dim=$dim under $path")
+      w(ci)(b) = wm / microScale
+    }
     MultiModel(
       params.map(_._2).toSeq,
       w,

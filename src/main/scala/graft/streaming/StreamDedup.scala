@@ -98,6 +98,10 @@ object StreamDedup {
       nProbes: Int = 4,
       kmeansIters: Int = 2,
       seed: Long = 42L): DataFrame = {
+    require(!Set("cell", "s_emb", "corpus_id", "vec_id", "embedding",
+      "score").contains(idCol),
+      s"idCol '$idCol' collides with a semanticMatches internal or " +
+        "output column — alias the stream's id column first")
     val sess = corpus.sparkSession
     import sess.implicits._
     import graft.ops.Similarity
