@@ -840,9 +840,26 @@ object Dedup {
     * merge the df counts, and re-apply the cap to the union (a hash
     * the batch pushes over `maxDf` drops its EXISTING rows too, so the
     * appended index is identical to one rebuilt over corpus ∪ batch).
-    * Caller contract: batch doc_ids are disjoint from the corpus ids
-    * already indexed (df merging sums per-side distinct counts). */
+    * Batch doc_ids must be unique within the batch and disjoint from
+    * the corpus ids already indexed (df merging sums per-side distinct
+    * counts, so a colliding id silently inflates dfStats and duplicates
+    * token rows) — ENFORCED, mirroring [[appendToDedupIndex]]'s guard
+    * (ADVICE r11): one batch-sized agg plus one semi-join scan whose
+    * probe side is the broadcast batch-id set. */
   def appendToSpanIndex(index: SpanIndex, newDocs: DataFrame): SpanIndex = {
+    val idStats = newDocs
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+      .head()
+    require(idStats.getLong(0) == idStats.getLong(1),
+      "appendToSpanIndex: batch doc_ids must be unique within the batch")
+    val clashes = index.tokens
+      .join(broadcast(newDocs.select(col("doc_id").as("corpus_id")).distinct()),
+        Seq("corpus_id"), "left_semi")
+      .limit(1).count()
+    require(clashes == 0L,
+      "appendToSpanIndex: batch doc_ids must be disjoint from already-" +
+        "indexed corpus ids (a collision would double-count dfStats and " +
+        "duplicate token rows)")
     val (bToks, bWins0) = tokenWindows(newDocs, index.minTokens, index.unicode)
     val bWins = bWins0.localCheckpoint()
     val mergedDf = index.dfStats

@@ -579,9 +579,10 @@ object TextAnalysis {
       .withColumn("keep_full", col("keep") && col("rep_keep"))
 
   /** Trained language ID — delegates to [[LangId.predict]]'s bundled
-    * multinomial char-bigram classifier (8 languages, 3 scripts; the
-    * r9 stopword-marker heuristic this replaces covered 4 Latin
-    * languages and returned 'und' on everything else). Pure argmax;
+    * multinomial char-bigram classifier (11 languages across 6 scripts
+    * incl. zh/ja/ko — see [[LangId.languages]]; the r9 stopword-marker
+    * heuristic this replaces covered 4 Latin languages and returned
+    * 'und' on everything else). Pure argmax;
     * pass a `marginMicro` to [[LangId.predict]] directly for the
     * confidence-gated variant `report()` uses. */
   def langId(text: Column): Column = LangId.predict(text)

@@ -158,4 +158,36 @@ class BenchSpec extends AnyFunSuite {
       """{"metric":"total","wrapper":"standalone","cpus":4,"value":1}""")
       == Some(4))
   }
+
+  test("phaseClean needs BOTH probes under their ceilings at BOTH ends") {
+    // quiet box at 32 cpus (r11 builder: cpu 0.18/0.07; shuffle ~0.15)
+    assert(BenchLogic.phaseClean(0.18, 0.07, 0.15, 0.12, 32))
+    // the r11 driver failure mode: CPU calib CLEAN (0.203/0.058) while
+    // shuffle-heavy queries ran 3–7× slow — a degraded shuffle probe at
+    // either end must flip the verdict even with a clean CPU pair
+    assert(!BenchLogic.phaseClean(0.203, 0.058, 2.4, 0.2, 32))
+    assert(!BenchLogic.phaseClean(0.203, 0.058, 0.2, 2.4, 32))
+    // CPU starvation alone also flips it (the r3/r4 poisoned-band mode)
+    assert(!BenchLogic.phaseClean(1.9, 0.07, 0.15, 0.12, 32))
+    assert(!BenchLogic.phaseClean(0.18, 1.9, 0.15, 0.12, 32))
+    // ceilings scale for smaller JVMs: both probes parallelize over
+    // cores, so local[4]'s quiet values (~4–8× the 32-core ones) must
+    // not read as contention
+    assert(BenchLogic.phaseClean(1.6, 1.4, 2.0, 1.8, 4))
+    assert(!BenchLogic.phaseClean(9.0, 1.4, 2.0, 1.8, 4))
+  }
+
+  test("flags recorded under a degraded environment land in env_suspect") {
+    // clean phase: flags are real and stay (a regression must surface)
+    assert(BenchLogic.adjudicateEnv(Seq("q38", "q131"), clean = true)
+      == ((Seq("q38", "q131"), Seq.empty)))
+    // degraded phase (the r11 driver artifact: 7 drifted +
+    // superlinear:["q131"], all environmental): the SAME flags are
+    // stamped env_suspect — the artifact adjudicates itself instead of
+    // costing a judge a quiet-box re-run to dismiss them
+    assert(BenchLogic.adjudicateEnv(Seq("q38", "q131"), clean = false)
+      == ((Seq.empty, Seq("q38", "q131"))))
+    // no flags: nothing to route either way
+    assert(BenchLogic.adjudicateEnv(Nil, clean = false) == ((Nil, Nil)))
+  }
 }

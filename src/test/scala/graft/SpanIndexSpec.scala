@@ -80,6 +80,24 @@ class SpanIndexSpec extends SparkSpec {
     assert(stale.count() === 0L)
   }
 
+  test("append rejects colliding and duplicated batch doc_ids (ADVICE r11)") {
+    val index = Dedup.buildSpanIndex(corpus(0 until 12), minTokens = 10)
+    // a batch id already indexed would double-count dfStats (per-side
+    // distinct counts are summed) and duplicate token rows — refused
+    val clash = intercept[IllegalArgumentException] {
+      Dedup.appendToSpanIndex(index, corpus(Seq(5, 100)))
+    }
+    assert(clash.getMessage.contains("disjoint"))
+    // a duplicate id WITHIN the batch corrupts the same way — refused
+    val dup = intercept[IllegalArgumentException] {
+      Dedup.appendToSpanIndex(
+        index, corpus(Seq(100)).unionByName(corpus(Seq(100))))
+    }
+    assert(dup.getMessage.contains("unique"))
+    // the disjoint batch from the append-equals-rebuild case still works
+    Dedup.appendToSpanIndex(index, corpus(Seq(100))).windows.count(): Unit
+  }
+
   test("a batch pushing a window over the df cap evicts existing rows too") {
     import spark.implicits._
     // the same 12-token passage in 2 corpus docs; cap at 3 docs
