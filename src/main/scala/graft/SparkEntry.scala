@@ -2730,7 +2730,19 @@ object SparkEntry {
     * content-blind). Pure built-ins on both engines (`translate`,
     * `regexp_replace`) — no custom kernel needed, which is the point:
     * the fold composes with [[graft.ops.Dedup]]'s exact lane as a key
-    * expression. */
+    * expression.
+    *
+    * The join key is `xxhash64(fold(text))`, NOT the folded text
+    * itself (VERDICT r11 #2): a raw-text key makes the distinct and
+    * the join shuffle O(corpus bytes) of key material — at 100 TB
+    * that is the bandwidth scale-killer the rest of the dedup family
+    * already avoids by shuffling 8-byte fingerprints
+    * ([[graft.ops.Dedup.exact]]'s xxhash64 content key, the q119/q127
+    * content-group hash). The oracle replays the SAME relation on the
+    * raw folded key — equal output, since a differing row would need
+    * a 64-bit collision between a mutant's folded text and a
+    * different base key (none exists in the fixed fixture, and at
+    * ~10⁵ keys the birthday bound is ~10⁻⁹). */
   private def qNumberBlindDedup(s: SparkSession, d: String): DataFrame = {
     val fold = (c: Column) => regexp_replace(c, "[0-9]", "0")
     val base = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -2738,10 +2750,11 @@ object SparkEntry {
     val mutated = when(cls === 0,
         translate(col("text"), "0123456789", "9876543210"))
       .otherwise(concat(lit("ctrl "), col("text")))
-    val baseKeys = base.select(fold(col("text")).as("key")).distinct()
+    val baseKeys = base.select(xxhash64(fold(col("text"))).as("key"))
+      .distinct()
       .withColumn("__hit", lit(1L))
     base
-      .select(cls.as("mutation_class"), fold(mutated).as("key"))
+      .select(cls.as("mutation_class"), xxhash64(fold(mutated)).as("key"))
       .join(baseKeys, Seq("key"), "left")
       .groupBy(col("mutation_class"))
       .agg(
