@@ -620,6 +620,23 @@ object Bench {
           // a FIXED 5-query probe of the scaling quantized corpus. The
           // scale fit, quantization, and dot scan are all one corpus
           // pass, so expect exp ≈ 1
+          // q139/q140's QUERIES wrap their cycle booleans (save/load/
+          // append conformance) — ladder the persisted-PQ path alone:
+          // codebook training is sample-capped (O(1) in corpus size),
+          // encode is one corpus pass, and the fixed probe scans the
+          // m-bytes-per-vector codes relation once. Expect exp ≈ 1.
+          // The SQ8 twin is already laddered as op_sq8_ann below.
+          ("op_pq_index", Some(factors("embeddings").toDouble),
+            (ss: SparkSession, dir: String) => {
+              val corpus = ss.read.parquet(s"$dir/embeddings.parquet")
+                .selectExpr("CAST(vec_id AS LONG) AS vec_id",
+                  "CAST(embedding AS array<float>) AS embedding")
+              val queries = corpus
+                .where("vec_id % 100 = 0 AND vec_id < 500")
+                .selectExpr("vec_id AS query_id", "embedding")
+              val index = graft.ops.Similarity.buildPqIndex(corpus)
+              graft.ops.Similarity.pqProbe(index, queries, 10)
+            }),
           ("op_sq8_ann", Some(factors("embeddings").toDouble),
             (ss: SparkSession, dir: String) => {
               val corpus = ss.read.parquet(s"$dir/embeddings.parquet")

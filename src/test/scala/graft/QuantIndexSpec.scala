@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ScalarQuant, Similarity}
+
+/** The persistable quantized ANN indexes (PQ codebooks+codes, SQ8
+  * scales+int8 corpus): parquet round-trip probe equality, append with
+  * FROZEN codebooks/scales equals rebuild-encode, and the id-contract
+  * guards. */
+class QuantIndexSpec extends SparkSpec {
+
+  private val dim = 8
+
+  /** Deterministic pseudo-random vector for id `i` (splitmix-derived,
+    * values in [-1, 1]). */
+  private def vec(i: Long): Array[Float] =
+    Array.tabulate(dim) { j =>
+      (graft.functions.Impl.mix64(i * 7919L + j).toDouble /
+        Long.MaxValue.toDouble).toFloat
+    }
+
+  private def corpus(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, vec(i).toSeq)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+  }
+
+  private def queriesOf(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, vec(i).toSeq)).toDF("query_id", "embedding")
+      .select(col("query_id"), col("embedding").cast("array<float>"))
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("PQ index: save/load round-trips bit-exact (codebooks + probes)") {
+    val c = corpus(0L until 64L)
+    val index = Similarity.buildPqIndex(c, m = 4, nCodes = 8, kmeansIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Similarity.savePqIndex(index, dir)
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    assert(loaded.m == index.m && loaded.sub == index.sub &&
+      loaded.nCodes == index.nCodes)
+    // codebooks are double-exact through parquet
+    assert(loaded.codebooks.flatten.flatten.toSeq ==
+      index.codebooks.flatten.flatten.toSeq)
+    // codes relation identical
+    assert(rows(loaded.codes.select(col("vec_id"), hex(col("codes")))) ==
+      rows(index.codes.select(col("vec_id"), hex(col("codes")))))
+    // probe of the reloaded index is row-identical to the built one
+    val q = queriesOf(Seq(3L, 17L, 42L))
+    assert(rows(Similarity.pqProbe(loaded, q, 5)) ==
+      rows(Similarity.pqProbe(index, q, 5)))
+  }
+
+  test("PQ append keeps codebooks frozen and equals rebuild-encode") {
+    val base = corpus(0L until 48L)
+    val batch = corpus(1000L until 1012L)
+    val index = Similarity.buildPqIndex(base, m = 4, nCodes = 8)
+    val appended = Similarity.appendToPqIndex(index, batch)
+    // frozen: the appended index carries the SAME codebooks object state
+    assert(appended.codebooks.flatten.flatten.toSeq ==
+      index.codebooks.flatten.flatten.toSeq)
+    // appended codes = original codes ∪ batch encoded under frozen books
+    // (proved via probe equality with an index whose codes were encoded
+    // in one pass from base ∪ batch using the same frozen codebooks)
+    val onePass = Similarity.PqIndex(index.m, index.sub, index.nCodes,
+      index.codebooks,
+      Similarity.appendToPqIndex(
+        Similarity.PqIndex(index.m, index.sub, index.nCodes,
+          index.codebooks, index.codes.limit(0)),
+        base.unionByName(batch)).codes)
+    val q = queriesOf(Seq(1005L, 7L))
+    assert(rows(Similarity.pqProbe(appended, q, 6)) ==
+      rows(Similarity.pqProbe(onePass, q, 6)))
+    // an exact copy of an indexed vector probes to (original, copy) as
+    // the two top ADC rows, lower id first — identical codes tie on
+    // score and break on vec_id
+    val copyProbe = queriesOf(Seq(7L))
+    val top2 = Similarity.pqProbe(
+      Similarity.appendToPqIndex(index,
+        corpus(Seq(7L)).select((col("vec_id") + 5000L).as("vec_id"),
+          col("embedding"))),
+      copyProbe, 2).orderBy(col("rank")).collect()
+    assert(top2(0).getLong(2) == 7L && top2(1).getLong(2) == 5007L)
+    assert(top2(0).getDouble(3) == top2(1).getDouble(3))
+  }
+
+  test("PQ/SQ8 appends reject colliding and duplicated batch ids") {
+    val index = Similarity.buildPqIndex(corpus(0L until 32L), m = 4, nCodes = 4)
+    val clash = intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(index, corpus(Seq(5L, 100L)))
+    }
+    assert(clash.getMessage.contains("disjoint"))
+    val dup = intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(
+        index, corpus(Seq(100L)).unionByName(corpus(Seq(100L))))
+    }
+    assert(dup.getMessage.contains("unique"))
+    val sq = ScalarQuant.buildSq8Index(corpus(0L until 32L))
+    assert(intercept[IllegalArgumentException] {
+      ScalarQuant.appendToSq8Index(sq, corpus(Seq(5L, 100L)))
+    }.getMessage.contains("disjoint"))
+    assert(intercept[IllegalArgumentException] {
+      ScalarQuant.appendToSq8Index(
+        sq, corpus(Seq(100L)).unionByName(corpus(Seq(100L))))
+    }.getMessage.contains("unique"))
+  }
+
+  test("SQ8 index: save/load round-trips bit-exact; probe matches sq8TopK") {
+    val c = corpus(0L until 64L)
+    val index = ScalarQuant.buildSq8Index(c)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8").toString
+    ScalarQuant.saveSq8Index(index, dir)
+    val loaded = ScalarQuant.loadSq8Index(spark, dir)
+    assert(loaded.scales.toSeq == index.scales.toSeq)
+    assert(rows(loaded.quantized) == rows(index.quantized))
+    val q = queriesOf(Seq(9L, 33L))
+    // integer dots are exact → reload probes identically, and both agree
+    // with the one-shot sq8TopK under the same scales
+    assert(rows(ScalarQuant.sq8Probe(loaded, q, 5)) ==
+      rows(ScalarQuant.sq8Probe(index, q, 5)))
+    assert(rows(ScalarQuant.sq8Probe(index, q, 5)) ==
+      rows(ScalarQuant.sq8TopK(c, q, 5, Some(index.scales))))
+  }
+
+  test("SQ8 append keeps scales frozen; appended copy ties its original") {
+    val index = ScalarQuant.buildSq8Index(corpus(0L until 48L))
+    val copy = corpus(Seq(11L))
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val appended = ScalarQuant.appendToSq8Index(index, copy)
+    assert(appended.scales.toSeq == index.scales.toSeq)
+    val top2 = ScalarQuant.sq8Probe(appended, queriesOf(Seq(11L)), 2)
+      .orderBy(col("rank")).collect()
+    // identical bytes → identical integer dot; lower id wins the tie
+    assert(top2(0).getLong(2) == 11L && top2(1).getLong(2) == 5011L)
+    assert(top2(0).getLong(3) == top2(1).getLong(3))
+  }
+}
