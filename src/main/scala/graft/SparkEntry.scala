@@ -2791,6 +2791,52 @@ object SparkEntry {
         (col("n_orphans") === 0L).as("copy_implies_orig_ok"))
   }
 
+  /** Chunk-level semantic dedup (q141): [[Similarity.chunkSemanticDedup]]
+    * — SemDeDup at passage granularity, embedding-free (hashed-TF chunk
+    * vectors over aligned 32-token windows). Minted corpus: every doc is
+    * padded/truncated to EXACTLY 64 tokens (its own tokens, then
+    * deterministic per-doc filler) = two aligned chunks; every
+    * doc_id % 10 == 3 with an existing partner (doc_id − 3) appends the
+    * partner's SECOND chunk verbatim, landing at its own chunk-2
+    * boundary (96 tokens = three chunks). The planted pair
+    * (partner, chunk 1) ≡ (recipient, chunk 2) is an identical token
+    * window → identical TF vector → same cell, cosine ≈ 1, higher chunk
+    * key — the recipient copy MUST drop, a structural guarantee, so
+    * recall is exact-count, not an estimate. Cell grids and kmeans
+    * aren't SQL-replayable: the oracle replays the minted chunk counts
+    * and pins the recall boolean (q81 pattern, strengthened from ≥0.9
+    * to exact). */
+  private def qChunkSemDedup(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    // exactly 64 nonempty tokens per base doc (get() is out-of-bounds-
+    // null, and an empty split token also falls through to the filler)
+    val padTok = (j: Column) => {
+      val e = get(toks, j - 1)
+      when(e.isNotNull && length(e) > 0, e)
+        .otherwise(concat(lit("pd"), col("doc_id") * 101 + j))
+    }
+    val padded = array_join(
+      transform(sequence(lit(1), lit(64)), j => padTok(j)), " ")
+    val base = t(s, d, "documents").select(col("doc_id"), padded.as("text"))
+    val partners = base.select((col("doc_id") + 3).as("doc_id"),
+      array_join(slice(split(col("text"), " "), 33, 32), " ").as("ptail"))
+    val corpus = base.join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 3 && col("ptail").isNotNull,
+          concat(col("text"), lit(" "), col("ptail")))
+          .otherwise(col("text")).as("text"))
+    val res = Similarity.chunkSemanticDedup(corpus, chunkTokens = 32,
+      threshold = 0.95)
+    val a0 = res.agg(count(lit(1)).as("n_chunks"))
+    val a1 = res.filter(col("doc_id") % 10 === 3 && col("chunk_id") === 2)
+      .agg(count(lit(1)).as("n_planted"),
+        coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L))
+          .as("n_planted_kept"))
+    a0.crossJoin(broadcast(a1))
+      .select(col("n_chunks"), col("n_planted"),
+        (col("n_planted_kept") === 0L).as("planted_removed_ok"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4002,7 +4048,8 @@ object SparkEntry {
     "q137_pack_waste" -> (qPackWaste _),
     "q138_curation_pipeline3" -> (qCurationPipeline3 _),
     "q139_pq_index_cycle" -> (qPqIndexCycle _),
-    "q140_sq8_index_cycle" -> (qSq8IndexCycle _))
+    "q140_sq8_index_cycle" -> (qSq8IndexCycle _),
+    "q141_chunk_semdedup" -> (qChunkSemDedup _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -6044,5 +6091,17 @@ object SparkEntry {
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings
                  WHERE vec_id % 50 = 0) AS n_probes,
            true AS reload_identical_ok, true AS stale_blind_ok,
-           true AS append_bytes_ok, true AS copy_implies_orig_ok""")
+           true AS append_bytes_ok, true AS copy_implies_orig_ok""",
+    // cell grids / kmeans aren't SQL-replayable: the oracle replays the
+    // minted chunk arithmetic (base docs are padded to exactly 64
+    // tokens = 2 aligned chunks; recipients with an existing partner
+    // gain a third) and pins the exact-recall boolean (q81 pattern)
+    "q141_chunk_semdedup" ->
+      """WITH r AS (SELECT a.doc_id FROM documents a
+                    JOIN documents b ON b.doc_id = a.doc_id - 3
+                    WHERE a.doc_id % 10 = 3)
+         SELECT CAST(2 * (SELECT count(*) FROM documents)
+             + (SELECT count(*) FROM r) AS BIGINT) AS n_chunks,
+           (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_planted,
+           true AS planted_removed_ok""")
 }

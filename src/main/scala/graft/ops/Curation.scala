@@ -363,7 +363,7 @@ object Curation {
     * `buckets` counters. One occurrence per n-gram INSTANCE (not
     * distinct): the importance weight below is a sum over instances, so
     * repeated n-grams must count. */
-  private def ngramBuckets(text: Column, buckets: Int, ngramLen: Int): Column = {
+  private[graft] def ngramBuckets(text: Column, buckets: Int, ngramLen: Int): Column = {
     // hash words once, derive bigram buckets from the PAIR OF WORD
     // HASHES via zip_with over two shifted slices: an element_at(toks,
     // i) lambda would re-evaluate the split per element (O(L²) splits
@@ -383,6 +383,20 @@ object Curation {
       concat(unis, bis)
     }
   }
+
+  /** [[ngramBuckets]] folded into a dense `dim`-counter hashed-TF
+    * vector (float — the embedding consumers' element type): the
+    * embedding-free feature map that lets the semantic-dedup cell grid
+    * run over text ([[Similarity.chunkSemanticDedup]]). `bucketCol`
+    * must be a MATERIALIZED column (a prior projection of
+    * [[ngramBuckets]]) — referencing the bucket expression inline
+    * would re-evaluate the tokenize+hash per output element (HOF
+    * lambdas get no subexpression elimination, the dsirWeights O(L²)
+    * lesson). Identical texts produce identical vectors — the
+    * structural fact chunk-level dedup's recall guarantee rides on. */
+  private[graft] def hashedTfVector(bucketCol: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => size(filter(bucketCol, x => x === i)).cast("float"))
 
   /** Per-corpus bucket occurrence counts — one map-combinable grouped
     * count, at most `buckets` output rows regardless of corpus size. */

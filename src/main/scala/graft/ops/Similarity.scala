@@ -546,6 +546,61 @@ object Similarity {
     } finally vecsN.unpersist(blocking = false)
   }
 
+  /** Chunk-level semantic dedup — [[semanticDedup]] at PASSAGE
+    * granularity (real decontamination dedups passages, not documents:
+    * a 100-page doc quoting one benchmark page is 1% document-similar
+    * and 100% chunk-similar). Embedding-free and fully derivable on any
+    * engine: documents are cut into aligned `chunkTokens`-token windows
+    * ([[TextAnalysis.chunkDocuments]], overlap 0), each chunk gets a
+    * hashed-TF unigram vector ([[Curation.hashedTfVector]] over the
+    * DSIR bucket machinery), and the vectors run through the same
+    * cell-grid dedup as the document-level q81 path. Identical token
+    * windows produce IDENTICAL vectors — same nearest cell, cosine ≈ 1
+    * — so verbatim chunk copies are caught structurally, not
+    * probabilistically.
+    *
+    * Scale shape: chunking + vectorization are map-only codegen'd HOFs
+    * (the bucket array is materialized once per chunk before the
+    * per-dimension fold); the cell count defaults to ⌈√n_chunks⌉ (the
+    * knnGraph / FAISS nlist convention), so within-cell pair work is
+    * Θ(n·√n) at fixed recall — by contract, same as the graph build.
+    * Key contract: < 2^20 chunks per document (vec key = doc_id·2^20 +
+    * chunk_id).
+    *
+    * @return one row per chunk: (doc_id, chunk_id, n_tokens, kept) —
+    *         kept=false means a same-cell chunk with a lower key scored
+    *         ≥ `threshold` against it. */
+  def chunkSemanticDedup(
+      docs: DataFrame,
+      chunkTokens: Int,
+      threshold: Double,
+      dim: Int = 64,
+      nCentroidsOpt: Option[Int] = None,
+      kmeansIters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val keyBase = 1L << 20
+    val chunks = TextAnalysis
+      .chunkDocuments(docs, col("doc_id"), col("text"), chunkTokens, 0)
+      .withColumn("__b", Curation.ngramBuckets(col("chunk_text"), dim, 1))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        (col("doc_id") * lit(keyBase) + col("chunk_id")).as("vec_id"),
+        Curation.hashedTfVector(col("__b"), dim).as("embedding"))
+      // materialized: the centroid count, the dedup's passes, and the
+      // kept-join below all read the vectors without re-tokenizing
+      .localCheckpoint()
+    val nCentroids = nCentroidsOpt.getOrElse(
+      math.max(16, math.ceil(math.sqrt(chunks.count().toDouble)).toInt))
+    val surv = semanticDedup(
+      chunks.select(col("vec_id"), col("embedding")),
+      threshold, nCentroids, kmeansIters, seed)
+    chunks.select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("vec_id"))
+      .join(surv.select(col("vec_id"), lit(true).as("__kept")),
+        Seq("vec_id"), "left")
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        coalesce(col("__kept"), lit(false)).as("kept"))
+  }
+
   /** The persistable IVF index: the coarse quantizer's centroids (tiny —
     * nCentroids·dim doubles, broadcast) plus the corpus→cell assignment
     * relation `(cell, vec_id, embedding)`. At 100 TB the assignment is

@@ -475,6 +475,29 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "no dissimilar vector may be dropped")
   }
 
+  test("chunkSemanticDedup catches a verbatim chunk copy exactly") {
+    import spark.implicits._
+    def tokensOf(d: Int): Seq[String] = (0 until 64).map(j => s"d${d}t$j")
+    // doc 3's chunk 2 is doc 1's chunk 1 verbatim — identical 32-token
+    // window, so its hashed-TF vector is identical and the higher chunk
+    // key MUST drop; everything else is token-disjoint
+    val doc3 = (tokensOf(3) ++ tokensOf(1).slice(32, 64)).mkString(" ")
+    val docs = Seq(
+      (1L, tokensOf(1).mkString(" ")),
+      (2L, tokensOf(2).mkString(" ")),
+      (3L, doc3)).toDF("doc_id", "text")
+    val res = graft.ops.Similarity
+      .chunkSemanticDedup(docs, chunkTokens = 32, threshold = 0.95,
+        nCentroidsOpt = Some(2))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(3)).toMap
+    assert(res.size == 7, s"2+2+3 aligned chunks expected, got $res")
+    assert(!res((3L, 2)), "the verbatim copied chunk must drop")
+    assert(res((1L, 1)), "the canonical original survives")
+    assert(Seq((1L, 0), (2L, 0), (2L, 1), (3L, 0), (3L, 1))
+      .forall(res(_)), s"token-disjoint chunks must survive: $res")
+  }
+
   test("exactKeepByPriority: trusted source wins, unlisted sinks, demotions counted") {
     import spark.implicits._
     val docs = Seq(
