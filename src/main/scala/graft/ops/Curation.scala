@@ -97,6 +97,80 @@ object Curation {
       .withColumn("scrubbed", regexp_replace(afterEmail, phoneRe, "[PHONE]"))
   }
 
+  // the rest of the standard code-corpus scrub list (beside email/phone
+  // above): network addresses, payment-card shapes, and credential
+  // shapes. RE2-safe (no lookaround) so any engine replays them.
+  private val ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val ipv6Re = "\\b(?:[0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\\b"
+  private val cardRe = "\\b[0-9]{16}\\b"
+  private val awsKeyRe = "\\bAKIA[0-9A-Z]{16}\\b"
+  private val bearerRe = "Bearer [A-Za-z0-9._-]+"
+  private val pemRe = "-----BEGIN (?:[A-Z]+ )?PRIVATE KEY-----"
+
+  /** Luhn mod-10 validity of a 16-digit string — unrolled codegen
+    * arithmetic (16 substring-cast terms, doubling every second digit
+    * from the right with the >9 fold), no UDF, replayable digit-for-
+    * digit in any SQL engine. Non-digit input yields null (cast null
+    * propagates), which filters as false — exactly the conservative
+    * read a scrub audit wants. */
+  private[graft] def luhnValid16(card: Column): Column = {
+    val total = (1 to 16).map { i =>
+      val d = substring(card, i, 1).cast("int")
+      if (i % 2 == 1) {
+        val x = d * 2
+        when(x > 9, x - 9).otherwise(x)
+      } else d
+    }.reduce(_ + _)
+    pmod(total, lit(10)) === 0
+  }
+
+  /** The check digit completing `digits15` to a Luhn-valid 16-digit
+    * string (position 16 is never doubled, so check = −S₁₅ mod 10) —
+    * the mint both engines use to plant KNOWN-valid and known-invalid
+    * cards. */
+  private[graft] def luhnCheckDigit15(digits15: Column): Column = {
+    val s = (1 to 15).map { i =>
+      val d = substring(digits15, i, 1).cast("int")
+      if (i % 2 == 1) {
+        val x = d * 2
+        when(x > 9, x - 9).otherwise(x)
+      } else d
+    }.reduce(_ + _)
+    pmod(lit(10) - pmod(s, lit(10)), lit(10))
+  }
+
+  /** The FULL PII scrub battery — [[scrubPii]]'s email/phone lanes plus
+    * the standard code-corpus list: IPv4, full-form IPv6, 16-digit
+    * payment-card shapes with a [[luhnValid16]] precision audit (ALL
+    * card-shaped runs are redacted — the policy stance — while
+    * `n_cards_valid` separates checksum-passing hits for the audit),
+    * AWS access-key ids (`AKIA…`), bearer tokens, and PEM private-key
+    * headers. Map-only codegen'd regex passes, one per class, applied
+    * in a fixed documented order (email → card → phone → IPv4 → IPv6 →
+    * AWS → bearer → PEM) so any engine replays the exact scrubbed
+    * text; every count is measured on the ORIGINAL text. */
+  def scrubPiiAll(docs: DataFrame, textCol: Column): DataFrame = {
+    def n(re: String): Column = size(regexp_extract_all(textCol, lit(re), lit(0)))
+    val scrub = Seq(
+      emailRe -> "[EMAIL]", cardRe -> "[CARD]", phoneRe -> "[PHONE]",
+      ipv4Re -> "[IP]", ipv6Re -> "[IP6]", awsKeyRe -> "[AWSKEY]",
+      bearerRe -> "Bearer [TOKEN]", pemRe -> "[PEM]")
+      .foldLeft(textCol) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+    docs
+      .withColumn("n_emails", n(emailRe))
+      .withColumn("n_phones", n(phoneRe))
+      .withColumn("n_ipv4", n(ipv4Re))
+      .withColumn("n_ipv6", n(ipv6Re))
+      .withColumn("n_cards", n(cardRe))
+      .withColumn("n_cards_valid",
+        size(filter(regexp_extract_all(textCol, lit(cardRe), lit(0)),
+          c => luhnValid16(c))))
+      .withColumn("n_aws_keys", n(awsKeyRe))
+      .withColumn("n_bearer", n(bearerRe))
+      .withColumn("n_pem", n(pemRe))
+      .withColumn("scrubbed", scrub)
+  }
+
   /** Repetition-aware ("soft dedup") sampling: keep each document with
     * probability 1/|its near-dup cluster|, so every cluster contributes
     * ONE expected survivor — the soft alternative to hard dedup when the
