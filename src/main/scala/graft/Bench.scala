@@ -472,6 +472,15 @@ object Bench {
       // pipeline v3: the battery's doc-keyed aggs + the split's one
       // content-key shuffle + the two-pass prefix-scan pack — linear
       "q138_curation_pipeline3",
+      // PII battery: nine regex passes + the unrolled Luhn filter, all
+      // map-only; domain boilerplate: ≤8-row-per-doc-per-side candidate
+      // explode into two bounded-key hash aggs + a broadcast join back
+      // — both should ladder ≈ linear. q139/q140/q141 are excluded:
+      // the index cycles are save/load conformance constructs
+      // (op_pq_index/op_sq8_ann ladder the operators), and chunk
+      // semantic dedup is Θ(n·√n) BY CONTRACT (√n cells, the knnGraph
+      // note) — a ladder row would flag the contract, not a regression
+      "q142_pii_battery", "q143_domain_boilerplate",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

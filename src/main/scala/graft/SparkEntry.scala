@@ -2889,6 +2889,36 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Domain-boilerplate stripping (q143):
+    * [[TextAnalysis.stripDomainBoilerplate]] — RefinedWeb's per-domain
+    * template removal — over a minted web corpus (q111 reassembly
+    * pattern). Domains are `doc_id % 20`; 4-aligned domains (dom % 4 ==
+    * 3) carry per-doc UNIQUE intros/outros (populous domain, NO shared
+    * template — nothing may strip), every other domain stamps the same
+    * 7-token header and 5-token footer on all its pages, with per-doc
+    * unique guard tokens (`u{id}x`/`v{id}y`) flanking the body so the
+    * longest qualifying affix is EXACTLY the template — the oracle
+    * replays the mint and derives the stripped text analytically; the
+    * reassembled remainder is value-compared per doc. */
+  private def qDomainBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val dom = concat(lit("site"), pmod(id, lit(20)), lit(".com"))
+    val templated = pmod(pmod(id, lit(20)), lit(4)) =!= 3
+    val minted = t(s, d, "documents").select(
+      id, dom.as("domain"),
+      when(templated,
+        concat(lit("welcome to "), dom, lit(" home of daily news u"), id,
+          lit("x "), col("text"), lit(" v"), id, lit("y copyright "), dom,
+          lit(" all rights reserved")))
+        .otherwise(concat(lit("only"), id, lit(" "), col("text"),
+          lit(" end"), id))
+        .as("text"))
+    TextAnalysis.stripDomainBoilerplate(
+      minted, col("domain"), col("doc_id"), col("text"),
+      maxAffixTokens = 8, minDocs = 3, minShare = 0.3)
+      .orderBy(col("doc_id"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4102,7 +4132,8 @@ object SparkEntry {
     "q139_pq_index_cycle" -> (qPqIndexCycle _),
     "q140_sq8_index_cycle" -> (qSq8IndexCycle _),
     "q141_chunk_semdedup" -> (qChunkSemDedup _),
-    "q142_pii_battery" -> (qPiiBattery _))
+    "q142_pii_battery" -> (qPiiBattery _),
+    "q143_domain_boilerplate" -> (qDomainBoilerplate _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -6251,5 +6282,33 @@ object SparkEntry {
                'Bearer [A-Za-z0-9._-]+', 'Bearer [TOKEN]', 'g'),
                '-----BEGIN (?:[A-Z]+ )?PRIVATE KEY-----', '[PEM]', 'g')
                AS scrubbed
-           FROM p ORDER BY doc_id""")
+           FROM p ORDER BY doc_id""",
+    // the mint replayed, the strip derived analytically: templated
+    // domains lose exactly the 7-token header + 5-token footer (the
+    // per-doc u/v guard tokens cap the qualifying affix at the
+    // template), unique-intro domains lose nothing
+    "q143_domain_boilerplate" ->
+      """WITH p AS (
+             SELECT doc_id,
+               'site' || (doc_id % 20) || '.com' AS domain,
+               (doc_id % 20) % 4 <> 3 AS templated,
+               CASE WHEN (doc_id % 20) % 4 <> 3
+                 THEN 'welcome to site' || (doc_id % 20)
+                   || '.com home of daily news u' || doc_id || 'x '
+                   || text || ' v' || doc_id || 'y copyright site'
+                   || (doc_id % 20) || '.com all rights reserved'
+                 ELSE 'only' || doc_id || ' ' || text || ' end' || doc_id
+               END AS ptext,
+               text
+             FROM documents)
+         SELECT doc_id, domain,
+           CAST(len(string_split(ptext, ' ')) AS INT) AS n_tokens,
+           CAST(CASE WHEN templated THEN 7 ELSE 0 END AS INT)
+             AS pfx_stripped,
+           CAST(CASE WHEN templated THEN 5 ELSE 0 END AS INT)
+             AS sfx_stripped,
+           CASE WHEN templated
+             THEN 'u' || doc_id || 'x ' || text || ' v' || doc_id || 'y'
+             ELSE ptext END AS text_clean
+         FROM p ORDER BY doc_id""")
 }

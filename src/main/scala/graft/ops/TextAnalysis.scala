@@ -844,4 +844,86 @@ object TextAnalysis {
         when(col("n_tokens") > 0,
           round(col("n_oov") / col("n_tokens"), 4)))
   }
+
+  /** Per-domain boilerplate affix stripping (public method: RefinedWeb /
+    * Penedo et al. 2023's per-domain template removal): web templates
+    * stamp the same header/footer token runs onto every page of a
+    * domain — cross-document dedup won't touch them (each PAGE is
+    * unique) and within-doc repetition rules can't see them (each run
+    * appears once per doc). Here a doc's prefix (suffix) is stripped at
+    * the LONGEST k ≤ `maxAffixTokens` such that its own k-token prefix
+    * (suffix) is shared by ≥ `minDocs` docs AND ≥ `minShare` of its
+    * domain — a per-doc decision on exact token runs, so two coexisting
+    * templates in one domain each strip their own pages and the output
+    * is engine-replayable (no argmax over ties, no hashing).
+    *
+    * Scale shape: candidate emission is map-only (≤ maxAffixTokens rows
+    * per doc per side, keys bounded at maxAffixTokens tokens — never
+    * document-sized); two hash aggregates on (domain, k, affix); the
+    * qualifying-affix relation is template-sized (domains × few) and
+    * broadcast back; the strip itself is a codegen'd slice. No window,
+    * no self-join.
+    *
+    * @return (doc_id, domain, n_tokens, pfx_stripped, sfx_stripped,
+    *         text_clean) — token counts stripped from each end and the
+    *         reassembled remainder. */
+  def stripDomainBoilerplate(
+      docs: DataFrame,
+      domainCol: Column,
+      idCol: Column,
+      textCol: Column,
+      maxAffixTokens: Int = 8,
+      minDocs: Int = 3,
+      minShare: Double = 0.3): DataFrame = {
+    require(maxAffixTokens >= 1 && minDocs >= 1 && minShare >= 0.0,
+      "need maxAffixTokens >= 1, minDocs >= 1, minShare >= 0")
+    val base = docs
+      .select(idCol.as("doc_id"), domainCol.as("domain"),
+        tokens(textCol).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      // reused by both candidate emissions and the final strip — the
+      // pin saves two re-tokenize passes (the at-scale analog persists)
+      .localCheckpoint()
+    val domSizes = base.groupBy(col("domain")).agg(count(lit(1)).as("__dn"))
+    def candidates(suffix: Boolean): DataFrame = {
+      val ks = sequence(lit(1), least(lit(maxAffixTokens), col("__n")))
+      val affix = (k: Column) =>
+        if (suffix) array_join(slice(col("__t"), col("__n") - k + 1, k), " ")
+        else array_join(slice(col("__t"), lit(1), k), " ")
+      base.select(col("doc_id"), col("domain"),
+        explode(transform(ks,
+          k => struct(k.as("k"), affix(k).as("a")))).as("e"))
+        .select(col("doc_id"), col("domain"),
+          col("e.k").as("k"), col("e.a").as("a"))
+    }
+    def bestK(suffix: Boolean, out: String): DataFrame = {
+      val cand = candidates(suffix)
+      val qualifying = cand
+        .groupBy(col("domain"), col("k"), col("a"))
+        .agg(count(lit(1)).as("__df"))
+        .join(domSizes, "domain")
+        .filter(col("__df") >= minDocs &&
+          col("__df") >= lit(minShare) * col("__dn"))
+        .select(col("domain"), col("k"), col("a"))
+      cand.join(broadcast(qualifying), Seq("domain", "k", "a"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("k")).as(out))
+    }
+    base
+      .join(bestK(suffix = false, "__pk"), Seq("doc_id"), "left")
+      .join(bestK(suffix = true, "__sk"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("domain"), col("__t"),
+        col("__n").as("n_tokens"),
+        coalesce(col("__pk"), lit(0)).cast("int").as("pfx_stripped"),
+        // a doc shorter than pfx+sfx clamps the suffix strip — never
+        // strip a token twice
+        least(coalesce(col("__sk"), lit(0)),
+          col("__n") - coalesce(col("__pk"), lit(0)))
+          .cast("int").as("sfx_stripped"))
+      .select(col("doc_id"), col("domain"), col("n_tokens"),
+        col("pfx_stripped"), col("sfx_stripped"),
+        array_join(slice(col("__t"), col("pfx_stripped") + 1,
+          greatest(col("n_tokens") - col("pfx_stripped")
+            - col("sfx_stripped"), lit(0))), " ").as("text_clean"))
+  }
 }

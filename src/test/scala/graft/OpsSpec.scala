@@ -825,6 +825,32 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "x91234567812345678y AKIA123 none"))
   }
 
+  test("stripDomainBoilerplate: coexisting templates, unique domain, clamp") {
+    import spark.implicits._
+    // domain a: two templates coexist — each strips its own pages at
+    // its own length (per-doc decision, no per-domain argmax)
+    val a = (0 until 3).map(i =>
+        (i.toLong, "a.com", s"alpha beta gamma body$i tail$i")) ++
+      (3 until 6).map(i =>
+        (i.toLong, "a.com", s"delta epsilon body$i tail$i"))
+    // domain b: populous but unique texts — nothing may strip
+    val b = (10 until 14).map(i => (i.toLong, "b.com", s"x$i y$i z$i"))
+    // domain c: three identical 2-token docs — prefix takes both
+    // tokens, the suffix strip clamps to zero (never strip twice)
+    val c = (20 until 23).map(i => (i.toLong, "c.com", "p q"))
+    val docs = (a ++ b ++ c).toDF("doc_id", "domain", "text")
+    val got = TextAnalysis.stripDomainBoilerplate(
+      docs, col("domain"), col("doc_id"), col("text"),
+      maxAffixTokens = 4, minDocs = 3, minShare = 0.3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getString(5))))
+      .toMap
+    assert(got(0L) == ((3, 0, "body0 tail0")), s"got ${got(0L)}")
+    assert(got(4L) == ((2, 0, "body4 tail4")), s"got ${got(4L)}")
+    assert(got(11L) == ((0, 0, "x11 y11 z11")), s"got ${got(11L)}")
+    assert(got(21L) == ((2, 0, "")), s"got ${got(21L)}")
+  }
+
   test("soft dedup keeps every singleton and ~1/size of each cluster, deterministically") {
     import spark.implicits._
     val docs = (0L until 100L).map(id => (id, s"t$id")).toDF("doc_id", "text")
