@@ -629,6 +629,13 @@ object Bench {
           // a FIXED 5-query probe of the scaling quantized corpus. The
           // scale fit, quantization, and dot scan are all one corpus
           // pass, so expect exp ≈ 1
+          // q113's QUERY embeds scoring + the full-separation oracle —
+          // ladder the FIT alone (VERDICT r11 #6): per-iteration wire is
+          // model-sized (constant in corpus), map work linear over the
+          // minted third, so the suite's slowest query's dominant cost
+          // scales visibly. Expect exp well below 1.
+          ("op_langid_fit", None, (ss: SparkSession, dir: String) =>
+            SparkEntry.langIdFit(ss, dir)),
           // q139/q140's QUERIES wrap their cycle booleans (save/load/
           // append conformance) — ladder the persisted-PQ path alone:
           // codebook training is sample-capped (O(1) in corpus size),

@@ -1843,8 +1843,11 @@ object SparkEntry {
     * counts). The bundled-model path is cross-engine-checked per doc in
     * q17/q80 instead, where the oracle replays the quantized scores as
     * exact BIGINT arithmetic. */
-  private def qLangIdTrained(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** q113's minted multilingual corpus (doc_id → one of the 11
+    * languages, text cycling the inventory) — shared with the
+    * `op_langid_fit` ladder row so the fit's scaling is measured on
+    * exactly the relation q113 trains on. */
+  private[graft] def langIdMinted(s: SparkSession, d: String): DataFrame = {
     val k = LangId.languages.size
     val docs = t(s, d, "documents").select(col("doc_id"))
     val li = pmod(col("doc_id"), lit(k)).cast("int")
@@ -1860,8 +1863,28 @@ object SparkEntry {
     val words = transform(sequence(lit(0), lit(31)),
       j => element_at(element_at(nested, li + 1),
         (pmod(col("doc_id") * 5 + j * 7, len) + 1).cast("int")))
-    val minted = docs.select(col("doc_id"), li.as("y"),
-      array_join(words, " ").as("text")).localCheckpoint()
+    docs.select(col("doc_id"), li.as("y"), array_join(words, " ").as("text"))
+  }
+
+  /** q113's fit lane alone (the ladder's `op_langid_fit` row): the
+    * distributed Newton over the minted third — map work corpus-linear,
+    * per-iteration wire model-sized. Returns the fit diagnostics. */
+  private[graft] def langIdFit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val train = langIdMinted(s, d)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .withColumn("bk",
+        graft.functions.VectorFunctions.charBigramBuckets(col("text")))
+    val m = LangId.fitMultinomial(train, col("bk"), col("y"),
+      k = LangId.languages.size, tol = 1e-6)
+    Seq((m.iters, m.gradNorm, m.converged))
+      .toDF("iters", "grad_norm", "converged")
+  }
+
+  private def qLangIdTrained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = LangId.languages.size
+    val minted = langIdMinted(s, d).localCheckpoint()
     val train = minted.filter(pmod(col("doc_id"), lit(3)) === 0)
       .withColumn("bk",
         graft.functions.VectorFunctions.charBigramBuckets(col("text")))
