@@ -107,37 +107,31 @@ object Curation {
   private val bearerRe = "Bearer [A-Za-z0-9._-]+"
   private val pemRe = "-----BEGIN (?:[A-Z]+ )?PRIVATE KEY-----"
 
-  /** Luhn mod-10 validity of a 16-digit string — unrolled codegen
-    * arithmetic (16 substring-cast terms, doubling every second digit
-    * from the right with the >9 fold), no UDF, replayable digit-for-
-    * digit in any SQL engine. Non-digit input yields null (cast null
-    * propagates), which filters as false — exactly the conservative
-    * read a scrub audit wants. */
-  private[graft] def luhnValid16(card: Column): Column = {
-    val total = (1 to 16).map { i =>
-      val d = substring(card, i, 1).cast("int")
+  /** The shared Luhn doubling fold over the first `n` digits of a
+    * string aligned to a FINAL length of 16 (odd positions double,
+    * with the >9 fold) — unrolled codegen arithmetic, no UDF,
+    * replayable digit-for-digit in any SQL engine. */
+  private def luhnSum(digits: Column, n: Int): Column =
+    (1 to n).map { i =>
+      val d = substring(digits, i, 1).cast("int")
       if (i % 2 == 1) {
         val x = d * 2
         when(x > 9, x - 9).otherwise(x)
       } else d
     }.reduce(_ + _)
-    pmod(total, lit(10)) === 0
-  }
+
+  /** Luhn mod-10 validity of a 16-digit string. Non-digit input yields
+    * null (cast null propagates), which filters as false — exactly the
+    * conservative read a scrub audit wants. */
+  private[graft] def luhnValid16(card: Column): Column =
+    pmod(luhnSum(card, 16), lit(10)) === 0
 
   /** The check digit completing `digits15` to a Luhn-valid 16-digit
     * string (position 16 is never doubled, so check = −S₁₅ mod 10) —
     * the mint both engines use to plant KNOWN-valid and known-invalid
     * cards. */
-  private[graft] def luhnCheckDigit15(digits15: Column): Column = {
-    val s = (1 to 15).map { i =>
-      val d = substring(digits15, i, 1).cast("int")
-      if (i % 2 == 1) {
-        val x = d * 2
-        when(x > 9, x - 9).otherwise(x)
-      } else d
-    }.reduce(_ + _)
-    pmod(lit(10) - pmod(s, lit(10)), lit(10))
-  }
+  private[graft] def luhnCheckDigit15(digits15: Column): Column =
+    pmod(lit(10) - pmod(luhnSum(digits15, 15), lit(10)), lit(10))
 
   /** The FULL PII scrub battery — [[scrubPii]]'s email/phone lanes plus
     * the standard code-corpus list: IPv4, full-form IPv6, 16-digit

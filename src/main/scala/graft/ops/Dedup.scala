@@ -441,6 +441,33 @@ object Dedup {
           .as[Long].rdd))
   }
 
+  /** The append-guard every persisted index modality shares (span, PQ,
+    * SQ8): batch ids must be UNIQUE within the batch and DISJOINT from
+    * the ids already indexed — a collision silently corrupts the
+    * appended artifact (duplicated rows, double-counted stats, aliased
+    * probe results). One batch-sized agg plus one semi-join scan whose
+    * probe side is the broadcast batch-id set. */
+  private[graft] def requireFreshIds(
+      indexed: DataFrame, indexedIdCol: String,
+      batch: DataFrame, batchIdCol: String,
+      op: String): Unit = {
+    val idStats = batch
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(batchIdCol)).as("nd"))
+      .head()
+    require(idStats.getLong(0) == idStats.getLong(1),
+      s"$op: batch ${batchIdCol}s must be unique within the batch")
+    val clashes = indexed
+      .join(broadcast(
+          batch.select(col(batchIdCol).as(indexedIdCol)).distinct()),
+        Seq(indexedIdCol), "left_semi")
+      .limit(1).count()
+    require(clashes == 0L,
+      s"$op: batch ${batchIdCol}s must be disjoint from already-" +
+        "indexed ids (a collision would silently corrupt the appended " +
+        "index)")
+  }
+
   private def bloomProbe(
       key: Column,
       bloom: graft.functions.ShardedBloom): Column =
@@ -844,22 +871,10 @@ object Dedup {
     * the corpus ids already indexed (df merging sums per-side distinct
     * counts, so a colliding id silently inflates dfStats and duplicates
     * token rows) — ENFORCED, mirroring [[appendToDedupIndex]]'s guard
-    * (ADVICE r11): one batch-sized agg plus one semi-join scan whose
-    * probe side is the broadcast batch-id set. */
+    * (ADVICE r11). */
   def appendToSpanIndex(index: SpanIndex, newDocs: DataFrame): SpanIndex = {
-    val idStats = newDocs
-      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
-      .head()
-    require(idStats.getLong(0) == idStats.getLong(1),
-      "appendToSpanIndex: batch doc_ids must be unique within the batch")
-    val clashes = index.tokens
-      .join(broadcast(newDocs.select(col("doc_id").as("corpus_id")).distinct()),
-        Seq("corpus_id"), "left_semi")
-      .limit(1).count()
-    require(clashes == 0L,
-      "appendToSpanIndex: batch doc_ids must be disjoint from already-" +
-        "indexed corpus ids (a collision would double-count dfStats and " +
-        "duplicate token rows)")
+    requireFreshIds(index.tokens, "corpus_id", newDocs, "doc_id",
+      "appendToSpanIndex")
     val (bToks, bWins0) = tokenWindows(newDocs, index.minTokens, index.unicode)
     val bWins = bWins0.localCheckpoint()
     val mergedDf = index.dfStats

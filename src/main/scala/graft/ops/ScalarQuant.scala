@@ -40,11 +40,19 @@ object ScalarQuant {
   }
 
   /** Quantized copy of `vecCol` under `scales`: int array in
-    * [-127, 127], `q_i = floor(x_i / s_i · 127 + ½)`. */
+    * [-127, 127], `q_i = floor(x_i / s_i · 127 + ½)`, SATURATED at
+    * ±127. The clamp never binds for the corpus the scales were
+    * fitted on (absmax maps to exactly ±127), so every existing
+    * oracle replay is unchanged — it exists for vectors quantized
+    * under FROZEN scales they exceed (the append path's documented
+    * slow absmax drift), where an unclamped 130 would silently wrap
+    * to −126 in the int8 index and flip that dimension's sign. */
   def quantize(vecCol: Column, scales: Array[Double]): Column = {
     val sLit = array(scales.map(lit): _*)
     zip_with(vecCol, sLit, (x, s) =>
-      floor(x.cast("double") / s * lit(127.0) + lit(0.5)).cast("int"))
+      greatest(least(
+        floor(x.cast("double") / s * lit(127.0) + lit(0.5)), lit(127.0)),
+        lit(-127.0)).cast("int"))
   }
 
   /** Exact integer dot product of two quantized vectors (long — exact
@@ -98,17 +106,8 @@ object ScalarQuant {
     * for a periodic rebuild). Batch ids must be unique and disjoint
     * from the indexed ids — enforced. */
   def appendToSq8Index(index: Sq8Index, newVecs: DataFrame): Sq8Index = {
-    val idStats = newVecs
-      .agg(count(lit(1)).as("n"), countDistinct(col("vec_id")).as("nd"))
-      .head()
-    require(idStats.getLong(0) == idStats.getLong(1),
-      "appendToSq8Index: batch vec_ids must be unique within the batch")
-    val clashes = index.quantized
-      .join(broadcast(newVecs.select(col("vec_id").cast("long")).distinct()),
-        Seq("vec_id"), "left_semi")
-      .limit(1).count()
-    require(clashes == 0L,
-      "appendToSq8Index: batch vec_ids must be disjoint from indexed ids")
+    Dedup.requireFreshIds(index.quantized, "vec_id", newVecs, "vec_id",
+      "appendToSq8Index")
     val encoded = newVecs
       .select(col("vec_id").cast("long").as("vec_id"),
         quantize(col("embedding"), index.scales).cast("array<tinyint>").as("q"))

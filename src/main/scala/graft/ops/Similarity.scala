@@ -579,15 +579,35 @@ object Similarity {
       kmeansIters: Int = 2,
       seed: Long = 42L): DataFrame = {
     val keyBase = 1L << 20
-    val chunks = TextAnalysis
+    // the bucket arrays are MATERIALIZED before the per-dimension TF
+    // fold references them: left in the same plan, CollapseProject
+    // inlines the __b alias into the transform lambda and the
+    // tokenize+hash re-evaluates per output element — dim× the
+    // intended cost (the dsirWeights O(L²) lesson, one optimizer
+    // rule deeper)
+    val bucketed = TextAnalysis
       .chunkDocuments(docs, col("doc_id"), col("text"), chunkTokens, 0)
-      .withColumn("__b", Curation.ngramBuckets(col("chunk_text"), dim, 1))
       .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
         (col("doc_id") * lit(keyBase) + col("chunk_id")).as("vec_id"),
+        Curation.ngramBuckets(col("chunk_text"), dim, 1).as("__b"))
+      .localCheckpoint()
+    val chunks = bucketed
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("vec_id"),
         Curation.hashedTfVector(col("__b"), dim).as("embedding"))
       // materialized: the centroid count, the dedup's passes, and the
-      // kept-join below all read the vectors without re-tokenizing
+      // kept-join below all read the vectors without re-vectorizing
       .localCheckpoint()
+    // the key contract is ENFORCED, not just documented (the append-
+    // guard convention): a ≥2^20-chunk document or a negative doc_id
+    // would silently alias chunk keys across documents
+    val keyStats = chunks.agg(
+      coalesce(max(col("chunk_id")), lit(0)).as("mc"),
+      coalesce(min(col("doc_id").cast("long")), lit(0L)).as("mi")).head()
+    require(keyStats.getInt(0) < keyBase && keyStats.getLong(1) >= 0L,
+      s"chunkSemanticDedup: chunk keys need 0 <= doc_id and < $keyBase " +
+        s"chunks per doc (got max chunk_id ${keyStats.getInt(0)}, min " +
+        s"doc_id ${keyStats.getLong(1)})")
     val nCentroids = nCentroidsOpt.getOrElse(
       math.max(16, math.ceil(math.sqrt(chunks.count().toDouble)).toInt))
     val surv = semanticDedup(
@@ -1191,10 +1211,19 @@ object Similarity {
         while (j < sub) { s += cw(j) * cw(j); j += 1 }
         s
       }
-      // per-query bounded min-heaps of (score, vec_id)
+      // per-query bounded heaps of (score, vec_id); the head is the
+      // WORST kept row — lowest score, then HIGHEST vec_id among exact
+      // ties — so the per-partition cut is the exact top-cTop under
+      // (score desc, vec_id asc) regardless of arrival order. Score
+      // ties are GUARANTEED here (vectors with identical PQ codes), and
+      // an arrival-order cut would make pqProbe's output depend on the
+      // codes relation's partitioning — reload-identity must be
+      // structural, not a partitioning accident.
+      val worstFirst =
+        Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
       val heaps = Array.fill(qs.length)(
         new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-          Ordering.by[(Double, Long), Double](_._1).reverse))
+          worstFirst))
       it.foreach { case (id, codes) =>
         var nrmSq = 0.0
         var mi = 0
@@ -1209,7 +1238,12 @@ object Similarity {
           val score = if (nrm == 0.0) 0.0 else d / nrm // ‖q‖ constant per query
           val h = heaps(qi)
           if (h.size < cTop) h.enqueue((score, id))
-          else if (score > h.head._1) { h.dequeue(); h.enqueue((score, id)) }
+          else {
+            val (hs, hid) = h.head
+            if (score > hs || (score == hs && id < hid)) {
+              h.dequeue(); h.enqueue((score, id))
+            }
+          }
           qi += 1
         }
       }
@@ -1280,17 +1314,8 @@ object Similarity {
       index: PqIndex, newVecs: DataFrame): PqIndex = {
     val sess = newVecs.sparkSession
     import sess.implicits._
-    val idStats = newVecs
-      .agg(count(lit(1)).as("n"), countDistinct(col("vec_id")).as("nd"))
-      .head()
-    require(idStats.getLong(0) == idStats.getLong(1),
-      "appendToPqIndex: batch vec_ids must be unique within the batch")
-    val clashes = index.codes
-      .join(broadcast(newVecs.select(col("vec_id").cast("long")).distinct()),
-        Seq("vec_id"), "left_semi")
-      .limit(1).count()
-    require(clashes == 0L,
-      "appendToPqIndex: batch vec_ids must be disjoint from indexed ids")
+    Dedup.requireFreshIds(index.codes, "vec_id", newVecs, "vec_id",
+      "appendToPqIndex")
     val bcBooks = sess.sparkContext.broadcast(index.codebooks)
     val sub = index.sub
     val encoded = newVecs

@@ -127,6 +127,21 @@ class QuantIndexSpec extends SparkSpec {
       rows(ScalarQuant.sq8TopK(c, q, 5, Some(index.scales))))
   }
 
+  test("SQ8 quantize saturates beyond frozen scales — no int8 wrap") {
+    val index = ScalarQuant.buildSq8Index(corpus(0L until 16L))
+    // a vector 3x beyond the frozen scales: unclamped it would quantize
+    // past 127 and the tinyint cast would WRAP (130 -> -126), silently
+    // flipping dimension signs in the stored index
+    val big = corpus(Seq(3L))
+      .select((col("vec_id") + 9000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(3.0f)).as("embedding"))
+    val appended = ScalarQuant.appendToSq8Index(index, big)
+    val q = appended.quantized.filter(col("vec_id") === 9003L)
+      .select(col("q").cast("array<int>")).head.getSeq[Int](0)
+    assert(q.forall(v => v >= -127 && v <= 127), s"wrapped values: $q")
+    assert(q.exists(v => v == 127 || v == -127), s"clamp never bound: $q")
+  }
+
   test("SQ8 append keeps scales frozen; appended copy ties its original") {
     val index = ScalarQuant.buildSq8Index(corpus(0L until 48L))
     val copy = corpus(Seq(11L))
