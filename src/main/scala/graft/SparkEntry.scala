@@ -2830,17 +2830,23 @@ object SparkEntry {
     * and pins the recall boolean (q81 pattern, strengthened from ≥0.9
     * to exact). */
   private def qChunkSemDedup(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
+    // tokens MATERIALIZED before the 64-element pad lambda references
+    // them (the chunkSemanticDedup CollapseProject lesson: an inlined
+    // split re-evaluates per element — 64 tokenizes per doc)
+    val tokenized = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+      .localCheckpoint()
     // exactly 64 nonempty tokens per base doc (get() is out-of-bounds-
     // null, and an empty split token also falls through to the filler)
     val padTok = (j: Column) => {
-      val e = get(toks, j - 1)
+      val e = get(col("__tk"), j - 1)
       when(e.isNotNull && length(e) > 0, e)
         .otherwise(concat(lit("pd"), col("doc_id") * 101 + j))
     }
     val padded = array_join(
       transform(sequence(lit(1), lit(64)), j => padTok(j)), " ")
-    val base = t(s, d, "documents").select(col("doc_id"), padded.as("text"))
+    val base = tokenized.select(col("doc_id"), padded.as("text"))
+      .localCheckpoint()
     val partners = base.select((col("doc_id") + 3).as("doc_id"),
       array_join(slice(split(col("text"), " "), 33, 32), " ").as("ptail"))
     val corpus = base.join(partners, Seq("doc_id"), "left")
