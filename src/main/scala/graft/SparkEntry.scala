@@ -2834,7 +2834,10 @@ object SparkEntry {
     // them (the chunkSemanticDedup CollapseProject lesson: an inlined
     // split re-evaluates per element — 64 tokenizes per doc)
     val tokenized = t(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+      // only indices 0..63 are ever read — bound the stored arrays
+      // before the eager checkpoint (get() past the slice stays null)
+      .select(col("doc_id"),
+        slice(split(col("text"), " "), 1, 64).as("__tk"))
       .localCheckpoint()
     // exactly 64 nonempty tokens per base doc (get() is out-of-bounds-
     // null, and an empty split token also falls through to the filler)
