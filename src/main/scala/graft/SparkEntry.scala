@@ -3027,7 +3027,10 @@ object SparkEntry {
     * different base key (none exists in the fixed fixture, and at
     * ~10⁵ keys the birthday bound is ~10⁻⁹). */
   private def qNumberBlindDedup(s: SparkSession, d: String): DataFrame = {
-    val fold = (c: Column) => regexp_replace(c, "[0-9]", "0")
+    // translate, not regexp_replace: a per-char table lookup vs a regex
+    // scan for the identical digit→0 fold (the oracle replays it as
+    // regexp_replace — same output, DuckDB has no 1:n translate)
+    val fold = (c: Column) => translate(c, "0123456789", "0000000000")
     val base = t(s, d, "documents").select(col("doc_id"), col("text"))
     val cls = pmod(col("doc_id"), lit(2))
     val mutated = when(cls === 0,
