@@ -2721,6 +2721,11 @@ object SparkEntry {
     val probes = corpus.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
       .localCheckpoint()
+    // PQ probes are CHECKPOINTED: each probe relation feeds two
+    // exceptAll/anti-join branches, and recomputing the ADC scan (LUT
+    // build + heap pass over the codes) per branch costs more than the
+    // three pin jobs (measured 4.4 s lazy vs 2.9 s pinned; contrast
+    // q140, where the cheap integer-dot subtrees stay lazy)
     val pBuilt = Similarity.pqProbe(index, probes, 3).localCheckpoint()
     val pLoaded = Similarity.pqProbe(loaded, probes, 3).localCheckpoint()
     val copies = corpus.filter(col("vec_id") % 50 === 0)
@@ -2775,15 +2780,14 @@ object SparkEntry {
     val probes = corpus.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
       .localCheckpoint()
+    // lazy probes (the q139 note): integer dots recompute bit-exactly,
+    // so no checkpoint jobs — one assembled verdict job
     val pBuilt = graft.ops.ScalarQuant.sq8Probe(index, probes, 3)
-      .localCheckpoint()
     val pLoaded = graft.ops.ScalarQuant.sq8Probe(loaded, probes, 3)
-      .localCheckpoint()
     val copies = corpus.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
     val appended = graft.ops.ScalarQuant.appendToSq8Index(loaded, copies)
     val pApp = graft.ops.ScalarQuant.sq8Probe(appended, probes, 3)
-      .localCheckpoint()
     val pStale = graft.ops.ScalarQuant.sq8Probe(loaded, probes, 3)
     val a0 = probes.agg(count(lit(1)).as("n_probes"))
     val a1 = pBuilt.exceptAll(pLoaded)

@@ -851,6 +851,39 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(got(21L) == ((2, 0, "")), s"got ${got(21L)}")
   }
 
+  test("luhnValid16 matches a reference Luhn; check digit completes, +5 never") {
+    import spark.implicits._
+    def refLuhn(s: String): Boolean = {
+      val sum = s.zipWithIndex.map { case (ch, idx) =>
+        val d = ch - '0'
+        if ((idx + 1) % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x }
+        else d
+      }.sum
+      sum % 10 == 0
+    }
+    val rnd = new scala.util.Random(42)
+    val cards = (0 until 300)
+      .map(_ => (0 until 16).map(_ => rnd.nextInt(10)).mkString)
+    val got = cards.toDF("card")
+      .select(col("card"), graft.ops.Curation.luhnValid16(col("card")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cards.foreach(c => assert(got(c) == refLuhn(c), s"mismatch on $c"))
+    assert(cards.count(refLuhn) > 0 && cards.exists(!refLuhn(_)),
+      "sample must exercise both verdicts")
+    // luhnCheckDigit15 always completes to valid; the +5 shift never does
+    val chk = graft.ops.Curation.luhnCheckDigit15(col("p"))
+    val comp = (0 until 100)
+      .map(_ => (0 until 15).map(_ => rnd.nextInt(10)).mkString)
+      .toDF("p")
+      .select(
+        graft.ops.Curation.luhnValid16(
+          concat(col("p"), chk.cast("string"))).as("v"),
+        graft.ops.Curation.luhnValid16(
+          concat(col("p"), pmod(chk + 5, lit(10)).cast("string"))).as("iv"))
+      .collect()
+    assert(comp.forall(r => r.getBoolean(0) && !r.getBoolean(1)))
+  }
+
   test("soft dedup keeps every singleton and ~1/size of each cluster, deterministically") {
     import spark.implicits._
     val docs = (0L until 100L).map(id => (id, s"t$id")).toDF("doc_id", "text")

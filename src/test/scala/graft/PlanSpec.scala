@@ -248,6 +248,43 @@ class PlanSpec extends SparkSpec {
       s"packing must not collapse to one partition:\n$p")
   }
 
+  test("q142 PII battery is map-only: no join, no hash shuffle") {
+    val p = plan("q142_pii_battery")
+    // nine regex passes + the unrolled Luhn filter are all projections;
+    // the only exchange is the output-order range partitioning
+    assert(!p.contains("Join"), s"scrub must not join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scrub must not hash-shuffle:\n$p")
+  }
+
+  test("q143 domain boilerplate broadcasts the qualifying affixes, no products") {
+    val p = plan("q143_domain_boilerplate")
+    // the qualifying-affix relation is template-sized and must come
+    // back as a broadcast; nothing may degrade to a product join
+    assert(p.contains("BroadcastHashJoin"),
+      s"qualifying affixes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no product joins:\n$p")
+  }
+
+  test("pqProbe plans no join — only the compressed codes relation is scanned") {
+    spark.catalog.clearCache()
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("CAST(vec_id AS LONG) AS vec_id",
+        "CAST(embedding AS array<float>) AS embedding")
+    val probes = corpus.where("vec_id % 100 = 0")
+      .selectExpr("vec_id AS query_id", "embedding")
+    val idx = graft.ops.Similarity.buildPqIndex(corpus, m = 16, nCodes = 16)
+    val p = graft.ops.Similarity.pqProbe(idx, probes, 5)
+      .queryExecution.executedPlan.toString
+    // ADC scans the m-bytes-per-vector codes with broadcast queries
+    // inside mapPartitions — raw embeddings are never joined back
+    assert(!p.contains("Join"), s"probe must not join:\n$p")
+    assert(!p.contains("embeddings.parquet") || p.contains("codes"),
+      s"probe reads the codes relation, not raw floats:\n$p")
+  }
+
   test("q106 probes broadcast against the corpus index — no shuffle join, no product") {
     val p = plan("q106_incremental_semdedup")
     assert(p.contains("BroadcastHashJoin"),
