@@ -481,6 +481,10 @@ object Bench {
       // semantic dedup is Θ(n·√n) BY CONTRACT (√n cells, the knnGraph
       // note) — a ladder row would flag the contract, not a regression
       "q142_pii_battery", "q143_domain_boilerplate",
+      // boilerplate-apply cycle: mining is the q143 shape, the batch
+      // (corpus/7 rows) pays candidate emission + a broadcast template
+      // join — linear
+      "q144_boilerplate_apply",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -2936,11 +2936,14 @@ object SparkEntry {
     * longest qualifying affix is EXACTLY the template — the oracle
     * replays the mint and derives the stripped text analytically; the
     * reassembled remainder is value-compared per doc. */
-  private def qDomainBoilerplate(s: SparkSession, d: String): DataFrame = {
+  /** The q143/q144 minted web corpus: 20 domains, 15 stamping a shared
+    * 7-token header + 5-token footer (with per-doc guard tokens), 5
+    * carrying per-doc unique intros/outros. */
+  private def boilerplateMinted(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val dom = concat(lit("site"), pmod(id, lit(20)), lit(".com"))
     val templated = pmod(pmod(id, lit(20)), lit(4)) =!= 3
-    val minted = t(s, d, "documents").select(
+    t(s, d, "documents").select(
       id, dom.as("domain"),
       when(templated,
         concat(lit("welcome to "), dom, lit(" home of daily news u"), id,
@@ -2949,9 +2952,47 @@ object SparkEntry {
         .otherwise(concat(lit("only"), id, lit(" "), col("text"),
           lit(" end"), id))
         .as("text"))
+  }
+
+  private def qDomainBoilerplate(s: SparkSession, d: String): DataFrame =
     TextAnalysis.stripDomainBoilerplate(
-      minted, col("domain"), col("doc_id"), col("text"),
+      boilerplateMinted(s, d), col("domain"), col("doc_id"), col("text"),
       maxAffixTokens = 8, minDocs = 3, minShare = 0.3)
+      .orderBy(col("doc_id"))
+
+  /** Boilerplate-index persistence + apply-to-unseen-pages (q144): the
+    * SIXTH persisted artifact driven as a cycle — mine the q143 corpus'
+    * templates once ([[TextAnalysis.buildBoilerplateIndex]]), WRITE the
+    * template relation, reload it, and strip a batch of pages the miner
+    * NEVER saw: fresh bodies under the same per-domain headers/footers
+    * (they must strip — the decision is on affix text, not doc
+    * identity) and fresh unique-affix pages on the no-template domains
+    * (nothing may strip). The expected strip is fully analytic, so the
+    * oracle value-compares every batch row (the q143 pattern) — a
+    * corrupted save/load or a mining drift would surface as a text
+    * mismatch, not just a flipped boolean. */
+  private def qBoilerplateApply(s: SparkSession, d: String): DataFrame = {
+    val corpus = boilerplateMinted(s, d)
+    val index = TextAnalysis.buildBoilerplateIndex(
+      corpus, col("domain"), col("doc_id"), col("text"),
+      maxAffixTokens = 8, minDocs = 3, minShare = 0.3)
+    val dir = tempFixtureDir("graft_bp_cycle")
+    TextAnalysis.saveBoilerplateIndex(index, dir)
+    val loaded = TextAnalysis.loadBoilerplateIndex(s, dir)
+    val id = col("doc_id")
+    val dom = concat(lit("site"), pmod(id, lit(20)), lit(".com"))
+    val templated = pmod(pmod(id, lit(20)), lit(4)) =!= 3
+    val batch = t(s, d, "documents").filter(pmod(id, lit(7)) === 0)
+      .select((id + lit(1000000L)).as("doc_id"), dom.as("domain"),
+        when(templated,
+          concat(lit("welcome to "), dom,
+            lit(" home of daily news fresh"), id, lit("a body"), id,
+            lit("b copyright "), dom, lit(" all rights reserved")))
+          .otherwise(concat(lit("newu"), id, lit(" body"), id,
+            lit("c newv"), id))
+          .as("text"))
+    TextAnalysis.applyBoilerplate(
+      loaded, batch, col("domain"), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
   }
 
@@ -4172,7 +4213,8 @@ object SparkEntry {
     "q140_sq8_index_cycle" -> (qSq8IndexCycle _),
     "q141_chunk_semdedup" -> (qChunkSemDedup _),
     "q142_pii_battery" -> (qPiiBattery _),
-    "q143_domain_boilerplate" -> (qDomainBoilerplate _))
+    "q143_domain_boilerplate" -> (qDomainBoilerplate _),
+    "q144_boilerplate_apply" -> (qBoilerplateApply _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -6349,5 +6391,27 @@ object SparkEntry {
            CASE WHEN templated
              THEN 'u' || doc_id || 'x ' || text || ' v' || doc_id || 'y'
              ELSE ptext END AS text_clean
-         FROM p ORDER BY doc_id""")
+         FROM p ORDER BY doc_id""",
+    // the batch mint replayed, the strip derived analytically: the
+    // mined templates apply to pages the miner never saw (affix-text
+    // decision), the no-template domains stay untouched — every batch
+    // row value-compared including the reassembled text
+    "q144_boilerplate_apply" ->
+      """WITH b AS (
+             SELECT doc_id AS oid, doc_id + 1000000 AS doc_id,
+               'site' || (doc_id % 20) || '.com' AS domain,
+               (doc_id % 20) % 4 <> 3 AS templated
+             FROM documents WHERE doc_id % 7 = 0)
+         SELECT doc_id, domain,
+           CAST(CASE WHEN templated THEN 14 ELSE 3 END AS INT)
+             AS n_tokens,
+           CAST(CASE WHEN templated THEN 7 ELSE 0 END AS INT)
+             AS pfx_stripped,
+           CAST(CASE WHEN templated THEN 5 ELSE 0 END AS INT)
+             AS sfx_stripped,
+           CASE WHEN templated
+             THEN 'fresh' || oid || 'a body' || oid || 'b'
+             ELSE 'newu' || oid || ' body' || oid || 'c newv' || oid
+           END AS text_clean
+         FROM b ORDER BY doc_id""")
 }

@@ -875,37 +875,103 @@ object TextAnalysis {
       maxAffixTokens: Int = 8,
       minDocs: Int = 3,
       minShare: Double = 0.3): DataFrame = {
-    require(maxAffixTokens >= 1 && minDocs >= 1 && minShare >= 0.0,
-      "need maxAffixTokens >= 1, minDocs >= 1, minShare >= 0")
-    val base = docs
+    val base = affixTokenize(docs, domainCol, idCol, textCol)
+    applyOnBase(
+      buildFromBase(base, maxAffixTokens, minDocs, minShare), base)
+  }
+
+  /** The persistable per-domain boilerplate template relation — the
+    * SIXTH persisted artifact modality (text-dedup, IVF, span, PQ, SQ8,
+    * and now the affix templates): templates are mined ONCE over a
+    * corpus snapshot ([[buildBoilerplateIndex]] — the RefinedWeb shape:
+    * template mining is a periodic job, not a per-batch one) and every
+    * later batch strips against the frozen relation
+    * ([[applyBoilerplate]] — batch-sized candidate emission + a
+    * broadcast join against the template-sized affixes; pages never
+    * seen during mining still strip, because the decision is on the
+    * affix TEXT, not on doc identity). `affixes`: one row per
+    * qualifying (domain, side ∈ {pfx, sfx}, k, affix). */
+  case class BoilerplateIndex(
+      maxAffixTokens: Int, minDocs: Int, minShare: Double,
+      affixes: DataFrame)
+
+  /** Tokenized (doc_id, domain, __t, __n) base shared by mining and
+    * application — pinned, so candidate emission and the strip never
+    * re-tokenize (the at-scale analog persists the snapshot). */
+  private def affixTokenize(
+      docs: DataFrame, domainCol: Column, idCol: Column,
+      textCol: Column): DataFrame =
+    docs
       .select(idCol.as("doc_id"), domainCol.as("domain"),
         tokens(textCol).as("__t"))
       .withColumn("__n", size(col("__t")))
-      // reused by both candidate emissions and the final strip — the
-      // pin saves two re-tokenize passes (the at-scale analog persists)
       .localCheckpoint()
+
+  private def affixCandidates(
+      base: DataFrame, maxAffixTokens: Int, suffix: Boolean): DataFrame = {
+    val ks = sequence(lit(1), least(lit(maxAffixTokens), col("__n")))
+    val affix = (k: Column) =>
+      if (suffix) array_join(slice(col("__t"), col("__n") - k + 1, k), " ")
+      else array_join(slice(col("__t"), lit(1), k), " ")
+    base.select(col("doc_id"), col("domain"),
+      explode(transform(ks,
+        k => struct(k.as("k"), affix(k).as("a")))).as("e"))
+      .select(col("doc_id"), col("domain"),
+        col("e.k").as("k"), col("e.a").as("a"))
+  }
+
+  private def buildFromBase(
+      base: DataFrame, maxAffixTokens: Int, minDocs: Int,
+      minShare: Double): BoilerplateIndex = {
+    require(maxAffixTokens >= 1 && minDocs >= 1 && minShare >= 0.0,
+      "need maxAffixTokens >= 1, minDocs >= 1, minShare >= 0")
     val domSizes = base.groupBy(col("domain")).agg(count(lit(1)).as("__dn"))
-    def candidates(suffix: Boolean): DataFrame = {
-      val ks = sequence(lit(1), least(lit(maxAffixTokens), col("__n")))
-      val affix = (k: Column) =>
-        if (suffix) array_join(slice(col("__t"), col("__n") - k + 1, k), " ")
-        else array_join(slice(col("__t"), lit(1), k), " ")
-      base.select(col("doc_id"), col("domain"),
-        explode(transform(ks,
-          k => struct(k.as("k"), affix(k).as("a")))).as("e"))
-        .select(col("doc_id"), col("domain"),
-          col("e.k").as("k"), col("e.a").as("a"))
-    }
-    def bestK(suffix: Boolean, out: String): DataFrame = {
-      val cand = candidates(suffix)
-      val qualifying = cand
+    def qualifying(suffix: Boolean): DataFrame =
+      affixCandidates(base, maxAffixTokens, suffix)
         .groupBy(col("domain"), col("k"), col("a"))
         .agg(count(lit(1)).as("__df"))
         .join(domSizes, "domain")
         .filter(col("__df") >= minDocs &&
           col("__df") >= lit(minShare) * col("__dn"))
+        .select(col("domain"), lit(if (suffix) "sfx" else "pfx").as("side"),
+          col("k"), col("a"))
+    BoilerplateIndex(maxAffixTokens, minDocs, minShare,
+      qualifying(suffix = false).unionByName(qualifying(suffix = true))
+        .localCheckpoint())
+  }
+
+  def buildBoilerplateIndex(
+      docs: DataFrame,
+      domainCol: Column,
+      idCol: Column,
+      textCol: Column,
+      maxAffixTokens: Int = 8,
+      minDocs: Int = 3,
+      minShare: Double = 0.3): BoilerplateIndex =
+    buildFromBase(affixTokenize(docs, domainCol, idCol, textCol),
+      maxAffixTokens, minDocs, minShare)
+
+  /** Strip a batch against a (possibly reloaded) mined index —
+    * batch-sized work only: the batch's own ≤ maxAffixTokens-per-side
+    * candidates broadcast-join the frozen template relation; the
+    * mining corpus is never re-read. Output shape matches
+    * [[stripDomainBoilerplate]]. */
+  def applyBoilerplate(
+      index: BoilerplateIndex,
+      docs: DataFrame,
+      domainCol: Column,
+      idCol: Column,
+      textCol: Column): DataFrame =
+    applyOnBase(index, affixTokenize(docs, domainCol, idCol, textCol))
+
+  private def applyOnBase(
+      index: BoilerplateIndex, base: DataFrame): DataFrame = {
+    def bestK(suffix: Boolean, out: String): DataFrame = {
+      val side = if (suffix) "sfx" else "pfx"
+      val qualifying = index.affixes.filter(col("side") === side)
         .select(col("domain"), col("k"), col("a"))
-      cand.join(broadcast(qualifying), Seq("domain", "k", "a"))
+      affixCandidates(base, index.maxAffixTokens, suffix)
+        .join(broadcast(qualifying), Seq("domain", "k", "a"))
         .groupBy(col("doc_id"))
         .agg(max(col("k")).as(out))
     }
@@ -925,5 +991,30 @@ object TextAnalysis {
         array_join(slice(col("__t"), col("pfx_stripped") + 1,
           greatest(col("n_tokens") - col("pfx_stripped")
             - col("sfx_stripped"), lit(0))), " ").as("text_clean"))
+  }
+
+  /** Write the mined templates under `path` (`affixes/` + `params/`) —
+    * the saveIvfIndex layout convention. */
+  def saveBoilerplateIndex(index: BoilerplateIndex, path: String): Unit = {
+    val sess = index.affixes.sparkSession
+    import sess.implicits._
+    index.affixes.write.mode("overwrite").parquet(s"$path/affixes")
+    Seq((index.maxAffixTokens, index.minDocs, index.minShare))
+      .toDF("max_affix_tokens", "min_docs", "min_share")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def loadBoilerplateIndex(
+      sess: org.apache.spark.sql.SparkSession,
+      path: String): BoilerplateIndex = {
+    import sess.implicits._
+    val Array((mat, md, ms)) = sess.read.parquet(s"$path/params")
+      .select(col("max_affix_tokens").cast("int"),
+        col("min_docs").cast("int"), col("min_share").cast("double"))
+      .as[(Int, Int, Double)].collect()
+    BoilerplateIndex(mat, md, ms,
+      sess.read.parquet(s"$path/affixes")
+        .select(col("domain"), col("side"), col("k").cast("int"),
+          col("a")))
   }
 }

@@ -884,6 +884,37 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(comp.forall(r => r.getBoolean(0) && !r.getBoolean(1)))
   }
 
+  test("boilerplate index: save/load round-trips; templates strip unseen pages") {
+    import spark.implicits._
+    val a = (0 until 4).map(i =>
+      (i.toLong, "a.com", s"head one two body$i tail$i"))
+    val b = (10 until 13).map(i => (i.toLong, "b.com", s"x$i y$i"))
+    val docs = (a ++ b).toDF("doc_id", "domain", "text")
+    val index = TextAnalysis.buildBoilerplateIndex(
+      docs, col("domain"), col("doc_id"), col("text"),
+      maxAffixTokens = 3, minDocs = 3, minShare = 0.3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bp").toString
+    TextAnalysis.saveBoilerplateIndex(index, dir)
+    val loaded = TextAnalysis.loadBoilerplateIndex(spark, dir)
+    assert(loaded.maxAffixTokens == 3 && loaded.minDocs == 3 &&
+      loaded.minShare == 0.3)
+    assert(loaded.affixes.collect().map(_.toString).sorted.toSeq ==
+      index.affixes.collect().map(_.toString).sorted.toSeq)
+    // an UNSEEN a.com page carrying the mined header strips it (the
+    // decision is on affix text, not doc identity); an unseen b.com
+    // page strips nothing
+    val batch = Seq(
+      (100L, "a.com", "head one two fresh text"),
+      (101L, "b.com", "zq zr zs")).toDF("doc_id", "domain", "text")
+    val got = TextAnalysis.applyBoilerplate(
+      loaded, batch, col("domain"), col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getString(5))))
+      .toMap
+    assert(got(100L) == ((3, 0, "fresh text")), s"got ${got(100L)}")
+    assert(got(101L) == ((0, 0, "zq zr zs")), s"got ${got(101L)}")
+  }
+
   test("soft dedup keeps every singleton and ~1/size of each cluster, deterministically") {
     import spark.implicits._
     val docs = (0L until 100L).map(id => (id, s"t$id")).toDF("doc_id", "text")
