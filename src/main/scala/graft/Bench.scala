@@ -475,11 +475,14 @@ object Bench {
       // PII battery: nine regex passes + the unrolled Luhn filter, all
       // map-only; domain boilerplate: ≤8-row-per-doc-per-side candidate
       // explode into two bounded-key hash aggs + a broadcast join back
-      // — both should ladder ≈ linear. q139/q140/q141 are excluded:
-      // the index cycles are save/load conformance constructs
-      // (op_pq_index/op_sq8_ann ladder the operators), and chunk
-      // semantic dedup is Θ(n·√n) BY CONTRACT (√n cells, the knnGraph
-      // note) — a ladder row would flag the contract, not a regression
+      // — both should ladder ≈ linear. q139/q140/q141/q145 are
+      // excluded: the index cycles are save/load conformance constructs
+      // (op_pq_index/op_sq8_ann/op_incr_semdedup ladder the operators
+      // with FIXED batches — q145's minted batch grows WITH the corpus,
+      // so its probe work is quadratic by fixture construction, not by
+      // operator design), and chunk semantic dedup is Θ(n·√n) BY
+      // CONTRACT (√n cells, the knnGraph note) — a ladder row would
+      // flag the contract, not a regression
       "q142_pii_battery", "q143_domain_boilerplate",
       // boilerplate-apply cycle: mining is the q143 shape, the batch
       // (corpus/7 rows) pays candidate emission + a broadcast template

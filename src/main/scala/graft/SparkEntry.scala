@@ -2833,18 +2833,20 @@ object SparkEntry {
     * aren't SQL-replayable: the oracle replays the minted chunk counts
     * and pins the recall boolean (q81 pattern, strengthened from ≥0.9
     * to exact). */
-  private def qChunkSemDedup(s: SparkSession, d: String): DataFrame = {
-    // tokens MATERIALIZED before the 64-element pad lambda references
-    // them (the chunkSemanticDedup CollapseProject lesson: an inlined
-    // split re-evaluates per element — 64 tokenizes per doc)
+  /** Every doc padded/truncated to EXACTLY 64 nonempty tokens (own
+    * tokens, then deterministic per-doc filler) — the aligned-chunk
+    * corpus shared by q141 and the q145 decontamination cycle. Tokens
+    * are MATERIALIZED before the 64-element pad lambda references them
+    * (the chunkVectors CollapseProject lesson: an inlined split
+    * re-evaluates per element — 64 tokenizes per doc), and bounded at
+    * the 64 indices the pad reads. */
+  private def padded64(s: SparkSession, d: String): DataFrame = {
     val tokenized = t(s, d, "documents")
-      // only indices 0..63 are ever read — bound the stored arrays
-      // before the eager checkpoint (get() past the slice stays null)
       .select(col("doc_id"),
         slice(split(col("text"), " "), 1, 64).as("__tk"))
       .localCheckpoint()
-    // exactly 64 nonempty tokens per base doc (get() is out-of-bounds-
-    // null, and an empty split token also falls through to the filler)
+    // get() is out-of-bounds-null, and an empty split token also falls
+    // through to the filler
     val padTok = (j: Column) => {
       val e = get(col("__tk"), j - 1)
       when(e.isNotNull && length(e) > 0, e)
@@ -2852,8 +2854,11 @@ object SparkEntry {
     }
     val padded = array_join(
       transform(sequence(lit(1), lit(64)), j => padTok(j)), " ")
-    val base = tokenized.select(col("doc_id"), padded.as("text"))
-      .localCheckpoint()
+    tokenized.select(col("doc_id"), padded.as("text")).localCheckpoint()
+  }
+
+  private def qChunkSemDedup(s: SparkSession, d: String): DataFrame = {
+    val base = padded64(s, d)
     val partners = base.select((col("doc_id") + 3).as("doc_id"),
       array_join(slice(split(col("text"), " "), 33, 32), " ").as("ptail"))
     val corpus = base.join(partners, Seq("doc_id"), "left")
@@ -2994,6 +2999,58 @@ object SparkEntry {
     TextAnalysis.applyBoilerplate(
       loaded, batch, col("domain"), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Chunk-level decontamination against a PERSISTED derived-vector
+    * index (q145): the daily-ingest composition of q141's chunk
+    * machinery with the IVF index artifact — chunk the aligned corpus,
+    * hashed-TF-vectorize ([[Similarity.chunkVectors]], embedding-free),
+    * build the IVF index once, WRITE it, reload it, and classify a
+    * batch of suspect documents by probing the frozen artifact
+    * ([[Similarity.incrementalSemanticDedup]]'s probe-only entry — the
+    * mining corpus is never re-read). The batch quotes every 20th
+    * doc's SECOND aligned chunk verbatim: an identical token window
+    * gives an identical vector, whose nearest cell is its origin's own
+    * cell (top probe by construction), so every probe must come back
+    * `near` with cosine exactly 1.0 at 4dp — structural, not recall.
+    * Reload-identity is asserted by probing the built and reloaded
+    * indexes with the same batch. kmeans/IVF internals aren't
+    * SQL-replayable: the oracle pins the minted probe count and the
+    * cycle booleans (q139/q140 pattern). */
+  private def qChunkDecontamCycle(s: SparkSession, d: String): DataFrame = {
+    val base = padded64(s, d)
+    val vecs = Similarity.chunkVectors(base, chunkTokens = 32, dim = 64)
+    val index = Similarity.buildIvfIndex(
+      vecs.select(col("vec_id"), col("embedding")),
+      nCentroids = 16, kmeansIters = 2, seed = 42L)
+    val dir = tempFixtureDir("graft_chunk_decontam")
+    Similarity.saveIvfIndex(index, dir)
+    val loaded = Similarity.loadIvfIndex(s, dir)
+    val offset = 1000000L
+    val batch = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + offset).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 33, 32), " ").as("text"))
+    val bChunks = Similarity.chunkVectors(batch, chunkTokens = 32, dim = 64)
+      .select(col("vec_id").as("batch_id"), col("embedding"))
+    val gotBuilt = Similarity.incrementalSemanticDedup(
+      index, bChunks, threshold = 0.95, nProbes = 4)
+    val gotLoaded = Similarity.incrementalSemanticDedup(
+      loaded, bChunks, threshold = 0.95, nProbes = 4)
+      .localCheckpoint()
+    val a0 = bChunks.agg(count(lit(1)).as("n_probes"))
+    val a1 = gotBuilt.exceptAll(gotLoaded)
+      .unionByName(gotLoaded.exceptAll(gotBuilt))
+      .agg(count(lit(1)).as("n_mismatch"))
+    val a2 = gotLoaded.agg(
+      coalesce(sum(when(col("status") === "near", 1L).otherwise(0L)),
+        lit(0L)).as("n_near"),
+      coalesce(sum(when(col("best_score") === 1.0, 1L).otherwise(0L)),
+        lit(0L)).as("n_exact"))
+    a0.crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
+      .select(col("n_probes"),
+        (col("n_mismatch") === 0L).as("reload_identical_ok"),
+        (col("n_near") === col("n_probes")).as("planted_near_ok"),
+        (col("n_exact") === col("n_probes")).as("score_one_ok"))
   }
 
   /** Daily dedup cycle (q132): the full ingest loop classify → append
@@ -4214,7 +4271,8 @@ object SparkEntry {
     "q141_chunk_semdedup" -> (qChunkSemDedup _),
     "q142_pii_battery" -> (qPiiBattery _),
     "q143_domain_boilerplate" -> (qDomainBoilerplate _),
-    "q144_boilerplate_apply" -> (qBoilerplateApply _))
+    "q144_boilerplate_apply" -> (qBoilerplateApply _),
+    "q145_chunk_decontam_cycle" -> (qChunkDecontamCycle _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -6413,5 +6471,14 @@ object SparkEntry {
              THEN 'fresh' || oid || 'a body' || oid || 'b'
              ELSE 'newu' || oid || ' body' || oid || 'c newv' || oid
            END AS text_clean
-         FROM b ORDER BY doc_id""")
+         FROM b ORDER BY doc_id""",
+    // kmeans/IVF internals aren't SQL-replayable: the oracle pins the
+    // minted probe count and the cycle booleans — each structural on
+    // the Spark side (identical vector -> own cell is the top probe ->
+    // true-cosine 1.0 'near'; deterministic double replay for reload)
+    "q145_chunk_decontam_cycle" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+                 WHERE doc_id % 20 = 0) AS n_probes,
+           true AS reload_identical_ok, true AS planted_near_ok,
+           true AS score_one_ok""")
 }

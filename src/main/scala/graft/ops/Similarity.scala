@@ -570,21 +570,23 @@ object Similarity {
     * @return one row per chunk: (doc_id, chunk_id, n_tokens, kept) —
     *         kept=false means a same-cell chunk with a lower key scored
     *         ≥ `threshold` against it. */
-  def chunkSemanticDedup(
-      docs: DataFrame,
-      chunkTokens: Int,
-      threshold: Double,
-      dim: Int = 64,
-      nCentroidsOpt: Option[Int] = None,
-      kmeansIters: Int = 2,
-      seed: Long = 42L): DataFrame = {
+  /** The shared chunk→vector pipeline ([[chunkSemanticDedup]] and the
+    * chunk-decontamination cycle): aligned token windows, hashed-TF
+    * unigram vectors, and the composite chunk key
+    * `doc_id·2^20 + chunk_id`. The bucket arrays are MATERIALIZED
+    * before the per-dimension TF fold references them: left in the
+    * same plan, CollapseProject inlines the `__b` alias into the
+    * transform lambda and the tokenize+hash re-evaluates per output
+    * element — dim× the intended cost (the dsirWeights O(L²) lesson,
+    * one optimizer rule deeper). The key contract (doc_id ≥ 0, < 2^20
+    * chunks per doc) is ENFORCED — an aliased key would silently
+    * attribute verdicts to the wrong chunk.
+    *
+    * @return checkpointed (doc_id, chunk_id, n_tokens, vec_id,
+    *         embedding). */
+  private[graft] def chunkVectors(
+      docs: DataFrame, chunkTokens: Int, dim: Int): DataFrame = {
     val keyBase = 1L << 20
-    // the bucket arrays are MATERIALIZED before the per-dimension TF
-    // fold references them: left in the same plan, CollapseProject
-    // inlines the __b alias into the transform lambda and the
-    // tokenize+hash re-evaluates per output element — dim× the
-    // intended cost (the dsirWeights O(L²) lesson, one optimizer
-    // rule deeper)
     val bucketed = TextAnalysis
       .chunkDocuments(docs, col("doc_id"), col("text"), chunkTokens, 0)
       .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
@@ -595,19 +597,26 @@ object Similarity {
       .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
         col("vec_id"),
         Curation.hashedTfVector(col("__b"), dim).as("embedding"))
-      // materialized: the centroid count, the dedup's passes, and the
-      // kept-join below all read the vectors without re-vectorizing
       .localCheckpoint()
-    // the key contract is ENFORCED, not just documented (the append-
-    // guard convention): a ≥2^20-chunk document or a negative doc_id
-    // would silently alias chunk keys across documents
     val keyStats = chunks.agg(
       coalesce(max(col("chunk_id")), lit(0)).as("mc"),
       coalesce(min(col("doc_id").cast("long")), lit(0L)).as("mi")).head()
     require(keyStats.getInt(0) < keyBase && keyStats.getLong(1) >= 0L,
-      s"chunkSemanticDedup: chunk keys need 0 <= doc_id and < $keyBase " +
+      s"chunkVectors: chunk keys need 0 <= doc_id and < $keyBase " +
         s"chunks per doc (got max chunk_id ${keyStats.getInt(0)}, min " +
         s"doc_id ${keyStats.getLong(1)})")
+    chunks
+  }
+
+  def chunkSemanticDedup(
+      docs: DataFrame,
+      chunkTokens: Int,
+      threshold: Double,
+      dim: Int = 64,
+      nCentroidsOpt: Option[Int] = None,
+      kmeansIters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val chunks = chunkVectors(docs, chunkTokens, dim)
     val nCentroids = nCentroidsOpt.getOrElse(
       math.max(16, math.ceil(math.sqrt(chunks.count().toDouble)).toInt))
     val surv = semanticDedup(
