@@ -3053,6 +3053,39 @@ object SparkEntry {
         (col("n_exact") === col("n_probes")).as("score_one_ok"))
   }
 
+  /** Mojibake repair over a minted web corpus (q146):
+    * [[graft.functions.MojibakeFunctions.fixMojibake]] -- the
+    * ftfy-style cp1252 round-trip with a strict UTF-8 re-decode --
+    * across five minted classes: single mis-decode (accents),
+    * punctuation family (incl. the unassigned-0x9D C1 passthrough),
+    * double-encoded (fixpoint iteration), mixed clean+garbled
+    * (all-or-nothing contract: must NOT change), and
+    * invalid/unencodable bait (must NOT change). Bases are
+    * ASCII-sanitized fixture text, so every repair is a pinned
+    * literal-to-literal rewrite -- the oracle constructs the expected
+    * repaired text analytically and value-compares every row (the
+    * q142 pattern). Map-only: one codegen kernel call per row. */
+  private def qMojibakeRepair(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val cls = pmod(id, lit(5))
+    val base = regexp_replace(col("text"), "[^\\x20-\\x7e]", "")
+    val mint = when(cls === 0, lit(" caf\u00C3\u00A9 cr\u00C3\u00A8me menu"))
+      .when(cls === 1, lit(" it\u00E2\u20AC\u2122s \u00E2\u20AC\u0153quoted\u00E2\u20AC\u009D here"))
+      .when(cls === 2, lit(" na\u00C3\u0192\u00C2\u00AFve twice"))
+      .when(cls === 3, lit(" caf\u00E9 mixed caf\u00C3\u00A9"))
+      .otherwise(lit(" \u00C3 solo \u0394 delta"))
+    t(s, d, "documents")
+      .select(id, cls.cast("int").as("moji_class"),
+        concat(base, mint).as("text"))
+      .select(id, col("moji_class"), col("text"),
+        graft.functions.MojibakeFunctions.fixMojibake(col("text"))
+          .as("text_fixed"))
+      .select(id, col("moji_class"),
+        (col("text_fixed") =!= col("text")).as("changed"),
+        col("text_fixed"))
+      .orderBy(id)
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4272,7 +4305,8 @@ object SparkEntry {
     "q142_pii_battery" -> (qPiiBattery _),
     "q143_domain_boilerplate" -> (qDomainBoilerplate _),
     "q144_boilerplate_apply" -> (qBoilerplateApply _),
-    "q145_chunk_decontam_cycle" -> (qChunkDecontamCycle _))
+    "q145_chunk_decontam_cycle" -> (qChunkDecontamCycle _),
+    "q146_mojibake_repair" -> (qMojibakeRepair _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -6480,5 +6514,27 @@ object SparkEntry {
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
                  WHERE doc_id % 20 = 0) AS n_probes,
            true AS reload_identical_ok, true AS planted_near_ok,
-           true AS score_one_ok""")
+           true AS score_one_ok""",
+    // every repair is a pinned literal-to-literal rewrite over an
+    // ASCII-sanitized base, so the expected repaired text is
+    // constructed analytically and value-compared per row; classes
+    // 3/4 are the all-or-nothing negative controls
+    "q146_mojibake_repair" ->
+      raw"""WITH m AS (
+             SELECT doc_id, CAST(doc_id % 5 AS INT) AS moji_class,
+               regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS base
+             FROM documents)
+         SELECT doc_id, moji_class,
+           moji_class IN (0, 1, 2) AS changed,
+           base || CASE moji_class
+             WHEN 0 THEN ' caf' || chr(233) || ' cr' || chr(232) ||
+                         'me menu'
+             WHEN 1 THEN ' it' || chr(8217) || 's ' || chr(8220) ||
+                         'quoted' || chr(8221) || ' here'
+             WHEN 2 THEN ' na' || chr(239) || 've twice'
+             WHEN 3 THEN ' caf' || chr(233) || ' mixed caf' ||
+                         chr(195) || chr(169)
+             ELSE ' ' || chr(195) || ' solo ' || chr(916) || ' delta'
+           END AS text_fixed
+         FROM m ORDER BY doc_id""")
 }

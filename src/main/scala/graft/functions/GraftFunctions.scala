@@ -154,6 +154,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "extract_html_text",
       es => ExtractHtmlText(Cast(es.head, StringType)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "fix_mojibake",
+      es => FixMojibake(Cast(es.head, StringType)), "built-in")
     // ClickHouse spelling the reference SQL uses: `currentDatabase()`
     // (Spark calls it current_database) — a pure alias, safe to leave
     // registered session-wide. The zero-arg `count()` spelling shadows a

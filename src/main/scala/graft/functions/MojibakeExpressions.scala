@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mojibake repair — the encoding-fix pass a web-scale ingest runs
+  * before any fingerprinting (the ftfy problem): UTF-8 bytes that some
+  * upstream system decoded as Windows-1252/Latin-1 arrive as character
+  * salad ("cafÃ©" for "café",
+  * "â€™" for the right single quote U+2019). Left
+  * unfixed, the garbled copy can never exact-dedup against the clean
+  * one and every downstream quality/langid signal degrades.
+  *
+  * The repair is the deterministic inverse of the corruption:
+  * re-encode the string's chars through the cp1252 byte map and
+  * strictly re-decode the bytes as UTF-8. The contract is
+  * ALL-OR-NOTHING per value:
+  *
+  *  - every char must be cp1252-encodable (one byte; the five
+  *    unassigned cp1252 slots 0x81 0x8D 0x8F 0x90 0x9D pass through
+  *    as their C1 controls, mirroring the Windows converters that
+  *    produce mojibake in the first place) — any other char means the
+  *    value was never a cp1252 mis-decode, so it is returned verbatim;
+  *  - the re-encoded bytes must form STRICTLY valid UTF-8 (overlongs,
+  *    surrogates, out-of-range and truncated sequences all reject —
+  *    hand-rolled decoder below, no replacement chars ever emitted);
+  *    pure-ASCII values short-circuit unchanged.
+  *
+  * A mixed value (a proper "é" alongside a garbled
+  * "Ã©") re-encodes to invalid UTF-8 and stays untouched:
+  * repairing half a string risks corrupting the clean half, and
+  * whole-string validity is the strong signal that the entire value
+  * went through the wrong decoder. Double-encoded text (two wrong
+  * decode cycles) repairs by iterating to a fixpoint, capped at 3
+  * rounds — each successful round strictly shrinks the char count, and
+  * real corpora never nest deeper.
+  *
+  * Every minted repair is a pinned literal-to-literal rewrite, so a
+  * SQL engine replays the oracle by construction (the q142 pattern).
+  */
+object MojibakeImpl {
+
+  /** cp1252 bytes 0x80–0x9F as Unicode code points (the rest of the
+    * byte range maps identically to U+00xx). */
+  private val c1ToUni: Array[Int] = Array(
+    0x20ac, 0x0081, 0x201a, 0x0192, 0x201e, 0x2026, 0x2020, 0x2021,
+    0x02c6, 0x2030, 0x0160, 0x2039, 0x0152, 0x008d, 0x017d, 0x008f,
+    0x0090, 0x2018, 0x2019, 0x201c, 0x201d, 0x2022, 0x2013, 0x2014,
+    0x02dc, 0x2122, 0x0161, 0x203a, 0x0153, 0x009d, 0x017e, 0x0178)
+
+  /** char → cp1252 byte (0..255), or -1 when not encodable. Dense
+    * array over the BMP chars that can appear (all cp1252 images are
+    * < 0x2200). */
+  private val uniToByte: Array[Byte] = {
+    val m = Array.fill[Byte](0x2200)(-1)
+    val covered = Array.fill(0x2200)(false)
+    var b = 0
+    while (b < 256) {
+      val uni = if (b >= 0x80 && b <= 0x9f) c1ToUni(b - 0x80) else b
+      m(uni) = b.toByte
+      covered(uni) = true
+      b += 1
+    }
+    // 0x80–0x9F code points not claimed by a C1 passthrough slot are
+    // NOT encodable (cp1252 maps those bytes to punctuation instead)
+    var cp = 0x80
+    while (cp < 0xa0) {
+      if (!covered(cp)) m(cp) = -1
+      cp += 1
+    }
+    m
+  }
+
+  private def encodeByte(c: Char): Int =
+    if (c < 0x2200) {
+      val b = uniToByte(c)
+      if (b == -1 && c != 0xff) -1 else b.toInt & 0xff
+    } else -1
+
+  /** Strict UTF-8 decode of `bytes[0, n)` into `out`; returns the char
+    * count, or -1 on ANY malformed content (overlong, surrogate,
+    * > U+10FFFF, truncated, stray continuation). `out` must hold n
+    * chars (decoding never grows the char count). */
+  private def strictDecode(bytes: Array[Byte], n: Int, out: Array[Char]): Int = {
+    var i = 0
+    var o = 0
+    while (i < n) {
+      val b0 = bytes(i) & 0xff
+      if (b0 < 0x80) { out(o) = b0.toChar; o += 1; i += 1 }
+      else if (b0 < 0xc2) return -1 // continuation or overlong lead
+      else if (b0 < 0xe0) { // 2-byte
+        if (i + 1 >= n) return -1
+        val b1 = bytes(i + 1) & 0xff
+        if ((b1 & 0xc0) != 0x80) return -1
+        out(o) = (((b0 & 0x1f) << 6) | (b1 & 0x3f)).toChar
+        o += 1; i += 2
+      } else if (b0 < 0xf0) { // 3-byte
+        if (i + 2 >= n) return -1
+        val b1 = bytes(i + 1) & 0xff
+        val b2 = bytes(i + 2) & 0xff
+        if ((b1 & 0xc0) != 0x80 || (b2 & 0xc0) != 0x80) return -1
+        val cp = ((b0 & 0x0f) << 12) | ((b1 & 0x3f) << 6) | (b2 & 0x3f)
+        if (cp < 0x800) return -1 // overlong
+        if (cp >= 0xd800 && cp <= 0xdfff) return -1 // surrogate
+        out(o) = cp.toChar
+        o += 1; i += 3
+      } else if (b0 < 0xf5) { // 4-byte
+        if (i + 3 >= n) return -1
+        val b1 = bytes(i + 1) & 0xff
+        val b2 = bytes(i + 2) & 0xff
+        val b3 = bytes(i + 3) & 0xff
+        if ((b1 & 0xc0) != 0x80 || (b2 & 0xc0) != 0x80 ||
+          (b3 & 0xc0) != 0x80) return -1
+        val cp = ((b0 & 0x07) << 18) | ((b1 & 0x3f) << 12) |
+          ((b2 & 0x3f) << 6) | (b3 & 0x3f)
+        if (cp < 0x10000 || cp > 0x10ffff) return -1
+        out(o) = Character.highSurrogate(cp)
+        out(o + 1) = Character.lowSurrogate(cp)
+        o += 2; i += 4
+      } else return -1
+    }
+    o
+  }
+
+  /** One repair round: null when the value is not a whole-string
+    * cp1252 mis-decode (pure ASCII, unencodable char, or invalid
+    * UTF-8 after re-encoding). */
+  private def fixOnce(s: String): String = {
+    val n = s.length
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return null
+    val bytes = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val b = encodeByte(s.charAt(i))
+      if (b < 0) return null
+      bytes(i) = b.toByte
+      i += 1
+    }
+    val out = new Array[Char](n)
+    val o = strictDecode(bytes, n, out)
+    if (o < 0) return null
+    new String(out, 0, o)
+  }
+
+  def fixMojibake(u: UTF8String): UTF8String = {
+    var s = u.toString
+    var changed = false
+    var iter = 0
+    var done = false
+    while (!done && iter < 3) {
+      val f = fixOnce(s)
+      if (f == null) done = true
+      else { s = f; changed = true; iter += 1 }
+    }
+    if (changed) UTF8String.fromString(s) else u
+  }
+}
+
+/** `fix_mojibake(s)` — the repair kernel as a native codegen
+  * expression (one static call per row inside whole-stage codegen;
+  * the ASCII fast path makes the common clean row a single scan). */
+case class FixMojibake(child: Expression) extends UnaryExpression {
+  // input contract: StringType (the Column wrapper casts)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    MojibakeImpl.fixMojibake(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MojibakeImpl.fixMojibake($c)")
+  override protected def withNewChildInternal(c: Expression): FixMojibake =
+    copy(c)
+  override def prettyName: String = "fix_mojibake"
+}
+
+object MojibakeFunctions {
+  /** Column API: repair `c` per the [[MojibakeImpl]] contract. */
+  def fixMojibake(c: Column): Column =
+    column(FixMojibake(expression(c.cast("string"))))
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{MojibakeFunctions, MojibakeImpl}
+
+/** Every non-ASCII char below is escape-spelled (repo hygiene rule):
+  * several of the cp1252 images under test (U+009D, U+00A0) are
+  * invisible and would not survive as literals. */
+class MojibakeSpec extends SparkSpec {
+
+  private def fix(s: String): String =
+    MojibakeImpl.fixMojibake(UTF8String.fromString(s)).toString
+
+  test("single cp1252 mis-decode repairs: accents and punctuation") {
+    // "caf\u00E9" mis-decoded: UTF-8 C3 A9 read as cp1252 = A-tilde +
+    // copyright
+    assert(fix("caf\u00C3\u00A9") === "caf\u00E9")
+    // U+2019 (E2 80 99) -> a-circumflex + euro + TM
+    assert(fix("it\u00E2\u20AC\u2122s") === "it\u2019s")
+    // U+201C (E2 80 9C) -> 0x9C = oe ligature U+0153
+    assert(fix("\u00E2\u20AC\u0153q") === "\u201Cq")
+    // U+201D (E2 80 9D): 0x9D is an unassigned cp1252 slot -> C1
+    // passthrough U+009D (invisible)
+    assert(fix("\u00E2\u20AC\u009Dq") === "\u201Dq")
+    // U+00FF via C3 BF exercises the 0xFF byte (== -1.toByte) path
+    assert(fix("\u00C3\u00BFx") === "\u00FFx")
+  }
+
+  test("double-encoded text iterates to the fixpoint") {
+    // "na\u00EFve" double-corrupted: \u00EF -> C3 AF -> "\u00C3\u00AF"
+    // -> C3 83 C2 AF -> A-tilde + florin + A-circumflex + macron
+    assert(fix("na\u00C3\u0192\u00C2\u00AFve") === "na\u00EFve")
+  }
+
+  test("all-or-nothing: mixed clean + garbled stays untouched") {
+    // proper \u00E9 re-encodes to lone E9 (a 3-byte lead) -> invalid
+    val mixed = "caf\u00E9 and caf\u00C3\u00A9"
+    assert(fix(mixed) === mixed)
+  }
+
+  test("negative controls: ASCII, unencodable, invalid sequences") {
+    assert(fix("plain ascii 123") === "plain ascii 123")
+    assert(fix("") === "")
+    // Greek Delta has no cp1252 byte
+    assert(fix("ok \u0394 delta") === "ok \u0394 delta")
+    // lone A-tilde before ASCII space: C3 20 is truncated -> untouched
+    assert(fix("\u00C3 solo") === "\u00C3 solo")
+    // trailing lead byte: truncated at end of value
+    assert(fix("tail\u00C3") === "tail\u00C3")
+  }
+
+  test("strictness: overlong and surrogate encodings reject") {
+    // C0 AF would decode '/' overlong (b0 < 0xC2 rejects)
+    assert(fix("x\u00C0\u00AFy") === "x\u00C0\u00AFy")
+    // ED A0 80 = UTF-8 image of surrogate U+D800; cp1252 image is
+    // i-acute + NBSP + euro (the NBSP is why this file escape-spells)
+    val surr = "x\u00ED\u00A0\u20ACy"
+    assert(fix(surr) === surr)
+    // astral chars (surrogate pairs in the String) are unencodable
+    val astral = "a\uD83D\uDE00b"
+    assert(fix(astral) === astral)
+  }
+
+  test("column API and SQL spelling reach the same kernel") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(("caf\u00C3\u00A9", 1), ("plain", 2)).toDF("t", "id")
+    val viaCol = df.select(MojibakeFunctions.fixMojibake(col("t")).as("f"))
+      .as[String].collect().toSeq
+    df.createOrReplaceTempView("moji_in")
+    val viaSql = spark.sql("SELECT fix_mojibake(t) AS f FROM moji_in")
+      .as[String].collect().toSeq
+    assert(viaCol === Seq("caf\u00E9", "plain"))
+    assert(viaSql === viaCol)
+  }
+}
