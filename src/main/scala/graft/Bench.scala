@@ -489,8 +489,9 @@ object Bench {
       // join — linear
       "q144_boilerplate_apply",
       // mojibake repair: one codegen kernel call per row with an ASCII
-      // fast path, map-only — should ladder ≈ linear
-      "q146_mojibake_repair",
+      // fast path, map-only — should ladder ≈ linear; code-vs-prose:
+      // per-row built-in expressions, map-only — likewise
+      "q146_mojibake_repair", "q147_code_prose",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

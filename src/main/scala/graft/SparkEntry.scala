@@ -3086,6 +3086,34 @@ object SparkEntry {
       .orderBy(id)
   }
 
+  /** Code-vs-prose detection (q147):
+    * [[TextAnalysis.codeProseReport]] — the StarCoder-style structural
+    * triage (symbol density, indentation, statement terminators, code
+    * keywords) — across three minted classes: natural fixture prose, a
+    * per-doc minted code block, and prose with a one-line code tail.
+    * Every feature is a built-in expression, so the oracle replays the
+    * ENTIRE computation — features, thresholds, and verdict — from the
+    * same minted text (the q136 full-replay pattern, no pinned
+    * booleans). Map-only: per-row expressions, no shuffle. */
+  private def qCodeProse(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val cls = pmod(id, lit(3))
+    val codeBlock = concat(
+      lit("def f"), id, lit("(x):\n    return x + "), id, lit(";\n"),
+      lit("class C"), id, lit(" {\n"),
+      lit("    void g() { y = "), id, lit("; }\n"),
+      lit("    if (y > 0) { y = y * 2; }\n"),
+      lit("}\nimport lib"), id, lit(";\nconst z = "), id, lit(";"))
+    val minted = t(s, d, "documents").select(id,
+      when(cls === 0, col("text"))
+        .when(cls === 1, codeBlock)
+        .otherwise(concat(col("text"), lit("\nx = 1;")))
+        .as("text"))
+    TextAnalysis.codeProseReport(minted)
+      .withColumn("code_class", pmod(col("doc_id"), lit(3)).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4306,7 +4334,8 @@ object SparkEntry {
     "q143_domain_boilerplate" -> (qDomainBoilerplate _),
     "q144_boilerplate_apply" -> (qBoilerplateApply _),
     "q145_chunk_decontam_cycle" -> (qChunkDecontamCycle _),
-    "q146_mojibake_repair" -> (qMojibakeRepair _))
+    "q146_mojibake_repair" -> (qMojibakeRepair _),
+    "q147_code_prose" -> (qCodeProse _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -6536,5 +6565,55 @@ object SparkEntry {
                          chr(195) || chr(169)
              ELSE ' ' || chr(195) || ' solo ' || chr(916) || ' delta'
            END AS text_fixed
-         FROM m ORDER BY doc_id""")
+         FROM m ORDER BY doc_id""",
+    // full replay (q136 pattern): the mint, every feature, the
+    // thresholds and the verdict are all recomputed in SQL -- classes
+    // 0/2 run the battery over natural fixture text with no structural
+    // assumptions
+    "q147_code_prose" ->
+      raw"""WITH m AS (
+             SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN text
+                 WHEN 1 THEN 'def f' || doc_id || '(x):' || chr(10) ||
+                   '    return x + ' || doc_id || ';' || chr(10) ||
+                   'class C' || doc_id || ' {' || chr(10) ||
+                   '    void g() { y = ' || doc_id || '; }' || chr(10) ||
+                   '    if (y > 0) { y = y * 2; }' || chr(10) ||
+                   '}' || chr(10) || 'import lib' || doc_id || ';' ||
+                   chr(10) || 'const z = ' || doc_id || ';'
+                 ELSE text || chr(10) || 'x = 1;'
+               END AS text
+             FROM documents),
+           f AS (
+             SELECT doc_id, text,
+               string_split(text, chr(10)) AS lines,
+               list_filter(string_split(text, chr(10)),
+                 l -> length(l) > 0) AS ne,
+               length(text) AS n_chars,
+               length(text) -
+                 length(translate(text, '{}();=<>#[]', '')) AS n_sym
+             FROM m),
+           g AS (
+             SELECT doc_id,
+               CAST(len(lines) AS INT) AS n_lines,
+               round(n_sym / greatest(n_chars, 1), 4) AS sym_frac,
+               round(len(list_filter(ne,
+                   l -> l[1] = ' ' OR l[1] = chr(9)))
+                 / greatest(len(ne), 1), 4) AS indent_frac,
+               round(len(list_filter(ne,
+                   l -> l[-1] IN (';', '{', '}')))
+                 / greatest(len(ne), 1), 4) AS eol_frac,
+               CAST(len(regexp_extract_all(text,
+                 '\b(def|function|return|import|const|void|struct|printf|lambda|public)\b'))
+                 AS INT) AS kw_hits,
+               round(CAST(n_chars AS DOUBLE) / greatest(len(lines), 1), 2)
+                 AS avg_line_len
+             FROM f)
+         SELECT doc_id, n_lines, sym_frac, indent_frac, eol_frac,
+           kw_hits, avg_line_len,
+           (sym_frac >= 0.03 AND (indent_frac >= 0.25 OR
+             eol_frac >= 0.2 OR kw_hits >= 3)) AS is_code,
+           CAST(doc_id % 3 AS INT) AS code_class
+         FROM g ORDER BY doc_id""")
 }

@@ -1946,4 +1946,34 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     featsAfter.filter(_.media_type == "image")
       .foreach(f => assert(f.decoded_w == 24 && f.decoded_h == 20))
   }
+
+  test("code-vs-prose report: hand-computed features and both verdicts") {
+    import spark.implicits._
+    val code = "def f(x):\n    return x + 1;\nclass C {\n    int y = 2;\n}"
+    // 5 lines, all non-empty; indented: 2; eol ;/{/}: 4 (lines 2-5)
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "some more plain english words follow here"
+    val df = Seq((1L, code), (2L, prose)).toDF("doc_id", "text")
+    val got = TextAnalysis.codeProseReport(df).orderBy("doc_id").collect()
+    val c = got(0)
+    assert(c.getAs[Int]("n_lines") === 5)
+    // syms in code: ():+;{=;} -> ( ) ; { = ; } = and [] none -> count:
+    // line1 ():2? '(' ')' and ':' not counted -> 2; line2 '+' no, ';' 1;
+    // line3 '{' 1; line4 '=' 1 ';' 1; line5 '}' 1  => 7; chars = 58
+    assert(c.getAs[Double]("sym_frac") === math.rint(7.0 / code.length * 10000) / 10000)
+    assert(c.getAs[Double]("indent_frac") === 0.4)   // 2 of 5
+    assert(c.getAs[Double]("eol_frac") === 0.8)      // 4 of 5
+    assert(c.getAs[Int]("kw_hits") === 2)            // def, return
+    assert(c.getAs[Boolean]("is_code"))
+    val pr = got(1)
+    assert(pr.getAs[Int]("n_lines") === 1)
+    assert(pr.getAs[Double]("sym_frac") === 0.0)
+    assert(!pr.getAs[Boolean]("is_code"))
+    // structure alone never decides: indented poetry with no symbols
+    val poem = "  roses are red\n  violets are blue\n  sugar is sweet"
+    val pv = TextAnalysis.codeProseReport(Seq((3L, poem)).toDF("doc_id", "text"))
+      .head
+    assert(pv.getAs[Double]("indent_frac") === 1.0)
+    assert(!pv.getAs[Boolean]("is_code"))
+  }
 }
