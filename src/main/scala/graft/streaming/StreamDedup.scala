@@ -128,6 +128,92 @@ object StreamDedup {
       .filter(col("score") >= threshold)
   }
 
+  /** Quantized-ANN candidate gate of a STREAM against the persisted PQ
+    * artifact laid out over the IVF cell structure — the FOURTH
+    * streaming modality beside [[corpusGate]] (exact fingerprints),
+    * [[semanticMatches]] (raw-embedding IVF) and [[spanMatches]]
+    * (verbatim spans): the in-stream probe touches NO raw corpus
+    * floats, only the m-bytes-per-vector codes relation — the probe a
+    * 100 TB deployment can actually hold near the stream (the
+    * [[graft.ops.Similarity.pqProbe]] posture, lifted to streaming).
+    *
+    * Static side: `ivf.assigned ⋈ pq.codes` projected to
+    * (cell, vec_id, codes) — computed once at gate construction and
+    * pinned (at scale this IS the saved index layout, partitioned by
+    * cell). Stream side: each vector maps to its `nProbes` nearest
+    * cells (broadcast centroids, map-only), equi-joins the cell, and
+    * every candidate scores by asymmetric-distance computation against
+    * the broadcast codebooks (`dot(q, recon)/‖recon‖`, the pqProbe
+    * formula, 6dp). Rows ≥ `threshold` emit; candidate-gate semantics
+    * like [[spanMatches]] — a hit quarantines the doc for the
+    * batch-side exact pass, the contract being both artifacts were
+    * built over the SAME corpus relation. Stateless: no state store,
+    * no watermark; index immutability over the run is the same
+    * daily-ingest contract as the other gates.
+    *
+    * @return one row per (streamed vector, candidate ≥ threshold):
+    *         (idCol, corpus_id, adc_score). */
+  def pqMatches(
+      stream: DataFrame,
+      ivf: graft.ops.Similarity.IvfIndex,
+      pq: graft.ops.Similarity.PqIndex,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      nProbes: Int = 4): DataFrame = {
+    require(!Set("cell", "s_emb", "corpus_id", "vec_id", "codes",
+      "adc_score").contains(idCol),
+      s"idCol '$idCol' collides with a pqMatches internal or output " +
+        "column — alias the stream's id column first")
+    val sess = pq.codes.sparkSession
+    import sess.implicits._
+    import graft.ops.Similarity
+    val cellCodes = ivf.assigned.select(col("cell"), col("vec_id"))
+      .join(pq.codes.select(col("vec_id").cast("long"),
+        col("codes").cast("binary")), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bcC = sess.sparkContext.broadcast(ivf.centroids)
+    val bcBooks = sess.sparkContext.broadcast(pq.codebooks)
+    val sub = pq.sub
+    stream
+      .select(col(idCol).cast("long"), col(embCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.flatMap { case (id, emb) =>
+          Similarity.probeCells(emb, cs, nProbes)
+            .map(cell => (cell, id, emb))
+        }
+      }.toDF("cell", idCol, "s_emb")
+      .join(cellCodes, "cell")
+      .select(col(idCol), col("s_emb"), col("vec_id"), col("codes"))
+      .as[(Long, Array[Float], Long, Array[Byte])]
+      .mapPartitions { it =>
+        val books = bcBooks.value
+        val m = books.length
+        it.flatMap { case (id, emb, vid, codes) =>
+          var d = 0.0
+          var nrmSq = 0.0
+          var mi = 0
+          while (mi < m) {
+            val cw = books(mi)(codes(mi) & 0xFF)
+            val off = mi * sub
+            var j = 0
+            while (j < sub) {
+              d += emb(off + j).toDouble * cw(j)
+              nrmSq += cw(j) * cw(j)
+              j += 1
+            }
+            mi += 1
+          }
+          val score = if (nrmSq == 0.0) 0.0 else d / math.sqrt(nrmSq)
+          if (score >= threshold)
+            Iterator.single((id, vid, math.rint(score * 1e6) / 1e6))
+          else Iterator.empty
+        }
+      }.toDF(idCol, "corpus_id", "adc_score")
+  }
+
   /** Verbatim-span candidate matches of a STREAM against the persisted
     * span index — the third index modality's streaming gate beside
     * [[corpusGate]] (exact fingerprints) and [[semanticMatches]]

@@ -99,6 +99,79 @@ class StreamDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("pqMatches probes the compressed PQ artifact in-stream: exact replay, no state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 16
+    def vec(seedBase: Long): Array[Float] = Array.tabulate(dim)(i =>
+      ((graft.functions.Impl.mix64(seedBase + i) & 0xFFFFL) / 65535f) - 0.5f)
+    val corpusRows = (0 until 120).map(id => (id.toLong, vec(id * 131L)))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val ivf = graft.ops.Similarity.buildIvfIndex(
+      corpus, nCentroids = 8, kmeansIters = 2, seed = 42L)
+    val pq = graft.ops.Similarity.buildPqIndex(
+      corpus, m = 8, nCodes = 16, kmeansIters = 2, seed = 42L)
+    val nProbes = 3
+    val threshold = 0.8
+    val source = MemoryStream[(Long, Array[Float])]
+    val matches = StreamDedup.pqMatches(
+      source.toDF().toDF("doc_id", "embedding"), ivf, pq,
+      "doc_id", "embedding", threshold, nProbes)
+    val query = matches.writeStream.format("memory").queryName("pq_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val streamed = Seq(
+        (1007L, corpusRows(7)._2.map(x => x * 1.001f)),
+        (5000L, vec(991L * 7919L)),
+        (1042L, corpusRows(42)._2.map(x => x * 1.001f)),
+        (5001L, vec(993L * 7919L)))
+      source.addData(streamed.take(2))
+      query.processAllAvailable()
+      // the artifact is immutable across triggers -- batch 2 probes it too
+      source.addData(streamed.drop(2))
+      query.processAllAvailable()
+      val got = spark.table("pq_gate")
+        .select("doc_id", "corpus_id", "adc_score")
+        .as[(Long, Long, Double)].collect().toSet
+      // driver-side EXACT replay of the gate: probed cells -> cell
+      // members -> ADC score -> threshold (same arithmetic)
+      val members = ivf.assigned.select("cell", "vec_id")
+        .as[(Int, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val codesById = pq.codes.select("vec_id", "codes")
+        .as[(Long, Array[Byte])].collect().toMap
+      val expected = (for {
+        (sid, emb) <- streamed
+        cell <- graft.ops.Similarity.probeCells(emb, ivf.centroids, nProbes)
+        vid <- members.getOrElse(cell, Set.empty[Long])
+      } yield {
+        val codes = codesById(vid)
+        var d = 0.0; var nrmSq = 0.0; var mi = 0
+        while (mi < pq.m) {
+          val cw = pq.codebooks(mi)(codes(mi) & 0xFF); val off = mi * pq.sub
+          var j = 0
+          while (j < pq.sub) {
+            d += emb(off + j).toDouble * cw(j); nrmSq += cw(j) * cw(j); j += 1
+          }
+          mi += 1
+        }
+        val score = if (nrmSq == 0.0) 0.0 else d / math.sqrt(nrmSq)
+        (sid, vid, score)
+      }).filter(_._3 >= threshold)
+        .map { case (a, b, sc) => (a, b, math.rint(sc * 1e6) / 1e6) }.toSet
+      assert(got === expected,
+        s"stream gate must equal the driver replay; missing=" +
+          s"${expected -- got} extra=${got -- expected}")
+      // the planted copies gate against their own source vectors
+      assert(got.exists { case (a, b, _) => a == 1007L && b == 7L })
+      assert(got.exists { case (a, b, _) => a == 1042L && b == 42L })
+      // stateless: no state store rows
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
   test("simhash fingerprint dedup collapses near-identical docs in-stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
