@@ -492,6 +492,10 @@ object Bench {
       // fast path, map-only — should ladder ≈ linear; code-vs-prose:
       // per-row built-in expressions, map-only — likewise
       "q146_mojibake_repair", "q147_code_prose",
+      // pipeline v4 front-end: repair kernel map pass + the q143/q144
+      // mining aggs + broadcast template join + the map-only scrub
+      // battery — linear
+      "q148_curation_pipeline4",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -3114,6 +3114,55 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Curation pipeline v4 -- the web-refinement FRONT-END (q148): the
+    * three cleaning passes a crawl runs before any dedup/quality gate,
+    * composed over one minted web corpus and each replayed by the
+    * oracle: (1) encoding repair ([[graft.functions.MojibakeFunctions
+    * .fixMojibake]] -- a map-only kernel; the repair is a pinned
+    * literal rewrite), (2) per-domain template mining + strip
+    * ([[TextAnalysis.buildBoilerplateIndex]]/[[TextAnalysis
+    * .applyBoilerplate]] -- the q143 affix math makes the strip
+    * analytic), (3) the full PII scrub battery
+    * ([[Curation.scrubPiiAll]] -- the oracle replays the same
+    * eight-regex chain, one shared spelling). Final text
+    * value-compared per row; mining is two bounded-key hash aggs, the
+    * rest map passes + one broadcast template join -- linear. */
+  private def qCurationPipeline4(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val domK = pmod(id, lit(20))
+    val dom = concat(lit("site"), domK, lit(".com"))
+    val templated = pmod(domK, lit(4)) =!= 3
+    val moji = when(pmod(id, lit(2)) === 0, lit(" caf\u00C3\u00A9"))
+      .otherwise(lit(" cafok"))
+    val inner = concat(lit("u"), id, lit("x "), col("text"),
+      lit(" user"), id, lit("@example.com"), moji,
+      lit(" v"), id, lit("y"))
+    val text0 = when(templated,
+        concat(lit("welcome to "), dom, lit(" home of daily news "),
+          inner, lit(" copyright "), dom, lit(" all rights reserved")))
+      .otherwise(concat(lit("only"), id, lit(" "), inner,
+        lit(" end"), id))
+    val repaired = t(s, d, "documents")
+      .select(id, dom.as("domain"), text0.as("text"))
+      .select(id, col("domain"), col("text"),
+        graft.functions.MojibakeFunctions.fixMojibake(col("text"))
+          .as("t1"))
+      .withColumn("moji_changed", col("t1") =!= col("text"))
+      .select(id, col("domain"), col("moji_changed"), col("t1"))
+      .localCheckpoint()
+    val idx = TextAnalysis.buildBoilerplateIndex(
+      repaired, col("domain"), col("doc_id"), col("t1"),
+      maxAffixTokens = 8, minDocs = 3, minShare = 0.3)
+    val stripped = TextAnalysis.applyBoilerplate(
+      idx, repaired, col("domain"), col("doc_id"), col("t1"))
+    val scrubbed = Curation.scrubPiiAll(stripped, col("text_clean"))
+      .select(col("doc_id"), col("pfx_stripped"), col("sfx_stripped"),
+        col("n_emails"), col("scrubbed").as("text_final"))
+    repaired.select(id, col("domain"), col("moji_changed"))
+      .join(scrubbed, "doc_id")
+      .orderBy(id)
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4335,7 +4384,8 @@ object SparkEntry {
     "q144_boilerplate_apply" -> (qBoilerplateApply _),
     "q145_chunk_decontam_cycle" -> (qChunkDecontamCycle _),
     "q146_mojibake_repair" -> (qMojibakeRepair _),
-    "q147_code_prose" -> (qCodeProse _))
+    "q147_code_prose" -> (qCodeProse _),
+    "q148_curation_pipeline4" -> (qCurationPipeline4 _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -4370,6 +4420,24 @@ object SparkEntry {
                  '&#39;', chr(39)), '&apos;', chr(39)),
                  '&nbsp;', ' '), '&amp;', '&'),
                '[ \t\n\r]+', ' ', 'g')) AS extracted"""
+
+  // the q142/q148 PII scrub chain -- ONE spelling (the repetition-CTE
+  // convention): `e` is any SQL string expression; order matches
+  // Curation.scrubPiiAll exactly
+  private def piiScrubSql(e: String): String =
+    raw"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace($e,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]',
+                   'g'),
+                 '\b[0-9]{16}\b', '[CARD]', 'g'),
+               '\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}',
+               '[PHONE]', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+               '\b(?:[0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\b', '[IP6]', 'g'),
+               '\bAKIA[0-9A-Z]{16}\b', '[AWSKEY]', 'g'),
+               'Bearer [A-Za-z0-9._-]+', 'Bearer [TOKEN]', 'g'),
+               '-----BEGIN (?:[A-Z]+ )?PRIVATE KEY-----', '[PEM]', 'g')"""
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -6470,19 +6538,7 @@ object SparkEntry {
              CAST(len(regexp_extract_all(text,
                '-----BEGIN (?:[A-Z]+ )?PRIVATE KEY-----')) AS INT)
                AS n_pem,
-             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(regexp_replace(regexp_replace(
-                 regexp_replace(text,
-                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]',
-                   'g'),
-                 '\b[0-9]{16}\b', '[CARD]', 'g'),
-               '\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}',
-               '[PHONE]', 'g'),
-               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
-               '\b(?:[0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\b', '[IP6]', 'g'),
-               '\bAKIA[0-9A-Z]{16}\b', '[AWSKEY]', 'g'),
-               'Bearer [A-Za-z0-9._-]+', 'Bearer [TOKEN]', 'g'),
-               '-----BEGIN (?:[A-Z]+ )?PRIVATE KEY-----', '[PEM]', 'g')
+             ${piiScrubSql("text")}
                AS scrubbed
            FROM p ORDER BY doc_id""",
     // the mint replayed, the strip derived analytically: templated
@@ -6615,5 +6671,41 @@ object SparkEntry {
            (sym_frac >= 0.03 AND (indent_frac >= 0.25 OR
              eol_frac >= 0.2 OR kw_hits >= 3)) AS is_code,
            CAST(doc_id % 3 AS INT) AS code_class
-         FROM g ORDER BY doc_id""")
+         FROM g ORDER BY doc_id""",
+    // every stage replayed: the repair is a pinned literal rewrite
+    // (fixture text is pure ASCII -- asserted by the q146 sanitize
+    // convention), the strip is the q143 affix math, the scrub is the
+    // shared eight-regex chain; final text value-compared per row
+    "q148_curation_pipeline4" ->
+      raw"""WITH p AS (
+             SELECT doc_id,
+               'site' || (doc_id % 20) || '.com' AS domain,
+               (doc_id % 20) % 4 <> 3 AS templated,
+               doc_id % 2 = 0 AS moji, text
+             FROM documents),
+           r AS (
+             SELECT doc_id, domain, moji AS moji_changed, templated,
+               'u' || doc_id || 'x ' || text || ' user' || doc_id ||
+                 '@example.com' ||
+                 CASE WHEN moji THEN ' caf' || chr(233)
+                   ELSE ' cafok' END ||
+                 ' v' || doc_id || 'y' AS inner_clean
+             FROM p),
+           f AS (
+             SELECT doc_id, domain, moji_changed,
+               CAST(CASE WHEN templated THEN 7 ELSE 0 END AS INT)
+                 AS pfx_stripped,
+               CAST(CASE WHEN templated THEN 5 ELSE 0 END AS INT)
+                 AS sfx_stripped,
+               CASE WHEN templated THEN inner_clean
+                 ELSE 'only' || doc_id || ' ' || inner_clean ||
+                   ' end' || doc_id END AS tc
+             FROM r)
+         SELECT doc_id, domain, moji_changed, pfx_stripped,
+           sfx_stripped,
+           CAST(len(regexp_extract_all(tc,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT)
+             AS n_emails,
+           ${piiScrubSql("tc")} AS text_final
+         FROM f ORDER BY doc_id""")
 }
