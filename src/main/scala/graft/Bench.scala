@@ -496,6 +496,9 @@ object Bench {
       // mining aggs + broadcast template join + the map-only scrub
       // battery — linear
       "q148_curation_pipeline4",
+      // paragraph content extraction: nested array HOFs in one
+      // projection, no explode — map-only, linear
+      "q149_paragraph_content",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -3163,6 +3163,27 @@ object SparkEntry {
       .orderBy(id)
   }
 
+  /** Paragraph content extraction (q149): [[TextAnalysis
+    * .paragraphContentFilter]] — the jusText-style per-paragraph
+    * boilerplate classifier — over a minted four-paragraph page
+    * (navigation stub, fixture body, copyright line, stopword-rich
+    * closer). Every feature, the predicate and the reassembled
+    * content are replayed in SQL (the q136 full-replay pattern): the
+    * nav/copyright paragraphs fail the word floor, the minted closer
+    * passes by construction, the fixture body lands wherever its own
+    * stopword density puts it — on both engines. Map-only: nested
+    * array HOFs in one projection, no explode. */
+  private def qParagraphContent(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val minted = t(s, d, "documents").select(id,
+      concat(lit("home | about | contact | login\n\n"), col("text"),
+        lit("\n\ncopyright 2026 site"), pmod(id, lit(20)),
+        lit(" all rights reserved\n\nthe number of items and the " +
+          "value that we have to send with w"), id,
+        lit(" care be sure of that and more")).as("text"))
+    TextAnalysis.paragraphContentFilter(minted).orderBy(id)
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4385,7 +4406,8 @@ object SparkEntry {
     "q145_chunk_decontam_cycle" -> (qChunkDecontamCycle _),
     "q146_mojibake_repair" -> (qMojibakeRepair _),
     "q147_code_prose" -> (qCodeProse _),
-    "q148_curation_pipeline4" -> (qCurationPipeline4 _))
+    "q148_curation_pipeline4" -> (qCurationPipeline4 _),
+    "q149_paragraph_content" -> (qParagraphContent _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -6707,5 +6729,39 @@ object SparkEntry {
              '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT)
              AS n_emails,
            ${piiScrubSql("tc")} AS text_final
-         FROM f ORDER BY doc_id""")
+         FROM f ORDER BY doc_id""",
+    // full replay: paragraphs, features, predicate and reassembly are
+    // all recomputed in SQL; the fixture body paragraph carries no
+    // structural assumption -- its own stopword density decides
+    "q149_paragraph_content" ->
+      raw"""WITH m AS (
+             SELECT doc_id,
+               'home | about | contact | login' || chr(10) || chr(10)
+                 || text || chr(10) || chr(10) ||
+                 'copyright 2026 site' || (doc_id % 20) ||
+                 ' all rights reserved' || chr(10) || chr(10) ||
+                 'the number of items and the value that we have to ' ||
+                 'send with w' || doc_id ||
+                 ' care be sure of that and more' AS text
+             FROM documents),
+           s AS (
+             SELECT doc_id,
+               string_split(text, chr(10) || chr(10)) AS paras
+             FROM m),
+           g AS (
+             SELECT doc_id, paras,
+               list_filter(paras, p ->
+                 len(string_split(p, ' ')) >= 10
+                 AND len(list_filter(string_split(p, ' '),
+                   w -> w IN ('the', 'be', 'to', 'of', 'and', 'that',
+                     'have', 'with')))
+                   >= 0.2 * len(string_split(p, ' '))
+                 AND length(p) -
+                     length(regexp_replace(p, '[0-9]', '', 'g'))
+                   <= 0.3 * length(p)) AS goods
+             FROM s)
+         SELECT doc_id, CAST(len(paras) AS INT) AS n_paras,
+           CAST(len(goods) AS INT) AS n_good,
+           array_to_string(goods, chr(10) || chr(10)) AS text_content
+         FROM g ORDER BY doc_id""")
 }

@@ -402,6 +402,53 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  /** Paragraph-level content extraction (jusText-style, Pomikálek
+    * 2011, simplified) — the per-PARAGRAPH boilerplate classifier that
+    * complements the per-domain affix machinery: navigation stubs,
+    * copyright lines and price/number blocks are short, stopword-poor
+    * or digit-heavy, while body prose is long and stopword-rich. A
+    * paragraph (blank-line separated) is GOOD iff
+    *
+    *   n_words ≥ minWords AND stop_frac ≥ minStopFrac AND
+    *   digit_frac ≤ maxDigitFrac
+    *
+    * (thresholds on UNROUNDED fractions; stopwords are the Gopher
+    * stop list, digit_frac is digit chars over paragraph chars).
+    * Output keeps only the good paragraphs, reassembled in order.
+    *
+    * Scale shape: the whole pass is nested array HOFs over
+    * `split(text, "\n\n")` — filter/transform/aggregate inside ONE
+    * per-row projection, no explode, no shuffle, no UDF; reassembly
+    * order is the array order, so no window is ever needed. A SQL
+    * engine replays every feature, the predicate and the reassembled
+    * text verbatim (list_filter/list_sum twins).
+    *
+    * @return (doc_id, n_paras, n_good, text_content) — text_content is
+    *         the good paragraphs joined with blank lines. */
+  def paragraphContentFilter(
+      docs: DataFrame,
+      minWords: Int = 10,
+      minStopFrac: Double = 0.2,
+      maxDigitFrac: Double = 0.3): DataFrame = {
+    val stopArr = array(gopherStopwords.map(lit): _*)
+    val paras = split(col("text"), "\n\n")
+    def words(p: Column) = split(p, " ")
+    def good(p: Column): Column = {
+      val w = words(p)
+      val nW = size(w)
+      val nStop = size(filter(w, t => array_contains(stopArr, t)))
+      val nDigit = length(p) - length(regexp_replace(p, "[0-9]", ""))
+      nW >= minWords &&
+        nStop.cast("double") >= lit(minStopFrac) * nW.cast("double") &&
+        nDigit.cast("double") <= lit(maxDigitFrac) * length(p).cast("double")
+    }
+    docs.select(
+      col("doc_id"),
+      size(paras).as("n_paras"),
+      size(filter(paras, good _)).as("n_good"),
+      array_join(filter(paras, good _), "\n\n").as("text_content"))
+  }
+
   /** Code-vs-prose detection — the language-mix triage every corpus
     * curation runs before routing documents to code-specific vs
     * natural-language pipelines (StarCoder/The-Stack-style corpora

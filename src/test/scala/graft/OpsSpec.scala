@@ -1976,4 +1976,30 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(pv.getAs[Double]("indent_frac") === 1.0)
     assert(!pv.getAs[Boolean]("is_code"))
   }
+
+  test("paragraph content filter: jusText-lite classes on a hand-built page") {
+    import spark.implicits._
+    val body = "the story of all the things that we have to say and " +
+      "more of that to come with time"          // 19 words, stop-rich
+    val nav = "home | about | contact"           // word floor fails
+    val prices = "99 101 103 105 107 109 111 113 115 117 119 121"
+    val page = nav + "\n\n" + body + "\n\n" + prices
+    val got = TextAnalysis.paragraphContentFilter(
+      Seq((1L, page)).toDF("doc_id", "text")).head
+    assert(got.getAs[Int]("n_paras") === 3)
+    // prices: 12 words pass the floor, zero stopwords fail the density
+    // (and 24 digit chars of 35 fail the digit cap)
+    assert(got.getAs[Int]("n_good") === 1)
+    assert(got.getAs[String]("text_content") === body)
+    // threshold edges: exactly at the floor/density boundary is GOOD
+    val edge = "the of and that have with be to w1 w2"  // 10 words, 8 stop
+    val ge = TextAnalysis.paragraphContentFilter(
+      Seq((2L, edge)).toDF("doc_id", "text")).head
+    assert(ge.getAs[Int]("n_good") === 1)
+    // one word below the floor flips it
+    val under = "the of and that have with be to w1"    // 9 words
+    val gu = TextAnalysis.paragraphContentFilter(
+      Seq((3L, under)).toDF("doc_id", "text")).head
+    assert(gu.getAs[Int]("n_good") === 0)
+  }
 }
