@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.functions.{CompressFunctions, HtmlFunctions, NormalizeFunctions}
+import graft.functions.{CompressFunctions, HtmlFunctions, MojibakeFunctions, NormalizeFunctions}
 
 /** The round's text kernels are pure per-row expressions, so they must
   * run unchanged inside a streaming micro-batch — stateless (no state
@@ -39,7 +39,7 @@ class StreamKernelSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("extract+normalize+deflate run stateless in a streaming pipeline") {
+  test("repair+extract+normalize+deflate run stateless in a streaming pipeline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, String)]
@@ -47,7 +47,8 @@ class StreamKernelSpec extends SparkSpec {
       .select(
         col("doc_id"),
         NormalizeFunctions.normalizeText(
-          HtmlFunctions.extractHtmlText(col("html"))).as("txt"))
+          HtmlFunctions.extractHtmlText(
+            MojibakeFunctions.fixMojibake(col("html")))).as("txt"))
       .withColumn("ratio", CompressFunctions.deflateRatio(col("txt")))
     val q = out.writeStream
       .format("memory").queryName("kernel_stream")
@@ -57,7 +58,9 @@ class StreamKernelSpec extends SparkSpec {
         (1L, "<p>hello  world</p>"),
         (2L, "<script>x=1</script>spam " * 1 + "spam spam spam spam"))
       q.processAllAvailable()
-      source.addData((3L, "&lt;tag&gt; ‘q’"))
+      // doc 3 arrives cp1252-garbled; repair restores the curly quotes
+      // BEFORE extraction, normalize then maps them to ASCII
+      source.addData((3L, "&lt;tag&gt; \u00E2\u20AC\u02DCq\u00E2\u20AC\u2122"))
       q.processAllAvailable()
       val rows = spark.table("kernel_stream")
         .collect().map(r => r.getLong(0) ->
