@@ -3184,6 +3184,45 @@ object SparkEntry {
     TextAnalysis.paragraphContentFilter(minted).orderBy(id)
   }
 
+  /** Link-graph authority (q150): [[graft.ops.Graph.pageRank]] —
+    * damped power iteration in integer millionth fixed-point — over a
+    * minted doc→doc link graph: each doc plans 1 + (id % 3) out-links
+    * whose targets come from the shared arithmetic hash (salted per
+    * link slot), and docs with H(id, 7) % 11 == 0 mint NO out-links, so
+    * the dangling-mass redistribution path is always exercised. Every
+    * quantity is integral (floor division both engines), so the oracle
+    * replays all eight iterations as generated CTEs and the final ranks
+    * compare bit-for-bit — no float drift, no pinned booleans. The
+    * operator itself is the scale path: per iteration one src-keyed
+    * join + one map-side-combinable dst-keyed sum over the EDGE
+    * relation, a one-row dangling broadcast, checkpoint-fenced. */
+  private def qPageRank(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val n = docs.count() // bounded driver scalar: the modulus for targets
+    val h7 = pmod(
+      pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
+      lit(1000000007L))
+    val cand = docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(0L), lit(2L))).as("k"))
+      .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
+      .filter(pmod(h7, lit(11L)) =!= 0L)
+      .select(col("src"),
+        pmod(
+          pmod(
+            pmod(col("src"), lit(1000003L)) * lit(2654435761L)
+              + col("k") * lit(40503L),
+            lit(1000000007L)),
+          lit(n)).as("dst"))
+    val pr = graft.ops.Graph.pageRank(
+      docs.select(col("doc_id").as("id")), cand, iters = 8)
+    pr.select(col("id").as("doc_id"), col("rank_u"),
+        when(col("rank_u") >= 1300000L, "high")
+          .when(col("rank_u") >= 900000L, "mid")
+          .otherwise("low").as("tier"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4407,7 +4446,8 @@ object SparkEntry {
     "q146_mojibake_repair" -> (qMojibakeRepair _),
     "q147_code_prose" -> (qCodeProse _),
     "q148_curation_pipeline4" -> (qCurationPipeline4 _),
-    "q149_paragraph_content" -> (qParagraphContent _))
+    "q149_paragraph_content" -> (qParagraphContent _),
+    "q150_pagerank" -> (qPageRank _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so

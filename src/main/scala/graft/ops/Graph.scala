@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CheckpointRelease
+
+/** Link-graph centrality for web-corpus curation (the signal behind
+  * CommonCrawl-style page ranking: Page, Brin, Motwani, Winograd, "The
+  * PageRank Citation Ranking", 1999). A crawl-derived corpus carries a
+  * doc→doc link graph (extracted hrefs resolved to in-corpus targets);
+  * the stationary authority score is the standard quality/keep-weight
+  * prior — it survives to 100 TB because every iteration is two keyed
+  * shuffles over the EDGE relation (join ranks→edges on src, then a
+  * map-side-combinable sum keyed on dst), never anything node-quadratic.
+  *
+  * Determinism contract: ranks are integer micro-units ("millionths",
+  * initial mass 1e6 per node) and every divide is integral floor
+  * division, so two engines that agree on `div` agree on every rank bit
+  * — the oracle replays all iterations in SQL with `//`. Floating-point
+  * PageRank would drift in the last ulps across summation orders; the
+  * fixed-point ladder cannot.
+  */
+object Graph {
+
+  /** Damped PageRank over a directed edge list, `iters` power
+    * iterations in integer millionth fixed-point.
+    *
+    * Per-node update (all integer ops, `div` = floor division):
+    * {{{
+    *   r'(v) = base + (dampingPct * (inflow(v) + dangling div n)) div 100
+    *   inflow(v) = Σ over in-neighbors u of r(u) div outdeg(u)
+    *   dangling  = Σ r(u) over nodes with no out-edges
+    *   base      = (100 - dampingPct) * 1_000_000 div 100
+    * }}}
+    * Dangling mass is redistributed uniformly (the standard patch — a
+    * crawl frontier always has sink pages); total mass stays within
+    * n·1e6 minus floor-rounding loss, so ranks are directly comparable
+    * across corpora of equal node count.
+    *
+    * Scale shape: `edges` is the big relation (at 100 TB, |E| ≫ |V|).
+    * Each iteration joins the rank vector to edges on `src` (one hash
+    * shuffle keyed on node id), partial-aggregates contributions
+    * map-side before the `dst`-keyed sum, and folds the dangling total
+    * as a one-row broadcast — no driver-side collection anywhere; the
+    * only driver scalar is the node count. Every iteration is fenced
+    * with `localCheckpoint` (lineage doubles per round otherwise) and
+    * the previous round's blocks are released eagerly.
+    *
+    * @param nodes one row per node; `idCol` castable to long, unique.
+    * @param edges directed links; self-loops dropped, duplicates
+    *              collapsed (a page linking twice still votes once —
+    *              the web-graph convention).
+    * @return (id, rank_u) — rank in millionths, one row per node.
+    */
+  def pageRank(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iters: Int = 8,
+      dampingPct: Int = 85,
+      idCol: String = "id",
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+
+    val v = nodes.select(col(idCol).cast("long").as("id"))
+      .localCheckpoint()
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+
+    val n = v.count() // the one driver scalar; bounded by definition
+    require(n > 0, "pageRank needs at least one node")
+    val base = (100L - dampingPct) * 1000000L / 100L
+
+    var r = v.withColumn("rank_u", lit(1000000L)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      // inflow: rank 'votes' split across out-edges, summed per target.
+      // Partial aggregation combines map-side before the dst shuffle.
+      val inflow = e
+        .join(r.select(col("id").as("src"), col("rank_u")), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"),
+          expr("rank_u div deg").as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("inflow"))
+      // dangling mass: nodes with no out-edges donate uniformly.
+      // One-row relation; the crossJoin below broadcasts it.
+      val dangling = r
+        .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank_u")), lit(0L)).as("dang"))
+      val next = v
+        .join(inflow, Seq("id"), "left")
+        .crossJoin(dangling)
+        .select(
+          col("id"),
+          (lit(base) +
+            expr(s"($dampingPct * (coalesce(inflow, 0L) + (dang div ${n}L))) div 100"))
+            .as("rank_u"))
+        .localCheckpoint()
+      CheckpointRelease.release(r)
+      r = next
+      i += 1
+    }
+    r
+  }
+}

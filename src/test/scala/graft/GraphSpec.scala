@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+
+  /** Driver-side reference with the SAME integer millionth arithmetic
+    * (floor division, nonnegative operands) — the operator must match
+    * it bit-for-bit. */
+  private def refPageRank(
+      n: Long,
+      rawEdges: Seq[(Long, Long)],
+      iters: Int,
+      dampingPct: Long): Map[Long, Long] = {
+    val e = rawEdges.filter(p => p._1 != p._2).distinct
+    val deg = e.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    val base = (100L - dampingPct) * 1000000L / 100L
+    var r = (0L until n).map(i => i -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((s, d) <- e) inflow(d) += r(s) / deg(s)
+      // iterator, not Set.map — equal ranks must not collapse pre-sum
+      val dang = r.keys.filterNot(deg.contains).iterator.map(r).sum
+      r = r.keys.map(id =>
+        id -> (base + dampingPct * (inflow(id) + dang / n) / 100L)).toMap
+    }
+    r
+  }
+
+  private def runPr(
+      n: Long,
+      edges: Seq[(Long, Long)],
+      iters: Int = 8,
+      dampingPct: Int = 85): Map[Long, Long] = {
+    import spark.implicits._
+    val nodes = (0L until n).toDF("id")
+    val got = Graph.pageRank(nodes, edges.toDF("src", "dst"),
+      iters = iters, dampingPct = dampingPct)
+    val rows = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size === n, "one row per node")
+    rows
+  }
+
+  test("a directed cycle is the fixed point: every rank stays 1e6 exactly") {
+    val edges = Seq[(Long, Long)]((0, 1), (1, 2), (2, 3), (3, 0))
+    val got = runPr(4, edges)
+    assert(got.values.forall(_ == 1000000L), got.toString)
+  }
+
+  test("star graph: hub collects, leaves drain, dangling hub redistributes") {
+    val edges = (1L to 4L).map(i => (i, 0L))
+    val got = runPr(5, edges)
+    val want = refPageRank(5, edges, 8, 85)
+    assert(got === want)
+    assert(got(0L) > got(1L), "hub must outrank a leaf")
+    assert((1L to 4L).map(got).toSet.size === 1, "leaves are symmetric")
+  }
+
+  test("random graphs match the driver reference bit-for-bit") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(20)
+      val edges = Seq.fill(3 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = runPr(n.toLong, edges, iters = 5)
+      val want = refPageRank(n.toLong, edges, 5, 85)
+      assert(got === want, s"trial $trial (n=$n)")
+    }
+  }
+
+  test("duplicate edges and self-loops collapse to the clean graph") {
+    val clean = Seq[(Long, Long)]((0, 1), (1, 2), (2, 0), (3, 1))
+    val noisy = clean ++ clean ++ Seq[(Long, Long)]((0, 0), (2, 2), (0, 1))
+    assert(runPr(4, noisy) === runPr(4, clean))
+  }
+
+  test("result is partitioning-independent (integer sums commute exactly)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val nodes = (0L until n.toLong).toDF("id")
+    val e1 = edges.toDF("src", "dst").repartition(1)
+    val e7 = edges.toDF("src", "dst").repartition(7)
+    val a = Graph.pageRank(nodes, e1, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRank(nodes, e7, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+}
