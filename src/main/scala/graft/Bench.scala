@@ -499,6 +499,10 @@ object Bench {
       // paragraph content extraction: nested array HOFs in one
       // projection, no explode — map-only, linear
       "q149_paragraph_content",
+      // pagerank: the minted edge relation is corpus-linear (1–3
+      // out-links/doc) and each of the 8 iterations is one src-keyed
+      // join + one map-combinable dst-keyed sum over it — linear
+      "q150_pagerank",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -4496,10 +4496,55 @@ object SparkEntry {
                '\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}',
                '[PHONE]', 'g'),
                '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
-               '\b(?:[0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\b', '[IP6]', 'g'),
+               '\b(?:[0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}\b', '[IP6]', 'g'),
                '\bAKIA[0-9A-Z]{16}\b', '[AWSKEY]', 'g'),
                'Bearer [A-Za-z0-9._-]+', 'Bearer [TOKEN]', 'g'),
                '-----BEGIN (?:[A-Z]+ )?PRIVATE KEY-----', '[PEM]', 'g')"""
+
+  // the q150 fixed-point PageRank replay: every quantity is integral
+  // (millionth ranks, floor division both engines), so the oracle
+  // unrolls all eight power iterations as GENERATED CTEs — r{i} is one
+  // iteration over r{i-1} with the exact update rule of
+  // graft.ops.Graph.pageRank (base 150000, damping 85, dangling mass
+  // redistributed uniformly, votes to out-of-corpus targets dropped by
+  // the node left-join). DuckDB `//` and Spark `div` agree on every
+  // non-negative operand, so the ranks compare bit-for-bit.
+  private def pageRankIterSql(i: Int): String =
+    s"""r$i AS (
+             SELECT v.id,
+               CAST(150000 + (85 * (coalesce(inf.inflow, 0)
+                 + (SELECT coalesce(sum(rank_u), 0) FROM r${i - 1}
+                    WHERE id NOT IN (SELECT src FROM deg))
+                   // (SELECT n FROM nn))) // 100 AS BIGINT) AS rank_u
+             FROM r0 v
+             LEFT JOIN (
+               SELECT e.dst AS id, sum(r.rank_u // g.deg) AS inflow
+               FROM e
+               JOIN r${i - 1} r ON e.src = r.id
+               JOIN deg g ON e.src = g.src
+               GROUP BY e.dst) inf ON inf.id = v.id)"""
+
+  private def pageRankOracleSql: String =
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+           nn AS (SELECT count(*) AS n FROM docs),
+           cand AS (
+             SELECT d.doc_id AS src,
+               ((d.doc_id % 1000003) * 2654435761 + k.k * 40503)
+                 % 1000000007 % (SELECT n FROM nn) AS dst
+             FROM docs d CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+             WHERE k.k < 1 + (d.doc_id % 3)
+               AND ((d.doc_id % 1000003) * 2654435761 + 283521)
+                 % 1000000007 % 11 <> 0),
+           e AS (SELECT DISTINCT src, dst FROM cand WHERE src <> dst),
+           deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+           r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank_u
+                  FROM docs),
+           ${(1 to 8).map(pageRankIterSql).mkString(",\n           ")}
+         SELECT id AS doc_id, rank_u,
+           CASE WHEN rank_u >= 1300000 THEN 'high'
+                WHEN rank_u >= 900000 THEN 'mid'
+                ELSE 'low' END AS tier
+         FROM r8 ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -6577,7 +6622,7 @@ object SparkEntry {
              CAST(len(regexp_extract_all(text,
                '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ipv4,
              CAST(len(regexp_extract_all(text,
-               '\b(?:[0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\b')) AS INT)
+               '\b(?:[0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}\b')) AS INT)
                AS n_ipv6,
              CAST(len(regexp_extract_all(text, '\b[0-9]{16}\b')) AS INT)
                AS n_cards,
@@ -6803,5 +6848,6 @@ object SparkEntry {
          SELECT doc_id, CAST(len(paras) AS INT) AS n_paras,
            CAST(len(goods) AS INT) AS n_good,
            array_to_string(goods, chr(10) || chr(10)) AS text_content
-         FROM g ORDER BY doc_id""")
+         FROM g ORDER BY doc_id""",
+    "q150_pagerank" -> pageRankOracleSql)
 }

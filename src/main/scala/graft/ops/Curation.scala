@@ -101,7 +101,7 @@ object Curation {
   // above): network addresses, payment-card shapes, and credential
   // shapes. RE2-safe (no lookaround) so any engine replays them.
   private val ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-  private val ipv6Re = "\\b(?:[0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\\b"
+  private val ipv6Re = "\\b(?:[0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}\\b"
   private val cardRe = "\\b[0-9]{16}\\b"
   private val awsKeyRe = "\\bAKIA[0-9A-Z]{16}\\b"
   private val bearerRe = "Bearer [A-Za-z0-9._-]+"

@@ -208,7 +208,12 @@ object StreamDedup {
           }
           val score = if (nrmSq == 0.0) 0.0 else d / math.sqrt(nrmSq)
           if (score >= threshold)
-            Iterator.single((id, vid, math.rint(score * 1e6) / 1e6))
+            // round exactly as Similarity.pqProbe's round(col, 6) does
+            // (Spark Round = BigDecimal HALF_UP), so the streaming gate
+            // and the batch probe agree on every boundary score bit
+            Iterator.single((id, vid,
+              BigDecimal(score)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
           else Iterator.empty
         }
       }.toDF(idCol, "corpus_id", "adc_score")
