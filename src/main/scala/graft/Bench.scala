@@ -107,6 +107,36 @@ private[graft] object BenchLogic {
       flags: Seq[String], clean: Boolean): (Seq[String], Seq[String]) =
     if (clean) (flags, Seq.empty) else (Seq.empty, flags)
 
+  /** Scaling exponent of one ladder row: log-ratio of the scaled time
+    * to the warmed base time over the corpus growth factor, rounded to
+    * 2dp (the artifact's precision). */
+  def ladderExp(base: Double, t: Double, f: Double): Double =
+    math.round(math.log(t / base) / math.log(f) * 100.0) / 100.0
+
+  /** The ladder's superlinear threshold: exponents compare a warmed min
+    * to a single run, so anything under ~1.3 is within measurement
+    * noise of linear; above it the plan (or the box) is quadratic-ish. */
+  def ladderSuperlinear(exp: Double): Boolean = exp > 1.3
+
+  /** Ladder recheck (VERDICT r12 #2): ladder rows run ONCE, so one
+    * mid-phase load burst lands straight in a recorded exponent — the
+    * r12 driver artifact stamped superlinear:["q125"] at exp 1.33 from
+    * a burst the phase-boundary calib pairs never saw (judge quiet-box:
+    * exp 0.05). A would-be superlinear row now earns one fresh re-run,
+    * adjudicated by the same halving rule as the main phase
+    * ([[resolveRecheck]]): a fresh run under half the recorded time is
+    * proof of transient contention — the fresh time replaces it and the
+    * row is listed ladder-`suspect`; a recheck that does NOT halve
+    * leaves the flag standing, to be routed by the phase-level
+    * environment verdict ([[adjudicateEnv]]) like every other flag.
+    * Returns (final time, final exp, was replaced). */
+  def resolveLadderRecheck(
+      base: Double, recorded: Double, f: Double,
+      fresh: Option[Double]): (Double, Double, Boolean) = {
+    val (finalT, flagged) = resolveRecheck(recorded, fresh)
+    (finalT, ladderExp(base, finalT, f), flagged)
+  }
+
   /** Pull the per-query seconds out of a prior BENCH_r*.json artifact.
     * Format-tolerant by construction: query keys are globally unique in
     * the line and carry a plain numeric value only in the "queries" map
@@ -503,6 +533,12 @@ object Bench {
       // out-links/doc) and each of the 8 iterations is one src-keyed
       // join + one map-combinable dst-keyed sum over it — linear
       "q150_pagerank",
+      // link-graph rank: extraction + canonicalization are map-only,
+      // resolution is one hash join on the canonical key (both sides
+      // corpus-sized), then the q150 iteration shape — linear; seeded
+      // pagerank: the same edge relation with the seed weights riding
+      // the node relation — linear
+      "q151_linkgraph_rank", "q152_seeded_pagerank",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a
@@ -695,27 +731,43 @@ object Bench {
       val ladderErrors = scala.collection.mutable.ListBuffer.empty[String]
       val entries = scala.collection.mutable.ListBuffer.empty[String]
       val exps = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+      val ladderSuspects = scala.collection.mutable.ListBuffer.empty[String]
       var ladderTotal = 0.0
+      // one recorded row, with the VERDICT r12 #2 recheck: a would-be
+      // superlinear exponent (measured from ONE run — a burst lands
+      // straight in it) earns one fresh re-run; if it halves, the burst
+      // was transient (fresh time recorded, row listed "suspect"),
+      // otherwise the flag stands for the phase-level env adjudication
+      def recordLadder(name: String, f: Double, base: Double, t0: Double,
+                       rerun: () => Option[Double]): Unit = {
+        var t = t0
+        var exp = BenchLogic.ladderExp(base, t, f)
+        if (BenchLogic.ladderSuperlinear(exp)) {
+          val (ft, fe, flagged) =
+            BenchLogic.resolveLadderRecheck(base, t, f, rerun())
+          if (flagged) { ladderSuspects += name; t = ft; exp = fe }
+        }
+        ladderTotal += t
+        exps += name -> exp
+        entries += s""""$name":{"f":$f,"t":${ms(t)},"exp":$exp}"""
+      }
       for (q <- ladderQueries; base <- minsMap.getOrElse(q, None)) {
         timeOnce(q, selected(q), "ladder", ladderDir, ladderErrors).foreach { t =>
-          ladderTotal += t
           val f =
             if (embSet(q)) factors("embeddings")
             else if (tpchSet(q)) factors("orders")
             else factors("events")
-          val exp = math.round(math.log(t / base) / math.log(f) * 100.0) / 100.0
-          exps += q -> exp
-          entries += s""""$q":{"f":$f,"t":${ms(t)},"exp":$exp}"""
+          recordLadder(q, f, base, t,
+            () => timeOnce(q, selected(q), "ladder-recheck", ladderDir,
+              ladderErrors))
         }
       }
       for ((name, fOverride, fn) <- ladderOps;
            base <- timeOnce(name, fn, "ladder-base", sfDir, ladderErrors);
            t <- timeOnce(name, fn, "ladder", ladderDir, ladderErrors)) {
-        ladderTotal += t
         val f = fOverride.getOrElse(factors("documents").toDouble)
-        val exp = math.round(math.log(t / base) / math.log(f) * 100.0) / 100.0
-        exps += name -> exp
-        entries += s""""$name":{"f":$f,"t":${ms(t)},"exp":$exp}"""
+        recordLadder(name, f, base, t,
+          () => timeOnce(name, fn, "ladder-recheck", ladderDir, ladderErrors))
       }
       scalingJson = entries.mkString("{", ",", "}")
       val ladderErrJson = ladderErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -731,7 +783,8 @@ object Bench {
       // the plan (the r11 driver's q131 "exp 1.56" was 0.79 on a quiet
       // box) — such flags are stamped env_suspect, same as main-phase
       // drift.
-      val superNames = exps.filter(_._2 > 1.3).map(_._1).toList
+      val superNames =
+        exps.filter(e => BenchLogic.ladderSuperlinear(e._2)).map(_._1).toList
       val ladderClean = BenchLogic.phaseClean(
         ladderCalibStart, ladderCalibEnd, ladderShufStart, ladderShufEnd,
         cpusInt)
@@ -745,6 +798,8 @@ object Bench {
         s""""calib_shuffle":{"start":${ms(ladderShufStart)},"end":${ms(ladderShufEnd)}},""" +
         s""""n_queries":${entries.size},"superlinear":$superlinear,""" +
         s""""env_suspect":$superEnvJson,""" +
+        s""""suspect":${ladderSuspects.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
         s""""errors":$ladderErrJson}"""
     } catch { case _: Throwable => () }
     // the driver captures only the TAIL of the output: keep the JSON line

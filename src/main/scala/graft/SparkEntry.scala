@@ -3223,6 +3223,113 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Link-graph composition + rank (q151): the END-TO-END crawl-curation
+    * shape — the graph is not minted as arithmetic edges (q150) but
+    * COMPOSED from the engine's own extraction pipeline: every doc gets
+    * a canonical page URL (its in-corpus identity), its html embeds
+    * noisy-spelled anchors to other docs' pages (uppercase host,
+    * default :443 port, a utm tracking param, a fragment) plus one
+    * never-resolving external link; hrefs are extracted
+    * (`regexp_extract_all`), canonicalized ([[graft.functions
+    * .DomainFunctions.canonicalUrl]] — the q130 kernel), and RESOLVED
+    * against the corpus's (canonical url → doc_id) relation by one hash
+    * join on the canonical key; [[graft.ops.Graph.pageRank]] then ranks
+    * the resolved edge list. Link targets reuse the q150 arithmetic
+    * (salted hash per slot, 1–3 out-links, the H(id,7)%11 class minting
+    * NO resolvable links so dangling redistribution is exercised). The
+    * oracle replays extraction with its own regex, canonicalization as
+    * shape-pinned string transforms (lower + strip :443 + strip the
+    * tracking-param/fragment tail — the q130 convention), resolution as
+    * the same join, and all six iterations as generated CTEs — ranks
+    * compare bit-for-bit. */
+  private def qLinkGraphRank(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val n = docs.select(col("doc_id")).count()
+    val pages = docs.select(
+      concat(lit("https://site"), pmod(col("doc_id"), lit(20L)),
+        lit(".com/p"), col("doc_id")).as("url"),
+      col("doc_id").as("dst"))
+    def tk(k: Int): Column = pmod(
+      pmod(
+        pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L)
+          + lit(k.toLong * 40503L),
+        lit(1000000007L)),
+      lit(n))
+    def anchor(k: Int): Column = concat(
+      lit("<a href=\"https://SITE"), pmod(tk(k), lit(20L)),
+      lit(".COM:443/p"), tk(k), lit("?utm_source=x#f\">a</a> "))
+    val h7 = pmod(
+      pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
+      lit(1000000007L))
+    val linky = (k: Int) => when(
+      pmod(h7, lit(11L)) =!= 0L && pmod(col("doc_id"), lit(3L)) >= k,
+      anchor(k)).otherwise(lit(""))
+    val html = concat(
+      linky(0), linky(1), linky(2), // anchors per the doc's link class
+      lit("<a href=\"https://external.example.org/e"), col("doc_id"),
+      lit("\">x</a> "), col("text"))
+    val minted = docs.select(col("doc_id"), html.as("html"))
+    val hrefs = minted.select(col("doc_id").as("src"),
+      explode(regexp_extract_all(col("html"),
+        lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+    val resolved = hrefs
+      .select(col("src"),
+        graft.functions.DomainFunctions.canonicalUrl(col("href"))
+          .as("curl"))
+      .join(pages, col("curl") === col("url")) // hash join on the key
+      .select(col("src"), col("dst"))
+    val pr = graft.ops.Graph.pageRank(
+      docs.select(col("doc_id").as("id")), resolved, iters = 6)
+    val deg = resolved.filter(col("src") =!= col("dst")).distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("n_out"))
+    pr.select(col("id").as("doc_id"), col("rank_u"))
+      .join(deg.select(col("src").as("doc_id"), col("n_out")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"), col("rank_u"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Seeded (personalized) PageRank (q152): [[graft.ops.Graph
+    * .pageRankSeeded]] — teleport AND dangling mass follow a seed
+    * distribution (every 25th doc, uniform weights in millionths), the
+    * quality-prior propagation used for crawl curation: authority flows
+    * OUT from the vetted seed set, and a page unreachable from every
+    * seed converges to exactly 0 (property-tested in `GraphSpec`). Same
+    * minted edge relation as q150, same integral fixed-point contract,
+    * so the oracle replays the seed distribution (1e6 div nSeeds each)
+    * and all six iterations as generated CTEs — bit-for-bit. */
+  private def qSeededPageRank(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val h7 = pmod(
+      pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
+      lit(1000000007L))
+    val cand = docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(0L), lit(2L))).as("k"))
+      .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
+      .filter(pmod(h7, lit(11L)) =!= 0L)
+      .select(col("src"),
+        pmod(
+          pmod(
+            pmod(col("src"), lit(1000003L)) * lit(2654435761L)
+              + col("k") * lit(40503L),
+            lit(1000000007L)),
+          lit(n)).as("dst"))
+    val seeds = docs.filter(pmod(col("doc_id"), lit(25L)) === 0L)
+    val nSeeds = seeds.count() // bounded driver scalar (corpus/25 rows)
+    val w = 1000000L / nSeeds
+    val pr = graft.ops.Graph.pageRankSeeded(
+      docs.select(col("doc_id").as("id")), cand,
+      seeds.select(col("doc_id").as("id"), lit(w).as("w_u")),
+      iters = 6)
+    pr.select(col("id").as("doc_id"),
+        (pmod(col("doc_id"), lit(25L)) === 0L).as("is_seed"),
+        col("rank_u"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4447,7 +4554,9 @@ object SparkEntry {
     "q147_code_prose" -> (qCodeProse _),
     "q148_curation_pipeline4" -> (qCurationPipeline4 _),
     "q149_paragraph_content" -> (qParagraphContent _),
-    "q150_pagerank" -> (qPageRank _))
+    "q150_pagerank" -> (qPageRank _),
+    "q151_linkgraph_rank" -> (qLinkGraphRank _),
+    "q152_seeded_pagerank" -> (qSeededPageRank _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -4524,8 +4633,10 @@ object SparkEntry {
                JOIN deg g ON e.src = g.src
                GROUP BY e.dst) inf ON inf.id = v.id)"""
 
-  private def pageRankOracleSql: String =
-    s"""WITH docs AS (SELECT doc_id FROM documents),
+  // the q150/q152 arithmetic edge mint as shared CTEs (docs/nn/cand/
+  // e/deg) — both rank oracles build on the same relation
+  private def mintedEdgeCtesSql: String =
+    s"""docs AS (SELECT doc_id FROM documents),
            nn AS (SELECT count(*) AS n FROM docs),
            cand AS (
              SELECT d.doc_id AS src,
@@ -4536,7 +4647,10 @@ object SparkEntry {
                AND ((d.doc_id % 1000003) * 2654435761 + 283521)
                  % 1000000007 % 11 <> 0),
            e AS (SELECT DISTINCT src, dst FROM cand WHERE src <> dst),
-           deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+           deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)"""
+
+  private def pageRankOracleSql: String =
+    s"""WITH $mintedEdgeCtesSql,
            r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank_u
                   FROM docs),
            ${(1 to 8).map(pageRankIterSql).mkString(",\n           ")}
@@ -4545,6 +4659,91 @@ object SparkEntry {
                 WHEN rank_u >= 900000 THEN 'mid'
                 ELSE 'low' END AS tier
          FROM r8 ORDER BY doc_id"""
+
+  // the q151 link-graph replay: extraction with the oracle's own regex,
+  // canonicalization as shape-pinned string transforms (the q130
+  // convention — lower the noisy spelling, strip the default port and
+  // the tracking-param/fragment tail), resolution as the same join on
+  // the canonical key, then the q150 iteration machinery (6 rounds)
+  private def linkGraphOracleSql: String = {
+    def tkSql(k: Int): String =
+      s"""((d.doc_id % 1000003) * 2654435761 + ${k * 40503})
+                 % 1000000007 % (SELECT n FROM nn)"""
+    def anchorSql(k: Int): String =
+      s"""CASE WHEN ((d.doc_id % 1000003) * 2654435761 + 283521)
+                 % 1000000007 % 11 <> 0 AND d.doc_id % 3 >= $k
+             THEN '<a href="https://SITE' || (${tkSql(k)} % 20)
+               || '.COM:443/p' || ${tkSql(k)}
+               || '?utm_source=x#f">a</a> '
+             ELSE '' END"""
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+           nn AS (SELECT count(*) AS n FROM docs),
+           pages AS (
+             SELECT 'https://site' || (doc_id % 20) || '.com/p' || doc_id
+                 AS url,
+               doc_id AS dst
+             FROM docs),
+           m AS (
+             SELECT d.doc_id,
+               ${anchorSql(0)} || ${anchorSql(1)} || ${anchorSql(2)}
+               || '<a href="https://external.example.org/e' || d.doc_id
+               || '">x</a> ' || d.text AS html
+             FROM docs d),
+           hrefs AS (
+             SELECT doc_id AS src,
+               unnest(regexp_extract_all(html, 'href="([^"]*)"', 1))
+                 AS href
+             FROM m),
+           resolved AS (
+             SELECT h.src, p.dst
+             FROM hrefs h
+             JOIN pages p
+               ON replace(replace(lower(h.href), ':443', ''),
+                    '?utm_source=x#f', '') = p.url),
+           e AS (SELECT DISTINCT src, dst FROM resolved WHERE src <> dst),
+           deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+           r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank_u
+                  FROM docs),
+           ${(1 to 6).map(pageRankIterSql).mkString(",\n           ")}
+         SELECT r.id AS doc_id, CAST(coalesce(g.deg, 0) AS BIGINT) AS n_out,
+           r.rank_u
+         FROM r6 r LEFT JOIN deg g ON g.src = r.id
+         ORDER BY doc_id"""
+  }
+
+  // one seeded power iteration (q152): teleport AND dangling mass follow
+  // the per-node seed weight `w` (millionths) riding the `wv` relation —
+  // graft.ops.Graph.pageRankSeeded's exact update rule
+  private def seededIterSql(i: Int): String =
+    s"""r$i AS (
+             SELECT v.id,
+               CAST((15 * (SELECT n FROM nn) * v.w) // 100
+                 + (85 * (coalesce(inf.inflow, 0)
+                    + ((SELECT coalesce(sum(rank_u), 0) FROM r${i - 1}
+                        WHERE id NOT IN (SELECT src FROM deg)) * v.w)
+                      // 1000000)) // 100 AS BIGINT) AS rank_u
+             FROM wv v
+             LEFT JOIN (
+               SELECT e.dst AS id, sum(r.rank_u // g.deg) AS inflow
+               FROM e
+               JOIN r${i - 1} r ON e.src = r.id
+               JOIN deg g ON e.src = g.src
+               GROUP BY e.dst) inf ON inf.id = v.id)"""
+
+  private def seededPageRankOracleSql: String =
+    s"""WITH $mintedEdgeCtesSql,
+           ns AS (SELECT count(*) AS c FROM docs WHERE doc_id % 25 = 0),
+           wv AS (
+             SELECT doc_id AS id,
+               CASE WHEN doc_id % 25 = 0
+                 THEN 1000000 // (SELECT c FROM ns) ELSE 0 END AS w
+             FROM docs),
+           r0 AS (SELECT id, CAST((SELECT n FROM nn) * w AS BIGINT)
+                    AS rank_u
+                  FROM wv),
+           ${(1 to 6).map(seededIterSql).mkString(",\n           ")}
+         SELECT id AS doc_id, (id % 25 = 0) AS is_seed, rank_u
+         FROM r6 ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_parts_report" ->
@@ -6849,5 +7048,7 @@ object SparkEntry {
            CAST(len(goods) AS INT) AS n_good,
            array_to_string(goods, chr(10) || chr(10)) AS text_content
          FROM g ORDER BY doc_id""",
-    "q150_pagerank" -> pageRankOracleSql)
+    "q150_pagerank" -> pageRankOracleSql,
+    "q151_linkgraph_rank" -> linkGraphOracleSql,
+    "q152_seeded_pagerank" -> seededPageRankOracleSql)
 }

@@ -111,4 +111,112 @@ object Graph {
     }
     r
   }
+
+  /** Personalized (seeded) PageRank — the quality-prior propagation used
+    * for crawl curation (the "personalization vector" of Page et al.
+    * 1999 §6; TrustRank, Gyöngyi et al. 2004, is this with seeds = a
+    * vetted whitelist): teleport mass lands on the SEED distribution
+    * instead of uniformly, so authority flows outward from known-good
+    * pages and unreachable regions decay to zero.
+    *
+    * Same integer millionth fixed-point contract as [[pageRank]], with
+    * the base term seeded. `seeds` carries per-node teleport weights
+    * `w_u` in millionths with Σ w_u ≤ 1_000_000 (a distribution;
+    * floor-division residue from building it is fine). Nodes absent
+    * from `seeds` get weight 0. Per-node update (floor division):
+    * {{{
+    *   r'(v) = ((100-dampingPct) * n * w(v)) div 100
+    *         + (dampingPct * (inflow(v) + (dangling * w(v)) div 1e6)) div 100
+    *   r0(v) = n * w(v)          // total initial mass ≤ n·1e6
+    * }}}
+    * Both teleport AND dangling mass follow the seed distribution (the
+    * standard personalized patch — dangling pages "teleport like
+    * everyone else"), so mass is conserved up to floor-rounding loss
+    * and a node unreachable from every seed converges to exactly 0 —
+    * the property test's invariant.
+    *
+    * Same scale shape as [[pageRank]]: per iteration one src-keyed join
+    * + one map-combinable dst-keyed sum over EDGES; the seed weights
+    * ride the node relation (one extra long column), never the driver.
+    * Integer-range note: the dangling term multiplies two ≤ n·1e6 and
+    * ≤ 1e6 quantities, exact in int64 for n up to ~9·10⁶ nodes; above
+    * that, pre-scale (`(dang div 1000) * w div 1000`) at a cost of
+    * ≤ 1000 millionths rounding per node.
+    *
+    * @param seeds (seedIdCol, wCol) teleport weights in millionths;
+    *              Σ ≤ 1_000_000, all ≥ 0, ids unique. */
+  def pageRankSeeded(
+      nodes: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 8,
+      dampingPct: Int = 85,
+      idCol: String = "id",
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      seedIdCol: String = "id",
+      wCol: String = "w_u"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+
+    val w = seeds.select(col(seedIdCol).cast("long").as("id"),
+      col(wCol).cast("long").as("w"))
+    // one bounded driver row validates the distribution contract before
+    // any iteration spends a shuffle on a malformed one
+    val chk = w.agg(coalesce(sum(col("w")), lit(0L)).as("s"),
+      coalesce(min(col("w")), lit(0L)).as("mn"),
+      count(lit(1)).as("c"), countDistinct(col("id")).as("d")).head
+    require(chk.getLong(0) > 0 && chk.getLong(0) <= 1000000L,
+      s"seed weights must sum to (0, 1e6], got ${chk.getLong(0)}")
+    require(chk.getLong(1) >= 0L, "seed weights must be non-negative")
+    require(chk.getLong(2) == chk.getLong(3), "seed ids must be unique")
+
+    // node relation with its teleport weight riding along
+    val v = nodes.select(col(idCol).cast("long").as("id"))
+      .join(w, Seq("id"), "left")
+      .select(col("id"), coalesce(col("w"), lit(0L)).as("w"))
+      .localCheckpoint()
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+
+    val n = v.count()
+    require(n > 0, "pageRankSeeded needs at least one node")
+
+    var r = v.select(col("id"), (lit(n) * col("w")).as("rank_u"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val inflow = e
+        .join(r.select(col("id").as("src"), col("rank_u")), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"),
+          expr("rank_u div deg").as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("inflow"))
+      val dangling = r
+        .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank_u")), lit(0L)).as("dang"))
+      val next = v
+        .join(inflow, Seq("id"), "left")
+        .crossJoin(dangling)
+        .select(
+          col("id"),
+          (expr(s"((${100 - dampingPct} * ${n}L * w) div 100)") +
+            expr(s"($dampingPct * (coalesce(inflow, 0L)" +
+              " + (dang * w) div 1000000)) div 100"))
+            .as("rank_u"))
+        .localCheckpoint()
+      CheckpointRelease.release(r)
+      r = next
+      i += 1
+    }
+    r
+  }
 }

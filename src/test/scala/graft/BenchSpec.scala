@@ -190,4 +190,39 @@ class BenchSpec extends AnyFunSuite {
     // no flags: nothing to route either way
     assert(BenchLogic.adjudicateEnv(Nil, clean = false) == ((Nil, Nil)))
   }
+
+  test("ladder exponent math and the 1.3 superlinear threshold") {
+    // 10s base → 100s at factor 10 is exactly linear
+    assert(BenchLogic.ladderExp(10.0, 100.0, 10.0) == 1.0)
+    // sublinear: fixed probe over a grown corpus
+    assert(BenchLogic.ladderExp(3.0, 3.3, 10.0) == 0.04)
+    assert(!BenchLogic.ladderSuperlinear(1.3))
+    assert(BenchLogic.ladderSuperlinear(1.31))
+  }
+
+  test("a superlinear ladder row whose recheck halves is replaced and " +
+      "flagged suspect (VERDICT r12 #2: the q125 burst)") {
+    // the r12 driver artifact: q125 base 3.2s, one burst-polluted ladder
+    // run 76.8s → exp 1.33; a fresh quiet run of 3.3s halves it, so the
+    // fresh time replaces the poisoned one and the exponent is the real
+    // 0.01 — no superlinear flag, row listed "suspect"
+    val (t, exp, flagged) =
+      BenchLogic.resolveLadderRecheck(3.2, 76.8, 10.0, Some(3.3))
+    assert(flagged && t == 3.3 && exp == 0.01)
+    assert(!BenchLogic.ladderSuperlinear(exp))
+  }
+
+  test("a superlinear ladder row whose recheck does NOT halve keeps its " +
+      "flag for the phase-level env adjudication") {
+    // sustained: the fresh run confirms the time — a real quadratic plan
+    // (or sustained load, which the phase calib pair then adjudicates)
+    val (t, exp, flagged) =
+      BenchLogic.resolveLadderRecheck(3.2, 76.8, 10.0, Some(70.1))
+    assert(!flagged && t == 76.8 && exp == 1.38)
+    assert(BenchLogic.ladderSuperlinear(exp))
+    // and an errored recheck keeps the recorded value too
+    val (t2, _, flagged2) =
+      BenchLogic.resolveLadderRecheck(3.2, 76.8, 10.0, None)
+    assert(!flagged2 && t2 == 76.8)
+  }
 }

@@ -75,6 +75,106 @@ class GraphSpec extends SparkSpec {
     assert(runPr(4, noisy) === runPr(4, clean))
   }
 
+  /** Driver-side reference for the SEEDED variant: teleport and
+    * dangling mass both follow the seed distribution (weights in
+    * millionths), same floor-division arithmetic as the operator. */
+  private def refSeeded(
+      n: Long,
+      rawEdges: Seq[(Long, Long)],
+      w: Map[Long, Long],
+      iters: Int,
+      dampingPct: Long): Map[Long, Long] = {
+    val e = rawEdges.filter(p => p._1 != p._2).distinct
+    val deg = e.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    def wOf(id: Long): Long = w.getOrElse(id, 0L)
+    var r = (0L until n).map(i => i -> n * wOf(i)).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((s, d) <- e) inflow(d) += r(s) / deg(s)
+      val dang = r.keys.filterNot(deg.contains).iterator.map(r).sum
+      r = r.keys.map(id =>
+        id -> ((100L - dampingPct) * n * wOf(id) / 100L +
+          dampingPct * (inflow(id) + dang * wOf(id) / 1000000L) / 100L)).toMap
+    }
+    r
+  }
+
+  private def runSeeded(
+      n: Long,
+      edges: Seq[(Long, Long)],
+      w: Map[Long, Long],
+      iters: Int = 6): Map[Long, Long] = {
+    import spark.implicits._
+    val nodes = (0L until n).toDF("id")
+    val seeds = w.toSeq.toDF("id", "w_u")
+    val got = Graph.pageRankSeeded(nodes, edges.toDF("src", "dst"),
+      seeds, iters = iters)
+    val rows = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size === n, "one row per node")
+    rows
+  }
+
+  test("seeded: random graphs match the driver reference bit-for-bit") {
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(20)
+      val edges = Seq.fill(3 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // 4 seeds, weights summing to exactly 1e6
+      val seedIds = Seq(0L, 3L, 7L, 11L)
+      val w = seedIds.map(_ -> 250000L).toMap
+      assert(runSeeded(n.toLong, edges, w, iters = 5)
+        === refSeeded(n.toLong, edges, w, 5, 85), s"trial $trial (n=$n)")
+    }
+  }
+
+  test("seeded: with no edges, all mass returns to the seeds — a node " +
+      "outside the seed set is exactly 0") {
+    val n = 10L
+    val w = Map(2L -> 600000L, 5L -> 400000L)
+    val got = runSeeded(n, Seq.empty, w, iters = 4)
+    assert((0L until n).filterNot(w.contains).forall(got(_) == 0L),
+      got.toString)
+    // the whole graph is dangling, so every iteration re-concentrates
+    // all mass on the seeds: conservation up to floor loss only
+    val total = got.values.sum
+    assert(total <= n * 1000000L, s"total $total exceeds initial mass")
+    assert(total >= n * 1000000L - 4 * 2 * n - 100,
+      s"total $total lost more than rounding slack")
+  }
+
+  test("seeded: teleport restricted to seeds conserves mass within " +
+      "floor-rounding slack on a connected graph") {
+    val rnd = new scala.util.Random(11)
+    val n = 30L
+    val edges = Seq.fill(90)(
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val w = Map(1L -> 500000L, 4L -> 500000L)
+    val iters = 6
+    val got = runSeeded(n, edges, w, iters = iters)
+    val total = got.values.sum
+    val slack = iters.toLong * (edges.size.toLong + 4 * n + 100)
+    assert(total <= n * 1000000L, s"total $total exceeds initial mass")
+    assert(total >= n * 1000000L - slack,
+      s"total $total below initial minus slack $slack")
+  }
+
+  test("seeded: a zero-weight node with no in-edges is exactly 0 and a " +
+      "malformed seed distribution is rejected") {
+    import spark.implicits._
+    // node 9 has no in-edges and no weight: rank must be identically 0
+    val edges = Seq[(Long, Long)]((0, 1), (1, 2), (2, 0), (9, 0))
+    val got = runSeeded(10L, edges, Map(0L -> 1000000L), iters = 5)
+    assert(got(9L) == 0L, got.toString)
+    // Σw > 1e6 violates the distribution contract
+    val nodes = (0L until 3L).toDF("id")
+    val bad = Seq((0L, 800000L), (1L, 800000L)).toDF("id", "w_u")
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRankSeeded(nodes, edges.toDF("src", "dst"), bad)
+    }
+  }
+
   test("result is partitioning-independent (integer sums commute exactly)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
