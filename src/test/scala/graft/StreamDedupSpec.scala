@@ -159,11 +159,86 @@ class StreamDedupSpec extends SparkSpec {
         val score = if (nrmSq == 0.0) 0.0 else d / math.sqrt(nrmSq)
         (sid, vid, score)
       }).filter(_._3 >= threshold)
-        .map { case (a, b, sc) => (a, b, math.rint(sc * 1e6) / 1e6) }.toSet
+        .map { case (a, b, sc) => (a, b,
+          BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble) }.toSet
       assert(got === expected,
         s"stream gate must equal the driver replay; missing=" +
           s"${expected -- got} extra=${got -- expected}")
       // the planted copies gate against their own source vectors
+      assert(got.exists { case (a, b, _) => a == 1007L && b == 7L })
+      assert(got.exists { case (a, b, _) => a == 1042L && b == 42L })
+      // stateless: no state store rows
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
+  test("sq8Matches probes the persisted int8 artifact in-stream: exact integer replay, no state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 16
+    def vec(seedBase: Long): Array[Float] = Array.tabulate(dim)(i =>
+      ((graft.functions.Impl.mix64(seedBase + i) & 0xFFFFL) / 65535f) - 0.5f)
+    val corpusRows = (0 until 120).map(id => (id.toLong, vec(id * 131L)))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val ivf = graft.ops.Similarity.buildIvfIndex(
+      corpus, nCentroids = 8, kmeansIters = 2, seed = 42L)
+    val sq8 = graft.ops.ScalarQuant.buildSq8Index(corpus)
+    val nProbes = 3
+    // a self-match dot is Σ q_i² ≈ dim·(127·|x|/absmax)² — pick a floor
+    // that passes near-copies and gates out unrelated vectors
+    val minDot = 40000L
+    val source = MemoryStream[(Long, Array[Float])]
+    val matches = StreamDedup.sq8Matches(
+      source.toDF().toDF("doc_id", "embedding"), ivf, sq8,
+      "doc_id", "embedding", minDot, nProbes)
+    val query = matches.writeStream.format("memory").queryName("sq8_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val streamed = Seq(
+        (1007L, corpusRows(7)._2.map(x => x * 1.001f)),
+        (5000L, vec(991L * 7919L)),
+        (1042L, corpusRows(42)._2.map(x => x * 1.001f)),
+        (5001L, vec(993L * 7919L)))
+      source.addData(streamed.take(2))
+      query.processAllAvailable()
+      // the artifact is immutable across triggers -- batch 2 probes it too
+      source.addData(streamed.drop(2))
+      query.processAllAvailable()
+      val got = spark.table("sq8_gate")
+        .select("doc_id", "corpus_id", "dot_q")
+        .as[(Long, Long, Long)].collect().toSet
+      // driver-side EXACT replay: quantize (floor(x/s·127 + ½),
+      // saturated) -> probed cells -> cell members -> integer dot
+      def quant(emb: Array[Float]): Array[Int] =
+        emb.zip(sq8.scales).map { case (x, s) =>
+          math.max(-127.0,
+            math.min(127.0, math.floor(x.toDouble / s * 127.0 + 0.5))).toInt
+        }
+      val members = ivf.assigned.select("cell", "vec_id")
+        .as[(Int, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val qById = sq8.quantized
+        .select(col("vec_id"), col("q").cast("array<int>"))
+        .as[(Long, Seq[Int])].collect().toMap
+      val expected = (for {
+        (sid, emb) <- streamed
+        cell <- graft.ops.Similarity.probeCells(emb, ivf.centroids, nProbes)
+        vid <- members.getOrElse(cell, Set.empty[Long])
+      } yield {
+        val sq = quant(emb)
+        val cq = qById(vid)
+        (sid, vid, sq.zip(cq).map { case (a, b) => a.toLong * b }.sum)
+      }).filter(_._3 >= minDot).toSet
+      assert(got === expected,
+        s"stream gate must equal the driver replay; missing=" +
+          s"${expected -- got} extra=${got -- expected}")
+      // the planted copies gate against their own source vectors (a
+      // near-copy's self-dot Σq² sits far above cross-dot noise; fresh
+      // vectors are covered by the exact replay equality above — an
+      // integer cross-dot CAN legitimately clear a fixed floor)
       assert(got.exists { case (a, b, _) => a == 1007L && b == 7L })
       assert(got.exists { case (a, b, _) => a == 1042L && b == 42L })
       // stateless: no state store rows
