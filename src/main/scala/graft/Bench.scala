@@ -539,6 +539,10 @@ object Bench {
       // pagerank: the same edge relation with the seed weights riding
       // the node relation — linear
       "q151_linkgraph_rank", "q152_seeded_pagerank",
+      // dedup components: hash-min label propagation — per round one
+      // src-keyed join + one map-combinable dst-keyed MIN over the
+      // corpus-linear symmetrized edge relation — linear
+      "q153_dedup_components",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -3330,6 +3330,43 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup-cluster components (q153): [[graft.ops.Graph
+    * .connectedComponents]] — hash-min label propagation over the
+    * minted link relation treated as near-dup PAIRS: transitive closure
+    * is what turns pairwise matches into keep-one-per-cluster
+    * decisions. Labels are ids and the update is a pure min, so the
+    * fixed-8-round output is engine-replayable bit-for-bit whether or
+    * not every long chain has converged (the q150 generated-CTE
+    * convention, with min for sum). Output: each doc's component label,
+    * the component size, and whether the doc is its cluster's keeper
+    * (the min id — the canonical-doc election rule). */
+  private def qDedupComponents(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val h7 = pmod(
+      pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
+      lit(1000000007L))
+    val cand = docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(0L), lit(2L))).as("k"))
+      .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
+      .filter(pmod(h7, lit(11L)) =!= 0L)
+      .select(col("src"),
+        pmod(
+          pmod(
+            pmod(col("src"), lit(1000003L)) * lit(2654435761L)
+              + col("k") * lit(40503L),
+            lit(1000000007L)),
+          lit(n)).as("dst"))
+    val lab = graft.ops.Graph.connectedComponents(
+      docs.select(col("doc_id").as("id")), cand, iters = 8)
+    val sizes = lab.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+    lab.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp"), col("comp_size"),
+        (col("id") === col("comp")).as("is_root"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4556,7 +4593,8 @@ object SparkEntry {
     "q149_paragraph_content" -> (qParagraphContent _),
     "q150_pagerank" -> (qPageRank _),
     "q151_linkgraph_rank" -> (qLinkGraphRank _),
-    "q152_seeded_pagerank" -> (qSeededPageRank _))
+    "q152_seeded_pagerank" -> (qSeededPageRank _),
+    "q153_dedup_components" -> (qDedupComponents _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -4729,6 +4767,32 @@ object SparkEntry {
                JOIN r${i - 1} r ON e.src = r.id
                JOIN deg g ON e.src = g.src
                GROUP BY e.dst) inf ON inf.id = v.id)"""
+
+  // one hash-min round (q153): every node takes the min of its own
+  // label and its symmetrized neighbors' labels — min for sum, else the
+  // q150 iteration convention (LEFT JOIN keeps isolates)
+  private def componentsIterSql(i: Int): String =
+    s"""c$i AS (
+             SELECT l.id, least(l.comp, coalesce(m.nmin, l.comp)) AS comp
+             FROM c${i - 1} l
+             LEFT JOIN (
+               SELECT u.dst AS id, min(l2.comp) AS nmin
+               FROM und u
+               JOIN c${i - 1} l2 ON u.src = l2.id
+               GROUP BY u.dst) m ON m.id = l.id)"""
+
+  private def componentsOracleSql: String =
+    s"""WITH $mintedEdgeCtesSql,
+           und AS (SELECT src, dst FROM e
+                   UNION SELECT dst AS src, src AS dst FROM e),
+           c0 AS (SELECT doc_id AS id, doc_id AS comp FROM docs),
+           ${(1 to 8).map(componentsIterSql).mkString(",\n           ")}
+         SELECT l.id AS doc_id, l.comp, s.comp_size,
+           (l.id = l.comp) AS is_root
+         FROM c8 l
+         JOIN (SELECT comp, count(*) AS comp_size FROM c8 GROUP BY comp) s
+           ON s.comp = l.comp
+         ORDER BY doc_id"""
 
   private def seededPageRankOracleSql: String =
     s"""WITH $mintedEdgeCtesSql,
@@ -7050,5 +7114,6 @@ object SparkEntry {
          FROM g ORDER BY doc_id""",
     "q150_pagerank" -> pageRankOracleSql,
     "q151_linkgraph_rank" -> linkGraphOracleSql,
-    "q152_seeded_pagerank" -> seededPageRankOracleSql)
+    "q152_seeded_pagerank" -> seededPageRankOracleSql,
+    "q153_dedup_components" -> componentsOracleSql)
 }

@@ -112,6 +112,73 @@ object Graph {
     r
   }
 
+  /** Connected components by min-label propagation (hash-min: Kang,
+    * Tsourakakis, Faloutsos, "PEGASUS", 2009 §3.2 — the shuffle-join
+    * form of the classic) — the dedup-cluster labeler: near-dup PAIRS
+    * (MinHash, SimHash, semantic) become keep-one-per-cluster decisions
+    * only after transitive closure, and at corpus scale that closure is
+    * exactly this operator.
+    *
+    * Edges are treated as UNDIRECTED (symmetrized, deduped, self-loops
+    * dropped). Every node starts labeled with its own id; each round
+    * every node takes the min of its label and its neighbors' labels.
+    * After `iters` rounds every component whose diameter is ≤ `iters`
+    * carries its minimum member id on every node — and a component that
+    * has NOT converged yet still has deterministic labels (the rule is
+    * a pure min), so fixed-iteration output is engine-replayable
+    * bit-for-bit, converged or not. Pick `iters` ≥ the expected
+    * diameter; near-dup clusters are shallow (most are stars around a
+    * canonical page), so small `iters` converges in practice — the
+    * Θ(log n) star-contraction variant is the known upgrade if a crawl
+    * graph with long chains ever needs it.
+    *
+    * Scale shape: per round one src-keyed join of the label vector to
+    * the symmetrized edges + one map-combinable dst-keyed MIN — the
+    * pageRank shuffle pattern with min for sum; checkpoint-fenced,
+    * previous round released eagerly. No driver-side collection at all.
+    *
+    * @return (id, comp) — comp = the component label (min member id
+    *         within `iters` hops), one row per node. */
+  def connectedComponents(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iters: Int = 8,
+      idCol: String = "id",
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val v = nodes.select(col(idCol).cast("long").as("id"))
+      .localCheckpoint()
+    val dir = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = dir
+      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var lab = v.withColumn("comp", col("id")).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val nbrMin = und
+        .join(lab.select(col("id").as("src"), col("comp")), "src")
+        .select(col("dst").as("id"), col("comp"))
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("nmin"))
+      val next = lab
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp")))
+            .as("comp"))
+        .localCheckpoint()
+      CheckpointRelease.release(lab)
+      lab = next
+      i += 1
+    }
+    lab
+  }
+
   /** Personalized (seeded) PageRank — the quality-prior propagation used
     * for crawl curation (the "personalization vector" of Page et al.
     * 1999 §6; TrustRank, Gyöngyi et al. 2004, is this with seeds = a

@@ -175,6 +175,67 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Driver-side reference for hash-min components: symmetrize, dedupe,
+    * drop self-loops, then `iters` rounds of neighbor-min. */
+  private def refComponents(
+      n: Long, rawEdges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = rawEdges.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct
+    var lab = (0L until n).map(i => i -> i).toMap
+    for (_ <- 1 to iters) {
+      val nmin = und.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => lab(e._1)).min
+      }
+      lab = lab.map { case (v, c) => v -> math.min(c, nmin.getOrElse(v, c)) }
+    }
+    lab
+  }
+
+  private def runCc(
+      n: Long, edges: Seq[(Long, Long)], iters: Int = 8): Map[Long, Long] = {
+    import spark.implicits._
+    val nodes = (0L until n).toDF("id")
+    val got = Graph.connectedComponents(
+      nodes, edges.toDF("src", "dst"), iters = iters)
+    val rows = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size === n, "one row per node")
+    rows
+  }
+
+  test("components: two chains and an isolate label as their min ids") {
+    // chain 1: 3-1-4 (min 1), chain 2: 2-5 (min 2), isolate: 0
+    val edges = Seq[(Long, Long)]((3, 1), (4, 3), (5, 2))
+    val got = runCc(6, edges)
+    assert(got === Map(0L -> 0L, 1L -> 1L, 3L -> 1L, 4L -> 1L,
+      2L -> 2L, 5L -> 2L))
+  }
+
+  test("components: direction must not matter (edges are symmetrized)") {
+    // a directed chain pointing AWAY from the min id still converges
+    val oneWay = Seq[(Long, Long)]((0, 1), (1, 2), (2, 3))
+    val otherWay = oneWay.map(_.swap)
+    assert(runCc(4, oneWay) === runCc(4, otherWay))
+    assert(runCc(4, oneWay).values.forall(_ == 0L))
+  }
+
+  test("components: random graphs match the driver reference bit-for-bit, " +
+      "including NOT-yet-converged intermediate labels") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 3) {
+      val n = 25 + rnd.nextInt(15)
+      val edges = Seq.fill(n / 2)( // sparse: long chains stay unconverged
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // 2 iterations: deliberately below the diameter — the fixed-round
+      // labels must still match exactly (the oracle-replay contract)
+      assert(runCc(n.toLong, edges, iters = 2)
+        === refComponents(n.toLong, edges, 2), s"trial $trial (n=$n, i=2)")
+      // and a deeper run matches too (12 rounds ≥ the sparse fixture's
+      // typical diameter — but equality holds converged or not)
+      assert(runCc(n.toLong, edges, iters = 12)
+        === refComponents(n.toLong, edges, 12), s"trial $trial (n=$n, 12)")
+    }
+  }
+
   test("result is partitioning-independent (integer sums commute exactly)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
