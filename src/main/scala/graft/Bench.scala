@@ -543,6 +543,10 @@ object Bench {
       // src-keyed join + one map-combinable dst-keyed MIN over the
       // corpus-linear symmetrized edge relation — linear
       "q153_dedup_components",
+      // HITS: two edge-keyed join+sum passes per round + two one-row
+      // norm broadcasts — linear; cluster keeper: the q153 rounds + one
+      // partitioned election window — linear
+      "q154_hits", "q155_cluster_keeper",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

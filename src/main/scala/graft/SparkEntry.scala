@@ -3367,6 +3367,75 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** HITS hubs & authorities (q154): [[graft.ops.Graph.hits]] over the
+    * minted link relation — the link/directory-page vs content-page
+    * separator PageRank alone conflates. Integral divisor-form L1
+    * renormalization keeps every round floor-division arithmetic, so
+    * the oracle unrolls all five I-then-O rounds (authority from
+    * current hubs, hub from UPDATED authorities) as generated CTE
+    * quadruples and both scores compare bit-for-bit. */
+  private def qHits(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val h7 = pmod(
+      pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
+      lit(1000000007L))
+    val cand = docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(0L), lit(2L))).as("k"))
+      .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
+      .filter(pmod(h7, lit(11L)) =!= 0L)
+      .select(col("src"),
+        pmod(
+          pmod(
+            pmod(col("src"), lit(1000003L)) * lit(2654435761L)
+              + col("k") * lit(40503L),
+            lit(1000000007L)),
+          lit(n)).as("dst"))
+    graft.ops.Graph.hits(
+        docs.select(col("doc_id").as("id")), cand, iters = 5)
+      .select(col("id").as("doc_id"), col("auth_u"), col("hub_u"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cluster keeper election (q155): the decision a dedup pipeline
+    * actually ships — after transitive closure
+    * ([[graft.ops.Graph.connectedComponents]], the q153 labeling), each
+    * cluster keeps its BEST member, not its min id: rank within the
+    * component by a quality signal (here `n_chars` — keep the longest
+    * copy, the CommonCrawl convention) with the doc id as the
+    * deterministic tie cut. One partitioned window over the labeled
+    * corpus; the oracle replays the eight hash-min rounds plus the same
+    * `row_number` election. */
+  private def qClusterKeeper(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    val n = docs.count()
+    val h7 = pmod(
+      pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
+      lit(1000000007L))
+    val cand = docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(0L), lit(2L))).as("k"))
+      .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
+      .filter(pmod(h7, lit(11L)) =!= 0L)
+      .select(col("src"),
+        pmod(
+          pmod(
+            pmod(col("src"), lit(1000003L)) * lit(2654435761L)
+              + col("k") * lit(40503L),
+            lit(1000000007L)),
+          lit(n)).as("dst"))
+    val lab = graft.ops.Graph.connectedComponents(
+      docs.select(col("doc_id").as("id")), cand, iters = 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    lab.join(docs, lab("id") === docs("doc_id"))
+      .select(col("doc_id"), col("comp"), col("n_chars"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .orderBy(col("doc_id"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4594,7 +4663,9 @@ object SparkEntry {
     "q150_pagerank" -> (qPageRank _),
     "q151_linkgraph_rank" -> (qLinkGraphRank _),
     "q152_seeded_pagerank" -> (qSeededPageRank _),
-    "q153_dedup_components" -> (qDedupComponents _))
+    "q153_dedup_components" -> (qDedupComponents _),
+    "q154_hits" -> (qHits _),
+    "q155_cluster_keeper" -> (qClusterKeeper _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -4793,6 +4864,59 @@ object SparkEntry {
          JOIN (SELECT comp, count(*) AS comp_size FROM c8 GROUP BY comp) s
            ON s.comp = l.comp
          ORDER BY doc_id"""
+
+  // one HITS round (q154) as a CTE quadruple: raw in-sum, normalized
+  // authorities (divisor-form integral L1), raw out-sum over the NEW
+  // authorities, normalized hubs — Graph.hits's exact arithmetic.
+  // MATERIALIZED is load-bearing: each round's CTEs are referenced
+  // 2–3× (join + norm subquery + next round), and an inlining planner
+  // re-evaluates the whole prefix per reference — 4 CTEs × 5 rounds
+  // inlined is exponential (measured: >60 s vs 0.2 s materialized)
+  private def hitsIterSql(i: Int): String =
+    s"""a${i}raw AS MATERIALIZED (
+             SELECT e.dst AS id, sum(h.s) AS raw
+             FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
+           a$i AS MATERIALIZED (
+             SELECT v.id,
+               CAST(coalesce(r.raw, 0) // greatest(
+                 (SELECT coalesce(sum(raw), 0) FROM a${i}raw)
+                   // ((SELECT n FROM nn) * 1000000), 1) AS BIGINT) AS s
+             FROM v0 v LEFT JOIN a${i}raw r ON r.id = v.id),
+           h${i}raw AS MATERIALIZED (
+             SELECT e.src AS id, sum(a.s) AS raw
+             FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
+           h$i AS MATERIALIZED (
+             SELECT v.id,
+               CAST(coalesce(r.raw, 0) // greatest(
+                 (SELECT coalesce(sum(raw), 0) FROM h${i}raw)
+                   // ((SELECT n FROM nn) * 1000000), 1) AS BIGINT) AS s
+             FROM v0 v LEFT JOIN h${i}raw r ON r.id = v.id)"""
+
+  private def hitsOracleSql: String =
+    s"""WITH $mintedEdgeCtesSql,
+           v0 AS (SELECT doc_id AS id FROM docs),
+           h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM v0),
+           ${(1 to 5).map(hitsIterSql).mkString(",\n           ")}
+         SELECT v.id AS doc_id, a5.s AS auth_u, h5.s AS hub_u
+         FROM v0 v
+         JOIN a5 ON a5.id = v.id
+         JOIN h5 ON h5.id = v.id
+         ORDER BY doc_id"""
+
+  private def clusterKeeperOracleSql: String =
+    s"""WITH $mintedEdgeCtesSql,
+           und AS (SELECT src, dst FROM e
+                   UNION SELECT dst AS src, src AS dst FROM e),
+           c0 AS (SELECT doc_id AS id, doc_id AS comp FROM docs),
+           ${(1 to 8).map(componentsIterSql).mkString(",\n           ")},
+           j AS (
+             SELECT l.id AS doc_id, l.comp, d.n_chars
+             FROM c8 l JOIN documents d ON d.doc_id = l.id)
+         SELECT doc_id, comp, n_chars,
+           (row_number() OVER (
+              PARTITION BY comp ORDER BY n_chars DESC, doc_id) = 1)
+             AS keep
+         FROM j ORDER BY doc_id"""
 
   private def seededPageRankOracleSql: String =
     s"""WITH $mintedEdgeCtesSql,
@@ -7115,5 +7239,7 @@ object SparkEntry {
     "q150_pagerank" -> pageRankOracleSql,
     "q151_linkgraph_rank" -> linkGraphOracleSql,
     "q152_seeded_pagerank" -> seededPageRankOracleSql,
-    "q153_dedup_components" -> componentsOracleSql)
+    "q153_dedup_components" -> componentsOracleSql,
+    "q154_hits" -> hitsOracleSql,
+    "q155_cluster_keeper" -> clusterKeeperOracleSql)
 }

@@ -179,6 +179,94 @@ object Graph {
     lab
   }
 
+  /** HITS hubs & authorities (Kleinberg, "Authoritative Sources in a
+    * Hyperlinked Environment", 1998) — PageRank's classic companion for
+    * link-graph curation: an AUTHORITY is a page good hubs point at, a
+    * HUB is a page that points at good authorities; for a crawl corpus
+    * the two scores separate content pages from link/directory pages —
+    * a signal the rank alone conflates.
+    *
+    * Integer millionth fixed-point like [[pageRank]], with the L1
+    * renormalization made integral so any engine replays it
+    * bit-for-bit. One round (Kleinberg's I-then-O order — authorities
+    * from CURRENT hubs, hubs from the UPDATED authorities; all floor
+    * division):
+    * {{{
+    *   a'(v) = Σ over in-neighbors u of h(u)
+    *   a(v)  = a'(v) div max(Σ a' div (n·1e6), 1)   // L1 ≈ n·1e6
+    *   h'(u) = Σ over out-neighbors v of a(v)
+    *   h(u)  = h'(u) div max(Σ h' div (n·1e6), 1)
+    * }}}
+    * The divisor-form normalization (divide by the floored scale factor
+    * rather than multiply-then-divide) keeps every intermediate under
+    * |E|·n·1e6 ≈ int64-safe for |E|·n < 9·10¹², and is exactly
+    * replayable — the float HITS norm (√Σa²) is not. Nodes start at
+    * 1e6; a node with no in-edges has authority 0 from round 1 (and
+    * symmetrically for hubs), matching the power-iteration fixed point.
+    *
+    * Scale shape per round: two edge-keyed join+sum passes (the
+    * pageRank shuffle pattern, once per direction) and two one-row
+    * total broadcasts for the norms; checkpoint-fenced, previous round
+    * released eagerly; the only driver scalar is the node count.
+    *
+    * @return (id, auth_u, hub_u) — both in millionths, one row per
+    *         node. */
+  def hits(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iters: Int = 8,
+      idCol: String = "id",
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val v = nodes.select(col(idCol).cast("long").as("id"))
+      .localCheckpoint()
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val n = v.count()
+    require(n > 0, "hits needs at least one node")
+    val scaleUnit = n * 1000000L
+
+    // one normalized propagation pass: sum `scores` over `e` keyed by
+    // `outKey` into `inKey`, then L1-renormalize to ≈ n·1e6
+    def pass(scores: DataFrame, outKey: String, inKey: String): DataFrame = {
+      val raw = e
+        .join(scores.select(col("id").as(outKey), col("s")), outKey)
+        .select(col(inKey).as("id"), col("s"))
+        .groupBy(col("id"))
+        .agg(sum(col("s")).as("raw"))
+      val total = raw.agg(
+        greatest(
+          expr(s"coalesce(sum(raw), 0L) div ${scaleUnit}L"), lit(1L))
+          .as("scale"))
+      v.join(raw, Seq("id"), "left")
+        .crossJoin(total)
+        .select(col("id"),
+          expr("coalesce(raw, 0L) div scale").as("s"))
+    }
+
+    var h = v.withColumn("s", lit(1000000L)).localCheckpoint()
+    var a = h
+    var i = 0
+    while (i < iters) {
+      val aNext = pass(h, "src", "dst").localCheckpoint()
+      if (i > 0) CheckpointRelease.release(a)
+      a = aNext
+      val hNext = pass(a, "dst", "src").localCheckpoint()
+      CheckpointRelease.release(h)
+      h = hNext
+      i += 1
+    }
+    v.join(a.select(col("id"), col("s").as("auth_u")), Seq("id"), "left")
+      .join(h.select(col("id"), col("s").as("hub_u")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("auth_u"), lit(0L)).as("auth_u"),
+        coalesce(col("hub_u"), lit(0L)).as("hub_u"))
+  }
+
   /** Personalized (seeded) PageRank — the quality-prior propagation used
     * for crawl curation (the "personalization vector" of Page et al.
     * 1999 §6; TrustRank, Gyöngyi et al. 2004, is this with seeds = a

@@ -236,6 +236,63 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Driver-side HITS reference: I-then-O order, integral divisor-form
+    * L1 renormalization — the operator's exact arithmetic. */
+  private def refHits(
+      n: Long, rawEdges: Seq[(Long, Long)],
+      iters: Int): Map[Long, (Long, Long)] = {
+    val e = rawEdges.filter(p => p._1 != p._2).distinct
+    val unit = n * 1000000L
+    var h = (0L until n).map(_ -> 1000000L).toMap
+    var a = h
+    for (_ <- 1 to iters) {
+      val araw = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((s, d) <- e) araw(d) += h(s)
+      val as = math.max(araw.values.sum / unit, 1L)
+      a = (0L until n).map(v => v -> araw(v) / as).toMap
+      val hraw = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((s, d) <- e) hraw(s) += a(d)
+      val hs = math.max(hraw.values.sum / unit, 1L)
+      h = (0L until n).map(v => v -> hraw(v) / hs).toMap
+    }
+    (0L until n).map(v => v -> ((a(v), h(v)))).toMap
+  }
+
+  private def runHits(
+      n: Long, edges: Seq[(Long, Long)],
+      iters: Int = 5): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    val nodes = (0L until n).toDF("id")
+    val got = Graph.hits(nodes, edges.toDF("src", "dst"), iters = iters)
+    val rows = got.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.size === n, "one row per node")
+    rows
+  }
+
+  test("hits: a star separates the roles — the hub center has zero " +
+      "authority, the pointed-at leaves have zero hubness") {
+    // 0 points at 1..4: 0 is the pure hub, 1..4 the pure authorities
+    val edges = (1L to 4L).map(i => (0L, i))
+    val got = runHits(5, edges)
+    assert(got(0L)._1 == 0L && got(0L)._2 > 0L, got.toString)
+    assert((1L to 4L).forall(i => got(i)._1 > 0L && got(i)._2 == 0L))
+    assert((1L to 4L).map(got(_)._1).toSet.size == 1, "leaves symmetric")
+  }
+
+  test("hits: random graphs match the driver reference bit-for-bit") {
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(20)
+      val edges = Seq.fill(3 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(runHits(n.toLong, edges, iters = 4)
+        === refHits(n.toLong, edges, 4), s"trial $trial (n=$n)")
+    }
+  }
+
   test("result is partitioning-independent (integer sums commute exactly)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
