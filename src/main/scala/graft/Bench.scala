@@ -545,8 +545,10 @@ object Bench {
       "q153_dedup_components",
       // HITS: two edge-keyed join+sum passes per round + two one-row
       // norm broadcasts — linear; cluster keeper: the q153 rounds + one
-      // partitioned election window — linear
-      "q154_hits", "q155_cluster_keeper",
+      // partitioned election window — linear; link spam: one reversed-
+      // key hash self-join of the corpus-linear edge relation + three
+      // bounded-key (20-domain) aggs — linear
+      "q154_hits", "q155_cluster_keeper", "q156_link_spam",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

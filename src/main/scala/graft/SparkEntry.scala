@@ -3436,6 +3436,66 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Link-spam signals (q156): the per-domain audit that feeds a crawl
+    * blocklist (the TrustRank-adjacent heuristics: link farms show high
+    * reciprocal-link rates and high intra-domain link shares; Gyöngyi &
+    * Garcia-Molina, "Web Spam Taxonomy", 2005 §4). Over the minted link
+    * relation with the q151 domain key (doc → site doc_id % 20):
+    * per-domain page count, out-link count, intra-domain share, and
+    * reciprocal share — reciprocity by one hash self-join of the edge
+    * relation on the REVERSED key pair (corpus-linear, never all-pairs).
+    * Pure joins + aggs, no iteration — the oracle is direct SQL. */
+  private def qLinkSpamSignals(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val h7 = pmod(
+      pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
+      lit(1000000007L))
+    val e = docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(0L), lit(2L))).as("k"))
+      .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
+      .filter(pmod(h7, lit(11L)) =!= 0L)
+      .select(col("src"),
+        pmod(
+          pmod(
+            pmod(col("src"), lit(1000003L)) * lit(2654435761L)
+              + col("k") * lit(40503L),
+            lit(1000000007L)),
+          lit(n)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint() // fence: the self-join below reuses it
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"))
+    val pages = docs
+      .groupBy(pmod(col("doc_id"), lit(20L)).as("domain"))
+      .agg(count(lit(1)).as("n_pages"))
+    val links = e
+      .groupBy(pmod(col("src"), lit(20L)).as("domain"))
+      .agg(count(lit(1)).as("n_out"),
+        sum(when(pmod(col("src"), lit(20L)) === pmod(col("dst"), lit(20L)),
+          1L).otherwise(0L)).as("n_intra"))
+    val recips = recip
+      .groupBy(pmod(col("src"), lit(20L)).as("domain"))
+      .agg(count(lit(1)).as("n_recip"))
+    pages
+      .join(links, Seq("domain"), "left")
+      .join(recips, Seq("domain"), "left")
+      .select(col("domain"), col("n_pages"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("n_intra"), lit(0L)).as("n_intra"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"),
+        round(coalesce(col("n_intra"), lit(0L)) * lit(1.0)
+          / greatest(coalesce(col("n_out"), lit(0L)), lit(1L)), 4)
+          .as("intra_share"),
+        round(coalesce(col("n_recip"), lit(0L)) * lit(1.0)
+          / greatest(coalesce(col("n_out"), lit(0L)), lit(1L)), 4)
+          .as("recip_share"))
+      .orderBy(col("domain"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4665,7 +4725,8 @@ object SparkEntry {
     "q152_seeded_pagerank" -> (qSeededPageRank _),
     "q153_dedup_components" -> (qDedupComponents _),
     "q154_hits" -> (qHits _),
-    "q155_cluster_keeper" -> (qClusterKeeper _))
+    "q155_cluster_keeper" -> (qClusterKeeper _),
+    "q156_link_spam" -> (qLinkSpamSignals _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -4902,6 +4963,35 @@ object SparkEntry {
          JOIN a5 ON a5.id = v.id
          JOIN h5 ON h5.id = v.id
          ORDER BY doc_id"""
+
+  private def linkSpamOracleSql: String =
+    s"""WITH $mintedEdgeCtesSql,
+           recip AS (
+             SELECT a.src, a.dst
+             FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src),
+           pages AS (
+             SELECT doc_id % 20 AS domain, count(*) AS n_pages
+             FROM docs GROUP BY 1),
+           links AS (
+             SELECT src % 20 AS domain, count(*) AS n_out,
+               sum(CASE WHEN src % 20 = dst % 20 THEN 1 ELSE 0 END)
+                 AS n_intra
+             FROM e GROUP BY 1),
+           recips AS (
+             SELECT src % 20 AS domain, count(*) AS n_recip
+             FROM recip GROUP BY 1)
+         SELECT p.domain, p.n_pages,
+           CAST(coalesce(l.n_out, 0) AS BIGINT) AS n_out,
+           CAST(coalesce(l.n_intra, 0) AS BIGINT) AS n_intra,
+           CAST(coalesce(r.n_recip, 0) AS BIGINT) AS n_recip,
+           round(coalesce(l.n_intra, 0) * 1.0
+             / greatest(coalesce(l.n_out, 0), 1), 4) AS intra_share,
+           round(coalesce(r.n_recip, 0) * 1.0
+             / greatest(coalesce(l.n_out, 0), 1), 4) AS recip_share
+         FROM pages p
+         LEFT JOIN links l ON l.domain = p.domain
+         LEFT JOIN recips r ON r.domain = p.domain
+         ORDER BY p.domain"""
 
   private def clusterKeeperOracleSql: String =
     s"""WITH $mintedEdgeCtesSql,
@@ -7241,5 +7331,6 @@ object SparkEntry {
     "q152_seeded_pagerank" -> seededPageRankOracleSql,
     "q153_dedup_components" -> componentsOracleSql,
     "q154_hits" -> hitsOracleSql,
-    "q155_cluster_keeper" -> clusterKeeperOracleSql)
+    "q155_cluster_keeper" -> clusterKeeperOracleSql,
+    "q156_link_spam" -> linkSpamOracleSql)
 }
