@@ -3331,15 +3331,15 @@ object SparkEntry {
   }
 
   /** Dedup-cluster components (q153): [[graft.ops.Graph
-    * .connectedComponents]] — hash-min label propagation over the
-    * minted link relation treated as near-dup PAIRS: transitive closure
-    * is what turns pairwise matches into keep-one-per-cluster
-    * decisions. Labels are ids and the update is a pure min, so the
-    * fixed-8-round output is engine-replayable bit-for-bit whether or
-    * not every long chain has converged (the q150 generated-CTE
-    * convention, with min for sum). Output: each doc's component label,
-    * the component size, and whether the doc is its cluster's keeper
-    * (the min id — the canonical-doc election rule). */
+    * .connectedComponents]] — FIXED-ROUND hash-min propagation over the
+    * minted link relation treated as near-dup PAIRS. The production
+    * fixpoint closure is [[graft.ops.Clusters.connectedComponents]]
+    * (pointer-jumping, the q50 path); this query exercises the
+    * replay-contract form, whose fixed round count lets the oracle
+    * unroll all 8 rounds as generated CTEs and compare every label
+    * bit-for-bit, converged or not (the q150 convention, min for sum).
+    * Output: each doc's component label, the component size, and
+    * whether the doc is its cluster's keeper (the min id). */
   private def qDedupComponents(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"))
     val n = docs.count()
@@ -4789,7 +4789,7 @@ object SparkEntry {
   // the node left-join). DuckDB `//` and Spark `div` agree on every
   // non-negative operand, so the ranks compare bit-for-bit.
   private def pageRankIterSql(i: Int): String =
-    s"""r$i AS (
+    s"""r$i AS MATERIALIZED (
              SELECT v.id,
                CAST(150000 + (85 * (coalesce(inf.inflow, 0)
                  + (SELECT coalesce(sum(rank_u), 0) FROM r${i - 1}
@@ -4804,10 +4804,17 @@ object SparkEntry {
                GROUP BY e.dst) inf ON inf.id = v.id)"""
 
   // the q150/q152 arithmetic edge mint as shared CTEs (docs/nn/cand/
-  // e/deg) — both rank oracles build on the same relation
+  // e/deg) — every rank/closure oracle builds on the same relation.
+  // MATERIALIZED throughout the iteration oracles is load-bearing, not
+  // a hint: these CTEs are referenced 2-3x per round (join + dangling/
+  // norm subquery + next round), and an engine that INLINES re-derives
+  // the whole prefix per reference — exponential in rounds (measured on
+  // the q154 shape: >60 s inlined vs 0.2 s materialized; the planner's
+  // automatic materialization heuristic proved unstable run-to-run on
+  // the q150 chain, 90 s vs 400 s for identical SQL)
   private def mintedEdgeCtesSql: String =
-    s"""docs AS (SELECT doc_id FROM documents),
-           nn AS (SELECT count(*) AS n FROM docs),
+    s"""docs AS MATERIALIZED (SELECT doc_id FROM documents),
+           nn AS MATERIALIZED (SELECT count(*) AS n FROM docs),
            cand AS (
              SELECT d.doc_id AS src,
                ((d.doc_id % 1000003) * 2654435761 + k.k * 40503)
@@ -4816,13 +4823,16 @@ object SparkEntry {
              WHERE k.k < 1 + (d.doc_id % 3)
                AND ((d.doc_id % 1000003) * 2654435761 + 283521)
                  % 1000000007 % 11 <> 0),
-           e AS (SELECT DISTINCT src, dst FROM cand WHERE src <> dst),
-           deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)"""
+           e AS MATERIALIZED (
+             SELECT DISTINCT src, dst FROM cand WHERE src <> dst),
+           deg AS MATERIALIZED (
+             SELECT src, count(*) AS deg FROM e GROUP BY src)"""
 
   private def pageRankOracleSql: String =
     s"""WITH $mintedEdgeCtesSql,
-           r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank_u
-                  FROM docs),
+           r0 AS MATERIALIZED (
+             SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank_u
+             FROM docs),
            ${(1 to 8).map(pageRankIterSql).mkString(",\n           ")}
          SELECT id AS doc_id, rank_u,
            CASE WHEN rank_u >= 1300000 THEN 'high'
@@ -4846,8 +4856,8 @@ object SparkEntry {
                || '.COM:443/p' || ${tkSql(k)}
                || '?utm_source=x#f">a</a> '
              ELSE '' END"""
-    s"""WITH docs AS (SELECT doc_id, text FROM documents),
-           nn AS (SELECT count(*) AS n FROM docs),
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id, text FROM documents),
+           nn AS MATERIALIZED (SELECT count(*) AS n FROM docs),
            pages AS (
              SELECT 'https://site' || (doc_id % 20) || '.com/p' || doc_id
                  AS url,
@@ -4870,10 +4880,13 @@ object SparkEntry {
              JOIN pages p
                ON replace(replace(lower(h.href), ':443', ''),
                     '?utm_source=x#f', '') = p.url),
-           e AS (SELECT DISTINCT src, dst FROM resolved WHERE src <> dst),
-           deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-           r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank_u
-                  FROM docs),
+           e AS MATERIALIZED (
+             SELECT DISTINCT src, dst FROM resolved WHERE src <> dst),
+           deg AS MATERIALIZED (
+             SELECT src, count(*) AS deg FROM e GROUP BY src),
+           r0 AS MATERIALIZED (
+             SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank_u
+             FROM docs),
            ${(1 to 6).map(pageRankIterSql).mkString(",\n           ")}
          SELECT r.id AS doc_id, CAST(coalesce(g.deg, 0) AS BIGINT) AS n_out,
            r.rank_u
@@ -4885,7 +4898,7 @@ object SparkEntry {
   // the per-node seed weight `w` (millionths) riding the `wv` relation —
   // graft.ops.Graph.pageRankSeeded's exact update rule
   private def seededIterSql(i: Int): String =
-    s"""r$i AS (
+    s"""r$i AS MATERIALIZED (
              SELECT v.id,
                CAST((15 * (SELECT n FROM nn) * v.w) // 100
                  + (85 * (coalesce(inf.inflow, 0)
@@ -4904,7 +4917,7 @@ object SparkEntry {
   // label and its symmetrized neighbors' labels — min for sum, else the
   // q150 iteration convention (LEFT JOIN keeps isolates)
   private def componentsIterSql(i: Int): String =
-    s"""c$i AS (
+    s"""c$i AS MATERIALIZED (
              SELECT l.id, least(l.comp, coalesce(m.nmin, l.comp)) AS comp
              FROM c${i - 1} l
              LEFT JOIN (
@@ -4915,9 +4928,10 @@ object SparkEntry {
 
   private def componentsOracleSql: String =
     s"""WITH $mintedEdgeCtesSql,
-           und AS (SELECT src, dst FROM e
+           und AS MATERIALIZED (SELECT src, dst FROM e
                    UNION SELECT dst AS src, src AS dst FROM e),
-           c0 AS (SELECT doc_id AS id, doc_id AS comp FROM docs),
+           c0 AS MATERIALIZED (
+             SELECT doc_id AS id, doc_id AS comp FROM docs),
            ${(1 to 8).map(componentsIterSql).mkString(",\n           ")}
          SELECT l.id AS doc_id, l.comp, s.comp_size,
            (l.id = l.comp) AS is_root
@@ -4955,8 +4969,9 @@ object SparkEntry {
 
   private def hitsOracleSql: String =
     s"""WITH $mintedEdgeCtesSql,
-           v0 AS (SELECT doc_id AS id FROM docs),
-           h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM v0),
+           v0 AS MATERIALIZED (SELECT doc_id AS id FROM docs),
+           h0 AS MATERIALIZED (
+             SELECT id, CAST(1000000 AS BIGINT) AS s FROM v0),
            ${(1 to 5).map(hitsIterSql).mkString(",\n           ")}
          SELECT v.id AS doc_id, a5.s AS auth_u, h5.s AS hub_u
          FROM v0 v
@@ -4995,9 +5010,10 @@ object SparkEntry {
 
   private def clusterKeeperOracleSql: String =
     s"""WITH $mintedEdgeCtesSql,
-           und AS (SELECT src, dst FROM e
+           und AS MATERIALIZED (SELECT src, dst FROM e
                    UNION SELECT dst AS src, src AS dst FROM e),
-           c0 AS (SELECT doc_id AS id, doc_id AS comp FROM docs),
+           c0 AS MATERIALIZED (
+             SELECT doc_id AS id, doc_id AS comp FROM docs),
            ${(1 to 8).map(componentsIterSql).mkString(",\n           ")},
            j AS (
              SELECT l.id AS doc_id, l.comp, d.n_chars
@@ -5010,15 +5026,16 @@ object SparkEntry {
 
   private def seededPageRankOracleSql: String =
     s"""WITH $mintedEdgeCtesSql,
-           ns AS (SELECT count(*) AS c FROM docs WHERE doc_id % 25 = 0),
-           wv AS (
+           ns AS MATERIALIZED (
+             SELECT count(*) AS c FROM docs WHERE doc_id % 25 = 0),
+           wv AS MATERIALIZED (
              SELECT doc_id AS id,
                CASE WHEN doc_id % 25 = 0
                  THEN 1000000 // (SELECT c FROM ns) ELSE 0 END AS w
              FROM docs),
-           r0 AS (SELECT id, CAST((SELECT n FROM nn) * w AS BIGINT)
-                    AS rank_u
-                  FROM wv),
+           r0 AS MATERIALIZED (
+             SELECT id, CAST((SELECT n FROM nn) * w AS BIGINT) AS rank_u
+             FROM wv),
            ${(1 to 6).map(seededIterSql).mkString(",\n           ")}
          SELECT id AS doc_id, (id % 25 = 0) AS is_seed, rank_u
          FROM r6 ORDER BY doc_id"""

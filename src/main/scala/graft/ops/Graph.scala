@@ -112,12 +112,24 @@ object Graph {
     r
   }
 
-  /** Connected components by min-label propagation (hash-min: Kang,
-    * Tsourakakis, Faloutsos, "PEGASUS", 2009 §3.2 — the shuffle-join
-    * form of the classic) — the dedup-cluster labeler: near-dup PAIRS
-    * (MinHash, SimHash, semantic) become keep-one-per-cluster decisions
-    * only after transitive closure, and at corpus scale that closure is
-    * exactly this operator.
+  /** Connected components by FIXED-ROUND min-label propagation
+    * (hash-min: Kang, Tsourakakis, Faloutsos, "PEGASUS", 2009 §3.2 —
+    * the shuffle-join form of the classic).
+    *
+    * Relationship to [[graft.ops.Clusters]]: that object carries the
+    * PRODUCTION closure forms — run-to-fixpoint with pointer jumping
+    * (`Clusters.connectedComponents`, the q50 path) and the
+    * O(log² n)-round star-contraction (`connectedComponentsStar`).
+    * This one is the REPLAY-CONTRACT form: no pointer jump, no
+    * data-dependent stopping — exactly `iters` neighbor-min rounds, so
+    * every intermediate label is a pure function of (graph, round) and
+    * an external SQL engine replays the whole run as generated CTEs
+    * bit-for-bit (the q153 oracle; pointer jumping would also replay,
+    * but a fixpoint loop's round count cannot be pinned in advance).
+    * It is also the semantic primitive for k-HOP closure: labels after
+    * `iters` rounds are the min over ≤ iters-hop neighborhoods, the
+    * bounded-propagation variant a curation pipeline uses when it
+    * deliberately refuses to merge across long weak chains.
     *
     * Edges are treated as UNDIRECTED (symmetrized, deduped, self-loops
     * dropped). Every node starts labeled with its own id; each round
@@ -126,11 +138,10 @@ object Graph {
     * carries its minimum member id on every node — and a component that
     * has NOT converged yet still has deterministic labels (the rule is
     * a pure min), so fixed-iteration output is engine-replayable
-    * bit-for-bit, converged or not. Pick `iters` ≥ the expected
-    * diameter; near-dup clusters are shallow (most are stars around a
-    * canonical page), so small `iters` converges in practice — the
-    * Θ(log n) star-contraction variant is the known upgrade if a crawl
-    * graph with long chains ever needs it.
+    * bit-for-bit, converged or not. Near-dup clusters are shallow
+    * (most are stars around a canonical page), so small `iters`
+    * converges in practice; for exact closure on arbitrary shapes use
+    * the [[graft.ops.Clusters]] fixpoint forms.
     *
     * Scale shape: per round one src-keyed join of the label vector to
     * the symmetrized edges + one map-combinable dst-keyed MIN — the

@@ -81,4 +81,43 @@ class StreamCurationSpec extends SparkSpec {
         query.lastProgress.stateOperators.isEmpty)
     } finally query.stop()
   }
+
+  test("the ingest gate chain composes in ONE streaming query: corpus " +
+      "bloom gate -> template strip, still stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val index = TextAnalysis.buildBoilerplateIndex(
+      miningCorpus, col("domain"), col("doc_id"), col("text"),
+      maxAffixTokens = 4, minDocs = 3, minShare = 0.5)
+    // the already-ingested corpus: exact text fingerprints
+    val seen = Seq("home nav menu old page foot er").toDF("fp")
+    val source = MemoryStream[(Long, String, String)]
+    val stream = source.toDF().toDF("doc_id", "domain", "text")
+    // gate 1: drop rows whose exact text is (probably) already ingested
+    val fresh = graft.streaming.StreamDedup
+      .corpusGate(stream, seen, col("text"), expectedItems = 10L)
+      .filter(!col("might_exist"))
+      .drop("might_exist")
+    // gate 2: strip the domain template off the survivors
+    val cleaned = StreamCuration.boilerplateStrip(
+      index, fresh, col("domain"), col("text"))
+    val query = cleaned.writeStream.format("memory").queryName("gate_chain")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(
+        (200L, "a", "home nav menu old page foot er"), // re-ingest → gated
+        (201L, "a", "home nav menu brand new words foot er"),
+        (202L, "b", "cookie banner fresh material"))
+      query.processAllAvailable()
+      val got = spark.table("gate_chain")
+        .select("doc_id", "pfx_stripped", "sfx_stripped", "text_clean")
+        .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+      assert(!got.contains(200L), "the re-ingested doc must be gated out")
+      assert(got(201L) == ((201L, 3, 2, "brand new words")))
+      assert(got(202L) == ((202L, 2, 0, "fresh material")))
+      // the whole chain is stateless: no state store rows anywhere
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
 }
