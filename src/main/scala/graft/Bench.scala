@@ -549,6 +549,10 @@ object Bench {
       // key hash self-join of the corpus-linear edge relation + three
       // bounded-key (20-domain) aggs — linear
       "q154_hits", "q155_cluster_keeper", "q156_link_spam",
+      // training-objective transforms: JSON parse + regex shape check
+      // (q157) and the FIM substring reorder (q158) are per-row column
+      // kernels, map-only — linear
+      "q157_chat_audit", "q158_fim_split",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -3496,6 +3496,57 @@ object SparkEntry {
       .orderBy(col("domain"))
   }
 
+  /** Chat-transcript audit + flatten (q157): [[graft.ops.TrainPrep
+    * .chatAudit]] — the instruct-data ingest step. Five minted
+    * transcript classes (canonical 2-turn; system-led 5-turn; a double
+    * user; ends-on-user; an empty assistant turn) are built as JSON
+    * strings both engines mint identically, parsed with REAL JSON
+    * machinery on each side (from_json vs json_extract), shape-checked
+    * by the ONE anchored role regex, and flattened to training text.
+    * Map-only; every column value-compared. */
+  private def qChatAudit(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    def turn(role: String, c: Column): Column = concat(
+      lit(s"""{"role":"$role","content":""""), c, lit("\"}"))
+    val m = (sfx: String) => concat(lit("m"), id, lit(sfx))
+    val cls = pmod(id, lit(5L))
+    val chat = when(cls === 0L, concat(lit("["),
+        turn("user", m("a")), lit(","), turn("assistant", m("b")),
+        lit("]")))
+      .when(cls === 1L, concat(lit("["),
+        turn("system", lit("sys")), lit(","), turn("user", m("a")),
+        lit(","), turn("assistant", m("b")), lit(","),
+        turn("user", m("c")), lit(","), turn("assistant", m("d")),
+        lit("]")))
+      .when(cls === 2L, concat(lit("["),
+        turn("user", m("a")), lit(","), turn("user", m("b")), lit(","),
+        turn("assistant", m("c")), lit("]")))
+      .when(cls === 3L, concat(lit("["),
+        turn("user", m("a")), lit(","), turn("assistant", m("b")),
+        lit(","), turn("user", m("c")), lit("]")))
+      .otherwise(concat(lit("["),
+        turn("user", m("a")), lit(","), turn("assistant", lit("")),
+        lit("]")))
+    val minted = t(s, d, "documents").select(id, chat.as("chat"))
+    graft.ops.TrainPrep.chatAudit(minted, col("doc_id"), col("chat"))
+      .withColumn("chat_class", pmod(col("doc_id"), lit(5L)))
+      .select(col("doc_id"), col("chat_class"), col("n_turns"),
+        col("parse_ok"), col("shape_ok"), col("nonempty_ok"),
+        col("keep"), col("text_train"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fill-in-the-middle transform (q158): [[graft.ops.TrainPrep
+    * .fimSplit]] — PSM-mode FIM over the documents corpus at a 50%
+    * mixture rate, cut points from the shared arithmetic hash mod
+    * (len+1), so the oracle replays the rate gate, both cuts, and the
+    * exact reordered `<PRE>…<SUF>…<MID>…` text. Map-only. */
+  private def qFimSplit(s: SparkSession, d: String): DataFrame =
+    graft.ops.TrainPrep.fimSplit(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"), ratePct = 50)
+      .orderBy(col("doc_id"))
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4726,7 +4777,9 @@ object SparkEntry {
     "q153_dedup_components" -> (qDedupComponents _),
     "q154_hits" -> (qHits _),
     "q155_cluster_keeper" -> (qClusterKeeper _),
-    "q156_link_spam" -> (qLinkSpamSignals _))
+    "q156_link_spam" -> (qLinkSpamSignals _),
+    "q157_chat_audit" -> (qChatAudit _),
+    "q158_fim_split" -> (qFimSplit _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5007,6 +5060,92 @@ object SparkEntry {
          LEFT JOIN links l ON l.domain = p.domain
          LEFT JOIN recips r ON r.domain = p.domain
          ORDER BY p.domain"""
+
+  // q157: the minted transcript classes + REAL JSON parsing + the one
+  // anchored role-shape regex, replayed end to end
+  private def chatAuditOracleSql: String = {
+    def turn(role: String, content: String): String =
+      s"""'{"role":"$role","content":' || to_json($content) || '}'"""
+    raw"""WITH m AS (
+             SELECT doc_id, doc_id % 5 AS chat_class,
+               CASE doc_id % 5
+                 WHEN 0 THEN '[' || ${turn("user", "'m' || doc_id || 'a'")}
+                   || ',' || ${turn("assistant", "'m' || doc_id || 'b'")}
+                   || ']'
+                 WHEN 1 THEN '[' || ${turn("system", "'sys'")}
+                   || ',' || ${turn("user", "'m' || doc_id || 'a'")}
+                   || ',' || ${turn("assistant", "'m' || doc_id || 'b'")}
+                   || ',' || ${turn("user", "'m' || doc_id || 'c'")}
+                   || ',' || ${turn("assistant", "'m' || doc_id || 'd'")}
+                   || ']'
+                 WHEN 2 THEN '[' || ${turn("user", "'m' || doc_id || 'a'")}
+                   || ',' || ${turn("user", "'m' || doc_id || 'b'")}
+                   || ',' || ${turn("assistant", "'m' || doc_id || 'c'")}
+                   || ']'
+                 WHEN 3 THEN '[' || ${turn("user", "'m' || doc_id || 'a'")}
+                   || ',' || ${turn("assistant", "'m' || doc_id || 'b'")}
+                   || ',' || ${turn("user", "'m' || doc_id || 'c'")}
+                   || ']'
+                 ELSE '[' || ${turn("user", "'m' || doc_id || 'a'")}
+                   || ',' || ${turn("assistant", "''")} || ']'
+               END AS chat
+             FROM documents),
+           p AS (
+             SELECT doc_id, chat_class, chat,
+               CAST(json_array_length(chat) AS INT) AS n_turns,
+               range(0, CAST(json_array_length(chat) AS INT)) AS idx
+             FROM m),
+           f AS (
+             SELECT doc_id, chat_class, n_turns,
+               json_valid(chat) AS parse_ok,
+               regexp_matches(
+                 array_to_string(list_transform(idx, i ->
+                   json_extract_string(chat, '$$[' || i || '].role')),
+                   '>'),
+                 '^(system>)?user>(assistant>user>)*assistant$$')
+                 AS shape_ok,
+               len(list_filter(idx, i ->
+                 length(json_extract_string(chat,
+                   '$$[' || i || '].content')) <= 0)) = 0 AS nonempty_ok,
+               array_to_string(list_transform(idx, i ->
+                 '<|' || json_extract_string(chat, '$$[' || i || '].role')
+                   || '|>'
+                   || json_extract_string(chat, '$$[' || i || '].content')),
+                 chr(10)) AS flat
+             FROM p)
+         SELECT doc_id, chat_class, n_turns, parse_ok, shape_ok,
+           nonempty_ok, (shape_ok AND nonempty_ok) AS keep,
+           CASE WHEN shape_ok AND nonempty_ok THEN flat ELSE '' END
+             AS text_train
+         FROM f ORDER BY doc_id"""
+  }
+
+  // q158: rate gate, both cuts, and the reordered text — pure hash
+  // arithmetic + substr, replayed literally
+  private def fimSplitOracleSql: String =
+    raw"""WITH h AS (
+             SELECT doc_id, text, length(text) AS n,
+               ((doc_id % 1000003) * 2654435761 + 1 * 40503)
+                 % 1000000007 % (length(text) + 1) AS c1,
+               ((doc_id % 1000003) * 2654435761 + 2 * 40503)
+                 % 1000000007 % (length(text) + 1) AS c2,
+               ((doc_id % 1000003) * 2654435761 + 3 * 40503)
+                 % 1000000007 % 100 < 50 AS applied
+             FROM documents),
+           c AS (
+             SELECT doc_id, text, n, applied,
+               least(c1, c2) AS lo, greatest(c1, c2) AS hi
+             FROM h)
+         SELECT doc_id, applied AS fim_applied,
+           CASE WHEN applied THEN lo ELSE -1 END AS cut_lo,
+           CASE WHEN applied THEN hi ELSE -1 END AS cut_hi,
+           CASE WHEN applied THEN
+             '<PRE>' || substr(text, 1, CAST(lo AS INT))
+               || '<SUF>' || substr(text, CAST(hi + 1 AS INT))
+               || '<MID>' || substr(text, CAST(lo + 1 AS INT),
+                    CAST(hi - lo AS INT))
+             ELSE text END AS text_out
+         FROM c ORDER BY doc_id"""
 
   private def clusterKeeperOracleSql: String =
     s"""WITH $mintedEdgeCtesSql,
@@ -7349,5 +7488,7 @@ object SparkEntry {
     "q153_dedup_components" -> componentsOracleSql,
     "q154_hits" -> hitsOracleSql,
     "q155_cluster_keeper" -> clusterKeeperOracleSql,
-    "q156_link_spam" -> linkSpamOracleSql)
+    "q156_link_spam" -> linkSpamOracleSql,
+    "q157_chat_audit" -> chatAuditOracleSql,
+    "q158_fim_split" -> fimSplitOracleSql)
 }

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+
+/** Training-objective transforms — the last mile of a training-data
+  * pipeline, where curated documents become model inputs for a specific
+  * objective: chat/instruct transcripts (role-shape validation +
+  * flattening), fill-in-the-middle for code models. All map-only
+  * per-row column transforms (no shuffle, no state), so every one lifts
+  * unchanged to the ingest stream and replays exactly in any SQL engine.
+  */
+object TrainPrep {
+
+  private val chatSchema = ArrayType(StructType(Seq(
+    StructField("role", StringType), StructField("content", StringType))))
+
+  /** The canonical transcript shape: an optional leading `system` turn,
+    * then strict user/assistant alternation starting with `user` and
+    * ending on `assistant` — one anchored regex over the joined role
+    * sequence, shared verbatim by the SQL replay (both engines' regex
+    * dialects agree on this alternation-group pattern). */
+  val roleShapeRe = "^(system>)?user>(assistant>user>)*assistant$"
+
+  /** Audit + flatten chat transcripts (the instruct-data ingest step):
+    * parse the JSON turn array, validate the role SHAPE (one regex over
+    * the `>`-joined role sequence — [[roleShapeRe]]), require nonempty
+    * turn contents, and flatten to the `<|role|>content` training text.
+    *
+    * Malformed JSON parses to null (Spark's PERMISSIVE from_json), which
+    * fails `parse_ok` and gates the row — the q124 quarantine posture.
+    *
+    * @param docs  rows carrying a JSON array column of
+    *              {role, content} turns.
+    * @return (idCol, n_turns, parse_ok, shape_ok, nonempty_ok, keep,
+    *         text_train) — text_train is empty for gated rows. */
+  def chatAudit(docs: DataFrame, idCol: Column, jsonCol: Column): DataFrame = {
+    val parsed = from_json(jsonCol, chatSchema)
+    val roles = transform(parsed, t => t.getField("role"))
+    val parseOk = parsed.isNotNull
+    val shapeOk = parseOk &&
+      array_join(roles, ">").rlike(roleShapeRe)
+    val nonemptyOk = parseOk &&
+      size(filter(parsed, t => length(t.getField("content")) <= 0)) === 0
+    val keep = shapeOk && nonemptyOk
+    docs.select(
+      idCol.as("doc_id"),
+      coalesce(size(parsed), lit(-1)).cast("int").as("n_turns"),
+      parseOk.as("parse_ok"),
+      shapeOk.as("shape_ok"),
+      nonemptyOk.as("nonempty_ok"),
+      keep.as("keep"),
+      when(keep, array_join(
+        transform(parsed, t => concat(
+          lit("<|"), t.getField("role"), lit("|>"),
+          t.getField("content"))), "\n"))
+        .otherwise(lit("")).as("text_train"))
+  }
+
+  /** Fill-in-the-middle split (Bavarian et al., "Efficient Training of
+    * Language Models to Fill in the Middle", 2022 — PSM mode): cut the
+    * document at two deterministic character offsets and emit
+    * `<PRE>prefix<SUF>suffix<MID>middle`, so the model learns infilling
+    * from the reordered plain text. Applied to `ratePct`% of docs by
+    * the shared arithmetic hash (the paper trains on a mixture of FIM
+    * and plain rows); the rest pass through unchanged.
+    *
+    * Cut points are `H(id, salt) mod (len+1)` for two salts, sorted —
+    * pure integer arithmetic on the char length, so any engine replays
+    * the exact split (the fixture corpus is single-plane text; char
+    * semantics agree across engines there).
+    *
+    * @return (idCol, fim_applied, cut_lo, cut_hi, text_out). */
+  def fimSplit(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      ratePct: Int = 50): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100,
+      s"ratePct must be in [0,100], got $ratePct")
+    def h(salt: Long): Column = pmod(
+      pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L)
+        + lit(salt * 40503L),
+      lit(1000000007L))
+    val len = length(textCol).cast("long")
+    val c1 = pmod(h(1L), len + lit(1L))
+    val c2 = pmod(h(2L), len + lit(1L))
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val applied = pmod(h(3L), lit(100L)) < ratePct
+    docs.select(
+      idCol.as("doc_id"),
+      applied.as("fim_applied"),
+      when(applied, lo).otherwise(lit(-1L)).as("cut_lo"),
+      when(applied, hi).otherwise(lit(-1L)).as("cut_hi"),
+      when(applied, concat(
+        lit("<PRE>"), textCol.substr(lit(1), lo.cast("int")),
+        lit("<SUF>"), textCol.substr(
+          (hi + lit(1L)).cast("int"), (len - hi).cast("int")),
+        lit("<MID>"), textCol.substr(
+          (lo + lit(1L)).cast("int"), (hi - lo).cast("int"))))
+        .otherwise(textCol).as("text_out"))
+  }
+}

@@ -120,4 +120,38 @@ class StreamCurationSpec extends SparkSpec {
         query.lastProgress.stateOperators.isEmpty)
     } finally query.stop()
   }
+
+  test("the training-objective transforms lift to a stream unchanged: " +
+      "chat audit -> FIM on the flattened text, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val audited = graft.ops.TrainPrep.chatAudit(
+      source.toDF().toDF("doc_id", "chat"), col("doc_id"), col("chat"))
+    val out = graft.ops.TrainPrep.fimSplit(
+      audited.filter(col("keep")), col("doc_id"), col("text_train"),
+      ratePct = 100)
+    val query = out.writeStream.format("memory").queryName("prep_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(
+        (10L, """[{"role":"user","content":"hello"},{"role":"assistant","content":"world"}]"""),
+        (11L, """[{"role":"user","content":"a"},{"role":"user","content":"b"}]"""), // bad shape
+        (12L, """broken"""))
+      query.processAllAvailable()
+      val got = spark.table("prep_stream")
+        .select("doc_id", "fim_applied", "text_out")
+        .as[(Long, Boolean, String)].collect()
+      assert(got.map(_._1).toSet === Set(10L), "only the valid transcript survives")
+      val (_, fim, text) = got.head
+      assert(fim, "rate 100% applies FIM")
+      // the three pieces reassemble the flattened transcript
+      val pre = text.stripPrefix("<PRE>").split("<SUF>")(0)
+      val rest = text.split("<SUF>")(1)
+      val Array(suf, mid) = rest.split("<MID>", 2)
+      assert(pre + mid + suf == "<|user|>hello\n<|assistant|>world")
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
 }

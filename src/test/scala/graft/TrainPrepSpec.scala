@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TrainPrep
+
+class TrainPrepSpec extends SparkSpec {
+
+  test("chatAudit: shape regex accepts the canonical transcripts and " +
+      "rejects every violation class") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, """[{"role":"user","content":"a"},{"role":"assistant","content":"b"}]"""),
+      (2L, """[{"role":"system","content":"s"},{"role":"user","content":"a"},{"role":"assistant","content":"b"},{"role":"user","content":"c"},{"role":"assistant","content":"d"}]"""),
+      (3L, """[{"role":"user","content":"a"},{"role":"user","content":"b"},{"role":"assistant","content":"c"}]"""), // double user
+      (4L, """[{"role":"user","content":"a"},{"role":"assistant","content":"b"},{"role":"user","content":"c"}]"""), // ends on user
+      (5L, """[{"role":"user","content":"a"},{"role":"assistant","content":""}]"""), // empty turn
+      (6L, """[{"role":"assistant","content":"a"},{"role":"user","content":"b"}]"""), // starts wrong
+      (7L, """not json at all"""))
+      .toDF("doc_id", "chat")
+    val got = TrainPrep.chatAudit(rows, col("doc_id"), col("chat"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getString(6)))).toMap
+    assert(got(1L) == ((2, true, true, true, true,
+      "<|user|>a\n<|assistant|>b")))
+    assert(got(2L)._5 && got(2L)._1 == 5, got(2L).toString)
+    assert(!got(3L)._3 && !got(3L)._5 && got(3L)._6 == "")
+    assert(!got(4L)._3 && !got(4L)._5)
+    assert(got(5L)._3 && !got(5L)._4 && !got(5L)._5)
+    assert(!got(6L)._3 && !got(6L)._5)
+    assert(!got(7L)._2 && !got(7L)._5 && got(7L)._1 == -1)
+  }
+
+  test("fimSplit: the three pieces reassemble the document exactly and " +
+      "the cut points are the hash arithmetic") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (i, s"doc$i " + ("abcdef " * 5).trim))
+      .toDF("doc_id", "text")
+    val got = TrainPrep.fimSplit(rows, col("doc_id"), col("text"), 50)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val src = rows.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def h(id: Long, salt: Long): Long =
+      ((id % 1000003L) * 2654435761L + salt * 40503L) % 1000000007L
+    var applied = 0
+    for ((id, fim, lo, hi, out) <- got) {
+      val text = src(id)
+      val n = text.length.toLong
+      assert(fim == (h(id, 3) % 100 < 50), s"rate gate for $id")
+      if (fim) {
+        applied += 1
+        val (elo, ehi) = {
+          val a = h(id, 1) % (n + 1); val b = h(id, 2) % (n + 1)
+          (math.min(a, b), math.max(a, b))
+        }
+        assert(lo == elo && hi == ehi, s"cuts for $id")
+        assert(out ==
+          s"<PRE>${text.substring(0, lo.toInt)}" +
+          s"<SUF>${text.substring(hi.toInt)}" +
+          s"<MID>${text.substring(lo.toInt, hi.toInt)}", s"pieces for $id")
+        // reassembly: PRE + MID + SUF == the original document
+        val pre = out.stripPrefix("<PRE>").split("<SUF>")(0)
+        val rest = out.split("<SUF>")(1)
+        val suf = rest.split("<MID>")(0)
+        val mid = rest.split("<MID>")(1)
+        assert(pre + mid + suf == text, s"reassembly for $id")
+      } else assert(out == text && lo == -1L && hi == -1L)
+    }
+    assert(applied > 5 && applied < 35, s"rate ~50%: $applied/40")
+  }
+}
