@@ -551,8 +551,9 @@ object Bench {
       "q154_hits", "q155_cluster_keeper", "q156_link_spam",
       // training-objective transforms: JSON parse + regex shape check
       // (q157) and the FIM substring reorder (q158) are per-row column
-      // kernels, map-only — linear
-      "q157_chat_audit", "q158_fim_split",
+      // kernels, map-only — linear; loss-mask spans (q159) adds one
+      // turn explode + a doc-partitioned running-sum window — linear
+      "q157_chat_audit", "q158_fim_split", "q159_loss_mask",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

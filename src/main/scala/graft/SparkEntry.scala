@@ -3547,6 +3547,31 @@ object SparkEntry {
         col("doc_id"), col("text"), ratePct = 50)
       .orderBy(col("doc_id"))
 
+  /** Loss-mask span table (q159): [[graft.ops.TrainPrep
+    * .lossMaskSpans]] — per-turn character offsets into the flattened
+    * transcript plus the trainable flag (assistant turns train, the
+    * rest are context). Minted valid transcripts (2-turn and
+    * system-led 5-turn, by doc parity); the oracle replays the mint,
+    * the JSON parse, the running-sum offset window, and the
+    * self-validating substring check — every offset value-compared. */
+  private def qLossMask(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    def turn(role: String, c: Column): Column = concat(
+      lit(s"""{"role":"$role","content":""""), c, lit("\"}"))
+    val m = (sfx: String) => concat(lit("m"), id, lit(sfx))
+    val chat = when(pmod(id, lit(2L)) === 0L, concat(lit("["),
+        turn("user", m("a")), lit(","), turn("assistant", m("b")),
+        lit("]")))
+      .otherwise(concat(lit("["),
+        turn("system", lit("sys")), lit(","), turn("user", m("a")),
+        lit(","), turn("assistant", m("b")), lit(","),
+        turn("user", m("c")), lit(","), turn("assistant", m("d")),
+        lit("]")))
+    val minted = t(s, d, "documents").select(id, chat.as("chat"))
+    graft.ops.TrainPrep.lossMaskSpans(minted, col("doc_id"), col("chat"))
+      .orderBy(col("doc_id"), col("turn_idx"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4779,7 +4804,8 @@ object SparkEntry {
     "q155_cluster_keeper" -> (qClusterKeeper _),
     "q156_link_spam" -> (qLinkSpamSignals _),
     "q157_chat_audit" -> (qChatAudit _),
-    "q158_fim_split" -> (qFimSplit _))
+    "q158_fim_split" -> (qFimSplit _),
+    "q159_loss_mask" -> (qLossMask _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5118,6 +5144,63 @@ object SparkEntry {
            CASE WHEN shape_ok AND nonempty_ok THEN flat ELSE '' END
              AS text_train
          FROM f ORDER BY doc_id"""
+  }
+
+  // q159: mint, parse, running-sum offsets, and the self-validating
+  // substring check — the lossMaskSpans contract replayed verbatim
+  private def lossMaskOracleSql: String = {
+    def turn(role: String, content: String): String =
+      s"""'{"role":"$role","content":' || to_json($content) || '}'"""
+    raw"""WITH m AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                 THEN '[' || ${turn("user", "'m' || doc_id || 'a'")}
+                   || ',' || ${turn("assistant", "'m' || doc_id || 'b'")}
+                   || ']'
+                 ELSE '[' || ${turn("system", "'sys'")}
+                   || ',' || ${turn("user", "'m' || doc_id || 'a'")}
+                   || ',' || ${turn("assistant", "'m' || doc_id || 'b'")}
+                   || ',' || ${turn("user", "'m' || doc_id || 'c'")}
+                   || ',' || ${turn("assistant", "'m' || doc_id || 'd'")}
+                   || ']'
+               END AS chat
+             FROM documents),
+           p AS (
+             SELECT doc_id, chat,
+               array_to_string(list_transform(
+                 range(0, CAST(json_array_length(chat) AS INT)), i ->
+                   '<|' || json_extract_string(chat, '$$[' || i || '].role')
+                     || '|>'
+                     || json_extract_string(chat,
+                          '$$[' || i || '].content')),
+                 chr(10)) AS flat,
+               unnest(range(0, CAST(json_array_length(chat) AS INT)))
+                 AS turn_idx
+             FROM m),
+           s AS (
+             SELECT doc_id, flat, turn_idx,
+               json_extract_string(chat, '$$[' || turn_idx || '].role')
+                 AS role,
+               '<|' || json_extract_string(chat,
+                   '$$[' || turn_idx || '].role')
+                 || '|>' || json_extract_string(chat,
+                   '$$[' || turn_idx || '].content') AS seg
+             FROM p),
+           o AS (
+             SELECT doc_id, flat, turn_idx, role, seg,
+               length(seg) AS len,
+               coalesce(sum(length(seg)) OVER (
+                 PARTITION BY doc_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + turn_idx AS char_start
+             FROM s)
+         SELECT doc_id, CAST(turn_idx AS INT) AS turn_idx, role,
+           CAST(char_start AS BIGINT) AS char_start,
+           CAST(char_start + len AS BIGINT) AS char_end,
+           (role = 'assistant') AS trainable,
+           (substr(flat, CAST(char_start + 1 AS INT), CAST(len AS INT))
+             = seg) AS span_ok
+         FROM o ORDER BY doc_id, turn_idx"""
   }
 
   // q158: rate gate, both cuts, and the reordered text — pure hash
@@ -7490,5 +7573,6 @@ object SparkEntry {
     "q155_cluster_keeper" -> clusterKeeperOracleSql,
     "q156_link_spam" -> linkSpamOracleSql,
     "q157_chat_audit" -> chatAuditOracleSql,
-    "q158_fim_split" -> fimSplitOracleSql)
+    "q158_fim_split" -> fimSplitOracleSql,
+    "q159_loss_mask" -> lossMaskOracleSql)
 }

@@ -58,6 +58,53 @@ object TrainPrep {
         .otherwise(lit("")).as("text_train"))
   }
 
+  /** Loss-mask span table for chat training — the per-turn character
+    * offsets into [[chatAudit]]'s flattened `text_train` plus the
+    * trainable flag (assistant turns train, user/system turns are
+    * context only — the mask every instruct-tuning run needs and most
+    * pipelines get wrong at the off-by-one level). One row per turn:
+    * offsets are 0-based [char_start, char_end) over the flattened
+    * text, separators (`\n` between turns) belong to NO span.
+    *
+    * Shape: posexplode of the parsed turn array + one partitioned
+    * running-sum window for the offsets (map-side lengths, one shuffle
+    * keyed on the doc — the window the oracle replays verbatim). The
+    * output self-validates: `span_ok` re-extracts the span from the
+    * flattened text and compares it to the segment.
+    *
+    * @return (idCol, turn_idx, role, char_start, char_end, trainable,
+    *         span_ok). */
+  def lossMaskSpans(
+      docs: DataFrame, idCol: Column, jsonCol: Column): DataFrame = {
+    val parsed = from_json(jsonCol, chatSchema)
+    val flat = array_join(
+      transform(parsed, t => concat(
+        lit("<|"), t.getField("role"), lit("|>"), t.getField("content"))),
+      "\n")
+    val exploded = docs
+      .select(idCol.as("doc_id"), flat.as("__flat"),
+        posexplode(parsed).as(Seq("turn_idx", "turn")))
+      .select(col("doc_id"), col("__flat"), col("turn_idx"),
+        col("turn.role").as("role"),
+        concat(lit("<|"), col("turn.role"), lit("|>"),
+          col("turn.content")).as("__seg"))
+      .withColumn("__len", length(col("__seg")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("turn_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    exploded
+      .withColumn("char_start",
+        coalesce(sum(col("__len")).over(w), lit(0L))
+          + col("turn_idx").cast("long"))
+      .select(col("doc_id"), col("turn_idx"), col("role"),
+        col("char_start"),
+        (col("char_start") + col("__len")).as("char_end"),
+        (col("role") === "assistant").as("trainable"),
+        (col("__flat").substr((col("char_start") + 1L).cast("int"),
+          col("__len").cast("int")) === col("__seg")).as("span_ok"))
+  }
+
   /** Fill-in-the-middle split (Bavarian et al., "Efficient Training of
     * Language Models to Fill in the Middle", 2022 — PSM mode): cut the
     * document at two deterministic character offsets and emit

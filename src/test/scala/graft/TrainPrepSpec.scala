@@ -32,6 +32,25 @@ class TrainPrepSpec extends SparkSpec {
     assert(!got(7L)._2 && !got(7L)._5 && got(7L)._1 == -1)
   }
 
+  test("lossMaskSpans: offsets self-validate, separators belong to no " +
+      "span, only assistant turns are trainable") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, """[{"role":"system","content":"s"},{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]"""))
+      .toDF("doc_id", "chat")
+    val got = TrainPrep.lossMaskSpans(rows, col("doc_id"), col("chat"))
+      .orderBy("turn_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5), r.getBoolean(6)))
+    // flat = "<|system|>s\n<|user|>hi\n<|assistant|>yo"
+    assert(got.toSeq === Seq(
+      (0, "system", 0L, 11L, false, true),
+      (1, "user", 12L, 22L, false, true),
+      (2, "assistant", 23L, 38L, true, true)))
+    // the gaps between spans are exactly the "\n" separators
+    assert(got(1)._3 == got(0)._4 + 1 && got(2)._3 == got(1)._4 + 1)
+  }
+
   test("fimSplit: the three pieces reassemble the document exactly and " +
       "the cut points are the hash arithmetic") {
     import spark.implicits._
