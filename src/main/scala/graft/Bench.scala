@@ -554,6 +554,8 @@ object Bench {
       // kernels, map-only — linear; loss-mask spans (q159) adds one
       // turn explode + a doc-partitioned running-sum window — linear
       "q157_chat_audit", "q158_fim_split", "q159_loss_mask",
+      // span corruption: array HOFs over the token list, map-only
+      "q160_span_corrupt",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

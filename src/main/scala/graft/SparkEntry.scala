@@ -3572,6 +3572,17 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("turn_idx"))
   }
 
+  /** Span corruption (q160): [[graft.ops.TrainPrep.spanCorrupt]] — the
+    * T5 denoising objective with DETERMINISTIC phase-shifted spans
+    * (blockLen 10 / spanLen 2 ≈ the paper's 15%/mean-3), so the oracle
+    * replays the phase arithmetic, the mask, the sentinel numbering,
+    * and both emitted texts exactly. Map-only array HOFs. */
+  private def qSpanCorrupt(s: SparkSession, d: String): DataFrame =
+    graft.ops.TrainPrep.spanCorrupt(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4805,7 +4816,8 @@ object SparkEntry {
     "q156_link_spam" -> (qLinkSpamSignals _),
     "q157_chat_audit" -> (qChatAudit _),
     "q158_fim_split" -> (qFimSplit _),
-    "q159_loss_mask" -> (qLossMask _))
+    "q159_loss_mask" -> (qLossMask _),
+    "q160_span_corrupt" -> (qSpanCorrupt _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5202,6 +5214,50 @@ object SparkEntry {
              = seg) AS span_ok
          FROM o ORDER BY doc_id, turn_idx"""
   }
+
+  // q160: phase arithmetic, mask, sentinel numbering, and both texts —
+  // NULL pieces are skipped by array_to_string/array_join identically
+  private def spanCorruptOracleSql: String =
+    raw"""WITH h AS (
+             SELECT doc_id,
+               ((doc_id % 1000003) * 2654435761 + 4 * 40503)
+                 % 1000000007 % 10 AS phase,
+               string_split(text, ' ') AS toks
+             FROM documents),
+           b AS (
+             SELECT doc_id, phase, toks, len(toks) AS n,
+               range(0, CAST(len(toks) AS INT)) AS idx
+             FROM h)
+         SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(idx, p ->
+             (p + phase) % 10 < 2)) AS BIGINT) AS n_masked,
+           CAST(len(list_filter(idx, p ->
+             (p + phase) % 10 < 2
+             AND (p = 0 OR NOT ((p - 1 + phase) % 10 < 2))))
+             AS BIGINT) AS n_spans,
+           array_to_string(list_transform(idx, p ->
+             CASE
+               WHEN (p + phase) % 10 < 2
+                    AND (p = 0 OR NOT ((p - 1 + phase) % 10 < 2))
+               THEN '<extra_id_'
+                 || ((p + phase) // 10
+                     - CASE WHEN phase >= 2 THEN 1 ELSE 0 END) || '>'
+               WHEN (p + phase) % 10 < 2 THEN NULL
+               ELSE toks[p + 1]
+             END), ' ') AS input_text,
+           array_to_string(list_transform(idx, p ->
+             CASE
+               WHEN (p + phase) % 10 < 2
+                    AND (p = 0 OR NOT ((p - 1 + phase) % 10 < 2))
+               THEN '<extra_id_'
+                 || ((p + phase) // 10
+                     - CASE WHEN phase >= 2 THEN 1 ELSE 0 END)
+                 || '> ' || toks[p + 1]
+               WHEN (p + phase) % 10 < 2 THEN toks[p + 1]
+               ELSE NULL
+             END), ' ') AS target_text
+         FROM b ORDER BY doc_id"""
 
   // q158: rate gate, both cuts, and the reordered text — pure hash
   // arithmetic + substr, replayed literally
@@ -7574,5 +7630,6 @@ object SparkEntry {
     "q156_link_spam" -> linkSpamOracleSql,
     "q157_chat_audit" -> chatAuditOracleSql,
     "q158_fim_split" -> fimSplitOracleSql,
-    "q159_loss_mask" -> lossMaskOracleSql)
+    "q159_loss_mask" -> lossMaskOracleSql,
+    "q160_span_corrupt" -> spanCorruptOracleSql)
 }

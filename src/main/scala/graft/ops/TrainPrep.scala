@@ -105,6 +105,70 @@ object TrainPrep {
           col("__len").cast("int")) === col("__seg")).as("span_ok"))
   }
 
+  /** Span-corruption transform (T5: Raffel et al., "Exploring the
+    * Limits of Transfer Learning…", 2020 §3.1.4 — the denoising
+    * objective): replace token spans with `<extra_id_k>` sentinels in
+    * the input and emit the masked content after the same sentinels as
+    * the target. Spans here are DETERMINISTIC: each doc gets a hash
+    * phase in [0, blockLen), and positions with
+    * `(p + phase) mod blockLen < spanLen` are masked — one `spanLen`
+    * span per `blockLen` tokens (corruption rate spanLen/blockLen,
+    * T5's 15%/mean-3 ≈ blockLen 10 / spanLen 2 here), phase-shifted
+    * per doc so span boundaries don't align corpus-wide. Deterministic
+    * arithmetic means any engine replays input AND target exactly —
+    * the random-span original is not replayable, and at pipeline scale
+    * reproducible masking is what makes a training run repeatable.
+    *
+    * All array HOFs over the whitespace tokens — map-only, no shuffle.
+    *
+    * @return (idCol, n_tokens, n_masked, n_spans, input_text,
+    *         target_text). */
+  def spanCorrupt(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      blockLen: Int = 10,
+      spanLen: Int = 2): DataFrame = {
+    require(blockLen >= 2 && spanLen >= 1 && spanLen < blockLen,
+      s"need blockLen >= 2 and 1 <= spanLen < blockLen, " +
+        s"got ($blockLen, $spanLen)")
+    val phase = pmod(
+      pmod(
+        pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L)
+          + lit(4L * 40503L),
+        lit(1000000007L)),
+      lit(blockLen.toLong))
+    val toks = split(textCol, " ")
+    val n = size(toks)
+    def maskedAt(p: Column): Column =
+      pmod(p.cast("long") + phase, lit(blockLen.toLong)) < spanLen
+    def spanStart(p: Column): Column =
+      maskedAt(p) && (p === 0 || !maskedAt(p - 1))
+    // sentinel ordinal: the block index, shifted down by one when the
+    // phase makes block 0 unreachable (first span then sits in block 1)
+    def kOf(p: Column): Column =
+      ((p.cast("long") + phase) / lit(blockLen.toLong)).cast("long") -
+        when(phase >= spanLen, 1L).otherwise(0L)
+    val idx = sequence(lit(0), n - 1)
+    def tok(p: Column): Column = element_at(toks, p + 1)
+    val inputPieces = transform(idx, p =>
+      when(spanStart(p), concat(lit("<extra_id_"), kOf(p), lit(">")))
+        .when(maskedAt(p), lit(null))
+        .otherwise(tok(p)))
+    val targetPieces = transform(idx, p =>
+      when(spanStart(p), concat(lit("<extra_id_"), kOf(p), lit("> "),
+        tok(p)))
+        .when(maskedAt(p), tok(p))
+        .otherwise(lit(null)))
+    docs.select(
+      idCol.as("doc_id"),
+      n.cast("long").as("n_tokens"),
+      size(filter(idx, p => maskedAt(p))).cast("long").as("n_masked"),
+      size(filter(idx, p => spanStart(p))).cast("long").as("n_spans"),
+      array_join(inputPieces, " ").as("input_text"),
+      array_join(targetPieces, " ").as("target_text"))
+  }
+
   /** Fill-in-the-middle split (Bavarian et al., "Efficient Training of
     * Language Models to Fill in the Middle", 2022 — PSM mode): cut the
     * document at two deterministic character offsets and emit

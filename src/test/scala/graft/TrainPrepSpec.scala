@@ -51,6 +51,33 @@ class TrainPrepSpec extends SparkSpec {
     assert(got(1)._3 == got(0)._4 + 1 && got(2)._3 == got(1)._4 + 1)
   }
 
+  test("spanCorrupt: sentinels number consecutively from 0 and " +
+      "substituting the target spans back reconstructs the document") {
+    import spark.implicits._
+    val rows = (0L until 30L)
+      .map(i => (i, (0 until 25).map(j => s"t${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TrainPrep.spanCorrupt(rows, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    val src = rows.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sentinelRe = "<extra_id_(\\d+)>".r
+    for ((id, nTok, nMasked, nSpans, input, target) <- got) {
+      assert(nTok == 25 && nMasked >= 4 && nMasked <= 6, s"doc $id")
+      // sentinel ids consecutive from 0, same sequence in both texts
+      val inIds = sentinelRe.findAllMatchIn(input).map(_.group(1).toInt).toSeq
+      val tgIds = sentinelRe.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      assert(inIds == (0 until nSpans.toInt) && tgIds == inIds, s"doc $id")
+      // substitute each sentinel with its target span -> the original
+      val spans = target.split("<extra_id_\\d+> ").toSeq.filter(_.nonEmpty)
+        .map(_.trim)
+      var rebuilt = input
+      for ((k, span) <- inIds.zip(spans))
+        rebuilt = rebuilt.replace(s"<extra_id_$k>", span)
+      assert(rebuilt == src(id), s"reconstruction for doc $id")
+    }
+  }
+
   test("fimSplit: the three pieces reassemble the document exactly and " +
       "the cut points are the hash arithmetic") {
     import spark.implicits._
