@@ -3184,6 +3184,29 @@ object SparkEntry {
     TextAnalysis.paragraphContentFilter(minted).orderBy(id)
   }
 
+  /** The shared arithmetic link mint (q150, q152–q156): 1 + (src % 3)
+    * out-links per doc, salted-hash targets mod `n`, and the
+    * H(id,7) % 11 class minting NO out-links (the dangling path) — ONE
+    * spelling, mirroring the oracle side's shared `mintedEdgeCtesSql`
+    * so a change to the edge arithmetic lands in exactly two places. */
+  private def mintedEdges(docs: DataFrame, n: Long): DataFrame = {
+    val h7 = pmod(
+      pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
+      lit(1000000007L))
+    docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(0L), lit(2L))).as("k"))
+      .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
+      .filter(pmod(h7, lit(11L)) =!= 0L)
+      .select(col("src"),
+        pmod(
+          pmod(
+            pmod(col("src"), lit(1000003L)) * lit(2654435761L)
+              + col("k") * lit(40503L),
+            lit(1000000007L)),
+          lit(n)).as("dst"))
+  }
+
   /** Link-graph authority (q150): [[graft.ops.Graph.pageRank]] —
     * damped power iteration in integer millionth fixed-point — over a
     * minted doc→doc link graph: each doc plans 1 + (id % 3) out-links
@@ -3199,21 +3222,7 @@ object SparkEntry {
   private def qPageRank(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"))
     val n = docs.count() // bounded driver scalar: the modulus for targets
-    val h7 = pmod(
-      pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
-      lit(1000000007L))
-    val cand = docs
-      .select(col("doc_id").as("src"),
-        explode(sequence(lit(0L), lit(2L))).as("k"))
-      .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
-      .filter(pmod(h7, lit(11L)) =!= 0L)
-      .select(col("src"),
-        pmod(
-          pmod(
-            pmod(col("src"), lit(1000003L)) * lit(2654435761L)
-              + col("k") * lit(40503L),
-            lit(1000000007L)),
-          lit(n)).as("dst"))
+    val cand = mintedEdges(docs, n)
     val pr = graft.ops.Graph.pageRank(
       docs.select(col("doc_id").as("id")), cand, iters = 8)
     pr.select(col("id").as("doc_id"), col("rank_u"),
@@ -3302,23 +3311,12 @@ object SparkEntry {
   private def qSeededPageRank(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"))
     val n = docs.count()
-    val h7 = pmod(
-      pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
-      lit(1000000007L))
-    val cand = docs
-      .select(col("doc_id").as("src"),
-        explode(sequence(lit(0L), lit(2L))).as("k"))
-      .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
-      .filter(pmod(h7, lit(11L)) =!= 0L)
-      .select(col("src"),
-        pmod(
-          pmod(
-            pmod(col("src"), lit(1000003L)) * lit(2654435761L)
-              + col("k") * lit(40503L),
-            lit(1000000007L)),
-          lit(n)).as("dst"))
+    val cand = mintedEdges(docs, n)
     val seeds = docs.filter(pmod(col("doc_id"), lit(25L)) === 0L)
     val nSeeds = seeds.count() // bounded driver scalar (corpus/25 rows)
+    require(nSeeds > 0 && nSeeds <= 1000000L,
+      s"q152 needs 1..1e6 seed docs (doc_id % 25 == 0), got $nSeeds — " +
+        "an empty seed set would divide by zero, a >1e6 one zero weights")
     val w = 1000000L / nSeeds
     val pr = graft.ops.Graph.pageRankSeeded(
       docs.select(col("doc_id").as("id")), cand,
@@ -3343,21 +3341,7 @@ object SparkEntry {
   private def qDedupComponents(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"))
     val n = docs.count()
-    val h7 = pmod(
-      pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
-      lit(1000000007L))
-    val cand = docs
-      .select(col("doc_id").as("src"),
-        explode(sequence(lit(0L), lit(2L))).as("k"))
-      .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
-      .filter(pmod(h7, lit(11L)) =!= 0L)
-      .select(col("src"),
-        pmod(
-          pmod(
-            pmod(col("src"), lit(1000003L)) * lit(2654435761L)
-              + col("k") * lit(40503L),
-            lit(1000000007L)),
-          lit(n)).as("dst"))
+    val cand = mintedEdges(docs, n)
     val lab = graft.ops.Graph.connectedComponents(
       docs.select(col("doc_id").as("id")), cand, iters = 8)
     val sizes = lab.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
@@ -3377,21 +3361,7 @@ object SparkEntry {
   private def qHits(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"))
     val n = docs.count()
-    val h7 = pmod(
-      pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
-      lit(1000000007L))
-    val cand = docs
-      .select(col("doc_id").as("src"),
-        explode(sequence(lit(0L), lit(2L))).as("k"))
-      .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
-      .filter(pmod(h7, lit(11L)) =!= 0L)
-      .select(col("src"),
-        pmod(
-          pmod(
-            pmod(col("src"), lit(1000003L)) * lit(2654435761L)
-              + col("k") * lit(40503L),
-            lit(1000000007L)),
-          lit(n)).as("dst"))
+    val cand = mintedEdges(docs, n)
     graft.ops.Graph.hits(
         docs.select(col("doc_id").as("id")), cand, iters = 5)
       .select(col("id").as("doc_id"), col("auth_u"), col("hub_u"))
@@ -3410,21 +3380,7 @@ object SparkEntry {
   private def qClusterKeeper(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
     val n = docs.count()
-    val h7 = pmod(
-      pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
-      lit(1000000007L))
-    val cand = docs
-      .select(col("doc_id").as("src"),
-        explode(sequence(lit(0L), lit(2L))).as("k"))
-      .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
-      .filter(pmod(h7, lit(11L)) =!= 0L)
-      .select(col("src"),
-        pmod(
-          pmod(
-            pmod(col("src"), lit(1000003L)) * lit(2654435761L)
-              + col("k") * lit(40503L),
-            lit(1000000007L)),
-          lit(n)).as("dst"))
+    val cand = mintedEdges(docs, n)
     val lab = graft.ops.Graph.connectedComponents(
       docs.select(col("doc_id").as("id")), cand, iters = 8)
     val w = org.apache.spark.sql.expressions.Window
@@ -3448,21 +3404,7 @@ object SparkEntry {
   private def qLinkSpamSignals(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"))
     val n = docs.count()
-    val h7 = pmod(
-      pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
-      lit(1000000007L))
-    val e = docs
-      .select(col("doc_id").as("src"),
-        explode(sequence(lit(0L), lit(2L))).as("k"))
-      .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
-      .filter(pmod(h7, lit(11L)) =!= 0L)
-      .select(col("src"),
-        pmod(
-          pmod(
-            pmod(col("src"), lit(1000003L)) * lit(2654435761L)
-              + col("k") * lit(40503L),
-            lit(1000000007L)),
-          lit(n)).as("dst"))
+    val e = mintedEdges(docs, n)
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint() // fence: the self-join below reuses it
@@ -5136,14 +5078,21 @@ object SparkEntry {
            f AS (
              SELECT doc_id, chat_class, n_turns,
                json_valid(chat) AS parse_ok,
-               regexp_matches(
-                 array_to_string(list_transform(idx, i ->
-                   json_extract_string(chat, '$$[' || i || '].role')),
-                   '>'),
-                 '^(system>)?user>(assistant>user>)*assistant$$')
+               (len(list_filter(idx, i ->
+                  json_extract_string(chat, '$$[' || i || '].role')
+                    IS NULL
+                  OR json_extract_string(chat, '$$[' || i || '].role')
+                    NOT IN ('system', 'user', 'assistant'))) = 0
+                AND regexp_matches(
+                  array_to_string(list_transform(idx, i ->
+                    json_extract_string(chat, '$$[' || i || '].role')),
+                    '>'),
+                  '^(system>)?user>(assistant>user>)*assistant$$'))
                  AS shape_ok,
                len(list_filter(idx, i ->
-                 length(json_extract_string(chat,
+                 json_extract_string(chat, '$$[' || i || '].content')
+                   IS NULL
+                 OR length(json_extract_string(chat,
                    '$$[' || i || '].content')) <= 0)) = 0 AS nonempty_ok,
                array_to_string(list_transform(idx, i ->
                  '<|' || json_extract_string(chat, '$$[' || i || '].role')

@@ -328,6 +328,7 @@ object Graph {
 
     val w = seeds.select(col(seedIdCol).cast("long").as("id"),
       col(wCol).cast("long").as("w"))
+    val nodeIds = nodes.select(col(idCol).cast("long").as("id"))
     // one bounded driver row validates the distribution contract before
     // any iteration spends a shuffle on a malformed one
     val chk = w.agg(coalesce(sum(col("w")), lit(0L)).as("s"),
@@ -337,9 +338,17 @@ object Graph {
       s"seed weights must sum to (0, 1e6], got ${chk.getLong(0)}")
     require(chk.getLong(1) >= 0L, "seed weights must be non-negative")
     require(chk.getLong(2) == chk.getLong(3), "seed ids must be unique")
+    // a seed id outside `nodes` would pass the sum check above and then
+    // silently vanish in the join below — its teleport mass lost with
+    // no error, breaking conservation exactly when the seed list is
+    // stale relative to the node relation
+    val lost = w.join(nodeIds, Seq("id"), "left_anti").count()
+    require(lost == 0,
+      s"$lost seed id(s) are not in nodes — their teleport mass would " +
+        "silently vanish; refresh the seed list against the node relation")
 
     // node relation with its teleport weight riding along
-    val v = nodes.select(col(idCol).cast("long").as("id"))
+    val v = nodeIds
       .join(w, Seq("id"), "left")
       .select(col("id"), coalesce(col("w"), lit(0L)).as("w"))
       .localCheckpoint()

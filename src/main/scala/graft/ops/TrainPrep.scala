@@ -20,8 +20,38 @@ object TrainPrep {
     * then strict user/assistant alternation starting with `user` and
     * ending on `assistant` — one anchored regex over the joined role
     * sequence, shared verbatim by the SQL replay (both engines' regex
-    * dialects agree on this alternation-group pattern). */
+    * dialects agree on this alternation-group pattern). The regex is
+    * only sound AFTER the per-element role check below: a forged role
+    * string containing the `>` delimiter (`"user>assistant"`) would
+    * otherwise assemble a passing sequence. */
   val roleShapeRe = "^(system>)?user>(assistant>user>)*assistant$"
+
+  /** Per-element turn validation: every turn must carry a non-null role
+    * from the closed {system, user, assistant} set — this is what makes
+    * the joined-sequence regex injection-proof (a role containing `>`
+    * is rejected here, and a null role can't silently vanish from the
+    * join). */
+  private def rolesOk(parsed: Column): Column =
+    size(filter(parsed, t =>
+      t.getField("role").isNull ||
+        !t.getField("role").isin("system", "user", "assistant"))) === 0
+
+  /** Per-element content validation: null or empty content fails (a
+    * bare `length(content) <= 0` maps null to null, which filter treats
+    * as false — exactly the malformed turn slipping the gate). */
+  private def contentsOk(parsed: Column): Column =
+    size(filter(parsed, t =>
+      t.getField("content").isNull ||
+        length(t.getField("content")) <= 0)) === 0
+
+  /** [[chatAudit]]'s full keep decision as one reusable predicate —
+    * [[lossMaskSpans]] gates on exactly this, so the two outputs join
+    * consistently. */
+  private def keepCond(parsed: Column): Column =
+    parsed.isNotNull && rolesOk(parsed) &&
+      array_join(transform(parsed, t => t.getField("role")), ">")
+        .rlike(roleShapeRe) &&
+      contentsOk(parsed)
 
   /** Audit + flatten chat transcripts (the instruct-data ingest step):
     * parse the JSON turn array, validate the role SHAPE (one regex over
@@ -39,10 +69,9 @@ object TrainPrep {
     val parsed = from_json(jsonCol, chatSchema)
     val roles = transform(parsed, t => t.getField("role"))
     val parseOk = parsed.isNotNull
-    val shapeOk = parseOk &&
+    val shapeOk = parseOk && rolesOk(parsed) &&
       array_join(roles, ">").rlike(roleShapeRe)
-    val nonemptyOk = parseOk &&
-      size(filter(parsed, t => length(t.getField("content")) <= 0)) === 0
+    val nonemptyOk = parseOk && contentsOk(parsed)
     val keep = shapeOk && nonemptyOk
     docs.select(
       idCol.as("doc_id"),
@@ -72,16 +101,22 @@ object TrainPrep {
     * output self-validates: `span_ok` re-extracts the span from the
     * flattened text and compares it to the segment.
     *
+    * Transcripts that fail [[chatAudit]]'s gate (shape or nonempty)
+    * emit NO rows — the span table only ever points into a flattened
+    * text chatAudit would actually keep, so joining the two outputs
+    * can't produce spans into an empty/gated `text_train`.
+    *
     * @return (idCol, turn_idx, role, char_start, char_end, trainable,
     *         span_ok). */
   def lossMaskSpans(
       docs: DataFrame, idCol: Column, jsonCol: Column): DataFrame = {
     val parsed = from_json(jsonCol, chatSchema)
+    val kept = docs.filter(keepCond(parsed))
     val flat = array_join(
       transform(parsed, t => concat(
         lit("<|"), t.getField("role"), lit("|>"), t.getField("content"))),
       "\n")
-    val exploded = docs
+    val exploded = kept
       .select(idCol.as("doc_id"), flat.as("__flat"),
         posexplode(parsed).as(Seq("turn_idx", "turn")))
       .select(col("doc_id"), col("__flat"), col("turn_idx"),

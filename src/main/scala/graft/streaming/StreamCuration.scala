@@ -62,10 +62,14 @@ object StreamCuration {
     val bc = sess.sparkContext.broadcast(affixMap)
     val maxK = index.maxAffixTokens
     stream
-      .select(col(idCol).cast("long"),
-        domainCol.cast("string").as("__dom"),
+      // total over dirty rows (a stream gate must not die on one bad
+      // row the way a thrown task kills the whole query): null id → -1,
+      // null domain → "" (matches no template), null text → zero tokens
+      .select(coalesce(col(idCol).cast("long"), lit(-1L)),
+        coalesce(domainCol.cast("string"), lit("")).as("__dom"),
         // the SAME tokenizer column kernel the batch base uses
-        TextAnalysis.tokens(textCol).as("__t"))
+        coalesce(TextAnalysis.tokens(textCol),
+          array().cast("array<string>")).as("__t"))
       .as[(Long, String, Seq[String])]
       .map { case (id, dom, toks) =>
         val m = bc.value

@@ -173,6 +173,12 @@ class GraphSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Graph.pageRankSeeded(nodes, edges.toDF("src", "dst"), bad)
     }
+    // a seed id absent from nodes would silently lose its teleport
+    // mass in the join — rejected up front
+    val stale = Seq((999L, 1000000L)).toDF("id", "w_u")
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRankSeeded(nodes, edges.toDF("src", "dst"), stale)
+    }
   }
 
   /** Driver-side reference for hash-min components: symmetrize, dedupe,

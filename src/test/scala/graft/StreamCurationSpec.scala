@@ -76,6 +76,14 @@ class StreamCurationSpec extends SparkSpec {
       assert(byId(101L)._4 == 0 && byId(101L)._5 == 0)
       assert(byId(104L)._4 == 0 && byId(104L)._5 == 0,
         "an unknown domain must strip nothing")
+      // a dirty row (null text) must NOT kill the streaming query — it
+      // flows through as a zero-token row (batch would not crash either)
+      source.addData((105L, "a", null: String))
+      query.processAllAvailable()
+      val dirty = spark.table("bp_strip").filter(col("doc_id") === 105L)
+        .select("n_tokens", "pfx_stripped", "sfx_stripped", "text_clean")
+        .as[(Int, Int, Int, String)].collect()
+      assert(dirty.toSeq === Seq((0, 0, 0, "")), dirty.toSeq.toString)
       // stateless: no state store rows
       assert(query.lastProgress == null ||
         query.lastProgress.stateOperators.isEmpty)

@@ -32,6 +32,30 @@ class TrainPrepSpec extends SparkSpec {
     assert(!got(7L)._2 && !got(7L)._5 && got(7L)._1 == -1)
   }
 
+  test("chatAudit: malformed turns and forged roles cannot slip the gate") {
+    import spark.implicits._
+    val rows = Seq(
+      // a turn with NO role field: must not vanish from the role join
+      (20L, """[{"role":"user","content":"a"},{"content":"x"},{"role":"assistant","content":"b"}]"""),
+      // a turn with NO content field: null content must fail nonempty
+      (21L, """[{"role":"user","content":"a"},{"role":"assistant"}]"""),
+      // a forged role containing the join delimiter
+      (22L, """[{"role":"user>assistant","content":"x"}]"""),
+      // a role outside the closed set
+      (23L, """[{"role":"user","content":"a"},{"role":"tool","content":"t"},{"role":"assistant","content":"b"}]"""))
+      .toDF("doc_id", "chat")
+    val got = TrainPrep.chatAudit(rows, col("doc_id"), col("chat"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(!got(20L)._1 && !got(20L)._3, "missing role must fail shape")
+    assert(!got(21L)._2 && !got(21L)._3, "missing content must fail nonempty")
+    assert(!got(22L)._1 && !got(22L)._3, "forged '>' role must fail shape")
+    assert(!got(23L)._1 && !got(23L)._3, "out-of-set role must fail shape")
+    // and the gated transcripts emit NO loss-mask spans at all
+    val spans = TrainPrep.lossMaskSpans(rows, col("doc_id"), col("chat"))
+    assert(spans.count() == 0, "gated transcripts must emit no spans")
+  }
+
   test("lossMaskSpans: offsets self-validate, separators belong to no " +
       "span, only assistant turns are trainable") {
     import spark.implicits._
