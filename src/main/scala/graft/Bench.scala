@@ -556,6 +556,9 @@ object Bench {
       "q157_chat_audit", "q158_fim_split", "q159_loss_mask",
       // span corruption: array HOFs over the token list, map-only
       "q160_span_corrupt",
+      // attention spans: the q79 two-pass scan + one window over
+      // sequence-sized (≤ seqTokens rows) groups — linear
+      "q161_attention_spans",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -3525,6 +3525,19 @@ object SparkEntry {
         col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** Packing attention spans (q161): [[graft.ops.TextAnalysis
+    * .packAttentionSpans]] — the block-diagonal attention boundaries
+    * over the q79 packing manifest: per packed sequence, each document
+    * segment's within-sequence [seg_start, seg_end) plus the
+    * `continued` split-head flag. The oracle replays the q79 windowed
+    * cumsum + crossing explode, then the same within-sequence running
+    * sum — every offset value-compared. */
+  private def qPackAttentionSpans(s: SparkSession, d: String): DataFrame =
+    graft.ops.TextAnalysis.packAttentionSpans(
+        t(s, d, "documents"),
+        col("source"), col("doc_id"), col("text"), seqTokens = 64)
+      .orderBy(col("source"), col("seq_id"), col("doc_id"))
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4759,7 +4772,8 @@ object SparkEntry {
     "q157_chat_audit" -> (qChatAudit _),
     "q158_fim_split" -> (qFimSplit _),
     "q159_loss_mask" -> (qLossMask _),
-    "q160_span_corrupt" -> (qSpanCorrupt _))
+    "q160_span_corrupt" -> (qSpanCorrupt _),
+    "q161_attention_spans" -> (qPackAttentionSpans _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -7580,5 +7594,37 @@ object SparkEntry {
     "q157_chat_audit" -> chatAuditOracleSql,
     "q158_fim_split" -> fimSplitOracleSql,
     "q159_loss_mask" -> lossMaskOracleSql,
-    "q160_span_corrupt" -> spanCorruptOracleSql)
+    "q160_span_corrupt" -> spanCorruptOracleSql,
+    // the q79 windowed replay + the same within-sequence running sum
+    "q161_attention_spans" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, tok,
+             CAST(coalesce(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum
+           FROM t),
+         x AS (
+           SELECT source, doc_id, tok, cum,
+             unnest(range(cum // 64, (cum + tok - 1) // 64 + 1)) AS seq_id
+           FROM c WHERE tok > 0),
+         m AS (
+           SELECT source, seq_id, doc_id,
+             greatest(0, seq_id * 64 - cum) AS tok_start,
+             least(tok, (seq_id + 1) * 64 - cum) AS tok_end
+           FROM x),
+         a AS (
+           SELECT source, seq_id, doc_id,
+             tok_end - tok_start AS len, (tok_start > 0) AS continued,
+             CAST(coalesce(sum(tok_end - tok_start) OVER (
+               PARTITION BY source, seq_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS seg_start
+           FROM m)
+         SELECT source, seq_id, doc_id, seg_start,
+           seg_start + len AS seg_end, continued
+         FROM a ORDER BY source, seq_id, doc_id""")
 }

@@ -185,6 +185,47 @@ object TextAnalysis {
         least(col("tok"), (col("seq_id") + 1) * c - col("cum")).as("tok_end"))
   }
 
+  /** Per-sequence attention-boundary spans over the [[packSequences]]
+    * manifest — what the training loader actually consumes: for each
+    * packed sequence, the ordered document segments with their
+    * WITHIN-SEQUENCE half-open token ranges [seg_start, seg_end), so
+    * cross-document attention can be masked at the segment boundaries
+    * (block-diagonal attention over packed sequences — the mask
+    * concatenate-and-cut training needs and naive packing forgets).
+    *
+    * Derivation: documents concatenate in doc_id order, so a segment's
+    * within-sequence offset is the running sum of the PRIOR segments'
+    * lengths inside its (source, seq_id) group — one window over
+    * sequence-sized groups (≤ seqTokens rows each, bounded by
+    * construction). `continued` marks a segment whose document began in
+    * an earlier sequence (its doc-relative tok_start > 0) — loaders
+    * that drop split heads filter on it. Spans tile [0, seqTokens)
+    * exactly for every full sequence by the manifest's conservation
+    * contract.
+    *
+    * @return (source, seq_id, doc_id, seg_start, seg_end, continued). */
+  def packAttentionSpans(
+      docs: DataFrame,
+      sourceCol: Column,
+      idCol: Column,
+      textCol: Column,
+      seqTokens: Int,
+      mode: TokenMode = TokenMode.Whitespace): DataFrame = {
+    val man = packSequencesMode(docs, sourceCol, idCol, textCol,
+      seqTokens, mode)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("seq_id")).orderBy(col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    man
+      .withColumn("__len", col("tok_end") - col("tok_start"))
+      .withColumn("seg_start", coalesce(sum(col("__len")).over(w), lit(0L)))
+      .select(col("source"), col("seq_id"), col("doc_id"),
+        col("seg_start"),
+        (col("seg_start") + col("__len")).as("seg_end"),
+        (col("tok_start") > 0L).as("continued"))
+  }
+
   /** Reference formulation of [[packSequences]] as a per-source window
     * cumsum — result-identical, kept for the equivalence test and for
     * corpora whose source cardinality matches the cluster (where one

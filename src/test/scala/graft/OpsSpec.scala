@@ -1053,6 +1053,38 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(byDoc(("B", 9L)).map(r => (r._2, r._4, r._5)).toSeq == Seq((0L, 0L, 16L)))
   }
 
+  test("attention spans tile each full sequence exactly and flag split heads") {
+    import spark.implicits._
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      ("A", 1L, doc(10)), ("A", 2L, doc(100)), ("A", 3L, doc(3)),
+      ("B", 9L, doc(16))).toDF("source", "doc_id", "text")
+    val out = TextAnalysis.packAttentionSpans(
+      docs, col("source"), col("doc_id"), col("text"), seqTokens = 16)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    val bySeq = out.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.sortBy(_._3).toSeq).toMap
+    // within every sequence, spans start at 0 and tile contiguously
+    for ((_, rows) <- bySeq) {
+      assert(rows.head._4 == 0L, rows.toString)
+      rows.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 == b._4, rows.toString); case _ => ()
+      }
+    }
+    // every non-final sequence of source A tiles [0, 16) exactly
+    val lastA = out.filter(_._1 == "A").map(_._2).max
+    for (((src, seq), rows) <- bySeq if src == "A" && seq < lastA)
+      assert(rows.last._5 == 16L, s"seq $seq: $rows")
+    // seq 0 of A: doc1's head [0,10) then doc2's head [10,16), neither
+    // continued; doc2's tail rows in later seqs ARE continued
+    assert(bySeq(("A", 0L)).map(r => (r._3, r._4, r._5, r._6)).toSeq ==
+      Seq((1L, 0L, 10L, false), (2L, 10L, 16L, false)))
+    assert(out.filter(r => r._1 == "A" && r._3 == 2L && r._2 > 0L)
+      .forall(_._6), "doc2's carried segments must flag continued")
+    assert(bySeq(("B", 0L)).map(r => (r._3, r._4, r._5, r._6)).toSeq ==
+      Seq((9L, 0L, 16L, false)))
+  }
+
   test("data card counts exact-duplicate docs across sources") {
     import spark.implicits._
     // "cat sat" appears in two sources (normalized-identical after
