@@ -557,8 +557,9 @@ object Bench {
       // span corruption: array HOFs over the token list, map-only
       "q160_span_corrupt",
       // attention spans: the q79 two-pass scan + one window over
-      // sequence-sized (≤ seqTokens rows) groups — linear
-      "q161_attention_spans",
+      // sequence-sized (≤ seqTokens rows) groups — linear; token
+      // budget: one source-partitioned running-sum window — linear
+      "q161_attention_spans", "q162_token_budget",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -3538,6 +3538,31 @@ object SparkEntry {
         col("source"), col("doc_id"), col("text"), seqTokens = 64)
       .orderBy(col("source"), col("seq_id"), col("doc_id"))
 
+  /** Token-budget selection (q162): the "mix to budget" step — each
+    * source contributes its best documents (quality order: n_chars
+    * desc, doc_id tie cut) until a fixed token budget fills; the greedy
+    * prefix rule (keep while the running total INCLUDING the doc stays
+    * within budget) is deterministic and whole-doc, the standard
+    * per-domain budget cap a mixture plan hands the sampler. One
+    * partitioned running-sum window; the oracle replays ordering, the
+    * cumsum, and the cut bit-for-bit. */
+  private def qTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val budget = 1000L
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("cum_tok", sum(col("tok")).over(w))
+      .select(col("doc_id"), col("source"), col("tok"), col("cum_tok"),
+        (col("cum_tok") <= budget).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4773,7 +4798,8 @@ object SparkEntry {
     "q158_fim_split" -> (qFimSplit _),
     "q159_loss_mask" -> (qLossMask _),
     "q160_span_corrupt" -> (qSpanCorrupt _),
-    "q161_attention_spans" -> (qPackAttentionSpans _))
+    "q161_attention_spans" -> (qPackAttentionSpans _),
+    "q162_token_budget" -> (qTokenBudget _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -7595,6 +7621,21 @@ object SparkEntry {
     "q158_fim_split" -> fimSplitOracleSql,
     "q159_loss_mask" -> lossMaskOracleSql,
     "q160_span_corrupt" -> spanCorruptOracleSql,
+    "q162_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, source, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, tok,
+             CAST(sum(tok) OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tok
+           FROM t)
+         SELECT doc_id, source, tok, cum_tok,
+           (cum_tok <= 1000) AS kept
+         FROM c ORDER BY doc_id""",
     // the q79 windowed replay + the same within-sequence running sum
     "q161_attention_spans" ->
       """WITH t AS (
