@@ -560,6 +560,9 @@ object Bench {
       // sequence-sized (≤ seqTokens rows) groups — linear; token
       // budget: one source-partitioned running-sum window — linear
       "q161_attention_spans", "q162_token_budget",
+      // warm pagerank: 4+4+8 iterations of the q150 shape over the
+      // corpus-linear edge relation — linear
+      "q163_warm_pagerank",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -3563,6 +3563,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Warm-restart PageRank cycle (q163): the daily-ingest posture for
+    * RANKS — persist the rank vector, resume the power iteration from
+    * it instead of re-ranking cold. One iteration is a pure function of
+    * (edges, ranks), so 4 cold + 4 warm-from-the-4th-vector rounds are
+    * bit-identical to 8 cold rounds; the query runs the warm path and
+    * compares it to the cold one (`warm_eq_cold`, genuinely computed),
+    * while the oracle replays the 8 cold iterations — a warm-path
+    * divergence would break BOTH the boolean and the rank hash. */
+  private def qWarmPageRank(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val cand = mintedEdges(docs, n).localCheckpoint()
+    val ids = docs.select(col("doc_id").as("id"))
+    val prior = graft.ops.Graph.pageRank(ids, cand, iters = 4)
+    val warm = graft.ops.Graph.pageRank(ids, cand, iters = 4,
+      initRanks = Some(prior))
+    val cold = graft.ops.Graph.pageRank(ids, cand, iters = 8)
+    warm.join(cold.select(col("id"), col("rank_u").as("cold_u")), "id")
+      .select(col("id").as("doc_id"), col("rank_u"),
+        (col("rank_u") === col("cold_u")).as("warm_eq_cold"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4799,7 +4822,8 @@ object SparkEntry {
     "q159_loss_mask" -> (qLossMask _),
     "q160_span_corrupt" -> (qSpanCorrupt _),
     "q161_attention_spans" -> (qPackAttentionSpans _),
-    "q162_token_budget" -> (qTokenBudget _))
+    "q162_token_budget" -> (qTokenBudget _),
+    "q163_warm_pagerank" -> (qWarmPageRank _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -7621,6 +7645,15 @@ object SparkEntry {
     "q158_fim_split" -> fimSplitOracleSql,
     "q159_loss_mask" -> lossMaskOracleSql,
     "q160_span_corrupt" -> spanCorruptOracleSql,
+    // the warm path must land on the cold fixed-point ranks: replay the
+    // 8 cold iterations and pin the genuinely-computed equality boolean
+    "q163_warm_pagerank" -> s"""WITH $mintedEdgeCtesSql,
+           r0 AS MATERIALIZED (
+             SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank_u
+             FROM docs),
+           ${(1 to 8).map(pageRankIterSql).mkString(",\n           ")}
+         SELECT id AS doc_id, rank_u, true AS warm_eq_cold
+         FROM r8 ORDER BY doc_id""",
     "q162_token_budget" ->
       """WITH t AS (
            SELECT doc_id, source, n_chars,

@@ -59,7 +59,8 @@ object Graph {
       dampingPct: Int = 85,
       idCol: String = "id",
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst",
+      initRanks: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
@@ -79,7 +80,23 @@ object Graph {
     require(n > 0, "pageRank needs at least one node")
     val base = (100L - dampingPct) * 1000000L / 100L
 
-    var r = v.withColumn("rank_u", lit(1000000L)).localCheckpoint()
+    // warm start (the daily-ingest posture for ranks): resume the power
+    // iteration from a PERSISTED rank vector instead of uniform 1e6 —
+    // because one iteration is a pure function of (edges, ranks), k
+    // cold iterations ≡ j cold + (k−j) warm-from-the-jth-vector, so a
+    // daily re-rank after an edge append pays only the marginal rounds
+    // (exactness is a GraphSpec property). Nodes absent from the prior
+    // vector (new pages) enter at the uniform initial mass.
+    var r = initRanks match {
+      case Some(prior) =>
+        v.join(prior.select(col(idCol).cast("long").as("id"),
+            col("rank_u").cast("long").as("rank_u")),
+          Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("rank_u"), lit(1000000L)).as("rank_u"))
+          .localCheckpoint()
+      case None => v.withColumn("rank_u", lit(1000000L)).localCheckpoint()
+    }
     var i = 0
     while (i < iters) {
       // inflow: rank 'votes' split across out-edges, summed per target.

@@ -69,6 +69,36 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("warm restart is exact: 4 cold + 4 warm iterations equal 8 cold, " +
+      "and prior-missing nodes enter at the uniform mass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val n = 30L
+    val edges = Seq.fill(90)(
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).toDF("src", "dst")
+    val nodes = (0L until n).toDF("id")
+    val cold8 = Graph.pageRank(nodes, edges, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val warm4 = Graph.pageRank(nodes, edges, iters = 4)
+    val resumed = Graph.pageRank(nodes, edges, iters = 4,
+      initRanks = Some(warm4)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed === cold8, "4 cold + 4 warm must equal 8 cold")
+    // a node absent from the prior vector (a new page) enters at 1e6:
+    // dropping it from the prior ≡ handing it rank 1e6 explicitly
+    import org.apache.spark.sql.functions.{col, when}
+    val dropped = warm4.filter(col("id") =!= 7L)
+    val explicit = warm4.withColumn("rank_u",
+      when(col("id") === 7L, 1000000L).otherwise(col("rank_u")))
+    val a = Graph.pageRank(nodes, edges, iters = 2,
+      initRanks = Some(dropped)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRank(nodes, edges, iters = 2,
+      initRanks = Some(explicit)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("duplicate edges and self-loops collapse to the clean graph") {
     val clean = Seq[(Long, Long)]((0, 1), (1, 2), (2, 0), (3, 1))
     val noisy = clean ++ clean ++ Seq[(Long, Long)]((0, 0), (2, 2), (0, 1))
