@@ -561,8 +561,9 @@ object Bench {
       // budget: one source-partitioned running-sum window — linear
       "q161_attention_spans", "q162_token_budget",
       // warm pagerank: 4+4+8 iterations of the q150 shape over the
-      // corpus-linear edge relation — linear
-      "q163_warm_pagerank",
+      // corpus-linear edge relation — linear; script mix: four regex
+      // count passes, map-only — linear
+      "q163_warm_pagerank", "q164_script_mix",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -3586,6 +3586,38 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Script-mix audit (q164): per-doc counts of Latin / Cyrillic /
+    * Greek / CJK letter mass and the two derived curation signals —
+    * `mixed` (≥ 2 scripts present: boilerplate/spam marker in a
+    * monolingual corpus) and `confusable` (Cyrillic AND Latin together:
+    * the homoglyph-spoofing shape, Unicode TR39's mixed-script
+    * confusable class). Four minted classes: pure corpus text, a
+    * Cyrillic-а homoglyph planted mid-Latin-word, Greek letters, CJK —
+    * chars spelled by codepoint on BOTH engines (chr(…) vs \u…) per
+    * the repo's escape-spelling rule. Map-only regex counts. */
+  private def qScriptMix(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val cls = pmod(id, lit(4L))
+    val m = when(cls === 0L, col("text"))
+      .when(cls === 1L, concat(col("text"), lit(" p\u0430y")))
+      .when(cls === 2L, concat(col("text"), lit(" \u03b1\u03b2")))
+      .otherwise(concat(col("text"), lit(" \u4e2d\u6587")))
+    def cnt(re: String): Column =
+      size(regexp_extract_all(m, lit(re), lit(0))).cast("long")
+    val nLatin = cnt("[A-Za-z]")
+    val nCyr = cnt("[\\u0400-\\u04FF]")
+    val nGreek = cnt("[\\u0370-\\u03FF]")
+    val nCjk = cnt("[\\u4E00-\\u9FFF]")
+    val nScripts = Seq(nLatin, nCyr, nGreek, nCjk)
+      .map(c => when(c > 0L, 1L).otherwise(0L)).reduce(_ + _)
+    t(s, d, "documents").select(id, cls.as("cls"),
+        nLatin.as("n_latin"), nCyr.as("n_cyr"), nGreek.as("n_greek"),
+        nCjk.as("n_cjk"), nScripts.as("n_scripts"),
+        (nScripts >= 2L).as("mixed"),
+        (nCyr > 0L && nLatin > 0L).as("confusable"))
+      .orderBy(id)
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -4823,7 +4855,8 @@ object SparkEntry {
     "q160_span_corrupt" -> (qSpanCorrupt _),
     "q161_attention_spans" -> (qPackAttentionSpans _),
     "q162_token_budget" -> (qTokenBudget _),
-    "q163_warm_pagerank" -> (qWarmPageRank _))
+    "q163_warm_pagerank" -> (qWarmPageRank _),
+    "q164_script_mix" -> (qScriptMix _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -7645,6 +7678,41 @@ object SparkEntry {
     "q158_fim_split" -> fimSplitOracleSql,
     "q159_loss_mask" -> lossMaskOracleSql,
     "q160_span_corrupt" -> spanCorruptOracleSql,
+    // planted chars constructed by codepoint (chr), scripts counted by
+    // the same ranges (\x{…} is RE2's spelling of \uXXXX)
+    "q164_script_mix" ->
+      raw"""WITH m AS (
+             SELECT doc_id, doc_id % 4 AS cls,
+               CASE doc_id % 4
+                 WHEN 0 THEN text
+                 WHEN 1 THEN text || ' p' || chr(1072) || 'y'
+                 WHEN 2 THEN text || ' ' || chr(945) || chr(946)
+                 ELSE text || ' ' || chr(20013) || chr(25991)
+               END AS t
+             FROM documents),
+           c AS (
+             SELECT doc_id, cls,
+               CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT)
+                 AS n_latin,
+               CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]'))
+                 AS BIGINT) AS n_cyr,
+               CAST(len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]'))
+                 AS BIGINT) AS n_greek,
+               CAST(len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]'))
+                 AS BIGINT) AS n_cjk
+             FROM m)
+         SELECT doc_id, cls, n_latin, n_cyr, n_greek, n_cjk,
+           CAST(CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
+             + CASE WHEN n_cyr > 0 THEN 1 ELSE 0 END
+             + CASE WHEN n_greek > 0 THEN 1 ELSE 0 END
+             + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_scripts,
+           (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
+             + CASE WHEN n_cyr > 0 THEN 1 ELSE 0 END
+             + CASE WHEN n_greek > 0 THEN 1 ELSE 0 END
+             + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END) >= 2 AS mixed,
+           (n_cyr > 0 AND n_latin > 0) AS confusable
+         FROM c ORDER BY doc_id""",
     // the warm path must land on the cold fixed-point ranks: replay the
     // 8 cold iterations and pin the genuinely-computed equality boolean
     "q163_warm_pagerank" -> s"""WITH $mintedEdgeCtesSql,
