@@ -3438,6 +3438,13 @@ object SparkEntry {
       .orderBy(col("domain"))
   }
 
+  // ONE spelling of the minted chat turn/content (q157 + q159 share it;
+  // the oracle twin is chatTurnSql below the oracle map header)
+  private def chatTurn(role: String, c: Column): Column = concat(
+    lit(s"""{"role":"$role","content":""""), c, lit("\"}"))
+  private def chatContent(sfx: String): Column =
+    concat(lit("m"), col("doc_id"), lit(sfx))
+
   /** Chat-transcript audit + flatten (q157): [[graft.ops.TrainPrep
     * .chatAudit]] — the instruct-data ingest step. Five minted
     * transcript classes (canonical 2-turn; system-led 5-turn; a double
@@ -3448,9 +3455,8 @@ object SparkEntry {
     * Map-only; every column value-compared. */
   private def qChatAudit(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
-    def turn(role: String, c: Column): Column = concat(
-      lit(s"""{"role":"$role","content":""""), c, lit("\"}"))
-    val m = (sfx: String) => concat(lit("m"), id, lit(sfx))
+    def turn(role: String, c: Column): Column = chatTurn(role, c)
+    val m = (sfx: String) => chatContent(sfx)
     val cls = pmod(id, lit(5L))
     val chat = when(cls === 0L, concat(lit("["),
         turn("user", m("a")), lit(","), turn("assistant", m("b")),
@@ -3498,9 +3504,8 @@ object SparkEntry {
     * self-validating substring check — every offset value-compared. */
   private def qLossMask(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
-    def turn(role: String, c: Column): Column = concat(
-      lit(s"""{"role":"$role","content":""""), c, lit("\"}"))
-    val m = (sfx: String) => concat(lit("m"), id, lit(sfx))
+    def turn(role: String, c: Column): Column = chatTurn(role, c)
+    val m = (sfx: String) => chatContent(sfx)
     val chat = when(pmod(id, lit(2L)) === 0L, concat(lit("["),
         turn("user", m("a")), lit(","), turn("assistant", m("b")),
         lit("]")))
@@ -5138,11 +5143,15 @@ object SparkEntry {
          LEFT JOIN recips r ON r.domain = p.domain
          ORDER BY p.domain"""
 
+  // ONE spelling of the oracle-side minted chat turn (q157 + q159)
+  private def chatTurnSql(role: String, content: String): String =
+    s"""'{"role":"$role","content":' || to_json($content) || '}'"""
+
   // q157: the minted transcript classes + REAL JSON parsing + the one
   // anchored role-shape regex, replayed end to end
   private def chatAuditOracleSql: String = {
     def turn(role: String, content: String): String =
-      s"""'{"role":"$role","content":' || to_json($content) || '}'"""
+      chatTurnSql(role, content)
     raw"""WITH m AS (
              SELECT doc_id, doc_id % 5 AS chat_class,
                CASE doc_id % 5
@@ -5208,7 +5217,7 @@ object SparkEntry {
   // substring check — the lossMaskSpans contract replayed verbatim
   private def lossMaskOracleSql: String = {
     def turn(role: String, content: String): String =
-      s"""'{"role":"$role","content":' || to_json($content) || '}'"""
+      chatTurnSql(role, content)
     raw"""WITH m AS (
              SELECT doc_id,
                CASE WHEN doc_id % 2 = 0

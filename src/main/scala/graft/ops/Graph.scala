@@ -89,9 +89,27 @@ object Graph {
     // vector (new pages) enter at the uniform initial mass.
     var r = initRanks match {
       case Some(prior) =>
-        v.join(prior.select(col(idCol).cast("long").as("id"),
-            col("rank_u").cast("long").as("rank_u")),
-          Seq("id"), "left")
+        val pr = prior.select(col(idCol).cast("long").as("id"),
+          col("rank_u").cast("long").as("rank_u"))
+        // a prior vector with duplicate ids (two snapshots in one
+        // table — plausible in exactly the persisted-vector use case)
+        // would duplicate node rows through the left join and silently
+        // double-count that node's votes AND dangling mass in the first
+        // warm round, collapsing back to unique rows afterwards with no
+        // error — gate it like pageRankSeeded gates its seeds; null or
+        // negative ranks are a corrupt snapshot, not a default
+        val chk = pr.agg(count(lit(1)).as("c"),
+          countDistinct(col("id")).as("d"),
+          coalesce(sum(when(col("rank_u").isNull || col("rank_u") < 0L,
+            1L).otherwise(0L)), lit(0L)).as("bad")).head
+        require(chk.getLong(0) == chk.getLong(1),
+          s"initRanks ids must be unique (${chk.getLong(0)} rows, " +
+            s"${chk.getLong(1)} distinct) — a duplicated prior vector " +
+            "would silently double-count votes in the first warm round")
+        require(chk.getLong(2) == 0L,
+          s"initRanks carries ${chk.getLong(2)} null/negative rank_u " +
+            "value(s) — a corrupt snapshot, refusing to warm-start")
+        v.join(pr, Seq("id"), "left")
           .select(col("id"),
             coalesce(col("rank_u"), lit(1000000L)).as("rank_u"))
           .localCheckpoint()

@@ -16,6 +16,14 @@ object TrainPrep {
   private val chatSchema = ArrayType(StructType(Seq(
     StructField("role", StringType), StructField("content", StringType))))
 
+  /** The repo's shared arithmetic hash, salted — ONE spelling inside
+    * this object ([[fimSplit]]'s cuts and [[spanCorrupt]]'s phase both
+    * derive from it; the oracles replay the same constants). */
+  private def saltedHash(idCol: Column, salt: Long): Column = pmod(
+    pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L)
+      + lit(salt * 40503L),
+    lit(1000000007L))
+
   /** The canonical transcript shape: an optional leading `system` turn,
     * then strict user/assistant alternation starting with `user` and
     * ending on `assistant` — one anchored regex over the joined role
@@ -110,14 +118,21 @@ object TrainPrep {
     *         span_ok). */
   def lossMaskSpans(
       docs: DataFrame, idCol: Column, jsonCol: Column): DataFrame = {
-    val parsed = from_json(jsonCol, chatSchema)
-    val kept = docs.filter(keepCond(parsed))
+    // parse ONCE and carry the column: the filter and the downstream
+    // project/generate are separate operators, and Spark's subexpression
+    // elimination does not dedupe from_json across them — for large
+    // transcripts the parse is the dominant per-row cost
+    val withParsed = docs
+      .select(idCol.as("doc_id"), from_json(jsonCol, chatSchema)
+        .as("__parsed"))
+    val parsed = col("__parsed")
+    val kept = withParsed.filter(keepCond(parsed))
     val flat = array_join(
       transform(parsed, t => concat(
         lit("<|"), t.getField("role"), lit("|>"), t.getField("content"))),
       "\n")
     val exploded = kept
-      .select(idCol.as("doc_id"), flat.as("__flat"),
+      .select(col("doc_id"), flat.as("__flat"),
         posexplode(parsed).as(Seq("turn_idx", "turn")))
       .select(col("doc_id"), col("__flat"), col("turn_idx"),
         col("turn.role").as("role"),
@@ -167,12 +182,7 @@ object TrainPrep {
     require(blockLen >= 2 && spanLen >= 1 && spanLen < blockLen,
       s"need blockLen >= 2 and 1 <= spanLen < blockLen, " +
         s"got ($blockLen, $spanLen)")
-    val phase = pmod(
-      pmod(
-        pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L)
-          + lit(4L * 40503L),
-        lit(1000000007L)),
-      lit(blockLen.toLong))
+    val phase = pmod(saltedHash(idCol, 4L), lit(blockLen.toLong))
     val toks = split(textCol, " ")
     val n = size(toks)
     def maskedAt(p: Column): Column =
@@ -184,7 +194,12 @@ object TrainPrep {
     def kOf(p: Column): Column =
       ((p.cast("long") + phase) / lit(blockLen.toLong)).cast("long") -
         when(phase >= spanLen, 1L).otherwise(0L)
-    val idx = sequence(lit(0), n - 1)
+    // null text ⇒ null outputs on BOTH engines (the fimSplit contract):
+    // a bare sequence(0, size(null) - 1) = sequence(0, -2) would
+    // DESCEND through phantom negative positions and emit garbage —
+    // the documented Spark trap. split never yields an empty array on
+    // non-null input (min [""]), so n ≥ 1 whenever idx is non-null.
+    val idx = when(textCol.isNotNull, sequence(lit(0), n - 1))
     def tok(p: Column): Column = element_at(toks, p + 1)
     val inputPieces = transform(idx, p =>
       when(spanStart(p), concat(lit("<extra_id_"), kOf(p), lit(">")))
@@ -195,11 +210,13 @@ object TrainPrep {
         tok(p)))
         .when(maskedAt(p), tok(p))
         .otherwise(lit(null)))
+    def cnt(c: Column): Column =
+      when(textCol.isNotNull, size(c).cast("long"))
     docs.select(
       idCol.as("doc_id"),
-      n.cast("long").as("n_tokens"),
-      size(filter(idx, p => maskedAt(p))).cast("long").as("n_masked"),
-      size(filter(idx, p => spanStart(p))).cast("long").as("n_spans"),
+      when(textCol.isNotNull, n.cast("long")).as("n_tokens"),
+      cnt(filter(idx, p => maskedAt(p))).as("n_masked"),
+      cnt(filter(idx, p => spanStart(p))).as("n_spans"),
       array_join(inputPieces, " ").as("input_text"),
       array_join(targetPieces, " ").as("target_text"))
   }
@@ -225,10 +242,7 @@ object TrainPrep {
       ratePct: Int = 50): DataFrame = {
     require(ratePct >= 0 && ratePct <= 100,
       s"ratePct must be in [0,100], got $ratePct")
-    def h(salt: Long): Column = pmod(
-      pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L)
-        + lit(salt * 40503L),
-      lit(1000000007L))
+    def h(salt: Long): Column = saltedHash(idCol, salt)
     val len = length(textCol).cast("long")
     val c1 = pmod(h(1L), len + lit(1L))
     val c2 = pmod(h(2L), len + lit(1L))

@@ -97,6 +97,18 @@ class GraphSpec extends SparkSpec {
       initRanks = Some(explicit)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
+    // a DUPLICATED prior vector (two snapshots in one table) would
+    // silently double-count votes through the join — rejected up front
+    val dup = warm4.unionAll(warm4.limit(1))
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRank(nodes, edges, iters = 1, initRanks = Some(dup))
+    }
+    // and a null/negative rank is a corrupt snapshot, not a default
+    val neg = warm4.withColumn("rank_u",
+      when(col("id") === 3L, -5L).otherwise(col("rank_u")))
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRank(nodes, edges, iters = 1, initRanks = Some(neg))
+    }
   }
 
   test("duplicate edges and self-loops collapse to the clean graph") {

@@ -102,6 +102,19 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("spanCorrupt: a null text yields null outputs, not phantom " +
+      "negative-position garbage") {
+    import spark.implicits._
+    val rows = Seq((1L, "a b c"), (2L, null: String)).toDF("doc_id", "text")
+    val got = TrainPrep.spanCorrupt(rows, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.isNullAt(1), r.isNullAt(2), r.isNullAt(3), r.isNullAt(4),
+          r.isNullAt(5)))).toMap
+    assert(got(1L) == ((false, false, false, false, false)))
+    assert(got(2L) == ((true, true, true, true, true)),
+      "null text must null every output column")
+  }
+
   test("fimSplit: the three pieces reassemble the document exactly and " +
       "the cut points are the hash arithmetic") {
     import spark.implicits._
