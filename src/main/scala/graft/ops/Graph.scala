@@ -87,9 +87,15 @@ object Graph {
     // daily re-rank after an edge append pays only the marginal rounds
     // (exactness is a GraphSpec property). Nodes absent from the prior
     // vector (new pages) enter at the uniform initial mass.
+    // The prior is read with the FIXED output contract columns
+    // (id, rank_u) — pageRank's own output and [[loadRankVector]] both
+    // carry exactly these, so a persisted vector feeds back without
+    // renaming even when the caller's node relation uses idCol
+    // "doc_id" (ADVICE r13: reading the prior via idCol broke that
+    // round trip with an AnalysisException at plan time).
     var r = initRanks match {
       case Some(prior) =>
-        val pr = prior.select(col(idCol).cast("long").as("id"),
+        val pr = prior.select(col("id").cast("long").as("id"),
           col("rank_u").cast("long").as("rank_u"))
         // a prior vector with duplicate ids (two snapshots in one
         // table — plausible in exactly the persisted-vector use case)
@@ -146,6 +152,139 @@ object Graph {
     }
     r
   }
+
+  /** Weighted PageRank — votes carry integer link multiplicity (the
+    * real crawl shape: a page linking twice votes twice, anchor-count
+    * weighting; [[pageRank]]'s `.distinct()` collapse is the classic
+    * web-graph convention, this is its multigraph companion). Same
+    * integer millionth fixed-point replay contract; the only changes
+    * are the inflow expression and the out-degree:
+    * {{{
+    *   inflow(v) = Σ over in-edges (u,v,w) of (r(u) * w) div wout(u)
+    *   wout(u)   = Σ w over u's out-edges
+    * }}}
+    * Duplicate (src, dst) rows SUM their weights (multiplicity
+    * accumulates — an edge-append posture needs that); self-loops are
+    * dropped; weights must be ≥ 1 integers (enforced — a zero/negative
+    * weight would silently zero or invert a vote). With all w = 1 this
+    * is bit-identical to [[pageRank]] (a `GraphSpec` equality case).
+    *
+    * Same scale shape as [[pageRank]]: per iteration one src-keyed
+    * join + one map-combinable dst-keyed sum over the weighted edge
+    * relation, a one-row dangling broadcast, checkpoint-fenced.
+    * Int64 gate: the per-edge product r(u)·w is bounded by
+    * n·1e6·maxW, so n·maxW must stay under ~9.2e12 — enforced loudly
+    * (the hits/pageRankSeeded overflow posture).
+    *
+    * @param edges (srcCol, dstCol, wCol) — wCol integer ≥ 1, anchor
+    *              multiplicity; duplicates summed.
+    * @return (id, rank_u) — rank in millionths, one row per node. */
+  def pageRankWeighted(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iters: Int = 8,
+      dampingPct: Int = 85,
+      idCol: String = "id",
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      wCol: String = "w"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+
+    val v = nodes.select(col(idCol).cast("long").as("id"))
+      .localCheckpoint()
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+      .localCheckpoint()
+
+    val n = v.count()
+    require(n > 0, "pageRankWeighted needs at least one node")
+    // one bounded driver row: weight sanity + the int64 product gate
+    val chk = e.agg(coalesce(min(col("w")), lit(1L)).as("mn"),
+      coalesce(max(col("w")), lit(1L)).as("mx")).head
+    require(chk.getLong(0) >= 1L,
+      s"edge weights must be >= 1, got min ${chk.getLong(0)} — a " +
+        "zero/negative multiplicity would silently zero or invert votes")
+    require(BigInt(n) * BigInt(chk.getLong(1)) < BigInt("9000000000000"),
+      s"pageRankWeighted int64 bound exceeded: n=$n x maxW=" +
+        s"${chk.getLong(1)} >= 9e12 — the per-edge product r(u)*w " +
+        "would overflow int64; pre-scale weights before calling")
+    val base = (100L - dampingPct) * 1000000L / 100L
+
+    var r = v.withColumn("rank_u", lit(1000000L)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val inflow = e
+        .join(r.select(col("id").as("src"), col("rank_u")), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"),
+          expr("(rank_u * w) div wdeg").as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("inflow"))
+      val dangling = r
+        .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank_u")), lit(0L)).as("dang"))
+      val next = v
+        .join(inflow, Seq("id"), "left")
+        .crossJoin(dangling)
+        .select(
+          col("id"),
+          (lit(base) +
+            expr(s"($dampingPct * (coalesce(inflow, 0L) + (dang div ${n}L))) div 100"))
+            .as("rank_u"))
+        .localCheckpoint()
+      CheckpointRelease.release(r)
+      r = next
+      i += 1
+    }
+    r
+  }
+
+  /** Persist a rank vector as the SEVENTH persisted artifact (VERDICT
+    * r13 #3 — ranks join the IVF/PQ/SQ8/dedup/template/tokenizer
+    * artifact family): one (id, rank_u) parquet relation under
+    * `path/ranks`. The layout is the [[pageRank]] OUTPUT CONTRACT
+    * verbatim, so a reloaded vector feeds `initRanks` without
+    * renaming — the daily cycle is rank → save → append edges →
+    * [[loadRankVector]] → warm re-rank, paying only the marginal
+    * iterations (never a cold corpus re-rank).
+    *
+    * The vector is validated on the WAY IN (unique non-null ids,
+    * non-negative ranks — the same gates pageRank's warm start applies
+    * on the way out), so a corrupt snapshot fails at save time, not in
+    * tomorrow's re-rank. */
+  def saveRankVector(ranks: DataFrame, path: String): Unit = {
+    val r = ranks.select(col("id").cast("long").as("id"),
+      col("rank_u").cast("long").as("rank_u"))
+    val chk = r.agg(count(lit(1)).as("c"),
+      countDistinct(col("id")).as("d"),
+      coalesce(sum(when(col("id").isNull || col("rank_u").isNull ||
+        col("rank_u") < 0L, 1L).otherwise(0L)), lit(0L)).as("bad")).head
+    require(chk.getLong(0) == chk.getLong(1),
+      s"saveRankVector: ids must be unique (${chk.getLong(0)} rows, " +
+        s"${chk.getLong(1)} distinct)")
+    require(chk.getLong(2) == 0L,
+      s"saveRankVector: ${chk.getLong(2)} null/negative row(s) — " +
+        "refusing to persist a corrupt vector")
+    r.write.mode("overwrite").parquet(s"$path/ranks")
+  }
+
+  /** Reload a persisted rank vector — (id, rank_u), the warm-start
+    * contract columns. Corruption gates live in [[saveRankVector]] and
+    * in pageRank's own warm-start validation, so the load is a plain
+    * typed read (the loadIvfIndex posture). */
+  def loadRankVector(
+      sess: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    sess.read.parquet(s"$path/ranks")
+      .select(col("id").cast("long").as("id"),
+        col("rank_u").cast("long").as("rank_u"))
 
   /** Connected components by FIXED-ROUND min-label propagation
     * (hash-min: Kang, Tsourakakis, Faloutsos, "PEGASUS", 2009 §3.2 —
@@ -275,6 +414,15 @@ object Graph {
       .localCheckpoint()
     val n = v.count()
     require(n > 0, "hits needs at least one node")
+    // int64 overflow gate (ADVICE r13): raw per-round sums are bounded
+    // by |E|·n·1e6, so |E|·n must stay under ~9.2e12 — past that the
+    // sums would silently wrap to negative scores with no error. Fail
+    // loudly here instead; above the bound, pre-scale the inputs (rank
+    // in thousandths instead of millionths) before calling.
+    val eCount = e.count() // bounded driver scalar on the checkpointed edges
+    require(BigInt(eCount) * BigInt(n) < BigInt("9000000000000"),
+      s"hits int64 bound exceeded: |E|=$eCount x n=$n >= 9e12 — raw " +
+        "sums would overflow int64; pre-scale scores before calling")
     val scaleUnit = n * 1000000L
 
     // one normalized propagation pass: sum `scores` over `e` keyed by
@@ -398,6 +546,15 @@ object Graph {
 
     val n = v.count()
     require(n > 0, "pageRankSeeded needs at least one node")
+    // int64 overflow gate (ADVICE r13): the dangling term multiplies
+    // dang ≤ n·1e6 by w ≤ 1e6, exact only for n ≤ ~9.2e6 nodes — past
+    // that it would silently wrap to negative ranks. Fail loudly;
+    // above the bound apply the documented pre-scaling
+    // ((dang div 1000) * w div 1000, ≤ 1000 millionths rounding).
+    require(n <= 9000000L,
+      s"pageRankSeeded int64 bound exceeded: n=$n > 9e6 — the dangling " +
+        "term (dang*w) would overflow int64; use the documented " +
+        "pre-scaled form for larger graphs")
 
     var r = v.select(col("id"), (lit(n) * col("w")).as("rank_u"))
       .localCheckpoint()

@@ -1071,9 +1071,17 @@ object TextAnalysis {
       minShare: Double): BoilerplateIndex = {
     require(maxAffixTokens >= 1 && minDocs >= 1 && minShare >= 0.0,
       "need maxAffixTokens >= 1, minDocs >= 1, minShare >= 0")
-    val domSizes = base.groupBy(col("domain")).agg(count(lit(1)).as("__dn"))
+    // null/empty mining domains never enter the template relation
+    // (ADVICE r13): a null batch join key matches nothing anyway, but a
+    // mined LITERAL-empty-string domain would match exactly the value
+    // the streaming gate's null-coalesce produces — filtering here
+    // keeps batch and stream blind to dirty domains the same way.
+    val minable = base
+      .filter(col("domain").isNotNull && col("domain") =!= "")
+    val domSizes =
+      minable.groupBy(col("domain")).agg(count(lit(1)).as("__dn"))
     def qualifying(suffix: Boolean): DataFrame =
-      affixCandidates(base, maxAffixTokens, suffix)
+      affixCandidates(minable, maxAffixTokens, suffix)
         .groupBy(col("domain"), col("k"), col("a"))
         .agg(count(lit(1)).as("__df"))
         .join(domSizes, "domain")

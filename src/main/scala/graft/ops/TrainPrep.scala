@@ -88,10 +88,7 @@ object TrainPrep {
       shapeOk.as("shape_ok"),
       nonemptyOk.as("nonempty_ok"),
       keep.as("keep"),
-      when(keep, array_join(
-        transform(parsed, t => concat(
-          lit("<|"), t.getField("role"), lit("|>"),
-          t.getField("content"))), "\n"))
+      when(keep, flattenTurns(parsed))
         .otherwise(lit("")).as("text_train"))
   }
 
@@ -127,10 +124,7 @@ object TrainPrep {
         .as("__parsed"))
     val parsed = col("__parsed")
     val kept = withParsed.filter(keepCond(parsed))
-    val flat = array_join(
-      transform(parsed, t => concat(
-        lit("<|"), t.getField("role"), lit("|>"), t.getField("content"))),
-      "\n")
+    val flat = flattenTurns(parsed)
     val exploded = kept
       .select(col("doc_id"), flat.as("__flat"),
         posexplode(parsed).as(Seq("turn_idx", "turn")))
@@ -153,6 +147,86 @@ object TrainPrep {
         (col("role") === "assistant").as("trainable"),
         (col("__flat").substr((col("char_start") + 1L).cast("int"),
           col("__len").cast("int")) === col("__seg")).as("span_ok"))
+  }
+
+  /** The [[chatAudit]] flatten over an arbitrary parsed turn slice —
+    * ONE spelling of `<|role|>content` joined by newline, shared by the
+    * audit, the span table, and the preference-pair twin texts. */
+  private def flattenTurns(turns: Column): Column =
+    array_join(transform(turns, t => concat(
+      lit("<|"), t.getField("role"), lit("|>"), t.getField("content"))),
+      "\n")
+
+  /** Preference-pair (DPO/RLHF) data prep — the post-training member of
+    * this family (VERDICT r13 #2; Rafailov et al., "Direct Preference
+    * Optimization", 2023 trains on exactly this shape): each row
+    * carries a CHOSEN and a REJECTED chat transcript that must share
+    * one prompt and diverge only in the final assistant turn. Both
+    * branches are audited with the [[chatAudit]] machinery (same
+    * parse, same injection-proof role gate, same anchored shape regex,
+    * same nonempty rule), then the pair-level contract is checked:
+    *
+    *  - `prompt_match`: both transcripts have the same turn count and
+    *    their PREFIXES (all turns before the final assistant turn)
+    *    flatten to identical text — role AND content, compared on the
+    *    flattened spelling so the check replays in any SQL engine.
+    *  - `branches_differ`: the final assistant turns differ — a pair
+    *    with identical branches carries zero preference signal and
+    *    must quarantine, not train.
+    *
+    * `violation` names the FIRST failing gate (chosen_malformed →
+    * rejected_malformed → prompt_mismatch → identical_branches → ok) —
+    * the quarantine-audit convention (q124/q157): a pipeline routes on
+    * one class, not four booleans. Kept pairs emit twin training texts
+    * (the chatAudit flatten of each branch); gated pairs emit empty
+    * strings.
+    *
+    * Map-only column kernels — no shuffle, no state — so the transform
+    * lifts unchanged to the ingest stream (`StreamCurationSpec`) and
+    * every output column replays exactly in SQL.
+    *
+    * @param pairs rows carrying two JSON turn-array columns.
+    * @return (pair_id, n_prompt_turns, chosen_ok, rejected_ok,
+    *         prompt_match, branches_differ, keep, violation,
+    *         text_chosen, text_rejected). */
+  def preferencePairs(
+      pairs: DataFrame,
+      idCol: Column,
+      chosenCol: Column,
+      rejectedCol: Column): DataFrame = {
+    val c = from_json(chosenCol, chatSchema)
+    val r = from_json(rejectedCol, chatSchema)
+    val cOk = keepCond(c)
+    val rOk = keepCond(r)
+    val bothOk = cOk && rOk
+    // prompt prefix = all turns before the final assistant turn; the
+    // shape regex guarantees (when ok) the array ends on assistant, so
+    // the prefix is simply the first size-1 turns
+    val cPrefix = slice(c, lit(1), size(c) - 1)
+    val rPrefix = slice(r, lit(1), size(r) - 1)
+    val promptMatch = bothOk && size(c) === size(r) &&
+      flattenTurns(cPrefix) === flattenTurns(rPrefix)
+    val cLast = element_at(c, -1).getField("content")
+    val rLast = element_at(r, -1).getField("content")
+    val branchesDiffer = bothOk && !(cLast <=> rLast)
+    val keep = promptMatch && branchesDiffer
+    val violation = when(!cOk, "chosen_malformed")
+      .when(!rOk, "rejected_malformed")
+      .when(!promptMatch, "prompt_mismatch")
+      .when(!branchesDiffer, "identical_branches")
+      .otherwise("ok")
+    pairs.select(
+      idCol.as("pair_id"),
+      when(cOk, (size(c) - 1).cast("int")).otherwise(lit(-1))
+        .as("n_prompt_turns"),
+      cOk.as("chosen_ok"),
+      rOk.as("rejected_ok"),
+      promptMatch.as("prompt_match"),
+      branchesDiffer.as("branches_differ"),
+      keep.as("keep"),
+      violation.as("violation"),
+      when(keep, flattenTurns(c)).otherwise(lit("")).as("text_chosen"),
+      when(keep, flattenTurns(r)).otherwise(lit("")).as("text_rejected"))
   }
 
   /** Span-corruption transform (T5: Raffel et al., "Exploring the

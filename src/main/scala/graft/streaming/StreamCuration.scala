@@ -64,7 +64,11 @@ object StreamCuration {
     stream
       // total over dirty rows (a stream gate must not die on one bad
       // row the way a thrown task kills the whole query): null id → -1,
-      // null domain → "" (matches no template), null text → zero tokens
+      // null domain → "" — which provably matches no template, because
+      // the index build filters null/empty mining domains (so batch's
+      // null-join-key-matches-nothing and this coalesce agree row for
+      // row on dirty domains; the r13 equivalence gap), null text →
+      // zero tokens
       .select(coalesce(col(idCol).cast("long"), lit(-1L)),
         coalesce(domainCol.cast("string"), lit("")).as("__dom"),
         // the SAME tokenizer column kernel the batch base uses
