@@ -341,6 +341,166 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Driver-side WEIGHTED reference: duplicate (src,dst) weights sum,
+    * vote = (rank·w) div wout — pageRankWeighted's exact arithmetic. */
+  private def refWeighted(
+      n: Long,
+      rawEdges: Seq[(Long, Long, Long)],
+      iters: Int,
+      dampingPct: Long): Map[Long, Long] = {
+    val e = rawEdges.filter(p => p._1 != p._2)
+      .groupBy(p => (p._1, p._2))
+      .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+    val wdeg = e.groupBy(_._1).map { case (k, v) => (k, v.map(_._3).sum) }
+    val base = (100L - dampingPct) * 1000000L / 100L
+    var r = (0L until n).map(i => i -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((s, d, w) <- e) inflow(d) += r(s) * w / wdeg(s)
+      val dang = r.keys.filterNot(wdeg.contains).iterator.map(r).sum
+      r = r.keys.map(id =>
+        id -> (base + dampingPct * (inflow(id) + dang / n) / 100L)).toMap
+    }
+    r
+  }
+
+  private def runWeighted(
+      n: Long,
+      edges: Seq[(Long, Long, Long)],
+      iters: Int = 5): Map[Long, Long] = {
+    import spark.implicits._
+    val nodes = (0L until n).toDF("id")
+    val got = Graph.pageRankWeighted(nodes, edges.toDF("src", "dst", "w"),
+      iters = iters)
+    val rows = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size === n, "one row per node")
+    rows
+  }
+
+  test("weighted: random graphs match the driver reference bit-for-bit " +
+      "and all-unit weights equal the unweighted operator exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(20)
+      val edges = Seq.fill(3 * n)((rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong, 1L + rnd.nextInt(4).toLong))
+      assert(runWeighted(n.toLong, edges)
+        === refWeighted(n.toLong, edges, 5, 85), s"trial $trial (n=$n)")
+      // w = 1 everywhere ≡ pageRank (after pageRank's distinct collapse
+      // the relations coincide: unit weights can't stack multiplicity
+      // on DISTINCT pairs)
+      val unitPairs = edges.map(e => (e._1, e._2)).distinct
+      val unit = unitPairs.map(e => (e._1, e._2, 1L))
+      assert(runWeighted(n.toLong, unit) === runPr(n.toLong, unitPairs,
+        iters = 5), s"trial $trial unit-weight equality")
+    }
+  }
+
+  test("weighted: a doubled anchor outweighs a single one, duplicate " +
+      "edge rows sum their multiplicities, and w < 1 is rejected") {
+    import spark.implicits._
+    // 0 links to 1 with weight 2 and to 2 with weight 1: node 1 must
+    // outrank node 2 (same in-neighbor, heavier vote)
+    val got = runWeighted(3, Seq((0L, 1L, 2L), (0L, 2L, 1L)))
+    assert(got(1L) > got(2L), got.toString)
+    // (0,1,1) listed twice ≡ (0,1,2) listed once
+    assert(
+      runWeighted(3, Seq((0L, 1L, 1L), (0L, 1L, 1L), (0L, 2L, 1L)))
+        === got)
+    val nodes = (0L until 2L).toDF("id")
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRankWeighted(nodes, Seq((0L, 1L, 0L)).toDF("src", "dst", "w"))
+    }
+  }
+
+  test("rank vector artifact: save -> load round-trips bit-exactly, the " +
+      "warm re-rank from the RELOADED vector equals cold on the appended " +
+      "graph, and a corrupt vector is refused at save time") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val n = 30L
+    val e1 = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val delta = Seq.fill(10)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val nodes = (0L until n).toDF("id")
+    val day1 = Graph.pageRank(nodes, e1.toDF("src", "dst"), iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rank_spec")
+      .toString
+    Graph.saveRankVector(day1, dir)
+    val loaded = Graph.loadRankVector(spark, dir)
+    val a = day1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = loaded.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "parquet round trip must be bit-exact")
+    // warm re-rank over the appended graph from the reloaded vector ≡
+    // 4 cold rounds on e1 then 4 rounds on e1 ∪ delta (pure-function
+    // iterations chain across the save/load boundary)
+    val e2 = (e1 ++ delta).toDF("src", "dst")
+    val warm = Graph.pageRank(nodes, e2, iters = 4,
+      initRanks = Some(loaded)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chained = Graph.pageRank(nodes, e2, iters = 4,
+      initRanks = Some(day1)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm === chained, "reloaded prior must chain like the live one")
+    // corrupt snapshots are refused on the way IN
+    assertThrows[IllegalArgumentException] {
+      Graph.saveRankVector(day1.unionAll(day1.limit(1)), dir + "_dup")
+    }
+    assertThrows[IllegalArgumentException] {
+      Graph.saveRankVector(
+        day1.withColumn("rank_u",
+          org.apache.spark.sql.functions.lit(-1L)), dir + "_neg")
+    }
+  }
+
+  test("warm start reads the prior by the OUTPUT contract columns: a " +
+      "doc_id-keyed node relation still accepts a persisted (id, rank_u) " +
+      "vector without renaming") {
+    import spark.implicits._
+    val edges = Seq[(Long, Long)]((0, 1), (1, 2), (2, 0), (3, 1))
+      .toDF("src", "dst")
+    val docNodes = (0L until 4L).toDF("doc_id")
+    // prior = pageRank's own output (columns id, rank_u) — before the
+    // r13 ADVICE fix this threw at plan time (no doc_id in the prior)
+    val prior = Graph.pageRank(docNodes, edges, iters = 2, idCol = "doc_id")
+    val resumed = Graph.pageRank(docNodes, edges, iters = 2,
+      idCol = "doc_id", initRanks = Some(prior)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = Graph.pageRank(docNodes, edges, iters = 4, idCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed === cold)
+  }
+
+  test("keeper election: on an imbalanced labeling the map-combinable " +
+      "max-of-struct aggregate elects the same keepers as the windowed " +
+      "row_number — the documented giant-component fallback (q155)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one giant component (90 docs) + a few small ones: the window
+    // form funnels the giant through one reducer; the aggregate form
+    // is the scale path when only the keeper is needed
+    val docs = (0L until 100L).map { id =>
+      val comp = if (id < 90) 0L else id % 5 + 100L
+      (id, comp, (id * 37 % 11).toInt) // quality with plenty of ties
+    }.toDF("doc_id", "comp", "n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val windowed = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("comp"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (n_chars asc is inverted via max; doc_id tie cut via -doc_id max)
+    val agged = docs
+      .groupBy(col("comp"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid")))
+        .as("best"))
+      .select(col("comp"), (-col("best.nid")).as("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agged === windowed)
+  }
+
   test("result is partitioning-independent (integer sums commute exactly)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

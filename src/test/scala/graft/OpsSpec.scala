@@ -1315,6 +1315,43 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     run((1L << 40) - 1, 99.9999)
   }
 
+  test("token-budget scan (q162 shape): PrefixScan over the encoded " +
+      "(n_chars desc, doc_id) ordinal is row-identical to the windowed " +
+      "cumsum it replaced") {
+    import spark.implicits._
+    import graft.ops.PrefixScan
+    // adversarial mix: duplicate n_chars within a source (tie cut on
+    // doc_id), several sources, token counts that straddle the budget
+    val rnd = new scala.util.Random(71)
+    val docs = (0L until 300L).map { id =>
+      (id, s"s${id % 7}", (rnd.nextInt(40) * 10).toLong,
+        (1 + rnd.nextInt(50)).toLong)
+    }.toDF("doc_id", "source", "n_chars", "tok")
+      .repartition(8).localCheckpoint()
+    val budget = 400L
+    val enc = (lit(1L << 20) - col("n_chars")) * lit(1L << 40) + col("doc_id")
+    val scan = PrefixScan.runningTotal(docs, col("source"), enc, col("tok"))
+      .select(pmod(col("ord"), lit(1L << 40)).as("doc_id"),
+        col("group").as("source"), col("value").as("tok"),
+        (col("cum") + col("value")).as("cum_tok"))
+      .withColumn("kept", col("cum_tok") <= budget)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val windowed = docs.withColumn("cum_tok", sum(col("tok")).over(w))
+      .select(col("doc_id"), col("source"), col("tok"), col("cum_tok"),
+        (col("cum_tok") <= budget).as("kept"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(scan === windowed)
+  }
+
   test("video temporal hash: quantized luma curve, invariances, no cross-clip collisions") {
     import spark.implicits._
     // hand case (8 lumas → samples are the series itself): seven 10s and

@@ -90,6 +90,59 @@ class StreamCurationSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dirty mining domains never become templates: batch null-key and " +
+      "the stream's null-coalesce agree row for row (ADVICE r13)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the mining corpus carries an EMPTY-STRING domain cohort sharing a
+    // clear template — before the build-side filter this mined a
+    // literal-"" template that only the STREAM's null-coalesce could
+    // then match (batch null join keys match nothing): the equivalence
+    // gap this test pins shut
+    val dirty = (0 until 5).map(i =>
+      (50L + i, "", s"shared junk prefix body$i tail$i"))
+    val nullDom = (60 until 63).map(i =>
+      (i.toLong, null: String, s"shared junk prefix body$i tail$i"))
+    val corpus = (dirty ++ nullDom).toDF("doc_id", "domain", "text")
+      .unionByName(miningCorpus)
+    val index = TextAnalysis.buildBoilerplateIndex(
+      corpus, col("domain"), col("doc_id"), col("text"),
+      maxAffixTokens = 4, minDocs = 3, minShare = 0.5)
+    assert(index.affixes
+      .filter(col("domain").isNull || col("domain") === "").count() == 0,
+      "null/empty domains must not mine templates")
+    // probe rows with null and empty domains carrying the junk template
+    val rows = Seq(
+      (200L, null: String, "shared junk prefix fresh text here"),
+      (201L, "", "shared junk prefix fresh text here"),
+      (202L, "a", "home nav menu fresh text foot er")) // control: strips
+    val source = MemoryStream[(Long, String, String)]
+    val stripped = StreamCuration.boilerplateStrip(
+      index, source.toDF().toDF("doc_id", "domain", "text"),
+      col("domain"), col("text"))
+    val query = stripped.writeStream.format("memory").queryName("bp_dirty")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(rows)
+      query.processAllAvailable()
+      val got = spark.table("bp_dirty")
+        .select("doc_id", "pfx_stripped", "sfx_stripped")
+        .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3)))
+        .toMap
+      assert(got(200L) == ((0, 0)), "null domain must strip nothing")
+      assert(got(201L) == ((0, 0)), "empty domain must strip nothing")
+      assert(got(202L) == ((3, 2)), "clean domains still strip")
+      // batch agrees on the SAME dirty rows (null domain → no join match)
+      val batch = TextAnalysis.applyBoilerplate(
+        index, rows.toDF("doc_id", "domain", "text"),
+        col("domain"), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("pfx_stripped"), col("sfx_stripped"))
+        .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3)))
+        .toMap
+      assert(batch === got, s"batch/stream divergence: $batch vs $got")
+    } finally query.stop()
+  }
+
   test("the ingest gate chain composes in ONE streaming query: corpus " +
       "bloom gate -> template strip, still stateless") {
     import spark.implicits._
@@ -158,6 +211,37 @@ class StreamCurationSpec extends SparkSpec {
       val rest = text.split("<SUF>")(1)
       val Array(suf, mid) = rest.split("<MID>", 2)
       assert(pre + mid + suf == "<|user|>hello\n<|assistant|>world")
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
+  test("preference-pair prep lifts to a stream unchanged: map-only " +
+      "audit + pair gates, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, String)]
+    val out = graft.ops.TrainPrep.preferencePairs(
+      source.toDF().toDF("pair_id", "chosen", "rejected"),
+      col("pair_id"), col("chosen"), col("rejected"))
+    val query = out.writeStream.format("memory").queryName("dpo_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def u(c: String) = s"""{"role":"user","content":"$c"}"""
+      def a(c: String) = s"""{"role":"assistant","content":"$c"}"""
+      source.addData(
+        (30L, s"[${u("p")},${a("good")}]", s"[${u("p")},${a("bad")}]"),
+        (31L, s"[${u("p")},${a("same")}]", s"[${u("p")},${a("same")}]"),
+        (32L, "broken", s"[${u("p")},${a("y")}]"))
+      query.processAllAvailable()
+      val got = spark.table("dpo_stream")
+        .select("pair_id", "keep", "violation", "text_chosen")
+        .as[(Long, Boolean, String, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got(30L) == ((true, "ok", "<|user|>p\n<|assistant|>good")))
+      assert(got(31L) == ((false, "identical_branches", "")))
+      assert(got(32L) == ((false, "chosen_malformed", "")))
+      // stateless: the stream form IS the batch form, no state store
       assert(query.lastProgress == null ||
         query.lastProgress.stateOperators.isEmpty)
     } finally query.stop()

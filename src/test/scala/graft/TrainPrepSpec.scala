@@ -152,4 +152,55 @@ class TrainPrepSpec extends SparkSpec {
     }
     assert(applied > 5 && applied < 35, s"rate ~50%: $applied/40")
   }
+
+  test("preferencePairs: every violation class routes to its FIRST " +
+      "failing gate and only clean pairs emit twin texts") {
+    import spark.implicits._
+    def u(c: String) = s"""{"role":"user","content":"$c"}"""
+    def a(c: String) = s"""{"role":"assistant","content":"$c"}"""
+    def sys = s"""{"role":"system","content":"s"}"""
+    val rows = Seq(
+      // 1: clean 2-turn pair
+      (1L, s"[${u("p")},${a("good")}]", s"[${u("p")},${a("bad")}]"),
+      // 2: clean multi-turn pair (system-led, shared 4-turn prompt)
+      (2L, s"[$sys,${u("p")},${a("x")},${u("q")},${a("good")}]",
+        s"[$sys,${u("p")},${a("x")},${u("q")},${a("bad")}]"),
+      // 3: chosen malformed (ends on user)
+      (3L, s"[${u("p")},${a("x")},${u("q")}]", s"[${u("p")},${a("y")}]"),
+      // 4: rejected malformed (empty assistant content)
+      (4L, s"[${u("p")},${a("x")}]", s"[${u("p")},${a("")}]"),
+      // 5: prompt mismatch by content
+      (5L, s"[${u("p")},${a("x")}]", s"[${u("P2")},${a("y")}]"),
+      // 6: prompt mismatch — rejected DROPS the system turn (a valid
+      // same-length pair always shares its role sequence, so the
+      // structural mismatch shows up as a turn-count difference)
+      (6L, s"[$sys,${u("p")},${a("x")},${u("q")},${a("g")}]",
+        s"[${u("p")},${a("x")},${u("q")},${a("g2")}]"),
+      // 7: identical branches
+      (7L, s"[${u("p")},${a("same")}]", s"[${u("p")},${a("same")}]"),
+      // 8: BOTH malformed — precedence picks chosen_malformed
+      (8L, "broken", "also broken"),
+      // 9: turn-count mismatch with a crafted flatten collision — the
+      // chosen's single prompt turn embeds the rejected's 3-turn prompt
+      // flatten verbatim, so ONLY the size check catches it
+      (9L, s"[${u("p\\n<|assistant|>c\\n<|user|>q")},${a("x")}]",
+        s"[${u("p")},${a("c")},${u("q")},${a("y")}]"))
+      .toDF("pair_id", "chosen", "rejected")
+    val got = TrainPrep.preferencePairs(rows, col("pair_id"),
+        col("chosen"), col("rejected"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(6), r.getString(7),
+          r.getString(8), r.getString(9)))).toMap
+    assert(got(1L) == ((1, true, "ok",
+      "<|user|>p\n<|assistant|>good", "<|user|>p\n<|assistant|>bad")))
+    assert(got(2L)._1 == 4 && got(2L)._2 && got(2L)._3 == "ok")
+    assert(got(3L) == ((-1, false, "chosen_malformed", "", "")))
+    assert(got(4L)._3 == "rejected_malformed" && !got(4L)._2)
+    assert(got(5L)._3 == "prompt_mismatch" && got(5L)._4 == "")
+    assert(got(6L)._3 == "prompt_mismatch", got(6L).toString)
+    assert(got(7L)._3 == "identical_branches" && !got(7L)._2)
+    assert(got(8L)._3 == "chosen_malformed", "precedence: chosen first")
+    assert(got(9L)._3 == "prompt_mismatch",
+      "the turn-count gate must catch the flatten collision: " + got(9L))
+  }
 }
