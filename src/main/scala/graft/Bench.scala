@@ -558,12 +558,23 @@ object Bench {
       "q160_span_corrupt",
       // attention spans: the q79 two-pass scan + one window over
       // sequence-sized (≤ seqTokens rows) groups — linear; token
-      // budget: one source-partitioned running-sum window — linear
+      // budget: the r14 PrefixScan shape (range-partition +
+      // per-partition subtotals + broadcast-offset rescan — cluster
+      // parallelism, not source-count) — linear
       "q161_attention_spans", "q162_token_budget",
       // warm pagerank: 4+4+8 iterations of the q150 shape over the
       // corpus-linear edge relation — linear; script mix: four regex
       // count passes, map-only — linear
       "q163_warm_pagerank", "q164_script_mix",
+      // weighted pagerank: the q150 shuffle shape with a weight-summed
+      // edge collapse — linear; rank-vector cycle: 4+4 iterations plus
+      // one artifact write/read — linear
+      "q165_weighted_pagerank", "q166_rank_vector_cycle",
+      // preference pairs: two JSON parses + flatten compares per row,
+      // map-only — linear; tokenizer fertility: per-row token-count
+      // kernels + one 11-key agg — linear (the langid scoring is the
+      // bundled model, no fit)
+      "q167_preference_pairs", "q168_tokenizer_fertility",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a
