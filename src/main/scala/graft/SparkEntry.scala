@@ -3184,12 +3184,15 @@ object SparkEntry {
     TextAnalysis.paragraphContentFilter(minted).orderBy(id)
   }
 
-  /** The shared arithmetic link mint (q150, q152–q156): 1 + (src % 3)
-    * out-links per doc, salted-hash targets mod `n`, and the
-    * H(id,7) % 11 class minting NO out-links (the dangling path) — ONE
-    * spelling, mirroring the oracle side's shared `mintedEdgeCtesSql`
-    * so a change to the edge arithmetic lands in exactly two places. */
-  private def mintedEdges(docs: DataFrame, n: Long): DataFrame = {
+  /** The shared arithmetic link mint (q150, q152–q156, q165–q166):
+    * 1 + (src % 3) out-link SLOTS per doc, salted-hash targets mod
+    * `n`, and the H(id,7) % 11 class minting NO out-links (the
+    * dangling path) — ONE spelling, mirroring the oracle side's shared
+    * `mintedEdgeCtesSql` so a change to the edge arithmetic lands in
+    * exactly two places. Returns (src, k, dst) with the slot index
+    * retained; [[mintedEdges]] drops it, [[mintedWeightedEdges]]
+    * derives the slot's anchor multiplicity from it. */
+  private def mintedSlots(docs: DataFrame, n: Long): DataFrame = {
     val h7 = pmod(
       pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
       lit(1000000007L))
@@ -3198,7 +3201,7 @@ object SparkEntry {
         explode(sequence(lit(0L), lit(2L))).as("k"))
       .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
       .filter(pmod(h7, lit(11L)) =!= 0L)
-      .select(col("src"),
+      .select(col("src"), col("k"),
         pmod(
           pmod(
             pmod(col("src"), lit(1000003L)) * lit(2654435761L)
@@ -3206,6 +3209,9 @@ object SparkEntry {
             lit(1000000007L)),
           lit(n)).as("dst"))
   }
+
+  private def mintedEdges(docs: DataFrame, n: Long): DataFrame =
+    mintedSlots(docs, n).select(col("src"), col("dst"))
 
   /** Link-graph authority (q150): [[graft.ops.Graph.pageRank]] —
     * damped power iteration in integer millionth fixed-point — over a
@@ -3578,22 +3584,18 @@ object SparkEntry {
     * (scan ≡ window is also an `OpsSpec` equivalence case). */
   private def qTokenBudget(s: SparkSession, d: String): DataFrame = {
     val budget = 1000L
-    def bounded(c: Column, lo: Long, hi: Long, what: String): Column =
-      when(c.between(lo, hi), c).otherwise(raise_error(concat(
-        lit(s"q162: $what must be in [$lo, $hi], got "), c.cast("string"))))
     val prep = t(s, d, "documents")
-      .select(
-        bounded(col("doc_id").cast("long"), 0L, (1L << 40) - 1, "doc_id")
-          .as("doc_id"),
-        col("source"),
-        bounded(col("n_chars").cast("long"), 0L, (1L << 20) - 1, "n_chars")
-          .as("n_chars"),
+      .select(col("doc_id"), col("source"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("tok"))
-    val enc = (lit(1L << 20) - col("n_chars")) * lit(1L << 40) + col("doc_id")
+    // the shared PrefixScan ordinal codec (the mixtureSelect spelling):
+    // n_chars desc with doc_id tie cut, bounds enforced in the encode
+    val enc = graft.ops.PrefixScan.encodeDescOrdinal(
+      col("n_chars"), col("doc_id"), offset = 1L << 20,
+      lo = 0L, hi = (1L << 20) - 1, keyWhat = "q162: n_chars")
     graft.ops.PrefixScan
       .runningTotal(prep, col("source"), enc, col("tok"))
       .select(
-        pmod(col("ord"), lit(1L << 40)).as("doc_id"),
+        graft.ops.PrefixScan.decodeDocId(col("ord")).as("doc_id"),
         col("group").as("source"),
         col("value").as("tok"),
         (col("cum") + col("value")).as("cum_tok"))
@@ -3662,24 +3664,9 @@ object SparkEntry {
     * crawl shape). Duplicate (src, dst) slots SUM their weights inside
     * [[graft.ops.Graph.pageRankWeighted]]; the oracle replays the slot
     * relation with k retained and the same GROUP BY sum. */
-  private def mintedWeightedEdges(docs: DataFrame, n: Long): DataFrame = {
-    val h7 = pmod(
-      pmod(col("src"), lit(1000003L)) * lit(2654435761L) + lit(283521L),
-      lit(1000000007L))
-    docs
-      .select(col("doc_id").as("src"),
-        explode(sequence(lit(0L), lit(2L))).as("k"))
-      .filter(col("k") < lit(1L) + pmod(col("src"), lit(3L)))
-      .filter(pmod(h7, lit(11L)) =!= 0L)
-      .select(col("src"),
-        pmod(
-          pmod(
-            pmod(col("src"), lit(1000003L)) * lit(2654435761L)
-              + col("k") * lit(40503L),
-            lit(1000000007L)),
-          lit(n)).as("dst"),
-        (lit(1L) + pmod(col("src") + col("k"), lit(3L))).as("w"))
-  }
+  private def mintedWeightedEdges(docs: DataFrame, n: Long): DataFrame =
+    mintedSlots(docs, n).select(col("src"), col("dst"),
+      (lit(1L) + pmod(col("src") + col("k"), lit(3L))).as("w"))
 
   /** Weighted PageRank (q165): [[graft.ops.Graph.pageRankWeighted]] —
     * votes carry integer anchor multiplicity (`rank·w div wout`,
@@ -5161,11 +5148,15 @@ object SparkEntry {
   // redistributed uniformly, votes to out-of-corpus targets dropped by
   // the node left-join). DuckDB `//` and Spark `div` agree on every
   // non-negative operand, so the ranks compare bit-for-bit.
-  // one damped power iteration over a parameterized edge/degree pair —
-  // the q150 rule; q166's warm-restart cycle replays rounds 5..8 over
-  // the APPENDED edge relation (e2/deg2) chained from round 4's vector
+  // one damped power iteration over a parameterized (edge, degree,
+  // vote) triple — the q150 rule with the vote expression swappable,
+  // mirroring Graph's single weighted iteration body: the unweighted
+  // vote is `rank // deg`, the weighted one `(rank·w) // wdeg`.
+  // q166's warm-restart cycle replays rounds 5..8 over the APPENDED
+  // edge relation (e2/deg2) chained from round 4's vector.
   private def pageRankIterSqlOn(
-      i: Int, eRel: String, degRel: String): String =
+      i: Int, eRel: String, degRel: String,
+      vote: String = "r.rank_u // g.deg"): String =
     s"""r$i AS MATERIALIZED (
              SELECT v.id,
                CAST(150000 + (85 * (coalesce(inf.inflow, 0)
@@ -5174,7 +5165,7 @@ object SparkEntry {
                    // (SELECT n FROM nn))) // 100 AS BIGINT) AS rank_u
              FROM r0 v
              LEFT JOIN (
-               SELECT e.dst AS id, sum(r.rank_u // g.deg) AS inflow
+               SELECT e.dst AS id, sum($vote) AS inflow
                FROM $eRel e
                JOIN r${i - 1} r ON e.src = r.id
                JOIN $degRel g ON e.src = g.src
@@ -5186,20 +5177,7 @@ object SparkEntry {
   // one WEIGHTED power iteration (q165): votes are (rank·w) div wout,
   // floor per edge — graft.ops.Graph.pageRankWeighted's exact rule
   private def weightedIterSql(i: Int): String =
-    s"""r$i AS MATERIALIZED (
-             SELECT v.id,
-               CAST(150000 + (85 * (coalesce(inf.inflow, 0)
-                 + (SELECT coalesce(sum(rank_u), 0) FROM r${i - 1}
-                    WHERE id NOT IN (SELECT src FROM wdeg))
-                   // (SELECT n FROM nn))) // 100 AS BIGINT) AS rank_u
-             FROM r0 v
-             LEFT JOIN (
-               SELECT e.dst AS id,
-                 sum((r.rank_u * e.w) // g.wdeg) AS inflow
-               FROM ew e
-               JOIN r${i - 1} r ON e.src = r.id
-               JOIN wdeg g ON e.src = g.src
-               GROUP BY e.dst) inf ON inf.id = v.id)"""
+    pageRankIterSqlOn(i, "ew", "wdeg", "(r.rank_u * e.w) // g.wdeg")
 
   // the q150/q152 arithmetic edge mint as shared CTEs (docs/nn/cand/
   // e/deg) — every rank/closure oracle builds on the same relation.
@@ -5214,7 +5192,7 @@ object SparkEntry {
     s"""docs AS MATERIALIZED (SELECT doc_id FROM documents),
            nn AS MATERIALIZED (SELECT count(*) AS n FROM docs),
            cand AS (
-             SELECT d.doc_id AS src,
+             SELECT d.doc_id AS src, k.k AS k,
                ((d.doc_id % 1000003) * 2654435761 + k.k * 40503)
                  % 1000000007 % (SELECT n FROM nn) AS dst
              FROM docs d CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
@@ -5414,20 +5392,11 @@ object SparkEntry {
   // out-degree, and six weighted iterations — pageRankWeighted's exact
   // arithmetic. MATERIALIZED per the iteration-oracle rule.
   private def weightedPageRankOracleSql: String =
-    s"""WITH docs AS MATERIALIZED (SELECT doc_id FROM documents),
-           nn AS MATERIALIZED (SELECT count(*) AS n FROM docs),
-           candw AS (
-             SELECT d.doc_id AS src, k.k AS k,
-               ((d.doc_id % 1000003) * 2654435761 + k.k * 40503)
-                 % 1000000007 % (SELECT n FROM nn) AS dst
-             FROM docs d CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
-             WHERE k.k < 1 + (d.doc_id % 3)
-               AND ((d.doc_id % 1000003) * 2654435761 + 283521)
-                 % 1000000007 % 11 <> 0),
+    s"""WITH $mintedEdgeCtesSql,
            ew AS MATERIALIZED (
              SELECT src, dst,
                CAST(sum(1 + (src + k) % 3) AS BIGINT) AS w
-             FROM candw WHERE src <> dst GROUP BY src, dst),
+             FROM cand WHERE src <> dst GROUP BY src, dst),
            wdeg AS MATERIALIZED (
              SELECT src, CAST(sum(w) AS BIGINT) AS wdeg
              FROM ew GROUP BY src),
@@ -5567,6 +5536,14 @@ object SparkEntry {
     def flatSql(c: String, rng: String): String =
       s"""array_to_string(list_transform($rng, i ->
                  '<|' || ${roleAt(c)} || '|>' || ${contAt(c)}), chr(10))"""
+    // EXACT per-index prefix compare (role AND content) — the flattened
+    // spelling is delimiter-ambiguous (content may contain '\n<|…|>'),
+    // mirroring the engine's struct-array equality
+    def prefixEqSql: String =
+      s"""(len(list_filter(${idxPre("ch")}, i ->
+                 ${roleAt("ch")} IS DISTINCT FROM ${roleAt("rj")}
+                 OR ${contAt("ch")} IS DISTINCT FROM ${contAt("rj")}))
+                   = 0)"""
     def lastContSql(c: String): String =
       s"""json_extract_string($c,
                  '$$[' || (json_array_length($c) - 1) || '].content')"""
@@ -5618,14 +5595,13 @@ object SparkEntry {
                CAST(json_array_length(rj) AS INT) AS n_r,
                ${flatSql("ch", idx("ch"))} AS flat_c,
                ${flatSql("rj", idx("rj"))} AS flat_r,
-               ${flatSql("ch", idxPre("ch"))} AS pre_c,
-               ${flatSql("rj", idxPre("rj"))} AS pre_r,
+               $prefixEqSql AS pre_eq,
                ${lastContSql("ch")} AS last_c,
                ${lastContSql("rj")} AS last_r
              FROM m),
            g AS (
              SELECT doc_id, pair_class, c_ok, r_ok, n_c, flat_c, flat_r,
-               (c_ok AND r_ok AND n_c = n_r AND pre_c = pre_r)
+               (c_ok AND r_ok AND n_c = n_r AND pre_eq)
                  AS prompt_match,
                (c_ok AND r_ok AND last_c <> last_r) AS branches_differ
              FROM f)

@@ -396,30 +396,24 @@ object Curation {
       weight: Column,
       budgets: Map[String, Long],
       defaultBudget: Long = 0L): DataFrame = {
-    def bounded(c: Column, lo: Long, hi: Long, what: String): Column =
-      when(c.between(lo, hi), c).otherwise(raise_error(concat(
-        lit(s"mixtureSelect: $what must be in [$lo, $hi], got "),
-        c.cast("string"))))
     val prep = docs.select(
-      bounded(col("doc_id").cast("long"), 0L, (1L << 40) - 1, "doc_id")
-        .as("doc_id"),
+      col("doc_id").cast("long").as("doc_id"),
       col("source"),
-      bounded(round(rank * lit(10000)).cast("long"), -999999L, 999999L,
-        "round(rank*1e4)").as("r4"),
+      round(rank * lit(10000)).cast("long").as("r4"),
       weight.cast("long").as("w"))
-    val enc = (lit(10000L) - col("r4")) * lit(1L << 40) + col("doc_id")
+    // the shared PrefixScan ordinal codec: rank-desc with doc_id tie
+    // cut, both bounds enforced inside the encode projection
+    val enc = PrefixScan.encodeDescOrdinal(col("r4"), col("doc_id"),
+      offset = 10000L, lo = -999999L, hi = 999999L,
+      keyWhat = "mixtureSelect: round(rank*1e4)")
     val budgetCol = coalesce(
       element_at(typedLit(budgets), col("source")), lit(defaultBudget))
-    // decode with exact integer arithmetic: ord can exceed 2^53, so a
-    // double floor(ord / 2^40) could round; (ord − ord % 2^40) is an
-    // exact multiple k·2^40 with k ≤ ~12500 — exactly representable
     PrefixScan.runningTotal(prep, col("source"), enc, col("w"))
       .select(
         col("group").as("source"),
-        pmod(col("ord"), lit(1L << 40)).as("doc_id"),
-        ((lit(10000L) -
-          (col("ord") - pmod(col("ord"), lit(1L << 40))) / lit(1L << 40))
-          / lit(10000.0)).as("quality"),
+        PrefixScan.decodeDocId(col("ord")).as("doc_id"),
+        (PrefixScan.decodeKey(col("ord"), offset = 10000L) / lit(10000.0))
+          .as("quality"),
         col("value").as("n_tokens"),
         col("cum").as("cum_tokens"))
       .withColumn("budget", budgetCol)

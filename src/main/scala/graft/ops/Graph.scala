@@ -60,98 +60,23 @@ object Graph {
       idCol: String = "id",
       srcCol: String = "src",
       dstCol: String = "dst",
-      initRanks: Option[DataFrame] = None): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    require(dampingPct >= 0 && dampingPct <= 100,
-      s"dampingPct must be in [0,100], got $dampingPct")
-
-    val v = nodes.select(col(idCol).cast("long").as("id"))
-      .localCheckpoint()
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-
-    val n = v.count() // the one driver scalar; bounded by definition
-    require(n > 0, "pageRank needs at least one node")
-    val base = (100L - dampingPct) * 1000000L / 100L
-
-    // warm start (the daily-ingest posture for ranks): resume the power
-    // iteration from a PERSISTED rank vector instead of uniform 1e6 —
-    // because one iteration is a pure function of (edges, ranks), k
-    // cold iterations ≡ j cold + (k−j) warm-from-the-jth-vector, so a
-    // daily re-rank after an edge append pays only the marginal rounds
-    // (exactness is a GraphSpec property). Nodes absent from the prior
-    // vector (new pages) enter at the uniform initial mass.
-    // The prior is read with the FIXED output contract columns
-    // (id, rank_u) — pageRank's own output and [[loadRankVector]] both
-    // carry exactly these, so a persisted vector feeds back without
-    // renaming even when the caller's node relation uses idCol
-    // "doc_id" (ADVICE r13: reading the prior via idCol broke that
-    // round trip with an AnalysisException at plan time).
-    var r = initRanks match {
-      case Some(prior) =>
-        val pr = prior.select(col("id").cast("long").as("id"),
-          col("rank_u").cast("long").as("rank_u"))
-        // a prior vector with duplicate ids (two snapshots in one
-        // table — plausible in exactly the persisted-vector use case)
-        // would duplicate node rows through the left join and silently
-        // double-count that node's votes AND dangling mass in the first
-        // warm round, collapsing back to unique rows afterwards with no
-        // error — gate it like pageRankSeeded gates its seeds; null or
-        // negative ranks are a corrupt snapshot, not a default
-        val chk = pr.agg(count(lit(1)).as("c"),
-          countDistinct(col("id")).as("d"),
-          coalesce(sum(when(col("rank_u").isNull || col("rank_u") < 0L,
-            1L).otherwise(0L)), lit(0L)).as("bad")).head
-        require(chk.getLong(0) == chk.getLong(1),
-          s"initRanks ids must be unique (${chk.getLong(0)} rows, " +
-            s"${chk.getLong(1)} distinct) — a duplicated prior vector " +
-            "would silently double-count votes in the first warm round")
-        require(chk.getLong(2) == 0L,
-          s"initRanks carries ${chk.getLong(2)} null/negative rank_u " +
-            "value(s) — a corrupt snapshot, refusing to warm-start")
-        v.join(pr, Seq("id"), "left")
-          .select(col("id"),
-            coalesce(col("rank_u"), lit(1000000L)).as("rank_u"))
-          .localCheckpoint()
-      case None => v.withColumn("rank_u", lit(1000000L)).localCheckpoint()
-    }
-    var i = 0
-    while (i < iters) {
-      // inflow: rank 'votes' split across out-edges, summed per target.
-      // Partial aggregation combines map-side before the dst shuffle.
-      val inflow = e
-        .join(r.select(col("id").as("src"), col("rank_u")), "src")
-        .join(deg, "src")
-        .select(col("dst").as("id"),
-          expr("rank_u div deg").as("c"))
-        .groupBy(col("id"))
-        .agg(sum(col("c")).as("inflow"))
-      // dangling mass: nodes with no out-edges donate uniformly.
-      // One-row relation; the crossJoin below broadcasts it.
-      val dangling = r
-        .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("rank_u")), lit(0L)).as("dang"))
-      val next = v
-        .join(inflow, Seq("id"), "left")
-        .crossJoin(dangling)
-        .select(
-          col("id"),
-          (lit(base) +
-            expr(s"($dampingPct * (coalesce(inflow, 0L) + (dang div ${n}L))) div 100"))
-            .as("rank_u"))
-        .localCheckpoint()
-      CheckpointRelease.release(r)
-      r = next
-      i += 1
-    }
-    r
-  }
+      initRanks: Option[DataFrame] = None): DataFrame =
+    // ONE iteration body for the weighted and unweighted forms: after
+    // the web-graph distinct collapse, unit weights make the weighted
+    // vote (rank·w) div wout literally rank div deg — bit-identical
+    // integers (a GraphSpec equality case), so the unweighted operator
+    // is the weighted one over the deduped unit-weight relation. The
+    // distinct MUST happen here: handing raw duplicates to the
+    // weight-summing collapse would turn multiplicity into votes.
+    pageRankWeighted(
+      nodes,
+      edges
+        .select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .withColumn("w", lit(1L)),
+      iters, dampingPct, idCol, "src", "dst", "w", initRanks)
 
   /** Weighted PageRank — votes carry integer link multiplicity (the
     * real crawl shape: a page linking twice votes twice, anchor-count
@@ -167,7 +92,10 @@ object Graph {
     * accumulates — an edge-append posture needs that); self-loops are
     * dropped; weights must be ≥ 1 integers (enforced — a zero/negative
     * weight would silently zero or invert a vote). With all w = 1 this
-    * is bit-identical to [[pageRank]] (a `GraphSpec` equality case).
+    * is bit-identical to [[pageRank]] (a `GraphSpec` equality case) —
+    * in fact [[pageRank]] IS this operator over the deduped
+    * unit-weight relation (one iteration body to maintain), and
+    * `initRanks` warm-starts both forms identically.
     *
     * Same scale shape as [[pageRank]]: per iteration one src-keyed
     * join + one map-combinable dst-keyed sum over the weighted edge
@@ -187,7 +115,8 @@ object Graph {
       idCol: String = "id",
       srcCol: String = "src",
       dstCol: String = "dst",
-      wCol: String = "w"): DataFrame = {
+      wCol: String = "w",
+      initRanks: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
@@ -206,6 +135,16 @@ object Graph {
 
     val n = v.count()
     require(n > 0, "pageRankWeighted needs at least one node")
+    // the damping multiply bounds the NODE COUNT regardless of weights:
+    // inflow + dang div n ≤ total mass ≈ n·1e6, so dampingPct·(…) needs
+    // 100·n·1e6 < 2^63 ⇒ n ≤ 9e10 — past that the update itself wraps
+    // (the review-pass gap: the per-edge product gate below is the
+    // binding constraint only when maxW ≳ 100)
+    require(n <= 90000000000L,
+      s"pageRank int64 bound exceeded: n=$n > 9e10 — the damping " +
+        "multiply (dampingPct * inflow) would overflow int64; pre-scale " +
+        "the rank unit (thousandths instead of millionths) for larger " +
+        "node relations")
     // one bounded driver row: weight sanity + the int64 product gate
     val chk = e.agg(coalesce(min(col("w")), lit(1L)).as("mn"),
       coalesce(max(col("w")), lit(1L)).as("mx")).head
@@ -218,7 +157,47 @@ object Graph {
         "would overflow int64; pre-scale weights before calling")
     val base = (100L - dampingPct) * 1000000L / 100L
 
-    var r = v.withColumn("rank_u", lit(1000000L)).localCheckpoint()
+    // warm start (the daily-ingest posture for ranks): resume the power
+    // iteration from a PERSISTED rank vector instead of uniform 1e6 —
+    // because one iteration is a pure function of (edges, ranks), k
+    // cold iterations ≡ j cold + (k−j) warm-from-the-jth-vector, so a
+    // daily re-rank after an edge append pays only the marginal rounds
+    // (exactness is a GraphSpec property). Nodes absent from the prior
+    // vector (new pages) enter at the uniform initial mass.
+    // The prior is read with the FIXED output contract columns
+    // (id, rank_u) — this operator's own output and [[loadRankVector]]
+    // both carry exactly these, so a persisted vector feeds back
+    // without renaming even when the caller's node relation uses idCol
+    // "doc_id" (ADVICE r13: reading the prior via idCol broke that
+    // round trip with an AnalysisException at plan time).
+    var r = initRanks match {
+      case Some(prior) =>
+        val pr = prior.select(col("id").cast("long").as("id"),
+          col("rank_u").cast("long").as("rank_u"))
+        // a prior vector with duplicate ids (two snapshots in one
+        // table — plausible in exactly the persisted-vector use case)
+        // would duplicate node rows through the left join and silently
+        // double-count that node's votes AND dangling mass in the first
+        // warm round, collapsing back to unique rows afterwards with no
+        // error — gate it like pageRankSeeded gates its seeds; null or
+        // negative ranks are a corrupt snapshot, not a default
+        val pchk = pr.agg(count(lit(1)).as("c"),
+          countDistinct(col("id")).as("d"),
+          coalesce(sum(when(col("rank_u").isNull || col("rank_u") < 0L,
+            1L).otherwise(0L)), lit(0L)).as("bad")).head
+        require(pchk.getLong(0) == pchk.getLong(1),
+          s"initRanks ids must be unique (${pchk.getLong(0)} rows, " +
+            s"${pchk.getLong(1)} distinct) — a duplicated prior vector " +
+            "would silently double-count votes in the first warm round")
+        require(pchk.getLong(2) == 0L,
+          s"initRanks carries ${pchk.getLong(2)} null/negative rank_u " +
+            "value(s) — a corrupt snapshot, refusing to warm-start")
+        v.join(pr, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("rank_u"), lit(1000000L)).as("rank_u"))
+          .localCheckpoint()
+      case None => v.withColumn("rank_u", lit(1000000L)).localCheckpoint()
+    }
     var i = 0
     while (i < iters) {
       val inflow = e

@@ -18,6 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object PrefixScan {
 
+  /** Shared (quality-desc, doc_id) ordinal codec for [[runningTotal]]
+    * consumers (`Curation.mixtureSelect`, the q162 token budget): the
+    * scan needs ONE long ordering key, so quality-descending order is
+    * encoded as `(offset − key) · 2^40 + doc_id` — key descending with
+    * doc_id as the deterministic tie cut. Both bounds are ENFORCED
+    * per-row INSIDE the encode projection (no extra pass, and column
+    * pruning can't drop the check because it guards the values the
+    * scan consumes): a violating key would silently corrupt the sort
+    * order, a doc_id ≥ 2^40 would bleed into the key field. */
+  def encodeDescOrdinal(
+      key: Column, docId: Column, offset: Long,
+      lo: Long, hi: Long, keyWhat: String): Column = {
+    def bounded(c: Column, l: Long, h: Long, what: String): Column =
+      when(c.between(l, h), c).otherwise(raise_error(concat(
+        lit(s"$what must be in [$l, $h], got "), c.cast("string"))))
+    (lit(offset) - bounded(key.cast("long"), lo, hi, keyWhat)) *
+      lit(1L << 40) +
+      bounded(docId.cast("long"), 0L, (1L << 40) - 1, "doc_id")
+  }
+
+  def decodeDocId(ord: Column): Column = pmod(ord, lit(1L << 40))
+
+  /** Recover the encoded key with exact integer arithmetic: ord can
+    * exceed 2^53, so a double floor(ord / 2^40) could round;
+    * (ord − ord % 2^40) is an exact multiple k·2^40 with small k —
+    * exactly representable, so the division is exact. */
+  def decodeKey(ord: Column, offset: Long): Column =
+    lit(offset) - (ord - pmod(ord, lit(1L << 40))) / lit(1L << 40)
+
   /** EXCLUSIVE running total of `valueCol` over rows ordered by
     * (`groupCol`, `ordCol`), restarting at 0 per group value.
     *

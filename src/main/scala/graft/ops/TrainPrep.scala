@@ -167,9 +167,13 @@ object TrainPrep {
     * same nonempty rule), then the pair-level contract is checked:
     *
     *  - `prompt_match`: both transcripts have the same turn count and
-    *    their PREFIXES (all turns before the final assistant turn)
-    *    flatten to identical text — role AND content, compared on the
-    *    flattened spelling so the check replays in any SQL engine.
+    *    their PREFIXES (all turns before the final assistant turn) are
+    *    identical turn for turn — an EXACT struct-array compare, role
+    *    AND content per index (never the flattened spelling: content
+    *    may itself contain `\n<|role|>`, so two different prompts can
+    *    flatten to the same string — the review-pass collision; the
+    *    per-index compare replays in SQL as a list_filter over the
+    *    parsed turns).
     *  - `branches_differ`: the final assistant turns differ — a pair
     *    with identical branches carries zero preference signal and
     *    must quarantine, not train.
@@ -205,7 +209,7 @@ object TrainPrep {
     val cPrefix = slice(c, lit(1), size(c) - 1)
     val rPrefix = slice(r, lit(1), size(r) - 1)
     val promptMatch = bothOk && size(c) === size(r) &&
-      flattenTurns(cPrefix) === flattenTurns(rPrefix)
+      cPrefix === rPrefix
     val cLast = element_at(c, -1).getField("content")
     val rLast = element_at(r, -1).getField("content")
     val branchesDiffer = bothOk && !(cLast <=> rLast)

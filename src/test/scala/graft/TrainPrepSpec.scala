@@ -184,7 +184,13 @@ class TrainPrepSpec extends SparkSpec {
       // chosen's single prompt turn embeds the rejected's 3-turn prompt
       // flatten verbatim, so ONLY the size check catches it
       (9L, s"[${u("p\\n<|assistant|>c\\n<|user|>q")},${a("x")}]",
-        s"[${u("p")},${a("c")},${u("q")},${a("y")}]"))
+        s"[${u("p")},${a("c")},${u("q")},${a("y")}]"),
+      // 10: EQUAL-count flatten collision (the review-pass bug): both
+      // prefixes flatten to the same string because the delimiter
+      // appears inside content, but the turn STRUCTS differ — only an
+      // exact per-turn compare catches it
+      (10L, s"[${u("p\\n<|assistant|>x")},${a("y")},${u("q")},${a("Z1")}]",
+        s"[${u("p")},${a("x\\n<|assistant|>y")},${u("q")},${a("Z2")}]"))
       .toDF("pair_id", "chosen", "rejected")
     val got = TrainPrep.preferencePairs(rows, col("pair_id"),
         col("chosen"), col("rejected"))
@@ -202,5 +208,8 @@ class TrainPrepSpec extends SparkSpec {
     assert(got(8L)._3 == "chosen_malformed", "precedence: chosen first")
     assert(got(9L)._3 == "prompt_mismatch",
       "the turn-count gate must catch the flatten collision: " + got(9L))
+    assert(got(10L)._3 == "prompt_mismatch",
+      "the exact per-turn compare must catch the equal-count flatten " +
+        "collision: " + got(10L))
   }
 }
