@@ -60,23 +60,27 @@ object Graph {
       idCol: String = "id",
       srcCol: String = "src",
       dstCol: String = "dst",
-      initRanks: Option[DataFrame] = None): DataFrame =
-    // ONE iteration body for the weighted and unweighted forms: after
-    // the web-graph distinct collapse, unit weights make the weighted
-    // vote (rank·w) div wout literally rank div deg — bit-identical
-    // integers (a GraphSpec equality case), so the unweighted operator
-    // is the weighted one over the deduped unit-weight relation. The
-    // distinct MUST happen here: handing raw duplicates to the
-    // weight-summing collapse would turn multiplicity into votes.
-    pageRankWeighted(
-      nodes,
-      edges
-        .select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .withColumn("w", lit(1L)),
-      iters, dampingPct, idCol, "src", "dst", "w", initRanks)
+      initRanks: Option[DataFrame] = None): DataFrame = {
+    // ONE iteration body for the weighted and unweighted forms
+    // ([[powerIterate]]): after the web-graph distinct collapse, unit
+    // weights make the weighted vote (rank·w) div wout literally
+    // rank div deg — bit-identical integers (a GraphSpec equality
+    // case). This prep mints w = 1 itself, so the weighted entry's
+    // weight-sanity scan is skipped (maxW is 1 by construction — no
+    // per-call audit job for the common unweighted path).
+    val v = nodes.select(col(idCol).cast("long").as("id"))
+      .localCheckpoint()
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .withColumn("w", lit(1L))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("wdeg"))
+      .localCheckpoint()
+    powerIterate(v, e, deg, iters, dampingPct, initRanks, maxW = 1L)
+  }
 
   /** Weighted PageRank — votes carry integer link multiplicity (the
     * real crawl shape: a page linking twice votes twice, anchor-count
@@ -117,44 +121,70 @@ object Graph {
       dstCol: String = "dst",
       wCol: String = "w",
       initRanks: Option[DataFrame] = None): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    require(dampingPct >= 0 && dampingPct <= 100,
-      s"dampingPct must be in [0,100], got $dampingPct")
-
     val v = nodes.select(col(idCol).cast("long").as("id"))
       .localCheckpoint()
-    val e = edges
+    val eRaw = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
       .filter(col("src") =!= col("dst"))
+    // weight sanity BEFORE the aggregation: sum()/min()/max() all SKIP
+    // nulls, so a null weight checked after the collapse would not
+    // fail the gate — it would silently drop that edge's (or that
+    // node's whole) vote, exactly the quiet mass loss this gate exists
+    // to prevent. One bounded driver row over the raw projection.
+    val chk = eRaw.agg(count(lit(1)).as("c"), count(col("w")).as("cw"),
+      coalesce(min(col("w")), lit(1L)).as("mn"),
+      coalesce(max(col("w")), lit(1L)).as("mx")).head
+    require(chk.getLong(0) == chk.getLong(1),
+      s"${chk.getLong(0) - chk.getLong(1)} edge weight(s) are NULL — a " +
+        "null multiplicity would silently drop its vote through the " +
+        "null-skipping aggregates, not fail; clean the edge relation")
+    require(chk.getLong(2) >= 1L,
+      s"edge weights must be >= 1, got min ${chk.getLong(2)} — a " +
+        "zero/negative multiplicity would silently zero or invert votes")
+    val e = eRaw
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("w")).as("w"))
       .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
       .localCheckpoint()
+    powerIterate(v, e, deg, iters, dampingPct, initRanks,
+      maxW = chk.getLong(3))
+  }
 
-    val n = v.count()
-    require(n > 0, "pageRankWeighted needs at least one node")
-    // the damping multiply bounds the NODE COUNT regardless of weights:
-    // inflow + dang div n ≤ total mass ≈ n·1e6, so dampingPct·(…) needs
-    // 100·n·1e6 < 2^63 ⇒ n ≤ 9e10 — past that the update itself wraps
-    // (the review-pass gap: the per-edge product gate below is the
-    // binding constraint only when maxW ≳ 100)
+  /** The ONE damped power-iteration body behind [[pageRank]] and
+    * [[pageRankWeighted]] — callers hand in the prepared node/edge/
+    * out-degree relations (e carries (src, dst, w); deg carries
+    * (src, wdeg)) plus the edge relation's max weight for the int64
+    * gates. All overflow and warm-start validation lives here, once. */
+  private def powerIterate(
+      v: DataFrame,
+      e: DataFrame,
+      deg: DataFrame,
+      iters: Int,
+      dampingPct: Int,
+      initRanks: Option[DataFrame],
+      maxW: Long): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val n = v.count() // the one driver scalar; bounded by definition
+    require(n > 0, "pageRank needs at least one node")
+    // int64 gates (fail loudly, never wrap):
+    // 1. the damping multiply bounds the NODE COUNT regardless of
+    //    weights: inflow + dang div n ≤ total mass ≈ n·1e6, so
+    //    dampingPct·(…) needs 100·n·1e6 < 2^63 ⇒ n ≤ 9e10
     require(n <= 90000000000L,
       s"pageRank int64 bound exceeded: n=$n > 9e10 — the damping " +
         "multiply (dampingPct * inflow) would overflow int64; pre-scale " +
         "the rank unit (thousandths instead of millionths) for larger " +
         "node relations")
-    // one bounded driver row: weight sanity + the int64 product gate
-    val chk = e.agg(coalesce(min(col("w")), lit(1L)).as("mn"),
-      coalesce(max(col("w")), lit(1L)).as("mx")).head
-    require(chk.getLong(0) >= 1L,
-      s"edge weights must be >= 1, got min ${chk.getLong(0)} — a " +
-        "zero/negative multiplicity would silently zero or invert votes")
-    require(BigInt(n) * BigInt(chk.getLong(1)) < BigInt("9000000000000"),
-      s"pageRankWeighted int64 bound exceeded: n=$n x maxW=" +
-        s"${chk.getLong(1)} >= 9e12 — the per-edge product r(u)*w " +
-        "would overflow int64; pre-scale weights before calling")
+    // 2. the per-edge product r(u)·w is bounded by n·1e6·maxW (uniform
+    //    start: mass never grows), so n·maxW must stay under ~9.2e12
+    require(BigInt(n) * BigInt(maxW) < BigInt("9000000000000"),
+      s"pageRank int64 bound exceeded: n=$n x maxW=$maxW >= 9e12 — the " +
+        "per-edge product r(u)*w would overflow int64; pre-scale " +
+        "weights before calling")
     val base = (100L - dampingPct) * 1000000L / 100L
 
     // warm start (the daily-ingest posture for ranks): resume the power
@@ -184,7 +214,14 @@ object Graph {
         val pchk = pr.agg(count(lit(1)).as("c"),
           countDistinct(col("id")).as("d"),
           coalesce(sum(when(col("rank_u").isNull || col("rank_u") < 0L,
-            1L).otherwise(0L)), lit(0L)).as("bad")).head
+            1L).otherwise(0L)), lit(0L)).as("bad"),
+          coalesce(max(col("rank_u")), lit(0L)).as("mx"),
+          // decimal sum: a wrong-unit prior can overflow a LONG sum
+          // inside this very validation (ANSI throws an arithmetic
+          // error with no explanation) — the gate must reach its own
+          // require with the real total
+          coalesce(sum(col("rank_u").cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO)).as("tot")).head
         require(pchk.getLong(0) == pchk.getLong(1),
           s"initRanks ids must be unique (${pchk.getLong(0)} rows, " +
             s"${pchk.getLong(1)} distinct) — a duplicated prior vector " +
@@ -192,6 +229,23 @@ object Graph {
         require(pchk.getLong(2) == 0L,
           s"initRanks carries ${pchk.getLong(2)} null/negative rank_u " +
             "value(s) — a corrupt snapshot, refusing to warm-start")
+        // magnitude gates: the uniform-start int64 bounds above assume
+        // rank ≤ n·1e6, which a corrupt or wrong-unit prior violates
+        // while passing the null/negative check — its first warm
+        // iteration would wrap silently (the review-pass gap). The
+        // first-iteration bound suffices: mass never grows afterwards
+        // (each round's total is ≤ 0.85·prev + 0.15·n·1e6).
+        require(BigInt(pchk.getLong(3)) * BigInt(maxW) <
+            BigInt("9000000000000000000"),
+          s"initRanks max rank_u ${pchk.getLong(3)} x maxW=$maxW would " +
+            "overflow the per-edge product — wrong unit or corrupt " +
+            "snapshot, refusing to warm-start")
+        val priorTot = BigInt(pchk.getDecimal(4).toBigInteger)
+        require(BigInt(100) * (priorTot + BigInt(n) * 1000000L) <
+            BigInt("9000000000000000000"),
+          s"initRanks total mass $priorTot would overflow the " +
+            "damping multiply — wrong unit or corrupt snapshot, " +
+            "refusing to warm-start")
         v.join(pr, Seq("id"), "left")
           .select(col("id"),
             coalesce(col("rank_u"), lit(1000000L)).as("rank_u"))
@@ -200,6 +254,9 @@ object Graph {
     }
     var i = 0
     while (i < iters) {
+      // inflow: rank 'votes' split across out-edges (weighted by the
+      // edge multiplicity), summed per target. Partial aggregation
+      // combines map-side before the dst shuffle.
       val inflow = e
         .join(r.select(col("id").as("src"), col("rank_u")), "src")
         .join(deg, "src")
@@ -207,6 +264,8 @@ object Graph {
           expr("(rank_u * w) div wdeg").as("c"))
         .groupBy(col("id"))
         .agg(sum(col("c")).as("inflow"))
+      // dangling mass: nodes with no out-edges donate uniformly.
+      // One-row relation; the crossJoin below broadcasts it.
       val dangling = r
         .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
         .agg(coalesce(sum(col("rank_u")), lit(0L)).as("dang"))

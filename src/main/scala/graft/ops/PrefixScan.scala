@@ -30,6 +30,16 @@ object PrefixScan {
   def encodeDescOrdinal(
       key: Column, docId: Column, offset: Long,
       lo: Long, hi: Long, keyWhat: String): Column = {
+    // the DECLARED domain must itself fit the 2^40-split codec:
+    // |offset − key| ≤ 2^22 keeps (offset − key)·2^40 within ±2^62 —
+    // a wider declared range would pass every per-row bound and still
+    // wrap the multiply, silently corrupting the sort order
+    require(lo <= hi, s"encodeDescOrdinal: lo $lo > hi $hi")
+    require(math.abs(offset - lo) <= (1L << 22) &&
+        math.abs(offset - hi) <= (1L << 22),
+      s"encodeDescOrdinal: declared key domain [$lo, $hi] around " +
+        s"offset $offset exceeds ±2^22 — (offset − key)·2^40 would " +
+        "overflow int64; rescale the key before encoding")
     def bounded(c: Column, l: Long, h: Long, what: String): Column =
       when(c.between(l, h), c).otherwise(raise_error(concat(
         lit(s"$what must be in [$l, $h], got "), c.cast("string"))))

@@ -413,6 +413,15 @@ class GraphSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Graph.pageRankWeighted(nodes, Seq((0L, 1L, 0L)).toDF("src", "dst", "w"))
     }
+    // a NULL weight would slip every null-skipping aggregate and
+    // silently drop its vote — the gate must catch it BEFORE the
+    // weight-summing collapse
+    val withNull = Seq((0L, 1L, java.lang.Long.valueOf(2L)),
+      (0L, 1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("src", "dst", "w")
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRankWeighted(nodes, withNull)
+    }
   }
 
   test("rank vector artifact: save -> load round-trips bit-exactly, the " +
@@ -451,6 +460,13 @@ class GraphSpec extends SparkSpec {
       Graph.saveRankVector(
         day1.withColumn("rank_u",
           org.apache.spark.sql.functions.lit(-1L)), dir + "_neg")
+    }
+    // a wrong-unit/corrupt prior (huge rank) passes the null/negative
+    // check but would wrap the first warm iteration — magnitude-gated
+    val huge = day1.withColumn("rank_u",
+      org.apache.spark.sql.functions.lit(5000000000000000000L))
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRank(nodes, e2, iters = 1, initRanks = Some(huge))
     }
   }
 
