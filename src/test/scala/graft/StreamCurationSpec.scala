@@ -216,6 +216,51 @@ class StreamCurationSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("rank gate probes the RELOADED rank-vector artifact in-stream: " +
+      "stream-static join, warm-start default for unknown ids, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // rank a small graph, persist, and probe the RELOADED artifact —
+    // the full q166 artifact cycle driven from the stream side
+    val nodes = (0L until 10L).toDF("id")
+    val edges = Seq[(Long, Long)]((1, 0), (2, 0), (3, 0), (4, 0), (0, 1))
+      .toDF("src", "dst")
+    val ranked = graft.ops.Graph.pageRank(nodes, edges, iters = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rank_gate").toString
+    graft.ops.Graph.saveRankVector(ranked, dir)
+    val loaded = graft.ops.Graph.loadRankVector(spark, dir)
+    val hub = ranked.orderBy(col("rank_u").desc).head.getLong(0)
+    val source = MemoryStream[java.lang.Long]
+    val gated = StreamCuration.rankGate(
+      loaded, source.toDF().toDF("doc_id"), col("doc_id"),
+      minRankU = 1000000L)
+    val query = gated.writeStream.format("memory").queryName("rank_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(java.lang.Long.valueOf(hub),
+        java.lang.Long.valueOf(5L),    // leaf: drained below uniform
+        java.lang.Long.valueOf(999L),  // unknown page: uniform default
+        null.asInstanceOf[java.lang.Long]) // dirty row: -1, unknown
+      query.processAllAvailable()
+      val got = spark.table("rank_gate")
+        .select("doc_id", "rank_u", "known", "keep")
+        .as[(Long, Long, Boolean, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val want = ranked.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got(hub) == ((want(hub), true, true)), got(hub).toString)
+      assert(got(5L)._1 == want(5L) && got(5L)._2 && !got(5L)._3,
+        "a drained leaf must be known and dropped: " + got(5L))
+      assert(got(999L) == ((1000000L, false, true)),
+        "an unknown page enters at the uniform mass: " + got(999L))
+      assert(got(-1L)._2 == false, "a null id must coalesce to unknown")
+      // stateless: a stream-static join holds no state store rows
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
   test("preference-pair prep lifts to a stream unchanged: map-only " +
       "audit + pair gates, stateless") {
     import spark.implicits._
