@@ -575,6 +575,10 @@ object Bench {
       // kernels + one 11-key agg — linear (the langid scoring is the
       // bundled model, no fit)
       "q167_preference_pairs", "q168_tokenizer_fertility",
+      // weighted rank cycle: 4+4 weighted iterations + one artifact
+      // write/read — linear; preference mask: the q167 gates + two
+      // per-pair span explodes with doc-partitioned windows — linear
+      "q169_weighted_rank_cycle", "q170_preference_mask",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -3750,7 +3750,10 @@ object SparkEntry {
     * and flattened to twin training texts. Map-only; every column
     * value-compared (the q157 oracle pattern with minted violation
     * classes). */
-  private def qPreferencePairs(s: SparkSession, d: String): DataFrame = {
+  /** The q167/q170 shared pair mint: six pair classes as JSON both
+    * engines build identically (the oracle twin is the shared `m` CTE
+    * in `preferencePairMintSql`). */
+  private def preferencePairMint(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     def turn(role: String, c: Column): Column = chatTurn(role, c)
     val m = (sfx: String) => chatContent(sfx)
@@ -3783,17 +3786,20 @@ object SparkEntry {
       .when(cls === 4L, arr(turn("user", m("x")),
         turn("assistant", m("c"))))
       .otherwise(arr(turn("user", m("a")), turn("assistant", m("b"))))
-    val minted = t(s, d, "documents")
+    t(s, d, "documents")
       .select(id, chosen.as("chosen"), rejected.as("rejected"))
+  }
+
+  private def qPreferencePairs(s: SparkSession, d: String): DataFrame =
     graft.ops.TrainPrep.preferencePairs(
-        minted, col("doc_id"), col("chosen"), col("rejected"))
+        preferencePairMint(s, d), col("doc_id"), col("chosen"),
+        col("rejected"))
       .withColumn("pair_class", pmod(col("pair_id"), lit(6L)))
       .select(col("pair_id"), col("pair_class"), col("n_prompt_turns"),
         col("chosen_ok"), col("rejected_ok"), col("prompt_match"),
         col("branches_differ"), col("keep"), col("violation"),
         col("text_chosen"), col("text_rejected"))
       .orderBy(col("pair_id"))
-  }
 
   /** Tokenizer fertility audit (q168): tokens-per-word and
     * bytes-per-token by DETECTED language × token mode — the standard
@@ -3842,6 +3848,68 @@ object SparkEntry {
         (col("tok_unigram") >= col("n_words") &&
           col("tok_unigram") <= col("n_ch")).as("unigram_fertility_ok"))
       .orderBy(col("lang"))
+  }
+
+  /** Weighted rank persistence cycle (q169): q165 × q166 — the daily
+    * posture for a WEIGHTED link graph: rank 4 rounds under anchor
+    * multiplicities, persist the vector
+    * ([[graft.ops.Graph.saveRankVector]]), reload it, fold in a minted
+    * weighted edge delta (today's crawl, w = 2 anchors each — deltas
+    * on existing pairs SUM into their multiplicity, the append
+    * contract), and warm re-rank 4 rounds from the RELOADED vector.
+    * The oracle replays the whole chain (4 weighted rounds on ew, 4 on
+    * the re-collapsed union chained from r4), so a divergence anywhere
+    * in the weighted warm path breaks the rank hash; `roundtrip_ok` is
+    * genuinely computed. */
+  private def qWeightedRankCycle(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val ids = docs.select(col("doc_id").as("id"))
+    val e1 = mintedWeightedEdges(docs, n).localCheckpoint()
+    val day1 = graft.ops.Graph.pageRankWeighted(ids, e1, iters = 4)
+      .localCheckpoint() // fence: feeds the save AND the compare
+    val dir = tempFixtureDir("graft_wrank_cycle")
+    graft.ops.Graph.saveRankVector(day1, dir)
+    val loaded = graft.ops.Graph.loadRankVector(s, dir)
+      .localCheckpoint() // fence: feeds the compare AND the warm start
+    val rt = day1.select(col("id"), col("rank_u").as("r0"))
+      .join(loaded.select(col("id"), col("rank_u").as("r1")),
+        Seq("id"), "full")
+      .agg(coalesce(sum(when(col("r0") <=> col("r1"), 0L).otherwise(1L)),
+        lit(0L)).as("n_bad"))
+    val e2 = e1.unionByName(
+      mintedDeltaEdges(docs, n).withColumn("w", lit(2L)))
+    val warm = graft.ops.Graph.pageRankWeighted(ids, e2, iters = 4,
+      initRanks = Some(loaded))
+    warm.crossJoin(broadcast(rt))
+      .select(col("id").as("doc_id"), col("rank_u"),
+        (col("n_bad") === 0L).as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DPO masking composition (q170): q167 × q159 — kept preference
+    * pairs hand BOTH branches to [[graft.ops.TrainPrep.lossMaskSpans]]
+    * (the DPO loss runs on the final assistant positions of chosen AND
+    * rejected, everything before is shared-prompt context): per kept
+    * pair, per branch, the per-turn character spans into the flattened
+    * transcript with the trainable flag and the self-validating
+    * substring check. The oracle replays the pair gates (q167's
+    * machinery) and both branches' span tables — every offset
+    * value-compared. */
+  private def qPreferenceMaskSpans(s: SparkSession, d: String): DataFrame = {
+    val minted = preferencePairMint(s, d).localCheckpoint()
+    val kept = graft.ops.TrainPrep.preferencePairs(
+        minted, col("doc_id"), col("chosen"), col("rejected"))
+      .filter(col("keep")).select(col("pair_id").as("doc_id"))
+    val keptM = minted.join(kept, "doc_id")
+    def spans(c: String, label: String) =
+      graft.ops.TrainPrep.lossMaskSpans(keptM, col("doc_id"), col(c))
+        .withColumn("branch", lit(label))
+    spans("chosen", "chosen").unionByName(spans("rejected", "rejected"))
+      .select(col("doc_id").as("pair_id"), col("branch"), col("turn_idx"),
+        col("role"), col("char_start"), col("char_end"), col("trainable"),
+        col("span_ok"))
+      .orderBy(col("pair_id"), col("branch"), col("turn_idx"))
   }
 
   /** Daily dedup cycle (q132): the full ingest loop classify → append
@@ -5086,7 +5154,9 @@ object SparkEntry {
     "q165_weighted_pagerank" -> (qWeightedPageRank _),
     "q166_rank_vector_cycle" -> (qRankVectorCycle _),
     "q167_preference_pairs" -> (qPreferencePairs _),
-    "q168_tokenizer_fertility" -> (qTokenizerFertility _))
+    "q168_tokenizer_fertility" -> (qTokenizerFertility _),
+    "q169_weighted_rank_cycle" -> (qWeightedRankCycle _),
+    "q170_preference_mask" -> (qPreferenceMaskSpans _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5391,15 +5461,20 @@ object SparkEntry {
   // multiplicity 1 + (src + k) % 3, duplicates summed), the weighted
   // out-degree, and six weighted iterations — pageRankWeighted's exact
   // arithmetic. MATERIALIZED per the iteration-oracle rule.
-  private def weightedPageRankOracleSql: String =
-    s"""WITH $mintedEdgeCtesSql,
-           ew AS MATERIALIZED (
+  // the weighted edge collapse + weighted out-degree over the shared
+  // slot CTE — q165 and q169 build on the same pair
+  private def weightedEdgeCtesSql: String =
+    s"""ew AS MATERIALIZED (
              SELECT src, dst,
                CAST(sum(1 + (src + k) % 3) AS BIGINT) AS w
              FROM cand WHERE src <> dst GROUP BY src, dst),
            wdeg AS MATERIALIZED (
              SELECT src, CAST(sum(w) AS BIGINT) AS wdeg
-             FROM ew GROUP BY src),
+             FROM ew GROUP BY src)"""
+
+  private def weightedPageRankOracleSql: String =
+    s"""WITH $mintedEdgeCtesSql,
+           $weightedEdgeCtesSql,
            r0 AS MATERIALIZED (
              SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank_u
              FROM docs),
@@ -5503,10 +5578,11 @@ object SparkEntry {
          FROM f ORDER BY doc_id"""
   }
 
-  // q167: the six minted pair classes + the per-branch chatAudit
-  // replay + the pair-level prompt/divergence gates and the
-  // first-failure violation CASE — preferencePairs end to end
-  private def preferencePairsOracleSql: String = {
+  // q167/q170 shared oracle fragments: the six minted pair classes
+  // (the `m` CTE — the SQL twin of preferencePairMint) and the
+  // per-branch audit + pair-gate CTEs (`f`, `g`) — returned WITHOUT
+  // the leading WITH or a final SELECT so both oracles compose them
+  private def prefPairCtesSql: String = {
     def turn(role: String, content: String): String =
       chatTurnSql(role, content)
     // per-side replay fragments over a JSON column `c`: the chatAudit
@@ -5547,7 +5623,7 @@ object SparkEntry {
     def lastContSql(c: String): String =
       s"""json_extract_string($c,
                  '$$[' || (json_array_length($c) - 1) || '].content')"""
-    raw"""WITH m AS (
+    raw"""m AS (
              SELECT doc_id, doc_id % 6 AS pair_class,
                CASE doc_id % 6
                  WHEN 1 THEN '[' || ${turn("system", "'sys'")}
@@ -5604,7 +5680,11 @@ object SparkEntry {
                (c_ok AND r_ok AND n_c = n_r AND pre_eq)
                  AS prompt_match,
                (c_ok AND r_ok AND last_c <> last_r) AS branches_differ
-             FROM f)
+             FROM f)"""
+  }
+
+  private def preferencePairsOracleSql: String =
+    s"""WITH $prefPairCtesSql
          SELECT doc_id AS pair_id, pair_class,
            CASE WHEN c_ok THEN n_c - 1 ELSE -1 END AS n_prompt_turns,
            c_ok AS chosen_ok, r_ok AS rejected_ok,
@@ -5620,7 +5700,93 @@ object SparkEntry {
            CASE WHEN prompt_match AND branches_differ THEN flat_r
                 ELSE '' END AS text_rejected
          FROM g ORDER BY pair_id"""
+
+  // q170: the q167 gates (shared CTEs) feeding the q159 span replay on
+  // BOTH branches of every kept pair — a per-branch CTE triple
+  // (parse/segment/offset) parameterized by the JSON column
+  private def preferenceMaskOracleSql: String = {
+    def branchCtes(jcol: String, sfx: String): String =
+      raw"""p$sfx AS (
+             SELECT doc_id, $jcol AS chat,
+               array_to_string(list_transform(
+                 range(0, CAST(json_array_length($jcol) AS INT)), i ->
+                   '<|' || json_extract_string($jcol,
+                       '$$[' || i || '].role')
+                     || '|>' || json_extract_string($jcol,
+                       '$$[' || i || '].content')),
+                 chr(10)) AS flat,
+               unnest(range(0, CAST(json_array_length($jcol) AS INT)))
+                 AS turn_idx
+             FROM kept),
+           s$sfx AS (
+             SELECT doc_id, flat, turn_idx,
+               json_extract_string(chat, '$$[' || turn_idx || '].role')
+                 AS role,
+               '<|' || json_extract_string(chat,
+                   '$$[' || turn_idx || '].role')
+                 || '|>' || json_extract_string(chat,
+                   '$$[' || turn_idx || '].content') AS seg
+             FROM p$sfx),
+           o$sfx AS (
+             SELECT doc_id, flat, turn_idx, role, seg,
+               length(seg) AS len,
+               coalesce(sum(length(seg)) OVER (
+                 PARTITION BY doc_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + turn_idx AS char_start
+             FROM s$sfx)"""
+    def branchSelect(sfx: String, label: String): String =
+      s"""SELECT doc_id AS pair_id, '$label' AS branch,
+           CAST(turn_idx AS INT) AS turn_idx, role,
+           CAST(char_start AS BIGINT) AS char_start,
+           CAST(char_start + len AS BIGINT) AS char_end,
+           (role = 'assistant') AS trainable,
+           (substr(flat, CAST(char_start + 1 AS INT), CAST(len AS INT))
+             = seg) AS span_ok
+         FROM o$sfx"""
+    s"""WITH $prefPairCtesSql,
+           kept AS (
+             SELECT f.doc_id, f.ch, f.rj
+             FROM f JOIN g USING (doc_id)
+             WHERE g.prompt_match AND g.branches_differ),
+           ${branchCtes("ch", "bc")},
+           ${branchCtes("rj", "br")}
+         ${branchSelect("bc", "chosen")}
+         UNION ALL
+         ${branchSelect("br", "rejected")}
+         ORDER BY pair_id, branch, turn_idx"""
   }
+
+  // q169: four weighted rounds on ew, the weighted delta (w = 2,
+  // summing into existing multiplicities), four more weighted rounds
+  // chained from r4 over the re-collapsed union — the weighted warm
+  // path's exact cold equivalent; roundtrip boolean pinned
+  private def weightedRankCycleOracleSql: String =
+    s"""WITH $mintedEdgeCtesSql,
+           $weightedEdgeCtesSql,
+           r0 AS MATERIALIZED (
+             SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank_u
+             FROM docs),
+           ${(1 to 4).map(weightedIterSql).mkString(",\n           ")},
+           deltaw AS (
+             SELECT doc_id AS src,
+               ((doc_id % 1000003) * 2654435761 + 4090803)
+                 % 1000000007 % (SELECT n FROM nn) AS dst,
+               CAST(2 AS BIGINT) AS w
+             FROM docs WHERE doc_id % 7 = 3),
+           ew2 AS MATERIALIZED (
+             SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+               SELECT src, dst, 1 + (src + k) % 3 AS w
+               FROM cand WHERE src <> dst
+               UNION ALL SELECT src, dst, w FROM deltaw WHERE src <> dst)
+             GROUP BY src, dst),
+           wdeg2 AS MATERIALIZED (
+             SELECT src, CAST(sum(w) AS BIGINT) AS wdeg
+             FROM ew2 GROUP BY src),
+           ${(5 to 8).map(i => pageRankIterSqlOn(i, "ew2", "wdeg2",
+             "(r.rank_u * e.w) // g.wdeg")).mkString(",\n           ")}
+         SELECT id AS doc_id, rank_u, true AS roundtrip_ok
+         FROM r8 ORDER BY doc_id"""
 
   // q168: the q113 mint replayed (inventories interpolated as list
   // literals), the bundled-model prediction replayed as exact-integer
@@ -8199,6 +8365,8 @@ object SparkEntry {
     "q166_rank_vector_cycle" -> rankVectorCycleOracleSql,
     "q167_preference_pairs" -> preferencePairsOracleSql,
     "q168_tokenizer_fertility" -> tokenizerFertilityOracleSql,
+    "q169_weighted_rank_cycle" -> weightedRankCycleOracleSql,
+    "q170_preference_mask" -> preferenceMaskOracleSql,
     // the scan-based engine plan (PrefixScan.runningTotal keyed on the
     // encoded (n_chars desc, doc_id) ordinal) replays here as the
     // EQUIVALENT window cumsum — the cross-engine mirror the r13

@@ -396,6 +396,22 @@ class GraphSpec extends SparkSpec {
       assert(runWeighted(n.toLong, unit) === runPr(n.toLong, unitPairs,
         iters = 5), s"trial $trial unit-weight equality")
     }
+    // weighted warm restart chains like the unweighted one: 2 cold +
+    // 2 warm ≡ 4 cold (one shared powerIterate body, but the weighted
+    // prep path must thread initRanks through identically)
+    import spark.implicits._
+    val rnd2 = new scala.util.Random(73)
+    val wEdges = Seq.fill(60)((rnd2.nextInt(20).toLong,
+      rnd2.nextInt(20).toLong, 1L + rnd2.nextInt(3).toLong))
+      .toDF("src", "dst", "w")
+    val wNodes = (0L until 20L).toDF("id")
+    val cold4 = Graph.pageRankWeighted(wNodes, wEdges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mid = Graph.pageRankWeighted(wNodes, wEdges, iters = 2)
+    val resumed = Graph.pageRankWeighted(wNodes, wEdges, iters = 2,
+      initRanks = Some(mid)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed === cold4, "weighted 2 cold + 2 warm must equal 4 cold")
   }
 
   test("weighted: a doubled anchor outweighs a single one, duplicate " +
