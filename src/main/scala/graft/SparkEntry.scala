@@ -3738,21 +3738,12 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  // q167's minted pair classes share the q157 turn/content spellings
-  // (chatTurn/chatContent) — the oracle twin replays them via chatTurnSql
-  /** Preference-pair audit (q167): [[graft.ops.TrainPrep
-    * .preferencePairs]] — the DPO/RLHF ingest step. Six minted pair
-    * classes (2-turn good; system-led 5-turn good — a multi-turn
-    * prompt prefix; chosen ends-on-user; rejected empty-assistant;
-    * prompt mismatch; identical branches) built as JSON both engines
-    * mint identically, audited per branch with the chatAudit
-    * machinery, pair-gated on prompt identity + branch divergence,
-    * and flattened to twin training texts. Map-only; every column
-    * value-compared (the q157 oracle pattern with minted violation
-    * classes). */
-  /** The q167/q170 shared pair mint: six pair classes as JSON both
-    * engines build identically (the oracle twin is the shared `m` CTE
-    * in `preferencePairMintSql`). */
+  /** The q167/q170 shared pair mint: six pair classes (2-turn good;
+    * system-led 5-turn good — a multi-turn prompt prefix; chosen
+    * ends-on-user; rejected empty-assistant; prompt mismatch;
+    * identical branches) as JSON both engines build identically —
+    * the q157 turn/content spellings (chatTurn/chatContent); the
+    * oracle twin is the shared `m` CTE inside `prefPairCtesSql`. */
   private def preferencePairMint(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     def turn(role: String, c: Column): Column = chatTurn(role, c)
@@ -3790,6 +3781,12 @@ object SparkEntry {
       .select(id, chosen.as("chosen"), rejected.as("rejected"))
   }
 
+  /** Preference-pair audit (q167): [[graft.ops.TrainPrep
+    * .preferencePairs]] — the DPO/RLHF ingest step over the shared
+    * pair mint, audited per branch with the chatAudit machinery,
+    * pair-gated on prompt identity + branch divergence, flattened to
+    * twin training texts. Map-only; every column value-compared (the
+    * q157 oracle pattern with minted violation classes). */
   private def qPreferencePairs(s: SparkSession, d: String): DataFrame =
     graft.ops.TrainPrep.preferencePairs(
         preferencePairMint(s, d), col("doc_id"), col("chosen"),

@@ -61,6 +61,12 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       initRanks: Option[DataFrame] = None): DataFrame = {
+    // fail fast on scalar contract violations BEFORE any cluster job
+    // (checkpoints/aggs) runs — powerIterate re-checks, but by then
+    // the edge prep has already been paid
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
     // ONE iteration body for the weighted and unweighted forms
     // ([[powerIterate]]): after the web-graph distinct collapse, unit
     // weights make the weighted vote (rank·w) div wout literally
@@ -121,35 +127,45 @@ object Graph {
       dstCol: String = "dst",
       wCol: String = "w",
       initRanks: Option[DataFrame] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
     val v = nodes.select(col(idCol).cast("long").as("id"))
       .localCheckpoint()
-    val eRaw = edges
+    // weight sanity rides the collapse itself (one upstream pass, one
+    // shuffle): per-pair null counts and raw minima come out of the
+    // same groupBy that sums multiplicities. The null check CANNOT run
+    // after the collapse alone — sum()/min()/max() all SKIP nulls, so
+    // a null weight would silently drop its vote, exactly the quiet
+    // mass loss this gate exists to prevent; count(*) − count(w) per
+    // group makes the nulls visible. maxW is taken from the COLLAPSED
+    // weights (duplicates sum, so the raw max under-states the bound
+    // the int64 gate must guard).
+    val eAgg = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
       .filter(col("src") =!= col("dst"))
-    // weight sanity BEFORE the aggregation: sum()/min()/max() all SKIP
-    // nulls, so a null weight checked after the collapse would not
-    // fail the gate — it would silently drop that edge's (or that
-    // node's whole) vote, exactly the quiet mass loss this gate exists
-    // to prevent. One bounded driver row over the raw projection.
-    val chk = eRaw.agg(count(lit(1)).as("c"), count(col("w")).as("cw"),
-      coalesce(min(col("w")), lit(1L)).as("mn"),
-      coalesce(max(col("w")), lit(1L)).as("mx")).head
-    require(chk.getLong(0) == chk.getLong(1),
-      s"${chk.getLong(0) - chk.getLong(1)} edge weight(s) are NULL — a " +
-        "null multiplicity would silently drop its vote through the " +
-        "null-skipping aggregates, not fail; clean the edge relation")
-    require(chk.getLong(2) >= 1L,
-      s"edge weights must be >= 1, got min ${chk.getLong(2)} — a " +
-        "zero/negative multiplicity would silently zero or invert votes")
-    val e = eRaw
       .groupBy(col("src"), col("dst"))
-      .agg(sum(col("w")).as("w"))
+      .agg(sum(col("w")).as("w"),
+        (count(lit(1)) - count(col("w"))).as("nulls"),
+        min(col("w")).as("mn"))
       .localCheckpoint()
+    val chk = eAgg.agg(
+      coalesce(sum(col("nulls")), lit(0L)).as("nulls"),
+      coalesce(min(col("mn")), lit(1L)).as("mn"),
+      coalesce(max(col("w")), lit(1L)).as("mx")).head
+    require(chk.getLong(0) == 0L,
+      s"${chk.getLong(0)} edge weight(s) are NULL — a null multiplicity " +
+        "would silently drop its vote through the null-skipping " +
+        "aggregates, not fail; clean the edge relation")
+    require(chk.getLong(1) >= 1L,
+      s"edge weights must be >= 1, got min ${chk.getLong(1)} — a " +
+        "zero/negative multiplicity would silently zero or invert votes")
+    val e = eAgg.select(col("src"), col("dst"), col("w"))
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
       .localCheckpoint()
     powerIterate(v, e, deg, iters, dampingPct, initRanks,
-      maxW = chk.getLong(3))
+      maxW = chk.getLong(2))
   }
 
   /** The ONE damped power-iteration body behind [[pageRank]] and
@@ -215,7 +231,6 @@ object Graph {
           countDistinct(col("id")).as("d"),
           coalesce(sum(when(col("rank_u").isNull || col("rank_u") < 0L,
             1L).otherwise(0L)), lit(0L)).as("bad"),
-          coalesce(max(col("rank_u")), lit(0L)).as("mx"),
           // decimal sum: a wrong-unit prior can overflow a LONG sum
           // inside this very validation (ANSI throws an arithmetic
           // error with no explanation) — the gate must reach its own
@@ -231,18 +246,23 @@ object Graph {
             "value(s) — a corrupt snapshot, refusing to warm-start")
         // magnitude gates: the uniform-start int64 bounds above assume
         // rank ≤ n·1e6, which a corrupt or wrong-unit prior violates
-        // while passing the null/negative check — its first warm
-        // iteration would wrap silently (the review-pass gap). The
-        // first-iteration bound suffices: mass never grows afterwards
-        // (each round's total is ≤ 0.85·prev + 0.15·n·1e6).
-        require(BigInt(pchk.getLong(3)) * BigInt(maxW) <
-            BigInt("9000000000000000000"),
-          s"initRanks max rank_u ${pchk.getLong(3)} x maxW=$maxW would " +
-            "overflow the per-edge product — wrong unit or corrupt " +
+        // while passing the null/negative check — a warm iteration
+        // would wrap silently (the review-pass gap). The bound must
+        // use the prior's TOTAL mass, not its max: per-node rank can
+        // grow toward the round total across iterations (a hub can
+        // collect nearly everything), while round totals themselves
+        // never exceed B = max(priorTot, n·1e6) + slack (each round's
+        // total is ≤ 0.85·prev + 0.15·n·1e6, monotone toward n·1e6) —
+        // so B bounds every round's per-node rank, and B·maxW /
+        // 100·B bound every product the update computes.
+        val priorTot = BigInt(pchk.getDecimal(3).toBigInteger)
+        val massBound = priorTot + BigInt(n) * 1000000L
+        require(massBound * BigInt(maxW) < BigInt("9000000000000000000"),
+          s"initRanks total mass $priorTot x maxW=$maxW would overflow " +
+            "the per-edge product in a later round (rank can " +
+            "concentrate toward the total) — wrong unit or corrupt " +
             "snapshot, refusing to warm-start")
-        val priorTot = BigInt(pchk.getDecimal(4).toBigInteger)
-        require(BigInt(100) * (priorTot + BigInt(n) * 1000000L) <
-            BigInt("9000000000000000000"),
+        require(BigInt(100) * massBound < BigInt("9000000000000000000"),
           s"initRanks total mass $priorTot would overflow the " +
             "damping multiply — wrong unit or corrupt snapshot, " +
             "refusing to warm-start")
@@ -301,16 +321,20 @@ object Graph {
   def saveRankVector(ranks: DataFrame, path: String): Unit = {
     val r = ranks.select(col("id").cast("long").as("id"),
       col("rank_u").cast("long").as("rank_u"))
+    // negative ids are rejected too: the streaming rank gate coalesces
+    // a NULL stream id to −1, which must provably never collide with a
+    // persisted node (StreamCuration.rankGate relies on this contract)
     val chk = r.agg(count(lit(1)).as("c"),
       countDistinct(col("id")).as("d"),
-      coalesce(sum(when(col("id").isNull || col("rank_u").isNull ||
-        col("rank_u") < 0L, 1L).otherwise(0L)), lit(0L)).as("bad")).head
+      coalesce(sum(when(col("id").isNull || col("id") < 0L ||
+        col("rank_u").isNull || col("rank_u") < 0L,
+        1L).otherwise(0L)), lit(0L)).as("bad")).head
     require(chk.getLong(0) == chk.getLong(1),
       s"saveRankVector: ids must be unique (${chk.getLong(0)} rows, " +
         s"${chk.getLong(1)} distinct)")
     require(chk.getLong(2) == 0L,
-      s"saveRankVector: ${chk.getLong(2)} null/negative row(s) — " +
-        "refusing to persist a corrupt vector")
+      s"saveRankVector: ${chk.getLong(2)} null/negative-id/negative-" +
+        "rank row(s) — refusing to persist a corrupt vector")
     r.write.mode("overwrite").parquet(s"$path/ranks")
   }
 

@@ -35,8 +35,11 @@ object PrefixScan {
     // a wider declared range would pass every per-row bound and still
     // wrap the multiply, silently corrupting the sort order
     require(lo <= hi, s"encodeDescOrdinal: lo $lo > hi $hi")
-    require(math.abs(offset - lo) <= (1L << 22) &&
-        math.abs(offset - hi) <= (1L << 22),
+    // distances in BigInt: for extreme declared domains the Long
+    // subtraction itself would wrap and a spuriously small |distance|
+    // could pass the very gate meant to catch it
+    require((BigInt(offset) - BigInt(lo)).abs <= (1L << 22) &&
+        (BigInt(offset) - BigInt(hi)).abs <= (1L << 22),
       s"encodeDescOrdinal: declared key domain [$lo, $hi] around " +
         s"offset $offset exceeds ±2^22 — (offset − key)·2^40 would " +
         "overflow int64; rescale the key before encoding")

@@ -37,42 +37,6 @@ object StreamCuration {
     *
     * @return (idCol, domain, n_tokens, pfx_stripped, sfx_stripped,
     *         text_clean) — the batch strip's exact output shape. */
-  /** Gate a STREAM against the persisted rank vector
-    * ([[graft.ops.Graph.saveRankVector]], the q166 artifact) — the
-    * SEVENTH persisted modality's in-stream probe, keeping the
-    * every-artifact-probes-in-stream invariant intact: each incoming
-    * doc picks up its link-authority prior and the keep decision is a
-    * map-only threshold (the crawl-curation quality gate).
-    *
-    * Shape: one stream-static equi-join against the reloaded parquet
-    * relation. The rank vector is CORPUS-sized, so the
-    * centroid/template driver-broadcast class does NOT apply — the
-    * static side stays a DataFrame and Spark joins it per micro-batch
-    * (the semanticMatches/spanMatches convention). Stateless: no state
-    * store, no watermark. Docs absent from the vector (new pages)
-    * default to the uniform initial mass 1e6 — the warm-start
-    * convention, so a page the ranker has not seen yet is neither
-    * auto-kept nor auto-dropped; a null stream id coalesces to −1,
-    * which [[graft.ops.Graph.saveRankVector]]'s non-null gate
-    * guarantees can never appear in the vector.
-    *
-    * @return (doc_id, rank_u, known, keep). */
-  def rankGate(
-      ranks: DataFrame,
-      stream: DataFrame,
-      idCol: Column,
-      minRankU: Long): DataFrame = {
-    val r = ranks.select(col("id").cast("long").as("__rid"),
-      col("rank_u").cast("long").as("rank_u"))
-    stream
-      .select(coalesce(idCol.cast("long"), lit(-1L)).as("doc_id"))
-      .join(r, col("doc_id") === col("__rid"), "left")
-      .select(col("doc_id"),
-        coalesce(col("rank_u"), lit(1000000L)).as("rank_u"),
-        col("__rid").isNotNull.as("known"))
-      .withColumn("keep", col("rank_u") >= minRankU)
-  }
-
   def boilerplateStrip(
       index: TextAnalysis.BoilerplateIndex,
       stream: DataFrame,
@@ -129,5 +93,43 @@ object StreamCuration {
       }
       .toDF(idCol, "domain", "n_tokens", "pfx_stripped", "sfx_stripped",
         "text_clean")
+  }
+
+  /** Gate a STREAM against the persisted rank vector
+    * ([[graft.ops.Graph.saveRankVector]], the q166 artifact) — the
+    * SEVENTH persisted modality's in-stream probe, keeping the
+    * every-artifact-probes-in-stream invariant intact: each incoming
+    * doc picks up its link-authority prior and the keep decision is a
+    * map-only threshold (the crawl-curation quality gate).
+    *
+    * Shape: one stream-static equi-join against the reloaded parquet
+    * relation. The rank vector is CORPUS-sized, so the
+    * centroid/template driver-broadcast class does NOT apply — the
+    * static side stays a DataFrame and Spark joins it per micro-batch
+    * (the semanticMatches/spanMatches convention). Stateless: no state
+    * store, no watermark. Docs absent from the vector (new pages)
+    * default to the uniform initial mass 1e6 — the warm-start
+    * convention, so a page the ranker has not seen yet is neither
+    * auto-kept nor auto-dropped; a null stream id coalesces to −1,
+    * which [[graft.ops.Graph.saveRankVector]]'s id gate (non-null AND
+    * non-negative — negative ids are rejected at save time precisely
+    * so this sentinel cannot collide) guarantees can never appear in
+    * the vector.
+    *
+    * @return (doc_id, rank_u, known, keep). */
+  def rankGate(
+      ranks: DataFrame,
+      stream: DataFrame,
+      idCol: Column,
+      minRankU: Long): DataFrame = {
+    val r = ranks.select(col("id").cast("long").as("__rid"),
+      col("rank_u").cast("long").as("rank_u"))
+    stream
+      .select(coalesce(idCol.cast("long"), lit(-1L)).as("doc_id"))
+      .join(r, col("doc_id") === col("__rid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rank_u"), lit(1000000L)).as("rank_u"),
+        col("__rid").isNotNull.as("known"))
+      .withColumn("keep", col("rank_u") >= minRankU)
   }
 }
