@@ -579,6 +579,9 @@ object Bench {
       // write/read — linear; preference mask: the q167 gates + two
       // per-pair span explodes with doc-partitioned windows — linear
       "q169_weighted_rank_cycle", "q170_preference_mask",
+      // preference mining: one map-combinable packed-extremum agg per
+      // prompt (no window, no sort) — linear
+      "q171_preference_mining",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -3909,6 +3909,41 @@ object SparkEntry {
       .orderBy(col("pair_id"), col("branch"), col("turn_idx"))
   }
 
+  /** Preference-pair mining (q171): [[graft.ops.TrainPrep
+    * .minePreferencePairs]] — the step BEFORE q167's audit: a
+    * best-of-n collection (2–4 minted candidates per prompt, scores
+    * from the shared arithmetic hash) becomes (chosen, rejected)
+    * training pairs via the encoded-extremum aggregate (score·8 ± id
+    * — one map-combinable agg per prompt, no window), margin-gated at
+    * 50. Kept pairs emit their twin flattened training texts. The
+    * oracle replays the mint, both packed extrema, the decode, the
+    * margin gate, and both texts — every column value-compared. */
+  private def qPreferenceMining(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val cands = docs
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("k"))
+      .filter(col("k") < lit(2L) + pmod(col("doc_id"), lit(3L)))
+      .select(col("doc_id"), col("k"),
+        pmod(
+          pmod(
+            pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L)
+              + col("k") * lit(40503L),
+            lit(1000000007L)),
+          lit(1000L)).as("score"))
+    val mined = graft.ops.TrainPrep.minePreferencePairs(
+      cands, col("doc_id"), col("k"), col("score"), minMargin = 50L)
+    def branchText(idCol: Column): Column = concat(
+      lit("<|user|>p"), col("prompt_id"),
+      lit("\n<|assistant|>c"), col("prompt_id"), lit("x"), idCol)
+    mined.select(col("prompt_id").as("doc_id"), col("n_cands"),
+        col("chosen_id"), col("rejected_id"), col("margin"), col("keep"),
+        when(col("keep"), branchText(col("chosen_id")))
+          .otherwise(lit("")).as("text_chosen"),
+        when(col("keep"), branchText(col("rejected_id")))
+          .otherwise(lit("")).as("text_rejected"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -5153,7 +5188,8 @@ object SparkEntry {
     "q167_preference_pairs" -> (qPreferencePairs _),
     "q168_tokenizer_fertility" -> (qTokenizerFertility _),
     "q169_weighted_rank_cycle" -> (qWeightedRankCycle _),
-    "q170_preference_mask" -> (qPreferenceMaskSpans _))
+    "q170_preference_mask" -> (qPreferenceMaskSpans _),
+    "q171_preference_mining" -> (qPreferenceMining _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -8364,6 +8400,39 @@ object SparkEntry {
     "q168_tokenizer_fertility" -> tokenizerFertilityOracleSql,
     "q169_weighted_rank_cycle" -> weightedRankCycleOracleSql,
     "q170_preference_mask" -> preferenceMaskOracleSql,
+    // q171: the candidate mint, both packed extremum keys (score·8 ± k,
+    // ties to the lowest id on both sides), the exact decode, the
+    // margin gate, and the twin texts — minePreferencePairs verbatim
+    "q171_preference_mining" ->
+      """WITH cands AS (
+             SELECT d.doc_id, k.k,
+               ((d.doc_id % 1000003) * 2654435761 + k.k * 40503)
+                 % 1000000007 % 1000 AS score
+             FROM documents d CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
+             WHERE k.k < 2 + (d.doc_id % 3)),
+           a AS (
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cands,
+               max(score * 8 - k) AS ck, min(score * 8 + k) AS rk
+             FROM cands GROUP BY doc_id),
+           b AS (
+             SELECT doc_id, n_cands,
+               (ck + 7) // 8 AS smax, rk // 8 AS smin, ck, rk
+             FROM a),
+           c AS (
+             SELECT doc_id, n_cands,
+               CAST(smax * 8 - ck AS BIGINT) AS chosen_id,
+               CAST(rk - smin * 8 AS BIGINT) AS rejected_id,
+               CAST(smax - smin AS BIGINT) AS margin,
+               (n_cands >= 2 AND smax - smin >= 50) AS keep
+             FROM b)
+         SELECT doc_id, n_cands, chosen_id, rejected_id, margin, keep,
+           CASE WHEN keep THEN '<|user|>p' || doc_id || chr(10)
+               || '<|assistant|>c' || doc_id || 'x' || chosen_id
+             ELSE '' END AS text_chosen,
+           CASE WHEN keep THEN '<|user|>p' || doc_id || chr(10)
+               || '<|assistant|>c' || doc_id || 'x' || rejected_id
+             ELSE '' END AS text_rejected
+         FROM c ORDER BY doc_id""",
     // the scan-based engine plan (PrefixScan.runningTotal keyed on the
     // encoded (n_chars desc, doc_id) ordinal) replays here as the
     // EQUIVALENT window cumsum — the cross-engine mirror the r13

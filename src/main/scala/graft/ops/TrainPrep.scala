@@ -233,6 +233,71 @@ object TrainPrep {
       when(keep, flattenTurns(r)).otherwise(lit("")).as("text_rejected"))
   }
 
+  /** Mine (chosen, rejected) preference pairs from SCORED candidate
+    * completions — the step BEFORE [[preferencePairs]]' audit: a
+    * best-of-n collection run (n sampled completions per prompt, each
+    * scored by a reward model or heuristic) becomes DPO training
+    * pairs by taking the best- and worst-scored candidates per prompt
+    * and keeping only pairs with a meaningful score margin (a pair
+    * whose branches the scorer can barely tell apart carries more
+    * label noise than signal — the standard margin filter).
+    *
+    * Selection is DETERMINISTIC and engine-replayable via the encoded
+    * extremum keys (the q123 conditional-extremum shape — one
+    * map-combinable aggregate per prompt, NO per-prompt sort/window,
+    * so parallelism is the cluster's at any prompt cardinality):
+    * {{{
+    *   chosen_key   = max(score · 8 − cand_id)   // score desc, id asc
+    *   rejected_key = min(score · 8 + cand_id)   // score asc, id asc
+    * }}}
+    * With cand_id < 8 both keys decode exactly (`s = ceil/floor of
+    * key div 8`, id from the remainder); ties on score break to the
+    * LOWEST candidate id on both sides. Bounds (0 ≤ cand_id < 8,
+    * 0 ≤ score ≤ 2^40) are ENFORCED per-row inside the aggregate's
+    * input projection — a violating row would silently corrupt the
+    * packed ordering, so it raises instead.
+    *
+    * A one-candidate prompt cannot form a pair (`keep` false, margin
+    * 0 vs itself is meaningless); equal-extreme scores gate on the
+    * margin. The caller assembles transcripts from the selected ids
+    * and hands them to [[preferencePairs]] — mined pairs pass its
+    * audit by construction (a `TrainPrepSpec` case).
+    *
+    * @return (prompt_id, n_cands, chosen_id, rejected_id, margin,
+    *         keep). */
+  def minePreferencePairs(
+      cands: DataFrame,
+      promptIdCol: Column,
+      candIdCol: Column,
+      scoreCol: Column,
+      minMargin: Long): DataFrame = {
+    require(minMargin >= 1, s"minMargin must be >= 1, got $minMargin")
+    def bounded(c: Column, lo: Long, hi: Long, what: String): Column =
+      when(c.between(lo, hi), c).otherwise(raise_error(concat(
+        lit(s"minePreferencePairs: $what must be in [$lo, $hi], got "),
+        c.cast("string"))))
+    val prep = cands.select(
+      promptIdCol.as("prompt_id"),
+      bounded(candIdCol.cast("long"), 0L, 7L, "cand_id").as("cand"),
+      bounded(scoreCol.cast("long"), 0L, 1L << 40, "score").as("s"))
+    prep
+      .groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n_cands"),
+        max(col("s") * 8 - col("cand")).as("ck"),
+        min(col("s") * 8 + col("cand")).as("rk"))
+      .select(col("prompt_id"), col("n_cands"),
+        // ceil(ck / 8): ck = s·8 − id with 0 ≤ id < 8
+        expr("(ck + 7) div 8").as("smax"),
+        expr("rk div 8").as("smin"),
+        col("ck"), col("rk"))
+      .select(col("prompt_id"), col("n_cands"),
+        (col("smax") * 8 - col("ck")).as("chosen_id"),
+        (col("rk") - col("smin") * 8).as("rejected_id"),
+        (col("smax") - col("smin")).as("margin"),
+        (col("n_cands") >= 2 && col("smax") - col("smin") >= minMargin)
+          .as("keep"))
+  }
+
   /** Span-corruption transform (T5: Raffel et al., "Exploring the
     * Limits of Transfer Learning…", 2020 §3.1.4 — the denoising
     * objective): replace token spans with `<extra_id_k>` sentinels in

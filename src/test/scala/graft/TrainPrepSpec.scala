@@ -212,4 +212,64 @@ class TrainPrepSpec extends SparkSpec {
       "the exact per-turn compare must catch the equal-count flatten " +
         "collision: " + got(10L))
   }
+
+  test("minePreferencePairs: hand-computed extrema with score ties, " +
+      "margin gate, single-candidate prompts, bounds enforcement, and " +
+      "mined pairs pass the preferencePairs audit by construction") {
+    import spark.implicits._
+    val cands = Seq(
+      // prompt 1: clear best (k=2, s=90) and worst (k=0, s=10), margin 80
+      (1L, 0L, 10L), (1L, 1L, 50L), (1L, 2L, 90L),
+      // prompt 2: TIED best (k=1, k=3 both 70) -> lowest id 1 wins;
+      // tied worst (k=0, k=2 both 20) -> lowest id 0; margin 50 (kept)
+      (2L, 0L, 20L), (2L, 1L, 70L), (2L, 2L, 20L), (2L, 3L, 70L),
+      // prompt 3: margin 30 < 50 -> gated
+      (3L, 0L, 40L), (3L, 1L, 70L),
+      // prompt 4: single candidate -> cannot pair
+      (4L, 0L, 99L),
+      // prompt 5: all scores equal -> chosen == rejected, margin 0, gated
+      (5L, 0L, 60L), (5L, 1L, 60L))
+      .toDF("prompt_id", "cand_id", "score")
+    val got = TrainPrep.minePreferencePairs(cands, col("prompt_id"),
+        col("cand_id"), col("score"), minMargin = 50L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(got(1L) == ((3L, 2L, 0L, 80L, true)))
+    assert(got(2L) == ((4L, 1L, 0L, 50L, true)), got(2L).toString)
+    assert(got(3L) == ((2L, 1L, 0L, 30L, false)))
+    assert(got(4L) == ((1L, 0L, 0L, 0L, false)))
+    assert(got(5L) == ((2L, 0L, 0L, 0L, false)))
+    // bounds: cand_id >= 8 or a negative score would corrupt the
+    // packed key — both raise instead
+    def run(k: Long, s: Long): Unit =
+      TrainPrep.minePreferencePairs(
+        Seq((1L, k, s)).toDF("prompt_id", "cand_id", "score"),
+        col("prompt_id"), col("cand_id"), col("score"), 1L).collect()
+    assert(intercept[Exception] { run(8L, 10L) }.getMessage != null)
+    assert(intercept[Exception] { run(0L, -5L) }.getMessage != null)
+    // end-to-end: assemble the kept pairs as transcripts and run the
+    // q167 audit — mined pairs are clean by construction
+    val kept = TrainPrep.minePreferencePairs(cands, col("prompt_id"),
+        col("cand_id"), col("score"), minMargin = 50L)
+      .filter(col("keep"))
+    def turn(role: String,
+        c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+      lit(s"""{"role":"$role","content":""""), c, lit("\"}"))
+    val pairs = kept.select(col("prompt_id"),
+      concat(lit("["),
+        turn("user", concat(lit("p"), col("prompt_id"))), lit(","),
+        turn("assistant", concat(lit("c"), col("chosen_id"))),
+        lit("]")).as("chosen"),
+      concat(lit("["),
+        turn("user", concat(lit("p"), col("prompt_id"))), lit(","),
+        turn("assistant", concat(lit("c"), col("rejected_id"))),
+        lit("]")).as("rejected"))
+    val audited = TrainPrep.preferencePairs(pairs, col("prompt_id"),
+        col("chosen"), col("rejected"))
+      .select("pair_id", "violation").as[(Long, String)].collect().toMap
+    assert(audited.keySet === Set(1L, 2L))
+    assert(audited.values.forall(_ == "ok"),
+      "mined pairs must pass the audit: " + audited)
+  }
 }
