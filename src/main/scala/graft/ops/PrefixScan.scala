@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object PrefixScan {
 
+  /** ONE spelling of the enforce-or-raise range guard shared by the
+    * packed-key encoders ([[encodeDescOrdinal]],
+    * `TrainPrep.minePreferencePairs`): a value outside its declared
+    * domain would silently corrupt a packed ordering, so it raises
+    * from inside the projection instead (column pruning cannot drop
+    * the check — it guards the value the consumer reads). A NULL falls
+    * through `when` to the raise branch too. */
+  private[ops] def boundedOrRaise(
+      c: Column, lo: Long, hi: Long, what: String): Column =
+    when(c.between(lo, hi), c).otherwise(raise_error(concat(
+      lit(s"$what must be in [$lo, $hi], got "), c.cast("string"))))
+
   /** Shared (quality-desc, doc_id) ordinal codec for [[runningTotal]]
     * consumers (`Curation.mixtureSelect`, the q162 token budget): the
     * scan needs ONE long ordering key, so quality-descending order is
@@ -43,12 +55,9 @@ object PrefixScan {
       s"encodeDescOrdinal: declared key domain [$lo, $hi] around " +
         s"offset $offset exceeds ±2^22 — (offset − key)·2^40 would " +
         "overflow int64; rescale the key before encoding")
-    def bounded(c: Column, l: Long, h: Long, what: String): Column =
-      when(c.between(l, h), c).otherwise(raise_error(concat(
-        lit(s"$what must be in [$l, $h], got "), c.cast("string"))))
-    (lit(offset) - bounded(key.cast("long"), lo, hi, keyWhat)) *
+    (lit(offset) - boundedOrRaise(key.cast("long"), lo, hi, keyWhat)) *
       lit(1L << 40) +
-      bounded(docId.cast("long"), 0L, (1L << 40) - 1, "doc_id")
+      boundedOrRaise(docId.cast("long"), 0L, (1L << 40) - 1, "doc_id")
   }
 
   def decodeDocId(ord: Column): Column = pmod(ord, lit(1L << 40))

@@ -272,14 +272,12 @@ object TrainPrep {
       scoreCol: Column,
       minMargin: Long): DataFrame = {
     require(minMargin >= 1, s"minMargin must be >= 1, got $minMargin")
-    def bounded(c: Column, lo: Long, hi: Long, what: String): Column =
-      when(c.between(lo, hi), c).otherwise(raise_error(concat(
-        lit(s"minePreferencePairs: $what must be in [$lo, $hi], got "),
-        c.cast("string"))))
     val prep = cands.select(
       promptIdCol.as("prompt_id"),
-      bounded(candIdCol.cast("long"), 0L, 7L, "cand_id").as("cand"),
-      bounded(scoreCol.cast("long"), 0L, 1L << 40, "score").as("s"))
+      PrefixScan.boundedOrRaise(candIdCol.cast("long"), 0L, 7L,
+        "minePreferencePairs: cand_id").as("cand"),
+      PrefixScan.boundedOrRaise(scoreCol.cast("long"), 0L, 1L << 40,
+        "minePreferencePairs: score").as("s"))
     prep
       .groupBy(col("prompt_id"))
       .agg(count(lit(1)).as("n_cands"),
