@@ -582,6 +582,12 @@ object Bench {
       // preference mining: one map-combinable packed-extremum agg per
       // prompt (no window, no sort) — linear
       "q171_preference_mining",
+      // component cycle: 4 cold hash-min rounds over the corpus-linear
+      // star relation, one artifact write/read, then the DELTA update
+      // (contraction joins are delta-sized, warm rounds run on the
+      // contracted component graph) — linear, dominated by the cold
+      // closure
+      "q172_component_cycle",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -3591,7 +3591,8 @@ object SparkEntry {
     // n_chars desc with doc_id tie cut, bounds enforced in the encode
     val enc = graft.ops.PrefixScan.encodeDescOrdinal(
       col("n_chars"), col("doc_id"), offset = 1L << 20,
-      lo = 0L, hi = (1L << 20) - 1, keyWhat = "q162: n_chars")
+      lo = 0L, hi = (1L << 20) - 1, keyWhat = "q162: n_chars",
+      docWhat = "q162: doc_id")
     graft.ops.PrefixScan
       .runningTotal(prep, col("source"), enc, col("tok"))
       .select(
@@ -3880,6 +3881,79 @@ object SparkEntry {
       initRanks = Some(loaded))
     warm.crossJoin(broadcast(rt))
       .select(col("id").as("doc_id"), col("rank_u"),
+        (col("n_bad") === 0L).as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q172 near-dup PAIR mint: every doc with `doc_id % 10 != 0`
+    * pairs with its canonical (`doc_id - doc_id % 10`) — star-shaped
+    * clusters of ≤ 10 copies, the SHALLOW shape real dedup closures
+    * have (the q155 pinned precondition), so the cold labeling
+    * provably converges (one hash-min round) at ANY corpus scale —
+    * which [[graft.ops.Graph.saveComponentLabels]]'s root-closure gate
+    * requires. */
+  private def mintedStarEdges(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+      .select(col("doc_id").as("src"),
+        (col("doc_id") - pmod(col("doc_id"), lit(10L))).as("dst"))
+
+  /** The q172 delta mint — "today's crawl found new near-dup pairs",
+    * in three classes that between them exercise every incremental
+    * path: PAIR merges (`id % 20 == 3` links its star to the next —
+    * two existing components fuse), CHAIN merges (`id % 40 == 7` links
+    * across two stars, so merged labels must propagate through
+    * multi-hop contracted chains), and NEW PAGES (`id % 97 == 11`
+    * links to the out-of-corpus id `id + n`, a doc the prior labeling
+    * has never seen). Targets wrap with pmod so every edge is
+    * deterministic on both engines at any n. */
+  private def mintedMergeDelta(docs: DataFrame, n: Long): DataFrame = {
+    def cls(m: Long, r: Long, off: Long): DataFrame =
+      docs.filter(pmod(col("doc_id"), lit(m)) === r)
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") + off, lit(n)).as("dst"))
+    cls(20L, 3L, 10L)
+      .unionByName(cls(40L, 7L, 20L))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(97L)) === 11L)
+        .select(col("doc_id").as("src"), (col("doc_id") + n).as("dst")))
+  }
+
+  /** Component-label persistence cycle (q172): labels as the EIGHTH
+    * persisted artifact (VERDICT r14 #1) driven end to end — close the
+    * minted near-dup stars cold, [[graft.ops.Graph
+    * .saveComponentLabels]] → [[graft.ops.Graph.loadComponentLabels]]
+    * (parquet round trip, corruption-gated on the way in including the
+    * root-closure check), then fold in the minted merge delta with
+    * [[graft.ops.Graph.connectedComponentsDelta]] — the incremental
+    * update that re-propagates ONLY from the delta frontier over the
+    * CONTRACTED graph (one node per prior component; yesterday's edges
+    * never re-read), the daily dedup posture. `roundtrip_ok` is
+    * genuinely computed (saved ≡ loaded, full outer compare); the
+    * final labels are fully SQL-replayed (cold rounds, contraction
+    * through the reloaded labels, fixed warm rounds on the contracted
+    * relation, relabel join — a divergence anywhere in save/load/
+    * contract/propagate breaks the label hash). Warm ≡ cold on the
+    * appended graph is the `GraphSpec` adversarial-merge case. */
+  private def qComponentCycle(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val ids = docs.select(col("doc_id").as("id"))
+    val cold = graft.ops.Graph.connectedComponents(
+        ids, mintedStarEdges(docs), iters = 4)
+      .localCheckpoint() // fence: feeds the save AND the compare
+    val dir = tempFixtureDir("graft_cc_cycle")
+    graft.ops.Graph.saveComponentLabels(cold, dir)
+    val loaded = graft.ops.Graph.loadComponentLabels(s, dir)
+      .localCheckpoint() // fence: feeds the compare AND the delta update
+    val rt = cold.select(col("id"), col("comp").as("c0"))
+      .join(loaded.select(col("id"), col("comp").as("c1")), Seq("id"), "full")
+      .agg(coalesce(sum(when(col("c0") <=> col("c1"), 0L).otherwise(1L)),
+        lit(0L)).as("n_bad"))
+    val warm = graft.ops.Graph.connectedComponentsDelta(
+      loaded, mintedMergeDelta(docs, n), iters = 6)
+    val sizes = warm.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+    warm.join(sizes, "comp").crossJoin(broadcast(rt))
+      .select(col("id").as("doc_id"), col("comp"), col("comp_size"),
+        (col("id") === col("comp")).as("is_root"),
         (col("n_bad") === 0L).as("roundtrip_ok"))
       .orderBy(col("doc_id"))
   }
@@ -5189,7 +5263,8 @@ object SparkEntry {
     "q168_tokenizer_fertility" -> (qTokenizerFertility _),
     "q169_weighted_rank_cycle" -> (qWeightedRankCycle _),
     "q170_preference_mask" -> (qPreferenceMaskSpans _),
-    "q171_preference_mining" -> (qPreferenceMining _))
+    "q171_preference_mining" -> (qPreferenceMining _),
+    "q172_component_cycle" -> (qComponentCycle _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5394,16 +5469,23 @@ object SparkEntry {
 
   // one hash-min round (q153): every node takes the min of its own
   // label and its symmetrized neighbors' labels — min for sum, else the
-  // q150 iteration convention (LEFT JOIN keeps isolates)
-  private def componentsIterSql(i: Int): String =
-    s"""c$i AS MATERIALIZED (
+  // q150 iteration convention (LEFT JOIN keeps isolates). The label
+  // prefix and edge relation are parameterized (the pageRankIterSqlOn
+  // convention): q172's warm phase replays the SAME round body over the
+  // CONTRACTED relation under a second prefix.
+  private def componentsIterSqlOn(
+      i: Int, p: String, undRel: String): String =
+    s"""$p$i AS MATERIALIZED (
              SELECT l.id, least(l.comp, coalesce(m.nmin, l.comp)) AS comp
-             FROM c${i - 1} l
+             FROM $p${i - 1} l
              LEFT JOIN (
                SELECT u.dst AS id, min(l2.comp) AS nmin
-               FROM und u
-               JOIN c${i - 1} l2 ON u.src = l2.id
+               FROM $undRel u
+               JOIN $p${i - 1} l2 ON u.src = l2.id
                GROUP BY u.dst) m ON m.id = l.id)"""
+
+  private def componentsIterSql(i: Int): String =
+    componentsIterSqlOn(i, "c", "und")
 
   private def componentsOracleSql: String =
     s"""WITH $mintedEdgeCtesSql,
@@ -5541,6 +5623,67 @@ object SparkEntry {
              .mkString(",\n           ")}
          SELECT id AS doc_id, rank_u, true AS roundtrip_ok
          FROM r8 ORDER BY doc_id"""
+
+  // q172: the star mint closed cold (4 hash-min rounds — converged by
+  // round 1, the shallow-cluster shape), then the DELTA update replayed
+  // exactly: contraction of the three minted delta classes through the
+  // cold labels (intra-component deltas vanish via the comp <> comp
+  // filter, new pages enter as their own singletons), SIX warm hash-min
+  // rounds over the CONTRACTED relation under the k prefix, and the
+  // final relabel join — graft.ops.Graph.connectedComponentsDelta's
+  // exact arithmetic. The parquet round trip isn't SQL-visible, so
+  // roundtrip_ok is pinned (the q166 convention).
+  private def componentCycleOracleSql: String =
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id FROM documents),
+           nn AS MATERIALIZED (SELECT count(*) AS n FROM docs),
+           se AS MATERIALIZED (
+             SELECT doc_id AS src, doc_id - (doc_id % 10) AS dst
+             FROM docs WHERE doc_id % 10 <> 0),
+           und AS MATERIALIZED (SELECT src, dst FROM se
+                   UNION SELECT dst AS src, src AS dst FROM se),
+           c0 AS MATERIALIZED (
+             SELECT doc_id AS id, doc_id AS comp FROM docs),
+           ${(1 to 4).map(componentsIterSql).mkString(",\n           ")},
+           delta AS MATERIALIZED (
+             SELECT doc_id AS src,
+               (doc_id + 10) % (SELECT n FROM nn) AS dst
+             FROM docs WHERE doc_id % 20 = 3
+             UNION ALL
+             SELECT doc_id AS src,
+               (doc_id + 20) % (SELECT n FROM nn) AS dst
+             FROM docs WHERE doc_id % 40 = 7
+             UNION ALL
+             SELECT doc_id AS src, doc_id + (SELECT n FROM nn) AS dst
+             FROM docs WHERE doc_id % 97 = 11),
+           newids AS (
+             SELECT DISTINCT id FROM (
+               SELECT src AS id FROM delta
+               UNION ALL SELECT dst AS id FROM delta)
+             WHERE id NOT IN (SELECT id FROM c4)),
+           full0 AS MATERIALIZED (
+             SELECT id, comp FROM c4
+             UNION ALL SELECT id, id AS comp FROM newids),
+           ce AS (
+             SELECT p1.comp AS src, p2.comp AS dst
+             FROM delta d
+             JOIN full0 p1 ON d.src = p1.id
+             JOIN full0 p2 ON d.dst = p2.id
+             WHERE d.src <> d.dst AND p1.comp <> p2.comp),
+           kund AS MATERIALIZED (SELECT src, dst FROM ce
+                   UNION SELECT dst AS src, src AS dst FROM ce),
+           k0 AS MATERIALIZED (
+             SELECT DISTINCT comp AS id, comp FROM full0),
+           ${(1 to 6).map(i => componentsIterSqlOn(i, "k", "kund"))
+             .mkString(",\n           ")},
+           relab AS MATERIALIZED (
+             SELECT f.id, k.comp
+             FROM full0 f JOIN k6 k ON k.id = f.comp)
+         SELECT r.id AS doc_id, r.comp, s.comp_size,
+           (r.id = r.comp) AS is_root, true AS roundtrip_ok
+         FROM relab r
+         JOIN (SELECT comp, count(*) AS comp_size FROM relab
+               GROUP BY comp) s ON s.comp = r.comp
+         ORDER BY doc_id"""
 
   private def chatTurnSql(role: String, content: String): String =
     s"""'{"role":"$role","content":' || to_json($content) || '}'"""
@@ -8433,6 +8576,10 @@ object SparkEntry {
                || '<|assistant|>c' || doc_id || 'x' || rejected_id
              ELSE '' END AS text_rejected
          FROM c ORDER BY doc_id""",
+    // q172: the full component-artifact cycle — cold star closure,
+    // delta contraction through the reloaded labels, six warm rounds
+    // on the contracted relation, relabel join
+    "q172_component_cycle" -> componentCycleOracleSql,
     // the scan-based engine plan (PrefixScan.runningTotal keyed on the
     // encoded (n_chars desc, doc_id) ordinal) replays here as the
     // EQUIVALENT window cumsum — the cross-engine mirror the r13

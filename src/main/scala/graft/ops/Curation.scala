@@ -405,7 +405,8 @@ object Curation {
     // cut, both bounds enforced inside the encode projection
     val enc = PrefixScan.encodeDescOrdinal(col("r4"), col("doc_id"),
       offset = 10000L, lo = -999999L, hi = 999999L,
-      keyWhat = "mixtureSelect: round(rank*1e4)")
+      keyWhat = "mixtureSelect: round(rank*1e4)",
+      docWhat = "mixtureSelect: doc_id")
     val budgetCol = coalesce(
       element_at(typedLit(budgets), col("source")), lit(defaultBudget))
     PrefixScan.runningTotal(prep, col("source"), enc, col("w"))

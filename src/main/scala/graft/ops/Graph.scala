@@ -229,7 +229,8 @@ object Graph {
         // negative ranks are a corrupt snapshot, not a default
         val pchk = pr.agg(count(lit(1)).as("c"),
           countDistinct(col("id")).as("d"),
-          coalesce(sum(when(col("rank_u").isNull || col("rank_u") < 0L,
+          coalesce(sum(when(col("id").isNull ||
+            col("rank_u").isNull || col("rank_u") < 0L,
             1L).otherwise(0L)), lit(0L)).as("bad"),
           // decimal sum: a wrong-unit prior can overflow a LONG sum
           // inside this very validation (ANSI throws an arithmetic
@@ -237,13 +238,18 @@ object Graph {
           // require with the real total
           coalesce(sum(col("rank_u").cast("decimal(38,0)")),
             lit(java.math.BigDecimal.ZERO)).as("tot")).head
+        // bad-row check FIRST (the saveRankVector ordering, ADVICE
+        // r14): countDistinct skips NULLs, so a null id would fail the
+        // uniqueness compare with the misleading "must be unique"
+        // message if that ran first
+        require(pchk.getLong(2) == 0L,
+          s"initRanks carries ${pchk.getLong(2)} null-id/null/negative" +
+            " rank_u value(s) — a corrupt snapshot, refusing to " +
+            "warm-start")
         require(pchk.getLong(0) == pchk.getLong(1),
           s"initRanks ids must be unique (${pchk.getLong(0)} rows, " +
             s"${pchk.getLong(1)} distinct) — a duplicated prior vector " +
             "would silently double-count votes in the first warm round")
-        require(pchk.getLong(2) == 0L,
-          s"initRanks carries ${pchk.getLong(2)} null/negative rank_u " +
-            "value(s) — a corrupt snapshot, refusing to warm-start")
         // magnitude gates: the uniform-start int64 bounds above assume
         // rank ≤ n·1e6, which a corrupt or wrong-unit prior violates
         // while passing the null/negative check — a warm iteration
@@ -329,12 +335,16 @@ object Graph {
       coalesce(sum(when(col("id").isNull || col("id") < 0L ||
         col("rank_u").isNull || col("rank_u") < 0L,
         1L).otherwise(0L)), lit(0L)).as("bad")).head
-    require(chk.getLong(0) == chk.getLong(1),
-      s"saveRankVector: ids must be unique (${chk.getLong(0)} rows, " +
-        s"${chk.getLong(1)} distinct)")
+    // bad-row check FIRST (ADVICE r14): countDistinct skips NULLs, so
+    // a null id also trips the uniqueness compare — checked second, a
+    // null-id vector would fail with the misleading "must be unique"
+    // message instead of this one, which names the real problem
     require(chk.getLong(2) == 0L,
       s"saveRankVector: ${chk.getLong(2)} null/negative-id/negative-" +
         "rank row(s) — refusing to persist a corrupt vector")
+    require(chk.getLong(0) == chk.getLong(1),
+      s"saveRankVector: ids must be unique (${chk.getLong(0)} rows, " +
+        s"${chk.getLong(1)} distinct)")
     r.write.mode("overwrite").parquet(s"$path/ranks")
   }
 
@@ -424,6 +434,167 @@ object Graph {
       i += 1
     }
     lab
+  }
+
+  /** The shared (id, comp) casting + corruption gates behind
+    * [[saveComponentLabels]] and [[connectedComponentsDelta]]'s prior
+    * read — the saveRankVector posture for the EIGHTH artifact. Gates,
+    * in diagnosis order (bad rows first — countDistinct skips NULLs,
+    * so a null id checked second would misreport as non-unique):
+    *
+    *  1. no null/negative ids or comps (negative ids are rejected so
+    *     the streaming gate's −1 null-sentinel can never collide), and
+    *     comp ≤ id — every min-label producer ([[connectedComponents]],
+    *     [[graft.ops.Clusters]]) labels with the MINIMUM member id, so
+    *     comp > id is definitionally corrupt;
+    *  2. unique ids;
+    *  3. ROOT CLOSURE: every label value must itself be a row labeled
+    *     with itself (comp(comp) = comp). A mid-iteration hash-min
+    *     snapshot violates this (node 3 already points at 2 while 2
+    *     has moved on to 1), so the gate catches the
+    *     save-before-convergence mistake the delta updater's
+    *     fixpoint precondition cannot otherwise see at save time. */
+  private def validatedLabels(labels: DataFrame, op: String): DataFrame = {
+    val l = labels.select(col("id").cast("long").as("id"),
+      col("comp").cast("long").as("comp"))
+    val chk = l.agg(count(lit(1)).as("c"),
+      countDistinct(col("id")).as("d"),
+      coalesce(sum(when(col("id").isNull || col("id") < 0L ||
+        col("comp").isNull || col("comp") < 0L || col("comp") > col("id"),
+        1L).otherwise(0L)), lit(0L)).as("bad")).head
+    require(chk.getLong(2) == 0L,
+      s"$op: ${chk.getLong(2)} null/negative-id/null-comp/comp>id " +
+        "row(s) — refusing a corrupt labeling (labels are MIN member " +
+        "ids, so comp must be a valid id <= the row's own)")
+    require(chk.getLong(0) == chk.getLong(1),
+      s"$op: ids must be unique (${chk.getLong(0)} rows, " +
+        s"${chk.getLong(1)} distinct)")
+    // root closure: distinct comp values that are NOT self-labeled rows
+    val nonRoots = l.select(col("comp")).distinct()
+      .join(l.filter(col("id") === col("comp"))
+          .select(col("id").as("comp")),
+        Seq("comp"), "left_anti")
+      .limit(1).count()
+    require(nonRoots == 0L,
+      s"$op: found component label(s) whose root row is not labeled " +
+        "with itself — an unconverged (mid-iteration) or corrupt " +
+        "labeling; run the closure to its fixpoint before persisting")
+    l
+  }
+
+  /** Persist component labels as the EIGHTH persisted artifact (VERDICT
+    * r14 #1 — labels join the IVF/PQ/SQ8/dedup/template/tokenizer/rank
+    * family): one (id, comp) parquet relation under `path/components`,
+    * the [[connectedComponents]] OUTPUT CONTRACT verbatim, so a
+    * reloaded labeling feeds [[connectedComponentsDelta]] with no
+    * rename. The daily dedup posture: label the corpus once, persist,
+    * then fold each day's new near-dup PAIRS in from the delta
+    * frontier — never a cold corpus re-closure.
+    *
+    * Validated on the WAY IN ([[validatedLabels]] — including the
+    * root-closure gate, because the delta updater's correctness
+    * contract needs a CONVERGED labeling), so a corrupt or
+    * mid-iteration snapshot fails at save time, not in tomorrow's
+    * incremental update. */
+  def saveComponentLabels(labels: DataFrame, path: String): Unit =
+    validatedLabels(labels, "saveComponentLabels")
+      .write.mode("overwrite").parquet(s"$path/components")
+
+  /** Reload persisted component labels — (id, comp), the delta-update
+    * contract columns. Corruption gates live in [[saveComponentLabels]]
+    * and in [[connectedComponentsDelta]]'s own prior validation, so the
+    * load is a plain typed read (the loadRankVector posture). */
+  def loadComponentLabels(
+      sess: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    sess.read.parquet(s"$path/components")
+      .select(col("id").cast("long").as("id"),
+        col("comp").cast("long").as("comp"))
+
+  /** Incremental connected components — fold a DELTA edge batch into a
+    * persisted labeling WITHOUT re-closing the corpus (VERDICT r14 #1:
+    * the daily dedup posture needs labels that survive an edge append
+    * the way ranks survive one via warm restart).
+    *
+    * PRECONDITION: `prior` must be a CONVERGED labeling of yesterday's
+    * graph (comp = min member id at the fixpoint — what
+    * [[saveComponentLabels]] persists; its root-closure gate catches
+    * mid-iteration snapshots, and full fixpoint-ness vs yesterday's
+    * edges is the producer's contract). Under it, every old edge is
+    * INTRA-component, so only delta edges can merge components — the
+    * whole update runs on the CONTRACTED graph:
+    *
+    *  1. new nodes (delta endpoints absent from `prior`) enter labeled
+    *     with their own ids (the warm-start new-page convention);
+    *  2. each delta edge contracts to its endpoints' labels; edges that
+    *     land inside one component vanish;
+    *  3. [[connectedComponents]] — the SAME fixed-round hash-min body —
+    *     runs on the contracted node set (one node per prior component
+    *     or new page) with the contracted delta edges;
+    *  4. every corpus row relabels through its prior component's new
+    *     label (one hash join).
+    *
+    * Cost is O(|Δ| + components touched), never O(|E|): yesterday's
+    * edge relation is not read at all, and the propagation runs over a
+    * graph whose size is the number of DISTINCT prior labels plus new
+    * pages. `iters` bounds label propagation across CHAINED merges
+    * (a delta that daisy-chains k components needs k−1 rounds to agree
+    * on the min), exactly the base form's bounded-radius contract —
+    * and because every step is deterministic integer arithmetic on a
+    * fixed round count, an external engine replays contraction,
+    * rounds, and relabel bit-for-bit (the q172 oracle).
+    *
+    * Proven equal to the cold re-closure on the appended graph —
+    * including an adversarial delta that MERGES existing components
+    * and introduces new nodes — in `GraphSpec`.
+    *
+    * @param prior (id, comp) — a converged labeling, e.g. from
+    *              [[loadComponentLabels]].
+    * @param deltaEdges today's new pairs; treated undirected,
+    *                   self-loops dropped.
+    * @return (id, comp) for every prior node AND every new node. */
+  def connectedComponentsDelta(
+      prior: DataFrame,
+      deltaEdges: DataFrame,
+      iters: Int = 8,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val p = validatedLabels(prior, "connectedComponentsDelta")
+      .localCheckpoint() // fence: feeds new-node anti-join, contraction,
+                         // and the final relabel
+    val dir = deltaEdges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+    // new pages: delta endpoints the prior labeling has never seen —
+    // they enter as their own singleton components (the warm-start
+    // new-page convention), so the contracted graph can merge them in
+    val newIds = dir.select(col("src").as("id"))
+      .unionByName(dir.select(col("dst").as("id")))
+      .distinct()
+      .join(p.select(col("id")), Seq("id"), "left_anti")
+    val full = p.unionByName(
+        newIds.select(col("id"), col("id").as("comp")))
+      .localCheckpoint()
+    // contract: each delta edge becomes an edge between prior LABELS;
+    // intra-component deltas vanish (csrc = cdst). Two id-keyed hash
+    // joins against the label vector — delta-sized, never corpus-sized.
+    val contracted = dir
+      .join(full.select(col("id").as("src"), col("comp").as("csrc")), "src")
+      .join(full.select(col("id").as("dst"), col("comp").as("cdst")), "dst")
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // the SAME fixed-round hash-min body, on the contracted graph:
+    // nodes = distinct prior labels + new pages (already comp = id for
+    // roots and singletons — exactly connectedComponents' own init)
+    val cNodes = full.select(col("comp").as("id")).distinct()
+    val cLabels = connectedComponents(cNodes, contracted, iters)
+    // relabel the corpus through its prior component's new label
+    full
+      .join(cLabels.select(col("id").as("comp"), col("comp").as("__nc")),
+        Seq("comp"))
+      .select(col("id"), col("__nc").as("comp"))
   }
 
   /** HITS hubs & authorities (Kleinberg, "Authoritative Sources in a

@@ -24,11 +24,15 @@ object PrefixScan {
     * domain would silently corrupt a packed ordering, so it raises
     * from inside the projection instead (column pruning cannot drop
     * the check — it guards the value the consumer reads). A NULL falls
-    * through `when` to the raise branch too. */
+    * through `when` to the raise branch too — and is COALESCED into
+    * the message (ADVICE r14: a null value would null the whole
+    * concat, so raise_error(NULL) threw with no message at all,
+    * losing the bound context exactly in the dirty-data case). */
   private[ops] def boundedOrRaise(
       c: Column, lo: Long, hi: Long, what: String): Column =
     when(c.between(lo, hi), c).otherwise(raise_error(concat(
-      lit(s"$what must be in [$lo, $hi], got "), c.cast("string"))))
+      lit(s"$what must be in [$lo, $hi], got "),
+      coalesce(c.cast("string"), lit("NULL")))))
 
   /** Shared (quality-desc, doc_id) ordinal codec for [[runningTotal]]
     * consumers (`Curation.mixtureSelect`, the q162 token budget): the
@@ -41,7 +45,8 @@ object PrefixScan {
     * order, a doc_id ≥ 2^40 would bleed into the key field. */
   def encodeDescOrdinal(
       key: Column, docId: Column, offset: Long,
-      lo: Long, hi: Long, keyWhat: String): Column = {
+      lo: Long, hi: Long, keyWhat: String,
+      docWhat: String = "doc_id"): Column = {
     // the DECLARED domain must itself fit the 2^40-split codec:
     // |offset − key| ≤ 2^22 keeps (offset − key)·2^40 within ±2^62 —
     // a wider declared range would pass every per-row bound and still
@@ -55,9 +60,13 @@ object PrefixScan {
       s"encodeDescOrdinal: declared key domain [$lo, $hi] around " +
         s"offset $offset exceeds ±2^22 — (offset − key)·2^40 would " +
         "overflow int64; rescale the key before encoding")
+    // docWhat lets callers prefix the doc-id bound message with their
+    // operator name too (ADVICE r14: the keyWhat side kept its
+    // "mixtureSelect:" prefix while the doc_id side raised with the
+    // generic codec message — harder to attribute in a multi-op job)
     (lit(offset) - boundedOrRaise(key.cast("long"), lo, hi, keyWhat)) *
       lit(1L << 40) +
-      boundedOrRaise(docId.cast("long"), 0L, (1L << 40) - 1, "doc_id")
+      boundedOrRaise(docId.cast("long"), 0L, (1L << 40) - 1, docWhat)
   }
 
   def decodeDocId(ord: Column): Column = pmod(ord, lit(1L << 40))
@@ -78,10 +87,45 @@ object PrefixScan {
     * windowed cumsum). Aggregate duplicate keys before scanning. Current
     * callers satisfy this structurally — doc_id is unique per source.
     *
+    * GROUP-CARDINALITY shape (VERDICT r14 #5): the driver-side metadata
+    * is the per-(partition, group) subtotal list, and the broadcast
+    * carries each partition's offsets PRUNED to the groups that
+    * partition actually contains — under the range partitioning on
+    * (group, ord) a group occupies a contiguous partition span, so both
+    * sides are O(partitions + groups), NEVER partitions × groups (an
+    * unpruned snapshot of all running totals per partition would be —
+    * the [[prunedOffsets]] spec case pins the bound). High group
+    * cardinality is therefore fine (the driver holds a few long-sized
+    * entries per group), but the driver pass is still metadata-sized
+    * only: groups × 8 bytes must fit driver memory, the IVF
+    * centroid-seeding bound.
+    *
     * @return (group, ord, value, cum) — `cum` excludes the current row
     *         (add `value` for the inclusive total). Output partitioning
     *         is the range partitioning on (group, ord).
     */
+  /** Fold the per-(partition, group) subtotals into each partition's
+    * starting offsets, PRUNED to the groups that partition contains:
+    * entry (pid → g → offset) exists only where pass 1 reported (pid,
+    * g), so the total broadcast size is Σ per-partition group counts —
+    * O(partitions + groups) under range partitioning (each group's
+    * partitions are contiguous, contributing its span length), not the
+    * partitions × groups a full running-total snapshot per partition
+    * would cost. Pass 2 only ever looks up groups present in its own
+    * partition, which is exactly the pruned key set. */
+  private[graft] def prunedOffsets(
+      subtotals: Array[(Int, Seq[(String, Long)])])
+      : Map[Int, Map[String, Long]] = {
+    val offsets = scala.collection.mutable.HashMap.empty[Int, Map[String, Long]]
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    subtotals.sortBy(_._1).foreach { case (pid, subs) =>
+      offsets(pid) = subs.map { case (g, _) =>
+        g -> running.getOrElse(g, 0L) }.toMap
+      subs.foreach { case (g, v) => running(g) = running.getOrElse(g, 0L) + v }
+    }
+    offsets.toMap
+  }
+
   def runningTotal(
       df: DataFrame,
       groupCol: Column,
@@ -103,13 +147,7 @@ object PrefixScan {
         it.foreach { case (g, _, v) => m(g) = m.getOrElse(g, 0L) + v }
         Iterator.single((pid, m.toSeq))
       }.collect()
-    val offsets = scala.collection.mutable.HashMap.empty[Int, Map[String, Long]]
-    val running = scala.collection.mutable.HashMap.empty[String, Long]
-    subtotals.sortBy(_._1).foreach { case (pid, subs) =>
-      offsets(pid) = running.toMap
-      subs.foreach { case (g, v) => running(g) = running.getOrElse(g, 0L) + v }
-    }
-    val bcOff = sess.sparkContext.broadcast(offsets.toMap)
+    val bcOff = sess.sparkContext.broadcast(prunedOffsets(subtotals))
     // pass 2: local scan resuming from the broadcast prefix totals
     base.rdd.mapPartitionsWithIndex { (pid, it) =>
       val off = scala.collection.mutable.HashMap.empty[String, Long]

@@ -132,4 +132,43 @@ object StreamCuration {
         col("__rid").isNotNull.as("known"))
       .withColumn("keep", col("rank_u") >= minRankU)
   }
+
+  /** Gate a STREAM against the persisted component-label relation
+    * ([[graft.ops.Graph.saveComponentLabels]], the q172 artifact) —
+    * the EIGHTH persisted modality's in-stream probe, keeping the
+    * every-artifact-probes-in-stream invariant intact: each incoming
+    * doc picks up its dedup-cluster membership, and the keep decision
+    * is map-only (a doc labeled into an existing cluster under a
+    * DIFFERENT keeper is a known near-duplicate — drop it; cluster
+    * keepers and never-seen docs pass).
+    *
+    * Shape: one stream-static equi-join against the reloaded parquet
+    * labels. The label vector is CORPUS-sized, so the
+    * centroid/template driver-broadcast class does NOT apply — the
+    * static side stays a DataFrame joined per micro-batch (the
+    * rankGate convention). Stateless: no state store, no watermark.
+    * Docs absent from the labeling (new pages) default to their OWN id
+    * as a singleton component — the [[graft.ops.Graph
+    * .connectedComponentsDelta]] new-node convention, so an unseen doc
+    * is never auto-dropped; a null stream id coalesces to −1, which
+    * [[graft.ops.Graph.saveComponentLabels]]'s non-negative-id gate
+    * guarantees can never appear in the artifact (the unknown path,
+    * by the same contract as rankGate's sentinel).
+    *
+    * @return (doc_id, comp, known, keep) — keep = NOT a known
+    *         non-keeper member. */
+  def componentGate(
+      labels: DataFrame,
+      stream: DataFrame,
+      idCol: Column): DataFrame = {
+    val l = labels.select(col("id").cast("long").as("__lid"),
+      col("comp").cast("long").as("__comp"))
+    stream
+      .select(coalesce(idCol.cast("long"), lit(-1L)).as("doc_id"))
+      .join(l, col("doc_id") === col("__lid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__comp"), col("doc_id")).as("comp"),
+        col("__lid").isNotNull.as("known"))
+      .withColumn("keep", col("comp") === col("doc_id"))
+  }
 }

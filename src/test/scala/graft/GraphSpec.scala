@@ -504,6 +504,77 @@ class GraphSpec extends SparkSpec {
     assert(resumed === cold)
   }
 
+  test("component artifact: save -> load round-trips bit-exactly, and the " +
+      "delta update from the RELOADED labels equals the cold closure on " +
+      "the appended graph — including a delta that MERGES two existing " +
+      "components, daisy-chains a third, and introduces a new node") {
+    import spark.implicits._
+    val nodes = (0L until 20L).toDF("id")
+    // converged prior: {1,2,3} comp 1, {5,6} comp 5, {10,11,12} comp 10,
+    // everything else isolated
+    val e1 = Seq[(Long, Long)]((1, 2), (2, 3), (5, 6), (10, 11), (11, 12))
+    val prior = Graph.connectedComponents(nodes, e1.toDF("src", "dst"),
+      iters = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_spec")
+      .toString
+    Graph.saveComponentLabels(prior, dir)
+    val loaded = Graph.loadComponentLabels(spark, dir)
+    val a = prior.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = loaded.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "parquet round trip must be bit-exact")
+    // adversarial delta: (3,10) merges comps 1 and 10; (12,5) then
+    // daisy-chains comp 5 onto the merged pair (the min label must
+    // propagate across TWO contracted hops); (6,25) attaches a node the
+    // prior labeling has never seen
+    val delta = Seq[(Long, Long)]((3, 10), (12, 5), (6, 25))
+    val warm = Graph.connectedComponentsDelta(
+        loaded, delta.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allNodes = ((0L until 20L) :+ 25L).toDF("id")
+    val cold = Graph.connectedComponents(
+        allNodes, (e1 ++ delta).toDF("src", "dst"), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm === cold,
+      "delta update must equal the cold closure on the appended graph")
+    assert(warm(25L) === 1L, "the new page must join the merged cluster")
+    assert(warm(5L) === 1L, "the daisy-chained component must relabel")
+  }
+
+  test("component artifact: corrupt or unconverged labelings are refused " +
+      "at save time — dup ids, comp > id, negative comp, and the " +
+      "mid-iteration snapshot whose root is not self-labeled") {
+    import spark.implicits._
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "comp")
+    val base = java.nio.file.Files.createTempDirectory("graft_cc_bad")
+      .toString
+    Graph.saveComponentLabels(good, base + "_ok") // sanity: gates pass
+    assertThrows[IllegalArgumentException] { // duplicated id
+      Graph.saveComponentLabels(good.unionAll(good.limit(1)), base + "_dup")
+    }
+    assertThrows[IllegalArgumentException] { // comp > id: not a min label
+      Graph.saveComponentLabels(
+        Seq((1L, 1L), (2L, 3L), (3L, 3L)).toDF("id", "comp"), base + "_gt")
+    }
+    assertThrows[IllegalArgumentException] { // negative comp
+      Graph.saveComponentLabels(
+        Seq((1L, -1L)).toDF("id", "comp"), base + "_neg")
+    }
+    // the save-before-convergence mistake: 3 already points at 2 while
+    // 2 has moved on to 1 — comp value 2's own row is not self-labeled,
+    // the root-closure gate the delta updater's precondition relies on
+    assertThrows[IllegalArgumentException] {
+      Graph.saveComponentLabels(
+        Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("id", "comp"), base + "_mid")
+    }
+    // and the delta updater applies the same gates to a prior handed to
+    // it directly (not through save/load)
+    assertThrows[IllegalArgumentException] {
+      Graph.connectedComponentsDelta(
+        Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("id", "comp"),
+        Seq((1L, 3L)).toDF("src", "dst"), iters = 2)
+    }
+  }
+
   test("keeper election: on an imbalanced labeling the map-combinable " +
       "max-of-struct aggregate elects the same keepers as the windowed " +
       "row_number — the documented giant-component fallback (q155)") {

@@ -1130,6 +1130,34 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("PrefixScan.prunedOffsets stays O(partitions + group-spans) on a " +
+      "many-group input — never partitions x groups (VERDICT r14 #5)") {
+    // 200 groups range-partitioned over 50 partitions (4 groups each,
+    // boundary groups straddling two partitions): the broadcast's total
+    // entry count must be the sum of per-partition group counts, NOT
+    // partitions x groups — the unpruned full running-total snapshot
+    // per partition would carry up to 50 x 200 = 10000 entries
+    val nParts = 50
+    val subtotals = (0 until nParts).map { pid =>
+      // partition pid holds groups 4*pid .. 4*pid+4 (one straddler)
+      val gs = (0 to 4).map(j => (f"g${4 * pid + j}%04d", (pid + j + 1).toLong))
+      (pid, gs: Seq[(String, Long)])
+    }.toArray
+    val off = graft.ops.PrefixScan.prunedOffsets(subtotals)
+    val totalEntries = off.valuesIterator.map(_.size).sum
+    val groupSpans = subtotals.iterator.map(_._2.size).sum // 250
+    assert(totalEntries == groupSpans,
+      s"offsets carry $totalEntries entries, expected the $groupSpans " +
+        "per-partition group occurrences — the prune regressed")
+    assert(totalEntries < nParts * 201 / 4,
+      "offsets ballooned toward partitions x groups")
+    // and the pruned offsets are still the right prefix totals: the
+    // straddler group 4*pid+4 appears again as partition pid+1's first
+    // group, whose offset must equal partition pid's subtotal for it
+    assert(off(1)("g0004") == 5L) // partition 0 contributed pid+j+1 = 0+4+1
+    assert(off(0).values.forall(_ == 0L)) // first partition starts at zero
+  }
+
   test("sequence packing: two-pass prefix scan equals the windowed form at any partitioning") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("documents"))

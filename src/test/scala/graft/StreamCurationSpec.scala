@@ -261,6 +261,51 @@ class StreamCurationSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("component gate probes the RELOADED label artifact in-stream: " +
+      "known members drop, keepers and unknown pages pass, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // close a small near-dup graph, persist the labels, probe the
+    // RELOADED artifact — the full q172 cycle driven from the stream
+    val nodes = (0L until 10L).toDF("id")
+    val edges = Seq[(Long, Long)]((1, 0), (2, 0), (5, 4)).toDF("src", "dst")
+    val labels = graft.ops.Graph.connectedComponents(nodes, edges, iters = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_comp_gate").toString
+    graft.ops.Graph.saveComponentLabels(labels, dir)
+    val loaded = graft.ops.Graph.loadComponentLabels(spark, dir)
+    val source = MemoryStream[java.lang.Long]
+    val gated = StreamCuration.componentGate(
+      loaded, source.toDF().toDF("doc_id"), col("doc_id"))
+    val query = gated.writeStream.format("memory").queryName("comp_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(
+        java.lang.Long.valueOf(0L),   // cluster keeper: kept
+        java.lang.Long.valueOf(2L),   // known member of 0's cluster: dropped
+        java.lang.Long.valueOf(7L),   // known singleton (own root): kept
+        java.lang.Long.valueOf(99L),  // unknown page: own singleton, kept
+        null.asInstanceOf[java.lang.Long]) // dirty row: -1, unknown, kept
+      query.processAllAvailable()
+      val got = spark.table("comp_gate")
+        .select("doc_id", "comp", "known", "keep")
+        .as[(Long, Long, Boolean, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got(0L) == ((0L, true, true)), got(0L).toString)
+      assert(got(2L) == ((0L, true, false)),
+        "a known non-keeper member is a near-dup and must drop: " + got(2L))
+      assert(got(7L) == ((7L, true, true)), got(7L).toString)
+      assert(got(99L) == ((99L, false, true)),
+        "an unseen page is its own singleton, never auto-dropped: " +
+          got(99L))
+      assert(got(-1L) == ((-1L, false, true)),
+        "a null id must coalesce to the -1 sentinel, unknown: " + got(-1L))
+      // stateless: a stream-static join holds no state store rows
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
   test("preference-pair prep lifts to a stream unchanged: map-only " +
       "audit + pair gates, stateless") {
     import spark.implicits._
