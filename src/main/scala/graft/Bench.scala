@@ -588,6 +588,10 @@ object Bench {
       // contracted component graph) — linear, dominated by the cold
       // closure
       "q172_component_cycle",
+      // preference-pair cycle: two mining aggregates (map-combinable
+      // packed extrema), one artifact write/read, the broadcast
+      // fresh-id semi-join — linear
+      "q173_preference_pair_cycle",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

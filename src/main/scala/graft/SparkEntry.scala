@@ -3992,20 +3992,31 @@ object SparkEntry {
     * 50. Kept pairs emit their twin flattened training texts. The
     * oracle replays the mint, both packed extrema, the decode, the
     * margin gate, and both texts — every column value-compared. */
-  private def qPreferenceMining(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents").select(col("doc_id"))
-    val cands = docs
-      .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("k"))
-      .filter(col("k") < lit(2L) + pmod(col("doc_id"), lit(3L)))
-      .select(col("doc_id"), col("k"),
+  /** The q171/q173 shared candidate mint: 2–4 scored completions per
+    * prompt (scores from the shared arithmetic hash), with the prompt
+    * ids offset by `off` — 0 is day 1; q173's second batch offsets by
+    * the corpus size so its prompt ids are provably FRESH relative to
+    * the persisted relation (the q132 era-offset posture). The oracle
+    * twin is `prefMiningCtesSql` parameterized by the same id
+    * expression. */
+  private def mintedPrefCands(docs: DataFrame, off: Long): DataFrame =
+    docs
+      .select((col("doc_id") + off).as("prompt_id"),
+        explode(sequence(lit(0L), lit(3L))).as("k"))
+      .filter(col("k") < lit(2L) + pmod(col("prompt_id"), lit(3L)))
+      .select(col("prompt_id"), col("k"),
         pmod(
           pmod(
-            pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L)
+            pmod(col("prompt_id"), lit(1000003L)) * lit(2654435761L)
               + col("k") * lit(40503L),
             lit(1000000007L)),
           lit(1000L)).as("score"))
+
+  private def qPreferenceMining(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val cands = mintedPrefCands(docs, 0L)
     val mined = graft.ops.TrainPrep.minePreferencePairs(
-      cands, col("doc_id"), col("k"), col("score"), minMargin = 50L)
+      cands, col("prompt_id"), col("k"), col("score"), minMargin = 50L)
     def branchText(idCol: Column): Column = concat(
       lit("<|user|>p"), col("prompt_id"),
       lit("\n<|assistant|>c"), col("prompt_id"), lit("x"), idCol)
@@ -4016,6 +4027,58 @@ object SparkEntry {
         when(col("keep"), branchText(col("rejected_id")))
           .otherwise(lit("")).as("text_rejected"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Preference-pair persistence cycle (q173): mined pairs as the
+    * NINTH persisted artifact (VERDICT r14 #2 — q171 mined in-batch
+    * and discarded; every other artifact family persists and gates
+    * in-flight) driven end to end: mine day 1's best-of-n batch
+    * ([[graft.ops.TrainPrep.minePreferencePairs]], kept rows only),
+    * [[graft.ops.TrainPrep.savePreferencePairs]] →
+    * [[graft.ops.TrainPrep.loadPreferencePairs]] (parquet round trip,
+    * corruption-gated on the way in), then fold in day 2's freshly
+    * mined batch — prompt ids offset by the corpus size, so the
+    * append contract's fresh-id gate (the q132 posture) provably
+    * holds — with [[graft.ops.TrainPrep.appendPreferencePairs]].
+    * `roundtrip_ok` is genuinely computed (saved ≡ loaded, full outer
+    * struct compare); both minings and the union are fully
+    * SQL-replayed via the shared mining CTEs parameterized by each
+    * era's id expression — a divergence anywhere in mine/save/load/
+    * append breaks the hash. */
+  private def qPreferencePairCycle(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val n = docs.count()
+    // minMargin 500: the arithmetic mint's adjacent-salt scores differ
+    // by ~497-509, so the q171 floor of 50 never gates in-corpus — 500
+    // sits INSIDE the minted margin band and genuinely filters ~17% of
+    // each era's prompts (the miner's gate path, exercised at corpus
+    // scale, not just in the spec's hand inputs)
+    def mined(off: Long): DataFrame = graft.ops.TrainPrep
+      .minePreferencePairs(mintedPrefCands(docs, off), col("prompt_id"),
+        col("k"), col("score"), minMargin = 500L)
+      .filter(col("keep"))
+      .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+        col("margin"))
+    val day1 = mined(0L).localCheckpoint() // fence: feeds save AND compare
+    val dir = tempFixtureDir("graft_pref_cycle")
+    graft.ops.TrainPrep.savePreferencePairs(day1, dir)
+    val loaded = graft.ops.TrainPrep.loadPreferencePairs(s, dir)
+      .localCheckpoint() // fence: feeds the compare AND the append
+    def pay(c: String) = struct(col("chosen_id"), col("rejected_id"),
+      col("margin")).as(c)
+    val rt = day1.select(col("prompt_id"), pay("p0"))
+      .join(loaded.select(col("prompt_id"), pay("p1")),
+        Seq("prompt_id"), "full")
+      .agg(coalesce(sum(when(col("p0") <=> col("p1"), 0L).otherwise(1L)),
+        lit(0L)).as("n_bad"))
+    val appended = graft.ops.TrainPrep.appendPreferencePairs(
+      loaded, mined(n))
+    appended.crossJoin(broadcast(rt))
+      .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+        col("margin"),
+        when(col("prompt_id") < n, "day1").otherwise("day2").as("era"),
+        (col("n_bad") === 0L).as("roundtrip_ok"))
+      .orderBy(col("prompt_id"))
   }
 
   /** Daily dedup cycle (q132): the full ingest loop classify → append
@@ -5264,7 +5327,8 @@ object SparkEntry {
     "q169_weighted_rank_cycle" -> (qWeightedRankCycle _),
     "q170_preference_mask" -> (qPreferenceMaskSpans _),
     "q171_preference_mining" -> (qPreferenceMining _),
-    "q172_component_cycle" -> (qComponentCycle _))
+    "q172_component_cycle" -> (qComponentCycle _),
+    "q173_preference_pair_cycle" -> (qPreferencePairCycle _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5684,6 +5748,35 @@ object SparkEntry {
          JOIN (SELECT comp, count(*) AS comp_size FROM relab
                GROUP BY comp) s ON s.comp = r.comp
          ORDER BY doc_id"""
+
+  // the q171/q173 shared mining replay, parameterized by the era's id
+  // expression (day 1: d.doc_id; day 2: d.doc_id + n — the fresh-id
+  // offset) and a CTE prefix so two eras coexist in one statement:
+  // candidate mint, packed-extremum aggregate, exact decode, margin
+  // gate — TrainPrep.minePreferencePairs' exact arithmetic
+  private def prefMiningCtesSql(
+      pfx: String, idExpr: String, minMargin: Long = 50L): String =
+    s"""${pfx}cands AS (
+             SELECT $idExpr AS prompt_id, k.k,
+               (($idExpr % 1000003) * 2654435761 + k.k * 40503)
+                 % 1000000007 % 1000 AS score
+             FROM documents d CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
+             WHERE k.k < 2 + ($idExpr % 3)),
+           ${pfx}agg AS (
+             SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_cands,
+               max(score * 8 - k) AS ck, min(score * 8 + k) AS rk
+             FROM ${pfx}cands GROUP BY prompt_id),
+           ${pfx}dec AS (
+             SELECT prompt_id, n_cands,
+               (ck + 7) // 8 AS smax, rk // 8 AS smin, ck, rk
+             FROM ${pfx}agg),
+           ${pfx}fin AS (
+             SELECT prompt_id, n_cands,
+               CAST(smax * 8 - ck AS BIGINT) AS chosen_id,
+               CAST(rk - smin * 8 AS BIGINT) AS rejected_id,
+               CAST(smax - smin AS BIGINT) AS margin,
+               (n_cands >= 2 AND smax - smin >= $minMargin) AS keep
+             FROM ${pfx}dec)"""
 
   private def chatTurnSql(role: String, content: String): String =
     s"""'{"role":"$role","content":' || to_json($content) || '}'"""
@@ -8546,36 +8639,39 @@ object SparkEntry {
     // q171: the candidate mint, both packed extremum keys (score·8 ± k,
     // ties to the lowest id on both sides), the exact decode, the
     // margin gate, and the twin texts — minePreferencePairs verbatim
+    // over the shared mining CTEs (ONE spelling with q173's two eras)
     "q171_preference_mining" ->
-      """WITH cands AS (
-             SELECT d.doc_id, k.k,
-               ((d.doc_id % 1000003) * 2654435761 + k.k * 40503)
-                 % 1000000007 % 1000 AS score
-             FROM documents d CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
-             WHERE k.k < 2 + (d.doc_id % 3)),
-           a AS (
-             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cands,
-               max(score * 8 - k) AS ck, min(score * 8 + k) AS rk
-             FROM cands GROUP BY doc_id),
-           b AS (
-             SELECT doc_id, n_cands,
-               (ck + 7) // 8 AS smax, rk // 8 AS smin, ck, rk
-             FROM a),
-           c AS (
-             SELECT doc_id, n_cands,
-               CAST(smax * 8 - ck AS BIGINT) AS chosen_id,
-               CAST(rk - smin * 8 AS BIGINT) AS rejected_id,
-               CAST(smax - smin AS BIGINT) AS margin,
-               (n_cands >= 2 AND smax - smin >= 50) AS keep
-             FROM b)
-         SELECT doc_id, n_cands, chosen_id, rejected_id, margin, keep,
-           CASE WHEN keep THEN '<|user|>p' || doc_id || chr(10)
-               || '<|assistant|>c' || doc_id || 'x' || chosen_id
+      s"""WITH ${prefMiningCtesSql("m", "d.doc_id")}
+         SELECT prompt_id AS doc_id, n_cands, chosen_id, rejected_id,
+           margin, keep,
+           CASE WHEN keep THEN '<|user|>p' || prompt_id || chr(10)
+               || '<|assistant|>c' || prompt_id || 'x' || chosen_id
              ELSE '' END AS text_chosen,
-           CASE WHEN keep THEN '<|user|>p' || doc_id || chr(10)
-               || '<|assistant|>c' || doc_id || 'x' || rejected_id
+           CASE WHEN keep THEN '<|user|>p' || prompt_id || chr(10)
+               || '<|assistant|>c' || prompt_id || 'x' || rejected_id
              ELSE '' END AS text_rejected
-         FROM c ORDER BY doc_id""",
+         FROM mfin ORDER BY doc_id""",
+    // q173: both eras' minings replayed via the SAME parameterized
+    // CTEs (day 2's prompt ids offset by the corpus size — the append
+    // contract's fresh-id era), kept rows unioned; the parquet round
+    // trip isn't SQL-visible, so roundtrip_ok is pinned (q166)
+    "q173_preference_pair_cycle" ->
+      s"""WITH nn AS MATERIALIZED (
+             SELECT count(*) AS n FROM documents),
+           ${prefMiningCtesSql("p1", "d.doc_id", minMargin = 500L)},
+           ${prefMiningCtesSql("p2",
+        "(d.doc_id + (SELECT n FROM nn))", minMargin = 500L)},
+           uni AS (
+             SELECT prompt_id, chosen_id, rejected_id, margin
+             FROM p1fin WHERE keep
+             UNION ALL
+             SELECT prompt_id, chosen_id, rejected_id, margin
+             FROM p2fin WHERE keep)
+         SELECT prompt_id, chosen_id, rejected_id, margin,
+           CASE WHEN prompt_id < (SELECT n FROM nn) THEN 'day1'
+             ELSE 'day2' END AS era,
+           true AS roundtrip_ok
+         FROM uni ORDER BY prompt_id""",
     // q172: the full component-artifact cycle — cold star closure,
     // delta contraction through the reloaded labels, six warm rounds
     // on the contracted relation, relabel join

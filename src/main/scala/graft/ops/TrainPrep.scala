@@ -296,6 +296,85 @@ object TrainPrep {
           .as("keep"))
   }
 
+  /** The shared casting + corruption gates behind
+    * [[savePreferencePairs]] and [[appendPreferencePairs]]' batch
+    * validation — the saveRankVector/saveComponentLabels posture for
+    * the NINTH persisted artifact. Only KEPT pairs persist (the
+    * artifact is training data, not an audit log), so every gate here
+    * is an invariant [[minePreferencePairs]] guarantees on its kept
+    * rows: candidate ids in [0, 8) with chosen ≠ rejected, margin ≥ 1
+    * (the minimum the miner's own minMargin floor allows), and
+    * non-null non-negative prompt ids — negative ids are rejected so
+    * the streaming gate's −1 null-sentinel can never collide (the
+    * rankGate contract). Bad rows are diagnosed before uniqueness
+    * (countDistinct skips NULLs — the ADVICE r14 ordering). */
+  private def validatedPairRelation(
+      pairs: DataFrame, op: String): DataFrame = {
+    val p = pairs.select(col("prompt_id").cast("long").as("prompt_id"),
+      col("chosen_id").cast("long").as("chosen_id"),
+      col("rejected_id").cast("long").as("rejected_id"),
+      col("margin").cast("long").as("margin"))
+    val bad = col("prompt_id").isNull || col("prompt_id") < 0L ||
+      col("chosen_id").isNull || col("chosen_id") < 0L ||
+      col("chosen_id") > 7L ||
+      col("rejected_id").isNull || col("rejected_id") < 0L ||
+      col("rejected_id") > 7L ||
+      col("chosen_id") === col("rejected_id") ||
+      col("margin").isNull || col("margin") < 1L
+    val chk = p.agg(count(lit(1)).as("c"),
+      countDistinct(col("prompt_id")).as("d"),
+      coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as("bad")).head
+    require(chk.getLong(2) == 0L,
+      s"$op: ${chk.getLong(2)} corrupt pair row(s) (null/negative " +
+        "prompt_id, candidate id outside [0,8), chosen = rejected, or " +
+        "margin < 1) — only KEPT mined pairs may persist; filter on " +
+        "`keep` first")
+    require(chk.getLong(0) == chk.getLong(1),
+      s"$op: prompt_ids must be unique (${chk.getLong(0)} rows, " +
+        s"${chk.getLong(1)} distinct) — one mined pair per prompt")
+    p
+  }
+
+  /** Persist mined preference pairs as the NINTH persisted artifact
+    * (VERDICT r14 #2 — q171 mined in-batch and discarded; every other
+    * artifact family persists and gates in-flight): one (prompt_id,
+    * chosen_id, rejected_id, margin) parquet relation under
+    * `path/pref_pairs`, [[minePreferencePairs]]' kept-row contract
+    * verbatim, so a reloaded relation appends and probes without
+    * renaming. Validated on the way in ([[validatedPairRelation]]) so
+    * a corrupt or unfiltered relation fails at save time. */
+  def savePreferencePairs(pairs: DataFrame, path: String): Unit =
+    validatedPairRelation(pairs, "savePreferencePairs")
+      .write.mode("overwrite").parquet(s"$path/pref_pairs")
+
+  /** Reload persisted preference pairs — the mining contract columns.
+    * Corruption gates live in [[savePreferencePairs]] and in
+    * [[appendPreferencePairs]]' batch validation, so the load is a
+    * plain typed read (the loadRankVector posture). */
+  def loadPreferencePairs(
+      sess: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    sess.read.parquet(s"$path/pref_pairs")
+      .select(col("prompt_id").cast("long").as("prompt_id"),
+        col("chosen_id").cast("long").as("chosen_id"),
+        col("rejected_id").cast("long").as("rejected_id"),
+        col("margin").cast("long").as("margin"))
+
+  /** Fold a fresh day's mined pairs into the persisted relation — the
+    * q132 append contract: the batch passes the same row gates as a
+    * save, and batch prompt_ids must be DISJOINT from the ids already
+    * persisted (a collision would silently pair one prompt with two
+    * preference labels — exactly the duplicate-supervision corruption
+    * DPO training data must never carry). No corpus re-read, no
+    * re-mine: one batch-sized validation plus the broadcast semi-join
+    * id check ([[Dedup.requireFreshIds]]). */
+  def appendPreferencePairs(
+      existing: DataFrame, batch: DataFrame): DataFrame = {
+    val b = validatedPairRelation(batch, "appendPreferencePairs")
+    Dedup.requireFreshIds(existing, "prompt_id", b, "prompt_id",
+      "appendPreferencePairs")
+    existing.unionByName(b)
+  }
+
   /** Span-corruption transform (T5: Raffel et al., "Exploring the
     * Limits of Transfer Learning…", 2020 §3.1.4 — the denoising
     * objective): replace token spans with `<extra_id_k>` sentinels in

@@ -171,4 +171,42 @@ object StreamCuration {
         col("__lid").isNotNull.as("known"))
       .withColumn("keep", col("comp") === col("doc_id"))
   }
+
+  /** Gate a STREAM of best-of-n candidate batches against the
+    * persisted mined-pair relation ([[graft.ops.TrainPrep
+    * .savePreferencePairs]], the q173 artifact) — the NINTH persisted
+    * modality's in-stream probe: an incoming prompt that already has a
+    * mined (chosen, rejected) pair must NOT be re-mined (duplicate
+    * supervision — the same corruption the append contract's
+    * fresh-id gate blocks at persist time, caught here before the
+    * mining work is even spent); fresh prompts pass through to the
+    * miner.
+    *
+    * Shape: one stream-static equi-join on prompt_id. Mined pairs are
+    * CORPUS-sized (one row per prompt ever mined), so the
+    * centroid/template driver-broadcast class does NOT apply — the
+    * rankGate convention. Stateless: no state store, no watermark. A
+    * null stream id coalesces to −1, which the save-side
+    * non-negative-prompt_id gate guarantees can never appear in the
+    * artifact, so dirty rows classify as fresh instead of killing the
+    * query.
+    *
+    * @return (prompt_id, mined, chosen_id, rejected_id, keep) — keep =
+    *         NOT already mined (route to the miner); already-mined
+    *         rows carry their persisted pair for downstream joins. */
+  def minedPairGate(
+      pairs: DataFrame,
+      stream: DataFrame,
+      idCol: Column): DataFrame = {
+    val p = pairs.select(col("prompt_id").cast("long").as("__pid"),
+      col("chosen_id").cast("long").as("chosen_id"),
+      col("rejected_id").cast("long").as("rejected_id"))
+    stream
+      .select(coalesce(idCol.cast("long"), lit(-1L)).as("prompt_id"))
+      .join(p, col("prompt_id") === col("__pid"), "left")
+      .select(col("prompt_id"),
+        col("__pid").isNotNull.as("mined"),
+        col("chosen_id"), col("rejected_id"))
+      .withColumn("keep", !col("mined"))
+  }
 }

@@ -306,6 +306,46 @@ class StreamCurationSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("mined-pair gate probes the RELOADED pair artifact in-stream: " +
+      "already-mined prompts drop (carrying their pair), fresh prompts " +
+      "route to the miner, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // persist a small mined relation and probe the RELOADED artifact —
+    // the q173 cycle driven from the stream side
+    val mined = Seq((10L, 2L, 0L, 510L), (11L, 1L, 3L, 620L))
+      .toDF("prompt_id", "chosen_id", "rejected_id", "margin")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pair_gate").toString
+    graft.ops.TrainPrep.savePreferencePairs(mined, dir)
+    val loaded = graft.ops.TrainPrep.loadPreferencePairs(spark, dir)
+    val source = MemoryStream[java.lang.Long]
+    val gated = StreamCuration.minedPairGate(
+      loaded, source.toDF().toDF("prompt_id"), col("prompt_id"))
+    val query = gated.writeStream.format("memory").queryName("pair_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(
+        java.lang.Long.valueOf(10L),  // already mined: skip, carry pair
+        java.lang.Long.valueOf(42L),  // fresh prompt: route to the miner
+        null.asInstanceOf[java.lang.Long]) // dirty row: -1, fresh
+      query.processAllAvailable()
+      val got = spark.table("pair_gate")
+        .select("prompt_id", "mined", "chosen_id", "rejected_id", "keep")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(1), Option(r.get(2)), Option(r.get(3)),
+            r.getBoolean(4)))).toMap
+      assert(got(10L) == ((true, Some(2L), Some(0L), false)),
+        "an already-mined prompt must not re-mine: " + got(10L))
+      assert(got(42L) == ((false, None, None, true)), got(42L).toString)
+      assert(got(-1L) == ((false, None, None, true)),
+        "a null id must coalesce to the -1 sentinel, fresh: " + got(-1L))
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
   test("preference-pair prep lifts to a stream unchanged: map-only " +
       "audit + pair gates, stateless") {
     import spark.implicits._

@@ -272,4 +272,46 @@ class TrainPrepSpec extends SparkSpec {
     assert(audited.values.forall(_ == "ok"),
       "mined pairs must pass the audit: " + audited)
   }
+
+  test("preference-pair artifact: save -> load round-trips bit-exactly, " +
+      "append requires fresh prompt ids, and corrupt or unfiltered " +
+      "relations are refused at save time") {
+    import spark.implicits._
+    val day1 = Seq((0L, 2L, 0L, 300L), (1L, 1L, 3L, 750L))
+      .toDF("prompt_id", "chosen_id", "rejected_id", "margin")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pref_spec").toString
+    TrainPrep.savePreferencePairs(day1, dir)
+    val loaded = TrainPrep.loadPreferencePairs(spark, dir)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(asMap(day1) === asMap(loaded), "parquet round trip bit-exact")
+    // append: fresh ids fold in, a colliding id refuses loudly (one
+    // prompt must never carry two preference labels)
+    val day2 = Seq((5L, 0L, 7L, 510L))
+      .toDF("prompt_id", "chosen_id", "rejected_id", "margin")
+    val appended = TrainPrep.appendPreferencePairs(loaded, day2)
+    assert(asMap(appended).keySet === Set(0L, 1L, 5L))
+    assertThrows[IllegalArgumentException] {
+      TrainPrep.appendPreferencePairs(loaded,
+        Seq((1L, 0L, 2L, 600L))
+          .toDF("prompt_id", "chosen_id", "rejected_id", "margin"))
+    }
+    // save-side refusals: duplicated prompt, chosen = rejected (zero
+    // preference signal), margin below the miner's floor (an
+    // unfiltered keep=false row), candidate id outside the packed
+    // domain, negative prompt id (the stream gate's -1 sentinel)
+    def refuse(rows: Seq[(Long, Long, Long, Long)], tag: String): Unit =
+      assertThrows[IllegalArgumentException] {
+        TrainPrep.savePreferencePairs(
+          rows.toDF("prompt_id", "chosen_id", "rejected_id", "margin"),
+          dir + tag)
+      }
+    refuse(Seq((0L, 2L, 0L, 300L), (0L, 1L, 3L, 400L)), "_dup")
+    refuse(Seq((0L, 2L, 2L, 300L)), "_same")
+    refuse(Seq((0L, 2L, 0L, 0L)), "_margin")
+    refuse(Seq((0L, 9L, 0L, 300L)), "_cand")
+    refuse(Seq((-1L, 2L, 0L, 300L)), "_neg")
+  }
 }
