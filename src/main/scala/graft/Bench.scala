@@ -592,6 +592,9 @@ object Bench {
       // packed extrema), one artifact write/read, the broadcast
       // fresh-id semi-join — linear
       "q173_preference_pair_cycle",
+      // MGT audit: one bounded profile aggregate + a map-only battery
+      // (array kernels, no explode/join on the audited batch) — linear
+      "q174_mgt_audit",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -4081,6 +4081,47 @@ object SparkEntry {
       .orderBy(col("prompt_id"))
   }
 
+  // ONE spelling of the q174 minted slop suffixes — the oracle inlines
+  // the SAME Scala constants into its SQL, so the mint cannot
+  // desynchronize across engines. Burst: a looped trigram (the
+  // generated-filler tell); template: four phrases from the closed
+  // template list; skew: an of/a filler run — off-profile function
+  // words at ~2x the in-profile mass.
+  private val mgtBurstSfx = " ba bb bc" * 8
+  private val mgtTemplateSfx = " It is important to note that we delve" +
+    " into this. In conclusion, I hope this helps."
+  private val mgtSkewSfx = " of of a" * 6
+
+  /** Machine-generated-text audit (q174): [[graft.ops.TextAnalysis
+    * .mgtReport]] — the synthetic/slop battery (VERDICT r14 #3) over
+    * four minted classes (natural corpus text; looped-trigram burst;
+    * template-phrase filler; function-word skew). The stopword profile
+    * is measured on the RAW corpus (the trusted reference), never the
+    * audited mint — slop must not shift the profile toward itself.
+    * Every signal is integer basis points and every count replays in
+    * SQL (trigram distinct-diff, literal substring splits, the
+    * profile aggregate + off-profile join), so all columns
+    * value-compare; flags co-fire by design (filler is also
+    * function-word-skewed). Map-only over the audited batch — the
+    * battery lifts in-stream unchanged. */
+  private def qMgtAudit(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val cls = pmod(col("doc_id"), lit(4L))
+    val minted = raw.select(col("doc_id"),
+      when(cls === 1L, concat(col("text"), lit(mgtBurstSfx)))
+        .when(cls === 2L, concat(col("text"), lit(mgtTemplateSfx)))
+        .when(cls === 3L, concat(col("text"), lit(mgtSkewSfx)))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.mgtReport(minted, refDocs = raw)
+      .withColumn("cls", pmod(col("doc_id"), lit(4L)))
+      .select(col("doc_id"), col("cls"), col("n_words"), col("n_tri"),
+        col("dup3_bp"), col("template_hits"), col("template_bp"),
+        col("stop_total"), col("off_stop"), col("skew_bp"),
+        col("burst_flag"), col("template_flag"), col("skew_flag"),
+        col("mgt_suspect"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -5328,7 +5369,8 @@ object SparkEntry {
     "q170_preference_mask" -> (qPreferenceMaskSpans _),
     "q171_preference_mining" -> (qPreferenceMining _),
     "q172_component_cycle" -> (qComponentCycle _),
-    "q173_preference_pair_cycle" -> (qPreferencePairCycle _))
+    "q173_preference_pair_cycle" -> (qPreferencePairCycle _),
+    "q174_mgt_audit" -> (qMgtAudit _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5777,6 +5819,80 @@ object SparkEntry {
                CAST(smax - smin AS BIGINT) AS margin,
                (n_cands >= 2 AND smax - smin >= $minMargin) AS keep
              FROM ${pfx}dec)"""
+
+  // q174: the full MGT battery replayed — the mint from the SAME Scala
+  // suffix constants, the reference profile as a corpus aggregate over
+  // the RAW documents, off-profile words via the 500-bp floor, then
+  // per-doc trigram distinct-diff / literal phrase splits / stopword
+  // lanes, with integer basis points and the engine's default
+  // thresholds (burst 1200, template 200, skew 2500 at support >= 4)
+  private def mgtAuditOracleSql: String = {
+    val phraseHits = TextAnalysis.mgtTemplatePhrases
+      .map(p => s"(len(string_split(lt, '$p')) - 1)")
+      .mkString("\n               + ")
+    val swList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS MATERIALIZED (
+             SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 1 THEN text || '$mgtBurstSfx'
+                 WHEN 2 THEN text || '$mgtTemplateSfx'
+                 WHEN 3 THEN text || '$mgtSkewSfx'
+                 ELSE text END AS text
+             FROM documents),
+           sw AS (SELECT unnest([$swList]) AS word),
+           prof AS MATERIALIZED (
+             SELECT s.word, count(t.x) AS c
+             FROM sw s LEFT JOIN (
+               SELECT unnest(string_split(lower(text), ' ')) AS x
+               FROM documents) t ON t.x = s.word
+             GROUP BY s.word),
+           offp AS MATERIALIZED (
+             SELECT word FROM prof
+             WHERE c * 10000 <
+               500 * greatest((SELECT sum(c) FROM prof), 1)),
+           base AS MATERIALIZED (
+             SELECT doc_id, string_split(lower(text), ' ') AS w,
+               lower(text) AS lt
+             FROM m),
+           stats AS MATERIALIZED (
+             SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2
+                 ELSE 0 END AS BIGINT) AS n_tri,
+               CAST(CASE WHEN len(w) >= 3 THEN (len(w) - 2)
+                   - len(list_distinct([w[i] || ' ' || w[i+1] || ' '
+                       || w[i+2] for i in range(1, len(w) - 1)]))
+                 ELSE 0 END AS BIGINT) AS dup3,
+               CAST($phraseHits AS BIGINT) AS template_hits,
+               CAST(len(list_filter(w, x -> x IN ($swList)))
+                 AS BIGINT) AS stop_total
+             FROM base),
+           offm AS (
+             SELECT b.doc_id, count(*) AS c
+             FROM (SELECT doc_id, unnest(w) AS x FROM base) b
+             JOIN offp o ON b.x = o.word
+             GROUP BY b.doc_id),
+           fin AS (
+             SELECT s.doc_id, s.doc_id % 4 AS cls, s.n_words, s.n_tri,
+               CAST((s.dup3 * 10000) // greatest(s.n_tri, 1) AS BIGINT)
+                 AS dup3_bp,
+               s.template_hits,
+               CAST((s.template_hits * 10000) // greatest(s.n_words, 1)
+                 AS BIGINT) AS template_bp,
+               s.stop_total,
+               CAST(coalesce(o.c, 0) AS BIGINT) AS off_stop,
+               CAST((coalesce(o.c, 0) * 10000)
+                 // greatest(s.stop_total, 1) AS BIGINT) AS skew_bp
+             FROM stats s LEFT JOIN offm o ON o.doc_id = s.doc_id)
+         SELECT doc_id, cls, n_words, n_tri, dup3_bp, template_hits,
+           template_bp, stop_total, off_stop, skew_bp,
+           (dup3_bp >= 1200) AS burst_flag,
+           (template_bp >= 200) AS template_flag,
+           (stop_total >= 4 AND skew_bp >= 2500) AS skew_flag,
+           (dup3_bp >= 1200 OR template_bp >= 200
+             OR (stop_total >= 4 AND skew_bp >= 2500)) AS mgt_suspect
+         FROM fin ORDER BY doc_id"""
+  }
 
   private def chatTurnSql(role: String, content: String): String =
     s"""'{"role":"$role","content":' || to_json($content) || '}'"""
@@ -8672,6 +8788,7 @@ object SparkEntry {
              ELSE 'day2' END AS era,
            true AS roundtrip_ok
          FROM uni ORDER BY prompt_id""",
+    "q174_mgt_audit" -> mgtAuditOracleSql,
     // q172: the full component-artifact cycle — cold star closure,
     // delta contraction through the reloaded labels, six warm rounds
     // on the contracted relation, relabel join

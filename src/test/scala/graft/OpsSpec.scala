@@ -1158,6 +1158,50 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(off(0).values.forall(_ == 0L)) // first partition starts at zero
   }
 
+  test("mgtReport: each planted slop class trips ITS signal, natural " +
+      "prose trips none, and the stopword profile comes from the " +
+      "REFERENCE corpus (off-profile words are the reference's rare " +
+      "ones, not the batch's)") {
+    import spark.implicits._
+    // the trusted reference register: the/a dominant, and/to minor (>5%
+    // of stopword mass), of/in/is ABSENT -> off-profile
+    val ref = Seq((100L, "the cat sat on a mat and the dog ran to a tree"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over a lazy dog near the river"),
+      (1L, ("one two three " * 10) + "end"), // looped trigram: burst
+      (2L, "well as an ai language model i cannot delve into that " +
+        "in conclusion goodbye"), // template phrases
+      (3L, "mix of words is here in style of words is fine in part of")
+      // ^ function words from OUTSIDE the reference register (of/in/is),
+      //   alternated so trigrams stay near-unique (skew, not burst)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.mgtReport(docs, ref)
+      .select("doc_id", "burst_flag", "template_flag", "skew_flag",
+        "mgt_suspect", "off_stop", "stop_total")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._2 == false && got(0L)._3 == false &&
+      got(0L)._4 == false && got(0L)._5 == false,
+      "natural prose must pass clean: " + got(0L))
+    assert(got(1L)._2 && !got(1L)._3 && !got(1L)._4,
+      "the looped trigram must trip burst alone: " + got(1L))
+    assert(got(2L)._3 && !got(2L)._2,
+      "template filler must trip the phrase rate: " + got(2L))
+    assert(got(3L)._4 && !got(3L)._2,
+      "off-register function words must trip skew, not burst: " + got(3L))
+    // the skew evidence is off-PROFILE mass: all 7 of doc 3's stopword
+    // occurrences are on words the reference register lacks
+    assert(got(3L)._6 == 7L && got(3L)._7 == 7L, got(3L).toString)
+    // support gate: two stopwords cannot evidence a distribution even
+    // when both are off-profile
+    val tiny = Seq((9L, "word of is word")).toDF("doc_id", "text")
+    val t9 = TextAnalysis.mgtReport(tiny, ref)
+      .select("skew_bp", "skew_flag").head
+    assert(t9.getLong(0) == 10000L && !t9.getBoolean(1),
+      "below minStopSupport the skew flag must stay down: " + t9)
+  }
+
   test("sequence packing: two-pass prefix scan equals the windowed form at any partitioning") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("documents"))
