@@ -595,6 +595,10 @@ object Bench {
       // MGT audit: one bounded profile aggregate + a map-only battery
       // (array kernels, no explode/join on the audited batch) — linear
       "q174_mgt_audit",
+      // tokenizer A/B: one BPE training pass (counted vocab + 64
+      // flat-cost merges) + three codegen token-count kernels into an
+      // 11-key agg — linear, dominated by the counted-vocab build
+      "q175_tokenizer_ab_diff",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

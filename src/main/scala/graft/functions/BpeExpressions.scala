@@ -214,6 +214,21 @@ object Bpe {
     new BpeCodec(pairs)
   }
 
+  /** The opening 35 ranks of the published gpt2 `merges.txt` (Radford
+    * et al. 2019 — the file is distributed publicly with the model),
+    * verbatim including the version header and the Ġ whitespace
+    * stand-ins: the BUNDLED published merge table the A/B fertility
+    * audit (q175) compares a corpus-trained table against. A closed
+    * subset is model data, not padding (the cp1252/PSL convention);
+    * `fromMergesLines(gpt2MergesHead)` is the drop-in load path. */
+  val gpt2MergesHead: Seq[String] = Seq(
+    "#version: 0.2",
+    "Ġ t", "Ġ a", "h e", "i n", "r e", "o n", "Ġt he", "e r",
+    "Ġ s", "a t", "Ġ w", "Ġ o", "e n", "Ġ c", "i t", "i s",
+    "a n", "o r", "e s", "Ġ b", "e d", "Ġ f", "in g", "Ġ p",
+    "o u", "Ġa n", "a l", "a r", "Ġt o", "Ġ m", "Ġo f", "Ġ in",
+    "Ġ d", "Ġ h", "Ġan d")
+
   lazy val defaultCodec: BpeCodec = {
     val corpus = seedWords.flatMap { w =>
       Seq(

