@@ -599,6 +599,10 @@ object Bench {
       // flat-cost merges) + three codegen token-count kernels into an
       // 11-key agg — linear, dominated by the counted-vocab build
       "q175_tokenizer_ab_diff",
+      // licence gate: one registrable-domain kernel + a broadcast
+      // policy join, map-only — linear; margin report: the mining agg
+      // + one bounded-key histogram agg — linear
+      "q176_licence_gate", "q177_margin_report",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -4170,6 +4170,60 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Licence/allowlist domain gate (q176): [[graft.ops.Curation
+    * .licenceGate]] — the provenance pass every licensed training run
+    * fronts (VERDICT r14 #7): registrable domain (the REAL
+    * [[graft.functions.DomainFunctions.registrableDomain]] kernel over
+    * q151-noisy URL spellings — uppercase host, default port, tracking
+    * param; a subdomain spelling must not dodge the policy) broadcast-
+    * joined to a minted licence policy (15 of 20 domains listed across
+    * cc-by / proprietary / cc-by-sa; 5 unlisted), with a null-URL
+    * class. keep / drop / quarantine routing; the oracle replays the
+    * domain as the shape-pinned expected spelling (q130 convention)
+    * and the policy CASE directly. */
+  private def qLicenceGate(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val k = pmod(col("doc_id"), lit(20L))
+    val url = when(pmod(col("doc_id"), lit(23L)) === 5L,
+        lit(null).cast("string"))
+      .otherwise(concat(lit("HTTPS://WWW.Site"), k, lit(".COM:443/p"),
+        col("doc_id"), lit("?utm_source=x")))
+    val kp = pmod(col("k"), lit(4L))
+    val policy = s.range(0, 20).toDF("k")
+      .filter(kp =!= 3L)
+      .select(concat(lit("site"), col("k"), lit(".com")).as("domain"),
+        when(kp === 0L, "cc-by")
+          .when(kp === 1L, "proprietary")
+          .otherwise("cc-by-sa").as("licence"))
+    Curation.licenceGate(
+        docs.select(col("doc_id"), url.as("url")),
+        col("doc_id"), col("url"), policy, Seq("cc-by", "cc-by-sa"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mined-margin calibration report (q177, VERDICT r14 #7): the
+    * scorer-calibration view over [[graft.ops.TrainPrep
+    * .minePreferencePairs]]' output — per (candidate count, margin
+    * band) pair counts, kept counts, margin extrema, and the kept
+    * share in basis points. ONE map-combinable hash aggregate over the
+    * mined relation (margins band by floor division — the integer
+    * histogram convention); the oracle replays the shared mining CTEs
+    * at the q173 production threshold and the same banding. */
+  private def qMarginReport(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    graft.ops.TrainPrep.minePreferencePairs(
+        mintedPrefCands(docs, 0L), col("prompt_id"), col("k"),
+        col("score"), minMargin = 500L)
+      .groupBy(col("n_cands"), expr("margin div 25").as("margin_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        min(col("margin")).as("min_margin"),
+        max(col("margin")).as("max_margin"))
+      .withColumn("kept_share_bp",
+        expr("(n_kept * 10000) div greatest(n_pairs, 1L)"))
+      .orderBy(col("n_cands"), col("margin_band"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -5419,7 +5473,9 @@ object SparkEntry {
     "q172_component_cycle" -> (qComponentCycle _),
     "q173_preference_pair_cycle" -> (qPreferencePairCycle _),
     "q174_mgt_audit" -> (qMgtAudit _),
-    "q175_tokenizer_ab_diff" -> (qTokenizerAbDiff _))
+    "q175_tokenizer_ab_diff" -> (qTokenizerAbDiff _),
+    "q176_licence_gate" -> (qLicenceGate _),
+    "q177_margin_report" -> (qMarginReport _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -8846,6 +8902,44 @@ object SparkEntry {
            true AS roundtrip_ok
          FROM uni ORDER BY prompt_id""",
     "q174_mgt_audit" -> mgtAuditOracleSql,
+    // q176: shape-pinned expected domain (q130 convention) + the
+    // policy CASE; the engine computes registrableDomain for real
+    "q176_licence_gate" ->
+      """WITH pol AS (
+             SELECT k, 'site' || k || '.com' AS domain,
+               CASE k % 4 WHEN 0 THEN 'cc-by'
+                 WHEN 1 THEN 'proprietary'
+                 WHEN 2 THEN 'cc-by-sa' END AS licence
+             FROM (SELECT unnest(range(0, 20)) AS k)
+             WHERE k % 4 <> 3),
+           d AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % 23 = 5 THEN NULL
+                 ELSE 'site' || (doc_id % 20) || '.com' END AS domain
+             FROM documents),
+           j AS (
+             SELECT d.doc_id, d.domain, p.licence
+             FROM d LEFT JOIN pol p ON p.domain = d.domain)
+         SELECT doc_id, domain, licence,
+           CASE WHEN licence IS NULL THEN 'quarantine'
+             WHEN licence IN ('cc-by', 'cc-by-sa') THEN 'keep'
+             ELSE 'drop' END AS verdict,
+           (CASE WHEN licence IS NULL THEN 'quarantine'
+             WHEN licence IN ('cc-by', 'cc-by-sa') THEN 'keep'
+             ELSE 'drop' END = 'keep') AS keep
+         FROM j ORDER BY doc_id""",
+    // q177: the shared mining CTEs at the q173 production threshold,
+    // banded by floor division and aggregated per (n_cands, band)
+    "q177_margin_report" ->
+      s"""WITH ${prefMiningCtesSql("m", "d.doc_id", minMargin = 500L)}
+         SELECT n_cands, margin // 25 AS margin_band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           min(margin) AS min_margin, max(margin) AS max_margin,
+           CAST((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000)
+             // greatest(count(*), 1) AS BIGINT) AS kept_share_bp
+         FROM mfin GROUP BY 1, 2 ORDER BY n_cands, margin_band""",
     // q175: base measures via the shared langid mint+predict replay;
     // the subword A/B counts are engine-internal (q87 posture) — the
     // bounds, the merge-prefix monotone invariant, and the regression

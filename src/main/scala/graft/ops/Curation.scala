@@ -248,6 +248,58 @@ object Curation {
     * doc_id per domain. One window shuffle on the domain key; skewed
     * domains cost one task O(domain size) — the same distribution any
     * per-domain pass already has. */
+  /** Licence/allowlist domain gate (VERDICT r14 #7 — the high-
+    * frequency real-user pass): route every document by its
+    * registrable domain's licence policy. The policy relation is a
+    * curated list (domain → licence string) — template-sized by
+    * construction (a legal team maintains it), so it rides a BROADCAST
+    * join against the corpus; the domain key is
+    * [[graft.functions.DomainFunctions.registrableDomain]] over the
+    * document URL (eTLD+1 — the level licences attach to; a subdomain
+    * spelling must not dodge the policy).
+    *
+    * Verdict, the quarantine-audit convention (q124): `keep` when the
+    * domain's licence is in `allowedLicences`, `drop` when the domain
+    * is listed with a licence outside it, `quarantine` when the domain
+    * is NOT in the policy list at all or the URL yields no registrable
+    * domain (null url, bare public suffix) — unlisted provenance is a
+    * legal decision, not a default.
+    *
+    * Map-only + one broadcast hash join — lifts to the ingest stream
+    * unchanged (the template/centroid broadcast class).
+    *
+    * @param policy (domain, licence) — registrable domains, unique.
+    * @return (idCol, domain, licence, verdict, keep). */
+  def licenceGate(
+      docs: DataFrame,
+      idCol: Column,
+      urlCol: Column,
+      policy: DataFrame,
+      allowedLicences: Seq[String]): DataFrame = {
+    require(allowedLicences.nonEmpty,
+      "licenceGate: empty allowlist would drop/quarantine everything — " +
+        "pass the licences training may use")
+    // a duplicated policy domain would duplicate corpus rows through
+    // the join — the artifact-gate posture, checked on the tiny side
+    val chk = policy.agg(count(lit(1)).as("c"),
+      countDistinct(col("domain")).as("d")).head
+    require(chk.getLong(0) == chk.getLong(1),
+      s"licenceGate: policy domains must be unique (${chk.getLong(0)} " +
+        s"rows, ${chk.getLong(1)} distinct)")
+    val p = policy.select(col("domain").cast("string").as("domain"),
+      col("licence").cast("string").as("licence"))
+    val verdict = when(col("licence").isNull, "quarantine")
+      .when(col("licence").isin(allowedLicences.map(lit): _*), "keep")
+      .otherwise("drop")
+    docs
+      .select(idCol.as("__id"),
+        graft.functions.DomainFunctions.registrableDomain(urlCol)
+          .as("domain"))
+      .join(broadcast(p), Seq("domain"), "left")
+      .select(col("__id").as("doc_id"), col("domain"), col("licence"),
+        verdict.as("verdict"), (verdict === "keep").as("keep"))
+  }
+
   def capPerDomain(
       docs: DataFrame,
       domainCol: Column,

@@ -1212,6 +1212,37 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "wide Latin-script margins expected: " + ab.toSeq)
   }
 
+  test("licenceGate: routes keep/drop/quarantine by registrable-domain " +
+      "policy — subdomain spellings cannot dodge, null URLs quarantine, " +
+      "and corrupt policies are refused") {
+    import spark.implicits._
+    val policy = Seq(
+      ("good.com", "cc-by"), ("bad.com", "proprietary"))
+      .toDF("domain", "licence")
+    val docs = Seq(
+      (0L, "https://www.good.com/x"),          // keep (www must not dodge)
+      (1L, "HTTP://Sub.Deep.BAD.COM:80/y"),    // drop (noisy spelling)
+      (2L, "https://unlisted.org/z"),          // quarantine: not in policy
+      (3L, null.asInstanceOf[String]))         // quarantine: no domain
+      .toDF("doc_id", "url")
+    val got = graft.ops.Curation.licenceGate(
+        docs, col("doc_id"), col("url"), policy, Seq("cc-by", "cc-by-sa"))
+      .select("doc_id", "verdict", "keep")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, "keep", true)), got(0L).toString)
+    assert(got(1L) == ((1L, "drop", false)), got(1L).toString)
+    assert(got(2L) == ((2L, "quarantine", false)), got(2L).toString)
+    assert(got(3L) == ((3L, "quarantine", false)), got(3L).toString)
+    assertThrows[IllegalArgumentException] { // duplicated policy domain
+      graft.ops.Curation.licenceGate(docs, col("doc_id"), col("url"),
+        policy.unionAll(policy.limit(1)), Seq("cc-by")).collect()
+    }
+    assertThrows[IllegalArgumentException] { // empty allowlist
+      graft.ops.Curation.licenceGate(docs, col("doc_id"), col("url"),
+        policy, Seq.empty).collect()
+    }
+  }
+
   test("mgtReport: each planted slop class trips ITS signal, natural " +
       "prose trips none, and the stopword profile comes from the " +
       "REFERENCE corpus (off-profile words are the reference's rare " +
