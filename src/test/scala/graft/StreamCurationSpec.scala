@@ -346,6 +346,38 @@ class StreamCurationSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("MGT battery lifts to a stream unchanged: reference profile from " +
+      "the static corpus, map-only signals per micro-batch, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the trusted reference register (static), the q174 posture: the
+    // stream's slop must not shift the profile toward itself
+    val ref = Seq((100L, "the cat sat on a mat and the dog ran to a tree"))
+      .toDF("doc_id", "text")
+    val source = MemoryStream[(Long, String)]
+    val out = graft.ops.TextAnalysis.mgtReport(
+      source.toDF().toDF("doc_id", "text"), ref)
+    val query = out.writeStream.format("memory").queryName("mgt_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(
+        (0L, "the quick brown fox jumps over a lazy dog near the river"),
+        (1L, ("one two three " * 10) + "end"),
+        (2L, "mix of words is here in style of words is fine in part of"))
+      query.processAllAvailable()
+      val got = spark.table("mgt_stream")
+        .select("doc_id", "burst_flag", "skew_flag", "mgt_suspect")
+        .as[(Long, Boolean, Boolean, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got(0L) == ((false, false, false)), got(0L).toString)
+      assert(got(1L) == ((true, false, true)), got(1L).toString)
+      assert(got(2L) == ((false, true, true)), got(2L).toString)
+      // stateless: map-only battery, no state store
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
   test("preference-pair prep lifts to a stream unchanged: map-only " +
       "audit + pair gates, stateless") {
     import spark.implicits._
