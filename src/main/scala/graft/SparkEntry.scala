@@ -3878,20 +3878,17 @@ object SparkEntry {
         graft.functions.Bpe.countedVocab(minted, "text"), 64))
     val gpt2 = graft.functions.Bpe.fromMergesLines(
       graft.functions.Bpe.gpt2MergesHead)
-    val trained8 = new graft.functions.BpeCodec(trained.merges.take(8))
+    // the 8-merge prefix count rides the SAME map pass and aggregate
+    // (monotonePrefixMerges) — one corpus scan, one language-detection
+    // pass, one shuffle for the whole A/B + monotone battery
     val rep = TextAnalysis.tokenizerAbReport(
       minted, col("text"), graft.ops.LangId.predict(col("text")),
-      trained, gpt2, regressBp = 500L)
-    val t8 = minted.select(
-        graft.ops.LangId.predict(col("text")).as("lang"),
-        graft.functions.BpeFunctions.bpeTokenCount(col("text"), trained8)
-          .cast("long").as("t8"))
-      .groupBy(col("lang")).agg(sum(col("t8")).as("tok_a8"))
-    rep.join(t8, "lang")
+      trained, gpt2, regressBp = 500L, monotonePrefixMerges = Some(8))
+    rep
       .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
         col("a_fertility_ok"), col("b_fertility_ok"),
-        (col("tok_a") <= col("tok_a8") && col("tok_a8") <= col("n_chars"))
-          .as("monotone_ok"),
+        (col("tok_a") <= col("tok_a_prefix") &&
+          col("tok_a_prefix") <= col("n_chars")).as("monotone_ok"),
         col("regressed"))
       .orderBy(col("lang"))
   }
@@ -3997,7 +3994,8 @@ object SparkEntry {
       .agg(coalesce(sum(when(col("c0") <=> col("c1"), 0L).otherwise(1L)),
         lit(0L)).as("n_bad"))
     val warm = graft.ops.Graph.connectedComponentsDelta(
-      loaded, mintedMergeDelta(docs, n), iters = 6)
+        loaded, mintedMergeDelta(docs, n), iters = 6)
+      .localCheckpoint() // fence: feeds the size agg AND the output join
     val sizes = warm.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
     warm.join(sizes, "comp").crossJoin(broadcast(rt))
       .select(col("id").as("doc_id"), col("comp"), col("comp_size"),
@@ -5932,8 +5930,12 @@ object SparkEntry {
   // lanes, with integer basis points and the engine's default
   // thresholds (burst 1200, template 200, skew 2500 at support >= 4)
   private def mgtAuditOracleSql: String = {
+    // phrases interpolate into single-quoted SQL literals — escape any
+    // quote so a future phrase like "let's dive in" cannot break the
+    // statement (string_split is literal, matching the engine's
+    // Pattern.quote'd split)
     val phraseHits = TextAnalysis.mgtTemplatePhrases
-      .map(p => s"(len(string_split(lt, '$p')) - 1)")
+      .map(p => s"(len(string_split(lt, '${p.replace("'", "''")}')) - 1)")
       .mkString("\n               + ")
     val swList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH m AS MATERIALIZED (

@@ -243,11 +243,6 @@ object Curation {
         (dupFrac > dupWordTau || topFrac > topBigramTau).as("repetitive"))
   }
 
-  /** Per-domain cap — the classic web-corpus balance rule ("at most N
-    * documents per registrable domain"): deterministic keep = lowest
-    * doc_id per domain. One window shuffle on the domain key; skewed
-    * domains cost one task O(domain size) — the same distribution any
-    * per-domain pass already has. */
   /** Licence/allowlist domain gate (VERDICT r14 #7 — the high-
     * frequency real-user pass): route every document by its
     * registrable domain's licence policy. The policy relation is a
@@ -280,9 +275,18 @@ object Curation {
       "licenceGate: empty allowlist would drop/quarantine everything — " +
         "pass the licences training may use")
     // a duplicated policy domain would duplicate corpus rows through
-    // the join — the artifact-gate posture, checked on the tiny side
+    // the join — the artifact-gate posture, checked on the tiny side.
+    // Bad rows FIRST (the ADVICE r14 ordering): countDistinct skips
+    // NULLs, so a null/empty policy domain checked second would
+    // misreport as a phantom duplicate; a null licence would silently
+    // quarantine a LISTED domain through the verdict's null branch
     val chk = policy.agg(count(lit(1)).as("c"),
-      countDistinct(col("domain")).as("d")).head
+      countDistinct(col("domain")).as("d"),
+      coalesce(sum(when(col("domain").isNull || col("domain") === "" ||
+        col("licence").isNull, 1L).otherwise(0L)), lit(0L)).as("bad")).head
+    require(chk.getLong(2) == 0L,
+      s"licenceGate: ${chk.getLong(2)} policy row(s) with null/empty " +
+        "domain or null licence — fix the policy list, don't default")
     require(chk.getLong(0) == chk.getLong(1),
       s"licenceGate: policy domains must be unique (${chk.getLong(0)} " +
         s"rows, ${chk.getLong(1)} distinct)")
@@ -300,6 +304,11 @@ object Curation {
         verdict.as("verdict"), (verdict === "keep").as("keep"))
   }
 
+  /** Per-domain cap — the classic web-corpus balance rule ("at most N
+    * documents per registrable domain"): deterministic keep = lowest
+    * doc_id per domain. One window shuffle on the domain key; skewed
+    * domains cost one task O(domain size) — the same distribution any
+    * per-domain pass already has. */
   def capPerDomain(
       docs: DataFrame,
       domainCol: Column,

@@ -227,9 +227,13 @@ object Graph {
         // warm round, collapsing back to unique rows afterwards with no
         // error — gate it like pageRankSeeded gates its seeds; null or
         // negative ranks are a corrupt snapshot, not a default
+        // negative ids are corrupt too (the saveRankVector contract:
+        // the stream gate's -1 null-sentinel must never appear in a
+        // prior), so a hand-built vector that coalesced nulls to the
+        // sentinel fails HERE, not downstream at the next save
         val pchk = pr.agg(count(lit(1)).as("c"),
           countDistinct(col("id")).as("d"),
-          coalesce(sum(when(col("id").isNull ||
+          coalesce(sum(when(col("id").isNull || col("id") < 0L ||
             col("rank_u").isNull || col("rank_u") < 0L,
             1L).otherwise(0L)), lit(0L)).as("bad"),
           // decimal sum: a wrong-unit prior can overflow a LONG sum
@@ -243,9 +247,9 @@ object Graph {
         // uniqueness compare with the misleading "must be unique"
         // message if that ran first
         require(pchk.getLong(2) == 0L,
-          s"initRanks carries ${pchk.getLong(2)} null-id/null/negative" +
-            " rank_u value(s) — a corrupt snapshot, refusing to " +
-            "warm-start")
+          s"initRanks carries ${pchk.getLong(2)} null/negative-id or " +
+            "null/negative-rank_u value(s) — a corrupt snapshot, " +
+            "refusing to warm-start")
         require(pchk.getLong(0) == pchk.getLong(1),
           s"initRanks ids must be unique (${pchk.getLong(0)} rows, " +
             s"${pchk.getLong(1)} distinct) — a duplicated prior vector " +
@@ -533,10 +537,14 @@ object Graph {
     *  4. every corpus row relabels through its prior component's new
     *     label (one hash join).
     *
-    * Cost is O(|Δ| + components touched), never O(|E|): yesterday's
-    * edge relation is not read at all, and the propagation runs over a
-    * graph whose size is the number of DISTINCT prior labels plus new
-    * pages. `iters` bounds label propagation across CHAINED merges
+    * Cost: the PROPAGATION is O(|Δ| + components touched) — yesterday's
+    * EDGE relation is never read, and the rounds run over a graph whose
+    * size is the number of DISTINCT prior labels plus new pages. The
+    * prior validation and the final relabel are each one linear pass
+    * over the LABEL vector (|V| rows, hash-partitioned — unavoidable:
+    * the output itself is |V| rows), so the daily job is Θ(|V| + |Δ|),
+    * just never Θ(|E|) or iteration × corpus. `iters` bounds label
+    * propagation across CHAINED merges
     * (a delta that daisy-chains k components needs k−1 rounds to agree
     * on the min), exactly the base form's bounded-radius contract —
     * and because every step is deterministic integer arithmetic on a
@@ -562,16 +570,20 @@ object Graph {
     val p = validatedLabels(prior, "connectedComponentsDelta")
       .localCheckpoint() // fence: feeds new-node anti-join, contraction,
                          // and the final relabel
-    val dir = deltaEdges
+    val rawDelta = deltaEdges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
       .localCheckpoint()
+    val dir = rawDelta.filter(col("src") =!= col("dst"))
     // new pages: delta endpoints the prior labeling has never seen —
     // they enter as their own singleton components (the warm-start
-    // new-page convention), so the contracted graph can merge them in
-    val newIds = dir.select(col("src").as("id"))
-      .unionByName(dir.select(col("dst").as("id")))
+    // new-page convention), so the contracted graph can merge them in.
+    // Derived from the UNFILTERED delta: a new page whose only delta
+    // row is a self-loop still exists and must label (the output
+    // contract promises every new node; the self-loop itself carries
+    // no merge, exactly like the base form's self-loop drop)
+    val newIds = rawDelta.select(col("src").as("id"))
+      .unionByName(rawDelta.select(col("dst").as("id")))
       .distinct()
       .join(p.select(col("id")), Seq("id"), "left_anti")
     val full = p.unionByName(

@@ -456,8 +456,13 @@ object TextAnalysis {
     val nTri = size(tri).cast("long")
     val dup3 = (nTri - size(array_distinct(tri)).cast("long"))
     val low = lower(col("text"))
+    // Pattern.quote: split() takes a REGEX, but the phrase contract is
+    // exact literal substrings (the oracle's string_split is literal) —
+    // an unquoted phrase with a metachar ('e.g.') would silently
+    // over-match here while the SQL side counts literally
     val hits = mgtTemplatePhrases
-      .map(p => (size(split(low, p)) - 1).cast("long"))
+      .map(p => (size(split(low, java.util.regex.Pattern.quote(p))) - 1)
+        .cast("long"))
       .reduce(_ + _)
     val stopTotal = size(filter(toks,
       t => t.isin(stopwords.map(lit): _*))).cast("long")
@@ -522,42 +527,59 @@ object TextAnalysis {
     *
     * @param langCol the per-doc language key (the caller detects it —
     *                q175 uses the bundled quantized langid model).
-    * @return (lang, n_docs, n_words, n_chars, tok_a, tok_b, tpw_a_bp,
-    *         tpw_b_bp, delta_bp, regressed, a_fertility_ok,
-    *         b_fertility_ok). */
+    * @param monotonePrefixMerges when set to Some(k), a THIRD count
+    *                under codecA's first k merges rides the SAME map
+    *                pass and aggregate as an extra `tok_a_prefix`
+    *                column — the merge-prefix monotone audit
+    *                (tok_a ≤ tok_a_prefix ≤ n_chars) without a second
+    *                corpus scan or language-detection pass.
+    * @return (lang, n_docs, n_words, n_chars, tok_a, tok_b [,
+    *         tok_a_prefix], tpw_a_bp, tpw_b_bp, delta_bp, regressed,
+    *         a_fertility_ok, b_fertility_ok). */
   def tokenizerAbReport(
       docs: DataFrame,
       textCol: Column,
       langCol: Column,
       codecA: graft.functions.BpeCodec,
       codecB: graft.functions.BpeCodec,
-      regressBp: Long = 500L): DataFrame = {
-    val perDoc = docs.select(
+      regressBp: Long = 500L,
+      monotonePrefixMerges: Option[Int] = None): DataFrame = {
+    val prefixCount = monotonePrefixMerges.map { k =>
+      require(k >= 0, s"monotonePrefixMerges must be >= 0, got $k")
+      graft.functions.BpeFunctions.bpeTokenCount(textCol,
+        new graft.functions.BpeCodec(codecA.merges.take(k)))
+        .cast("long").as("tp")
+    }
+    val perDoc = docs.select(Seq(
       langCol.as("lang"),
       size(tokens(textCol)).cast("long").as("w"),
       length(textCol).cast("long").as("nch"),
       graft.functions.BpeFunctions.bpeTokenCount(textCol, codecA)
         .cast("long").as("ta"),
       graft.functions.BpeFunctions.bpeTokenCount(textCol, codecB)
-        .cast("long").as("tb"))
+        .cast("long").as("tb")) ++ prefixCount: _*)
+    val aggs = Seq(
+      sum(col("w")).as("n_words"),
+      sum(col("nch")).as("n_chars"),
+      sum(col("ta")).as("tok_a"),
+      sum(col("tb")).as("tok_b")) ++
+      prefixCount.map(_ => sum(col("tp")).as("tok_a_prefix"))
+    val prefixOut = prefixCount.map(_ => col("tok_a_prefix")).toSeq
     perDoc.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("w")).as("n_words"),
-        sum(col("nch")).as("n_chars"),
-        sum(col("ta")).as("tok_a"),
-        sum(col("tb")).as("tok_b"))
-      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
-        col("tok_a"), col("tok_b"),
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .select(Seq(col("lang"), col("n_docs"), col("n_words"),
+        col("n_chars"), col("tok_a"), col("tok_b")) ++ prefixOut ++ Seq(
         expr("(tok_a * 10000) div greatest(n_words, 1L)").as("tpw_a_bp"),
-        expr("(tok_b * 10000) div greatest(n_words, 1L)").as("tpw_b_bp"))
-      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
-        col("tok_a"), col("tok_b"), col("tpw_a_bp"), col("tpw_b_bp"),
+        expr("(tok_b * 10000) div greatest(n_words, 1L)").as("tpw_b_bp")): _*)
+      .select(Seq(col("lang"), col("n_docs"), col("n_words"),
+        col("n_chars"), col("tok_a"), col("tok_b")) ++ prefixOut ++ Seq(
+        col("tpw_a_bp"), col("tpw_b_bp"),
         (col("tpw_a_bp") - col("tpw_b_bp")).as("delta_bp"),
         (col("tpw_a_bp") - col("tpw_b_bp") > regressBp).as("regressed"),
         (col("tok_a") >= col("n_words") && col("tok_a") <= col("n_chars"))
           .as("a_fertility_ok"),
         (col("tok_b") >= col("n_words") && col("tok_b") <= col("n_chars"))
-          .as("b_fertility_ok"))
+          .as("b_fertility_ok")): _*)
   }
 
   /** Punctuation count = chars removed by stripping [.,!?;:]. */

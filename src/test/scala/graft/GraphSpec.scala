@@ -525,12 +525,15 @@ class GraphSpec extends SparkSpec {
     // adversarial delta: (3,10) merges comps 1 and 10; (12,5) then
     // daisy-chains comp 5 onto the merged pair (the min label must
     // propagate across TWO contracted hops); (6,25) attaches a node the
-    // prior labeling has never seen
-    val delta = Seq[(Long, Long)]((3, 10), (12, 5), (6, 25))
+    // prior labeling has never seen; (30,30) is a new node whose ONLY
+    // delta row is a self-loop — it must still label as its own
+    // singleton (the review-pass contract gap: deriving new ids after
+    // the self-loop filter silently dropped it)
+    val delta = Seq[(Long, Long)]((3, 10), (12, 5), (6, 25), (30, 30))
     val warm = Graph.connectedComponentsDelta(
         loaded, delta.toDF("src", "dst"), iters = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val allNodes = ((0L until 20L) :+ 25L).toDF("id")
+    val allNodes = ((0L until 20L) :+ 25L :+ 30L).toDF("id")
     val cold = Graph.connectedComponents(
         allNodes, (e1 ++ delta).toDF("src", "dst"), iters = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -538,6 +541,8 @@ class GraphSpec extends SparkSpec {
       "delta update must equal the cold closure on the appended graph")
     assert(warm(25L) === 1L, "the new page must join the merged cluster")
     assert(warm(5L) === 1L, "the daisy-chained component must relabel")
+    assert(warm(30L) === 30L,
+      "a self-loop-only new node must label as its own singleton")
   }
 
   test("component artifact: corrupt or unconverged labelings are refused " +
