@@ -447,15 +447,28 @@ object TextAnalysis {
       case (w, c) if c * 10000L < profileFloorBp * math.max(profTotal, 1L)
         => w
     }
-    val toks = lowToks(col("text"))
+    // STAGED token/lowercase columns: every expression below references
+    // these attributes MANY times (CollapseProject never inlines a
+    // multi-referenced non-cheap alias, so the split runs once per row)
+    // — building the lambdas on the raw split expression instead copies
+    // it INTO the transform body, re-splitting the text once per
+    // trigram POSITION (the r12 HOF-inlining trap: measured 11 s →
+    // ~1 s on the q174 corpus). Plain projections, so the battery
+    // stays stream-liftable (no checkpoint, no cache).
+    val staged = docs.select(col("doc_id"),
+      lower(col("text")).as("__low"),
+      lowToks(col("text")).as("__toks"))
+    val toks = col("__toks")
+    val staged2 = staged.select(col("doc_id"), col("__low"), toks,
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3))))).otherwise(
+        array().cast("array<string>")).as("__tri"))
+    val tri = col("__tri")
     val nW = size(toks).cast("long")
-    val tri = when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3))))).otherwise(
-      array().cast("array<string>"))
     val nTri = size(tri).cast("long")
     val dup3 = (nTri - size(array_distinct(tri)).cast("long"))
-    val low = lower(col("text"))
+    val low = col("__low")
     // Pattern.quote: split() takes a REGEX, but the phrase contract is
     // exact literal substrings (the oracle's string_split is literal) —
     // an unquoted phrase with a metachar ('e.g.') would silently
@@ -471,7 +484,7 @@ object TextAnalysis {
     // two-step projection: name the counts, then floor-divide with the
     // SQL `div` the repo's basis-point convention uses (Column has no
     // integer division; `/` would drift through doubles)
-    docs.select(
+    staged2.select(
         col("doc_id"),
         nW.as("n_words"),
         nTri.as("n_tri"),
