@@ -603,6 +603,9 @@ object Bench {
       // policy join, map-only — linear; margin report: the mining agg
       // + one bounded-key histogram agg — linear
       "q176_licence_gate", "q177_margin_report",
+      // component chain: q172's cycle twice (two delta contractions,
+      // two artifact round trips) — linear, same fixed-round shape
+      "q178_component_chain",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -4004,6 +4004,67 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The q178 day-2 delta mint — a SECOND day of crawl pairs, shaped
+    * to stress composition over day 1's ALREADY-UPDATED labels: pair
+    * merges at fresh residues (`id % 20 == 13` links star b to b+30 —
+    * under day 1's labels that can bridge two day-1-MERGED clusters,
+    * so the day-2 contraction must run over day-1 components, not
+    * stars), plus new pages at `id % 97 == 41` (targets offset by 2n —
+    * disjoint from day 1's new-page range). */
+  private def mintedMergeDelta2(docs: DataFrame, n: Long): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(20L)) === 13L)
+      .select(col("doc_id").as("src"),
+        pmod(col("doc_id") + 30L, lit(n)).as("dst"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(97L)) === 41L)
+        .select(col("doc_id").as("src"), (col("doc_id") + 2L * n).as("dst")))
+
+  /** Two-day incremental component chain (q178): the EIGHTH artifact's
+    * DAILY POSTURE composed across days — q172 proves one delta folds
+    * in; this proves the cycle CHAINS: cold star closure → save →
+    * delta-1 update ([[graft.ops.Graph.connectedComponentsDelta]]) →
+    * save day 2's labels → reload → delta-2 update FROM THE RELOADED
+    * DAY-2 VECTOR. Day 2's update contracts over day 1's already-
+    * merged components (its save passes the root-closure gate because
+    * the bounded merge shapes converge inside the fixed rounds), and
+    * day 2's pair class deliberately bridges day-1-merged clusters.
+    * Both parquet round trips are genuinely compared (`roundtrip_ok` =
+    * both days); the full two-chain warm path is SQL-replayed
+    * (cold rounds → contraction-1 → k-rounds → relabel → contraction-2
+    * → j-rounds → relabel — a divergence anywhere in either day's
+    * save/load/contract/propagate breaks the label hash). */
+  private def qComponentChain(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val ids = docs.select(col("doc_id").as("id"))
+    val cold = graft.ops.Graph.connectedComponents(
+        ids, mintedStarEdges(docs), iters = 4)
+      .localCheckpoint()
+    val dir1 = tempFixtureDir("graft_cc_chain1")
+    graft.ops.Graph.saveComponentLabels(cold, dir1)
+    val day1 = graft.ops.Graph.connectedComponentsDelta(
+        graft.ops.Graph.loadComponentLabels(s, dir1),
+        mintedMergeDelta(docs, n), iters = 6)
+      .localCheckpoint() // fence: feeds the save AND the compare
+    val dir2 = tempFixtureDir("graft_cc_chain2")
+    graft.ops.Graph.saveComponentLabels(day1, dir2)
+    val loaded2 = graft.ops.Graph.loadComponentLabels(s, dir2)
+      .localCheckpoint() // fence: feeds the compare AND the update
+    val rt = day1.select(col("id"), col("comp").as("c0"))
+      .join(loaded2.select(col("id"), col("comp").as("c1")),
+        Seq("id"), "full")
+      .agg(coalesce(sum(when(col("c0") <=> col("c1"), 0L).otherwise(1L)),
+        lit(0L)).as("n_bad"))
+    val day2 = graft.ops.Graph.connectedComponentsDelta(
+        loaded2, mintedMergeDelta2(docs, n), iters = 6)
+      .localCheckpoint() // fence: feeds the size agg AND the output join
+    val sizes = day2.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+    day2.join(sizes, "comp").crossJoin(broadcast(rt))
+      .select(col("id").as("doc_id"), col("comp"), col("comp_size"),
+        (col("id") === col("comp")).as("is_root"),
+        (col("n_bad") === 0L).as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DPO masking composition (q170): q167 × q159 — kept preference
     * pairs hand BOTH branches to [[graft.ops.TrainPrep.lossMaskSpans]]
     * (the DPO loss runs on the final assistant positions of chosen AND
@@ -5473,7 +5534,8 @@ object SparkEntry {
     "q174_mgt_audit" -> (qMgtAudit _),
     "q175_tokenizer_ab_diff" -> (qTokenizerAbDiff _),
     "q176_licence_gate" -> (qLicenceGate _),
-    "q177_margin_report" -> (qMarginReport _))
+    "q177_margin_report" -> (qMarginReport _),
+    "q178_component_chain" -> (qComponentChain _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5833,17 +5895,45 @@ object SparkEntry {
          SELECT id AS doc_id, rank_u, true AS roundtrip_ok
          FROM r8 ORDER BY doc_id"""
 
-  // q172: the star mint closed cold (4 hash-min rounds — converged by
-  // round 1, the shallow-cluster shape), then the DELTA update replayed
-  // exactly: contraction of the three minted delta classes through the
-  // cold labels (intra-component deltas vanish via the comp <> comp
-  // filter, new pages enter as their own singletons), SIX warm hash-min
-  // rounds over the CONTRACTED relation under the k prefix, and the
-  // final relabel join — graft.ops.Graph.connectedComponentsDelta's
-  // exact arithmetic. The parquet round trip isn't SQL-visible, so
-  // roundtrip_ok is pinned (the q166 convention).
-  private def componentCycleOracleSql: String =
-    s"""WITH docs AS MATERIALIZED (SELECT doc_id FROM documents),
+  // ONE delta-update replay generator (q172's single day, q178's two
+  // chained days): new ids from the UNFILTERED delta (a self-loop-only
+  // new node still labels), contraction through the prior labels
+  // (intra-component deltas vanish via comp <> comp), SIX hash-min
+  // rounds over the contracted relation, relabel join —
+  // graft.ops.Graph.connectedComponentsDelta's exact arithmetic,
+  // parameterized by prefix so chained days coexist in one statement
+  private def componentDeltaCtesSql(
+      pfx: String, priorRel: String, deltaRel: String): String =
+    s"""${pfx}newids AS (
+             SELECT DISTINCT id FROM (
+               SELECT src AS id FROM $deltaRel
+               UNION ALL SELECT dst AS id FROM $deltaRel)
+             WHERE id NOT IN (SELECT id FROM $priorRel)),
+           ${pfx}full AS MATERIALIZED (
+             SELECT id, comp FROM $priorRel
+             UNION ALL SELECT id, id AS comp FROM ${pfx}newids),
+           ${pfx}ce AS (
+             SELECT p1.comp AS src, p2.comp AS dst
+             FROM $deltaRel d
+             JOIN ${pfx}full p1 ON d.src = p1.id
+             JOIN ${pfx}full p2 ON d.dst = p2.id
+             WHERE d.src <> d.dst AND p1.comp <> p2.comp),
+           ${pfx}und AS MATERIALIZED (SELECT src, dst FROM ${pfx}ce
+                   UNION SELECT dst AS src, src AS dst FROM ${pfx}ce),
+           ${pfx}k0 AS MATERIALIZED (
+             SELECT DISTINCT comp AS id, comp FROM ${pfx}full),
+           ${(1 to 6).map(i =>
+        componentsIterSqlOn(i, s"${pfx}k", s"${pfx}und"))
+        .mkString(",\n           ")},
+           ${pfx}relab AS MATERIALIZED (
+             SELECT f.id, k.comp
+             FROM ${pfx}full f JOIN ${pfx}k6 k ON k.id = f.comp)"""
+
+  // the q172/q178 shared cold prefix: star mint (converged by round 1,
+  // the shallow-cluster shape), 4 hash-min rounds, and day 1's three
+  // delta classes
+  private def componentColdCtesSql: String =
+    s"""docs AS MATERIALIZED (SELECT doc_id FROM documents),
            nn AS MATERIALIZED (SELECT count(*) AS n FROM docs),
            se AS MATERIALIZED (
              SELECT doc_id AS src, doc_id - (doc_id % 10) AS dst
@@ -5863,36 +5953,39 @@ object SparkEntry {
              FROM docs WHERE doc_id % 40 = 7
              UNION ALL
              SELECT doc_id AS src, doc_id + (SELECT n FROM nn) AS dst
-             FROM docs WHERE doc_id % 97 = 11),
-           newids AS (
-             SELECT DISTINCT id FROM (
-               SELECT src AS id FROM delta
-               UNION ALL SELECT dst AS id FROM delta)
-             WHERE id NOT IN (SELECT id FROM c4)),
-           full0 AS MATERIALIZED (
-             SELECT id, comp FROM c4
-             UNION ALL SELECT id, id AS comp FROM newids),
-           ce AS (
-             SELECT p1.comp AS src, p2.comp AS dst
-             FROM delta d
-             JOIN full0 p1 ON d.src = p1.id
-             JOIN full0 p2 ON d.dst = p2.id
-             WHERE d.src <> d.dst AND p1.comp <> p2.comp),
-           kund AS MATERIALIZED (SELECT src, dst FROM ce
-                   UNION SELECT dst AS src, src AS dst FROM ce),
-           k0 AS MATERIALIZED (
-             SELECT DISTINCT comp AS id, comp FROM full0),
-           ${(1 to 6).map(i => componentsIterSqlOn(i, "k", "kund"))
-             .mkString(",\n           ")},
-           relab AS MATERIALIZED (
-             SELECT f.id, k.comp
-             FROM full0 f JOIN k6 k ON k.id = f.comp)
-         SELECT r.id AS doc_id, r.comp, s.comp_size,
+             FROM docs WHERE doc_id % 97 = 11)"""
+
+  private def componentFinalSelectSql(relab: String): String =
+    s"""SELECT r.id AS doc_id, r.comp, s.comp_size,
            (r.id = r.comp) AS is_root, true AS roundtrip_ok
-         FROM relab r
-         JOIN (SELECT comp, count(*) AS comp_size FROM relab
+         FROM $relab r
+         JOIN (SELECT comp, count(*) AS comp_size FROM $relab
                GROUP BY comp) s ON s.comp = r.comp
          ORDER BY doc_id"""
+
+  // q172: one day — cold closure, day-1 delta folded in; the parquet
+  // round trip isn't SQL-visible, so roundtrip_ok is pinned (q166)
+  private def componentCycleOracleSql: String =
+    s"""WITH $componentColdCtesSql,
+           ${componentDeltaCtesSql("a", "c4", "delta")}
+         ${componentFinalSelectSql("arelab")}"""
+
+  // q178: two chained days — day 2's contraction runs over day 1's
+  // ALREADY-UPDATED labels (arelab), exactly as the engine reloads
+  // day 2's persisted vector
+  private def componentChainOracleSql: String =
+    s"""WITH $componentColdCtesSql,
+           ${componentDeltaCtesSql("a", "c4", "delta")},
+           delta2 AS MATERIALIZED (
+             SELECT doc_id AS src,
+               (doc_id + 30) % (SELECT n FROM nn) AS dst
+             FROM docs WHERE doc_id % 20 = 13
+             UNION ALL
+             SELECT doc_id AS src,
+               doc_id + 2 * (SELECT n FROM nn) AS dst
+             FROM docs WHERE doc_id % 97 = 41),
+           ${componentDeltaCtesSql("b", "arelab", "delta2")}
+         ${componentFinalSelectSql("brelab")}"""
 
   // the q171/q173 shared mining replay, parameterized by the era's id
   // expression (day 1: d.doc_id; day 2: d.doc_id + n — the fresh-id
@@ -8956,6 +9049,7 @@ object SparkEntry {
            true AS a_fertility_ok, true AS b_fertility_ok,
            true AS monotone_ok, false AS regressed
          FROM p GROUP BY lang ORDER BY lang""",
+    "q178_component_chain" -> componentChainOracleSql,
     // q172: the full component-artifact cycle — cold star closure,
     // delta contraction through the reloaded labels, six warm rounds
     // on the contracted relation, relabel join

@@ -543,6 +543,32 @@ class GraphSpec extends SparkSpec {
     assert(warm(5L) === 1L, "the daisy-chained component must relabel")
     assert(warm(30L) === 30L,
       "a self-loop-only new node must label as its own singleton")
+    // the cycle CHAINS (q178): persist day 1's warm labels, reload,
+    // fold in a SECOND delta that bridges a day-1-merged cluster with
+    // an untouched one — two chained updates must equal the cold
+    // closure on the full union
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_cc_spec2")
+      .toString
+    Graph.saveComponentLabels(
+      spark.createDataFrame(
+        warm.toSeq.map(p => (p._1, p._2)))
+        .toDF("id", "comp"), dir2)
+    // (11,7): a day-1-merged cluster absorbs the untouched isolate 7;
+    // (25,40): day 1's new page recruits ANOTHER new page; (11,3):
+    // intra-component after day 1 — must vanish in the contraction
+    val delta2 = Seq[(Long, Long)]((11, 7), (25, 40), (11, 3))
+    val warm2 = Graph.connectedComponentsDelta(
+        Graph.loadComponentLabels(spark, dir2),
+        delta2.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allNodes2 = ((0L until 20L) :+ 25L :+ 30L :+ 40L).toDF("id")
+    val cold2 = Graph.connectedComponents(
+        allNodes2, (e1 ++ delta ++ delta2).toDF("src", "dst"), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm2 === cold2,
+      "two chained delta updates must equal the cold closure on the " +
+        "full union")
+    assert(warm2(7L) === 1L && warm2(40L) === 1L, warm2.toString)
   }
 
   test("component artifact: corrupt or unconverged labelings are refused " +

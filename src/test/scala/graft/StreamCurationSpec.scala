@@ -378,6 +378,35 @@ class StreamCurationSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("licence gate lifts to a stream unchanged: broadcast policy, " +
+      "real registrable-domain kernel per micro-batch, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val policy = Seq(("good.com", "cc-by"), ("bad.com", "proprietary"))
+      .toDF("domain", "licence")
+    val source = MemoryStream[(Long, String)]
+    val out = graft.ops.Curation.licenceGate(
+      source.toDF().toDF("doc_id", "url"), col("doc_id"), col("url"),
+      policy, Seq("cc-by"))
+    val query = out.writeStream.format("memory").queryName("lic_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(
+        (0L, "https://www.good.com/x"),
+        (1L, "HTTP://Sub.BAD.COM:80/y"),
+        (2L, "https://unlisted.org/z"),
+        (3L, null.asInstanceOf[String]))
+      query.processAllAvailable()
+      val got = spark.table("lic_stream")
+        .select("doc_id", "verdict")
+        .as[(Long, String)].collect().toMap
+      assert(got === Map(0L -> "keep", 1L -> "drop",
+        2L -> "quarantine", 3L -> "quarantine"), got.toString)
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
   test("preference-pair prep lifts to a stream unchanged: map-only " +
       "audit + pair gates, stateless") {
     import spark.implicits._
