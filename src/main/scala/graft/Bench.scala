@@ -606,6 +606,10 @@ object Bench {
       // component chain: q172's cycle twice (two delta contractions,
       // two artifact round trips) — linear, same fixed-round shape
       "q178_component_chain",
+      // provenance pipeline: the licence broadcast join + the map-only
+      // MGT battery over survivors + 4 hash-min rounds + three
+      // doc-keyed joins — linear
+      "q179_provenance_pipeline",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -4211,15 +4211,20 @@ object SparkEntry {
     * value-compare; flags co-fire by design (filler is also
     * function-word-skewed). Map-only over the audited batch — the
     * battery lifts in-stream unchanged. */
-  private def qMgtAudit(s: SparkSession, d: String): DataFrame = {
-    val raw = t(s, d, "documents").select(col("doc_id"), col("text"))
+  /** The q174/q179 shared slop mutation over a (doc_id, text)
+    * relation — the oracle twin is [[mgtMintSelectSql]]. */
+  private def mgtMinted(raw: DataFrame): DataFrame = {
     val cls = pmod(col("doc_id"), lit(4L))
-    val minted = raw.select(col("doc_id"),
+    raw.select(col("doc_id"),
       when(cls === 1L, concat(col("text"), lit(mgtBurstSfx)))
         .when(cls === 2L, concat(col("text"), lit(mgtTemplateSfx)))
         .when(cls === 3L, concat(col("text"), lit(mgtSkewSfx)))
         .otherwise(col("text")).as("text"))
-    TextAnalysis.mgtReport(minted, refDocs = raw)
+  }
+
+  private def qMgtAudit(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "documents").select(col("doc_id"), col("text"))
+    TextAnalysis.mgtReport(mgtMinted(raw), refDocs = raw)
       .withColumn("cls", pmod(col("doc_id"), lit(4L)))
       .select(col("doc_id"), col("cls"), col("n_words"), col("n_tri"),
         col("dup3_bp"), col("template_hits"), col("template_bp"),
@@ -4240,8 +4245,10 @@ object SparkEntry {
     * class. keep / drop / quarantine routing; the oracle replays the
     * domain as the shape-pinned expected spelling (q130 convention)
     * and the policy CASE directly. */
-  private def qLicenceGate(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents").select(col("doc_id"))
+  /** The q176/q179 shared minted licence pass: noisy URLs + the
+    * 15-of-20-domain policy through the REAL gate. */
+  private def mintedLicenceVerdicts(
+      s: SparkSession, docs: DataFrame): DataFrame = {
     val k = pmod(col("doc_id"), lit(20L))
     val url = when(pmod(col("doc_id"), lit(23L)) === 5L,
         lit(null).cast("string"))
@@ -4255,10 +4262,13 @@ object SparkEntry {
           .when(kp === 1L, "proprietary")
           .otherwise("cc-by-sa").as("licence"))
     Curation.licenceGate(
-        docs.select(col("doc_id"), url.as("url")),
-        col("doc_id"), col("url"), policy, Seq("cc-by", "cc-by-sa"))
-      .orderBy(col("doc_id"))
+      docs.select(col("doc_id"), url.as("url")),
+      col("doc_id"), col("url"), policy, Seq("cc-by", "cc-by-sa"))
   }
+
+  private def qLicenceGate(s: SparkSession, d: String): DataFrame =
+    mintedLicenceVerdicts(s, t(s, d, "documents").select(col("doc_id")))
+      .orderBy(col("doc_id"))
 
   /** Mined-margin calibration report (q177, VERDICT r14 #7): the
     * scorer-calibration view over [[graft.ops.TrainPrep
@@ -4281,6 +4291,54 @@ object SparkEntry {
       .withColumn("kept_share_bp",
         expr("(n_kept * 10000) div greatest(n_pairs, 1L)"))
       .orderBy(col("n_cands"), col("margin_band"))
+  }
+
+  /** Provenance-and-authenticity pipeline (q179): the round's three
+    * new gates composed END TO END, the order a licensed training run
+    * actually uses — (1) licence/allowlist gate
+    * ([[graft.ops.Curation.licenceGate]], the q176 mint) fronts
+    * everything (no point auditing text we may not train on); (2)
+    * survivors through the MGT battery ([[graft.ops.TextAnalysis
+    * .mgtReport]], the q174 mutation classes; the stopword profile
+    * still comes from the FULL raw corpus — the trusted reference);
+    * (3) authentic survivors through the dedup-membership rule over
+    * the cold component labels (the q172 artifact's gate: keepers and
+    * singletons pass, non-keeper members drop). The per-doc funnel is
+    * emitted audit-style with STAGE-SCOPED nulls (a doc the licence
+    * gate dropped has no MGT verdict — downstream stages genuinely run
+    * only on survivors, so the plan's relations shrink stage by
+    * stage); every value replays in SQL via the three families'
+    * shared CTE fragments. */
+  private def qProvenancePipeline(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .localCheckpoint() // fence: feeds the mint, the profile, the labels
+    val lic = mintedLicenceVerdicts(s, raw.select(col("doc_id")))
+      .select(col("doc_id"), (col("verdict") === "keep").as("lic_keep"))
+    val surv = raw.join(lic.filter(col("lic_keep")).select("doc_id"),
+      "doc_id")
+    val audit = TextAnalysis.mgtReport(mgtMinted(surv), refDocs = raw)
+      .select(col("doc_id"), col("mgt_suspect"))
+    val labels = graft.ops.Graph.connectedComponents(
+      raw.select(col("doc_id").as("id")),
+      mintedStarEdges(raw.select(col("doc_id"))), iters = 4)
+    // stage verdicts as NON-NULL three-state strings ('skipped' marks a
+    // doc an earlier gate already dropped): nullable booleans round-trip
+    // as None-vs-NaN across the two engines' dataframe bridges — a
+    // repr-compare hazard, not a semantics one, so the schema avoids it
+    raw.select(col("doc_id"))
+      .join(lic, "doc_id")
+      .join(audit, Seq("doc_id"), "left")
+      .join(labels.select(col("id").as("doc_id"), col("comp")), "doc_id")
+      .select(col("doc_id"), col("lic_keep"),
+        when(!col("lic_keep"), "skipped")
+          .when(col("mgt_suspect"), "suspect")
+          .otherwise("clean").as("mgt_verdict"),
+        when(!col("lic_keep") || col("mgt_suspect"), "skipped")
+          .when(col("comp") === col("doc_id"), "keep")
+          .otherwise("drop").as("comp_verdict"),
+        coalesce(col("lic_keep") && !col("mgt_suspect") &&
+          col("comp") === col("doc_id"), lit(false)).as("kept"))
+      .orderBy(col("doc_id"))
   }
 
   /** Daily dedup cycle (q132): the full ingest loop classify → append
@@ -5535,7 +5593,8 @@ object SparkEntry {
     "q175_tokenizer_ab_diff" -> (qTokenizerAbDiff _),
     "q176_licence_gate" -> (qLicenceGate _),
     "q177_margin_report" -> (qMarginReport _),
-    "q178_component_chain" -> (qComponentChain _))
+    "q178_component_chain" -> (qComponentChain _),
+    "q179_provenance_pipeline" -> (qProvenancePipeline _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5932,7 +5991,9 @@ object SparkEntry {
   // the q172/q178 shared cold prefix: star mint (converged by round 1,
   // the shallow-cluster shape), 4 hash-min rounds, and day 1's three
   // delta classes
-  private def componentColdCtesSql: String =
+  // the converged cold star labels alone (c4) — q172/q178 fold deltas
+  // in on top; q179's membership gate probes them directly
+  private def starLabelsCtesSql: String =
     s"""docs AS MATERIALIZED (SELECT doc_id FROM documents),
            nn AS MATERIALIZED (SELECT count(*) AS n FROM docs),
            se AS MATERIALIZED (
@@ -5942,7 +6003,10 @@ object SparkEntry {
                    UNION SELECT dst AS src, src AS dst FROM se),
            c0 AS MATERIALIZED (
              SELECT doc_id AS id, doc_id AS comp FROM docs),
-           ${(1 to 4).map(componentsIterSql).mkString(",\n           ")},
+           ${(1 to 4).map(componentsIterSql).mkString(",\n           ")}"""
+
+  private def componentColdCtesSql: String =
+    s"""$starLabelsCtesSql,
            delta AS MATERIALIZED (
              SELECT doc_id AS src,
                (doc_id + 10) % (SELECT n FROM nn) AS dst
@@ -6022,24 +6086,22 @@ object SparkEntry {
   // per-doc trigram distinct-diff / literal phrase splits / stopword
   // lanes, with integer basis points and the engine's default
   // thresholds (burst 1200, template 200, skew 2500 at support >= 4)
-  private def mgtAuditOracleSql: String = {
-    // phrases interpolate into single-quoted SQL literals — escape any
-    // quote so a future phrase like "let's dive in" cannot break the
-    // statement (string_split is literal, matching the engine's
-    // Pattern.quote'd split)
-    val phraseHits = TextAnalysis.mgtTemplatePhrases
-      .map(p => s"(len(string_split(lt, '${p.replace("'", "''")}')) - 1)")
-      .mkString("\n               + ")
-    val swList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH m AS MATERIALIZED (
-             SELECT doc_id,
+  // the q174/q179 minted slop mutation as ONE SQL spelling over a
+  // (doc_id, text) source relation
+  private def mgtMintSelectSql(srcRel: String): String =
+    s"""SELECT doc_id,
                CASE doc_id % 4
                  WHEN 1 THEN text || '$mgtBurstSfx'
                  WHEN 2 THEN text || '$mgtTemplateSfx'
                  WHEN 3 THEN text || '$mgtSkewSfx'
                  ELSE text END AS text
-             FROM documents),
-           sw AS (SELECT unnest([$swList]) AS word),
+             FROM $srcRel"""
+
+  // the reference profile CTEs (raw documents — the trusted register,
+  // NEVER the audited mint) — shared by q174 and q179
+  private def mgtProfileCtesSql: String = {
+    val swList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""sw AS (SELECT unnest([$swList]) AS word),
            prof AS MATERIALIZED (
              SELECT s.word, count(t.x) AS c
              FROM sw s LEFT JOIN (
@@ -6049,12 +6111,27 @@ object SparkEntry {
            offp AS MATERIALIZED (
              SELECT word FROM prof
              WHERE c * 10000 <
-               500 * greatest((SELECT sum(c) FROM prof), 1)),
-           base AS MATERIALIZED (
+               500 * greatest((SELECT sum(c) FROM prof), 1))"""
+  }
+
+  // the per-doc MGT battery over an audited (doc_id, text) relation —
+  // TextAnalysis.mgtReport's exact arithmetic, prefixed so q179 can
+  // run it over the pipeline's survivors in the same statement;
+  // produces {pfx}fin carrying every count, basis-point, and flag
+  private def mgtBatteryCtesSql(docRel: String, pfx: String): String = {
+    // phrases interpolate into single-quoted SQL literals — escape any
+    // quote so a future phrase like "let's dive in" cannot break the
+    // statement (string_split is literal, matching the engine's
+    // Pattern.quote'd split)
+    val phraseHits = TextAnalysis.mgtTemplatePhrases
+      .map(p => s"(len(string_split(lt, '${p.replace("'", "''")}')) - 1)")
+      .mkString("\n               + ")
+    val swList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""${pfx}base AS MATERIALIZED (
              SELECT doc_id, string_split(lower(text), ' ') AS w,
                lower(text) AS lt
-             FROM m),
-           stats AS MATERIALIZED (
+             FROM $docRel),
+           ${pfx}stats AS MATERIALIZED (
              SELECT doc_id,
                CAST(len(w) AS BIGINT) AS n_words,
                CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2
@@ -6066,13 +6143,13 @@ object SparkEntry {
                CAST($phraseHits AS BIGINT) AS template_hits,
                CAST(len(list_filter(w, x -> x IN ($swList)))
                  AS BIGINT) AS stop_total
-             FROM base),
-           offm AS (
+             FROM ${pfx}base),
+           ${pfx}offm AS (
              SELECT b.doc_id, count(*) AS c
-             FROM (SELECT doc_id, unnest(w) AS x FROM base) b
+             FROM (SELECT doc_id, unnest(w) AS x FROM ${pfx}base) b
              JOIN offp o ON b.x = o.word
              GROUP BY b.doc_id),
-           fin AS (
+           ${pfx}fin AS MATERIALIZED (
              SELECT s.doc_id, s.doc_id % 4 AS cls, s.n_words, s.n_tri,
                CAST((s.dup3 * 10000) // greatest(s.n_tri, 1) AS BIGINT)
                  AS dup3_bp,
@@ -6083,7 +6160,15 @@ object SparkEntry {
                CAST(coalesce(o.c, 0) AS BIGINT) AS off_stop,
                CAST((coalesce(o.c, 0) * 10000)
                  // greatest(s.stop_total, 1) AS BIGINT) AS skew_bp
-             FROM stats s LEFT JOIN offm o ON o.doc_id = s.doc_id)
+             FROM ${pfx}stats s
+             LEFT JOIN ${pfx}offm o ON o.doc_id = s.doc_id)"""
+  }
+
+  private def mgtAuditOracleSql: String =
+    s"""WITH m AS MATERIALIZED (
+             ${mgtMintSelectSql("documents")}),
+           $mgtProfileCtesSql,
+           ${mgtBatteryCtesSql("m", "g")}
          SELECT doc_id, cls, n_words, n_tri, dup3_bp, template_hits,
            template_bp, stop_total, off_stop, skew_bp,
            (dup3_bp >= 1200) AS burst_flag,
@@ -6091,8 +6176,68 @@ object SparkEntry {
            (stop_total >= 4 AND skew_bp >= 2500) AS skew_flag,
            (dup3_bp >= 1200 OR template_bp >= 200
              OR (stop_total >= 4 AND skew_bp >= 2500)) AS mgt_suspect
-         FROM fin ORDER BY doc_id"""
-  }
+         FROM gfin ORDER BY doc_id"""
+
+  // the q176/q179 shared licence replay: shape-pinned expected domain
+  // (q130 convention — the engine computes registrableDomain for real)
+  // + the minted policy CASE, producing `lic` (doc_id, domain,
+  // licence, verdict)
+  private def licenceVerdictCtesSql: String =
+    """pol AS (
+             SELECT k, 'site' || k || '.com' AS domain,
+               CASE k % 4 WHEN 0 THEN 'cc-by'
+                 WHEN 1 THEN 'proprietary'
+                 WHEN 2 THEN 'cc-by-sa' END AS licence
+             FROM (SELECT unnest(range(0, 20)) AS k)
+             WHERE k % 4 <> 3),
+           licd AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % 23 = 5 THEN NULL
+                 ELSE 'site' || (doc_id % 20) || '.com' END AS domain
+             FROM documents),
+           lic AS MATERIALIZED (
+             SELECT licd.doc_id, licd.domain, p.licence,
+               CASE WHEN p.licence IS NULL THEN 'quarantine'
+                 WHEN p.licence IN ('cc-by', 'cc-by-sa') THEN 'keep'
+                 ELSE 'drop' END AS verdict
+             FROM licd LEFT JOIN pol p ON p.domain = licd.domain)"""
+
+  // q179: the three gate families' shared fragments composed — licence
+  // verdicts, the MGT battery over the lic-kept SURVIVORS (profile
+  // still from the raw corpus), and the cold star labels' membership
+  // rule; stage-scoped nulls via CASE (a dropped doc has no downstream
+  // verdict)
+  private def provenancePipelineOracleSql: String =
+    s"""WITH $licenceVerdictCtesSql,
+           surv AS MATERIALIZED (
+             SELECT d.doc_id, d.text
+             FROM documents d
+             JOIN lic ON lic.doc_id = d.doc_id
+             WHERE lic.verdict = 'keep'),
+           m2 AS MATERIALIZED (
+             ${mgtMintSelectSql("surv")}),
+           $mgtProfileCtesSql,
+           ${mgtBatteryCtesSql("m2", "g")},
+           mgts AS (
+             SELECT doc_id,
+               (dup3_bp >= 1200 OR template_bp >= 200
+                 OR (stop_total >= 4 AND skew_bp >= 2500)) AS sus
+             FROM gfin),
+           $starLabelsCtesSql
+         SELECT d.doc_id,
+           (l.verdict = 'keep') AS lic_keep,
+           CASE WHEN l.verdict <> 'keep' THEN 'skipped'
+             WHEN g.sus THEN 'suspect' ELSE 'clean' END AS mgt_verdict,
+           CASE WHEN l.verdict <> 'keep' OR g.sus THEN 'skipped'
+             WHEN c.comp = d.doc_id THEN 'keep'
+             ELSE 'drop' END AS comp_verdict,
+           coalesce(l.verdict = 'keep' AND NOT g.sus
+             AND c.comp = d.doc_id, false) AS kept
+         FROM documents d
+         JOIN lic l ON l.doc_id = d.doc_id
+         LEFT JOIN mgts g ON g.doc_id = d.doc_id
+         JOIN c4 c ON c.id = d.doc_id
+         ORDER BY d.doc_id"""
 
   private def chatTurnSql(role: String, content: String): String =
     s"""'{"role":"$role","content":' || to_json($content) || '}'"""
@@ -9000,29 +9145,13 @@ object SparkEntry {
     // q176: shape-pinned expected domain (q130 convention) + the
     // policy CASE; the engine computes registrableDomain for real
     "q176_licence_gate" ->
-      """WITH pol AS (
-             SELECT k, 'site' || k || '.com' AS domain,
-               CASE k % 4 WHEN 0 THEN 'cc-by'
-                 WHEN 1 THEN 'proprietary'
-                 WHEN 2 THEN 'cc-by-sa' END AS licence
-             FROM (SELECT unnest(range(0, 20)) AS k)
-             WHERE k % 4 <> 3),
-           d AS (
-             SELECT doc_id,
-               CASE WHEN doc_id % 23 = 5 THEN NULL
-                 ELSE 'site' || (doc_id % 20) || '.com' END AS domain
-             FROM documents),
-           j AS (
-             SELECT d.doc_id, d.domain, p.licence
-             FROM d LEFT JOIN pol p ON p.domain = d.domain)
-         SELECT doc_id, domain, licence,
-           CASE WHEN licence IS NULL THEN 'quarantine'
-             WHEN licence IN ('cc-by', 'cc-by-sa') THEN 'keep'
-             ELSE 'drop' END AS verdict,
-           (CASE WHEN licence IS NULL THEN 'quarantine'
-             WHEN licence IN ('cc-by', 'cc-by-sa') THEN 'keep'
-             ELSE 'drop' END = 'keep') AS keep
-         FROM j ORDER BY doc_id""",
+      s"""WITH $licenceVerdictCtesSql
+         SELECT doc_id, domain, licence, verdict,
+           (verdict = 'keep') AS keep
+         FROM lic ORDER BY doc_id""",
+    // q179: the three gate families composed — shared licence/MGT/
+    // star-label fragments, stage-scoped nulls
+    "q179_provenance_pipeline" -> provenancePipelineOracleSql,
     // q177: the shared mining CTEs at the q173 production threshold,
     // banded by floor division and aggregated per (n_cands, band)
     "q177_margin_report" ->
