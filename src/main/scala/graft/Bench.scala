@@ -610,6 +610,11 @@ object Bench {
       // MGT battery over survivors + 4 hash-min rounds + three
       // doc-keyed joins — linear
       "q179_provenance_pipeline",
+      // warm keeper election: the label chain + ONE map-combinable
+      // extremum agg (no window, no per-component sort) — linear;
+      // curriculum: the PrefixScan global-rank shape (range partition +
+      // broadcast offsets, no corpus-wide window) — linear
+      "q180_warm_keeper_election", "q181_curriculum",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

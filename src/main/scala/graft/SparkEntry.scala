@@ -4341,6 +4341,80 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Warm-label keeper election (q180): q178's incrementally-updated
+    * components × q155's election, in the AGGREGATE form — the
+    * map-combinable `max(struct(quality, −doc_id))` per component (the
+    * q123 conditional-extremum shape, the documented giant-component
+    * fallback q155's precondition note names: no per-component sort,
+    * no window, cluster parallelism at any cluster-size skew). The
+    * labels come from the delta update (cold star closure + day-1
+    * merge delta), so the election runs over clusters that EXIST only
+    * because of the incremental path; delta-minted NEW pages carry
+    * quality 0 (never elected over a corpus copy, deterministic). The
+    * oracle replays the label chain via the shared contraction
+    * generator and mirrors the election as the row_number window —
+    * the established cross-engine mirror (q155/q162 convention). */
+  private def qWarmKeeperElection(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    val idsOnly = docs.select(col("doc_id"))
+    val n = idsOnly.count()
+    val cold = graft.ops.Graph.connectedComponents(
+      idsOnly.select(col("doc_id").as("id")), mintedStarEdges(idsOnly),
+      iters = 4)
+    val warm = graft.ops.Graph.connectedComponentsDelta(
+        cold, mintedMergeDelta(idsOnly, n), iters = 6)
+      .localCheckpoint() // fence: feeds the election AND the output join
+    val labeled = warm
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")),
+        Seq("id"), "left")
+      .select(col("id"), col("comp"),
+        coalesce(col("n_chars"), lit(0L)).as("q"))
+      .localCheckpoint() // fence: feeds the keeper agg AND the output
+    val keepers = labeled
+      .groupBy(col("comp"))
+      .agg(max(struct(col("q"), (-col("id")).as("nid"))).as("best"))
+      .select(col("comp"), (-col("best.nid")).as("keeper"))
+    labeled.join(keepers, "comp")
+      .select(col("id").as("doc_id"), col("comp"),
+        col("q").as("quality"),
+        (col("id") === col("keeper")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Curriculum schedule (q181): global difficulty rank WITHOUT a
+    * single-reducer window — the [[graft.ops.PrefixScan.runningTotal]]
+    * shape over the encoded (n_chars desc, doc_id) ordinal with a
+    * CONSTANT group and value 1, so `cum` IS the 0-based global rank
+    * (range partitioning keeps parallelism at the cluster's, exactly
+    * the q162 argument: a corpus-wide `row_number()` window funnels
+    * 100 TB through one reducer). Phase = rank·3 div n — the
+    * easy/medium/hard tercile a curriculum run feeds in order (longest
+    * docs first here, the difficulty proxy). The oracle mirrors the
+    * scan as the window rank (the q162 cross-engine convention). */
+  private def qCurriculum(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    val n = docs.count()
+    val enc = graft.ops.PrefixScan.encodeDescOrdinal(
+      col("n_chars"), col("doc_id"), offset = 1L << 20,
+      lo = 0L, hi = (1L << 20) - 1, keyWhat = "q181: n_chars",
+      docWhat = "q181: doc_id")
+    graft.ops.PrefixScan
+      .runningTotal(docs.select(col("doc_id"), col("n_chars")),
+        lit("all"), enc, lit(1L))
+      .select(
+        graft.ops.PrefixScan.decodeDocId(col("ord")).as("doc_id"),
+        // decodeKey divides as double (exact — the ord is a clean
+        // multiple), so pin the integer type back for the hash compare
+        graft.ops.PrefixScan.decodeKey(col("ord"), offset = 1L << 20)
+          .cast("long").as("n_chars"),
+        col("cum").as("rank_pos"),
+        expr(s"(cum * 3) div ${n}L").as("phase"))
+      .withColumn("phase_name",
+        when(col("phase") === 0L, "hard")
+          .when(col("phase") === 1L, "medium").otherwise("easy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -5594,7 +5668,9 @@ object SparkEntry {
     "q176_licence_gate" -> (qLicenceGate _),
     "q177_margin_report" -> (qMarginReport _),
     "q178_component_chain" -> (qComponentChain _),
-    "q179_provenance_pipeline" -> (qProvenancePipeline _))
+    "q179_provenance_pipeline" -> (qProvenancePipeline _),
+    "q180_warm_keeper_election" -> (qWarmKeeperElection _),
+    "q181_curriculum" -> (qCurriculum _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -9152,6 +9228,40 @@ object SparkEntry {
     // q179: the three gate families composed — shared licence/MGT/
     // star-label fragments, stage-scoped nulls
     "q179_provenance_pipeline" -> provenancePipelineOracleSql,
+    // q180: the warm label chain via the shared contraction generator,
+    // the election mirrored as the row_number window (q155 convention)
+    "q180_warm_keeper_election" ->
+      s"""WITH $componentColdCtesSql,
+           ${componentDeltaCtesSql("a", "c4", "delta")},
+           lab AS MATERIALIZED (
+             SELECT f.id, f.comp, CAST(coalesce(d.n_chars, 0) AS BIGINT)
+               AS q
+             FROM arelab f
+             LEFT JOIN (SELECT doc_id, n_chars FROM documents) d
+               ON d.doc_id = f.id),
+           elect AS (
+             SELECT id, comp, q,
+               row_number() OVER (PARTITION BY comp
+                 ORDER BY q DESC, id ASC) AS rn
+             FROM lab)
+         SELECT id AS doc_id, comp, q AS quality, (rn = 1) AS keep
+         FROM elect ORDER BY doc_id""",
+    // q181: the scan-based global rank mirrored as the corpus window
+    // (the q162 cross-engine convention), terciles by floor division
+    "q181_curriculum" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+           t AS (
+             SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
+                 AS rank_pos
+             FROM documents)
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rank_pos AS BIGINT) AS rank_pos,
+           CAST((rank_pos * 3) // (SELECT n FROM nn) AS BIGINT) AS phase,
+           CASE (rank_pos * 3) // (SELECT n FROM nn)
+             WHEN 0 THEN 'hard' WHEN 1 THEN 'medium'
+             ELSE 'easy' END AS phase_name
+         FROM t ORDER BY doc_id""",
     // q177: the shared mining CTEs at the q173 production threshold,
     // banded by floor division and aggregated per (n_cands, band)
     "q177_margin_report" ->

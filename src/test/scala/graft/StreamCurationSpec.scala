@@ -407,6 +407,60 @@ class StreamCurationSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("artifact gates COMPOSE in one stream: component membership then " +
+      "rank threshold, two stream-static joins, still stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two persisted artifacts over one tiny graph: labels (dedup
+    // membership) and ranks (authority) — the curation front a real
+    // ingest runs as ONE streaming query
+    val nodes = (0L until 6L).toDF("id")
+    val edges = Seq[(Long, Long)]((1L, 0L), (2L, 0L), (3L, 0L), (0L, 3L))
+      .toDF("src", "dst")
+    val labels = graft.ops.Graph.connectedComponents(nodes, edges, iters = 4)
+    val ranks = graft.ops.Graph.pageRank(nodes, edges, iters = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gate_chain").toString
+    graft.ops.Graph.saveComponentLabels(labels, dir + "_l")
+    graft.ops.Graph.saveRankVector(ranks, dir + "_r")
+    val l = graft.ops.Graph.loadComponentLabels(spark, dir + "_l")
+    val r = graft.ops.Graph.loadRankVector(spark, dir + "_r")
+    val source = MemoryStream[java.lang.Long]
+    // stage 1: drop known near-dup members; stage 2: rank-gate the
+    // survivors (keepers + unknowns) — chained on the SAME stream
+    val members = StreamCuration.componentGate(
+      l, source.toDF().toDF("doc_id"), col("doc_id"))
+    val gated = StreamCuration.rankGate(
+      r, members.filter(col("keep")).select(col("doc_id")),
+      col("doc_id"), minRankU = 1000000L)
+    val query = gated.writeStream.format("memory").queryName("gate_chain")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(
+        java.lang.Long.valueOf(0L),  // keeper AND hub: survives both
+        java.lang.Long.valueOf(2L),  // known member: dropped at stage 1
+        java.lang.Long.valueOf(5L),  // known isolate: passes membership,
+                                     // then drops at the rank gate (a
+                                     // drained node's REAL rank < 1e6 —
+                                     // only unknown pages get the
+                                     // uniform default)
+        java.lang.Long.valueOf(99L)) // unknown page: passes both gates
+      query.processAllAvailable()
+      val got = spark.table("gate_chain")
+        .select("doc_id", "keep")
+        .as[(Long, Boolean)].collect().toMap
+      assert(!got.contains(2L),
+        "the member must never reach the rank gate: " + got)
+      assert(got(0L), "the keeper hub survives both gates: " + got)
+      assert(got.contains(5L) && !got(5L),
+        "a known drained isolate reaches stage 2 and drops there: " + got)
+      assert(got(99L), "an unknown page passes both defaults: " + got)
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty,
+        "two chained stream-static joins must hold zero state")
+    } finally query.stop()
+  }
+
   test("preference-pair prep lifts to a stream unchanged: map-only " +
       "audit + pair gates, stateless") {
     import spark.implicits._
