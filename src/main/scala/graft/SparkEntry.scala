@@ -3978,6 +3978,26 @@ object SparkEntry {
     * relation, relabel join — a divergence anywhere in save/load/
     * contract/propagate breaks the label hash). Warm ≡ cold on the
     * appended graph is the `GraphSpec` adversarial-merge case. */
+  // ONE spelling of the q172/q178 scaffold (the review-pass dedup —
+  // the oracle side already shares its generators):
+  // per-trip saved-vs-reloaded mismatch rows…
+  private def labelTripBad(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("id"), col("comp").as("c0"))
+      .join(b.select(col("id"), col("comp").as("c1")), Seq("id"), "full")
+      .select(when(col("c0") <=> col("c1"), 0L).otherwise(1L).as("bad"))
+  // …and the (labels, roundtrip) output shape
+  private def componentCycleOutput(
+      warm: DataFrame, trips: Seq[DataFrame]): DataFrame = {
+    val rt = trips.reduce(_ unionByName _)
+      .agg(coalesce(sum(col("bad")), lit(0L)).as("n_bad"))
+    val sizes = warm.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+    warm.join(sizes, "comp").crossJoin(broadcast(rt))
+      .select(col("id").as("doc_id"), col("comp"), col("comp_size"),
+        (col("id") === col("comp")).as("is_root"),
+        (col("n_bad") === 0L).as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   private def qComponentCycle(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"))
     val n = docs.count()
@@ -3989,30 +4009,27 @@ object SparkEntry {
     graft.ops.Graph.saveComponentLabels(cold, dir)
     val loaded = graft.ops.Graph.loadComponentLabels(s, dir)
       .localCheckpoint() // fence: feeds the compare AND the delta update
-    val rt = cold.select(col("id"), col("comp").as("c0"))
-      .join(loaded.select(col("id"), col("comp").as("c1")), Seq("id"), "full")
-      .agg(coalesce(sum(when(col("c0") <=> col("c1"), 0L).otherwise(1L)),
-        lit(0L)).as("n_bad"))
     val warm = graft.ops.Graph.connectedComponentsDelta(
         loaded, mintedMergeDelta(docs, n), iters = 6)
       .localCheckpoint() // fence: feeds the size agg AND the output join
-    val sizes = warm.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
-    warm.join(sizes, "comp").crossJoin(broadcast(rt))
-      .select(col("id").as("doc_id"), col("comp"), col("comp_size"),
-        (col("id") === col("comp")).as("is_root"),
-        (col("n_bad") === 0L).as("roundtrip_ok"))
-      .orderBy(col("doc_id"))
+    componentCycleOutput(warm, Seq(labelTripBad(cold, loaded)))
   }
 
   /** The q178 day-2 delta mint — a SECOND day of crawl pairs, shaped
-    * to stress composition over day 1's ALREADY-UPDATED labels: pair
-    * merges at fresh residues (`id % 20 == 13` links star b to b+30 —
-    * under day 1's labels that can bridge two day-1-MERGED clusters,
-    * so the day-2 contraction must run over day-1 components, not
-    * stars), plus new pages at `id % 97 == 41` (targets offset by 2n —
+    * to stress composition over day 1's ALREADY-UPDATED labels while
+    * staying BOUNDED: `id % 80 == 13` links star (≡10 mod 80) to star
+    * (≡40 mod 80) — under day 1's labels that bridges two
+    * day-1-MERGED 4-star clusters (the contraction must run over
+    * day-1 components, not stars) in DISJOINT pairs, so the day-2
+    * contracted graph converges inside the fixed rounds at ANY corpus
+    * size (a `% 20` residue here would daisy-chain every day-1
+    * component into one corpus-length path — the review-pass finding:
+    * 6 hash-min rounds can't converge that past ~500 docs, and the
+    * demonstrated daily posture would hit the root-closure save gate).
+    * Plus new pages at `id % 97 == 41` (targets offset by 2n —
     * disjoint from day 1's new-page range). */
   private def mintedMergeDelta2(docs: DataFrame, n: Long): DataFrame =
-    docs.filter(pmod(col("doc_id"), lit(20L)) === 13L)
+    docs.filter(pmod(col("doc_id"), lit(80L)) === 13L)
       .select(col("doc_id").as("src"),
         pmod(col("doc_id") + 30L, lit(n)).as("dst"))
       .unionByName(docs.filter(pmod(col("doc_id"), lit(97L)) === 41L)
@@ -4027,8 +4044,11 @@ object SparkEntry {
     * merged components (its save passes the root-closure gate because
     * the bounded merge shapes converge inside the fixed rounds), and
     * day 2's pair class deliberately bridges day-1-merged clusters.
-    * Both parquet round trips are genuinely compared (`roundtrip_ok` =
-    * both days); the full two-chain warm path is SQL-replayed
+    * BOTH parquet round trips are genuinely compared — `roundtrip_ok`
+    * aggregates the day-1 (cold vs reloaded-1) AND day-2 (day-1 vs
+    * reloaded-2) mismatch rows (the review-pass gap: comparing only
+    * the second trip reported "both days ok" while checking one); the
+    * full two-chain warm path is SQL-replayed
     * (cold rounds → contraction-1 → k-rounds → relabel → contraction-2
     * → j-rounds → relabel — a divergence anywhere in either day's
     * save/load/contract/propagate breaks the label hash). */
@@ -4038,31 +4058,23 @@ object SparkEntry {
     val ids = docs.select(col("doc_id").as("id"))
     val cold = graft.ops.Graph.connectedComponents(
         ids, mintedStarEdges(docs), iters = 4)
-      .localCheckpoint()
+      .localCheckpoint() // fence: feeds the save AND the day-1 compare
     val dir1 = tempFixtureDir("graft_cc_chain1")
     graft.ops.Graph.saveComponentLabels(cold, dir1)
+    val loaded1 = graft.ops.Graph.loadComponentLabels(s, dir1)
+      .localCheckpoint() // fence: feeds the compare AND the day-1 update
     val day1 = graft.ops.Graph.connectedComponentsDelta(
-        graft.ops.Graph.loadComponentLabels(s, dir1),
-        mintedMergeDelta(docs, n), iters = 6)
-      .localCheckpoint() // fence: feeds the save AND the compare
+        loaded1, mintedMergeDelta(docs, n), iters = 6)
+      .localCheckpoint() // fence: feeds the save AND the day-2 compare
     val dir2 = tempFixtureDir("graft_cc_chain2")
     graft.ops.Graph.saveComponentLabels(day1, dir2)
     val loaded2 = graft.ops.Graph.loadComponentLabels(s, dir2)
-      .localCheckpoint() // fence: feeds the compare AND the update
-    val rt = day1.select(col("id"), col("comp").as("c0"))
-      .join(loaded2.select(col("id"), col("comp").as("c1")),
-        Seq("id"), "full")
-      .agg(coalesce(sum(when(col("c0") <=> col("c1"), 0L).otherwise(1L)),
-        lit(0L)).as("n_bad"))
+      .localCheckpoint() // fence: feeds the compare AND the day-2 update
     val day2 = graft.ops.Graph.connectedComponentsDelta(
         loaded2, mintedMergeDelta2(docs, n), iters = 6)
       .localCheckpoint() // fence: feeds the size agg AND the output join
-    val sizes = day2.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
-    day2.join(sizes, "comp").crossJoin(broadcast(rt))
-      .select(col("id").as("doc_id"), col("comp"), col("comp_size"),
-        (col("id") === col("comp")).as("is_root"),
-        (col("n_bad") === 0L).as("roundtrip_ok"))
-      .orderBy(col("doc_id"))
+    componentCycleOutput(day2,
+      Seq(labelTripBad(cold, loaded1), labelTripBad(day1, loaded2)))
   }
 
   /** DPO masking composition (q170): q167 × q159 — kept preference
@@ -4325,8 +4337,11 @@ object SparkEntry {
     // doc an earlier gate already dropped): nullable booleans round-trip
     // as None-vs-NaN across the two engines' dataframe bridges — a
     // repr-compare hazard, not a semantics one, so the schema avoids it
-    raw.select(col("doc_id"))
-      .join(lic, "doc_id")
+    // lic already carries exactly one row per corpus doc (the gate
+    // left-joins a uniqueness-checked policy), so the funnel starts
+    // from it directly — re-joining raw would be a corpus-sized
+    // identity join (review-pass finding)
+    lic
       .join(audit, Seq("doc_id"), "left")
       .join(labels.select(col("id").as("doc_id"), col("comp")), "doc_id")
       .select(col("doc_id"), col("lic_keep"),
@@ -6119,7 +6134,7 @@ object SparkEntry {
            delta2 AS MATERIALIZED (
              SELECT doc_id AS src,
                (doc_id + 30) % (SELECT n FROM nn) AS dst
-             FROM docs WHERE doc_id % 20 = 13
+             FROM docs WHERE doc_id % 80 = 13
              UNION ALL
              SELECT doc_id AS src,
                doc_id + 2 * (SELECT n FROM nn) AS dst
