@@ -610,6 +610,9 @@ object Bench {
       // MGT battery over survivors + 4 hash-min rounds + three
       // doc-keyed joins — linear
       "q179_provenance_pipeline",
+      // MGT profile cycle: two seven-row profile aggregates + the
+      // artifact write/read + two map-only batteries — linear
+      "q182_mgt_profile_cycle",
       // warm keeper election: the label chain + ONE map-combinable
       // extremum agg (no window, no per-component sort) — linear;
       // curriculum: the PrefixScan global-rank shape (range partition +

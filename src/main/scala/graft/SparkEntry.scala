@@ -4430,6 +4430,59 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // the q182 day-2 trusted-register suffix: prose that legitimately
+  // uses 'of' (the register shift the refreshed profile must absorb) —
+  // ONE spelling, inlined into the oracle too
+  private val mgtRegisterSfx =
+    " most of the results of the run of the day of the week"
+
+  /** Stopword-profile persistence cycle (q182): the MGT battery's
+    * reference register as the TENTH persisted artifact —
+    * [[graft.ops.TextAnalysis.saveStopwordProfile]] →
+    * [[graft.ops.TextAnalysis.loadStopwordProfile]] (seven-row parquet,
+    * genuinely roundtrip-compared) → [[graft.ops.TextAnalysis
+    * .appendStopwordProfile]] folds in a trusted day-2 batch whose
+    * prose legitimately uses 'of' (the additive-sketch append: counts
+    * sum, yesterday's corpus never re-read). The payoff is the
+    * ABSORPTION semantics: the q174 mint's of-heavy skew class flags
+    * under the STALE register ('of' is off-profile) and passes under
+    * the REFRESHED one ('of' crossed the 500-bp floor because the
+    * trusted corpus now uses it) — register drift handled by artifact
+    * refresh, not threshold fudging. Both batteries and both profiles
+    * replay exactly (counts are pure integers); `absorbed` is the
+    * value-compared verdict. */
+  private def qMgtProfileCycle(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .localCheckpoint() // fence: feeds the profile, day-2, the mint
+    val n = raw.count()
+    val p1 = TextAnalysis.stopwordProfile(raw)
+    val dir = tempFixtureDir("graft_mgt_profile")
+    TextAnalysis.saveStopwordProfile(p1, dir)
+    val loaded = TextAnalysis.loadStopwordProfile(s, dir)
+    val rt = p1.select(col("word"), col("cnt").as("c0"))
+      .join(loaded.select(col("word"), col("cnt").as("c1")),
+        Seq("word"), "full")
+      .agg(coalesce(sum(when(col("c0") <=> col("c1"), 0L).otherwise(1L)),
+        lit(0L)).as("n_bad"))
+    val day2 = raw.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select((col("doc_id") + n).as("doc_id"),
+        concat(col("text"), lit(mgtRegisterSfx)).as("text"))
+    val refreshed = TextAnalysis.appendStopwordProfile(loaded, day2)
+    val batch = mgtMinted(raw).localCheckpoint() // feeds two batteries
+    def flags(p: DataFrame, tag: String): DataFrame =
+      TextAnalysis.mgtReportWithProfile(batch, p)
+        .select(col("doc_id"), col("off_stop").as(s"${tag}_off"),
+          col("skew_flag").as(s"${tag}_skew"))
+    flags(loaded, "stale").join(flags(refreshed, "fresh"), "doc_id")
+      .crossJoin(broadcast(rt))
+      .select(col("doc_id"), pmod(col("doc_id"), lit(4L)).as("cls"),
+        col("stale_off"), col("stale_skew"),
+        col("fresh_off"), col("fresh_skew"),
+        (col("stale_skew") && !col("fresh_skew")).as("absorbed"),
+        (col("n_bad") === 0L).as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Daily dedup cycle (q132): the full ingest loop classify → append
     * → classify, end to end — day-1 batch (every-10th-doc copies +
     * fully synthetic fresh docs) probes the corpus index; its `new`
@@ -5685,7 +5738,8 @@ object SparkEntry {
     "q178_component_chain" -> (qComponentChain _),
     "q179_provenance_pipeline" -> (qProvenancePipeline _),
     "q180_warm_keeper_election" -> (qWarmKeeperElection _),
-    "q181_curriculum" -> (qCurriculum _))
+    "q181_curriculum" -> (qCurriculum _),
+    "q182_mgt_profile_cycle" -> (qMgtProfileCycle _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -6188,28 +6242,35 @@ object SparkEntry {
                  ELSE text END AS text
              FROM $srcRel"""
 
-  // the reference profile CTEs (raw documents — the trusted register,
-  // NEVER the audited mint) — shared by q174 and q179
-  private def mgtProfileCtesSql: String = {
-    val swList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
-    s"""sw AS (SELECT unnest([$swList]) AS word),
-           prof AS MATERIALIZED (
+  private def mgtStopwordListSql: String =
+    TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  // one (prefixed) profile + off-profile pair over a text relation —
+  // q182 builds TWO registers (stale and refreshed) in one statement
+  private def mgtProfileCtesOn(pfx: String, textRel: String): String =
+    s"""${pfx}prof AS MATERIALIZED (
              SELECT s.word, count(t.x) AS c
              FROM sw s LEFT JOIN (
                SELECT unnest(string_split(lower(text), ' ')) AS x
-               FROM documents) t ON t.x = s.word
+               FROM $textRel) t ON t.x = s.word
              GROUP BY s.word),
-           offp AS MATERIALIZED (
-             SELECT word FROM prof
+           ${pfx}offp AS MATERIALIZED (
+             SELECT word FROM ${pfx}prof
              WHERE c * 10000 <
-               500 * greatest((SELECT sum(c) FROM prof), 1))"""
-  }
+               500 * greatest((SELECT sum(c) FROM ${pfx}prof), 1))"""
+
+  // the reference profile CTEs (raw documents — the trusted register,
+  // NEVER the audited mint) — shared by q174 and q179
+  private def mgtProfileCtesSql: String =
+    s"""sw AS (SELECT unnest([$mgtStopwordListSql]) AS word),
+           ${mgtProfileCtesOn("", "documents")}"""
 
   // the per-doc MGT battery over an audited (doc_id, text) relation —
   // TextAnalysis.mgtReport's exact arithmetic, prefixed so q179 can
   // run it over the pipeline's survivors in the same statement;
   // produces {pfx}fin carrying every count, basis-point, and flag
-  private def mgtBatteryCtesSql(docRel: String, pfx: String): String = {
+  private def mgtBatteryCtesSql(docRel: String, pfx: String,
+      offpRel: String = "offp"): String = {
     // phrases interpolate into single-quoted SQL literals — escape any
     // quote so a future phrase like "let's dive in" cannot break the
     // statement (string_split is literal, matching the engine's
@@ -6238,7 +6299,7 @@ object SparkEntry {
            ${pfx}offm AS (
              SELECT b.doc_id, count(*) AS c
              FROM (SELECT doc_id, unnest(w) AS x FROM ${pfx}base) b
-             JOIN offp o ON b.x = o.word
+             JOIN $offpRel o ON b.x = o.word
              GROUP BY b.doc_id),
            ${pfx}fin AS MATERIALIZED (
              SELECT s.doc_id, s.doc_id % 4 AS cls, s.n_words, s.n_tri,
@@ -9233,6 +9294,40 @@ object SparkEntry {
            true AS roundtrip_ok
          FROM uni ORDER BY prompt_id""",
     "q174_mgt_audit" -> mgtAuditOracleSql,
+    // q182: both registers replayed (stale = documents; refreshed =
+    // documents plus the day-2 suffixed batch — additive counts), the
+    // battery once (stats are register-independent), the second
+    // off-mass via the refreshed off-profile set; parquet round trip
+    // pinned (q166 convention)
+    "q182_mgt_profile_cycle" ->
+      s"""WITH m AS MATERIALIZED (
+             ${mgtMintSelectSql("documents")}),
+           reg2 AS (
+             SELECT text FROM documents
+             UNION ALL
+             SELECT text || '$mgtRegisterSfx' AS text
+             FROM documents WHERE doc_id % 5 = 0),
+           sw AS (SELECT unnest([$mgtStopwordListSql]) AS word),
+           ${mgtProfileCtesOn("", "documents")},
+           ${mgtProfileCtesOn("r", "reg2")},
+           ${mgtBatteryCtesSql("m", "g")},
+           o2 AS (
+             SELECT b.doc_id, count(*) AS c
+             FROM (SELECT doc_id, unnest(w) AS x FROM gbase) b
+             JOIN roffp o ON b.x = o.word
+             GROUP BY b.doc_id)
+         SELECT f.doc_id, f.doc_id % 4 AS cls,
+           f.off_stop AS stale_off,
+           (f.stop_total >= 4 AND f.skew_bp >= 2500) AS stale_skew,
+           CAST(coalesce(o2.c, 0) AS BIGINT) AS fresh_off,
+           (f.stop_total >= 4 AND (coalesce(o2.c, 0) * 10000)
+             // greatest(f.stop_total, 1) >= 2500) AS fresh_skew,
+           ((f.stop_total >= 4 AND f.skew_bp >= 2500) AND NOT
+             (f.stop_total >= 4 AND (coalesce(o2.c, 0) * 10000)
+               // greatest(f.stop_total, 1) >= 2500)) AS absorbed,
+           true AS roundtrip_ok
+         FROM gfin f LEFT JOIN o2 ON o2.doc_id = f.doc_id
+         ORDER BY f.doc_id""",
     // q176: shape-pinned expected domain (q130 convention) + the
     // policy CASE; the engine computes registrableDomain for real
     "q176_licence_gate" ->

@@ -428,17 +428,86 @@ object TextAnalysis {
       burstBp: Long = 1200L,
       templateBp: Long = 200L,
       skewBp: Long = 2500L,
+      minStopSupport: Long = 4L): DataFrame =
+    mgtReportWithProfile(docs, stopwordProfile(refDocs), profileFloorBp,
+      burstBp, templateBp, skewBp, minStopSupport)
+
+  /** The trusted-register stopword profile as a RELATION — one (word,
+    * cnt) row per [[stopwords]] entry, zeros included: the TENTH
+    * persisted artifact's payload (the MGT battery's reference is
+    * metadata-sized by construction — seven longs — so it persists,
+    * appends, and broadcasts like the centroid/template class). Seven
+    * sums in ONE map-combined aggregate; no explode — the list is
+    * closed. */
+  def stopwordProfile(refDocs: DataFrame): DataFrame = {
+    val sess = refDocs.sparkSession
+    import sess.implicits._
+    val profCols = stopwords.map(w => coalesce(sum(
+      size(filter(tokens(lower(col("text"))), t => t === w)).cast("long")),
+      lit(0L)).as(w))
+    val profRow = refDocs.agg(profCols.head, profCols.tail: _*).head
+    stopwords.indices.map(i => (stopwords(i), profRow.getLong(i)))
+      .toDF("word", "cnt")
+  }
+
+  /** Persist the stopword profile under `path/stop_profile` — gated on
+    * the way in (exactly the closed word list, once each, non-negative
+    * counts), the artifact-family save posture. */
+  def saveStopwordProfile(profile: DataFrame, path: String): Unit = {
+    validatedProfile(profile, "saveStopwordProfile")
+      .write.mode("overwrite").parquet(s"$path/stop_profile")
+  }
+
+  def loadStopwordProfile(
+      sess: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    sess.read.parquet(s"$path/stop_profile")
+      .select(col("word").cast("string").as("word"),
+        col("cnt").cast("long").as("cnt"))
+
+  /** Fold a fresh trusted batch into the persisted profile — the daily
+    * register refresh: counts SUM element-wise (the profile is a pure
+    * additive sketch, so append never re-reads yesterday's corpus). A
+    * function word the old register lacked becomes in-profile once the
+    * trusted corpus genuinely uses it — the q182 absorption
+    * semantics. */
+  def appendStopwordProfile(
+      profile: DataFrame, newDocs: DataFrame): DataFrame = {
+    val p = validatedProfile(profile, "appendStopwordProfile")
+    p.unionByName(stopwordProfile(newDocs))
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  private def validatedProfile(
+      profile: DataFrame, op: String): DataFrame = {
+    val p = profile.select(col("word").cast("string").as("word"),
+      col("cnt").cast("long").as("cnt"))
+    val rows = p.collect() // seven rows by contract — driver metadata
+    val seen = rows.map(r => Option(r.getString(0)).getOrElse("")).toSeq
+    require(seen.sorted == stopwords.sorted,
+      s"$op: profile must carry exactly the closed stopword list " +
+        s"(${stopwords.mkString(", ")}), once each — got " +
+        s"(${seen.mkString(", ")})")
+    require(rows.forall(r => !r.isNullAt(1) && r.getLong(1) >= 0L),
+      s"$op: profile counts must be non-null and non-negative")
+    p
+  }
+
+  /** [[mgtReport]] over an EXPLICIT profile relation (the persisted
+    * artifact path — q182 reloads yesterday's profile instead of
+    * re-scanning the trusted corpus). */
+  def mgtReportWithProfile(
+      docs: DataFrame,
+      profile: DataFrame,
+      profileFloorBp: Long = 500L,
+      burstBp: Long = 1200L,
+      templateBp: Long = 200L,
+      skewBp: Long = 2500L,
       minStopSupport: Long = 4L): DataFrame = {
     require(profileFloorBp >= 0 && profileFloorBp <= 10000,
       s"profileFloorBp must be in [0,10000], got $profileFloorBp")
     def lowToks(c: Column): Column = tokens(lower(c))
-    // reference profile: per-stopword corpus mass, seven sums in ONE
-    // map-combined aggregate (no explode — the list is closed)
-    val profCols = stopwords.map(w => coalesce(sum(
-      size(filter(lowToks(col("text")), t => t === w)).cast("long")),
-      lit(0L)).as(w))
-    val profRow = refDocs.agg(profCols.head, profCols.tail: _*).head
-    val counts = stopwords.indices.map(i => stopwords(i) -> profRow.getLong(i))
+    val counts = validatedProfile(profile, "mgtReportWithProfile")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val profTotal = counts.map(_._2).sum
     // off-profile = rare-or-absent in the reference register; with an
     // EMPTY reference profile every stopword is off-profile (nothing

@@ -1243,6 +1243,49 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("stopword-profile artifact: save/load round-trips, append SUMS " +
+      "counts, a register shift absorbs the skew flag, and corrupt " +
+      "profiles are refused") {
+    import spark.implicits._
+    val ref = Seq((0L, "the cat sat on a mat and the dog ran to a tree"))
+      .toDF("doc_id", "text")
+    val p1 = TextAnalysis.stopwordProfile(ref)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_profile_spec").toString
+    TextAnalysis.saveStopwordProfile(p1, dir)
+    val loaded = TextAnalysis.loadStopwordProfile(spark, dir)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(asMap(p1) === asMap(loaded), "seven-row round trip bit-exact")
+    assert(asMap(p1) === Map("the" -> 2L, "a" -> 2L, "and" -> 1L,
+      "to" -> 1L, "of" -> 0L, "in" -> 0L, "is" -> 0L))
+    // append SUMS: a trusted of-rich day folds 'of' into the register
+    val day2 = Seq((1L, "most of the results of the run"))
+      .toDF("doc_id", "text")
+    val refreshed = TextAnalysis.appendStopwordProfile(loaded, day2)
+    assert(asMap(refreshed)("of") === 2L &&
+      asMap(refreshed)("the") === 4L, asMap(refreshed).toString)
+    // absorption: an of-heavy doc is skew-flagged under the STALE
+    // register and clean under the REFRESHED one
+    val doc = Seq((9L, "word of stuff of item of thing of end"))
+      .toDF("doc_id", "text")
+    def skew(p: org.apache.spark.sql.DataFrame): Boolean =
+      TextAnalysis.mgtReportWithProfile(doc, p)
+        .select("skew_flag").head.getBoolean(0)
+    assert(skew(loaded), "off-register 'of' mass must flag when stale")
+    assert(!skew(refreshed), "the refreshed register must absorb it")
+    // refusals: a missing word, a duplicated word, a negative count
+    def refuse(rows: Seq[(String, Long)]): Unit =
+      assertThrows[IllegalArgumentException] {
+        TextAnalysis.saveStopwordProfile(
+          rows.toDF("word", "cnt"), dir + "_bad")
+      }
+    refuse(TextAnalysis.stopwords.filter(_ != "of").map(_ -> 1L))
+    refuse(TextAnalysis.stopwords.map(_ -> 1L) :+ ("the" -> 2L))
+    refuse(TextAnalysis.stopwords.map(_ -> 1L)
+      .map { case (w, c) => if (w == "a") (w, -1L) else (w, c) })
+  }
+
   test("mgtReport: each planted slop class trips ITS signal, natural " +
       "prose trips none, and the stopword profile comes from the " +
       "REFERENCE corpus (off-profile words are the reference's rare " +
