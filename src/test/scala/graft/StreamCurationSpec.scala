@@ -346,17 +346,24 @@ class StreamCurationSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("MGT battery lifts to a stream unchanged: reference profile from " +
-      "the static corpus, map-only signals per micro-batch, stateless") {
+  test("MGT battery lifts to a stream unchanged and probes the RELOADED " +
+      "profile artifact (the tenth modality's in-stream probe): map-only " +
+      "signals per micro-batch, stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // the trusted reference register (static), the q174 posture: the
-    // stream's slop must not shift the profile toward itself
+    // the trusted reference register persisted and RELOADED (the q182
+    // artifact cycle driven from the stream side): the stream's slop
+    // must not shift the profile toward itself
     val ref = Seq((100L, "the cat sat on a mat and the dog ran to a tree"))
       .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mgt_profile_gate").toString
+    graft.ops.TextAnalysis.saveStopwordProfile(
+      graft.ops.TextAnalysis.stopwordProfile(ref), dir)
+    val loaded = graft.ops.TextAnalysis.loadStopwordProfile(spark, dir)
     val source = MemoryStream[(Long, String)]
-    val out = graft.ops.TextAnalysis.mgtReport(
-      source.toDF().toDF("doc_id", "text"), ref)
+    val out = graft.ops.TextAnalysis.mgtReportWithProfile(
+      source.toDF().toDF("doc_id", "text"), loaded)
     val query = out.writeStream.format("memory").queryName("mgt_stream")
       .outputMode(OutputMode.Append).start()
     try {
