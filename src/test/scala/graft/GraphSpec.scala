@@ -571,6 +571,38 @@ class GraphSpec extends SparkSpec {
     assert(warm2(7L) === 1L && warm2(40L) === 1L, warm2.toString)
   }
 
+  test("components delta: RANDOM base/delta splits — the incremental " +
+      "update equals the cold closure whenever the prior converged " +
+      "(iters = n bounds hash-min on any shape)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    for (trial <- 1 to 2) {
+      val n = 16 + rnd.nextInt(8)
+      val base = Seq.fill(n / 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // delta can merge anything, re-link inside a component, self-loop,
+      // or pull in new nodes above n — the full contract surface
+      val delta = Seq.fill(n / 3)(
+        (rnd.nextInt(n + 4).toLong, rnd.nextInt(n + 4).toLong))
+      val nodes = (0L until n.toLong).toDF("id")
+      // iters = n guarantees the fixpoint on ANY shape (a min label
+      // travels at most n-1 hops), so the precondition provably holds
+      val prior = Graph.connectedComponents(
+        nodes, base.toDF("src", "dst"), iters = n)
+      val warm = Graph.connectedComponentsDelta(
+          prior, delta.toDF("src", "dst"), iters = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val allIds = ((0L until n.toLong) ++
+        delta.flatMap(e => Seq(e._1, e._2)).filter(_ >= n)).distinct
+      val cold = Graph.connectedComponents(
+          allIds.toDF("id"), (base ++ delta).toDF("src", "dst"),
+          iters = n + 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(warm === cold, s"trial $trial (n=$n): warm != cold\n" +
+        s"base=$base\ndelta=$delta")
+    }
+  }
+
   test("component artifact: corrupt or unconverged labelings are refused " +
       "at save time — dup ids, comp > id, negative comp, and the " +
       "mid-iteration snapshot whose root is not self-labeled") {
