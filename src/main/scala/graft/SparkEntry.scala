@@ -4454,7 +4454,6 @@ object SparkEntry {
   private def qMgtProfileCycle(s: SparkSession, d: String): DataFrame = {
     val raw = t(s, d, "documents").select(col("doc_id"), col("text"))
       .localCheckpoint() // fence: feeds the profile, day-2, the mint
-    val n = raw.count()
     val p1 = TextAnalysis.stopwordProfile(raw)
     val dir = tempFixtureDir("graft_mgt_profile")
     TextAnalysis.saveStopwordProfile(p1, dir)
@@ -4464,9 +4463,10 @@ object SparkEntry {
         Seq("word"), "full")
       .agg(coalesce(sum(when(col("c0") <=> col("c1"), 0L).otherwise(1L)),
         lit(0L)).as("n_bad"))
+    // the profile aggregates only text — no id shift needed (the
+    // review-pass dead-work finding; the oracle's reg2 is text-only)
     val day2 = raw.filter(pmod(col("doc_id"), lit(5L)) === 0L)
-      .select((col("doc_id") + n).as("doc_id"),
-        concat(col("text"), lit(mgtRegisterSfx)).as("text"))
+      .select(concat(col("text"), lit(mgtRegisterSfx)).as("text"))
     val refreshed = TextAnalysis.appendStopwordProfile(loaded, day2)
     val batch = mgtMinted(raw).localCheckpoint() // feeds two batteries
     def flags(p: DataFrame, tag: String): DataFrame =
@@ -9305,7 +9305,8 @@ object SparkEntry {
            reg2 AS (
              SELECT text FROM documents
              UNION ALL
-             SELECT text || '$mgtRegisterSfx' AS text
+             SELECT text || '${mgtRegisterSfx.replace("'", "''")}'
+               AS text
              FROM documents WHERE doc_id % 5 = 0),
            sw AS (SELECT unnest([$mgtStopwordListSql]) AS word),
            ${mgtProfileCtesOn("", "documents")},

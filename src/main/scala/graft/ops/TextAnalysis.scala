@@ -452,9 +452,14 @@ object TextAnalysis {
 
   /** Persist the stopword profile under `path/stop_profile` — gated on
     * the way in (exactly the closed word list, once each, non-negative
-    * counts), the artifact-family save posture. */
+    * counts), the artifact-family save posture. The validated rows are
+    * driver metadata (seven longs), so the write is a local 7-row
+    * relation — the input plan is evaluated exactly once. */
   def saveStopwordProfile(profile: DataFrame, path: String): Unit = {
-    validatedProfile(profile, "saveStopwordProfile")
+    val sess = profile.sparkSession
+    import sess.implicits._
+    validatedProfileRows(profile, "saveStopwordProfile")
+      .toDF("word", "cnt")
       .write.mode("overwrite").parquet(s"$path/stop_profile")
   }
 
@@ -468,20 +473,26 @@ object TextAnalysis {
     * register refresh: counts SUM element-wise (the profile is a pure
     * additive sketch, so append never re-reads yesterday's corpus). A
     * function word the old register lacked becomes in-profile once the
-    * trusted corpus genuinely uses it — the q182 absorption
-    * semantics. */
+    * trusted corpus genuinely uses it — the q182 absorption semantics.
+    * One batch aggregate + driver addition over seven longs. */
   def appendStopwordProfile(
       profile: DataFrame, newDocs: DataFrame): DataFrame = {
-    val p = validatedProfile(profile, "appendStopwordProfile")
-    p.unionByName(stopwordProfile(newDocs))
-      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+    val sess = profile.sparkSession
+    import sess.implicits._
+    val old = validatedProfileRows(profile, "appendStopwordProfile").toMap
+    val fresh = stopwordProfile(newDocs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    stopwords.map(w => (w, old(w) + fresh(w))).toDF("word", "cnt")
   }
 
-  private def validatedProfile(
-      profile: DataFrame, op: String): DataFrame = {
-    val p = profile.select(col("word").cast("string").as("word"),
-      col("cnt").cast("long").as("cnt"))
-    val rows = p.collect() // seven rows by contract — driver metadata
+  /** Collect + gate a profile relation ONCE (seven rows by contract —
+    * driver metadata); every consumer builds from the returned rows
+    * instead of re-evaluating the plan (the review-pass finding: the
+    * lazy-DataFrame form re-read the parquet artifact per consumer). */
+  private def validatedProfileRows(
+      profile: DataFrame, op: String): Seq[(String, Long)] = {
+    val rows = profile.select(col("word").cast("string").as("word"),
+      col("cnt").cast("long").as("cnt")).collect()
     val seen = rows.map(r => Option(r.getString(0)).getOrElse("")).toSeq
     require(seen.sorted == stopwords.sorted,
       s"$op: profile must carry exactly the closed stopword list " +
@@ -489,7 +500,7 @@ object TextAnalysis {
         s"(${seen.mkString(", ")})")
     require(rows.forall(r => !r.isNullAt(1) && r.getLong(1) >= 0L),
       s"$op: profile counts must be non-null and non-negative")
-    p
+    rows.map(r => (r.getString(0), r.getLong(1))).toSeq
   }
 
   /** [[mgtReport]] over an EXPLICIT profile relation (the persisted
@@ -506,8 +517,7 @@ object TextAnalysis {
     require(profileFloorBp >= 0 && profileFloorBp <= 10000,
       s"profileFloorBp must be in [0,10000], got $profileFloorBp")
     def lowToks(c: Column): Column = tokens(lower(c))
-    val counts = validatedProfile(profile, "mgtReportWithProfile")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val counts = validatedProfileRows(profile, "mgtReportWithProfile")
     val profTotal = counts.map(_._2).sum
     // off-profile = rare-or-absent in the reference register; with an
     // EMPTY reference profile every stopword is off-profile (nothing
