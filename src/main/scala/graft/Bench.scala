@@ -181,6 +181,67 @@ private[graft] object BenchLogic {
   def comparableBaseline(prevCpus: Option[Int], currentCpus: Int): Boolean =
     prevCpus.contains(currentCpus)
 
+  /** Common-subset totals vs the committed round baseline (VERDICT r15
+    * #2): r15's committed artifact carried a UNIFORM +9–13% band over
+    * the 171 queries shared with r14 — no single query tripped the
+    * per-query 2.5× gate, the calibration probes were clean, and every
+    * flag list was empty, so a real suite-level regression would have
+    * compounded invisibly round over round. The subset gate sums the
+    * queries PRESENT IN BOTH the current run and the baseline artifact
+    * (new queries can't inflate it, removed queries can't deflate it)
+    * and compares the totals. Returns (n common, prev sum, current sum);
+    * None when there is no overlap to adjudicate. */
+  def subsetTotals(current: Map[String, Double],
+                   prev: Map[String, Double]): Option[(Int, Double, Double)] = {
+    val common = current.keySet intersect prev.keySet
+    if (common.isEmpty) None
+    else Some((common.size,
+      common.iterator.map(prev).sum, common.iterator.map(current).sum))
+  }
+
+  /** The subset band that demands adjudication: ~1.15× the baseline
+    * total. Below it, round-over-round jitter (JIT, page cache, a few
+    * hundred ms of GC) routinely moves the total ±10% with nothing
+    * wrong; above it, either the box or the code owes an account. */
+  def subsetFlagged(prevSum: Double, curSum: Double,
+                    factor: Double = 1.15): Boolean =
+    prevSum > 0 && curSum > factor * prevSum
+
+  /** The recheck set for a flagged subset band: the common queries that
+    * slowed the MOST in absolute seconds (ties broken by name for a
+    * deterministic artifact). A uniform band has no single mover, so
+    * the top-k by absolute delta carries the largest reproducible share
+    * of the drift — if a fresh JVM reproduces THEIR inflation, the band
+    * is code; if it doesn't, the band was this JVM's accumulated state
+    * (GC pressure from 180+ queries in one process, fragmented heap). */
+  def topMovers(current: Map[String, Double], prev: Map[String, Double],
+                k: Int = 8): Seq[String] =
+    (current.keySet intersect prev.keySet).toSeq
+      .map(q => q -> (current(q) - prev(q)))
+      .filter(_._2 > 0)
+      .sortBy { case (q, d) => (-d, q) }
+      .take(k).map(_._1)
+
+  /** Adjudicate the movers' fresh-JVM recheck. The fresh JVM re-times
+    * the mover queries from a cold start (no 180-query heap history):
+    *   - fresh mover total back inside HALF the band (≤ 1.075× their
+    *     baseline) → the inflation did not survive a JVM boundary —
+    *     suite-level JVM/GC pressure, verdict "env";
+    *   - fresh total still elevated → the slowdown reproduces from
+    *     cold — a real regression, verdict "real";
+    *   - no fresh numbers (spawn failed, all movers errored) →
+    *     "unadjudicated" — the flag stands and a human owns it.
+    * The half-band midpoint mirrors resolveRecheck's halving rule: the
+    * recheck must CLEARLY clear the accusation, not just shave it. */
+  def subsetVerdict(prevMoverSum: Double, freshMoverSum: Option[Double],
+                    factor: Double = 1.15): String =
+    freshMoverSum match {
+      case None => "unadjudicated"
+      case Some(f) if prevMoverSum <= 0 => "unadjudicated"
+      case Some(f) if f <= (1.0 + (factor - 1.0) / 2.0) * prevMoverSum => "env"
+      case _ => "real"
+    }
+
   /** Drift-gate baseline selection (VERDICT r10 #2). The r5–r10 gate
     * compared against `BENCH_full_latest.json`, which EVERY full run —
     * including mid-round scratch runs — overwrites: a query that slows
@@ -224,6 +285,71 @@ object Bench {
         .readString(java.nio.file.Paths.get("/proc/loadavg")).split(' ')
       parts.take(3).mkString("[", ",", "]")
     } catch { case _: Throwable => "[]" }
+
+  /** GC/heap stamp (VERDICT r15 #2): cumulative collector time/count and
+    * heap occupancy, taken at both ends of the main phase. The load
+    * stamp sees the BOX; this sees the PROCESS — a uniform subset band
+    * with clean calib probes but a large gc_ms delta is suite-growth
+    * JVM pressure (180+ queries' tenured garbage in one heap), while a
+    * band with quiet GC is code. */
+  private def jvmStamp(): String = {
+    import scala.jdk.CollectionConverters._
+    val (gcMs, gcN) = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+      .foldLeft((0L, 0L)) { case ((t, c), b) =>
+        (t + math.max(0L, b.getCollectionTime),
+          c + math.max(0L, b.getCollectionCount)) }
+    val heap = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage
+    s"""{"gc_ms":$gcMs,"gc_count":$gcN,""" +
+      s""""heap_used_mb":${heap.getUsed / (1024 * 1024)},""" +
+      s""""heap_max_mb":${heap.getMax / (1024 * 1024)}}"""
+  }
+
+  /** Re-time `movers` in a FRESH JVM (same java binary, same JVM flags,
+    * same classpath, SPARK_GRAFT_BENCH_ONE-filtered, no ladder) and
+    * return their per-query seconds. The child writes its full artifact
+    * to a temp file — its stdout is discarded so the parent's JSON-only
+    * stdout contract holds. Returns None when the spawn fails or the
+    * child produces nothing usable; the caller records
+    * "unadjudicated" rather than guessing. */
+  private def freshJvmQueries(
+      movers: Seq[String], cpus: String): Option[Map[String, Double]] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        // agent/debug sockets cannot be shared with a second JVM
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xdebug"))
+      val out = java.nio.file.Files
+        .createTempFile("graft_subset_recheck", ".json")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench"))
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONE", movers.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_LADDER", "0")
+      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "2")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val done = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { proc.destroyForcibly(); None }
+      else {
+        val content = java.nio.file.Files.readString(out)
+        java.nio.file.Files.deleteIfExists(out)
+        val qs = BenchLogic.parsePrevQueries(content)
+          .view.filterKeys(movers.contains).toMap
+        if (qs.isEmpty) None else Some(qs)
+      }
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] subset recheck spawn failed: $t")
+        None
+    }
 
   /** Fixed CPU-bound probe, min of 3: measures how much CPU this JVM can
     * actually get right now. Pure codegen arithmetic — no IO, no shuffle —
@@ -274,6 +400,7 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val runsPerQuery =
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(2)
+    def ms(v: Double): String = (math.round(v * 1000.0) / 1000.0).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -287,6 +414,7 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
     val loadStart = loadavg()
+    val jvmStart = jvmStamp()
     val calibStart = calibrate(spark)
     val calibShufStart = calibrateShuffle(spark)
     // one-time fixture setup (q33's parts table, q74's maintained rollup)
@@ -443,6 +571,59 @@ object Bench {
       calibStart, calibEnd, calibShufStart, calibShufEnd, cpusInt)
     val (driftedKept, envSuspect) =
       BenchLogic.adjudicateEnv(drifted.toList, mainClean)
+    val jvmEnd = jvmStamp()
+
+    // ---- common-subset band gate (VERDICT r15 #2): the per-query 2.5×
+    // gate is blind to a UNIFORM creep (r15: +9–13% over the common 171
+    // with every flag list empty). Sum the queries shared with the
+    // committed round baseline; a band above 1.15× earns the top
+    // absolute movers ONE fresh-JVM re-run — inflation that does not
+    // survive a JVM boundary is suite-level heap/GC pressure ("env",
+    // the jvm stamps beside it carry the evidence), inflation that
+    // reproduces from cold is a regression ("real", movers named).
+    // Partial runs (BENCH_ONE) skip the gate — a filtered query map has
+    // no business adjudicating the suite — which also makes the
+    // fresh-JVM child (itself BENCH_ONE-filtered) non-recursive.
+    var subsetJson = "null"
+    var subsetShortJson = "null"
+    if (only.isEmpty && prevQueries.nonEmpty &&
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSET", "1") != "0") {
+      val current = mins.collect { case (k, Some(v)) => k -> v }.toMap
+      BenchLogic.subsetTotals(current, prevQueries).foreach {
+        case (n, prevSum, curSum) =>
+          val ratio = if (prevSum > 0) curSum / prevSum else 0.0
+          val flagged = BenchLogic.subsetFlagged(prevSum, curSum)
+          var verdict = if (!flagged) "clean" else "unadjudicated"
+          var recheckJson = "null"
+          var moversJson = "[]"
+          if (flagged && !mainClean) {
+            // the phase's own probes already convict the environment —
+            // don't spend a 20-minute child run re-proving it
+            verdict = "env_suspect"
+          } else if (flagged) {
+            val movers = BenchLogic.topMovers(current, prevQueries)
+            moversJson = movers.map("\"" + _ + "\"").mkString("[", ",", "]")
+            val prevMoverSum = movers.map(prevQueries).sum
+            val fresh = freshJvmQueries(movers, cpus)
+            val freshSum = fresh.map(f => movers.flatMap(f.get).sum)
+              .filter(_ > 0)
+            verdict = BenchLogic.subsetVerdict(prevMoverSum, freshSum)
+            recheckJson = freshSum match {
+              case Some(f) =>
+                val cur = movers.map(current).sum
+                s"""{"movers_prev":${ms(prevMoverSum)},""" +
+                  s""""movers_cur":${ms(cur)},"movers_fresh":${ms(f)}}"""
+              case None => "null"
+            }
+          }
+          subsetJson = s"""{"n":$n,"prev":${ms(prevSum)},""" +
+            s""""cur":${ms(curSum)},"ratio":${ms(ratio)},""" +
+            s""""flagged":$flagged,"verdict":"$verdict",""" +
+            s""""movers":$moversJson,"recheck":$recheckJson}"""
+          subsetShortJson =
+            s"""{"ratio":${ms(ratio)},"verdict":"$verdict"}"""
+      }
+    }
 
     // ---- scale ladder: re-time representative scale-path queries on a
     // generated ~10× corpus (embeddings ~4×, the fixtures' own growth
@@ -647,7 +828,6 @@ object Bench {
       // probe set grows with the corpus (every 100th embedded doc) but
       // each probe's work is matched-postings / quantized-scan sized
       "q134_rrf_hybrid")
-    def ms(v: Double): String = (math.round(v * 1000.0) / 1000.0).toString
     val ladderOn = only.isEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER", "1") != "0"
     var ladderJson = "null"
@@ -904,10 +1084,11 @@ object Bench {
     // the artifact says which one produced it so a judge re-run compares
     // like with like
     val wrapperName = sys.props.getOrElse("graft.wrapper", "standalone")
+    val jvmJson = s"""{"start":$jvmStart,"end":$jvmEnd}"""
     val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","cpus":$cpus,"runs":$runsPerQuery,"agg":"min","calib":$calibJson,"calib_shuffle":$calibShufJson,"load":$loadJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"env_suspect":$envJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","cpus":$cpus,"runs":$runsPerQuery,"agg":"min","calib":$calibJson,"calib_shuffle":$calibShufJson,"load":$loadJson,"jvm":$jvmJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"env_suspect":$envJson,"subset":$subsetJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"sf":"$sfDir"}"""
     val shortJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","cpus":$cpus,"calib":$calibJson,"calib_shuffle":$calibShufJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"env_suspect":$envJson,"ladder":$ladderJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","cpus":$cpus,"calib":$calibJson,"calib_shuffle":$calibShufJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"env_suspect":$envJson,"subset":$subsetShortJson,"ladder":$ladderJson,"sf":"$sfDir"}"""
     // belt-and-braces for log-scraping consumers: the file copy also keeps
     // the raw per-run times (first-vs-second delta = JVM drift) that would
     // make the stdout line too long to survive the tail capture
@@ -917,7 +1098,7 @@ object Bench {
           ts.map(_.map(ms).getOrElse("null")).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       val full =
-        s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","cpus":$cpus,"runs":$runsPerQuery,"agg":"min","calib":$calibJson,"calib_shuffle":$calibShufJson,"load":$loadJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"env_suspect":$envJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"raw":$raw,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","cpus":$cpus,"runs":$runsPerQuery,"agg":"min","calib":$calibJson,"calib_shuffle":$calibShufJson,"load":$loadJson,"jvm":$jvmJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"env_suspect":$envJson,"subset":$subsetJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"raw":$raw,"sf":"$sfDir"}"""
       // a SPARK_GRAFT_BENCH_ONE-filtered run must not replace the
       // default drift baseline with a partial query map — only a full
       // run writes there (an explicit BENCH_OUT path is always honored)

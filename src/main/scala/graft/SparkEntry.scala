@@ -4423,7 +4423,7 @@ object SparkEntry {
         graft.ops.PrefixScan.decodeKey(col("ord"), offset = 1L << 20)
           .cast("long").as("n_chars"),
         col("cum").as("rank_pos"),
-        expr(s"(cum * 3) div ${n}L").as("phase"))
+        expr(s"(cum * 3) div greatest(${n}L, 1L)").as("phase"))
       .withColumn("phase_name",
         when(col("phase") === 0L, "hard")
           .when(col("phase") === 1L, "medium").otherwise("easy"))
@@ -6233,14 +6233,18 @@ object SparkEntry {
   // thresholds (burst 1200, template 200, skew 2500 at support >= 4)
   // the q174/q179 minted slop mutation as ONE SQL spelling over a
   // (doc_id, text) source relation
-  private def mgtMintSelectSql(srcRel: String): String =
+  private def mgtMintSelectSql(srcRel: String): String = {
+    // escape like mgtBatteryCtesSql does for phrases — a future suffix
+    // containing an apostrophe must not silently break the oracle text
+    def q(sfx: String): String = sfx.replace("'", "''")
     s"""SELECT doc_id,
                CASE doc_id % 4
-                 WHEN 1 THEN text || '$mgtBurstSfx'
-                 WHEN 2 THEN text || '$mgtTemplateSfx'
-                 WHEN 3 THEN text || '$mgtSkewSfx'
+                 WHEN 1 THEN text || '${q(mgtBurstSfx)}'
+                 WHEN 2 THEN text || '${q(mgtTemplateSfx)}'
+                 WHEN 3 THEN text || '${q(mgtSkewSfx)}'
                  ELSE text END AS text
              FROM $srcRel"""
+  }
 
   private def mgtStopwordListSql: String =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")

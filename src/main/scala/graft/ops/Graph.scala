@@ -602,6 +602,27 @@ object Graph {
     // roots and singletons — exactly connectedComponents' own init)
     val cNodes = full.select(col("comp").as("id")).distinct()
     val cLabels = connectedComponents(cNodes, contracted, iters)
+      .localCheckpoint() // fenced: probed by the closure gate below AND
+                         // joined by the relabel — one computation
+    // post-condition: the contracted labeling must be root-closed (every
+    // used label is itself labeled with itself). A delta that
+    // daisy-chains more component merges than `iters` rounds can
+    // propagate leaves a mid-chain label pointing at a non-root — catch
+    // it HERE, on the contracted graph (component-count-sized rows, not
+    // |V|), so direct consumers (keeper election, stream gates) never
+    // see a silently unconverged labeling. saveComponentLabels' gate
+    // stays as defense-in-depth; relabeling through a root-closed
+    // contracted labeling preserves closure on the corpus output.
+    val unclosed = cLabels.select(col("comp")).distinct()
+      .join(cLabels.filter(col("id") === col("comp"))
+          .select(col("id").as("comp")),
+        Seq("comp"), "left_anti")
+      .limit(1).count()
+    require(unclosed == 0L,
+      "connectedComponentsDelta: the contracted labeling is not " +
+        s"root-closed after $iters round(s) — the delta daisy-chains " +
+        "more component merges than the fixed rounds can propagate; " +
+        "re-run with a larger iters")
     // relabel the corpus through its prior component's new label
     full
       .join(cLabels.select(col("id").as("comp"), col("comp").as("__nc")),

@@ -225,4 +225,48 @@ class BenchSpec extends AnyFunSuite {
       BenchLogic.resolveLadderRecheck(3.2, 76.8, 10.0, None)
     assert(!flagged2 && t2 == 76.8)
   }
+
+  test("subset totals sum only the queries present in BOTH rounds " +
+      "(VERDICT r15 #2: new queries can't inflate, removed can't deflate)") {
+    val prev = Map("q01" -> 1.0, "q02" -> 2.0, "q99_removed" -> 50.0)
+    val cur = Map("q01" -> 1.25, "q02" -> 2.25, "q183_new" -> 30.0)
+    // q99_removed's 50s and q183_new's 30s both stay OUT of the sums
+    assert(BenchLogic.subsetTotals(cur, prev) == Some((2, 3.0, 3.5)))
+    // zero overlap: nothing to adjudicate (a renamed suite, a first run)
+    assert(BenchLogic.subsetTotals(Map("qA" -> 1.0), prev).isEmpty)
+    assert(BenchLogic.subsetTotals(Map.empty, prev).isEmpty)
+  }
+
+  test("subset band flags above 1.15x the baseline total, not per-query") {
+    // the r15 shape: a uniform +13% with NO per-query 2.5x mover — the
+    // old gates were structurally blind to it
+    assert(!BenchLogic.subsetFlagged(149.5, 169.1))          // 1.131x: jitter
+    assert(BenchLogic.subsetFlagged(149.5, 172.0))           // 1.150x+: flag
+    assert(!BenchLogic.subsetFlagged(149.5, 149.5 * 1.15))   // boundary: no
+    assert(!BenchLogic.subsetFlagged(0.0, 10.0))             // degenerate prev
+  }
+
+  test("top movers rank by absolute positive delta, name-tiebroken, " +
+      "common queries only") {
+    val prev = Map("qA" -> 1.0, "qB" -> 1.0, "qC" -> 5.0, "qD" -> 2.0)
+    val cur = Map("qA" -> 2.5, "qB" -> 2.5, "qC" -> 4.0, "qE" -> 99.0)
+    // qE is new (no baseline), qC IMPROVED (negative delta), qA/qB tie
+    // at +1.5 and break by name; qD is absent from the current run
+    assert(BenchLogic.topMovers(cur, prev, k = 8) == Seq("qA", "qB"))
+    assert(BenchLogic.topMovers(cur, prev, k = 1) == Seq("qA"))
+    // no positive mover at all (everything improved): empty recheck set
+    assert(BenchLogic.topMovers(Map("qC" -> 4.0), prev).isEmpty)
+  }
+
+  test("subset verdict: fresh-JVM movers back inside half the band = env, " +
+      "still elevated = real, no numbers = unadjudicated") {
+    // movers' baseline 20s; band threshold 1.15 → env/real midpoint 1.075
+    assert(BenchLogic.subsetVerdict(20.0, Some(21.0)) == "env")   // 1.05x
+    assert(BenchLogic.subsetVerdict(20.0, Some(21.5)) == "env")   // 1.075x: boundary clears
+    assert(BenchLogic.subsetVerdict(20.0, Some(21.6)) == "real")  // 1.08x
+    assert(BenchLogic.subsetVerdict(20.0, Some(26.0)) == "real")  // reproduced
+    assert(BenchLogic.subsetVerdict(20.0, None) == "unadjudicated")
+    // a degenerate baseline can't convict either way
+    assert(BenchLogic.subsetVerdict(0.0, Some(5.0)) == "unadjudicated")
+  }
 }
