@@ -799,6 +799,18 @@ object Bench {
       // curriculum: the PrefixScan global-rank shape (range partition +
       // broadcast offsets, no corpus-wide window) — linear
       "q180_warm_keeper_election", "q181_curriculum",
+      // WARC codec: mint + 8-record container pack (bounded groups) +
+      // the map-only binary parse — linear; crawl pipeline: the codec
+      // front plus broadcast licence join, extraction/normalization map
+      // kernels, and three doc-keyed joins — linear
+      "q183_warc_codec", "q184_warc_pipeline",
+      // robots gate: per-domain body parse (bounded relation) + one
+      // broadcast rule join + a map-combinable per-doc extremum agg —
+      // linear; refusal battery: pure staged projections over three
+      // minted lanes — linear; derived MGT cycle: the q182 shape plus
+      // one top-k derivation aggregate — linear. q187 is excluded: a
+      // fixed-size media fixture consumer (the q82 convention)
+      "q185_robots_gate", "q186_refusal_audit", "q188_mgt_derived_cycle",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -4259,23 +4259,35 @@ object SparkEntry {
     * and the policy CASE directly. */
   /** The q176/q179 shared minted licence pass: noisy URLs + the
     * 15-of-20-domain policy through the REAL gate. */
-  private def mintedLicenceVerdicts(
-      s: SparkSession, docs: DataFrame): DataFrame = {
-    val k = pmod(col("doc_id"), lit(20L))
-    val url = when(pmod(col("doc_id"), lit(23L)) === 5L,
-        lit(null).cast("string"))
-      .otherwise(concat(lit("HTTPS://WWW.Site"), k, lit(".COM:443/p"),
-        col("doc_id"), lit("?utm_source=x")))
+  /** The 15-of-20-domain minted licence policy (k % 4 == 3 unlisted) —
+    * shared by the q176/q179 verdicts and the q184 crawl-slice
+    * composition; the oracle twin is the `pol` CTE. */
+  private def mintedLicencePolicy(s: SparkSession): DataFrame = {
     val kp = pmod(col("k"), lit(4L))
-    val policy = s.range(0, 20).toDF("k")
+    s.range(0, 20).toDF("k")
       .filter(kp =!= 3L)
       .select(concat(lit("site"), col("k"), lit(".com")).as("domain"),
         when(kp === 0L, "cc-by")
           .when(kp === 1L, "proprietary")
           .otherwise("cc-by-sa").as("licence"))
+  }
+
+  /** The q176/q179/q184 shared noisy-URL spelling (uppercase host,
+    * default port, tracking param — a subdomain spelling must not dodge
+    * the policy). */
+  private def mintedNoisyUrl: Column =
+    concat(lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(20L)),
+      lit(".COM:443/p"), col("doc_id"), lit("?utm_source=x"))
+
+  private def mintedLicenceVerdicts(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    val url = when(pmod(col("doc_id"), lit(23L)) === 5L,
+        lit(null).cast("string"))
+      .otherwise(mintedNoisyUrl)
     Curation.licenceGate(
       docs.select(col("doc_id"), url.as("url")),
-      col("doc_id"), col("url"), policy, Seq("cc-by", "cc-by-sa"))
+      col("doc_id"), col("url"), mintedLicencePolicy(s),
+      Seq("cc-by", "cc-by-sa"))
   }
 
   private def qLicenceGate(s: SparkSession, d: String): DataFrame =
@@ -5553,6 +5565,420 @@ object SparkEntry {
       .orderBy(col("part_hour"), col("event_type"))
   }
 
+  /** The q183/q184 shared WARC mint: each fixture doc becomes one
+    * WARC/1.0 response record — target URI in the q176 noisy spelling,
+    * HTTP block carrying the q126 minted markup (a 404 class at
+    * doc_id % 17 == 3 carries a plain-text body instead), and a
+    * torn-write class at doc_id % 13 == 6 whose headers stand intact
+    * (declared Content-Length included) over a block cut to its first
+    * 10 bytes with the record terminator gone — the q124 truncation
+    * posture in WARC framing. Records pack 8-per-container (sorted
+    * concat — bounded group, no skew), cast to the binary blobs
+    * [[graft.sources.WarcCodec.parseContainers]] consumes. */
+  private def mintedWarcContainers(s: SparkSession, d: String): DataFrame = {
+    val crlf = "\r\n"
+    val block = when(pmod(col("doc_id"), lit(17L)) === 3L,
+        lit("HTTP/1.1 404 Not Found" + crlf +
+          "Content-Type: text/plain" + crlf + crlf + "not found"))
+      .otherwise(concat(
+        lit("HTTP/1.1 200 OK" + crlf +
+          "Content-Type: text/html; charset=utf-8" + crlf + crlf),
+        mintedMarkup))
+    val warcDate = concat(lit("2026-01-"),
+      lpad((pmod(col("doc_id"), lit(28L)) + 1).cast("string"), 2, "0"),
+      lit("T00:00:00Z"))
+    val recId = concat(lit("<urn:graft:"), col("doc_id"), lit(">"))
+    val headers = graft.sources.WarcCodec.mintResponseHeaders(
+      recId, mintedNoisyUrl, warcDate, octet_length(block).cast("long"))
+    // the cut keeps the first 10 block bytes — the HTTP status-line
+    // prefix, ASCII by construction, so char and byte counts agree
+    val rec = when(pmod(col("doc_id"), lit(13L)) === 6L,
+        concat(headers, substring(block, 1, 10)))
+      .otherwise(concat(headers, block, lit(crlf + crlf)))
+    t(s, d, "documents").select(col("doc_id"), col("text"))
+      .select(expr("doc_id div 8").as("container_id"), col("doc_id"),
+        rec.as("rec"))
+      .groupBy(col("container_id"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("doc_id"),
+          col("rec")))), e => e.getField("rec")), "").as("data_str"))
+      .select(col("container_id"), col("data_str").cast("binary").as("data"))
+  }
+
+  private def parsedWarc(s: SparkSession, d: String): DataFrame =
+    graft.sources.WarcCodec.parseContainers(
+      mintedWarcContainers(s, d), col("container_id"), col("data"))
+
+  /** WARC record codec (q183, VERDICT r15 #1): the minted containers
+    * parsed back by the bounds-guarded binary codec — every header
+    * field, the declared byte length, the parsed HTTP status, and the
+    * full block value-compared per record; the torn-write class must
+    * quarantine ALONE with the declared-vs-carried error message while
+    * every neighbouring record in the same container round-trips (the
+    * magic-first resync discipline). Map-only end to end: mint, pack,
+    * parse, and the per-record projection never shuffle beyond the
+    * 8-record container pack. */
+  private def qWarcCodec(s: SparkSession, d: String): DataFrame =
+    parsedWarc(s, d)
+      .select(
+        regexp_extract(col("record_id"), "^<urn:graft:(\\d+)>$", 1)
+          .cast("long").as("doc_id"),
+        col("container_id"),
+        col("rec_seq").cast("long").as("rec_seq"),
+        col("ok"), col("error"),
+        col("warc_type"), col("target_uri"), col("warc_date"),
+        col("content_length"),
+        when(col("ok"),
+          regexp_extract(col("block"), "^HTTP/1\\.1 (\\d+)", 1)
+            .cast("long")).as("http_status"),
+        col("block"))
+      .orderBy(col("doc_id"))
+
+  /** Crawl-slice composition (q184, VERDICT r15 #1): the parsed WARC
+    * records through the production front-door order — codec framing →
+    * HTTP 200 gate → licence/allowlist gate on the REAL
+    * registrableDomain of WARC-Target-URI (the q176 policy) → markup
+    * extraction → typographic normalization → token-count gate. Each
+    * stage genuinely runs only on the previous stage's survivors (the
+    * q179 shrinking-relation posture) and the funnel is emitted with
+    * stage-scoped 'skipped' verdicts; every value replays in SQL via
+    * the shared mint/extraction/normalization fragments. */
+  private def qWarcPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = parsedWarc(s, d)
+      .select(
+        regexp_extract(col("record_id"), "^<urn:graft:(\\d+)>$", 1)
+          .cast("long").as("doc_id"),
+        col("ok"), col("target_uri"), col("block"))
+      .localCheckpoint() // fence: feeds every stage and the funnel spine
+    val http = base.filter(col("ok"))
+      .select(col("doc_id"), col("target_uri"),
+        regexp_extract(col("block"), "^HTTP/1\\.1 (\\d+)", 1)
+          .cast("long").as("status"),
+        regexp_replace(col("block"), "(?s)^.*?\\r\\n\\r\\n", "")
+          .as("body"))
+    val ok200 = http.filter(col("status") === 200L)
+    val lic = Curation.licenceGate(
+        ok200.select(col("doc_id"), col("target_uri").as("url")),
+        col("doc_id"), col("url"), mintedLicencePolicy(s),
+        Seq("cc-by", "cc-by-sa"))
+      .select(col("doc_id"), col("verdict"))
+    val txt = ok200
+      .join(lic.filter(col("verdict") === "keep").select("doc_id"),
+        "doc_id")
+      .select(col("doc_id"),
+        graft.functions.NormalizeFunctions.normalizeText(
+          graft.functions.HtmlFunctions.extractHtmlText(col("body")))
+          .as("norm"))
+      .select(col("doc_id"),
+        size(filter(split(col("norm"), " "), w => w =!= ""))
+          .cast("long").as("n_tok"))
+    base.select(col("doc_id"), col("ok").as("codec_ok"))
+      .join(http.select(col("doc_id"), col("status")), Seq("doc_id"),
+        "left")
+      .join(lic.withColumnRenamed("verdict", "lic"), Seq("doc_id"), "left")
+      .join(txt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("codec_ok"),
+        when(!col("codec_ok"), "skipped")
+          .when(col("status") === 200L, "ok").otherwise("bad")
+          .as("http_verdict"),
+        when(!col("codec_ok") || col("status") =!= 200L, "skipped")
+          .otherwise(col("lic")).as("lic_verdict"),
+        when(!col("codec_ok") || col("status") =!= 200L ||
+            col("lic") =!= "keep", "skipped")
+          .when(col("n_tok") >= 5L, "kept").otherwise("short")
+          .as("text_verdict"),
+        coalesce(col("n_tok"), lit(-1L)).as("n_tok"),
+        coalesce(col("codec_ok") && col("status") === 200L &&
+          col("lic") === "keep" && col("n_tok") >= 5L, lit(false))
+          .as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q185 minted robots.txt corpus: 16 of 20 domains publish a
+    * body (k % 5 == 0 domains have no robots.txt — the missing-file ⇒
+    * crawlable class); the four body classes exercise the RFC 9309
+    * grammar corners — comments and key-case noise, the `$` end anchor
+    * vs an unanchored prefix, `*` wildcards beating shorter allows,
+    * specific-agent group precedence over a blanket `Disallow: /`, and
+    * the allow-wins longest-match tie. */
+  private def mintedRobotsBodies(s: SparkSession): DataFrame = {
+    val r1 = "# basic group\nUser-Agent: *\nDisallow: /private/\n" +
+      "Allow: /exact$\nDisallow: /exact\n"
+    val r2 = "user-agent: *\ndisallow: /files/*.pdf$\nallow: /files/\n" +
+      "crawl-delay: 10\n"
+    val r3 = "User-agent: graftbot\nDisallow: /tmp/\n\n" +
+      "User-agent: *\nDisallow: /\n"
+    val r4 = "User-agent: *\nAllow: /public/\nDisallow: /public/\n" +
+      "Disallow: /deep/\nAllow: /deep/nested/\nDisallow: /private/\n"
+    val rc = pmod(col("k"), lit(5L))
+    s.range(0, 20).toDF("k")
+      .filter(rc =!= 0L)
+      .select(concat(lit("site"), col("k"), lit(".com")).as("domain"),
+        when(rc === 1L, r1).when(rc === 2L, r2).when(rc === 3L, r3)
+          .otherwise(r4).as("body"))
+  }
+
+  /** Robots/noindex compliance gate (q185, VERDICT r15 #4):
+    * [[graft.ops.Robots.parseRobots]] over the minted bodies →
+    * [[graft.ops.Robots.robotsGate]] as agent `GraftBot` (case folding
+    * exercised against the lowercase group token) over seven minted
+    * path classes on the q176 noisy host spelling. The oracle pins the
+    * (robots class × path class) verdict relation — group, rule count,
+    * winning pattern, and the allow verdict — per RFC 9309
+    * longest-match/allow-ties semantics. */
+  private def qRobotsGate(s: SparkSession, d: String): DataFrame = {
+    val c = pmod(col("doc_id"), lit(7L))
+    val path = when(c === 0L, concat(lit("/public/a"), col("doc_id")))
+      .when(c === 1L, concat(lit("/private/b"), col("doc_id")))
+      .when(c === 2L, concat(lit("/files/doc"), col("doc_id"), lit(".pdf")))
+      .when(c === 3L, concat(lit("/files/doc"), col("doc_id"), lit(".html")))
+      .when(c === 4L, concat(lit("/tmp/x"), col("doc_id")))
+      .when(c === 5L, lit("/exact"))
+      .otherwise(concat(lit("/deep/nested/"), col("doc_id")))
+    val url = concat(lit("HTTPS://WWW.Site"),
+      pmod(col("doc_id"), lit(20L)), lit(".COM:443"), path)
+    val rules = graft.ops.Robots.parseRobots(
+      mintedRobotsBodies(s), col("domain"), col("body"))
+    graft.ops.Robots.robotsGate(
+        t(s, d, "documents").select(col("doc_id"), url.as("url")),
+        col("doc_id"), col("url"), rules, "GraftBot")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Refusal/safety audit (q186, VERDICT r15 #7):
+    * [[graft.ops.TrainPrep.refusalReport]] over three minted lanes —
+    * the chat assistant response (six planted classes: clean prose,
+    * leading refusal, "as an AI" disclosure, low-diversity template
+    * spam, double mid-text refusal, short clean) and both preference
+    * branches (a mislabeled refusal chosen at 1-in-11; rejected
+    * branches carrying leading-refusal and boilerplate classes) — the
+    * standard post-training data screen. Map-only battery, integer
+    * basis points; every signal and flag replays closed-form. */
+  private def qRefusalAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val c6 = pmod(col("doc_id"), lit(6L))
+    val chatTxt = when(c6 === 0L, col("text"))
+      .when(c6 === 1L,
+        concat(lit("I cannot help with that request. "), col("text")))
+      .when(c6 === 2L,
+        concat(lit("Sure. As an AI language model I think "), col("text")))
+      .when(c6 === 3L, concat(lit("buy now"), repeat(lit(" buy now"), 30)))
+      .when(c6 === 4L, concat(
+        lit("the policy says i am unable to comply and i cannot " +
+          "provide that, because "), col("text")))
+      .otherwise(lit("Here is the answer."))
+    val chosenTxt = when(pmod(col("doc_id"), lit(11L)) === 4L,
+        concat(lit("I'm sorry, but I can't assist with that. "),
+          col("text")))
+      .otherwise(col("text"))
+    val c3 = pmod(col("doc_id"), lit(3L))
+    val rejTxt = when(c3 === 0L, concat(
+        lit("I cannot help with this. I am unable to continue. "),
+        col("text")))
+      .when(c3 === 1L,
+        concat(col("text"), lit(" as a large language model I must " +
+          "decline")))
+      .otherwise(col("text"))
+    val lanes = docs
+      .select(col("doc_id"), lit("chat").as("lane"), chatTxt.as("t"))
+      .unionByName(docs.select(col("doc_id"), lit("chosen").as("lane"),
+        chosenTxt.as("t")))
+      .unionByName(docs.select(col("doc_id"), lit("rejected").as("lane"),
+        rejTxt.as("t")))
+    graft.ops.TrainPrep.refusalReport(lanes, col("t"))
+      .drop("t")
+      .orderBy(col("doc_id"), col("lane"))
+  }
+
+  /** Cross-modal (image, caption) pair audit (q187, VERDICT r15 #5):
+    * the first operator treating a media pair JOINTLY. Two halves over
+    * the synthetic-media images with minted captions:
+    *
+    *  1. consistency audit — the caption's claimed geometry ("a W by H
+    *     pixel picture") against the REAL PNG decode's dimensions
+    *     ([[graft.ops.Multimodal.extractFeatures]]); a planted
+    *     mismatched-caption class (media_id % 9 == 3 claims height+1)
+    *     must fail and only it (closed-form geometry, so the oracle
+    *     value-compares every dimension);
+    *
+    *  2. joint near-dup — a pair is a joint duplicate only when BOTH
+    *     kernels band-match: image dHash Hamming bands
+    *     ([[graft.ops.Multimodal.imageNearDupPairs]]) ∧ caption MinHash
+    *     bands ([[graft.ops.Dedup.minhashPairs]]). Planted classes:
+    *     re-encode+same-caption (joint), re-encode+different-caption
+    *     (image-only — excluded), different-image+same-caption
+    *     (caption-only — excluded). The intersection join is id-only
+    *     (both kernels' banding keeps candidate sets sparse — the q82/
+    *     q19 scale shape).
+    */
+  private def qCrossModalPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nMedia = 300L
+    val images = Multimodal.syntheticMedia(s, nMedia)
+      .filter(_.media_type == "image")
+    val imgDf = images.toDF().localCheckpoint() // feeds 4 lanes + audit
+    val off1 = 1000000L; val off2 = 2000000L; val off3 = 3000000L
+    // caption(id): claimed geometry + 15 id-derived words (two ids share
+    // almost no shingles, so MinHash never bridges different captions)
+    def capWords(seed1: Long, seed2: Long, tag: String): Column = array_join(
+      transform(sequence(lit(1), lit(15)),
+        j => concat(lit(tag),
+          pmod(col("media_id") * seed1 + j * seed2, lit(9973L)))), " ")
+    val capDims = concat(lit("a "), col("width"), lit(" by "),
+      when(pmod(col("media_id"), lit(9L)) === 3L, col("height") + 1)
+        .otherwise(col("height")),
+      lit(" pixel picture: "))
+    val caption = concat(capDims, capWords(1000003L, 40503L, "w"))
+    val altCaption = concat(lit("unrelated caption: "),
+      capWords(999983L, 31L, "v"))
+    val capBase = imgDf.select(col("media_id").as("doc_id"),
+      caption.as("text"))
+    val caps = capBase
+      .unionByName(capBase.select((col("doc_id") + off1).as("doc_id"),
+        col("text")))
+      .unionByName(imgDf.select((col("media_id") + off2).as("doc_id"),
+        altCaption.as("text")))
+      .unionByName(capBase.select((col("doc_id") + off3).as("doc_id"),
+        col("text")))
+    // image lanes: two re-encodes (same content) and a different-image
+    // lane carrying the NEXT image's pixels (wrapping), captioned as the
+    // base — only the off1 lane should joint-match
+    val reenc1 = Multimodal.scaleBy(
+      images.map(r => r.copy(media_id = r.media_id + off1)), 1)
+    val reenc2 = Multimodal.scaleBy(
+      images.map(r => r.copy(media_id = r.media_id + off2)), 1)
+    val nextImg = imgDf
+      .select(pmod(col("media_id") + 3L, lit(nMedia)).as("k"),
+        (col("media_id") + off3).as("media_id"))
+      .join(imgDf.select(col("media_id").as("k"), col("media_type"),
+        col("payload"), col("width"), col("height"), col("duration_ms")),
+        "k")
+      .select(col("media_id"), col("media_type"), col("payload"),
+        col("width"), col("height"), col("duration_ms"))
+      .as[Multimodal.MediaRow]
+    val imgPairs = Multimodal
+      .imageNearDupPairs(images.union(reenc1).union(reenc2).union(nextImg))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // feeds the joint join + two class probes
+    val capPairs = Dedup.minhashPairs(caps)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val joint = imgPairs.join(capPairs, Seq("id_a", "id_b"))
+      .localCheckpoint()
+    val expected = imgDf.select(col("media_id"))
+    val nImg = expected.agg(count(lit(1)).as("n_images"))
+    def foundIn(pairs: DataFrame, off: Long): DataFrame = expected
+      .select(col("media_id").as("id_a"),
+        (col("media_id") + off).as("id_b"))
+      .join(pairs, Seq("id_a", "id_b")).agg(count(lit(1)).as("c"))
+    val jointFound = foundIn(joint, off1)
+      .select(col("c").as("k_joint"))
+    val imgOnlyImg = foundIn(imgPairs, off2).select(col("c").as("k_io_img"))
+    val imgOnlyJoint = foundIn(joint, off2).select(col("c").as("k_io_j"))
+    val capOnlyCap = foundIn(capPairs, off3).select(col("c").as("k_co_cap"))
+    val capOnlyJoint = foundIn(joint, off3).select(col("c").as("k_co_j"))
+    val jointTotal = joint.agg(count(lit(1)).as("n_joint"))
+    val verdicts = nImg.crossJoin(broadcast(jointFound))
+      .crossJoin(broadcast(imgOnlyImg)).crossJoin(broadcast(imgOnlyJoint))
+      .crossJoin(broadcast(capOnlyCap)).crossJoin(broadcast(capOnlyJoint))
+      .crossJoin(broadcast(jointTotal))
+      .select(
+        (col("k_joint") === col("n_images")).as("joint_dup_ok"),
+        (col("k_io_img") === col("n_images") && col("k_io_j") === 0L)
+          .as("img_only_ok"),
+        (col("k_co_cap") === col("n_images") && col("k_co_j") === 0L)
+          .as("cap_only_ok"),
+        (col("n_joint") === col("n_images")).as("no_false_joint"))
+    // consistency audit over the REAL decode
+    val feats = Multimodal.extractFeatures(images).toDF()
+      .select(col("media_id"), col("decoded_w"), col("decoded_h"))
+    feats
+      .join(capBase.select(col("doc_id").as("media_id"),
+        regexp_extract(col("text"), "^a (\\d+) by (\\d+) pixel", 1)
+          .cast("long").as("cap_w"),
+        regexp_extract(col("text"), "^a (\\d+) by (\\d+) pixel", 2)
+          .cast("long").as("cap_h")), "media_id")
+      .crossJoin(broadcast(verdicts))
+      .select(col("media_id"),
+        col("decoded_w").cast("long").as("decoded_w"),
+        col("decoded_h").cast("long").as("decoded_h"),
+        col("cap_w"), col("cap_h"),
+        (col("decoded_w") === col("cap_w") &&
+          col("decoded_h") === col("cap_h")).as("caption_ok"),
+        (pmod(col("media_id"), lit(9L)) === 3L).as("planted_mismatch"),
+        col("joint_dup_ok"), col("img_only_ok"), col("cap_only_ok"),
+        col("no_false_joint"))
+      .orderBy(col("media_id"))
+  }
+
+  // q188 derived-register constants — ONE spelling, inlined into the
+  // oracle: the seed suffix ranks zq/vb into the derived inventory
+  // (4n/3n occurrences vs < 2n for any corpus word); the vb suffix is
+  // BOTH the audited skew pattern and the day-2 register shift (the
+  // drift the refreshed artifact must absorb); zq is the negative
+  // control no trusted batch ever legitimizes
+  private val mgtSeedSfx = " zq zq zq zq vb vb vb"
+  private val mgtVbSfx = " vb vb vb vb vb vb"
+  private val mgtZqSfx = " zq zq zq zq zq zq"
+
+  /** Derived-register MGT cycle (q188, VERDICT r15 #6): the
+    * production-shaped lift of q182 — the function-word inventory is
+    * MINTED from a trusted seed corpus by the engine's own
+    * [[graft.ops.TextAnalysis.deriveStopwordInventory]] (top-8
+    * unigrams, deterministic count-desc/word-asc order) instead of the
+    * closed 7-word fixture list, then runs the identical
+    * additive-sketch artifact contract: profile over the raw register →
+    * [[graft.ops.TextAnalysis.saveDerivedProfile]] →
+    * [[graft.ops.TextAnalysis.loadStopwordProfile]] →
+    * [[graft.ops.TextAnalysis.appendDerivedProfile]] folds in a
+    * trusted day-2 batch that legitimately adopts `vb`. The audited
+    * mint's vb-skew class flags under the STALE register and passes
+    * under the REFRESHED one (absorbed), while the zq-skew control
+    * stays flagged under both — register drift handled by artifact
+    * refresh, with the inventory itself corpus-derived. Both registers,
+    * both batteries, and the derivation replay exactly in SQL. */
+  private def qMgtDerivedCycle(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .localCheckpoint() // fence: feeds seed, profile, day-2, the mint
+    val seed = raw.select(col("doc_id"),
+      concat(col("text"), lit(mgtSeedSfx)).as("text"))
+    val inv = TextAnalysis.deriveStopwordInventory(
+      seed, col("doc_id"), col("text"), k = 8)
+    val p1 = TextAnalysis.stopwordProfileFor(raw, inv)
+    val dir = tempFixtureDir("graft_mgt_derived")
+    TextAnalysis.saveDerivedProfile(p1, dir)
+    val loaded = TextAnalysis.loadStopwordProfile(s, dir)
+    val rt = p1.select(col("word"), col("cnt").as("c0"))
+      .join(loaded.select(col("word"), col("cnt").as("c1")),
+        Seq("word"), "full")
+      .agg(coalesce(sum(when(col("c0") <=> col("c1"), 0L).otherwise(1L)),
+        lit(0L)).as("n_bad"))
+    val day2 = raw.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select(concat(col("text"), lit(mgtVbSfx)).as("text"))
+    val refreshed = TextAnalysis.appendDerivedProfile(loaded, day2)
+    val cls = pmod(col("doc_id"), lit(4L))
+    val batch = raw.select(col("doc_id"),
+      when(cls === 1L, concat(col("text"), lit(mgtBurstSfx)))
+        .when(cls === 2L, concat(col("text"), lit(mgtTemplateSfx)))
+        .when(cls === 3L, concat(col("text"),
+          when(pmod(col("doc_id"), lit(8L)) === 7L, mgtZqSfx)
+            .otherwise(mgtVbSfx)))
+        .otherwise(col("text")).as("text"))
+      .localCheckpoint() // feeds two batteries
+    def flags(p: DataFrame, tag: String): DataFrame =
+      TextAnalysis.mgtReportWithDerivedProfile(batch, p)
+        .select(col("doc_id"), col("off_stop").as(s"${tag}_off"),
+          col("skew_flag").as(s"${tag}_skew"))
+    flags(loaded, "stale").join(flags(refreshed, "fresh"), "doc_id")
+      .crossJoin(broadcast(rt))
+      .select(col("doc_id"), pmod(col("doc_id"), lit(4L)).as("cls"),
+        col("stale_off"), col("stale_skew"),
+        col("fresh_off"), col("fresh_skew"),
+        (col("stale_skew") && !col("fresh_skew")).as("absorbed"),
+        (col("n_bad") === 0L).as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5739,7 +6165,13 @@ object SparkEntry {
     "q179_provenance_pipeline" -> (qProvenancePipeline _),
     "q180_warm_keeper_election" -> (qWarmKeeperElection _),
     "q181_curriculum" -> (qCurriculum _),
-    "q182_mgt_profile_cycle" -> (qMgtProfileCycle _))
+    "q182_mgt_profile_cycle" -> (qMgtProfileCycle _),
+    "q183_warc_codec" -> (qWarcCodec _),
+    "q184_warc_pipeline" -> (qWarcPipeline _),
+    "q185_robots_gate" -> (qRobotsGate _),
+    "q186_refusal_audit" -> (qRefusalAudit _),
+    "q187_crossmodal_pairs" -> (qCrossModalPairs _),
+    "q188_mgt_derived_cycle" -> (qMgtDerivedCycle _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -5774,6 +6206,98 @@ object SparkEntry {
                  '&#39;', chr(39)), '&apos;', chr(39)),
                  '&nbsp;', ' '), '&amp;', '&'),
                '[ \t\n\r]+', ' ', 'g')) AS extracted"""
+
+  // the q128/q184 typographic-normalization chain -- ONE spelling
+  // (the repetition-CTE convention): `e` is any SQL string expression;
+  // order matches NormalizeFunctions.normalizeText exactly
+  private def normalizeChainSql(e: String): String =
+    raw"""trim(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace($e,
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{00AD}\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+                    '[\x{2018}-\x{201B}]', chr(39), 'g'),
+                    '[\x{201C}-\x{201F}]', '"', 'g'),
+                    '[\x{2010}-\x{2015}\x{2212}]', '-', 'g'),
+                    '[\t\n\r \x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+', ' ', 'g'))"""
+
+  // the q183/q184 WARC mint replay: per-doc HTTP block (404 class at
+  // doc_id % 17 == 3, markup body otherwise) keyed by container
+  private def warcMintCtesSql: String =
+    s"""wm AS MATERIALIZED (
+           SELECT doc_id, doc_id // 8 AS container_id,
+             CASE WHEN doc_id % 17 = 3
+               THEN 'HTTP/1.1 404 Not Found' || chr(13) || chr(10)
+                 || 'Content-Type: text/plain' || chr(13) || chr(10)
+                 || chr(13) || chr(10) || 'not found'
+               ELSE 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+                 || 'Content-Type: text/html; charset=utf-8'
+                 || chr(13) || chr(10) || chr(13) || chr(10) || html
+             END AS block
+           FROM (SELECT doc_id, $mintedMarkupSql
+                 FROM documents))"""
+
+  // q186: the three-lane mint + the refusal battery replayed via the
+  // SHARED phrase inventories (TrainPrep.refusalPhrases etc. — literal
+  // split counts and prefix LIKEs, apostrophes escaped at build time)
+  private def refusalAuditOracleSql: String = {
+    def esc(p: String) = p.replace("'", "''")
+    def hitSum(ps: Seq[String]) = ps
+      .map(p => s"(len(string_split(low, '${esc(p)}')) - 1)")
+      .mkString(" + ")
+    val refusalSum = hitSum(graft.ops.TrainPrep.refusalPhrases)
+    val aiSum = hitSum(graft.ops.TrainPrep.aiBoilerplatePhrases)
+    val startsOr = graft.ops.TrainPrep.refusalOpeners
+      .map(p => s"low LIKE '${esc(p)}%'").mkString(" OR ")
+    s"""WITH lanes AS (
+           SELECT doc_id, 'chat' AS lane,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN text
+               WHEN 1 THEN 'I cannot help with that request. ' || text
+               WHEN 2 THEN 'Sure. As an AI language model I think '
+                 || text
+               WHEN 3 THEN 'buy now' || repeat(' buy now', 30)
+               WHEN 4 THEN 'the policy says i am unable to comply and '
+                 || 'i cannot provide that, because ' || text
+               ELSE 'Here is the answer.' END AS t
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 'chosen',
+             CASE WHEN doc_id % 11 = 4
+               THEN 'I''m sorry, but I can''t assist with that. ' || text
+               ELSE text END
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 'rejected',
+             CASE WHEN doc_id % 3 = 0
+               THEN 'I cannot help with this. I am unable to continue. '
+                 || text
+               WHEN doc_id % 3 = 1
+               THEN text || ' as a large language model I must decline'
+               ELSE text END
+           FROM documents),
+         base AS (
+           SELECT doc_id, lane, lower(t) AS low,
+             list_filter(string_split(lower(t), ' '), w -> w <> '')
+               AS toks
+           FROM lanes),
+         sig AS (
+           SELECT doc_id, lane,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST($refusalSum AS BIGINT) AS refusal_hits,
+             CAST($aiSum AS BIGINT) AS ai_hits,
+             ($startsOr) AS starts_refusal,
+             CAST((len(list_distinct(toks)) * 10000)
+               // greatest(len(toks), 1) AS BIGINT) AS distinct_bp
+           FROM base)
+       SELECT doc_id, lane, n_words, refusal_hits, ai_hits,
+         starts_refusal, distinct_bp,
+         (starts_refusal OR refusal_hits >= 2) AS refusal_flag,
+         (ai_hits >= 1) AS ai_flag,
+         (n_words >= 20 AND distinct_bp <= 1500) AS low_div_flag,
+         (starts_refusal OR refusal_hits >= 2 OR ai_hits >= 1
+           OR (n_words >= 20 AND distinct_bp <= 1500))
+           AS refusal_suspect
+       FROM sig ORDER BY doc_id, lane"""
+  }
 
   // the q142/q148 PII scrub chain -- ONE spelling (the repetition-CTE
   // convention): `e` is any SQL string expression; order matches
@@ -6250,11 +6774,16 @@ object SparkEntry {
     TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
   // one (prefixed) profile + off-profile pair over a text relation —
-  // q182 builds TWO registers (stale and refreshed) in one statement
+  // q182 builds TWO registers (stale and refreshed) in one statement;
+  // q188 swaps in the DERIVED inventory relation via swRel
   private def mgtProfileCtesOn(pfx: String, textRel: String): String =
+    mgtProfileCtesOnSw(pfx, textRel, "sw")
+
+  private def mgtProfileCtesOnSw(
+      pfx: String, textRel: String, swRel: String): String =
     s"""${pfx}prof AS MATERIALIZED (
              SELECT s.word, count(t.x) AS c
-             FROM sw s LEFT JOIN (
+             FROM $swRel s LEFT JOIN (
                SELECT unnest(string_split(lower(text), ' ')) AS x
                FROM $textRel) t ON t.x = s.word
              GROUP BY s.word),
@@ -6274,7 +6803,7 @@ object SparkEntry {
   // run it over the pipeline's survivors in the same statement;
   // produces {pfx}fin carrying every count, basis-point, and flag
   private def mgtBatteryCtesSql(docRel: String, pfx: String,
-      offpRel: String = "offp"): String = {
+      offpRel: String = "offp", swRel: String = "sw"): String = {
     // phrases interpolate into single-quoted SQL literals — escape any
     // quote so a future phrase like "let's dive in" cannot break the
     // statement (string_split is literal, matching the engine's
@@ -6282,7 +6811,6 @@ object SparkEntry {
     val phraseHits = TextAnalysis.mgtTemplatePhrases
       .map(p => s"(len(string_split(lt, '${p.replace("'", "''")}')) - 1)")
       .mkString("\n               + ")
-    val swList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
     s"""${pfx}base AS MATERIALIZED (
              SELECT doc_id, string_split(lower(text), ' ') AS w,
                lower(text) AS lt
@@ -6296,10 +6824,13 @@ object SparkEntry {
                    - len(list_distinct([w[i] || ' ' || w[i+1] || ' '
                        || w[i+2] for i in range(1, len(w) - 1)]))
                  ELSE 0 END AS BIGINT) AS dup3,
-               CAST($phraseHits AS BIGINT) AS template_hits,
-               CAST(len(list_filter(w, x -> x IN ($swList)))
-                 AS BIGINT) AS stop_total
+               CAST($phraseHits AS BIGINT) AS template_hits
              FROM ${pfx}base),
+           ${pfx}swm AS (
+             SELECT b.doc_id, count(*) AS c
+             FROM (SELECT doc_id, unnest(w) AS x FROM ${pfx}base) b
+             JOIN $swRel s ON b.x = s.word
+             GROUP BY b.doc_id),
            ${pfx}offm AS (
              SELECT b.doc_id, count(*) AS c
              FROM (SELECT doc_id, unnest(w) AS x FROM ${pfx}base) b
@@ -6312,11 +6843,12 @@ object SparkEntry {
                s.template_hits,
                CAST((s.template_hits * 10000) // greatest(s.n_words, 1)
                  AS BIGINT) AS template_bp,
-               s.stop_total,
+               CAST(coalesce(t.c, 0) AS BIGINT) AS stop_total,
                CAST(coalesce(o.c, 0) AS BIGINT) AS off_stop,
                CAST((coalesce(o.c, 0) * 10000)
-                 // greatest(s.stop_total, 1) AS BIGINT) AS skew_bp
+                 // greatest(coalesce(t.c, 0), 1) AS BIGINT) AS skew_bp
              FROM ${pfx}stats s
+             LEFT JOIN ${pfx}swm t ON t.doc_id = s.doc_id
              LEFT JOIN ${pfx}offm o ON o.doc_id = s.doc_id)"""
   }
 
@@ -6338,14 +6870,18 @@ object SparkEntry {
   // (q130 convention — the engine computes registrableDomain for real)
   // + the minted policy CASE, producing `lic` (doc_id, domain,
   // licence, verdict)
-  private def licenceVerdictCtesSql: String =
+  // the minted 15-of-20-domain policy — shared by q176/q179/q184
+  private val licencePolicyCteSql: String =
     """pol AS (
              SELECT k, 'site' || k || '.com' AS domain,
                CASE k % 4 WHEN 0 THEN 'cc-by'
                  WHEN 1 THEN 'proprietary'
                  WHEN 2 THEN 'cc-by-sa' END AS licence
              FROM (SELECT unnest(range(0, 20)) AS k)
-             WHERE k % 4 <> 3),
+             WHERE k % 4 <> 3)"""
+
+  private def licenceVerdictCtesSql: String =
+    s"""$licencePolicyCteSql,
            licd AS (
              SELECT doc_id,
                CASE WHEN doc_id % 23 = 5 THEN NULL
@@ -8702,14 +9238,7 @@ object SparkEntry {
          e AS (SELECT doc_id,
              ${htmlExtractSql}
            FROM m),
-         nn AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
-                  regexp_replace(regexp_replace(regexp_replace(extracted,
-                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{00AD}\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
-                    '[\x{2018}-\x{201B}]', chr(39), 'g'),
-                    '[\x{201C}-\x{201F}]', '"', 'g'),
-                    '[\x{2010}-\x{2015}\x{2212}]', '-', 'g'),
-                    '[\t\n\r \x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+', ' ', 'g'))
-                  AS norm
+         nn AS (SELECT doc_id, ${normalizeChainSql("extracted")} AS norm
                 FROM e),
          tok AS (SELECT doc_id, norm,
                    len(list_filter(string_split(norm, ' '),
@@ -9340,6 +9869,188 @@ object SparkEntry {
          SELECT doc_id, domain, licence, verdict,
            (verdict = 'keep') AS keep
          FROM lic ORDER BY doc_id""",
+    // q183: the WARC mint replayed byte-for-byte — header fields from
+    // the shared spellings, Content-Length as octet_length of the
+    // block, the torn-write class's declared-vs-carried error message,
+    // rec_seq as the in-container rank
+    "q183_warc_codec" ->
+      s"""WITH $warcMintCtesSql
+         SELECT doc_id, doc_id // 8 AS container_id,
+           CAST(row_number() OVER (PARTITION BY doc_id // 8
+             ORDER BY doc_id) - 1 AS BIGINT) AS rec_seq,
+           (doc_id % 13 <> 6) AS ok,
+           CASE WHEN doc_id % 13 = 6 THEN
+             'truncated-block: declared ' || octet_length(encode(block))
+               || ' bytes + terminator, extent carries 10' END AS error,
+           'response' AS warc_type,
+           'HTTPS://WWW.Site' || (doc_id % 20) || '.COM:443/p' || doc_id
+             || '?utm_source=x' AS target_uri,
+           '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || 'T00:00:00Z' AS warc_date,
+           CAST(octet_length(encode(block)) AS BIGINT) AS content_length,
+           CASE WHEN doc_id % 13 <> 6 THEN
+             CAST(CASE WHEN doc_id % 17 = 3 THEN 404 ELSE 200 END
+               AS BIGINT) END AS http_status,
+           CASE WHEN doc_id % 13 <> 6 THEN block END AS block
+         FROM wm ORDER BY doc_id""",
+    // q184: the crawl funnel replayed stage by stage — codec framing
+    // class, HTTP status class, the licence policy CASE on the
+    // shape-pinned domain, then the shared extraction + normalization
+    // chains and the token gate over the keep-survivors only
+    "q184_warc_pipeline" ->
+      s"""WITH hm AS MATERIALIZED (
+             SELECT doc_id, $mintedMarkupSql
+             FROM documents),
+           $licencePolicyCteSql,
+           st AS MATERIALIZED (
+             SELECT doc_id, (doc_id % 13 <> 6) AS codec_ok,
+               CASE WHEN doc_id % 17 = 3 THEN 404 ELSE 200 END AS status,
+               'site' || (doc_id % 20) || '.com' AS domain
+             FROM documents),
+           lic AS MATERIALIZED (
+             SELECT st.doc_id,
+               CASE WHEN p.licence IS NULL THEN 'quarantine'
+                 WHEN p.licence IN ('cc-by', 'cc-by-sa') THEN 'keep'
+                 ELSE 'drop' END AS verdict
+             FROM st LEFT JOIN pol p ON p.domain = st.domain
+             WHERE st.codec_ok AND st.status = 200),
+           sv AS (
+             SELECT hm.doc_id, hm.html
+             FROM hm JOIN lic ON lic.doc_id = hm.doc_id
+             WHERE lic.verdict = 'keep'),
+           e AS (SELECT doc_id, $htmlExtractSql FROM sv),
+           nrm AS (SELECT doc_id, ${normalizeChainSql("extracted")} AS norm
+                   FROM e),
+           tk AS (SELECT doc_id,
+                    CAST(len(list_filter(string_split(norm, ' '),
+                      w -> w <> '')) AS BIGINT) AS n_tok
+                  FROM nrm)
+         SELECT st.doc_id, st.codec_ok,
+           CASE WHEN NOT st.codec_ok THEN 'skipped'
+             WHEN st.status = 200 THEN 'ok' ELSE 'bad' END AS http_verdict,
+           CASE WHEN NOT st.codec_ok OR st.status <> 200 THEN 'skipped'
+             ELSE l.verdict END AS lic_verdict,
+           CASE WHEN NOT st.codec_ok OR st.status <> 200
+               OR l.verdict <> 'keep' THEN 'skipped'
+             WHEN t.n_tok >= 5 THEN 'kept' ELSE 'short' END AS text_verdict,
+           CAST(coalesce(t.n_tok, -1) AS BIGINT) AS n_tok,
+           coalesce(st.codec_ok AND st.status = 200 AND l.verdict = 'keep'
+             AND t.n_tok >= 5, false) AS kept
+         FROM st
+         LEFT JOIN lic l ON l.doc_id = st.doc_id
+         LEFT JOIN tk t ON t.doc_id = st.doc_id
+         ORDER BY st.doc_id""",
+    // q185: the (robots class x path class) verdict relation pinned
+    // closed-form (q176 convention — the engine parses the bodies and
+    // runs the RFC 9309 matcher for real): r = (doc_id%20)%5 robots
+    // class, c = doc_id%7 path class; blocked cells are r1/private,
+    // r2/pdf-wildcard, r3/tmp-specific-group, r4/private
+    "q185_robots_gate" ->
+      """WITH b AS (
+             SELECT doc_id, doc_id % 20 AS k, (doc_id % 20) % 5 AS r,
+               CAST(doc_id % 7 AS INT) AS c
+             FROM documents)
+         SELECT doc_id,
+           'site' || k || '.com' AS domain,
+           CASE c WHEN 0 THEN '/public/a' || doc_id
+             WHEN 1 THEN '/private/b' || doc_id
+             WHEN 2 THEN '/files/doc' || doc_id || '.pdf'
+             WHEN 3 THEN '/files/doc' || doc_id || '.html'
+             WHEN 4 THEN '/tmp/x' || doc_id
+             WHEN 5 THEN '/exact'
+             ELSE '/deep/nested/' || doc_id END AS path,
+           CASE WHEN r = 0 THEN 'none' WHEN r = 3 THEN 'specific'
+             ELSE 'wildcard' END AS agent_group,
+           CAST(CASE r WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 2
+             WHEN 3 THEN 1 ELSE 5 END AS BIGINT) AS n_rules,
+           CASE WHEN r = 1 AND c = 1 THEN '/private/'
+             WHEN r = 1 AND c = 5 THEN '/exact$'
+             WHEN r = 2 AND c = 2 THEN '/files/*.pdf$'
+             WHEN r = 2 AND c = 3 THEN '/files/'
+             WHEN r = 3 AND c = 4 THEN '/tmp/'
+             WHEN r = 4 AND c = 0 THEN '/public/'
+             WHEN r = 4 AND c = 1 THEN '/private/'
+             WHEN r = 4 AND c = 6 THEN '/deep/nested/'
+             ELSE '' END AS best_pattern,
+           NOT ((r = 1 AND c = 1) OR (r = 2 AND c = 2)
+             OR (r = 3 AND c = 4) OR (r = 4 AND c = 1)) AS allowed
+         FROM b ORDER BY doc_id""",
+    "q186_refusal_audit" -> refusalAuditOracleSql,
+    // q187: geometry is closed-form (w = 16 for image ids, h = 12 +
+    // (id%2)*16; the mismatch class claims h+1), so every dimension and
+    // the consistency verdict value-compare; the four joint-dup class
+    // booleans are pinned (dHash/MinHash internals aren't
+    // SQL-replayable — the q82 posture), genuinely computed engine-side
+    "q187_crossmodal_pairs" ->
+      """WITH ids AS (
+             SELECT k AS media_id
+             FROM (SELECT unnest(range(0, 300)) AS k) WHERE k % 3 = 0)
+         SELECT media_id,
+           CAST(16 AS BIGINT) AS decoded_w,
+           CAST(12 + (media_id % 2) * 16 AS BIGINT) AS decoded_h,
+           CAST(16 AS BIGINT) AS cap_w,
+           CAST(12 + (media_id % 2) * 16
+             + CASE WHEN media_id % 9 = 3 THEN 1 ELSE 0 END AS BIGINT)
+             AS cap_h,
+           (media_id % 9 <> 3) AS caption_ok,
+           (media_id % 9 = 3) AS planted_mismatch,
+           true AS joint_dup_ok, true AS img_only_ok,
+           true AS cap_only_ok, true AS no_false_joint
+         FROM ids ORDER BY media_id""",
+    // q188: the derivation replayed generically (top-8 unigrams of the
+    // seed corpus, count desc / word asc — NOT pinned names), both
+    // registers re-counted over the derived inventory, the battery once
+    // (stats are register-independent), absorption via the refreshed
+    // off-profile set (the q182 template with sw -> dsw)
+    "q188_mgt_derived_cycle" ->
+      s"""WITH seed AS MATERIALIZED (
+             SELECT doc_id, text || '${mgtSeedSfx.replace("'", "''")}'
+               AS text
+             FROM documents),
+           dsw AS MATERIALIZED (
+             SELECT word FROM (
+               SELECT x AS word, count(*) AS c
+               FROM (SELECT unnest(string_split(lower(text), ' ')) AS x
+                     FROM seed)
+               WHERE x <> ''
+               GROUP BY x ORDER BY c DESC, x LIMIT 8)),
+           m AS MATERIALIZED (
+             SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 1 THEN text || '${mgtBurstSfx.replace("'", "''")}'
+                 WHEN 2 THEN text
+                   || '${mgtTemplateSfx.replace("'", "''")}'
+                 WHEN 3 THEN text || CASE WHEN doc_id % 8 = 7
+                   THEN '${mgtZqSfx.replace("'", "''")}'
+                   ELSE '${mgtVbSfx.replace("'", "''")}' END
+                 ELSE text END AS text
+             FROM documents),
+           reg2 AS (
+             SELECT text FROM documents
+             UNION ALL
+             SELECT text || '${mgtVbSfx.replace("'", "''")}' AS text
+             FROM documents WHERE doc_id % 5 = 0),
+           ${mgtProfileCtesOnSw("", "documents", "dsw")},
+           ${mgtProfileCtesOnSw("r", "reg2", "dsw")},
+           ${mgtBatteryCtesSql("m", "g", offpRel = "offp",
+             swRel = "dsw")},
+           o2 AS (
+             SELECT b.doc_id, count(*) AS c
+             FROM (SELECT doc_id, unnest(w) AS x FROM gbase) b
+             JOIN roffp o ON b.x = o.word
+             GROUP BY b.doc_id)
+         SELECT f.doc_id, f.doc_id % 4 AS cls,
+           f.off_stop AS stale_off,
+           (f.stop_total >= 4 AND f.skew_bp >= 2500) AS stale_skew,
+           CAST(coalesce(o2.c, 0) AS BIGINT) AS fresh_off,
+           (f.stop_total >= 4 AND (coalesce(o2.c, 0) * 10000)
+             // greatest(f.stop_total, 1) >= 2500) AS fresh_skew,
+           ((f.stop_total >= 4 AND f.skew_bp >= 2500) AND NOT
+             (f.stop_total >= 4 AND (coalesce(o2.c, 0) * 10000)
+               // greatest(f.stop_total, 1) >= 2500)) AS absorbed,
+           true AS roundtrip_ok
+         FROM gfin f LEFT JOIN o2 ON o2.doc_id = f.doc_id
+         ORDER BY f.doc_id""",
     // q179: the three gate families composed — shared licence/MGT/
     // star-label fragments, stage-scoped nulls
     "q179_provenance_pipeline" -> provenancePipelineOracleSql,

@@ -196,6 +196,8 @@ object GraftFunctions {
       es => MinHashSig(es.head, litInt(es(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "edit_distance", es => EditDistance(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "robots_match", es => RobotsMatch(es.head, es(1)), "built-in")
   }
 
   /** Run `body` with ClickHouse's zero-argument `count()` spelling

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RFC 9309 (Robots Exclusion Protocol) path-pattern matching kernel —
+  * the per-(path, rule) predicate behind [[graft.ops.Robots]]. A rule
+  * pattern matches from the START of the path; `*` matches any byte
+  * sequence and a trailing `$` anchors the end of the path (§2.2.3 of
+  * the RFC, the two special characters every major crawler honours).
+  * Matching is a linear greedy scan (the classic glob-prefix walk) —
+  * no regex compilation per row. */
+object RobotsOps {
+
+  def matchesJ(path: String, pattern: String): Boolean = {
+    if (path == null || pattern == null) return false
+    val endAnchor = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val pat = if (endAnchor) pattern.substring(0, pattern.length - 1)
+      else pattern
+    // split on '*', keeping trailing empty segments ("a*" -> ["a", ""])
+    val parts = pat.split("\\*", -1)
+    if (!path.startsWith(parts(0))) return false
+    var idx = parts(0).length
+    var i = 1
+    while (i < parts.length) {
+      val p = parts(i)
+      if (i == parts.length - 1) {
+        // last segment after a wildcard: anywhere at/after idx, or —
+        // anchored — exactly at the end
+        return if (endAnchor) path.length - p.length >= idx && path.endsWith(p)
+          else path.indexOf(p, idx) >= 0
+      }
+      val found = path.indexOf(p, idx)
+      if (found < 0) return false
+      idx = found + p.length
+      i += 1
+    }
+    // no wildcard at all: prefix match, or exact match when anchored
+    if (endAnchor) path.length == idx else true
+  }
+
+  def matches(path: UTF8String, pattern: UTF8String): Boolean =
+    path != null && pattern != null &&
+      matchesJ(path.toString, pattern.toString)
+}
+
+/** `robots_match(path, pattern)` — codegen'd RFC 9309 rule match. */
+case class RobotsMatch(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    RobotsOps.matches(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.RobotsOps.matches($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): RobotsMatch = copy(left = l, right = r)
+  override def prettyName: String = "robots_match"
+}

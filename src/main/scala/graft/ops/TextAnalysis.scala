@@ -439,15 +439,46 @@ object TextAnalysis {
     * appends, and broadcasts like the centroid/template class). Seven
     * sums in ONE map-combined aggregate; no explode — the list is
     * closed. */
-  def stopwordProfile(refDocs: DataFrame): DataFrame = {
+  def stopwordProfile(refDocs: DataFrame): DataFrame =
+    stopwordProfileFor(refDocs, stopwords)
+
+  /** [[stopwordProfile]] over an ARBITRARY word inventory — the
+    * derived-register path (VERDICT r15 #6): the same one-aggregate
+    * counting, the inventory supplied by [[deriveStopwordInventory]]
+    * instead of the closed [[stopwords]] list. */
+  def stopwordProfileFor(
+      refDocs: DataFrame, inventory: Seq[String]): DataFrame = {
+    require(inventory.nonEmpty && inventory.distinct == inventory,
+      "stopwordProfileFor: inventory must be non-empty and duplicate-free")
     val sess = refDocs.sparkSession
     import sess.implicits._
-    val profCols = stopwords.map(w => coalesce(sum(
-      size(filter(tokens(lower(col("text"))), t => t === w)).cast("long")),
-      lit(0L)).as(w))
+    val profCols = inventory.zipWithIndex.map { case (w, i) =>
+      coalesce(sum(
+        size(filter(tokens(lower(col("text"))), t => t === w))
+          .cast("long")),
+        lit(0L)).as(s"__w$i") // positional alias: inventory words may
+        // collide with column-name rules ('.'-ish tokens)
+    }
     val profRow = refDocs.agg(profCols.head, profCols.tail: _*).head
-    stopwords.indices.map(i => (stopwords(i), profRow.getLong(i)))
+    inventory.indices.map(i => (inventory(i), profRow.getLong(i)))
       .toDF("word", "cnt")
+  }
+
+  /** Corpus-derived function-word inventory (VERDICT r15 #6): the
+    * top-k unigrams of a trusted seed corpus — [[topNgrams]]' exact
+    * deterministic order (occurrences desc, word asc), lowercased — so
+    * the MGT register can ride a corpus-minted inventory instead of
+    * the closed [[stopwords]] fixture list, under the same
+    * additive-sketch artifact contract. k rows collect to the driver:
+    * inventory is model metadata, the artifact-family posture. */
+  def deriveStopwordInventory(
+      seedDocs: DataFrame, idCol: Column, textCol: Column,
+      k: Int): Seq[String] = {
+    require(k >= 1, s"inventory size must be >= 1, got $k")
+    topNgrams(
+      seedDocs.select(idCol.as("doc_id"), lower(textCol).as("text")),
+      col("doc_id"), col("text"), n = 1, k = k)
+      .select(col("ngram")).collect().map(_.getString(0)).toSeq
   }
 
   /** Persist the stopword profile under `path/stop_profile` — gated on
@@ -459,6 +490,19 @@ object TextAnalysis {
     val sess = profile.sparkSession
     import sess.implicits._
     validatedProfileRows(profile, "saveStopwordProfile")
+      .toDF("word", "cnt")
+      .write.mode("overwrite").parquet(s"$path/stop_profile")
+  }
+
+  /** Persist a DERIVED register profile — same layout (and the same
+    * [[loadStopwordProfile]] reader) as the closed-list artifact, but
+    * the inventory is SELF-DESCRIBED by the rows: validation checks
+    * distinct non-empty words and non-negative counts instead of the
+    * closed list. */
+  def saveDerivedProfile(profile: DataFrame, path: String): Unit = {
+    val sess = profile.sparkSession
+    import sess.implicits._
+    validatedDerivedRows(profile, "saveDerivedProfile")
       .toDF("word", "cnt")
       .write.mode("overwrite").parquet(s"$path/stop_profile")
   }
@@ -485,19 +529,55 @@ object TextAnalysis {
     stopwords.map(w => (w, old(w) + fresh(w))).toDF("word", "cnt")
   }
 
+  /** Fold a fresh trusted batch into a DERIVED-register profile: the
+    * inventory is read from the artifact itself (fixed at derivation
+    * time), counts sum — the identical additive-sketch contract, so a
+    * register word the old corpus never used crosses the floor once the
+    * trusted corpus genuinely uses it (the q188 absorption semantics). */
+  def appendDerivedProfile(
+      profile: DataFrame, newDocs: DataFrame): DataFrame = {
+    val sess = profile.sparkSession
+    import sess.implicits._
+    val old = validatedDerivedRows(profile, "appendDerivedProfile")
+    val inventory = old.map(_._1)
+    val oldM = old.toMap
+    val fresh = stopwordProfileFor(newDocs, inventory)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inventory.map(w => (w, oldM(w) + fresh(w))).toDF("word", "cnt")
+  }
+
   /** Collect + gate a profile relation ONCE (seven rows by contract —
     * driver metadata); every consumer builds from the returned rows
     * instead of re-evaluating the plan (the review-pass finding: the
     * lazy-DataFrame form re-read the parquet artifact per consumer). */
   private def validatedProfileRows(
       profile: DataFrame, op: String): Seq[(String, Long)] = {
-    val rows = profile.select(col("word").cast("string").as("word"),
-      col("cnt").cast("long").as("cnt")).collect()
-    val seen = rows.map(r => Option(r.getString(0)).getOrElse("")).toSeq
+    val rows = validatedDerivedRows(profile, op)
+    val seen = rows.map(_._1)
     require(seen.sorted == stopwords.sorted,
       s"$op: profile must carry exactly the closed stopword list " +
         s"(${stopwords.mkString(", ")}), once each — got " +
         s"(${seen.mkString(", ")})")
+    rows
+  }
+
+  /** Collect + gate a SELF-DESCRIBED profile relation (the derived
+    * register): distinct non-empty words, non-null non-negative counts,
+    * bounded rows (inventory is driver metadata by contract). Word
+    * order follows the artifact — appends preserve it. */
+  private def validatedDerivedRows(
+      profile: DataFrame, op: String): Seq[(String, Long)] = {
+    val rows = profile.select(col("word").cast("string").as("word"),
+      col("cnt").cast("long").as("cnt")).collect()
+    require(rows.nonEmpty, s"$op: profile carries no rows")
+    require(rows.length <= 65536,
+      s"$op: ${rows.length} profile rows — an inventory is driver " +
+        "metadata by contract (<= 65536 words)")
+    val seen = rows.map(r => Option(r.getString(0)).getOrElse(""))
+    require(seen.forall(_.nonEmpty),
+      s"$op: profile words must be non-null and non-empty")
+    require(seen.distinct.length == seen.length,
+      s"$op: profile words must be distinct")
     require(rows.forall(r => !r.isNullAt(1) && r.getLong(1) >= 0L),
       s"$op: profile counts must be non-null and non-negative")
     rows.map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -513,11 +593,40 @@ object TextAnalysis {
       burstBp: Long = 1200L,
       templateBp: Long = 200L,
       skewBp: Long = 2500L,
-      minStopSupport: Long = 4L): DataFrame = {
+      minStopSupport: Long = 4L): DataFrame =
+    mgtBatteryOver(docs,
+      validatedProfileRows(profile, "mgtReportWithProfile"),
+      profileFloorBp, burstBp, templateBp, skewBp, minStopSupport)
+
+  /** [[mgtReportWithProfile]] over a DERIVED-register profile (VERDICT
+    * r15 #6): the inventory is the artifact's own word rows — the skew
+    * signal rides whatever function-word register the trusted corpus
+    * minted ([[deriveStopwordInventory]]) instead of the closed fixture
+    * list. Same battery, same thresholds, same stream-liftable shape. */
+  def mgtReportWithDerivedProfile(
+      docs: DataFrame,
+      profile: DataFrame,
+      profileFloorBp: Long = 500L,
+      burstBp: Long = 1200L,
+      templateBp: Long = 200L,
+      skewBp: Long = 2500L,
+      minStopSupport: Long = 4L): DataFrame =
+    mgtBatteryOver(docs,
+      validatedDerivedRows(profile, "mgtReportWithDerivedProfile"),
+      profileFloorBp, burstBp, templateBp, skewBp, minStopSupport)
+
+  private def mgtBatteryOver(
+      docs: DataFrame,
+      counts: Seq[(String, Long)],
+      profileFloorBp: Long,
+      burstBp: Long,
+      templateBp: Long,
+      skewBp: Long,
+      minStopSupport: Long): DataFrame = {
     require(profileFloorBp >= 0 && profileFloorBp <= 10000,
       s"profileFloorBp must be in [0,10000], got $profileFloorBp")
     def lowToks(c: Column): Column = tokens(lower(c))
-    val counts = validatedProfileRows(profile, "mgtReportWithProfile")
+    val inventory = counts.map(_._1)
     val profTotal = counts.map(_._2).sum
     // off-profile = rare-or-absent in the reference register; with an
     // EMPTY reference profile every stopword is off-profile (nothing
@@ -557,7 +666,7 @@ object TextAnalysis {
         .cast("long"))
       .reduce(_ + _)
     val stopTotal = size(filter(toks,
-      t => t.isin(stopwords.map(lit): _*))).cast("long")
+      t => t.isin(inventory.map(lit): _*))).cast("long")
     val offStop = if (offList.isEmpty) lit(0L)
       else size(filter(toks, t => t.isin(offList.map(lit): _*))).cast("long")
     // two-step projection: name the counts, then floor-divide with the

@@ -482,4 +482,77 @@ object TrainPrep {
           (lo + lit(1L)).cast("int"), (hi - lo).cast("int"))))
         .otherwise(textCol).as("text_out"))
   }
+
+  /** The closed refusal phrase inventory — lowercase literal substrings
+    * (the mgt-template posture: counted via literal split on BOTH
+    * engines, never a regex). */
+  val refusalPhrases: Seq[String] = Seq(
+    "i cannot help with", "i can't assist", "i am unable to",
+    "i cannot provide", "i'm sorry, but")
+
+  /** AI-boilerplate disclosure phrases — the "as an AI" class. */
+  val aiBoilerplatePhrases: Seq[String] = Seq(
+    "as an ai language model", "as a large language model",
+    "i do not have personal opinions")
+
+  /** Refusal openers — a response BEGINNING with one is the strongest
+    * single signal (matched as a lowercase prefix). */
+  val refusalOpeners: Seq[String] = Seq(
+    "i cannot", "i can't", "i am unable", "i'm sorry", "i apologize")
+
+  /** Refusal/boilerplate screen for post-training data (VERDICT r15
+    * #7): the standard assistant-response audit run over chat
+    * transcripts and both preference branches before SFT/RLHF — flags
+    * canned refusals, "as an AI" boilerplate, and low-lexical-diversity
+    * template responses. Pure staged projections (the q174 posture:
+    * token/lowercase columns named ONCE so HOF bodies never re-split),
+    * integer basis points, no shuffle — lifts to a stream unchanged.
+    *
+    * Appends to `docs`: n_words, refusal_hits, ai_hits, starts_refusal,
+    * distinct_bp, refusal_flag, ai_flag, low_div_flag, refusal_suspect.
+    *
+    * Flag rules (closed-form, oracle-replayable): a refusal opener at
+    * position 0 OR ≥2 refusal phrases anywhere → refusal_flag; any
+    * boilerplate phrase → ai_flag; ≥20 words with ≤15% distinct tokens
+    * → low_div_flag; any → refusal_suspect. */
+  def refusalReport(docs: DataFrame, textCol: Column): DataFrame = {
+    val inCols = docs.columns.map(col).toSeq
+    val staged = docs.select(
+      (inCols :+ lower(textCol).as("__low")): _*)
+    val staged2 = staged.select(
+      (inCols :+ col("__low") :+
+        filter(split(col("__low"), " "), t => t =!= "").as("__toks")): _*)
+    val low = col("__low")
+    val toks = col("__toks")
+    def phraseHits(ps: Seq[String]): Column = ps
+      .map(p => (size(split(low, java.util.regex.Pattern.quote(p))) - 1)
+        .cast("long"))
+      .reduce(_ + _)
+    val starts = refusalOpeners
+      .map(p => low.startsWith(p))
+      .reduce(_ || _)
+    val staged3 = staged2.select(
+      (inCols :+
+        size(toks).cast("long").as("n_words") :+
+        phraseHits(refusalPhrases).as("refusal_hits") :+
+        phraseHits(aiBoilerplatePhrases).as("ai_hits") :+
+        starts.as("starts_refusal") :+
+        size(array_distinct(toks)).cast("long").as("__dist")): _*)
+    staged3.select(
+      (inCols :+ col("n_words") :+ col("refusal_hits") :+ col("ai_hits") :+
+        col("starts_refusal") :+
+        expr("(__dist * 10000) div greatest(n_words, 1L)")
+          .as("distinct_bp")): _*)
+      .select((inCols :+ col("n_words") :+ col("refusal_hits") :+
+        col("ai_hits") :+ col("starts_refusal") :+ col("distinct_bp") :+
+        (col("starts_refusal") || col("refusal_hits") >= 2L)
+          .as("refusal_flag") :+
+        (col("ai_hits") >= 1L).as("ai_flag") :+
+        (col("n_words") >= 20L && col("distinct_bp") <= 1500L)
+          .as("low_div_flag") :+
+        (col("starts_refusal") || col("refusal_hits") >= 2L ||
+          col("ai_hits") >= 1L ||
+          (col("n_words") >= 20L && col("distinct_bp") <= 1500L))
+          .as("refusal_suspect")): _*)
+  }
 }

@@ -1,0 +1,245 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500 / WARC/1.0) record codec — the wire format every
+  * real crawl corpus actually arrives in (VERDICT r15 #1), completing
+  * the wire-format family next to the TSV codec (q07, the reference's
+  * S2 — `insert_data.sh:41`) and the JSONL codec (q124).
+  *
+  * Two halves, both engine-native:
+  *
+  *  - '''Minting''' ([[mintResponseRecord]]): a WARC/1.0 `response`
+  *    record as a single string column — version magic, named headers,
+  *    `Content-Length` in BYTES (`octet_length`, not chars), the blank
+  *    separator line, the block, and the mandatory `\r\n\r\n` record
+  *    terminator. Pure column concat, so the byte stream replays
+  *    exactly in the DuckDB oracle.
+  *
+  *  - '''Parsing''' ([[parseContainers]]): a bounds-guarded binary
+  *    `mapPartitions` codec over (container_id, bytes) blobs — the Y4M
+  *    posture (`ops/Multimodal.scala`): self-describing headers,
+  *    descriptive failures, never an index exception. Record extents
+  *    are found by scanning for the `WARC/1.0\r\n` magic FIRST (the
+  *    resync discipline production WARC readers use), so one torn
+  *    record can never desynchronize the rest of its container: a
+  *    record whose declared `Content-Length` disagrees with its extent
+  *    quarantines ALONE with a declared-vs-carried error message, and
+  *    parsing resumes at the next magic.
+  *
+  * Scale shape: parsing is map-only (one sequential pass per container
+  * blob, no shuffle, no driver collect); containers are the unit of
+  * parallelism exactly as WARC files are on a real crawl bucket. */
+object WarcCodec {
+
+  /** One parsed record (or one quarantined framing failure). Header
+    * fields are best-effort — a truncated block still reports the
+    * headers it DID carry, so quarantined records remain attributable
+    * (the q124 posture: quarantine, don't lose). */
+  final case class WarcRecord(
+      container_id: Long,
+      rec_seq: Int,
+      ok: Boolean,
+      error: Option[String],
+      warc_type: Option[String],
+      record_id: Option[String],
+      target_uri: Option[String],
+      warc_date: Option[String],
+      content_length: Option[Long],
+      block: Option[String])
+
+  val Version = "WARC/1.0"
+  private val Magic: Array[Byte] = (Version + "\r\n").getBytes(UTF_8)
+
+  /** The header section of a WARC/1.0 response record (magic through
+    * the blank separator line) as a string column — split out so the
+    * torn-write mint can keep intact headers (the declared
+    * `Content-Length` stands) over a cut block. */
+  def mintResponseHeaders(
+      recordId: Column,
+      targetUri: Column,
+      warcDate: Column,
+      contentLength: Column): Column =
+    concat(
+      lit(Version + "\r\n"),
+      lit("WARC-Type: response\r\n"),
+      lit("WARC-Record-ID: "), recordId, lit("\r\n"),
+      lit("WARC-Date: "), warcDate, lit("\r\n"),
+      lit("WARC-Target-URI: "), targetUri, lit("\r\n"),
+      lit("Content-Type: application/http; msgtype=response\r\n"),
+      lit("Content-Length: "), contentLength.cast("string"),
+      lit("\r\n\r\n"))
+
+  /** Mint one WARC/1.0 response record as a STRING column (UTF-8 bytes
+    * == the wire bytes; `Content-Length` is `octet_length(block)`).
+    * All header values are caller-supplied columns so the oracle can
+    * replay the exact spelling. */
+  def mintResponseRecord(
+      recordId: Column,
+      targetUri: Column,
+      warcDate: Column,
+      block: Column): Column =
+    concat(
+      mintResponseHeaders(recordId, targetUri, warcDate,
+        octet_length(block).cast("long")),
+      block,
+      lit("\r\n\r\n"))
+
+  /** Parse (container_id: long, data: binary) blobs into one row per
+    * record extent. Map-only; each blob is parsed in one bounded
+    * forward pass. */
+  def parseContainers(
+      containers: DataFrame,
+      idCol: Column,
+      bytesCol: Column): DataFrame = {
+    val sess = containers.sparkSession
+    import sess.implicits._
+    containers
+      .select(idCol.cast("long").as("container_id"), bytesCol.as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (cid, data) =>
+        parseRecords(cid, if (data == null) Array.emptyByteArray else data)
+      })
+      .toDF()
+  }
+
+  /** The per-container parse — package-visible for the hand-built
+    * truncated/header-lying spec cases. */
+  private[graft] def parseRecords(
+      cid: Long, data: Array[Byte]): Seq[WarcRecord] = {
+    if (data.isEmpty) return Seq.empty
+    val starts = magicOffsets(data)
+    if (starts.isEmpty)
+      return Seq(WarcRecord(cid, 0, ok = false,
+        Some(s"no-warc-magic: ${data.length} bytes carry no " +
+          s"'$Version' record start"),
+        None, None, None, None, None, None))
+    val out = Seq.newBuilder[WarcRecord]
+    var seq = 0
+    if (starts.head != 0) {
+      out += WarcRecord(cid, seq, ok = false,
+        Some(s"leading-garbage: ${starts.head} bytes before the first " +
+          s"'$Version' magic"),
+        None, None, None, None, None, None)
+      seq += 1
+    }
+    var i = 0
+    while (i < starts.length) {
+      val from = starts(i)
+      val until = if (i + 1 < starts.length) starts(i + 1) else data.length
+      out += parseExtent(cid, seq, data, from, until)
+      seq += 1
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Offsets of every `WARC/1.0\r\n` match — record extent boundaries.
+    * The magic carries CRLF, so it can only match at a line start; a
+    * block whose TEXT mentions the version string cannot split a
+    * record unless it also embeds the exact CRLF-framed magic (the
+    * same resync limit production readers document). */
+  private def magicOffsets(data: Array[Byte]): Array[Int] = {
+    val out = Array.newBuilder[Int]
+    var i = 0
+    val last = data.length - Magic.length
+    while (i <= last) {
+      var j = 0
+      while (j < Magic.length && data(i + j) == Magic(j)) j += 1
+      if (j == Magic.length) { out += i; i += Magic.length }
+      else i += 1
+    }
+    out.result()
+  }
+
+  /** Parse one [from, until) extent that starts with the magic. */
+  private def parseExtent(
+      cid: Long, seq: Int, data: Array[Byte],
+      from: Int, until: Int): WarcRecord = {
+    // header section: CRLF lines after the magic line, up to the blank
+    // separator line
+    var lineStart = from + Magic.length
+    var warcType, recordId, targetUri, warcDate: Option[String] = None
+    var contentLength: Option[Long] = None
+    var err: Option[String] = None
+    var blockStart = -1
+    while (blockStart < 0 && err.isEmpty) {
+      val eol = indexOfCrlf(data, lineStart, until)
+      if (eol < 0) {
+        err = Some("unterminated-headers: no blank separator line " +
+          "before the record extent ends")
+      } else if (eol == lineStart) {
+        blockStart = eol + 2 // the blank line — block begins after it
+      } else {
+        val line = new String(data, lineStart, eol - lineStart, UTF_8)
+        val colon = line.indexOf(':')
+        if (colon <= 0) {
+          err = Some(s"malformed-header-line: '${line.take(60)}'")
+        } else {
+          val name = line.substring(0, colon).trim.toLowerCase
+          val value = line.substring(colon + 1).trim
+          name match {
+            case "warc-type" => warcType = Some(value)
+            case "warc-record-id" => recordId = Some(value)
+            case "warc-target-uri" => targetUri = Some(value)
+            case "warc-date" => warcDate = Some(value)
+            case "content-length" =>
+              contentLength = value.toLongOption.filter(_ >= 0)
+              if (contentLength.isEmpty)
+                err = Some(s"bad-content-length: '${value.take(30)}'")
+            case _ => () // unknown headers pass through (WARC allows)
+          }
+          lineStart = eol + 2
+        }
+      }
+    }
+    def rec(ok: Boolean, e: Option[String], block: Option[String]) =
+      WarcRecord(cid, seq, ok, e, warcType, recordId, targetUri,
+        warcDate, contentLength, block)
+    if (err.isDefined) return rec(ok = false, err, None)
+    val missing = Seq(
+      "WARC-Type" -> warcType.isEmpty,
+      "WARC-Record-ID" -> recordId.isEmpty,
+      "Content-Length" -> contentLength.isEmpty).collect {
+      case (n, true) => n
+    }
+    if (missing.nonEmpty)
+      return rec(ok = false,
+        Some(s"missing-header: ${missing.mkString(", ")}"), None)
+    val declared = contentLength.get
+    val carried = (until - blockStart).toLong
+    // every well-formed record carries block + CRLFCRLF terminator
+    if (carried < declared + 4)
+      rec(ok = false,
+        Some(s"truncated-block: declared $declared bytes + terminator, " +
+          s"extent carries ${math.max(carried, 0)}"), None)
+    else if (carried > declared + 4)
+      rec(ok = false,
+        Some(s"block-overrun: declared $declared bytes + terminator, " +
+          s"extent carries $carried"), None)
+    else if (!isCrlfCrlf(data, blockStart + declared.toInt))
+      rec(ok = false,
+        Some("missing-record-terminator: block not followed by CRLFCRLF"),
+        None)
+    else
+      rec(ok = true, None,
+        Some(new String(data, blockStart, declared.toInt, UTF_8)))
+  }
+
+  private def indexOfCrlf(data: Array[Byte], from: Int, until: Int): Int = {
+    var i = from
+    while (i + 1 < until) {
+      if (data(i) == '\r' && data(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def isCrlfCrlf(data: Array[Byte], at: Int): Boolean =
+    at + 3 < data.length + 1 && at + 4 <= data.length &&
+      data(at) == '\r' && data(at + 1) == '\n' &&
+      data(at + 2) == '\r' && data(at + 3) == '\n'
+}

@@ -2271,4 +2271,53 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       Seq((3L, under)).toDF("doc_id", "text")).head
     assert(gu.getAs[Int]("n_good") === 0)
   }
+
+  test("derived MGT register: inventory derivation is deterministic and " +
+      "the append is absorbing (VERDICT r15 #6)") {
+    import spark.implicits._
+    val seed = Seq(
+      (1L, "aa aa aa bb bb cc dd"),
+      (2L, "aa aa bb cc cc dd"),
+      (3L, "aa bb dd dd"))
+      .toDF("doc_id", "text")
+    // counts: aa=6 bb=4 dd=4 cc=3 — ties break word-asc (bb before dd)
+    val inv = TextAnalysis.deriveStopwordInventory(
+      seed, col("doc_id"), col("text"), k = 3)
+    assert(inv == Seq("aa", "bb", "dd"))
+    // deterministic under a different partitioning of the same corpus
+    val inv2 = TextAnalysis.deriveStopwordInventory(
+      seed.repartition(7), col("doc_id"), col("text"), k = 3)
+    assert(inv2 == inv)
+    // profile over a register that never uses 'dd': dd is off-profile
+    val reg = Seq((1L, "aa aa aa aa bb")).toDF("doc_id", "text")
+    val p1 = TextAnalysis.stopwordProfileFor(reg, inv)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_derived_spec").toString
+    TextAnalysis.saveDerivedProfile(p1, dir)
+    val loaded = TextAnalysis.loadStopwordProfile(spark, dir)
+    val stale = TextAnalysis.mgtReportWithDerivedProfile(
+      Seq((9L, "xx dd dd dd dd")).toDF("doc_id", "text"), loaded)
+      .select("stop_total", "off_stop", "skew_flag").head
+    assert(stale.getLong(0) == 4L && stale.getLong(1) == 4L &&
+      stale.getBoolean(2), "dd-heavy doc must flag under the stale register")
+    // day-2 trusted batch adopts 'dd' -> append absorbs it (additive:
+    // the refreshed counts equal a fresh profile over the union)
+    val day2 = Seq((2L, "dd dd dd aa")).toDF("doc_id", "text")
+    val refreshed = TextAnalysis.appendDerivedProfile(loaded, day2)
+    val union = TextAnalysis.stopwordProfileFor(
+      reg.select("text").unionByName(day2.select("text"))
+        .withColumn("doc_id", lit(0L)), inv)
+    assert(refreshed.orderBy("word").collect().toSeq ==
+      union.orderBy("word").collect().toSeq)
+    val fresh = TextAnalysis.mgtReportWithDerivedProfile(
+      Seq((9L, "xx dd dd dd dd")).toDF("doc_id", "text"), refreshed)
+      .select("off_stop", "skew_flag").head
+    assert(fresh.getLong(0) == 0L && !fresh.getBoolean(1),
+      "the refreshed register absorbs dd")
+    // self-described validation refuses a duplicated inventory word
+    intercept[IllegalArgumentException] {
+      TextAnalysis.saveDerivedProfile(
+        Seq(("aa", 1L), ("aa", 2L)).toDF("word", "cnt"), dir)
+    }
+  }
 }

@@ -498,4 +498,34 @@ class StreamCurationSpec extends SparkSpec {
         query.lastProgress.stateOperators.isEmpty)
     } finally query.stop()
   }
+
+  test("refusal battery lifts to a stream unchanged: pure projections, " +
+      "stateless, flags match the batch form row for row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val out = graft.ops.TrainPrep.refusalReport(
+      source.toDF().toDF("doc_id", "t"), col("t"))
+    val query = out.writeStream.format("memory").queryName("refusal_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = Seq(
+        (40L, "I'm sorry, but I can't assist with that request."),
+        (41L, "as a large language model I must decline politely"),
+        (42L, "an ordinary response with plenty of distinct words here"))
+      source.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("refusal_stream")
+        .select("doc_id", "refusal_suspect").as[(Long, Boolean)]
+        .collect().toMap
+      val batch = graft.ops.TrainPrep.refusalReport(
+          rows.toDF("doc_id", "t"), col("t"))
+        .select("doc_id", "refusal_suspect").as[(Long, Boolean)]
+        .collect().toMap
+      assert(streamed == batch)
+      assert(streamed == Map(40L -> true, 41L -> true, 42L -> false))
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
 }

@@ -314,4 +314,34 @@ class TrainPrepSpec extends SparkSpec {
     refuse(Seq((0L, 9L, 0L, 300L)), "_cand")
     refuse(Seq((-1L, 2L, 0L, 300L)), "_neg")
   }
+
+  test("refusalReport: each flag fires on exactly its hand case") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "I cannot help with that."), // opener -> refusal_flag
+      (2L, "the answer is that i am unable to comply and i cannot " +
+        "provide it"), // two mid-text hits, no opener -> refusal_flag
+      (3L, "the answer is that i am unable to comply"), // one hit only
+      (4L, "sure, as an AI language model I note this"), // ai_flag
+      (5L, ("spam " * 40).trim), // 40 words, 1 distinct -> low_div
+      (6L, "a perfectly ordinary helpful answer about spark plans"))
+      .toDF("doc_id", "t")
+    val got = graft.ops.TrainPrep.refusalReport(rows, col("t"))
+      .select("doc_id", "refusal_flag", "ai_flag", "low_div_flag",
+        "refusal_suspect")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, true, false, false, true),
+      (2L, true, false, false, true),
+      (3L, false, false, false, false),
+      (4L, false, true, false, true),
+      (5L, false, false, true, true),
+      (6L, false, false, false, false)))
+    // distinct_bp arithmetic: 1 distinct over 40 words = 250 bp
+    val bp = graft.ops.TrainPrep.refusalReport(rows, col("t"))
+      .filter(col("doc_id") === 5L).select("n_words", "distinct_bp")
+      .as[(Long, Long)].head()
+    assert(bp == ((40L, 250L)))
+  }
 }

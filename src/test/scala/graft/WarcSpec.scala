@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.WarcCodec
+
+/** WARC codec framing cases (VERDICT r15 #1): round-trip, torn-write
+  * truncation, header-lying lengths, missing/malformed headers, and
+  * resync — each over hand-built container bytes so the failure
+  * classes are pinned independently of the q183 mint. */
+class WarcSpec extends SparkSpec {
+
+  private def record(
+      id: Long, block: String,
+      declared: Option[Long] = None,
+      dropHeader: String = "",
+      terminator: String = "\r\n\r\n"): String = {
+    val cl = declared.getOrElse(
+      block.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+    val headers = Seq(
+      "WARC-Type: response",
+      s"WARC-Record-ID: <urn:graft:$id>",
+      "WARC-Date: 2026-01-01T00:00:00Z",
+      s"WARC-Target-URI: https://site$id.com/p$id",
+      "Content-Type: application/http; msgtype=response",
+      s"Content-Length: $cl").filterNot(_.startsWith(dropHeader + ":"))
+    "WARC/1.0\r\n" + headers.mkString("", "\r\n", "\r\n\r\n") +
+      block + terminator
+  }
+
+  private def parse(s: String) =
+    WarcCodec.parseRecords(7L,
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  test("well-formed records round-trip every header field and the block") {
+    val recs = parse(record(1, "hello world") + record(2, "second block"))
+    assert(recs.map(_.ok) == Seq(true, true))
+    assert(recs.map(_.rec_seq) == Seq(0, 1))
+    val r = recs.head
+    assert(r.warc_type.contains("response"))
+    assert(r.record_id.contains("<urn:graft:1>"))
+    assert(r.target_uri.contains("https://site1.com/p1"))
+    assert(r.warc_date.contains("2026-01-01T00:00:00Z"))
+    assert(r.content_length.contains(11L))
+    assert(r.block.contains("hello world"))
+  }
+
+  test("torn-write record quarantines alone; neighbours still parse") {
+    // record 2 keeps its headers (declared length stands) but the block
+    // is cut to 4 bytes and the terminator is gone — the q183 mint class
+    val torn = record(2, "this block is long", declared = Some(18L))
+      .replace("this block is long\r\n\r\n", "this")
+    val recs = parse(record(1, "first") + torn + record(3, "third"))
+    assert(recs.map(_.ok) == Seq(true, false, true))
+    assert(recs(1).error.contains(
+      "truncated-block: declared 18 bytes + terminator, extent carries 4"))
+    // headers of the torn record stay attributable
+    assert(recs(1).record_id.contains("<urn:graft:2>"))
+    assert(recs(2).block.contains("third"))
+  }
+
+  test("header-lying Content-Length flags, both directions") {
+    // declares fewer bytes than the extent carries
+    val lieShort = parse(record(1, "0123456789", declared = Some(4L)))
+    assert(!lieShort.head.ok)
+    assert(lieShort.head.error.exists(_.startsWith("block-overrun:")))
+    // declares more bytes than the extent carries
+    val lieLong = parse(record(1, "0123456789", declared = Some(400L)))
+    assert(!lieLong.head.ok)
+    assert(lieLong.head.error.exists(_.startsWith("truncated-block:")))
+  }
+
+  test("missing and malformed headers fail descriptively") {
+    val noLen = parse(record(1, "abc", dropHeader = "Content-Length"))
+    assert(noLen.head.error.contains("missing-header: Content-Length"))
+    val noType = parse(record(1, "abc", dropHeader = "WARC-Type"))
+    assert(noType.head.error.contains("missing-header: WARC-Type"))
+    val badLen = parse(
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <u:1>\r\n" +
+        "Content-Length: -9\r\n\r\nabc\r\n\r\n")
+    assert(badLen.head.error.exists(_.startsWith("bad-content-length:")))
+    val malformed = parse(
+      "WARC/1.0\r\nWARC-Type: response\r\nnot a header line\r\n\r\n")
+    assert(malformed.head.error.exists(
+      _.startsWith("malformed-header-line:")))
+  }
+
+  test("resync: leading garbage and magic-less blobs surface, not crash") {
+    val lead = parse("GARBAGE" + record(1, "abc"))
+    assert(lead.map(_.ok) == Seq(false, true))
+    assert(lead.head.error.exists(_.startsWith("leading-garbage: 7 bytes")))
+    val none = parse("no records here at all")
+    assert(none.head.error.exists(_.startsWith("no-warc-magic:")))
+    assert(WarcCodec.parseRecords(1L, Array.emptyByteArray).isEmpty)
+    // headers never terminated before the extent ends
+    val unterminated = parse("WARC/1.0\r\nWARC-Type: response")
+    assert(unterminated.head.error.contains(
+      "unterminated-headers: no blank separator line before the record " +
+        "extent ends"))
+  }
+
+  test("parseContainers is map-only over blobs and preserves container ids") {
+    import spark.implicits._
+    val blob = (record(10, "alpha") + record(11, "beta"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val df = WarcCodec.parseContainers(
+      Seq((5L, blob)).toDF("container_id", "data"),
+      col("container_id"), col("data"))
+    val rows = df.orderBy("rec_seq").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getLong(0) == 5L))
+    assert(rows.map(_.getBoolean(2)).forall(identity))
+    // no shuffle: the parse plan is a single map stage over the source
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty)
+  }
+}
