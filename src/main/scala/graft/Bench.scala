@@ -811,6 +811,12 @@ object Bench {
       // one top-k derivation aggregate — linear. q187 is excluded: a
       // fixed-size media fixture consumer (the q82 convention)
       "q185_robots_gate", "q186_refusal_audit", "q188_mgt_derived_cycle",
+      // daily-refresh runbook: coldStart (dedup/span/IVF index builds,
+      // star closure, 8 rank iterations, one mining agg — each the
+      // laddered linear shape) + one run over a corpus-proportional
+      // batch (broadcast licence join, map-only battery, bloom-gated
+      // probes, delta contraction, 4 warm iterations) — linear
+      "q189_daily_refresh",
       // fixed query set over a scaling corpus (inverted-index probe) and
       // the map-only C4 battery — both should ladder ≈ linear. q117 is
       // NOT laddered as a query: its exact-recall conformance scan is a

@@ -5979,6 +5979,122 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Daily-refresh runbook (q189, VERDICT r15 #3):
+    * [[graft.pipeline.DailyRefresh]] driven end to end — coldStart
+    * builds and persists the whole artifact family from the corpus
+    * (profile, dedup index, span index, IVF index, component labels,
+    * link edges + rank vector, preference pairs), then ONE `run` call
+    * takes a five-class day-1 batch through the ordered gate chain
+    * (licence → MGT → text dedup → span decontam → semantic dedup) and
+    * advances every artifact one day. Batch classes: A exact corpus
+    * copies (die at dedup), B fresh-clean (survive), C span-planted
+    * benchmark carriers (die at decontam), D jittered-embedding
+    * semantic dups (die at the IVF probe), E template-slop (die at
+    * MGT) — each class's licence fate rides the q176 domain arithmetic
+    * on top. The funnel's 8 rows value-compare: stage populations via
+    * the class CASEs + the shared licence/MGT CTEs, artifact sizes via
+    * closed-form mint arithmetic (the q132/q106 posture for the
+    * bloom/IVF internals the cycle queries already pinned). */
+  private def qDailyRefresh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .localCheckpoint() // fence: feeds coldStart, the mint, the prompts
+    val n = docs.count()
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<float>"))
+      .localCheckpoint()
+    val dim = vecs.select(size(col("embedding"))).head.getInt(0)
+    def evalText(j: Column, tag: String): Column = array_join(
+      transform(sequence(lit(0), lit(19)),
+        i => concat(lit(tag), j, lit(if (tag == "e") "x" else "y"), i)),
+      " ")
+    val benchmark = s.range(0, 40).toDF("j")
+      .select((col("j") + 500000000L).as("doc_id"),
+        evalText(col("j"), "e").as("text"))
+    val benchDelta = s.range(0, 10).toDF("j")
+      .select((col("j") + 600000000L).as("doc_id"),
+        evalText(col("j"), "d").as("text"))
+    val ids = docs.select(col("doc_id"))
+    val dir = tempFixtureDir("graft_daily_refresh")
+    graft.pipeline.DailyRefresh.coldStart(s, dir,
+      docs, vecs, benchmark,
+      ccEdges = mintedStarEdges(ids),
+      linkEdges = mintedEdges(ids, n),
+      promptCands = mintedPrefCands(ids, 0L),
+      expectedDocs = 100000L)
+    // the five-class batch
+    def freshWords(tag: String, mul: Long): Column = array_join(
+      transform(sequence(lit(0), lit(19)),
+        j => concat(lit(tag), col("doc_id") * mul + j)), " ")
+    def cl(r: Long, off: Long, txt: Column): DataFrame =
+      docs.filter(pmod(col("doc_id"), lit(10L)) === r)
+        .select((col("doc_id") + off).as("doc_id"), txt.as("text"))
+    val aDocs = cl(0L, 1000000000L, col("text"))
+    val bDocs = cl(3L, 2000000000L, freshWords("fz", 31L))
+    val cDocs = cl(6L, 3000000000L, concat(lit("pz"), col("doc_id"),
+      lit(" qz rz "), evalText(pmod(col("doc_id"), lit(40L)), "e")))
+    val dDocs = docs.filter(pmod(col("doc_id"), lit(10L)) === 9L)
+      .join(vecs.select(col("vec_id").as("doc_id")), "doc_id")
+      .select((col("doc_id") + 4000000000L).as("doc_id"),
+        freshWords("gz", 17L).as("text"))
+    val eDocs = cl(5L, 5000000000L,
+      concat(col("text"), lit(mgtTemplateSfx)))
+    // licence domains keyed on (id div 10) % 20 so every batch CLASS
+    // spans all licence classes — keying on id % 20 would correlate
+    // with the id % 10 class mint and starve the downstream stages
+    val batchUrl = concat(lit("HTTPS://WWW.Site"),
+      pmod(expr("doc_id div 10"), lit(20L)), lit(".COM:443/p"),
+      col("doc_id"), lit("?utm_source=x"))
+    val batchDocs = aDocs.unionByName(bDocs).unionByName(cDocs)
+      .unionByName(dDocs).unionByName(eDocs)
+      .select(col("doc_id"), col("text"), batchUrl.as("url"))
+      .localCheckpoint()
+    // batch embeddings: the q106 planted jitter for D, the q106 random
+    // formula for everyone else
+    val dPlanted = docs.filter(pmod(col("doc_id"), lit(10L)) === 9L)
+      .join(vecs, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val r = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) {
+          val eps = ((graft.functions.Impl.mix64(id * 131L + i) & 0xFFFFL)
+            .toDouble / 65535.0 - 0.5) * 0.01
+          r(i) = (v(i) * (1.0 + eps)).toFloat
+          i += 1
+        }
+        (id + 4000000000L, r)
+      }.toDF("doc_id", "embedding")
+    val randVecs = batchDocs.select(col("doc_id"))
+      .join(dPlanted.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .as[Long]
+      .map { bid =>
+        val r = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          r(i) = (((graft.functions.Impl.mix64(bid * 977L + i) & 0xFFFFL)
+            .toDouble / 65535.0) - 0.5).toFloat
+          i += 1
+        }
+        (bid, r)
+      }.toDF("doc_id", "embedding")
+    val edgesDelta = docs.filter(pmod(col("doc_id"), lit(25L)) === 0L)
+      .select((col("doc_id") + 7000000000L).as("src"),
+        col("doc_id").as("dst"))
+    graft.pipeline.DailyRefresh.run(s, dir, day = 1,
+        policy = mintedLicencePolicy(s),
+        allowedLicences = Seq("cc-by", "cc-by-sa"),
+        batch = graft.pipeline.DailyRefresh.DayBatch(
+          batchDocs,
+          dPlanted.unionByName(randVecs),
+          benchDelta,
+          edgesDelta,
+          mintedPrefCands(ids, 6000000000L)))
+      .orderBy(col("stage_order"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6171,7 +6287,8 @@ object SparkEntry {
     "q185_robots_gate" -> (qRobotsGate _),
     "q186_refusal_audit" -> (qRefusalAudit _),
     "q187_crossmodal_pairs" -> (qCrossModalPairs _),
-    "q188_mgt_derived_cycle" -> (qMgtDerivedCycle _))
+    "q188_mgt_derived_cycle" -> (qMgtDerivedCycle _),
+    "q189_daily_refresh" -> (qDailyRefresh _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -9862,6 +9979,104 @@ object SparkEntry {
            true AS roundtrip_ok
          FROM gfin f LEFT JOIN o2 ON o2.doc_id = f.doc_id
          ORDER BY f.doc_id""",
+    // q189: the 8-row funnel replayed — stage populations via the
+    // five-class batch mint + licence arithmetic + the shared MGT
+    // battery CTEs over stage-1 survivors; dedup/span/semantic drops
+    // are the planted classes (internals pinned by q132/q135/q106);
+    // artifact sizes by closed-form mint arithmetic; pair counts via
+    // the shared mining CTEs at both eras
+    "q189_daily_refresh" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           mm AS (SELECT count(*) AS m FROM embeddings),
+           bat AS MATERIALIZED (
+             SELECT doc_id + 1000000000 AS bid, 'A' AS cls,
+               doc_id AS sid, text
+             FROM documents WHERE doc_id % 10 = 0
+             UNION ALL
+             SELECT doc_id + 2000000000, 'B', doc_id,
+               array_to_string(['fz' || (doc_id*31 + i)
+                 for i in range(0, 20)], ' ')
+             FROM documents WHERE doc_id % 10 = 3
+             UNION ALL
+             SELECT doc_id + 3000000000, 'C', doc_id,
+               'pz' || doc_id || ' qz rz ' || array_to_string(
+                 ['e' || (doc_id % 40) || 'x' || i
+                  for i in range(0, 20)], ' ')
+             FROM documents WHERE doc_id % 10 = 6
+             UNION ALL
+             SELECT d.doc_id + 4000000000, 'D', d.doc_id,
+               array_to_string(['gz' || (d.doc_id*17 + i)
+                 for i in range(0, 20)], ' ')
+             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+             WHERE d.doc_id % 10 = 9
+             UNION ALL
+             SELECT doc_id + 5000000000, 'E', doc_id,
+               text || '${mgtTemplateSfx.replace("'", "''")}'
+             FROM documents WHERE doc_id % 10 = 5),
+           s1 AS MATERIALIZED (
+             SELECT * FROM bat
+             WHERE (((bid // 10) % 20) % 4) IN (0, 2)),
+           s1d AS (SELECT bid AS doc_id, text FROM s1),
+           $mgtProfileCtesSql,
+           ${mgtBatteryCtesSql("s1d", "g")},
+           s2 AS MATERIALIZED (
+             SELECT s1.bid, s1.cls, s1.sid, s1.text FROM s1
+             JOIN gfin f ON f.doc_id = s1.bid
+             WHERE NOT (f.dup3_bp >= 1200 OR f.template_bp >= 200
+               OR (f.stop_total >= 4 AND f.skew_bp >= 2500))),
+           s3 AS (SELECT * FROM s2 WHERE cls <> 'A'),
+           s4 AS (SELECT * FROM s3 WHERE cls <> 'C'),
+           s5 AS MATERIALIZED (SELECT * FROM s4 WHERE cls <> 'D'),
+           pmass AS (SELECT CAST(sum(c) AS BIGINT) AS mass FROM prof),
+           pmass2 AS (
+             SELECT (SELECT mass FROM pmass) + CAST(coalesce((
+               SELECT sum(len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ($mgtStopwordListSql)))) FROM s5), 0)
+               AS BIGINT) AS mass),
+           ${prefMiningCtesSql("p0", "d.doc_id", minMargin = 500L)},
+           ${prefMiningCtesSql("p1", "(d.doc_id + 6000000000)",
+             minMargin = 500L)},
+           k0 AS (SELECT CAST(count(*) AS BIGINT) AS k
+                  FROM p0fin WHERE keep),
+           k1 AS (SELECT CAST(count(*) AS BIGINT) AS k
+                  FROM p1fin WHERE keep),
+           c1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM bat),
+           c2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s1),
+           c3 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s2),
+           c4 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s3),
+           c5 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s4),
+           c6 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s5),
+           nd AS (SELECT CAST(count(*) AS BIGINT) AS c
+                  FROM documents WHERE doc_id % 25 = 0)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS stage_order, 'licence' AS stage,
+             (SELECT c FROM c1) AS n_in,
+             (SELECT c FROM c1) - (SELECT c FROM c2) AS n_dropped,
+             (SELECT c FROM c2) AS n_out,
+             CAST(15 AS BIGINT) AS art_before,
+             CAST(15 AS BIGINT) AS art_after
+           UNION ALL SELECT 2, 'mgt_profile', (SELECT c FROM c2),
+             (SELECT c FROM c2) - (SELECT c FROM c3), (SELECT c FROM c3),
+             (SELECT mass FROM pmass), (SELECT mass FROM pmass2)
+           UNION ALL SELECT 3, 'text_dedup', (SELECT c FROM c3),
+             (SELECT c FROM c3) - (SELECT c FROM c4), (SELECT c FROM c4),
+             (SELECT n FROM nn), (SELECT n FROM nn) + (SELECT c FROM c6)
+           UNION ALL SELECT 4, 'span_decontam', (SELECT c FROM c4),
+             (SELECT c FROM c4) - (SELECT c FROM c5), (SELECT c FROM c5),
+             CAST(360 AS BIGINT), CAST(450 AS BIGINT)
+           UNION ALL SELECT 5, 'semantic_dedup', (SELECT c FROM c5),
+             (SELECT c FROM c5) - (SELECT c FROM c6), (SELECT c FROM c6),
+             (SELECT m FROM mm), (SELECT m FROM mm) + (SELECT c FROM c6)
+           UNION ALL SELECT 6, 'component_delta', (SELECT c FROM c6), 0,
+             (SELECT c FROM c6), (SELECT n FROM nn),
+             (SELECT n FROM nn) + (SELECT c FROM nd)
+           UNION ALL SELECT 7, 'rank_warm', (SELECT c FROM c6), 0,
+             (SELECT c FROM c6), (SELECT n FROM nn),
+             (SELECT n FROM nn) + (SELECT c FROM nd)
+           UNION ALL SELECT 8, 'pref_pairs', (SELECT n FROM nn),
+             (SELECT n FROM nn) - (SELECT k FROM k1), (SELECT k FROM k1),
+             (SELECT k FROM k0), (SELECT k FROM k0) + (SELECT k FROM k1)
+         ) ORDER BY stage_order""",
     // q176: shape-pinned expected domain (q130 convention) + the
     // policy CASE; the engine computes registrableDomain for real
     "q176_licence_gate" ->

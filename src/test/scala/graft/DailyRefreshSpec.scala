@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.DailyRefresh
+
+/** The composed daily-refresh runbook (VERDICT r15 #3): cold start, two
+  * consecutive days, and the cross-day artifact chaining that no
+  * single-cycle query proves — day 2 must gate content day 1 absorbed. */
+class DailyRefreshSpec extends SparkSpec {
+  import DailyRefresh.DayBatch
+
+  private def oneHot(i: Int): Array[Float] = {
+    val v = new Array[Float](16); v(i % 16) = 1.0f; v
+  }
+
+  private def funnelMap(f: DataFrame): Map[String, (Long, Long, Long)] = {
+    f.collect().map(r => r.getString(1) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+  }
+
+  test("two consecutive runs chain every artifact: day 2 gates day 1's " +
+      "absorbed survivors at dedup, span, and semantic stages") {
+    import spark.implicits._
+    val corpus = (0L until 8L)
+      .map(i => (i, s"corpus doc $i words alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val vecs = (0L until 8L).map(i => (i, oneHot(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val benchmark = Seq((100L, "bench eval one two three four five six"))
+      .toDF("doc_id", "text")
+    val ccEdges = Seq[(Long, Long)]((1L, 0L)).toDF("src", "dst")
+    val linkEdges = Seq[(Long, Long)]((1L, 0L), (2L, 0L)).toDF("src", "dst")
+    def prompts(off: Long) = (0L until 4L).flatMap(i =>
+      Seq((off + i, 0L, 100L + i * 300L), (off + i, 1L, 900L)))
+      .toDF("prompt_id", "k", "score")
+    val policy = Seq(("site0.com", "cc-by")).toDF("domain", "licence")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_daily_spec").toString
+    DailyRefresh.coldStart(spark, dir, corpus, vecs, benchmark,
+      ccEdges, linkEdges, prompts(0L), expectedDocs = 100L,
+      minSpanTokens = 4, nCentroids = 2, rankIters = 2)
+
+    def mkBatch(ids: Seq[(Long, String, Int)], pOff: Long,
+        benchIds: Seq[Long], edgeSrcOff: Long): DayBatch = {
+      val docs = ids.map { case (id, t, _) =>
+        (id, t, s"https://site0.com/p$id") }
+        .toDF("doc_id", "text", "url")
+      val v = ids.map { case (id, _, h) => (id, oneHot(h)) }
+        .toDF("doc_id", "embedding")
+      val bench = benchIds.map(j =>
+        (j, s"delta bench $j six seven eight nine ten"))
+        .toDF("doc_id", "text")
+      val edges = Seq((edgeSrcOff, 0L)).toDF("src", "dst")
+      DayBatch(docs, v, bench, edges, prompts(pOff))
+    }
+
+    // day 1: one exact corpus copy (dies at dedup), one benchmark
+    // carrier (dies at decontam), one semantic dup of corpus vec 3
+    // (dies at the IVF probe), one clean survivor
+    val f1 = funnelMap(DailyRefresh.run(spark, dir, 1, policy,
+      Seq("cc-by"), mkBatch(Seq(
+        (1000L, "corpus doc 3 words alpha beta gamma delta", 9),
+        (1001L, "xx bench eval one two three four five six", 10),
+        (1002L, "novel words entirely fresh material here", 3),
+        (1003L, "day one clean survivor text body", 11)),
+        pOff = 200L, benchIds = Seq(101L), edgeSrcOff = 9000L)))
+    assert(f1("licence") == ((4L, 0L, 4L)))
+    assert(f1("text_dedup") == ((4L, 1L, 3L)), s"day1: $f1")
+    assert(f1("span_decontam") == ((3L, 1L, 2L)), s"day1: $f1")
+    assert(f1("semantic_dedup") == ((2L, 1L, 1L)), s"day1: $f1")
+    assert(f1("component_delta")._1 == 1L)
+
+    // day 2: copies of day 1's ABSORBED artifacts — the survivor's
+    // text (dedup index advanced), the day-1 bench DELTA's text (span
+    // index advanced), the survivor's vector (IVF advanced) — plus a
+    // clean row. Every copy must die against the DAY-1 artifacts.
+    val f2 = funnelMap(DailyRefresh.run(spark, dir, 2, policy,
+      Seq("cc-by"), mkBatch(Seq(
+        (2000L, "day one clean survivor text body", 12),     // dedup
+        (2001L, "zz delta bench 101 six seven eight nine ten", 13), // span
+        (2002L, "unseen second day words material", 11),     // semantic
+        (2003L, "genuinely new day two survivor", 14)),
+        pOff = 300L, benchIds = Seq(102L), edgeSrcOff = 9001L)))
+    assert(f2("text_dedup") == ((4L, 1L, 3L)), s"day2: $f2")
+    assert(f2("span_decontam") == ((3L, 1L, 2L)), s"day2: $f2")
+    assert(f2("semantic_dedup") == ((2L, 1L, 1L)), s"day2: $f2")
+    // pair mining: margins |900 - (100+300i)| = 800,500,200,100 -> the
+    // i=0,1 prompts clear the 500 floor each day
+    assert(f1("pref_pairs") == ((4L, 2L, 2L)), s"day1: $f1")
+    assert(f2("pref_pairs") == ((4L, 2L, 2L)), s"day2: $f2")
+    // label artifact advances one new page per day's delta edge
+    assert(graft.ops.Graph.loadComponentLabels(spark, s"$dir/labels/d0")
+      .count() == 8L)
+    assert(graft.ops.Graph.loadComponentLabels(spark, s"$dir/labels/d1")
+      .count() == 9L)
+    assert(graft.ops.Graph.loadComponentLabels(spark, s"$dir/labels/d2")
+      .count() == 10L)
+    // day indexing is validated
+    intercept[IllegalArgumentException] {
+      DailyRefresh.run(spark, dir, 0, policy, Seq("cc-by"),
+        mkBatch(Seq((1L, "x", 0)), 999L, Seq(999L), 9999L))
+    }
+  }
+}
