@@ -5634,15 +5634,18 @@ object SparkEntry {
         col("block"))
       .orderBy(col("doc_id"))
 
-  /** Crawl-slice composition (q184, VERDICT r15 #1): the parsed WARC
-    * records through the production front-door order — codec framing →
-    * HTTP 200 gate → licence/allowlist gate on the REAL
-    * registrableDomain of WARC-Target-URI (the q176 policy) → markup
-    * extraction → typographic normalization → token-count gate. Each
-    * stage genuinely runs only on the previous stage's survivors (the
-    * q179 shrinking-relation posture) and the funnel is emitted with
-    * stage-scoped 'skipped' verdicts; every value replays in SQL via
-    * the shared mint/extraction/normalization fragments. */
+  /** Crawl-slice composition (q184, VERDICT r15 #1 + #4): the parsed
+    * WARC records through the production front-door order — codec
+    * framing → HTTP 200 gate → licence/allowlist gate on the REAL
+    * registrableDomain of WARC-Target-URI (the q176 policy) → robots
+    * compliance gate (RFC 9309 group selection live: a blanket
+    * disallow published for a DIFFERENT agent must not bind this
+    * crawler) → markup extraction → typographic normalization →
+    * token-count gate. Each stage genuinely runs only on the previous
+    * stage's survivors (the q179 shrinking-relation posture) and the
+    * funnel is emitted with stage-scoped 'skipped' verdicts; every
+    * value replays in SQL via the shared mint/extraction/normalization
+    * fragments. */
   private def qWarcPipeline(s: SparkSession, d: String): DataFrame = {
     val base = parsedWarc(s, d)
       .select(
@@ -5662,9 +5665,22 @@ object SparkEntry {
         col("doc_id"), col("url"), mintedLicencePolicy(s),
         Seq("cc-by", "cc-by-sa"))
       .select(col("doc_id"), col("verdict"))
-    val txt = ok200
+    val licKept = ok200
       .join(lic.filter(col("verdict") === "keep").select("doc_id"),
         "doc_id")
+    // the provenance pair (VERDICT r15 #4): after the licence says the
+    // text MAY be trained on, robots says the page may be CRAWLED —
+    // RFC 9309 group selection live in the funnel (the 'other'-agent
+    // blanket disallow must not bind this crawler)
+    val rob = graft.ops.Robots.robotsGate(
+        licKept.select(col("doc_id"), col("target_uri").as("url")),
+        col("doc_id"), col("url"),
+        graft.ops.Robots.parseRobots(mintedCrawlRobots(s),
+          col("domain"), col("body")),
+        "GraftBot")
+      .select(col("doc_id"), col("allowed"))
+    val txt = licKept
+      .join(rob.filter(col("allowed")).select("doc_id"), "doc_id")
       .select(col("doc_id"),
         graft.functions.NormalizeFunctions.normalizeText(
           graft.functions.HtmlFunctions.extractHtmlText(col("body")))
@@ -5676,6 +5692,7 @@ object SparkEntry {
       .join(http.select(col("doc_id"), col("status")), Seq("doc_id"),
         "left")
       .join(lic.withColumnRenamed("verdict", "lic"), Seq("doc_id"), "left")
+      .join(rob, Seq("doc_id"), "left")
       .join(txt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("codec_ok"),
         when(!col("codec_ok"), "skipped")
@@ -5685,13 +5702,32 @@ object SparkEntry {
           .otherwise(col("lic")).as("lic_verdict"),
         when(!col("codec_ok") || col("status") =!= 200L ||
             col("lic") =!= "keep", "skipped")
+          .when(col("allowed"), "crawl").otherwise("blocked")
+          .as("robots_verdict"),
+        when(!col("codec_ok") || col("status") =!= 200L ||
+            col("lic") =!= "keep" || !col("allowed"), "skipped")
           .when(col("n_tok") >= 5L, "kept").otherwise("short")
           .as("text_verdict"),
         coalesce(col("n_tok"), lit(-1L)).as("n_tok"),
         coalesce(col("codec_ok") && col("status") === 200L &&
-          col("lic") === "keep" && col("n_tok") >= 5L, lit(false))
+          col("lic") === "keep" && col("allowed") &&
+          col("n_tok") >= 5L, lit(false))
           .as("kept"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
+    * the /p path space for THIS crawler (matched case-insensitively);
+    * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
+    * agent (group selection must pass us); everyone else publishes no
+    * robots.txt (missing file ⇒ crawlable). */
+  private def mintedCrawlRobots(s: SparkSession): DataFrame = {
+    val rc = pmod(col("k"), lit(5L))
+    s.range(0, 20).toDF("k")
+      .filter(rc === 2L || rc === 4L)
+      .select(concat(lit("site"), col("k"), lit(".com")).as("domain"),
+        when(rc === 2L, "User-agent: GRAFTBOT\nDisallow: /p\n")
+          .otherwise("User-agent: other\nDisallow: /\n").as("body"))
   }
 
   /** The q185 minted robots.txt corpus: 16 of 20 domains publish a
@@ -6017,7 +6053,7 @@ object SparkEntry {
         evalText(col("j"), "d").as("text"))
     val ids = docs.select(col("doc_id"))
     val dir = tempFixtureDir("graft_daily_refresh")
-    graft.pipeline.DailyRefresh.coldStart(s, dir,
+    graft.pipeline.DailyRefresh.coldStart(dir,
       docs, vecs, benchmark,
       ccEdges = mintedStarEdges(ids),
       linkEdges = mintedEdges(ids, n),
@@ -6038,8 +6074,12 @@ object SparkEntry {
       .join(vecs.select(col("vec_id").as("doc_id")), "doc_id")
       .select((col("doc_id") + 4000000000L).as("doc_id"),
         freshWords("gz", 17L).as("text"))
+    // E rides fresh words, not corpus text: template_bp = 4·10⁴/37 is
+    // then STRUCTURALLY ≥ 200 (a long-enough corpus doc would dilute
+    // the suffix below the flag AND exact-dup against the index —
+    // the class-survival CASEs must not depend on fixture doc length)
     val eDocs = cl(5L, 5000000000L,
-      concat(col("text"), lit(mgtTemplateSfx)))
+      concat(freshWords("hz", 13L), lit(mgtTemplateSfx)))
     // licence domains keyed on (id div 10) % 20 so every batch CLASS
     // spans all licence classes — keying on id % 20 would correlate
     // with the id % 10 class mint and starve the downstream stages
@@ -10011,7 +10051,9 @@ object SparkEntry {
              WHERE d.doc_id % 10 = 9
              UNION ALL
              SELECT doc_id + 5000000000, 'E', doc_id,
-               text || '${mgtTemplateSfx.replace("'", "''")}'
+               array_to_string(['hz' || (doc_id*13 + i)
+                 for i in range(0, 20)], ' ')
+                 || '${mgtTemplateSfx.replace("'", "''")}'
              FROM documents WHERE doc_id % 10 = 5),
            s1 AS MATERIALIZED (
              SELECT * FROM bat
@@ -10132,7 +10174,8 @@ object SparkEntry {
            sv AS (
              SELECT hm.doc_id, hm.html
              FROM hm JOIN lic ON lic.doc_id = hm.doc_id
-             WHERE lic.verdict = 'keep'),
+             WHERE lic.verdict = 'keep'
+               AND ((hm.doc_id % 20) % 5) <> 2),
            e AS (SELECT doc_id, $htmlExtractSql FROM sv),
            nrm AS (SELECT doc_id, ${normalizeChainSql("extracted")} AS norm
                    FROM e),
@@ -10147,9 +10190,15 @@ object SparkEntry {
              ELSE l.verdict END AS lic_verdict,
            CASE WHEN NOT st.codec_ok OR st.status <> 200
                OR l.verdict <> 'keep' THEN 'skipped'
+             WHEN ((st.doc_id % 20) % 5) = 2 THEN 'blocked'
+             ELSE 'crawl' END AS robots_verdict,
+           CASE WHEN NOT st.codec_ok OR st.status <> 200
+               OR l.verdict <> 'keep'
+               OR ((st.doc_id % 20) % 5) = 2 THEN 'skipped'
              WHEN t.n_tok >= 5 THEN 'kept' ELSE 'short' END AS text_verdict,
            CAST(coalesce(t.n_tok, -1) AS BIGINT) AS n_tok,
            coalesce(st.codec_ok AND st.status = 200 AND l.verdict = 'keep'
+             AND ((st.doc_id % 20) % 5) <> 2
              AND t.n_tok >= 5, false) AS kept
          FROM st
          LEFT JOIN lic l ON l.doc_id = st.doc_id

@@ -136,13 +136,19 @@ object Robots {
       .select(col("domain"),
         (col("agent") === agentLc).as("__spec"),
         col("pattern"), col("allow"))
+    // rules match against path + query (the fragment never travels to
+    // the server) — Google's reference REP matcher semantics, so a
+    // published `Disallow: /*?sessionid=` style rule is enforceable; a
+    // bare-query URL gets the implicit '/' path
     val path0 = regexp_extract(urlCol,
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
     val keyed = docs.select(
       idCol.as("doc_id"),
       graft.functions.DomainFunctions.registrableDomain(urlCol)
         .as("domain"),
-      when(path0 === "", "/").otherwise(path0).as("path"))
+      when(path0 === "", "/")
+        .when(path0.startsWith("?"), concat(lit("/"), path0))
+        .otherwise(path0).as("path"))
     val matched = robotsMatch(col("path"), col("pattern"))
     // longest pattern wins; allow wins length ties; pattern text as the
     // final deterministic tiebreak (the q180 packed-extremum posture —

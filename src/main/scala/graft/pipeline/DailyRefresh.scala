@@ -69,7 +69,6 @@ object DailyRefresh {
 
   /** Build + persist every artifact from the standing corpus — day 0. */
   def coldStart(
-      spark: SparkSession,
       dir: String,
       corpus: DataFrame, // (doc_id, text)
       corpusVecs: DataFrame, // (vec_id, embedding)
@@ -138,6 +137,17 @@ object DailyRefresh {
         col("url"))
       .localCheckpoint()
     val nIn = b0.count()
+    // the DayBatch contract says vecs cover every batch doc — enforce
+    // it up front (the requireFreshIds posture): a doc with no
+    // embedding would otherwise vanish at stage 5 and be misattributed
+    // as a semantic-dup drop
+    val nNoVec = b0.select(col("doc_id"))
+      .join(batch.vecs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .count()
+    require(nNoVec == 0L,
+      s"DailyRefresh.run: $nNoVec batch doc(s) have no embedding in " +
+        "batch.vecs — the semantic stage would silently drop them; " +
+        "fix the batch, don't default")
 
     // ---- stage 1: licence gate
     val nPolicy = policy.count()
@@ -188,23 +198,26 @@ object DailyRefresh {
       .select(col("batch_id").as("doc_id")), "doc_id").localCheckpoint()
     val n5 = s5.count()
 
-    // ---- post-batch refresh: content artifacts absorb the survivors
-    TextAnalysis.saveStopwordProfile(
-      TextAnalysis.appendStopwordProfile(profile, s5.select("text")),
+    // ---- post-batch refresh: content artifacts absorb the survivors.
+    // Size measures come from the in-memory appended relations (the
+    // same inputs the save scans) — never a re-read of the artifact
+    // that was just written
+    val refreshedProfile =
+      TextAnalysis.appendStopwordProfile(profile, s5.select("text"))
+    TextAnalysis.saveStopwordProfile(refreshedProfile,
       p(dir, "profile", day))
-    val profMassAfter = TextAnalysis
-      .loadStopwordProfile(spark, p(dir, "profile", day))
+    val profMassAfter = refreshedProfile
       .agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
-    Dedup.saveDedupIndex(
-      Dedup.appendToDedupIndex(dedupIdx,
-        s5.select(col("doc_id"), col("text"))),
-      p(dir, "dedup", day))
-    val fpAfter = fpBefore + n5
-    Dedup.saveSpanIndex(
-      Dedup.appendToSpanIndex(spanIdx, batch.benchDelta),
-      p(dir, "spans", day))
-    val winAfter = Dedup.loadSpanIndex(spark, p(dir, "spans", day))
-      .windows.count()
+    val dedupIdx2 = Dedup.appendToDedupIndex(dedupIdx,
+      s5.select(col("doc_id"), col("text")))
+    Dedup.saveDedupIndex(dedupIdx2, p(dir, "dedup", day))
+    // counted, not fpBefore + n5: intra-batch exact-duplicate texts
+    // each classify `new` against the index but collapse to ONE
+    // fingerprint on append — the metric must report the artifact
+    val fpAfter = dedupIdx2.fingerprints.count()
+    val spanIdx2 = Dedup.appendToSpanIndex(spanIdx, batch.benchDelta)
+    Dedup.saveSpanIndex(spanIdx2, p(dir, "spans", day))
+    val winAfter = spanIdx2.windows.count()
     Similarity.saveIvfIndex(
       Similarity.appendToIvfIndex(ivf,
         s5.select(col("doc_id").as("vec_id"))

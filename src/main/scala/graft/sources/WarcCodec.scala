@@ -110,7 +110,6 @@ object WarcCodec {
     * truncated/header-lying spec cases. */
   private[graft] def parseRecords(
       cid: Long, data: Array[Byte]): Seq[WarcRecord] = {
-    if (data.isEmpty) return Seq.empty
     val starts = magicOffsets(data)
     if (starts.isEmpty)
       return Seq(WarcRecord(cid, 0, ok = false,
@@ -179,7 +178,8 @@ object WarcCodec {
         if (colon <= 0) {
           err = Some(s"malformed-header-line: '${line.take(60)}'")
         } else {
-          val name = line.substring(0, colon).trim.toLowerCase
+          val name = line.substring(0, colon).trim
+            .toLowerCase(java.util.Locale.ROOT)
           val value = line.substring(colon + 1).trim
           name match {
             case "warc-type" => warcType = Some(value)
@@ -239,7 +239,7 @@ object WarcCodec {
   }
 
   private def isCrlfCrlf(data: Array[Byte], at: Int): Boolean =
-    at + 3 < data.length + 1 && at + 4 <= data.length &&
+    at >= 0 && at + 4 <= data.length &&
       data(at) == '\r' && data(at + 1) == '\n' &&
       data(at + 2) == '\r' && data(at + 3) == '\n'
 }

@@ -38,7 +38,7 @@ class DailyRefreshSpec extends SparkSpec {
     val policy = Seq(("site0.com", "cc-by")).toDF("domain", "licence")
     val dir = java.nio.file.Files
       .createTempDirectory("graft_daily_spec").toString
-    DailyRefresh.coldStart(spark, dir, corpus, vecs, benchmark,
+    DailyRefresh.coldStart(dir, corpus, vecs, benchmark,
       ccEdges, linkEdges, prompts(0L), expectedDocs = 100L,
       minSpanTokens = 4, nCentroids = 2, rankIters = 2)
 

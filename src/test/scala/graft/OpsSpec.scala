@@ -2272,6 +2272,43 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(gu.getAs[Int]("n_good") === 0)
   }
 
+  test("cross-modal joint near-dup: a pair is joint ONLY when image " +
+      "dHash bands AND caption MinHash bands both match (VERDICT r15 #5)") {
+    import spark.implicits._
+    val imgs = Multimodal.syntheticMedia(spark, 9)
+      .filter(_.media_type == "image") // ids 0, 3, 6
+    val capOf = Map(
+      0L -> "caption alpha words entirely distinct first family",
+      3L -> "caption beta words entirely different second family",
+      6L -> "caption gamma words entirely unrelated third family")
+    // lanes: 100 = re-encode of 0 + SAME caption (joint); 103 =
+    // re-encode of 3 + DIFFERENT caption (image-only); 106 = DIFFERENT
+    // image (0's pixels) + 6's caption (caption-only)
+    val reenc = Multimodal.scaleBy(
+      imgs.filter(_.media_id <= 3L)
+        .map(r => r.copy(media_id = r.media_id + 100L)), 1)
+    val swapped = imgs.filter(_.media_id == 0L)
+      .map(r => r.copy(media_id = 106L))
+    val allImgs = imgs.union(reenc).union(swapped)
+    val caps = (capOf.toSeq.map { case (id, c) => (id, c) } ++ Seq(
+      (100L, capOf(0L)),
+      (103L, "a completely separate caption about nothing shared"),
+      (106L, capOf(6L)))).toDF("doc_id", "text")
+    val imgPairs = Multimodal.imageNearDupPairs(allImgs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capPairs = graft.ops.Dedup.minhashPairs(caps)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val joint = imgPairs.intersect(capPairs)
+    assert(imgPairs.contains((0L, 100L)) && imgPairs.contains((3L, 103L))
+      && imgPairs.contains((0L, 106L)), s"imgPairs: $imgPairs")
+    assert(capPairs.contains((0L, 100L)) && capPairs.contains((6L, 106L)),
+      s"capPairs: $capPairs")
+    // joint = exactly the re-encode+same-caption pair; image-only and
+    // caption-only controls are excluded. (0,106) is image-identical
+    // but caption-distinct; (6,106) caption-identical, image-distinct
+    assert(joint == Set((0L, 100L)), s"joint: $joint")
+  }
+
   test("derived MGT register: inventory derivation is deterministic and " +
       "the append is absorbing (VERDICT r15 #6)") {
     import spark.implicits._

@@ -81,6 +81,28 @@ class RobotsSpec extends SparkSpec {
     assert(out(3).getString(5) == "")
   }
 
+  test("gate matches against path + query: a query-targeted rule is " +
+      "enforceable, the fragment is not matchable") {
+    import spark.implicits._
+    val rules = Robots.parseRobots(
+      Seq(("q.com", "User-agent: *\nDisallow: /*?sessionid=\n"))
+        .toDF("domain", "body"),
+      col("domain"), col("body"))
+    val docs = Seq(
+      (1L, "https://q.com/page?sessionid=9"), // query rule binds
+      (2L, "https://q.com/page?other=1"),
+      (3L, "https://q.com/page#?sessionid=9")) // fragment: never sent
+      .toDF("doc_id", "url")
+    val got = Robots.robotsGate(docs, col("doc_id"), col("url"),
+        rules, "Bot")
+      .orderBy("doc_id").select("doc_id", "path", "allowed")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "/page?sessionid=9", false),
+      (2L, "/page?other=1", true),
+      (3L, "/page", true)), got.toString)
+  }
+
   test("robots_match is SQL-registered and agrees with the kernel") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(

@@ -91,7 +91,11 @@ class WarcSpec extends SparkSpec {
     assert(lead.head.error.exists(_.startsWith("leading-garbage: 7 bytes")))
     val none = parse("no records here at all")
     assert(none.head.error.exists(_.startsWith("no-warc-magic:")))
-    assert(WarcCodec.parseRecords(1L, Array.emptyByteArray).isEmpty)
+    // a zero-byte container (file-level torn write) quarantines too —
+    // every container stays accounted for, nothing vanishes
+    val empty = WarcCodec.parseRecords(1L, Array.emptyByteArray)
+    assert(empty.map(_.error.get) ==
+      Seq("no-warc-magic: 0 bytes carry no 'WARC/1.0' record start"))
     // headers never terminated before the extent ends
     val unterminated = parse("WARC/1.0\r\nWARC-Type: response")
     assert(unterminated.head.error.contains(
