@@ -58,6 +58,22 @@ class PlanSpec extends SparkSpec {
       s"z-key derivation needs only doc_id: $readSchema")
   }
 
+  test("q185 robots gate broadcasts the rule relation, never sort-merges " +
+      "or products the corpus") {
+    val p = plan("q185_robots_gate")
+    assert(p.contains("BroadcastHashJoin"), s"rules must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"the corpus must never shuffle-sort or product on the rule join:\n$p")
+  }
+
+  test("q186 refusal battery is map-only on the lanes: no join, no " +
+      "aggregate before the output sort") {
+    val p = plan("q186_refusal_audit")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"the battery must stay pure projections over the union:\n$p")
+  }
+
   test("incrementalDedup keeps both Bloom gates in the executed plan, no product joins") {
     import org.apache.spark.sql.functions.col
     spark.catalog.clearCache()
