@@ -6126,6 +6126,9 @@ object SparkEntry {
     graft.pipeline.DailyRefresh.run(s, dir, day = 1,
         policy = mintedLicencePolicy(s),
         allowedLicences = Seq("cc-by", "cc-by-sa"),
+        robotsRules = graft.ops.Robots.parseRobots(
+          mintedCrawlRobots(s), col("domain"), col("body")),
+        robotsAgent = "GraftBot",
         batch = graft.pipeline.DailyRefresh.DayBatch(
           batchDocs,
           dPlanted.unionByName(randVecs),
@@ -10058,12 +10061,15 @@ object SparkEntry {
            s1 AS MATERIALIZED (
              SELECT * FROM bat
              WHERE (((bid // 10) % 20) % 4) IN (0, 2)),
-           s1d AS (SELECT bid AS doc_id, text FROM s1),
+           s1b AS MATERIALIZED (
+             SELECT * FROM s1
+             WHERE (((bid // 10) % 20) % 5) <> 2),
+           s1d AS (SELECT bid AS doc_id, text FROM s1b),
            $mgtProfileCtesSql,
            ${mgtBatteryCtesSql("s1d", "g")},
            s2 AS MATERIALIZED (
-             SELECT s1.bid, s1.cls, s1.sid, s1.text FROM s1
-             JOIN gfin f ON f.doc_id = s1.bid
+             SELECT s1b.bid, s1b.cls, s1b.sid, s1b.text FROM s1b
+             JOIN gfin f ON f.doc_id = s1b.bid
              WHERE NOT (f.dup3_bp >= 1200 OR f.template_bp >= 200
                OR (f.stop_total >= 4 AND f.skew_bp >= 2500))),
            s3 AS (SELECT * FROM s2 WHERE cls <> 'A'),
@@ -10084,6 +10090,7 @@ object SparkEntry {
                   FROM p1fin WHERE keep),
            c1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM bat),
            c2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s1),
+           c2b AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s1b),
            c3 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s2),
            c4 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s3),
            c5 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s4),
@@ -10097,25 +10104,29 @@ object SparkEntry {
              (SELECT c FROM c2) AS n_out,
              CAST(15 AS BIGINT) AS art_before,
              CAST(15 AS BIGINT) AS art_after
-           UNION ALL SELECT 2, 'mgt_profile', (SELECT c FROM c2),
-             (SELECT c FROM c2) - (SELECT c FROM c3), (SELECT c FROM c3),
+           UNION ALL SELECT 2, 'robots', (SELECT c FROM c2),
+             (SELECT c FROM c2) - (SELECT c FROM c2b),
+             (SELECT c FROM c2b),
+             CAST(8 AS BIGINT), CAST(8 AS BIGINT)
+           UNION ALL SELECT 3, 'mgt_profile', (SELECT c FROM c2b),
+             (SELECT c FROM c2b) - (SELECT c FROM c3), (SELECT c FROM c3),
              (SELECT mass FROM pmass), (SELECT mass FROM pmass2)
-           UNION ALL SELECT 3, 'text_dedup', (SELECT c FROM c3),
+           UNION ALL SELECT 4, 'text_dedup', (SELECT c FROM c3),
              (SELECT c FROM c3) - (SELECT c FROM c4), (SELECT c FROM c4),
              (SELECT n FROM nn), (SELECT n FROM nn) + (SELECT c FROM c6)
-           UNION ALL SELECT 4, 'span_decontam', (SELECT c FROM c4),
+           UNION ALL SELECT 5, 'span_decontam', (SELECT c FROM c4),
              (SELECT c FROM c4) - (SELECT c FROM c5), (SELECT c FROM c5),
              CAST(360 AS BIGINT), CAST(450 AS BIGINT)
-           UNION ALL SELECT 5, 'semantic_dedup', (SELECT c FROM c5),
+           UNION ALL SELECT 6, 'semantic_dedup', (SELECT c FROM c5),
              (SELECT c FROM c5) - (SELECT c FROM c6), (SELECT c FROM c6),
              (SELECT m FROM mm), (SELECT m FROM mm) + (SELECT c FROM c6)
-           UNION ALL SELECT 6, 'component_delta', (SELECT c FROM c6), 0,
+           UNION ALL SELECT 7, 'component_delta', (SELECT c FROM c6), 0,
              (SELECT c FROM c6), (SELECT n FROM nn),
              (SELECT n FROM nn) + (SELECT c FROM nd)
-           UNION ALL SELECT 7, 'rank_warm', (SELECT c FROM c6), 0,
+           UNION ALL SELECT 8, 'rank_warm', (SELECT c FROM c6), 0,
              (SELECT c FROM c6), (SELECT n FROM nn),
              (SELECT n FROM nn) + (SELECT c FROM nd)
-           UNION ALL SELECT 8, 'pref_pairs', (SELECT n FROM nn),
+           UNION ALL SELECT 9, 'pref_pairs', (SELECT n FROM nn),
              (SELECT n FROM nn) - (SELECT k FROM k1), (SELECT k FROM k1),
              (SELECT k FROM k0), (SELECT k FROM k0) + (SELECT k FROM k1)
          ) ORDER BY stage_order""",

@@ -16,21 +16,23 @@ import graft.ops.{Curation, Dedup, Graph, Similarity, TextAnalysis, TrainPrep}
   *
   *   1. licence/allowlist gate (broadcast policy on the real
   *      registrable domain)
-  *   2. MGT battery against the RELOADED stopword-profile artifact
-  *   3. text dedup against the RELOADED dedup index (bloom-gated exact
+  *   2. robots compliance gate (RFC 9309 — the licence's provenance
+  *      twin: a licensed page robots.txt disallows must still drop)
+  *   3. MGT battery against the RELOADED stopword-profile artifact
+  *   4. text dedup against the RELOADED dedup index (bloom-gated exact
   *      + banded near lanes; the corpus is never re-read)
-  *   4. span decontamination against the RELOADED span index (the
+  *   5. span decontamination against the RELOADED span index (the
   *      benchmark the corpus must not leak)
-  *   5. semantic dedup against the RELOADED IVF index
+  *   6. semantic dedup against the RELOADED IVF index
   *
   * then the post-batch artifact refresh — every persisted artifact
   * advances one day WITHOUT re-reading yesterday's corpus:
   *
-  *   6. component labels: delta contraction over today's merge edges
+  *   7. component labels: delta contraction over today's merge edges
   *      ([[graft.ops.Graph.connectedComponentsDelta]], Θ(|Δ|))
-  *   7. rank vector: warm restart over the appended edge relation
+  *   8. rank vector: warm restart over the appended edge relation
   *      (marginal iterations only)
-  *   8. preference pairs: mine today's collection, append (fresh-id
+  *   9. preference pairs: mine today's collection, append (fresh-id
   *      gated)
   *   plus the content artifacts absorbing the day's final survivors:
   *   profile counts (additive sketch), dedup index, IVF index, and the
@@ -114,13 +116,22 @@ object DailyRefresh {
       .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
         col("margin"))
 
-  /** Run day `day` (reads artifacts of day−1, writes day). */
+  /** Run day `day` (reads artifacts of day−1, writes day).
+    *
+    * `robotsRules` is the parsed (domain, agent, pattern, allow) crawl-
+    * permission relation ([[graft.ops.Robots.parseRobots]]) and
+    * `robotsAgent` this crawler's product token — the other half of the
+    * provenance front next to the licence policy: a licensed page that
+    * robots.txt disallows must still drop. An empty rule relation means
+    * every page is crawlable (the RFC 9309 default-allow posture). */
   def run(
       spark: SparkSession,
       dir: String,
       day: Int,
       policy: DataFrame, // (domain, licence)
       allowedLicences: Seq[String],
+      robotsRules: DataFrame, // (domain, agent, pattern, allow)
+      robotsAgent: String,
       batch: DayBatch,
       semThreshold: Double = 0.8,
       nearThreshold: Double = 0.7,
@@ -157,14 +168,24 @@ object DailyRefresh {
       .select("doc_id"), "doc_id").localCheckpoint()
     val n1 = s1.count()
 
-    // ---- stage 2: MGT battery against the reloaded profile
+    // ---- stage 2: robots compliance on the licensed survivors' URLs
+    val nRules = robotsRules.count()
+    val rob = graft.ops.Robots.robotsGate(
+        s1.select(col("doc_id"), col("url")), col("doc_id"), col("url"),
+        robotsRules, robotsAgent)
+      .select(col("doc_id"), col("allowed"))
+    val s1b = s1.join(rob.filter(col("allowed")).select("doc_id"),
+      "doc_id").localCheckpoint()
+    val n1b = s1b.count()
+
+    // ---- stage 3: MGT battery against the reloaded profile
     val profile = TextAnalysis.loadStopwordProfile(spark,
       p(dir, "profile", prev))
     val profMassBefore = profile.agg(coalesce(sum(col("cnt")), lit(0L)))
       .head.getLong(0)
     val mgt = TextAnalysis.mgtReportWithProfile(
-      s1.select(col("doc_id"), col("text")), profile)
-    val s2 = s1.join(mgt.filter(!col("mgt_suspect")).select("doc_id"),
+      s1b.select(col("doc_id"), col("text")), profile)
+    val s2 = s1b.join(mgt.filter(!col("mgt_suspect")).select("doc_id"),
       "doc_id").localCheckpoint()
     val n2 = s2.count()
 
@@ -260,13 +281,15 @@ object DailyRefresh {
 
     Seq(
       (1L, "licence", nIn, nIn - n1, n1, nPolicy, nPolicy),
-      (2L, "mgt_profile", n1, n1 - n2, n2, profMassBefore, profMassAfter),
-      (3L, "text_dedup", n2, n2 - n3, n3, fpBefore, fpAfter),
-      (4L, "span_decontam", n3, n3 - n4, n4, winBefore, winAfter),
-      (5L, "semantic_dedup", n4, n4 - n5, n5, vecBefore, vecAfter),
-      (6L, "component_delta", n5, 0L, n5, labBefore, labAfter),
-      (7L, "rank_warm", n5, 0L, n5, rankBefore, rankAfter),
-      (8L, "pref_pairs", nPrompts, nPrompts - nMined, nMined,
+      (2L, "robots", n1, n1 - n1b, n1b, nRules, nRules),
+      (3L, "mgt_profile", n1b, n1b - n2, n2, profMassBefore,
+        profMassAfter),
+      (4L, "text_dedup", n2, n2 - n3, n3, fpBefore, fpAfter),
+      (5L, "span_decontam", n3, n3 - n4, n4, winBefore, winAfter),
+      (6L, "semantic_dedup", n4, n4 - n5, n5, vecBefore, vecAfter),
+      (7L, "component_delta", n5, 0L, n5, labBefore, labAfter),
+      (8L, "rank_warm", n5, 0L, n5, rankBefore, rankAfter),
+      (9L, "pref_pairs", nPrompts, nPrompts - nMined, nMined,
         pairsBefore, pairsAfter))
       .toDF("stage_order", "stage", "n_in", "n_dropped", "n_out",
         "art_before", "art_after")

@@ -56,17 +56,27 @@ class DailyRefreshSpec extends SparkSpec {
       DayBatch(docs, v, bench, edges, prompts(pOff))
     }
 
+    // robots: the standing crawl-permission artifact — one rule that
+    // blocks exactly day 1's /p1004 page for every agent
+    val robots = graft.ops.Robots.parseRobots(
+      Seq(("site0.com", "User-agent: *\nDisallow: /p1004\n"))
+        .toDF("domain", "body"),
+      col("domain"), col("body"))
+
     // day 1: one exact corpus copy (dies at dedup), one benchmark
     // carrier (dies at decontam), one semantic dup of corpus vec 3
-    // (dies at the IVF probe), one clean survivor
+    // (dies at the IVF probe), one robots-disallowed page, one clean
+    // survivor
     val f1 = funnelMap(DailyRefresh.run(spark, dir, 1, policy,
-      Seq("cc-by"), mkBatch(Seq(
+      Seq("cc-by"), robots, "SpecBot", mkBatch(Seq(
         (1000L, "corpus doc 3 words alpha beta gamma delta", 9),
         (1001L, "xx bench eval one two three four five six", 10),
         (1002L, "novel words entirely fresh material here", 3),
-        (1003L, "day one clean survivor text body", 11)),
+        (1003L, "day one clean survivor text body", 11),
+        (1004L, "robots blocked page body words", 15)),
         pOff = 200L, benchIds = Seq(101L), edgeSrcOff = 9000L)))
-    assert(f1("licence") == ((4L, 0L, 4L)))
+    assert(f1("licence") == ((5L, 0L, 5L)))
+    assert(f1("robots") == ((5L, 1L, 4L)), s"day1: $f1")
     assert(f1("text_dedup") == ((4L, 1L, 3L)), s"day1: $f1")
     assert(f1("span_decontam") == ((3L, 1L, 2L)), s"day1: $f1")
     assert(f1("semantic_dedup") == ((2L, 1L, 1L)), s"day1: $f1")
@@ -77,12 +87,13 @@ class DailyRefreshSpec extends SparkSpec {
     // index advanced), the survivor's vector (IVF advanced) — plus a
     // clean row. Every copy must die against the DAY-1 artifacts.
     val f2 = funnelMap(DailyRefresh.run(spark, dir, 2, policy,
-      Seq("cc-by"), mkBatch(Seq(
+      Seq("cc-by"), robots, "SpecBot", mkBatch(Seq(
         (2000L, "day one clean survivor text body", 12),     // dedup
         (2001L, "zz delta bench 101 six seven eight nine ten", 13), // span
         (2002L, "unseen second day words material", 11),     // semantic
         (2003L, "genuinely new day two survivor", 14)),
         pOff = 300L, benchIds = Seq(102L), edgeSrcOff = 9001L)))
+    assert(f2("robots") == ((4L, 0L, 4L)), s"day2: $f2")
     assert(f2("text_dedup") == ((4L, 1L, 3L)), s"day2: $f2")
     assert(f2("span_decontam") == ((3L, 1L, 2L)), s"day2: $f2")
     assert(f2("semantic_dedup") == ((2L, 1L, 1L)), s"day2: $f2")
@@ -100,6 +111,7 @@ class DailyRefreshSpec extends SparkSpec {
     // day indexing is validated
     intercept[IllegalArgumentException] {
       DailyRefresh.run(spark, dir, 0, policy, Seq("cc-by"),
+        robots, "SpecBot",
         mkBatch(Seq((1L, "x", 0)), 999L, Seq(999L), 9999L))
     }
   }

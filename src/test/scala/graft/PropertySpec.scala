@@ -193,4 +193,64 @@ class PropertySpec extends AnyFunSuite {
       d1 == dp(a, b) && VecOps.editDistance(ub, ua) == d1
     })
   }
+
+  test("WARC codec: random containers round-trip record-for-record") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val magic = "WARC/1.0\r\n"
+    def mint(id: Long, uri: String, block: String): String =
+      magic + "WARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:graft:$id>\r\n" +
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${block.getBytes(UTF_8).length}\r\n\r\n" +
+        block + "\r\n\r\n"
+    // payload alphabet includes CRLF material (a block containing
+    // \r\n\r\n is fine — framing is length-prefixed); the one documented
+    // resync limit is a block embedding the CRLF-framed magic itself
+    val payloadChar = Gen.frequency(
+      (10, Gen.alphaNumChar), (2, Gen.oneOf(' ', ':', '<', '>')),
+      (1, Gen.oneOf('\r', '\n')))
+    val payload = Gen.listOf(payloadChar).map(_.mkString)
+      .suchThat(!_.contains(magic))
+    val record = for {
+      id <- Gen.choose(0L, 1000000L)
+      host <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+      block <- payload
+    } yield (id, s"https://$host.com/p$id", block)
+    check("warc-roundtrip")(Prop.forAll(Gen.nonEmptyListOf(record)) { recs =>
+      val blob = recs.map { case (id, uri, b) => mint(id, uri, b) }
+        .mkString.getBytes(UTF_8)
+      val got = graft.sources.WarcCodec.parseRecords(7L, blob)
+      got.length == recs.length && got.zipWithIndex.forall {
+        case (r, i) =>
+          val (id, uri, block) = recs(i)
+          r.ok && r.rec_seq == i &&
+            r.record_id.contains(s"<urn:graft:$id>") &&
+            r.target_uri.contains(uri) &&
+            r.content_length.contains(
+              block.getBytes(UTF_8).length.toLong) &&
+            r.block.contains(block)
+      }
+    })
+  }
+
+  test("robots matcher: agrees with the quoted-regex reference on " +
+      "random patterns and paths") {
+    import java.util.regex.Pattern
+    def reference(path: String, pattern: String): Boolean = {
+      val endAnchor = pattern.nonEmpty && pattern.last == '$'
+      val pat = if (endAnchor) pattern.init else pattern
+      val body = pat.split("\\*", -1).map(Pattern.quote).mkString(".*")
+      val m = Pattern.compile(body, Pattern.DOTALL).matcher(path)
+      if (endAnchor) m.matches() else m.lookingAt()
+    }
+    val patChar = Gen.oneOf('a', 'b', '/', '*', '$', '.')
+    val pathChar = Gen.oneOf('a', 'b', '/', '.', '$')
+    val pat = Gen.listOf(patChar).map(_.mkString)
+    val path = Gen.listOf(pathChar).map(_.mkString)
+    check("robots-regex")(Prop.forAll(path, pat) { (p, rule) =>
+      graft.functions.RobotsOps.matchesJ(p, rule) == reference(p, rule)
+    })
+  }
 }
