@@ -5594,7 +5594,8 @@ object SparkEntry {
     // prefix, ASCII by construction, so char and byte counts agree
     val rec = when(pmod(col("doc_id"), lit(13L)) === 6L,
         concat(headers, substring(block, 1, 10)))
-      .otherwise(concat(headers, block, lit(crlf + crlf)))
+      .otherwise(graft.sources.WarcCodec.mintResponseRecord(
+        recId, mintedNoisyUrl, warcDate, block))
     t(s, d, "documents").select(col("doc_id"), col("text"))
       .select(expr("doc_id div 8").as("container_id"), col("doc_id"),
         rec.as("rec"))
@@ -5899,6 +5900,11 @@ object SparkEntry {
     val capPairs = Dedup.minhashPairs(caps)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
+    // joint = the two kernels' id-only intersection — the inline form
+    // of [[graft.ops.Multimodal.jointNearDupPairs]] (the operator is
+    // spec-pinned equal; q187 keeps the single-modality relations for
+    // the class probes below, so re-running both kernels through the
+    // operator would double the work)
     val joint = imgPairs.join(capPairs, Seq("id_a", "id_b"))
       .localCheckpoint()
     val expected = imgDf.select(col("media_id"))

@@ -517,6 +517,39 @@ object Multimodal {
       nBands: Int = 8): DataFrame =
     Dedup.hammingPairs(imageDhash(media), maxHamming, nBands)
 
+  /** Cross-modal JOINT near-duplicate pairs (VERDICT r15 #5): an
+    * (image, caption) pair is a duplicate of another only when BOTH
+    * modalities band-match — image dHash Hamming bands
+    * ([[imageNearDupPairs]]) ∧ caption MinHash bands
+    * ([[Dedup.minhashPairs]]). A re-encoded image with a rewritten
+    * caption, or a reused stock caption on different pixels, is NOT a
+    * joint duplicate — exactly the pair-level semantics multimodal
+    * training dedup needs (a pair contributes a novel (x, y) example
+    * unless BOTH halves repeat).
+    *
+    * `captions` carries (doc_id, text) keyed by media_id. The
+    * intersection join is id-only over two already-sparse candidate
+    * relations, so the scale shape is the two banding kernels' own:
+    * O(n·bands) signature shuffles, never an all-pairs product.
+    *
+    * @return (id_a, id_b) with id_a < id_b, the two kernels' shared
+    *         pair convention. */
+  def jointNearDupPairs(
+      media: Dataset[MediaRow],
+      captions: DataFrame,
+      maxHamming: Int = 7,
+      nBands: Int = 8,
+      shingleLen: Int = 3,
+      minhashBands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame =
+    imageNearDupPairs(media, maxHamming, nBands)
+      .select(col("id_a"), col("id_b"))
+      .join(
+        Dedup.minhashPairs(captions, shingleLen, minhashBands,
+          rowsPerBand, threshold).select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"))
+
   /** Parse a Y4M stream into (width, height, chroma, header end, frame
     * payload bytes) — the shared header walk for the frame-level video
     * ops below. Bounds-guarded like [[y4mDecodeFeatures]]. */

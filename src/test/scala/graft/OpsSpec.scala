@@ -2298,7 +2298,10 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val capPairs = graft.ops.Dedup.minhashPairs(caps)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val joint = imgPairs.intersect(capPairs)
+    val joint = Multimodal.jointNearDupPairs(allImgs, caps)
+      .as[(Long, Long)].collect().toSet
+    assert(joint == imgPairs.intersect(capPairs),
+      "the operator IS the two kernels' intersection")
     assert(imgPairs.contains((0L, 100L)) && imgPairs.contains((3L, 103L))
       && imgPairs.contains((0L, 106L)), s"imgPairs: $imgPairs")
     assert(capPairs.contains((0L, 100L)) && capPairs.contains((6L, 106L)),
