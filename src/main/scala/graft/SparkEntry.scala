@@ -5568,7 +5568,10 @@ object SparkEntry {
   /** The q183/q184 shared WARC mint: each fixture doc becomes one
     * WARC/1.0 response record — target URI in the q176 noisy spelling,
     * HTTP block carrying the q126 minted markup (a 404 class at
-    * doc_id % 17 == 3 carries a plain-text body instead), and a
+    * doc_id % 17 == 3 carries a plain-text body instead), a `revisit`
+    * dedup-marker class at doc_id % 19 == 2 (no payload, the content
+    * charged to an earlier capture via WARC-Refers-To — the format's
+    * own dedup mechanism), and a
     * torn-write class at doc_id % 13 == 6 whose headers stand intact
     * (declared Content-Length included) over a block cut to its first
     * 10 bytes with the record terminator gone — the q124 truncation
@@ -5590,9 +5593,16 @@ object SparkEntry {
     val recId = concat(lit("<urn:graft:"), col("doc_id"), lit(">"))
     val headers = graft.sources.WarcCodec.mintResponseHeaders(
       recId, mintedNoisyUrl, warcDate, octet_length(block).cast("long"))
-    // the cut keeps the first 10 block bytes — the HTTP status-line
-    // prefix, ASCII by construction, so char and byte counts agree
-    val rec = when(pmod(col("doc_id"), lit(13L)) === 6L,
+    // three record classes: a `revisit` dedup marker at doc_id%19==2
+    // (payload charged to an earlier capture via WARC-Refers-To), the
+    // torn-write cut at doc_id%13==6 (the cut keeps the first 10 block
+    // bytes — the HTTP status-line prefix, ASCII by construction, so
+    // char and byte counts agree), a well-formed response otherwise
+    val rec = when(pmod(col("doc_id"), lit(19L)) === 2L,
+        graft.sources.WarcCodec.mintRevisitRecord(recId, mintedNoisyUrl,
+          warcDate, concat(lit("<urn:graft:"),
+            pmod(col("doc_id"), lit(7L)), lit(">"))))
+      .when(pmod(col("doc_id"), lit(13L)) === 6L,
         concat(headers, substring(block, 1, 10)))
       .otherwise(graft.sources.WarcCodec.mintResponseRecord(
         recId, mintedNoisyUrl, warcDate, block))
@@ -5628,8 +5638,9 @@ object SparkEntry {
         col("rec_seq").cast("long").as("rec_seq"),
         col("ok"), col("error"),
         col("warc_type"), col("target_uri"), col("warc_date"),
+        col("refers_to"),
         col("content_length"),
-        when(col("ok"),
+        when(col("ok") && col("warc_type") === "response",
           regexp_extract(col("block"), "^HTTP/1\\.1 (\\d+)", 1)
             .cast("long")).as("http_status"),
         col("block"))
@@ -5652,9 +5663,12 @@ object SparkEntry {
       .select(
         regexp_extract(col("record_id"), "^<urn:graft:(\\d+)>$", 1)
           .cast("long").as("doc_id"),
-        col("ok"), col("target_uri"), col("block"))
+        col("ok"), col("warc_type"), col("target_uri"), col("block"))
       .localCheckpoint() // fence: feeds every stage and the funnel spine
-    val http = base.filter(col("ok"))
+    // revisit records carry no payload (the content is already
+    // ingested under the referenced capture) — only response records
+    // enter the HTTP stage
+    val http = base.filter(col("ok") && col("warc_type") === "response")
       .select(col("doc_id"), col("target_uri"),
         regexp_extract(col("block"), "^HTTP/1\\.1 (\\d+)", 1)
           .cast("long").as("status"),
@@ -5689,7 +5703,8 @@ object SparkEntry {
       .select(col("doc_id"),
         size(filter(split(col("norm"), " "), w => w =!= ""))
           .cast("long").as("n_tok"))
-    base.select(col("doc_id"), col("ok").as("codec_ok"))
+    val notResp = col("warc_type") =!= "response"
+    base.select(col("doc_id"), col("ok").as("codec_ok"), col("warc_type"))
       .join(http.select(col("doc_id"), col("status")), Seq("doc_id"),
         "left")
       .join(lic.withColumnRenamed("verdict", "lic"), Seq("doc_id"), "left")
@@ -5697,20 +5712,23 @@ object SparkEntry {
       .join(txt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("codec_ok"),
         when(!col("codec_ok"), "skipped")
+          .when(notResp, "revisit")
           .when(col("status") === 200L, "ok").otherwise("bad")
           .as("http_verdict"),
-        when(!col("codec_ok") || col("status") =!= 200L, "skipped")
+        when(!col("codec_ok") || notResp || col("status") =!= 200L,
+            "skipped")
           .otherwise(col("lic")).as("lic_verdict"),
-        when(!col("codec_ok") || col("status") =!= 200L ||
+        when(!col("codec_ok") || notResp || col("status") =!= 200L ||
             col("lic") =!= "keep", "skipped")
           .when(col("allowed"), "crawl").otherwise("blocked")
           .as("robots_verdict"),
-        when(!col("codec_ok") || col("status") =!= 200L ||
+        when(!col("codec_ok") || notResp || col("status") =!= 200L ||
             col("lic") =!= "keep" || !col("allowed"), "skipped")
           .when(col("n_tok") >= 5L, "kept").otherwise("short")
           .as("text_verdict"),
         coalesce(col("n_tok"), lit(-1L)).as("n_tok"),
-        coalesce(col("codec_ok") && col("status") === 200L &&
+        coalesce(col("codec_ok") && !notResp &&
+          col("status") === 200L &&
           col("lic") === "keep" && col("allowed") &&
           col("n_tok") >= 5L, lit(false))
           .as("kept"))
@@ -10152,20 +10170,26 @@ object SparkEntry {
          SELECT doc_id, doc_id // 8 AS container_id,
            CAST(row_number() OVER (PARTITION BY doc_id // 8
              ORDER BY doc_id) - 1 AS BIGINT) AS rec_seq,
-           (doc_id % 13 <> 6) AS ok,
-           CASE WHEN doc_id % 13 = 6 THEN
+           (doc_id % 19 = 2 OR doc_id % 13 <> 6) AS ok,
+           CASE WHEN doc_id % 19 <> 2 AND doc_id % 13 = 6 THEN
              'truncated-block: declared ' || octet_length(encode(block))
                || ' bytes + terminator, extent carries 10' END AS error,
-           'response' AS warc_type,
+           CASE WHEN doc_id % 19 = 2 THEN 'revisit'
+             ELSE 'response' END AS warc_type,
            'HTTPS://WWW.Site' || (doc_id % 20) || '.COM:443/p' || doc_id
              || '?utm_source=x' AS target_uri,
            '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
              || 'T00:00:00Z' AS warc_date,
-           CAST(octet_length(encode(block)) AS BIGINT) AS content_length,
-           CASE WHEN doc_id % 13 <> 6 THEN
+           CASE WHEN doc_id % 19 = 2 THEN
+             '<urn:graft:' || (doc_id % 7) || '>' END AS refers_to,
+           CAST(CASE WHEN doc_id % 19 = 2 THEN 0
+             ELSE octet_length(encode(block)) END AS BIGINT)
+             AS content_length,
+           CASE WHEN doc_id % 19 <> 2 AND doc_id % 13 <> 6 THEN
              CAST(CASE WHEN doc_id % 17 = 3 THEN 404 ELSE 200 END
                AS BIGINT) END AS http_status,
-           CASE WHEN doc_id % 13 <> 6 THEN block END AS block
+           CASE WHEN doc_id % 19 = 2 THEN ''
+             WHEN doc_id % 13 <> 6 THEN block END AS block
          FROM wm ORDER BY doc_id""",
     // q184: the crawl funnel replayed stage by stage — codec framing
     // class, HTTP status class, the licence policy CASE on the
@@ -10177,7 +10201,9 @@ object SparkEntry {
              FROM documents),
            $licencePolicyCteSql,
            st AS MATERIALIZED (
-             SELECT doc_id, (doc_id % 13 <> 6) AS codec_ok,
+             SELECT doc_id,
+               (doc_id % 19 = 2 OR doc_id % 13 <> 6) AS codec_ok,
+               (doc_id % 19 = 2) AS revisit,
                CASE WHEN doc_id % 17 = 3 THEN 404 ELSE 200 END AS status,
                'site' || (doc_id % 20) || '.com' AS domain
              FROM documents),
@@ -10187,7 +10213,7 @@ object SparkEntry {
                  WHEN p.licence IN ('cc-by', 'cc-by-sa') THEN 'keep'
                  ELSE 'drop' END AS verdict
              FROM st LEFT JOIN pol p ON p.domain = st.domain
-             WHERE st.codec_ok AND st.status = 200),
+             WHERE st.codec_ok AND NOT st.revisit AND st.status = 200),
            sv AS (
              SELECT hm.doc_id, hm.html
              FROM hm JOIN lic ON lic.doc_id = hm.doc_id
@@ -10202,19 +10228,22 @@ object SparkEntry {
                   FROM nrm)
          SELECT st.doc_id, st.codec_ok,
            CASE WHEN NOT st.codec_ok THEN 'skipped'
+             WHEN st.revisit THEN 'revisit'
              WHEN st.status = 200 THEN 'ok' ELSE 'bad' END AS http_verdict,
-           CASE WHEN NOT st.codec_ok OR st.status <> 200 THEN 'skipped'
+           CASE WHEN NOT st.codec_ok OR st.revisit OR st.status <> 200
+               THEN 'skipped'
              ELSE l.verdict END AS lic_verdict,
-           CASE WHEN NOT st.codec_ok OR st.status <> 200
+           CASE WHEN NOT st.codec_ok OR st.revisit OR st.status <> 200
                OR l.verdict <> 'keep' THEN 'skipped'
              WHEN ((st.doc_id % 20) % 5) = 2 THEN 'blocked'
              ELSE 'crawl' END AS robots_verdict,
-           CASE WHEN NOT st.codec_ok OR st.status <> 200
+           CASE WHEN NOT st.codec_ok OR st.revisit OR st.status <> 200
                OR l.verdict <> 'keep'
                OR ((st.doc_id % 20) % 5) = 2 THEN 'skipped'
              WHEN t.n_tok >= 5 THEN 'kept' ELSE 'short' END AS text_verdict,
            CAST(coalesce(t.n_tok, -1) AS BIGINT) AS n_tok,
-           coalesce(st.codec_ok AND st.status = 200 AND l.verdict = 'keep'
+           coalesce(st.codec_ok AND NOT st.revisit AND st.status = 200
+             AND l.verdict = 'keep'
              AND ((st.doc_id % 20) % 5) <> 2
              AND t.n_tok >= 5, false) AS kept
          FROM st

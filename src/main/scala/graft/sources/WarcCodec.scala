@@ -48,6 +48,12 @@ object WarcCodec {
       record_id: Option[String],
       target_uri: Option[String],
       warc_date: Option[String],
+      // WARC-Refers-To: carried by `revisit` records — the format's own
+      // dedup mechanism (a re-fetch whose payload digest matched an
+      // earlier capture references the original instead of repeating
+      // the bytes); a crawl reader skips revisits and charges the
+      // content to the referenced record
+      refers_to: Option[String],
       content_length: Option[Long],
       block: Option[String])
 
@@ -88,6 +94,26 @@ object WarcCodec {
       block,
       lit("\r\n\r\n"))
 
+  /** Mint a WARC/1.0 `revisit` record — the format's own dedup marker:
+    * a re-fetch whose payload digest matched an earlier capture carries
+    * NO payload (Content-Length 0) and charges its content to the
+    * record named by WARC-Refers-To. A crawl reader skips revisits (the
+    * page is already ingested) — the wire-level twin of the engine's
+    * incremental dedup index. */
+  def mintRevisitRecord(
+      recordId: Column,
+      targetUri: Column,
+      warcDate: Column,
+      refersTo: Column): Column =
+    concat(
+      lit(Version + "\r\n"),
+      lit("WARC-Type: revisit\r\n"),
+      lit("WARC-Record-ID: "), recordId, lit("\r\n"),
+      lit("WARC-Date: "), warcDate, lit("\r\n"),
+      lit("WARC-Target-URI: "), targetUri, lit("\r\n"),
+      lit("WARC-Refers-To: "), refersTo, lit("\r\n"),
+      lit("Content-Length: 0\r\n\r\n\r\n\r\n"))
+
   /** Parse (container_id: long, data: binary) blobs into one row per
     * record extent. Map-only; each blob is parsed in one bounded
     * forward pass. */
@@ -115,14 +141,14 @@ object WarcCodec {
       return Seq(WarcRecord(cid, 0, ok = false,
         Some(s"no-warc-magic: ${data.length} bytes carry no " +
           s"'$Version' record start"),
-        None, None, None, None, None, None))
+        None, None, None, None, None, None, None))
     val out = Seq.newBuilder[WarcRecord]
     var seq = 0
     if (starts.head != 0) {
       out += WarcRecord(cid, seq, ok = false,
         Some(s"leading-garbage: ${starts.head} bytes before the first " +
           s"'$Version' magic"),
-        None, None, None, None, None, None)
+        None, None, None, None, None, None, None)
       seq += 1
     }
     var i = 0
@@ -162,6 +188,7 @@ object WarcCodec {
     // separator line
     var lineStart = from + Magic.length
     var warcType, recordId, targetUri, warcDate: Option[String] = None
+    var refersTo: Option[String] = None
     var contentLength: Option[Long] = None
     var err: Option[String] = None
     var blockStart = -1
@@ -186,6 +213,7 @@ object WarcCodec {
             case "warc-record-id" => recordId = Some(value)
             case "warc-target-uri" => targetUri = Some(value)
             case "warc-date" => warcDate = Some(value)
+            case "warc-refers-to" => refersTo = Some(value)
             case "content-length" =>
               contentLength = value.toLongOption.filter(_ >= 0)
               if (contentLength.isEmpty)
@@ -198,7 +226,7 @@ object WarcCodec {
     }
     def rec(ok: Boolean, e: Option[String], block: Option[String]) =
       WarcRecord(cid, seq, ok, e, warcType, recordId, targetUri,
-        warcDate, contentLength, block)
+        warcDate, refersTo, contentLength, block)
     if (err.isDefined) return rec(ok = false, err, None)
     val missing = Seq(
       "WARC-Type" -> warcType.isEmpty,

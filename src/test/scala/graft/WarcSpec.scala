@@ -45,6 +45,23 @@ class WarcSpec extends SparkSpec {
     assert(r.block.contains("hello world"))
   }
 
+  test("revisit records parse with WARC-Refers-To and an empty block") {
+    val rev = "WARC/1.0\r\nWARC-Type: revisit\r\n" +
+      "WARC-Record-ID: <urn:graft:9>\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "WARC-Target-URI: https://a.com/x\r\n" +
+      "WARC-Refers-To: <urn:graft:2>\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    val recs = parse(record(1, "payload") + rev + record(3, "tail"))
+    assert(recs.map(_.ok) == Seq(true, true, true))
+    val r = recs(1)
+    assert(r.warc_type.contains("revisit"))
+    assert(r.refers_to.contains("<urn:graft:2>"))
+    assert(r.content_length.contains(0L))
+    assert(r.block.contains(""))
+    // response records carry no refers_to
+    assert(recs.head.refers_to.isEmpty)
+  }
+
   test("torn-write record quarantines alone; neighbours still parse") {
     // record 2 keeps its headers (declared length stands) but the block
     // is cut to 4 bytes and the terminator is gone — the q183 mint class
@@ -101,6 +118,35 @@ class WarcSpec extends SparkSpec {
     assert(unterminated.head.error.contains(
       "unterminated-headers: no blank separator line before the record " +
         "extent ends"))
+  }
+
+  test("containers parse IN-STREAM: the crawl front door is stateless " +
+      "(mapPartitions codec per micro-batch, no state store)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val parsed = WarcCodec.parseContainers(
+      source.toDF().toDF("container_id", "data"),
+      col("container_id"), col("data"))
+    val query = parsed.writeStream.format("memory")
+      .queryName("warc_stream").outputMode(OutputMode.Append).start()
+    try {
+      val torn = record(2, "cut off here", declared = Some(400L))
+      source.addData(
+        (1L, (record(1, "alpha") + torn)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        (2L, record(3, "beta")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      query.processAllAvailable()
+      val got = spark.table("warc_stream")
+        .select("container_id", "rec_seq", "ok")
+        .as[(Long, Int, Boolean)].collect().toSet
+      assert(got == Set((1L, 0, true), (1L, 1, false), (2L, 0, true)))
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
   }
 
   test("parseContainers is map-only over blobs and preserves container ids") {
