@@ -5601,7 +5601,10 @@ object SparkEntry {
     val rec = when(pmod(col("doc_id"), lit(19L)) === 2L,
         graft.sources.WarcCodec.mintRevisitRecord(recId, mintedNoisyUrl,
           warcDate, concat(lit("<urn:graft:"),
-            pmod(col("doc_id"), lit(7L)), lit(">"))))
+            // the referent must be a RESPONSE capture (wire-valid
+            // revisit semantics): (id%7)*2+1 is odd and <= 13, so it is
+            // never %19==2 (revisit), never %13==6 (torn), never self
+            pmod(col("doc_id"), lit(7L)) * 2 + 1, lit(">"))))
       .when(pmod(col("doc_id"), lit(13L)) === 6L,
         concat(headers, substring(block, 1, 10)))
       .otherwise(graft.sources.WarcCodec.mintResponseRecord(
@@ -6051,7 +6054,7 @@ object SparkEntry {
     * benchmark carriers (die at decontam), D jittered-embedding
     * semantic dups (die at the IVF probe), E template-slop (die at
     * MGT) — each class's licence fate rides the q176 domain arithmetic
-    * on top. The funnel's 8 rows value-compare: stage populations via
+    * on top. The funnel's 9 rows value-compare: stage populations via
     * the class CASEs + the shared licence/MGT CTEs, artifact sizes via
     * closed-form mint arithmetic (the q132/q106 posture for the
     * bloom/IVF internals the cycle queries already pinned). */
@@ -10046,7 +10049,7 @@ object SparkEntry {
            true AS roundtrip_ok
          FROM gfin f LEFT JOIN o2 ON o2.doc_id = f.doc_id
          ORDER BY f.doc_id""",
-    // q189: the 8-row funnel replayed — stage populations via the
+    // q189: the 9-row funnel replayed — stage populations via the
     // five-class batch mint + licence arithmetic + the shared MGT
     // battery CTEs over stage-1 survivors; dedup/span/semantic drops
     // are the planted classes (internals pinned by q132/q135/q106);
@@ -10181,7 +10184,8 @@ object SparkEntry {
            '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
              || 'T00:00:00Z' AS warc_date,
            CASE WHEN doc_id % 19 = 2 THEN
-             '<urn:graft:' || (doc_id % 7) || '>' END AS refers_to,
+             '<urn:graft:' || ((doc_id % 7) * 2 + 1) || '>'
+             END AS refers_to,
            CAST(CASE WHEN doc_id % 19 = 2 THEN 0
              ELSE octet_length(encode(block)) END AS BIGINT)
              AS content_length,

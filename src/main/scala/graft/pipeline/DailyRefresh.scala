@@ -49,11 +49,11 @@ import graft.ops.{Curation, Dedup, Graph, Similarity, TextAnalysis, TrainPrep}
   * token mass, fingerprint rows, span windows, indexed vectors, label
   * rows, rank rows, stored pairs).
   *
-  * 100 TB shape: stages 1–5 are the proven per-query shapes (broadcast
-  * policy join; map-only battery; bloom-gated batch-vs-index joins —
-  * work ∝ batch, never corpus); stages 6–8 are delta-sized by the
-  * operators' own contracts. The driver performs one bounded count per
-  * stage (the funnel is 8 rows of metadata). */
+  * 100 TB shape: stages 1–6 are the proven per-query shapes (broadcast
+  * policy/rule joins; map-only battery; bloom-gated batch-vs-index
+  * joins — work ∝ batch, never corpus); stages 7–9 are delta-sized by
+  * the operators' own contracts. The driver performs one bounded count
+  * per stage (the funnel is 9 rows of metadata). */
 object DailyRefresh {
 
   /** One day's inputs. `vecs` must cover every batch doc (the semantic
@@ -150,7 +150,7 @@ object DailyRefresh {
     val nIn = b0.count()
     // the DayBatch contract says vecs cover every batch doc — enforce
     // it up front (the requireFreshIds posture): a doc with no
-    // embedding would otherwise vanish at stage 5 and be misattributed
+    // embedding would otherwise vanish at the semantic stage and be misattributed
     // as a semantic-dup drop
     val nNoVec = b0.select(col("doc_id"))
       .join(batch.vecs.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -189,7 +189,7 @@ object DailyRefresh {
       "doc_id").localCheckpoint()
     val n2 = s2.count()
 
-    // ---- stage 3: text dedup against the reloaded index
+    // ---- stage 4: text dedup against the reloaded index
     val dedupIdx = Dedup.loadDedupIndex(spark, p(dir, "dedup", prev))
     val fpBefore = dedupIdx.fingerprints.count()
     val cls = Dedup.incrementalDedup(dedupIdx,
@@ -198,7 +198,7 @@ object DailyRefresh {
       .select(col("batch_id").as("doc_id")), "doc_id").localCheckpoint()
     val n3 = s3.count()
 
-    // ---- stage 4: span decontamination against the reloaded index
+    // ---- stage 5: span decontamination against the reloaded index
     val spanIdx = Dedup.loadSpanIndex(spark, p(dir, "spans", prev))
     val winBefore = spanIdx.windows.count()
     val hits = Dedup.probeSpanIndex(spanIdx,
@@ -207,7 +207,7 @@ object DailyRefresh {
     val s4 = s3.join(hits, Seq("doc_id"), "left_anti").localCheckpoint()
     val n4 = s4.count()
 
-    // ---- stage 5: semantic dedup against the reloaded IVF index
+    // ---- stage 6: semantic dedup against the reloaded IVF index
     val ivf = Similarity.loadIvfIndex(spark, p(dir, "ivf", prev))
     val vecBefore = ivf.assigned.count()
     val s4vecs = s4.select(col("doc_id"))
@@ -247,7 +247,7 @@ object DailyRefresh {
       p(dir, "ivf", day))
     val vecAfter = vecBefore + n5
 
-    // ---- stage 6: component-label delta contraction
+    // ---- stage 7: component-label delta contraction
     val labels = Graph.loadComponentLabels(spark, p(dir, "labels", prev))
     val labBefore = labels.count()
     val labels2 = Graph.connectedComponentsDelta(labels,
@@ -255,7 +255,7 @@ object DailyRefresh {
     Graph.saveComponentLabels(labels2, p(dir, "labels", day))
     val labAfter = labels2.count()
 
-    // ---- stage 7: rank warm restart over the appended edge relation
+    // ---- stage 8: rank warm restart over the appended edge relation
     val prior = Graph.loadRankVector(spark, p(dir, "ranks", prev))
     val rankBefore = prior.count()
     val allEdges = spark.read.parquet(p(dir, "edges", prev))
@@ -268,7 +268,7 @@ object DailyRefresh {
     Graph.saveRankVector(ranks2, p(dir, "ranks", day))
     val rankAfter = ranks2.count()
 
-    // ---- stage 8: preference-pair mining + append
+    // ---- stage 9: preference-pair mining + append
     val pairs = TrainPrep.loadPreferencePairs(spark, p(dir, "pairs", prev))
     val pairsBefore = pairs.count()
     val nPrompts = batch.promptCands.select(col("prompt_id")).distinct()

@@ -112,7 +112,11 @@ object WarcCodec {
       lit("WARC-Date: "), warcDate, lit("\r\n"),
       lit("WARC-Target-URI: "), targetUri, lit("\r\n"),
       lit("WARC-Refers-To: "), refersTo, lit("\r\n"),
-      lit("Content-Length: 0\r\n\r\n\r\n\r\n"))
+      lit("Content-Length: 0\r\n"),
+      lit("\r\n"), // header/block separator (the blank line)
+      // zero-length block, then the record terminator — the same
+      // layout mintResponseRecord emits around a non-empty block
+      lit("\r\n\r\n"))
 
   /** Parse (container_id: long, data: binary) blobs into one row per
     * record extent. Map-only; each blob is parsed in one bounded
@@ -163,10 +167,12 @@ object WarcCodec {
   }
 
   /** Offsets of every `WARC/1.0\r\n` match — record extent boundaries.
-    * The magic carries CRLF, so it can only match at a line start; a
-    * block whose TEXT mentions the version string cannot split a
-    * record unless it also embeds the exact CRLF-framed magic (the
-    * same resync limit production readers document). */
+    * Resync limit (the WARC spec's own content-transparency caveat): a
+    * block that carries the version string followed by CRLF splits a
+    * record — including a block that merely ENDS with "WARC/1.0",
+    * because the record terminator's CRLF completes the magic. A
+    * producer must keep the bare version string out of uuencoded-style
+    * payloads (or chunk them), exactly as production WARC writers do. */
   private def magicOffsets(data: Array[Byte]): Array[Int] = {
     val out = Array.newBuilder[Int]
     var i = 0

@@ -206,13 +206,20 @@ class PropertySpec extends AnyFunSuite {
         s"Content-Length: ${block.getBytes(UTF_8).length}\r\n\r\n" +
         block + "\r\n\r\n"
     // payload alphabet includes CRLF material (a block containing
-    // \r\n\r\n is fine — framing is length-prefixed); the one documented
-    // resync limit is a block embedding the CRLF-framed magic itself
+    // \r\n\r\n is fine — framing is length-prefixed) and URL-ish
+    // punctuation. The resync limit is a block carrying the BARE
+    // version string: embedded with its own CRLF it splits the record
+    // outright, and even a block merely ENDING in "WARC/1.0" gets its
+    // magic completed by the record terminator's CRLF — so the guard
+    // excludes the version string entirely, which is exactly the
+    // invariant a producer must hold (the WARC spec's own
+    // content-transparency caveat)
     val payloadChar = Gen.frequency(
-      (10, Gen.alphaNumChar), (2, Gen.oneOf(' ', ':', '<', '>')),
+      (10, Gen.alphaNumChar),
+      (2, Gen.oneOf(' ', ':', '<', '>', '/', '.')),
       (1, Gen.oneOf('\r', '\n')))
     val payload = Gen.listOf(payloadChar).map(_.mkString)
-      .suchThat(!_.contains(magic))
+      .suchThat(!_.contains("WARC/1.0"))
     val record = for {
       id <- Gen.choose(0L, 1000000L)
       host <- Gen.alphaNumStr.suchThat(_.nonEmpty)

@@ -144,8 +144,11 @@ class WarcSpec extends SparkSpec {
         .select("container_id", "rec_seq", "ok")
         .as[(Long, Int, Boolean)].collect().toSet
       assert(got == Set((1L, 0, true), (1L, 1, false), (2L, 0, true)))
-      assert(query.lastProgress == null ||
-        query.lastProgress.stateOperators.isEmpty)
+      // non-vacuous statelessness: at least one progress tick exists
+      // (processAllAvailable ran a batch) and none carries state
+      val progs = query.recentProgress
+      assert(progs.nonEmpty && progs.forall(_.stateOperators.isEmpty),
+        s"expected stateless progress, got ${progs.length} ticks")
     } finally query.stop()
   }
 
