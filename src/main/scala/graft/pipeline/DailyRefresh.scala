@@ -69,6 +69,38 @@ object DailyRefresh {
 
   private def p(dir: String, name: String, day: Int) = s"$dir/$name/d$day"
 
+  private[pipeline] val artifactNames = Seq(
+    "profile", "dedup", "spans", "ivf", "labels", "edges", "ranks",
+    "pairs")
+
+  /** Retention: drop snapshot days older than `keepDays` behind
+    * `latestDay` (daily snapshots otherwise accumulate forever — at
+    * 100 TB each dedup/IVF snapshot is corpus-sized, so retention IS
+    * the storage bill). Never touches `latestDay` itself, never a day
+    * inside the window, and deletes nothing unless the latest day is
+    * fully present (a half-written latest must keep its predecessor —
+    * the recovery source). Returns the deleted day indices. */
+  def retainSnapshots(
+      spark: SparkSession, dir: String, latestDay: Int,
+      keepDays: Int): Seq[Int] = {
+    require(keepDays >= 1, s"keepDays must be >= 1, got $keepDays")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def path(name: String, day: Int) =
+      new org.apache.hadoop.fs.Path(p(dir, name, day))
+    val fs = path("profile", latestDay).getFileSystem(hconf)
+    val latestComplete = artifactNames.forall(n =>
+      fs.exists(path(n, latestDay)))
+    require(latestComplete,
+      s"retainSnapshots: day $latestDay is incomplete — refusing to " +
+        "delete history while the latest snapshot cannot serve reads")
+    val cutoff = latestDay - keepDays
+    (0 to cutoff).filter { day =>
+      val existed = artifactNames.exists(n => fs.exists(path(n, day)))
+      artifactNames.foreach(n => fs.delete(path(n, day), true))
+      existed
+    }
+  }
+
   /** Build + persist every artifact from the standing corpus — day 0. */
   def coldStart(
       dir: String,

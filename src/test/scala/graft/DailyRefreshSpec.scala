@@ -114,5 +114,31 @@ class DailyRefreshSpec extends SparkSpec {
         robots, "SpecBot",
         mkBatch(Seq((1L, "x", 0)), 999L, Seq(999L), 9999L))
     }
+
+    // crash-retry idempotence: re-running the SAME day overwrites its
+    // snapshot deterministically — the funnel is identical because
+    // every stage reads day-1 artifacts, never its own day's output
+    val f2again = funnelMap(DailyRefresh.run(spark, dir, 2, policy,
+      Seq("cc-by"), robots, "SpecBot", mkBatch(Seq(
+        (2000L, "day one clean survivor text body", 12),
+        (2001L, "zz delta bench 101 six seven eight nine ten", 13),
+        (2002L, "unseen second day words material", 11),
+        (2003L, "genuinely new day two survivor", 14)),
+        pOff = 300L, benchIds = Seq(102L), edgeSrcOff = 9001L)))
+    assert(f2again == f2, "same-day rerun must reproduce the funnel")
+
+    // retention: keep 1 day behind the latest — d0 and d1 go, d2 serves
+    assert(DailyRefresh.retainSnapshots(spark, dir, latestDay = 2,
+      keepDays = 1) == Seq(0, 1))
+    assert(graft.ops.Graph.loadComponentLabels(spark, s"$dir/labels/d2")
+      .count() == 10L)
+    intercept[Exception] {
+      graft.ops.Graph.loadComponentLabels(spark, s"$dir/labels/d0").count()
+    }
+    // an incomplete latest day refuses to delete history (the
+    // predecessor is the recovery source)
+    intercept[IllegalArgumentException] {
+      DailyRefresh.retainSnapshots(spark, dir, latestDay = 3, keepDays = 1)
+    }
   }
 }
