@@ -41,9 +41,17 @@ object Robots {
   private def robotsMatch(path: Column, pattern: Column): Column =
     column(RobotsMatch(expression(path), expression(pattern)))
 
+  /** One parsed robots.txt row. `group_marker = true` rows carry no
+    * rule — they record that a (domain, agent) GROUP exists, which RFC
+    * 9309 §2.2.1 makes load-bearing on its own: a specific-agent group
+    * with no rules (the whitelist idiom `User-agent: foo` / `Disallow:`
+    * followed by `User-agent: *` / `Disallow: /`) must still be
+    * selected EXCLUSIVELY for that agent, meaning allow-all — deriving
+    * group presence from rule presence would invert a published
+    * whitelist into a block (the r16 ADVICE medium finding). */
   private[graft] case class Rule(
       domain: String, agent: String, pattern: String, allow: Boolean,
-      rule_order: Int)
+      rule_order: Int, group_marker: Boolean = false)
 
   /** Parse (domain, body) robots.txt rows into the rule relation.
     * Map-only: one flatMap per domain, no shuffle. */
@@ -86,8 +94,16 @@ object Robots {
           key match {
             case "user-agent" =>
               if (groupHasRules) { agents = Nil; groupHasRules = false }
-              if (value.nonEmpty)
-                agents = value.toLowerCase(java.util.Locale.ROOT) :: agents
+              if (value.nonEmpty) {
+                val a = value.toLowerCase(java.util.Locale.ROOT)
+                agents = a :: agents
+                // group presence is a fact independent of rule
+                // presence — emit the marker row immediately so an
+                // all-empty group (allow-all whitelist) still registers
+                out += Rule("", a, "", allow = true, order,
+                  group_marker = true)
+                order += 1
+              }
             case "allow" | "disallow" =>
               groupHasRules = true
               // an empty value is no rule (the classic blanket-allow
@@ -120,12 +136,23 @@ object Robots {
     require(agent.nonEmpty && agent != "*",
       "robotsGate: pass the crawler's own product token, not '*'")
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    // a hand-built rule relation without the marker column is all
+    // rules (every group it describes has at least one); parseRobots
+    // output carries the markers that make empty groups selectable
+    val markerCol =
+      if (rules.columns.contains("group_marker"))
+        coalesce(col("group_marker").cast("boolean"), lit(false))
+      else lit(false)
     val r = rules.select(
       col("domain").cast("string").as("domain"),
       lower(col("agent")).as("agent"),
       col("pattern").cast("string").as("pattern"),
-      col("allow").cast("boolean").as("allow"))
-    // group selection: domains with a specific group use ONLY it
+      col("allow").cast("boolean").as("allow"),
+      markerCol.as("__marker"))
+    // group selection: domains with a specific group use ONLY it —
+    // computed from GROUP presence (markers included), not rule
+    // presence, so an empty specific group (allow-all whitelist)
+    // shields its agent from the wildcard group (RFC 9309 §2.2.1)
     val hasSpec = r.filter(col("agent") === agentLc)
       .select(col("domain")).distinct()
       .withColumn("__has_spec", lit(true))
@@ -135,7 +162,7 @@ object Robots {
         col("agent") === agentLc).otherwise(col("agent") === "*"))
       .select(col("domain"),
         (col("agent") === agentLc).as("__spec"),
-        col("pattern"), col("allow"))
+        col("pattern"), col("allow"), col("__marker"))
     // rules match against path + query (the fragment never travels to
     // the server) — Google's reference REP matcher semantics, so a
     // published `Disallow: /*?sessionid=` style rule is enforceable; a
@@ -157,15 +184,18 @@ object Robots {
       .join(broadcast(chosen), Seq("domain"), "left")
       .groupBy(col("doc_id"), col("domain"), col("path"))
       .agg(
-        count(col("pattern")).as("n_rules"),
+        // group membership counts markers (an empty selected group is
+        // still a selected group); the rule count does not
+        count(col("pattern")).as("__n_rows"),
+        count(when(!col("__marker"), col("pattern"))).as("n_rules"),
         max(col("__spec")).as("__any_spec"),
-        max(when(matched, struct(
+        max(when(matched && !col("__marker"), struct(
           length(col("pattern")).as("l"),
           col("allow").cast("int").as("a"),
           col("pattern").as("p")))).as("__best"))
       .select(
         col("doc_id"), col("domain"), col("path"),
-        when(col("n_rules") === 0L, "none")
+        when(col("__n_rows") === 0L, "none")
           .when(col("__any_spec"), "specific")
           .otherwise("wildcard").as("agent_group"),
         col("n_rules"),

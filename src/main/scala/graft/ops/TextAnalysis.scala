@@ -570,9 +570,18 @@ object TextAnalysis {
     val rows = profile.select(col("word").cast("string").as("word"),
       col("cnt").cast("long").as("cnt")).collect()
     require(rows.nonEmpty, s"$op: profile carries no rows")
-    require(rows.length <= 65536,
-      s"$op: ${rows.length} profile rows — an inventory is driver " +
-        "metadata by contract (<= 65536 words)")
+    // the bound must match what the CONSUMERS can execute, not what
+    // the driver can hold: stopwordProfileFor builds one aggregate
+    // column per word and mgtBatteryOver one isin() literal per word —
+    // both blow Catalyst codegen limits far below the old 65536 stated
+    // ceiling (the r16 ADVICE finding). 512 is comfortably inside
+    // one-agg-per-column territory; a genuinely larger register needs
+    // the broadcast-join counting shape (the q188 oracle's swm CTE),
+    // not a bigger literal list.
+    require(rows.length <= 512,
+      s"$op: ${rows.length} profile rows — an inventory rides " +
+        "one-aggregate-per-word / one-isin-literal-per-word plans " +
+        "(<= 512 words); larger registers need a broadcast-join count")
     val seen = rows.map(r => Option(r.getString(0)).getOrElse(""))
     require(seen.forall(_.nonEmpty),
       s"$op: profile words must be non-null and non-empty")

@@ -200,8 +200,13 @@ object DailyRefresh {
       .select("doc_id"), "doc_id").localCheckpoint()
     val n1 = s1.count()
 
-    // ---- stage 2: robots compliance on the licensed survivors' URLs
-    val nRules = robotsRules.count()
+    // ---- stage 2: robots compliance on the licensed survivors' URLs.
+    // The artifact measure counts RULES — parseRobots also carries
+    // group-marker rows (empty-group selection, RFC 9309 §2.2.1),
+    // which are group metadata, not rules
+    val nRules = (if (robotsRules.columns.contains("group_marker"))
+      robotsRules.filter(!coalesce(col("group_marker"), lit(false)))
+    else robotsRules).count()
     val rob = graft.ops.Robots.robotsGate(
         s1.select(col("doc_id"), col("url")), col("doc_id"), col("url"),
         robotsRules, robotsAgent)
@@ -221,13 +226,24 @@ object DailyRefresh {
       "doc_id").localCheckpoint()
     val n2 = s2.count()
 
-    // ---- stage 4: text dedup against the reloaded index
+    // ---- stage 4: text dedup against the reloaded index. The index
+    // probe classifies batch docs against YESTERDAY'S corpus only —
+    // two identical texts inside the same day's batch both classify
+    // `new` — so the stage also collapses intra-batch exact duplicates
+    // (min doc_id keeps; one batch-sized groupBy on the same
+    // fingerprint key the index itself stores), and the collapsed
+    // copies are attributed as dedup drops in the funnel
     val dedupIdx = Dedup.loadDedupIndex(spark, p(dir, "dedup", prev))
     val fpBefore = dedupIdx.fingerprints.count()
     val cls = Dedup.incrementalDedup(dedupIdx,
       s2.select(col("doc_id"), col("text")), nearThreshold)
-    val s3 = s2.join(cls.filter(col("cls") === "new")
-      .select(col("batch_id").as("doc_id")), "doc_id").localCheckpoint()
+    val s3pre = s2.join(cls.filter(col("cls") === "new")
+      .select(col("batch_id").as("doc_id")), "doc_id")
+    val s3keep = s3pre
+      .groupBy(xxhash64(col("text")).as("__fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s3 = s3pre.join(s3keep, Seq("doc_id")).localCheckpoint()
     val n3 = s3.count()
 
     // ---- stage 5: span decontamination against the reloaded index
@@ -264,9 +280,10 @@ object DailyRefresh {
     val dedupIdx2 = Dedup.appendToDedupIndex(dedupIdx,
       s5.select(col("doc_id"), col("text")))
     Dedup.saveDedupIndex(dedupIdx2, p(dir, "dedup", day))
-    // counted, not fpBefore + n5: intra-batch exact-duplicate texts
-    // each classify `new` against the index but collapse to ONE
-    // fingerprint on append — the metric must report the artifact
+    // counted, not assumed fpBefore + n5: stage 4 collapses intra-batch
+    // exact dups before the survivor set, but near-dup survivors can
+    // still share a fingerprint with nothing (the append dedupes
+    // defensively) — the metric must report the artifact
     val fpAfter = dedupIdx2.fingerprints.count()
     val spanIdx2 = Dedup.appendToSpanIndex(spanIdx, batch.benchDelta)
     Dedup.saveSpanIndex(spanIdx2, p(dir, "spans", day))

@@ -63,21 +63,25 @@ class DailyRefreshSpec extends SparkSpec {
         .toDF("domain", "body"),
       col("domain"), col("body"))
 
-    // day 1: one exact corpus copy (dies at dedup), one benchmark
-    // carrier (dies at decontam), one semantic dup of corpus vec 3
-    // (dies at the IVF probe), one robots-disallowed page, one clean
-    // survivor
+    // day 1: one exact corpus copy (dies at dedup vs the index), one
+    // INTRA-batch exact copy of the survivor's text (both classify
+    // `new` against the index; the collapse keeps min doc_id — the r16
+    // ADVICE finding), one benchmark carrier (dies at decontam), one
+    // semantic dup of corpus vec 3 (dies at the IVF probe), one
+    // robots-disallowed page, one clean survivor
     val f1 = funnelMap(DailyRefresh.run(spark, dir, 1, policy,
       Seq("cc-by"), robots, "SpecBot", mkBatch(Seq(
         (1000L, "corpus doc 3 words alpha beta gamma delta", 9),
         (1001L, "xx bench eval one two three four five six", 10),
         (1002L, "novel words entirely fresh material here", 3),
         (1003L, "day one clean survivor text body", 11),
-        (1004L, "robots blocked page body words", 15)),
+        (1004L, "robots blocked page body words", 15),
+        (1005L, "day one clean survivor text body", 11)),
         pOff = 200L, benchIds = Seq(101L), edgeSrcOff = 9000L)))
-    assert(f1("licence") == ((5L, 0L, 5L)))
-    assert(f1("robots") == ((5L, 1L, 4L)), s"day1: $f1")
-    assert(f1("text_dedup") == ((4L, 1L, 3L)), s"day1: $f1")
+    assert(f1("licence") == ((6L, 0L, 6L)))
+    assert(f1("robots") == ((6L, 1L, 5L)), s"day1: $f1")
+    // 2 dedup drops: 1000 against the index, 1005 against 1003
+    assert(f1("text_dedup") == ((5L, 2L, 3L)), s"day1: $f1")
     assert(f1("span_decontam") == ((3L, 1L, 2L)), s"day1: $f1")
     assert(f1("semantic_dedup") == ((2L, 1L, 1L)), s"day1: $f1")
     assert(f1("component_delta")._1 == 1L)

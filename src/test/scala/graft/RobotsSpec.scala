@@ -46,14 +46,42 @@ class RobotsSpec extends SparkSpec {
         |Allow: /x/sub/
         |""".stripMargin)
     // group {A,B} gets /x/ each; '*' gets /y/; the SECOND A group merges
-    assert(rules.map(r => (r.agent, r.pattern, r.allow)).toSet == Set(
+    assert(rules.filterNot(_.group_marker)
+      .map(r => (r.agent, r.pattern, r.allow)).toSet == Set(
       ("a", "/x/", false), ("b", "/x/", false),
       ("*", "/y/", false), ("a", "/x/sub/", true)))
     // the empty Allow value minted no rule
-    assert(rules.count(_.allow) == 1)
+    assert(rules.count(r => r.allow && !r.group_marker) == 1)
+    // every User-agent line registered its group, rule or no rule
+    assert(rules.filter(_.group_marker).map(_.agent) ==
+      Seq("a", "b", "*", "a"))
     // rules before any user-agent line are ignored
     assert(Robots.parseBody("Disallow: /loose/\n").isEmpty)
     assert(Robots.parseBody("").isEmpty)
+  }
+
+  test("empty specific group is selected exclusively: the whitelist " +
+      "idiom allows, it must not fall back to the wildcard block") {
+    import spark.implicits._
+    val rules = Robots.parseRobots(
+      Seq(
+        // the classic published whitelist: this agent may crawl
+        // everything, everyone else is blocked
+        ("w.com", "User-agent: bot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"),
+        // control: no specific group -> the wildcard block binds
+        ("x.com", "User-agent: *\nDisallow: /\n"))
+        .toDF("domain", "body"),
+      col("domain"), col("body"))
+    val docs = Seq((1L, "https://w.com/any/page"),
+      (2L, "https://x.com/any/page")).toDF("doc_id", "url")
+    val got = Robots.robotsGate(docs, col("doc_id"), col("url"),
+        rules, "Bot")
+      .orderBy("doc_id")
+      .select("doc_id", "agent_group", "n_rules", "allowed")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "specific", 0L, true), // empty group = allow-all, 0 rules
+      (2L, "wildcard", 1L, false)), got.toString)
   }
 
   test("gate: group precedence, default allow, tie goes to allow") {
