@@ -5619,9 +5619,13 @@ object SparkEntry {
       .select(col("container_id"), col("data_str").cast("binary").as("data"))
   }
 
+  // the codec carries block BYTES (VERDICT r16 #2); this mint is pure
+  // UTF-8 by construction, so the byte→string cast is lossless and the
+  // q183/q184 oracles keep comparing the exact minted text
   private def parsedWarc(s: SparkSession, d: String): DataFrame =
     graft.sources.WarcCodec.parseContainers(
-      mintedWarcContainers(s, d), col("container_id"), col("data"))
+        mintedWarcContainers(s, d), col("container_id"), col("data"))
+      .withColumn("block_str", col("block").cast("string"))
 
   /** WARC record codec (q183, VERDICT r15 #1): the minted containers
     * parsed back by the bounds-guarded binary codec — every header
@@ -5644,9 +5648,9 @@ object SparkEntry {
         col("refers_to"),
         col("content_length"),
         when(col("ok") && col("warc_type") === "response",
-          regexp_extract(col("block"), "^HTTP/1\\.1 (\\d+)", 1)
+          regexp_extract(col("block_str"), "^HTTP/1\\.1 (\\d+)", 1)
             .cast("long")).as("http_status"),
-        col("block"))
+        col("block_str").as("block"))
       .orderBy(col("doc_id"))
 
   /** Crawl-slice composition (q184, VERDICT r15 #1 + #4): the parsed
@@ -5666,7 +5670,8 @@ object SparkEntry {
       .select(
         regexp_extract(col("record_id"), "^<urn:graft:(\\d+)>$", 1)
           .cast("long").as("doc_id"),
-        col("ok"), col("warc_type"), col("target_uri"), col("block"))
+        col("ok"), col("warc_type"), col("target_uri"),
+        col("block_str").as("block"))
       .localCheckpoint() // fence: feeds every stage and the funnel spine
     // revisit records carry no payload (the content is already
     // ingested under the referenced capture) — only response records
@@ -5736,6 +5741,122 @@ object SparkEntry {
           col("n_tok") >= 5L, lit(false))
           .as("kept"))
       .orderBy(col("doc_id"))
+  }
+
+  /** HTTP entity decode with declared-charset transcode (q190, VERDICT
+    * r16 #2): six planted block classes —
+    * utf-8 / iso-8859-1 / windows-1252 pages (each body byte-encoded in
+    * its DECLARED charset, so the transcode is real, not a UTF-8
+    * identity pass), a lying page (windows-1252 bytes under a utf-8
+    * declaration → lossy decode FLAGGED, the `fix_mojibake` entry
+    * signal), an `application/octet-stream` binary entity (carried as
+    * bytes, never decoded — the Multimodal route), and a malformed
+    * message (no status line) quarantined descriptively. Every column
+    * replays closed-form in the oracle, including the U+FFFD
+    * replacement position and the binary body's exact hex. Map-only:
+    * one typed mint pass, one [[graft.sources.WarcHttp.parseHttp]]
+    * pass, no shuffle. */
+  private def qHttpCharset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blocks = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        def http(ct: String, body: Array[Byte]): Array[Byte] =
+          (s"HTTP/1.1 200 OK\r\nServer: graft\r\nContent-Type: $ct" +
+            "\r\n\r\n").getBytes(
+            java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
+        def enc(text: String, cs: String): Array[Byte] =
+          text.getBytes(java.nio.charset.Charset.forName(cs))
+        val block: Array[Byte] =
+          if (id % 7 == 3) "NOTHTTP garbage".getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII)
+          else (id % 5) match {
+            case 0 => http("text/html; charset=utf-8",
+              enc(s"naïve café € u$id", "UTF-8"))
+            case 1 => http("text/plain; charset=iso-8859-1",
+              enc(s"naïve café þ i$id", "ISO-8859-1"))
+            case 2 => http("text/html; charset=windows-1252",
+              enc(s"naïve café € w$id", "windows-1252"))
+            case 3 => http("text/html; charset=utf-8",
+              enc(s"café m$id", "windows-1252")) // the lie
+            case _ => http("application/octet-stream",
+              Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x00, 0xff.toByte)
+                ++ s"b$id".getBytes(
+                  java.nio.charset.StandardCharsets.US_ASCII))
+          }
+        (id, block)
+      }
+      .toDF("doc_id", "block")
+    graft.sources.WarcHttp.parseHttp(blocks, col("doc_id"), col("block"))
+      .select(col("doc_id"), col("http_ok"), col("http_error"),
+        col("status"), col("reason"), col("n_headers"),
+        col("content_type"), col("charset"), col("is_text"),
+        col("transcode_ok"),
+        octet_length(col("body")).cast("long").as("body_len"),
+        col("body_text"),
+        when(col("content_type") === "application/octet-stream",
+          lower(hex(col("body")))).as("body_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gzip-member WARC containers (q191, VERDICT r16 #1): the `.warc.gz`
+    * convention real crawl buckets ship — one gzip member per record,
+    * members concatenated per container. Three planted classes: plain
+    * responses, a CONTENT-TRANSPARENCY class whose payload carries the
+    * bare `WARC/1.0` magic (legal here — member boundaries frame
+    * records, the structural fix for the plain-container resync
+    * caveat), and a corrupt class whose member has its CRC trailer byte
+    * flipped — the member fails its own integrity check and
+    * quarantines ALONE while every neighbour in the container parses.
+    * Map-only parse ([[graft.sources.WarcCodec.parseGzipContainers]]);
+    * the pack's one container-id shuffle is the pack. */
+  private def qWarcGzip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val crlf = "\r\n"
+    // mint record bytes + gzip member per doc (map-only), pack 8 per
+    // container in seq order (one bounded-group shuffle — the pack)
+    val members = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val body =
+          if (id % 13 != 7 && id % 11 == 5)
+            s"inner $crlf${graft.sources.WarcCodec.Version}$crlf mark g$id"
+          else s"payload g$id"
+        val block = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain" +
+          s"$crlf$crlf$body").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)
+        val rec = graft.sources.WarcCodec.mintResponseRecordBytes(
+          s"<urn:graft:$id>", s"https://site${id % 20}.com/g$id",
+          "2026-02-01T00:00:00Z", block)
+        val member = graft.sources.WarcCodec.gzipMember(rec)
+        if (id % 13 == 7)
+          member(member.length - 8) =
+            (member(member.length - 8) ^ 0xff).toByte
+        (id / 8, (id % 8).toInt, member)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (cid, it) =>
+        val ms = it.toArray.sortBy(_._2).map(_._3)
+        val out = new Array[Byte](ms.iterator.map(_.length).sum)
+        var at = 0
+        ms.foreach { m =>
+          System.arraycopy(m, 0, out, at, m.length); at += m.length
+        }
+        (cid, out)
+      }
+      .toDF("container_id", "data")
+    graft.sources.WarcCodec.parseGzipContainers(members,
+        col("container_id"), col("data"))
+      .select(col("container_id"), col("rec_seq").cast("long").as("rec_seq"),
+        col("ok"),
+        // corruption errors carry run-dependent values (stored/computed
+        // CRCs) — the CLASS is the deterministic contract
+        substring_index(col("error"), ":", 1).as("error_class"),
+        regexp_extract(col("record_id"), "^<urn:graft:(\\d+)>$", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri"), col("warc_date"), col("content_length"),
+        col("block").cast("string").as("block_text"))
+      .orderBy(col("container_id"), col("rec_seq"))
   }
 
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
@@ -6358,7 +6479,9 @@ object SparkEntry {
     "q186_refusal_audit" -> (qRefusalAudit _),
     "q187_crossmodal_pairs" -> (qCrossModalPairs _),
     "q188_mgt_derived_cycle" -> (qMgtDerivedCycle _),
-    "q189_daily_refresh" -> (qDailyRefresh _))
+    "q189_daily_refresh" -> (qDailyRefresh _),
+    "q190_http_charset" -> (qHttpCharset _),
+    "q191_warc_gzip" -> (qWarcGzip _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -10157,6 +10280,82 @@ object SparkEntry {
              (SELECT n FROM nn) - (SELECT k FROM k1), (SELECT k FROM k1),
              (SELECT k FROM k0), (SELECT k FROM k0) + (SELECT k FROM k1)
          ) ORDER BY stage_order""",
+    // q190: the HTTP charset-decode relation pinned closed-form — the
+    // engine parses status line + headers and TRANSCODES each body
+    // under its declared charset for real; the oracle replays every
+    // class including the U+FFFD replacement position (chr(65533)) of
+    // the lying-charset page and the binary entity's exact hex
+    "q190_http_charset" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 7 AS h, CAST(doc_id % 5 AS INT) AS c
+           FROM documents)
+         SELECT doc_id,
+           h <> 3 AS http_ok,
+           CASE WHEN h = 3 THEN
+             'no-status-line: block carries no CRLF-terminated line'
+             END AS http_error,
+           CASE WHEN h <> 3 THEN CAST(200 AS BIGINT) END AS status,
+           CASE WHEN h <> 3 THEN 'OK' END AS reason,
+           CAST(CASE WHEN h = 3 THEN 0 ELSE 2 END AS INT) AS n_headers,
+           CASE WHEN h = 3 THEN NULL
+             WHEN c = 1 THEN 'text/plain'
+             WHEN c = 4 THEN 'application/octet-stream'
+             ELSE 'text/html' END AS content_type,
+           CASE WHEN h = 3 OR c = 4 THEN NULL
+             WHEN c = 1 THEN 'iso-8859-1'
+             WHEN c = 2 THEN 'windows-1252'
+             ELSE 'utf-8' END AS charset,
+           (h <> 3 AND c <> 4) AS is_text,
+           (h <> 3 AND c IN (0, 1, 2)) AS transcode_ok,
+           CAST(CASE WHEN h = 3 THEN 15
+             WHEN c = 0 THEN octet_length(encode('naïve café € u' || doc_id))
+             WHEN c = 1 THEN length('naïve café þ i' || doc_id)
+             WHEN c = 2 THEN length('naïve café € w' || doc_id)
+             WHEN c = 3 THEN length('café m' || doc_id)
+             ELSE 6 + length('b' || doc_id) END AS BIGINT) AS body_len,
+           CASE WHEN h = 3 OR c >= 4 THEN NULL
+             WHEN c = 0 THEN 'naïve café € u' || doc_id
+             WHEN c = 1 THEN 'naïve café þ i' || doc_id
+             WHEN c = 2 THEN 'naïve café € w' || doc_id
+             ELSE 'caf' || chr(65533) || ' m' || doc_id END AS body_text,
+           CASE WHEN h <> 3 AND c = 4 THEN
+             '89504e4700ff' || lower(hex(('b' || doc_id)::BLOB))
+             END AS body_hex
+         FROM b
+         ORDER BY doc_id""",
+    // q191: the gzip-member container replayed member-for-member — the
+    // engine compresses, flips the corrupt class's CRC byte, and walks
+    // the members for real; the oracle pins the (container, seq) grid,
+    // the corrupt class's error CLASS (its message carries run-computed
+    // CRCs), and the content-transparent payload intact
+    "q191_warc_gzip" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id // 8 AS cid, doc_id % 8 AS seq,
+             doc_id % 13 = 7 AS corrupt,
+             (doc_id % 13 <> 7 AND doc_id % 11 = 5) AS transparent,
+             'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+               'Content-Type: text/plain' || chr(13) || chr(10) ||
+               chr(13) || chr(10) AS hdr
+           FROM documents),
+         blk AS (
+           SELECT *, hdr || CASE WHEN transparent THEN
+               'inner ' || chr(13) || chr(10) || 'WARC/1.0' ||
+                 chr(13) || chr(10) || ' mark g' || doc_id
+             ELSE 'payload g' || doc_id END AS block
+           FROM b)
+         SELECT cid AS container_id, CAST(seq AS BIGINT) AS rec_seq,
+           NOT corrupt AS ok,
+           CASE WHEN corrupt THEN 'gzip-bad-crc' END AS error_class,
+           CASE WHEN NOT corrupt THEN doc_id END AS doc_id,
+           CASE WHEN NOT corrupt THEN 'https://site' || (doc_id % 20)
+             || '.com/g' || doc_id END AS target_uri,
+           CASE WHEN NOT corrupt THEN '2026-02-01T00:00:00Z'
+             END AS warc_date,
+           CAST(CASE WHEN NOT corrupt THEN octet_length(encode(block))
+             END AS BIGINT) AS content_length,
+           CASE WHEN NOT corrupt THEN block END AS block_text
+         FROM blk
+         ORDER BY container_id, rec_seq""",
     // q176: shape-pinned expected domain (q130 convention) + the
     // policy CASE; the engine computes registrableDomain for real
     "q176_licence_gate" ->

@@ -38,7 +38,15 @@ object WarcCodec {
   /** One parsed record (or one quarantined framing failure). Header
     * fields are best-effort — a truncated block still reports the
     * headers it DID carry, so quarantined records remain attributable
-    * (the q124 posture: quarantine, don't lose). */
+    * (the q124 posture: quarantine, don't lose).
+    *
+    * `block` is BYTES (VERDICT r16 #2): WARC payloads are arbitrary
+    * octets — JPEGs, gzip bodies, legacy-charset HTML — and an eager
+    * UTF-8 decode is silently lossy (replacement characters) for
+    * everything that isn't UTF-8 text. Decoding happens downstream,
+    * driven by the payload's OWN declared charset ([[parseHttp]]), or
+    * not at all for non-text media (which route to the Multimodal
+    * codecs). */
   final case class WarcRecord(
       container_id: Long,
       rec_seq: Int,
@@ -55,7 +63,7 @@ object WarcCodec {
       // content to the referenced record
       refers_to: Option[String],
       content_length: Option[Long],
-      block: Option[String])
+      block: Option[Array[Byte]])
 
   val Version = "WARC/1.0"
   private val Magic: Array[Byte] = (Version + "\r\n").getBytes(UTF_8)
@@ -82,24 +90,48 @@ object WarcCodec {
   /** Mint one WARC/1.0 response record as a STRING column (UTF-8 bytes
     * == the wire bytes; `Content-Length` is `octet_length(block)`).
     * All header values are caller-supplied columns so the oracle can
-    * replay the exact spelling. */
+    * replay the exact spelling.
+    *
+    * Producer invariant (enforced): the block must not carry the bare
+    * `WARC/1.0` version string — in a plain concatenated container the
+    * magic-first resync would split such a record (even a block merely
+    * ENDING with the version string completes the magic via the record
+    * terminator's CRLF). A violating row raises a descriptive
+    * `mint-transparency` error at mint time instead of corrupting the
+    * container downstream; payloads that legitimately carry the magic
+    * belong in gzip-member framing ([[gzipContainers]]), where member
+    * boundaries — not content — delimit records. */
   def mintResponseRecord(
       recordId: Column,
       targetUri: Column,
       warcDate: Column,
-      block: Column): Column =
+      block: Column): Column = {
+    val guarded = when(contains(block, lit(Version)),
+      raise_error(concat(
+        lit(s"mint-transparency: block carries the bare '$Version' " +
+          "version string and would be split by the magic-first " +
+          "resync; use gzip-member framing or chunk the payload " +
+          "(offending record: "), recordId, lit(")"))).cast("string"))
+      .otherwise(block)
     concat(
       mintResponseHeaders(recordId, targetUri, warcDate,
-        octet_length(block).cast("long")),
-      block,
+        octet_length(guarded).cast("long")),
+      guarded,
       lit("\r\n\r\n"))
+  }
 
   /** Mint a WARC/1.0 `revisit` record — the format's own dedup marker:
     * a re-fetch whose payload digest matched an earlier capture carries
     * NO payload (Content-Length 0) and charges its content to the
     * record named by WARC-Refers-To. A crawl reader skips revisits (the
     * page is already ingested) — the wire-level twin of the engine's
-    * incremental dedup index. */
+    * incremental dedup index.
+    *
+    * Producer invariant: header values (record id, URI, date, referent)
+    * must not carry the bare `WARC/1.0` version string — the resync
+    * caveat documented on [[mintResponseRecord]] applies to every byte
+    * of the record. Revisits carry no payload, so only the caller's
+    * header spellings can violate it. */
   def mintRevisitRecord(
       recordId: Column,
       targetUri: Column,
@@ -117,6 +149,242 @@ object WarcCodec {
       // zero-length block, then the record terminator — the same
       // layout mintResponseRecord emits around a non-empty block
       lit("\r\n\r\n"))
+
+  /** Byte-level record mint — the binary twin of [[mintResponseRecord]]
+    * for producers whose payloads are arbitrary octets (legacy-charset
+    * HTML, media, gzip bodies). NO transparency guard: a byte-minted
+    * record is meant for GZIP-MEMBER framing ([[gzipContainers]]),
+    * where member boundaries — not content scanning — delimit records,
+    * so a payload carrying `WARC/1.0` is legal. Concatenating byte-
+    * minted records into a PLAIN container re-imports the resync
+    * caveat; don't. */
+  private[graft] def mintResponseRecordBytes(
+      recordId: String, targetUri: String, warcDate: String,
+      block: Array[Byte]): Array[Byte] = {
+    val headers = (Version + "\r\n" +
+      "WARC-Type: response\r\n" +
+      s"WARC-Record-ID: $recordId\r\n" +
+      s"WARC-Date: $warcDate\r\n" +
+      s"WARC-Target-URI: $targetUri\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes(UTF_8)
+    val out = new Array[Byte](headers.length + block.length + 4)
+    System.arraycopy(headers, 0, out, 0, headers.length)
+    System.arraycopy(block, 0, out, headers.length, block.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // Gzip-member framing (VERDICT r16 #1): the `.warc.gz` convention —
+  // ONE gzip member per record, members concatenated per container.
+  // This is how real crawl buckets ship (the WARC spec's answer to the
+  // content-transparency problem): record boundaries are MEMBER
+  // boundaries, found by the gzip framing itself, so a payload carrying
+  // the bare `WARC/1.0` magic is perfectly legal — the plain-container
+  // resync caveat disappears by construction. A torn or bit-flipped
+  // member fails its own CRC/length trailer and quarantines ALONE;
+  // parsing resyncs at the next member magic.
+  // ------------------------------------------------------------------
+
+  private val GzMagic = Array[Byte](0x1f.toByte, 0x8b.toByte, 8)
+
+  /** One deterministic gzip member around one record's bytes (JDK
+    * deflate, mtime 0 — byte-stable for identical input). */
+  private[graft] def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(record.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(record)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** Pack (container_id, rec_seq, record bytes) rows into `.warc.gz`
+    * containers: records gzip-compressed one member each, members
+    * concatenated in rec_seq order. One shuffle on the container id —
+    * the same bounded-group pack shape as the plain mint; compression
+    * itself is map-side per record. */
+  def gzipContainers(
+      records: DataFrame, cidCol: Column, seqCol: Column,
+      recordCol: Column): DataFrame = {
+    val sess = records.sparkSession
+    import sess.implicits._
+    records
+      .select(cidCol.cast("long").as("cid"), seqCol.cast("int").as("seq"),
+        recordCol.cast("binary").as("rec"))
+      .as[(Long, Int, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (cid, it) =>
+        val members = it.toArray.sortBy(_._2).map(r => gzipMember(r._3))
+        val total = members.iterator.map(_.length).sum
+        val out = new Array[Byte](total)
+        var at = 0
+        members.foreach { m =>
+          System.arraycopy(m, 0, out, at, m.length); at += m.length
+        }
+        (cid, out)
+      }
+      .toDF("container_id", "data")
+  }
+
+  /** Parse gzip-member containers: one member = one record. Map-only,
+    * same contract as [[parseContainers]] — every byte range of every
+    * container lands in exactly one row, good or quarantined. */
+  def parseGzipContainers(
+      containers: DataFrame, idCol: Column, bytesCol: Column): DataFrame = {
+    val sess = containers.sparkSession
+    import sess.implicits._
+    containers
+      .select(idCol.cast("long").as("container_id"), bytesCol.as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (cid, data) =>
+        parseGzipRecords(cid,
+          if (data == null) Array.emptyByteArray else data)
+      })
+      .toDF()
+  }
+
+  /** The per-container gzip member walk — package-visible for the
+    * hand-built corrupt-member spec cases. */
+  private[graft] def parseGzipRecords(
+      cid: Long, data: Array[Byte]): Seq[WarcRecord] = {
+    def bad(seq: Int, e: String) = WarcRecord(cid, seq, ok = false,
+      Some(e), None, None, None, None, None, None, None)
+    if (data.isEmpty)
+      return Seq(bad(0, "no-gzip-member: 0 bytes carry no gzip member"))
+    val out = Seq.newBuilder[WarcRecord]
+    var seq = 0
+    var off = 0
+    while (off < data.length) {
+      if (!isGzMagicAt(data, off)) {
+        val next = nextGzMagic(data, off + 1)
+        val until = if (next < 0) data.length else next
+        out += bad(seq, s"gzip-resync: ${until - off} non-member bytes " +
+          s"at offset $off")
+        seq += 1
+        off = if (next < 0) data.length else next
+      } else inflateMember(data, off) match {
+        case Right((rec, end)) =>
+          // one member = one record: the decompressed bytes must BE a
+          // record extent (magic first, exact framing) — no resync
+          // inside a member, which is exactly what makes a payload
+          // carrying the version magic legal here
+          if (rec.length < Magic.length ||
+              !rec.take(Magic.length).sameElements(Magic))
+            out += bad(seq,
+              "member-not-warc: decompressed member does not start " +
+                s"with '$Version'")
+          else
+            out += parseExtent(cid, seq, rec, 0, rec.length)
+          seq += 1
+          off = end
+        case Left((e, resume)) =>
+          // corrupt member: quarantine alone. When the member's framing
+          // survived (trailer present but lying — bad CRC/ISIZE) the
+          // walk advances past its KNOWN end; only a member whose
+          // framing itself is broken falls back to scanning for the
+          // next member magic (a flipped bit must never take the
+          // container with it)
+          out += bad(seq, e)
+          seq += 1
+          off = resume.getOrElse {
+            val next = nextGzMagic(data, off + 1)
+            if (next < 0) data.length else next
+          }
+      }
+    }
+    out.result()
+  }
+
+  private def isGzMagicAt(data: Array[Byte], at: Int): Boolean =
+    at + GzMagic.length <= data.length &&
+      data(at) == GzMagic(0) && data(at + 1) == GzMagic(1) &&
+      data(at + 2) == GzMagic(2)
+
+  private def nextGzMagic(data: Array[Byte], from: Int): Int = {
+    var i = math.max(0, from)
+    while (i + GzMagic.length <= data.length) {
+      if (isGzMagicAt(data, i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Inflate ONE gzip member starting at `off`. Returns the
+    * decompressed bytes and the offset just past the member's trailer,
+    * or a descriptive error (truncated header/stream/trailer, bad
+    * deflate data, CRC or length mismatch — each its own message so
+    * quarantines stay attributable) plus, when the member's FRAMING
+    * survived (only its trailer lies), the known end offset so the
+    * walk resumes deterministically instead of magic-scanning through
+    * the damaged member's pseudorandom deflate bytes. */
+  private def inflateMember(data: Array[Byte], off: Int)
+      : Either[(String, Option[Int]), (Array[Byte], Int)] = {
+    def broken(e: String) = Left((e, None))
+    // RFC 1952 header: magic(2) CM(1) FLG(1) MTIME(4) XFL(1) OS(1)
+    if (off + 10 > data.length)
+      return broken(s"gzip-member-truncated: header needs 10 bytes, " +
+        s"${data.length - off} remain")
+    val flg = data(off + 3) & 0xff
+    var p = off + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > data.length)
+        return broken("gzip-member-truncated: FEXTRA length")
+      p += 2 + ((data(p) & 0xff) | ((data(p + 1) & 0xff) << 8))
+    }
+    if ((flg & 8) != 0) p = skipZeroTerminated(data, p) // FNAME
+    if ((flg & 16) != 0) p = skipZeroTerminated(data, p) // FCOMMENT
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    if (p < 0 || p > data.length)
+      return broken("gzip-member-truncated: optional header fields")
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(data, p, data.length - p)
+      val bos = new java.io.ByteArrayOutputStream(8192)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              return broken(s"gzip-bad-deflate: ${e.getMessage}")
+          }
+        if (n > 0) bos.write(buf, 0, n)
+        else if (inf.needsInput())
+          return broken("gzip-member-truncated: deflate stream ends " +
+            "before its final block")
+      }
+      val rec = bos.toByteArray
+      val trailerAt = p + inf.getBytesRead.toInt
+      if (trailerAt + 8 > data.length)
+        return broken("gzip-member-truncated: trailer needs 8 bytes, " +
+          s"${data.length - trailerAt} remain")
+      val memberEnd = trailerAt + 8
+      val crc = new java.util.zip.CRC32()
+      crc.update(rec)
+      val crcStored = readLe32(data, trailerAt)
+      if (crc.getValue != crcStored)
+        return Left((f"gzip-bad-crc: stored 0x$crcStored%08x, computed " +
+          f"0x${crc.getValue}%08x", Some(memberEnd)))
+      val isize = readLe32(data, trailerAt + 4)
+      if ((rec.length.toLong & 0xffffffffL) != isize)
+        return Left((s"gzip-bad-isize: stored $isize, decompressed " +
+          s"${rec.length}", Some(memberEnd)))
+      Right((rec, memberEnd))
+    } finally inf.end()
+  }
+
+  private def skipZeroTerminated(data: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < data.length && data(i) != 0) i += 1
+    if (i >= data.length) data.length + 1 // out of range → caller errors
+    else i + 1
+  }
+
+  private def readLe32(data: Array[Byte], at: Int): Long =
+    (data(at) & 0xffL) | ((data(at + 1) & 0xffL) << 8) |
+      ((data(at + 2) & 0xffL) << 16) | ((data(at + 3) & 0xffL) << 24)
 
   /** Parse (container_id: long, data: binary) blobs into one row per
     * record extent. Map-only; each blob is parsed in one bounded
@@ -230,7 +498,7 @@ object WarcCodec {
         }
       }
     }
-    def rec(ok: Boolean, e: Option[String], block: Option[String]) =
+    def rec(ok: Boolean, e: Option[String], block: Option[Array[Byte]]) =
       WarcRecord(cid, seq, ok, e, warcType, recordId, targetUri,
         warcDate, refersTo, contentLength, block)
     if (err.isDefined) return rec(ok = false, err, None)
@@ -245,12 +513,16 @@ object WarcCodec {
         Some(s"missing-header: ${missing.mkString(", ")}"), None)
     val declared = contentLength.get
     val carried = (until - blockStart).toLong
-    // every well-formed record carries block + CRLFCRLF terminator
-    if (carried < declared + 4)
+    // every well-formed record carries block + CRLFCRLF terminator.
+    // Compare on the carried side (`carried - 4` is array-index-ranged)
+    // — `declared + 4` overflows Long for a hostile
+    // `Content-Length: 9223372036854775807` header and would route the
+    // record to the WRONG quarantine class with a nonsensical message
+    if (carried - 4 < declared)
       rec(ok = false,
         Some(s"truncated-block: declared $declared bytes + terminator, " +
           s"extent carries ${math.max(carried, 0)}"), None)
-    else if (carried > declared + 4)
+    else if (carried - 4 > declared)
       rec(ok = false,
         Some(s"block-overrun: declared $declared bytes + terminator, " +
           s"extent carries $carried"), None)
@@ -260,7 +532,8 @@ object WarcCodec {
         None)
     else
       rec(ok = true, None,
-        Some(new String(data, blockStart, declared.toInt, UTF_8)))
+        Some(java.util.Arrays.copyOfRange(
+          data, blockStart, blockStart + declared.toInt)))
   }
 
   private def indexOfCrlf(data: Array[Byte], from: Int, until: Int): Int = {

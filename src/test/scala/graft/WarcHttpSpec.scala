@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, US_ASCII, UTF_8}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.WarcHttp
+
+/** HTTP entity decode hand cases (VERDICT r16 #2): status/header
+  * framing, declared-charset transcode (lossless vs flagged-lossy),
+  * binary entities carried as bytes, and the quarantine classes. */
+class WarcHttpSpec extends SparkSpec {
+
+  private def msg(ct: String, body: Array[Byte],
+      status: String = "HTTP/1.1 200 OK"): Array[Byte] =
+    (s"$status\r\nServer: graft\r\nContent-Type: $ct\r\n\r\n")
+      .getBytes(ISO_8859_1) ++ body
+
+  test("status line, headers, media type and charset parameter parse; " +
+      "quoted and case-folded charset spellings normalize") {
+    val e = WarcHttp.parseEntity(1L,
+      msg("Text/HTML; Charset=\"UTF-8\"", "hi".getBytes(UTF_8)))
+    assert(e.http_ok && e.status.contains(200L) && e.reason.contains("OK"))
+    assert(e.n_headers == 2)
+    assert(e.content_type.contains("text/html"))
+    assert(e.charset.contains("utf-8"))
+    assert(e.is_text && e.transcode_ok)
+    assert(e.body_text.contains("hi"))
+  }
+
+  test("declared-charset transcode is real: the same byte decodes " +
+      "differently under iso-8859-1 vs windows-1252") {
+    // 0x80: € in windows-1252, the C1 control U+0080 in iso-8859-1
+    val b = Array[Byte](0x80.toByte)
+    val w = WarcHttp.parseEntity(1L, msg("text/plain; charset=windows-1252", b))
+    assert(w.body_text.contains("€") && w.transcode_ok)
+    val i = WarcHttp.parseEntity(2L, msg("text/plain; charset=iso-8859-1", b))
+    assert(i.body_text.contains("\u0080") && i.transcode_ok)
+  }
+
+  test("a lying charset declaration decodes with replacement and is " +
+      "FLAGGED (the fix_mojibake entry signal)") {
+    // 'café' in windows-1252 bytes under a utf-8 declaration
+    val body = "café".getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    val e = WarcHttp.parseEntity(1L, msg("text/html; charset=utf-8", body))
+    assert(e.body_text.contains("caf�"))
+    assert(!e.transcode_ok)
+    // an UNKNOWN charset name decodes utf-8-with-replacement, flagged
+    val u = WarcHttp.parseEntity(2L,
+      msg("text/html; charset=x-no-such-cs", "plain".getBytes(UTF_8)))
+    assert(u.body_text.contains("plain") && !u.transcode_ok)
+  }
+
+  test("non-text media carry bytes and never decode; missing charset " +
+      "on text defaults to utf-8") {
+    val payload = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0xff.toByte)
+    val e = WarcHttp.parseEntity(1L, msg("image/png", payload))
+    assert(!e.is_text && e.body_text.isEmpty && !e.transcode_ok)
+    assert(e.body.toSeq == payload.toSeq)
+    val t = WarcHttp.parseEntity(2L, msg("text/html", "x".getBytes(UTF_8)))
+    assert(t.charset.isEmpty && t.is_text && t.transcode_ok)
+    // +xml / json application types are text
+    assert(WarcHttp.parseEntity(3L,
+      msg("application/json", "{}".getBytes(UTF_8))).is_text)
+    assert(WarcHttp.parseEntity(4L,
+      msg("image/svg+xml", "<svg/>".getBytes(UTF_8))).is_text)
+  }
+
+  test("framing failures quarantine descriptively and keep the bytes") {
+    val none = WarcHttp.parseEntity(1L, "no crlf at all".getBytes(US_ASCII))
+    assert(!none.http_ok &&
+      none.http_error.exists(_.startsWith("no-status-line")))
+    assert(none.body.length == 14) // the bytes stay attributable
+    val bad = WarcHttp.parseEntity(2L,
+      "NOTHTTP 12x OK\r\n\r\nbody".getBytes(US_ASCII))
+    assert(bad.http_error.exists(_.startsWith("malformed-status-line")))
+    val unterminated = WarcHttp.parseEntity(3L,
+      "HTTP/1.1 200 OK\r\nServer: x\r\n".getBytes(US_ASCII))
+    assert(unterminated.http_error.exists(_.startsWith("unterminated-headers")))
+    val badHeader = WarcHttp.parseEntity(4L,
+      "HTTP/1.1 200 OK\r\nnot a header\r\n\r\nx".getBytes(US_ASCII))
+    assert(badHeader.http_error.exists(_.startsWith("malformed-header-line")))
+  }
+
+  test("parseHttp is map-only over the records relation") {
+    import spark.implicits._
+    val df = WarcHttp.parseHttp(
+      Seq((5L, msg("text/plain", "alpha".getBytes(UTF_8))),
+        (6L, msg("text/plain", "beta".getBytes(UTF_8))))
+        .toDF("doc_id", "block"),
+      col("doc_id"), col("block"))
+    val rows = df.orderBy("doc_id")
+      .select("doc_id", "body_text").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((5L, "alpha"), (6L, "beta")))
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty)
+  }
+}

@@ -32,6 +32,10 @@ class WarcSpec extends SparkSpec {
     WarcCodec.parseRecords(7L,
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  // block is BYTES (VERDICT r16 #2) — this mint is UTF-8 text
+  private def btext(r: WarcCodec.WarcRecord): Option[String] =
+    r.block.map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+
   test("well-formed records round-trip every header field and the block") {
     val recs = parse(record(1, "hello world") + record(2, "second block"))
     assert(recs.map(_.ok) == Seq(true, true))
@@ -42,7 +46,7 @@ class WarcSpec extends SparkSpec {
     assert(r.target_uri.contains("https://site1.com/p1"))
     assert(r.warc_date.contains("2026-01-01T00:00:00Z"))
     assert(r.content_length.contains(11L))
-    assert(r.block.contains("hello world"))
+    assert(btext(r).contains("hello world"))
   }
 
   test("revisit records parse with WARC-Refers-To and an empty block") {
@@ -57,7 +61,7 @@ class WarcSpec extends SparkSpec {
     assert(r.warc_type.contains("revisit"))
     assert(r.refers_to.contains("<urn:graft:2>"))
     assert(r.content_length.contains(0L))
-    assert(r.block.contains(""))
+    assert(btext(r).contains(""))
     // response records carry no refers_to
     assert(recs.head.refers_to.isEmpty)
   }
@@ -73,7 +77,7 @@ class WarcSpec extends SparkSpec {
       "truncated-block: declared 18 bytes + terminator, extent carries 4"))
     // headers of the torn record stay attributable
     assert(recs(1).record_id.contains("<urn:graft:2>"))
-    assert(recs(2).block.contains("third"))
+    assert(btext(recs(2)).contains("third"))
   }
 
   test("header-lying Content-Length flags, both directions") {
@@ -85,6 +89,133 @@ class WarcSpec extends SparkSpec {
     val lieLong = parse(record(1, "0123456789", declared = Some(400L)))
     assert(!lieLong.head.ok)
     assert(lieLong.head.error.exists(_.startsWith("truncated-block:")))
+  }
+
+  test("hostile Content-Length at Long.MaxValue quarantines as " +
+      "truncated, not block-overrun (no declared+4 overflow)") {
+    val recs = parse(record(1, "abc", declared = Some(Long.MaxValue)))
+    assert(!recs.head.ok)
+    assert(recs.head.error.exists(_.startsWith(
+      s"truncated-block: declared ${Long.MaxValue} bytes")),
+      recs.head.error.toString)
+  }
+
+  test("mint refuses a block carrying the version magic (producer " +
+      "transparency invariant) with a descriptive error") {
+    import spark.implicits._
+    val df = Seq(("<urn:graft:5>", "https://a.com/x",
+      "2026-01-01T00:00:00Z", "payload with WARC/1.0 inside"))
+      .toDF("rid", "uri", "date", "block")
+      .select(WarcCodec.mintResponseRecord(
+        col("rid"), col("uri"), col("date"), col("block")).as("rec"))
+    val e = intercept[Exception](df.collect())
+    assert(e.getMessage.contains("mint-transparency") &&
+      e.getMessage.contains("<urn:graft:5>"), e.getMessage)
+    // a clean block still mints
+    val ok = Seq(("<urn:graft:6>", "https://a.com/y",
+      "2026-01-01T00:00:00Z", "clean payload"))
+      .toDF("rid", "uri", "date", "block")
+      .select(WarcCodec.mintResponseRecord(
+        col("rid"), col("uri"), col("date"), col("block")).as("rec"))
+      .head.getString(0)
+    assert(ok.startsWith("WARC/1.0\r\n") && ok.contains("clean payload"))
+  }
+
+  // ---- gzip-member framing (VERDICT r16 #1) ----
+
+  private def gzBytes(recs: String*): Array[Byte] = {
+    val members = recs.map(r => WarcCodec.gzipMember(
+      r.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    members.foldLeft(Array.emptyByteArray)(_ ++ _)
+  }
+
+  test("gzip members round-trip record-for-record; member boundaries " +
+      "frame records, not content") {
+    val recs = WarcCodec.parseGzipRecords(3L,
+      gzBytes(record(1, "hello world"), record(2, "second block")))
+    assert(recs.map(_.ok) == Seq(true, true))
+    assert(recs.map(_.rec_seq) == Seq(0, 1))
+    assert(recs.head.record_id.contains("<urn:graft:1>"))
+    assert(recs.head.content_length.contains(11L))
+    assert(btext(recs.head).contains("hello world"))
+    assert(btext(recs(1)).contains("second block"))
+  }
+
+  test("gzip framing is content-transparent: a payload carrying the " +
+      "bare WARC/1.0 magic round-trips intact (the plain-container " +
+      "caveat disappears by construction)") {
+    val payload = "prefix WARC/1.0\r\nlooks like a record start WARC/1.0"
+    val rec = new String(WarcCodec.mintResponseRecordBytes(
+      "<urn:graft:9>", "https://a.com/x", "2026-01-01T00:00:00Z",
+      payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val got = WarcCodec.parseGzipRecords(4L,
+      gzBytes(record(1, "before"), rec, record(3, "after")))
+    assert(got.map(_.ok) == Seq(true, true, true), got.map(_.error))
+    assert(btext(got(1)).contains(payload))
+    // the SAME record in plain concatenated framing splits (the
+    // documented caveat — what gzip members exist to fix)
+    val plain = WarcCodec.parseRecords(4L,
+      (record(1, "before") + rec + record(3, "after"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(plain.exists(!_.ok))
+  }
+
+  test("a corrupt gzip member quarantines ALONE with a named error; " +
+      "neighbours parse (bit-flip, truncation, resync)") {
+    val m1 = WarcCodec.gzipMember(record(1, "alpha")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val m2 = WarcCodec.gzipMember(record(2, "beta payload here")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val m3 = WarcCodec.gzipMember(record(3, "gamma")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // flip one byte mid-deflate-stream of member 2
+    val bad = m2.clone(); bad(m2.length / 2) = (bad(m2.length / 2) ^ 0x41).toByte
+    val got = WarcCodec.parseGzipRecords(5L, m1 ++ bad ++ m3)
+    assert(got.map(_.ok) == Seq(true, false, true), got.map(_.error))
+    assert(got(1).error.exists(e => e.startsWith("gzip-bad-") ||
+      e.startsWith("gzip-member-truncated") ||
+      e.startsWith("member-not-warc")), got(1).error)
+    assert(btext(got(2)).contains("gamma"))
+    // trailing member cut mid-trailer: truncated, alone
+    val cut = WarcCodec.parseGzipRecords(6L,
+      m1 ++ m2.dropRight(5))
+    assert(cut.map(_.ok) == Seq(true, false))
+    assert(cut(1).error.exists(_.startsWith("gzip-member-truncated")),
+      cut(1).error)
+    // leading garbage resyncs to the first member magic
+    val lead = WarcCodec.parseGzipRecords(7L,
+      "JUNK".getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ m1)
+    assert(lead.map(_.ok) == Seq(false, true))
+    assert(lead.head.error.exists(_.startsWith("gzip-resync: 4")), lead.head.error)
+    // empty container stays accounted for
+    assert(WarcCodec.parseGzipRecords(8L, Array.emptyByteArray)
+      .head.error.exists(_.startsWith("no-gzip-member")))
+  }
+
+  test("gzipContainers packs per-container members in seq order and " +
+      "parseGzipContainers is map-only over blobs") {
+    import spark.implicits._
+    val recs = Seq(
+      (10L, 1, record(11, "r-one")), (10L, 0, record(10, "r-zero")),
+      (20L, 0, record(20, "r-twenty")))
+      .toDF("cid", "seq", "rec")
+    val packed = WarcCodec.gzipContainers(recs,
+      col("cid"), col("seq"), col("rec"))
+    val parsed = WarcCodec.parseGzipContainers(packed,
+      col("container_id"), col("data"))
+    val got = parsed.orderBy("container_id", "rec_seq")
+      .select("container_id", "rec_seq", "ok", "record_id")
+      .as[(Long, Int, Boolean, String)].collect().toSeq
+    assert(got == Seq((10L, 0, true, "<urn:graft:10>"),
+      (10L, 1, true, "<urn:graft:11>"),
+      (20L, 0, true, "<urn:graft:20>")), got.toString)
+    // the parse side is map-only (the pack legitimately shuffles once
+    // on the container id — that IS the pack)
+    val shuffles = parsed.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1) // only the upstream pack exchange
   }
 
   test("missing and malformed headers fail descriptively") {
