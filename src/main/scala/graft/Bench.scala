@@ -137,6 +137,43 @@ private[graft] object BenchLogic {
     (finalT, ladderExp(base, finalT, f), flagged)
   }
 
+  /** Fresh-JVM adjudication of a superlinear ladder row whose SAME-JVM
+    * recheck did not halve (VERDICT r16 #3): a sustained load burst
+    * survives the in-process re-run — the r16 driver artifact stamped
+    * q79_sequence_pack exp 1.64 while the builder (0.36) and the judge
+    * (ladder clean) both measured sub-linear — so the accusation gets
+    * the subset-gate treatment: the row re-times base AND scaled point
+    * in a fresh JVM (no burst, no accumulated heap). Verdicts:
+    *   - fresh exponent under the superlinear threshold → `env-burst`:
+    *     the superlinearity did not survive the JVM boundary; the fresh
+    *     numbers replace the burst-poisoned ones;
+    *   - fresh exponent still superlinear → `real`: the plan reproduces
+    *     the shape from cold — the recorded flag stands;
+    *   - no fresh numbers (spawn failed / child errored) →
+    *     `unadjudicated`: the flag stands and a human owns it.
+    * Returns (final time, final exp, verdict). */
+  def resolveLadderFreshJvm(
+      recordedT: Double, recordedExp: Double,
+      fresh: Option[(Double, Double)]): (Double, Double, String) =
+    fresh match {
+      case None => (recordedT, recordedExp, "unadjudicated")
+      case Some((ft, fe)) if !ladderSuperlinear(fe) => (ft, fe, "env-burst")
+      case Some(_) => (recordedT, recordedExp, "real")
+    }
+
+  /** Pull one ladder row's (t, exp) out of a BENCH artifact's scaling
+    * map — the child side of the fresh-JVM ladder recheck. Same
+    * format-tolerance posture as [[parsePrevQueries]]: unescape the
+    * driver wrapper's JSON-string quoting first; ladder entries are the
+    * only place a query name is followed by `{"f":…` so the match is
+    * exact. */
+  def parseLadderEntry(
+      content: String, name: String): Option[(Double, Double)] =
+    ("\"" + java.util.regex.Pattern.quote(name) +
+      "\":\\{\"f\":[0-9.]+,\"t\":([0-9.]+),\"exp\":(-?[0-9.]+)\\}").r
+      .findFirstMatchIn(content.replace("\\\"", "\""))
+      .map(m => (m.group(1).toDouble, m.group(2).toDouble))
+
   /** Pull the per-query seconds out of a prior BENCH_r*.json artifact.
     * Format-tolerant by construction: query keys are globally unique in
     * the line and carry a plain numeric value only in the "queries" map
@@ -351,6 +388,51 @@ object Bench {
         None
     }
 
+  /** Re-time ONE ladder row (base point + scaled point) in a fresh JVM
+    * — the ladder twin of [[freshJvmQueries]] (VERDICT r16 #3). The
+    * child runs with SPARK_GRAFT_LADDER_ONE=name: its main loop times
+    * only that query (registry rows need their base min; op rows skip
+    * the loop entirely), the ladder phase runs only that row against
+    * the SAME generated ladder dir (LadderGen's fingerprint cache makes
+    * the reuse exact), and the fresh (t, exp) is read back from the
+    * child's scaling map. Returns None when the spawn fails or the row
+    * is absent — the caller records `unadjudicated`, never guesses. */
+  private def freshJvmLadder(
+      name: String, cpus: String, ladderDir: String): Option[(Double, Double)] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xdebug"))
+      val out = java.nio.file.Files
+        .createTempFile("graft_ladder_recheck", ".json")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench"))
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_LADDER_ONE", name)
+      pb.environment().put("SPARK_GRAFT_BENCH_LADDER", "1")
+      pb.environment().put("SPARK_GRAFT_LADDER_DIR", ladderDir)
+      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "2")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { proc.destroyForcibly(); None }
+      else {
+        val content = java.nio.file.Files.readString(out)
+        java.nio.file.Files.deleteIfExists(out)
+        BenchLogic.parseLadderEntry(content, name)
+      }
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] ladder recheck spawn failed: $t")
+        None
+    }
+
   /** Fixed CPU-bound probe, min of 3: measures how much CPU this JVM can
     * actually get right now. Pure codegen arithmetic — no IO, no shuffle —
     * so its quiet-box time is stable across rounds and any inflation is
@@ -393,11 +475,20 @@ object Bench {
       sys.exit(4)
     }
     val cpus = cpusInt.toString
+    // fresh-JVM ladder-recheck child mode (VERDICT r16 #3):
+    // SPARK_GRAFT_LADDER_ONE=<row name> re-times exactly one ladder row
+    // — the main loop shrinks to that query (registry rows need a base
+    // min; op rows select nothing) and the ladder phase runs only that
+    // row. Set only by freshJvmLadder; being a filtered run it cannot
+    // itself spawn recheck children (non-recursive by construction).
+    val ladderOne = sys.env.get("SPARK_GRAFT_LADDER_ONE")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     // isolation escape hatch: SPARK_GRAFT_BENCH_ONE=q19_ngram_jaccard (or a
     // comma list / bare prefix like q19) times just those queries in an
     // otherwise-identical harness — for telling a slow QUERY from JVM drift
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONE")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val only = ladderOne.orElse(sys.env.get("SPARK_GRAFT_BENCH_ONE")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet))
     val runsPerQuery =
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(2)
     def ms(v: Double): String = (math.round(v * 1000.0) / 1000.0).toString
@@ -846,7 +937,7 @@ object Bench {
       // probe set grows with the corpus (every 100th embedded doc) but
       // each probe's work is matched-postings / quantized-scan sized
       "q134_rrf_hybrid")
-    val ladderOn = only.isEmpty &&
+    val ladderOn = (only.isEmpty || ladderOne.nonEmpty) &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER", "1") != "0"
     var ladderJson = "null"
     var scalingJson = "{}"
@@ -1009,26 +1100,49 @@ object Bench {
       val entries = scala.collection.mutable.ListBuffer.empty[String]
       val exps = scala.collection.mutable.ListBuffer.empty[(String, Double)]
       val ladderSuspects = scala.collection.mutable.ListBuffer.empty[String]
+      val ladderAdjudications =
+        scala.collection.mutable.ListBuffer.empty[String]
       var ladderTotal = 0.0
       // one recorded row, with the VERDICT r12 #2 recheck: a would-be
       // superlinear exponent (measured from ONE run — a burst lands
       // straight in it) earns one fresh re-run; if it halves, the burst
-      // was transient (fresh time recorded, row listed "suspect"),
-      // otherwise the flag stands for the phase-level env adjudication
+      // was transient (fresh time recorded, row listed "suspect").
+      // A recheck that does NOT halve then gets the fresh-JVM
+      // adjudication (VERDICT r16 #3): a SUSTAINED burst beats the
+      // in-process rerun — the r16 driver artifact carried
+      // q79_sequence_pack exp 1.64 against builder 0.36 AND a clean
+      // judge ladder — so the row re-times both points across a JVM
+      // boundary, and the artifact records which run won and why
+      // (recorded vs fresh numbers, the verdict, and the load stamp at
+      // flag time — burst evidence a reader can weigh).
       def recordLadder(name: String, f: Double, base: Double, t0: Double,
                        rerun: () => Option[Double]): Unit = {
         var t = t0
         var exp = BenchLogic.ladderExp(base, t, f)
         if (BenchLogic.ladderSuperlinear(exp)) {
+          val loadAtFlag = loadavg()
           val (ft, fe, flagged) =
             BenchLogic.resolveLadderRecheck(base, t, f, rerun())
           if (flagged) { ladderSuspects += name; t = ft; exp = fe }
+          else if (ladderOne.isEmpty) {
+            val fresh = freshJvmLadder(name, cpus, ladderDir)
+            val (ft2, fe2, verdict) =
+              BenchLogic.resolveLadderFreshJvm(t, exp, fresh)
+            ladderAdjudications +=
+              s""""$name":{"recorded_t":${ms(t)},"recorded_exp":$exp,""" +
+                fresh.map { case (fT, fE) =>
+                  s""""fresh_t":${ms(fT)},"fresh_exp":$fE,""" }
+                  .getOrElse("") +
+                s""""verdict":"$verdict","load_at_flag":$loadAtFlag}"""
+            if (verdict == "env-burst") { t = ft2; exp = fe2 }
+          }
         }
         ladderTotal += t
         exps += name -> exp
         entries += s""""$name":{"f":$f,"t":${ms(t)},"exp":$exp}"""
       }
-      for (q <- ladderQueries; base <- minsMap.getOrElse(q, None)) {
+      for (q <- ladderQueries; if ladderOne.forall(_.contains(q));
+           base <- minsMap.getOrElse(q, None)) {
         timeOnce(q, selected(q), "ladder", ladderDir, ladderErrors).foreach { t =>
           val f =
             if (embSet(q)) factors("embeddings")
@@ -1040,6 +1154,7 @@ object Bench {
         }
       }
       for ((name, fOverride, fn) <- ladderOps;
+           if ladderOne.forall(_.contains(name));
            base <- timeOnce(name, fn, "ladder-base", sfDir, ladderErrors);
            t <- timeOnce(name, fn, "ladder", ladderDir, ladderErrors)) {
         val f = fOverride.getOrElse(factors("documents").toDouble)
@@ -1077,6 +1192,8 @@ object Bench {
         s""""env_suspect":$superEnvJson,""" +
         s""""suspect":${ladderSuspects.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
+        s""""adjudications":${ladderAdjudications
+          .mkString("{", ",", "}")},""" +
         s""""errors":$ladderErrJson}"""
     } catch { case _: Throwable => () }
     // the driver captures only the TAIL of the output: keep the JSON line

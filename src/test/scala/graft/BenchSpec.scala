@@ -226,6 +226,48 @@ class BenchSpec extends AnyFunSuite {
     assert(!flagged2 && t2 == 76.8)
   }
 
+  test("ladder fresh-JVM adjudication truth table (VERDICT r16 #3: " +
+      "the q79 sustained-burst false superlinear)") {
+    // the r16 driver shape: q79 recorded 13.7s / exp 1.64, the same-JVM
+    // rerun ALSO rode the burst (did not halve) — but a fresh JVM
+    // measures 3.2s / exp 0.36: the superlinearity did not survive the
+    // JVM boundary, so the verdict is env-burst and the fresh numbers
+    // replace the poisoned ones
+    assert(BenchLogic.resolveLadderFreshJvm(13.7, 1.64,
+      Some((3.2, 0.36))) == ((3.2, 0.36, "env-burst")))
+    // fresh JVM REPRODUCES the shape: a real plan regression — the
+    // recorded flag stands with the recorded numbers
+    assert(BenchLogic.resolveLadderFreshJvm(13.7, 1.64,
+      Some((13.1, 1.58))) == ((13.7, 1.64, "real")))
+    // boundary: fresh exp exactly at the 1.3 threshold is NOT
+    // superlinear (the flag rule is strict >) — cleared as env-burst
+    assert(BenchLogic.resolveLadderFreshJvm(13.7, 1.64,
+      Some((9.0, 1.3))) == ((9.0, 1.3, "env-burst")))
+    // spawn failed / child produced nothing: the flag stands and the
+    // artifact says no one adjudicated it — never silently cleared
+    assert(BenchLogic.resolveLadderFreshJvm(13.7, 1.64, None) ==
+      ((13.7, 1.64, "unadjudicated")))
+  }
+
+  test("parseLadderEntry reads one scaling row from bare and " +
+      "driver-escaped artifacts") {
+    val bare = """{"scaling":{"q79_sequence_pack":{"f":10.0,"t":3.2,""" +
+      """"exp":0.36},"q10_join_shuffle":{"f":9.0,"t":1.5,"exp":-0.2}}}"""
+    assert(BenchLogic.parseLadderEntry(bare, "q79_sequence_pack") ==
+      Some((3.2, 0.36)))
+    // negative exponents parse (sub-base scaled runs are common for
+    // cache-friendly rows)
+    assert(BenchLogic.parseLadderEntry(bare, "q10_join_shuffle") ==
+      Some((1.5, -0.2)))
+    // the driver's tail wrapper escapes every quote — same unescape
+    // path as parsePrevQueries (the r8 zero-match trap)
+    val wrapped = bare.replace("\"", "\\\"")
+    assert(BenchLogic.parseLadderEntry(wrapped, "q79_sequence_pack") ==
+      Some((3.2, 0.36)))
+    // absent row: None, the caller records unadjudicated
+    assert(BenchLogic.parseLadderEntry(bare, "q99_absent").isEmpty)
+  }
+
   test("subset totals sum only the queries present in BOTH rounds " +
       "(VERDICT r15 #2: new queries can't inflate, removed can't deflate)") {
     val prev = Map("q01" -> 1.0, "q02" -> 2.0, "q99_removed" -> 50.0)
