@@ -936,7 +936,12 @@ object Bench {
       // doc_id = vec_id join), so it rides the embeddings factor; the
       // probe set grows with the corpus (every 100th embedded doc) but
       // each probe's work is matched-postings / quantized-scan sized
-      "q134_rrf_hybrid")
+      "q134_rrf_hybrid",
+      // HTTP charset decode: one typed mint pass + one map-only entity
+      // parse — linear; gzip WARC containers: per-record deflate +
+      // member walk, map-only either side of the one 8-record pack
+      // shuffle — linear (VERDICT r16 #1's demanded ladder row)
+      "q190_http_charset", "q191_warc_gzip")
     val ladderOn = (only.isEmpty || ladderOne.nonEmpty) &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER", "1") != "0"
     var ladderJson = "null"

@@ -1731,7 +1731,7 @@ object SparkEntry {
   private def qCanonicalUrl(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val idS = col("doc_id").cast("string")
-    val shape = pmod(col("doc_id"), lit(8))
+    val shape = pmod(col("doc_id"), lit(10))
     val url = when(shape === 0, concat(lit("HTTP://WWW.Example"), idS,
         lit(".COM:80/Path/Page?a=1&utm_source=x&b=2#frag")))
       .when(shape === 1, concat(lit("https://Site"), idS, lit(".org:443/x")))
@@ -1742,8 +1742,14 @@ object SparkEntry {
       .when(shape === 5, concat(lit("http://x"), idS,
         lit(".com./q?gclid=123&keep=1")))
       .when(shape === 6, concat(lit("Mixed"), idS, lit(".COM/Path")))
-      .otherwise(concat(lit("https://u:p@secure"), idS,
+      .when(shape === 7, concat(lit("https://u:p@secure"), idS,
         lit(".io:443/a?fbclid=z&x=2")))
+      // RFC 3986 §5.2.4 dot-segment classes (VERDICT r16 #4): the
+      // relative-reference spellings a crawl frontier must collapse
+      .when(shape === 8, concat(lit("http://dot"), idS,
+        lit(".com/a/b/../c/./d?x=1")))
+      .otherwise(concat(lit("https://up"), idS,
+        lit(".com/../esc/../root")))
     docs.select(col("doc_id"), url.as("url"))
       .withColumn("canon",
         graft.functions.DomainFunctions.canonicalUrl(col("url")))
@@ -5683,8 +5689,15 @@ object SparkEntry {
         regexp_replace(col("block"), "(?s)^.*?\\r\\n\\r\\n", "")
           .as("body"))
     val ok200 = http.filter(col("status") === 200L)
+    // the crawl front door normalizes URL identity FIRST (VERDICT r16
+    // #4): canonical_url folds case/default-port/tracking-param/
+    // dot-segment spellings before any URL-keyed gate — the q176 noisy
+    // spelling reaches the licence and robots gates canonicalized, and
+    // both verdict relations are invariant to it by construction
+    val canon = graft.functions.DomainFunctions.canonicalUrl(
+      col("target_uri"))
     val lic = Curation.licenceGate(
-        ok200.select(col("doc_id"), col("target_uri").as("url")),
+        ok200.select(col("doc_id"), canon.as("url")),
         col("doc_id"), col("url"), mintedLicencePolicy(s),
         Seq("cc-by", "cc-by-sa"))
       .select(col("doc_id"), col("verdict"))
@@ -5696,7 +5709,7 @@ object SparkEntry {
     // RFC 9309 group selection live in the funnel (the 'other'-agent
     // blanket disallow must not bind this crawler)
     val rob = graft.ops.Robots.robotsGate(
-        licKept.select(col("doc_id"), col("target_uri").as("url")),
+        licKept.select(col("doc_id"), canon.as("url")),
         col("doc_id"), col("url"),
         graft.ops.Robots.parseRobots(mintedCrawlRobots(s),
           col("domain"), col("body")),
@@ -6175,7 +6188,11 @@ object SparkEntry {
     * benchmark carriers (die at decontam), D jittered-embedding
     * semantic dups (die at the IVF probe), E template-slop (die at
     * MGT) — each class's licence fate rides the q176 domain arithmetic
-    * on top. The funnel's 9 rows value-compare: stage populations via
+    * on top. The front door canonicalizes URL identity (stage 0 — the
+    * q103 kernel; this mint's URLs are already one-spelling-per-page,
+    * so the frontier row drops 0 and the DROP lane is pinned by
+    * `DailyRefreshSpec`'s two-spellings case).
+    * The funnel's 10 rows value-compare: stage populations via
     * the class CASEs + the shared licence/MGT CTEs, artifact sizes via
     * closed-form mint arithmetic (the q132/q106 posture for the
     * bloom/IVF internals the cycle queries already pinned). */
@@ -8915,7 +8932,7 @@ object SparkEntry {
            true AS gib_new_ok""",
     "q103_canonical_url" ->
       """SELECT doc_id,
-           CASE doc_id % 8
+           CASE doc_id % 10
              WHEN 0 THEN 'HTTP://WWW.Example' || doc_id ||
                '.COM:80/Path/Page?a=1&utm_source=x&b=2#frag'
              WHEN 1 THEN 'https://Site' || doc_id || '.org:443/x'
@@ -8925,9 +8942,12 @@ object SparkEntry {
              WHEN 4 THEN 'http://a.b' || doc_id || '.com/p#section'
              WHEN 5 THEN 'http://x' || doc_id || '.com./q?gclid=123&keep=1'
              WHEN 6 THEN 'Mixed' || doc_id || '.COM/Path'
-             ELSE 'https://u:p@secure' || doc_id || '.io:443/a?fbclid=z&x=2'
+             WHEN 7 THEN 'https://u:p@secure' || doc_id ||
+               '.io:443/a?fbclid=z&x=2'
+             WHEN 8 THEN 'http://dot' || doc_id || '.com/a/b/../c/./d?x=1'
+             ELSE 'https://up' || doc_id || '.com/../esc/../root'
            END AS url,
-           CASE doc_id % 8
+           CASE doc_id % 10
              WHEN 0 THEN 'http://www.example' || doc_id ||
                '.com/Path/Page?a=1&b=2'
              WHEN 1 THEN 'https://site' || doc_id || '.org/x'
@@ -8936,7 +8956,9 @@ object SparkEntry {
              WHEN 4 THEN 'http://a.b' || doc_id || '.com/p'
              WHEN 5 THEN 'http://x' || doc_id || '.com/q?keep=1'
              WHEN 6 THEN 'mixed' || doc_id || '.com/Path'
-             ELSE 'https://u:p@secure' || doc_id || '.io/a?x=2'
+             WHEN 7 THEN 'https://u:p@secure' || doc_id || '.io/a?x=2'
+             WHEN 8 THEN 'http://dot' || doc_id || '.com/a/c/d?x=1'
+             ELSE 'https://up' || doc_id || '.com/root'
            END AS canon
          FROM documents ORDER BY doc_id""",
     "q104_dsir_weights" ->
@@ -10248,12 +10270,18 @@ object SparkEntry {
            nd AS (SELECT CAST(count(*) AS BIGINT) AS c
                   FROM documents WHERE doc_id % 25 = 0)
          SELECT * FROM (
-           SELECT CAST(1 AS BIGINT) AS stage_order, 'licence' AS stage,
+           SELECT CAST(0 AS BIGINT) AS stage_order, 'frontier' AS stage,
              (SELECT c FROM c1) AS n_in,
-             (SELECT c FROM c1) - (SELECT c FROM c2) AS n_dropped,
-             (SELECT c FROM c2) AS n_out,
-             CAST(15 AS BIGINT) AS art_before,
-             CAST(15 AS BIGINT) AS art_after
+             CAST(0 AS BIGINT) AS n_dropped,
+             (SELECT c FROM c1) AS n_out,
+             CAST(0 AS BIGINT) AS art_before,
+             CAST(0 AS BIGINT) AS art_after
+           UNION ALL SELECT 1, 'licence',
+             (SELECT c FROM c1),
+             (SELECT c FROM c1) - (SELECT c FROM c2),
+             (SELECT c FROM c2),
+             CAST(15 AS BIGINT),
+             CAST(15 AS BIGINT)
            UNION ALL SELECT 2, 'robots', (SELECT c FROM c2),
              (SELECT c FROM c2) - (SELECT c FROM c2b),
              (SELECT c FROM c2b),

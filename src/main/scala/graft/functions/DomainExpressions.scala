@@ -202,6 +202,36 @@ object UrlOps {
     "twclid", "igshid", "mc_cid", "mc_eid", "yclid", "_ga", "_gl",
     "vero_id", "oly_anon_id", "oly_enc_id", "s_cid", "ref_src")
 
+  /** RFC 3986 §5.2.4 remove_dot_segments — `/a/b/../c/./d` → `/a/c/d`,
+    * with `..` above the root dropped (the RFC's merge rule). The
+    * frontier-dedup normalization crawlers apply before URL identity:
+    * relative-reference spellings of the same resource must collapse to
+    * one canonical key (VERDICT r16 #4). */
+  private[graft] def removeDotSegmentsJ(path: String): String = {
+    if (path.isEmpty) return path
+    var in = path
+    val out = new java.lang.StringBuilder(path.length)
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else "/" + in.substring(4)
+        val slash = out.lastIndexOf("/")
+        out.setLength(if (slash >= 0) slash else 0)
+      }
+      else if (in == "." || in == "..") in = ""
+      else {
+        val start = if (in.charAt(0) == '/') 1 else 0
+        val next = in.indexOf('/', start)
+        if (next >= 0) { out.append(in, 0, next); in = in.substring(next) }
+        else { out.append(in); in = "" }
+      }
+    }
+    out.toString
+  }
+
   def canonicalUrlJ(url: String): String = {
     if (url == null) return null
     var s = url.trim
@@ -237,7 +267,8 @@ object UrlOps {
     if (port == ":" || (port == ":80" && scheme == "http") ||
       (port == ":443" && scheme == "https")) port = ""
     val q = pathq.indexOf('?')
-    var path = if (q >= 0) pathq.substring(0, q) else pathq
+    var path = removeDotSegmentsJ(
+      if (q >= 0) pathq.substring(0, q) else pathq)
     var query: String = if (q >= 0) pathq.substring(q + 1) else null
     if (query != null) {
       val kept = query.split('&').filter { p =>

@@ -14,6 +14,8 @@ import graft.ops.{Curation, Dedup, Graph, Similarity, TextAnalysis, TrainPrep}
   * Gate order (each stage runs ONLY on the previous stage's survivors —
   * the q179 shrinking-relation posture):
   *
+  *   0. crawl-frontier URL identity: canonical_url normalization +
+  *      intra-batch canonical-URL dedup (the fetch-once discipline)
   *   1. licence/allowlist gate (broadcast policy on the real
   *      registrable domain)
   *   2. robots compliance gate (RFC 9309 — the licence's provenance
@@ -53,7 +55,7 @@ import graft.ops.{Curation, Dedup, Graph, Similarity, TextAnalysis, TrainPrep}
   * policy/rule joins; map-only battery; bloom-gated batch-vs-index
   * joins — work ∝ batch, never corpus); stages 7–9 are delta-sized by
   * the operators' own contracts. The driver performs one bounded count
-  * per stage (the funnel is 9 rows of metadata). */
+  * per stage (the funnel is 10 rows of metadata). */
 object DailyRefresh {
 
   /** One day's inputs. `vecs` must cover every batch doc (the semantic
@@ -175,10 +177,25 @@ object DailyRefresh {
     val prev = day - 1
     import spark.implicits._
 
-    val b0 = batch.docs
+    // ---- stage 0: crawl-frontier URL identity (VERDICT r16 #4). The
+    // batch's URLs are canonicalized (case, default ports, dot
+    // segments, tracking params — the codegen canonical_url kernel) and
+    // intra-batch spellings of the SAME canonical URL collapse to one
+    // fetch (min doc_id keeps) — the normalization every crawl pipeline
+    // runs before any URL-keyed gate, so the licence and robots stages
+    // see one canonical spelling. A URL the canonicalizer rejects
+    // (null) keeps its row — it cannot be URL-deduped, only gated.
+    val bRaw = batch.docs
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
-        col("url"))
+        graft.functions.DomainFunctions.canonicalUrl(col("url"))
+          .as("url"))
       .localCheckpoint()
+    val nRaw = bRaw.count()
+    val urlKey = coalesce(col("url"),
+      concat(lit("\u0000"), col("doc_id").cast("string")))
+    val keepUrl = bRaw.groupBy(urlKey.as("__uk"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val b0 = bRaw.join(keepUrl, Seq("doc_id")).localCheckpoint()
     val nIn = b0.count()
     // the DayBatch contract says vecs cover every batch doc — enforce
     // it up front (the requireFreshIds posture): a doc with no
@@ -329,6 +346,7 @@ object DailyRefresh {
     val pairsAfter = pairsBefore + nMined
 
     Seq(
+      (0L, "frontier", nRaw, nRaw - nIn, nIn, 0L, 0L),
       (1L, "licence", nIn, nIn - n1, n1, nPolicy, nPolicy),
       (2L, "robots", n1, n1 - n1b, n1b, nRules, nRules),
       (3L, "mgt_profile", n1b, n1b - n2, n2, profMassBefore,

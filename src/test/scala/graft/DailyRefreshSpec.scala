@@ -45,7 +45,14 @@ class DailyRefreshSpec extends SparkSpec {
     def mkBatch(ids: Seq[(Long, String, Int)], pOff: Long,
         benchIds: Seq[Long], edgeSrcOff: Long): DayBatch = {
       val docs = ids.map { case (id, t, _) =>
-        (id, t, s"https://site0.com/p$id") }
+        // the 1006 row is a SECOND spelling of 1003's URL (uppercase
+        // host + default port + tracking param) and must collapse at
+        // the stage-0 frontier; every other id is its own canonical
+        // page
+        val url =
+          if (id == 1006L) "HTTPS://Site0.COM:443/p1003?utm_source=x"
+          else s"https://site0.com/p$id"
+        (id, t, url) }
         .toDF("doc_id", "text", "url")
       val v = ids.map { case (id, _, h) => (id, oneHot(h)) }
         .toDF("doc_id", "embedding")
@@ -66,9 +73,10 @@ class DailyRefreshSpec extends SparkSpec {
     // day 1: one exact corpus copy (dies at dedup vs the index), one
     // INTRA-batch exact copy of the survivor's text (both classify
     // `new` against the index; the collapse keeps min doc_id — the r16
-    // ADVICE finding), one benchmark carrier (dies at decontam), one
-    // semantic dup of corpus vec 3 (dies at the IVF probe), one
-    // robots-disallowed page, one clean survivor
+    // ADVICE finding), one second URL SPELLING of the survivor's page
+    // (dies at the stage-0 frontier), one benchmark carrier (dies at
+    // decontam), one semantic dup of corpus vec 3 (dies at the IVF
+    // probe), one robots-disallowed page, one clean survivor
     val f1 = funnelMap(DailyRefresh.run(spark, dir, 1, policy,
       Seq("cc-by"), robots, "SpecBot", mkBatch(Seq(
         (1000L, "corpus doc 3 words alpha beta gamma delta", 9),
@@ -76,8 +84,11 @@ class DailyRefreshSpec extends SparkSpec {
         (1002L, "novel words entirely fresh material here", 3),
         (1003L, "day one clean survivor text body", 11),
         (1004L, "robots blocked page body words", 15),
-        (1005L, "day one clean survivor text body", 11)),
+        (1005L, "day one clean survivor text body", 11),
+        (1006L, "frontier spelling duplicate body", 12)),
         pOff = 200L, benchIds = Seq(101L), edgeSrcOff = 9000L)))
+    // 1006's noisy spelling canonicalizes onto 1003's URL and collapses
+    assert(f1("frontier") == ((7L, 1L, 6L)), s"day1: $f1")
     assert(f1("licence") == ((6L, 0L, 6L)))
     assert(f1("robots") == ((6L, 1L, 5L)), s"day1: $f1")
     // 2 dedup drops: 1000 against the index, 1005 against 1003

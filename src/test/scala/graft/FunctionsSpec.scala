@@ -276,7 +276,16 @@ class FunctionsSpec extends SparkSpec {
       // IPv6 literal: bracket form preserved, default port stripped
       "http://[2001:DB8::1]:80/x" -> "http://[2001:DB8::1]/x",
       // path/query percent-encoding and case untouched
-      "http://a.com/A%2Fb?K=V" -> "http://a.com/A%2Fb?K=V")
+      "http://a.com/A%2Fb?K=V" -> "http://a.com/A%2Fb?K=V",
+      // RFC 3986 §5.2.4 dot segments (VERDICT r16 #4): './'/'../'
+      // resolve; '..' above the root drops; a trailing '/.' keeps the
+      // directory slash; '.hidden' is NOT a dot segment
+      "http://a.com/a/b/../c/./d" -> "http://a.com/a/c/d",
+      "http://a.com/../esc/../root" -> "http://a.com/root",
+      "http://a.com/a/b/.." -> "http://a.com/a/",
+      "http://a.com/a/." -> "http://a.com/a/",
+      "http://a.com/.hidden/x" -> "http://a.com/.hidden/x",
+      "http://a.com/a/..?q=1" -> "http://a.com/?q=1")
     for ((url, want) <- cases)
       assert(canonicalUrlJ(url) == want, s"$url → ${canonicalUrlJ(url)}, want $want")
     assert(canonicalUrlJ(null) == null)
