@@ -637,9 +637,17 @@ object Similarity {
     * probes it — [[buildIvfIndex]] here is that index's definition, and
     * [[incrementalSemanticDedup]] consumes it without ever re-touching
     * more of the corpus than the probed cells. */
+  /** `generation` versions the COARSE QUANTIZER (VERDICT r16 #5):
+    * appends keep centroids frozen, so after many drifted appends the
+    * cell balance — and with it probe recall — degrades; a rebalance
+    * ([[maybeRebalanceIvfIndex]]) retrains the quantizer from the
+    * CURRENT assignment and bumps the generation, the artifact
+    * analogue of parts compaction. Readers can tell at a glance which
+    * quantizer era an artifact is from. */
   private[graft] case class IvfIndex(
       centroids: Array[(Int, Array[Double], Double)],
-      assigned: DataFrame)
+      assigned: DataFrame,
+      generation: Int = 0)
 
   private[graft] def buildIvfIndex(
       corpus: DataFrame,
@@ -711,7 +719,57 @@ object Similarity {
         it.map { case (id, emb) => (nearestCell(emb, cs), id, emb) }
       }.toDF("cell", "vec_id", "embedding")
       .localCheckpoint(true)
-    IvfIndex(index.centroids, index.assigned.unionByName(assigned))
+    IvfIndex(index.centroids, index.assigned.unionByName(assigned),
+      index.generation)
+  }
+
+  /** Cell-balance skew of the index: max cell population over the mean
+    * (1.0 = perfectly balanced). One tiny aggregate — at most
+    * nCentroids rows leave the scan. The rebalance trigger's measure:
+    * frozen centroids under distribution drift pile new vectors into
+    * few cells, and a probe that scans `nProbes` of a SKEWED index
+    * covers a shrinking share of the data. */
+  private[graft] def ivfCellSkew(index: IvfIndex): Double = {
+    val counts = index.assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("n").cast("double"))
+      .collect().map(_.getDouble(0))
+    if (counts.isEmpty) 1.0
+    else counts.max / (counts.sum / index.centroids.length)
+  }
+
+  /** Age-triggered quantizer rebalance (VERDICT r16 #5): when the cell
+    * skew crosses `skewTrigger`, retrain the coarse quantizer from the
+    * index's CURRENT vectors and re-assign every vector — one corpus
+    * pass, the compaction cost, paid only when the trigger fires — and
+    * bump the quantizer generation. Below the trigger the index is
+    * returned untouched (appends stay cheap). Returns (index,
+    * rebalanced?). Vector COUNT is invariant under rebalance — only
+    * cell geometry moves. */
+  private[graft] def maybeRebalanceIvfIndex(
+      index: IvfIndex,
+      skewTrigger: Double = 3.0,
+      kmeansIters: Int = 2,
+      seed: Long = 42L): (IvfIndex, Boolean) = {
+    require(skewTrigger > 1.0,
+      s"skewTrigger must exceed 1.0 (perfect balance), got $skewTrigger")
+    if (ivfCellSkew(index) <= skewTrigger) (index, false)
+    else {
+      val sess = index.assigned.sparkSession
+      import sess.implicits._
+      val vecs = index.assigned
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<float>"))
+        .as[(Long, Array[Float])]
+      val cents = trainCentroids(vecs, index.centroids.length,
+        kmeansIters, seed)
+      val bc = sess.sparkContext.broadcast(cents)
+      val assigned = vecs.mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, emb) => (nearestCell(emb, cs), id, emb) }
+      }.toDF("cell", "vec_id", "embedding")
+      (IvfIndex(cents, assigned, index.generation + 1), true)
+    }
   }
 
   /** Write the index as two parquet relations under `path`: `assigned/`
@@ -723,15 +781,24 @@ object Similarity {
     import sess.implicits._
     index.assigned.write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/assigned")
-    index.centroids.toSeq.map { case (c, v, n) => (c, v.toSeq, n) }
-      .toDF("cell", "centroid", "norm")
+    // the quantizer generation rides the (tiny) centroid relation — the
+    // artifact is self-describing about which quantizer era wrote it
+    index.centroids.toSeq
+      .map { case (c, v, n) => (c, v.toSeq, n, index.generation) }
+      .toDF("cell", "centroid", "norm", "gen")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   private[graft] def loadIvfIndex(
       sess: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     import sess.implicits._
-    val cents = sess.read.parquet(s"$path/centroids")
+    val centsRaw = sess.read.parquet(s"$path/centroids")
+    // pre-aging artifacts carry no gen column — they are generation 0
+    val gen =
+      if (centsRaw.columns.contains("gen"))
+        centsRaw.agg(max(col("gen").cast("int"))).head.getInt(0)
+      else 0
+    val cents = centsRaw
       .select(col("cell").cast("int"), col("centroid").cast("array<double>"),
         col("norm").cast("double"))
       .as[(Int, Seq[Double], Double)]
@@ -741,7 +808,7 @@ object Similarity {
     val assigned = sess.read.parquet(s"$path/assigned")
       .select(col("cell").cast("int"), col("vec_id").cast("long"),
         col("embedding").cast("array<float>"))
-    IvfIndex(cents, assigned)
+    IvfIndex(cents, assigned, gen)
   }
 
   def incrementalSemanticDedup(

@@ -305,12 +305,18 @@ object DailyRefresh {
     val spanIdx2 = Dedup.appendToSpanIndex(spanIdx, batch.benchDelta)
     Dedup.saveSpanIndex(spanIdx2, p(dir, "spans", day))
     val winAfter = spanIdx2.windows.count()
-    Similarity.saveIvfIndex(
+    // append with frozen centroids, then the aging trigger (VERDICT r16
+    // #5): a skewed cell balance — the footprint of distribution drift
+    // accumulating against a frozen quantizer — retrains the coarse
+    // quantizer from the index's own vectors and bumps its generation;
+    // below the trigger the append stays cheap. Vector count is
+    // invariant either way, so the funnel's artifact measure is too.
+    val (ivf2, _) = Similarity.maybeRebalanceIvfIndex(
       Similarity.appendToIvfIndex(ivf,
         s5.select(col("doc_id").as("vec_id"))
           .join(batch.vecs.select(col("doc_id").as("vec_id"),
-            col("embedding")), "vec_id")),
-      p(dir, "ivf", day))
+            col("embedding")), "vec_id")))
+    Similarity.saveIvfIndex(ivf2, p(dir, "ivf", day))
     val vecAfter = vecBefore + n5
 
     // ---- stage 7: component-label delta contraction

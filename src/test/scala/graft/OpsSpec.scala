@@ -725,6 +725,66 @@ class OpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "reloaded index must classify the batch identically")
   }
 
+  test("IVF aging: drifted appends against a frozen quantizer cost " +
+      "recall; the skew-triggered rebalance retrains, bumps the " +
+      "generation, and restores it (VERDICT r16 #5)") {
+    import spark.implicits._
+    def ang(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // initial corpus: tight bundles at ~0° and ~90° — the trained
+    // quantizer puts one centroid in each
+    val corpus = ((0 until 20).map(i => (i.toLong, ang((i % 5) - 2.0))) ++
+      (20 until 40).map(i => (i.toLong, ang(88.0 + (i % 5)))))
+      .toDF("vec_id", "embedding")
+    var idx = Similarity.buildIvfIndex(corpus, nCentroids = 2,
+      kmeansIters = 4, seed = 7L)
+    assert(idx.generation == 0)
+    // three daily appends of a NEW topic at ~43°: nearer the 0°
+    // centroid, so with frozen centroids every vector piles into that
+    // one cell — distribution drift as cell skew
+    for (b <- 0 until 3) {
+      val drift = (0 until 30)
+        .map(i => ((1000 + b * 100 + i).toLong, ang(42.0 + (i % 3))))
+        .toDF("vec_id", "embedding")
+      idx = Similarity.appendToIvfIndex(idx, drift)
+    }
+    val skewBefore = Similarity.ivfCellSkew(idx)
+    assert(skewBefore > 1.5, s"drift must skew the cells, got $skewBefore")
+    // queries: near-dups of the drifted topic JUST past the 0°/90°
+    // bisector — nProbes=1 probes the 90° cell, which holds none of
+    // their mates: the recall cost of the aged quantizer
+    val queries = (0 until 10)
+      .map(i => ((9000 + i).toLong, ang(47.0 + (i % 3))))
+      .toDF("batch_id", "embedding")
+    val before = Similarity
+      .incrementalSemanticDedup(idx, queries, 0.99, nProbes = 1)
+    assert(before.filter(col("status") === "near").count() == 0L,
+      "aged index must MISS the drifted near-dups (that is the bug " +
+        "the trigger exists for)")
+    // below the trigger: untouched, generation stands
+    val (same, no) = Similarity.maybeRebalanceIvfIndex(idx,
+      skewTrigger = skewBefore + 1.0)
+    assert(!no && same.generation == 0)
+    // the trigger: retrain from the index's own vectors, re-assign,
+    // bump the generation — and the same probe now finds every mate
+    val (idx2, rebal) = Similarity.maybeRebalanceIvfIndex(idx,
+      skewTrigger = 1.5, kmeansIters = 4, seed = 7L)
+    assert(rebal && idx2.generation == 1)
+    assert(idx2.assigned.count() == idx.assigned.count(),
+      "rebalance moves cell geometry, never vectors")
+    val after = Similarity
+      .incrementalSemanticDedup(idx2, queries, 0.99, nProbes = 1)
+    assert(after.filter(col("status") === "near").count() == 10L,
+      "rebalanced quantizer must restore recall")
+    // the generation is artifact metadata: it survives the round-trip
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-age").toString
+    Similarity.saveIvfIndex(idx2, path)
+    assert(Similarity.loadIvfIndex(spark, path).generation == 1)
+  }
+
   test("semanticDedup bounds per-task rows under a single hot cell (measured cell counts)") {
     import spark.implicits._
     // degenerate skew: every embedding is identical, so ALL n vectors
