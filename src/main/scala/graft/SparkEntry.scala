@@ -5977,7 +5977,15 @@ object SparkEntry {
         chosenTxt.as("t")))
       .unionByName(docs.select(col("doc_id"), lit("rejected").as("lane"),
         rejTxt.as("t")))
-    graft.ops.TrainPrep.refusalReport(lanes, col("t"))
+    // the RELATION-driven form (VERDICT r16 #7): the screen's phrase
+    // inventory is a persisted artifact (save → load → screen), seeded
+    // here with the built-in lists — phrase growth is an artifact
+    // append, not a recompile; the verdicts are identical by contract
+    val invDir = tempFixtureDir("graft_refusal_inventory")
+    graft.ops.TrainPrep.saveRefusalInventory(
+      graft.ops.TrainPrep.refusalInventory(s), invDir)
+    graft.ops.TrainPrep.refusalReportWith(lanes, col("t"),
+        graft.ops.TrainPrep.loadRefusalInventory(s, invDir))
       .drop("t")
       .orderBy(col("doc_id"), col("lane"))
   }

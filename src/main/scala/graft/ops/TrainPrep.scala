@@ -500,6 +500,79 @@ object TrainPrep {
   val refusalOpeners: Seq[String] = Seq(
     "i cannot", "i can't", "i am unable", "i'm sorry", "i apologize")
 
+  /** The built-in inventory as the (phrase, kind) RELATION the
+    * relation-driven screen consumes — kind ∈ refusal | boilerplate |
+    * opener. The artifact seed: production screens grow to hundreds of
+    * phrases, which must not require recompiling (VERDICT r16 #7). */
+  def refusalInventory(sess: org.apache.spark.sql.SparkSession): DataFrame = {
+    import sess.implicits._
+    (refusalPhrases.map((_, "refusal")) ++
+      aiBoilerplatePhrases.map((_, "boilerplate")) ++
+      refusalOpeners.map((_, "opener")))
+      .toDF("phrase", "kind")
+  }
+
+  private val refusalKinds = Set("refusal", "boilerplate", "opener")
+
+  /** Collect + gate a refusal-inventory relation ONCE (driver metadata
+    * by contract — each phrase becomes one literal-split column in the
+    * consumer's plan, the derived-register bound posture). */
+  private def validatedInventoryRows(
+      inv: DataFrame, op: String): Seq[(String, String)] = {
+    val rows = inv.select(col("phrase").cast("string"),
+        col("kind").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    require(rows.nonEmpty, s"$op: inventory carries no rows")
+    require(rows.length <= 512,
+      s"$op: ${rows.length} inventory rows — each phrase is one " +
+        "literal-split column in the consumer plan (<= 512)")
+    require(rows.forall { case (p, _) => p != null && p.nonEmpty &&
+      p == p.toLowerCase(java.util.Locale.ROOT) },
+      s"$op: phrases must be non-empty and lowercase (the screen " +
+        "matches on lowercased text)")
+    require(rows.forall { case (_, k) => k != null && refusalKinds(k) },
+      s"$op: kind must be one of ${refusalKinds.mkString(", ")}")
+    require(rows.distinct.length == rows.length,
+      s"$op: (phrase, kind) rows must be distinct")
+    rows
+  }
+
+  /** Persist the inventory under `path/refusal_inventory` — the same
+    * save/load/append artifact contract as the derived MGT register:
+    * the screen's phrase list grows by APPENDING to the artifact, never
+    * by recompiling. */
+  def saveRefusalInventory(inv: DataFrame, path: String): Unit = {
+    val sess = inv.sparkSession
+    import sess.implicits._
+    validatedInventoryRows(inv, "saveRefusalInventory")
+      .toDF("phrase", "kind")
+      .write.mode("overwrite").parquet(s"$path/refusal_inventory")
+  }
+
+  def loadRefusalInventory(
+      sess: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    sess.read.parquet(s"$path/refusal_inventory")
+      .select(col("phrase").cast("string").as("phrase"),
+        col("kind").cast("string").as("kind"))
+
+  /** Fold newly-curated phrases into the inventory (distinct union,
+    * validated both sides) — the absorption path: a phrase the screen
+    * lacked flags from the day it lands in the artifact. */
+  def appendRefusalInventory(inv: DataFrame, fresh: DataFrame): DataFrame = {
+    val sess = inv.sparkSession
+    import sess.implicits._
+    // a curated batch may repeat a phrase (or re-submit one the
+    // artifact already carries) — the union is distinct by definition,
+    // so dedupe the incoming rows before the strict artifact gate
+    val merged = (validatedInventoryRows(inv, "appendRefusalInventory") ++
+      validatedInventoryRows(fresh.dropDuplicates("phrase", "kind"),
+        "appendRefusalInventory")).distinct
+    require(merged.length <= 512,
+      s"appendRefusalInventory: merged inventory has ${merged.length} " +
+        "rows (<= 512)")
+    merged.toDF("phrase", "kind")
+  }
+
   /** Refusal/boilerplate screen for post-training data (VERDICT r15
     * #7): the standard assistant-response audit run over chat
     * transcripts and both preference branches before SFT/RLHF — flags
@@ -514,8 +587,27 @@ object TrainPrep {
     * Flag rules (closed-form, oracle-replayable): a refusal opener at
     * position 0 OR ≥2 refusal phrases anywhere → refusal_flag; any
     * boilerplate phrase → ai_flag; ≥20 words with ≤15% distinct tokens
-    * → low_div_flag; any → refusal_suspect. */
-  def refusalReport(docs: DataFrame, textCol: Column): DataFrame = {
+    * → low_div_flag; any → refusal_suspect.
+    *
+    * This closed-list form delegates to [[refusalReportWith]] over the
+    * built-in [[refusalInventory]] relation — the inventory an actual
+    * deployment maintains as a persisted artifact. */
+  def refusalReport(docs: DataFrame, textCol: Column): DataFrame =
+    refusalReportWith(docs, textCol,
+      refusalInventory(docs.sparkSession))
+
+  /** [[refusalReport]] over an ARBITRARY (phrase, kind) inventory
+    * relation (VERDICT r16 #7): identical literal-split counting, the
+    * phrase lists supplied by the validated artifact instead of the
+    * compiled-in seed — the screen grows by appending to the relation.
+    * The inventory is driver metadata by contract (bounded, collected
+    * once); the per-row battery stays map-only and stream-liftable. */
+  def refusalReportWith(
+      docs: DataFrame, textCol: Column, inventory: DataFrame): DataFrame = {
+    val rows = validatedInventoryRows(inventory, "refusalReportWith")
+    val phrases = rows.collect { case (p, "refusal") => p }
+    val boiler = rows.collect { case (p, "boilerplate") => p }
+    val openers = rows.collect { case (p, "opener") => p }
     val inCols = docs.columns.map(col).toSeq
     val staged = docs.select(
       (inCols :+ lower(textCol).as("__low")): _*)
@@ -524,18 +616,22 @@ object TrainPrep {
         filter(split(col("__low"), " "), t => t =!= "").as("__toks")): _*)
     val low = col("__low")
     val toks = col("__toks")
-    def phraseHits(ps: Seq[String]): Column = ps
-      .map(p => (size(split(low, java.util.regex.Pattern.quote(p))) - 1)
-        .cast("long"))
-      .reduce(_ + _)
-    val starts = refusalOpeners
-      .map(p => low.startsWith(p))
-      .reduce(_ || _)
+    // an inventory may carry no rows of a given kind — that kind's
+    // signal is then constant-zero/false, not a crash
+    def phraseHits(ps: Seq[String]): Column =
+      if (ps.isEmpty) lit(0L)
+      else ps
+        .map(p => (size(split(low, java.util.regex.Pattern.quote(p))) - 1)
+          .cast("long"))
+        .reduce(_ + _)
+    val starts =
+      if (openers.isEmpty) lit(false)
+      else openers.map(p => low.startsWith(p)).reduce(_ || _)
     val staged3 = staged2.select(
       (inCols :+
         size(toks).cast("long").as("n_words") :+
-        phraseHits(refusalPhrases).as("refusal_hits") :+
-        phraseHits(aiBoilerplatePhrases).as("ai_hits") :+
+        phraseHits(phrases).as("refusal_hits") :+
+        phraseHits(boiler).as("ai_hits") :+
         starts.as("starts_refusal") :+
         size(array_distinct(toks)).cast("long").as("__dist")): _*)
     staged3.select(

@@ -344,4 +344,60 @@ class TrainPrepSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(bp == ((40L, 250L)))
   }
+
+  test("refusal inventory is a persisted artifact: relation-driven " +
+      "screen ≡ the built-in lists, and an APPENDED phrase flags from " +
+      "the day it lands (VERDICT r16 #7)") {
+    import spark.implicits._
+    import graft.ops.TrainPrep
+    val rows = Seq(
+      (1L, "I cannot help with that."),
+      (2L, "my lawyers advise against answering this"),
+      (3L, "a perfectly ordinary helpful answer"))
+      .toDF("doc_id", "t")
+    // save → load → screen equals the compiled-in screen row for row
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_refusal_inv").toString
+    TrainPrep.saveRefusalInventory(TrainPrep.refusalInventory(spark), dir)
+    val viaArtifact = TrainPrep.refusalReportWith(rows, col("t"),
+        TrainPrep.loadRefusalInventory(spark, dir))
+      .orderBy("doc_id").collect().toSeq
+    val viaLists = TrainPrep.refusalReport(rows, col("t"))
+      .orderBy("doc_id").collect().toSeq
+    assert(viaArtifact == viaLists)
+    // doc 2 is clean under the stale inventory…
+    assert(!viaArtifact(1).getAs[Boolean]("refusal_suspect"))
+    // …a curated phrase appends (distinct union), persists, and flags
+    val grown = TrainPrep.appendRefusalInventory(
+      TrainPrep.loadRefusalInventory(spark, dir),
+      Seq(("my lawyers advise against", "refusal"),
+        ("my lawyers advise against", "refusal"), // dup collapses
+        ("i cannot", "opener")) // already present: union stays distinct
+        .toDF("phrase", "kind"))
+    TrainPrep.saveRefusalInventory(grown, dir)
+    val fresh = TrainPrep.refusalReportWith(rows, col("t"),
+        TrainPrep.loadRefusalInventory(spark, dir))
+      .orderBy("doc_id").collect().toSeq
+    // one mid-text phrase alone is not a refusal verdict (the ≥2 rule)
+    // but the hit now COUNTS — and doc 1/3 verdicts are untouched
+    assert(fresh(1).getAs[Long]("refusal_hits") == 1L)
+    assert(fresh.head.getAs[Boolean]("refusal_flag"))
+    assert(!fresh(2).getAs[Boolean]("refusal_suspect"))
+    assert(grown.count() ==
+      TrainPrep.refusalInventory(spark).count() + 1)
+    // validation: unknown kind, uppercase phrase, and oversize refuse
+    intercept[IllegalArgumentException] {
+      TrainPrep.saveRefusalInventory(
+        Seq(("x", "nope")).toDF("phrase", "kind"), dir)
+    }
+    intercept[IllegalArgumentException] {
+      TrainPrep.saveRefusalInventory(
+        Seq(("Upper Case", "refusal")).toDF("phrase", "kind"), dir)
+    }
+    intercept[IllegalArgumentException] {
+      TrainPrep.saveRefusalInventory(
+        (0 to 512).map(i => (s"p$i", "refusal")).toDF("phrase", "kind"),
+        dir)
+    }
+  }
 }
