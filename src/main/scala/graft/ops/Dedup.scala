@@ -1039,6 +1039,46 @@ object Dedup {
       docs: DataFrame, minTokens: Int, unicode: Boolean): DataFrame =
     winsOf(tokensOf(docs, minTokens, unicode), minTokens)
 
+  /** STATELESS per-document span verdict against the span index
+    * (VERDICT r16 #6): the document's window hashes are computed as an
+    * ARRAY column (the [[windowFingerprints]] rolling-window arithmetic
+    * WITHOUT the explode — identical hashes by construction) and probed
+    * against a Bloom over the index's window hashes — one `exists` per
+    * row, no join, no aggregate, so the gate composes into a streaming
+    * plan with no state store. Appends `span_hit` to the input columns
+    * (candidate-gate semantics: a hit routes the doc to the batch-side
+    * exact verify; a false positive costs a verify, never a loss —
+    * `might_exist = false` is exact, the [[bloomPrefilter]] contract).
+    * A doc shorter than the window width carries no window and cannot
+    * hit. */
+  def spanBloomGate(
+      index: SpanIndex, docs: DataFrame, textCol: Column,
+      fpp: Double = 0.01): DataFrame = {
+    val n = math.max(1L, index.windows.select(col("h")).distinct().count())
+    val bloom = index.windows.select(col("h")).stat.bloomFilter("h", n, fpp)
+    def mightContain(h: Column): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BloomMightContain(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(h),
+          bloom))
+    val inCols = docs.columns.map(col).toSeq
+    val m = index.minTokens
+    // staged token-hash array (the HOF-inlining discipline)
+    docs
+      .select((inCols :+
+        transform(TextAnalysis.tokensMode(textCol, index.unicode),
+          t => xxhash64(t)).as("__tokh")): _*)
+      .select((inCols :+
+        (size(col("__tokh")) >= m && exists(
+          transform(
+            sequence(lit(1), size(col("__tokh")) - lit(m - 1)),
+            i => aggregate(
+              slice(col("__tokh"), i, lit(m)),
+              lit(0L),
+              (acc, h) => xxhash64(acc, h))),
+          h => mightContain(h))).as("span_hit")): _*)
+  }
+
   /** Drop window hashes seen in more than `maxDf` docs — the
     * boilerplate-passage analogue of the PPJoin stop-shingle rule. */
   private def capWindowDf(wins: DataFrame, maxDf: Int): DataFrame =

@@ -121,6 +121,91 @@ object Robots {
     out.result()
   }
 
+  /** URL → the path+query a robots rule matches against (the fragment
+    * never travels to the server — Google's reference REP matcher
+    * semantics, so a published wildcard-then-query disallow rule like
+    * star-question-sessionid is enforceable); a bare-query URL gets the
+    * implicit '/' path. */
+  private def pathOf(urlCol: Column): Column = {
+    val path0 = regexp_extract(urlCol,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    when(path0 === "", "/")
+      .when(path0.startsWith("?"), concat(lit("/"), path0))
+      .otherwise(path0)
+  }
+
+  /** The rule relation pre-folded to ONE ROW PER DOMAIN for `agent` —
+    * group selection (§2.2.1, markers included) applied batch-side,
+    * the selected group's rules packed into an array column. This is
+    * the broadcast-able shape the STATELESS per-row verdict consumes
+    * ([[robotsAllowedStream]]): the relation is metadata-sized by
+    * protocol contract, and folding it per-domain removes the need for
+    * any per-document aggregate downstream. */
+  def domainRuleSets(rules: DataFrame, agent: String): DataFrame = {
+    require(agent.nonEmpty && agent != "*",
+      "domainRuleSets: pass the crawler's own product token, not '*'")
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val markerCol =
+      if (rules.columns.contains("group_marker"))
+        coalesce(col("group_marker").cast("boolean"), lit(false))
+      else lit(false)
+    val r = rules.select(
+      col("domain").cast("string").as("domain"),
+      lower(col("agent")).as("agent"),
+      col("pattern").cast("string").as("pattern"),
+      col("allow").cast("boolean").as("allow"),
+      markerCol.as("__marker"))
+    val hasSpec = r.filter(col("agent") === agentLc)
+      .select(col("domain")).distinct()
+      .withColumn("__has_spec", lit(true))
+    r.filter(col("agent") === agentLc || col("agent") === "*")
+      .join(hasSpec, Seq("domain"), "left")
+      .filter(when(coalesce(col("__has_spec"), lit(false)),
+        col("agent") === agentLc).otherwise(col("agent") === "*"))
+      .groupBy(col("domain"))
+      .agg(collect_list(when(!col("__marker"),
+        struct(col("pattern"), col("allow")))).as("rules"))
+  }
+
+  /** STATELESS per-document robots verdict (VERDICT r16 #6): the
+    * [[robotsGate]] semantics — longest match wins, allow wins ties,
+    * default allow — computed per row by folding over the broadcast
+    * per-domain rule ARRAY ([[domainRuleSets]]) instead of a
+    * per-document aggregate, so the gate lifts into a streaming plan
+    * with no state store. Appends `allowed` to the input columns. */
+  def robotsAllowedStream(
+      docs: DataFrame,
+      urlCol: Column,
+      ruleSets: DataFrame): DataFrame = {
+    val inCols = docs.columns.map(col).toSeq
+    // fold: best = (len, allow) of the longest matching rule; ties on
+    // length resolve to allow (the int max over (len, allow) pairs)
+    val best = aggregate(
+      coalesce(col("__rules"),
+        array().cast("array<struct<pattern:string,allow:boolean>>")),
+      struct(lit(-1).as("l"), lit(1).as("a")),
+      (acc, r) => {
+        val cand = struct(length(r.getField("pattern")).as("l"),
+          r.getField("allow").cast("int").as("a"))
+        when(robotsMatch(col("__path"), r.getField("pattern")) &&
+          (cand.getField("l") > acc.getField("l") ||
+            (cand.getField("l") === acc.getField("l") &&
+              cand.getField("a") > acc.getField("a"))), cand)
+          .otherwise(acc)
+      })
+    docs
+      .select((inCols :+
+        graft.functions.DomainFunctions.registrableDomain(urlCol)
+          .as("__domain") :+
+        pathOf(urlCol).as("__path")): _*)
+      .join(broadcast(ruleSets
+          .select(col("domain").as("__domain"), col("rules").as("__rules"))),
+        Seq("__domain"), "left")
+      .select((inCols :+
+        (best.getField("l") < 0 || best.getField("a") === 1)
+          .as("allowed")): _*)
+  }
+
   /** Per-document crawl verdict under `agent`'s applicable rule group.
     *
     * Output: (doc_id, domain, path, agent_group, n_rules, best_pattern,
@@ -163,19 +248,11 @@ object Robots {
       .select(col("domain"),
         (col("agent") === agentLc).as("__spec"),
         col("pattern"), col("allow"), col("__marker"))
-    // rules match against path + query (the fragment never travels to
-    // the server) — Google's reference REP matcher semantics, so a
-    // published `Disallow: /*?sessionid=` style rule is enforceable; a
-    // bare-query URL gets the implicit '/' path
-    val path0 = regexp_extract(urlCol,
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
     val keyed = docs.select(
       idCol.as("doc_id"),
       graft.functions.DomainFunctions.registrableDomain(urlCol)
         .as("domain"),
-      when(path0 === "", "/")
-        .when(path0.startsWith("?"), concat(lit("/"), path0))
-        .otherwise(path0).as("path"))
+      pathOf(urlCol).as("path"))
     val matched = robotsMatch(col("path"), col("pattern"))
     // longest pattern wins; allow wins length ties; pattern text as the
     // final deterministic tiebreak (the q180 packed-extremum posture —

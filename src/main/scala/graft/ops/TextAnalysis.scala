@@ -652,15 +652,26 @@ object TextAnalysis {
     // trigram POSITION (the r12 HOF-inlining trap: measured 11 s →
     // ~1 s on the q174 corpus). Plain projections, so the battery
     // stays stream-liftable (no checkpoint, no cache).
-    val staged = docs.select(col("doc_id"),
-      lower(col("text")).as("__low"),
-      lowToks(col("text")).as("__toks"))
+    // INPUT COLUMNS are preserved (the refusalReport posture): a
+    // composed stream gate must keep its payload (url, embedding)
+    // riding beside the verdicts — a streaming plan cannot join the
+    // battery back on doc_id
+    val outNames = Set("n_words", "n_tri", "dup3_bp", "template_hits",
+      "template_bp", "stop_total", "off_stop", "skew_bp", "burst_flag",
+      "template_flag", "skew_flag", "mgt_suspect")
+    require(!docs.columns.exists(outNames),
+      s"mgt battery input carries a column colliding with an output " +
+        s"(${docs.columns.filter(outNames).mkString(", ")}) — alias it")
+    val inCols = docs.columns.map(col).toSeq
+    val staged = docs.select((inCols :+
+      lower(col("text")).as("__low") :+
+      lowToks(col("text")).as("__toks")): _*)
     val toks = col("__toks")
-    val staged2 = staged.select(col("doc_id"), col("__low"), toks,
+    val staged2 = staged.select((inCols :+ col("__low") :+ toks :+
       when(size(toks) >= 3,
         transform(sequence(lit(1), size(toks) - 2),
           i => concat_ws(" ", slice(toks, i, lit(3))))).otherwise(
-        array().cast("array<string>")).as("__tri"))
+        array().cast("array<string>")).as("__tri")): _*)
     val tri = col("__tri")
     val nW = size(toks).cast("long")
     val nTri = size(tri).cast("long")
@@ -681,34 +692,33 @@ object TextAnalysis {
     // two-step projection: name the counts, then floor-divide with the
     // SQL `div` the repo's basis-point convention uses (Column has no
     // integer division; `/` would drift through doubles)
-    staged2.select(
-        col("doc_id"),
-        nW.as("n_words"),
-        nTri.as("n_tri"),
-        dup3.as("__dup3"),
-        hits.as("template_hits"),
-        stopTotal.as("stop_total"),
-        offStop.as("off_stop"))
-      .select(
-        col("doc_id"), col("n_words"), col("n_tri"),
-        expr("(__dup3 * 10000) div greatest(n_tri, 1L)").as("dup3_bp"),
-        col("template_hits"),
+    staged2.select((inCols :+
+        nW.as("n_words") :+
+        nTri.as("n_tri") :+
+        dup3.as("__dup3") :+
+        hits.as("template_hits") :+
+        stopTotal.as("stop_total") :+
+        offStop.as("off_stop")): _*)
+      .select((inCols :+
+        col("n_words") :+ col("n_tri") :+
+        expr("(__dup3 * 10000) div greatest(n_tri, 1L)").as("dup3_bp") :+
+        col("template_hits") :+
         expr("(template_hits * 10000) div greatest(n_words, 1L)")
-          .as("template_bp"),
-        col("stop_total"), col("off_stop"),
+          .as("template_bp") :+
+        col("stop_total") :+ col("off_stop") :+
         expr("(off_stop * 10000) div greatest(stop_total, 1L)")
-          .as("skew_bp"))
-      .select(
-        col("doc_id"), col("n_words"), col("n_tri"), col("dup3_bp"),
-        col("template_hits"), col("template_bp"), col("stop_total"),
-        col("off_stop"), col("skew_bp"),
-        (col("dup3_bp") >= burstBp).as("burst_flag"),
-        (col("template_bp") >= templateBp).as("template_flag"),
+          .as("skew_bp")): _*)
+      .select((inCols :+
+        col("n_words") :+ col("n_tri") :+ col("dup3_bp") :+
+        col("template_hits") :+ col("template_bp") :+ col("stop_total") :+
+        col("off_stop") :+ col("skew_bp") :+
+        (col("dup3_bp") >= burstBp).as("burst_flag") :+
+        (col("template_bp") >= templateBp).as("template_flag") :+
         (col("stop_total") >= minStopSupport &&
-          col("skew_bp") >= skewBp).as("skew_flag"),
+          col("skew_bp") >= skewBp).as("skew_flag") :+
         (col("dup3_bp") >= burstBp || col("template_bp") >= templateBp ||
           (col("stop_total") >= minStopSupport &&
-            col("skew_bp") >= skewBp)).as("mgt_suspect"))
+            col("skew_bp") >= skewBp)).as("mgt_suspect")): _*)
   }
 
   def stopwordCount(text: Column): Column =
