@@ -940,8 +940,10 @@ object Bench {
       // HTTP charset decode: one typed mint pass + one map-only entity
       // parse — linear; gzip WARC containers: per-record deflate +
       // member walk, map-only either side of the one 8-record pack
-      // shuffle — linear (VERDICT r16 #1's demanded ladder row)
-      "q190_http_charset", "q191_warc_gzip")
+      // shuffle — linear (VERDICT r16 #1's demanded ladder row); the
+      // multimodal crawl slice: PNG encode + gzip + member walk + HTTP
+      // entity decode + real ImageIO decode, all per-record — linear
+      "q190_http_charset", "q191_warc_gzip", "q192_crawl_media")
     val ladderOn = (only.isEmpty || ladderOne.nonEmpty) &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER", "1") != "0"
     var ladderJson = "null"

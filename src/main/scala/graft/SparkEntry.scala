@@ -5586,9 +5586,17 @@ object SparkEntry {
     * [[graft.sources.WarcCodec.parseContainers]] consumes. */
   private def mintedWarcContainers(s: SparkSession, d: String): DataFrame = {
     val crlf = "\r\n"
+    // three HTTP entity classes: the 404 (dies at the status gate), a
+    // 200 NON-TEXT entity at doc_id % 23 == 7 (application/octet-stream
+    // — dies at q184's media gate; payload kept ASCII so the string
+    // mint carries it byte-exactly), and the 200 text/html page
     val block = when(pmod(col("doc_id"), lit(17L)) === 3L,
         lit("HTTP/1.1 404 Not Found" + crlf +
           "Content-Type: text/plain" + crlf + crlf + "not found"))
+      .when(pmod(col("doc_id"), lit(23L)) === 7L,
+        concat(lit("HTTP/1.1 200 OK" + crlf +
+          "Content-Type: application/octet-stream" + crlf + crlf +
+          "binpayload"), col("doc_id")))
       .otherwise(concat(
         lit("HTTP/1.1 200 OK" + crlf +
           "Content-Type: text/html; charset=utf-8" + crlf + crlf),
@@ -5676,19 +5684,26 @@ object SparkEntry {
       .select(
         regexp_extract(col("record_id"), "^<urn:graft:(\\d+)>$", 1)
           .cast("long").as("doc_id"),
-        col("ok"), col("warc_type"), col("target_uri"),
-        col("block_str").as("block"))
+        col("ok"), col("warc_type"), col("target_uri"), col("block"))
       .localCheckpoint() // fence: feeds every stage and the funnel spine
     // revisit records carry no payload (the content is already
     // ingested under the referenced capture) — only response records
-    // enter the HTTP stage
-    val http = base.filter(col("ok") && col("warc_type") === "response")
-      .select(col("doc_id"), col("target_uri"),
-        regexp_extract(col("block"), "^HTTP/1\\.1 (\\d+)", 1)
-          .cast("long").as("status"),
-        regexp_replace(col("block"), "(?s)^.*?\\r\\n\\r\\n", "")
-          .as("body"))
+    // enter the HTTP stage, parsed by the REAL entity decoder (VERDICT
+    // r16 #2): status from the status line, media type + charset from
+    // the header relation, the body transcoded under its declared
+    // charset (this mint's pages declare utf-8)
+    val http = graft.sources.WarcHttp.parseHttp(
+        base.filter(col("ok") && col("warc_type") === "response"),
+        col("doc_id"), col("block"))
+      .select(col("doc_id"), col("status"), col("content_type"),
+        col("is_text"), col("body_text").as("body"))
+      .join(base.select(col("doc_id"), col("target_uri")), "doc_id")
     val ok200 = http.filter(col("status") === 200L)
+    // the media gate: only text/html entities proceed to extraction;
+    // a 200 with a binary content type routes to the media lanes, not
+    // the text funnel
+    val textMedia = ok200.filter(col("is_text") &&
+      col("content_type") === "text/html")
     // the crawl front door normalizes URL identity FIRST (VERDICT r16
     // #4): canonical_url folds case/default-port/tracking-param/
     // dot-segment spellings before any URL-keyed gate — the q176 noisy
@@ -5697,11 +5712,11 @@ object SparkEntry {
     val canon = graft.functions.DomainFunctions.canonicalUrl(
       col("target_uri"))
     val lic = Curation.licenceGate(
-        ok200.select(col("doc_id"), canon.as("url")),
+        textMedia.select(col("doc_id"), canon.as("url")),
         col("doc_id"), col("url"), mintedLicencePolicy(s),
         Seq("cc-by", "cc-by-sa"))
       .select(col("doc_id"), col("verdict"))
-    val licKept = ok200
+    val licKept = textMedia
       .join(lic.filter(col("verdict") === "keep").select("doc_id"),
         "doc_id")
     // the provenance pair (VERDICT r15 #4): after the licence says the
@@ -5725,9 +5740,10 @@ object SparkEntry {
         size(filter(split(col("norm"), " "), w => w =!= ""))
           .cast("long").as("n_tok"))
     val notResp = col("warc_type") =!= "response"
+    val isHtml = col("is_text") && col("content_type") === "text/html"
     base.select(col("doc_id"), col("ok").as("codec_ok"), col("warc_type"))
-      .join(http.select(col("doc_id"), col("status")), Seq("doc_id"),
-        "left")
+      .join(http.select(col("doc_id"), col("status"),
+        col("content_type"), col("is_text")), Seq("doc_id"), "left")
       .join(lic.withColumnRenamed("verdict", "lic"), Seq("doc_id"), "left")
       .join(rob, Seq("doc_id"), "left")
       .join(txt, Seq("doc_id"), "left")
@@ -5738,18 +5754,22 @@ object SparkEntry {
           .as("http_verdict"),
         when(!col("codec_ok") || notResp || col("status") =!= 200L,
             "skipped")
+          .when(isHtml, "text").otherwise("binary")
+          .as("media_verdict"),
+        when(!col("codec_ok") || notResp || col("status") =!= 200L ||
+            !isHtml, "skipped")
           .otherwise(col("lic")).as("lic_verdict"),
         when(!col("codec_ok") || notResp || col("status") =!= 200L ||
-            col("lic") =!= "keep", "skipped")
+            !isHtml || col("lic") =!= "keep", "skipped")
           .when(col("allowed"), "crawl").otherwise("blocked")
           .as("robots_verdict"),
         when(!col("codec_ok") || notResp || col("status") =!= 200L ||
-            col("lic") =!= "keep" || !col("allowed"), "skipped")
+            !isHtml || col("lic") =!= "keep" || !col("allowed"), "skipped")
           .when(col("n_tok") >= 5L, "kept").otherwise("short")
           .as("text_verdict"),
         coalesce(col("n_tok"), lit(-1L)).as("n_tok"),
         coalesce(col("codec_ok") && !notResp &&
-          col("status") === 200L &&
+          col("status") === 200L && isHtml &&
           col("lic") === "keep" && col("allowed") &&
           col("n_tok") >= 5L, lit(false))
           .as("kept"))
@@ -5870,6 +5890,96 @@ object SparkEntry {
         col("target_uri"), col("warc_date"), col("content_length"),
         col("block").cast("string").as("block_text"))
       .orderBy(col("container_id"), col("rec_seq"))
+  }
+
+  /** Multimodal crawl slice (q192): the full wire path a crawled IMAGE
+    * travels — REAL PNG bytes (the Multimodal encoder) as the HTTP
+    * entity body of a WARC response record, one gzip member per record
+    * (binary payloads are exactly why member framing exists: deflate
+    * bytes routinely contain magic-like sequences), parsed back by the
+    * codec chain — gzip member walk → record framing → HTTP entity
+    * decode — and ROUTED by media type: text/html entities to the
+    * token lane, image/png entities to the REAL Multimodal PNG decode
+    * (`extractFeatures`: ImageIO geometry read back from the pixels).
+    * Geometry is closed-form (w = 16 + (id%3)·8, h = 12 + (id%2)·16)
+    * so the decode proves itself in the oracle; the PNG signature
+    * check pins that the BYTES survived the round trip untouched.
+    * Map-only end to end but the 8-record pack shuffle. */
+  private def qCrawlMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val crlf = "\r\n"
+    val members = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val isTxt = id % 5 == 0
+        val block: Array[Byte] =
+          if (isTxt)
+            (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html; " +
+              s"charset=utf-8$crlf$crlf" +
+              s"crawl page words w$id").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)
+          else {
+            val w = 16 + (id % 3).toInt * 8
+            val h = 12 + (id % 2).toInt * 16
+            (s"HTTP/1.1 200 OK${crlf}Content-Type: image/png$crlf$crlf")
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+              graft.ops.Multimodal.syntheticPng(id, w, h)
+          }
+        val rec = graft.sources.WarcCodec.mintResponseRecordBytes(
+          s"<urn:graft:$id>", s"https://site${id % 20}.com/m$id",
+          "2026-03-01T00:00:00Z", block)
+        (id / 8, (id % 8).toInt,
+          graft.sources.WarcCodec.gzipMember(rec))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (cid, it) =>
+        val ms = it.toArray.sortBy(_._2).map(_._3)
+        val out = new Array[Byte](ms.iterator.map(_.length).sum)
+        var at = 0
+        ms.foreach { m =>
+          System.arraycopy(m, 0, out, at, m.length); at += m.length
+        }
+        (cid, out)
+      }
+      .toDF("container_id", "data")
+    val ent = graft.sources.WarcHttp.parseHttp(
+      graft.sources.WarcCodec.parseGzipContainers(members,
+          col("container_id"), col("data"))
+        .filter(col("ok"))
+        .select(
+          regexp_extract(col("record_id"), "^<urn:graft:(\\d+)>$", 1)
+            .cast("long").as("doc_id"),
+          col("block")),
+      col("doc_id"), col("block"))
+    // the media router: text entities to the token lane, PNG entities
+    // through the REAL image decode
+    val img = graft.ops.Multimodal.extractFeatures(
+        ent.filter(!col("is_text") && col("content_type") === "image/png")
+          .select(col("doc_id"), col("body"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, body) =>
+            graft.ops.Multimodal.MediaRow(id, "image", body, 0, 0, 0L)
+          })
+      .toDF()
+      .select(col("media_id").as("doc_id"),
+        col("decoded_w"), col("decoded_h"))
+    val pngSig = ent.filter(!col("is_text"))
+      .select(col("doc_id"),
+        when(hex(substring(col("body"), 1, 8)) === "89504E470D0A1A0A",
+          "ok").otherwise("bad").as("png_sig"))
+    val imgLane = img.join(pngSig, "doc_id")
+      .join(ent.select(col("doc_id"), col("status"), col("content_type")),
+        "doc_id")
+      .select(col("doc_id"), lit("image").as("lane"), col("status"),
+        col("content_type"), col("decoded_w"), col("decoded_h"),
+        col("png_sig"), lit(-1L).as("n_tok"))
+    val txtLane = ent.filter(col("is_text"))
+      .select(col("doc_id"), lit("text").as("lane"), col("status"),
+        col("content_type"), lit(-1).as("decoded_w"),
+        lit(-1).as("decoded_h"), lit("n/a").as("png_sig"),
+        size(filter(split(col("body_text"), " "), w => w =!= ""))
+          .cast("long").as("n_tok"))
+    imgLane.unionByName(txtLane).orderBy(col("doc_id"))
   }
 
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
@@ -6506,7 +6616,8 @@ object SparkEntry {
     "q188_mgt_derived_cycle" -> (qMgtDerivedCycle _),
     "q189_daily_refresh" -> (qDailyRefresh _),
     "q190_http_charset" -> (qHttpCharset _),
-    "q191_warc_gzip" -> (qWarcGzip _))
+    "q191_warc_gzip" -> (qWarcGzip _),
+    "q192_crawl_media" -> (qCrawlMedia _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -6563,6 +6674,11 @@ object SparkEntry {
                THEN 'HTTP/1.1 404 Not Found' || chr(13) || chr(10)
                  || 'Content-Type: text/plain' || chr(13) || chr(10)
                  || chr(13) || chr(10) || 'not found'
+               WHEN doc_id % 23 = 7
+               THEN 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+                 || 'Content-Type: application/octet-stream'
+                 || chr(13) || chr(10) || chr(13) || chr(10)
+                 || 'binpayload' || doc_id
                ELSE 'HTTP/1.1 200 OK' || chr(13) || chr(10)
                  || 'Content-Type: text/html; charset=utf-8'
                  || chr(13) || chr(10) || chr(13) || chr(10) || html
@@ -10392,6 +10508,28 @@ object SparkEntry {
            CASE WHEN NOT corrupt THEN block END AS block_text
          FROM blk
          ORDER BY container_id, rec_seq""",
+    // q192: the multimodal crawl slice pinned closed-form — the engine
+    // gzip-frames real PNG bytes through WARC records, walks the
+    // members, decodes the HTTP entities, and runs the REAL ImageIO
+    // decode; the oracle replays the deterministic geometry, the PNG
+    // signature fact, and the text lane's token count
+    "q192_crawl_media" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 5 = 0 AS is_txt,
+             CAST(16 + (doc_id % 3) * 8 AS INT) AS w,
+             CAST(12 + (doc_id % 2) * 16 AS INT) AS h
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN is_txt THEN 'text' ELSE 'image' END AS lane,
+           CAST(200 AS BIGINT) AS status,
+           CASE WHEN is_txt THEN 'text/html' ELSE 'image/png'
+             END AS content_type,
+           CASE WHEN is_txt THEN -1 ELSE w END AS decoded_w,
+           CASE WHEN is_txt THEN -1 ELSE h END AS decoded_h,
+           CASE WHEN is_txt THEN 'n/a' ELSE 'ok' END AS png_sig,
+           CAST(CASE WHEN is_txt THEN 4 ELSE -1 END AS BIGINT) AS n_tok
+         FROM b
+         ORDER BY doc_id""",
     // q176: shape-pinned expected domain (q130 convention) + the
     // policy CASE; the engine computes registrableDomain for real
     "q176_licence_gate" ->
@@ -10444,6 +10582,7 @@ object SparkEntry {
                (doc_id % 19 = 2 OR doc_id % 13 <> 6) AS codec_ok,
                (doc_id % 19 = 2) AS revisit,
                CASE WHEN doc_id % 17 = 3 THEN 404 ELSE 200 END AS status,
+               (doc_id % 17 <> 3 AND doc_id % 23 = 7) AS bin,
                'site' || (doc_id % 20) || '.com' AS domain
              FROM documents),
            lic AS MATERIALIZED (
@@ -10452,7 +10591,8 @@ object SparkEntry {
                  WHEN p.licence IN ('cc-by', 'cc-by-sa') THEN 'keep'
                  ELSE 'drop' END AS verdict
              FROM st LEFT JOIN pol p ON p.domain = st.domain
-             WHERE st.codec_ok AND NOT st.revisit AND st.status = 200),
+             WHERE st.codec_ok AND NOT st.revisit AND st.status = 200
+               AND NOT st.bin),
            sv AS (
              SELECT hm.doc_id, hm.html
              FROM hm JOIN lic ON lic.doc_id = hm.doc_id
@@ -10471,18 +10611,21 @@ object SparkEntry {
              WHEN st.status = 200 THEN 'ok' ELSE 'bad' END AS http_verdict,
            CASE WHEN NOT st.codec_ok OR st.revisit OR st.status <> 200
                THEN 'skipped'
+             WHEN st.bin THEN 'binary' ELSE 'text' END AS media_verdict,
+           CASE WHEN NOT st.codec_ok OR st.revisit OR st.status <> 200
+               OR st.bin THEN 'skipped'
              ELSE l.verdict END AS lic_verdict,
            CASE WHEN NOT st.codec_ok OR st.revisit OR st.status <> 200
-               OR l.verdict <> 'keep' THEN 'skipped'
+               OR st.bin OR l.verdict <> 'keep' THEN 'skipped'
              WHEN ((st.doc_id % 20) % 5) = 2 THEN 'blocked'
              ELSE 'crawl' END AS robots_verdict,
            CASE WHEN NOT st.codec_ok OR st.revisit OR st.status <> 200
-               OR l.verdict <> 'keep'
+               OR st.bin OR l.verdict <> 'keep'
                OR ((st.doc_id % 20) % 5) = 2 THEN 'skipped'
              WHEN t.n_tok >= 5 THEN 'kept' ELSE 'short' END AS text_verdict,
            CAST(coalesce(t.n_tok, -1) AS BIGINT) AS n_tok,
            coalesce(st.codec_ok AND NOT st.revisit AND st.status = 200
-             AND l.verdict = 'keep'
+             AND NOT st.bin AND l.verdict = 'keep'
              AND ((st.doc_id % 20) % 5) <> 2
              AND t.n_tok >= 5, false) AS kept
          FROM st
