@@ -753,6 +753,11 @@ object SparkEntry {
   private val partsFixtureDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q186's refusal-inventory artifact, written once per JVM (it is
+    * data-dir independent — the seed is the compiled-in lists). */
+  private val refusalInventoryDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def qPartsSqlParity(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val dir = partsFixtureDirs.computeIfAbsent(d, (dd: String) => {
@@ -5840,7 +5845,9 @@ object SparkEntry {
     * records, the structural fix for the plain-container resync
     * caveat), and a corrupt class whose member has its CRC trailer byte
     * flipped — the member fails its own integrity check and
-    * quarantines ALONE while every neighbour in the container parses.
+    * quarantines ALONE — with its HEADERS still attributable, since
+    * the record decompressed fine and only its integrity proof lied —
+    * while every neighbour in the container parses.
     * Map-only parse ([[graft.sources.WarcCodec.parseGzipContainers]]);
     * the pack's one container-id shuffle is the pack. */
   private def qWarcGzip(s: SparkSession, d: String): DataFrame = {
@@ -5943,14 +5950,15 @@ object SparkEntry {
       }
       .toDF("container_id", "data")
     val ent = graft.sources.WarcHttp.parseHttp(
-      graft.sources.WarcCodec.parseGzipContainers(members,
-          col("container_id"), col("data"))
-        .filter(col("ok"))
-        .select(
-          regexp_extract(col("record_id"), "^<urn:graft:(\\d+)>$", 1)
-            .cast("long").as("doc_id"),
-          col("block")),
-      col("doc_id"), col("block"))
+        graft.sources.WarcCodec.parseGzipContainers(members,
+            col("container_id"), col("data"))
+          .filter(col("ok"))
+          .select(
+            regexp_extract(col("record_id"), "^<urn:graft:(\\d+)>$", 1)
+              .cast("long").as("doc_id"),
+            col("block")),
+        col("doc_id"), col("block"))
+      .localCheckpoint() // fence: feeds both lanes + the signature check
     // the media router: text entities to the token lane, PNG entities
     // through the REAL image decode
     val img = graft.ops.Multimodal.extractFeatures(
@@ -6090,10 +6098,16 @@ object SparkEntry {
     // the RELATION-driven form (VERDICT r16 #7): the screen's phrase
     // inventory is a persisted artifact (save → load → screen), seeded
     // here with the built-in lists — phrase growth is an artifact
-    // append, not a recompile; the verdicts are identical by contract
-    val invDir = tempFixtureDir("graft_refusal_inventory")
-    graft.ops.TrainPrep.saveRefusalInventory(
-      graft.ops.TrainPrep.refusalInventory(s), invDir)
+    // append, not a recompile; the verdicts are identical by contract.
+    // Written once per JVM (the partsFixtureDirs posture) so the bench
+    // times the SCREEN, not a parquet write per invocation
+    val invDir = refusalInventoryDirs.computeIfAbsent("inv",
+      (_: String) => {
+        val dd = tempFixtureDir("graft_refusal_inventory")
+        graft.ops.TrainPrep.saveRefusalInventory(
+          graft.ops.TrainPrep.refusalInventory(s), dd)
+        dd
+      })
     graft.ops.TrainPrep.refusalReportWith(lanes, col("t"),
         graft.ops.TrainPrep.loadRefusalInventory(s, invDir))
       .drop("t")
@@ -10498,13 +10512,12 @@ object SparkEntry {
          SELECT cid AS container_id, CAST(seq AS BIGINT) AS rec_seq,
            NOT corrupt AS ok,
            CASE WHEN corrupt THEN 'gzip-bad-crc' END AS error_class,
-           CASE WHEN NOT corrupt THEN doc_id END AS doc_id,
-           CASE WHEN NOT corrupt THEN 'https://site' || (doc_id % 20)
-             || '.com/g' || doc_id END AS target_uri,
-           CASE WHEN NOT corrupt THEN '2026-02-01T00:00:00Z'
-             END AS warc_date,
-           CAST(CASE WHEN NOT corrupt THEN octet_length(encode(block))
-             END AS BIGINT) AS content_length,
+           doc_id,
+           'https://site' || (doc_id % 20) || '.com/g' || doc_id
+             AS target_uri,
+           '2026-02-01T00:00:00Z' AS warc_date,
+           CAST(octet_length(encode(block)) AS BIGINT)
+             AS content_length,
            CASE WHEN NOT corrupt THEN block END AS block_text
          FROM blk
          ORDER BY container_id, rec_seq""",

@@ -265,6 +265,27 @@ object Curation {
     *
     * @param policy (domain, licence) — registrable domains, unique.
     * @return (idCol, domain, licence, verdict, keep). */
+  /** The licence-policy artifact gate, shared by every consumer of the
+    * (domain, licence) relation — a duplicated policy domain would
+    * duplicate corpus rows through the join, so the artifact is checked
+    * on the tiny side before any join. Bad rows FIRST (the ADVICE r14
+    * ordering): countDistinct skips NULLs, so a null/empty policy
+    * domain checked second would misreport as a phantom duplicate; a
+    * null licence would silently quarantine a LISTED domain through
+    * the verdict's null branch. */
+  def validatePolicy(policy: DataFrame, op: String): Unit = {
+    val chk = policy.agg(count(lit(1)).as("c"),
+      countDistinct(col("domain")).as("d"),
+      coalesce(sum(when(col("domain").isNull || col("domain") === "" ||
+        col("licence").isNull, 1L).otherwise(0L)), lit(0L)).as("bad")).head
+    require(chk.getLong(2) == 0L,
+      s"$op: ${chk.getLong(2)} policy row(s) with null/empty " +
+        "domain or null licence — fix the policy list, don't default")
+    require(chk.getLong(0) == chk.getLong(1),
+      s"$op: policy domains must be unique (${chk.getLong(0)} " +
+        s"rows, ${chk.getLong(1)} distinct)")
+  }
+
   def licenceGate(
       docs: DataFrame,
       idCol: Column,
@@ -274,22 +295,7 @@ object Curation {
     require(allowedLicences.nonEmpty,
       "licenceGate: empty allowlist would drop/quarantine everything — " +
         "pass the licences training may use")
-    // a duplicated policy domain would duplicate corpus rows through
-    // the join — the artifact-gate posture, checked on the tiny side.
-    // Bad rows FIRST (the ADVICE r14 ordering): countDistinct skips
-    // NULLs, so a null/empty policy domain checked second would
-    // misreport as a phantom duplicate; a null licence would silently
-    // quarantine a LISTED domain through the verdict's null branch
-    val chk = policy.agg(count(lit(1)).as("c"),
-      countDistinct(col("domain")).as("d"),
-      coalesce(sum(when(col("domain").isNull || col("domain") === "" ||
-        col("licence").isNull, 1L).otherwise(0L)), lit(0L)).as("bad")).head
-    require(chk.getLong(2) == 0L,
-      s"licenceGate: ${chk.getLong(2)} policy row(s) with null/empty " +
-        "domain or null licence — fix the policy list, don't default")
-    require(chk.getLong(0) == chk.getLong(1),
-      s"licenceGate: policy domains must be unique (${chk.getLong(0)} " +
-        s"rows, ${chk.getLong(1)} distinct)")
+    validatePolicy(policy, "licenceGate")
     val p = policy.select(col("domain").cast("string").as("domain"),
       col("licence").cast("string").as("licence"))
     val verdict = when(col("licence").isNull, "quarantine")

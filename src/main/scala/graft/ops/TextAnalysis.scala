@@ -502,7 +502,7 @@ object TextAnalysis {
   def saveDerivedProfile(profile: DataFrame, path: String): Unit = {
     val sess = profile.sparkSession
     import sess.implicits._
-    validatedDerivedRows(profile, "saveDerivedProfile")
+    validatedDerivedRows(profile, "saveDerivedProfile", maxRows = 512)
       .toDF("word", "cnt")
       .write.mode("overwrite").parquet(s"$path/stop_profile")
   }
@@ -566,7 +566,8 @@ object TextAnalysis {
     * bounded rows (inventory is driver metadata by contract). Word
     * order follows the artifact — appends preserve it. */
   private def validatedDerivedRows(
-      profile: DataFrame, op: String): Seq[(String, Long)] = {
+      profile: DataFrame, op: String,
+      maxRows: Int = 2048): Seq[(String, Long)] = {
     val rows = profile.select(col("word").cast("string").as("word"),
       col("cnt").cast("long").as("cnt")).collect()
     require(rows.nonEmpty, s"$op: profile carries no rows")
@@ -574,14 +575,17 @@ object TextAnalysis {
     // the driver can hold: stopwordProfileFor builds one aggregate
     // column per word and mgtBatteryOver one isin() literal per word —
     // both blow Catalyst codegen limits far below the old 65536 stated
-    // ceiling (the r16 ADVICE finding). 512 is comfortably inside
-    // one-agg-per-column territory; a genuinely larger register needs
-    // the broadcast-join counting shape (the q188 oracle's swm CTE),
-    // not a bigger literal list.
-    require(rows.length <= 512,
+    // ceiling (the r16 ADVICE finding). NEW artifacts save at 512
+    // (comfortably inside one-agg-per-column territory; a genuinely
+    // larger register needs the broadcast-join counting shape — the
+    // q188 oracle's swm CTE); LOAD-side consumers accept up to 2048 so
+    // a previously-saved larger register that did execute under the
+    // old contract degrades to slow, not bricked.
+    require(rows.length <= maxRows,
       s"$op: ${rows.length} profile rows — an inventory rides " +
-        "one-aggregate-per-word / one-isin-literal-per-word plans " +
-        "(<= 512 words); larger registers need a broadcast-join count")
+        s"one-aggregate-per-word / one-isin-literal-per-word plans " +
+        s"(<= $maxRows words here); larger registers need a " +
+        "broadcast-join count")
     val seen = rows.map(r => Option(r.getString(0)).getOrElse(""))
     require(seen.forall(_.nonEmpty),
       s"$op: profile words must be non-null and non-empty")

@@ -279,14 +279,23 @@ object WarcCodec {
             out += parseExtent(cid, seq, rec, 0, rec.length)
           seq += 1
           off = end
-        case Left((e, resume)) =>
+        case Left((e, resume, recovered)) =>
           // corrupt member: quarantine alone. When the member's framing
           // survived (trailer present but lying — bad CRC/ISIZE) the
-          // walk advances past its KNOWN end; only a member whose
-          // framing itself is broken falls back to scanning for the
-          // next member magic (a flipped bit must never take the
-          // container with it)
-          out += bad(seq, e)
+          // walk advances past its KNOWN end AND the decompressed
+          // record's headers stay attributable (the q124 posture:
+          // quarantine, don't lose — the payload itself is withheld,
+          // its integrity is exactly what the trailer failed to
+          // prove); only a member whose framing itself is broken falls
+          // back to scanning for the next member magic (a flipped bit
+          // must never take the container with it)
+          out += (recovered match {
+            case Some(rec) if rec.length >= Magic.length &&
+                rec.take(Magic.length).sameElements(Magic) =>
+              parseExtent(cid, seq, rec, 0, rec.length)
+                .copy(ok = false, error = Some(e), block = None)
+            case _ => bad(seq, e)
+          })
           seq += 1
           off = resume.getOrElse {
             val next = nextGzMagic(data, off + 1)
@@ -316,12 +325,15 @@ object WarcCodec {
     * or a descriptive error (truncated header/stream/trailer, bad
     * deflate data, CRC or length mismatch — each its own message so
     * quarantines stay attributable) plus, when the member's FRAMING
-    * survived (only its trailer lies), the known end offset so the
+    * survived (only its trailer lies), the known end offset — so the
     * walk resumes deterministically instead of magic-scanning through
-    * the damaged member's pseudorandom deflate bytes. */
+    * the damaged member's pseudorandom deflate bytes — and the
+    * decompressed record bytes, so the quarantined row keeps its
+    * headers attributable. */
   private def inflateMember(data: Array[Byte], off: Int)
-      : Either[(String, Option[Int]), (Array[Byte], Int)] = {
-    def broken(e: String) = Left((e, None))
+      : Either[(String, Option[Int], Option[Array[Byte]]),
+               (Array[Byte], Int)] = {
+    def broken(e: String) = Left((e, None, None))
     // RFC 1952 header: magic(2) CM(1) FLG(1) MTIME(4) XFL(1) OS(1)
     if (off + 10 > data.length)
       return broken(s"gzip-member-truncated: header needs 10 bytes, " +
@@ -366,11 +378,11 @@ object WarcCodec {
       val crcStored = readLe32(data, trailerAt)
       if (crc.getValue != crcStored)
         return Left((f"gzip-bad-crc: stored 0x$crcStored%08x, computed " +
-          f"0x${crc.getValue}%08x", Some(memberEnd)))
+          f"0x${crc.getValue}%08x", Some(memberEnd), Some(rec)))
       val isize = readLe32(data, trailerAt + 4)
       if ((rec.length.toLong & 0xffffffffL) != isize)
         return Left((s"gzip-bad-isize: stored $isize, decompressed " +
-          s"${rec.length}", Some(memberEnd)))
+          s"${rec.length}", Some(memberEnd), Some(rec)))
       Right((rec, memberEnd))
     } finally inf.end()
   }

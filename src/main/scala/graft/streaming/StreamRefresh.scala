@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Robots, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Robots, Similarity, TextAnalysis}
 
 /** The daily-refresh gate chain lifted INTO one streaming query
   * (VERDICT r16 #6): every per-document gate of
@@ -16,36 +16,43 @@ import graft.ops.{Dedup, Robots, Similarity, TextAnalysis}
   *      `dropDuplicatesWithinWatermark` primitives, deliberately not
   *      composed here — this chain is the zero-state segment)
   *   1. licence/allowlist: broadcast policy join on the registrable
-  *      domain, keep-branch only
+  *      domain (policy artifact validated exactly as the batch gate
+  *      validates it), keep-branch only
   *   2. robots: the RFC 9309 verdict per row via the per-domain rule
   *      ARRAY fold ([[graft.ops.Robots.robotsAllowedStream]]) — no
   *      per-doc aggregate
   *   3. MGT battery against the reloaded profile artifact (pure staged
   *      projections, payload-preserving)
   *   4. exact-dedup Bloom against the reloaded index's fingerprints
-  *      ([[StreamDedup.corpusGate]])
-  *   5. span decontamination Bloom against the reloaded span index's
-  *      window hashes ([[graft.ops.Dedup.spanBloomGate]])
+  *      ([[StreamDedup.corpusGate]]) — ANNOTATION ONLY
+  *      (`fp_candidate`): a Bloom positive is a CANDIDATE, and dropping
+  *      on it would silently lose ~fpp of genuinely novel documents;
+  *      the negative side is exact, which is what the annotation buys
+  *      the tail
+  *   5. span-decontamination Bloom against the reloaded span index
+  *      ([[graft.ops.Dedup.spanBloomGate]]) — likewise ANNOTATION ONLY
+  *      (`span_candidate`)
   *
-  * The SEMANTIC stage is the one per-document verdict that needs the
-  * corpus side (probed IVF cells joined per batch item) — it runs in
-  * the micro-batch tail ([[semanticGateBatch]] inside `foreachBatch`)
-  * with the IDENTICAL batch operator the daily runbook uses, which is
-  * also where the post-batch artifact appends belong (append → save is
-  * a batch job by the artifact contract: rebuild between streaming
-  * runs, never inside one).
+  * The DROP decisions that need the corpus side — dedup verify (exact
+  * AND banded-near lanes), span verify, and the semantic probe — run in
+  * the micro-batch tail ([[batchTail]] inside `foreachBatch`) with the
+  * IDENTICAL batch operators the daily runbook uses, which is also
+  * where the post-batch artifact appends belong (append → save is a
+  * batch job by the artifact contract: rebuild between streaming runs,
+  * never inside one). Per-doc verdicts therefore match the batch
+  * funnel EXACTLY: the stateless segment never drops on approximate
+  * evidence, and the tail's verifications are the batch operators
+  * themselves.
   *
   * 100 TB shape: stages 0–5 are map-only / broadcast / Bloom probes —
-  * zero state stores, zero stream-side shuffles, early-drop ordering
-  * identical to the batch funnel; the Bloom stages are candidate gates
-  * (a false positive costs the micro-batch verify, never a loss). */
+  * zero state stores, zero stream-side shuffles; the span annotation
+  * lets the tail probe ONLY candidate rows (exact-negative Blooms),
+  * and the dedup tail rides the index's own internal Bloom gates. */
 object StreamRefresh {
 
   /** The stateless six-stage gate segment. `stream` must carry
-    * (doc_id, text, url, …payload); survivors keep every input column.
-    * Verdict equivalence with the batch funnel is per-doc by
-    * construction: each stage consumes the same artifact relation and
-    * the same kernel arithmetic as its batch twin. */
+    * (doc_id, text, url, …payload); output keeps every input column
+    * and appends `fp_candidate` / `span_candidate` for the tail. */
   def gateChain(
       stream: DataFrame,
       policy: DataFrame, // (domain, licence)
@@ -58,6 +65,10 @@ object StreamRefresh {
       spanIdx: Dedup.SpanIndex): DataFrame = {
     require(allowedLicences.nonEmpty,
       "gateChain: empty licence allowlist would drop everything")
+    // same artifact gate as the batch licence stage: a duplicated
+    // policy domain would duplicate stream rows through the join —
+    // fail loudly here exactly as licenceGate does
+    Curation.validatePolicy(policy, "gateChain")
     val inCols = stream.columns.map(col).toSeq
     // stage 0: canonical URL identity
     val s0 = stream.withColumn("url",
@@ -80,34 +91,68 @@ object StreamRefresh {
     // stage 3: MGT battery (artifact-driven, column-preserving)
     val s3 = TextAnalysis.mgtReportWithProfile(s2, profile)
       .filter(!col("mgt_suspect")).select(inCols: _*)
-    // stage 4: exact-dedup Bloom on the content fingerprint
+    // stage 4: exact-dedup Bloom annotation
     val s4 = StreamDedup.corpusGate(s3, dedupFps,
         xxhash64(col("text")), expectedFps)
-      .filter(!col("might_exist")).select(inCols: _*)
-    // stage 5: span-decontamination Bloom on the window hashes
+      .withColumnRenamed("might_exist", "fp_candidate")
+    // stage 5: span-decontamination Bloom annotation
     Dedup.spanBloomGate(spanIdx, s4, col("text"))
-      .filter(!col("span_hit")).select(inCols: _*)
+      .withColumnRenamed("span_hit", "span_candidate")
   }
 
-  /** The micro-batch semantic tail: gate one micro-batch of gate-chain
-    * survivors against the reloaded IVF index with the SAME batch
-    * operator the daily runbook runs
-    * ([[graft.ops.Similarity.incrementalSemanticDedup]] — the batch is
-    * broadcast, only the probed cells of the corpus are scanned).
-    * `microBatch` must carry (doc_id, embedding, …payload); returns the
-    * semantic survivors with every input column. Call from
-    * `foreachBatch`, where the post-batch artifact appends also
-    * belong. */
-  def semanticGateBatch(
+  /** The micro-batch tail: the EXACT drop decisions over one
+    * micro-batch of gate-chain survivors, with the same batch operators
+    * the daily runbook runs —
+    *
+    *   - text dedup: [[graft.ops.Dedup.incrementalDedup]] over the
+    *     whole micro-batch (its internal Blooms make non-candidate rows
+    *     cheap; the banded NEAR lanes run too, so a near-dup the
+    *     fingerprint Bloom can't see still drops — full batch
+    *     equivalence), keep `new`;
+    *   - span decontamination: [[graft.ops.Dedup.probeSpanIndex]] over
+    *     ONLY the `span_candidate` rows (the Bloom's negatives are
+    *     exact, so non-candidates cannot have a hit), drop verified
+    *     hits;
+    *   - semantic: [[graft.ops.Similarity.incrementalSemanticDedup]]
+    *     against the reloaded IVF index (the batch is broadcast, only
+    *     probed cells scanned), keep `new`.
+    *
+    * `microBatch` must carry (doc_id, text, embedding, …payload) plus
+    * the chain's candidate flags; returns the final survivors with the
+    * flags dropped. Call from `foreachBatch`, where the post-batch
+    * artifact appends also belong. */
+  def batchTail(
       microBatch: DataFrame,
+      dedupIdx: Dedup.DedupIndex,
+      nearThreshold: Double,
+      spanIdx: Dedup.SpanIndex,
       ivf: Similarity.IvfIndex,
-      threshold: Double,
+      semThreshold: Double,
       nProbes: Int = 4): DataFrame = {
-    val fresh = Similarity.incrementalSemanticDedup(ivf,
-        microBatch.select(col("doc_id").as("batch_id"), col("embedding")),
-        threshold, nProbes)
+    val outCols = microBatch.columns
+      .filterNot(Set("fp_candidate", "span_candidate")).map(col).toSeq
+    val mb = microBatch.select(
+      (outCols :+ coalesce(col("span_candidate"), lit(true))
+        .as("span_candidate")): _*)
+      .localCheckpoint() // fence: feeds three verifications
+    // text dedup (exact + near lanes)
+    val fresh = Dedup.incrementalDedup(dedupIdx,
+        mb.select(col("doc_id"), col("text")), nearThreshold)
+      .filter(col("cls") === "new")
+      .select(col("batch_id").as("doc_id"))
+    val s4 = mb.join(fresh, Seq("doc_id"))
+    // span verify: candidates only
+    val spanHits = Dedup.probeSpanIndex(spanIdx,
+        s4.filter(col("span_candidate"))
+          .select(col("doc_id"), col("text")))
+      .select(col("id_b").as("doc_id")).distinct()
+    val s5 = s4.join(spanHits, Seq("doc_id"), "left_anti")
+    // semantic
+    val sem = Similarity.incrementalSemanticDedup(ivf,
+        s5.select(col("doc_id").as("batch_id"), col("embedding")),
+        semThreshold, nProbes)
       .filter(col("status") === "new")
       .select(col("batch_id").as("doc_id"))
-    microBatch.join(fresh, Seq("doc_id"))
+    s5.join(sem, Seq("doc_id")).select(outCols: _*)
   }
 }

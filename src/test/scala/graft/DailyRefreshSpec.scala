@@ -215,7 +215,8 @@ class DailyRefreshSpec extends SparkSpec {
       val tail: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         Long) => Unit = { (mb, _) =>
         survivors ++= graft.streaming.StreamRefresh
-          .semanticGateBatch(mb, ivf, threshold = 0.8)
+          .batchTail(mb, dedupIdx, nearThreshold = 0.7, spanIdx, ivf,
+            semThreshold = 0.8)
           .select("doc_id").as[Long].collect()
       }
       val q = gated.writeStream.outputMode(OutputMode.Append)

@@ -177,6 +177,18 @@ class WarcSpec extends SparkSpec {
       e.startsWith("gzip-member-truncated") ||
       e.startsWith("member-not-warc")), got(1).error)
     assert(btext(got(2)).contains("gamma"))
+    // a TRAILER lie (CRC byte flipped, deflate intact): the member
+    // quarantines with its HEADERS attributable — the record
+    // decompressed fine, only its integrity proof failed (the q124
+    // posture: quarantine, don't lose); the payload is withheld
+    val crcFlip = m2.clone()
+    crcFlip(m2.length - 8) = (crcFlip(m2.length - 8) ^ 0xff).toByte
+    val attr = WarcCodec.parseGzipRecords(9L, m1 ++ crcFlip ++ m3)
+    assert(attr.map(_.ok) == Seq(true, false, true))
+    assert(attr(1).error.exists(_.startsWith("gzip-bad-crc")))
+    assert(attr(1).record_id.contains("<urn:graft:2>"), attr(1))
+    assert(attr(1).target_uri.contains("https://site2.com/p2"))
+    assert(attr(1).block.isEmpty)
     // trailing member cut mid-trailer: truncated, alone
     val cut = WarcCodec.parseGzipRecords(6L,
       m1 ++ m2.dropRight(5))
