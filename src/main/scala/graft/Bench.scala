@@ -943,7 +943,10 @@ object Bench {
       // shuffle — linear (VERDICT r16 #1's demanded ladder row); the
       // multimodal crawl slice: PNG encode + gzip + member walk + HTTP
       // entity decode + real ImageIO decode, all per-record — linear
-      "q190_http_charset", "q191_warc_gzip", "q192_crawl_media")
+      // content-encoding decode: per-row gunzip + transcode + sniff,
+      // map-only — linear
+      "q190_http_charset", "q191_warc_gzip", "q192_crawl_media",
+      "q193_http_content_encoding")
     val ladderOn = (only.isEmpty || ladderOne.nonEmpty) &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER", "1") != "0"
     var ladderJson = "null"

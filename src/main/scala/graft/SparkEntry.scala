@@ -5990,6 +5990,64 @@ object SparkEntry {
     imgLane.unionByName(txtLane).orderBy(col("doc_id"))
   }
 
+  /** HTTP Content-Encoding + charset sniff (q193): gzip entity bodies
+    * — how real servers actually ship text — decompressed BEFORE any
+    * charset work, plus the content-based charset detector. Six
+    * planted classes: identity, gzip'd utf-8, gzip'd declared
+    * windows-1252 (the transcode runs on the DECOMPRESSED bytes), a
+    * gzip'd LYING declaration (1252 bytes under utf-8 — transcode
+    * flagged, the sniffer reads the bytes' own evidence), a corrupt
+    * gzip stream (flagged, raw bytes carried, nothing decoded), and an
+    * unknown coding (`br` — flagged, never guessed). Map-only. */
+  private def qHttpContentEncoding(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blocks = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        def cs(n: String) = java.nio.charset.Charset.forName(n)
+        def gz(b: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(b); g.close(); bos.toByteArray
+        }
+        def http(hdrs: String, body: Array[Byte]): Array[Byte] =
+          (s"HTTP/1.1 200 OK\r\n$hdrs\r\n\r\n").getBytes(
+            java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
+        val block: Array[Byte] = (id % 6) match {
+          case 0 => http("Content-Type: text/html; charset=utf-8",
+            s"page é p$id".getBytes(cs("UTF-8")))
+          case 1 => http("Content-Encoding: gzip\r\n" +
+            "Content-Type: text/html; charset=utf-8",
+            gz(s"page é g$id".getBytes(cs("UTF-8"))))
+          case 2 => http("Content-Encoding: gzip\r\n" +
+            "Content-Type: text/plain; charset=windows-1252",
+            gz(s"café € w$id".getBytes(cs("windows-1252"))))
+          case 3 => http("Content-Encoding: gzip\r\n" +
+            "Content-Type: text/html; charset=utf-8",
+            gz(s"café l$id".getBytes(cs("windows-1252")))) // the lie
+          case 4 =>
+            val c = gz(s"page c$id".getBytes(cs("UTF-8")))
+            c(c.length / 2) = (c(c.length / 2) ^ 0x55).toByte
+            http("Content-Encoding: gzip\r\n" +
+              "Content-Type: text/html; charset=utf-8", c)
+          case _ => http("Content-Encoding: br\r\n" +
+            "Content-Type: text/html",
+            s"xx b$id".getBytes(cs("UTF-8")))
+        }
+        (id, block)
+      }
+      .toDF("doc_id", "block")
+    graft.sources.WarcHttp.parseHttp(blocks, col("doc_id"), col("block"))
+      .select(col("doc_id"), col("status"),
+        col("content_encoding"), col("encoding_ok"),
+        col("content_type"), col("charset"), col("is_text"),
+        col("transcode_ok"), col("sniffed_charset"),
+        when(col("encoding_ok"), octet_length(col("body")).cast("long"))
+          .otherwise(lit(-1L)).as("body_len"),
+        col("body_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -6631,7 +6689,8 @@ object SparkEntry {
     "q189_daily_refresh" -> (qDailyRefresh _),
     "q190_http_charset" -> (qHttpCharset _),
     "q191_warc_gzip" -> (qWarcGzip _),
-    "q192_crawl_media" -> (qCrawlMedia _))
+    "q192_crawl_media" -> (qCrawlMedia _),
+    "q193_http_content_encoding" -> (qHttpContentEncoding _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -10541,6 +10600,40 @@ object SparkEntry {
            CASE WHEN is_txt THEN -1 ELSE h END AS decoded_h,
            CASE WHEN is_txt THEN 'n/a' ELSE 'ok' END AS png_sig,
            CAST(CASE WHEN is_txt THEN 4 ELSE -1 END AS BIGINT) AS n_tok
+         FROM b
+         ORDER BY doc_id""",
+    // q193: the Content-Encoding/charset-sniff relation pinned
+    // closed-form — the engine gunzips, transcodes, and sniffs for
+    // real; the oracle replays every class including the lying
+    // declaration's U+FFFD text and the sniffer's verdicts
+    "q193_http_content_encoding" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(doc_id % 6 AS INT) AS c FROM documents)
+         SELECT doc_id,
+           CAST(200 AS BIGINT) AS status,
+           CASE WHEN c = 0 THEN NULL WHEN c = 5 THEN 'br'
+             ELSE 'gzip' END AS content_encoding,
+           (c IN (0, 1, 2, 3)) AS encoding_ok,
+           CASE WHEN c = 2 THEN 'text/plain' ELSE 'text/html'
+             END AS content_type,
+           CASE WHEN c = 2 THEN 'windows-1252' WHEN c = 5 THEN NULL
+             ELSE 'utf-8' END AS charset,
+           true AS is_text,
+           (c IN (0, 1, 2)) AS transcode_ok,
+           CASE WHEN c IN (0, 1) THEN 'utf-8'
+             WHEN c = 2 THEN 'windows-1252'
+             WHEN c = 3 THEN 'iso-8859-1'
+             ELSE NULL END AS sniffed_charset,
+           CAST(CASE WHEN c = 0 THEN octet_length(encode('page é p' || doc_id))
+             WHEN c = 1 THEN octet_length(encode('page é g' || doc_id))
+             WHEN c = 2 THEN length('café € w' || doc_id)
+             WHEN c = 3 THEN length('café l' || doc_id)
+             ELSE -1 END AS BIGINT) AS body_len,
+           CASE WHEN c = 0 THEN 'page é p' || doc_id
+             WHEN c = 1 THEN 'page é g' || doc_id
+             WHEN c = 2 THEN 'café € w' || doc_id
+             WHEN c = 3 THEN 'caf' || chr(65533) || ' l' || doc_id
+             ELSE NULL END AS body_text
          FROM b
          ORDER BY doc_id""",
     // q176: shape-pinned expected domain (q130 convention) + the

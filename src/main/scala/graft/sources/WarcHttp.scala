@@ -43,7 +43,21 @@ import org.apache.spark.sql.functions._
   * the WARC container scan produced. */
 object WarcHttp {
 
-  /** One decoded HTTP entity, keyed back to its record. */
+  /** One decoded HTTP entity, keyed back to its record.
+    *
+    *  - `content_encoding` / `encoding_ok`: the `Content-Encoding`
+    *    header (lowercased) and whether the body was successfully
+    *    DE-coded under it — `gzip` bodies (how real servers ship text)
+    *    gunzip before any charset work; a corrupt stream flags and the
+    *    RAW bytes stay carried (quarantine, don't lose);
+    *  - `sniffed_charset`: content-based charset evidence for text
+    *    entities, independent of the DECLARED charset — strictly-valid
+    *    UTF-8 sniffs `utf-8`; else a byte in the C1 range 0x80–0x9F
+    *    (printable punctuation in windows-1252, control codes no one
+    *    intends in iso-8859-1) sniffs `windows-1252`; else
+    *    `iso-8859-1`. The standard pragmatic heuristic — when it
+    *    disagrees with the declaration (a flagged transcode), it IS
+    *    the repair signal. */
   final case class HttpEntity(
       doc_id: Long,
       http_ok: Boolean,
@@ -53,10 +67,13 @@ object WarcHttp {
       n_headers: Int,
       content_type: Option[String],
       charset: Option[String],
+      content_encoding: Option[String],
+      encoding_ok: Boolean,
       is_text: Boolean,
       body: Array[Byte],
       body_text: Option[String],
-      transcode_ok: Boolean)
+      transcode_ok: Boolean,
+      sniffed_charset: Option[String])
 
   /** Parse (id, block bytes) rows into the entity relation. Map-only. */
   def parseHttp(
@@ -75,8 +92,8 @@ object WarcHttp {
   /** The per-record parse — package-visible for the hand-case spec. */
   private[graft] def parseEntity(id: Long, block: Array[Byte]): HttpEntity = {
     def fail(e: String) = HttpEntity(id, http_ok = false, Some(e), None,
-      None, 0, None, None, is_text = false, block, None,
-      transcode_ok = false)
+      None, 0, None, None, None, encoding_ok = false, is_text = false,
+      block, None, transcode_ok = false, None)
     // status line
     val eol0 = indexOfCrlf(block, 0)
     if (eol0 < 0)
@@ -93,6 +110,7 @@ object WarcHttp {
     var at = eol0 + 2
     var nHeaders = 0
     var contentType: Option[String] = None
+    var contentEncoding: Option[String] = None
     var bodyStart = -1
     while (bodyStart < 0) {
       val eol = indexOfCrlf(block, at)
@@ -107,13 +125,30 @@ object WarcHttp {
         if (colon <= 0)
           return fail(s"malformed-header-line: '${line.take(60)}'")
         nHeaders += 1
-        if (line.substring(0, colon).trim
-            .equalsIgnoreCase("content-type"))
+        val name = line.substring(0, colon).trim
+        if (name.equalsIgnoreCase("content-type"))
           contentType = Some(line.substring(colon + 1).trim)
+        else if (name.equalsIgnoreCase("content-encoding"))
+          contentEncoding = Some(line.substring(colon + 1).trim
+            .toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
         at = eol + 2
       }
     }
-    val body = java.util.Arrays.copyOfRange(block, bodyStart, block.length)
+    val rawBody =
+      java.util.Arrays.copyOfRange(block, bodyStart, block.length)
+    // Content-Encoding: gzip bodies gunzip BEFORE any charset work (the
+    // transfer wrapper is not the text); identity/absent passes
+    // through; an unknown coding or a corrupt stream flags and the raw
+    // bytes stay carried
+    val (body, encodingOk) = contentEncoding match {
+      case None | Some("identity") => (rawBody, true)
+      case Some("gzip") | Some("x-gzip") =>
+        gunzip(rawBody) match {
+          case Some(d) => (d, true)
+          case None => (rawBody, false)
+        }
+      case Some(_) => (rawBody, false)
+    }
     // media type + charset parameter (RFC 9110 grammar, lowercased;
     // quoted charset values unquoted)
     val mediaType = contentType.map(_.split(";")(0).trim
@@ -135,11 +170,70 @@ object WarcHttp {
         mt.endsWith("+json") || mt == "application/json" ||
         mt == "application/xml" || mt == "application/javascript")
     val (bodyText, transcodeOk) =
-      if (!isText) (None, false)
+      if (!isText || !encodingOk) (None, false)
       else decodeBody(body, declaredCharset.getOrElse("utf-8"))
+    val sniffed =
+      if (isText && encodingOk) Some(sniffCharset(body)) else None
     HttpEntity(id, http_ok = true, None, Some(status), Some(reason),
-      nHeaders, mediaType, declaredCharset, isText, body, bodyText,
-      transcodeOk)
+      nHeaders, mediaType, declaredCharset, contentEncoding,
+      encodingOk, isText, body, bodyText, transcodeOk, sniffed)
+  }
+
+  /** Gunzip one entity body (single member, the HTTP shape). None on
+    * any corruption — the caller keeps the raw bytes and flags. */
+  private def gunzip(body: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(body))
+      try Some(in.readAllBytes()) finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Content-based charset evidence (see [[HttpEntity]]): strictly
+    * valid UTF-8 → `utf-8`; else a C1-range byte (0x80–0x9F) →
+    * `windows-1252`; else `iso-8859-1`. Deterministic, one pass. */
+  private[graft] def sniffCharset(body: Array[Byte]): String = {
+    if (validUtf8(body)) "utf-8"
+    else {
+      var i = 0
+      while (i < body.length) {
+        val b = body(i) & 0xff
+        if (b >= 0x80 && b <= 0x9f) return "windows-1252"
+        i += 1
+      }
+      "iso-8859-1"
+    }
+  }
+
+  /** Strict UTF-8 validity (RFC 3629: no overlongs, no surrogates, max
+    * U+10FFFF) — one allocation-free pass. */
+  private[graft] def validUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // continuation or overlong lead
+      else if (c < 0xe0) { // 2-byte
+        if (i + 1 >= n || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) { // 3-byte
+        if (i + 2 >= n) return false
+        val c1 = b(i + 1) & 0xff
+        if ((c1 & 0xc0) != 0x80 || (b(i + 2) & 0xc0) != 0x80) return false
+        if (c == 0xe0 && c1 < 0xa0) return false // overlong
+        if (c == 0xed && c1 >= 0xa0) return false // surrogate
+        i += 3
+      } else if (c < 0xf5) { // 4-byte
+        if (i + 3 >= n) return false
+        val c1 = b(i + 1) & 0xff
+        if ((c1 & 0xc0) != 0x80 || (b(i + 2) & 0xc0) != 0x80 ||
+          (b(i + 3) & 0xc0) != 0x80) return false
+        if (c == 0xf0 && c1 < 0x90) return false // overlong
+        if (c == 0xf4 && c1 >= 0x90) return false // > U+10FFFF
+        i += 4
+      } else return false
+    }
+    true
   }
 
   /** Decode `body` under `charsetName`. Strict first (a lossless decode

@@ -66,6 +66,77 @@ class WarcHttpSpec extends SparkSpec {
       msg("image/svg+xml", "<svg/>".getBytes(UTF_8))).is_text)
   }
 
+  test("Content-Encoding: gzip bodies gunzip before charset work; a " +
+      "corrupt stream flags with raw bytes carried; unknown codings " +
+      "flag (VERDICT-r17 realism: how real servers ship text)") {
+    def gz(s: String, cs: String = "UTF-8"): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes(java.nio.charset.Charset.forName(cs)))
+      g.close(); bos.toByteArray
+    }
+    def gzMsg(ct: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+        s"Content-Type: $ct\r\n\r\n").getBytes(ISO_8859_1) ++ body
+    val e = WarcHttp.parseEntity(1L,
+      gzMsg("text/html; charset=utf-8", gz("naïve café page")))
+    assert(e.content_encoding.contains("gzip") && e.encoding_ok)
+    assert(e.body_text.contains("naïve café page") && e.transcode_ok)
+    // the charset decode runs on the DECOMPRESSED bytes
+    val w = WarcHttp.parseEntity(2L,
+      gzMsg("text/plain; charset=windows-1252", gz("café €", "windows-1252")))
+    assert(w.body_text.contains("café €") && w.transcode_ok)
+    // corrupt stream: flagged, raw bytes carried, no text
+    val corrupt = gz("some page text")
+    corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x55).toByte
+    val c = WarcHttp.parseEntity(3L, gzMsg("text/html", corrupt))
+    assert(!c.encoding_ok && c.body_text.isEmpty && !c.transcode_ok)
+    assert(c.body.toSeq == corrupt.toSeq)
+    // unknown coding: flagged, raw carried
+    val u = WarcHttp.parseEntity(4L,
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n" +
+        "Content-Type: text/html\r\n\r\nxx").getBytes(ISO_8859_1))
+    assert(!u.encoding_ok && u.content_encoding.contains("br"))
+    // identity passes through
+    assert(WarcHttp.parseEntity(5L,
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: identity\r\n" +
+        "Content-Type: text/plain\r\n\r\nhi").getBytes(ISO_8859_1))
+      .body_text.contains("hi"))
+  }
+
+  test("charset sniff: strict-UTF-8, C1-range windows-1252, else " +
+      "iso-8859-1 — the repair signal when the declaration lies") {
+    import WarcHttp.{sniffCharset, validUtf8}
+    assert(sniffCharset("plain ascii".getBytes(UTF_8)) == "utf-8")
+    assert(sniffCharset("naïve café".getBytes(UTF_8)) == "utf-8")
+    // € in windows-1252 is 0x80 — C1 range
+    assert(sniffCharset("café €".getBytes(
+      java.nio.charset.Charset.forName("windows-1252"))) == "windows-1252")
+    // é=0xE9 alone (≥0xA0): legal iso-8859-1, invalid utf-8
+    assert(sniffCharset("café".getBytes(ISO_8859_1)) == "iso-8859-1")
+    // strictness: overlongs, lone continuations, surrogates all reject
+    assert(!validUtf8(Array(0xc0.toByte, 0xaf.toByte))) // overlong '/'
+    assert(!validUtf8(Array(0x80.toByte)))
+    assert(!validUtf8(Array(0xed.toByte, 0xa0.toByte, 0x80.toByte)))
+    assert(validUtf8(Array(0xf4.toByte, 0x8f.toByte, 0xbf.toByte,
+      0xbf.toByte))) // U+10FFFF
+    assert(!validUtf8(Array(0xf4.toByte, 0x90.toByte, 0x80.toByte,
+      0x80.toByte))) // > U+10FFFF
+    // the entity wires it: a lying declaration (1252 bytes under utf-8)
+    // sniffs the truth the transcode flag points at
+    val lying = WarcHttp.parseEntity(9L,
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+        "\r\n\r\n").getBytes(ISO_8859_1) ++
+        "café €".getBytes(java.nio.charset.Charset.forName("windows-1252")))
+    assert(!lying.transcode_ok &&
+      lying.sniffed_charset.contains("windows-1252"))
+    // binary entities sniff nothing
+    assert(WarcHttp.parseEntity(10L,
+      ("HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n")
+        .getBytes(ISO_8859_1) ++ Array[Byte](0x89.toByte, 'P'))
+      .sniffed_charset.isEmpty)
+  }
+
   test("framing failures quarantine descriptively and keep the bytes") {
     val none = WarcHttp.parseEntity(1L, "no crlf at all".getBytes(US_ASCII))
     assert(!none.http_ok &&
