@@ -6044,7 +6044,8 @@ object SparkEntry {
         col("transcode_ok"), col("sniffed_charset"),
         when(col("encoding_ok"), octet_length(col("body")).cast("long"))
           .otherwise(lit(-1L)).as("body_len"),
-        col("body_text"))
+        col("body_text"),
+        col("body_text_repaired"))
       .orderBy(col("doc_id"))
   }
 
@@ -10633,7 +10634,9 @@ object SparkEntry {
              WHEN c = 1 THEN 'page é g' || doc_id
              WHEN c = 2 THEN 'café € w' || doc_id
              WHEN c = 3 THEN 'caf' || chr(65533) || ' l' || doc_id
-             ELSE NULL END AS body_text
+             ELSE NULL END AS body_text,
+           CASE WHEN c = 3 THEN 'café l' || doc_id
+             ELSE NULL END AS body_text_repaired
          FROM b
          ORDER BY doc_id""",
     // q176: shape-pinned expected domain (q130 convention) + the

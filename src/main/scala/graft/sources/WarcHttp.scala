@@ -73,7 +73,13 @@ object WarcHttp {
       body: Array[Byte],
       body_text: Option[String],
       transcode_ok: Boolean,
-      sniffed_charset: Option[String])
+      sniffed_charset: Option[String],
+      // the repair loop closed: when the DECLARED charset decoded
+      // lossily and the sniffer reads different evidence, the body is
+      // re-decoded under the SNIFFED charset — non-null only when that
+      // second decode is itself lossless (a repair that still
+      // replacement-chars is no repair)
+      body_text_repaired: Option[String])
 
   /** Parse (id, block bytes) rows into the entity relation. Map-only. */
   def parseHttp(
@@ -93,7 +99,7 @@ object WarcHttp {
   private[graft] def parseEntity(id: Long, block: Array[Byte]): HttpEntity = {
     def fail(e: String) = HttpEntity(id, http_ok = false, Some(e), None,
       None, 0, None, None, None, encoding_ok = false, is_text = false,
-      block, None, transcode_ok = false, None)
+      block, None, transcode_ok = false, None, None)
     // status line
     val eol0 = indexOfCrlf(block, 0)
     if (eol0 < 0)
@@ -174,9 +180,18 @@ object WarcHttp {
       else decodeBody(body, declaredCharset.getOrElse("utf-8"))
     val sniffed =
       if (isText && encodingOk) Some(sniffCharset(body)) else None
+    val repaired =
+      if (transcodeOk || !isText || !encodingOk) None
+      else sniffed
+        .filter(sn => !declaredCharset.contains(sn))
+        .flatMap { sn =>
+          val (t, ok) = decodeBody(body, sn)
+          if (ok) t else None
+        }
     HttpEntity(id, http_ok = true, None, Some(status), Some(reason),
       nHeaders, mediaType, declaredCharset, contentEncoding,
-      encodingOk, isText, body, bodyText, transcodeOk, sniffed)
+      encodingOk, isText, body, bodyText, transcodeOk, sniffed,
+      repaired)
   }
 
   /** Gunzip one entity body (single member, the HTTP shape). None on

@@ -130,6 +130,14 @@ class WarcHttpSpec extends SparkSpec {
         "café €".getBytes(java.nio.charset.Charset.forName("windows-1252")))
     assert(!lying.transcode_ok &&
       lying.sniffed_charset.contains("windows-1252"))
+    // …and the repair loop closes: re-decoded under the SNIFFED
+    // charset, losslessly — the text comes back whole
+    assert(lying.body_text_repaired.contains("café €"), lying.toString)
+    // a clean transcode never repairs (nothing to repair)
+    assert(WarcHttp.parseEntity(11L,
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8" +
+        "\r\n\r\nok fine").getBytes(ISO_8859_1))
+      .body_text_repaired.isEmpty)
     // binary entities sniff nothing
     assert(WarcHttp.parseEntity(10L,
       ("HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n")

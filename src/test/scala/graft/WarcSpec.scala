@@ -295,6 +295,45 @@ class WarcSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("the GZIP crawl front door composes IN-STREAM: member walk + " +
+      "record framing + HTTP entity decode in one stateless query") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val entities = graft.sources.WarcHttp.parseHttp(
+      WarcCodec.parseGzipContainers(
+          source.toDF().toDF("container_id", "data"),
+          col("container_id"), col("data"))
+        .filter(col("ok"))
+        .select(
+          regexp_extract(col("record_id"), "^<urn:graft:(\\d+)>$", 1)
+            .cast("long").as("doc_id"),
+          col("block")),
+      col("doc_id"), col("block"))
+    val q = entities.writeStream.format("memory")
+      .queryName("gz_front_door").outputMode(OutputMode.Append).start()
+    try {
+      def rec(id: Long, body: String) = WarcCodec.gzipMember(
+        WarcCodec.mintResponseRecordBytes(s"<urn:graft:$id>",
+          s"https://a.com/p$id", "2026-01-01T00:00:00Z",
+          (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n$body")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      source.addData((1L, rec(10, "alpha") ++ rec(11, "beta")),
+        (2L, rec(12, "gamma")))
+      q.processAllAvailable()
+      val got = spark.table("gz_front_door")
+        .select("doc_id", "status", "body_text")
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == Set((10L, 200L, "alpha"), (11L, 200L, "beta"),
+        (12L, 200L, "gamma")), got.toString)
+      val progs = q.recentProgress
+      assert(progs.nonEmpty && progs.forall(_.stateOperators.isEmpty),
+        "the composed gzip front door must run stateless")
+    } finally q.stop()
+  }
+
   test("parseContainers is map-only over blobs and preserves container ids") {
     import spark.implicits._
     val blob = (record(10, "alpha") + record(11, "beta"))
