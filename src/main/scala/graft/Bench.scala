@@ -946,7 +946,7 @@ object Bench {
       // content-encoding decode: per-row gunzip + transcode + sniff,
       // map-only — linear
       "q190_http_charset", "q191_warc_gzip", "q192_crawl_media",
-      "q193_http_content_encoding")
+      "q193_http_content_encoding", "q194_http_chunked")
     val ladderOn = (only.isEmpty || ladderOne.nonEmpty) &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER", "1") != "0"
     var ladderJson = "null"

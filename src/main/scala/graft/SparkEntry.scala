@@ -6049,6 +6049,68 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** HTTP chunked transfer framing (q194): `Transfer-Encoding: chunked`
+    * bodies reassembled BEFORE content decoding (RFC 9112 §7.1 order —
+    * the hop-by-hop framing is not the entity). Four planted classes:
+    * identity, chunked text (multi-chunk hex framing), chunked + gzip
+    * (de-chunk THEN gunzip — both wire layers composed), and a corrupt
+    * size line (flagged, raw bytes carried, nothing guessed).
+    * Map-only. */
+  private def qHttpChunked(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blocks = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        def gz(b: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(b); g.close(); bos.toByteArray
+        }
+        def chunk(b: Array[Byte], sz: Int): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          var i = 0
+          while (i < b.length) {
+            val n = math.min(sz, b.length - i)
+            bos.write(s"${n.toHexString}\r\n".getBytes(ascii))
+            bos.write(b, i, n)
+            bos.write("\r\n".getBytes(ascii))
+            i += n
+          }
+          bos.write("0\r\n\r\n".getBytes(ascii))
+          bos.toByteArray
+        }
+        def http(hdrs: String, body: Array[Byte]): Array[Byte] =
+          (s"HTTP/1.1 200 OK\r\n$hdrs\r\n\r\n").getBytes(
+            java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val block: Array[Byte] = (id % 4) match {
+          case 0 => http("Content-Type: text/plain; charset=utf-8",
+            s"plain p$id".getBytes(utf8))
+          case 1 => http("Transfer-Encoding: chunked\r\n" +
+            "Content-Type: text/html; charset=utf-8",
+            chunk(s"chunk page k$id".getBytes(utf8), 6))
+          case 2 => http("Transfer-Encoding: chunked\r\n" +
+            "Content-Encoding: gzip\r\n" +
+            "Content-Type: text/html; charset=utf-8",
+            chunk(gz(s"zipped both z$id".getBytes(utf8)), 9))
+          case _ => http("Transfer-Encoding: chunked\r\n" +
+            "Content-Type: text/html; charset=utf-8",
+            s"ZZ\r\nnot a chunk body b$id".getBytes(utf8))
+        }
+        (id, block)
+      }
+      .toDF("doc_id", "block")
+    graft.sources.WarcHttp.parseHttp(blocks, col("doc_id"), col("block"))
+      .select(col("doc_id"), col("status"),
+        col("transfer_encoding"), col("content_encoding"),
+        col("encoding_ok"), col("content_type"), col("transcode_ok"),
+        when(col("encoding_ok"), octet_length(col("body")).cast("long"))
+          .otherwise(lit(-1L)).as("body_len"),
+        col("body_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -6691,7 +6753,8 @@ object SparkEntry {
     "q190_http_charset" -> (qHttpCharset _),
     "q191_warc_gzip" -> (qWarcGzip _),
     "q192_crawl_media" -> (qCrawlMedia _),
-    "q193_http_content_encoding" -> (qHttpContentEncoding _))
+    "q193_http_content_encoding" -> (qHttpContentEncoding _),
+    "q194_http_chunked" -> (qHttpChunked _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -10637,6 +10700,32 @@ object SparkEntry {
              ELSE NULL END AS body_text,
            CASE WHEN c = 3 THEN 'café l' || doc_id
              ELSE NULL END AS body_text_repaired
+         FROM b
+         ORDER BY doc_id""",
+    // q194: chunked transfer framing pinned closed-form — the engine
+    // reassembles the hex chunk framing (and composes it with the gzip
+    // content coding) for real; the oracle replays the reassembled
+    // texts and the corrupt class's flagged verdict
+    "q194_http_chunked" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(doc_id % 4 AS INT) AS c FROM documents)
+         SELECT doc_id,
+           CAST(200 AS BIGINT) AS status,
+           CASE WHEN c = 0 THEN NULL ELSE 'chunked'
+             END AS transfer_encoding,
+           CASE WHEN c = 2 THEN 'gzip' END AS content_encoding,
+           (c <> 3) AS encoding_ok,
+           CASE WHEN c = 0 THEN 'text/plain' ELSE 'text/html'
+             END AS content_type,
+           (c <> 3) AS transcode_ok,
+           CAST(CASE WHEN c = 0 THEN octet_length(encode('plain p' || doc_id))
+             WHEN c = 1 THEN octet_length(encode('chunk page k' || doc_id))
+             WHEN c = 2 THEN octet_length(encode('zipped both z' || doc_id))
+             ELSE -1 END AS BIGINT) AS body_len,
+           CASE WHEN c = 0 THEN 'plain p' || doc_id
+             WHEN c = 1 THEN 'chunk page k' || doc_id
+             WHEN c = 2 THEN 'zipped both z' || doc_id
+             ELSE NULL END AS body_text
          FROM b
          ORDER BY doc_id""",
     // q176: shape-pinned expected domain (q130 convention) + the

@@ -67,7 +67,11 @@ object WarcHttp {
       n_headers: Int,
       content_type: Option[String],
       charset: Option[String],
+      transfer_encoding: Option[String],
       content_encoding: Option[String],
+      // one wire-decode verdict for BOTH steps (de-chunk, then
+      // content-decode): false means the raw bytes are carried and
+      // nothing downstream guessed
       encoding_ok: Boolean,
       is_text: Boolean,
       body: Array[Byte],
@@ -98,8 +102,8 @@ object WarcHttp {
   /** The per-record parse — package-visible for the hand-case spec. */
   private[graft] def parseEntity(id: Long, block: Array[Byte]): HttpEntity = {
     def fail(e: String) = HttpEntity(id, http_ok = false, Some(e), None,
-      None, 0, None, None, None, encoding_ok = false, is_text = false,
-      block, None, transcode_ok = false, None, None)
+      None, 0, None, None, None, None, encoding_ok = false,
+      is_text = false, block, None, transcode_ok = false, None, None)
     // status line
     val eol0 = indexOfCrlf(block, 0)
     if (eol0 < 0)
@@ -117,6 +121,7 @@ object WarcHttp {
     var nHeaders = 0
     var contentType: Option[String] = None
     var contentEncoding: Option[String] = None
+    var transferEncoding: Option[String] = None
     var bodyStart = -1
     while (bodyStart < 0) {
       val eol = indexOfCrlf(block, at)
@@ -137,24 +142,39 @@ object WarcHttp {
         else if (name.equalsIgnoreCase("content-encoding"))
           contentEncoding = Some(line.substring(colon + 1).trim
             .toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+        else if (name.equalsIgnoreCase("transfer-encoding"))
+          transferEncoding = Some(line.substring(colon + 1).trim
+            .toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
         at = eol + 2
       }
     }
     val rawBody =
       java.util.Arrays.copyOfRange(block, bodyStart, block.length)
-    // Content-Encoding: gzip bodies gunzip BEFORE any charset work (the
-    // transfer wrapper is not the text); identity/absent passes
-    // through; an unknown coding or a corrupt stream flags and the raw
-    // bytes stay carried
-    val (body, encodingOk) = contentEncoding match {
+    // wire decode, in protocol order: Transfer-Encoding (hop-by-hop
+    // framing — chunked reassembles first) then Content-Encoding (gzip
+    // bodies gunzip BEFORE any charset work; the wrappers are not the
+    // text); identity/absent passes through; an unknown coding or a
+    // corrupt stream flags and the raw bytes stay carried
+    val (framed, transferOk) = transferEncoding match {
       case None | Some("identity") => (rawBody, true)
-      case Some("gzip") | Some("x-gzip") =>
-        gunzip(rawBody) match {
+      case Some("chunked") =>
+        dechunk(rawBody) match {
           case Some(d) => (d, true)
           case None => (rawBody, false)
         }
       case Some(_) => (rawBody, false)
     }
+    val (body, encodingOk) =
+      if (!transferOk) (rawBody, false)
+      else contentEncoding match {
+        case None | Some("identity") => (framed, true)
+        case Some("gzip") | Some("x-gzip") =>
+          gunzip(framed) match {
+            case Some(d) => (d, true)
+            case None => (framed, false)
+          }
+        case Some(_) => (framed, false)
+      }
     // media type + charset parameter (RFC 9110 grammar, lowercased;
     // quoted charset values unquoted)
     val mediaType = contentType.map(_.split(";")(0).trim
@@ -189,9 +209,37 @@ object WarcHttp {
           if (ok) t else None
         }
     HttpEntity(id, http_ok = true, None, Some(status), Some(reason),
-      nHeaders, mediaType, declaredCharset, contentEncoding,
-      encodingOk, isText, body, bodyText, transcodeOk, sniffed,
-      repaired)
+      nHeaders, mediaType, declaredCharset, transferEncoding,
+      contentEncoding, encodingOk, isText, body, bodyText, transcodeOk,
+      sniffed, repaired)
+  }
+
+  /** Reassemble one `Transfer-Encoding: chunked` body (RFC 9112 §7.1):
+    * hex size line (extensions after ';' ignored), chunk octets, CRLF,
+    * repeated; the zero chunk ends the body (trailer fields, if any,
+    * are ignored). None on any framing violation — the caller keeps
+    * the raw bytes and flags. */
+  private[graft] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    while (true) {
+      val eol = indexOfCrlf(b, i)
+      if (eol < 0) return None
+      val sizeStr = new String(b, i, eol - i, StandardCharsets.ISO_8859_1)
+        .split(";")(0).trim
+      val size =
+        try java.lang.Long.parseLong(sizeStr, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0 || size > Int.MaxValue.toLong) return None
+      i = eol + 2
+      if (size == 0L) return Some(out.toByteArray)
+      if (i + size + 2 > b.length) return None
+      out.write(b, i, size.toInt)
+      if (b(i + size.toInt) != 13 || b(i + size.toInt + 1) != 10)
+        return None
+      i += size.toInt + 2
+    }
+    None
   }
 
   /** Gunzip one entity body (single member, the HTTP shape). None on

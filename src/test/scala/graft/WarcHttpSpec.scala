@@ -145,6 +145,44 @@ class WarcHttpSpec extends SparkSpec {
       .sniffed_charset.isEmpty)
   }
 
+  test("chunked transfer framing reassembles before content decoding; " +
+      "extensions and trailers tolerated, violations flag") {
+    import WarcHttp.dechunk
+    def a(s: String) = s.getBytes(US_ASCII)
+    // two chunks + extension on the size line + trailer ignored
+    assert(dechunk(a("5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\n" +
+      "X-Trailer: v\r\n\r\n")).map(new String(_, US_ASCII))
+      .contains("hello world"))
+    // violations: bad hex, short chunk, missing CRLF after data
+    assert(dechunk(a("ZZ\r\nhello\r\n0\r\n\r\n")).isEmpty)
+    assert(dechunk(a("A\r\nhi\r\n0\r\n\r\n")).isEmpty)
+    assert(dechunk(a("2\r\nhiX0\r\n\r\n")).isEmpty)
+    assert(dechunk(a("no chunks at all")).isEmpty)
+    // composed with gzip: de-chunk THEN gunzip (the RFC order)
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write("layered body".getBytes(UTF_8)); g.close(); bos.toByteArray
+    }
+    val chunked = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(a(s"${gz.length.toHexString}\r\n"))
+      bos.write(gz); bos.write(a("\r\n0\r\n\r\n")); bos.toByteArray
+    }
+    val e = WarcHttp.parseEntity(1L,
+      ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+        "Content-Encoding: gzip\r\nContent-Type: text/plain\r\n\r\n")
+        .getBytes(ISO_8859_1) ++ chunked)
+    assert(e.transfer_encoding.contains("chunked") &&
+      e.content_encoding.contains("gzip") && e.encoding_ok)
+    assert(e.body_text.contains("layered body"), e.toString)
+    // corrupt chunk framing: flagged, raw carried
+    val bad = WarcHttp.parseEntity(2L,
+      ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+        "Content-Type: text/plain\r\n\r\nZZ\r\nxx").getBytes(ISO_8859_1))
+    assert(!bad.encoding_ok && bad.body_text.isEmpty)
+  }
+
   test("framing failures quarantine descriptively and keep the bytes") {
     val none = WarcHttp.parseEntity(1L, "no crlf at all".getBytes(US_ASCII))
     assert(!none.http_ok &&
