@@ -6005,11 +6005,8 @@ object SparkEntry {
       .as[Long]
       .map { id =>
         def cs(n: String) = java.nio.charset.Charset.forName(n)
-        def gz(b: Array[Byte]): Array[Byte] = {
-          val bos = new java.io.ByteArrayOutputStream()
-          val g = new java.util.zip.GZIPOutputStream(bos)
-          g.write(b); g.close(); bos.toByteArray
-        }
+        def gz(b: Array[Byte]): Array[Byte] =
+          graft.sources.WarcCodec.gzipMember(b)
         def http(hdrs: String, body: Array[Byte]): Array[Byte] =
           (s"HTTP/1.1 200 OK\r\n$hdrs\r\n\r\n").getBytes(
             java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
@@ -6062,11 +6059,8 @@ object SparkEntry {
       .as[Long]
       .map { id =>
         val ascii = java.nio.charset.StandardCharsets.US_ASCII
-        def gz(b: Array[Byte]): Array[Byte] = {
-          val bos = new java.io.ByteArrayOutputStream()
-          val g = new java.util.zip.GZIPOutputStream(bos)
-          g.write(b); g.close(); bos.toByteArray
-        }
+        def gz(b: Array[Byte]): Array[Byte] =
+          graft.sources.WarcCodec.gzipMember(b)
         def chunk(b: Array[Byte], sz: Int): Array[Byte] = {
           val bos = new java.io.ByteArrayOutputStream()
           var i = 0

@@ -20,8 +20,14 @@ import org.apache.spark.sql.functions._
   *     `charset=` parameter when present), `is_text` (the `text/`
   *     types plus the
   *     +xml/+json/javascript application types);
-  *   - `body`: the raw entity octets, ALWAYS carried (non-text media
-  *     route to the Multimodal codecs from here);
+  *   - `transfer_encoding` / `content_encoding` / `encoding_ok`: the
+  *     wire codings, decoded in protocol order (chunked reassembly,
+  *     then gzip) with a hard decompression ceiling; `encoding_ok =
+  *     false` means the RAW on-wire octets are carried and nothing
+  *     downstream guessed;
+  *   - `body`: the entity octets — wire-DECODED when `encoding_ok`,
+  *     the raw on-wire bytes otherwise (non-text media route to the
+  *     Multimodal codecs from here);
   *   - `body_text`: the body transcoded to a string for text entities —
   *     decoded with the DECLARED charset (supported: any charset the
   *     JVM ships — the planted oracle classes are utf-8, iso-8859-1,
@@ -137,14 +143,28 @@ object WarcHttp {
           return fail(s"malformed-header-line: '${line.take(60)}'")
         nHeaders += 1
         val name = line.substring(0, colon).trim
+        // coding headers: an empty later duplicate must not ERASE an
+        // earlier value (real crawl data carries such duplicates), and
+        // a REPEATED non-empty coding header means stacked codings
+        // (RFC 9110 semantics) this decoder does not apply — record a
+        // conflict marker so the wire decode FLAGS instead of running
+        // the charset over still-compressed bytes
+        def fold(prev: Option[String]): Option[String] = {
+          val v = line.substring(colon + 1).trim
+            .toLowerCase(java.util.Locale.ROOT)
+          if (v.isEmpty) prev
+          else prev match {
+            case None => Some(v)
+            case Some(old) if old == v => Some(s"$v,$v") // stacked
+            case Some(_) => Some("__conflicting-codings__")
+          }
+        }
         if (name.equalsIgnoreCase("content-type"))
           contentType = Some(line.substring(colon + 1).trim)
         else if (name.equalsIgnoreCase("content-encoding"))
-          contentEncoding = Some(line.substring(colon + 1).trim
-            .toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+          contentEncoding = fold(contentEncoding)
         else if (name.equalsIgnoreCase("transfer-encoding"))
-          transferEncoding = Some(line.substring(colon + 1).trim
-            .toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+          transferEncoding = fold(transferEncoding)
         at = eol + 2
       }
     }
@@ -225,12 +245,19 @@ object WarcHttp {
     while (true) {
       val eol = indexOfCrlf(b, i)
       if (eol < 0) return None
+      // chunk-size is 1*HEXDIG (RFC 9112 §7.1): no sign, no embedded
+      // whitespace — parseLong's tolerance of '+'/'-' would bless a
+      // framing violation the contract promises to flag
       val sizeStr = new String(b, i, eol - i, StandardCharsets.ISO_8859_1)
-        .split(";")(0).trim
+        .split(";")(0)
+      if (sizeStr.isEmpty ||
+          !sizeStr.forall(c => (c >= '0' && c <= '9') ||
+            (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+        return None
       val size =
         try java.lang.Long.parseLong(sizeStr, 16)
         catch { case _: NumberFormatException => return None }
-      if (size < 0 || size > Int.MaxValue.toLong) return None
+      if (size > Int.MaxValue.toLong) return None
       i = eol + 2
       if (size == 0L) return Some(out.toByteArray)
       if (i + size + 2 > b.length) return None
@@ -242,13 +269,33 @@ object WarcHttp {
     None
   }
 
+  /** Decompression ceiling for one HTTP entity body: a hostile gzip
+    * bomb (gigabytes of zeros compressed under any record-size gate)
+    * must QUARANTINE its one record, not OOM the executor — the
+    * module's never-throw posture applies to allocation too. Text
+    * pages live far below this; anything larger belongs in a media/
+    * file pipeline, not an inline entity decode. */
+  private[graft] val MaxEntityBytes: Int = 64 << 20 // 64 MiB
+
   /** Gunzip one entity body (single member, the HTTP shape). None on
-    * any corruption — the caller keeps the raw bytes and flags. */
+    * any corruption OR past [[MaxEntityBytes]] — the caller keeps the
+    * raw bytes and flags. */
   private def gunzip(body: Array[Byte]): Option[Array[Byte]] =
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(body))
-      try Some(in.readAllBytes()) finally in.close()
+      try {
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(body.length * 4, 1 << 16))
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (out.size().toLong + n > MaxEntityBytes) return None
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        Some(out.toByteArray)
+      } finally in.close()
     } catch { case _: java.io.IOException => None }
 
   /** Content-based charset evidence (see [[HttpEntity]]): strictly

@@ -102,6 +102,29 @@ class WarcHttpSpec extends SparkSpec {
       ("HTTP/1.1 200 OK\r\nContent-Encoding: identity\r\n" +
         "Content-Type: text/plain\r\n\r\nhi").getBytes(ISO_8859_1))
       .body_text.contains("hi"))
+    // an empty LATER duplicate must not erase an earlier coding —
+    // the body is still compressed and must decode as such
+    val dup = WarcHttp.parseEntity(6L,
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+        "Content-Encoding:\r\nContent-Type: text/plain\r\n\r\n")
+        .getBytes(ISO_8859_1) ++ gz("still zipped"))
+    assert(dup.encoding_ok && dup.body_text.contains("still zipped"))
+    // REPEATED non-empty codings mean stacked/conflicting codings this
+    // decoder does not apply — flagged, never charset-decoded raw
+    val stacked = WarcHttp.parseEntity(7L,
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+        "Content-Encoding: gzip\r\nContent-Type: text/plain\r\n\r\n")
+        .getBytes(ISO_8859_1) ++ gz("zipped once"))
+    assert(!stacked.encoding_ok && stacked.body_text.isEmpty)
+    // a decompression bomb quarantines its record, never OOMs: ~80 MiB
+    // of zeros compresses to ~80 KiB — past the 64 MiB entity ceiling
+    val bombPayload = new Array[Byte](80 << 20)
+    val bomb = WarcHttp.parseEntity(8L, gzMsg("text/plain", {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(bombPayload); g.close(); bos.toByteArray
+    }))
+    assert(!bomb.encoding_ok && bomb.body_text.isEmpty)
   }
 
   test("charset sniff: strict-UTF-8, C1-range windows-1252, else " +
@@ -153,11 +176,16 @@ class WarcHttpSpec extends SparkSpec {
     assert(dechunk(a("5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\n" +
       "X-Trailer: v\r\n\r\n")).map(new String(_, US_ASCII))
       .contains("hello world"))
-    // violations: bad hex, short chunk, missing CRLF after data
+    // violations: bad hex, short chunk, missing CRLF after data —
+    // and the RFC 9112 1*HEXDIG grammar: no sign, no whitespace
+    // (parseLong's '+' tolerance must not bless a framing violation)
     assert(dechunk(a("ZZ\r\nhello\r\n0\r\n\r\n")).isEmpty)
     assert(dechunk(a("A\r\nhi\r\n0\r\n\r\n")).isEmpty)
     assert(dechunk(a("2\r\nhiX0\r\n\r\n")).isEmpty)
     assert(dechunk(a("no chunks at all")).isEmpty)
+    assert(dechunk(a("+5\r\nhello\r\n0\r\n\r\n")).isEmpty)
+    assert(dechunk(a(" 5\r\nhello\r\n0\r\n\r\n")).isEmpty)
+    assert(dechunk(a("5 \r\nhello\r\n0\r\n\r\n")).isEmpty)
     // composed with gzip: de-chunk THEN gunzip (the RFC order)
     val gz = {
       val bos = new java.io.ByteArrayOutputStream()
