@@ -1069,14 +1069,19 @@ object Dedup {
         transform(TextAnalysis.tokensMode(textCol, index.unicode),
           t => xxhash64(t)).as("__tokh")): _*)
       .select((inCols :+
-        (size(col("__tokh")) >= m && exists(
+        // structural guard: a doc shorter than the window carries no
+        // window — when/otherwise (not `&&`) so the sequence/slice on
+        // the hit branch is never evaluated for short docs regardless
+        // of conjunct evaluation order (ADVICE r17)
+        when(size(col("__tokh")) >= m, exists(
           transform(
             sequence(lit(1), size(col("__tokh")) - lit(m - 1)),
             i => aggregate(
               slice(col("__tokh"), i, lit(m)),
               lit(0L),
               (acc, h) => xxhash64(acc, h))),
-          h => mightContain(h))).as("span_hit")): _*)
+          h => mightContain(h)))
+          .otherwise(lit(false)).as("span_hit")): _*)
   }
 
   /** Drop window hashes seen in more than `maxDf` docs — the

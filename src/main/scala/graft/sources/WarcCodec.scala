@@ -92,11 +92,13 @@ object WarcCodec {
     * All header values are caller-supplied columns so the oracle can
     * replay the exact spelling.
     *
-    * Producer invariant (enforced): the block must not carry the bare
-    * `WARC/1.0` version string — in a plain concatenated container the
-    * magic-first resync would split such a record (even a block merely
+    * Producer invariant (enforced): the block must not carry the
+    * `WARC/1.0` version string FOLLOWED BY CRLF, nor END with the bare
+    * version string — those are the only two spellings the plain-
+    * container magic-first resync would split on (a block merely
     * ENDING with the version string completes the magic via the record
-    * terminator's CRLF). A violating row raises a descriptive
+    * terminator's CRLF; a mid-line prose mention of "WARC/1.0" is
+    * harmless and mints fine). A violating row raises a descriptive
     * `mint-transparency` error at mint time instead of corrupting the
     * container downstream; payloads that legitimately carry the magic
     * belong in gzip-member framing ([[gzipContainers]]), where member
@@ -106,7 +108,8 @@ object WarcCodec {
       targetUri: Column,
       warcDate: Column,
       block: Column): Column = {
-    val guarded = when(contains(block, lit(Version)),
+    val guarded = when(
+      contains(block, lit(Version + "\r\n")) || endswith(block, lit(Version)),
       raise_error(concat(
         lit(s"mint-transparency: block carries the bare '$Version' " +
           "version string and would be split by the magic-first " +

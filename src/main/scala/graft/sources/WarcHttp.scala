@@ -279,14 +279,19 @@ object WarcHttp {
 
   /** Gunzip one entity body (single member, the HTTP shape). None on
     * any corruption OR past [[MaxEntityBytes]] — the caller keeps the
-    * raw bytes and flags. */
+    * raw bytes and flags. The initial buffer size is clamped into
+    * [64, 64 KiB]: `body.length * 4` overflows Int past 512 MiB and a
+    * negative capacity throws IllegalArgumentException — not the
+    * IOException this catch covers — so one hostile record could fail
+    * the task instead of quarantining. NonFatal is caught for the same
+    * reason: the never-throw posture applies to allocation too. */
   private def gunzip(body: Array[Byte]): Option[Array[Byte]] =
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(body))
       try {
         val out = new java.io.ByteArrayOutputStream(
-          math.min(body.length * 4, 1 << 16))
+          math.min(math.max(body.length, 64), 1 << 16))
         val buf = new Array[Byte](8192)
         var n = in.read(buf)
         while (n >= 0) {
@@ -296,7 +301,7 @@ object WarcHttp {
         }
         Some(out.toByteArray)
       } finally in.close()
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Content-based charset evidence (see [[HttpEntity]]): strictly
     * valid UTF-8 → `utf-8`; else a C1-range byte (0x80–0x9F) →

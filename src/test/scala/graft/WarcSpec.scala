@@ -100,24 +100,37 @@ class WarcSpec extends SparkSpec {
       recs.head.error.toString)
   }
 
-  test("mint refuses a block carrying the version magic (producer " +
-      "transparency invariant) with a descriptive error") {
+  test("mint refuses only the blocks the resync would actually split " +
+      "(magic+CRLF mid-block, or ending with the bare version); a " +
+      "mid-line prose mention mints and round-trips") {
     import spark.implicits._
-    val df = Seq(("<urn:graft:5>", "https://a.com/x",
-      "2026-01-01T00:00:00Z", "payload with WARC/1.0 inside"))
-      .toDF("rid", "uri", "date", "block")
-      .select(WarcCodec.mintResponseRecord(
-        col("rid"), col("uri"), col("date"), col("block")).as("rec"))
-    val e = intercept[Exception](df.collect())
-    assert(e.getMessage.contains("mint-transparency") &&
-      e.getMessage.contains("<urn:graft:5>"), e.getMessage)
+    def mint(rid: String, block: String) =
+      Seq((rid, "https://a.com/x", "2026-01-01T00:00:00Z", block))
+        .toDF("rid", "uri", "date", "block")
+        .select(WarcCodec.mintResponseRecord(
+          col("rid"), col("uri"), col("date"), col("block")).as("rec"))
+    // mid-block magic followed by CRLF: the resync WOULD split here
+    val e1 = intercept[Exception](
+      mint("<urn:graft:5>", "payload\r\nWARC/1.0\r\nmore").collect())
+    assert(e1.getMessage.contains("mint-transparency") &&
+      e1.getMessage.contains("<urn:graft:5>"), e1.getMessage)
+    // block ENDING with the version string: the record terminator's
+    // CRLF completes the magic — also refused
+    val e2 = intercept[Exception](
+      mint("<urn:graft:7>", "payload ends with WARC/1.0").collect())
+    assert(e2.getMessage.contains("mint-transparency"), e2.getMessage)
+    // a mid-line prose mention is harmless (ADVICE r17): it mints AND
+    // survives the plain-container parse as one record
+    val prose = "an article discussing the WARC/1.0 format in prose"
+    val minted = mint("<urn:graft:8>", prose).head.getString(0)
+    val recs = WarcCodec.parseRecords(9L,
+      minted.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(recs.length == 1 && recs.head.ok &&
+      recs.head.block.exists(b =>
+        new String(b, java.nio.charset.StandardCharsets.UTF_8) == prose),
+      recs.toString)
     // a clean block still mints
-    val ok = Seq(("<urn:graft:6>", "https://a.com/y",
-      "2026-01-01T00:00:00Z", "clean payload"))
-      .toDF("rid", "uri", "date", "block")
-      .select(WarcCodec.mintResponseRecord(
-        col("rid"), col("uri"), col("date"), col("block")).as("rec"))
-      .head.getString(0)
+    val ok = mint("<urn:graft:6>", "clean payload").head.getString(0)
     assert(ok.startsWith("WARC/1.0\r\n") && ok.contains("clean payload"))
   }
 
