@@ -6105,6 +6105,130 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Mixed WARC record types + payload digest (q195, VERDICT r17 #1):
+    * a real crawl container interleaves `warcinfo` (container self-
+    * description, first record), `request` (capture-side HTTP request,
+    * linked to its response via WARC-Concurrent-To), `response` (the
+    * only record type carrying content), `revisit` (the wire-level
+    * dedup marker: no payload, the REFERENT's sha1/base32
+    * `WARC-Payload-Digest` as the join key back to the original
+    * capture), and `metadata` (warc-fields charged to the response via
+    * Concurrent-To). Digests are minted over the HTTP entity, verified
+    * at parse time, and a planted digest LIAR quarantines ALONE with
+    * headers attributable; the revisit lane's digest is joined back to
+    * the content lane to prove the dedup mechanism recovers the
+    * referent. Map-only but the 8-doc container pack and the id-sized
+    * revisit→content digest join. */
+  private def qWarcRecordTypes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val crlf = "\r\n"
+    val date = "2026-04-01T00:00:00Z"
+    val containers = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .flatMap { id =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val cid = id / 8
+        val uri = s"https://site${id % 20}.com/t$id"
+        val respId = s"<urn:graft:$id>"
+        val req = graft.sources.WarcCodec.mintRequestRecordBytes(
+          s"<urn:graft:req:$id>", uri, date,
+          (s"GET /t$id HTTP/1.1${crlf}Host: site${id % 20}.com$crlf$crlf")
+            .getBytes(utf8), respId)
+        val respBlock = (s"HTTP/1.1 200 OK${crlf}Content-Type: " +
+          s"text/plain$crlf$crlf" + s"payload r$id body").getBytes(utf8)
+        val main: Array[Byte] =
+          if (id % 19 == 2) {
+            // revisit: no payload; the digest declared is the
+            // REFERENT's — referent ids (id%7)*2+5 ∈ {5..17} are always
+            // plain content records (never %19==2 nor %17==3)
+            val ref = (id % 7) * 2 + 5
+            graft.sources.WarcCodec.mintRecordBytes("revisit", respId,
+              Some(uri), date, "application/http; msgtype=response",
+              Array.emptyByteArray,
+              extraHeaders = Seq(
+                "WARC-Refers-To" -> s"<urn:graft:$ref>",
+                "WARC-Payload-Digest" -> graft.sources.WarcCodec
+                  .sha1Base32(s"payload r$ref body".getBytes(utf8))))
+          } else if (id % 17 == 3)
+            // the digest liar: well-formed sha1:<base32> spelling that
+            // does not match the entity — must quarantine alone
+            graft.sources.WarcCodec.mintRecordBytes("response", respId,
+              Some(uri), date, "application/http; msgtype=response",
+              respBlock,
+              extraHeaders =
+                Seq("WARC-Payload-Digest" -> ("sha1:" + "A" * 32)))
+          else
+            graft.sources.WarcCodec.mintResponseRecordBytes(respId, uri,
+              date, respBlock, withDigest = true)
+        val meta =
+          if (id % 3 == 0)
+            Some(graft.sources.WarcCodec.mintMetadataRecordBytes(
+              s"<urn:graft:meta:$id>", uri, date, respId,
+              s"fetchTimeMs: ${id % 1000}${crlf}hopsFromSeed: " +
+                s"${id % 5}$crlf"))
+          else None
+        val base = (id % 8).toInt * 3 + 1
+        Seq((cid, base, req), (cid, base + 1, main)) ++
+          meta.map(m => (cid, base + 2, m))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (cid, it) =>
+        val ms = graft.sources.WarcCodec.mintWarcinfoRecordBytes(
+          s"<urn:graft:info:$cid>", date,
+          s"software: graft${crlf}format: WARC File Format 1.0$crlf") +:
+          it.toArray.sortBy(_._2).map(_._3)
+        val out = new Array[Byte](ms.iterator.map(_.length).sum)
+        var at = 0
+        ms.foreach { m =>
+          System.arraycopy(m, 0, out, at, m.length); at += m.length
+        }
+        (cid, out)
+      }
+      .toDF("container_id", "data")
+    val recs = graft.sources.WarcCodec.parseContainers(containers,
+        col("container_id"), col("data"))
+      .select(col("container_id"), col("warc_type"), col("ok"),
+        substring_index(col("error"), ":", 1).as("error_class"),
+        // info rows take doc_id -1 (not NULL: Spark and DuckDB disagree
+        // on null ordering, and the row is container-keyed anyway)
+        when(col("record_id").rlike("^<urn:graft:info:"), lit(-1L))
+          .otherwise(regexp_extract(col("record_id"), "(\\d+)>$", 1)
+            .cast("long")).as("doc_id"),
+        when(col("warc_type") === "warcinfo", "info")
+          .when(col("warc_type") === "request", "request")
+          .when(col("warc_type") === "metadata", "metadata")
+          .when(col("warc_type") === "revisit", "revisit")
+          .otherwise("content").as("kind"),
+        graft.sources.WarcCodec.recordRoute(col("warc_type"), col("ok"))
+          .as("route"),
+        // sentinel conventions (the q193 -1 posture — NULL numerics and
+        // booleans don't survive the driver's pandas compare)
+        coalesce(regexp_extract(
+          coalesce(col("concurrent_to"), col("refers_to")),
+          "(\\d+)>$", 1).cast("long"), lit(-1L)).as("linked_to"),
+        coalesce(length(col("payload_digest")), lit(0)).as("digest_len"),
+        coalesce(col("payload_digest").rlike("^sha1:[A-Z2-7]{32}$"),
+          lit(false)).as("digest_wellformed"),
+        when(col("ok") && col("warc_type") === "response",
+          col("content_length")).otherwise(0L).as("charged_bytes"),
+        col("payload_digest"))
+      .localCheckpoint() // fences: output + both sides of the dedup join
+    // the revisit dedup join: the declared digest recovers the referent
+    val referents = recs
+      .filter(col("kind") === "content" && col("ok"))
+      .select(col("payload_digest").as("pd"), col("doc_id").as("ref_doc"))
+    recs
+      .join(referents, col("kind") === "revisit" &&
+        col("payload_digest") === col("pd"), "left")
+      .select(col("container_id"), col("doc_id"), col("kind"),
+        col("route"), col("ok"), col("error_class"), col("linked_to"),
+        col("digest_len"), col("digest_wellformed"), col("charged_bytes"),
+        coalesce(when(col("kind") === "revisit",
+          col("ref_doc") === col("linked_to")), lit(false))
+          .as("referent_match"))
+      .orderBy(col("container_id"), col("kind"), col("doc_id"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -6748,7 +6872,8 @@ object SparkEntry {
     "q191_warc_gzip" -> (qWarcGzip _),
     "q192_crawl_media" -> (qCrawlMedia _),
     "q193_http_content_encoding" -> (qHttpContentEncoding _),
-    "q194_http_chunked" -> (qHttpChunked _))
+    "q194_http_chunked" -> (qHttpChunked _),
+    "q195_warc_record_types" -> (qWarcRecordTypes _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -10722,6 +10847,56 @@ object SparkEntry {
              ELSE NULL END AS body_text
          FROM b
          ORDER BY doc_id""",
+    // q195: the mixed-type container pinned closed-form — the engine
+    // mints, packs, parses, digest-verifies, and digest-joins for
+    // real; the oracle replays every record class (info/request/
+    // content/revisit/metadata), the liar's quarantine class, and the
+    // dedup join's referent_match verdict. Digest STRINGS are sha1/
+    // base32 the oracle cannot recompute — their length, spelling
+    // validity, and the join they enable are the pinned facts.
+    "q195_warc_record_types" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id // 8 AS cid,
+             doc_id % 19 = 2 AS isrev,
+             (doc_id % 19 <> 2 AND doc_id % 17 = 3) AS isliar
+           FROM documents),
+         rows AS (
+           SELECT cid AS container_id, CAST(-1 AS BIGINT) AS doc_id,
+             'info' AS kind, 'container_info' AS route, true AS ok,
+             CAST(NULL AS VARCHAR) AS error_class,
+             CAST(-1 AS BIGINT) AS linked_to,
+             CAST(0 AS INT) AS digest_len,
+             false AS digest_wellformed,
+             CAST(0 AS BIGINT) AS charged_bytes,
+             false AS referent_match
+           FROM (SELECT DISTINCT cid FROM d)
+           UNION ALL
+           SELECT cid, doc_id, 'request', 'request_log', true, NULL,
+             doc_id, 0, false, 0, false
+           FROM d
+           UNION ALL
+           SELECT cid, doc_id, 'content',
+             CASE WHEN isliar THEN 'quarantine' ELSE 'content' END,
+             NOT isliar,
+             CASE WHEN isliar THEN 'payload-digest-mismatch' END,
+             -1, 37, true,
+             CASE WHEN isliar THEN 0 ELSE octet_length(encode(
+               'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+               'Content-Type: text/plain' || chr(13) || chr(10) ||
+               chr(13) || chr(10) || 'payload r' || doc_id || ' body'))
+             END,
+             false
+           FROM d WHERE NOT isrev
+           UNION ALL
+           SELECT cid, doc_id, 'revisit', 'dedup_skip', true, NULL,
+             (doc_id % 7) * 2 + 5, 37, true, 0, true
+           FROM d WHERE isrev
+           UNION ALL
+           SELECT cid, doc_id, 'metadata', 'metadata_log', true, NULL,
+             doc_id, 0, false, 0, false
+           FROM d WHERE doc_id % 3 = 0)
+         SELECT * FROM rows
+         ORDER BY container_id, kind, doc_id""",
     // q176: shape-pinned expected domain (q130 convention) + the
     // policy CASE; the engine computes registrableDomain for real
     "q176_licence_gate" ->

@@ -32,6 +32,13 @@ object Impl {
     UTF8String.fromString(s + " " + units(i))
   }
 
+  /** `sha1:<base32>` payload digest (the Common Crawl
+    * `WARC-Payload-Digest` spelling) over raw bytes — delegates to the
+    * codec's canonical implementation so the column mint, the byte mint,
+    * and the parse-time verify can never drift. */
+  def sha1Base32(bytes: Array[Byte]): UTF8String =
+    UTF8String.fromString(graft.sources.WarcCodec.sha1Base32(bytes))
+
   private val alphabet: Array[Char] =
     (('A' to 'Z') ++ ('a' to 'z')).toArray // 52 ASCII letters
 
@@ -78,6 +85,21 @@ case class FormatReadableSize(child: Expression) extends UnaryExpression {
   override def prettyName: String = "formatReadableSize"
 }
 
+/** `sha1_base32(binary)` → `sha1:<base32>` — the WARC payload-digest
+  * spelling as a codegen expression, so digest minting rides whole-stage
+  * codegen next to the concat that assembles the record. Doubles as a
+  * compact document fingerprint (32 chars vs sha1-hex's 40). */
+case class Sha1Base32(child: Expression) extends UnaryExpression {
+  // input contract: BinaryType (the Column wrapper casts)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    Impl.sha1Base32(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.sha1Base32($c)")
+  override protected def withNewChildInternal(c: Expression): Sha1Base32 = copy(c)
+  override def prettyName: String = "sha1_base32"
+}
+
 /** `rand_letters(seed, n)` — deterministic fixed-length ASCII-letter string
   * (SURVEY.md §2.5 G5). Seed is a per-row long (e.g. xxhash64 of the row id)
   * so generation is reproducible and fully distributed. */
@@ -109,6 +131,12 @@ object GraftFunctions {
 
   def randLetters(seed: Column, n: Int): Column =
     column(RandLetters(expression(seed), expression(lit(n))))
+
+  /** `sha1:<base32>` digest of the column's bytes (strings digest their
+    * UTF-8 bytes via the binary cast) — the `WARC-Payload-Digest`
+    * spelling, usable standalone as a compact content fingerprint. */
+  def sha1Base32(c: Column): Column =
+    column(Sha1Base32(expression(c.cast(BinaryType))))
 
   /** Spread the low 32 bits of `c` to the even bit positions of a 64-bit
     * value (Morton/Z-curve bit spreading, the textbook magic-mask
@@ -182,6 +210,9 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"expected integer literal, got $other")
       }
+    reg.createOrReplaceTempFunction(
+      "sha1_base32",
+      es => Sha1Base32(Cast(es.head, BinaryType)), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction(

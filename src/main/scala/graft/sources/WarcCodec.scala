@@ -62,6 +62,23 @@ object WarcCodec {
       // the bytes); a crawl reader skips revisits and charges the
       // content to the referenced record
       refers_to: Option[String],
+      // WARC-Concurrent-To: carried by `request`/`metadata` records —
+      // links the capture-side records of one fetch to its `response`
+      // record, so a reader can charge request logs and metadata to
+      // the content record they describe
+      concurrent_to: Option[String],
+      // the WARC-level Content-Type (e.g. `application/http;
+      // msgtype=response`, `application/warc-fields`) — drives both
+      // routing and the payload-digest boundary (the payload of an
+      // application/http record is the entity after the HTTP header
+      // section; of anything else, the whole block)
+      warc_content_type: Option[String],
+      // WARC-Payload-Digest as declared (`sha1:<base32>`), VERIFIED at
+      // parse time when the algorithm is sha1: a mismatch quarantines
+      // the record alone (integrity unproven — the gzip-bad-crc
+      // posture); an unknown algorithm label passes through unverified
+      // (real readers skip algorithms they don't speak)
+      payload_digest: Option[String],
       content_length: Option[Long],
       block: Option[Array[Byte]])
 
@@ -123,6 +140,46 @@ object WarcCodec {
       lit("\r\n\r\n"))
   }
 
+  /** [[mintResponseRecord]] with a `WARC-Payload-Digest: sha1:<base32>`
+    * header computed over the block's HTTP entity (after the message's
+    * header section) — the digest every real crawl reader verifies and
+    * the key the revisit mechanism references. Pure column composition
+    * (sha1_base32 is codegen), same transparency guard. */
+  def mintResponseRecordWithDigest(
+      recordId: Column,
+      targetUri: Column,
+      warcDate: Column,
+      block: Column): Column = {
+    val guarded = when(
+      contains(block, lit(Version + "\r\n")) || endswith(block, lit(Version)),
+      raise_error(concat(
+        lit(s"mint-transparency: block carries the bare '$Version' " +
+          "version string and would be split by the magic-first " +
+          "resync; use gzip-member framing or chunk the payload " +
+          "(offending record: "), recordId, lit(")"))).cast("string"))
+      .otherwise(block)
+    // the digest boundary: entity bytes after the first CRLFCRLF (the
+    // whole block when the message carries no separator) — the column
+    // spelling of [[payloadOf]] for application/http blocks
+    val sep = instr(guarded, "\r\n\r\n")
+    val payload = when(sep > 0,
+      substring(guarded, (sep + lit(4)).cast("int"), lit(Int.MaxValue)))
+      .otherwise(guarded)
+    concat(
+      lit(Version + "\r\n"),
+      lit("WARC-Type: response\r\n"),
+      lit("WARC-Record-ID: "), recordId, lit("\r\n"),
+      lit("WARC-Date: "), warcDate, lit("\r\n"),
+      lit("WARC-Target-URI: "), targetUri, lit("\r\n"),
+      lit("WARC-Payload-Digest: "),
+      graft.functions.GraftFunctions.sha1Base32(payload), lit("\r\n"),
+      lit("Content-Type: application/http; msgtype=response\r\n"),
+      lit("Content-Length: "), octet_length(guarded).cast("string"),
+      lit("\r\n\r\n"),
+      guarded,
+      lit("\r\n\r\n"))
+  }
+
   /** Mint a WARC/1.0 `revisit` record — the format's own dedup marker:
     * a re-fetch whose payload digest matched an earlier capture carries
     * NO payload (Content-Length 0) and charges its content to the
@@ -163,14 +220,64 @@ object WarcCodec {
     * caveat; don't. */
   private[graft] def mintResponseRecordBytes(
       recordId: String, targetUri: String, warcDate: String,
-      block: Array[Byte]): Array[Byte] = {
-    val headers = (Version + "\r\n" +
-      "WARC-Type: response\r\n" +
-      s"WARC-Record-ID: $recordId\r\n" +
-      s"WARC-Date: $warcDate\r\n" +
-      s"WARC-Target-URI: $targetUri\r\n" +
-      "Content-Type: application/http; msgtype=response\r\n" +
-      s"Content-Length: ${block.length}\r\n\r\n").getBytes(UTF_8)
+      block: Array[Byte], withDigest: Boolean = false): Array[Byte] =
+    mintRecordBytes("response", recordId, Some(targetUri), warcDate,
+      "application/http; msgtype=response", block,
+      extraHeaders =
+        if (withDigest)
+          Seq("WARC-Payload-Digest" -> sha1Base32(
+            payloadOf(block, Some("application/http"))))
+        else Nil)
+
+  /** `request` record — the capture-side twin of a response: the HTTP
+    * request message as the block, linked to its response via
+    * WARC-Concurrent-To. A content reader routes these to the request
+    * log, never the content lane. */
+  private[graft] def mintRequestRecordBytes(
+      recordId: String, targetUri: String, warcDate: String,
+      block: Array[Byte], concurrentTo: String): Array[Byte] =
+    mintRecordBytes("request", recordId, Some(targetUri), warcDate,
+      "application/http; msgtype=request", block,
+      extraHeaders = Seq("WARC-Concurrent-To" -> concurrentTo))
+
+  /** `metadata` record — warc-fields describing a concurrent capture
+    * (fetch timings, hopsFromSeed, …); routed to the metadata lane and
+    * charged to the response it annotates via WARC-Concurrent-To. */
+  private[graft] def mintMetadataRecordBytes(
+      recordId: String, targetUri: String, warcDate: String,
+      concurrentTo: String, fields: String): Array[Byte] =
+    mintRecordBytes("metadata", recordId, Some(targetUri), warcDate,
+      "application/warc-fields", fields.getBytes(UTF_8),
+      extraHeaders = Seq("WARC-Concurrent-To" -> concurrentTo))
+
+  /** `warcinfo` record — the container's self-description (software,
+    * format, …), conventionally first in the file; carries no
+    * Target-URI. One per container, never content. */
+  private[graft] def mintWarcinfoRecordBytes(
+      recordId: String, warcDate: String, fields: String): Array[Byte] =
+    mintRecordBytes("warcinfo", recordId, None, warcDate,
+      "application/warc-fields", fields.getBytes(UTF_8))
+
+  /** The general byte-level record mint every typed mint above
+    * delegates to: magic, WARC-Type, id/date(/URI), extra headers in
+    * caller order, WARC-level Content-Type, Content-Length in block
+    * BYTES, blank separator, block, record terminator. */
+  private[graft] def mintRecordBytes(
+      warcType: String, recordId: String, targetUri: Option[String],
+      warcDate: String, contentType: String, block: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(256)
+    sb.append(Version).append("\r\n")
+      .append("WARC-Type: ").append(warcType).append("\r\n")
+      .append("WARC-Record-ID: ").append(recordId).append("\r\n")
+      .append("WARC-Date: ").append(warcDate).append("\r\n")
+    targetUri.foreach(u =>
+      sb.append("WARC-Target-URI: ").append(u).append("\r\n"))
+    extraHeaders.foreach { case (n, v) =>
+      sb.append(n).append(": ").append(v).append("\r\n") }
+    sb.append("Content-Type: ").append(contentType).append("\r\n")
+      .append("Content-Length: ").append(block.length).append("\r\n\r\n")
+    val headers = sb.toString.getBytes(UTF_8)
     val out = new Array[Byte](headers.length + block.length + 4)
     System.arraycopy(headers, 0, out, 0, headers.length)
     System.arraycopy(block, 0, out, headers.length, block.length)
@@ -178,6 +285,27 @@ object WarcCodec {
     out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
     out
   }
+
+  /** Record-type routing — the lane a crawl reader charges each parsed
+    * record to. Pure when/otherwise over the parsed columns (codegen):
+    *
+    *   - quarantined records (any type) → `quarantine`;
+    *   - `response` → `content` (the only lane that carries page bytes);
+    *   - `revisit` → `dedup_skip` (content charged to the referent —
+    *     the wire-level dedup marker);
+    *   - `request` → `request_log`; `metadata` → `metadata_log`;
+    *   - `warcinfo` → `container_info`;
+    *   - anything else (`resource`, `conversion`, future types) →
+    *     `other` — carried, never silently dropped.
+    */
+  def recordRoute(warcType: Column, ok: Column): Column =
+    when(!ok, "quarantine")
+      .when(warcType === "response", "content")
+      .when(warcType === "revisit", "dedup_skip")
+      .when(warcType === "request", "request_log")
+      .when(warcType === "metadata", "metadata_log")
+      .when(warcType === "warcinfo", "container_info")
+      .otherwise("other")
 
   // ------------------------------------------------------------------
   // Gzip-member framing (VERDICT r16 #1): the `.warc.gz` convention —
@@ -253,7 +381,7 @@ object WarcCodec {
   private[graft] def parseGzipRecords(
       cid: Long, data: Array[Byte]): Seq[WarcRecord] = {
     def bad(seq: Int, e: String) = WarcRecord(cid, seq, ok = false,
-      Some(e), None, None, None, None, None, None, None)
+      Some(e), None, None, None, None, None, None, None, None, None, None)
     if (data.isEmpty)
       return Seq(bad(0, "no-gzip-member: 0 bytes carry no gzip member"))
     val out = Seq.newBuilder[WarcRecord]
@@ -428,14 +556,14 @@ object WarcCodec {
       return Seq(WarcRecord(cid, 0, ok = false,
         Some(s"no-warc-magic: ${data.length} bytes carry no " +
           s"'$Version' record start"),
-        None, None, None, None, None, None, None))
+        None, None, None, None, None, None, None, None, None, None))
     val out = Seq.newBuilder[WarcRecord]
     var seq = 0
     if (starts.head != 0) {
       out += WarcRecord(cid, seq, ok = false,
         Some(s"leading-garbage: ${starts.head} bytes before the first " +
           s"'$Version' magic"),
-        None, None, None, None, None, None, None)
+        None, None, None, None, None, None, None, None, None, None)
       seq += 1
     }
     var i = 0
@@ -478,6 +606,9 @@ object WarcCodec {
     var lineStart = from + Magic.length
     var warcType, recordId, targetUri, warcDate: Option[String] = None
     var refersTo: Option[String] = None
+    var concurrentTo: Option[String] = None
+    var warcContentType: Option[String] = None
+    var payloadDigest: Option[String] = None
     var contentLength: Option[Long] = None
     var err: Option[String] = None
     var blockStart = -1
@@ -503,6 +634,9 @@ object WarcCodec {
             case "warc-target-uri" => targetUri = Some(value)
             case "warc-date" => warcDate = Some(value)
             case "warc-refers-to" => refersTo = Some(value)
+            case "warc-concurrent-to" => concurrentTo = Some(value)
+            case "content-type" => warcContentType = Some(value)
+            case "warc-payload-digest" => payloadDigest = Some(value)
             case "content-length" =>
               contentLength = value.toLongOption.filter(_ >= 0)
               if (contentLength.isEmpty)
@@ -515,7 +649,8 @@ object WarcCodec {
     }
     def rec(ok: Boolean, e: Option[String], block: Option[Array[Byte]]) =
       WarcRecord(cid, seq, ok, e, warcType, recordId, targetUri,
-        warcDate, refersTo, contentLength, block)
+        warcDate, refersTo, concurrentTo, warcContentType, payloadDigest,
+        contentLength, block)
     if (err.isDefined) return rec(ok = false, err, None)
     val missing = Seq(
       "WARC-Type" -> warcType.isEmpty,
@@ -545,10 +680,87 @@ object WarcCodec {
       rec(ok = false,
         Some("missing-record-terminator: block not followed by CRLFCRLF"),
         None)
-    else
-      rec(ok = true, None,
-        Some(java.util.Arrays.copyOfRange(
-          data, blockStart, blockStart + declared.toInt)))
+    else {
+      val block = java.util.Arrays.copyOfRange(
+        data, blockStart, blockStart + declared.toInt)
+      // WARC-Payload-Digest verify (when declared, algorithm sha1):
+      // the integrity check every real crawl reader runs, and the KEY
+      // the revisit dedup mechanism references. A mismatch quarantines
+      // the record ALONE with the block withheld — its integrity is
+      // exactly what the digest failed to prove (the gzip-bad-crc
+      // posture); headers stay attributable. An algorithm this codec
+      // does not speak passes through unverified, digest carried.
+      // `revisit` records are NEVER verified: they declare the
+      // REFERENT's payload digest while carrying no payload of their
+      // own (that asymmetry IS the dedup mechanism — the digest is the
+      // join key back to the original capture), so verifying against
+      // the empty block would quarantine every spec-conforming revisit.
+      payloadDigest match {
+        case Some(declaredDigest)
+            if !warcType.contains("revisit") &&
+              declaredDigest.toLowerCase(java.util.Locale.ROOT)
+                .startsWith("sha1:") =>
+          val computed = sha1Base32(payloadOf(block, warcContentType))
+          if (computed.equalsIgnoreCase(declaredDigest))
+            rec(ok = true, None, Some(block))
+          else
+            rec(ok = false,
+              Some(s"payload-digest-mismatch: declared $declaredDigest, " +
+                s"computed $computed"), None)
+        case _ => rec(ok = true, None, Some(block))
+      }
+    }
+  }
+
+  /** The digest boundary (ISO 28500 §5.9 posture): for an
+    * `application/http` record the payload is the HTTP entity — the
+    * block bytes after the message's header section (first CRLFCRLF;
+    * the whole block when the message carries no separator, matching a
+    * headers-only capture); for every other record type the payload IS
+    * the block. */
+  private[graft] def payloadOf(
+      block: Array[Byte], warcContentType: Option[String]): Array[Byte] =
+    if (warcContentType.exists(_.toLowerCase(java.util.Locale.ROOT)
+        .startsWith("application/http"))) {
+      var i = 0
+      while (i + 3 < block.length) {
+        if (block(i) == '\r' && block(i + 1) == '\n' &&
+            block(i + 2) == '\r' && block(i + 3) == '\n')
+          return java.util.Arrays.copyOfRange(block, i + 4, block.length)
+        i += 1
+      }
+      block
+    } else block
+
+  private val Base32Alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+  /** `sha1:<base32>` over `payload` — the exact spelling Common Crawl
+    * writes in `WARC-Payload-Digest` (RFC 4648 base32, uppercase; SHA-1's
+    * 160 bits are exactly 32 base32 chars, so no padding exists). */
+  private[graft] def sha1Base32(payload: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(payload)
+    "sha1:" + base32(d)
+  }
+
+  /** RFC 4648 base32 (uppercase, unpadded) — 5-bit windows over the big-
+    * endian bit stream. */
+  private[graft] def base32(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder((bytes.length * 8 + 4) / 5)
+    var acc = 0L
+    var bits = 0
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc << 8) | (bytes(i) & 0xffL)
+      bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(Base32Alphabet.charAt(((acc >>> bits) & 0x1f).toInt))
+      }
+      i += 1
+    }
+    if (bits > 0)
+      sb.append(Base32Alphabet.charAt(((acc << (5 - bits)) & 0x1f).toInt))
+    sb.toString
   }
 
   private def indexOfCrlf(data: Array[Byte], from: Int, until: Int): Int = {

@@ -347,6 +347,128 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- record types + payload digest (VERDICT r17 #1) ----
+
+  test("base32 matches the RFC 4648 test vectors (unpadded)") {
+    def b32(s: String) = WarcCodec.base32(
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    assert(b32("") == "")
+    assert(b32("f") == "MY")
+    assert(b32("fo") == "MZXQ")
+    assert(b32("foo") == "MZXW6")
+    assert(b32("foob") == "MZXW6YQ")
+    assert(b32("fooba") == "MZXW6YTB")
+    assert(b32("foobar") == "MZXW6YTBOI")
+  }
+
+  test("payload digest mints, verifies on parse, and a planted mismatch " +
+      "quarantines ALONE with headers attributable") {
+    val body = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello"
+    val good = WarcCodec.mintResponseRecordBytes("<urn:graft:1>",
+      "https://a.com/x", "2026-01-01T00:00:00Z",
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      withDigest = true)
+    val goodStr = new String(good, java.nio.charset.StandardCharsets.UTF_8)
+    // the digest header carries sha1: + 32 uppercase base32 chars, and
+    // covers the ENTITY (after the HTTP header section), not the block
+    val expect = WarcCodec.sha1Base32(
+      "hello".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(goodStr.contains(s"WARC-Payload-Digest: $expect\r\n"), goodStr)
+    assert(expect.matches("sha1:[A-Z2-7]{32}"), expect)
+    // a record whose digest header lies: flip one base32 char
+    val liar = goodStr.replace(expect,
+      expect.dropRight(1) + (if (expect.last == 'A') 'B' else 'A'))
+      .replace("<urn:graft:1>", "<urn:graft:2>")
+    val recs = WarcCodec.parseRecords(1L,
+      (goodStr + liar + record(3, "neighbour"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(recs.map(_.ok) == Seq(true, false, true), recs.map(_.error))
+    assert(recs.head.payload_digest.contains(expect))
+    assert(recs(1).error.exists(_.startsWith("payload-digest-mismatch:")),
+      recs(1).error.toString)
+    // quarantined alone, headers attributable, block withheld
+    assert(recs(1).record_id.contains("<urn:graft:2>"))
+    assert(recs(1).block.isEmpty)
+    assert(btext(recs(2)).contains("neighbour"))
+  }
+
+  test("an unknown digest algorithm passes through unverified") {
+    val rec = WarcCodec.mintRecordBytes("response", "<urn:graft:4>",
+      Some("https://a.com/x"), "2026-01-01T00:00:00Z",
+      "application/http; msgtype=response",
+      "HTTP/1.1 200 OK\r\n\r\nbody".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8),
+      extraHeaders = Seq("WARC-Payload-Digest" -> "sha999:NOTATHING"))
+    val got = WarcCodec.parseRecords(1L, rec)
+    assert(got.head.ok, got.head.error)
+    assert(got.head.payload_digest.contains("sha999:NOTATHING"))
+  }
+
+  test("column mint with digest == byte mint with digest, and the " +
+      "sha1_base32 column function == the JVM helper") {
+    import spark.implicits._
+    val body = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\npage one"
+    val minted = Seq(("<urn:graft:7>", "https://a.com/p7",
+      "2026-01-01T00:00:00Z", body))
+      .toDF("rid", "uri", "date", "block")
+      .select(WarcCodec.mintResponseRecordWithDigest(
+        col("rid"), col("uri"), col("date"), col("block")).as("rec"))
+      .head.getString(0)
+    val bytes = WarcCodec.mintResponseRecordBytes("<urn:graft:7>",
+      "https://a.com/p7", "2026-01-01T00:00:00Z",
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      withDigest = true)
+    assert(minted == new String(bytes,
+      java.nio.charset.StandardCharsets.UTF_8))
+    val viaCol = Seq("page one").toDF("s")
+      .select(graft.functions.GraftFunctions.sha1Base32(col("s")))
+      .head.getString(0)
+    assert(viaCol == WarcCodec.sha1Base32(
+      "page one".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  test("warcinfo / request / metadata records mint, parse, link, and " +
+      "route to their lanes; responses alone carry content") {
+    val info = WarcCodec.mintWarcinfoRecordBytes("<urn:graft:info:1>",
+      // the conventional field spelling ("WARC File Format 1.0", not
+      // the bare magic) — a warcinfo block carrying the literal
+      // "WARC/1.0\r\n" would hit the plain-container resync caveat
+      "2026-01-01T00:00:00Z",
+      "software: graft\r\nformat: WARC File Format 1.0\r\n")
+    val req = WarcCodec.mintRequestRecordBytes("<urn:graft:req:5>",
+      "https://a.com/p5", "2026-01-01T00:00:00Z",
+      "GET /p5 HTTP/1.1\r\nHost: a.com\r\n\r\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8), "<urn:graft:5>")
+    val resp = WarcCodec.mintResponseRecordBytes("<urn:graft:5>",
+      "https://a.com/p5", "2026-01-01T00:00:00Z",
+      "HTTP/1.1 200 OK\r\n\r\ncontent five".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8), withDigest = true)
+    val meta = WarcCodec.mintMetadataRecordBytes("<urn:graft:meta:5>",
+      "https://a.com/p5", "2026-01-01T00:00:00Z", "<urn:graft:5>",
+      "fetchTimeMs: 120\r\nhopsFromSeed: 2\r\n")
+    val all = info ++ req ++ resp ++ meta
+    val recs = WarcCodec.parseRecords(9L, all)
+    assert(recs.map(_.ok) == Seq(true, true, true, true), recs.map(_.error))
+    assert(recs.map(_.warc_type.get) ==
+      Seq("warcinfo", "request", "response", "metadata"))
+    // warcinfo carries no Target-URI; request/metadata link to the
+    // response via Concurrent-To; only the response carries a digest
+    assert(recs.head.target_uri.isEmpty)
+    assert(recs(1).concurrent_to.contains("<urn:graft:5>"))
+    assert(recs(3).concurrent_to.contains("<urn:graft:5>"))
+    assert(recs(2).payload_digest.exists(_.startsWith("sha1:")))
+    assert(recs.head.warc_content_type.contains("application/warc-fields"))
+    // the routing column
+    import spark.implicits._
+    val routed = recs.toDF()
+      .select(col("warc_type"),
+        WarcCodec.recordRoute(col("warc_type"), col("ok")).as("route"))
+      .as[(String, String)].collect().toMap
+    assert(routed == Map("warcinfo" -> "container_info",
+      "request" -> "request_log", "response" -> "content",
+      "metadata" -> "metadata_log"))
+  }
+
   test("parseContainers is map-only over blobs and preserves container ids") {
     import spark.implicits._
     val blob = (record(10, "alpha") + record(11, "beta"))
