@@ -5990,15 +5990,19 @@ object SparkEntry {
     imgLane.unionByName(txtLane).orderBy(col("doc_id"))
   }
 
-  /** HTTP Content-Encoding + charset sniff (q193): gzip entity bodies
-    * — how real servers actually ship text — decompressed BEFORE any
-    * charset work, plus the content-based charset detector. Six
-    * planted classes: identity, gzip'd utf-8, gzip'd declared
-    * windows-1252 (the transcode runs on the DECOMPRESSED bytes), a
-    * gzip'd LYING declaration (1252 bytes under utf-8 — transcode
-    * flagged, the sniffer reads the bytes' own evidence), a corrupt
-    * gzip stream (flagged, raw bytes carried, nothing decoded), and an
-    * unknown coding (`br` — flagged, never guessed). Map-only. */
+  /** HTTP Content-Encoding + charset sniff (q193): gzip AND deflate
+    * entity bodies — how real servers actually ship text —
+    * decompressed BEFORE any charset work, plus the content-based
+    * charset detector. Nine planted classes: identity, gzip'd utf-8,
+    * gzip'd declared windows-1252 (the transcode runs on the
+    * DECOMPRESSED bytes), a gzip'd LYING declaration (1252 bytes under
+    * utf-8 — transcode flagged, the sniffer reads the bytes' own
+    * evidence), a corrupt gzip stream (flagged, raw bytes carried,
+    * nothing decoded), a NAMED unsupported coding (`br` — flagged
+    * distinctly, never guessed), deflate in BOTH historical wrappings
+    * (zlib-wrapped per RFC 9110, raw per the legacy-server tail —
+    * VERDICT r17 #3), and `zstd` (the other named-unsupported).
+    * Map-only. */
   private def qHttpContentEncoding(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val blocks = t(s, d, "documents").select(col("doc_id"))
@@ -6010,7 +6014,17 @@ object SparkEntry {
         def http(hdrs: String, body: Array[Byte]): Array[Byte] =
           (s"HTTP/1.1 200 OK\r\n$hdrs\r\n\r\n").getBytes(
             java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
-        val block: Array[Byte] = (id % 6) match {
+        def deflate(b: Array[Byte], raw: Boolean): Array[Byte] = {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+          d.setInput(b); d.finish()
+          val out = new java.io.ByteArrayOutputStream(b.length / 2 + 32)
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+          d.end()
+          out.toByteArray
+        }
+        val block: Array[Byte] = (id % 9) match {
           case 0 => http("Content-Type: text/html; charset=utf-8",
             s"page é p$id".getBytes(cs("UTF-8")))
           case 1 => http("Content-Encoding: gzip\r\n" +
@@ -6027,16 +6041,25 @@ object SparkEntry {
             c(c.length / 2) = (c(c.length / 2) ^ 0x55).toByte
             http("Content-Encoding: gzip\r\n" +
               "Content-Type: text/html; charset=utf-8", c)
-          case _ => http("Content-Encoding: br\r\n" +
+          case 5 => http("Content-Encoding: br\r\n" +
             "Content-Type: text/html",
             s"xx b$id".getBytes(cs("UTF-8")))
+          case 6 => http("Content-Encoding: deflate\r\n" +
+            "Content-Type: text/html; charset=utf-8",
+            deflate(s"zlib page é z$id".getBytes(cs("UTF-8")), raw = false))
+          case 7 => http("Content-Encoding: deflate\r\n" +
+            "Content-Type: text/html; charset=utf-8",
+            deflate(s"raw page é r$id".getBytes(cs("UTF-8")), raw = true))
+          case _ => http("Content-Encoding: zstd\r\n" +
+            "Content-Type: text/html",
+            s"yy s$id".getBytes(cs("UTF-8")))
         }
         (id, block)
       }
       .toDF("doc_id", "block")
     graft.sources.WarcHttp.parseHttp(blocks, col("doc_id"), col("block"))
       .select(col("doc_id"), col("status"),
-        col("content_encoding"), col("encoding_ok"),
+        col("content_encoding"), col("encoding_ok"), col("encoding_error"),
         col("content_type"), col("charset"), col("is_text"),
         col("transcode_ok"), col("sniffed_charset"),
         when(col("encoding_ok"), octet_length(col("body")).cast("long"))
@@ -6101,6 +6124,61 @@ object SparkEntry {
         col("encoding_ok"), col("content_type"), col("transcode_ok"),
         when(col("encoding_ok"), octet_length(col("body")).cast("long"))
           .otherwise(lit(-1L)).as("body_len"),
+        col("body_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** WHATWG charset precedence (q196, VERDICT r17 #2): the encoding
+    * decision a real HTML pipeline must make — BOM > HTTP header
+    * `charset` > `<meta>` prescan > utf-8 default. Seven planted
+    * classes: a BOM'd UTF-8 page with a LYING iso-8859-1 header (the
+    * BOM outranks it), BOM'd UTF-16LE/BE pages with no header charset
+    * (previously mis-sniffed as legacy single-byte), meta-only
+    * windows-1252 (`<meta charset=…>`), meta-only iso-8859-1 (the
+    * `http-equiv` spelling), header-beats-meta, and the bare default.
+    * Every body_text is closed-form — lossless decodes, BOM stripped.
+    * Map-only. */
+  private def qCharsetPrecedence(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blocks = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+        val w1252 = java.nio.charset.Charset.forName("windows-1252")
+        def http(hdrs: String, body: Array[Byte]): Array[Byte] =
+          (s"HTTP/1.1 200 OK\r\n$hdrs\r\n\r\n").getBytes(iso) ++ body
+        val block: Array[Byte] = (id % 7) match {
+          case 0 => http("Content-Type: text/html; charset=iso-8859-1",
+            Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+              s"bom wins é b$id".getBytes(utf8))
+          case 1 => http("Content-Type: text/html",
+            Array[Byte](0xff.toByte, 0xfe.toByte) ++
+              s"utf16 ü w$id".getBytes(
+                java.nio.charset.StandardCharsets.UTF_16LE))
+          case 2 => http("Content-Type: text/html",
+            Array[Byte](0xfe.toByte, 0xff.toByte) ++
+              s"utf16 ü w$id".getBytes(
+                java.nio.charset.StandardCharsets.UTF_16BE))
+          case 3 => http("Content-Type: text/html",
+            (s"<html><head><meta charset=windows-1252></head>" +
+              s"<body>café € m$id</body></html>").getBytes(w1252))
+          case 4 => http("Content-Type: text/html",
+            ("<html><head><meta http-equiv=\"Content-Type\" " +
+              "content=\"text/html; charset=iso-8859-1\"></head>" +
+              s"<body>café q$id</body></html>").getBytes(iso))
+          case 5 => http("Content-Type: text/html; charset=utf-8",
+            s"<meta charset=iso-8859-1>header wins é h$id".getBytes(utf8))
+          case _ => http("Content-Type: text/html",
+            s"plain fallback p$id".getBytes(utf8))
+        }
+        (id, block)
+      }
+      .toDF("doc_id", "block")
+    graft.sources.WarcHttp.parseHttp(blocks, col("doc_id"), col("block"))
+      .select(col("doc_id"), col("status"), col("content_type"),
+        col("charset"), col("bom_charset"), col("meta_charset"),
+        col("charset_used"), col("charset_source"), col("transcode_ok"),
         col("body_text"))
       .orderBy(col("doc_id"))
   }
@@ -6873,7 +6951,8 @@ object SparkEntry {
     "q192_crawl_media" -> (qCrawlMedia _),
     "q193_http_content_encoding" -> (qHttpContentEncoding _),
     "q194_http_chunked" -> (qHttpChunked _),
-    "q195_warc_record_types" -> (qWarcRecordTypes _))
+    "q195_warc_record_types" -> (qWarcRecordTypes _),
+    "q196_charset_precedence" -> (qCharsetPrecedence _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -10791,19 +10870,25 @@ object SparkEntry {
     // declaration's U+FFFD text and the sniffer's verdicts
     "q193_http_content_encoding" ->
       """WITH b AS (
-           SELECT doc_id, CAST(doc_id % 6 AS INT) AS c FROM documents)
+           SELECT doc_id, CAST(doc_id % 9 AS INT) AS c FROM documents)
          SELECT doc_id,
            CAST(200 AS BIGINT) AS status,
            CASE WHEN c = 0 THEN NULL WHEN c = 5 THEN 'br'
+             WHEN c IN (6, 7) THEN 'deflate' WHEN c = 8 THEN 'zstd'
              ELSE 'gzip' END AS content_encoding,
-           (c IN (0, 1, 2, 3)) AS encoding_ok,
+           (c IN (0, 1, 2, 3, 6, 7)) AS encoding_ok,
+           CASE WHEN c = 4 THEN 'corrupt: gzip'
+             WHEN c = 5 THEN 'unsupported-coding: br'
+             WHEN c = 8 THEN 'unsupported-coding: zstd'
+             END AS encoding_error,
            CASE WHEN c = 2 THEN 'text/plain' ELSE 'text/html'
              END AS content_type,
-           CASE WHEN c = 2 THEN 'windows-1252' WHEN c = 5 THEN NULL
+           CASE WHEN c = 2 THEN 'windows-1252'
+             WHEN c IN (5, 8) THEN NULL
              ELSE 'utf-8' END AS charset,
            true AS is_text,
-           (c IN (0, 1, 2)) AS transcode_ok,
-           CASE WHEN c IN (0, 1) THEN 'utf-8'
+           (c IN (0, 1, 2, 6, 7)) AS transcode_ok,
+           CASE WHEN c IN (0, 1, 6, 7) THEN 'utf-8'
              WHEN c = 2 THEN 'windows-1252'
              WHEN c = 3 THEN 'iso-8859-1'
              ELSE NULL END AS sniffed_charset,
@@ -10811,11 +10896,15 @@ object SparkEntry {
              WHEN c = 1 THEN octet_length(encode('page é g' || doc_id))
              WHEN c = 2 THEN length('café € w' || doc_id)
              WHEN c = 3 THEN length('café l' || doc_id)
+             WHEN c = 6 THEN octet_length(encode('zlib page é z' || doc_id))
+             WHEN c = 7 THEN octet_length(encode('raw page é r' || doc_id))
              ELSE -1 END AS BIGINT) AS body_len,
            CASE WHEN c = 0 THEN 'page é p' || doc_id
              WHEN c = 1 THEN 'page é g' || doc_id
              WHEN c = 2 THEN 'café € w' || doc_id
              WHEN c = 3 THEN 'caf' || chr(65533) || ' l' || doc_id
+             WHEN c = 6 THEN 'zlib page é z' || doc_id
+             WHEN c = 7 THEN 'raw page é r' || doc_id
              ELSE NULL END AS body_text,
            CASE WHEN c = 3 THEN 'café l' || doc_id
              ELSE NULL END AS body_text_repaired
@@ -10897,6 +10986,42 @@ object SparkEntry {
            FROM d WHERE doc_id % 3 = 0)
          SELECT * FROM rows
          ORDER BY container_id, kind, doc_id""",
+    // q196: the WHATWG precedence ladder pinned closed-form — the
+    // engine BOM-sniffs, meta-prescans, and decodes for real; the
+    // oracle replays every class's charset decision, its provenance
+    // rung, and the lossless body text (BOM stripped)
+    "q196_charset_precedence" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(doc_id % 7 AS INT) AS c FROM documents)
+         SELECT doc_id,
+           CAST(200 AS BIGINT) AS status,
+           'text/html' AS content_type,
+           CASE WHEN c = 0 THEN 'iso-8859-1' WHEN c = 5 THEN 'utf-8'
+             END AS charset,
+           CASE WHEN c = 0 THEN 'utf-8' WHEN c = 1 THEN 'utf-16le'
+             WHEN c = 2 THEN 'utf-16be' END AS bom_charset,
+           CASE WHEN c = 3 THEN 'windows-1252' WHEN c = 4 THEN 'iso-8859-1'
+             WHEN c = 5 THEN 'iso-8859-1' END AS meta_charset,
+           CASE WHEN c = 0 THEN 'utf-8' WHEN c = 1 THEN 'utf-16le'
+             WHEN c = 2 THEN 'utf-16be' WHEN c = 3 THEN 'windows-1252'
+             WHEN c = 4 THEN 'iso-8859-1' WHEN c = 5 THEN 'utf-8'
+             ELSE 'utf-8' END AS charset_used,
+           CASE WHEN c IN (0, 1, 2) THEN 'bom' WHEN c IN (3, 4) THEN 'meta'
+             WHEN c = 5 THEN 'header' ELSE 'default'
+             END AS charset_source,
+           true AS transcode_ok,
+           CASE WHEN c = 0 THEN 'bom wins é b' || doc_id
+             WHEN c IN (1, 2) THEN 'utf16 ü w' || doc_id
+             WHEN c = 3 THEN '<html><head><meta charset=windows-1252>' ||
+               '</head><body>café € m' || doc_id || '</body></html>'
+             WHEN c = 4 THEN '<html><head><meta http-equiv=' ||
+               '"Content-Type" content="text/html; charset=iso-8859-1">' ||
+               '</head><body>café q' || doc_id || '</body></html>'
+             WHEN c = 5 THEN '<meta charset=iso-8859-1>header wins é h'
+               || doc_id
+             ELSE 'plain fallback p' || doc_id END AS body_text
+         FROM b
+         ORDER BY doc_id""",
     // q176: shape-pinned expected domain (q130 convention) + the
     // policy CASE; the engine computes registrableDomain for real
     "q176_licence_gate" ->

@@ -79,8 +79,27 @@ object WarcHttp {
       // content-decode): false means the raw bytes are carried and
       // nothing downstream guessed
       encoding_ok: Boolean,
+      // WHY the wire decode flagged (None when encoding_ok): a NAMED
+      // unsupported coding (`unsupported-coding: br`/`zstd` — real,
+      // this decoder just doesn't ship them) is a different operational
+      // signal from a corrupt stream (`corrupt: gzip`) or a coding
+      // nobody recognises (`unknown-coding: …`) — route vs quarantine
+      encoding_error: Option[String],
       is_text: Boolean,
       body: Array[Byte],
+      // WHATWG encoding-decision evidence (VERDICT r17 #2), in the
+      // standard precedence BOM > HTTP header `charset` > HTML `<meta>`
+      // prescan > default: `bom_charset` from the byte-order mark
+      // (utf-8/utf-16le/utf-16be/utf-32le/utf-32be), `meta_charset`
+      // from the 1024-byte HTML prescan (`<meta charset=…>` and the
+      // `http-equiv` spelling both match), `charset_used` the charset
+      // the decode actually ran under, `charset_source` which rung of
+      // the ladder chose it (`bom`/`header`/`meta`/`default`) — all
+      // None for non-text or wire-flagged entities
+      bom_charset: Option[String],
+      meta_charset: Option[String],
+      charset_used: Option[String],
+      charset_source: Option[String],
       body_text: Option[String],
       transcode_ok: Boolean,
       sniffed_charset: Option[String],
@@ -109,7 +128,8 @@ object WarcHttp {
   private[graft] def parseEntity(id: Long, block: Array[Byte]): HttpEntity = {
     def fail(e: String) = HttpEntity(id, http_ok = false, Some(e), None,
       None, 0, None, None, None, None, encoding_ok = false,
-      is_text = false, block, None, transcode_ok = false, None, None)
+      encoding_error = None, is_text = false, block, None, None, None,
+      None, None, transcode_ok = false, None, None)
     // status line
     val eol0 = indexOfCrlf(block, 0)
     if (eol0 < 0)
@@ -175,25 +195,41 @@ object WarcHttp {
     // bodies gunzip BEFORE any charset work; the wrappers are not the
     // text); identity/absent passes through; an unknown coding or a
     // corrupt stream flags and the raw bytes stay carried
-    val (framed, transferOk) = transferEncoding match {
-      case None | Some("identity") => (rawBody, true)
+    val (framed, transferOk, transferErr) = transferEncoding match {
+      case None | Some("identity") => (rawBody, true, None)
       case Some("chunked") =>
         dechunk(rawBody) match {
-          case Some(d) => (d, true)
-          case None => (rawBody, false)
+          case Some(d) => (d, true, None)
+          case None => (rawBody, false, Some("corrupt: chunked-framing"))
         }
-      case Some(_) => (rawBody, false)
+      case Some(other) =>
+        (rawBody, false, Some(s"unknown-transfer-coding: ${other.take(40)}"))
     }
-    val (body, encodingOk) =
-      if (!transferOk) (rawBody, false)
+    val (body, encodingOk, encodingErr) =
+      if (!transferOk) (rawBody, false, transferErr)
       else contentEncoding match {
-        case None | Some("identity") => (framed, true)
+        case None | Some("identity") => (framed, true, None)
         case Some("gzip") | Some("x-gzip") =>
           gunzip(framed) match {
-            case Some(d) => (d, true)
-            case None => (framed, false)
+            case Some(d) => (d, true, None)
+            case None => (framed, false, Some("corrupt: gzip"))
           }
-        case Some(_) => (framed, false)
+        case Some("deflate") =>
+          // the historical ambiguity: RFC 9110 says zlib-wrapped
+          // (RFC 1950), a long tail of servers ships RAW deflate —
+          // try the spec spelling first, fall back to raw
+          inflateDeflate(framed) match {
+            case Some(d) => (d, true, None)
+            case None => (framed, false, Some("corrupt: deflate"))
+          }
+        case Some(named) if named == "br" || named == "zstd" ||
+            named == "compress" =>
+          // real codings this decoder does not ship — a NAMED flag, so
+          // operators can route them to a decoder fleet instead of
+          // binning them with garbage values
+          (framed, false, Some(s"unsupported-coding: $named"))
+        case Some(other) =>
+          (framed, false, Some(s"unknown-coding: ${other.take(40)}"))
       }
     // media type + charset parameter (RFC 9110 grammar, lowercased;
     // quoted charset values unquoted)
@@ -215,23 +251,81 @@ object WarcHttp {
       mt.startsWith("text/") || mt.endsWith("+xml") ||
         mt.endsWith("+json") || mt == "application/json" ||
         mt == "application/xml" || mt == "application/javascript")
+    // WHATWG encoding decision (VERDICT r17 #2), standard precedence:
+    // a byte-order mark outranks everything (a BOM'd UTF-16 page with a
+    // lying header must decode losslessly); then the HTTP header's
+    // charset parameter; then the HTML <meta> prescan (HTML only —
+    // text/plain has no markup to prescan); then the UTF-8 default.
+    val bom = if (isText && encodingOk) bomOf(body) else None
+    val metaCs =
+      if (isText && encodingOk && mediaType.contains("text/html"))
+        metaCharset(body)
+      else None
+    val (charsetUsed, charsetSource) =
+      if (!isText || !encodingOk) (None, None)
+      else bom match {
+        case Some((b, _)) => (Some(b), Some("bom"))
+        case None => declaredCharset match {
+          case Some(c) => (Some(c), Some("header"))
+          case None => metaCs match {
+            case Some(c) => (Some(c), Some("meta"))
+            case None => (Some("utf-8"), Some("default"))
+          }
+        }
+      }
+    // the BOM is an encoding signature, not content (WHATWG): strip it
+    // before the decode so body_text never leads with U+FEFF
+    val textBytes = bom match {
+      case Some((_, n)) => java.util.Arrays.copyOfRange(body, n, body.length)
+      case None => body
+    }
     val (bodyText, transcodeOk) =
       if (!isText || !encodingOk) (None, false)
-      else decodeBody(body, declaredCharset.getOrElse("utf-8"))
+      else decodeBody(textBytes, charsetUsed.get)
     val sniffed =
       if (isText && encodingOk) Some(sniffCharset(body)) else None
     val repaired =
       if (transcodeOk || !isText || !encodingOk) None
       else sniffed
-        .filter(sn => !declaredCharset.contains(sn))
+        .filter(sn => !charsetUsed.contains(sn))
         .flatMap { sn =>
-          val (t, ok) = decodeBody(body, sn)
+          val (t, ok) = decodeBody(textBytes, sn)
           if (ok) t else None
         }
     HttpEntity(id, http_ok = true, None, Some(status), Some(reason),
       nHeaders, mediaType, declaredCharset, transferEncoding,
-      contentEncoding, encodingOk, isText, body, bodyText, transcodeOk,
+      contentEncoding, encodingOk, encodingErr, isText, body,
+      bom.map(_._1), metaCs,
+      charsetUsed, charsetSource, bodyText, transcodeOk,
       sniffed, repaired)
+  }
+
+  /** Byte-order-mark sniff: (charset, BOM byte length). UTF-32 first —
+    * the UTF-32LE mark `FF FE 00 00` begins with the UTF-16LE mark. */
+  private[graft] def bomOf(b: Array[Byte]): Option[(String, Int)] = {
+    def at(i: Int, v: Int) = i < b.length && (b(i) & 0xff) == v
+    if (at(0, 0xff) && at(1, 0xfe) && at(2, 0x00) && at(3, 0x00))
+      Some(("utf-32le", 4))
+    else if (at(0, 0x00) && at(1, 0x00) && at(2, 0xfe) && at(3, 0xff))
+      Some(("utf-32be", 4))
+    else if (at(0, 0xff) && at(1, 0xfe)) Some(("utf-16le", 2))
+    else if (at(0, 0xfe) && at(1, 0xff)) Some(("utf-16be", 2))
+    else if (at(0, 0xef) && at(1, 0xbb) && at(2, 0xbf)) Some(("utf-8", 3))
+    else None
+  }
+
+  private val MetaCharsetRe =
+    """(?i)<meta[^>]*charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]+)""".r
+
+  /** WHATWG-style `<meta>` prescan over the first 1024 bytes (the
+    * standard's prescan window), decoded byte-transparently: matches
+    * both `<meta charset=…>` and the `http-equiv="Content-Type"`
+    * spelling (whose `content` attribute carries `charset=…`). */
+  private[graft] def metaCharset(body: Array[Byte]): Option[String] = {
+    val window = new String(body, 0, math.min(body.length, 1024),
+      StandardCharsets.ISO_8859_1)
+    MetaCharsetRe.findFirstMatchIn(window)
+      .map(_.group(1).toLowerCase(java.util.Locale.ROOT))
   }
 
   /** Reassemble one `Transfer-Encoding: chunked` body (RFC 9112 §7.1):
@@ -302,6 +396,36 @@ object WarcHttp {
         Some(out.toByteArray)
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Inflate one `deflate` entity body under either historical wrapping:
+    * zlib-wrapped (RFC 1950, the RFC 9110 meaning) first, raw deflate
+    * (RFC 1951, the legacy-server tail) as the fallback. None on
+    * corruption under BOTH or past [[MaxEntityBytes]]. */
+  private def inflateDeflate(body: Array[Byte]): Option[Array[Byte]] =
+    inflateWith(body, raw = false).orElse(inflateWith(body, raw = true))
+
+  private def inflateWith(
+      body: Array[Byte], raw: Boolean): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(raw)
+    try {
+      inf.setInput(body)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(body.length, 64), 1 << 16))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) {
+          if (out.size().toLong + n > MaxEntityBytes) return None
+          out.write(buf, 0, n)
+        } else if (inf.needsInput() || inf.needsDictionary()) return None
+      }
+      // an empty inflate of a non-empty input is the wrong wrapping,
+      // not an empty entity
+      if (out.size() == 0 && body.nonEmpty && inf.getBytesRead == 0) None
+      else Some(out.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally inf.end()
+  }
 
   /** Content-based charset evidence (see [[HttpEntity]]): strictly
     * valid UTF-8 → `utf-8`; else a C1-range byte (0x80–0x9F) →

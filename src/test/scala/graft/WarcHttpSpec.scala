@@ -227,6 +227,138 @@ class WarcHttpSpec extends SparkSpec {
     assert(badHeader.http_error.exists(_.startsWith("malformed-header-line")))
   }
 
+  // ---- deflate + named-unsupported codings (VERDICT r17 #3) ----
+
+  private def deflateBytes(b: Array[Byte], raw: Boolean): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  test("deflate decodes under BOTH historical wrappings (zlib-wrapped " +
+      "per RFC 9110, raw per the legacy tail)") {
+    for (raw <- Seq(false, true)) {
+      val withCe = ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n" +
+        "Content-Type: text/plain; charset=utf-8\r\n\r\n")
+        .getBytes(ISO_8859_1) ++
+        deflateBytes("deflate page é".getBytes(UTF_8), raw)
+      val ent = WarcHttp.parseEntity(2L, withCe)
+      assert(ent.encoding_ok, s"raw=$raw: ${ent.encoding_error}")
+      assert(ent.encoding_error.isEmpty)
+      assert(ent.body_text.contains("deflate page é"), s"raw=$raw")
+    }
+  }
+
+  test("a corrupt deflate stream flags 'corrupt: deflate' with raw " +
+      "bytes carried; br/zstd flag as NAMED unsupported codings") {
+    val corrupt = ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n" +
+      "Content-Type: text/html\r\n\r\n").getBytes(ISO_8859_1) ++
+      Array[Byte](1, 2, 3, 4, 5)
+    val e = WarcHttp.parseEntity(1L, corrupt)
+    assert(!e.encoding_ok && e.encoding_error.contains("corrupt: deflate"))
+    assert(e.body.sameElements(Array[Byte](1, 2, 3, 4, 5)))
+    for (coding <- Seq("br", "zstd")) {
+      val b = (s"HTTP/1.1 200 OK\r\nContent-Encoding: $coding\r\n" +
+        "Content-Type: text/html\r\n\r\nxx").getBytes(ISO_8859_1)
+      val ent = WarcHttp.parseEntity(2L, b)
+      assert(!ent.encoding_ok)
+      assert(ent.encoding_error.contains(s"unsupported-coding: $coding"))
+    }
+    // a coding nobody recognises is the GENERIC class, distinct from
+    // the named-unsupported ones
+    val weird = ("HTTP/1.1 200 OK\r\nContent-Encoding: sdch\r\n" +
+      "Content-Type: text/html\r\n\r\nxx").getBytes(ISO_8859_1)
+    val w = WarcHttp.parseEntity(3L, weird)
+    assert(w.encoding_error.contains("unknown-coding: sdch"))
+  }
+
+  // ---- WHATWG charset precedence (VERDICT r17 #2) ----
+
+  test("BOM outranks a lying HTTP header: a BOM'd UTF-8 page declared " +
+      "iso-8859-1 decodes losslessly, BOM stripped") {
+    val body = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "bom é page".getBytes(UTF_8)
+    val e = WarcHttp.parseEntity(1L, msg("text/html; charset=iso-8859-1", body))
+    assert(e.bom_charset.contains("utf-8"))
+    assert(e.charset.contains("iso-8859-1")) // the header, carried as-is
+    assert(e.charset_used.contains("utf-8"))
+    assert(e.charset_source.contains("bom"))
+    assert(e.transcode_ok)
+    assert(e.body_text.contains("bom é page"), e.body_text) // no U+FEFF
+  }
+
+  test("BOM'd UTF-16 (LE and BE) pages decode losslessly instead of " +
+      "mis-sniffing as a legacy single-byte charset") {
+    val le = Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      "utf16 ü page".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    val eLe = WarcHttp.parseEntity(1L, msg("text/html", le))
+    assert(eLe.charset_source.contains("bom") &&
+      eLe.charset_used.contains("utf-16le"))
+    assert(eLe.transcode_ok && eLe.body_text.contains("utf16 ü page"))
+    val be = Array[Byte](0xfe.toByte, 0xff.toByte) ++
+      "utf16 ü page".getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+    val eBe = WarcHttp.parseEntity(2L, msg("text/html", be))
+    assert(eBe.charset_used.contains("utf-16be") && eBe.transcode_ok)
+    assert(eBe.body_text.contains("utf16 ü page"))
+  }
+
+  test("UTF-32 BOMs sniff before their UTF-16 prefixes") {
+    val le32 = Array[Byte](0xff.toByte, 0xfe.toByte, 0, 0) ++
+      "quad q".getBytes(java.nio.charset.Charset.forName("UTF-32LE"))
+    val e = WarcHttp.parseEntity(1L, msg("text/html", le32))
+    assert(e.bom_charset.contains("utf-32le"), e.bom_charset)
+    assert(e.transcode_ok && e.body_text.contains("quad q"))
+    val be32 = Array[Byte](0, 0, 0xfe.toByte, 0xff.toByte) ++
+      "quad r".getBytes(java.nio.charset.Charset.forName("UTF-32BE"))
+    val e2 = WarcHttp.parseEntity(2L, msg("text/html", be32))
+    assert(e2.bom_charset.contains("utf-32be") &&
+      e2.body_text.contains("quad r"))
+  }
+
+  test("meta prescan feeds the decode when the header names no charset " +
+      "(both <meta charset> and http-equiv spellings); header beats meta") {
+    val w1252 = java.nio.charset.Charset.forName("windows-1252")
+    val metaOnly = ("<html><head><meta charset=windows-1252></head>" +
+      "<body>café € page</body></html>").getBytes(w1252)
+    val e = WarcHttp.parseEntity(1L, msg("text/html", metaOnly))
+    assert(e.meta_charset.contains("windows-1252"))
+    assert(e.charset_source.contains("meta") && e.transcode_ok)
+    assert(e.body_text.exists(_.contains("café € page")), e.body_text)
+    val httpEquiv = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=iso-8859-1\"></head>" +
+      "<body>café</body></html>").getBytes(ISO_8859_1)
+    val e2 = WarcHttp.parseEntity(2L, msg("text/html", httpEquiv))
+    assert(e2.meta_charset.contains("iso-8859-1"))
+    assert(e2.charset_source.contains("meta") && e2.transcode_ok)
+    assert(e2.body_text.exists(_.contains("café")))
+    // header present → meta is evidence only, not the decision
+    val headerWins = WarcHttp.parseEntity(3L,
+      msg("text/html; charset=utf-8",
+        "<meta charset=iso-8859-1>page é".getBytes(UTF_8)))
+    assert(headerWins.charset_source.contains("header"))
+    assert(headerWins.charset_used.contains("utf-8"))
+    assert(headerWins.meta_charset.contains("iso-8859-1"))
+    assert(headerWins.body_text.exists(_.contains("page é")))
+  }
+
+  test("meta prescan is HTML-only and windowed to 1024 bytes; no " +
+      "evidence at all falls back to the utf-8 default") {
+    // text/plain never prescans
+    val plain = WarcHttp.parseEntity(1L,
+      msg("text/plain", "<meta charset=iso-8859-1> x".getBytes(UTF_8)))
+    assert(plain.meta_charset.isEmpty)
+    assert(plain.charset_source.contains("default"))
+    // a meta tag past the 1024-byte window is not consulted
+    val far = ("x" * 1100 + "<meta charset=iso-8859-1>").getBytes(UTF_8)
+    val e = WarcHttp.parseEntity(2L, msg("text/html", far))
+    assert(e.meta_charset.isEmpty && e.charset_source.contains("default"))
+  }
+
   test("parseHttp is map-only over the records relation") {
     import spark.implicits._
     val df = WarcHttp.parseHttp(
