@@ -6183,6 +6183,76 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Redirect-chain frontier identity (q197, VERDICT r17 #4): 3xx
+    * `Location` targets — RFC 3986-resolved against the request URI
+    * and canonicalized — fold into the crawl frontier's URL identity,
+    * so a redirect source and its terminal target are ONE entry. Four
+    * planted classes per doc: a two-hop 301→302 chain (absolute then
+    * path-absolute Location), a one-hop 307 with a RELATIVE dot-segment
+    * Location (`sub$id/../c$id` — the resolution path), a 301↔302
+    * LOOP (flagged, collapsing to the min member — never hangs), and a
+    * plain page (identity = itself). The wire records parse through
+    * the real HTTP entity decode (Location capture), the edges collapse
+    * in ≤8 broadcast hops, and the frontier consumes one broadcast
+    * lookup — the corpus never shuffles on redirect state. */
+  private def qRedirectFrontier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wire = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .flatMap { id =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val k = id % 20
+        def u(p: String) = s"https://site$k.com/$p$id"
+        def resp(status: String, hdrs: String, body: String) =
+          (s"HTTP/1.1 $status\r\n$hdrs\r\n\r\n$body").getBytes(utf8)
+        val ct = "Content-Type: text/html"
+        (id % 4) match {
+          case 0 => Seq(
+            (id * 4, u("a"), resp("301 Moved Permanently",
+              s"Location: ${u("b")}\r\n$ct", "moved")),
+            (id * 4 + 1, u("b"), resp("302 Found",
+              s"Location: /c$id\r\n$ct", "found")),
+            (id * 4 + 2, u("c"), resp("200 OK", ct, s"page c$id")))
+          case 1 => Seq(
+            (id * 4, u("d"), resp("307 Temporary Redirect",
+              s"Location: sub$id/../c$id\r\n$ct", "temp")),
+            (id * 4 + 1, u("c"), resp("200 OK", ct, s"page c$id")))
+          case 2 => Seq(
+            (id * 4, u("x"), resp("301 Moved Permanently",
+              s"Location: /y$id\r\n$ct", "loop")),
+            (id * 4 + 1, u("y"), resp("302 Found",
+              s"Location: /x$id\r\n$ct", "loop")))
+          case _ => Seq(
+            (id * 4, u("p"), resp("200 OK", ct, s"page p$id")))
+        }
+      }
+      .toDF("rec_id", "src_url", "block")
+    val ent = graft.sources.WarcHttp.parseHttp(wire,
+        col("rec_id"), col("block"))
+      .select(col("doc_id").as("rec_id"), col("status"), col("location"))
+      .join(wire.select(col("rec_id"), col("src_url")), "rec_id")
+    val collapsed = graft.ops.Redirects.collapseRedirects(
+      graft.ops.Redirects.redirectEdges(ent,
+        col("src_url"), col("status"), col("location")))
+      .localCheckpoint() // feeds the identity join AND the flag join
+    val c = pmod(col("doc_id"), lit(4L))
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(lit("https://site"), pmod(col("doc_id"), lit(20L)),
+          lit(".com/"),
+          when(c === 0L, "a").when(c === 1L, "d")
+            .when(c === 2L, "x").otherwise("p"),
+          col("doc_id")).as("url"))
+    graft.ops.Redirects.frontierIdentity(docs, col("url"), collapsed)
+      .join(broadcast(collapsed.select(col("src").as("url"),
+        col("hops"), col("is_loop"))), Seq("url"), "left")
+      .select(col("doc_id"), col("url"), col("url_identity"),
+        col("redirect_of").isNotNull.as("redirected"),
+        coalesce(col("hops"), lit(-1)).as("hops"),
+        coalesce(col("is_loop"), lit(false)).as("is_loop"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Mixed WARC record types + payload digest (q195, VERDICT r17 #1):
     * a real crawl container interleaves `warcinfo` (container self-
     * description, first record), `request` (capture-side HTTP request,
@@ -6952,7 +7022,8 @@ object SparkEntry {
     "q193_http_content_encoding" -> (qHttpContentEncoding _),
     "q194_http_chunked" -> (qHttpChunked _),
     "q195_warc_record_types" -> (qWarcRecordTypes _),
-    "q196_charset_precedence" -> (qCharsetPrecedence _))
+    "q196_charset_precedence" -> (qCharsetPrecedence _),
+    "q197_redirect_frontier" -> (qRedirectFrontier _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -10934,6 +11005,29 @@ object SparkEntry {
              WHEN c = 1 THEN 'chunk page k' || doc_id
              WHEN c = 2 THEN 'zipped both z' || doc_id
              ELSE NULL END AS body_text
+         FROM b
+         ORDER BY doc_id""",
+    // q197: the redirect collapse pinned closed-form — the engine
+    // parses Location headers, RFC 3986-resolves (incl. the relative
+    // dot-segment class), walks chains, and loop-flags for real; the
+    // oracle replays each class's terminal identity, hop count, and
+    // loop verdict (the loop resolves to its min member in exactly
+    // maxHops=8 followed edges)
+    "q197_redirect_frontier" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(doc_id % 4 AS INT) AS c, doc_id % 20 AS k
+           FROM documents)
+         SELECT doc_id,
+           'https://site' || k || '.com/' ||
+             CASE c WHEN 0 THEN 'a' WHEN 1 THEN 'd' WHEN 2 THEN 'x'
+               ELSE 'p' END || doc_id AS url,
+           'https://site' || k || '.com/' ||
+             CASE WHEN c IN (0, 1) THEN 'c' WHEN c = 2 THEN 'x'
+               ELSE 'p' END || doc_id AS url_identity,
+           (c <> 3) AS redirected,
+           CAST(CASE c WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 8
+             ELSE -1 END AS INT) AS hops,
+           (c = 2) AS is_loop
          FROM b
          ORDER BY doc_id""",
     // q195: the mixed-type container pinned closed-form — the engine

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -295,6 +295,60 @@ object UrlOps {
     val r = canonicalUrlJ(url.toString)
     if (r == null) null else UTF8String.fromString(r)
   }
+
+  /** RFC 3986 §5.2 reference resolution — the rule a crawler applies to
+    * a 3xx `Location` header against the request URI: an absolute
+    * reference wins; `//host/p` adopts the base scheme; `/p` replaces
+    * the path; `?q` replaces the query; anything else merges onto the
+    * base path's directory. Dot segments are left for
+    * [[canonicalUrlJ]] (callers canonicalize the result — resolution
+    * and normalization stay orthogonal). Null when the base cannot
+    * anchor a relative reference. */
+  def resolveUrlJ(base: String, ref0: String): String = {
+    if (ref0 == null) return null
+    val ref = ref0.trim
+    if (ref.isEmpty) return base
+    // absolute reference: has a scheme
+    val colon = ref.indexOf(':')
+    if (colon > 0 && ref.substring(0, colon).forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.') &&
+        (ref.charAt(0).isLetter))
+      return ref
+    if (base == null) return null
+    val b = base.trim
+    val sep = b.indexOf("://")
+    if (sep < 0) return null
+    val scheme = b.substring(0, sep)
+    if (ref.startsWith("//")) return scheme + ":" + ref
+    val restAt = sep + 3
+    val pathStart = {
+      val i = b.indexWhere(c => c == '/' || c == '?' || c == '#', restAt)
+      if (i < 0) b.length else i
+    }
+    val origin = b.substring(0, pathStart)
+    if (ref.startsWith("/")) return origin + ref
+    // base path without query/fragment
+    val bp0 = b.substring(pathStart)
+    val bpEnd = {
+      val i = bp0.indexWhere(c => c == '?' || c == '#')
+      if (i < 0) bp0.length else i
+    }
+    val basePath = bp0.substring(0, bpEnd)
+    if (ref.startsWith("?")) return origin + basePath + ref
+    if (ref.startsWith("#")) return origin + basePath // fragment-only
+    // merge: the base path's directory + the reference
+    val slash = basePath.lastIndexOf('/')
+    val dir = if (slash >= 0) basePath.substring(0, slash + 1) else "/"
+    origin + dir + ref
+  }
+
+  def resolveUrl(base: UTF8String, ref: UTF8String): UTF8String = {
+    val r = resolveUrlJ(
+      if (base == null) null else base.toString,
+      if (ref == null) null else ref.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
 }
 
 /** `canonical_url(url)` — codegen'd URL canonicalization
@@ -316,10 +370,36 @@ case class CanonicalUrl(child: Expression) extends UnaryExpression {
   override def prettyName: String = "canonical_url"
 }
 
+/** `resolve_url(base, ref)` — codegen'd RFC 3986 reference resolution
+  * ([[UrlOps.resolveUrlJ]] semantics); compose with `canonical_url` for
+  * the redirect-target frontier key. Null-tolerant on both sides (a
+  * missing Location resolves to null, never throws). */
+case class ResolveUrl(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  // null-safe: a null base or null reference resolves to null (the
+  // redirect caller always has the request URI; a missing Location is
+  // "no redirect", not an error)
+  override def nullSafeEval(base: Any, ref: Any): Any =
+    UrlOps.resolveUrl(base.asInstanceOf[UTF8String],
+      ref.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) => s"""
+      ${ev.value} = graft.functions.UrlOps.resolveUrl($b, $r);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ResolveUrl = copy(left = l, right = r)
+  override def prettyName: String = "resolve_url"
+}
+
 object DomainFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
   def registrableDomain(url: Column): Column =
     column(RegistrableDomain(expression(url)))
   def canonicalUrl(url: Column): Column =
     column(CanonicalUrl(expression(url)))
+  def resolveUrl(base: Column, ref: Column): Column =
+    column(ResolveUrl(expression(base), expression(ref)))
 }

@@ -172,7 +172,14 @@ object DailyRefresh {
       nProbes: Int = 4,
       ccIters: Int = 6,
       warmRankIters: Int = 4,
-      minMargin: Long = 500L): DataFrame = {
+      minMargin: Long = 500L,
+      // the day's 3xx redirect edges ([[graft.ops.Redirects
+      // .redirectEdges]] output, canonical src→dst), folded into stage
+      // 0's URL identity (VERDICT r17 #4): a redirect source and its
+      // terminal target collapse to ONE frontier entry, and the gates
+      // see the TARGET url (the content lives there). None = no
+      // redirect knowledge, identity is the canonical URL alone.
+      redirects: Option[DataFrame] = None): DataFrame = {
     require(day >= 1, s"day must be >= 1 (day 0 is coldStart), got $day")
     val prev = day - 1
     import spark.implicits._
@@ -185,11 +192,24 @@ object DailyRefresh {
     // runs before any URL-keyed gate, so the licence and robots stages
     // see one canonical spelling. A URL the canonicalizer rejects
     // (null) keeps its row — it cannot be URL-deduped, only gated.
-    val bRaw = batch.docs
+    val bCanon = batch.docs
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         graft.functions.DomainFunctions.canonicalUrl(col("url"))
           .as("url"))
-      .localCheckpoint()
+    val bRaw = redirects match {
+      case Some(re) =>
+        // redirect-chain identity (VERDICT r17 #4): collapse chains
+        // once (metadata-sized), rewrite each redirect source's url to
+        // its terminal target — so two spellings REACHING the same page
+        // dedupe below, and licence/robots judge the page that will
+        // actually be fetched
+        val collapsed = graft.ops.Redirects.collapseRedirects(re)
+        graft.ops.Redirects.frontierIdentity(bCanon, col("url"), collapsed)
+          .select(col("doc_id"), col("text"),
+            col("url_identity").as("url"))
+          .localCheckpoint()
+      case None => bCanon.localCheckpoint()
+    }
     val nRaw = bRaw.count()
     val urlKey = coalesce(col("url"),
       concat(lit("\u0000"), col("doc_id").cast("string")))

@@ -71,6 +71,10 @@ object WarcHttp {
       status: Option[Long],
       reason: Option[String],
       n_headers: Int,
+      // the `Location` header, verbatim — with a 3xx status it is the
+      // redirect target a frontier folds into URL identity (resolve
+      // against the request URI via `resolve_url`, then canonicalize)
+      location: Option[String],
       content_type: Option[String],
       charset: Option[String],
       transfer_encoding: Option[String],
@@ -127,7 +131,7 @@ object WarcHttp {
   /** The per-record parse — package-visible for the hand-case spec. */
   private[graft] def parseEntity(id: Long, block: Array[Byte]): HttpEntity = {
     def fail(e: String) = HttpEntity(id, http_ok = false, Some(e), None,
-      None, 0, None, None, None, None, encoding_ok = false,
+      None, 0, None, None, None, None, None, encoding_ok = false,
       encoding_error = None, is_text = false, block, None, None, None,
       None, None, transcode_ok = false, None, None)
     // status line
@@ -148,6 +152,7 @@ object WarcHttp {
     var contentType: Option[String] = None
     var contentEncoding: Option[String] = None
     var transferEncoding: Option[String] = None
+    var location: Option[String] = None
     var bodyStart = -1
     while (bodyStart < 0) {
       val eol = indexOfCrlf(block, at)
@@ -185,6 +190,8 @@ object WarcHttp {
           contentEncoding = fold(contentEncoding)
         else if (name.equalsIgnoreCase("transfer-encoding"))
           transferEncoding = fold(transferEncoding)
+        else if (name.equalsIgnoreCase("location"))
+          location = Some(line.substring(colon + 1).trim).filter(_.nonEmpty)
         at = eol + 2
       }
     }
@@ -293,7 +300,7 @@ object WarcHttp {
           if (ok) t else None
         }
     HttpEntity(id, http_ok = true, None, Some(status), Some(reason),
-      nHeaders, mediaType, declaredCharset, transferEncoding,
+      nHeaders, location, mediaType, declaredCharset, transferEncoding,
       contentEncoding, encodingOk, encodingErr, isText, body,
       bom.map(_._1), metaCs,
       charsetUsed, charsetSource, bodyText, transcodeOk,

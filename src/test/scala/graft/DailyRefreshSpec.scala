@@ -157,6 +157,87 @@ class DailyRefreshSpec extends SparkSpec {
     }
   }
 
+  test("redirect-chain frontier identity (VERDICT r17 #4): a redirect " +
+      "source collapses onto its target's entry, the licence gate " +
+      "judges the TARGET domain, a loop never hangs, and day 2's " +
+      "redirected re-fetch dies against day 1's advanced index") {
+    import spark.implicits._
+    val corpus = (0L until 4L)
+      .map(i => (i, s"corpus doc $i words alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val vecs = (0L until 4L).map(i => (i, oneHot(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val benchmark = Seq((100L, "bench eval one two three four five six"))
+      .toDF("doc_id", "text")
+    val ccEdges = Seq[(Long, Long)]((1L, 0L)).toDF("src", "dst")
+    val linkEdges = Seq[(Long, Long)]((1L, 0L)).toDF("src", "dst")
+    def prompts(off: Long) = (0L until 2L).flatMap(i =>
+      Seq((off + i, 0L, 100L), (off + i, 1L, 900L)))
+      .toDF("prompt_id", "k", "score")
+    // site0 licensed; site1 is NOT — a redirect INTO site1 must drop at
+    // the licence gate even though its source spelling is on site0
+    val policy = Seq(("site0.com", "cc-by")).toDF("domain", "licence")
+    val robots = graft.ops.Robots.parseRobots(
+      Seq(("site0.com", "User-agent: *\nDisallow: /nothing\n"))
+        .toDF("domain", "body"), col("domain"), col("body"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_redirect_spec").toString
+    DailyRefresh.coldStart(dir, corpus, vecs, benchmark,
+      ccEdges, linkEdges, prompts(0L), expectedDocs = 100L,
+      minSpanTokens = 4, nCentroids = 2, rankIters = 2)
+
+    def batch(rows: Seq[(Long, String, String, Int)], pOff: Long,
+        benchId: Long): DayBatch = DayBatch(
+      rows.map { case (id, t, u, _) => (id, t, u) }
+        .toDF("doc_id", "text", "url"),
+      rows.map { case (id, _, _, h) => (id, oneHot(h)) }
+        .toDF("doc_id", "embedding"),
+      Seq((benchId, s"delta bench $benchId six seven eight nine ten"))
+        .toDF("doc_id", "text"),
+      Seq((9000L + pOff, 0L)).toDF("src", "dst"),
+      prompts(pOff))
+
+    val day1Redirects = Seq(
+      ("https://site0.com/old3000", "https://site0.com/new3000"),
+      ("https://site0.com/leak", "https://site1.com/elsewhere"),
+      ("https://site0.com/loop-a", "https://site0.com/loop-b"),
+      ("https://site0.com/loop-b", "https://site0.com/loop-a"))
+      .toDF("src", "dst")
+    val f1 = funnelMap(DailyRefresh.run(spark, dir, 1, policy,
+      Seq("cc-by"), robots, "SpecBot",
+      batch(Seq(
+        (3000L, "redirected spelling body words", "https://site0.com/old3000", 9),
+        (3001L, "canonical target page body words", "https://site0.com/new3000", 9),
+        (3002L, "leaky page body content words", "https://site0.com/leak", 10),
+        (3003L, "loop page body content words", "https://site0.com/loop-a", 11),
+        (3004L, "clean day one survivor body", "https://site0.com/clean", 12)),
+        pOff = 200L, benchId = 101L),
+      redirects = Some(day1Redirects)))
+    // 3000's url resolves onto 3001's → one frontier entry (min id 3000
+    // keeps); the loop resolves deterministically and survives
+    assert(f1("frontier") == ((5L, 1L, 4L)), s"day1: $f1")
+    // 3002's identity is site1.com → dropped by the LICENCE gate
+    assert(f1("licence") == ((4L, 1L, 3L)), s"day1: $f1")
+    assert(f1("robots") == ((3L, 0L, 3L)), s"day1: $f1")
+    assert(f1("semantic_dedup")._3 == 3L, s"day1: $f1")
+
+    // day 2: a NEW spelling redirecting onto day 1's survivor URL,
+    // carrying the survivor's TEXT — the frontier can't see yesterday's
+    // URLs (intra-batch identity), but the text-dedup gate kills the
+    // re-fetch against the day-1-advanced index
+    val f2 = funnelMap(DailyRefresh.run(spark, dir, 2, policy,
+      Seq("cc-by"), robots, "SpecBot",
+      batch(Seq(
+        (4000L, "clean day one survivor body", "https://site0.com/old-clean", 12),
+        (4001L, "fresh day two material words", "https://site0.com/fresh", 13)),
+        pOff = 300L, benchId = 102L),
+      redirects = Some(Seq(
+        ("https://site0.com/old-clean", "https://site0.com/clean"))
+        .toDF("src", "dst"))))
+    assert(f2("frontier") == ((2L, 0L, 2L)), s"day2: $f2")
+    assert(f2("text_dedup") == ((2L, 1L, 1L)), s"day2: $f2")
+  }
+
   test("FULL in-stream daily refresh (VERDICT r16 #6): licence, robots, " +
       "MGT, dedup, span chain STATELESSLY in one streaming query, the " +
       "semantic gate rides the micro-batch tail, per-doc verdicts match " +

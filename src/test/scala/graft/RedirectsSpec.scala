@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlOps
+import graft.ops.Redirects
+
+/** Redirect-chain frontier identity (VERDICT r17 #4): RFC 3986
+  * resolution truth table, chain collapse, loop safety (incl. a tail
+  * INTO a cycle), and the multi-target determinism rule — each pinned
+  * on hand-built edges independently of the q197 mint. */
+class RedirectsSpec extends SparkSpec {
+
+  test("resolveUrlJ: RFC 3986 reference-resolution truth table") {
+    val base = "https://a.com/dir/page?q=1"
+    // absolute reference wins
+    assert(UrlOps.resolveUrlJ(base, "http://b.org/x") == "http://b.org/x")
+    // scheme-relative adopts the base scheme
+    assert(UrlOps.resolveUrlJ(base, "//b.org/x") == "https://b.org/x")
+    // path-absolute replaces the path
+    assert(UrlOps.resolveUrlJ(base, "/new") == "https://a.com/new")
+    // relative merges onto the base directory
+    assert(UrlOps.resolveUrlJ(base, "sib") == "https://a.com/dir/sib")
+    // dot segments are left for canonical_url
+    assert(UrlOps.canonicalUrlJ(UrlOps.resolveUrlJ(base, "../up")) ==
+      "https://a.com/up")
+    // query-only replaces the query, keeps the path
+    assert(UrlOps.resolveUrlJ(base, "?r=2") == "https://a.com/dir/page?r=2")
+    // fragment-only is the same resource
+    assert(UrlOps.resolveUrlJ(base, "#frag") == "https://a.com/dir/page")
+    // empty Location is "stay"
+    assert(UrlOps.resolveUrlJ(base, "") == base)
+    // a base with no path still anchors a relative reference
+    assert(UrlOps.resolveUrlJ("https://a.com", "x") == "https://a.com/x")
+    // an unanchorable base refuses rather than guesses
+    assert(UrlOps.resolveUrlJ("not a url", "/x") == null)
+  }
+
+  test("collapseRedirects: chains resolve to their terminal, loops and " +
+      "tails INTO loops elect the cycle's min member, flagged") {
+    import spark.implicits._
+    val edges = Seq(
+      // 3-hop chain a -> b -> c -> d
+      ("u://a", "u://b"), ("u://b", "u://c"), ("u://c", "u://d"),
+      // cycle m <-> k with a tail t -> m
+      ("u://t", "u://m"), ("u://m", "u://k"), ("u://k", "u://m"))
+      .toDF("src", "dst")
+    val got = Redirects.collapseRedirects(edges, maxHops = 8)
+      .as[(String, String, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("u://a") == (("u://d", 3, false)), got.toString)
+    assert(got("u://b") == (("u://d", 2, false)))
+    assert(got("u://c") == (("u://d", 1, false)))
+    // every loop participant AND the tail agree on min(cycle) = u://k
+    assert(got("u://m")._1 == "u://k" && got("u://m")._3)
+    assert(got("u://k")._1 == "u://k" && got("u://k")._3)
+    assert(got("u://t")._1 == "u://k" && got("u://t")._3)
+  }
+
+  test("a source captured with two different targets keeps the MIN " +
+      "target deterministically — the walk never fans out") {
+    import spark.implicits._
+    val edges = Seq(("u://s", "u://z"), ("u://s", "u://y"))
+      .toDF("src", "dst")
+    val got = Redirects.collapseRedirects(edges).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(1) == "u://y")
+  }
+
+  test("frontierIdentity: one broadcast lookup, identity falls back to " +
+      "the canonical url, redirect_of carries provenance") {
+    import spark.implicits._
+    val collapsed = Redirects.collapseRedirects(
+      Seq(("https://a.com/old", "https://a.com/new")).toDF("src", "dst"))
+    val out = Redirects.frontierIdentity(
+        Seq((1L, "HTTPS://A.COM:443/old"), (2L, "https://a.com/other"))
+          .toDF("doc_id", "url"),
+        col("url"), collapsed)
+      .select("doc_id", "url_identity", "redirect_of")
+      .as[(Long, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // the NOISY spelling canonicalizes onto the edge source first
+    assert(out(1L) == (("https://a.com/new", Some("https://a.com/new"))))
+    assert(out(2L) == (("https://a.com/other", None)))
+  }
+}
