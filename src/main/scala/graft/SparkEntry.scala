@@ -6183,6 +6183,57 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Robots sitemap + crawl-delay relations (q198, VERDICT r17 #7):
+    * the two previously dropped robots.txt keys parsed into frontier
+    * inputs — `Sitemap:` (global field, sitemaps.org protocol) into a
+    * (domain, sitemap_url) seed relation and `Crawl-delay:` into a
+    * per-agent politeness relation with §2.2.1 group selection (this
+    * crawler's group beats `*`; max wins inside a group). Four domain
+    * classes: both keys with a SPECIFIC-agent delay shadowing the
+    * wildcard, wildcard-only delay + one sitemap, rules-only (no
+    * extras), and no robots.txt at all. Per-doc consumption is one
+    * broadcast lookup — the corpus never shuffles on robots state. */
+  private def qRobotsSitemapDelay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bodies = s.range(0, 20).as[Long]
+      .flatMap { k =>
+        val body = (k % 4) match {
+          case 0 => Some(
+            s"Sitemap: https://site$k.com/sitemap.xml\n" +
+              "User-agent: GRAFTBOT\nCrawl-delay: 2.5\nDisallow: /tmp\n" +
+              "User-agent: *\nCrawl-delay: 1\nDisallow: /private\n" +
+              s"Sitemap: https://site$k.com/news-sitemap.xml\n")
+          case 1 => Some(
+            "User-agent: *\nCrawl-delay: 1.5\nDisallow: /x\n" +
+              s"Sitemap: https://site$k.com/sitemap.xml\n")
+          case 2 => Some("User-agent: *\nDisallow: /y\n")
+          case _ => None
+        }
+        body.map(b => (s"site$k.com", b))
+      }
+      .toDF("domain", "body")
+      .localCheckpoint() // feeds both parses
+    val delays = graft.ops.Robots.crawlDelayFor(
+      graft.ops.Robots.parseCrawlDelays(bodies, col("domain"), col("body")),
+      "GRAFTBOT")
+    val smCounts = graft.ops.Robots.parseSitemaps(
+        bodies, col("domain"), col("body"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_sitemaps"),
+        min(col("sitemap_url")).as("first_sitemap"))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(lit("site"), pmod(col("doc_id"), lit(20L)), lit(".com"))
+          .as("domain"))
+      .join(broadcast(delays), Seq("domain"), "left")
+      .join(broadcast(smCounts), Seq("domain"), "left")
+      .select(col("doc_id"), col("domain"),
+        coalesce(col("delay_s"), lit(-1.0)).as("delay_s"),
+        coalesce(col("n_sitemaps"), lit(0L)).as("n_sitemaps"),
+        coalesce(col("first_sitemap"), lit("")).as("first_sitemap"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Redirect-chain frontier identity (q197, VERDICT r17 #4): 3xx
     * `Location` targets — RFC 3986-resolved against the request URI
     * and canonicalized — fold into the crawl frontier's URL identity,
@@ -7023,7 +7074,8 @@ object SparkEntry {
     "q194_http_chunked" -> (qHttpChunked _),
     "q195_warc_record_types" -> (qWarcRecordTypes _),
     "q196_charset_precedence" -> (qCharsetPrecedence _),
-    "q197_redirect_frontier" -> (qRedirectFrontier _))
+    "q197_redirect_frontier" -> (qRedirectFrontier _),
+    "q198_robots_sitemap_delay" -> (qRobotsSitemapDelay _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11005,6 +11057,26 @@ object SparkEntry {
              WHEN c = 1 THEN 'chunk page k' || doc_id
              WHEN c = 2 THEN 'zipped both z' || doc_id
              ELSE NULL END AS body_text
+         FROM b
+         ORDER BY doc_id""",
+    // q198: sitemap/crawl-delay relations pinned closed-form — the
+    // engine parses the grammar and applies group selection for real;
+    // the oracle replays each domain class's delay (specific 2.5 beats
+    // wildcard 1, wildcard 1.5 when no specific group, absent -> -1)
+    // and sitemap counts
+    "q198_robots_sitemap_delay" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 20 AS k,
+             CAST((doc_id % 20) % 4 AS INT) AS c
+           FROM documents)
+         SELECT doc_id, 'site' || k || '.com' AS domain,
+           CASE c WHEN 0 THEN 2.5 WHEN 1 THEN 1.5 ELSE -1.0
+             END AS delay_s,
+           CAST(CASE c WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0
+             END AS BIGINT) AS n_sitemaps,
+           CASE c WHEN 0 THEN 'https://site' || k || '.com/news-sitemap.xml'
+             WHEN 1 THEN 'https://site' || k || '.com/sitemap.xml'
+             ELSE '' END AS first_sitemap
          FROM b
          ORDER BY doc_id""",
     // q197: the redirect collapse pinned closed-form — the engine

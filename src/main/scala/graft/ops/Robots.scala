@@ -20,7 +20,9 @@ import graft.functions.RobotsMatch
   *    RFC: comments to end-of-line, case-insensitive keys, groups of
   *    consecutive `User-agent` lines followed by their `Allow`/
   *    `Disallow` rules, later groups for the same agent merging, empty
-  *    rule values ignored, unknown keys (crawl-delay, sitemap) skipped.
+  *    rule values ignored, unknown keys skipped; `Sitemap` (global) and
+  *    `Crawl-delay` (per-group) parse into their own relations
+  *    ([[parseSitemaps]], [[parseCrawlDelays]] → [[crawlDelayFor]]).
   *
   *  - group selection: a crawler uses the group(s) matching its own
   *    product token when any exist, else the `*` group(s) (§2.2.1).
@@ -70,10 +72,29 @@ object Robots {
       .toDF()
   }
 
+  /** Full parse result: the rule relation plus the two previously
+    * dropped keys (VERDICT r17 #7) — `Sitemap:` (a GLOBAL field per the
+    * sitemaps.org protocol: group-independent, and like any non-group
+    * line it does not interrupt the surrounding group) and
+    * `Crawl-delay:` (non-standard but widely published; applied to the
+    * agents of the current group, and deliberately NOT a group
+    * terminator — RFC 9309 §2.2.4 says unknown lines are ignored, so
+    * two User-agent lines separated only by a Crawl-delay still merge
+    * into one group, exactly as before this field was parsed). */
+  private[graft] case class ParsedBody(
+      rules: Seq[Rule],
+      sitemaps: Seq[String],
+      delays: Seq[(String, Double)]) // (agent, delay seconds)
+
   /** The per-body grammar walk — package-visible for the hand-case
     * spec. Returns rules with `domain` left empty. */
-  private[graft] def parseBody(body: String): Seq[Rule] = {
+  private[graft] def parseBody(body: String): Seq[Rule] =
+    parseBodyFull(body).rules
+
+  private[graft] def parseBodyFull(body: String): ParsedBody = {
     val out = Seq.newBuilder[Rule]
+    val sitemaps = Seq.newBuilder[String]
+    val delays = Seq.newBuilder[(String, Double)]
     // the agents of the group currently being defined; a User-agent
     // line after rule lines starts a NEW group (RFC 9309 §2.2.1)
     var agents: List[String] = Nil
@@ -113,12 +134,79 @@ object Robots {
                 out += Rule("", a, value, key == "allow", order)
                 order += 1
               }
-            case _ => () // crawl-delay, sitemap, unknown keys
+            case "sitemap" =>
+              // global: registers wherever it appears, group untouched
+              if (value.nonEmpty) sitemaps += value
+            case "crawl-delay" =>
+              // group field: applies to the current group's agents; a
+              // malformed or negative value is ignored, never guessed
+              value.toDoubleOption.filter(d => d >= 0 && d.isFinite)
+                .foreach(d => agents.reverse.foreach(a => delays += a -> d))
+            case _ => () // unknown keys skipped (RFC 9309 §2.2.4)
           }
         }
       }
     }
-    out.result()
+    ParsedBody(out.result(), sitemaps.result(), delays.result())
+  }
+
+  /** (domain, sitemap_url, sm_order) — the published sitemap pointers a
+    * frontier seeds from. Map-only. */
+  def parseSitemaps(
+      bodies: DataFrame, domainCol: Column, bodyCol: Column): DataFrame = {
+    val sess = bodies.sparkSession
+    import sess.implicits._
+    bodies
+      .select(domainCol.cast("string").as("domain"),
+        bodyCol.cast("string").as("body"))
+      .as[(String, String)]
+      .flatMap { case (domain, body) =>
+        parseBodyFull(Option(body).getOrElse("")).sitemaps.zipWithIndex
+          .map { case (u, i) => (domain, u, i) }
+      }
+      .toDF("domain", "sitemap_url", "sm_order")
+  }
+
+  /** (domain, agent, delay_s) — every published Crawl-delay row.
+    * Map-only; consume via [[crawlDelayFor]]. */
+  def parseCrawlDelays(
+      bodies: DataFrame, domainCol: Column, bodyCol: Column): DataFrame = {
+    val sess = bodies.sparkSession
+    import sess.implicits._
+    bodies
+      .select(domainCol.cast("string").as("domain"),
+        bodyCol.cast("string").as("body"))
+      .as[(String, String)]
+      .flatMap { case (domain, body) =>
+        parseBodyFull(Option(body).getOrElse("")).delays
+          .map { case (a, d) => (domain, a, d) }
+      }
+      .toDF("domain", "agent", "delay_s")
+  }
+
+  /** The per-domain politeness delay `agent` must honour: the §2.2.1
+    * group-selection rule applied to delays — a domain publishing a
+    * delay for THIS agent uses only those rows, else the `*` rows; the
+    * MAX among the selected rows wins (the conservative read of a
+    * conflicting publication). Domains publishing no applicable delay
+    * are absent — the frontier's default cadence applies. Output:
+    * (domain, delay_s), metadata-sized → broadcast to the frontier. */
+  def crawlDelayFor(delays: DataFrame, agent: String): DataFrame = {
+    require(agent.nonEmpty && agent != "*",
+      "crawlDelayFor: pass the crawler's own product token, not '*'")
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val r = delays.select(col("domain").cast("string").as("domain"),
+      lower(col("agent")).as("agent"),
+      col("delay_s").cast("double").as("delay_s"))
+    val hasSpec = r.filter(col("agent") === agentLc)
+      .select(col("domain")).distinct()
+      .withColumn("__has_spec", lit(true))
+    r.filter(col("agent") === agentLc || col("agent") === "*")
+      .join(hasSpec, Seq("domain"), "left")
+      .filter(when(coalesce(col("__has_spec"), lit(false)),
+        col("agent") === agentLc).otherwise(col("agent") === "*"))
+      .groupBy(col("domain"))
+      .agg(max(col("delay_s")).as("delay_s"))
   }
 
   /** URL → the path+query a robots rule matches against (the fragment

@@ -131,6 +131,46 @@ class RobotsSpec extends SparkSpec {
       (3L, "/page", true)), got.toString)
   }
 
+  test("sitemap is global and group-transparent; crawl-delay follows " +
+      "group selection (specific beats wildcard, max inside a group, " +
+      "malformed ignored) and never splits a group (VERDICT r17 #7)") {
+    import spark.implicits._
+    val body =
+      "Sitemap: https://a.com/s1.xml\n" + // before any group
+        "User-agent: GraftBot\n" +
+        "Crawl-delay: 2.5\n" +
+        "Crawl-delay: 4\n" + // conflicting publication: max wins
+        "Disallow: /tmp\n" +
+        "Sitemap: https://a.com/s2.xml\n" + // inside a group: global anyway
+        "User-agent: *\n" +
+        "Crawl-delay: 1\n" +
+        "Crawl-delay: oops\n" + // malformed: ignored, never guessed
+        "Disallow: /private\n"
+    val parsed = graft.ops.Robots.parseBodyFull(body)
+    assert(parsed.sitemaps ==
+      Seq("https://a.com/s1.xml", "https://a.com/s2.xml"))
+    assert(parsed.delays.toSet ==
+      Set("graftbot" -> 2.5, "graftbot" -> 4.0, "*" -> 1.0))
+    // the mid-group Sitemap line must NOT have interrupted the group
+    assert(parsed.rules.exists(r => r.agent == "graftbot" &&
+      r.pattern == "/tmp" && !r.allow))
+    // DataFrame surface + group selection
+    val bodies = Seq(("a.com", body),
+      ("b.com", "User-agent: *\nCrawl-delay: 1.5\nDisallow: /x\n"),
+      ("c.com", "User-agent: *\nDisallow: /y\n")).toDF("domain", "body")
+    val dl = graft.ops.Robots.crawlDelayFor(
+        graft.ops.Robots.parseCrawlDelays(bodies, col("domain"),
+          col("body")), "GraftBot")
+      .as[(String, Double)].collect().toMap
+    assert(dl == Map("a.com" -> 4.0, "b.com" -> 1.5), dl.toString)
+    // two User-agent lines separated only by Crawl-delay still merge
+    // (the pre-existing group grammar is unchanged)
+    val merged = graft.ops.Robots.parseBody(
+      "User-agent: a\nCrawl-delay: 9\nUser-agent: b\nDisallow: /z\n")
+    assert(merged.exists(r => r.agent == "a" && r.pattern == "/z"))
+    assert(merged.exists(r => r.agent == "b" && r.pattern == "/z"))
+  }
+
   test("robots_match is SQL-registered and agrees with the kernel") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
