@@ -1089,7 +1089,14 @@ object TextAnalysis {
     val lines = dupStructure("\n", "lines")
     val paras = dupStructure("\n\n", "paras")
     // ---- one narrow (n, gram) lane per size, unioned: the sequence
-    // guard keeps Spark's DESCENDING sequence(1, 0) away from short docs
+    // guard keeps Spark's DESCENDING sequence(1, 0) away from short
+    // docs. The GROUP KEY is xxhash64(gram), not the gram text
+    // (VERDICT r17 #6): the partial hash-aggregate combines map-side
+    // either way, but the EXCHANGE rows then carry (doc_id, n, hash,
+    // len, count) — five fixed-width fields — instead of up to ten
+    // words of gram text, cutting the shuffle volume of the report's
+    // heaviest lane several-fold at scale. The char mass rides as
+    // max(length(g)) (functionally dependent on the key).
     val gramLanes = (2 to 10).map { n =>
       base.select(col("doc_id"), lit(n).as("n"),
         explode(when(nW >= n,
@@ -1098,13 +1105,13 @@ object TextAnalysis {
           .otherwise(array())).as("g"))
     }.reduce(_ unionByName _)
     val perN = gramLanes
-      .groupBy(col("doc_id"), col("n"), col("g"))
-      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"), col("n"), xxhash64(col("g")).as("gh"))
+      .agg(count(lit(1)).as("__c"), max(length(col("g"))).as("__len"))
       .groupBy(col("doc_id"), col("n"))
       .agg(
-        max(when(col("__c") >= 2, col("__c") * length(col("g")))
+        max(when(col("__c") >= 2, col("__c") * col("__len"))
           .otherwise(0L)).as("__top"),
-        sum(when(col("__c") >= 2, col("__c") * length(col("g")))
+        sum(when(col("__c") >= 2, col("__c") * col("__len"))
           .otherwise(0L)).as("__dup"))
     def nAgg(n: Int, c: String) =
       coalesce(max(when(col("n") === n, col(c))), lit(0L))
