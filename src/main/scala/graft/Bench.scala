@@ -206,6 +206,37 @@ private[graft] object BenchLogic {
     "\"cpus\":(\\d+)".r.findFirstMatchIn(content.replace("\\\"", "\""))
       .map(_.group(1).toInt)
 
+  /** Wrapper a prior artifact was measured under ("sbt" carries ~30%
+    * JVM/forking overhead vs "standalone" — VERDICT r17 demand #1: the
+    * r17 driver run stamped a +17% band "real" against a standalone
+    * baseline while two standalone runs at the same HEAD read
+    * 0.935/0.998). Recorded by every artifact since r16. */
+  def parsePrevWrapper(content: String): Option[String] =
+    "\"wrapper\":\"([a-zA-Z_-]+)\"".r
+      .findFirstMatchIn(content.replace("\\\"", "\""))
+      .map(_.group(1))
+
+  /** Like-for-like wrapper check for the SUBSET gate. Unknown (pre-r16
+    * artifact) counts as a mismatch — ambiguity must not let the gate
+    * stamp "real" (the parsePrevCpus posture applied to wrappers). */
+  def wrapperComparable(prev: Option[String], cur: String): Boolean =
+    prev.contains(cur)
+
+  /** The subset-band decision table (VERDICT r17 #5), pure for the
+    * spec: an un-flagged band is clean; a flagged band measured under a
+    * DIFFERENT wrapper than its baseline is `env_suspect` BY
+    * CONSTRUCTION (the +15–30% sbt overhead lands exactly in the band
+    * the gate polices — comparing it against a standalone baseline can
+    * only convict the wrapper); a flagged band whose own calibration
+    * probes degraded is `env_suspect` by the artifact's own evidence;
+    * only a flagged, like-for-like, probe-clean band earns the
+    * fresh-JVM movers recheck ("adjudicate"). */
+  def subsetAdjudication(
+      flagged: Boolean, wrapperMatch: Boolean, mainClean: Boolean): String =
+    if (!flagged) "clean"
+    else if (!wrapperMatch || !mainClean) "env_suspect"
+    else "adjudicate"
+
   /** The drift gate only fires on a like-for-like baseline. Unknown
     * prior cpus is REJECTED: the pre-r11 artifacts without the field
     * are exactly the ambiguous ones (the r10 standalone was measured
@@ -581,6 +612,12 @@ object Bench {
     // If the re-run halves the time, the fresh value replaces the
     // poisoned one and the query is flagged "suspect" in the artifact.
     val explicitPrev = sys.env.contains("SPARK_GRAFT_BENCH_PREV")
+    // this process's wrapper (build.sbt forks with -Dgraft.wrapper=sbt;
+    // the plain `java -cp` recipe records "standalone") — needed by the
+    // subset gate below AND the artifact stamp at the end
+    val wrapperName = sys.props.getOrElse("graft.wrapper", "standalone")
+    // the baseline's wrapper, captured while the baseline is read
+    var prevWrapper: Option[String] = None
     val prevQueries: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_BENCH_PREV")
         .map(java.nio.file.Paths.get(_))
@@ -598,6 +635,7 @@ object Bench {
           try {
             val content = java.nio.file.Files.readString(p)
             val prevCpus = BenchLogic.parsePrevCpus(content)
+            prevWrapper = BenchLogic.parsePrevWrapper(content)
             if (BenchLogic.comparableBaseline(prevCpus, cpusInt))
               Some(BenchLogic.parsePrevQueries(content))
             else if (explicitPrev) {
@@ -680,18 +718,23 @@ object Bench {
     if (only.isEmpty && prevQueries.nonEmpty &&
         sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSET", "1") != "0") {
       val current = mins.collect { case (k, Some(v)) => k -> v }.toMap
+      val wrapperMatch =
+        BenchLogic.wrapperComparable(prevWrapper, wrapperName)
       BenchLogic.subsetTotals(current, prevQueries).foreach {
         case (n, prevSum, curSum) =>
           val ratio = if (prevSum > 0) curSum / prevSum else 0.0
           val flagged = BenchLogic.subsetFlagged(prevSum, curSum)
-          var verdict = if (!flagged) "clean" else "unadjudicated"
           var recheckJson = "null"
           var moversJson = "[]"
-          if (flagged && !mainClean) {
-            // the phase's own probes already convict the environment —
+          var verdict = BenchLogic.subsetAdjudication(flagged,
+            wrapperMatch, mainClean) match {
+            // a cross-wrapper or probe-degraded flag is environmental
+            // by construction/evidence (VERDICT r17 #5 / r11 #1) —
             // don't spend a 20-minute child run re-proving it
-            verdict = "env_suspect"
-          } else if (flagged) {
+            case "adjudicate" => "unadjudicated"
+            case settled => settled
+          }
+          if (verdict == "unadjudicated") {
             val movers = BenchLogic.topMovers(current, prevQueries)
             moversJson = movers.map("\"" + _ + "\"").mkString("[", ",", "]")
             val prevMoverSum = movers.map(prevQueries).sum
@@ -707,9 +750,11 @@ object Bench {
               case None => "null"
             }
           }
+          val wPrev = prevWrapper.map("\"" + _ + "\"").getOrElse("null")
           subsetJson = s"""{"n":$n,"prev":${ms(prevSum)},""" +
             s""""cur":${ms(curSum)},"ratio":${ms(ratio)},""" +
-            s""""flagged":$flagged,"verdict":"$verdict",""" +
+            s""""flagged":$flagged,"wrapper_prev":$wPrev,""" +
+            s""""wrapper_match":$wrapperMatch,"verdict":"$verdict",""" +
             s""""movers":$moversJson,"recheck":$recheckJson}"""
           subsetShortJson =
             s"""{"ratio":${ms(ratio)},"verdict":"$verdict"}"""
@@ -1224,11 +1269,9 @@ object Bench {
     val loadJson = s"""{"start":$loadStart,"end":$loadEnd}"""
     val fixJson = fixtures.map { case (k, v) => s"\"$k\":${ms(v)}" }
       .mkString("{", ",", "}")
-    // an sbt-forked run (build.sbt stamps -Dgraft.wrapper=sbt) carries
-    // ~30% JVM/wrapper overhead vs the standalone `java -cp` invocation —
-    // the artifact says which one produced it so a judge re-run compares
-    // like with like
-    val wrapperName = sys.props.getOrElse("graft.wrapper", "standalone")
+    // wrapperName (sbt vs standalone) was resolved before the subset
+    // gate — the artifact says which one produced it so a judge re-run
+    // compares like with like
     val jvmJson = s"""{"start":$jvmStart,"end":$jvmEnd}"""
     val json =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","wrapper":"$wrapperName","cpus":$cpus,"runs":$runsPerQuery,"agg":"min","calib":$calibJson,"calib_shuffle":$calibShufJson,"load":$loadJson,"jvm":$jvmJson,"fixtures":$fixJson,"errors":$errJson,"suspect":$susJson,"drifted":$driftJson,"env_suspect":$envJson,"subset":$subsetJson,"ladder":$ladderJson,"scaling":$scalingJson,"queries":$qs,"sf":"$sfDir"}"""

@@ -311,4 +311,34 @@ class BenchSpec extends AnyFunSuite {
     // a degenerate baseline can't convict either way
     assert(BenchLogic.subsetVerdict(0.0, Some(5.0)) == "unadjudicated")
   }
+
+  test("wrapper-aware subset adjudication (VERDICT r17 #5): a flagged " +
+      "band measured under a different wrapper than its baseline is " +
+      "env_suspect by construction, never 'real'") {
+    // wrapper parse: both spellings, including the driver's escaped tail
+    assert(BenchLogic.parsePrevWrapper(
+      """{"metric":"total","wrapper":"standalone","cpus":32}""")
+      .contains("standalone"))
+    assert(BenchLogic.parsePrevWrapper(
+      "{\\\"wrapper\\\":\\\"sbt\\\",\\\"cpus\\\":32}").contains("sbt"))
+    assert(BenchLogic.parsePrevWrapper("""{"cpus":32}""").isEmpty)
+    // comparability: unknown baseline wrapper is a MISMATCH (ambiguity
+    // must not let the gate stamp "real")
+    assert(BenchLogic.wrapperComparable(Some("sbt"), "sbt"))
+    assert(BenchLogic.wrapperComparable(Some("standalone"), "standalone"))
+    assert(!BenchLogic.wrapperComparable(Some("standalone"), "sbt"))
+    assert(!BenchLogic.wrapperComparable(None, "standalone"))
+    // the decision table: 2^3 combos
+    for (wm <- Seq(true, false); mc <- Seq(true, false))
+      assert(BenchLogic.subsetAdjudication(flagged = false, wm, mc)
+        == "clean")
+    assert(BenchLogic.subsetAdjudication(flagged = true,
+      wrapperMatch = true, mainClean = true) == "adjudicate")
+    assert(BenchLogic.subsetAdjudication(flagged = true,
+      wrapperMatch = false, mainClean = true) == "env_suspect")
+    assert(BenchLogic.subsetAdjudication(flagged = true,
+      wrapperMatch = true, mainClean = false) == "env_suspect")
+    assert(BenchLogic.subsetAdjudication(flagged = true,
+      wrapperMatch = false, mainClean = false) == "env_suspect")
+  }
 }
