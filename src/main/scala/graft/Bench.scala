@@ -940,6 +940,20 @@ object Bench {
       // front plus broadcast licence join, extraction/normalization map
       // kernels, and three doc-keyed joins — linear
       "q183_warc_codec", "q184_warc_pipeline",
+      // mixed record types + digest: mint (map) + 8-doc container pack
+      // (bounded groups) + map-only parse with per-record sha1 + the
+      // id-sized revisit→content digest join — linear; redirect
+      // frontier: map-only entity parse + ≤8 broadcast hops over the
+      // batch-sized edge relation + one broadcast identity lookup —
+      // linear; sitemap discovery: per-domain mint pack + map-only XML
+      // parse + one child-URL metadata join — linear; politeness
+      // schedule: one domain-partitioned window + a broadcast delay
+      // join — linear; charset precedence + sitemap/crawl-delay: map
+      // mints + map-only parses (one broadcast lookup for q198) —
+      // linear
+      "q195_warc_record_types", "q196_charset_precedence",
+      "q197_redirect_frontier", "q198_robots_sitemap_delay",
+      "q199_sitemap_discovery", "q200_politeness_schedule",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

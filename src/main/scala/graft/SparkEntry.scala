@@ -6193,9 +6193,13 @@ object SparkEntry {
     * wildcard, wildcard-only delay + one sitemap, rules-only (no
     * extras), and no robots.txt at all. Per-doc consumption is one
     * broadcast lookup — the corpus never shuffles on robots state. */
-  private def qRobotsSitemapDelay(s: SparkSession, d: String): DataFrame = {
+  /** The q198/q200 robots mint: k%4==0 domains publish both keys with a
+    * SPECIFIC-agent delay (2.5) shadowing the wildcard (1), k%4==1
+    * wildcard-only delay 1.5 + one sitemap, k%4==2 rules only, k%4==3
+    * no robots.txt. */
+  private def mintedPolitenessRobots(s: SparkSession): DataFrame = {
     import s.implicits._
-    val bodies = s.range(0, 20).as[Long]
+    s.range(0, 20).as[Long]
       .flatMap { k =>
         val body = (k % 4) match {
           case 0 => Some(
@@ -6212,6 +6216,10 @@ object SparkEntry {
         body.map(b => (s"site$k.com", b))
       }
       .toDF("domain", "body")
+  }
+
+  private def qRobotsSitemapDelay(s: SparkSession, d: String): DataFrame = {
+    val bodies = mintedPolitenessRobots(s)
       .localCheckpoint() // feeds both parses
     val delays = graft.ops.Robots.crawlDelayFor(
       graft.ops.Robots.parseCrawlDelays(bodies, col("domain"), col("body")),
@@ -6231,6 +6239,76 @@ object SparkEntry {
         coalesce(col("delay_s"), lit(-1.0)).as("delay_s"),
         coalesce(col("n_sitemaps"), lit(0L)).as("n_sitemaps"),
         coalesce(col("first_sitemap"), lit("")).as("first_sitemap"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sitemap XML seed discovery (q199): the consumer of q198's
+    * `Sitemap:` pointers — fetched sitemap bodies parsed into frontier
+    * seeds, with ONE level of `<sitemapindex>` recursion (the
+    * protocol's sharding mechanism). Three domain classes: a direct
+    * `<urlset>` carrying one `<url>` per doc (with `<lastmod>`),
+    * a `<sitemapindex>` whose CHILD sitemap carries the
+    * urlset — plus one index entry pointing at a child the fetch
+    * relation does not cover (surfaces as `missing`, never silently
+    * shrinks the seed set) — and a malformed body (an `error` row, the
+    * quarantine posture). Map-only but the per-domain mint pack; the
+    * index recursion is one child-URL-keyed metadata join. */
+  private def qSitemapDiscovery(s: SparkSession, d: String): DataFrame = {
+    val k = pmod(col("doc_id"), lit(20L))
+    val entryXml = concat(
+      lit("<url><loc>https://site"), k, lit(".com/t"), col("doc_id"),
+      lit("</loc><lastmod>2026-01-"),
+      lpad((pmod(col("doc_id"), lit(28L)) + 1).cast("string"), 2, "0"),
+      lit("</lastmod></url>"))
+    val perDomain = t(s, d, "documents")
+      .select(col("doc_id"), k.as("k"), entryXml.as("e"))
+      .groupBy(col("k"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("doc_id"), col("e")))),
+        x => x.getField("e")), "").as("body"))
+    val c = pmod(col("k"), lit(3L))
+    val level0 = perDomain.select(
+      col("k"),
+      concat(lit("site"), col("k"), lit(".com")).as("domain"),
+      concat(lit("https://site"), col("k"), lit(".com/sitemap.xml"))
+        .as("sitemap_url"),
+      when(c === 2L, lit("<html>not a sitemap</html>"))
+        .when(c === 1L, concat(
+          lit("<sitemapindex><sitemap><loc>https://site"), col("k"),
+          lit(".com/sm-child.xml</loc></sitemap><sitemap><loc>https://site"),
+          col("k"), lit(".com/sm-gone.xml</loc></sitemap></sitemapindex>")))
+        .otherwise(concat(lit("<urlset>"), col("body"), lit("</urlset>")))
+        .as("xml"),
+      col("body"))
+      .localCheckpoint() // feeds level-0 parse AND the child-fetch mint
+    val fetch = level0.filter(c === 1L)
+      .select(
+        concat(lit("https://site"), col("k"), lit(".com/sm-child.xml"))
+          .as("url"),
+        concat(lit("<urlset>"), col("body"), lit("</urlset>")).as("xml"))
+    graft.ops.Sitemaps.discoverSeeds(
+        level0.select(col("domain"), col("sitemap_url"), col("xml")),
+        col("domain"), col("sitemap_url"), col("xml"), fetch)
+      .orderBy(col("domain"), col("via"), col("seed_url"))
+  }
+
+  /** Politeness-queue fetch schedule (q200): the crawl-delay relation
+    * (q198) turned into an executable plan — each domain is a queue,
+    * each URL gets its 1-based `fetch_seq` and `scheduled_at =
+    * (fetch_seq−1)×delay` offset. One window PARTITIONED BY DOMAIN
+    * (bounded per-domain groups, never a global window) plus one
+    * broadcast delay join. */
+  private def qPolitenessSchedule(s: SparkSession, d: String): DataFrame = {
+    val delays = graft.ops.Robots.crawlDelayFor(
+      graft.ops.Robots.parseCrawlDelays(mintedPolitenessRobots(s),
+        col("domain"), col("body")), "GRAFTBOT")
+    graft.ops.Frontier.politenessSchedule(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(lit("site"), pmod(col("doc_id"), lit(20L)), lit(".com"))
+            .as("domain")),
+        col("domain"), col("doc_id"), delays)
+      .select(col("doc_id"), col("domain"), col("delay_s"),
+        col("fetch_seq"), col("scheduled_at"))
       .orderBy(col("doc_id"))
   }
 
@@ -7075,7 +7153,9 @@ object SparkEntry {
     "q195_warc_record_types" -> (qWarcRecordTypes _),
     "q196_charset_precedence" -> (qCharsetPrecedence _),
     "q197_redirect_frontier" -> (qRedirectFrontier _),
-    "q198_robots_sitemap_delay" -> (qRobotsSitemapDelay _))
+    "q198_robots_sitemap_delay" -> (qRobotsSitemapDelay _),
+    "q199_sitemap_discovery" -> (qSitemapDiscovery _),
+    "q200_politeness_schedule" -> (qPolitenessSchedule _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11057,6 +11137,57 @@ object SparkEntry {
              WHEN c = 1 THEN 'chunk page k' || doc_id
              WHEN c = 2 THEN 'zipped both z' || doc_id
              ELSE NULL END AS body_text
+         FROM b
+         ORDER BY doc_id""",
+    // q199: seed discovery pinned closed-form — the engine parses the
+    // XML, recurses one index level, and surfaces missing/error rows
+    // for real; the oracle replays each class's seed rows, the per-
+    // index missing row, and the malformed body's error row (26-char
+    // body length is part of the message contract)
+    "q199_sitemap_discovery" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 20 AS k,
+             CAST((doc_id % 20) % 3 AS INT) AS c
+           FROM documents),
+         seeds AS (
+           SELECT 'site' || k || '.com' AS domain,
+             'https://site' || k || '.com/t' || doc_id AS seed_url,
+             '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               AS lastmod,
+             CAST(c AS INT) AS depth,
+             CASE WHEN c = 0 THEN
+                 'https://site' || k || '.com/sitemap.xml'
+               ELSE 'https://site' || k || '.com/sm-child.xml'
+               END AS via
+           FROM b WHERE c IN (0, 1)
+           UNION ALL
+           SELECT 'site' || k || '.com',
+             'https://site' || k || '.com/sm-gone.xml',
+             NULL, 1, 'missing'
+           FROM (SELECT DISTINCT k FROM b WHERE c = 1)
+           UNION ALL
+           SELECT 'site' || k || '.com',
+             'not-a-sitemap: no <urlset> or <sitemapindex> root in ' ||
+               '26 chars',
+             NULL, 0, 'error'
+           FROM (SELECT DISTINCT k FROM b WHERE c = 2))
+         SELECT * FROM seeds
+         ORDER BY domain, via, seed_url""",
+    // q200: the politeness schedule pinned closed-form — the engine
+    // windows per domain and joins the broadcast delay relation for
+    // real; doc ids are contiguous, so a domain's queue position is
+    // doc_id//20 + 1 and the offset is exact dyadic arithmetic
+    "q200_politeness_schedule" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 20 AS k,
+             CAST((doc_id % 20) % 4 AS INT) AS c
+           FROM documents)
+         SELECT doc_id, 'site' || k || '.com' AS domain,
+           CASE c WHEN 0 THEN 2.5 WHEN 1 THEN 1.5 ELSE 1.0
+             END AS delay_s,
+           CAST(doc_id // 20 + 1 AS INT) AS fetch_seq,
+           (doc_id // 20) * CASE c WHEN 0 THEN 2.5 WHEN 1 THEN 1.5
+             ELSE 1.0 END AS scheduled_at
          FROM b
          ORDER BY doc_id""",
     // q198: sitemap/crawl-delay relations pinned closed-form — the

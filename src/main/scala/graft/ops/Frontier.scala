@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier scheduling — the operator that turns the compliance
+  * relations (robots crawl-delay, q198) into an executable fetch plan:
+  * every domain is a POLITENESS QUEUE (one fetch per `delay_s`
+  * seconds), so the frontier's job is to assign each URL its position
+  * in its domain's queue and the earliest offset it may be fetched at.
+  *
+  * Scale shape: ONE window partitioned by domain (each domain's queue
+  * is its own bounded partition — no global sort, no corpus-wide
+  * window; the PlanSpec partition-less-window guard holds) plus one
+  * broadcast join against the metadata-sized delay relation. A
+  * hot-domain skew (one domain owning a partition-sized queue) is
+  * bounded by the queue semantics themselves — the schedule for a
+  * million-URL domain at 1 s/fetch is 11 days long; real frontiers cap
+  * per-domain batch size upstream, and the cap composes here as a
+  * plain filter on `fetch_seq`. */
+object Frontier {
+
+  /** Assign (fetch_seq, scheduled_at) per URL: `fetch_seq` is the
+    * 1-based position in the domain's queue ordered by `orderCol`
+    * (ties broken by the column itself — pass a unique id), and
+    * `scheduled_at = (fetch_seq − 1) × delay` seconds from the
+    * domain's first fetch. `delays` is (domain, delay_s) — the
+    * [[Robots.crawlDelayFor]] output; domains absent from it fetch at
+    * `defaultDelay`. Appends `delay_s`, `fetch_seq`, `scheduled_at`. */
+  def politenessSchedule(
+      frontier: DataFrame,
+      domainCol: Column,
+      orderCol: Column,
+      delays: DataFrame,
+      defaultDelay: Double = 1.0): DataFrame = {
+    require(defaultDelay >= 0, s"defaultDelay must be >= 0, got $defaultDelay")
+    val inCols = frontier.columns.map(col).toSeq
+    val w = Window.partitionBy(col("__dom")).orderBy(orderCol)
+    frontier
+      .select((inCols :+ domainCol.cast("string").as("__dom")): _*)
+      .join(broadcast(delays.select(col("domain").as("__dom"),
+        col("delay_s").cast("double").as("__delay"))), Seq("__dom"), "left")
+      .withColumn("delay_s", coalesce(col("__delay"), lit(defaultDelay)))
+      .withColumn("fetch_seq", row_number().over(w))
+      .select((inCols :+ col("delay_s") :+ col("fetch_seq") :+
+        ((col("fetch_seq") - 1).cast("double") * col("delay_s"))
+          .as("scheduled_at")): _*)
+  }
+}

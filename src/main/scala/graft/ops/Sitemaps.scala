@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sitemap XML parsing (sitemaps.org protocol) — the consumer of the
+  * robots `Sitemap:` relation (q198): a real frontier FETCHES each
+  * published sitemap and seeds itself from the `<urlset>` entries,
+  * recursing one level through `<sitemapindex>` files (the protocol's
+  * sharding mechanism — a large site publishes an index of ≤50k-URL
+  * child sitemaps).
+  *
+  * The parser is a bounded hand walk over the XML text (the protocol's
+  * vocabulary is five elements; a namespace-aware XML stack buys
+  * nothing here and the quarantine posture — malformed input yields a
+  * descriptive error ROW, never an exception — matches the WARC/HTTP
+  * codecs):
+  *
+  *   - root `<urlset>` → kind `urlset`, one row per `<url>` block with
+  *     its `<loc>` (required; blocks without one are skipped) and
+  *     optional `<lastmod>`;
+  *   - root `<sitemapindex>` → kind `sitemapindex`, one row per
+  *     `<sitemap>` block (`loc` = the CHILD sitemap URL — fetch and
+  *     parse it one level down);
+  *   - anything else → one `kind = 'error'` row naming the failure.
+  *
+  * The five XML entities (`&amp; &lt; &gt; &quot; &apos;` + numeric)
+  * are unescaped in loc/lastmod values.
+  *
+  * Scale shape: map-only (one flatMap per fetched sitemap body — the
+  * relation is sitemap-count-sized, orders below the corpus); the one
+  * index-recursion join is child-URL-keyed metadata. */
+object Sitemaps {
+
+  /** One parsed sitemap entry. */
+  private[graft] final case class Entry(
+      kind: String, // urlset | sitemapindex | error
+      loc: String, // seed URL, child sitemap URL, or the error message
+      lastmod: Option[String],
+      entry_order: Int)
+
+  private val EntityRe = "&(amp|lt|gt|quot|apos|#\\d+|#x[0-9a-fA-F]+);".r
+
+  private[graft] def unescapeXml(s: String): String =
+    EntityRe.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+      m.group(1) match {
+        case "amp" => "&"
+        case "lt" => "<"
+        case "gt" => ">"
+        case "quot" => "\""
+        case "apos" => "'"
+        case d if d.startsWith("#x") || d.startsWith("#X") =>
+          new String(Character.toChars(Integer.parseInt(d.drop(2), 16)))
+        case d => new String(Character.toChars(d.drop(1).toInt))
+      }))
+
+  /** First `<tag>…</tag>` text inside `block`, trimmed + unescaped. */
+  private def elementText(block: String, tag: String): Option[String] = {
+    val open = block.indexOf(s"<$tag>")
+    if (open < 0) None
+    else {
+      val from = open + tag.length + 2
+      val close = block.indexOf(s"</$tag>", from)
+      if (close < 0) None
+      else Some(unescapeXml(block.substring(from, close).trim))
+        .filter(_.nonEmpty)
+    }
+  }
+
+  /** Every `<item>…</item>` block's inner text, in document order. */
+  private def blocksOf(body: String, item: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var at = 0
+    val open = s"<$item>"
+    val close = s"</$item>"
+    var i = body.indexOf(open, at)
+    while (i >= 0) {
+      val end = body.indexOf(close, i + open.length)
+      if (end < 0) return out.result() // truncated tail: keep what parsed
+      out += body.substring(i + open.length, end)
+      i = body.indexOf(open, end + close.length)
+    }
+    out.result()
+  }
+
+  /** The per-body parse — package-visible for the hand-case spec. */
+  private[graft] def parseBody(body0: String): Seq[Entry] = {
+    val body = Option(body0).getOrElse("")
+    // the root element decides the shape; attributes (xmlns) tolerated
+    def hasRoot(name: String) =
+      body.contains(s"<$name>") || body.contains(s"<$name ")
+    if (hasRoot("urlset"))
+      blocksOf(body, "url").zipWithIndex.flatMap { case (b, i) =>
+        elementText(b, "loc").map(loc =>
+          Entry("urlset", loc, elementText(b, "lastmod"), i))
+      }
+    else if (hasRoot("sitemapindex"))
+      blocksOf(body, "sitemap").zipWithIndex.flatMap { case (b, i) =>
+        elementText(b, "loc").map(loc =>
+          Entry("sitemapindex", loc, elementText(b, "lastmod"), i))
+      }
+    else
+      Seq(Entry("error",
+        s"not-a-sitemap: no <urlset> or <sitemapindex> root in " +
+          s"${body.length} chars", None, 0))
+  }
+
+  /** Parse fetched sitemap bodies: (domain, sitemap_url, xml) →
+    * (domain, sitemap_url, kind, loc, lastmod, entry_order). Map-only. */
+  def parseSitemapXml(
+      fetched: DataFrame, domainCol: Column, urlCol: Column,
+      xmlCol: Column): DataFrame = {
+    val sess = fetched.sparkSession
+    import sess.implicits._
+    fetched
+      .select(domainCol.cast("string").as("domain"),
+        urlCol.cast("string").as("sitemap_url"),
+        xmlCol.cast("string").as("xml"))
+      .as[(String, String, String)]
+      .flatMap { case (domain, url, xml) =>
+        parseBody(xml).map(e =>
+          (domain, url, e.kind, e.loc, e.lastmod, e.entry_order))
+      }
+      .toDF("domain", "sitemap_url", "kind", "loc", "lastmod",
+        "entry_order")
+  }
+
+  /** Seed discovery with ONE level of `<sitemapindex>` recursion (the
+    * protocol allows exactly one: an index must not point at another
+    * index): parse the level-0 bodies, join the index entries' child
+    * URLs against `fetch` — the (url, xml) relation of fetched child
+    * sitemaps — parse those, and union the seed rows. Children the
+    * fetch relation does not cover surface as `kind = 'missing'` rows
+    * (a frontier must know what it could not expand, the quarantine
+    * posture). Output: (domain, seed_url, lastmod, depth, via). */
+  def discoverSeeds(
+      level0: DataFrame, // (domain, sitemap_url, xml)
+      domainCol: Column, urlCol: Column, xmlCol: Column,
+      fetch: DataFrame): DataFrame = { // (url, xml)
+    val p0 = parseSitemapXml(level0, domainCol, urlCol, xmlCol)
+      .localCheckpoint() // feeds the seed lane AND the index join
+    val direct = p0.filter(col("kind") === "urlset")
+      .select(col("domain"), col("loc").as("seed_url"), col("lastmod"),
+        lit(0).as("depth"), col("sitemap_url").as("via"))
+    val children = p0.filter(col("kind") === "sitemapindex")
+      .select(col("domain"), col("loc").as("child_url"))
+      .join(broadcast(fetch.select(col("url").as("child_url"),
+        col("xml").as("child_xml"))), Seq("child_url"), "left")
+    val missing = children.filter(col("child_xml").isNull)
+      .select(col("domain"), col("child_url").as("seed_url"),
+        lit(null).cast("string").as("lastmod"), lit(1).as("depth"),
+        lit("missing").as("via"))
+    val nested = parseSitemapXml(
+        children.filter(col("child_xml").isNotNull),
+        col("domain"), col("child_url"), col("child_xml"))
+      .filter(col("kind") === "urlset")
+      .select(col("domain"), col("loc").as("seed_url"), col("lastmod"),
+        lit(1).as("depth"), col("sitemap_url").as("via"))
+    // parse failures surface as rows (the quarantine posture), never
+    // silently shrink the seed set
+    val errors = p0.filter(col("kind") === "error")
+      .select(col("domain"), col("loc").as("seed_url"),
+        lit(null).cast("string").as("lastmod"), lit(0).as("depth"),
+        lit("error").as("via"))
+    direct.unionByName(nested).unionByName(missing).unionByName(errors)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sitemaps
+
+/** Sitemap XML hand cases: roots (with xmlns attributes), optional
+  * lastmod, entity unescaping, skipped loc-less blocks, truncated
+  * tails, the error row, and the one-level index recursion with
+  * missing children — pinned independently of the q199 mint. */
+class SitemapsSpec extends SparkSpec {
+
+  test("urlset parses loc + optional lastmod; xmlns-attributed roots " +
+      "recognized; loc-less blocks skipped; entities unescape") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>https://a.com/p?x=1&amp;y=2</loc>
+        |<lastmod>2026-03-01</lastmod></url>
+        |<url><loc>https://a.com/q</loc></url>
+        |<url><lastmod>2026-01-01</lastmod></url>
+        |</urlset>""".stripMargin
+    val got = Sitemaps.parseBody(xml)
+    assert(got.map(_.kind).toSet == Set("urlset"))
+    assert(got.map(_.loc) ==
+      Seq("https://a.com/p?x=1&y=2", "https://a.com/q"))
+    assert(got.head.lastmod.contains("2026-03-01"))
+    assert(got(1).lastmod.isEmpty)
+    // numeric + hex entities
+    assert(Sitemaps.unescapeXml("a&#38;b&#x26;c&lt;&gt;&quot;&apos;") ==
+      "a&b&c<>\"'")
+  }
+
+  test("sitemapindex parses child pointers; a truncated tail keeps " +
+      "what parsed; a non-sitemap body is one descriptive error row") {
+    val idx = "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>" +
+      "</sitemap><sitemap><loc>https://a.com/s2.xml</loc></sitemap>" +
+      "</sitemapindex>"
+    assert(Sitemaps.parseBody(idx).map(e => (e.kind, e.loc)) ==
+      Seq(("sitemapindex", "https://a.com/s1.xml"),
+        ("sitemapindex", "https://a.com/s2.xml")))
+    // tail cut mid-block: the complete entries survive
+    val cut = idx.dropRight(30)
+    assert(Sitemaps.parseBody(cut).map(_.loc) ==
+      Seq("https://a.com/s1.xml"))
+    val err = Sitemaps.parseBody("<html>hello</html>")
+    assert(err.length == 1 && err.head.kind == "error")
+    assert(err.head.loc.startsWith("not-a-sitemap:"), err.head.loc)
+    // null body is an error row too, never an NPE
+    assert(Sitemaps.parseBody(null).head.kind == "error")
+  }
+
+  test("discoverSeeds: direct seeds at depth 0, index children at " +
+      "depth 1, unfetched children surface as 'missing', parse " +
+      "failures as 'error'") {
+    import spark.implicits._
+    val level0 = Seq(
+      ("a.com", "https://a.com/sitemap.xml",
+        "<urlset><url><loc>https://a.com/p1</loc></url></urlset>"),
+      ("b.com", "https://b.com/sitemap.xml",
+        "<sitemapindex><sitemap><loc>https://b.com/s1.xml</loc>" +
+          "</sitemap><sitemap><loc>https://b.com/gone.xml</loc>" +
+          "</sitemap></sitemapindex>"),
+      ("c.com", "https://c.com/sitemap.xml", "garbage"))
+      .toDF("domain", "sitemap_url", "xml")
+    val fetch = Seq(("https://b.com/s1.xml",
+      "<urlset><url><loc>https://b.com/q1</loc>" +
+        "<lastmod>2026-02-02</lastmod></url></urlset>"))
+      .toDF("url", "xml")
+    val got = Sitemaps.discoverSeeds(level0, col("domain"),
+        col("sitemap_url"), col("xml"), fetch)
+      .as[(String, String, Option[String], Int, String)]
+      .collect().toSet
+    assert(got.contains(("a.com", "https://a.com/p1", None, 0,
+      "https://a.com/sitemap.xml")))
+    assert(got.contains(("b.com", "https://b.com/q1",
+      Some("2026-02-02"), 1, "https://b.com/s1.xml")))
+    assert(got.contains(("b.com", "https://b.com/gone.xml", None, 1,
+      "missing")))
+    assert(got.exists(r => r._1 == "c.com" && r._5 == "error" &&
+      r._2.startsWith("not-a-sitemap:")))
+    assert(got.size == 4)
+  }
+
+  test("politenessSchedule: per-domain queue positions and offsets; " +
+      "absent domains take the default delay; the window is " +
+      "domain-partitioned") {
+    import spark.implicits._
+    val frontier = Seq((1L, "a.com"), (2L, "a.com"), (3L, "a.com"),
+      (4L, "b.com"), (5L, "b.com")).toDF("doc_id", "domain")
+    val delays = Seq(("a.com", 2.5)).toDF("domain", "delay_s")
+    val df = graft.ops.Frontier.politenessSchedule(frontier,
+      col("domain"), col("doc_id"), delays, defaultDelay = 0.5)
+    val got = df.select("doc_id", "delay_s", "fetch_seq", "scheduled_at")
+      .as[(Long, Double, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2.5, 1, 0.0)))
+    assert(got(2L) == ((2.5, 2, 2.5)))
+    assert(got(3L) == ((2.5, 3, 5.0)))
+    assert(got(4L) == ((0.5, 1, 0.0)))
+    assert(got(5L) == ((0.5, 2, 0.5)))
+    // no partition-less window in the plan
+    val unpartitioned = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty)
+  }
+}
