@@ -954,6 +954,11 @@ object Bench {
       "q195_warc_record_types", "q196_charset_precedence",
       "q197_redirect_frontier", "q198_robots_sitemap_delay",
       "q199_sitemap_discovery", "q200_politeness_schedule",
+      // conditional revisit: map mint + real HTTP parse + one url-keyed
+      // validator join — linear; frontier runbook: the four stages
+      // above composed (broadcast lookups + one validator join + one
+      // domain-partitioned window), five bounded counts — linear
+      "q201_conditional_revisit", "q202_frontier_runbook",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

@@ -6242,6 +6242,134 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Composed frontier runbook (q202): the round's crawl operators
+    * chained in production order — redirect-chain identity collapse
+    * (id%7==3 urls 301 onto their neighbour and merge with its entry),
+    * robots gate (k%5==2 domains publish a blanket `/t` disallow),
+    * conditional-revisit skip (id%3==0 urls hold verified validators —
+    * the simulated 304, content charged to the prior capture), then
+    * the politeness schedule over what actually fetches. Returns the
+    * 5-row funnel (the q189 contract: each stage runs only on the
+    * previous stage's survivors). Every stage is the proven per-query
+    * shape: broadcast redirect/rule/delay lookups, one url-keyed
+    * validator join, one domain-partitioned window. */
+  private def qFrontierRunbook(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val url = concat(lit("https://site"), pmod(col("doc_id"), lit(20L)),
+      lit(".com/t"), col("doc_id"))
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), url.as("url")).localCheckpoint()
+    val n0 = docs.count()
+    // stage 1: redirect identity — id%7==3 pages 301 onto t{id-1}
+    val edges = docs.filter(pmod(col("doc_id"), lit(7L)) === 3L)
+      .select(col("url").as("src"),
+        concat(lit("https://site"),
+          pmod(col("doc_id") - 1, lit(20L)), lit(".com/t"),
+          col("doc_id") - 1).as("dst"))
+    val withId = graft.ops.Redirects.frontierIdentity(docs, col("url"),
+      graft.ops.Redirects.collapseRedirects(edges))
+    val s1 = withId
+      .groupBy(col("url_identity"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("url_identity").as("url"))
+      .localCheckpoint()
+    val n1 = s1.count()
+    // stage 2: robots — k%5==2 domains disallow the whole /t space
+    val rules = graft.ops.Robots.parseRobots(
+      s.range(0, 20).toDF("k")
+        .filter(pmod(col("k"), lit(5L)) === 2L)
+        .select(concat(lit("site"), col("k"), lit(".com")).as("domain"),
+          lit("User-agent: *\nDisallow: /t\n").as("body")),
+      col("domain"), col("body"))
+    val s2 = graft.ops.Robots.robotsAllowedStream(s1, col("url"),
+        graft.ops.Robots.domainRuleSets(rules, "GRAFTBOT"))
+      .filter(col("allowed")).drop("allowed").localCheckpoint()
+    val n2 = s2.count()
+    // stage 3: conditional skip — id%3==0 validators verify unchanged
+    val stored = docs.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+      .select(col("url"),
+        concat(lit("\"e"), col("doc_id"), lit("\"")).as("etag"),
+        lit("Mon, 01 Dec 2025 00:00:00 GMT").as("last_modified"),
+        graft.functions.GraftFunctions.sha1Base32(
+          concat(lit("body m"), col("doc_id"))).as("payload_digest"))
+    val fetched = s2.select(col("doc_id"), col("url"),
+      concat(lit("\"e"), col("doc_id"), lit("\"")).as("etag"),
+      graft.functions.GraftFunctions.sha1Base32(
+        concat(lit("body m"), col("doc_id"))).as("payload_digest"))
+    val s3 = graft.ops.Frontier.revisitClassify(stored, fetched)
+      .filter(!col("cls").startsWith("unchanged"))
+      .select(col("doc_id"), col("url")).localCheckpoint()
+    val n3 = s3.count()
+    // stage 4: politeness schedule over what actually fetches
+    val scheduled = graft.ops.Frontier.politenessSchedule(s3,
+      regexp_extract(col("url"), "^https://([^/]+)/", 1), col("doc_id"),
+      graft.ops.Robots.crawlDelayFor(graft.ops.Robots.parseCrawlDelays(
+        mintedPolitenessRobots(s), col("domain"), col("body")),
+        "GRAFTBOT"))
+    val n4 = scheduled.count()
+    Seq(
+      (0L, "frontier_in", n0, 0L, n0),
+      (1L, "redirect_identity", n0, n0 - n1, n1),
+      (2L, "robots", n1, n1 - n2, n2),
+      (3L, "conditional_skip", n2, n2 - n3, n3),
+      (4L, "schedule", n3, n3 - n4, n4))
+      .toDF("stage_order", "stage", "n_in", "n_dropped", "n_out")
+      .orderBy(col("stage_order"))
+  }
+
+  /** Conditional-revisit classification (q201): the batch twin of HTTP
+    * conditional GET — yesterday's validator artifact (url, ETag,
+    * Last-Modified, payload digest) against today's fetched entities.
+    * Five classes: first capture (`new`), exact ETag match, WEAK ETag
+    * match (`W/` prefix ignored both sides, RFC 9110 §8.8.3.2 — the
+    * CDN-weakened tag still validates), rotated ETag with an unchanged
+    * payload digest (`unchanged_digest` — content charged to the prior
+    * capture, the wire twin of the WARC revisit record), and a real
+    * modification. Validators ride the real HTTP parse; one url-keyed
+    * join against the metadata-sized validator artifact. */
+  private def qConditionalRevisit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blocks = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val c = id % 5
+        val etag = if (c <= 2) s""""e$id"""" else s""""n$id""""
+        val body = if (c == 4) s"body v2 m$id" else s"body m$id"
+        (id, (s"HTTP/1.1 200 OK\r\nETag: $etag\r\n" +
+          "Last-Modified: Mon, 05 Jan 2026 00:00:00 GMT\r\n" +
+          "Content-Type: text/plain; charset=utf-8\r\n\r\n" + body)
+          .getBytes(utf8))
+      }
+      .toDF("doc_id", "block")
+    val url = concat(lit("https://site"), pmod(col("doc_id"), lit(20L)),
+      lit(".com/t"), col("doc_id"))
+    val fetched = graft.sources.WarcHttp.parseHttp(blocks,
+        col("doc_id"), col("block"))
+      .select(col("doc_id"), url.as("url"), col("etag"),
+        col("last_modified"),
+        graft.functions.GraftFunctions.sha1Base32(col("body"))
+          .as("payload_digest"))
+    val c = pmod(col("doc_id"), lit(5L))
+    val stored = t(s, d, "documents").select(col("doc_id"))
+      .filter(c =!= 0L)
+      .select(url.as("url"),
+        when(c === 1L, concat(lit("\"e"), col("doc_id"), lit("\"")))
+          .when(c === 2L, concat(lit("W/\"e"), col("doc_id"), lit("\"")))
+          .otherwise(concat(lit("\"o"), col("doc_id"), lit("\"")))
+          .as("etag"),
+        lit("Mon, 01 Dec 2025 00:00:00 GMT").as("last_modified"),
+        // the stored digest is yesterday's capture: "body m{id}" for
+        // every class (class 4's fetch really changed)
+        graft.functions.GraftFunctions.sha1Base32(
+          concat(lit("body m"), col("doc_id"))).as("payload_digest"))
+    graft.ops.Frontier.revisitClassify(stored, fetched)
+      .select(col("doc_id"), col("url"), col("cls"),
+        (col("cls") === "unchanged_etag" ||
+          col("cls") === "unchanged_digest").as("charge_prior"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sitemap XML seed discovery (q199): the consumer of q198's
     * `Sitemap:` pointers — fetched sitemap bodies parsed into frontier
     * seeds, with ONE level of `<sitemapindex>` recursion (the
@@ -7155,7 +7283,9 @@ object SparkEntry {
     "q197_redirect_frontier" -> (qRedirectFrontier _),
     "q198_robots_sitemap_delay" -> (qRobotsSitemapDelay _),
     "q199_sitemap_discovery" -> (qSitemapDiscovery _),
-    "q200_politeness_schedule" -> (qPolitenessSchedule _))
+    "q200_politeness_schedule" -> (qPolitenessSchedule _),
+    "q201_conditional_revisit" -> (qConditionalRevisit _),
+    "q202_frontier_runbook" -> (qFrontierRunbook _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11137,6 +11267,49 @@ object SparkEntry {
              WHEN c = 1 THEN 'chunk page k' || doc_id
              WHEN c = 2 THEN 'zipped both z' || doc_id
              ELSE NULL END AS body_text
+         FROM b
+         ORDER BY doc_id""",
+    // q202: the frontier funnel value-compared — the engine runs the
+    // real operators (broadcast redirect collapse, stateless robots
+    // fold, validator join, domain-partitioned schedule); the oracle
+    // derives each stage's survivor count from the planted classes
+    "q202_frontier_runbook" ->
+      """WITH d AS (SELECT doc_id, doc_id % 20 AS k FROM documents),
+         c AS (SELECT
+           (SELECT count(*) FROM d) AS n0,
+           (SELECT count(*) FROM d WHERE doc_id % 7 <> 3) AS n1,
+           (SELECT count(*) FROM d WHERE doc_id % 7 <> 3
+              AND k % 5 <> 2) AS n2,
+           (SELECT count(*) FROM d WHERE doc_id % 7 <> 3
+              AND k % 5 <> 2 AND doc_id % 3 <> 0) AS n3)
+         SELECT * FROM (
+           SELECT CAST(0 AS BIGINT) AS stage_order,
+             'frontier_in' AS stage, n0 AS n_in,
+             CAST(0 AS BIGINT) AS n_dropped, n0 AS n_out FROM c
+           UNION ALL
+           SELECT 1, 'redirect_identity', n0, n0 - n1, n1 FROM c
+           UNION ALL
+           SELECT 2, 'robots', n1, n1 - n2, n2 FROM c
+           UNION ALL
+           SELECT 3, 'conditional_skip', n2, n2 - n3, n3 FROM c
+           UNION ALL
+           SELECT 4, 'schedule', n3, 0, n3 FROM c)
+         ORDER BY stage_order""",
+    // q201: conditional revisit pinned closed-form — the engine parses
+    // the validator headers and joins the artifact for real; the
+    // oracle replays each class's verdict (weak ETag compare folds the
+    // W/ prefix, digest match survives an ETag rotation)
+    "q201_conditional_revisit" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 20 AS k, CAST(doc_id % 5 AS INT) AS c
+           FROM documents)
+         SELECT doc_id,
+           'https://site' || k || '.com/t' || doc_id AS url,
+           CASE c WHEN 0 THEN 'new'
+             WHEN 1 THEN 'unchanged_etag' WHEN 2 THEN 'unchanged_etag'
+             WHEN 3 THEN 'unchanged_digest' ELSE 'modified'
+             END AS cls,
+           (c IN (1, 2, 3)) AS charge_prior
          FROM b
          ORDER BY doc_id""",
     // q199: seed discovery pinned closed-form — the engine parses the

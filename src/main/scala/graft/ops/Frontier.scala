@@ -47,4 +47,49 @@ object Frontier {
         ((col("fetch_seq") - 1).cast("double") * col("delay_s"))
           .as("scheduled_at")): _*)
   }
+
+  /** RFC 9110 §8.8.3.2 weak ETag comparison — the rule `If-None-Match`
+    * uses: the `W/` weakness prefix is ignored on BOTH sides (a
+    * CDN-rotated weak tag still validates), the opaque quoted value
+    * must match exactly. */
+  private def weakEtagEq(a: Column, b: Column): Column =
+    regexp_replace(a, "^W/", "") === regexp_replace(b, "^W/", "")
+
+  /** Conditional-revisit classification — the batch twin of HTTP
+    * conditional GET: yesterday's validator artifact (url, etag,
+    * last_modified, payload_digest — what a polite crawler stores per
+    * fetch) against today's fetched entities. Per URL:
+    *
+    *   - `new`: no stored row — first capture;
+    *   - `unchanged_etag`: the stored ETag weak-matches the fetched one
+    *     (RFC 9110 §8.8.3.2 — the `W/` prefix ignored both sides):
+    *     content is charged to the prior capture, the wire twin of the
+    *     WARC `revisit` record;
+    *   - `unchanged_digest`: validators absent or rotated but the
+    *     payload digest matches — the CDN-rotated-ETag case; content
+    *     still charged to the prior capture;
+    *   - `modified`: everything disagrees — re-ingest.
+    *
+    * Appends `cls` plus the validator columns to store for the NEXT
+    * cycle (the fetched ones — the artifact advances one day, the
+    * q132/q182 cycle contract). One url-keyed join; the stored
+    * relation is fetch-log-sized metadata. */
+  def revisitClassify(stored: DataFrame, fetched: DataFrame): DataFrame = {
+    val inCols = fetched.columns.map(col).toSeq
+    val s = stored.select(col("url"),
+      col("etag").as("__p_etag"),
+      col("last_modified").as("__p_lm"),
+      col("payload_digest").as("__p_digest"),
+      lit(true).as("__seen"))
+    fetched
+      .join(s, Seq("url"), "left")
+      .select((inCols :+
+        when(coalesce(col("__seen"), lit(false)) =!= true, "new")
+          .when(col("__p_etag").isNotNull && col("etag").isNotNull &&
+            weakEtagEq(col("__p_etag"), col("etag")), "unchanged_etag")
+          .when(col("__p_digest").isNotNull &&
+            col("__p_digest") === col("payload_digest"),
+            "unchanged_digest")
+          .otherwise("modified").as("cls")): _*)
+  }
 }

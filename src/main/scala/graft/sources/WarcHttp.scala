@@ -75,6 +75,11 @@ object WarcHttp {
       // redirect target a frontier folds into URL identity (resolve
       // against the request URI via `resolve_url`, then canonicalize)
       location: Option[String],
+      // cache validators (RFC 9110 §8.8), verbatim — the revisit
+      // policy's inputs: a crawler that stored them can classify the
+      // next fetch `unchanged` without comparing bodies
+      etag: Option[String],
+      last_modified: Option[String],
       content_type: Option[String],
       charset: Option[String],
       transfer_encoding: Option[String],
@@ -131,7 +136,8 @@ object WarcHttp {
   /** The per-record parse — package-visible for the hand-case spec. */
   private[graft] def parseEntity(id: Long, block: Array[Byte]): HttpEntity = {
     def fail(e: String) = HttpEntity(id, http_ok = false, Some(e), None,
-      None, 0, None, None, None, None, None, encoding_ok = false,
+      None, 0, None, None, None, None, None, None, None,
+      encoding_ok = false,
       encoding_error = None, is_text = false, block, None, None, None,
       None, None, transcode_ok = false, None, None)
     // status line
@@ -153,6 +159,8 @@ object WarcHttp {
     var contentEncoding: Option[String] = None
     var transferEncoding: Option[String] = None
     var location: Option[String] = None
+    var etag: Option[String] = None
+    var lastModified: Option[String] = None
     var bodyStart = -1
     while (bodyStart < 0) {
       val eol = indexOfCrlf(block, at)
@@ -192,6 +200,11 @@ object WarcHttp {
           transferEncoding = fold(transferEncoding)
         else if (name.equalsIgnoreCase("location"))
           location = Some(line.substring(colon + 1).trim).filter(_.nonEmpty)
+        else if (name.equalsIgnoreCase("etag"))
+          etag = Some(line.substring(colon + 1).trim).filter(_.nonEmpty)
+        else if (name.equalsIgnoreCase("last-modified"))
+          lastModified =
+            Some(line.substring(colon + 1).trim).filter(_.nonEmpty)
         at = eol + 2
       }
     }
@@ -300,7 +313,8 @@ object WarcHttp {
           if (ok) t else None
         }
     HttpEntity(id, http_ok = true, None, Some(status), Some(reason),
-      nHeaders, location, mediaType, declaredCharset, transferEncoding,
+      nHeaders, location, etag, lastModified, mediaType,
+      declaredCharset, transferEncoding,
       contentEncoding, encodingOk, encodingErr, isText, body,
       bom.map(_._1), metaCs,
       charsetUsed, charsetSource, bodyText, transcodeOk,

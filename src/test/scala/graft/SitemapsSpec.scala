@@ -82,6 +82,38 @@ class SitemapsSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("revisitClassify: weak ETag compare folds W/ on BOTH sides, a " +
+      "rotated ETag falls through to the digest, absent evidence is " +
+      "'modified', absent stored row is 'new'") {
+    import spark.implicits._
+    val stored = Seq(
+      ("u1", Some("\"a\""), Some("lm"), Some("sha1:X")),
+      ("u2", Some("W/\"b\""), Some("lm"), Some("sha1:X")),
+      ("u3", Some("\"old\""), Some("lm"), Some("sha1:SAME")),
+      ("u4", Some("\"old\""), Some("lm"), Some("sha1:DIFF")),
+      ("u5", None: Option[String], None: Option[String],
+        Some("sha1:SAME")),
+      ("u6", None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("url", "etag", "last_modified", "payload_digest")
+    val fetched = Seq(
+      ("u1", Some("W/\"a\""), Some("sha1:Y")), // weak fetched vs strong
+      ("u2", Some("\"b\""), Some("sha1:Y")), // strong fetched vs weak
+      ("u3", Some("\"new\""), Some("sha1:SAME")), // rotated, same body
+      ("u4", Some("\"new\""), Some("sha1:OTHER")), // really changed
+      ("u5", None: Option[String], Some("sha1:SAME")), // digest only
+      ("u6", None: Option[String], Some("sha1:Z")), // no evidence
+      ("u7", Some("\"c\""), Some("sha1:W"))) // never seen
+      .toDF("url", "etag", "payload_digest")
+    val got = graft.ops.Frontier.revisitClassify(stored, fetched)
+      .select("url", "cls").as[(String, String)].collect().toMap
+    assert(got == Map(
+      "u1" -> "unchanged_etag", "u2" -> "unchanged_etag",
+      "u3" -> "unchanged_digest", "u4" -> "modified",
+      "u5" -> "unchanged_digest", "u6" -> "modified",
+      "u7" -> "new"), got.toString)
+  }
+
   test("politenessSchedule: per-domain queue positions and offsets; " +
       "absent domains take the default delay; the window is " +
       "domain-partitioned") {
