@@ -232,6 +232,42 @@ object UrlOps {
     out.toString
   }
 
+  /** RFC 3986 §6.2.2.1–2 percent-encoding normalization: hex digits
+    * uppercased, escapes of UNRESERVED characters (ALPHA / DIGIT / "-"
+    * / "." / "_" / "~") decoded — `%7e` ≡ `~`, `%41` ≡ `A`, while
+    * reserved escapes (`%2F`, `%26`, …) are preserved (decoding them
+    * would change which octets are delimiters). Malformed escapes (a
+    * `%` not followed by two hex digits) pass through untouched —
+    * quarantine-adjacent tolerance, never a throw. Applied to path and
+    * query only (host case-folding already normalizes the authority). */
+  private[graft] def normalizePctJ(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    def hexVal(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    def unreserved(v: Int): Boolean =
+      (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+        (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' ||
+        v == '~'
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (unreserved(v)) sb.append(v.toChar)
+        else sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def canonicalUrlJ(url: String): String = {
     if (url == null) return null
     var s = url.trim
@@ -267,9 +303,13 @@ object UrlOps {
     if (port == ":" || (port == ":80" && scheme == "http") ||
       (port == ":443" && scheme == "https")) port = ""
     val q = pathq.indexOf('?')
-    var path = removeDotSegmentsJ(
-      if (q >= 0) pathq.substring(0, q) else pathq)
-    var query: String = if (q >= 0) pathq.substring(q + 1) else null
+    // §6.2.2 order: percent-encoding normalization BEFORE path-segment
+    // normalization — `%2E%2E` is the same octets as `..` and must
+    // collapse identically
+    var path = removeDotSegmentsJ(normalizePctJ(
+      if (q >= 0) pathq.substring(0, q) else pathq))
+    var query: String =
+      if (q >= 0) normalizePctJ(pathq.substring(q + 1)) else null
     if (query != null) {
       val kept = query.split('&').filter { p =>
         if (p.isEmpty) false

@@ -275,8 +275,16 @@ class FunctionsSpec extends SparkSpec {
       "http://a.com/p?utm_source&keep" -> "http://a.com/p?keep",
       // IPv6 literal: bracket form preserved, default port stripped
       "http://[2001:DB8::1]:80/x" -> "http://[2001:DB8::1]/x",
-      // path/query percent-encoding and case untouched
+      // RFC 3986 §6.2.2.1–2 percent-encoding normalization: reserved
+      // escapes preserved (decoding %2F would change the delimiter
+      // structure) but hex-uppercased; unreserved escapes DECODE
+      // (%7e ≡ ~, %41 ≡ A); malformed escapes pass through untouched;
+      // %2E decodes to '.' BEFORE dot-segment removal (§6.2.2 order)
       "http://a.com/A%2Fb?K=V" -> "http://a.com/A%2Fb?K=V",
+      "http://a.com/a%2fb" -> "http://a.com/a%2Fb",
+      "http://a.com/%7euser/%41b?v=%7E%2c" -> "http://a.com/~user/Ab?v=~%2C",
+      "http://a.com/p%g1/%2" -> "http://a.com/p%g1/%2",
+      "http://a.com/a/%2E%2E/c" -> "http://a.com/c",
       // RFC 3986 §5.2.4 dot segments (VERDICT r16 #4): './'/'../'
       // resolve; '..' above the root drops; a trailing '/.' keeps the
       // directory slash; '.hidden' is NOT a dot segment
