@@ -79,6 +79,11 @@ object WarcCodec {
       // posture); an unknown algorithm label passes through unverified
       // (real readers skip algorithms they don't speak)
       payload_digest: Option[String],
+      // WARC-Block-Digest — the payload digest's sibling covering the
+      // WHOLE block (ISO 28500 §5.8); verified for every record type
+      // (unlike the payload digest, a revisit's block digest covers its
+      // own — empty — block), same quarantine semantics
+      block_digest: Option[String],
       content_length: Option[Long],
       block: Option[Array[Byte]])
 
@@ -381,7 +386,8 @@ object WarcCodec {
   private[graft] def parseGzipRecords(
       cid: Long, data: Array[Byte]): Seq[WarcRecord] = {
     def bad(seq: Int, e: String) = WarcRecord(cid, seq, ok = false,
-      Some(e), None, None, None, None, None, None, None, None, None, None)
+      Some(e), None, None, None, None, None, None, None, None, None,
+      None, None)
     if (data.isEmpty)
       return Seq(bad(0, "no-gzip-member: 0 bytes carry no gzip member"))
     val out = Seq.newBuilder[WarcRecord]
@@ -556,14 +562,16 @@ object WarcCodec {
       return Seq(WarcRecord(cid, 0, ok = false,
         Some(s"no-warc-magic: ${data.length} bytes carry no " +
           s"'$Version' record start"),
-        None, None, None, None, None, None, None, None, None, None))
+        None, None, None, None, None, None, None, None, None, None,
+        None))
     val out = Seq.newBuilder[WarcRecord]
     var seq = 0
     if (starts.head != 0) {
       out += WarcRecord(cid, seq, ok = false,
         Some(s"leading-garbage: ${starts.head} bytes before the first " +
           s"'$Version' magic"),
-        None, None, None, None, None, None, None, None, None, None)
+        None, None, None, None, None, None, None, None, None, None,
+        None)
       seq += 1
     }
     var i = 0
@@ -609,6 +617,7 @@ object WarcCodec {
     var concurrentTo: Option[String] = None
     var warcContentType: Option[String] = None
     var payloadDigest: Option[String] = None
+    var blockDigest: Option[String] = None
     var contentLength: Option[Long] = None
     var err: Option[String] = None
     var blockStart = -1
@@ -637,6 +646,7 @@ object WarcCodec {
             case "warc-concurrent-to" => concurrentTo = Some(value)
             case "content-type" => warcContentType = Some(value)
             case "warc-payload-digest" => payloadDigest = Some(value)
+            case "warc-block-digest" => blockDigest = Some(value)
             case "content-length" =>
               contentLength = value.toLongOption.filter(_ >= 0)
               if (contentLength.isEmpty)
@@ -650,7 +660,7 @@ object WarcCodec {
     def rec(ok: Boolean, e: Option[String], block: Option[Array[Byte]]) =
       WarcRecord(cid, seq, ok, e, warcType, recordId, targetUri,
         warcDate, refersTo, concurrentTo, warcContentType, payloadDigest,
-        contentLength, block)
+        blockDigest, contentLength, block)
     if (err.isDefined) return rec(ok = false, err, None)
     val missing = Seq(
       "WARC-Type" -> warcType.isEmpty,
@@ -695,7 +705,21 @@ object WarcCodec {
       // own (that asymmetry IS the dedup mechanism — the digest is the
       // join key back to the original capture), so verifying against
       // the empty block would quarantine every spec-conforming revisit.
-      payloadDigest match {
+      // WARC-Block-Digest first (the outer integrity proof — it covers
+      // the whole block, and unlike the payload digest it applies to
+      // EVERY record type: a revisit's block digest covers its own,
+      // empty, block)
+      val blockFail = blockDigest.collect {
+        case declaredDigest
+            if declaredDigest.toLowerCase(java.util.Locale.ROOT)
+              .startsWith("sha1:") =>
+          val computed = sha1Base32(block)
+          if (computed.equalsIgnoreCase(declaredDigest)) None
+          else Some(s"block-digest-mismatch: declared $declaredDigest, " +
+            s"computed $computed")
+      }.flatten
+      if (blockFail.isDefined) rec(ok = false, blockFail, None)
+      else payloadDigest match {
         case Some(declaredDigest)
             if !warcType.contains("revisit") &&
               declaredDigest.toLowerCase(java.util.Locale.ROOT)

@@ -392,6 +392,38 @@ class WarcSpec extends SparkSpec {
     assert(btext(recs(2)).contains("neighbour"))
   }
 
+  test("block digest verifies over the WHOLE block for every record " +
+      "type (a revisit's covers its empty block); a liar quarantines " +
+      "as its own class") {
+    val body = "HTTP/1.1 200 OK\r\n\r\nblock body"
+    val block = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val good = WarcCodec.mintRecordBytes("response", "<urn:graft:1>",
+      Some("https://a.com/x"), "2026-01-01T00:00:00Z",
+      "application/http; msgtype=response", block,
+      extraHeaders = Seq("WARC-Block-Digest" -> WarcCodec.sha1Base32(block)))
+    val liar = WarcCodec.mintRecordBytes("response", "<urn:graft:2>",
+      Some("https://a.com/y"), "2026-01-01T00:00:00Z",
+      "application/http; msgtype=response", block,
+      extraHeaders = Seq("WARC-Block-Digest" -> ("sha1:" + "B" * 32)))
+    // a revisit with a block digest over its EMPTY block verifies —
+    // while its PAYLOAD digest (the referent's) is never checked
+    val rev = WarcCodec.mintRecordBytes("revisit", "<urn:graft:3>",
+      Some("https://a.com/z"), "2026-01-01T00:00:00Z",
+      "application/http; msgtype=response", Array.emptyByteArray,
+      extraHeaders = Seq(
+        "WARC-Refers-To" -> "<urn:graft:1>",
+        "WARC-Payload-Digest" -> WarcCodec.sha1Base32(
+          "block body".getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        "WARC-Block-Digest" -> WarcCodec.sha1Base32(Array.emptyByteArray)))
+    val recs = WarcCodec.parseRecords(1L, good ++ liar ++ rev)
+    assert(recs.map(_.ok) == Seq(true, false, true), recs.map(_.error))
+    assert(recs.head.block_digest.exists(_.startsWith("sha1:")))
+    assert(recs(1).error.exists(_.startsWith("block-digest-mismatch:")),
+      recs(1).error.toString)
+    assert(recs(1).record_id.contains("<urn:graft:2>")) // attributable
+    assert(recs(2).warc_type.contains("revisit") && recs(2).ok)
+  }
+
   test("an unknown digest algorithm passes through unverified") {
     val rec = WarcCodec.mintRecordBytes("response", "<urn:graft:4>",
       Some("https://a.com/x"), "2026-01-01T00:00:00Z",
