@@ -6294,6 +6294,7 @@ object SparkEntry {
           concat(lit("body m"), col("doc_id"))).as("payload_digest"))
     val fetched = s2.select(col("doc_id"), col("url"),
       concat(lit("\"e"), col("doc_id"), lit("\"")).as("etag"),
+      lit("Mon, 05 Jan 2026 00:00:00 GMT").as("last_modified"),
       graft.functions.GraftFunctions.sha1Base32(
         concat(lit("body m"), col("doc_id"))).as("payload_digest"))
     val s3 = graft.ops.Frontier.revisitClassify(stored, fetched)
@@ -11387,8 +11388,9 @@ object SparkEntry {
     // parses Location headers, RFC 3986-resolves (incl. the relative
     // dot-segment class), walks chains, and loop-flags for real; the
     // oracle replays each class's terminal identity, hop count, and
-    // loop verdict (the loop resolves to its min member in exactly
-    // maxHops=8 followed edges)
+    // loop verdict (the loop resolves to its min member; the walk
+    // budget is 2 x maxHops = 16 followed edges, which is what a
+    // never-terminating 2-cycle reports)
     "q197_redirect_frontier" ->
       """WITH b AS (
            SELECT doc_id, CAST(doc_id % 4 AS INT) AS c, doc_id % 20 AS k
@@ -11401,7 +11403,7 @@ object SparkEntry {
              CASE WHEN c IN (0, 1) THEN 'c' WHEN c = 2 THEN 'x'
                ELSE 'p' END || doc_id AS url_identity,
            (c <> 3) AS redirected,
-           CAST(CASE c WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 8
+           CAST(CASE c WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 16
              ELSE -1 END AS INT) AS hops,
            (c = 2) AS is_loop
          FROM b

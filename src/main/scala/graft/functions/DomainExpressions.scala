@@ -376,7 +376,20 @@ object UrlOps {
     }
     val basePath = bp0.substring(0, bpEnd)
     if (ref.startsWith("?")) return origin + basePath + ref
-    if (ref.startsWith("#")) return origin + basePath // fragment-only
+    if (ref.startsWith("#")) {
+      // fragment-only: the SAME resource — RFC 3986 §5.3 keeps the
+      // base QUERY too (dropping it would merge every ?id= page onto
+      // the bare path)
+      val baseQuery = {
+        val qm = bp0.indexOf('?')
+        if (qm < 0) ""
+        else {
+          val qEnd = bp0.indexOf('#', qm)
+          bp0.substring(qm, if (qEnd < 0) bp0.length else qEnd)
+        }
+      }
+      return origin + basePath + baseQuery
+    }
     // merge: the base path's directory + the reference
     val slash = basePath.lastIndexOf('/')
     val dir = if (slash >= 0) basePath.substring(0, slash + 1) else "/"

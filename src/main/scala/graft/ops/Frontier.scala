@@ -68,6 +68,11 @@ object Frontier {
     *   - `unchanged_digest`: validators absent or rotated but the
     *     payload digest matches — the CDN-rotated-ETag case; content
     *     still charged to the prior capture;
+    *   - `unchanged_lastmod`: no ETag and no digest evidence, but the
+    *     stored `Last-Modified` matches the fetched one exactly — the
+    *     weak validator (RFC 9110 §8.8.2.2: exact-match comparison),
+    *     consulted LAST because a static date under changed content is
+    *     the classic misconfiguration;
     *   - `modified`: everything disagrees — re-ingest.
     *
     * Appends `cls` plus the validator columns to store for the NEXT
@@ -90,6 +95,9 @@ object Frontier {
           .when(col("__p_digest").isNotNull &&
             col("__p_digest") === col("payload_digest"),
             "unchanged_digest")
+          .when(col("__p_etag").isNull && col("__p_digest").isNull &&
+            col("__p_lm").isNotNull &&
+            col("__p_lm") === col("last_modified"), "unchanged_lastmod")
           .otherwise("modified").as("cls")): _*)
   }
 }

@@ -52,9 +52,18 @@ object Redirects {
         col("src") =!= col("dst"))
 
   /** Collapse redirect chains: (src, resolved, hops, is_loop) — one row
-    * per distinct edge source. `resolved` is the terminal URL, or for
-    * loops the minimum URL among all reached (see object doc); `hops`
-    * counts followed edges, capped at `maxHops`. */
+    * per distinct edge source. The walk follows up to 2×`maxHops`
+    * edges: chains that terminate inside that budget resolve to their
+    * TERMINAL (`hops` = edges followed); anything still open at the
+    * end is flagged `is_loop` and resolves to the minimum URL visited
+    * during the SECOND half of the walk — for any cycle of length ≤
+    * `maxHops` whose tail is ≤ `maxHops` long, the second-half visits
+    * are exactly the cycle, so every chain into one cycle elects the
+    * same representative (the cycle's min member) no matter where it
+    * entered or how long its tail was. A finite chain longer than the
+    * whole budget is indistinguishable from a cycle and is flagged too
+    * (browsers cap redirect chains near 20 — raise `maxHops` if that
+    * class matters). */
   def collapseRedirects(edges: DataFrame, maxHops: Int = 8): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     // one outgoing edge per source (a URL captured twice with different
@@ -62,31 +71,35 @@ object Redirects {
     // join must never fan out
     val e = edges.groupBy(col("src")).agg(min(col("dst")).as("dst"))
       .localCheckpoint()
-    // walk state: cur = where the chain stands, reach_min = min URL seen
-    // past the source (the loop representative), hops = edges followed
-    var m = e.select(col("src"), col("dst").as("cur"),
-      col("dst").as("reach_min"), lit(1).as("hops"))
+    val step = e.select(col("src").as("cur"), col("dst").as("nxt"))
+    // phase A: walk maxHops edges
+    var m = e.select(col("src"), col("dst").as("cur"), lit(1).as("hops"))
     for (_ <- 2 to maxHops) {
-      m = m.join(
-          broadcast(e.select(col("src").as("cur"), col("dst").as("nxt"))),
-          Seq("cur"), "left")
+      m = m.join(broadcast(step), Seq("cur"), "left")
         .select(col("src"),
           coalesce(col("nxt"), col("cur")).as("cur"),
-          when(col("nxt").isNotNull, least(col("reach_min"), col("nxt")))
-            .otherwise(col("reach_min")).as("reach_min"),
           when(col("nxt").isNotNull, col("hops") + 1)
             .otherwise(col("hops")).as("hops"))
     }
-    // looped ⇔ the walk still has an outgoing edge after maxHops — a
-    // terminated chain's cur has none
-    // reach_min contains the source itself exactly when the walk
-    // returned to it (a member of the cycle), so cycle members AND
-    // tails into the cycle all agree on min(reached) — never add src
-    // here, or a tail node would elect itself
+    // phase B: walk maxHops more, accumulating the min URL VISITED in
+    // this half (starting from the phase boundary position — inside
+    // the cycle whenever tail ≤ maxHops)
+    m = m.withColumn("reach2", col("cur"))
+    for (_ <- 1 to maxHops) {
+      m = m.join(broadcast(step), Seq("cur"), "left")
+        .select(col("src"),
+          coalesce(col("nxt"), col("cur")).as("cur"),
+          when(col("nxt").isNotNull, col("hops") + 1)
+            .otherwise(col("hops")).as("hops"),
+          when(col("nxt").isNotNull, least(col("reach2"), col("nxt")))
+            .otherwise(col("reach2")).as("reach2"))
+    }
+    // unresolved ⇔ the walk still has an outgoing edge after the full
+    // budget — a terminated chain's cur has none
     m.join(broadcast(e.select(col("src").as("cur"),
         lit(true).as("__open"))), Seq("cur"), "left")
       .select(col("src"),
-        when(col("__open"), col("reach_min"))
+        when(col("__open"), col("reach2"))
           .otherwise(col("cur")).as("resolved"),
         col("hops"),
         coalesce(col("__open"), lit(false)).as("is_loop"))

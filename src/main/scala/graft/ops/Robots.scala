@@ -76,11 +76,13 @@ object Robots {
     * dropped keys (VERDICT r17 #7) — `Sitemap:` (a GLOBAL field per the
     * sitemaps.org protocol: group-independent, and like any non-group
     * line it does not interrupt the surrounding group) and
-    * `Crawl-delay:` (non-standard but widely published; applied to the
-    * agents of the current group, and deliberately NOT a group
-    * terminator — RFC 9309 §2.2.4 says unknown lines are ignored, so
-    * two User-agent lines separated only by a Crawl-delay still merge
-    * into one group, exactly as before this field was parsed). */
+    * `Crawl-delay:` (non-standard but widely published; applied to ALL
+    * of its group's agents — including ones whose User-agent line
+    * joins the group after the delay line, mirroring the rule merge —
+    * and deliberately NOT a group terminator: RFC 9309 §2.2.4 says
+    * unknown lines are ignored, so two User-agent lines separated only
+    * by a Crawl-delay still merge into one group, exactly as before
+    * this field was parsed). */
   private[graft] case class ParsedBody(
       rules: Seq[Rule],
       sitemaps: Seq[String],
@@ -100,6 +102,18 @@ object Robots {
     var agents: List[String] = Nil
     var groupHasRules = false
     var order = 0
+    // delays are emitted when the GROUP CLOSES, not when the line is
+    // read: a User-agent line that joins the group AFTER its
+    // Crawl-delay line shares the group's rules (the §2.2.4 merge the
+    // Rule side already honours), so it must share the delay too —
+    // emitting eagerly would under-apply the published politeness to
+    // late-joined agents
+    var groupDelays: List[Double] = Nil
+    def closeGroup(): Unit = {
+      if (groupDelays.nonEmpty)
+        for (a <- agents.reverse; d <- groupDelays.reverse) delays += a -> d
+      groupDelays = Nil
+    }
     body.split("\n", -1).foreach { raw =>
       val noComment = {
         val h = raw.indexOf('#')
@@ -114,7 +128,9 @@ object Robots {
           val value = line.substring(colon + 1).trim
           key match {
             case "user-agent" =>
-              if (groupHasRules) { agents = Nil; groupHasRules = false }
+              if (groupHasRules) {
+                closeGroup(); agents = Nil; groupHasRules = false
+              }
               if (value.nonEmpty) {
                 val a = value.toLowerCase(java.util.Locale.ROOT)
                 agents = a :: agents
@@ -138,15 +154,17 @@ object Robots {
               // global: registers wherever it appears, group untouched
               if (value.nonEmpty) sitemaps += value
             case "crawl-delay" =>
-              // group field: applies to the current group's agents; a
-              // malformed or negative value is ignored, never guessed
+              // group field: applies to the WHOLE group's agents
+              // (emitted at group close); a malformed or negative
+              // value is ignored, never guessed
               value.toDoubleOption.filter(d => d >= 0 && d.isFinite)
-                .foreach(d => agents.reverse.foreach(a => delays += a -> d))
+                .foreach(d => groupDelays = d :: groupDelays)
             case _ => () // unknown keys skipped (RFC 9309 §2.2.4)
           }
         }
       }
     }
+    closeGroup() // the final group's delays
     ParsedBody(out.result(), sitemaps.result(), delays.result())
   }
 

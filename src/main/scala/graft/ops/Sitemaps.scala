@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: map-only (one flatMap per fetched sitemap body — the
   * relation is sitemap-count-sized, orders below the corpus); the one
-  * index-recursion join is child-URL-keyed metadata. */
+  * index-recursion join hashes on the child URL (the XML bodies riding
+  * it are content-sized — up to 50k URLs each — so never broadcast). */
 object Sitemaps {
 
   /** One parsed sitemap entry. */
@@ -129,10 +130,15 @@ object Sitemaps {
     * protocol allows exactly one: an index must not point at another
     * index): parse the level-0 bodies, join the index entries' child
     * URLs against `fetch` — the (url, xml) relation of fetched child
-    * sitemaps — parse those, and union the seed rows. Children the
-    * fetch relation does not cover surface as `kind = 'missing'` rows
-    * (a frontier must know what it could not expand, the quarantine
-    * posture). Output: (domain, seed_url, lastmod, depth, via). */
+    * sitemaps — parse those, and union the seed rows. Nothing silently
+    * shrinks the seed set: children the fetch relation does not cover
+    * surface as `via = 'missing'` rows, malformed children (an HTML
+    * 404 page, say) as depth-1 `error` rows, a child that is itself an
+    * index (violating the one-level bound) as `nested-index`, and
+    * malformed level-0 bodies as depth-0 `error` rows. Output:
+    * (domain, seed_url, lastmod, depth, via). The child join is a
+    * plain url-keyed hash join — the XML bodies are content-sized,
+    * never broadcast. */
   def discoverSeeds(
       level0: DataFrame, // (domain, sitemap_url, xml)
       domainCol: Column, urlCol: Column, xmlCol: Column,
@@ -142,26 +148,44 @@ object Sitemaps {
     val direct = p0.filter(col("kind") === "urlset")
       .select(col("domain"), col("loc").as("seed_url"), col("lastmod"),
         lit(0).as("depth"), col("sitemap_url").as("via"))
+    // a plain url-keyed join, NOT a broadcast: the child XML bodies are
+    // up to 50k URLs each by protocol — content, not metadata; only the
+    // child-URL keys are small
     val children = p0.filter(col("kind") === "sitemapindex")
       .select(col("domain"), col("loc").as("child_url"))
-      .join(broadcast(fetch.select(col("url").as("child_url"),
-        col("xml").as("child_xml"))), Seq("child_url"), "left")
+      .join(fetch.select(col("url").as("child_url"),
+        col("xml").as("child_xml")), Seq("child_url"), "left")
     val missing = children.filter(col("child_xml").isNull)
       .select(col("domain"), col("child_url").as("seed_url"),
         lit(null).cast("string").as("lastmod"), lit(1).as("depth"),
         lit("missing").as("via"))
-    val nested = parseSitemapXml(
+    val p1 = parseSitemapXml(
         children.filter(col("child_xml").isNotNull),
         col("domain"), col("child_url"), col("child_xml"))
-      .filter(col("kind") === "urlset")
+      .localCheckpoint() // feeds the seed lane + two failure lanes
+    val nested = p1.filter(col("kind") === "urlset")
       .select(col("domain"), col("loc").as("seed_url"), col("lastmod"),
         lit(1).as("depth"), col("sitemap_url").as("via"))
+    // depth-1 failures surface too (the same never-silently-shrink
+    // contract as level 0): a child that parses as garbage is an
+    // `error` row; a child that is ITSELF an index violates the
+    // protocol's one-level bound and surfaces as `nested-index`
+    val childErrors = p1.filter(col("kind") === "error")
+      .select(col("domain"), col("loc").as("seed_url"),
+        lit(null).cast("string").as("lastmod"), lit(1).as("depth"),
+        lit("error").as("via"))
+    val nestedIndex = p1.filter(col("kind") === "sitemapindex")
+      .select(col("domain"), col("loc").as("seed_url"),
+        lit(null).cast("string").as("lastmod"), lit(1).as("depth"),
+        lit("nested-index").as("via"))
     // parse failures surface as rows (the quarantine posture), never
     // silently shrink the seed set
     val errors = p0.filter(col("kind") === "error")
       .select(col("domain"), col("loc").as("seed_url"),
         lit(null).cast("string").as("lastmod"), lit(0).as("depth"),
         lit("error").as("via"))
-    direct.unionByName(nested).unionByName(missing).unionByName(errors)
+    direct.unionByName(nested).unionByName(missing)
+      .unionByName(childErrors).unionByName(nestedIndex)
+      .unionByName(errors)
   }
 }

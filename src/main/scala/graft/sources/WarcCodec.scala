@@ -303,14 +303,17 @@ object WarcCodec {
     *   - anything else (`resource`, `conversion`, future types) →
     *     `other` — carried, never silently dropped.
     */
-  def recordRoute(warcType: Column, ok: Column): Column =
+  def recordRoute(warcType: Column, ok: Column): Column = {
+    // type names compare case-insensitively (writers vary)
+    val t = lower(warcType)
     when(!ok, "quarantine")
-      .when(warcType === "response", "content")
-      .when(warcType === "revisit", "dedup_skip")
-      .when(warcType === "request", "request_log")
-      .when(warcType === "metadata", "metadata_log")
-      .when(warcType === "warcinfo", "container_info")
+      .when(t === "response", "content")
+      .when(t === "revisit", "dedup_skip")
+      .when(t === "request", "request_log")
+      .when(t === "metadata", "metadata_log")
+      .when(t === "warcinfo", "container_info")
       .otherwise("other")
+  }
 
   // ------------------------------------------------------------------
   // Gzip-member framing (VERDICT r16 #1): the `.warc.gz` convention —
@@ -721,7 +724,10 @@ object WarcCodec {
       if (blockFail.isDefined) rec(ok = false, blockFail, None)
       else payloadDigest match {
         case Some(declaredDigest)
-            if !warcType.contains("revisit") &&
+            // type compare is case-insensitive: a writer spelling
+            // `Revisit` must not have its referent digest verified
+            // against its own empty block
+            if !warcType.exists(_.equalsIgnoreCase("revisit")) &&
               declaredDigest.toLowerCase(java.util.Locale.ROOT)
                 .startsWith("sha1:") =>
           val computed = sha1Base32(payloadOf(block, warcContentType))

@@ -322,7 +322,12 @@ object WarcHttp {
   }
 
   /** Byte-order-mark sniff: (charset, BOM byte length). UTF-32 first —
-    * the UTF-32LE mark `FF FE 00 00` begins with the UTF-16LE mark. */
+    * the UTF-32LE mark `FF FE 00 00` begins with the UTF-16LE mark.
+    * Deliberate divergence from the WHATWG table (which omits UTF-32
+    * entirely): recognizing UTF-32 decodes real UTF-32 archives
+    * losslessly, at the cost of misreading the pathological UTF-16LE
+    * document whose FIRST character is U+0000 — a NUL-leading text
+    * page does not occur in practice, a UTF-32 page does. */
   private[graft] def bomOf(b: Array[Byte]): Option[(String, Int)] = {
     def at(i: Int, v: Int) = i < b.length && (b(i) & 0xff) == v
     if (at(0, 0xff) && at(1, 0xfe) && at(2, 0x00) && at(3, 0x00))
@@ -335,18 +340,44 @@ object WarcHttp {
     else None
   }
 
-  private val MetaCharsetRe =
-    """(?i)<meta[^>]*charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]+)""".r
+  private val MetaTagRe = "(?i)<meta\\b[^>]*".r
+  private val AttrRe =
+    """(?i)([a-z-]+)\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""".r
+  private val ContentCharsetRe =
+    """(?i)charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]+)""".r
 
   /** WHATWG-style `<meta>` prescan over the first 1024 bytes (the
-    * standard's prescan window), decoded byte-transparently: matches
-    * both `<meta charset=…>` and the `http-equiv="Content-Type"`
-    * spelling (whose `content` attribute carries `charset=…`). */
+    * standard's prescan window), decoded byte-transparently. Each meta
+    * tag's ATTRIBUTES are parsed (quoted or bare values): a `charset`
+    * attribute wins; else an `http-equiv="Content-Type"` tag's
+    * `content` value is searched for its `charset=` parameter. Prose
+    * mentioning "charset=" inside an unrelated attribute (a
+    * description meta, say) can never decide the decode — the
+    * attribute structure, not a flat substring match, is consulted. */
   private[graft] def metaCharset(body: Array[Byte]): Option[String] = {
     val window = new String(body, 0, math.min(body.length, 1024),
       StandardCharsets.ISO_8859_1)
-    MetaCharsetRe.findFirstMatchIn(window)
-      .map(_.group(1).toLowerCase(java.util.Locale.ROOT))
+    def unquote(v: String): String =
+      if (v.length >= 2 && ((v.head == '"' && v.last == '"') ||
+          (v.head == '\'' && v.last == '\''))) v.substring(1, v.length - 1)
+      else v
+    MetaTagRe.findAllIn(window).foreach { tag =>
+      val attrs = AttrRe.findAllMatchIn(tag).map(m =>
+        m.group(1).toLowerCase(java.util.Locale.ROOT) ->
+          unquote(m.group(2)).trim).toMap
+      attrs.get("charset").map(_.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty) match {
+        case Some(c) => return Some(c)
+        case None =>
+          if (attrs.get("http-equiv")
+              .exists(_.equalsIgnoreCase("content-type")))
+            attrs.get("content")
+              .flatMap(c => ContentCharsetRe.findFirstMatchIn(c))
+              .map(_.group(1).toLowerCase(java.util.Locale.ROOT))
+              .foreach(c => return Some(c))
+      }
+    }
+    None
   }
 
   /** Reassemble one `Transfer-Encoding: chunked` body (RFC 9112 §7.1):

@@ -26,8 +26,10 @@ class RedirectsSpec extends SparkSpec {
       "https://a.com/up")
     // query-only replaces the query, keeps the path
     assert(UrlOps.resolveUrlJ(base, "?r=2") == "https://a.com/dir/page?r=2")
-    // fragment-only is the same resource
-    assert(UrlOps.resolveUrlJ(base, "#frag") == "https://a.com/dir/page")
+    // fragment-only is the same resource — base QUERY kept (RFC 3986
+    // §5.3: empty path + absent query in the reference keeps both)
+    assert(UrlOps.resolveUrlJ(base, "#frag") == "https://a.com/dir/page?q=1")
+    assert(UrlOps.resolveUrlJ("https://a.com/p", "#x") == "https://a.com/p")
     // empty Location is "stay"
     assert(UrlOps.resolveUrlJ(base, "") == base)
     // a base with no path still anchors a relative reference
@@ -55,6 +57,28 @@ class RedirectsSpec extends SparkSpec {
     assert(got("u://m")._1 == "u://k" && got("u://m")._3)
     assert(got("u://k")._1 == "u://k" && got("u://k")._3)
     assert(got("u://t")._1 == "u://k" && got("u://t")._3)
+  }
+
+  test("a LONGER tail into a cycle still elects the cycle's min member " +
+      "— every entry point agrees (the second-half-visits rule)") {
+    import spark.implicits._
+    // tail a -> b of length 2 into cycle {c, d}; with the old
+    // reach-min rule a would have elected b (a tail node) while b
+    // elected c — inconsistent identities for the same destination
+    val edges = Seq(("u://a", "u://b"), ("u://b", "u://c"),
+      ("u://c", "u://d"), ("u://d", "u://c")).toDF("src", "dst")
+    val got = Redirects.collapseRedirects(edges, maxHops = 8)
+      .as[(String, String, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(got.values.toSet == Set(("u://c", true)), got.toString)
+    // a finite chain LONGER than maxHops but inside the 2x budget
+    // resolves to its true terminal, un-flagged
+    val chain = (0 until 12).map(i => (s"u://n%02d".format(i),
+      s"u://n%02d".format(i + 1))).toDF("src", "dst")
+    val far = Redirects.collapseRedirects(chain, maxHops = 8)
+      .as[(String, String, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(far("u://n00") == (("u://n12", 12, false)), far.toString)
   }
 
   test("a source captured with two different targets keeps the MIN " +

@@ -164,11 +164,16 @@ class RobotsSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(dl == Map("a.com" -> 4.0, "b.com" -> 1.5), dl.toString)
     // two User-agent lines separated only by Crawl-delay still merge
-    // (the pre-existing group grammar is unchanged)
-    val merged = graft.ops.Robots.parseBody(
+    // (the pre-existing group grammar is unchanged) — and the delay
+    // covers BOTH agents, including the one that joined AFTER the
+    // delay line (it shares the group's rules, so it shares its
+    // politeness too)
+    val mergedFull = graft.ops.Robots.parseBodyFull(
       "User-agent: a\nCrawl-delay: 9\nUser-agent: b\nDisallow: /z\n")
-    assert(merged.exists(r => r.agent == "a" && r.pattern == "/z"))
-    assert(merged.exists(r => r.agent == "b" && r.pattern == "/z"))
+    assert(mergedFull.rules.exists(r => r.agent == "a" && r.pattern == "/z"))
+    assert(mergedFull.rules.exists(r => r.agent == "b" && r.pattern == "/z"))
+    assert(mergedFull.delays.toSet == Set("a" -> 9.0, "b" -> 9.0),
+      mergedFull.delays.toString)
   }
 
   test("robots_match is SQL-registered and agrees with the kernel") {

@@ -60,12 +60,22 @@ class SitemapsSpec extends SparkSpec {
       ("b.com", "https://b.com/sitemap.xml",
         "<sitemapindex><sitemap><loc>https://b.com/s1.xml</loc>" +
           "</sitemap><sitemap><loc>https://b.com/gone.xml</loc>" +
+          "</sitemap><sitemap><loc>https://b.com/broken.xml</loc>" +
+          "</sitemap><sitemap><loc>https://b.com/deep.xml</loc>" +
           "</sitemap></sitemapindex>"),
       ("c.com", "https://c.com/sitemap.xml", "garbage"))
       .toDF("domain", "sitemap_url", "xml")
-    val fetch = Seq(("https://b.com/s1.xml",
-      "<urlset><url><loc>https://b.com/q1</loc>" +
-        "<lastmod>2026-02-02</lastmod></url></urlset>"))
+    val fetch = Seq(
+      ("https://b.com/s1.xml",
+        "<urlset><url><loc>https://b.com/q1</loc>" +
+          "<lastmod>2026-02-02</lastmod></url></urlset>"),
+      // a fetched child that is NOT a sitemap (the HTML 404 case) —
+      // must surface as a depth-1 error, never vanish
+      ("https://b.com/broken.xml", "<html>404 not found</html>"),
+      // a child that is itself an index violates the one-level bound
+      ("https://b.com/deep.xml",
+        "<sitemapindex><sitemap><loc>https://b.com/s9.xml</loc>" +
+          "</sitemap></sitemapindex>"))
       .toDF("url", "xml")
     val got = Sitemaps.discoverSeeds(level0, col("domain"),
         col("sitemap_url"), col("xml"), fetch)
@@ -78,8 +88,12 @@ class SitemapsSpec extends SparkSpec {
     assert(got.contains(("b.com", "https://b.com/gone.xml", None, 1,
       "missing")))
     assert(got.exists(r => r._1 == "c.com" && r._5 == "error" &&
-      r._2.startsWith("not-a-sitemap:")))
-    assert(got.size == 4)
+      r._4 == 0 && r._2.startsWith("not-a-sitemap:")))
+    assert(got.exists(r => r._1 == "b.com" && r._5 == "error" &&
+      r._4 == 1 && r._2.startsWith("not-a-sitemap:")))
+    assert(got.contains(("b.com", "https://b.com/s9.xml", None, 1,
+      "nested-index")))
+    assert(got.size == 6)
   }
 
   test("revisitClassify: weak ETag compare folds W/ on BOTH sides, a " +
@@ -97,21 +111,31 @@ class SitemapsSpec extends SparkSpec {
         None: Option[String]))
       .toDF("url", "etag", "last_modified", "payload_digest")
     val fetched = Seq(
-      ("u1", Some("W/\"a\""), Some("sha1:Y")), // weak fetched vs strong
-      ("u2", Some("\"b\""), Some("sha1:Y")), // strong fetched vs weak
-      ("u3", Some("\"new\""), Some("sha1:SAME")), // rotated, same body
-      ("u4", Some("\"new\""), Some("sha1:OTHER")), // really changed
-      ("u5", None: Option[String], Some("sha1:SAME")), // digest only
-      ("u6", None: Option[String], Some("sha1:Z")), // no evidence
-      ("u7", Some("\"c\""), Some("sha1:W"))) // never seen
-      .toDF("url", "etag", "payload_digest")
-    val got = graft.ops.Frontier.revisitClassify(stored, fetched)
+      ("u1", Some("W/\"a\""), None: Option[String], Some("sha1:Y")),
+      ("u2", Some("\"b\""), None: Option[String], Some("sha1:Y")),
+      ("u3", Some("\"new\""), None: Option[String], Some("sha1:SAME")),
+      ("u4", Some("\"new\""), None: Option[String], Some("sha1:OTHER")),
+      ("u5", None: Option[String], None: Option[String],
+        Some("sha1:SAME")), // digest only
+      ("u6", None: Option[String], None: Option[String],
+        Some("sha1:Z")), // no evidence
+      ("u7", Some("\"c\""), None: Option[String], Some("sha1:W")),
+      ("u8", None: Option[String], Some("lm-8"), Some("sha1:Q")))
+      .toDF("url", "etag", "last_modified", "payload_digest")
+    val storedLm = Seq(("u8", None: Option[String],
+      Some("lm-8"), None: Option[String]))
+      .toDF("url", "etag", "last_modified", "payload_digest")
+    val got = graft.ops.Frontier.revisitClassify(
+        stored.unionByName(storedLm), fetched)
       .select("url", "cls").as[(String, String)].collect().toMap
     assert(got == Map(
       "u1" -> "unchanged_etag", "u2" -> "unchanged_etag",
       "u3" -> "unchanged_digest", "u4" -> "modified",
       "u5" -> "unchanged_digest", "u6" -> "modified",
-      "u7" -> "new"), got.toString)
+      "u7" -> "new",
+      // the weak validator: no ETag and no digest stored, but the
+      // stored Last-Modified matches exactly
+      "u8" -> "unchanged_lastmod"), got.toString)
   }
 
   test("politenessSchedule: per-domain queue positions and offsets; " +
