@@ -10,11 +10,14 @@ import graft.ops.{Curation, Dedup, Robots, Similarity, TextAnalysis}
   * [[graft.pipeline.DailyRefresh.run]] that is a pure per-row predicate
   * against a broadcast-sized artifact composes statelessly —
   *
-  *   0. frontier URL canonicalization (map-only kernel; the intra-batch
-  *      canonical-URL and exact-text dedup lanes are CROSS-row and ride
-  *      the bounded-state [[StreamDedup.dedupByKey]] /
-  *      `dropDuplicatesWithinWatermark` primitives, deliberately not
-  *      composed here — this chain is the zero-state segment)
+  *   0. frontier URL canonicalization, plus redirect-chain identity
+  *      when the day's 3xx edges are supplied (the chains collapse once
+  *      statically, the stream consumes a broadcast lookup — VERDICT
+  *      r17 #4's stream twin); the intra-batch canonical-URL and
+  *      exact-text dedup lanes are CROSS-row and ride the bounded-state
+  *      [[StreamDedup.dedupByKey]] / `dropDuplicatesWithinWatermark`
+  *      primitives, deliberately not composed here — this chain is the
+  *      zero-state segment
   *   1. licence/allowlist: broadcast policy join on the registrable
   *      domain (policy artifact validated exactly as the batch gate
   *      validates it), keep-branch only
@@ -62,7 +65,13 @@ object StreamRefresh {
       profile: DataFrame, // loadStopwordProfile output
       dedupFps: DataFrame, // dedup index fingerprints, one `fp` column
       expectedFps: Long,
-      spanIdx: Dedup.SpanIndex): DataFrame = {
+      spanIdx: Dedup.SpanIndex,
+      // the day's 3xx redirect edges (redirectEdges output) — when
+      // supplied, stage 0 also folds redirect-chain identity exactly as
+      // the batch runbook's stage 0 does: the chains collapse ONCE on
+      // the static side, and the stream consumes one broadcast lookup
+      // (stream-static, zero state)
+      redirects: Option[DataFrame] = None): DataFrame = {
     require(allowedLicences.nonEmpty,
       "gateChain: empty licence allowlist would drop everything")
     // same artifact gate as the batch licence stage: a duplicated
@@ -70,9 +79,18 @@ object StreamRefresh {
     // fail loudly here exactly as licenceGate does
     Curation.validatePolicy(policy, "gateChain")
     val inCols = stream.columns.map(col).toSeq
-    // stage 0: canonical URL identity
-    val s0 = stream.withColumn("url",
-      graft.functions.DomainFunctions.canonicalUrl(col("url")))
+    // stage 0: canonical URL identity (+ redirect-chain identity when
+    // the day's edges are supplied — the gates then judge the TARGET)
+    val s0 = redirects match {
+      case Some(re) =>
+        graft.ops.Redirects.frontierIdentity(stream, col("url"),
+            graft.ops.Redirects.collapseRedirects(re))
+          .select(stream.columns.map(c =>
+            if (c == "url") col("url_identity").as("url") else col(c)): _*)
+      case None =>
+        stream.withColumn("url",
+          graft.functions.DomainFunctions.canonicalUrl(col("url")))
+    }
     // stage 1: licence keep-branch (broadcast policy on the registrable
     // domain — the licenceGate verdict's keep arm, payload-preserving)
     val pol = broadcast(policy.select(

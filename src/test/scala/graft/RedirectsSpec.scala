@@ -91,6 +91,33 @@ class RedirectsSpec extends SparkSpec {
     assert(got.head.getString(1) == "u://y")
   }
 
+  test("frontierIdentity composes into a STREAMING plan with zero state " +
+      "(the collapse runs statically, the stream sees one broadcast " +
+      "lookup)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val collapsed = Redirects.collapseRedirects(
+      Seq(("https://a.com/old", "https://a.com/new")).toDF("src", "dst"))
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = Redirects.frontierIdentity(
+        source.toDF().toDF("doc_id", "url"), col("url"), collapsed)
+      .select(col("doc_id"), col("url_identity"))
+    val q = out.writeStream.format("memory").queryName("redir_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData((1L, "https://a.com/old"), (2L, "https://a.com/x"))
+      q.processAllAvailable()
+      val got = spark.table("redir_stream")
+        .as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "https://a.com/new", 2L -> "https://a.com/x"))
+      val progs = q.recentProgress
+      assert(progs.nonEmpty && progs.forall(_.stateOperators.isEmpty),
+        "redirect identity must compose statelessly")
+    } finally q.stop()
+  }
+
   test("frontierIdentity: one broadcast lookup, identity falls back to " +
       "the canonical url, redirect_of carries provenance") {
     import spark.implicits._
