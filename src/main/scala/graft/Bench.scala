@@ -959,6 +959,8 @@ object Bench {
       // above composed (broadcast lookups + one validator join + one
       // domain-partitioned window), five bounded counts — linear
       "q201_conditional_revisit", "q202_frontier_runbook",
+      // recrawl schedule: pure per-row column arithmetic, map-only
+      "q203_recrawl_schedule",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

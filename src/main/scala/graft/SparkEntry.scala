@@ -6242,6 +6242,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Adaptive recrawl schedule (q203): the freshness policy over the
+    * revisit history — intervals DOUBLE on a verified-unchanged fetch
+    * (back off from stable pages) and HALVE on a modified one (lean
+    * into hot pages), clamped into [1, 365] days. Five classes: both
+    * unchanged kinds (x2; one at the 365 cap), modified (÷2; one at
+    * the 1-day floor), and `new` (no evidence — interval kept).
+    * Map-only column arithmetic, zero shuffle. */
+  private def qRecrawlSchedule(s: SparkSession, d: String): DataFrame = {
+    val c = pmod(col("doc_id"), lit(5L))
+    val pages = t(s, d, "documents").select(col("doc_id"),
+      (lit(20000L) + pmod(col("doc_id"), lit(10L))).as("last_fetch_day"),
+      when(c === 0L, 4).when(c === 1L, 6).when(c === 2L, 7)
+        .when(c === 3L, 200).otherwise(1).as("interval_days"),
+      when(c === 0L, "unchanged_etag").when(c === 1L, "modified")
+        .when(c === 2L, "new").when(c === 3L, "unchanged_digest")
+        .otherwise("modified").as("cls"))
+    graft.ops.Frontier.recrawlSchedule(pages, col("last_fetch_day"),
+        col("interval_days"), col("cls"), lit(20007L))
+      .select(col("doc_id"), col("cls"), col("interval_days"),
+        col("next_interval_days"), col("next_fetch_day"), col("due"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Composed frontier runbook (q202): the round's crawl operators
     * chained in production order — redirect-chain identity collapse
     * (id%7==3 urls 301 onto their neighbour and merge with its entry),
@@ -7286,7 +7309,8 @@ object SparkEntry {
     "q199_sitemap_discovery" -> (qSitemapDiscovery _),
     "q200_politeness_schedule" -> (qPolitenessSchedule _),
     "q201_conditional_revisit" -> (qConditionalRevisit _),
-    "q202_frontier_runbook" -> (qFrontierRunbook _))
+    "q202_frontier_runbook" -> (qFrontierRunbook _),
+    "q203_recrawl_schedule" -> (qRecrawlSchedule _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11269,6 +11293,31 @@ object SparkEntry {
              WHEN c = 2 THEN 'zipped both z' || doc_id
              ELSE NULL END AS body_text
          FROM b
+         ORDER BY doc_id""",
+    // q203: the adaptive recrawl policy pinned closed-form — the
+    // engine runs the multiplicative adjustment + clamps for real; all
+    // arithmetic is integer-exact on both sides (planted intervals are
+    // even, so the halving never hits a fractional cast)
+    "q203_recrawl_schedule" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(doc_id % 5 AS INT) AS c,
+             20000 + doc_id % 10 AS lf
+           FROM documents),
+         x AS (
+           SELECT doc_id, c, lf,
+             CASE c WHEN 0 THEN 8 WHEN 1 THEN 3 WHEN 2 THEN 7
+               WHEN 3 THEN 365 ELSE 1 END AS ni
+           FROM b)
+         SELECT doc_id,
+           CASE c WHEN 0 THEN 'unchanged_etag' WHEN 1 THEN 'modified'
+             WHEN 2 THEN 'new' WHEN 3 THEN 'unchanged_digest'
+             ELSE 'modified' END AS cls,
+           CAST(CASE c WHEN 0 THEN 4 WHEN 1 THEN 6 WHEN 2 THEN 7
+             WHEN 3 THEN 200 ELSE 1 END AS INT) AS interval_days,
+           CAST(ni AS INT) AS next_interval_days,
+           CAST(lf + ni AS BIGINT) AS next_fetch_day,
+           (lf + ni <= 20007) AS due
+         FROM x
          ORDER BY doc_id""",
     // q202: the frontier funnel value-compared — the engine runs the
     // real operators (broadcast redirect collapse, stateless robots

@@ -48,6 +48,46 @@ object Frontier {
           .as("scheduled_at")): _*)
   }
 
+  /** Adaptive recrawl scheduling — the freshness policy a crawler runs
+    * over its revisit history (the multiplicative-adjustment shape of
+    * the published recrawl literature, e.g. Cho & Garcia-Molina's
+    * change-frequency estimators): each URL carries a revisit INTERVAL
+    * that doubles when a fetch verified `unchanged` (the page is
+    * stable — back off) and halves when it came back `modified` (the
+    * page is hot — lean in), clamped into [minDays, maxDays]; `new`
+    * pages keep their interval (no evidence yet). Appends:
+    *
+    *   - `next_interval_days`: the adjusted interval;
+    *   - `next_fetch_day`: `last_fetch_day + next_interval_days`;
+    *   - `due`: `next_fetch_day <= today` — the frontier's recrawl cut.
+    *
+    * Pure per-row column arithmetic over (last_fetch_day,
+    * interval_days, cls) — map-only, codegen, no shuffle; compose with
+    * [[politenessSchedule]] for the fetch-order half. */
+  def recrawlSchedule(
+      pages: DataFrame,
+      lastFetchDayCol: Column,
+      intervalDaysCol: Column,
+      clsCol: Column,
+      today: Column,
+      minDays: Int = 1,
+      maxDays: Int = 365): DataFrame = {
+    require(minDays >= 1 && maxDays >= minDays,
+      s"bad interval clamp [$minDays, $maxDays]")
+    val inCols = pages.columns.map(col).toSeq
+    val adjusted = when(clsCol.startsWith("unchanged"),
+        intervalDaysCol * 2)
+      .when(clsCol === "modified", greatest(intervalDaysCol / 2,
+        lit(minDays)))
+      .otherwise(intervalDaysCol)
+    val clamped = least(greatest(adjusted, lit(minDays)), lit(maxDays))
+    pages.select((inCols :+
+      clamped.cast("int").as("next_interval_days") :+
+      (lastFetchDayCol + clamped.cast("int")).cast("long")
+        .as("next_fetch_day")): _*)
+      .withColumn("due", col("next_fetch_day") <= today)
+  }
+
   /** RFC 9110 §8.8.3.2 weak ETag comparison — the rule `If-None-Match`
     * uses: the `W/` weakness prefix is ignored on BOTH sides (a
     * CDN-rotated weak tag still validates), the opaque quoted value

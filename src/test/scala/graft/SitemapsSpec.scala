@@ -138,6 +138,28 @@ class SitemapsSpec extends SparkSpec {
       "u8" -> "unchanged_lastmod"), got.toString)
   }
 
+  test("recrawlSchedule: unchanged doubles, modified halves, new keeps; " +
+      "both clamps bind; due compares against today") {
+    import spark.implicits._
+    val pages = Seq(
+      ("a", 100L, 4, "unchanged_etag"), // -> 8
+      ("b", 100L, 6, "modified"), // -> 3
+      ("c", 100L, 7, "new"), // -> 7
+      ("d", 100L, 300, "unchanged_digest"), // -> 365 cap
+      ("e", 100L, 1, "modified")) // -> 1 floor
+      .toDF("url", "last_fetch_day", "interval_days", "cls")
+    val got = graft.ops.Frontier.recrawlSchedule(pages,
+        col("last_fetch_day"), col("interval_days"), col("cls"),
+        today = lit(105L))
+      .select("url", "next_interval_days", "next_fetch_day", "due")
+      .as[(String, Int, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "a" -> ((8, 108L, false)), "b" -> ((3, 103L, true)),
+      "c" -> ((7, 107L, false)), "d" -> ((365, 465L, false)),
+      "e" -> ((1, 101L, true))), got.toString)
+  }
+
   test("politenessSchedule: per-domain queue positions and offsets; " +
       "absent domains take the default delay; the window is " +
       "domain-partitioned") {
