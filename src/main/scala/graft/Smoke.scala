@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The driver's smoke gate, runnable locally: `SparkEntry.entry` on
+  * sf0.001 must return rows. `runMain graft.Smoke [sfDir]` — prints
+  * one `ENTRY_ROWS=<n>` line and exits non-zero on an empty result. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = SparkEntry.entry(spark).count()
+    println(s"ENTRY_ROWS=$n")
+    spark.stop()
+    if (n <= 0) sys.exit(1)
+  }
+}
