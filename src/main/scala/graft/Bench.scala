@@ -961,6 +961,11 @@ object Bench {
       "q201_conditional_revisit", "q202_frontier_runbook",
       // recrawl schedule: pure per-row column arithmetic, map-only
       "q203_recrawl_schedule",
+      // CDX capture index: per-doc mint (map) + bounded container pack
+      // + the map-only member/extent walk with header-only status scan
+      // + the surt-keyed lookup join (bounded per-key capture groups) +
+      // two container-keyed aggs — linear
+      "q204_cdx_index",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

@@ -6658,6 +6658,102 @@ object SparkEntry {
       .orderBy(col("container_id"), col("kind"), col("doc_id"))
   }
 
+  /** CDX capture index + wayback lookup (q204): the random-access
+    * index every archived crawl builds next to its `.warc.gz`
+    * containers — [[graft.ops.Cdx.index]] walks each container's gzip
+    * members ONCE (map-only) recording the SURT key, 14-digit capture
+    * stamp, header-only status/mime, payload digest, and the byte
+    * `(offset, length)` Range-fetch extent; [[graft.ops.Cdx
+    * .lookupNearest]] then resolves (url, ts) requests to the closest
+    * capture in time (ties → earlier). Four URL spelling classes pin
+    * the SURT transform (www-strip + host reversal, non-default port +
+    * query-param sort + tracking-param strip, :80 drop + dot-segment
+    * collapse, plain), three captures per URL at three dates pin the
+    * nearest-pick classes (before-all, mid, after-all, and an exact
+    * TIE), and per-container coverage booleans prove every byte of
+    * every container landed in exactly one index extent. */
+  private def qCdxIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val capDates = Seq(
+      ("2026-04-01T00:00:00Z", "200 OK", "text/html; charset=utf-8"),
+      ("2026-04-05T00:00:00Z", "200 OK", "text/plain"),
+      ("2026-04-09T00:00:00Z", "404 Not Found", "application/json"))
+    val wire = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .flatMap { id =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val k = id % 20
+        val url = (id % 4) match {
+          case 0 => s"https://WWW.Site$k.com/T$id"
+          case 1 => s"https://news.site$k.com:8443/a$id?b=2&a=1&utm_source=x"
+          case 2 => s"http://site$k.com:80/p$id/x/../y"
+          case _ => s"https://site$k.com/d$id"
+        }
+        capDates.zipWithIndex.map { case ((date, status, ctype), i) =>
+          val block = (s"HTTP/1.1 $status\r\nContent-Type: $ctype" +
+            s"\r\n\r\ncapture $i of $id").getBytes(utf8)
+          (id / 4, (id % 4).toInt * 3 + i,
+            graft.sources.WarcCodec.mintResponseRecordBytes(
+              s"<urn:graft:$id:$i>", url, date, block, withDigest = true))
+        }
+      }
+      .toDF("cid", "seq", "rec")
+    val containers = graft.sources.WarcCodec.gzipContainers(wire,
+        col("cid"), col("seq"), col("rec"))
+      .localCheckpoint() // feeds the index walk AND the coverage join
+    val idx = graft.ops.Cdx.index(containers,
+        col("container_id"), col("data"))
+      .localCheckpoint() // feeds lookup, per-url stats, and coverage
+    // every container byte lands in exactly one extent, starting at 0,
+    // contiguous: min=0 ∧ sum(length)=bytes ∧ max(offset+length)=bytes
+    val cover = idx.groupBy(col("container_id"))
+      .agg(min(col("offset")).as("o0"), sum(col("length")).as("lsum"),
+        max(col("offset") + col("length")).as("oend"))
+      .join(containers.select(col("container_id"),
+        length(col("data")).as("cbytes")), Seq("container_id"))
+      .select(col("container_id"),
+        (col("o0") === 0L && col("lsum") === col("cbytes") &&
+          col("oend") === col("cbytes")).as("coverage_ok"))
+    val stats = idx.groupBy(col("url"))
+      .agg(count(lit(1)).as("n_captures"),
+        bool_and(col("digest").rlike("^sha1:[A-Z2-7]{32}$"))
+          .as("digest_ok"),
+        first(col("surt")).as("idx_surt"),
+        first(col("container_id")).as("container_id"))
+    val q = pmod(col("doc_id"), lit(4L))
+    val k = pmod(col("doc_id"), lit(20L))
+    val c = pmod(col("doc_id"), lit(4L))
+    val docs = t(s, d, "documents").select(col("doc_id"),
+      when(c === 0L, concat(lit("https://WWW.Site"), k, lit(".com/T"),
+          col("doc_id")))
+        .when(c === 1L, concat(lit("https://news.site"), k,
+          lit(".com:8443/a"), col("doc_id"), lit("?b=2&a=1&utm_source=x")))
+        .when(c === 2L, concat(lit("http://site"), k, lit(".com:80/p"),
+          col("doc_id"), lit("/x/../y")))
+        .otherwise(concat(lit("https://site"), k, lit(".com/d"),
+          col("doc_id")))
+        .as("url"),
+      when(q === 0L, "20260402000000") // 1d to Apr-1 vs 3d to Apr-5
+        .when(q === 1L, "20260405060000") // 6h to Apr-5
+        .when(q === 2L, "20260412000000") // 3d to Apr-9: after-all
+        .otherwise("20260403000000") // exact TIE Apr-1/Apr-5 → earlier
+        .as("q_ts14"))
+    graft.ops.Cdx.lookupNearest(idx, docs, col("url"), col("q_ts14"))
+      .join(stats, Seq("url"))
+      .join(cover, Seq("container_id"))
+      .select(col("doc_id"), col("url"),
+        graft.functions.DomainFunctions.surtKey(col("url")).as("surt"),
+        (col("idx_surt") ===
+          graft.functions.DomainFunctions.surtKey(col("url")))
+          .as("surt_match"),
+        col("n_captures"), col("cap_ts14"), col("cap_status"),
+        col("cap_mime"), col("digest_ok"),
+        (col("cap_offset") >= 0L && col("cap_length") > 0L)
+          .as("extent_ok"),
+        col("coverage_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -7310,7 +7406,8 @@ object SparkEntry {
     "q200_politeness_schedule" -> (qPolitenessSchedule _),
     "q201_conditional_revisit" -> (qConditionalRevisit _),
     "q202_frontier_runbook" -> (qFrontierRunbook _),
-    "q203_recrawl_schedule" -> (qRecrawlSchedule _))
+    "q203_recrawl_schedule" -> (qRecrawlSchedule _),
+    "q204_cdx_index" -> (qCdxIndex _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11298,6 +11395,42 @@ object SparkEntry {
     // engine runs the multiplicative adjustment + clamps for real; all
     // arithmetic is integer-exact on both sides (planted intervals are
     // even, so the halving never hits a fractional cast)
+    // q204: the CDX capture index pinned closed-form — the engine
+    // mints, gzip-packs, walks members recording byte extents, builds
+    // the SURT keys, and nearest-resolves (url, ts) lookups for real;
+    // the oracle replays each URL class's SURT spelling, the picked
+    // capture per timestamp class (incl. the tie → earlier rule), and
+    // the TRUE coverage/digest/extent invariants (compressed offsets
+    // are not closed-form — their contiguity and totals are)
+    "q204_cdx_index" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 20 AS k, CAST(doc_id % 4 AS INT) AS c,
+             CAST(doc_id % 4 AS INT) AS q
+           FROM documents)
+         SELECT doc_id,
+           CASE c WHEN 0 THEN 'https://WWW.Site' || k || '.com/T' || doc_id
+             WHEN 1 THEN 'https://news.site' || k || '.com:8443/a' ||
+               doc_id || '?b=2&a=1&utm_source=x'
+             WHEN 2 THEN 'http://site' || k || '.com:80/p' || doc_id ||
+               '/x/../y'
+             ELSE 'https://site' || k || '.com/d' || doc_id END AS url,
+           CASE c WHEN 0 THEN 'com,site' || k || ')/t' || doc_id
+             WHEN 1 THEN 'com,site' || k || ',news:8443)/a' || doc_id ||
+               '?a=1&b=2'
+             WHEN 2 THEN 'com,site' || k || ')/p' || doc_id || '/y'
+             ELSE 'com,site' || k || ')/d' || doc_id END AS surt,
+           TRUE AS surt_match,
+           CAST(3 AS BIGINT) AS n_captures,
+           CASE q WHEN 1 THEN '20260405000000'
+             WHEN 2 THEN '20260409000000'
+             ELSE '20260401000000' END AS cap_ts14,
+           CAST(CASE q WHEN 2 THEN 404 ELSE 200 END AS BIGINT)
+             AS cap_status,
+           CASE q WHEN 1 THEN 'text/plain' WHEN 2 THEN 'application/json'
+             ELSE 'text/html' END AS cap_mime,
+           TRUE AS digest_ok, TRUE AS extent_ok, TRUE AS coverage_ok
+         FROM b
+         ORDER BY doc_id""",
     "q203_recrawl_schedule" ->
       """WITH b AS (
            SELECT doc_id, CAST(doc_id % 5 AS INT) AS c,

@@ -402,6 +402,63 @@ object UrlOps {
       if (ref == null) null else ref.toString)
     if (r == null) null else UTF8String.fromString(r)
   }
+
+  /** SURT key (Sort-friendly URI Reordering Transform — the Internet
+    * Archive / Common Crawl `urlkey` spelling): canonicalize, drop the
+    * scheme and userinfo, strip a leading `www` (or `www2`, `www13`, …)
+    * label, REVERSE the host labels comma-joined, keep a non-default
+    * port, then `)` + path + `?` + query with the query parameters
+    * SORTED — all lowercased. `https://WWW.News.Example.com/World/x?b=2&a=1`
+    * → `com,example,news)/world/x?a=1&b=2`. The point of the reversal
+    * is range locality: every capture of one registrable domain sorts
+    * adjacent, so a capture index sharded on the key range-prunes by
+    * site — the property CDX servers and crawl-dedup jobs rely on. */
+  def surtKeyJ(url: String): String = {
+    val c = canonicalUrlJ(url)
+    if (c == null) return null
+    var rest = c
+    val sep = rest.indexOf("://")
+    if (sep >= 0) rest = rest.substring(sep + 3)
+    val cut = rest.indexWhere(ch => ch == '/' || ch == '?')
+    var auth = if (cut >= 0) rest.substring(0, cut) else rest
+    val pathq = if (cut >= 0) rest.substring(cut) else ""
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1) // userinfo is not identity
+    var host = auth
+    var port = ""
+    if (auth.startsWith("[")) { // IPv6 literal: not label-reversible
+      val e = auth.indexOf(']')
+      if (e >= 0) { host = auth.substring(0, e + 1); port = auth.substring(e + 1) }
+    } else {
+      val colon = auth.indexOf(':')
+      if (colon >= 0) { host = auth.substring(0, colon); port = auth.substring(colon) }
+    }
+    if (host.isEmpty) return null
+    val revHost =
+      if (host.startsWith("[")) host
+      else {
+        var labels = host.split('.')
+        if (labels.length > 2 && labels.head.length >= 3 &&
+            labels.head.startsWith("www") &&
+            labels.head.drop(3).forall(_.isDigit))
+          labels = labels.tail
+        labels.reverse.mkString(",")
+      }
+    val q = pathq.indexOf('?')
+    val path = (if (q >= 0) pathq.substring(0, q) else pathq)
+      .toLowerCase(java.util.Locale.ROOT)
+    val query =
+      if (q < 0) ""
+      else "?" + pathq.substring(q + 1).toLowerCase(java.util.Locale.ROOT)
+        .split('&').filter(_.nonEmpty).sorted.mkString("&")
+    revHost + port + ")" + path + query
+  }
+
+  def surtKey(url: UTF8String): UTF8String = {
+    if (url == null) return null
+    val r = surtKeyJ(url.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
 }
 
 /** `canonical_url(url)` — codegen'd URL canonicalization
@@ -447,6 +504,24 @@ case class ResolveUrl(left: Expression, right: Expression)
   override def prettyName: String = "resolve_url"
 }
 
+/** `surt_key(url)` — codegen'd SURT capture key
+  * ([[UrlOps.surtKeyJ]] semantics): the sort key a capture index (CDX)
+  * shards and range-prunes on. */
+case class SurtKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    UrlOps.surtKey(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlOps.surtKey($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): SurtKey =
+    copy(child = c)
+  override def prettyName: String = "surt_key"
+}
+
 object DomainFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
   def registrableDomain(url: Column): Column =
@@ -455,4 +530,6 @@ object DomainFunctions {
     column(CanonicalUrl(expression(url)))
   def resolveUrl(base: Column, ref: Column): Column =
     column(ResolveUrl(expression(base), expression(ref)))
+  def surtKey(url: Column): Column =
+    column(SurtKey(expression(url)))
 }

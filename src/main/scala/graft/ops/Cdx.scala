@@ -1,0 +1,197 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DomainFunctions
+import graft.sources.WarcCodec
+
+/** CDX capture index — the random-access index every archived-crawl
+  * deployment builds NEXT TO its WARC containers (the Internet
+  * Archive's CDX / Common Crawl's CDXJ `cc-index`): one row per stored
+  * record carrying the SURT key, the 14-digit capture timestamp, the
+  * HTTP status/mime, the payload digest, and — the part that makes it
+  * an INDEX — the byte `(offset, length)` of the gzip member inside
+  * its container, so a reader can `Range`-fetch one capture out of a
+  * multi-gigabyte `.warc.gz` without touching the rest.
+  *
+  * Two operators:
+  *
+  *   - '''index''' — one map-only walk per container (the gzip member
+  *     walk already framing records also yields their extents; the
+  *     status/mime come from a HEADER-ONLY scan of the HTTP message —
+  *     an index build must not pay body decode, de-chunk, or charset
+  *     work for records it only catalogues). Quarantined ranges index
+  *     too: every byte of every container lands in exactly one row,
+  *     so `sum(length)` over a container proves coverage.
+  *
+  *   - '''lookupNearest''' — the wayback-style query: for each
+  *     (url, timestamp) request, the stored capture of that URL
+  *     closest in time (ties → the earlier capture). The join key is
+  *     the SURT key, which is the whole point of SURT: all captures
+  *     of one registrable domain sort adjacent, so a production index
+  *     sharded on key ranges prunes to one shard per site — here the
+  *     same property makes the join key-partitioned with bounded
+  *     per-key groups (captures of ONE url).
+  *
+  * Scale shape: the index build is map-only over containers (the unit
+  * of parallelism on a real crawl bucket); the lookup shuffles the
+  * QUERY relation (request-sized) against index rows hash-partitioned
+  * on surt — never a broadcast of the index, never a global sort. */
+object Cdx {
+
+  /** One capture-index row. `surt`/`ts14` drive the lookup;
+    * `offset`/`length` are the container byte extent (the Range-fetch
+    * coordinates); `status`/`mime` come from the header-only HTTP scan
+    * (`mime` is the Common Crawl spelling: the Content-Type up to any
+    * `;` parameter, lowercased; `warc/revisit` for revisit records —
+    * the index must say "this capture is a dedup marker" without a
+    * second fetch). */
+  private[graft] final case class CdxRow(
+      container_id: Long,
+      rec_seq: Int,
+      ok: Boolean,
+      error: Option[String],
+      warc_type: Option[String],
+      surt: Option[String],
+      url: Option[String],
+      ts14: Option[String],
+      status: Option[Long],
+      mime: Option[String],
+      digest: Option[String],
+      offset: Long,
+      length: Long)
+
+  /** WARC-Date (`2026-04-01T12:34:56Z`) → the 14-digit CDX timestamp
+    * (`20260401123456`). Digits-only fold, so sub-second or offset
+    * spellings degrade gracefully; anything shorter than a full
+    * second-resolution stamp is no timestamp. */
+  private[graft] def ts14Of(warcDate: String): Option[String] = {
+    val d = warcDate.filter(_.isDigit)
+    if (d.length >= 14) Some(d.substring(0, 14)) else None
+  }
+
+  /** Header-only HTTP scan: status code from the first line, mime from
+    * a `Content-Type` field — stops at the blank separator line and
+    * never touches the body (no de-chunk, no content-decode, no
+    * charset work: the index catalogues, it does not read). ISO-8859-1
+    * header decode, the byte-transparent HTTP/1.1 field encoding. */
+  private[graft] def statusMimeOf(
+      block: Array[Byte]): (Option[Long], Option[String]) = {
+    val headEnd = {
+      var i = 0
+      var at = -1
+      while (at < 0 && i + 3 < block.length) {
+        if (block(i) == '\r' && block(i + 1) == '\n' &&
+            block(i + 2) == '\r' && block(i + 3) == '\n') at = i
+        i += 1
+      }
+      if (at < 0) block.length else at
+    }
+    val head = new String(block, 0, headEnd, ISO_8859_1)
+    val lines = head.split("\r\n")
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return (None, None)
+    val status = lines(0).split(" ", 3) match {
+      case parts if parts.length >= 2 && parts(1).forall(_.isDigit) &&
+          parts(1).nonEmpty => Some(parts(1).toLong)
+      case _ => None
+    }
+    val mime = lines.iterator.drop(1)
+      .map(l => (l, l.indexOf(':')))
+      .collectFirst {
+        case (l, c) if c > 0 &&
+            l.substring(0, c).trim.equalsIgnoreCase("content-type") =>
+          val v = l.substring(c + 1)
+          val semi = v.indexOf(';')
+          (if (semi >= 0) v.substring(0, semi) else v)
+            .trim.toLowerCase(java.util.Locale.ROOT)
+      }
+      .filter(_.nonEmpty)
+    (status, mime)
+  }
+
+  /** Build the capture index over (container_id, `.warc.gz` bytes)
+    * rows. Map-only — one member walk per container; the parallelism
+    * unit is the container, exactly as on a real crawl bucket. */
+  def index(
+      containers: DataFrame, idCol: Column, bytesCol: Column): DataFrame = {
+    val sess = containers.sparkSession
+    import sess.implicits._
+    containers
+      .select(idCol.cast("long").as("container_id"),
+        bytesCol.as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (cid, data) =>
+        WarcCodec.parseGzipRecordsExtents(cid,
+          if (data == null) Array.emptyByteArray else data)
+          .map { case (r, off, len) =>
+            val isHttp = r.warc_content_type
+              .exists(_.toLowerCase(java.util.Locale.ROOT)
+                .startsWith("application/http"))
+            val (status, mime) = r.warc_type.map(
+                _.toLowerCase(java.util.Locale.ROOT)) match {
+              case Some("response") if isHttp =>
+                r.block match {
+                  case Some(b) => statusMimeOf(b)
+                  case None => (None, None)
+                }
+              case Some("revisit") =>
+                // the CC convention: the index names the dedup marker
+                // itself; the content's mime lives on the referent row
+                (None, Some("warc/revisit"))
+              case _ => (None, r.warc_content_type)
+            }
+            CdxRow(cid, r.rec_seq, r.ok, r.error, r.warc_type,
+              r.target_uri.flatMap(u =>
+                Option(graft.functions.UrlOps.surtKeyJ(u))),
+              r.target_uri,
+              r.warc_date.flatMap(ts14Of),
+              status, mime, r.payload_digest, off, len)
+          }
+      })
+      .toDF()
+  }
+
+  /** Wayback-style nearest-capture lookup: `queries` rows (any columns
+    * + `urlCol` + `ts14Col`) each resolve to the indexed capture of
+    * that URL closest in time — seconds distance on the 14-digit
+    * stamps, ties to the EARLIER capture (the deterministic tiebreak a
+    * replayable index needs). Only `ok` content captures (`response`)
+    * participate; a URL with no capture yields no row (left-join at
+    * the call site if absence must surface).
+    *
+    * One hash join + one map-combinable `min_by` per query — the index
+    * side shuffles on surt (bounded per-key groups: the captures of
+    * one URL), the query side on the same key; no broadcast of the
+    * index, no window. */
+  def lookupNearest(
+      indexDf: DataFrame, queries: DataFrame,
+      urlCol: Column, ts14Col: Column): DataFrame = {
+    val caps = indexDf
+      .filter(col("ok") && lower(col("warc_type")) === "response" &&
+        col("surt").isNotNull && col("ts14").isNotNull)
+      .select(col("surt").as("__surt"), col("ts14").as("cap_ts14"),
+        col("url").as("cap_url"), col("status").as("cap_status"),
+        col("mime").as("cap_mime"), col("digest").as("cap_digest"),
+        col("container_id").as("cap_container"),
+        col("offset").as("cap_offset"), col("length").as("cap_length"),
+        to_unix_timestamp(col("ts14"), lit("yyyyMMddHHmmss")).as("__cap_s"))
+    val q = queries
+      .withColumn("__surt", DomainFunctions.surtKey(urlCol))
+      .withColumn("__q_s", to_unix_timestamp(ts14Col, lit("yyyyMMddHHmmss")))
+    val qCols = queries.columns.map(col)
+    q.join(caps, Seq("__surt"))
+      .groupBy(qCols: _*)
+      .agg(min_by(
+        struct(col("cap_ts14"), col("cap_url"), col("cap_status"),
+          col("cap_mime"), col("cap_digest"), col("cap_container"),
+          col("cap_offset"), col("cap_length")),
+        // seconds distance first, then the stamp itself: ties resolve
+        // to the earlier capture
+        struct(abs(col("__cap_s") - col("__q_s")).as("d"),
+          col("cap_ts14").as("t"))).as("__hit"))
+      .select(qCols :+ col("__hit.*"): _*)
+  }
+}

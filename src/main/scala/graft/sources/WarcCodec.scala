@@ -387,21 +387,34 @@ object WarcCodec {
   /** The per-container gzip member walk — package-visible for the
     * hand-built corrupt-member spec cases. */
   private[graft] def parseGzipRecords(
-      cid: Long, data: Array[Byte]): Seq[WarcRecord] = {
+      cid: Long, data: Array[Byte]): Seq[WarcRecord] =
+    parseGzipRecordsExtents(cid, data).map(_._1)
+
+  /** The member walk with BYTE EXTENTS: each row also carries the
+    * (offset, compressed length) of the container range it was decoded
+    * from — the two numbers a capture index (CDX) must record, because
+    * they are what lets a reader `Range`-fetch ONE capture out of a
+    * multi-gigabyte container without touching the rest. Quarantined
+    * ranges get extents too (the skipped bytes are still accounted to
+    * exactly one row — the every-byte-lands-somewhere contract). */
+  private[graft] def parseGzipRecordsExtents(
+      cid: Long, data: Array[Byte]): Seq[(WarcRecord, Long, Long)] = {
     def bad(seq: Int, e: String) = WarcRecord(cid, seq, ok = false,
       Some(e), None, None, None, None, None, None, None, None, None,
       None, None)
     if (data.isEmpty)
-      return Seq(bad(0, "no-gzip-member: 0 bytes carry no gzip member"))
-    val out = Seq.newBuilder[WarcRecord]
+      return Seq((bad(0, "no-gzip-member: 0 bytes carry no gzip member"),
+        0L, 0L))
+    val out = Seq.newBuilder[(WarcRecord, Long, Long)]
     var seq = 0
     var off = 0
     while (off < data.length) {
+      val start = off
       if (!isGzMagicAt(data, off)) {
         val next = nextGzMagic(data, off + 1)
         val until = if (next < 0) data.length else next
-        out += bad(seq, s"gzip-resync: ${until - off} non-member bytes " +
-          s"at offset $off")
+        out += ((bad(seq, s"gzip-resync: ${until - off} non-member " +
+          s"bytes at offset $off"), start.toLong, (until - start).toLong))
         seq += 1
         off = if (next < 0) data.length else next
       } else inflateMember(data, off) match {
@@ -410,13 +423,15 @@ object WarcCodec {
           // record extent (magic first, exact framing) — no resync
           // inside a member, which is exactly what makes a payload
           // carrying the version magic legal here
-          if (rec.length < Magic.length ||
-              !rec.take(Magic.length).sameElements(Magic))
-            out += bad(seq,
-              "member-not-warc: decompressed member does not start " +
-                s"with '$Version'")
-          else
-            out += parseExtent(cid, seq, rec, 0, rec.length)
+          val row =
+            if (rec.length < Magic.length ||
+                !rec.take(Magic.length).sameElements(Magic))
+              bad(seq,
+                "member-not-warc: decompressed member does not start " +
+                  s"with '$Version'")
+            else
+              parseExtent(cid, seq, rec, 0, rec.length)
+          out += ((row, start.toLong, (end - start).toLong))
           seq += 1
           off = end
         case Left((e, resume, recovered)) =>
@@ -429,18 +444,19 @@ object WarcCodec {
           // prove); only a member whose framing itself is broken falls
           // back to scanning for the next member magic (a flipped bit
           // must never take the container with it)
-          out += (recovered match {
+          val row = recovered match {
             case Some(rec) if rec.length >= Magic.length &&
                 rec.take(Magic.length).sameElements(Magic) =>
               parseExtent(cid, seq, rec, 0, rec.length)
                 .copy(ok = false, error = Some(e), block = None)
             case _ => bad(seq, e)
-          })
+          }
           seq += 1
           off = resume.getOrElse {
             val next = nextGzMagic(data, off + 1)
             if (next < 0) data.length else next
           }
+          out += ((row, start.toLong, (off - start).toLong))
       }
     }
     out.result()

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlOps
+import graft.ops.Cdx
+import graft.sources.WarcCodec
+
+/** CDX capture-index hand cases: the SURT transform truth table, the
+  * 14-digit stamp fold, the header-only status/mime scan, byte-extent
+  * coverage over a container WITH a corrupt member, and the
+  * nearest-capture tie rule — pinned independently of the q204 mint. */
+class CdxSpec extends SparkSpec {
+
+  test("surtKeyJ: www-strip, host reversal, port/query/tracking rules") {
+    // host lowercased + reversed; www stripped; default port dropped
+    assert(UrlOps.surtKeyJ("https://WWW.News.Example.com:443/World/x") ==
+      "com,example,news)/world/x")
+    // numbered www labels strip too; bare www-only hosts do NOT (a
+    // two-label host has nothing to strip down to)
+    assert(UrlOps.surtKeyJ("http://www13.a.b.com/p") == "com,b,a)/p")
+    assert(UrlOps.surtKeyJ("http://www.com/p") == "com,www)/p")
+    // wwwx is a real label, not a www prefix
+    assert(UrlOps.surtKeyJ("http://wwwx.b.com/p") == "com,b,wwwx)/p")
+    // non-default port kept; query params sorted; tracking params
+    // stripped by canonicalization; values lowercased
+    assert(UrlOps.surtKeyJ(
+      "https://a.b.com:8443/P?b=2&a=1&utm_source=X") ==
+      "com,b,a:8443)/p?a=1&b=2")
+    // userinfo is not identity; fragment dropped; dot segments collapse
+    assert(UrlOps.surtKeyJ("https://u:p@a.com/x/../y#frag") ==
+      "com,a)/y")
+    // IPv6 literal: not label-reversible, kept bracketed
+    assert(UrlOps.surtKeyJ("http://[2001:db8::1]:8080/p") ==
+      "[2001:db8::1]:8080)/p")
+    // invalid / null
+    assert(UrlOps.surtKeyJ("") == null)
+    assert(UrlOps.surtKeyJ(null) == null)
+  }
+
+  test("ts14Of folds WARC-Date spellings; statusMimeOf scans headers " +
+      "only") {
+    assert(Cdx.ts14Of("2026-04-01T12:34:56Z")
+      .contains("20260401123456"))
+    assert(Cdx.ts14Of("2026-04-01T12:34:56.789Z")
+      .contains("20260401123456"))
+    assert(Cdx.ts14Of("2026-04-01").isEmpty)
+    val b = ("HTTP/1.1 301 Moved\r\nLocation: /x\r\n" +
+      "Content-Type: Text/HTML; charset=utf-8\r\n\r\n<body>").getBytes(UTF_8)
+    assert(Cdx.statusMimeOf(b) == (Some(301L), Some("text/html")))
+    // no Content-Type → no mime; non-HTTP block → neither
+    assert(Cdx.statusMimeOf("HTTP/1.1 204 No Content\r\n\r\n"
+      .getBytes(UTF_8)) == (Some(204L), None))
+    assert(Cdx.statusMimeOf("not http".getBytes(UTF_8)) == (None, None))
+    // a Content-Type BELOW the header section must not leak into the
+    // index (the scan stops at the blank line)
+    val decoy = ("HTTP/1.1 200 OK\r\n\r\n" +
+      "Content-Type: text/evil\r\n").getBytes(UTF_8)
+    assert(Cdx.statusMimeOf(decoy) == (Some(200L), None))
+  }
+
+  test("index: every container byte lands in exactly one extent, " +
+      "including a corrupt member's quarantined range") {
+    import spark.implicits._
+    def rec(i: Int, ct: String) = WarcCodec.mintResponseRecordBytes(
+      s"<urn:t:$i>", s"https://a.com/p$i", "2026-04-01T00:00:00Z",
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\nbody $i")
+        .getBytes(UTF_8), withDigest = true)
+    val m0 = WarcCodec.gzipMember(rec(0, "text/html"))
+    val m2 = WarcCodec.gzipMember(rec(2, "text/plain"))
+    // a flipped bit inside member 1's deflate stream: framing intact,
+    // content corrupt — must quarantine alone with its extent accounted
+    val m1 = WarcCodec.gzipMember(rec(1, "text/html"))
+    m1(m1.length / 2) = (m1(m1.length / 2) ^ 0x5a).toByte
+    val data = m0 ++ m1 ++ m2
+    val idx = Cdx.index(
+      Seq((7L, data)).toDF("cid", "data"), col("cid"), col("data"))
+    val rows = idx.orderBy("offset")
+      .select("ok", "offset", "length", "surt", "mime", "status")
+      .collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(1)).head == 0L)
+    // contiguity: each offset = previous offset + length; total = bytes
+    assert(rows.sliding(2).forall(p =>
+      p(1).getLong(1) == p(0).getLong(1) + p(0).getLong(2)))
+    assert(rows.map(_.getLong(2)).sum == data.length.toLong)
+    assert(rows.map(_.getBoolean(0)).toSeq == Seq(true, false, true))
+    assert(rows(0).getString(3) == "com,a)/p0")
+    assert(rows(0).getString(4) == "text/html" &&
+      rows(0).getLong(5) == 200L)
+    assert(rows(2).getString(4) == "text/plain")
+  }
+
+  test("lookupNearest: seconds distance, tie → earlier capture; " +
+      "revisit rows index as warc/revisit but never resolve") {
+    import spark.implicits._
+    def resp(i: Int, date: String) = WarcCodec.mintResponseRecordBytes(
+      s"<urn:t:$i>", "https://a.com/page", date,
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nv$i"
+        .getBytes(UTF_8), withDigest = true)
+    val rev = WarcCodec.mintRecordBytes("revisit", "<urn:t:r>",
+      Some("https://a.com/page"), "2026-04-07T00:00:00Z",
+      "application/http; msgtype=response", Array.emptyByteArray,
+      extraHeaders = Seq("WARC-Refers-To" -> "<urn:t:0>"))
+    val members = Seq(resp(0, "2026-04-01T00:00:00Z"),
+      resp(1, "2026-04-05T00:00:00Z"), rev)
+      .map(WarcCodec.gzipMember)
+    val idx = Cdx.index(Seq((1L, members.flatten.toArray))
+      .toDF("cid", "data"), col("cid"), col("data"))
+    assert(idx.filter(col("mime") === "warc/revisit").count() == 1)
+    val qs = Seq(
+      (1L, "https://a.com/page", "20260403000000"), // exact tie → Apr 1
+      (2L, "https://a.com/page", "20260406000000"), // Apr 5 (1d vs 5d)
+      (3L, "https://WWW.A.com/page", "20260401000000"), // surt folds www
+      (4L, "https://other.com/x", "20260401000000")) // no capture: no row
+      .toDF("qid", "url", "ts")
+    val got = Cdx.lookupNearest(idx, qs, col("url"), col("ts"))
+      .select("qid", "cap_ts14").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "20260401000000", 2L -> "20260405000000",
+      3L -> "20260401000000"))
+  }
+}
