@@ -966,6 +966,9 @@ object Bench {
       // + the surt-keyed lookup join (bounded per-key capture groups) +
       // two container-keyed aggs — linear
       "q204_cdx_index",
+      // page directives: typed mint + map-only HTTP parse + one codegen
+      // bitmask kernel per row — linear
+      "q205_page_directives",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

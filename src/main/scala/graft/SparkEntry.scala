@@ -6754,6 +6754,61 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Page-level robots directives (q205): the gate robots.txt cannot
+    * express — a crawl-ALLOWED page opting its content out of the
+    * corpus (`noindex`) or its outlinks out of the frontier
+    * (`nofollow`) via its own `X-Robots-Tag` response headers and HEAD
+    * `<meta name=robots>` tags ([[graft.ops.Robots.pageDirectives]],
+    * one codegen bitmask per row — map-only). Seven planted classes
+    * through the REAL HTTP parse: clean, header noindex, a header line
+    * scoped to THIS agent, a header line scoped to someone else
+    * (invisible), meta noindex+nofollow, an agent-named meta plus an
+    * argument-carrying `max-snippet:` header (which must read as a
+    * directive, not an agent scope), and meta `none` with a DECOY
+    * robots meta after `</head>` that must not count. */
+  private def qPageDirectives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wire = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val c = id % 7
+        val xr = c match {
+          case 1 => Seq("X-Robots-Tag: noindex")
+          case 2 => Seq("X-Robots-Tag: graftbot: nofollow")
+          case 3 => Seq("X-Robots-Tag: otherbot: noindex")
+          case 5 => Seq("X-Robots-Tag: max-snippet: 50")
+          case _ => Nil
+        }
+        val meta = c match {
+          case 4 => "<meta name=\"robots\" content=\"noindex, nofollow\">"
+          case 5 => "<meta name=\"GRAFTBOT\" content=\"noarchive,nosnippet\">"
+          case 6 => "<meta name=robots content=none>"
+          case _ => ""
+        }
+        val tail =
+          if (c == 6) // body-side decoy: markup debris, not policy
+            "</head><body><meta name=\"robots\" content=\"noarchive\">x"
+          else s"</head><body>page $id"
+        val html = s"<html><head><title>t$id</title>$meta$tail</body></html>"
+        val hdrs = (Seq("Content-Type: text/html; charset=utf-8") ++ xr)
+          .mkString("\r\n")
+        (id, (s"HTTP/1.1 200 OK\r\n$hdrs\r\n\r\n$html").getBytes(utf8))
+      }
+      .toDF("doc_id", "block")
+    val ent = graft.sources.WarcHttp.parseHttp(wire,
+      col("doc_id"), col("block"))
+    graft.ops.Robots.pageDirectives(ent, col("body_text"),
+        col("x_robots_tag"), "GraftBot")
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(7L)).cast("int").as("cls"),
+        col("noindex"), col("nofollow"), col("noarchive"),
+        col("nosnippet"),
+        (!col("noindex")).as("kept_in_corpus"),
+        (!col("nofollow")).as("follow_links"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -7407,7 +7462,8 @@ object SparkEntry {
     "q201_conditional_revisit" -> (qConditionalRevisit _),
     "q202_frontier_runbook" -> (qFrontierRunbook _),
     "q203_recrawl_schedule" -> (qRecrawlSchedule _),
-    "q204_cdx_index" -> (qCdxIndex _))
+    "q204_cdx_index" -> (qCdxIndex _),
+    "q205_page_directives" -> (qPageDirectives _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11402,6 +11458,23 @@ object SparkEntry {
     // capture per timestamp class (incl. the tie → earlier rule), and
     // the TRUE coverage/digest/extent invariants (compressed offsets
     // are not closed-form — their contiguity and totals are)
+    // q205: page-level robots directives pinned closed-form — the
+    // engine parses the real HTTP headers + HEAD meta tags and folds
+    // the directive bitmask for real; the oracle replays each class's
+    // verdicts (agent scoping, the max-snippet:-is-a-directive rule,
+    // none ≡ noindex+nofollow, body-side decoys ignored)
+    "q205_page_directives" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(doc_id % 7 AS INT) AS c FROM documents)
+         SELECT doc_id, c AS cls,
+           (c IN (1, 4, 6)) AS noindex,
+           (c IN (2, 4, 6)) AS nofollow,
+           (c = 5) AS noarchive,
+           (c = 5) AS nosnippet,
+           (c NOT IN (1, 4, 6)) AS kept_in_corpus,
+           (c NOT IN (2, 4, 6)) AS follow_links
+         FROM b
+         ORDER BY doc_id""",
     "q204_cdx_index" ->
       """WITH b AS (
            SELECT doc_id, doc_id % 20 AS k, CAST(doc_id % 4 AS INT) AS c,

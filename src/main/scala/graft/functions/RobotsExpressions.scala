@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** RFC 9309 (Robots Exclusion Protocol) path-pattern matching kernel —
@@ -59,4 +59,132 @@ case class RobotsMatch(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): RobotsMatch = copy(left = l, right = r)
   override def prettyName: String = "robots_match"
+}
+
+/** Page-LEVEL robots directive kernel — the robots.txt gate's sibling
+  * (the published robots-meta / X-Robots-Tag convention every major
+  * crawler honours): a page that robots.txt ALLOWED can still opt out
+  * of indexing (`noindex`) or link following (`nofollow`) via its own
+  * markup or response headers. Directives fold into a bitmask so the
+  * whole decision stays one codegen'd int per row:
+  * noindex=1, nofollow=2, noarchive=4, nosnippet=8
+  * (`none` ≡ noindex+nofollow; `all`/`index`/`follow` and the
+  * argument-carrying `max-*`/`unavailable_after` directives add no
+  * restriction bits). */
+object PageDirectiveOps {
+
+  private val Root = java.util.Locale.ROOT
+
+  /** Directive names that can legally START an X-Robots-Tag value —
+    * used to tell `otherbot: noindex` (agent scope) from
+    * `max-snippet: 50` (an argument-carrying directive). */
+  private val KnownDirectives = Set(
+    "all", "none", "index", "noindex", "follow", "nofollow",
+    "noarchive", "nosnippet", "notranslate", "noimageindex",
+    "indexifembedded", "max-snippet", "max-image-preview",
+    "max-video-preview", "unavailable_after")
+
+  /** Bits of ONE comma-separated directive list (a meta `content`
+    * value, or one X-Robots-Tag line after any agent scope). */
+  private def listBits(list: String): Int = {
+    var bits = 0
+    list.split(',').foreach { d0 =>
+      val d = d0.trim.toLowerCase(Root)
+      val colon = d.indexOf(':')
+      val name = if (colon >= 0) d.substring(0, colon).trim else d
+      name match {
+        case "noindex" => bits |= 1
+        case "nofollow" => bits |= 2
+        case "none" => bits |= 3
+        case "noarchive" => bits |= 4
+        case "nosnippet" => bits |= 8
+        case _ => () // affirmative / argument-carrying / unknown
+      }
+    }
+    bits
+  }
+
+  private val MetaTagRe = "(?i)<meta\\b[^>]*".r
+  private val AttrRe =
+    """(?i)([a-z-]+)\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""".r
+  private val HeadEndRe = "(?i)</head".r
+
+  /** The union bitmask over both sources for ONE agent:
+    *
+    *  - each X-Robots-Tag LINE: an optional leading `agent:` scope (a
+    *    first token that is not itself a known directive name) limits
+    *    the line to that agent — a line scoped to someone else is
+    *    invisible to us; unscoped lines apply to everyone;
+    *  - each `<meta name="robots"|name="<agent>" content="…">` tag in
+    *    the HEAD (directives in the body are markup debris, not
+    *    policy — the scan stops at `</head>` when one exists);
+    *    attributes are parsed structurally (the meta-charset posture:
+    *    prose mentioning "noindex" in a description meta never
+    *    decides).
+    *
+    * Restrictions UNION across sources and lines — the conservative
+    * read every crawler applies when directives conflict. */
+  def pageDirectiveBitsJ(html: String, xRobots: String,
+      agent: String): Int = {
+    val a = if (agent == null) "" else agent.trim.toLowerCase(Root)
+    var bits = 0
+    if (xRobots != null && xRobots.nonEmpty)
+      xRobots.split('\n').foreach { line =>
+        val t = line.trim
+        if (t.nonEmpty) {
+          val colon = t.indexOf(':')
+          val prefix =
+            if (colon >= 0) t.substring(0, colon).trim.toLowerCase(Root)
+            else ""
+          if (colon >= 0 && !KnownDirectives.contains(prefix)) {
+            if (prefix == a) bits |= listBits(t.substring(colon + 1))
+          } else bits |= listBits(t)
+        }
+      }
+    if (html != null && html.nonEmpty) {
+      val head = HeadEndRe.findFirstMatchIn(html) match {
+        case Some(m) => html.substring(0, m.start)
+        case None => html
+      }
+      def unquote(v: String): String =
+        if (v.length >= 2 && ((v.head == '"' && v.last == '"') ||
+            (v.head == '\'' && v.last == '\''))) v.substring(1, v.length - 1)
+        else v
+      MetaTagRe.findAllIn(head).foreach { tag =>
+        val attrs = AttrRe.findAllMatchIn(tag).map(m =>
+          m.group(1).toLowerCase(Root) -> unquote(m.group(2)).trim).toMap
+        val name = attrs.getOrElse("name", "").toLowerCase(Root)
+        if (name == "robots" || (name.nonEmpty && name == a))
+          attrs.get("content").foreach(c => bits |= listBits(c))
+      }
+    }
+    bits
+  }
+
+  def pageDirectiveBits(html: UTF8String, xRobots: UTF8String,
+      agent: UTF8String): Int =
+    pageDirectiveBitsJ(
+      if (html == null) null else html.toString,
+      if (xRobots == null) null else xRobots.toString,
+      if (agent == null) null else agent.toString)
+}
+
+/** `page_directive_bits(html, x_robots_tag, agent)` — codegen'd page
+  * directive bitmask ([[PageDirectiveOps.pageDirectiveBitsJ]]
+  * semantics). Callers coalesce absent sides to '' (a page with no
+  * HTML or no header still gets a verdict from the other source). */
+case class PageDirectiveBits(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(h: Any, x: Any, a: Any): Any =
+    PageDirectiveOps.pageDirectiveBits(h.asInstanceOf[UTF8String],
+      x.asInstanceOf[UTF8String], a.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, x, a) =>
+      s"graft.functions.PageDirectiveOps.pageDirectiveBits($h, $x, $a)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PageDirectiveBits =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "page_directive_bits"
 }

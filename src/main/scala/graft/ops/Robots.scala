@@ -43,6 +43,31 @@ object Robots {
   private def robotsMatch(path: Column, pattern: Column): Column =
     column(RobotsMatch(expression(path), expression(pattern)))
 
+  /** Page-LEVEL robots directives (the robots-meta / X-Robots-Tag
+    * convention): appends `noindex` / `nofollow` / `noarchive` /
+    * `nosnippet` booleans from the page's OWN policy — its
+    * `X-Robots-Tag` response headers (newline-joined lines, each with
+    * an optional `agent:` scope) unioned with its HEAD
+    * `<meta name="robots"|"<agent>" content="…">` tags. This is the
+    * gate robots.txt cannot express: the crawl was ALLOWED, but the
+    * page opts its CONTENT out of the corpus (`noindex`) or its
+    * OUTLINKS out of the frontier (`nofollow`). Pure per-row codegen
+    * (one bitmask kernel) — map-only, no shuffle, no rule relation. */
+  def pageDirectives(
+      docs: DataFrame, htmlCol: Column, xRobotsCol: Column,
+      agent: String): DataFrame = {
+    val bits = column(graft.functions.PageDirectiveBits(
+      expression(coalesce(htmlCol, lit(""))),
+      expression(coalesce(xRobotsCol, lit(""))),
+      expression(lit(agent))))
+    docs.withColumn("__bits", bits)
+      .withColumn("noindex", (col("__bits").bitwiseAND(lit(1))) =!= 0)
+      .withColumn("nofollow", (col("__bits").bitwiseAND(lit(2))) =!= 0)
+      .withColumn("noarchive", (col("__bits").bitwiseAND(lit(4))) =!= 0)
+      .withColumn("nosnippet", (col("__bits").bitwiseAND(lit(8))) =!= 0)
+      .drop("__bits")
+  }
+
   /** One parsed robots.txt row. `group_marker = true` rows carry no
     * rule — they record that a (domain, agent) GROUP exists, which RFC
     * 9309 §2.2.1 makes load-bearing on its own: a specific-agent group

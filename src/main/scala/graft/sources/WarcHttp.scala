@@ -80,6 +80,12 @@ object WarcHttp {
       // next fetch `unchanged` without comparing bodies
       etag: Option[String],
       last_modified: Option[String],
+      // X-Robots-Tag headers, verbatim, NEWLINE-joined when repeated
+      // (each header line keeps its own optional `agent:` scope — a
+      // comma fold would merge one line's scope into the next's
+      // directives); consumed by the page-level directive gate
+      // (`ops/Robots.pageDirectives`)
+      x_robots_tag: Option[String],
       content_type: Option[String],
       charset: Option[String],
       transfer_encoding: Option[String],
@@ -136,7 +142,7 @@ object WarcHttp {
   /** The per-record parse — package-visible for the hand-case spec. */
   private[graft] def parseEntity(id: Long, block: Array[Byte]): HttpEntity = {
     def fail(e: String) = HttpEntity(id, http_ok = false, Some(e), None,
-      None, 0, None, None, None, None, None, None, None,
+      None, 0, None, None, None, None, None, None, None, None,
       encoding_ok = false,
       encoding_error = None, is_text = false, block, None, None, None,
       None, None, transcode_ok = false, None, None)
@@ -161,6 +167,7 @@ object WarcHttp {
     var location: Option[String] = None
     var etag: Option[String] = None
     var lastModified: Option[String] = None
+    var xRobotsTag: Option[String] = None
     var bodyStart = -1
     while (bodyStart < 0) {
       val eol = indexOfCrlf(block, at)
@@ -205,6 +212,13 @@ object WarcHttp {
         else if (name.equalsIgnoreCase("last-modified"))
           lastModified =
             Some(line.substring(colon + 1).trim).filter(_.nonEmpty)
+        else if (name.equalsIgnoreCase("x-robots-tag")) {
+          // repeatable (RFC 9110 field semantics): keep every line,
+          // newline-joined, so per-line agent scopes stay separate
+          val v = line.substring(colon + 1).trim
+          if (v.nonEmpty)
+            xRobotsTag = Some(xRobotsTag.fold(v)(old => old + "\n" + v))
+        }
         at = eol + 2
       }
     }
@@ -313,7 +327,7 @@ object WarcHttp {
           if (ok) t else None
         }
     HttpEntity(id, http_ok = true, None, Some(status), Some(reason),
-      nHeaders, location, etag, lastModified, mediaType,
+      nHeaders, location, etag, lastModified, xRobotsTag, mediaType,
       declaredCharset, transferEncoding,
       contentEncoding, encodingOk, encodingErr, isText, body,
       bom.map(_._1), metaCs,

@@ -183,4 +183,44 @@ class RobotsSpec extends SparkSpec {
         "robots_match('/files/a.pdf', '/x/')").head
     assert(got.getBoolean(0) && !got.getBoolean(1))
   }
+
+  test("pageDirectiveBitsJ: X-Robots-Tag scoping, directive-vs-agent " +
+      "prefixes, meta union, head-only scan") {
+    def bits(html: String, xr: String) =
+      graft.functions.PageDirectiveOps.pageDirectiveBitsJ(html, xr, "GraftBot")
+    // unscoped header line applies to everyone; case-insensitive
+    assert(bits(null, "NOINDEX") == 1)
+    // our agent's scope applies; someone else's is invisible
+    assert(bits(null, "graftbot: nofollow") == 2)
+    assert(bits(null, "GRAFTBOT: none") == 3)
+    assert(bits(null, "otherbot: noindex") == 0)
+    // an argument-carrying directive's colon is NOT an agent scope
+    assert(bits(null, "max-snippet: 50") == 0)
+    assert(bits(null, "unavailable_after: 2026-09-01, noarchive") == 4)
+    // repeated header lines (newline-joined) union; scopes stay per-line
+    assert(bits(null, "noarchive\notherbot: noindex\nnosnippet") == 12)
+    // meta robots: quoted and bare attribute values, agent-named metas
+    assert(bits("<head><meta name=\"robots\" content=\"noindex\"></head>",
+      null) == 1)
+    assert(bits("<head><meta name=robots content=none></head>", null) == 3)
+    assert(bits("<head><meta name='graftbot' content='nosnippet'>" +
+      "</head>", null) == 8)
+    assert(bits("<head><meta name=\"otherbot\" content=\"noindex\">" +
+      "</head>", null) == 0)
+    // body-side metas are markup debris, not policy
+    assert(bits("<head><title>t</title></head><body>" +
+      "<meta name=robots content=noindex></body>", null) == 0)
+    // no </head> → the whole document scans (tolerant read)
+    assert(bits("<meta name=robots content=nofollow>", null) == 2)
+    // prose mentioning a directive in an unrelated attribute never
+    // decides (structural attribute parse)
+    assert(bits("<head><meta name=description " +
+      "content=\"how noindex works\"></head>", null) == 0)
+    assert(bits("<head><meta name=\"description\" " +
+      "content=\"robots: noindex\"></head>", null) == 0)
+    // sources union; affirmative directives add nothing
+    assert(bits("<head><meta name=robots content=\"noindex\"></head>",
+      "nofollow, index, follow, all") == 3)
+    assert(bits(null, null) == 0)
+  }
 }

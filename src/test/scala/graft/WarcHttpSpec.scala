@@ -374,4 +374,20 @@ class WarcHttpSpec extends SparkSpec {
     }
     assert(shuffles.isEmpty)
   }
+
+  test("X-Robots-Tag captures verbatim; repeated headers newline-join " +
+      "so per-line agent scopes stay separate") {
+    val one = WarcHttp.parseEntity(1L,
+      ("HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\n" +
+        "Content-Type: text/html\r\n\r\n<p>x").getBytes(ISO_8859_1))
+    assert(one.x_robots_tag.contains("noindex"))
+    val two = WarcHttp.parseEntity(2L,
+      ("HTTP/1.1 200 OK\r\nX-Robots-Tag: otherbot: noindex\r\n" +
+        "X-Robots-Tag: nosnippet\r\n" +
+        "Content-Type: text/html\r\n\r\n<p>x").getBytes(ISO_8859_1))
+    assert(two.x_robots_tag.contains("otherbot: noindex\nnosnippet"))
+    val none = WarcHttp.parseEntity(3L,
+      msg("text/html", "<p>x".getBytes(ISO_8859_1)))
+    assert(none.x_robots_tag.isEmpty)
+  }
 }
