@@ -969,6 +969,9 @@ object Bench {
       // page directives: typed mint + map-only HTTP parse + one codegen
       // bitmask kernel per row — linear
       "q205_page_directives",
+      // outlinks: typed mint + map-only anchor extraction + codegen
+      // URL resolution kernels + one id-keyed gate join — linear
+      "q206_outlinks",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

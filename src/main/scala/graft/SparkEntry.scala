@@ -6809,6 +6809,59 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Outlink extraction (q206): fetched pages → frontier edges via
+    * [[graft.ops.Links.outlinks]] — structural `<a href>` parsing with
+    * anchor text (markup-stripped), `rel=nofollow` surfacing,
+    * `<base href>` re-anchoring, RFC 3986 resolution +
+    * canonicalization, and the http(s)-only debris filter (`mailto:`,
+    * `javascript:`, fragment-only self-references mint NO edge while
+    * `link_order` still counts them — provenance survives the filter).
+    * Composed with the page-level directive gate (q205): a
+    * `<meta name=robots content=nofollow>` page keeps its edges but
+    * none are `followed`. Map-only extraction + codegen URL kernels —
+    * the edge relation never shuffles. */
+  private def qOutlinks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pages = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val k = id % 20
+        val c = id % 3
+        val base =
+          if (c == 1) s"<base href=" + "\"" +
+            s"https://cdn.site$k.com/assets/" + "\">"
+          else ""
+        val meta =
+          if (c == 2) "<meta name=\"robots\" content=\"nofollow\">"
+          else ""
+        val body =
+          s"<a href=" + "\"" + s"https://ext.example.org/e$id" + "\"" +
+            s">ext <b>link</b> $id</a>" +
+            s"<a href=" + "\"" + s"sub/page$id" + "\"" + ">rel</a>" +
+            s"<a href=" + "\"" + s"https://ads.example.org/x$id" + "\"" +
+            " rel=\"sponsored nofollow\">ad</a>" +
+            "<a href=\"mailto:x@example.org\">mail</a>" +
+            "<a href=\"javascript:void(0)\">js</a>" +
+            "<a href=\"#sec\">frag</a>" +
+            s"<a href='/r$id?utm_source=z&b=1'>root</a>"
+        (id, s"https://site$k.com/dir/page$id",
+          s"<html><head><title>t$id</title>$base$meta</head>" +
+            s"<body>$body</body></html>")
+      }
+      .toDF("doc_id", "url", "html")
+      .localCheckpoint() // feeds the edge extraction AND the page gate
+    val edges = graft.ops.Links.outlinks(pages,
+      col("doc_id"), col("url"), col("html"))
+    val gate = graft.ops.Robots.pageDirectives(pages, col("html"),
+        lit(null).cast("string"), "GraftBot")
+      .select(col("doc_id"), col("nofollow").as("page_nofollow"))
+    edges.join(gate, Seq("doc_id"))
+      .select(col("doc_id"), col("link_order"), col("target"),
+        col("anchor"), col("rel_nofollow"),
+        (!col("rel_nofollow") && !col("page_nofollow")).as("followed"))
+      .orderBy(col("doc_id"), col("link_order"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -7463,7 +7516,8 @@ object SparkEntry {
     "q202_frontier_runbook" -> (qFrontierRunbook _),
     "q203_recrawl_schedule" -> (qRecrawlSchedule _),
     "q204_cdx_index" -> (qCdxIndex _),
-    "q205_page_directives" -> (qPageDirectives _))
+    "q205_page_directives" -> (qPageDirectives _),
+    "q206_outlinks" -> (qOutlinks _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11458,6 +11512,38 @@ object SparkEntry {
     // capture per timestamp class (incl. the tie → earlier rule), and
     // the TRUE coverage/digest/extent invariants (compressed offsets
     // are not closed-form — their contiguity and totals are)
+    // q206: outlink extraction pinned closed-form — the engine parses
+    // anchors/base structurally, resolves + canonicalizes, filters
+    // debris, and folds the page gate for real; the oracle replays
+    // each (class × link) target/anchor/verdict, with debris links
+    // absent but their ORDER gaps present (orders 0,1,2,6)
+    "q206_outlinks" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 20 AS k, CAST(doc_id % 3 AS INT) AS c
+           FROM documents),
+         links AS (SELECT * FROM (VALUES (0), (1), (2), (6)) v(ord)),
+         e AS (SELECT doc_id, k, c, ord FROM b CROSS JOIN links)
+         SELECT doc_id, CAST(ord AS INT) AS link_order,
+           CASE ord
+             WHEN 0 THEN 'https://ext.example.org/e' || doc_id
+             WHEN 1 THEN CASE WHEN c = 1
+               THEN 'https://cdn.site' || k || '.com/assets/sub/page' ||
+                 doc_id
+               ELSE 'https://site' || k || '.com/dir/sub/page' || doc_id
+               END
+             WHEN 2 THEN 'https://ads.example.org/x' || doc_id
+             ELSE CASE WHEN c = 1
+               THEN 'https://cdn.site' || k || '.com/r' || doc_id ||
+                 '?b=1'
+               ELSE 'https://site' || k || '.com/r' || doc_id || '?b=1'
+               END
+           END AS target,
+           CASE ord WHEN 0 THEN 'ext link ' || doc_id WHEN 1 THEN 'rel'
+             WHEN 2 THEN 'ad' ELSE 'root' END AS anchor,
+           (ord = 2) AS rel_nofollow,
+           (c <> 2 AND ord <> 2) AS followed
+         FROM e
+         ORDER BY doc_id, link_order""",
     // q205: page-level robots directives pinned closed-form — the
     // engine parses the real HTTP headers + HEAD meta tags and folds
     // the directive bitmask for real; the oracle replays each class's

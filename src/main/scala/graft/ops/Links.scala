@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DomainFunctions, HtmlImpl}
+
+/** Outlink extraction — the operator that turns fetched pages into
+  * frontier EDGES: every `<a href>` in a page, attribute-parsed (the
+  * meta-charset posture: prose mentioning `href=` never mints a link),
+  * with the pieces a real frontier needs next to the raw href:
+  *
+  *   - the ANCHOR TEXT (markup-stripped via the WET extraction kernel)
+  *     — the classic relevance signal link-graph ranking and retrieval
+  *     both consume;
+  *   - the `rel` attribute, with `nofollow` surfaced as a boolean (the
+  *     published link-level opt-out every major crawler honours; the
+  *     page-level twin lives in [[Robots.pageDirectives]]);
+  *   - the document's `<base href>` (first one wins, per the HTML
+  *     spec), which re-anchors RELATIVE references away from the
+  *     page's own URL.
+  *
+  * [[outlinks]] then turns raw hrefs into frontier targets: resolve
+  * against the effective base (RFC 3986 — the base href itself may be
+  * relative and resolves against the page URL first), canonicalize,
+  * and keep only http(s) targets — `mailto:`, `javascript:`, `data:`
+  * and fragment-only self-references are link DEBRIS, not edges.
+  *
+  * Scale shape: extraction is one typed flatMap per page (map-only,
+  * output ∝ links); resolution/canonicalization are codegen column
+  * kernels on the link rows. No shuffle anywhere — the edge relation
+  * inherits the page scan's partitioning, ready for the Graph family's
+  * src-keyed joins. */
+object Links {
+
+  private[graft] final case class RawLink(
+      doc_id: Long,
+      link_order: Int,
+      href: String,
+      anchor: String,
+      rel: String,
+      base_href: Option[String])
+
+  private val AttrRe =
+    """(?i)([a-z-]+)\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""".r
+
+  private def unquote(v: String): String =
+    if (v.length >= 2 && ((v.head == '"' && v.last == '"') ||
+        (v.head == '\'' && v.last == '\''))) v.substring(1, v.length - 1)
+    else v
+
+  private def attrsOf(tag: String): Map[String, String] =
+    AttrRe.findAllMatchIn(tag).map(m =>
+      m.group(1).toLowerCase(java.util.Locale.ROOT) ->
+        unquote(m.group(2)).trim).toMap
+
+  /** Case-insensitive scan for `<tok` where the next char closes or
+    * separates the tag name (`<a href>` matches, `<abbr>` does not). */
+  private def nextTag(s: String, tok: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val pat = "<" + tok
+    while (i >= 0) {
+      i = {
+        var j = i
+        var at = -1
+        val last = s.length - pat.length
+        while (at < 0 && j <= last) {
+          if (s.regionMatches(true, j, pat, 0, pat.length)) at = j
+          j += 1
+        }
+        at
+      }
+      if (i < 0) return -1
+      val after = i + pat.length
+      if (after >= s.length) return -1
+      val c = s.charAt(after)
+      if (c == '>' || c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+          c == '/') return i
+      i = after
+    }
+    -1
+  }
+
+  /** One bounded forward pass: the first `<base href>` plus every
+    * href-carrying `<a>` tag in document order (anchor text
+    * markup-stripped; a missing `</a>` yields an empty anchor — the
+    * tolerant read, never a scan to end-of-document). */
+  private[graft] def extractJ(
+      html: String): (Option[String], Seq[(String, String, String)]) = {
+    if (html == null || html.isEmpty) return (None, Nil)
+    val base = {
+      val at = nextTag(html, "base", 0)
+      if (at < 0) None
+      else {
+        val end = html.indexOf('>', at)
+        val tag = if (end < 0) html.substring(at) else html.substring(at, end)
+        attrsOf(tag).get("href").filter(_.nonEmpty)
+      }
+    }
+    val out = Seq.newBuilder[(String, String, String)]
+    var i = 0
+    while (i >= 0 && i < html.length) {
+      val at = nextTag(html, "a", i)
+      if (at < 0) i = -1
+      else {
+        val end = html.indexOf('>', at)
+        if (end < 0) i = -1
+        else {
+          val attrs = attrsOf(html.substring(at, end))
+          attrs.get("href").filter(_.nonEmpty).foreach { href =>
+            val close = {
+              var j = end + 1
+              var found = -1
+              val last = html.length - 4
+              while (found < 0 && j <= last) {
+                if (html.regionMatches(true, j, "</a>", 0, 4)) found = j
+                j += 1
+              }
+              found
+            }
+            val anchor =
+              if (close < 0) ""
+              else HtmlImpl.extractHtmlText(
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  html.substring(end + 1, close))).toString
+            out += ((href, anchor, attrs.getOrElse("rel", "")))
+          }
+          i = end + 1
+        }
+      }
+    }
+    (base, out.result())
+  }
+
+  /** Extract (doc_id, link_order, href, anchor, rel, base_href) rows —
+    * one typed flatMap per page, map-only. `link_order` counts
+    * href-carrying anchors in document order (debris filtering happens
+    * downstream, so order survives it for provenance). */
+  def extractLinks(
+      docs: DataFrame, idCol: Column, htmlCol: Column): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    docs.select(idCol.cast("long").as("doc_id"),
+        htmlCol.cast("string").as("html"))
+      .as[(Long, String)]
+      .flatMap { case (id, html) =>
+        val (base, links) = extractJ(html)
+        links.zipWithIndex.map { case ((href, anchor, rel), i) =>
+          RawLink(id, i, href, anchor, rel, base)
+        }
+      }
+      .toDF()
+  }
+
+  /** The frontier-edge relation: extraction + RFC 3986 resolution
+    * against the effective base (`<base href>` — itself resolved
+    * against the page URL — else the page URL) + canonicalization +
+    * the http(s)-only debris filter. `rel_nofollow` surfaces the
+    * link-level opt-out; compose with [[Robots.pageDirectives]] for
+    * the page-level one. */
+  def outlinks(
+      docs: DataFrame, idCol: Column, urlCol: Column,
+      htmlCol: Column): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val raw = docs.select(idCol.cast("long").as("doc_id"),
+        urlCol.cast("string").as("page_url"),
+        htmlCol.cast("string").as("html"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, url, html) =>
+        val (base, links) = extractJ(html)
+        links.zipWithIndex.map { case ((href, anchor, rel), i) =>
+          (id, url, i, href, anchor, rel, base.orNull)
+        }
+      }
+      .toDF("doc_id", "page_url", "link_order", "href", "anchor", "rel",
+        "base_href")
+    val effBase = when(col("base_href").isNotNull,
+      DomainFunctions.resolveUrl(col("page_url"), col("base_href")))
+      .otherwise(col("page_url"))
+    // fragment-only hrefs resolve to the page itself (RFC 3986 §5.3):
+    // a self-reference, not an edge
+    raw
+      .filter(!col("href").startsWith("#"))
+      .withColumn("target",
+        DomainFunctions.canonicalUrl(
+          DomainFunctions.resolveUrl(effBase, col("href"))))
+      .filter(col("target").startsWith("http://") ||
+        col("target").startsWith("https://"))
+      .withColumn("rel_nofollow",
+        exists(split(lower(col("rel")), "\\s+"),
+          t => t === "nofollow"))
+      .select(col("doc_id"), col("link_order"), col("target"),
+        col("anchor"), col("rel_nofollow"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Links
+
+/** Outlink extraction hand cases: structural anchor/base parsing,
+  * anchor-text stripping, rel tokenization, debris filtering, and the
+  * relative-base-href resolution chain — pinned independently of the
+  * q206 mint. */
+class LinksSpec extends SparkSpec {
+
+  test("extractJ: base first-wins, case/quote tolerance, href-less " +
+      "anchors skipped, missing </a> yields empty anchor") {
+    val html = "<html><head><BASE HREF='https://b.com/dir/'>" +
+      "<base href=\"https://second.com/\"></head><body>" +
+      "<A HREF=\"https://x.com/1\">one <i>italic</i>&amp;more</A>" +
+      "<a name=\"sec2\">not a link</a>" +
+      "<a href=/bare>bare</a>" +
+      "<abbr>abbr is not an anchor</abbr>" +
+      "<a href=\"https://x.com/2\">unterminated"
+    val (base, links) = Links.extractJ(html)
+    assert(base.contains("https://b.com/dir/"))
+    assert(links == Seq(
+      // tag boundaries become single spaces (the WET kernel contract)
+      ("https://x.com/1", "one italic &more", ""),
+      ("/bare", "bare", ""),
+      ("https://x.com/2", "", "")))
+    assert(Links.extractJ("") == (None, Nil))
+    assert(Links.extractJ(null) == (None, Nil))
+  }
+
+  test("outlinks: debris filtered with order gaps kept, relative base " +
+      "href resolves against the page URL first, rel tokens exact") {
+    import spark.implicits._
+    val html = "<head><base href=\"assets/\"></head>" + // RELATIVE base
+      "<a href=\"p1\">a</a>" +
+      "<a href=\"#top\">self</a>" +
+      "<a href=\"mailto:x@y.com\">m</a>" +
+      "<a href=\"https://z.com/q\" rel=\"ugc nofollow\">n</a>" +
+      "<a href=\"https://z.com/r\" rel=\"nofollowx\">almost</a>"
+    val docs = Seq((1L, "https://site.com/dir/page", html))
+      .toDF("id", "url", "html")
+    val got = Links.outlinks(docs, col("id"), col("url"), col("html"))
+      .orderBy("link_order")
+      .select("link_order", "target", "rel_nofollow")
+      .as[(Int, String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      // base "assets/" → https://site.com/dir/assets/ → p1 under it
+      (0, "https://site.com/dir/assets/p1", false),
+      // orders 1 (fragment) and 2 (mailto) are debris — gaps remain
+      (3, "https://z.com/q", true),
+      // "nofollowx" is not the nofollow token
+      (4, "https://z.com/r", false)))
+  }
+}
