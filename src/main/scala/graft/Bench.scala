@@ -972,6 +972,9 @@ object Bench {
       // outlinks: typed mint + map-only anchor extraction + codegen
       // URL resolution kernels + one id-keyed gate join — linear
       "q206_outlinks",
+      // WET conversion: two bounded container packs + map-only
+      // parse/decode/extract kernels + two id-keyed joins — linear
+      "q207_wet_conversion",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

@@ -6862,6 +6862,87 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("link_order"))
   }
 
+  /** WARC→WET conversion (q207): the derived-text sibling format every
+    * large crawl publishes next to its raw captures (Common Crawl's
+    * WET files) — `conversion` records (ISO 28500 §6.8) carrying the
+    * markup-stripped text as `text/plain`, linked to the capture via
+    * `WARC-Refers-To`, each with its own `WARC-Block-Digest` (WET
+    * readers never hold the original bytes to re-check against). The
+    * full chain runs for real: HTML responses mint → gzip containers →
+    * member parse → route to the content lane → HTTP entity decode →
+    * WET extraction (`extract_html_text`) → conversion mint → WET
+    * containers → RE-parse, proving the round trip: `route = text`,
+    * digests verify (ok), the text survives byte-identically, and
+    * Refers-To joins back to the originating record. Map-only except
+    * the two bounded container packs and two id-keyed joins. */
+  private def qWetConversion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val date = "2026-04-02T00:00:00Z"
+    val wire = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val uri = s"https://site${id % 20}.com/t$id"
+        val html = s"<html><head><title>T$id</title><script>var " +
+          s"x=$id;</script></head><body><p>Hello &amp; welcome " +
+          s"$id</p><!-- c --></body></html>"
+        val block = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+          s"charset=utf-8\r\n\r\n$html").getBytes(utf8)
+        (id / 8, (id % 8).toInt,
+          graft.sources.WarcCodec.mintResponseRecordBytes(
+            s"<urn:graft:$id>", uri, date, block, withDigest = true))
+      }
+      .toDF("cid", "seq", "rec")
+    val warc = graft.sources.WarcCodec.gzipContainers(wire,
+      col("cid"), col("seq"), col("rec"))
+    val content = graft.sources.WarcCodec.parseGzipContainers(warc,
+        col("container_id"), col("data"))
+      .filter(graft.sources.WarcCodec.recordRoute(
+        col("warc_type"), col("ok")) === "content")
+      .select(regexp_extract(col("record_id"), "(\\d+)>$", 1)
+        .cast("long").as("doc_id"),
+        col("container_id"), col("record_id"), col("target_uri"),
+        col("block"))
+      .localCheckpoint() // feeds the entity decode AND the text join
+    val ent = graft.sources.WarcHttp.parseHttp(content,
+        col("doc_id"), col("block"))
+      .select(col("doc_id"), col("body_text"))
+    val text = content.join(ent, Seq("doc_id"))
+      .select(col("doc_id"), col("container_id"), col("record_id"),
+        col("target_uri"),
+        graft.functions.HtmlFunctions.extractHtmlText(col("body_text"))
+          .as("text"))
+      .localCheckpoint() // feeds the WET mint AND the round-trip compare
+    val wetWire = text
+      .select(col("container_id"), col("doc_id"), col("record_id"),
+        col("target_uri"), col("text"))
+      .as[(Long, Long, String, String, String)]
+      .map { case (cid, id, rid, uri, txt) =>
+        (cid, (id % 8).toInt,
+          graft.sources.WarcCodec.mintConversionRecordBytes(
+            s"<urn:graft:wet:$id>", uri, date, rid, txt))
+      }
+      .toDF("cid", "seq", "rec")
+    val wet = graft.sources.WarcCodec.gzipContainers(wetWire,
+      col("cid"), col("seq"), col("rec"))
+    graft.sources.WarcCodec.parseGzipContainers(wet,
+        col("container_id"), col("data"))
+      .select(regexp_extract(col("record_id"), "(\\d+)>$", 1)
+        .cast("long").as("doc_id"),
+        col("ok"),
+        graft.sources.WarcCodec.recordRoute(col("warc_type"), col("ok"))
+          .as("route"),
+        col("refers_to"), col("content_length"),
+        decode(col("block"), "UTF-8").as("wet_text"))
+      .join(text.select(col("doc_id"),
+        col("record_id").as("orig_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("ok"), col("route"), col("wet_text"),
+        (col("wet_text") === col("text")).as("text_match"),
+        (col("refers_to") === col("orig_id")).as("refers_match"),
+        col("content_length").as("wet_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -7517,7 +7598,8 @@ object SparkEntry {
     "q203_recrawl_schedule" -> (qRecrawlSchedule _),
     "q204_cdx_index" -> (qCdxIndex _),
     "q205_page_directives" -> (qPageDirectives _),
-    "q206_outlinks" -> (qOutlinks _))
+    "q206_outlinks" -> (qOutlinks _),
+    "q207_wet_conversion" -> (qWetConversion _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11512,6 +11594,22 @@ object SparkEntry {
     // capture per timestamp class (incl. the tie → earlier rule), and
     // the TRUE coverage/digest/extent invariants (compressed offsets
     // are not closed-form — their contiguity and totals are)
+    // q207: the WARC→WET chain pinned closed-form — the engine mints,
+    // packs, parses, entity-decodes, extracts, re-mints conversion
+    // records, re-packs, and re-parses for real; the oracle replays
+    // the extracted text per doc and the TRUE round-trip verdicts
+    // (digest strings and offsets are not closed-form; their
+    // verification IS the parser's ok bit)
+    "q207_wet_conversion" ->
+      """WITH t AS (
+           SELECT doc_id,
+             'T' || doc_id || ' Hello & welcome ' || doc_id AS wet_text
+           FROM documents)
+         SELECT doc_id, TRUE AS ok, 'text' AS route, wet_text,
+           TRUE AS text_match, TRUE AS refers_match,
+           CAST(length(wet_text) AS BIGINT) AS wet_len
+         FROM t
+         ORDER BY doc_id""",
     // q206: outlink extraction pinned closed-form — the engine parses
     // anchors/base structurally, resolves + canonicalizes, filters
     // debris, and folds the page gate for real; the oracle replays

@@ -263,6 +263,25 @@ object WarcCodec {
     mintRecordBytes("warcinfo", recordId, None, warcDate,
       "application/warc-fields", fields.getBytes(UTF_8))
 
+  /** `conversion` record — the WET derivative (ISO 28500 §6.8: content
+    * "created as the result of a transformation"; Common Crawl's
+    * WARC→WET extracted-text files are exactly this): the
+    * markup-stripped text as a `text/plain` block, linked back to the
+    * capture it was derived from via `WARC-Refers-To`, with a
+    * `WARC-Block-Digest` so the derivative carries its own integrity
+    * proof (WET readers never have the original bytes to re-check
+    * against). */
+  private[graft] def mintConversionRecordBytes(
+      recordId: String, targetUri: String, warcDate: String,
+      refersTo: String, text: String): Array[Byte] = {
+    val block = text.getBytes(UTF_8)
+    mintRecordBytes("conversion", recordId, Some(targetUri), warcDate,
+      "text/plain", block,
+      extraHeaders = Seq(
+        "WARC-Refers-To" -> refersTo,
+        "WARC-Block-Digest" -> sha1Base32(block)))
+  }
+
   /** The general byte-level record mint every typed mint above
     * delegates to: magic, WARC-Type, id/date(/URI), extra headers in
     * caller order, WARC-level Content-Type, Content-Length in block
@@ -300,8 +319,11 @@ object WarcCodec {
     *     the wire-level dedup marker);
     *   - `request` → `request_log`; `metadata` → `metadata_log`;
     *   - `warcinfo` → `container_info`;
-    *   - anything else (`resource`, `conversion`, future types) →
-    *     `other` — carried, never silently dropped.
+    *   - `conversion` → `text` (the WET lane: derived text, charged to
+    *     its referent via WARC-Refers-To — never to the content lane,
+    *     which carries only ORIGINAL capture bytes);
+    *   - anything else (`resource`, future types) → `other` — carried,
+    *     never silently dropped.
     */
   def recordRoute(warcType: Column, ok: Column): Column = {
     // type names compare case-insensitively (writers vary)
@@ -312,6 +334,7 @@ object WarcCodec {
       .when(t === "request", "request_log")
       .when(t === "metadata", "metadata_log")
       .when(t === "warcinfo", "container_info")
+      .when(t === "conversion", "text")
       .otherwise("other")
   }
 

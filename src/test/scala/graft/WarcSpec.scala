@@ -501,6 +501,37 @@ class WarcSpec extends SparkSpec {
       "metadata" -> "metadata_log"))
   }
 
+  test("conversion (WET) records round-trip: text/plain block, " +
+      "Refers-To carried, block digest verified, text lane routed; a " +
+      "digest liar quarantines alone") {
+    import spark.implicits._
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val good = WarcCodec.mintConversionRecordBytes("<urn:t:wet:1>",
+      "https://a.com/p", "2026-04-02T00:00:00Z", "<urn:t:1>",
+      "Hello & welcome 1")
+    // same record with its block digest corrupted in place (the WET
+    // reader's only integrity proof — a lie must quarantine)
+    val liar = new String(good, utf8).replaceAll(
+      "WARC-Block-Digest: sha1:[A-Z2-7]{5}",
+      "WARC-Block-Digest: sha1:AAAAA").getBytes(utf8)
+    val recs = WarcCodec.parseGzipRecords(9L,
+      WarcCodec.gzipMember(good) ++ WarcCodec.gzipMember(liar))
+    assert(recs.length == 2)
+    val ok = recs.head
+    assert(ok.ok && ok.warc_type.contains("conversion"))
+    assert(ok.refers_to.contains("<urn:t:1>"))
+    assert(ok.warc_content_type.contains("text/plain"))
+    assert(ok.block.exists(b =>
+      new String(b, utf8) == "Hello & welcome 1"))
+    val bad = recs(1)
+    assert(!bad.ok && bad.error.exists(_.startsWith("block-digest")))
+    assert(bad.block.isEmpty) // integrity unproven: withheld
+    val routed = Seq(ok).toDF()
+      .select(WarcCodec.recordRoute(col("warc_type"), col("ok")))
+      .head.getString(0)
+    assert(routed == "text")
+  }
+
   test("parseContainers is map-only over blobs and preserves container ids") {
     import spark.implicits._
     val blob = (record(10, "alpha") + record(11, "beta"))
