@@ -975,6 +975,10 @@ object Bench {
       // WET conversion: two bounded container packs + map-only
       // parse/decode/extract kernels + two id-keyed joins — linear
       "q207_wet_conversion",
+      // WAT envelope: map-only parse/extract + one bounded per-doc
+      // link agg + native to_json/from_json + the container pack —
+      // linear
+      "q208_wat_metadata",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

@@ -6943,6 +6943,89 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** WARC→WAT metadata records (q208): the third Common Crawl
+    * derivative — a JSON envelope per capture (URL, HTTP status/mime,
+    * page title, extracted outlink targets) minted as WARC `metadata`
+    * records (`application/json`, WARC-Refers-To the capture), so
+    * downstream consumers can run link-graph and metadata jobs without
+    * touching page bytes. The envelope is built ENGINE-NATIVE
+    * (`to_json` over a struct — no hand-rolled JSON), packed into gzip
+    * containers, RE-parsed, and `from_json`-decoded to prove the round
+    * trip field-by-field. One bounded per-doc link aggregation + the
+    * bounded container pack; everything else map-only. */
+  private def qWatMetadata(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val date = "2026-04-03T00:00:00Z"
+    val wire = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val k = id % 20
+        val html = s"<html><head><title>Page &amp; $id</title></head>" +
+          s"<body><a href=" + "\"" + s"https://ext.example.org/e$id" +
+          "\"" + s">e</a><a href=" + "\"" + s"sub/x$id" + "\"" +
+          ">s</a></body></html>"
+        (id, s"https://site$k.com/dir/p$id",
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+            s"charset=utf-8\r\n\r\n$html").getBytes(utf8))
+      }
+      .toDF("doc_id", "url", "block")
+      .localCheckpoint() // feeds the entity parse AND the envelope join
+    val ent = graft.sources.WarcHttp.parseHttp(wire,
+        col("doc_id"), col("block"))
+      .select(col("doc_id"), col("status"), col("content_type"),
+        col("body_text"))
+      .join(wire.select(col("doc_id"), col("url")), Seq("doc_id"))
+      .localCheckpoint() // feeds the link extraction AND the envelope
+    val links = graft.ops.Links.outlinks(ent,
+        col("doc_id"), col("url"), col("body_text"))
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("link_order"), col("target")))),
+        x => x.getField("target")).as("links"))
+    val envelope = ent.join(links, Seq("doc_id"))
+      .select(col("doc_id"), col("url"),
+        to_json(struct(col("url"), col("status"),
+          col("content_type").as("mime"),
+          graft.functions.HtmlFunctions.htmlTitle(col("body_text"))
+            .as("title"),
+          col("links"))).as("wat"))
+    val watWire = envelope
+      .select(col("doc_id"), col("url"), col("wat"))
+      .as[(Long, String, String)]
+      .map { case (id, url, json) =>
+        (id / 8, (id % 8).toInt,
+          graft.sources.WarcCodec.mintRecordBytes("metadata",
+            s"<urn:graft:wat:$id>", Some(url), date, "application/json",
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            extraHeaders = Seq("WARC-Refers-To" -> s"<urn:graft:$id>")))
+      }
+      .toDF("cid", "seq", "rec")
+    val wat = graft.sources.WarcCodec.gzipContainers(watWire,
+      col("cid"), col("seq"), col("rec"))
+    val watSchema = "url STRING, status BIGINT, mime STRING, " +
+      "title STRING, links ARRAY<STRING>"
+    graft.sources.WarcCodec.parseGzipContainers(wat,
+        col("container_id"), col("data"))
+      .select(regexp_extract(col("record_id"), "(\\d+)>$", 1)
+        .cast("long").as("doc_id"),
+        col("ok"),
+        graft.sources.WarcCodec.recordRoute(col("warc_type"), col("ok"))
+          .as("route"),
+        (col("refers_to") === concat(lit("<urn:graft:"),
+          regexp_extract(col("record_id"), "(\\d+)>$", 1), lit(">")))
+          .as("refers_match"),
+        from_json(decode(col("block"), "UTF-8"), watSchema,
+          Map.empty[String, String]).as("w"))
+      .select(col("doc_id"), col("ok"), col("route"), col("refers_match"),
+        col("w.title").as("title"), col("w.status").as("status"),
+        col("w.mime").as("mime"),
+        size(col("w.links")).as("n_links"),
+        element_at(col("w.links"), 1).as("first_link"),
+        col("w.url").as("url"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -7599,7 +7682,8 @@ object SparkEntry {
     "q204_cdx_index" -> (qCdxIndex _),
     "q205_page_directives" -> (qPageDirectives _),
     "q206_outlinks" -> (qOutlinks _),
-    "q207_wet_conversion" -> (qWetConversion _))
+    "q207_wet_conversion" -> (qWetConversion _),
+    "q208_wat_metadata" -> (qWatMetadata _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11594,6 +11678,22 @@ object SparkEntry {
     // capture per timestamp class (incl. the tie → earlier rule), and
     // the TRUE coverage/digest/extent invariants (compressed offsets
     // are not closed-form — their contiguity and totals are)
+    // q208: the WAT envelope pinned closed-form — the engine builds
+    // the JSON natively (to_json), mints/packs/re-parses the metadata
+    // records, and from_json-decodes for real; the oracle replays
+    // every envelope field per doc
+    "q208_wat_metadata" ->
+      """WITH b AS (SELECT doc_id, doc_id % 20 AS k FROM documents)
+         SELECT doc_id, TRUE AS ok, 'metadata_log' AS route,
+           TRUE AS refers_match,
+           'Page & ' || doc_id AS title,
+           CAST(200 AS BIGINT) AS status,
+           'text/html' AS mime,
+           CAST(2 AS INT) AS n_links,
+           'https://ext.example.org/e' || doc_id AS first_link,
+           'https://site' || k || '.com/dir/p' || doc_id AS url
+         FROM b
+         ORDER BY doc_id""",
     // q207: the WARC→WET chain pinned closed-form — the engine mints,
     // packs, parses, entity-decodes, extracts, re-mints conversion
     // records, re-packs, and re-parses for real; the oracle replays

@@ -115,6 +115,21 @@ object HtmlImpl {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  /** First `<title>…</title>` text (case-insensitive, entity-decoded
+    * and whitespace-collapsed through [[extractHtmlText]]); empty when
+    * the document has none or the tag never closes — the WAT
+    * metadata-envelope field, never a scan past the first close. */
+  def htmlTitle(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val at = indexOfIgnoreCase(s, "<title", 0)
+    if (at < 0) return UTF8String.EMPTY_UTF8
+    val open = s.indexOf('>', at)
+    if (open < 0) return UTF8String.EMPTY_UTF8
+    val close = indexOfIgnoreCase(s, "</title", open + 1)
+    if (close < 0) return UTF8String.EMPTY_UTF8
+    extractHtmlText(UTF8String.fromString(s.substring(open + 1, close)))
+  }
 }
 
 /** `extract_html_text(s)` — the staged markup-extraction contract above
@@ -131,8 +146,23 @@ case class ExtractHtmlText(child: Expression) extends UnaryExpression {
   override def prettyName: String = "extract_html_text"
 }
 
+/** `html_title(s)` — first `<title>` text, codegen'd. */
+case class HtmlTitle(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    HtmlImpl.htmlTitle(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlImpl.htmlTitle($c)")
+  override protected def withNewChildInternal(c: Expression): HtmlTitle =
+    copy(c)
+  override def prettyName: String = "html_title"
+}
+
 object HtmlFunctions {
   /** Column API: extract text from markup per the [[HtmlImpl]] contract. */
   def extractHtmlText(c: Column): Column =
     column(ExtractHtmlText(expression(c.cast("string"))))
+  /** Column API: first `<title>` text ([[HtmlImpl.htmlTitle]]). */
+  def htmlTitle(c: Column): Column =
+    column(HtmlTitle(expression(c.cast("string"))))
 }

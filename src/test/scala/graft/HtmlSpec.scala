@@ -71,4 +71,15 @@ class HtmlSpec extends SparkSpec {
       .head.getString(0)
     assert(r === "hello world")
   }
+
+  test("html_title: first title wins, entity-decoded, case-tolerant; " +
+      "missing or unclosed titles are empty") {
+    def title(s: String) = graft.functions.HtmlImpl.htmlTitle(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    assert(title("<head><TITLE>A &amp; B  c</TITLE></head>" +
+      "<title>second</title>") == "A & B c")
+    assert(title("<p>no title</p>") == "")
+    assert(title("<title>never closes") == "")
+    assert(title("<title></title>") == "")
+  }
 }
