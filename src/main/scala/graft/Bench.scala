@@ -979,6 +979,9 @@ object Bench {
       // link agg + native to_json/from_json + the container pack —
       // linear
       "q208_wat_metadata",
+      // link discovery: map-only extraction + one target-keyed agg +
+      // one anti-join — linear
+      "q209_link_discovery",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

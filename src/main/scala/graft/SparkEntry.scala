@@ -7026,6 +7026,52 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Link discovery closes the crawl loop (q209): followed outlinks
+    * from fetched pages become the NEXT cycle's frontier seeds via
+    * [[graft.ops.Frontier.discoverNew]] — page-level `nofollow`
+    * (q205 gate) silences a page's whole edge set, link-level
+    * `rel=nofollow` silences the edge, already-known targets (the
+    * fetched frontier itself, incl. self-links) anti-join away, and
+    * each genuinely new target surfaces ONCE with deterministic
+    * provenance (min source id) and its in-batch reference count — the
+    * prioritization signal. Per doc: a unique new target, a per-domain
+    * shared hub (proving the dedup + count), a self-link (known), and
+    * a nofollow'd spam link; every third page is meta-nofollow. */
+  private def qLinkDiscovery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pages = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val k = id % 20
+        val self = s"https://site$k.com/p$id"
+        val meta =
+          if (id % 3 == 2) "<meta name=\"robots\" content=\"nofollow\">"
+          else ""
+        val html = s"<html><head>$meta</head><body>" +
+          s"<a href=" + "\"" + s"https://new.example.org/n$id" + "\"" +
+          ">new</a>" +
+          s"<a href=" + "\"" + s"https://site$k.com/hub" + "\"" +
+          ">hub</a>" +
+          s"<a href=" + "\"" + self + "\"" + ">self</a>" +
+          s"<a href=" + "\"" + s"https://spam.example.org/s$id" + "\"" +
+          " rel=\"nofollow\">spam</a>" +
+          "</body></html>"
+        (id, self, html)
+      }
+      .toDF("doc_id", "url", "html")
+      .localCheckpoint() // feeds edges, the page gate, AND known
+    val edges = graft.ops.Links.outlinks(pages,
+        col("doc_id"), col("url"), col("html"))
+      .join(graft.ops.Robots.pageDirectives(pages, col("html"),
+          lit(null).cast("string"), "GraftBot")
+        .select(col("doc_id"), col("nofollow").as("page_nofollow")),
+        Seq("doc_id"))
+      .filter(!col("page_nofollow"))
+    graft.ops.Frontier.discoverNew(edges, col("target"), col("doc_id"),
+        col("rel_nofollow"), pages, col("url"))
+      .orderBy(col("seed_url"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -7683,7 +7729,8 @@ object SparkEntry {
     "q205_page_directives" -> (qPageDirectives _),
     "q206_outlinks" -> (qOutlinks _),
     "q207_wet_conversion" -> (qWetConversion _),
-    "q208_wat_metadata" -> (qWatMetadata _))
+    "q208_wat_metadata" -> (qWatMetadata _),
+    "q209_link_discovery" -> (qLinkDiscovery _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11678,6 +11725,25 @@ object SparkEntry {
     // capture per timestamp class (incl. the tie → earlier rule), and
     // the TRUE coverage/digest/extent invariants (compressed offsets
     // are not closed-form — their contiguity and totals are)
+    // q209: link discovery pinned closed-form — the engine extracts,
+    // gates (page- and link-level), anti-joins the known frontier, and
+    // elects provenance for real; the oracle replays the surviving new
+    // targets, each hub's min-source election, and the reference counts
+    "q209_link_discovery" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 20 AS k, CAST(doc_id % 3 AS INT) AS c
+           FROM documents),
+         f AS (SELECT * FROM b WHERE c <> 2),
+         rows_ AS (
+           SELECT 'https://new.example.org/n' || doc_id AS seed_url,
+             doc_id AS first_src, CAST(1 AS BIGINT) AS n_refs
+           FROM f
+           UNION ALL
+           SELECT 'https://site' || k || '.com/hub', MIN(doc_id),
+             COUNT(*)
+           FROM f GROUP BY k)
+         SELECT * FROM rows_
+         ORDER BY seed_url""",
     // q208: the WAT envelope pinned closed-form — the engine builds
     // the JSON natively (to_json), mints/packs/re-parses the metadata
     // records, and from_json-decodes for real; the oracle replays

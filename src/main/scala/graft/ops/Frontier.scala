@@ -92,6 +92,40 @@ object Frontier {
     * uses: the `W/` weakness prefix is ignored on BOTH sides (a
     * CDN-rotated weak tag still validates), the opaque quoted value
     * must match exactly. */
+  /** Link discovery — the step that CLOSES the crawl loop: followed
+    * outlink edges (the [[Links.outlinks]] relation, already
+    * canonicalized) become the next cycle's frontier seeds. Three
+    * rules, in order:
+    *
+    *  1. only FOLLOWED edges discover (callers pre-filter page-level
+    *     `nofollow` via [[Robots.pageDirectives]]; the link-level flag
+    *     rides the edge relation and is filtered here);
+    *  2. targets already in the `known` frontier (fetched or queued)
+    *     discover nothing — the anti-join that keeps a crawl from
+    *     re-queueing the whole web every cycle;
+    *  3. one row per NEW target, with deterministic provenance: the
+    *     MINIMUM source id that linked to it (`first_src`) and the
+    *     in-batch reference count (`n_refs`) — the signal frontier
+    *     prioritization feeds on.
+    *
+    * Scale shape: one hash aggregation on the target key + one
+    * target-keyed anti-join against `known` — both shuffle id-sized
+    * edge rows, never page bytes; no window, no broadcast of the
+    * corpus-sized known relation. */
+  def discoverNew(
+      edges: DataFrame, targetCol: Column, srcCol: Column,
+      nofollowCol: Column, known: DataFrame,
+      knownUrlCol: Column): DataFrame = {
+    val k = known.select(knownUrlCol.as("seed_url")).distinct()
+    edges
+      .filter(!nofollowCol)
+      .select(targetCol.as("seed_url"), srcCol.cast("long").as("__src"))
+      .groupBy(col("seed_url"))
+      .agg(min(col("__src")).as("first_src"),
+        count(lit(1)).as("n_refs"))
+      .join(k, Seq("seed_url"), "left_anti")
+  }
+
   private def weakEtagEq(a: Column, b: Column): Column =
     regexp_replace(a, "^W/", "") === regexp_replace(b, "^W/", "")
 

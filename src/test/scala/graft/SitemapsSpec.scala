@@ -184,4 +184,25 @@ class SitemapsSpec extends SparkSpec {
     }
     assert(unpartitioned.isEmpty)
   }
+
+  test("discoverNew: nofollow edges silent, known targets anti-join " +
+      "away, new targets elect min-source provenance with ref counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Seq(
+      (10L, "https://a.com/new", false),
+      (12L, "https://a.com/new", false), // same target, later source
+      (11L, "https://a.com/known", false), // already in the frontier
+      (13L, "https://a.com/spam", true), // link-level nofollow
+      (14L, "https://b.com/x", false))
+      .toDF("src", "target", "nf")
+    val known = Seq("https://a.com/known").toDF("url")
+    val got = graft.ops.Frontier.discoverNew(edges, col("target"),
+        col("src"), col("nf"), known, col("url"))
+      .orderBy("seed_url")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("https://a.com/new", 10L, 2L),
+      ("https://b.com/x", 14L, 1L)))
+  }
 }
