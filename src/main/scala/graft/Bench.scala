@@ -982,6 +982,9 @@ object Bench {
       // link discovery: map-only extraction + one target-keyed agg +
       // one anti-join — linear
       "q209_link_discovery",
+      // CDXJ shards: the index build + one range exchange with local
+      // sort + a broadcast election + one key join — linear
+      "q210_cdxj_shards",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

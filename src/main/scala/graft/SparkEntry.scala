@@ -6672,7 +6672,10 @@ object SparkEntry {
     * nearest-pick classes (before-all, mid, after-all, and an exact
     * TIE), and per-container coverage booleans prove every byte of
     * every container landed in exactly one index extent. */
-  private def qCdxIndex(s: SparkSession, d: String): DataFrame = {
+  /** The q204/q210 shared capture mint: three captures per doc (three
+    * dates × three status/mime classes) under four URL spelling
+    * classes, gzip-packed four docs per container. */
+  private def mintedCdxCaptures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val capDates = Seq(
       ("2026-04-01T00:00:00Z", "200 OK", "text/html; charset=utf-8"),
@@ -6698,8 +6701,27 @@ object SparkEntry {
         }
       }
       .toDF("cid", "seq", "rec")
-    val containers = graft.sources.WarcCodec.gzipContainers(wire,
-        col("cid"), col("seq"), col("rec"))
+    graft.sources.WarcCodec.gzipContainers(wire,
+      col("cid"), col("seq"), col("rec"))
+  }
+
+  /** The q204/q210 query-side URL spelling (must mirror
+    * [[mintedCdxCaptures]]'s four classes). */
+  private def cdxQueryUrl: Column = {
+    val k = pmod(col("doc_id"), lit(20L))
+    val c = pmod(col("doc_id"), lit(4L))
+    when(c === 0L, concat(lit("https://WWW.Site"), k, lit(".com/T"),
+        col("doc_id")))
+      .when(c === 1L, concat(lit("https://news.site"), k,
+        lit(".com:8443/a"), col("doc_id"), lit("?b=2&a=1&utm_source=x")))
+      .when(c === 2L, concat(lit("http://site"), k, lit(".com:80/p"),
+        col("doc_id"), lit("/x/../y")))
+      .otherwise(concat(lit("https://site"), k, lit(".com/d"),
+        col("doc_id")))
+  }
+
+  private def qCdxIndex(s: SparkSession, d: String): DataFrame = {
+    val containers = mintedCdxCaptures(s, d)
       .localCheckpoint() // feeds the index walk AND the coverage join
     val idx = graft.ops.Cdx.index(containers,
         col("container_id"), col("data"))
@@ -6721,18 +6743,8 @@ object SparkEntry {
         first(col("surt")).as("idx_surt"),
         first(col("container_id")).as("container_id"))
     val q = pmod(col("doc_id"), lit(4L))
-    val k = pmod(col("doc_id"), lit(20L))
-    val c = pmod(col("doc_id"), lit(4L))
     val docs = t(s, d, "documents").select(col("doc_id"),
-      when(c === 0L, concat(lit("https://WWW.Site"), k, lit(".com/T"),
-          col("doc_id")))
-        .when(c === 1L, concat(lit("https://news.site"), k,
-          lit(".com:8443/a"), col("doc_id"), lit("?b=2&a=1&utm_source=x")))
-        .when(c === 2L, concat(lit("http://site"), k, lit(".com:80/p"),
-          col("doc_id"), lit("/x/../y")))
-        .otherwise(concat(lit("https://site"), k, lit(".com/d"),
-          col("doc_id")))
-        .as("url"),
+      cdxQueryUrl.as("url"),
       when(q === 0L, "20260402000000") // 1d to Apr-1 vs 3d to Apr-5
         .when(q === 1L, "20260405060000") // 6h to Apr-5
         .when(q === 2L, "20260412000000") // 3d to Apr-9: after-all
@@ -7070,6 +7082,67 @@ object SparkEntry {
     graft.ops.Frontier.discoverNew(edges, col("target"), col("doc_id"),
         col("rel_nofollow"), pages, col("url"))
       .orderBy(col("seed_url"))
+  }
+
+  /** CDXJ shards + cluster-index pruning (q210): the capture index in
+    * its PUBLISHED on-disk shape — `<surt> <ts14> <json>` lines
+    * ([[graft.ops.Cdx.toCdxjLines]], engine-native `to_json`), RANGE-
+    * sharded and internally sorted ([[graft.ops.Cdx.shardCdxj]]: the
+    * native range exchange + local sort, no global sort), with the
+    * shard-count-sized cluster index electing exactly ONE shard per
+    * lookup key ([[graft.ops.Cdx.electShard]], broadcast). The query
+    * proves the reader contract per doc: the elected shard holds the
+    * key's line (membership join on the shard-id + key), the key falls
+    * inside the shard's [first, last] range, every shard is internally
+    * sorted, the JSON round-trips (`from_json` url/status match), and
+    * the shards jointly cover every serialized line. */
+  private def qCdxjShards(s: SparkSession, d: String): DataFrame = {
+    val idx = graft.ops.Cdx.index(mintedCdxCaptures(s, d),
+      col("container_id"), col("data"))
+    val lines = graft.ops.Cdx.toCdxjLines(idx)
+      .localCheckpoint() // feeds the shard split AND the coverage count
+    val (sharded0, summary0) = graft.ops.Cdx.shardCdxj(lines, 8)
+    val sharded = sharded0
+      .localCheckpoint() // feeds membership AND stays range-partitioned
+    val summary = summary0
+      .localCheckpoint() // feeds election, range check, coverage
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), cdxQueryUrl.as("url"))
+      .withColumn("key", concat(
+        graft.functions.DomainFunctions.surtKey(col("url")),
+        lit(" 20260401000000")))
+    val elected = graft.ops.Cdx.electShard(docs, col("key"), summary)
+    val hit = elected
+      .join(sharded.select(col("shard_id").as("__sid"),
+        col("key").as("__skey"), col("line")),
+        col("elected_shard") === col("__sid") &&
+          col("key") === col("__skey"), "left")
+      .join(broadcast(summary.select(col("shard_id").as("__s"),
+        col("first_key"), col("last_key"))),
+        col("elected_shard") === col("__s"), "left")
+    val cdxjSchema = "url STRING, status BIGINT, mime STRING, " +
+      "digest STRING, filename BIGINT, offset BIGINT, length BIGINT"
+    val coverage = summary.agg(
+      sum(col("n_lines")).as("shard_line_total"),
+      min(col("sorted_ok").cast("int")).as("__all_sorted"))
+      .crossJoin(lines.agg(count(lit(1)).as("line_total")))
+      .select((col("shard_line_total") === col("line_total"))
+        .as("coverage_ok"),
+        (col("__all_sorted") === 1).as("all_sorted"))
+    hit
+      .crossJoin(broadcast(coverage))
+      .select(col("doc_id"), col("url"),
+        substring_index(col("key"), " ", 1).as("surt"),
+        (col("elected_shard") >= 0).as("one_shard"),
+        col("line").isNotNull.as("key_found"),
+        (col("first_key") <= col("key") &&
+          col("key") <= col("last_key")).as("in_range"),
+        (from_json(col("line").substr(length(col("key")) + 2,
+            length(col("line"))), cdxjSchema,
+          Map.empty[String, String]).getField("url") === col("url"))
+          .as("json_roundtrip"),
+        col("coverage_ok"), col("all_sorted"))
+      .orderBy(col("doc_id"))
   }
 
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
@@ -7730,7 +7803,8 @@ object SparkEntry {
     "q206_outlinks" -> (qOutlinks _),
     "q207_wet_conversion" -> (qWetConversion _),
     "q208_wat_metadata" -> (qWatMetadata _),
-    "q209_link_discovery" -> (qLinkDiscovery _))
+    "q209_link_discovery" -> (qLinkDiscovery _),
+    "q210_cdxj_shards" -> (qCdxjShards _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11725,6 +11799,32 @@ object SparkEntry {
     // capture per timestamp class (incl. the tie → earlier rule), and
     // the TRUE coverage/digest/extent invariants (compressed offsets
     // are not closed-form — their contiguity and totals are)
+    // q210: the CDXJ shard contract pinned closed-form — the engine
+    // serializes, range-shards, elects via the cluster index, and
+    // membership-joins for real; the oracle replays each class's SURT
+    // key and the TRUE reader-contract verdicts (shard boundaries are
+    // data-dependent — the contract they must satisfy is not)
+    "q210_cdxj_shards" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 20 AS k, CAST(doc_id % 4 AS INT) AS c
+           FROM documents)
+         SELECT doc_id,
+           CASE c WHEN 0 THEN 'https://WWW.Site' || k || '.com/T' || doc_id
+             WHEN 1 THEN 'https://news.site' || k || '.com:8443/a' ||
+               doc_id || '?b=2&a=1&utm_source=x'
+             WHEN 2 THEN 'http://site' || k || '.com:80/p' || doc_id ||
+               '/x/../y'
+             ELSE 'https://site' || k || '.com/d' || doc_id END AS url,
+           CASE c WHEN 0 THEN 'com,site' || k || ')/t' || doc_id
+             WHEN 1 THEN 'com,site' || k || ',news:8443)/a' || doc_id ||
+               '?a=1&b=2'
+             WHEN 2 THEN 'com,site' || k || ')/p' || doc_id || '/y'
+             ELSE 'com,site' || k || ')/d' || doc_id END AS surt,
+           TRUE AS one_shard, TRUE AS key_found, TRUE AS in_range,
+           TRUE AS json_roundtrip, TRUE AS coverage_ok,
+           TRUE AS all_sorted
+         FROM b
+         ORDER BY doc_id""",
     // q209: link discovery pinned closed-form — the engine extracts,
     // gates (page- and link-level), anti-joins the known frontier, and
     // elects provenance for real; the oracle replays the surviving new

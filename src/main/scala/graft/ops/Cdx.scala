@@ -154,6 +154,83 @@ object Cdx {
       .toDF()
   }
 
+  /** CDXJ serialization: the PUBLISHED on-disk spelling of the capture
+    * index (the Common Crawl `cc-index` / pywb CDXJ convention) — one
+    * text line per capture, `<surt> <ts14> <json>`, where the JSON
+    * envelope carries everything a reader needs to Range-fetch the
+    * record (`filename` = container, `offset`, `length`) plus the
+    * triage fields (`url`, `status`, `mime`, `digest`). Built
+    * engine-native (`to_json` over a struct). Only `ok` captures with
+    * a key serialize — quarantine rows are an operational relation,
+    * not an index entry. */
+  def toCdxjLines(indexDf: DataFrame): DataFrame =
+    indexDf
+      .filter(col("ok") && col("surt").isNotNull && col("ts14").isNotNull)
+      .select(col("surt"), col("ts14"),
+        concat(col("surt"), lit(" "), col("ts14"), lit(" "),
+          to_json(struct(col("url"), col("status"), col("mime"),
+            col("digest"), col("container_id").as("filename"),
+            col("offset"), col("length")))).as("line"))
+
+  /** Range-shard the CDXJ lines the way the published index ships:
+    * N shards split by KEY RANGE (`<surt> <ts14>`), each internally
+    * sorted — plus the `cluster index` (one row per shard: first/last
+    * key, line count, sortedness), which is what lets a reader answer
+    * any key with ONE shard fetch: elect max{shard : first_key ≤ key}
+    * against the metadata-sized summary, read only that shard. This is
+    * the 100 TB shape verbatim — the range exchange + local sort is
+    * Spark's native range partitioner (no global sort, no driver
+    * collect), and the summary is one narrow pass that PRESERVES the
+    * partitioning (no second shuffle). */
+  def shardCdxj(
+      lines: DataFrame, nShards: Int): (DataFrame, DataFrame) = {
+    val sess = lines.sparkSession
+    import sess.implicits._
+    val sharded = lines
+      .select(concat(col("surt"), lit(" "), col("ts14")).as("key"),
+        col("line"))
+      .repartitionByRange(nShards, col("key"))
+      .sortWithinPartitions(col("key"))
+      .select(spark_partition_id().as("shard_id"), col("key"),
+        col("line"))
+    val summary = sharded.as[(Int, String, String)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          var sid = -1
+          var firstKey: String = null
+          var last: String = null
+          var n = 0L
+          var sorted = true
+          var prev: String = null
+          it.foreach { case (s, k, _) =>
+            if (firstKey == null) { firstKey = k; sid = s }
+            if (prev != null && k < prev) sorted = false
+            prev = k; last = k; n += 1
+          }
+          Iterator((sid, firstKey, last, n, sorted))
+        }
+      }
+      .toDF("shard_id", "first_key", "last_key", "n_lines", "sorted_ok")
+    (sharded, summary)
+  }
+
+  /** Shard election off the cluster index: for each query key, the one
+    * shard a reader must fetch — max{shard : first_key ≤ key}. The
+    * summary is shard-count-sized → broadcast; the corpus-sized line
+    * relation is never consulted here. Appends `elected_shard` (−1
+    * when the key precedes every shard — i.e. not indexed). */
+  def electShard(
+      queries: DataFrame, keyCol: Column, summary: DataFrame): DataFrame = {
+    val qCols = queries.columns.map(col)
+    queries
+      .join(broadcast(summary.select(col("first_key"),
+        col("shard_id").as("__sid"))), col("first_key") <= keyCol,
+        "left")
+      .groupBy(qCols: _*)
+      .agg(coalesce(max(col("__sid")), lit(-1)).as("elected_shard"))
+  }
+
   /** Wayback-style nearest-capture lookup: `queries` rows (any columns
     * + `urlCol` + `ts14Col`) each resolve to the indexed capture of
     * that URL closest in time — seconds distance on the 14-digit

@@ -93,6 +93,47 @@ class CdxSpec extends SparkSpec {
     assert(rows(2).getString(4) == "text/plain")
   }
 
+  test("CDXJ lines serialize ok-captures only; shards are range-split, " +
+      "internally sorted, jointly covering; election reads one shard") {
+    import spark.implicits._
+    def resp(i: Int) = WarcCodec.mintResponseRecordBytes(
+      s"<urn:t:$i>", s"https://h$i.com/p", "2026-04-01T00:00:00Z",
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nv$i"
+        .getBytes(UTF_8), withDigest = true)
+    val members = (0 until 12).map(i => WarcCodec.gzipMember(resp(i)))
+    val bad = WarcCodec.gzipMember(resp(99))
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x31).toByte
+    val idx = Cdx.index(
+      Seq((1L, (members :+ bad).flatten.toArray)).toDF("cid", "data"),
+      col("cid"), col("data"))
+    val lines = Cdx.toCdxjLines(idx)
+    assert(lines.count() == 12) // the corrupt member never serializes
+    val (sharded, summary) = Cdx.shardCdxj(lines, 4)
+    val sh = sharded.collect()
+    val sm = summary.collect()
+    assert(sm.map(_.getLong(3)).sum == 12)
+    assert(sm.forall(_.getBoolean(4))) // sorted_ok everywhere
+    // ranges are disjoint and ordered by shard id
+    val ranges = sm.sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(ranges.forall { case (f, l) => f <= l })
+    assert(ranges.sliding(2).filter(_.length == 2)
+      .forall(p => p(0)._2 <= p(1)._1))
+    // election lands every key inside its own shard
+    val qs = Seq(("com,h3)/p 20260401000000", 3),
+      ("com,h9)/p 20260401000000", 9)).toDF("key", "tag")
+    val el = Cdx.electShard(qs, col("key"), summary).collect()
+    el.foreach { r =>
+      val sid = r.getInt(r.fieldIndex("elected_shard"))
+      val key = r.getString(r.fieldIndex("key"))
+      assert(sh.exists(x => x.getInt(0) == sid && x.getString(1) == key))
+    }
+    // a key below every shard elects none
+    val noneRow = Cdx.electShard(Seq(("a", 1)).toDF("key", "tag"),
+      col("key"), summary).head
+    assert(noneRow.getInt(noneRow.fieldIndex("elected_shard")) == -1)
+  }
+
   test("lookupNearest: seconds distance, tie → earlier capture; " +
       "revisit rows index as warc/revisit but never resolve") {
     import spark.implicits._
