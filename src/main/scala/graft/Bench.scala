@@ -985,6 +985,9 @@ object Bench {
       // CDXJ shards: the index build + one range exchange with local
       // sort + a broadcast election + one key join — linear
       "q210_cdxj_shards",
+      // fetch planner: three candidate lanes (one bounded agg) + two
+      // domain-partitioned windows + a broadcast delay join — linear
+      "q211_fetch_planner",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

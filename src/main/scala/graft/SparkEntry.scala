@@ -7145,6 +7145,58 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Next-cycle fetch planner (q211): the composed "what do we fetch
+    * tomorrow" runbook — DISCOVERED candidates (q209's unique +
+    * shared-hub shapes, priority = in-batch reference count) union
+    * RECRAWL-DUE candidates (the real
+    * [[graft.ops.Frontier.recrawlSchedule]] over revisit history,
+    * priority 10), capped per domain
+    * ([[graft.ops.Frontier.domainBudget]]: top-3 by priority, url
+    * tiebreak — one domain-partitioned window) and turned into an
+    * executable schedule ([[graft.ops.Frontier.politenessSchedule]],
+    * default 1.5 s politeness). Every stage is the shipped operator;
+    * the oracle re-derives the full plan in SQL. */
+  private def qFetchPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"),
+        pmod(col("doc_id"), lit(20L)).as("k"),
+        pmod(col("doc_id"), lit(3L)).as("c3"),
+        pmod(col("doc_id"), lit(5L)).as("c5"))
+      .localCheckpoint() // feeds three candidate lanes
+    val disc = docs.filter(col("c3") =!= 2L)
+      .select(concat(lit("https://site"), pmod(col("k") + 7, lit(20L)),
+          lit(".com/disc"), col("doc_id")).as("url"),
+        lit("discovered").as("reason"), lit(1L).as("priority"))
+    val hubs = docs.filter(col("c3") =!= 2L)
+      .groupBy(col("k")).agg(count(lit(1)).as("priority"))
+      .select(concat(lit("https://site"), col("k"), lit(".com/hub"))
+          .as("url"),
+        lit("discovered").as("reason"), col("priority"))
+    val recr = graft.ops.Frontier.recrawlSchedule(
+        docs.select(col("doc_id"), col("k"),
+          (lit(20000L) + pmod(col("doc_id"), lit(10L))).as("lf"),
+          lit(4).as("ivl"),
+          when(col("c5") === 0L, "modified")
+            .when(col("c5") === 1L, "unchanged_etag")
+            .otherwise("new").as("cls")),
+        col("lf"), col("ivl"), col("cls"), lit(20007L))
+      .filter(col("due"))
+      .select(concat(lit("https://site"), col("k"), lit(".com/p"),
+          col("doc_id")).as("url"),
+        lit("recrawl").as("reason"), lit(10L).as("priority"))
+    val candidates = disc.unionByName(hubs).unionByName(recr)
+      .withColumn("domain",
+        graft.functions.DomainFunctions.registrableDomain(col("url")))
+    val kept = graft.ops.Frontier.domainBudget(candidates,
+      col("domain"), col("priority"), col("url"), 3)
+    graft.ops.Frontier.politenessSchedule(kept, col("domain"),
+        col("url"), Seq.empty[(String, Double)].toDF("domain", "delay_s"),
+        defaultDelay = 1.5)
+      .select(col("url"), col("domain"), col("reason"), col("priority"),
+        col("fetch_seq"), col("scheduled_at"))
+      .orderBy(col("domain"), col("fetch_seq"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -7804,7 +7856,8 @@ object SparkEntry {
     "q207_wet_conversion" -> (qWetConversion _),
     "q208_wat_metadata" -> (qWatMetadata _),
     "q209_link_discovery" -> (qLinkDiscovery _),
-    "q210_cdxj_shards" -> (qCdxjShards _))
+    "q210_cdxj_shards" -> (qCdxjShards _),
+    "q211_fetch_planner" -> (qFetchPlanner _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11799,6 +11852,45 @@ object SparkEntry {
     // capture per timestamp class (incl. the tie → earlier rule), and
     // the TRUE coverage/digest/extent invariants (compressed offsets
     // are not closed-form — their contiguity and totals are)
+    // q211: the fetch planner re-DERIVED in SQL — the engine runs the
+    // real operators (recrawl arithmetic, domain-partitioned budget
+    // window, politeness schedule); the oracle rebuilds the identical
+    // plan from the planted classes with window functions
+    "q211_fetch_planner" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 20 AS k, CAST(doc_id % 3 AS INT) AS c3,
+             CAST(doc_id % 5 AS INT) AS c5, doc_id % 10 AS m10
+           FROM documents),
+         disc AS (
+           SELECT 'https://site' || ((k + 7) % 20) || '.com/disc' ||
+               doc_id AS url,
+             'discovered' AS reason, CAST(1 AS BIGINT) AS priority,
+             'site' || ((k + 7) % 20) || '.com' AS domain
+           FROM b WHERE c3 <> 2),
+         hubs AS (
+           SELECT 'https://site' || k || '.com/hub', 'discovered',
+             COUNT(*), 'site' || k || '.com'
+           FROM b WHERE c3 <> 2 GROUP BY k),
+         recr AS (
+           SELECT 'https://site' || k || '.com/p' || doc_id, 'recrawl',
+             CAST(10 AS BIGINT), 'site' || k || '.com'
+           FROM b
+           WHERE (c5 = 0 AND m10 <= 5) OR (c5 NOT IN (0, 1) AND m10 <= 3)),
+         cand AS (
+           SELECT * FROM disc UNION ALL SELECT * FROM hubs
+           UNION ALL SELECT * FROM recr),
+         kept AS (
+           SELECT *, row_number() OVER (PARTITION BY domain
+             ORDER BY priority DESC, url) AS rk FROM cand),
+         plan AS (
+           SELECT url, domain, reason, priority,
+             CAST(row_number() OVER (PARTITION BY domain ORDER BY url)
+               AS INT) AS fetch_seq
+           FROM kept WHERE rk <= 3)
+         SELECT url, domain, reason, priority, fetch_seq,
+           CAST((fetch_seq - 1) * 1.5 AS DOUBLE) AS scheduled_at
+         FROM plan
+         ORDER BY domain, fetch_seq""",
     // q210: the CDXJ shard contract pinned closed-form — the engine
     // serializes, range-shards, elects via the cluster index, and
     // membership-joins for real; the oracle replays each class's SURT

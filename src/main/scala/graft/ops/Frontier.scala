@@ -92,6 +92,28 @@ object Frontier {
     * uses: the `W/` weakness prefix is ignored on BOTH sides (a
     * CDN-rotated weak tag still validates), the opaque quoted value
     * must match exactly. */
+  /** Per-domain crawl budget — the cap every real frontier applies
+    * before scheduling (one domain must not monopolize a cycle): keep
+    * the top `maxPerDomain` candidates per domain by priority
+    * (descending; ties broken by `tiebreakCol` ascending, so the cut
+    * is deterministic and replayable). One window PARTITIONED BY
+    * DOMAIN — bounded per-domain groups, never a global sort; the
+    * partition-less-window guard holds. */
+  def domainBudget(
+      frontier: DataFrame, domainCol: Column, priorityCol: Column,
+      tiebreakCol: Column, maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain >= 1,
+      s"maxPerDomain must be >= 1, got $maxPerDomain")
+    val inCols = frontier.columns.map(col).toSeq
+    val w = Window.partitionBy(col("__dom"))
+      .orderBy(priorityCol.desc, tiebreakCol.asc)
+    frontier
+      .select((inCols :+ domainCol.cast("string").as("__dom")): _*)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPerDomain)
+      .select(inCols: _*)
+  }
+
   /** Link discovery — the step that CLOSES the crawl loop: followed
     * outlink edges (the [[Links.outlinks]] relation, already
     * canonicalized) become the next cycle's frontier seeds. Three

@@ -185,6 +185,30 @@ class SitemapsSpec extends SparkSpec {
     assert(unpartitioned.isEmpty)
   }
 
+  test("domainBudget: top-N per domain by priority, url tiebreak, " +
+      "domain-partitioned window only") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cand = Seq(
+      ("a.com", "https://a.com/1", 5L), ("a.com", "https://a.com/2", 9L),
+      ("a.com", "https://a.com/3", 9L), ("a.com", "https://a.com/4", 1L),
+      ("b.com", "https://b.com/1", 1L))
+      .toDF("domain", "url", "prio")
+    val df = graft.ops.Frontier.domainBudget(cand, col("domain"),
+      col("prio"), col("url"), 2)
+    val got = df.orderBy("url")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a.com", "https://a.com/2", 9L), // 9 ties break by url ASC
+      ("a.com", "https://a.com/3", 9L),
+      ("b.com", "https://b.com/1", 1L)))
+    val unpartitionedW = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitionedW.isEmpty)
+  }
+
   test("discoverNew: nofollow edges silent, known targets anti-join " +
       "away, new targets elect min-source provenance with ref counts") {
     import org.apache.spark.sql.functions._
