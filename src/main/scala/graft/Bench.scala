@@ -222,19 +222,48 @@ private[graft] object BenchLogic {
   def wrapperComparable(prev: Option[String], cur: String): Boolean =
     prev.contains(cur)
 
+  /** The baseline's demonstrated box speed: the MIN of its calibration
+    * probe pair (start is cold-JIT, end is warm — the min is the best
+    * the box showed). Every artifact since r6 records the pair. */
+  def parsePrevCalibMin(content: String): Option[Double] =
+    "\"calib\":\\{\"start\":([0-9.]+),\"end\":([0-9.]+)".r
+      .findFirstMatchIn(content.replace("\\\"", "\""))
+      .map(m => math.min(m.group(1).toDouble, m.group(2).toDouble))
+
+  /** Box-speed fingerprint check: the SAME fixed calibration kernel ran
+    * on both boxes, so its warm-min ratio is a code-independent measure
+    * of relative box speed (VM hosts differ across boots — a same-HEAD
+    * rerun on a fresh boot measured the fixed probe 1.9× slower and the
+    * suite +29%, which the wrapper/cpu checks cannot see). A baseline
+    * whose probe disagrees by more than `factor` in EITHER direction is
+    * not a like-for-like box; unknown (pre-calib artifact) counts as a
+    * mismatch — the parsePrevCpus ambiguity posture. */
+  def boxComparable(prevCalibMin: Option[Double], curCalibMin: Double,
+      factor: Double = 1.3): Boolean =
+    prevCalibMin.exists { p =>
+      p > 0 && curCalibMin > 0 && {
+        val r = curCalibMin / p
+        r <= factor && r >= 1.0 / factor
+      }
+    }
+
   /** The subset-band decision table (VERDICT r17 #5), pure for the
     * spec: an un-flagged band is clean; a flagged band measured under a
     * DIFFERENT wrapper than its baseline is `env_suspect` BY
     * CONSTRUCTION (the +15–30% sbt overhead lands exactly in the band
     * the gate polices — comparing it against a standalone baseline can
     * only convict the wrapper); a flagged band whose own calibration
-    * probes degraded is `env_suspect` by the artifact's own evidence;
-    * only a flagged, like-for-like, probe-clean band earns the
-    * fresh-JVM movers recheck ("adjudicate"). */
+    * probes degraded, or whose baseline was measured on a DIFFERENT-
+    * SPEED box (the probe fingerprint disagrees — [[boxComparable]]),
+    * is `env_suspect` by the artifact's own evidence; only a flagged,
+    * like-for-like, probe-clean band earns the fresh-JVM movers
+    * recheck ("adjudicate" — which a slower BOX would still fail, so
+    * the box check must come first). */
   def subsetAdjudication(
-      flagged: Boolean, wrapperMatch: Boolean, mainClean: Boolean): String =
+      flagged: Boolean, wrapperMatch: Boolean, mainClean: Boolean,
+      boxMatch: Boolean): String =
     if (!flagged) "clean"
-    else if (!wrapperMatch || !mainClean) "env_suspect"
+    else if (!wrapperMatch || !mainClean || !boxMatch) "env_suspect"
     else "adjudicate"
 
   /** The drift gate only fires on a like-for-like baseline. Unknown
@@ -618,6 +647,7 @@ object Bench {
     val wrapperName = sys.props.getOrElse("graft.wrapper", "standalone")
     // the baseline's wrapper, captured while the baseline is read
     var prevWrapper: Option[String] = None
+    var prevCalibMin: Option[Double] = None
     val prevQueries: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_BENCH_PREV")
         .map(java.nio.file.Paths.get(_))
@@ -636,6 +666,7 @@ object Bench {
             val content = java.nio.file.Files.readString(p)
             val prevCpus = BenchLogic.parsePrevCpus(content)
             prevWrapper = BenchLogic.parsePrevWrapper(content)
+            prevCalibMin = BenchLogic.parsePrevCalibMin(content)
             if (BenchLogic.comparableBaseline(prevCpus, cpusInt))
               Some(BenchLogic.parsePrevQueries(content))
             else if (explicitPrev) {
@@ -698,8 +729,15 @@ object Bench {
     // sustained-looking regression flags that need a quiet-box re-run
     val mainClean = BenchLogic.phaseClean(
       calibStart, calibEnd, calibShufStart, calibShufEnd, cpusInt)
+    // box-speed fingerprint vs the baseline (the same fixed probe ran
+    // on both): a cross-boot VM-speed gap shows up here, not in the
+    // wrapper/cpu fields — per-query and subset drift verdicts against
+    // a different-speed box are environmental by this evidence
+    val curCalibMin = math.min(calibStart, calibEnd)
+    val boxMatch = BenchLogic.boxComparable(prevCalibMin, curCalibMin)
     val (driftedKept, envSuspect) =
-      BenchLogic.adjudicateEnv(drifted.toList, mainClean)
+      BenchLogic.adjudicateEnv(drifted.toList,
+        mainClean && (boxMatch || prevQueries.isEmpty))
     val jvmEnd = jvmStamp()
 
     // ---- common-subset band gate (VERDICT r15 #2): the per-query 2.5×
@@ -727,10 +765,13 @@ object Bench {
           var recheckJson = "null"
           var moversJson = "[]"
           var verdict = BenchLogic.subsetAdjudication(flagged,
-            wrapperMatch, mainClean) match {
-            // a cross-wrapper or probe-degraded flag is environmental
-            // by construction/evidence (VERDICT r17 #5 / r11 #1) —
-            // don't spend a 20-minute child run re-proving it
+            wrapperMatch, mainClean, boxMatch) match {
+            // a cross-wrapper, probe-degraded, or cross-box flag is
+            // environmental by construction/evidence (VERDICT r17 #5 /
+            // r11 #1 / the r18 fresh-boot 1.9× probe) — don't spend a
+            // 20-minute child run re-proving it (a fresh JVM on the
+            // same slower box would reproduce the inflation and
+            // convict the box as code)
             case "adjudicate" => "unadjudicated"
             case settled => settled
           }
@@ -751,10 +792,14 @@ object Bench {
             }
           }
           val wPrev = prevWrapper.map("\"" + _ + "\"").getOrElse("null")
+          val boxRatio = prevCalibMin
+            .filter(_ > 0).map(p => ms(curCalibMin / p)).getOrElse("null")
           subsetJson = s"""{"n":$n,"prev":${ms(prevSum)},""" +
             s""""cur":${ms(curSum)},"ratio":${ms(ratio)},""" +
             s""""flagged":$flagged,"wrapper_prev":$wPrev,""" +
-            s""""wrapper_match":$wrapperMatch,"verdict":"$verdict",""" +
+            s""""wrapper_match":$wrapperMatch,""" +
+            s""""box_ratio":$boxRatio,"box_match":$boxMatch,""" +
+            s""""verdict":"$verdict",""" +
             s""""movers":$moversJson,"recheck":$recheckJson}"""
           subsetShortJson =
             s"""{"ratio":${ms(ratio)},"verdict":"$verdict"}"""

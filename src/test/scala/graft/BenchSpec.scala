@@ -328,17 +328,45 @@ class BenchSpec extends AnyFunSuite {
     assert(BenchLogic.wrapperComparable(Some("standalone"), "standalone"))
     assert(!BenchLogic.wrapperComparable(Some("standalone"), "sbt"))
     assert(!BenchLogic.wrapperComparable(None, "standalone"))
-    // the decision table: 2^3 combos
-    for (wm <- Seq(true, false); mc <- Seq(true, false))
-      assert(BenchLogic.subsetAdjudication(flagged = false, wm, mc)
+    // the decision table: 2^4 combos
+    for (wm <- Seq(true, false); mc <- Seq(true, false);
+         bm <- Seq(true, false))
+      assert(BenchLogic.subsetAdjudication(flagged = false, wm, mc, bm)
         == "clean")
     assert(BenchLogic.subsetAdjudication(flagged = true,
-      wrapperMatch = true, mainClean = true) == "adjudicate")
-    assert(BenchLogic.subsetAdjudication(flagged = true,
-      wrapperMatch = false, mainClean = true) == "env_suspect")
-    assert(BenchLogic.subsetAdjudication(flagged = true,
-      wrapperMatch = true, mainClean = false) == "env_suspect")
-    assert(BenchLogic.subsetAdjudication(flagged = true,
-      wrapperMatch = false, mainClean = false) == "env_suspect")
+      wrapperMatch = true, mainClean = true, boxMatch = true)
+      == "adjudicate")
+    for ((wm, mc, bm) <- Seq((false, true, true), (true, false, true),
+        (true, true, false), (false, false, true), (false, true, false),
+        (true, false, false), (false, false, false)))
+      assert(BenchLogic.subsetAdjudication(flagged = true, wm, mc, bm)
+        == "env_suspect")
+  }
+
+  test("box-speed fingerprint: the baseline's calib pair parses, the " +
+      "warm-min ratio gates comparability in both directions, unknown " +
+      "is a mismatch") {
+    // the committed-artifact spelling (calib object right after cpus)
+    val art = """{"metric":"total","wrapper":"standalone","cpus":32,""" +
+      """"runs":2,"agg":"min","calib":{"start":0.164,"end":0.054},""" +
+      """"calib_shuffle":{"start":0.249,"end":0.169}}"""
+    assert(BenchLogic.parsePrevCalibMin(art).contains(0.054))
+    // the driver's escaped-tail spelling
+    assert(BenchLogic.parsePrevCalibMin(
+      "{\\\"calib\\\":{\\\"start\\\":0.2,\\\"end\\\":0.1}}")
+      .contains(0.1))
+    assert(BenchLogic.parsePrevCalibMin("""{"cpus":32}""").isEmpty)
+    // same box: ratio 1 → comparable; the r18 fresh-boot case: the
+    // probe read 0.104 vs a 0.054 baseline (1.93×) → NOT comparable
+    assert(BenchLogic.boxComparable(Some(0.054), 0.054))
+    assert(BenchLogic.boxComparable(Some(0.054), 0.065))
+    assert(!BenchLogic.boxComparable(Some(0.054), 0.104))
+    // both directions: a FASTER box can't stamp "real" on a slower
+    // baseline's behalf either (the band would read artificially clean
+    // elsewhere — symmetry keeps the gate honest)
+    assert(!BenchLogic.boxComparable(Some(0.104), 0.054))
+    // unknown / degenerate probes are a mismatch, never a pass
+    assert(!BenchLogic.boxComparable(None, 0.05))
+    assert(!BenchLogic.boxComparable(Some(0.0), 0.05))
   }
 }

@@ -53,4 +53,66 @@ class LinksSpec extends SparkSpec {
       // "nofollowx" is not the nofollow token
       (4, "https://z.com/r", false)))
   }
+
+  test("stream twin: the page-directive gate + outlink extraction " +
+      "compose statelessly in-stream; discovery runs in foreachBatch " +
+      "and matches the batch operators exactly") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def page(id: Long, noindex: Boolean, links: String) = {
+      val meta = if (noindex) "<meta name=robots content=noindex>" else ""
+      (id, s"https://s.com/p$id", s"<head>$meta</head><body>$links</body>")
+    }
+    val rows = Seq(
+      page(1L, noindex = false,
+        "<a href=\"https://n.com/a\">a</a>" +
+          "<a href=\"https://n.com/b\" rel=nofollow>b</a>"),
+      page(2L, noindex = true, "<a href=\"https://n.com/c\">c</a>"),
+      page(3L, noindex = false, "<a href=\"https://s.com/p1\">known</a>" +
+        "<a href=\"https://n.com/a\">a again</a>"))
+    val known = rows.map(_._2).toDF("url")
+    def run(pages: org.apache.spark.sql.DataFrame) = {
+      val gated = graft.ops.Robots.pageDirectives(pages, col("html"),
+          lit(null).cast("string"), "GraftBot")
+        .filter(!col("noindex")) // the corpus gate; nofollow rides
+      val edges = graft.ops.Links.outlinks(gated.filter(!col("nofollow")),
+        col("doc_id"), col("url"), col("html"))
+      graft.ops.Frontier.discoverNew(edges, col("target"),
+        col("doc_id"), col("rel_nofollow"), known, col("url"))
+    }
+    val batch = run(rows.toDF("doc_id", "url", "html"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(batch == Set(("https://n.com/a", 1L, 2L)))
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val seen = scala.collection.mutable.Set.empty[(String, Long, Long)]
+    // the stateless segment runs IN-stream; the cross-row discovery
+    // aggregation is a micro-batch tail (the batchTail convention)
+    val gatedStream = graft.ops.Robots.pageDirectives(
+        source.toDF().toDF("doc_id", "url", "html"), col("html"),
+        lit(null).cast("string"), "GraftBot")
+      .filter(!col("noindex"))
+    val q = gatedStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        val edges = graft.ops.Links.outlinks(
+          mb.filter(!col("nofollow")),
+          col("doc_id"), col("url"), col("html"))
+        seen ++= graft.ops.Frontier.discoverNew(edges, col("target"),
+            col("doc_id"), col("rel_nofollow"), known, col("url"))
+          .as[(String, Long, Long)].collect()
+        ()
+      }
+      .start()
+    try {
+      source.addData(rows: _*)
+      q.processAllAvailable()
+      assert(seen.toSet == batch)
+      val progs = q.recentProgress
+      assert(progs.nonEmpty && progs.forall(_.stateOperators.isEmpty),
+        "the directive gate must compose statelessly")
+    } finally q.stop()
+  }
 }
