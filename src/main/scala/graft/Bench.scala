@@ -1033,6 +1033,9 @@ object Bench {
       // fetch planner: three candidate lanes (one bounded agg) + two
       // domain-partitioned windows + a broadcast delay join — linear
       "q211_fetch_planner",
+      // conditional GET: column-concat mint + bounded container pack +
+      // map-only request parse + one id-keyed verify join — linear
+      "q212_conditional_get",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

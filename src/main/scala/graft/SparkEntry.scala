@@ -7197,6 +7197,72 @@ object SparkEntry {
       .orderBy(col("domain"), col("fetch_seq"))
   }
 
+  /** Conditional-GET round trip (q212): stored validators (q201's
+    * artifact) become WIRE requests via
+    * [[graft.ops.Frontier.mintConditionalGet]] (strong ETag → exact
+    * `If-None-Match`; weak `W/` tags sent VERBATIM — RFC 9110 §13.1.2
+    * compares weakly here; stored Last-Modified → `If-Modified-Since`;
+    * nothing stored → an unconditional GET with no empty header), then
+    * ride real WARC `request` records through gzip containers and the
+    * REQUEST-side HTTP parse ([[graft.sources.WarcHttp
+    * .parseHttpRequest]] — the capture-side twin of the entity
+    * parser). Four validator classes prove the mint and the parse
+    * agree field-by-field. */
+  private def qConditionalGet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = pmod(col("doc_id"), lit(4L))
+    val k = pmod(col("doc_id"), lit(20L))
+    val stored = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("site"), k, lit(".com")).as("host"),
+        concat(lit("/p"), col("doc_id")).as("path"),
+        when(c === 0L, concat(lit("\"v"), col("doc_id"), lit("\"")))
+          .when(c === 2L, concat(lit("W/\"w"), col("doc_id"), lit("\"")))
+          .otherwise(lit(null).cast("string")).as("etag"),
+        when(c === 1L, lit("Mon, 01 Apr 2026 00:00:00 GMT"))
+          .when(c === 2L, lit("Tue, 02 Apr 2026 00:00:00 GMT"))
+          .otherwise(lit(null).cast("string")).as("lm"))
+      .localCheckpoint() // feeds the wire mint AND the verify join
+    val wire = stored
+      .withColumn("req", graft.ops.Frontier.mintConditionalGet(
+        col("host"), col("path"), col("etag"), col("lm"), "GraftBot/1.0"))
+      .select(col("doc_id"), col("host"), col("req"))
+      .as[(Long, String, String)]
+      .map { case (id, host, req) =>
+        (id / 8, (id % 8).toInt,
+          graft.sources.WarcCodec.mintRequestRecordBytes(
+            s"<urn:graft:req:$id>", s"https://$host/p$id",
+            "2026-04-10T00:00:00Z",
+            req.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            s"<urn:graft:$id>"))
+      }
+      .toDF("cid", "seq", "rec")
+    val recs = graft.sources.WarcCodec.parseGzipContainers(
+        graft.sources.WarcCodec.gzipContainers(wire,
+          col("cid"), col("seq"), col("rec")),
+        col("container_id"), col("data"))
+      .filter(graft.sources.WarcCodec.recordRoute(
+        col("warc_type"), col("ok")) === "request_log")
+      .select(regexp_extract(col("record_id"), "(\\d+)>$", 1)
+        .cast("long").as("doc_id"), col("block"))
+    graft.sources.WarcHttp.parseHttpRequest(recs,
+        col("doc_id"), col("block"))
+      .withColumnRenamed("host", "req_host")
+      .join(stored, Seq("doc_id"))
+      .select(col("doc_id"), c.cast("int").as("cls"), col("ok"),
+        col("method"), col("target"), col("http_version"),
+        (col("req_host") === col("host")).as("host_ok"),
+        col("user_agent").as("ua"),
+        coalesce(col("if_none_match") === col("etag"),
+          col("if_none_match").isNull && col("etag").isNull)
+          .as("inm_ok"),
+        coalesce(col("if_modified_since") === col("lm"),
+          col("if_modified_since").isNull && col("lm").isNull)
+          .as("ims_ok"),
+        (col("if_none_match").isNotNull ||
+          col("if_modified_since").isNotNull).as("conditional"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -7857,7 +7923,8 @@ object SparkEntry {
     "q208_wat_metadata" -> (qWatMetadata _),
     "q209_link_discovery" -> (qLinkDiscovery _),
     "q210_cdxj_shards" -> (qCdxjShards _),
-    "q211_fetch_planner" -> (qFetchPlanner _))
+    "q211_fetch_planner" -> (qFetchPlanner _),
+    "q212_conditional_get" -> (qConditionalGet _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11852,6 +11919,21 @@ object SparkEntry {
     // capture per timestamp class (incl. the tie → earlier rule), and
     // the TRUE coverage/digest/extent invariants (compressed offsets
     // are not closed-form — their contiguity and totals are)
+    // q212: the conditional-GET round trip pinned closed-form — the
+    // engine mints the wire request from stored validators, rides WARC
+    // request records through gzip containers, and request-parses for
+    // real; the oracle replays each validator class's message fields
+    "q212_conditional_get" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 20 AS k, CAST(doc_id % 4 AS INT) AS c
+           FROM documents)
+         SELECT doc_id, c AS cls, TRUE AS ok,
+           'GET' AS method, '/p' || doc_id AS target,
+           'HTTP/1.1' AS http_version, TRUE AS host_ok,
+           'GraftBot/1.0' AS ua, TRUE AS inm_ok, TRUE AS ims_ok,
+           (c <> 3) AS conditional
+         FROM b
+         ORDER BY doc_id""",
     // q211: the fetch planner re-DERIVED in SQL — the engine runs the
     // real operators (recrawl arithmetic, domain-partitioned budget
     // window, politeness schedule); the oracle rebuilds the identical

@@ -92,6 +92,29 @@ object Frontier {
     * uses: the `W/` weakness prefix is ignored on BOTH sides (a
     * CDN-rotated weak tag still validates), the opaque quoted value
     * must match exactly. */
+  /** Conditional-GET wire mint — how a crawler SPENDS its stored
+    * validators (the q201 classification's other half): a fetch that
+    * holds an ETag sends `If-None-Match` (the weak `W/` prefix kept
+    * verbatim — RFC 9110 §13.1.2 uses weak comparison here, so the
+    * stored spelling IS the right one to send), a stored Last-Modified
+    * sends `If-Modified-Since`, and a 304 answer then costs no body.
+    * Pure column concat — the message replays byte-exactly in the
+    * oracle; absent validators mint an UNconditional GET, never an
+    * empty header. */
+  def mintConditionalGet(
+      hostCol: Column, pathCol: Column, etagCol: Column,
+      lastModCol: Column, agent: String): Column =
+    concat(
+      lit("GET "), pathCol, lit(" HTTP/1.1\r\nHost: "), hostCol,
+      lit(s"\r\nUser-Agent: $agent\r\nAccept-Encoding: gzip\r\n"),
+      when(etagCol.isNotNull,
+        concat(lit("If-None-Match: "), etagCol, lit("\r\n")))
+        .otherwise(lit("")),
+      when(lastModCol.isNotNull,
+        concat(lit("If-Modified-Since: "), lastModCol, lit("\r\n")))
+        .otherwise(lit("")),
+      lit("\r\n"))
+
   /** Per-domain crawl budget — the cap every real frontier applies
     * before scheduling (one domain must not monopolize a cycle): keep
     * the top `maxPerDomain` candidates per domain by priority

@@ -81,13 +81,64 @@ object Links {
     -1
   }
 
+  /** Blank out `<!-- comments -->`, `<script>…</script>`, and
+    * `<style>…</style>` regions (case-insensitive, content included) —
+    * an `<a href>` inside a script string or a commented-out nav block
+    * is markup DEBRIS, not a link; real parsers never tokenize there.
+    * Unclosed blocks degrade to a plain tag (the [[graft.functions
+    * .HtmlImpl]] contract), i.e. their content stays scannable.
+    * Replaced regions become spaces so every surviving tag keeps its
+    * original offset. */
+  private[graft] def stripNonContent(html: String): String = {
+    val sb = new java.lang.StringBuilder(html)
+    def blank(from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until) { sb.setCharAt(i, ' '); i += 1 }
+    }
+    def find(tok: String, from: Int): Int = {
+      var i = from
+      val last = html.length - tok.length
+      while (i <= last) {
+        if (html.regionMatches(true, i, tok, 0, tok.length)) return i
+        i += 1
+      }
+      -1
+    }
+    var i = 0
+    while (i < html.length) {
+      val c = find("<!--", i)
+      val s = find("<script", i)
+      val st = find("<style", i)
+      val cands = Seq(("c", c), ("s", s), ("t", st)).filter(_._2 >= 0)
+      if (cands.isEmpty) i = html.length
+      else {
+        val (kind, at) = cands.minBy(_._2)
+        kind match {
+          case "c" =>
+            val e = html.indexOf("-->", at + 4)
+            if (e < 0) i = html.length // unclosed: content stays
+            else { blank(at, e + 3); i = e + 3 }
+          case _ =>
+            val close = if (kind == "s") "</script>" else "</style>"
+            val openEnd = html.indexOf('>', at)
+            val e = if (openEnd < 0) -1 else find(close, openEnd + 1)
+            if (e < 0) i = at + 1 // unclosed: degrade to a plain tag
+            else { blank(at, e + close.length); i = e + close.length }
+        }
+      }
+    }
+    sb.toString
+  }
+
   /** One bounded forward pass: the first `<base href>` plus every
     * href-carrying `<a>` tag in document order (anchor text
     * markup-stripped; a missing `</a>` yields an empty anchor — the
-    * tolerant read, never a scan to end-of-document). */
+    * tolerant read, never a scan to end-of-document). Script / style /
+    * comment regions are blanked first ([[stripNonContent]]). */
   private[graft] def extractJ(
-      html: String): (Option[String], Seq[(String, String, String)]) = {
-    if (html == null || html.isEmpty) return (None, Nil)
+      html0: String): (Option[String], Seq[(String, String, String)]) = {
+    if (html0 == null || html0.isEmpty) return (None, Nil)
+    val html = stripNonContent(html0)
     val base = {
       val at = nextTag(html, "base", 0)
       if (at < 0) None

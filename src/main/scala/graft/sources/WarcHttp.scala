@@ -581,4 +581,86 @@ object WarcHttp {
     }
     -1
   }
+
+  /** One parsed HTTP REQUEST message — the capture side of a fetch
+    * (what WARC `request` records carry). The conditional-GET headers
+    * are first-class: they are how a polite crawler turns its stored
+    * validators (q201) into bandwidth savings — a 304 costs no body. */
+  final case class HttpRequest(
+      doc_id: Long,
+      ok: Boolean,
+      error: Option[String],
+      method: Option[String],
+      target: Option[String],
+      http_version: Option[String],
+      n_headers: Int,
+      host: Option[String],
+      user_agent: Option[String],
+      if_none_match: Option[String],
+      if_modified_since: Option[String],
+      accept_encoding: Option[String])
+
+  /** Parse (id, request-message bytes) rows — the request twin of
+    * [[parseHttp]]. Map-only; the same ISO-8859-1 header transparency
+    * and quarantine posture (a torn message flags, never throws). */
+  def parseHttpRequest(
+      records: DataFrame, idCol: Column, blockCol: Column): DataFrame = {
+    val sess = records.sparkSession
+    import sess.implicits._
+    records
+      .select(idCol.cast("long").as("doc_id"), blockCol.as("block"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, block) =>
+        parseRequestMessage(id,
+          if (block == null) Array.emptyByteArray else block)
+      }
+      .toDF()
+  }
+
+  private[graft] def parseRequestMessage(
+      id: Long, block: Array[Byte]): HttpRequest = {
+    def fail(e: String) = HttpRequest(id, ok = false, Some(e), None,
+      None, None, 0, None, None, None, None, None)
+    val eol0 = indexOfCrlf(block, 0)
+    if (eol0 < 0)
+      return fail("no-request-line: block carries no CRLF-terminated line")
+    val reqLine = new String(block, 0, eol0, StandardCharsets.ISO_8859_1)
+    // request-line = method SP request-target SP HTTP-version (RFC 9112
+    // §3) — exactly three parts, no tolerance: a mis-framed capture
+    // must quarantine, not half-parse
+    val parts = reqLine.split(" ")
+    if (parts.length != 3 || !parts(2).startsWith("HTTP/") ||
+        parts(0).isEmpty || !parts(0).forall(c =>
+          (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')))
+      return fail(s"malformed-request-line: '${reqLine.take(60)}'")
+    var at = eol0 + 2
+    var n = 0
+    var host, ua, inm, ims, ae: Option[String] = None
+    var done = false
+    while (!done) {
+      val eol = indexOfCrlf(block, at)
+      if (eol < 0)
+        return fail("unterminated-headers: no blank line ends the " +
+          "header section")
+      else if (eol == at) done = true
+      else {
+        val line = new String(block, at, eol - at,
+          StandardCharsets.ISO_8859_1)
+        val colon = line.indexOf(':')
+        if (colon <= 0)
+          return fail(s"malformed-header-line: '${line.take(60)}'")
+        n += 1
+        val name = line.substring(0, colon).trim
+        val value = Some(line.substring(colon + 1).trim).filter(_.nonEmpty)
+        if (name.equalsIgnoreCase("host")) host = value
+        else if (name.equalsIgnoreCase("user-agent")) ua = value
+        else if (name.equalsIgnoreCase("if-none-match")) inm = value
+        else if (name.equalsIgnoreCase("if-modified-since")) ims = value
+        else if (name.equalsIgnoreCase("accept-encoding")) ae = value
+        at = eol + 2
+      }
+    }
+    HttpRequest(id, ok = true, None, Some(parts(0)), Some(parts(1)),
+      Some(parts(2)), n, host, ua, inm, ims, ae)
+  }
 }

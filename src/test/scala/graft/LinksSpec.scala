@@ -30,6 +30,20 @@ class LinksSpec extends SparkSpec {
     assert(Links.extractJ(null) == (None, Nil))
   }
 
+  test("anchors inside scripts, styles, and comments are debris; " +
+      "unclosed blocks degrade to plain tags (content stays)") {
+    val html = "<script>var s = '<a href=\"https://evil.com/x\">';" +
+      "</script><!-- <a href=\"https://old.com/nav\">gone</a> -->" +
+      "<style>a[href=\"https://css.com\"]{}</style>" +
+      "<a href=\"https://real.com/1\">real</a>"
+    assert(Links.extractJ(html)._2.map(_._1) == Seq("https://real.com/1"))
+    // unclosed script: the open tag degrades, its content stays
+    // scannable (the HtmlImpl contract)
+    val unclosed = "<script>x<a href=\"https://kept.com/1\">k</a>"
+    assert(Links.extractJ(unclosed)._2.map(_._1) ==
+      Seq("https://kept.com/1"))
+  }
+
   test("outlinks: debris filtered with order gaps kept, relative base " +
       "href resolves against the page URL first, rel tokens exact") {
     import spark.implicits._

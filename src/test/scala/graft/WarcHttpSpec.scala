@@ -390,4 +390,30 @@ class WarcHttpSpec extends SparkSpec {
       msg("text/html", "<p>x".getBytes(ISO_8859_1)))
     assert(none.x_robots_tag.isEmpty)
   }
+
+  test("request-side parse: request line strictness, conditional " +
+      "headers captured, torn messages quarantine") {
+    val good = WarcHttp.parseRequestMessage(1L,
+      ("GET /p/1?x=2 HTTP/1.1\r\nHost: a.com\r\n" +
+        "User-Agent: GraftBot/1.0\r\nIf-None-Match: W/\"v1\"\r\n" +
+        "If-Modified-Since: Mon, 01 Apr 2026 00:00:00 GMT\r\n" +
+        "Accept-Encoding: gzip\r\n\r\n").getBytes(ISO_8859_1))
+    assert(good.ok && good.method.contains("GET"))
+    assert(good.target.contains("/p/1?x=2"))
+    assert(good.http_version.contains("HTTP/1.1"))
+    assert(good.n_headers == 5 && good.host.contains("a.com"))
+    assert(good.if_none_match.contains("W/\"v1\"")) // weak kept verbatim
+    assert(good.if_modified_since.exists(_.startsWith("Mon,")))
+    // exactly three request-line parts — a folded/torn line quarantines
+    assert(!WarcHttp.parseRequestMessage(2L,
+      "GET /p HTTP/1.1 extra\r\n\r\n".getBytes(ISO_8859_1)).ok)
+    assert(!WarcHttp.parseRequestMessage(3L,
+      "HTTP/1.1 200 OK\r\n\r\n".getBytes(ISO_8859_1)).ok)
+    assert(WarcHttp.parseRequestMessage(4L,
+      "no crlf at all".getBytes(ISO_8859_1)).error
+      .exists(_.startsWith("no-request-line")))
+    assert(WarcHttp.parseRequestMessage(5L,
+      "GET / HTTP/1.1\r\nHost: a.com\r\n".getBytes(ISO_8859_1)).error
+      .exists(_.startsWith("unterminated-headers")))
+  }
 }
