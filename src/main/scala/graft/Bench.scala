@@ -1036,6 +1036,9 @@ object Bench {
       // conditional GET: column-concat mint + bounded container pack +
       // map-only request parse + one id-keyed verify join — linear
       "q212_conditional_get",
+      // snapshot diff: two index builds + two key-partitioned max_by
+      // aggs + one key join, digest-sized rows — linear
+      "q213_snapshot_diff",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

@@ -7263,6 +7263,62 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Crawl snapshot diff (q213): two crawl cycles' capture indexes →
+    * the delta every archive publishes, via
+    * [[graft.ops.Cdx.snapshotDiff]] — each side reduced to its newest
+    * capture per SURT (`max_by` on the stamp: snapshot B's class-0
+    * URLs carry TWO captures, old+new, and the diff must judge the
+    * NEWEST), then one full-outer key join classifying
+    * new/gone/changed/unchanged off the payload DIGESTS alone (no page
+    * bytes re-read — the point of carrying the digest in the index).
+    * Four planted classes per doc; value-compared per URL. */
+  private def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def snap(tag: String, which: Int): DataFrame = {
+      val wire = t(s, d, "documents").select(col("doc_id"))
+        .as[Long]
+        .flatMap { id =>
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val k = id % 20
+          val url = s"https://site$k.com/s$id"
+          def rec(body: String, date: String, seq: Int) = {
+            val block = ("HTTP/1.1 200 OK\r\nContent-Type: " +
+              s"text/plain\r\n\r\n$body").getBytes(utf8)
+            (id / 8, (id % 8).toInt * 2 + seq,
+              graft.sources.WarcCodec.mintResponseRecordBytes(
+                s"<urn:graft:$tag:$id:$seq>", url, date, block,
+                withDigest = true))
+          }
+          (id % 4, which) match {
+            case (0L, 0) => Seq(rec(s"stable $id", "2026-04-01T00:00:00Z", 0))
+            case (0L, _) =>
+              // B carries the OLD capture plus a NEWER identical one:
+              // the diff must reduce to the newest, still unchanged
+              Seq(rec(s"stable $id", "2026-04-01T00:00:00Z", 0),
+                rec(s"stable $id", "2026-04-08T00:00:00Z", 1))
+            case (1L, 0) => Seq(rec(s"v1 of $id", "2026-04-01T00:00:00Z", 0))
+            case (1L, _) => Seq(rec(s"v2 of $id", "2026-04-08T00:00:00Z", 0))
+            case (2L, 0) => Seq(rec(s"gone $id", "2026-04-01T00:00:00Z", 0))
+            case (2L, _) => Nil
+            case (3L, 0) => Nil
+            case _ => Seq(rec(s"born $id", "2026-04-08T00:00:00Z", 0))
+          }
+        }
+        .toDF("cid", "seq", "rec")
+      graft.ops.Cdx.index(
+        graft.sources.WarcCodec.gzipContainers(wire,
+          col("cid"), col("seq"), col("rec")),
+        col("container_id"), col("data"))
+    }
+    graft.ops.Cdx.snapshotDiff(snap("a", 0), snap("b", 1))
+      .select(regexp_extract(col("url"), "/s(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        col("surt"), col("url"), col("cls"),
+        (col("digest_a").isNotNull).as("has_a"),
+        (col("digest_b").isNotNull).as("has_b"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -7924,7 +7980,8 @@ object SparkEntry {
     "q209_link_discovery" -> (qLinkDiscovery _),
     "q210_cdxj_shards" -> (qCdxjShards _),
     "q211_fetch_planner" -> (qFetchPlanner _),
-    "q212_conditional_get" -> (qConditionalGet _))
+    "q212_conditional_get" -> (qConditionalGet _),
+    "q213_snapshot_diff" -> (qSnapshotDiff _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11919,6 +11976,23 @@ object SparkEntry {
     // capture per timestamp class (incl. the tie → earlier rule), and
     // the TRUE coverage/digest/extent invariants (compressed offsets
     // are not closed-form — their contiguity and totals are)
+    // q213: the snapshot diff pinned closed-form — the engine indexes
+    // both cycles, reduces each to its newest capture per key, and
+    // digest-classifies for real; the oracle replays each class
+    // (incl. the multi-capture reduce: class 0 is unchanged even
+    // though B carries two captures)
+    "q213_snapshot_diff" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 20 AS k, CAST(doc_id % 4 AS INT) AS c
+           FROM documents)
+         SELECT doc_id,
+           'com,site' || k || ')/s' || doc_id AS surt,
+           'https://site' || k || '.com/s' || doc_id AS url,
+           CASE c WHEN 0 THEN 'unchanged' WHEN 1 THEN 'changed'
+             WHEN 2 THEN 'gone' ELSE 'new' END AS cls,
+           (c <> 3) AS has_a, (c <> 2) AS has_b
+         FROM b
+         ORDER BY doc_id""",
     // q212: the conditional-GET round trip pinned closed-form — the
     // engine mints the wire request from stored validators, rides WARC
     // request records through gzip containers, and request-parses for

@@ -231,6 +231,43 @@ object Cdx {
       .agg(coalesce(max(col("__sid")), lit(-1)).as("elected_shard"))
   }
 
+  /** Snapshot diff — the crawl-over-crawl delta every archive
+    * publishes (what changed since the last crawl?): each side is
+    * reduced to its NEWEST ok content capture per SURT (`max_by` on
+    * the stamp — a snapshot's state is its latest capture), then one
+    * full-outer join on the key classifies every URL:
+    *
+    *   - `new`: only in B; `gone`: only in A;
+    *   - `unchanged`: both, same payload digest — the digest IS the
+    *     content identity, which is exactly why the index stores it
+    *     (no page bytes are touched to compute the diff);
+    *   - `changed`: both, digests differ.
+    *
+    * Two key-partitioned aggregations + one key join — id-and-digest-
+    * sized rows only; the containers themselves are never re-read. */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    def latest(df: DataFrame, tag: String) = df
+      .filter(col("ok") && lower(col("warc_type")) === "response" &&
+        col("surt").isNotNull && col("ts14").isNotNull)
+      .groupBy(col("surt"))
+      .agg(
+        max_by(struct(col("url"), col("digest")), col("ts14"))
+          .as("__top"))
+      .select(col("surt"), col("__top.url").as(s"url_$tag"),
+        col("__top.digest").as(s"digest_$tag"))
+    latest(a, "a").join(latest(b, "b"), Seq("surt"), "full_outer")
+      .select(col("surt"),
+        coalesce(col("url_b"), col("url_a")).as("url"),
+        // presence decided by the URL (a capture can lack a digest);
+        // both-present with unknown digests reads `changed` — the
+        // conservative verdict (re-fetch, never assume stability)
+        when(col("url_a").isNull, "new")
+          .when(col("url_b").isNull, "gone")
+          .when(col("digest_a") === col("digest_b"), "unchanged")
+          .otherwise("changed").as("cls"),
+        col("digest_a"), col("digest_b"))
+  }
+
   /** Wayback-style nearest-capture lookup: `queries` rows (any columns
     * + `urlCol` + `ts14Col`) each resolve to the indexed capture of
     * that URL closest in time — seconds distance on the 14-digit

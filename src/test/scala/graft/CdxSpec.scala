@@ -134,6 +134,35 @@ class CdxSpec extends SparkSpec {
     assert(noneRow.getInt(noneRow.fieldIndex("elected_shard")) == -1)
   }
 
+  test("snapshotDiff: newest-capture reduce, digest classification, " +
+      "url-presence decides when a digest is missing") {
+    import spark.implicits._
+    def idx(rows: Seq[(String, String, Option[String], String)]) =
+      rows.zipWithIndex.map { case ((surt, url, dig, ts), i) =>
+        (1L, i, true, "response", surt, url, dig, ts)
+      }.toDF("container_id", "rec_seq", "ok", "warc_type", "surt",
+        "url", "digest", "ts14")
+    val a = idx(Seq(
+      ("com,a)/1", "https://a.com/1", Some("sha1:X"), "20260401000000"),
+      ("com,a)/2", "https://a.com/2", Some("sha1:Y"), "20260401000000"),
+      ("com,a)/3", "https://a.com/3", Some("sha1:Z"), "20260401000000"),
+      ("com,a)/5", "https://a.com/5", None, "20260401000000")))
+    val b = idx(Seq(
+      // two captures: the NEWEST (same digest) must decide → unchanged
+      ("com,a)/1", "https://a.com/1", Some("sha1:OLD"), "20260320000000"),
+      ("com,a)/1", "https://a.com/1", Some("sha1:X"), "20260408000000"),
+      ("com,a)/2", "https://a.com/2", Some("sha1:Y2"), "20260408000000"),
+      ("com,a)/4", "https://a.com/4", Some("sha1:W"), "20260408000000"),
+      // present both sides but digest unknown → conservative `changed`
+      ("com,a)/5", "https://a.com/5", None, "20260408000000")))
+    val got = graft.ops.Cdx.snapshotDiff(a, b)
+      .select("surt", "cls").as[(String, String)].collect().toMap
+    assert(got == Map(
+      "com,a)/1" -> "unchanged", "com,a)/2" -> "changed",
+      "com,a)/3" -> "gone", "com,a)/4" -> "new",
+      "com,a)/5" -> "changed"))
+  }
+
   test("lookupNearest: seconds distance, tie → earlier capture; " +
       "revisit rows index as warc/revisit but never resolve") {
     import spark.implicits._
