@@ -1039,6 +1039,9 @@ object Bench {
       // snapshot diff: two index builds + two key-partitioned max_by
       // aggs + one key join, digest-sized rows — linear
       "q213_snapshot_diff",
+      // host report: the index build + one bounded (20-domain) hash
+      // agg on the surt host prefix — linear
+      "q214_host_report",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

@@ -7319,6 +7319,59 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Host-level crawl report (q214): the per-site operational rollup
+    * ([[graft.ops.Cdx.hostReport]]) — one hash aggregation on the SURT
+    * host prefix (the aggregation key host REVERSAL was designed for):
+    * captures, content vs revisit (the wire-dedup ratio in integer
+    * basis points), error statuses, stored bytes. Three per-doc
+    * classes (an extra 404 capture, a revisit marker, single capture)
+    * roll up to exact per-domain counts. */
+  private def qHostReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val date = "2026-04-01T00:00:00Z"
+    val wire = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .flatMap { id =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val k = id % 20
+        val url = s"https://site$k.com/h$id"
+        val b200 = ("HTTP/1.1 200 OK\r\nContent-Type: text/html" +
+          s"\r\n\r\npage $id").getBytes(utf8)
+        val first = (id / 8, (id % 8).toInt * 2,
+          graft.sources.WarcCodec.mintResponseRecordBytes(
+            s"<urn:graft:$id:0>", url, date, b200, withDigest = true))
+        val second = (id % 3) match {
+          case 0L =>
+            val b404 = ("HTTP/1.1 404 Not Found\r\nContent-Type: " +
+              "text/html\r\n\r\ngone").getBytes(utf8)
+            Some((id / 8, (id % 8).toInt * 2 + 1,
+              graft.sources.WarcCodec.mintResponseRecordBytes(
+                s"<urn:graft:$id:1>", url, date, b404,
+                withDigest = true)))
+          case 1L =>
+            Some((id / 8, (id % 8).toInt * 2 + 1,
+              graft.sources.WarcCodec.mintRecordBytes("revisit",
+                s"<urn:graft:$id:1>", Some(url), date,
+                "application/http; msgtype=response",
+                Array.emptyByteArray,
+                extraHeaders =
+                  Seq("WARC-Refers-To" -> s"<urn:graft:$id:0>"))))
+          case _ => None
+        }
+        Seq(first) ++ second
+      }
+      .toDF("cid", "seq", "rec")
+    val idx = graft.ops.Cdx.index(
+      graft.sources.WarcCodec.gzipContainers(wire,
+        col("cid"), col("seq"), col("rec")),
+      col("container_id"), col("data"))
+    graft.ops.Cdx.hostReport(idx)
+      .select(col("host_key"), col("n_captures"), col("n_content"),
+        col("n_revisit"), col("n_err"),
+        (col("total_bytes") > 0L).as("bytes_ok"), col("dedup_bp"))
+      .orderBy(col("host_key"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -7981,7 +8034,8 @@ object SparkEntry {
     "q210_cdxj_shards" -> (qCdxjShards _),
     "q211_fetch_planner" -> (qFetchPlanner _),
     "q212_conditional_get" -> (qConditionalGet _),
-    "q213_snapshot_diff" -> (qSnapshotDiff _))
+    "q213_snapshot_diff" -> (qSnapshotDiff _),
+    "q214_host_report" -> (qHostReport _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -11976,6 +12030,27 @@ object SparkEntry {
     // capture per timestamp class (incl. the tie → earlier rule), and
     // the TRUE coverage/digest/extent invariants (compressed offsets
     // are not closed-form — their contiguity and totals are)
+    // q214: the host rollup re-derived in SQL — the engine mints,
+    // packs, indexes, and aggregates for real; the oracle rebuilds the
+    // exact per-domain counts (incl. the integer-bp dedup ratio) from
+    // the planted classes
+    "q214_host_report" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 20 AS k, CAST(doc_id % 3 AS INT) AS c
+           FROM documents),
+         g AS (
+           SELECT k,
+             COUNT(*) + COUNT(*) FILTER (WHERE c IN (0, 1))
+               AS n_captures,
+             COUNT(*) + COUNT(*) FILTER (WHERE c = 0) AS n_content,
+             COUNT(*) FILTER (WHERE c = 1) AS n_revisit,
+             COUNT(*) FILTER (WHERE c = 0) AS n_err
+           FROM b GROUP BY k)
+         SELECT 'com,site' || k AS host_key, n_captures, n_content,
+           n_revisit, n_err, TRUE AS bytes_ok,
+           (n_revisit * 10000) // n_captures AS dedup_bp
+         FROM g
+         ORDER BY host_key""",
     // q213: the snapshot diff pinned closed-form — the engine indexes
     // both cycles, reduces each to its newest capture per key, and
     // digest-classifies for real; the oracle replays each class

@@ -231,6 +231,30 @@ object Cdx {
       .agg(coalesce(max(col("__sid")), lit(-1)).as("elected_shard"))
   }
 
+  /** Host-level crawl report — the per-site operational rollup every
+    * archive publishes next to its index (Common Crawl's host/domain
+    * stats): captures, content vs revisit (the wire-dedup ratio —
+    * revisits are fetches that cost bandwidth but stored no bytes),
+    * error statuses, stored bytes. One hash aggregation on the SURT's
+    * host prefix (everything before `)`), which is exactly the prefix
+    * the key was REVERSED to make aggregable — the report and the
+    * shard layout sort the same way. `dedup_bp` is integer basis
+    * points (exact integer division — engine-replayable). */
+  def hostReport(indexDf: DataFrame): DataFrame =
+    indexDf
+      .filter(col("ok") && col("surt").isNotNull)
+      .withColumn("host_key", substring_index(col("surt"), ")", 1))
+      .groupBy(col("host_key"))
+      .agg(count(lit(1)).as("n_captures"),
+        count(when(lower(col("warc_type")) === "response", 1))
+          .as("n_content"),
+        count(when(lower(col("warc_type")) === "revisit", 1))
+          .as("n_revisit"),
+        count(when(col("status") >= 400, 1)).as("n_err"),
+        sum(col("length")).as("total_bytes"))
+      .withColumn("dedup_bp",
+        expr("n_revisit * 10000 div n_captures"))
+
   /** Snapshot diff — the crawl-over-crawl delta every archive
     * publishes (what changed since the last crawl?): each side is
     * reduced to its NEWEST ok content capture per SURT (`max_by` on

@@ -285,4 +285,90 @@ class PropertySpec extends AnyFunSuite {
       graft.functions.RobotsOps.matchesJ(p, rule) == reference(p, rule)
     })
   }
+
+  test("gzip extents: random containers with planted junk cover every " +
+      "byte contiguously from zero") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val rec = for {
+      id <- Gen.choose(0L, 100000L)
+      body <- Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    } yield graft.sources.WarcCodec.gzipMember(
+      graft.sources.WarcCodec.mintResponseRecordBytes(
+        s"<urn:t:$id>", s"https://a.com/p$id", "2026-01-01T00:00:00Z",
+        s"HTTP/1.1 200 OK\r\n\r\n$body".getBytes(UTF_8)))
+    // junk between members must NOT start with the gzip magic (it
+    // would then be a corrupt "member" — still accounted, but the
+    // member count changes); resync junk is accounted as its own row
+    val junk = Gen.listOf(Gen.alphaNumChar).map(_.mkString.getBytes(UTF_8))
+    check("extent-coverage")(Prop.forAll(
+      Gen.nonEmptyListOf(rec), junk) { (members, tail) =>
+      val blob = members.flatten.toArray ++ tail
+      val got = graft.sources.WarcCodec.parseGzipRecordsExtents(9L, blob)
+      val sorted = got.sortBy(_._2)
+      sorted.headOption.forall(_._2 == 0L) &&
+        sorted.map(_._3).sum == blob.length.toLong &&
+        sorted.sliding(2).filter(_.length == 2).forall(p =>
+          p(1)._2 == p(0)._2 + p(0)._3)
+    })
+  }
+
+  test("request-message parse: random header order and values round-" +
+      "trip; conditional headers recovered verbatim") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val hval = Gen.nonEmptyListOf(Gen.frequency(
+      (10, Gen.alphaNumChar),
+      (3, Gen.oneOf(' ', '"', '/', '.', ',', '=', '-')))).map(_.mkString.trim)
+      .suchThat(_.nonEmpty)
+    val gen = for {
+      path <- token
+      host <- token
+      etag <- Gen.option(hval)
+      ims <- Gen.option(hval)
+      extra <- Gen.listOfN(2, hval)
+      shuffleSeed <- Gen.choose(0, 5)
+    } yield (path, host, etag, ims, extra, shuffleSeed)
+    check("request-roundtrip")(Prop.forAll(gen) {
+      case (path, host, etag, ims, extra, seed) =>
+        val headers = new scala.util.Random(seed.toLong).shuffle(List(
+          Some(s"Host: $host"),
+          etag.map(e => s"If-None-Match: $e"),
+          ims.map(v => s"If-Modified-Since: $v"),
+          Some(s"X-Extra-One: ${extra.head}"),
+          Some(s"X-Extra-Two: ${extra(1)}")).flatten)
+        val msg = (s"GET /$path HTTP/1.1\r\n" +
+          headers.mkString("\r\n") + "\r\n\r\n").getBytes(ISO_8859_1)
+        val r = graft.sources.WarcHttp.parseRequestMessage(1L, msg)
+        r.ok && r.method.contains("GET") &&
+          r.target.contains(s"/$path") &&
+          r.host.contains(host) && r.n_headers == headers.length &&
+          r.if_none_match == etag && r.if_modified_since == ims
+    })
+  }
+
+  test("surt keys: deterministic, scheme-blind, case-blind, and " +
+      "host-prefix aggregable") {
+    val label = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val gen = for {
+      l1 <- label; l2 <- label
+      p1 <- label; p2 <- label
+      up <- Gen.oneOf(true, false)
+    } yield (s"$l1.$l2.com", p1, p2, up)
+    check("surt")(Prop.forAll(gen) { case (host, p1, p2, up) =>
+      def key(scheme: String, h: String, p: String) =
+        graft.functions.UrlOps.surtKeyJ(s"$scheme://$h/$p")
+      val k1 = key("https", host, p1)
+      val hostSpelled = if (up)
+        host.toUpperCase(java.util.Locale.ROOT) else host
+      k1 != null &&
+        k1 == key("https", host, p1) && // deterministic
+        k1 == key("http", host, p1) && // scheme never in the key
+        k1 == key("https", hostSpelled, p1) && // case-folded
+        // every path of one host shares the host prefix up to ')'
+        k1.takeWhile(_ != ')') ==
+          key("https", host, p2).takeWhile(_ != ')') &&
+        k1 == k1.toLowerCase(java.util.Locale.ROOT)
+    })
+  }
 }
