@@ -1042,6 +1042,9 @@ object Bench {
       // host report: the index build + one bounded (20-domain) hash
       // agg on the surt host prefix — linear
       "q214_host_report",
+      // frontier artifact: one validated save/load + one url-keyed
+      // full-outer upsert + map-only schedule arithmetic — linear
+      "q215_frontier_artifact",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

@@ -7372,6 +7372,50 @@ object SparkEntry {
       .orderBy(col("host_key"))
   }
 
+  /** Persisted frontier artifact (q215): the crawl loop's STATE — one
+    * url-keyed relation holding validators, fetch history, and the
+    * derived schedule — through the full artifact cycle
+    * ([[graft.ops.Frontier.saveFrontier]] with the loud duplicate-url
+    * gate → load → [[graft.ops.Frontier.advanceFrontier]]): fetched
+    * URLs refresh validators (a 304-style fetch returning none KEEPS
+    * the stored ones) and adjust intervals by the recrawl policy;
+    * unfetched URLs carry forward with `due` recomputed against today
+    * (yesterday's not-due page surfaces for the next planner);
+    * discovered URLs insert at the default interval. Five classes
+    * cover all lanes; every output value is closed-form. */
+  private def qFrontierArtifact(s: SparkSession, d: String): DataFrame = {
+    val c = pmod(col("doc_id"), lit(5L))
+    val k = pmod(col("doc_id"), lit(20L))
+    val url = concat(lit("https://site"), k, lit(".com/f"), col("doc_id"))
+    val ivl0 = when(c === 0L, 8).when(c === 3L, 12).otherwise(4)
+    val docs = t(s, d, "documents").select(col("doc_id"))
+      .localCheckpoint() // feeds the initial artifact AND the fetch mint
+    val init = docs.select(url.as("url"),
+      when(c.isin(0L, 1L), concat(lit("\"e"), col("doc_id"), lit("\"")))
+        .otherwise(lit(null).cast("string")).as("etag"),
+      when(c.isin(1L, 2L), "Mon, 01 Apr 2026 00:00:00 GMT")
+        .otherwise(lit(null).cast("string")).as("last_modified"),
+      lit(20000L).as("last_fetch_day"),
+      ivl0.cast("int").as("interval_days"),
+      (lit(20000L) + ivl0).cast("long").as("next_fetch_day"),
+      lit(false).as("due"))
+    val dir = tempFixtureDir("graft_frontier") + "/day1"
+    graft.ops.Frontier.saveFrontier(init, dir)
+    val loaded = graft.ops.Frontier.loadFrontier(s, dir)
+    val fetched = docs.filter(c.isin(0L, 1L, 4L)).select(
+      when(c === 4L, concat(lit("https://site"), k, lit(".com/new"),
+        col("doc_id"))).otherwise(url).as("url"),
+      when(c === 0L, "unchanged_etag").when(c === 1L, "modified")
+        .otherwise("new").as("cls"),
+      when(c === 1L, concat(lit("\"e"), col("doc_id"), lit("v2\"")))
+        .otherwise(lit(null).cast("string")).as("etag"),
+      when(c === 1L, "Tue, 02 Apr 2026 00:00:00 GMT")
+        .otherwise(lit(null).cast("string")).as("last_modified"))
+    graft.ops.Frontier.advanceFrontier(loaded, fetched, lit(20006L),
+        defaultIntervalDays = 6)
+      .orderBy(col("url"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -8035,7 +8079,8 @@ object SparkEntry {
     "q211_fetch_planner" -> (qFetchPlanner _),
     "q212_conditional_get" -> (qConditionalGet _),
     "q213_snapshot_diff" -> (qSnapshotDiff _),
-    "q214_host_report" -> (qHostReport _))
+    "q214_host_report" -> (qHostReport _),
+    "q215_frontier_artifact" -> (qFrontierArtifact _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -12030,6 +12075,37 @@ object SparkEntry {
     // capture per timestamp class (incl. the tie → earlier rule), and
     // the TRUE coverage/digest/extent invariants (compressed offsets
     // are not closed-form — their contiguity and totals are)
+    // q215: the frontier artifact cycle pinned closed-form — the
+    // engine saves (duplicate-gated), loads, and upserts for real; the
+    // oracle replays every lane: validator keep-vs-refresh, interval
+    // adjustment, skipped rows' due recomputation, discovery inserts
+    "q215_frontier_artifact" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 20 AS k, CAST(doc_id % 5 AS INT) AS c
+           FROM documents),
+         orig AS (
+           SELECT 'https://site' || k || '.com/f' || doc_id AS url,
+             CASE WHEN c = 0 THEN '"e' || doc_id || '"'
+               WHEN c = 1 THEN '"e' || doc_id || 'v2"' END AS etag,
+             CASE WHEN c = 1 THEN 'Tue, 02 Apr 2026 00:00:00 GMT'
+               WHEN c = 2 THEN 'Mon, 01 Apr 2026 00:00:00 GMT'
+               END AS last_modified,
+             CAST(CASE WHEN c IN (0, 1) THEN 20006 ELSE 20000 END
+               AS BIGINT) AS last_fetch_day,
+             CAST(CASE c WHEN 0 THEN 16 WHEN 1 THEN 2 WHEN 3 THEN 12
+               ELSE 4 END AS INT) AS interval_days
+           FROM b),
+         newrows AS (
+           SELECT 'https://site' || k || '.com/new' || doc_id,
+             NULL, NULL, CAST(20006 AS BIGINT), CAST(6 AS INT)
+           FROM b WHERE c = 4),
+         all_ AS (SELECT * FROM orig UNION ALL SELECT * FROM newrows)
+         SELECT url, etag, last_modified, last_fetch_day, interval_days,
+           CAST(last_fetch_day + interval_days AS BIGINT)
+             AS next_fetch_day,
+           (last_fetch_day + interval_days <= 20006) AS due
+         FROM all_
+         ORDER BY url""",
     // q214: the host rollup re-derived in SQL — the engine mints,
     // packs, indexes, and aggregates for real; the oracle rebuilds the
     // exact per-domain counts (incl. the integer-bp dedup ratio) from

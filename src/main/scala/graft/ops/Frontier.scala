@@ -88,6 +88,79 @@ object Frontier {
       .withColumn("due", col("next_fetch_day") <= today)
   }
 
+  /** The frontier's required artifact columns — the per-URL crawl
+    * state a cycle needs to plan the next one: the validators (what to
+    * send in a conditional GET), the fetch history (when + how often),
+    * and the derived schedule. */
+  private val FrontierCols = Seq("url", "etag", "last_modified",
+    "last_fetch_day", "interval_days", "next_fetch_day", "due")
+
+  /** Persist the frontier — the crawl loop's STATE artifact (the q201
+    * validator store, the q203 schedule, and the discovery set are all
+    * views of this one relation). The URL is the identity: a duplicate
+    * would double-fetch and double-count, so the save FAILS LOUDLY on
+    * one (the policy-artifact posture, `Curation.validatePolicy`).
+    * Corpus-sized → parquet, never a driver structure. */
+  def saveFrontier(frontier: DataFrame, path: String): Unit = {
+    val dup = frontier.groupBy(col("url")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"frontier artifact: duplicate url '${dup.head.getString(0)}' — " +
+        "the canonical url IS the frontier identity")
+    frontier.select(FrontierCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadFrontier(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Advance the frontier one cycle: `fetched` rows (url, cls — the
+    * [[revisitClassify]] verdict — plus the validators the fetch
+    * returned) UPSERT into the loaded artifact —
+    *
+    *  - fetched URLs: `last_fetch_day` = today, validators refreshed
+    *    (a fetch that returned none KEEPS the stored ones — a 304
+    *    carries no body and often no validators), interval adjusted by
+    *    the [[recrawlSchedule]] policy (unchanged ×2, modified ÷2);
+    *  - unfetched URLs: carried forward untouched — except `due`,
+    *    recomputed against today (yesterday's not-due page may be due
+    *    now, which is exactly what the next planner reads);
+    *  - NEW URLs (fetched but never seen — discovery): inserted with
+    *    the default interval.
+    *
+    * One url-keyed full-outer join + the map-only schedule arithmetic;
+    * the artifact never collects and never broadcasts. */
+  def advanceFrontier(
+      frontier: DataFrame, fetched: DataFrame, today: Column,
+      defaultIntervalDays: Int = 7, minDays: Int = 1,
+      maxDays: Int = 365): DataFrame = {
+    val f = fetched.select(col("url"), col("cls"),
+      col("etag").as("__f_etag"), col("last_modified").as("__f_lm"))
+    val joined = frontier
+      .select(FrontierCols.filterNot(_ == "due").map(col): _*)
+      .join(f, Seq("url"), "full_outer")
+      .select(col("url"),
+        when(col("cls").isNotNull,
+          coalesce(col("__f_etag"), col("etag")))
+          .otherwise(col("etag")).as("etag"),
+        when(col("cls").isNotNull,
+          coalesce(col("__f_lm"), col("last_modified")))
+          .otherwise(col("last_modified")).as("last_modified"),
+        when(col("cls").isNotNull, today)
+          .otherwise(col("last_fetch_day")).as("last_fetch_day"),
+        coalesce(col("interval_days"), lit(defaultIntervalDays))
+          .as("interval_days"),
+        // unfetched rows pass `skipped` — the keep-interval branch
+        coalesce(col("cls"), lit("skipped")).as("cls"))
+    recrawlSchedule(joined, col("last_fetch_day"),
+        col("interval_days"), col("cls"), today, minDays, maxDays)
+      .select(col("url"), col("etag"), col("last_modified"),
+        col("last_fetch_day"),
+        col("next_interval_days").as("interval_days"),
+        col("next_fetch_day"), col("due"))
+  }
+
   /** RFC 9110 §8.8.3.2 weak ETag comparison — the rule `If-None-Match`
     * uses: the `W/` weakness prefix is ignored on BOTH sides (a
     * CDN-rotated weak tag still validates), the opaque quoted value

@@ -209,6 +209,54 @@ class SitemapsSpec extends SparkSpec {
     assert(unpartitionedW.isEmpty)
   }
 
+  test("frontier artifact: duplicate urls fail the save loudly; a " +
+      "two-day advance chain keeps validators, recomputes due, and " +
+      "absorbs discoveries") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_frontier_spec").toString
+    def row(url: String, etag: Option[String], lf: Long, ivl: Int) =
+      (url, etag, Option.empty[String], lf, ivl, lf + ivl,
+        false)
+    val init = Seq(
+      row("https://a.com/1", Some("\"e1\""), 100L, 4),
+      row("https://a.com/2", None, 100L, 2))
+      .toDF("url", "etag", "last_modified", "last_fetch_day",
+        "interval_days", "next_fetch_day", "due")
+    graft.ops.Frontier.saveFrontier(init, s"$dir/d0")
+    val dup = init.union(init)
+    assertThrows[IllegalArgumentException] {
+      graft.ops.Frontier.saveFrontier(dup, s"$dir/bad")
+    }
+    // day 1 (today=103): /2 fetched modified (2→1), /1 skipped but its
+    // next (104) is not yet due; a discovery inserts at default
+    val d1 = graft.ops.Frontier.advanceFrontier(
+      graft.ops.Frontier.loadFrontier(spark, s"$dir/d0"),
+      Seq(("https://a.com/2", "modified", Option.empty[String],
+        Option.empty[String]),
+        ("https://a.com/new", "new", Some("\"n\""),
+          Option.empty[String]))
+        .toDF("url", "cls", "etag", "last_modified"),
+      lit(103L), defaultIntervalDays = 6)
+    graft.ops.Frontier.saveFrontier(d1, s"$dir/d1")
+    // day 2 (today=105): nothing fetched — /1 (next 104) flips DUE,
+    // /2 (103+1=104) flips due too, new (103+6) does not; validators
+    // carried untouched
+    val d2 = graft.ops.Frontier.advanceFrontier(
+      graft.ops.Frontier.loadFrontier(spark, s"$dir/d1"),
+      Seq.empty[(String, String, Option[String], Option[String])]
+        .toDF("url", "cls", "etag", "last_modified"),
+      lit(105L))
+      .orderBy("url")
+      .select("url", "etag", "interval_days", "next_fetch_day", "due")
+      .as[(String, Option[String], Int, Long, Boolean)].collect().toSeq
+    assert(d2 == Seq(
+      ("https://a.com/1", Some("\"e1\""), 4, 104L, true),
+      ("https://a.com/2", None, 1, 104L, true),
+      ("https://a.com/new", Some("\"n\""), 6, 109L, false)))
+  }
+
   test("discoverNew: nofollow edges silent, known targets anti-join " +
       "away, new targets elect min-source provenance with ref counts") {
     import org.apache.spark.sql.functions._
