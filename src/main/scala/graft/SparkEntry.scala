@@ -7101,9 +7101,10 @@ object SparkEntry {
       col("container_id"), col("data"))
     val lines = graft.ops.Cdx.toCdxjLines(idx)
       .localCheckpoint() // feeds the shard split AND the coverage count
-    val (sharded0, summary0) = graft.ops.Cdx.shardCdxj(lines, 8)
-    val sharded = sharded0
-      .localCheckpoint() // feeds membership AND stays range-partitioned
+    // shardCdxj pins the shards itself (the summary must describe the
+    // same materialization consumers read); only the summary needs a
+    // second fence for its three consumers
+    val (sharded, summary0) = graft.ops.Cdx.shardCdxj(lines, 8)
     val summary = summary0
       .localCheckpoint() // feeds election, range check, coverage
     val docs = t(s, d, "documents")

@@ -136,7 +136,15 @@ object PageDirectiveOps {
           val prefix =
             if (colon >= 0) t.substring(0, colon).trim.toLowerCase(Root)
             else ""
-          if (colon >= 0 && !KnownDirectives.contains(prefix)) {
+          // an agent scope is a SINGLE product token before the first
+          // colon — `noarchive, unavailable_after: …` (a directive
+          // list whose first colon belongs to a LATER argument-
+          // carrying directive) must not read as an agent named
+          // "noarchive, unavailable_after" and vanish
+          val agentScoped = colon >= 0 &&
+            !KnownDirectives.contains(prefix) &&
+            !prefix.exists(ch => ch == ',' || ch == ' ' || ch == '\t')
+          if (agentScoped) {
             if (prefix == a) bits |= listBits(t.substring(colon + 1))
           } else bits |= listBits(t)
         }

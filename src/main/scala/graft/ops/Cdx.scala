@@ -1,6 +1,6 @@
 package graft.ops
 
-import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -193,6 +193,12 @@ object Cdx {
       .sortWithinPartitions(col("key"))
       .select(spark_partition_id().as("shard_id"), col("key"),
         col("line"))
+      // the range partitioner SAMPLES its bounds per evaluation: the
+      // summary below must describe the SAME materialization consumers
+      // read, so the shards pin here — two independent evaluations
+      // could legally pick different bounds and the cluster index
+      // would then lie about shard membership
+      .localCheckpoint()
     val summary = sharded.as[(Int, String, String)]
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
@@ -203,9 +209,24 @@ object Cdx {
           var n = 0L
           var sorted = true
           var prev: String = null
+          // Spark sorted UTF-8 BYTES; Java String '<' compares UTF-16
+          // code units — the two orders diverge past the BMP, so the
+          // sortedness proof must compare the same bytes Spark did
+          def utf8Lt(x: String, y: String): Boolean = {
+            val a = x.getBytes(UTF_8)
+            val b = y.getBytes(UTF_8)
+            val m = math.min(a.length, b.length)
+            var i = 0
+            while (i < m) {
+              val d = (a(i) & 0xff) - (b(i) & 0xff)
+              if (d != 0) return d < 0
+              i += 1
+            }
+            a.length < b.length
+          }
           it.foreach { case (s, k, _) =>
             if (firstKey == null) { firstKey = k; sid = s }
-            if (prev != null && k < prev) sorted = false
+            if (prev != null && utf8Lt(k, prev)) sorted = false
             prev = k; last = k; n += 1
           }
           Iterator((sid, firstKey, last, n, sorted))
@@ -219,7 +240,9 @@ object Cdx {
     * shard a reader must fetch — max{shard : first_key ≤ key}. The
     * summary is shard-count-sized → broadcast; the corpus-sized line
     * relation is never consulted here. Appends `elected_shard` (−1
-    * when the key precedes every shard — i.e. not indexed). */
+    * when the key precedes every shard — i.e. not indexed). Queries
+    * must be DISTINCT rows (the per-query aggregate groups on the
+    * query columns — the lookupNearest contract). */
   def electShard(
       queries: DataFrame, keyCol: Column, summary: DataFrame): DataFrame = {
     val qCols = queries.columns.map(col)
@@ -292,13 +315,28 @@ object Cdx {
         col("digest_a"), col("digest_b"))
   }
 
+  /** 14-digit stamp → epoch seconds, timezone-FREE: the date half goes
+    * through `unix_date` (a DATE carries no zone) and the time half is
+    * plain digit arithmetic — `to_unix_timestamp` would parse in the
+    * SESSION zone, and a DST transition would then warp the distance
+    * metric (UTC stamps must never depend on where the cluster runs;
+    * a spring-forward gap would even fail to parse). */
+  private def ts14Epoch(c: Column): Column =
+    unix_date(to_date(substring(c, 1, 8), "yyyyMMdd")).cast("long") *
+      86400L +
+      substring(c, 9, 2).cast("long") * 3600L +
+      substring(c, 11, 2).cast("long") * 60L +
+      substring(c, 13, 2).cast("long")
+
   /** Wayback-style nearest-capture lookup: `queries` rows (any columns
     * + `urlCol` + `ts14Col`) each resolve to the indexed capture of
     * that URL closest in time — seconds distance on the 14-digit
     * stamps, ties to the EARLIER capture (the deterministic tiebreak a
     * replayable index needs). Only `ok` content captures (`response`)
     * participate; a URL with no capture yields no row (left-join at
-    * the call site if absence must surface).
+    * the call site if absence must surface). Queries must be DISTINCT
+    * rows (pass a request key column): the per-query aggregate groups
+    * on the query columns, so duplicate request rows collapse to one.
     *
     * One hash join + one map-combinable `min_by` per query — the index
     * side shuffles on surt (bounded per-key groups: the captures of
@@ -315,10 +353,10 @@ object Cdx {
         col("mime").as("cap_mime"), col("digest").as("cap_digest"),
         col("container_id").as("cap_container"),
         col("offset").as("cap_offset"), col("length").as("cap_length"),
-        to_unix_timestamp(col("ts14"), lit("yyyyMMddHHmmss")).as("__cap_s"))
+        ts14Epoch(col("ts14")).as("__cap_s"))
     val q = queries
       .withColumn("__surt", DomainFunctions.surtKey(urlCol))
-      .withColumn("__q_s", to_unix_timestamp(ts14Col, lit("yyyyMMddHHmmss")))
+      .withColumn("__q_s", ts14Epoch(ts14Col))
     val qCols = queries.columns.map(col)
     q.join(caps, Seq("__surt"))
       .groupBy(qCols: _*)

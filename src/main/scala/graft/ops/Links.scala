@@ -159,10 +159,18 @@ object Links {
         else {
           val attrs = attrsOf(html.substring(at, end))
           attrs.get("href").filter(_.nonEmpty).foreach { href =>
+            // the close scan is BOUNDED by the next anchor open (an
+            // unclosed <a> auto-closes at the next one, the browser
+            // rule) — k unclosed anchors must not cost k scans to
+            // end-of-document
+            val bound = {
+              val nxt = nextTag(html, "a", end + 1)
+              if (nxt < 0) html.length else nxt
+            }
             val close = {
               var j = end + 1
               var found = -1
-              val last = html.length - 4
+              val last = math.min(bound, html.length) - 4
               while (found < 0 && j <= last) {
                 if (html.regionMatches(true, j, "</a>", 0, 4)) found = j
                 j += 1

@@ -42,6 +42,13 @@ class LinksSpec extends SparkSpec {
     val unclosed = "<script>x<a href=\"https://kept.com/1\">k</a>"
     assert(Links.extractJ(unclosed)._2.map(_._1) ==
       Seq("https://kept.com/1"))
+    // an unclosed anchor auto-closes at the NEXT anchor open (the
+    // browser rule — and the bound that keeps extraction linear): its
+    // anchor text is empty, the next anchor is unaffected
+    val auto = "<a href=\"https://u.com/1\">no close " +
+      "<a href=\"https://u.com/2\">two</a>"
+    assert(Links.extractJ(auto)._2 == Seq(
+      ("https://u.com/1", "", ""), ("https://u.com/2", "two", "")))
   }
 
   test("outlinks: debris filtered with order gaps kept, relative base " +

@@ -197,6 +197,12 @@ class RobotsSpec extends SparkSpec {
     // an argument-carrying directive's colon is NOT an agent scope
     assert(bits(null, "max-snippet: 50") == 0)
     assert(bits(null, "unavailable_after: 2026-09-01, noarchive") == 4)
+    // …nor is a LIST whose first colon belongs to a later directive
+    // (the Google-documented shape `noarchive, unavailable_after: …`):
+    // an agent scope is a single token, never a comma-carrying list
+    assert(bits(null,
+      "noarchive, unavailable_after: 25 Jun 2026 15:00:00 PST") == 4)
+    assert(bits(null, "noindex, max-snippet: 20") == 1)
     // repeated header lines (newline-joined) union; scopes stay per-line
     assert(bits(null, "noarchive\notherbot: noindex\nnosnippet") == 12)
     // meta robots: quoted and bare attribute values, agent-named metas
