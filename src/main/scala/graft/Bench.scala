@@ -1045,6 +1045,9 @@ object Bench {
       // frontier artifact: one validated save/load + one url-keyed
       // full-outer upsert + map-only schedule arithmetic — linear
       "q215_frontier_artifact",
+      // provenance lookup: the index build + one digest-keyed agg +
+      // one digest-keyed left join — linear
+      "q216_provenance_lookup",
       // robots gate: per-domain body parse (bounded relation) + one
       // broadcast rule join + a map-combinable per-doc extremum agg —
       // linear; refusal battery: pure staged projections over three

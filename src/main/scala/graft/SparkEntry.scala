@@ -7417,6 +7417,61 @@ object SparkEntry {
       .orderBy(col("url"))
   }
 
+  /** Web-provenance lookup (q216): the memorization/provenance screen
+    * the capture index answers without touching page bytes
+    * ([[graft.ops.Cdx.provenanceLookup]]) — corpus texts digest to the
+    * same `sha1:<base32>` spelling the index stores as the payload
+    * digest, one digest-keyed left join recovers the EARLIEST capture
+    * (first-seen provenance: a doc archived twice must report the
+    * older stamp). Three classes: archived verbatim (half of them
+    * twice, the second capture earlier), archived with a one-char
+    * variant (digest must MISS — exact evidence only), never archived.
+    * Texts are doc-id-salted on both sides so corpus-internal text
+    * repeats cannot cross-match. */
+  private def qProvenanceLookup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wire = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val k = id % 20
+        val salted = s"doc $id: $text"
+        val url = s"https://site$k.com/w$id"
+        def rec(date: String, seq: Int) =
+          (id / 8, (id % 8).toInt * 2 + seq,
+            graft.sources.WarcCodec.mintResponseRecordBytes(
+              s"<urn:graft:w:$id:$seq>", url, date,
+              ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+                s"charset=utf-8\r\n\r\n$salted" +
+                (if (seq == 2) "~" else "")).getBytes(utf8),
+              withDigest = true))
+        (id % 3) match {
+          case 0L =>
+            val first = rec("2026-04-05T00:00:00Z", 0)
+            if (id % 6 == 0L)
+              Seq(first, rec("2026-04-01T00:00:00Z", 1))
+            else Seq(first)
+          case 1L => Seq(rec("2026-04-05T00:00:00Z", 2))
+          case _ => Nil
+        }
+      }
+      .toDF("cid", "seq", "rec")
+    val idx = graft.ops.Cdx.index(
+      graft.sources.WarcCodec.gzipContainers(wire,
+        col("cid"), col("seq"), col("rec")),
+      col("container_id"), col("data"))
+    graft.ops.Cdx.provenanceLookup(idx,
+        t(s, d, "documents"), col("doc_id"),
+        concat(lit("doc "), col("doc_id"), lit(": "), col("text")))
+      .select(col("doc_id"), col("in_archive"),
+        coalesce(col("archive_url"), lit("")).as("archive_url"),
+        coalesce(col("archive_ts"), lit("")).as("archive_ts"),
+        (length(col("digest")) === 37).as("digest_wellformed"),
+        coalesce(col("archive_length") > 0L, lit(false))
+          .as("extent_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The q184 crawl-funnel robots mint: k % 5 == 2 domains disallow
     * the /p path space for THIS crawler (matched case-insensitively);
     * k % 5 == 4 domains publish a blanket disallow for a DIFFERENT
@@ -8081,7 +8136,8 @@ object SparkEntry {
     "q212_conditional_get" -> (qConditionalGet _),
     "q213_snapshot_diff" -> (qSnapshotDiff _),
     "q214_host_report" -> (qHostReport _),
-    "q215_frontier_artifact" -> (qFrontierArtifact _))
+    "q215_frontier_artifact" -> (qFrontierArtifact _),
+    "q216_provenance_lookup" -> (qProvenanceLookup _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -12076,6 +12132,25 @@ object SparkEntry {
     // capture per timestamp class (incl. the tie → earlier rule), and
     // the TRUE coverage/digest/extent invariants (compressed offsets
     // are not closed-form — their contiguity and totals are)
+    // q216: provenance pinned closed-form — the engine mints/packs/
+    // indexes and digest-joins for real; the oracle replays each
+    // class's verdict (verbatim found with the EARLIEST stamp, the
+    // one-char variant missing, never-archived missing)
+    "q216_provenance_lookup" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 20 AS k, CAST(doc_id % 3 AS INT) AS c
+           FROM documents)
+         SELECT doc_id, (c = 0) AS in_archive,
+           CASE WHEN c = 0
+             THEN 'https://site' || k || '.com/w' || doc_id
+             ELSE '' END AS archive_url,
+           CASE WHEN c = 0 AND doc_id % 6 = 0 THEN '20260401000000'
+             WHEN c = 0 THEN '20260405000000'
+             ELSE '' END AS archive_ts,
+           TRUE AS digest_wellformed,
+           (c = 0) AS extent_ok
+         FROM b
+         ORDER BY doc_id""",
     // q215: the frontier artifact cycle pinned closed-form — the
     // engine saves (duplicate-gated), loads, and upserts for real; the
     // oracle replays every lane: validator keep-vs-refresh, interval

@@ -278,6 +278,42 @@ object Cdx {
       .withColumn("dedup_bp",
         expr("n_revisit * 10000 div n_captures"))
 
+  /** Web-provenance lookup — the training-data question the capture
+    * index answers WITHOUT touching page bytes: was this exact
+    * document on the web, where, and since when? The corpus side
+    * digests its text (the same `sha1:<base32>` spelling the index
+    * stores as `WARC-Payload-Digest`), one digest-keyed left join
+    * recovers the EARLIEST capture per digest (min_by on the stamp —
+    * first-seen provenance, deterministic when one content lives at
+    * many URLs). The memorization/provenance screen next to the span
+    * decontamination family: exact-document evidence, id-and-digest-
+    * sized shuffles only. */
+  def provenanceLookup(
+      indexDf: DataFrame, corpus: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    val caps = indexDf
+      .filter(col("ok") && lower(col("warc_type")) === "response" &&
+        col("digest").isNotNull && col("ts14").isNotNull)
+      .groupBy(col("digest"))
+      .agg(min_by(struct(col("url"), col("ts14"), col("container_id"),
+        col("offset"), col("length")), col("ts14")).as("__first"))
+      .select(col("digest"), col("__first.url").as("archive_url"),
+        col("__first.ts14").as("archive_ts"),
+        col("__first.container_id").as("archive_container"),
+        col("__first.offset").as("archive_offset"),
+        col("__first.length").as("archive_length"))
+    corpus
+      .select(idCol.cast("long").as("doc_id"), textCol.as("__text"))
+      .withColumn("digest",
+        graft.functions.GraftFunctions.sha1Base32(col("__text")))
+      .join(caps, Seq("digest"), "left")
+      .select(col("doc_id"), col("digest"),
+        col("archive_url").isNotNull.as("in_archive"),
+        col("archive_url"), col("archive_ts"),
+        col("archive_container"), col("archive_offset"),
+        col("archive_length"))
+  }
+
   /** Snapshot diff — the crawl-over-crawl delta every archive
     * publishes (what changed since the last crawl?): each side is
     * reduced to its NEWEST ok content capture per SURT (`max_by` on

@@ -134,6 +134,35 @@ class CdxSpec extends SparkSpec {
     assert(noneRow.getInt(noneRow.fieldIndex("elected_shard")) == -1)
   }
 
+  test("provenanceLookup: exact digests match with earliest-capture " +
+      "election; near-variants and absent texts miss") {
+    import spark.implicits._
+    def cap(url: String, body: String, ts: String) = {
+      val d = WarcCodec.sha1Base32(body.getBytes(UTF_8))
+      (1L, 0, true, "response", Some(d), Some(ts), url)
+    }
+    val idx = Seq(
+      cap("https://a.com/1", "alpha text", "20260405000000"),
+      cap("https://b.com/mirror", "alpha text", "20260401000000"),
+      cap("https://a.com/2", "beta text!", "20260405000000"))
+      .toDF("container_id", "rec_seq", "ok", "warc_type", "digest",
+        "ts14", "url")
+      .withColumn("offset", lit(0L)).withColumn("length", lit(10L))
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text"),
+      (3L, "gamma")).toDF("id", "text")
+    val got = graft.ops.Cdx.provenanceLookup(idx, corpus,
+        col("id"), col("text"))
+      .select("doc_id", "in_archive", "archive_url", "archive_ts")
+      .as[(Long, Boolean, Option[String], Option[String])]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      // two captures of the same content: the EARLIER mirror wins
+      (1L, true, Some("https://b.com/mirror"), Some("20260401000000")),
+      // "beta text" vs archived "beta text!": exact evidence only
+      (2L, false, None, None),
+      (3L, false, None, None)))
+  }
+
   test("snapshotDiff: newest-capture reduce, digest classification, " +
       "url-presence decides when a digest is missing") {
     import spark.implicits._
