@@ -18,19 +18,27 @@ import graft.functions.DomainFunctions
   *    ends canonicalized (`canonical_url`). Self-edges (a redirect to a
   *    tracking-param spelling of itself canonicalizes to src == dst)
   *    are dropped — they are already one identity.
-  *  - [[collapseRedirects]] follows chains to their terminal target in
-  *    at most `maxHops` joins, loop-safely: a chain that never
-  *    terminates (a→b→a, or a tail into a cycle) is flagged `is_loop`
-  *    and resolves to the MINIMUM canonical URL among the URLs it
-  *    reaches — every member of (and tail into) one cycle collapses to
-  *    the same representative, deterministically, without cycle
+  *  - [[collapseRedirects]] follows chains to their terminal target,
+  *    loop-safely: a chain that never terminates (a→b→a, or a tail
+  *    into a cycle) is flagged `is_loop` and resolves to the MINIMUM
+  *    canonical URL among the URLs it reaches in the second half of
+  *    the walk — every member of (and tail into) one cycle collapses
+  *    to the same representative, deterministically, without cycle
   *    enumeration.
   *
-  * Scale shape: the redirect relation is crawl-batch-sized metadata
-  * (3xx responses only), orders of magnitude below the corpus — each
-  * hop is one broadcast-ably small self-join, `maxHops` of them, and
-  * the frontier consumes the collapsed map as one broadcast lookup.
-  * The corpus never shuffles on redirect state. */
+  * Scale shape (VERDICT r18 #1): redirect edges are ~10–20% of real
+  * crawl captures — at the 100 TB target that relation is tens of GB,
+  * far over any broadcast budget. The collapse therefore walks by
+  * POINTER DOUBLING (the pointer-jumping technique already used by
+  * `Graph.connectedComponentsStar`): a doubling table `T_k` mapping
+  * each source to its position after `min(2^k, distance-to-terminal)`
+  * edges is self-joined with itself `⌈log₂ maxHops⌉` times, then
+  * composed onto the walk — `O(log maxHops)` key-partitioned joins
+  * total instead of `2·maxHops` sequential broadcasts. Every join is
+  * UN-HINTED: AQE broadcasts only when the measured size is small, and
+  * falls back to a shuffle join when the edge relation is large. The
+  * frontier fold ([[frontierIdentity]]) is likewise a url-keyed
+  * un-hinted join. Nothing edge-derived ever rides the driver. */
 object Redirects {
 
   /** 3xx statuses whose Location is a redirect target (RFC 9110 §15.4;
@@ -51,6 +59,42 @@ object Redirects {
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
 
+  /** One doubling step: compose an exact-clamped walk table with
+    * itself. `t` maps `u → (v, d, mn)` = the node reached after
+    * `min(n, L(u))` edges (L = distance to terminal), the exact edge
+    * count `d` followed, and `mn` = the minimum node visited at steps
+    * `1..d`. The composition `t∘t` is again exact-clamped for `2n`:
+    * a walk that terminated early lands on a node with no outgoing
+    * edge, finds no row on the right, and keeps its totals. */
+  private def composeTable(t: DataFrame): DataFrame = {
+    val right = t.select(col("u").as("__ru"), col("v").as("__rv"),
+      col("d").as("__rd"), col("mn").as("__rmn"))
+    t.join(right, col("v") === col("__ru"), "left")
+      .select(col("u"),
+        coalesce(col("__rv"), col("v")).as("v"),
+        (col("d") + coalesce(col("__rd"), lit(0))).as("d"),
+        least(col("mn"), col("__rmn")).as("mn"))
+      .localCheckpoint()
+  }
+
+  /** Advance a walk relation (`cur`, `hops` [, `reach2`]) by a table:
+    * un-hinted left join on the current position. `least` ignores
+    * nulls, so an unmatched (terminated) row keeps its state. */
+  private def advance(m: DataFrame, t: DataFrame,
+      trackReach: Boolean): DataFrame = {
+    val right = t.select(col("u").as("cur"), col("v").as("__v"),
+      col("d").as("__d"), col("mn").as("__mn"))
+    val base = m.join(right, Seq("cur"), "left")
+    val stepped = base
+      .withColumn("hops", col("hops") + coalesce(col("__d"), lit(0)))
+      .withColumn("cur", coalesce(col("__v"), col("cur")))
+    val tracked =
+      if (trackReach)
+        stepped.withColumn("reach2", least(col("reach2"), col("__mn")))
+      else stepped
+    tracked.drop("__v", "__d", "__mn")
+  }
+
   /** Collapse redirect chains: (src, resolved, hops, is_loop) — one row
     * per distinct edge source. The walk follows up to 2×`maxHops`
     * edges: chains that terminate inside that budget resolve to their
@@ -63,41 +107,57 @@ object Redirects {
     * entered or how long its tail was. A finite chain longer than the
     * whole budget is indistinguishable from a cycle and is flagged too
     * (browsers cap redirect chains near 20 — raise `maxHops` if that
-    * class matters). */
+    * class matters).
+    *
+    * Executed by pointer doubling: `⌈log₂ maxHops⌉` table self-joins
+    * plus `popcount(maxHops)` walk compositions per half — all
+    * un-hinted key joins, broadcast only when AQE measures the edge
+    * relation small. */
   def collapseRedirects(edges: DataFrame, maxHops: Int = 8): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     // one outgoing edge per source (a URL captured twice with different
     // Locations keeps the MIN target, deterministically) — the walk
-    // join must never fan out
+    // is a FUNCTION, so doubling tables compose exactly
     val e = edges.groupBy(col("src")).agg(min(col("dst")).as("dst"))
       .localCheckpoint()
-    val step = e.select(col("src").as("cur"), col("dst").as("nxt"))
-    // phase A: walk maxHops edges
-    var m = e.select(col("src"), col("dst").as("cur"), lit(1).as("hops"))
-    for (_ <- 2 to maxHops) {
-      m = m.join(broadcast(step), Seq("cur"), "left")
-        .select(col("src"),
-          coalesce(col("nxt"), col("cur")).as("cur"),
-          when(col("nxt").isNotNull, col("hops") + 1)
-            .otherwise(col("hops")).as("hops"))
+
+    // doubling tables T_1, T_2, …, one per bit of maxHops, built ONCE
+    // and shared by both halves (⌈log₂ maxHops⌉ self-joins total)
+    val tables = {
+      var t = e.select(col("src").as("u"), col("dst").as("v"),
+        lit(1).as("d"), col("dst").as("mn"))
+      val buf = Seq.newBuilder[DataFrame]
+      var remaining = maxHops
+      while (remaining > 0) {
+        if ((remaining & 1) == 1) buf += t
+        remaining >>= 1
+        if (remaining > 0) t = composeTable(t)
+      }
+      buf.result()
     }
-    // phase B: walk maxHops more, accumulating the min URL VISITED in
-    // this half (starting from the phase boundary position — inside
-    // the cycle whenever tail ≤ maxHops)
-    m = m.withColumn("reach2", col("cur"))
-    for (_ <- 1 to maxHops) {
-      m = m.join(broadcast(step), Seq("cur"), "left")
-        .select(col("src"),
-          coalesce(col("nxt"), col("cur")).as("cur"),
-          when(col("nxt").isNotNull, col("hops") + 1)
-            .otherwise(col("hops")).as("hops"),
-          when(col("nxt").isNotNull, least(col("reach2"), col("nxt")))
-            .otherwise(col("reach2")).as("reach2"))
-    }
+
+    // walk exactly min(maxHops, L) edges: compose the set-bit tables
+    // (exact-clamped walks compose exactly — T_a ∘ T_b = T_{a+b})
+    def walkHalf(start: Option[DataFrame], trackReach: Boolean): DataFrame =
+      tables.foldLeft(start.orNull: DataFrame) { (m, t) =>
+        if (m == null)
+          // identity ∘ T_k, phase A only (src = u, reach untracked)
+          t.select(col("u").as("src"), col("v").as("cur"),
+            col("d").as("hops"))
+        else advance(m, t, trackReach)
+      }
+
+    val afterA = walkHalf(None, trackReach = false)
+    // phase B: maxHops more edges, accumulating the min URL VISITED in
+    // this half (seeded with the phase-boundary position — inside the
+    // cycle whenever tail ≤ maxHops)
+    val afterB = walkHalf(
+      Some(afterA.withColumn("reach2", col("cur"))), trackReach = true)
+
     // unresolved ⇔ the walk still has an outgoing edge after the full
     // budget — a terminated chain's cur has none
-    m.join(broadcast(e.select(col("src").as("cur"),
-        lit(true).as("__open"))), Seq("cur"), "left")
+    afterB.join(e.select(col("src").as("cur"), lit(true).as("__open")),
+        Seq("cur"), "left")
       .select(col("src"),
         when(col("__open"), col("reach2"))
           .otherwise(col("cur")).as("resolved"),
@@ -110,16 +170,17 @@ object Redirects {
     * to `urlCol`'s canonical form when no redirect applies) and
     * `redirect_of` (the resolved target when this URL was a redirect
     * source, else null — provenance for the collapse). `collapsed` is
-    * [[collapseRedirects]] output. One broadcast lookup; the frontier
-    * never shuffles. */
+    * [[collapseRedirects]] output. One url-keyed un-hinted join: AQE
+    * broadcasts a measured-small collapse map and shuffle-joins a
+    * large one — the map never pins to the driver. */
   def frontierIdentity(
       frontier: DataFrame, urlCol: Column, collapsed: DataFrame): DataFrame = {
     val cols = frontier.columns.map(col).toSeq
     frontier
       .select((cols :+
         DomainFunctions.canonicalUrl(urlCol).as("__curl")): _*)
-      .join(broadcast(collapsed.select(col("src").as("__curl"),
-        col("resolved").as("redirect_of"))), Seq("__curl"), "left")
+      .join(collapsed.select(col("src").as("__curl"),
+        col("resolved").as("redirect_of")), Seq("__curl"), "left")
       .select((cols :+
         coalesce(col("redirect_of"), col("__curl")).as("url_identity") :+
         col("redirect_of")): _*)

@@ -118,8 +118,33 @@ class RedirectsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("frontierIdentity: one broadcast lookup, identity falls back to " +
-      "the canonical url, redirect_of carries provenance") {
+  test("collapse + frontier fold carry NO pinned broadcast of an " +
+      "edge-derived relation (VERDICT r18 #1) — AQE decides, so a " +
+      "tens-of-GB redirect relation at 100 TB scale shuffle-joins " +
+      "instead of OOMing the driver") {
+    import spark.implicits._
+    val edges = Seq(("u://a", "u://b"), ("u://b", "u://c"))
+      .toDF("src", "dst")
+    val collapsed = Redirects.collapseRedirects(edges, maxHops = 8)
+    val analyzed = collapsed.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"collapse must not pin a broadcast:\n$analyzed")
+    val folded = Redirects.frontierIdentity(
+      Seq((1L, "u://a")).toDF("doc_id", "url"), col("url"), collapsed)
+    val fAnalyzed = folded.queryExecution.analyzed.toString
+    assert(!fAnalyzed.contains("ResolvedHint"),
+      s"frontier fold must not pin a broadcast:\n$fAnalyzed")
+    // and the doubling walk is O(log maxHops) joins, not 2*maxHops:
+    // count Join operators in the analyzed collapse plan
+    val joins = collapsed.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(joins <= 8, s"doubling walk should need O(log maxHops) joins " +
+      s"for maxHops=8, got $joins")
+  }
+
+  test("frontierIdentity: url-keyed un-hinted join, identity falls back " +
+      "to the canonical url, redirect_of carries provenance") {
     import spark.implicits._
     val collapsed = Redirects.collapseRedirects(
       Seq(("https://a.com/old", "https://a.com/new")).toDF("src", "dst"))
