@@ -6001,8 +6001,9 @@ object SparkEntry {
     * nothing decoded), a NAMED unsupported coding (`br` — flagged
     * distinctly, never guessed), deflate in BOTH historical wrappings
     * (zlib-wrapped per RFC 9110, raw per the legacy-server tail —
-    * VERDICT r17 #3), and `zstd` (the other named-unsupported).
-    * Map-only. */
+    * VERDICT r17 #3), REAL `zstd` (RFC 8878, decoded via the zstd-jni
+    * on the Spark classpath — VERDICT r18 #2), and a corrupt zstd
+    * frame (flagged `corrupt: zstd`, raw bytes carried). Map-only. */
   private def qHttpContentEncoding(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val blocks = t(s, d, "documents").select(col("doc_id"))
@@ -6024,7 +6025,9 @@ object SparkEntry {
           d.end()
           out.toByteArray
         }
-        val block: Array[Byte] = (id % 9) match {
+        def zstd(b: Array[Byte]): Array[Byte] =
+          com.github.luben.zstd.Zstd.compress(b)
+        val block: Array[Byte] = (id % 10) match {
           case 0 => http("Content-Type: text/html; charset=utf-8",
             s"page é p$id".getBytes(cs("UTF-8")))
           case 1 => http("Content-Encoding: gzip\r\n" +
@@ -6050,9 +6053,19 @@ object SparkEntry {
           case 7 => http("Content-Encoding: deflate\r\n" +
             "Content-Type: text/html; charset=utf-8",
             deflate(s"raw page é r$id".getBytes(cs("UTF-8")), raw = true))
-          case _ => http("Content-Encoding: zstd\r\n" +
-            "Content-Type: text/html",
-            s"yy s$id".getBytes(cs("UTF-8")))
+          case 8 => http("Content-Encoding: zstd\r\n" +
+            "Content-Type: text/html; charset=utf-8",
+            zstd(s"zstd page é s$id".getBytes(cs("UTF-8"))))
+          case _ =>
+            // corrupt the frame MAGIC, not a payload byte: a tiny
+            // frame stores raw literals, so a mid-frame flip would
+            // "decode" silently to wrong text — the header flip
+            // errors deterministically
+            val z = zstd(s"zstd page c$id".getBytes(cs("UTF-8")))
+            z(0) = (z(0) ^ 0x55).toByte
+            http("Content-Encoding: zstd\r\n" +
+              "Content-Type: text/html",
+              z)
         }
         (id, block)
       }
@@ -12055,25 +12068,26 @@ object SparkEntry {
     // declaration's U+FFFD text and the sniffer's verdicts
     "q193_http_content_encoding" ->
       """WITH b AS (
-           SELECT doc_id, CAST(doc_id % 9 AS INT) AS c FROM documents)
+           SELECT doc_id, CAST(doc_id % 10 AS INT) AS c FROM documents)
          SELECT doc_id,
            CAST(200 AS BIGINT) AS status,
            CASE WHEN c = 0 THEN NULL WHEN c = 5 THEN 'br'
-             WHEN c IN (6, 7) THEN 'deflate' WHEN c = 8 THEN 'zstd'
+             WHEN c IN (6, 7) THEN 'deflate'
+             WHEN c IN (8, 9) THEN 'zstd'
              ELSE 'gzip' END AS content_encoding,
-           (c IN (0, 1, 2, 3, 6, 7)) AS encoding_ok,
+           (c IN (0, 1, 2, 3, 6, 7, 8)) AS encoding_ok,
            CASE WHEN c = 4 THEN 'corrupt: gzip'
              WHEN c = 5 THEN 'unsupported-coding: br'
-             WHEN c = 8 THEN 'unsupported-coding: zstd'
+             WHEN c = 9 THEN 'corrupt: zstd'
              END AS encoding_error,
            CASE WHEN c = 2 THEN 'text/plain' ELSE 'text/html'
              END AS content_type,
            CASE WHEN c = 2 THEN 'windows-1252'
-             WHEN c IN (5, 8) THEN NULL
+             WHEN c IN (5, 9) THEN NULL
              ELSE 'utf-8' END AS charset,
            true AS is_text,
-           (c IN (0, 1, 2, 6, 7)) AS transcode_ok,
-           CASE WHEN c IN (0, 1, 6, 7) THEN 'utf-8'
+           (c IN (0, 1, 2, 6, 7, 8)) AS transcode_ok,
+           CASE WHEN c IN (0, 1, 6, 7, 8) THEN 'utf-8'
              WHEN c = 2 THEN 'windows-1252'
              WHEN c = 3 THEN 'iso-8859-1'
              ELSE NULL END AS sniffed_charset,
@@ -12083,6 +12097,7 @@ object SparkEntry {
              WHEN c = 3 THEN length('café l' || doc_id)
              WHEN c = 6 THEN octet_length(encode('zlib page é z' || doc_id))
              WHEN c = 7 THEN octet_length(encode('raw page é r' || doc_id))
+             WHEN c = 8 THEN octet_length(encode('zstd page é s' || doc_id))
              ELSE -1 END AS BIGINT) AS body_len,
            CASE WHEN c = 0 THEN 'page é p' || doc_id
              WHEN c = 1 THEN 'page é g' || doc_id
@@ -12090,6 +12105,7 @@ object SparkEntry {
              WHEN c = 3 THEN 'caf' || chr(65533) || ' l' || doc_id
              WHEN c = 6 THEN 'zlib page é z' || doc_id
              WHEN c = 7 THEN 'raw page é r' || doc_id
+             WHEN c = 8 THEN 'zstd page é s' || doc_id
              ELSE NULL END AS body_text,
            CASE WHEN c = 3 THEN 'café l' || doc_id
              ELSE NULL END AS body_text_repaired

@@ -95,10 +95,11 @@ object WarcHttp {
       // nothing downstream guessed
       encoding_ok: Boolean,
       // WHY the wire decode flagged (None when encoding_ok): a NAMED
-      // unsupported coding (`unsupported-coding: br`/`zstd` — real,
+      // unsupported coding (`unsupported-coding: br`/`compress` — real,
       // this decoder just doesn't ship them) is a different operational
-      // signal from a corrupt stream (`corrupt: gzip`) or a coding
-      // nobody recognises (`unknown-coding: …`) — route vs quarantine
+      // signal from a corrupt stream (`corrupt: gzip`/`corrupt: zstd`)
+      // or a coding nobody recognises (`unknown-coding: …`) — route vs
+      // quarantine
       encoding_error: Option[String],
       is_text: Boolean,
       body: Array[Byte],
@@ -256,11 +257,19 @@ object WarcHttp {
             case Some(d) => (d, true, None)
             case None => (framed, false, Some("corrupt: deflate"))
           }
-        case Some(named) if named == "br" || named == "zstd" ||
-            named == "compress" =>
-          // real codings this decoder does not ship — a NAMED flag, so
-          // operators can route them to a decoder fleet instead of
-          // binning them with garbage values
+        case Some("zstd") =>
+          // RFC 8878 zstandard — decoded via the zstd-jni that ships
+          // on every Spark 4 classpath (VERDICT r18 #2), same ceiling
+          // and quarantine posture as gzip
+          unzstd(framed) match {
+            case Some(d) => (d, true, None)
+            case None => (framed, false, Some("corrupt: zstd"))
+          }
+        case Some(named) if named == "br" || named == "compress" =>
+          // real codings this decoder does not ship (no pure-Java
+          // brotli/LZW on the classpath) — a NAMED flag, so operators
+          // can route them to a decoder fleet instead of binning them
+          // with garbage values
           (framed, false, Some(s"unsupported-coding: $named"))
         case Some(other) =>
           (framed, false, Some(s"unknown-coding: ${other.take(40)}"))
@@ -448,6 +457,31 @@ object WarcHttp {
   private def gunzip(body: Array[Byte]): Option[Array[Byte]] =
     try {
       val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(body))
+      try {
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(math.max(body.length, 64), 1 << 16))
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (out.size().toLong + n > MaxEntityBytes) return None
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        Some(out.toByteArray)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decompress one RFC 8878 `zstd` entity body via zstd-jni's
+    * streaming decoder (on every Spark 4 classpath — Parquet/ORC link
+    * it). Streaming, not `Zstd.decompress`: the one-shot API trusts
+    * the frame header's declared content size, which a hostile frame
+    * can set to anything — the loop below enforces [[MaxEntityBytes]]
+    * on actual output. None on corruption or past the ceiling; the
+    * caller keeps the raw bytes and flags `corrupt: zstd`. */
+  private def unzstd(body: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
         new java.io.ByteArrayInputStream(body))
       try {
         val out = new java.io.ByteArrayOutputStream(

@@ -255,14 +255,14 @@ class WarcHttpSpec extends SparkSpec {
   }
 
   test("a corrupt deflate stream flags 'corrupt: deflate' with raw " +
-      "bytes carried; br/zstd flag as NAMED unsupported codings") {
+      "bytes carried; br/compress flag as NAMED unsupported codings") {
     val corrupt = ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n" +
       "Content-Type: text/html\r\n\r\n").getBytes(ISO_8859_1) ++
       Array[Byte](1, 2, 3, 4, 5)
     val e = WarcHttp.parseEntity(1L, corrupt)
     assert(!e.encoding_ok && e.encoding_error.contains("corrupt: deflate"))
     assert(e.body.sameElements(Array[Byte](1, 2, 3, 4, 5)))
-    for (coding <- Seq("br", "zstd")) {
+    for (coding <- Seq("br", "compress")) {
       val b = (s"HTTP/1.1 200 OK\r\nContent-Encoding: $coding\r\n" +
         "Content-Type: text/html\r\n\r\nxx").getBytes(ISO_8859_1)
       val ent = WarcHttp.parseEntity(2L, b)
@@ -275,6 +275,37 @@ class WarcHttpSpec extends SparkSpec {
       "Content-Type: text/html\r\n\r\nxx").getBytes(ISO_8859_1)
     val w = WarcHttp.parseEntity(3L, weird)
     assert(w.encoding_error.contains("unknown-coding: sdch"))
+  }
+
+  test("zstd content coding decodes for REAL via the classpath " +
+      "zstd-jni (VERDICT r18 #2); a corrupt frame flags 'corrupt: " +
+      "zstd' with raw bytes carried; a declared-size bomb past the " +
+      "64 MiB ceiling quarantines instead of allocating") {
+    def zmsg(z: Array[Byte]): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n" +
+        "Content-Type: text/plain; charset=utf-8\r\n\r\n")
+        .getBytes(ISO_8859_1) ++ z
+    // roundtrip
+    val good = WarcHttp.parseEntity(1L,
+      zmsg(com.github.luben.zstd.Zstd.compress(
+        "zstd page é".getBytes(UTF_8))))
+    assert(good.encoding_ok && good.encoding_error.isEmpty, good.toString)
+    assert(good.body_text.contains("zstd page é"))
+    // corrupt magic: deterministic decode error (a mid-frame flip in a
+    // tiny frame would hit raw literals and "decode" silently)
+    val z = com.github.luben.zstd.Zstd.compress("x".getBytes(UTF_8))
+    z(0) = (z(0) ^ 0x55).toByte
+    val bad = WarcHttp.parseEntity(2L, zmsg(z))
+    assert(!bad.encoding_ok && bad.encoding_error.contains("corrupt: zstd"))
+    assert(bad.body.sameElements(z))
+    // bomb: 80 MiB of zeros compresses to a few KiB; the STREAMING
+    // decode must stop at the ceiling on actual output, not trust the
+    // frame header's declared content size
+    val bombPlain = new Array[Byte](80 << 20)
+    val bomb = WarcHttp.parseEntity(3L,
+      zmsg(com.github.luben.zstd.Zstd.compress(bombPlain)))
+    assert(!bomb.encoding_ok &&
+      bomb.encoding_error.contains("corrupt: zstd"))
   }
 
   // ---- WHATWG charset precedence (VERDICT r17 #2) ----
