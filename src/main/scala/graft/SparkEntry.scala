@@ -7051,6 +7051,77 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** WARC segmentation (q217, VERDICT r18 #3 — ISO 28500 §5.18): a
+    * logical record split across `continuation` records reassembles
+    * at read. Four classes per doc: plain unsegmented (passes through
+    * the reassembly union WITHOUT shuffling), a complete 3+-segment
+    * chain (reassembles byte-identical, the first segment's deferred
+    * payload digest verified over the REASSEMBLED entity), a chain
+    * missing its MIDDLE segment (quarantines alone as
+    * `segment-chain-gap`), and a lost TAIL (the
+    * `WARC-Segment-Total-Length` witness left with it —
+    * `segment-chain-missing-total-length`). Chain-keyed shuffle of
+    * segment rows only; plain rows never move. */
+  private def qWarcSegmentation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val crlf = "\r\n"
+    val date = "2026-04-01T00:00:00Z"
+    val containers = t(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .flatMap { id =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val uri = s"https://site${id % 20}.com/s$id"
+        val respId = s"<urn:graft:seg:$id>"
+        val block = (s"HTTP/1.1 200 OK${crlf}Content-Type: " +
+          s"text/plain$crlf$crlf" + s"seg entity $id " * 8).getBytes(utf8)
+        def segs = graft.sources.WarcCodec.mintSegmentedRecordBytes(
+          "response", respId, uri, date,
+          "application/http; msgtype=response", block, 50)
+        val recs: Seq[Array[Byte]] = (id % 4) match {
+          case 0 => Seq(graft.sources.WarcCodec.mintResponseRecordBytes(
+            respId, uri, date, block, withDigest = true))
+          case 1 => segs
+          case 2 => segs.patch(1, Nil, 1) // middle lost
+          case _ => segs.dropRight(1) // tail (and its total) lost
+        }
+        recs.zipWithIndex.map { case (r, i) => (id / 4, id * 8 + i, r) }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (cid, it) =>
+        val ms = it.toArray.sortBy(_._2).map(_._3)
+        val out = new Array[Byte](ms.iterator.map(_.length).sum)
+        var at = 0
+        ms.foreach { m =>
+          System.arraycopy(m, 0, out, at, m.length); at += m.length
+        }
+        (cid, out)
+      }
+      .toDF("container_id", "data")
+    val asm = graft.sources.WarcCodec.reassembleSegments(
+      graft.sources.WarcCodec.parseContainers(
+        containers, col("container_id"), col("data")))
+    val expected = concat(
+      lit(s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain$crlf$crlf"),
+      repeat(concat(lit("seg entity "), col("doc_id").cast("string"),
+        lit(" ")), 8))
+    asm
+      .select(regexp_extract(col("record_id"), "(\\d+)>$", 1)
+          .cast("long").as("doc_id"),
+        col("ok"), col("error"), col("block"), col("content_length"))
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(4)).cast("int").as("cls"),
+        graft.sources.WarcCodec.recordRoute(lit("response"), col("ok"))
+          .as("route"),
+        col("ok"),
+        coalesce(substring_index(col("error"), ":", 1), lit(""))
+          .as("error_class"),
+        coalesce(decode(col("block"), "UTF-8") === expected, lit(false))
+          .as("byte_identical"),
+        coalesce(when(col("ok"), col("content_length")), lit(-1L))
+          .as("content_length"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Link discovery closes the crawl loop (q209): followed outlinks
     * from fetched pages become the NEXT cycle's frontier seeds via
     * [[graft.ops.Frontier.discoverNew]] — page-level `nofollow`
@@ -8150,7 +8221,8 @@ object SparkEntry {
     "q213_snapshot_diff" -> (qSnapshotDiff _),
     "q214_host_report" -> (qHostReport _),
     "q215_frontier_artifact" -> (qFrontierArtifact _),
-    "q216_provenance_lookup" -> (qProvenanceLookup _))
+    "q216_provenance_lookup" -> (qProvenanceLookup _),
+    "q217_warc_segmentation" -> (qWarcSegmentation _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -12165,6 +12237,29 @@ object SparkEntry {
              ELSE '' END AS archive_ts,
            TRUE AS digest_wellformed,
            (c = 0) AS extent_ok
+         FROM b
+         ORDER BY doc_id""",
+    // q217: WARC segmentation pinned closed-form — the engine mints
+    // the split, parses per-segment block digests, chain-keys,
+    // reassembles, and verifies the deferred payload digest for real;
+    // the oracle replays each class's verdict and the reassembled
+    // block length (45 header bytes + the repeated closed-form entity)
+    "q217_warc_segmentation" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(doc_id % 4 AS INT) AS c,
+             45 + octet_length(encode(
+               repeat('seg entity ' || doc_id || ' ', 8))) AS blen
+           FROM documents)
+         SELECT doc_id, c AS cls,
+           CASE WHEN c IN (0, 1) THEN 'content'
+             ELSE 'quarantine' END AS route,
+           (c IN (0, 1)) AS ok,
+           CASE WHEN c = 2 THEN 'segment-chain-gap'
+             WHEN c = 3 THEN 'segment-chain-missing-total-length'
+             ELSE '' END AS error_class,
+           (c IN (0, 1)) AS byte_identical,
+           CAST(CASE WHEN c IN (0, 1) THEN blen ELSE -1
+             END AS BIGINT) AS content_length
          FROM b
          ORDER BY doc_id""",
     // q215: the frontier artifact cycle pinned closed-form — the

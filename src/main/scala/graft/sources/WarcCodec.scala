@@ -85,7 +85,20 @@ object WarcCodec {
       // own — empty — block), same quarantine semantics
       block_digest: Option[String],
       content_length: Option[Long],
-      block: Option[Array[Byte]])
+      block: Option[Array[Byte]],
+      // ISO 28500 §5.18 segmentation: a logical record too large for
+      // its container is split — the FIRST segment keeps the original
+      // record type and carries `WARC-Segment-Number: 1`; each
+      // continuation is `WARC-Type: continuation` carrying the first
+      // segment's record id in `WARC-Segment-Origin-ID` and, on the
+      // LAST segment only, `WARC-Segment-Total-Length` (the complete
+      // block's byte length). Parse carries them through;
+      // [[reassembleSegments]] concatenates chains back into logical
+      // records (defaults keep the 12 existing constructor sites and
+      // every non-segmented record unchanged)
+      segment_number: Option[Int] = None,
+      segment_origin_id: Option[String] = None,
+      segment_total_length: Option[Long] = None)
 
   val Version = "WARC/1.0"
   private val Magic: Array[Byte] = (Version + "\r\n").getBytes(UTF_8)
@@ -282,6 +295,45 @@ object WarcCodec {
         "WARC-Block-Digest" -> sha1Base32(block)))
   }
 
+  /** Segmented record mint (ISO 28500 §5.18): split one logical
+    * record's block at `segmentSize` into a first segment (the
+    * original `warcType`, `WARC-Segment-Number: 1`, the payload digest
+    * of the COMPLETE logical record) plus `continuation` records
+    * (`WARC-Segment-Origin-ID` → the first segment's id, ascending
+    * segment numbers, `WARC-Segment-Total-Length` on the LAST
+    * segment only — the spec's completeness witness). Every segment
+    * carries a `WARC-Block-Digest` over its OWN partial block, so
+    * per-segment integrity verifies at parse time while the payload
+    * digest waits for [[reassembleSegments]]. */
+  private[graft] def mintSegmentedRecordBytes(
+      warcType: String, recordId: String, targetUri: String,
+      warcDate: String, contentType: String, block: Array[Byte],
+      segmentSize: Int): Seq[Array[Byte]] = {
+    require(segmentSize >= 1, s"segmentSize must be >= 1: $segmentSize")
+    val parts = block.grouped(segmentSize).toVector
+    require(parts.length >= 2,
+      s"block of ${block.length} bytes fits one $segmentSize-byte " +
+        "segment - mint an unsegmented record instead")
+    parts.zipWithIndex.map { case (part, i) =>
+      if (i == 0)
+        mintRecordBytesCore(warcType, recordId, Some(targetUri),
+          warcDate, Some(contentType), part,
+          Seq("WARC-Segment-Number" -> "1",
+            "WARC-Block-Digest" -> sha1Base32(part),
+            "WARC-Payload-Digest" ->
+              sha1Base32(payloadOf(block, Some(contentType)))))
+      else
+        mintRecordBytesCore("continuation", s"$recordId-seg${i + 1}",
+          Some(targetUri), warcDate, None, part,
+          Seq("WARC-Segment-Origin-ID" -> recordId,
+            "WARC-Segment-Number" -> (i + 1).toString,
+            "WARC-Block-Digest" -> sha1Base32(part)) ++
+            (if (i == parts.length - 1)
+              Seq("WARC-Segment-Total-Length" -> block.length.toString)
+            else Nil))
+    }
+  }
+
   /** The general byte-level record mint every typed mint above
     * delegates to: magic, WARC-Type, id/date(/URI), extra headers in
     * caller order, WARC-level Content-Type, Content-Length in block
@@ -289,6 +341,16 @@ object WarcCodec {
   private[graft] def mintRecordBytes(
       warcType: String, recordId: String, targetUri: Option[String],
       warcDate: String, contentType: String, block: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] =
+    mintRecordBytesCore(warcType, recordId, targetUri, warcDate,
+      Some(contentType), block, extraHeaders)
+
+  /** Core mint with an OPTIONAL WARC-level Content-Type: `continuation`
+    * segments carry none (the logical record's content type lives on
+    * the first segment — ISO 28500 §5.18). */
+  private def mintRecordBytesCore(
+      warcType: String, recordId: String, targetUri: Option[String],
+      warcDate: String, contentType: Option[String], block: Array[Byte],
       extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val sb = new java.lang.StringBuilder(256)
     sb.append(Version).append("\r\n")
@@ -299,8 +361,9 @@ object WarcCodec {
       sb.append("WARC-Target-URI: ").append(u).append("\r\n"))
     extraHeaders.foreach { case (n, v) =>
       sb.append(n).append(": ").append(v).append("\r\n") }
-    sb.append("Content-Type: ").append(contentType).append("\r\n")
-      .append("Content-Length: ").append(block.length).append("\r\n\r\n")
+    contentType.foreach(ct =>
+      sb.append("Content-Type: ").append(ct).append("\r\n"))
+    sb.append("Content-Length: ").append(block.length).append("\r\n\r\n")
     val headers = sb.toString.getBytes(UTF_8)
     val out = new Array[Byte](headers.length + block.length + 4)
     System.arraycopy(headers, 0, out, 0, headers.length)
@@ -322,6 +385,9 @@ object WarcCodec {
     *   - `conversion` → `text` (the WET lane: derived text, charged to
     *     its referent via WARC-Refers-To — never to the content lane,
     *     which carries only ORIGINAL capture bytes);
+    *   - `continuation` → `segment` (ISO 28500 §5.18: a partial block
+    *     of some split logical record — it must reach
+    *     [[reassembleSegments]], never a content consumer directly);
     *   - anything else (`resource`, future types) → `other` — carried,
     *     never silently dropped.
     */
@@ -335,6 +401,7 @@ object WarcCodec {
       .when(t === "metadata", "metadata_log")
       .when(t === "warcinfo", "container_info")
       .when(t === "conversion", "text")
+      .when(t === "continuation", "segment")
       .otherwise("other")
   }
 
@@ -405,6 +472,128 @@ object WarcCodec {
           if (data == null) Array.emptyByteArray else data)
       })
       .toDF()
+  }
+
+  /** Reassemble segmented logical records (ISO 28500 §5.18) from a
+    * parse-output relation ([[parseContainers]]/[[parseGzipContainers]]
+    * schema). Non-segmented rows pass through UNTOUCHED — no shuffle;
+    * only rows carrying segmentation state (a `WARC-Segment-Number` or
+    * type `continuation`) are chain-keyed on the first segment's
+    * record id and concatenated in one task per chain (a chain is one
+    * logical record — the same size bound as any single record).
+    *
+    * A complete chain (exactly one first segment numbered 1,
+    * contiguous continuation numbers, the last segment declaring
+    * `WARC-Segment-Total-Length` equal to the carried sum) emits ONE
+    * logical record under the first segment's headers, with the
+    * deferred `WARC-Payload-Digest` now verified over the REASSEMBLED
+    * payload. Anything else — missing first, gap, missing or wrong
+    * total length, a member that already quarantined at parse, a
+    * digest mismatch — quarantines as ONE attributable row per chain
+    * (keyed by the origin id, headers from the best segment present),
+    * never a silent drop and never a partial document in the content
+    * lane. */
+  def reassembleSegments(records: DataFrame): DataFrame = {
+    val sess = records.sparkSession
+    import sess.implicits._
+    val isCont = lower(col("warc_type")) <=> lit("continuation")
+    val isSeg = col("segment_number").isNotNull || isCont
+    val plain = records.filter(!isSeg)
+    def contRow(r: WarcRecord): Boolean =
+      r.warc_type.exists(_.equalsIgnoreCase("continuation"))
+    val chains = records.filter(isSeg).as[WarcRecord]
+      .groupByKey(r =>
+        (if (contRow(r)) r.segment_origin_id else r.record_id).orNull)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toVector.sortBy(r =>
+          (r.segment_number.getOrElse(Int.MaxValue), r.rec_seq))
+        def anchor = rows.find(!contRow(_)).getOrElse(rows.head)
+        def quarantine(e: String): Seq[WarcRecord] = {
+          val a = anchor
+          // the chain KEY is the attributable identity — for a
+          // headless chain the anchoring continuation's own `-segN`
+          // id would point at a segment, not the logical record
+          Seq(WarcRecord(a.container_id, a.rec_seq, ok = false, Some(e),
+            a.warc_type, Option(key), a.target_uri,
+            a.warc_date, a.refers_to, a.concurrent_to,
+            a.warc_content_type, a.payload_digest, None, None, None,
+            a.segment_number, a.segment_origin_id,
+            a.segment_total_length))
+        }
+        if (key == null)
+          // unattributable: a continuation without an origin id (or a
+          // parse-quarantined first without a record id) joins no
+          // chain — each row quarantines alone
+          rows.map(r => r.copy(ok = false,
+            error = Some("segment-without-identity: no " +
+              (if (contRow(r)) "WARC-Segment-Origin-ID"
+              else "WARC-Record-ID") + " to chain on"),
+            block = None))
+        else if (rows.exists(!_.ok))
+          quarantine("segment-chain-broken-member: " +
+            rows.collectFirst { case r if !r.ok =>
+              r.error.getOrElse("unknown") }.get)
+        else {
+          val firsts = rows.filter(!contRow(_))
+          val numbers = rows.flatMap(_.segment_number)
+          if (firsts.isEmpty || firsts.head.segment_number.isEmpty)
+            quarantine("segment-chain-missing-first: no segment " +
+              "numbered 1 of a non-continuation type")
+          else if (firsts.length > 1)
+            quarantine(s"segment-chain-duplicate-first: " +
+              s"${firsts.length} non-continuation segments")
+          else if (!firsts.head.segment_number.contains(1))
+            quarantine("segment-chain-malformed-first: first segment " +
+              s"numbered ${firsts.head.segment_number.get}, expected 1")
+          else if (numbers.length != rows.length ||
+              numbers.sorted != (1 to rows.length).toVector)
+            quarantine("segment-chain-gap: expected contiguous " +
+              s"1..${rows.length}, got ${numbers.sorted.mkString(",")}")
+          else {
+            val first = firsts.head
+            val last = rows.maxBy(_.segment_number.get)
+            val carried = rows.map(_.block.map(_.length.toLong)
+              .getOrElse(0L)).sum
+            last.segment_total_length match {
+              case None =>
+                // without the spec's completeness witness a lost TAIL
+                // segment would reassemble silently short
+                quarantine("segment-chain-missing-total-length: last " +
+                  "segment declares no WARC-Segment-Total-Length")
+              case Some(total) if total != carried =>
+                quarantine("segment-chain-length-mismatch: declared " +
+                  s"$total, carried $carried")
+              case Some(total) =>
+                val out = new Array[Byte](total.toInt)
+                var at = 0
+                rows.foreach(_.block.foreach { b =>
+                  System.arraycopy(b, 0, out, at, b.length)
+                  at += b.length
+                })
+                val digestFail = first.payload_digest.collect {
+                  case d if d.toLowerCase(java.util.Locale.ROOT)
+                      .startsWith("sha1:") =>
+                    val computed =
+                      sha1Base32(payloadOf(out, first.warc_content_type))
+                    if (computed.equalsIgnoreCase(d)) None
+                    else Some("payload-digest-mismatch: declared " +
+                      s"$d, computed $computed over the reassembled " +
+                      "payload")
+                }.flatten
+                digestFail match {
+                  case Some(e) => quarantine(e)
+                  case None =>
+                    Seq(WarcRecord(first.container_id, first.rec_seq,
+                      ok = true, None, first.warc_type, first.record_id,
+                      first.target_uri, first.warc_date, first.refers_to,
+                      first.concurrent_to, first.warc_content_type,
+                      first.payload_digest, None, Some(total), Some(out)))
+                }
+            }
+          }
+        }
+      }
+    plain.unionByName(chains.toDF())
   }
 
   /** The per-container gzip member walk — package-visible for the
@@ -661,6 +850,9 @@ object WarcCodec {
     var payloadDigest: Option[String] = None
     var blockDigest: Option[String] = None
     var contentLength: Option[Long] = None
+    var segmentNumber: Option[Int] = None
+    var segmentOriginId: Option[String] = None
+    var segmentTotalLength: Option[Long] = None
     var err: Option[String] = None
     var blockStart = -1
     while (blockStart < 0 && err.isEmpty) {
@@ -693,6 +885,15 @@ object WarcCodec {
               contentLength = value.toLongOption.filter(_ >= 0)
               if (contentLength.isEmpty)
                 err = Some(s"bad-content-length: '${value.take(30)}'")
+            case "warc-segment-number" =>
+              segmentNumber = value.toIntOption.filter(_ >= 1)
+              if (segmentNumber.isEmpty)
+                err = Some(s"bad-segment-number: '${value.take(30)}'")
+            case "warc-segment-origin-id" => segmentOriginId = Some(value)
+            case "warc-segment-total-length" =>
+              segmentTotalLength = value.toLongOption.filter(_ >= 0)
+              if (segmentTotalLength.isEmpty)
+                err = Some(s"bad-segment-total-length: '${value.take(30)}'")
             case _ => () // unknown headers pass through (WARC allows)
           }
           lineStart = eol + 2
@@ -702,7 +903,8 @@ object WarcCodec {
     def rec(ok: Boolean, e: Option[String], block: Option[Array[Byte]]) =
       WarcRecord(cid, seq, ok, e, warcType, recordId, targetUri,
         warcDate, refersTo, concurrentTo, warcContentType, payloadDigest,
-        blockDigest, contentLength, block)
+        blockDigest, contentLength, block,
+        segmentNumber, segmentOriginId, segmentTotalLength)
     if (err.isDefined) return rec(ok = false, err, None)
     val missing = Seq(
       "WARC-Type" -> warcType.isEmpty,
@@ -765,8 +967,14 @@ object WarcCodec {
         case Some(declaredDigest)
             // type compare is case-insensitive: a writer spelling
             // `Revisit` must not have its referent digest verified
-            // against its own empty block
+            // against its own empty block. A SEGMENTED record's
+            // payload digest pertains to the COMPLETE logical record
+            // (ISO 28500 §5.18), so verification is deferred to
+            // [[reassembleSegments]] — checking it against one
+            // segment's partial block would quarantine every
+            // spec-conforming first segment
             if !warcType.exists(_.equalsIgnoreCase("revisit")) &&
+              segmentNumber.isEmpty &&
               declaredDigest.toLowerCase(java.util.Locale.ROOT)
                 .startsWith("sha1:") =>
           val computed = sha1Base32(payloadOf(block, warcContentType))

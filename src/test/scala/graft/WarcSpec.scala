@@ -549,4 +549,129 @@ class WarcSpec extends SparkSpec {
     }
     assert(shuffles.isEmpty)
   }
+
+  // ---- segmentation (ISO 28500 §5.18, VERDICT r18 #3) ----
+
+  private val segUtf8 = java.nio.charset.StandardCharsets.UTF_8
+  private def segBlock(tag: String): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+      s"segmented $tag payload " * 6).getBytes(segUtf8)
+  private def segMint(tag: String, id: String): Seq[Array[Byte]] =
+    WarcCodec.mintSegmentedRecordBytes("response", id,
+      s"https://a.com/$tag", "2026-01-01T00:00:00Z",
+      "application/http; msgtype=response", segBlock(tag), 40)
+
+  test("a 3+-segment document round-trips byte-identical through " +
+      "mint -> parse -> reassemble; the payload digest (deferred at " +
+      "parse) verifies over the REASSEMBLED payload") {
+    import spark.implicits._
+    val block = segBlock("rt")
+    val segs = segMint("rt", "<urn:t:seg:1>")
+    assert(segs.length >= 3, s"fixture must segment 3+: ${segs.length}")
+    val recs = WarcCodec.parseRecords(1L, segs.flatten.toArray)
+    // every segment parses ok (per-segment block digests verify; the
+    // first segment's whole-record payload digest is NOT checked here)
+    assert(recs.forall(_.ok), recs.map(_.error))
+    assert(recs.head.segment_number.contains(1))
+    assert(recs.head.warc_type.contains("response"))
+    assert(recs.tail.forall(_.warc_type.contains("continuation")))
+    assert(recs.tail.forall(_.segment_origin_id.contains("<urn:t:seg:1>")))
+    assert(recs.last.segment_total_length.contains(block.length.toLong))
+    assert(recs.init.forall(_.segment_total_length.isEmpty))
+    val asm = WarcCodec.reassembleSegments(
+      WarcCodec.parseContainers(
+        Seq((1L, segs.flatten.toArray)).toDF("container_id", "data"),
+        col("container_id"), col("data"))).collect()
+    assert(asm.length == 1)
+    val row = asm.head
+    assert(row.getAs[Boolean]("ok"), String.valueOf(row.getAs[String]("error")))
+    assert(row.getAs[String]("warc_type") == "response")
+    assert(row.getAs[Array[Byte]]("block").sameElements(block),
+      "reassembled block must be byte-identical")
+    assert(row.getAs[Long]("content_length") == block.length.toLong)
+  }
+
+  test("a missing MIDDLE segment quarantines its chain alone and " +
+      "attributably; a lost TAIL (no Segment-Total-Length left) is " +
+      "its own class; an intact neighbour chain reassembles fine") {
+    import spark.implicits._
+    val gap = segMint("gap", "<urn:t:seg:g>").patch(1, Nil, 1)
+    val tail = segMint("tail", "<urn:t:seg:t>").dropRight(1)
+    val fine = segMint("fine", "<urn:t:seg:f>")
+    val blob = (gap ++ tail ++ fine).flatten.toArray
+    val asm = WarcCodec.reassembleSegments(
+      WarcCodec.parseContainers(
+        Seq((1L, blob)).toDF("container_id", "data"),
+        col("container_id"), col("data")))
+      .collect().map(r => r.getAs[String]("record_id") ->
+        ((r.getAs[Boolean]("ok"), Option(r.getAs[String]("error")))))
+      .toMap
+    assert(asm.size == 3)
+    val (gOk, gErr) = asm("<urn:t:seg:g>")
+    assert(!gOk && gErr.exists(_.startsWith("segment-chain-gap:")), asm)
+    val (tOk, tErr) = asm("<urn:t:seg:t>")
+    assert(!tOk && tErr.exists(
+      _.startsWith("segment-chain-missing-total-length:")), asm)
+    val (fOk, fErr) = asm("<urn:t:seg:f>")
+    assert(fOk && fErr.isEmpty, asm)
+  }
+
+  test("a chain whose FIRST segment is lost still quarantines under " +
+      "its origin id; a broken member (digest liar) poisons its " +
+      "chain; a lying total length is caught; plain records pass " +
+      "through reassembly WITHOUT shuffling") {
+    import spark.implicits._
+    val headless = segMint("headless", "<urn:t:seg:h>").drop(1)
+    // tamper one continuation byte of a fresh chain: its per-segment
+    // block digest fails at parse, so the chain must quarantine as
+    // broken-member
+    val broken = segMint("broken", "<urn:t:seg:b>").map(_.clone())
+    locally {
+      val c1 = broken(1)
+      // flip one payload byte (past the header section)
+      val at = c1.length - 5
+      c1(at) = (c1(at) ^ 0x1).toByte
+    }
+    // lie about the total: header-only tamper (the per-segment block
+    // digest covers the BLOCK, not headers, so the segment still
+    // parses ok — only the reassembly sum check can catch it)
+    val liar = segMint("liar", "<urn:t:seg:l>").map(_.clone())
+      .map { rec =>
+        val s = new String(rec, java.nio.charset.StandardCharsets
+          .ISO_8859_1)
+        val lied = s.replaceFirst(
+          "WARC-Segment-Total-Length: (\\d+)",
+          "WARC-Segment-Total-Length: 7")
+        lied.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+    val blob = (headless ++ broken ++ liar).flatten.toArray
+    val asm = WarcCodec.reassembleSegments(
+      WarcCodec.parseContainers(
+        Seq((1L, blob)).toDF("container_id", "data"),
+        col("container_id"), col("data")))
+      .collect().map(r => r.getAs[String]("record_id") ->
+        Option(r.getAs[String]("error"))).toMap
+    assert(asm("<urn:t:seg:h>").exists(
+      _.startsWith("segment-chain-missing-first:")), asm)
+    assert(asm("<urn:t:seg:b>").exists(
+      _.startsWith("segment-chain-broken-member:")), asm)
+    assert(asm("<urn:t:seg:l>").exists(
+      _.startsWith("segment-chain-length-mismatch:")), asm)
+    // pass-through shape: the plain branch of the union carries no
+    // exchange — only chains shuffle
+    val plainOnly = WarcCodec.reassembleSegments(
+      WarcCodec.parseContainers(
+        Seq((1L, record(7, "plain doc").getBytes(segUtf8)))
+          .toDF("container_id", "data"),
+        col("container_id"), col("data")))
+    val plan = plainOnly.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one union: plain side map-only; the chain side owns the only
+    // exchange(s)
+    assert(exchanges.size <= 2, plan.toString)
+    val got = plainOnly.filter(col("record_id").isNotNull).collect()
+    assert(got.length == 1 && got.head.getAs[Boolean]("ok"))
+  }
 }
