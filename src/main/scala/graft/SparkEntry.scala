@@ -7230,6 +7230,72 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** CDX prefix/domain lookup (q218, VERDICT r18 #4): the other half
+    * of the wayback query family — `matchType=prefix` (all captures
+    * under a URL prefix) and `matchType=domain` (the host and every
+    * subdomain), exactly what SURT ordering + the q210 shard layout
+    * were built to serve. Over the q204 fixture: per doc, the PREFIX
+    * lane queries the doc's own URL (its 3 captures, plus the
+    * captures of every same-host same-class doc whose id-string
+    * extends it — t40 reaches t400), and the DOMAIN lane queries the
+    * bare registrable host (all 4 URL classes of that k, INCLUDING
+    * the news.* subdomain — and never the site1 → site10 label
+    * leak). Shard accounting proves the pruning: every hit landed in
+    * a cluster-index-elected shard and the election never needed the
+    * whole shard universe. */
+  private def qCdxPrefixLookup(s: SparkSession, d: String): DataFrame = {
+    val nShards = 8
+    val idx = graft.ops.Cdx.index(mintedCdxCaptures(s, d),
+      col("container_id"), col("data"))
+    val (sharded, summary0) = graft.ops.Cdx.shardCdxj(
+      graft.ops.Cdx.toCdxjLines(idx), nShards)
+    val summary = summary0
+      .localCheckpoint() // feeds both lanes' elections + matches
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), cdxQueryUrl.as("url"),
+        concat(lit("https://site"), pmod(col("doc_id"), lit(20L)),
+          lit(".com/")).as("durl"))
+      .localCheckpoint() // feeds two query lanes + the final join
+    val pq = docs.select(col("doc_id"), col("url"))
+    val dq = docs.select(col("doc_id"), col("durl"))
+    val pAgg = graft.ops.Cdx.lookupPrefix(sharded, summary, pq,
+        col("url"), "prefix")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_prefix_hits"),
+        collect_set(col("shard_id")).as("__psh"))
+    val pCand = graft.ops.Cdx.electShardRange(pq, summary,
+        col("url"), "prefix")
+      .select(col("doc_id"), col("candidate_shards").as("__pc"),
+        col("n_candidate_shards").as("__pn"))
+    val dAgg = graft.ops.Cdx.lookupPrefix(sharded, summary, dq,
+        col("durl"), "domain")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_domain_hits"),
+        collect_set(col("shard_id")).as("__dsh"))
+    val dCand = graft.ops.Cdx.electShardRange(dq, summary,
+        col("durl"), "domain")
+      .select(col("doc_id"), col("candidate_shards").as("__dc"),
+        col("n_candidate_shards").as("__dn"))
+    docs
+      .join(pAgg, Seq("doc_id"), "left")
+      .join(pCand, Seq("doc_id"), "left")
+      .join(dAgg, Seq("doc_id"), "left")
+      .join(dCand, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(4)).cast("int").as("cls"),
+        coalesce(col("n_prefix_hits"), lit(0L)).as("n_prefix_hits"),
+        coalesce(col("n_domain_hits"), lit(0L)).as("n_domain_hits"),
+        coalesce(forall(col("__psh"),
+          x => array_contains(col("__pc"), x)), lit(false))
+          .as("prefix_in_elected"),
+        coalesce(forall(col("__dsh"),
+          x => array_contains(col("__dc"), x)), lit(false))
+          .as("domain_in_elected"),
+        coalesce(col("__pn") < nShards && col("__dn") < nShards,
+          lit(false)).as("pruned"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Next-cycle fetch planner (q211): the composed "what do we fetch
     * tomorrow" runbook — DISCOVERED candidates (q209's unique +
     * shared-hub shapes, priority = in-batch reference count) union
@@ -8222,7 +8288,8 @@ object SparkEntry {
     "q214_host_report" -> (qHostReport _),
     "q215_frontier_artifact" -> (qFrontierArtifact _),
     "q216_provenance_lookup" -> (qProvenanceLookup _),
-    "q217_warc_segmentation" -> (qWarcSegmentation _))
+    "q217_warc_segmentation" -> (qWarcSegmentation _),
+    "q218_cdx_prefix_lookup" -> (qCdxPrefixLookup _))
 
 
   // SQL fragments shared by the q126/q128 oracles — one spelling so
@@ -12262,6 +12329,37 @@ object SparkEntry {
              END AS BIGINT) AS content_length
          FROM b
          ORDER BY doc_id""",
+    // q218: prefix/domain lookup pinned closed-form — the engine
+    // SURT-keys, range-shards, elects shards off the cluster index,
+    // and prefix-scans only elected shards for real; the oracle
+    // replays the hit counts (3 captures per matching doc: the
+    // id-string-extension family for the prefix lane, the whole
+    // host-k family — subdomain included — for the domain lane) and
+    // the TRUE pruning/containment invariants
+    "q218_cdx_prefix_lookup" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(doc_id % 4 AS INT) AS c,
+             doc_id % 20 AS k FROM documents),
+         ext AS (
+           SELECT b.doc_id, count(*) AS n_ext
+           FROM b JOIN b b2 ON b2.c = b.c AND b2.k = b.k
+             AND CAST(b2.doc_id AS VARCHAR)
+               LIKE CAST(b.doc_id AS VARCHAR) || '%'
+           GROUP BY b.doc_id),
+         host AS (
+           SELECT doc_id, count(*) OVER (PARTITION BY k) AS n_host
+           FROM b)
+         SELECT b.doc_id, b.c AS cls,
+           CAST(CASE WHEN b.c IN (0, 3) THEN 3 * e.n_ext
+             ELSE 3 END AS BIGINT) AS n_prefix_hits,
+           CAST(3 * h.n_host AS BIGINT) AS n_domain_hits,
+           TRUE AS prefix_in_elected,
+           TRUE AS domain_in_elected,
+           TRUE AS pruned
+         FROM b
+         JOIN ext e ON e.doc_id = b.doc_id
+         JOIN host h ON h.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
     // q215: the frontier artifact cycle pinned closed-form — the
     // engine saves (duplicate-gated), loads, and upserts for real; the
     // oracle replays every lane: validator keep-vs-refresh, interval

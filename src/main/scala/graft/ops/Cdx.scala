@@ -236,6 +236,19 @@ object Cdx {
     (sharded, summary)
   }
 
+  /** Guard for the splice operators below: the query relation must not
+    * already carry a column this operator appends or uses internally —
+    * a collision would silently overwrite or throw an ambiguous
+    * reference deep inside the join (ADVICE r18). */
+  private def requireFreeColumns(
+      queries: DataFrame, reserved: Seq[String], op: String): Unit = {
+    val clash = queries.columns.filter(c =>
+      reserved.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"$op: query relation already carries reserved column(s) " +
+        s"${clash.mkString(", ")} - rename them before the lookup")
+  }
+
   /** Shard election off the cluster index: for each query key, the one
     * shard a reader must fetch — max{shard : first_key ≤ key}. The
     * summary is shard-count-sized → broadcast; the corpus-sized line
@@ -245,13 +258,112 @@ object Cdx {
     * query columns — the lookupNearest contract). */
   def electShard(
       queries: DataFrame, keyCol: Column, summary: DataFrame): DataFrame = {
+    requireFreeColumns(queries,
+      Seq("elected_shard", "__ck_first", "__ck_sid"), "electShard")
     val qCols = queries.columns.map(col)
     queries
-      .join(broadcast(summary.select(col("first_key"),
-        col("shard_id").as("__sid"))), col("first_key") <= keyCol,
+      .join(broadcast(summary.select(col("first_key").as("__ck_first"),
+        col("shard_id").as("__ck_sid"))), col("__ck_first") <= keyCol,
         "left")
       .groupBy(qCols: _*)
-      .agg(coalesce(max(col("__sid")), lit(-1)).as("elected_shard"))
+      .agg(coalesce(max(col("__ck_sid")), lit(-1)).as("elected_shard"))
+  }
+
+  /** The SURT range-scan prefixes of one query URL (`matchType` as in
+    * the wayback/pywb CDX API):
+    *
+    *   - `prefix`: every capture whose SURT key starts with the URL's
+    *     own SURT spelling — `example.com/dir` reaches everything
+    *     under `com,example)/dir`;
+    *   - `domain`: every capture on the HOST or any subdomain — the
+    *     SURT host prefix (`com,example`) extended by the two
+    *     characters that can follow it in a key: `)` (the host itself)
+    *     and `,` (a deeper subdomain label). Host reversal is exactly
+    *     what makes this a contiguous range scan.
+    *
+    * Null on an unkeyable URL. */
+  private def surtPrefixesOf(urlCol: Column, matchType: String): Column = {
+    val key = DomainFunctions.surtKey(urlCol)
+    matchType match {
+      case "prefix" => array(key)
+      case "domain" =>
+        val host = substring_index(key, ")", 1)
+        array(concat(host, lit(")")), concat(host, lit(",")))
+      case other => throw new IllegalArgumentException(
+        s"matchType must be 'prefix' or 'domain', got '$other'")
+    }
+  }
+
+  /** Candidate shards per query prefix, off the cluster index alone:
+    * shard `s` can hold a `p`-prefixed key iff its range
+    * `[first_key, last_key]` overlaps the prefix interval —
+    * `last_key ≥ p` and (`first_key ≤ p` or `first_key` itself is
+    * `p`-prefixed; every string below some `p`-prefixed key is below
+    * `p`, equal to it, or `p`-prefixed). Pure string comparison in
+    * Spark's native (binary UTF-8) order — the SAME order the range
+    * partitioner sharded by, so the pruning can never disagree with
+    * the layout. Metadata-sized output: (query cols, __pfx, shard_id),
+    * one row per candidate (query, shard) pair. */
+  private def candidateShards(
+      queries: DataFrame, summary: DataFrame, urlCol: Column,
+      matchType: String): DataFrame = {
+    val q = queries.withColumn("__pfx",
+      explode(surtPrefixesOf(urlCol, matchType)))
+    q.join(broadcast(summary.select(col("shard_id"),
+        col("first_key").as("__ck_first"),
+        col("last_key").as("__ck_last"))),
+        col("__ck_last") >= col("__pfx") &&
+          (col("__ck_first") <= col("__pfx") ||
+            col("__ck_first").startsWith(col("__pfx"))))
+      .drop("__ck_first", "__ck_last")
+  }
+
+  /** Wayback `matchType=prefix|domain` lookup over the SHARDED index
+    * (VERDICT r18 #4) — the other half of the CDX query family: all
+    * captures under a URL prefix or a whole domain. `shards`/`summary`
+    * are [[shardCdxj]] output. Two stages, both pruned:
+    *
+    *   1. [[candidateShards]] elects the shard RANGE per query from
+    *      the metadata-sized cluster index — shards whose key range
+    *      cannot hold the prefix are NEVER consulted (the Range-fetch
+    *      discipline applied to the index itself);
+    *   2. the line-level `startsWith` match runs only on rows of
+    *      elected shards: one shard_id-keyed join (un-hinted — the
+    *      candidate relation is request-sized, AQE broadcasts it when
+    *      measured small) then the per-line prefix test.
+    *
+    * Output: one row per (query row, matching line) — query columns +
+    * `__pfx` + `shard_id`, `key`, `line`; a query with no match emits
+    * nothing (left-join at the call site if absence must surface).
+    * Queries must be DISTINCT rows. */
+  def lookupPrefix(
+      shards: DataFrame, summary: DataFrame, queries: DataFrame,
+      urlCol: Column, matchType: String): DataFrame = {
+    requireFreeColumns(queries,
+      Seq("__pfx", "shard_id", "key", "line", "__ck_first", "__ck_last"),
+      "lookupPrefix")
+    candidateShards(queries, summary, urlCol, matchType)
+      .join(shards, Seq("shard_id"))
+      .filter(col("key").startsWith(col("__pfx")))
+  }
+
+  /** The shard-accounting twin of [[lookupPrefix]]: per query, how many
+    * shards the cluster index elected (`n_candidate_shards`) and the
+    * elected ids themselves — what a caller asserts pruning against
+    * (shards outside the range are never consulted, so every hit's
+    * shard_id must land in this set). Same election logic, index
+    * lines untouched. */
+  def electShardRange(
+      queries: DataFrame, summary: DataFrame, urlCol: Column,
+      matchType: String): DataFrame = {
+    requireFreeColumns(queries,
+      Seq("__pfx", "shard_id", "n_candidate_shards", "candidate_shards",
+        "__ck_first", "__ck_last"), "electShardRange")
+    val qCols = queries.columns.map(col)
+    candidateShards(queries, summary, urlCol, matchType)
+      .groupBy(qCols: _*)
+      .agg(countDistinct(col("shard_id")).as("n_candidate_shards"),
+        sort_array(collect_set(col("shard_id"))).as("candidate_shards"))
   }
 
   /** Host-level crawl report — the per-site operational rollup every
@@ -295,8 +407,13 @@ object Cdx {
       .filter(col("ok") && lower(col("warc_type")) === "response" &&
         col("digest").isNotNull && col("ts14").isNotNull)
       .groupBy(col("digest"))
+      // comparator carries (ts14, url, container, offset) so two
+      // same-second captures of one content resolve deterministically
+      // (ADVICE r18: a bare-ts14 min_by would flap across runs)
       .agg(min_by(struct(col("url"), col("ts14"), col("container_id"),
-        col("offset"), col("length")), col("ts14")).as("__first"))
+        col("offset"), col("length")),
+        struct(col("ts14"), col("url"), col("container_id"),
+          col("offset"))).as("__first"))
       .select(col("digest"), col("__first.url").as("archive_url"),
         col("__first.ts14").as("archive_ts"),
         col("__first.container_id").as("archive_container"),
@@ -333,8 +450,12 @@ object Cdx {
       .filter(col("ok") && lower(col("warc_type")) === "response" &&
         col("surt").isNotNull && col("ts14").isNotNull)
       .groupBy(col("surt"))
+      // (ts14, url, digest) comparator: two same-second captures of
+      // one key elect the same snapshot state on every run (ADVICE
+      // r18 — the replayable-diff posture lookupNearest already has)
       .agg(
-        max_by(struct(col("url"), col("digest")), col("ts14"))
+        max_by(struct(col("url"), col("digest")),
+          struct(col("ts14"), col("url"), col("digest")))
           .as("__top"))
       .select(col("surt"), col("__top.url").as(s"url_$tag"),
         col("__top.digest").as(s"digest_$tag"))
@@ -381,6 +502,10 @@ object Cdx {
   def lookupNearest(
       indexDf: DataFrame, queries: DataFrame,
       urlCol: Column, ts14Col: Column): DataFrame = {
+    requireFreeColumns(queries,
+      Seq("__surt", "__q_s", "cap_ts14", "cap_url", "cap_status",
+        "cap_mime", "cap_digest", "cap_container", "cap_offset",
+        "cap_length"), "lookupNearest")
     val caps = indexDf
       .filter(col("ok") && lower(col("warc_type")) === "response" &&
         col("surt").isNotNull && col("ts14").isNotNull)

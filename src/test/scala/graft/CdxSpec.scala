@@ -220,4 +220,61 @@ class CdxSpec extends SparkSpec {
     assert(got == Map(1L -> "20260401000000", 2L -> "20260405000000",
       3L -> "20260401000000"))
   }
+
+  test("lookupPrefix: prefix and domain match types range-scan the " +
+      "sharded index; the cluster index prunes shards; every hit " +
+      "lands inside an elected shard; domain stops at the label " +
+      "boundary (a.com never leaks aa.com)") {
+    import spark.implicits._
+    def resp(url: String, i: Int) = WarcCodec.mintResponseRecordBytes(
+      s"<urn:t:p$i>", url, "2026-04-01T00:00:00Z",
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nv$i"
+        .getBytes(UTF_8), withDigest = true)
+    val urls = Seq(
+      "https://a.com/dir/x", "https://a.com/dir/y", "https://a.com/other",
+      "https://sub.a.com/p", "https://aa.com/dir/z") ++
+      (0 until 10).map(i => s"https://h$i.com/p")
+    val members = urls.zipWithIndex.map { case (u, i) =>
+      WarcCodec.gzipMember(resp(u, i)) }
+    val idx = Cdx.index(
+      Seq((1L, members.flatten.toArray)).toDF("cid", "data"),
+      col("cid"), col("data"))
+    val (sharded, summary) = Cdx.shardCdxj(Cdx.toCdxjLines(idx), 5)
+    def surtsOf(hits: org.apache.spark.sql.DataFrame): Set[String] =
+      hits.select("key").as[String].collect()
+        .map(_.split(" ")(0)).toSet
+    // prefix: everything under a.com/dir — not /other, not the
+    // subdomain, not aa.com
+    val q1 = Seq((1L, "https://a.com/dir")).toDF("qid", "url")
+    val hits1 = Cdx.lookupPrefix(sharded, summary, q1, col("url"),
+      "prefix")
+    assert(surtsOf(hits1) == Set("com,a)/dir/x", "com,a)/dir/y"),
+      surtsOf(hits1).toString)
+    // domain: the host AND its subdomains; the label boundary holds
+    val q2 = Seq((2L, "https://a.com/")).toDF("qid", "url")
+    val hits2 = Cdx.lookupPrefix(sharded, summary, q2, col("url"),
+      "domain")
+    assert(surtsOf(hits2) == Set("com,a)/dir/x", "com,a)/dir/y",
+      "com,a)/other", "com,a,sub)/p"), surtsOf(hits2).toString)
+    // pruning accounting: the election is strictly smaller than the
+    // shard universe, and every hit fell inside an elected shard
+    val cand = Cdx.electShardRange(q2, summary, col("url"), "domain")
+      .head
+    val candIds = cand.getSeq[Int](cand.fieldIndex("candidate_shards"))
+      .toSet
+    assert(cand.getLong(cand.fieldIndex("n_candidate_shards")) < 5,
+      s"a 4-key domain range must not need all 5 shards: $candIds")
+    val hitShards = hits2.select("shard_id").as[Int].collect().toSet
+    assert(hitShards.subsetOf(candIds), s"$hitShards vs $candIds")
+    // unknown matchType refuses; the reserved-column guard catches a
+    // query relation that would collide with spliced columns
+    intercept[IllegalArgumentException] {
+      Cdx.lookupPrefix(sharded, summary, q1, col("url"), "glob")
+    }
+    intercept[IllegalArgumentException] {
+      Cdx.lookupNearest(idx,
+        Seq((1L, "https://a.com/p", "20260401000000"))
+          .toDF("cap_url", "url", "ts"), col("url"), col("ts"))
+    }
+  }
 }
