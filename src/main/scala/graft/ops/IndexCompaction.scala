@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Artifact compaction for the persisted index families (VERDICT r18
+  * #5) — the [[graft.table.Compaction]] posture applied to the
+  * dedup/span/IVF artifacts: retention drops old snapshot DAYS, but
+  * within a day's artifact every [[Dedup.appendToDedupIndex]] /
+  * [[Dedup.appendToSpanIndex]] / [[Similarity.appendToIvfIndex]] save
+  * unions one more batch's partitions into the written relations, so
+  * the file count grows monotonically with append count — after months
+  * of daily cycles a probe's scan pays thousands of small-file opens
+  * for corpus-sized relations that would fit in a handful of
+  * budget-sized files.
+  *
+  * `compact*Index` rewrites the RELATIONAL artifacts of a saved index
+  * in place, preserving everything the load/probe contract depends on:
+  *
+  *   - row sets are untouched (a pure re-bucketing — probe results are
+  *     hash-identical before and after, proven by the spec);
+  *   - hive partition layout survives (`bands` stays partitioned by
+  *     `band`, `assigned` by `cell` — the pruning probes rely on),
+  *     with a per-partition-value salt sizing files to the byte
+  *     budget, exactly the table compactor's salt-width trick;
+  *   - the non-relational sidecars (`params`, `blooms`, `centroids` —
+  *     the generation/params contract) are NOT rewritten: geometry,
+  *     gate filters, and the quantizer era ride through bit-identical.
+  *
+  * A relation already at-or-under its file budget is skipped (no
+  * write amplification on an already-compact artifact). The swap is
+  * delete-then-rename, non-atomic on plain filesystems — same
+  * single-writer caveat as [[graft.table.Compaction]]: run it from
+  * the (single-writer) daily runbook, not concurrently with a
+  * reader of the SAME day's artifact. */
+object IndexCompaction {
+
+  final case class RelationReport(
+      relation: String,
+      filesBefore: Long,
+      filesAfter: Long,
+      bytes: Long,
+      rewritten: Boolean)
+
+  final case class Report(relations: Seq[RelationReport]) {
+    def filesBefore: Long = relations.map(_.filesBefore).sum
+    def filesAfter: Long = relations.map(_.filesAfter).sum
+  }
+
+  /** Compact a [[Dedup.saveDedupIndex]] layout: `fingerprints`,
+    * `sigs` (flat), `bands` (partitioned by `band`, salted on
+    * `corpus_id`). `blooms`/`params` untouched. */
+  def compactDedupIndex(
+      spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Report =
+    Report(Seq(
+      compactRelation(spark, path, "fingerprints", None, "corpus_id",
+        targetBytes),
+      compactRelation(spark, path, "sigs", None, "corpus_id",
+        targetBytes),
+      compactRelation(spark, path, "bands", Some("band"), "corpus_id",
+        targetBytes)))
+
+  /** Compact a [[Dedup.saveSpanIndex]] layout: `windows`, `tokens`,
+    * `dfs` (all flat). `params` untouched. */
+  def compactSpanIndex(
+      spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Report =
+    Report(Seq(
+      compactRelation(spark, path, "windows", None, "corpus_id",
+        targetBytes),
+      compactRelation(spark, path, "tokens", None, "corpus_id",
+        targetBytes),
+      compactRelation(spark, path, "dfs", None, "h", targetBytes)))
+
+  /** Compact a [[Similarity.saveIvfIndex]] layout: `assigned`
+    * (partitioned by `cell`, salted on `vec_id`). `centroids` — the
+    * generation-bearing sidecar — untouched. */
+  def compactIvfIndex(
+      spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Report =
+    Report(Seq(
+      compactRelation(spark, path, "assigned", Some("cell"), "vec_id",
+        targetBytes)))
+
+  /** Rewrite one saved relation directory into ⌈bytes/targetBytes⌉
+    * files (≥1), keeping any hive partition column. Skips (reporting
+    * `rewritten = false`) when the directory is absent or already at
+    * or under budget. */
+  private def compactRelation(
+      spark: SparkSession, root: String, rel: String,
+      partitionCol: Option[String], saltCol: String,
+      targetBytes: Long): RelationReport = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1: $targetBytes")
+    val dir = new Path(s"$root/$rel")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return RelationReport(rel, 0, 0, 0, rewritten = false)
+    def dataFiles: Seq[org.apache.hadoop.fs.FileStatus] = {
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) out += st
+      }
+      walk(dir)
+      out.result()
+    }
+    val before = dataFiles
+    val bytes = before.map(_.getLen).sum
+    val width = math.max(1L,
+      math.ceil(bytes.toDouble / targetBytes).toLong).toInt
+    // a hive-partitioned relation bottoms out at one file per
+    // partition value — the no-op floor must account for it or every
+    // pass would rewrite an already-minimal layout forever
+    val nVals = partitionCol.map { pc =>
+      math.max(1, fs.listStatus(dir).count(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$pc=")))
+    }
+    val floor = math.max(width, nVals.getOrElse(1))
+    if (before.length <= floor)
+      return RelationReport(rel, before.length.toLong,
+        before.length.toLong, bytes, rewritten = false)
+    // partition inference recovers the hive column (band=/cell= dirs)
+    val df = spark.read.parquet(dir.toString)
+    val tmp = new Path(s"$root/.compact_tmp_${rel}_${System.nanoTime()}")
+    partitionCol match {
+      case Some(pc) =>
+        // salt width per partition value so total file count tracks
+        // the byte budget while the pruning layout survives
+        val saltN = math.max(1,
+          math.ceil(width.toDouble / nVals.get).toInt)
+        df.repartition(width, col(pc),
+            pmod(xxhash64(col(saltCol)), lit(saltN.toLong)))
+          .write.partitionBy(pc).parquet(tmp.toString)
+      case None =>
+        df.repartition(width).write.parquet(tmp.toString)
+    }
+    // swap (single-writer; see object doc)
+    fs.delete(dir, true)
+    fs.rename(tmp, dir)
+    RelationReport(rel, before.length.toLong, dataFiles.length.toLong,
+      bytes, rewritten = true)
+  }
+}

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Dedup, Graph, Similarity, TextAnalysis, TrainPrep}
+import graft.ops.{Curation, Dedup, Graph, IndexCompaction, Similarity, TextAnalysis, TrainPrep}
 
 /** The composed daily-refresh runbook (VERDICT r15 #3): one driver call
   * that takes (standing corpus artifacts, day-N batch) through the full
@@ -317,6 +317,12 @@ object DailyRefresh {
     val dedupIdx2 = Dedup.appendToDedupIndex(dedupIdx,
       s5.select(col("doc_id"), col("text")))
     Dedup.saveDedupIndex(dedupIdx2, p(dir, "dedup", day))
+    // compact the just-written artifact (VERDICT r18 #5): each append
+    // save unions one more batch's partitions into the relations, so
+    // the file count grows monotonically across days — the rewrite is
+    // a pure re-bucket (probe results identical; IndexCompactionSpec),
+    // skipped whenever the artifact is already at its budget
+    IndexCompaction.compactDedupIndex(spark, p(dir, "dedup", day))
     // counted, not assumed fpBefore + n5: stage 4 collapses intra-batch
     // exact dups before the survivor set, but near-dup survivors can
     // still share a fingerprint with nothing (the append dedupes
@@ -324,6 +330,7 @@ object DailyRefresh {
     val fpAfter = dedupIdx2.fingerprints.count()
     val spanIdx2 = Dedup.appendToSpanIndex(spanIdx, batch.benchDelta)
     Dedup.saveSpanIndex(spanIdx2, p(dir, "spans", day))
+    IndexCompaction.compactSpanIndex(spark, p(dir, "spans", day))
     val winAfter = spanIdx2.windows.count()
     // append with frozen centroids, then the aging trigger (VERDICT r16
     // #5): a skewed cell balance — the footprint of distribution drift
@@ -337,6 +344,7 @@ object DailyRefresh {
           .join(batch.vecs.select(col("doc_id").as("vec_id"),
             col("embedding")), "vec_id")))
     Similarity.saveIvfIndex(ivf2, p(dir, "ivf", day))
+    IndexCompaction.compactIvfIndex(spark, p(dir, "ivf", day))
     val vecAfter = vecBefore + n5
 
     // ---- stage 7: component-label delta contraction

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, IndexCompaction, Similarity}
+
+/** Artifact compaction for the persisted index families (VERDICT r18
+  * #5): N daily appends grow every saved relation's file count; the
+  * compactor rewrites them into budget-sized files while probe
+  * results stay hash-identical, partition layout survives, sidecars
+  * (params/blooms/centroids — the generation contract) ride through
+  * untouched, and a second pass is a no-op. */
+class IndexCompactionSpec extends SparkSpec {
+
+  private def doc(i: Int): String =
+    s"alpha$i beta${i * 7} gamma${i % 13} delta epsilon$i zeta eta theta " +
+      s"iota kappa lambda${i * 3} mu nu xi omicron pi rho"
+
+  private def docs(ids: Seq[Int], idBase: Long = 0L) = {
+    import spark.implicits._
+    ids.map(i => (idBase + i, doc(i))).toDF("doc_id", "text")
+  }
+
+  test("dedup index: appends grow the artifact, compact bounds the " +
+      "file count, probe results are identical before/after, and a " +
+      "second compact is a no-op") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_dedup").toString
+    var idx = Dedup.buildDedupIndex(docs(0 until 40).repartition(4),
+      expectedCorpusDocs = 1000L)
+    idx = Dedup.appendToDedupIndex(idx,
+      docs(100 until 120, idBase = 1000L).repartition(3))
+    idx = Dedup.appendToDedupIndex(idx,
+      docs(200 until 220, idBase = 2000L).repartition(3))
+    Dedup.saveDedupIndex(idx, dir)
+    // exact copies (of every era), a near-dup, and brand-new docs —
+    // the probe exercises fingerprints, sigs, bands, AND both blooms
+    val probes = docs(0 until 5, idBase = 9000L)
+      .unionByName(docs(110 until 115, idBase = 9100L))
+      .unionByName(docs(210 until 215, idBase = 9200L))
+      .unionByName(docs(500 until 505, idBase = 9500L))
+    def probeResult(ix: Dedup.DedupIndex): Seq[(Long, String)] =
+      Dedup.incrementalDedup(ix, probes, 0.7)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq
+    val before = probeResult(Dedup.loadDedupIndex(spark, dir))
+    assert(before.count(_._2 == "exact") == 15 &&
+      before.count(_._2 == "new") == 5, before.toString)
+    val report = IndexCompaction.compactDedupIndex(spark, dir)
+    assert(report.filesAfter < report.filesBefore, report.toString)
+    // flat relations fit ONE file under the default budget; the
+    // band-partitioned relation keeps one file per band value
+    val byRel = report.relations.map(r => r.relation -> r).toMap
+    assert(byRel("fingerprints").filesAfter == 1, report.toString)
+    assert(byRel("sigs").filesAfter == 1, report.toString)
+    assert(byRel("bands").filesAfter <= 8, report.toString)
+    assert(probeResult(Dedup.loadDedupIndex(spark, dir)) == before,
+      "probe results must be identical after compaction")
+    val again = IndexCompaction.compactDedupIndex(spark, dir)
+    assert(again.relations.forall(!_.rewritten),
+      s"second compact must be a no-op: $again")
+  }
+
+  test("span index: compacted artifact probes identically, files " +
+      "bounded") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_span").toString
+    def long(i: Int): String =
+      (0 until 60).map(t => s"w${(i * 13 + t) % 7}t$t").mkString(" ")
+    import spark.implicits._
+    def sdocs(ids: Seq[Int], base: Long) =
+      ids.map(i => (base + i, long(i))).toDF("doc_id", "text")
+    var sx = Dedup.buildSpanIndex(
+      sdocs(0 until 12, 0L).repartition(4), minTokens = 20)
+    sx = Dedup.appendToSpanIndex(sx,
+      sdocs(100 until 108, 1000L).repartition(3))
+    Dedup.saveSpanIndex(sx, dir)
+    val probes = sdocs(0 until 3, 9000L) // verbatim spans of era 0
+    def res(ix: Dedup.SpanIndex): Seq[String] =
+      Dedup.probeSpanIndex(ix, probes).collect()
+        .map(_.toString).sorted.toSeq
+    val before = res(Dedup.loadSpanIndex(spark, dir))
+    assert(before.nonEmpty)
+    val report = IndexCompaction.compactSpanIndex(spark, dir)
+    assert(report.filesAfter < report.filesBefore, report.toString)
+    assert(report.relations.forall(_.filesAfter <= 1), report.toString)
+    assert(res(Dedup.loadSpanIndex(spark, dir)) == before)
+  }
+
+  test("IVF index: compacted artifact probes identically, cell " +
+      "partition layout and quantizer generation survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_ivf").toString
+    val dim = 8
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => (((i * 31 + j * 7) % 17) - 8).toFloat / 8f)
+    var ivf = Similarity.buildIvfIndex(
+      (0 until 60).map(i => (i.toLong, vec(i)))
+        .toDF("vec_id", "embedding").repartition(4),
+      nCentroids = 4, kmeansIters = 5, seed = 42L)
+    ivf = Similarity.appendToIvfIndex(ivf,
+      (100 until 130).map(i => (i.toLong, vec(i)))
+        .toDF("vec_id", "embedding").repartition(3))
+    val gen0 = ivf.generation
+    Similarity.saveIvfIndex(ivf, dir)
+    val probes = (0 until 10).map(i => (9000L + i, vec(i * 3)))
+      .toDF("batch_id", "embedding")
+    def res(ix: Similarity.IvfIndex): Seq[String] =
+      Similarity.incrementalSemanticDedup(ix, probes, 0.9, nProbes = 2)
+        .collect().map(_.toString).sorted.toSeq
+    val before = res(Similarity.loadIvfIndex(spark, dir))
+    assert(before.nonEmpty)
+    val report = IndexCompaction.compactIvfIndex(spark, dir)
+    assert(report.filesAfter < report.filesBefore, report.toString)
+    val reloaded = Similarity.loadIvfIndex(spark, dir)
+    assert(reloaded.generation == gen0,
+      "the untouched centroids sidecar must preserve the generation")
+    assert(res(reloaded) == before)
+    // the cell partition dirs survive the rewrite (probe pruning
+    // relies on them)
+    val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName).count(_.startsWith("cell="))
+    assert(cellDirs >= 1)
+  }
+}
