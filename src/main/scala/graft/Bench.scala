@@ -230,40 +230,58 @@ private[graft] object BenchLogic {
       .findFirstMatchIn(content.replace("\\\"", "\""))
       .map(m => math.min(m.group(1).toDouble, m.group(2).toDouble))
 
-  /** Box-speed fingerprint check: the SAME fixed calibration kernel ran
-    * on both boxes, so its warm-min ratio is a code-independent measure
-    * of relative box speed (VM hosts differ across boots — a same-HEAD
-    * rerun on a fresh boot measured the fixed probe 1.9× slower and the
-    * suite +29%, which the wrapper/cpu checks cannot see). A baseline
-    * whose probe disagrees by more than `factor` in EITHER direction is
-    * not a like-for-like box; unknown (pre-calib artifact) counts as a
-    * mismatch — the parsePrevCpus ambiguity posture. */
-  def boxComparable(prevCalibMin: Option[Double], curCalibMin: Double,
-      factor: Double = 1.3): Boolean =
-    prevCalibMin.exists { p =>
-      p > 0 && curCalibMin > 0 && {
+  /** Box-speed fingerprint, three-state (ADVICE r18): the SAME fixed
+    * calibration kernel ran on both boxes, so its warm-min ratio is a
+    * code-independent measure of relative box speed (VM hosts differ
+    * across boots — a same-HEAD rerun on a fresh boot measured the
+    * fixed probe 1.9× slower and the suite +29%, which the wrapper/cpu
+    * checks cannot see).
+    *
+    *   - `"match"` — the probes agree within `factor`: like-for-like;
+    *   - `"mismatch"` — the probes DISAGREE: any drift against this
+    *     baseline is PROVED environmental by the artifact's own
+    *     evidence;
+    *   - `"unknown"` — the baseline carries no (usable) calib field:
+    *     could not compare, which is NOT proof of anything. A
+    *     pre-calib baseline must not launder a genuine regression
+    *     into `env_suspect` — the unknown state keeps the fresh-JVM
+    *     recheck in play and is surfaced in the artifact so a
+    *     consumer can tell "could not compare" from "proved
+    *     environmental". */
+  def boxState(prevCalibMin: Option[Double], curCalibMin: Double,
+      factor: Double = 1.3): String =
+    prevCalibMin match {
+      case None => "unknown"
+      case Some(p) if p <= 0 || curCalibMin <= 0 => "unknown"
+      case Some(p) =>
         val r = curCalibMin / p
-        r <= factor && r >= 1.0 / factor
-      }
+        if (r <= factor && r >= 1.0 / factor) "match" else "mismatch"
     }
 
-  /** The subset-band decision table (VERDICT r17 #5), pure for the
-    * spec: an un-flagged band is clean; a flagged band measured under a
-    * DIFFERENT wrapper than its baseline is `env_suspect` BY
-    * CONSTRUCTION (the +15–30% sbt overhead lands exactly in the band
-    * the gate polices — comparing it against a standalone baseline can
-    * only convict the wrapper); a flagged band whose own calibration
-    * probes degraded, or whose baseline was measured on a DIFFERENT-
-    * SPEED box (the probe fingerprint disagrees — [[boxComparable]]),
-    * is `env_suspect` by the artifact's own evidence; only a flagged,
-    * like-for-like, probe-clean band earns the fresh-JVM movers
-    * recheck ("adjudicate" — which a slower BOX would still fail, so
-    * the box check must come first). */
+  /** Two-state view of [[boxState]] for the per-artifact `box_match`
+    * field (strict: only a proven match counts). */
+  def boxComparable(prevCalibMin: Option[Double], curCalibMin: Double,
+      factor: Double = 1.3): Boolean =
+    boxState(prevCalibMin, curCalibMin, factor) == "match"
+
+  /** The subset-band decision table (VERDICT r17 #5 + ADVICE r18),
+    * pure for the spec: an un-flagged band is clean; a flagged band
+    * measured under a DIFFERENT wrapper than its baseline is
+    * `env_suspect` BY CONSTRUCTION (the +15–30% sbt overhead lands
+    * exactly in the band the gate polices); a flagged band whose own
+    * calibration probes degraded, or whose baseline was measured on a
+    * DIFFERENT-SPEED box (probe fingerprint `"mismatch"`), is
+    * `env_suspect` by the artifact's own evidence. A flagged band
+    * with an `"unknown"` box (pre-calib baseline) earns the
+    * fresh-JVM movers recheck just like a proven match — "could not
+    * compare" must not absolve a real regression — with the unknown
+    * state recorded beside the verdict. */
   def subsetAdjudication(
       flagged: Boolean, wrapperMatch: Boolean, mainClean: Boolean,
-      boxMatch: Boolean): String =
+      boxState: String): String =
     if (!flagged) "clean"
-    else if (!wrapperMatch || !mainClean || !boxMatch) "env_suspect"
+    else if (!wrapperMatch || !mainClean || boxState == "mismatch")
+      "env_suspect"
     else "adjudicate"
 
   /** The drift gate only fires on a like-for-like baseline. Unknown
@@ -734,10 +752,14 @@ object Bench {
     // wrapper/cpu fields — per-query and subset drift verdicts against
     // a different-speed box are environmental by this evidence
     val curCalibMin = math.min(calibStart, calibEnd)
-    val boxMatch = BenchLogic.boxComparable(prevCalibMin, curCalibMin)
+    val boxState = BenchLogic.boxState(prevCalibMin, curCalibMin)
+    val boxMatch = boxState == "match"
+    // per-query drift: only a PROVEN box mismatch is environmental
+    // evidence; an unknown (pre-calib) baseline keeps the flags live
+    // (ADVICE r18 — "could not compare" must not absolve a regression)
     val (driftedKept, envSuspect) =
       BenchLogic.adjudicateEnv(drifted.toList,
-        mainClean && (boxMatch || prevQueries.isEmpty))
+        mainClean && (boxState != "mismatch" || prevQueries.isEmpty))
     val jvmEnd = jvmStamp()
 
     // ---- common-subset band gate (VERDICT r15 #2): the per-query 2.5×
@@ -765,7 +787,7 @@ object Bench {
           var recheckJson = "null"
           var moversJson = "[]"
           var verdict = BenchLogic.subsetAdjudication(flagged,
-            wrapperMatch, mainClean, boxMatch) match {
+            wrapperMatch, mainClean, boxState) match {
             // a cross-wrapper, probe-degraded, or cross-box flag is
             // environmental by construction/evidence (VERDICT r17 #5 /
             // r11 #1 / the r18 fresh-boot 1.9× probe) — don't spend a
@@ -799,6 +821,7 @@ object Bench {
             s""""flagged":$flagged,"wrapper_prev":$wPrev,""" +
             s""""wrapper_match":$wrapperMatch,""" +
             s""""box_ratio":$boxRatio,"box_match":$boxMatch,""" +
+            s""""box_state":"$boxState",""" +
             s""""verdict":"$verdict",""" +
             s""""movers":$moversJson,"recheck":$recheckJson}"""
           subsetShortJson =

@@ -173,20 +173,32 @@ object Frontier {
     * sends `If-Modified-Since`, and a 304 answer then costs no body.
     * Pure column concat — the message replays byte-exactly in the
     * oracle; absent validators mint an UNconditional GET, never an
-    * empty header. */
+    * empty header.
+    *
+    * Validator values are scrubbed of control characters before
+    * concatenation (ADVICE r18): the strict header parser never emits
+    * CR/LF inside a value, but a HAND-BUILT frontier artifact could —
+    * and a CR/LF riding a validator would inject extra header lines
+    * into the minted request (request splitting). Field values are
+    * visible chars + SP/HTAB per RFC 9110 §5.5; everything below 0x20
+    * (and DEL) except HTAB is dropped. */
   def mintConditionalGet(
       hostCol: Column, pathCol: Column, etagCol: Column,
-      lastModCol: Column, agent: String): Column =
+      lastModCol: Column, agent: String): Column = {
+    def scrub(c: Column): Column =
+      regexp_replace(c, "[\\x00-\\x08\\x0A-\\x1F\\x7F]", "")
     concat(
       lit("GET "), pathCol, lit(" HTTP/1.1\r\nHost: "), hostCol,
       lit(s"\r\nUser-Agent: $agent\r\nAccept-Encoding: gzip\r\n"),
       when(etagCol.isNotNull,
-        concat(lit("If-None-Match: "), etagCol, lit("\r\n")))
+        concat(lit("If-None-Match: "), scrub(etagCol), lit("\r\n")))
         .otherwise(lit("")),
       when(lastModCol.isNotNull,
-        concat(lit("If-Modified-Since: "), lastModCol, lit("\r\n")))
+        concat(lit("If-Modified-Since: "), scrub(lastModCol),
+          lit("\r\n")))
         .otherwise(lit("")),
       lit("\r\n"))
+  }
 
   /** Per-domain crawl budget — the cap every real frontier applies
     * before scheduling (one domain must not monopolize a cycle): keep

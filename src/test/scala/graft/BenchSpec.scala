@@ -328,24 +328,32 @@ class BenchSpec extends AnyFunSuite {
     assert(BenchLogic.wrapperComparable(Some("standalone"), "standalone"))
     assert(!BenchLogic.wrapperComparable(Some("standalone"), "sbt"))
     assert(!BenchLogic.wrapperComparable(None, "standalone"))
-    // the decision table: 2^4 combos
+    // the decision table (box three-state — ADVICE r18)
     for (wm <- Seq(true, false); mc <- Seq(true, false);
-         bm <- Seq(true, false))
-      assert(BenchLogic.subsetAdjudication(flagged = false, wm, mc, bm)
+         bs <- Seq("match", "mismatch", "unknown"))
+      assert(BenchLogic.subsetAdjudication(flagged = false, wm, mc, bs)
         == "clean")
     assert(BenchLogic.subsetAdjudication(flagged = true,
-      wrapperMatch = true, mainClean = true, boxMatch = true)
+      wrapperMatch = true, mainClean = true, boxState = "match")
       == "adjudicate")
-    for ((wm, mc, bm) <- Seq((false, true, true), (true, false, true),
-        (true, true, false), (false, false, true), (false, true, false),
-        (true, false, false), (false, false, false)))
-      assert(BenchLogic.subsetAdjudication(flagged = true, wm, mc, bm)
+    // unknown box (pre-calib baseline) still earns the recheck:
+    // "could not compare" must not absolve a real regression
+    assert(BenchLogic.subsetAdjudication(flagged = true,
+      wrapperMatch = true, mainClean = true, boxState = "unknown")
+      == "adjudicate")
+    // a PROVEN mismatch is environmental evidence
+    assert(BenchLogic.subsetAdjudication(flagged = true,
+      wrapperMatch = true, mainClean = true, boxState = "mismatch")
+      == "env_suspect")
+    for ((wm, mc) <- Seq((false, true), (true, false), (false, false));
+         bs <- Seq("match", "mismatch", "unknown"))
+      assert(BenchLogic.subsetAdjudication(flagged = true, wm, mc, bs)
         == "env_suspect")
   }
 
   test("box-speed fingerprint: the baseline's calib pair parses, the " +
       "warm-min ratio gates comparability in both directions, unknown " +
-      "is a mismatch") {
+      "is its own state (never a pass, never proof)") {
     // the committed-artifact spelling (calib object right after cpus)
     val art = """{"metric":"total","wrapper":"standalone","cpus":32,""" +
       """"runs":2,"agg":"min","calib":{"start":0.164,"end":0.054},""" +
@@ -365,8 +373,16 @@ class BenchSpec extends AnyFunSuite {
     // baseline's behalf either (the band would read artificially clean
     // elsewhere — symmetry keeps the gate honest)
     assert(!BenchLogic.boxComparable(Some(0.104), 0.054))
-    // unknown / degenerate probes are a mismatch, never a pass
+    // unknown / degenerate probes never PASS the two-state view…
     assert(!BenchLogic.boxComparable(None, 0.05))
     assert(!BenchLogic.boxComparable(Some(0.0), 0.05))
+    // …but the three-state keeps "could not compare" distinct from
+    // "proved environmental" (ADVICE r18)
+    assert(BenchLogic.boxState(Some(0.054), 0.065) == "match")
+    assert(BenchLogic.boxState(Some(0.054), 0.104) == "mismatch")
+    assert(BenchLogic.boxState(Some(0.104), 0.054) == "mismatch")
+    assert(BenchLogic.boxState(None, 0.05) == "unknown")
+    assert(BenchLogic.boxState(Some(0.0), 0.05) == "unknown")
+    assert(BenchLogic.boxState(Some(0.05), 0.0) == "unknown")
   }
 }

@@ -277,4 +277,27 @@ class SitemapsSpec extends SparkSpec {
       ("https://a.com/new", 10L, 2L),
       ("https://b.com/x", 14L, 1L)))
   }
+
+  test("mintConditionalGet scrubs CR/LF (and other ctl chars) from " +
+      "stored validators — a hand-built frontier artifact cannot " +
+      "inject extra header lines into the minted request (ADVICE r18)") {
+    import spark.implicits._
+    val minted = Seq(
+      ("a.com", "/p", "\"tag\r\nX-Evil: 1\"", "Mon, 01 Jan 2026\r\n\r\nGET /"),
+      ("b.com", "/q", "\"ok\tstays\"", null))
+      .toDF("host", "path", "etag", "lm")
+      .select(graft.ops.Frontier.mintConditionalGet(
+        col("host"), col("path"), col("etag"), col("lm"), "graftbot")
+        .as("msg"))
+      .as[String].collect()
+    // injected CR/LF collapsed; the value's visible chars survive
+    assert(minted(0).contains("If-None-Match: \"tagX-Evil: 1\"\r\n"),
+      minted(0))
+    assert(minted(0).contains("If-Modified-Since: Mon, 01 Jan 2026GET /\r\n"))
+    // exactly one blank line (the message terminator) — no split
+    assert(minted(0).split("\r\n\r\n", -1).length == 2, minted(0))
+    // HTAB is a legal field-value char and survives the scrub
+    assert(minted(1).contains("If-None-Match: \"ok\tstays\"\r\n"))
+    assert(!minted(1).contains("If-Modified-Since"))
+  }
 }
