@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.CheckpointRelease
+import org.apache.spark.sql.graftbridge.PartitionedCheckpoint.localCheckpointKeepLayout
 
 /** Connected components over an undirected edge list — the endgame of
   * every near-dup pipeline: pair lists (minhash/simhash/jaccard output)
@@ -42,14 +43,43 @@ object Clusters {
       idB: String = "id_b"): DataFrame = {
     val a = col(idA).cast("long")
     val b = col(idB).cast("long")
-    val edges = pairs.select(a.as("u"), b.as("v"))
+    // pinned v partitioning (r19 optimization round, guide §2.4),
+    // engaged above the node threshold (Graph.copartitionMinNodes): the
+    // symmetrized edge relation is loop-invariant and every round's
+    // neighbor join is v-keyed — partition it ONCE (explicit count so
+    // AQE cannot coalesce it), pre-sort, and record the layout in the
+    // checkpoint (stock localCheckpoint forgets it under AQE) so rounds
+    // move only the node-sized assignment, never the edges; the
+    // assignment is re-pinned on id each round for the same reason.
+    // Below the threshold the assignment is broadcast-sized and AQE's
+    // broadcast rounds (which also never move the edges) are faster.
+    val nShuffle = pairs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val edges0 = pairs.select(a.as("u"), b.as("v"))
       .union(pairs.select(b.as("u"), a.as("v")))
       .distinct()
       .localCheckpoint()
-
-    var assignCp = edges.select(col("u").as("id")).distinct()
+    val assign0 = edges0.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    val pin = assign0.count() >=
+      Graph.copartitionMinNodes(pairs.sparkSession)
+    val edges =
+      if (pin) {
+        val p = localCheckpointKeepLayout(edges0
+          .repartition(nShuffle, col("v"))
+          .sortWithinPartitions(col("v")))
+        CheckpointRelease.release(edges0)
+        p
+      } else edges0
+    var assignCp =
+      if (pin) {
+        val p = localCheckpointKeepLayout(assign0
+          .repartition(nShuffle, col("id"))
+          .sortWithinPartitions(col("id")))
+        CheckpointRelease.release(assign0)
+        p
+      } else assign0
     var assign = assignCp
     var changed = true
     while (changed) {
@@ -63,7 +93,12 @@ object Clusters {
           col("id"),
           col("label").as("old"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("mid"))
-      val jumped = stepped
+      // the pointer jump re-keys on mid, so the round's output loses the
+      // id layout — under `pin`, re-pin it here (one node-sized
+      // exchange) so the NEXT round's neighbor join and step join stay
+      // exchange-free on the assignment side (they would otherwise pay
+      // two exchanges)
+      val jumpedPlan = stepped
         .join(
           assign.select(col("id").as("mid"), col("label").as("jump")),
           Seq("mid"),
@@ -72,7 +107,11 @@ object Clusters {
           col("id"),
           col("old"),
           least(col("mid"), coalesce(col("jump"), col("mid"))).as("label"))
-        .localCheckpoint()
+      val jumped =
+        if (pin) localCheckpointKeepLayout(jumpedPlan
+          .repartition(nShuffle, col("id"))
+          .sortWithinPartitions(col("id")))
+        else localCheckpointKeepLayout(jumpedPlan)
       // fixpoint probe, not a full count — limit(1) short-circuits the
       // scan as soon as one changed label is found
       changed = !jumped.filter(col("label") =!= col("old")).isEmpty

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.CheckpointRelease
+import org.apache.spark.sql.graftbridge.PartitionedCheckpoint.localCheckpointKeepLayout
 
 /** Link-graph centrality for web-corpus curation (the signal behind
   * CommonCrawl-style page ranking: Page, Brin, Motwani, Winograd, "The
@@ -21,6 +22,28 @@ import org.apache.spark.sql.graftbridge.CheckpointRelease
   * fixed-point ladder cannot.
   */
 object Graph {
+
+  /** Node-count threshold above which the iterative operators pin and
+    * RECORD a key partitioning on their loop-invariant relations
+    * (edges, node flags, the evolving vector) so every round's joins
+    * are co-partitioned sort-merge with zero edge movement.
+    *
+    * Below it they keep plain checkpoints and let AQE broadcast the
+    * node-sized vectors — at small n the broadcast-hash rounds are
+    * strictly faster (no per-round sorts, no fixed-width task waves),
+    * and a broadcast round never moves the edge relation either, so
+    * both modes are shuffle-minimal; the crossover is purely the
+    * vector-size regime. The default (4M nodes ≈ tens of MB per
+    * broadcast round, two orders of magnitude under Spark's 8 GB /
+    * 512M-row broadcast cap) is data-derived, not box-derived; at the
+    * 100 TB / billions-of-pages target n ≫ threshold and the pinned
+    * path engages. Override via
+    * `spark.graft.graph.copartitionMinNodes`. Both modes compute
+    * bit-identical integer results (a GraphSpec equality case). */
+  private[ops] def copartitionMinNodes(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.graph.copartitionMinNodes")
+      .map(_.toLong).getOrElse(4000000L)
 
   /** Damped PageRank over a directed edge list, `iters` power
     * iterations in integer millionth fixed-point.
@@ -203,6 +226,47 @@ object Graph {
         "weights before calling")
     val base = (100L - dampingPct) * 1000000L / 100L
 
+    // ---- loop-invariant prep (r19 optimization round, guide §2.4) ----
+    // The loop previously re-joined `deg` to `e` and re-exchanged the
+    // EDGE relation (the big one — at 100 TB |E| ≫ |V|) on every
+    // iteration. Both are loop-invariant: join them ONCE and checkpoint.
+    // Above the node threshold ([[copartitionMinNodes]]) additionally
+    // partition on the join key (explicit count so AQE cannot coalesce
+    // it out from under the later joins), pre-sort within partitions,
+    // and checkpoint with the layout RECORDED (a stock localCheckpoint
+    // under AQE forgets its partitioning — see PartitionedCheckpoint)
+    // — every iteration's src-keyed join then moves only the
+    // node-sized rank vector. Below the threshold the vectors are
+    // broadcast-sized and AQE's broadcast rounds (which also never move
+    // the edges) are faster. Same rows, same integer arithmetic.
+    val pin = n >= copartitionMinNodes(e.sparkSession)
+    val nShuffle = e.sparkSession.conf.get("spark.sql.shuffle.partitions")
+      .toInt
+    val ewPrep = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("w"), col("wdeg"))
+    val ew = if (pin) localCheckpointKeepLayout(ewPrep
+        .repartition(nShuffle, col("src"))
+        .sortWithinPartitions(col("src")))
+      else localCheckpointKeepLayout(ewPrep)
+    // dangling membership is also loop-invariant: a node either has
+    // out-edges or it doesn't. Carrying the flag on the rank vector
+    // turns the per-iteration `r left_anti deg` join (one shuffle of r
+    // + deg per round) into a map-only filtered sum over the already-
+    // checkpointed vector. Σ r over (id ∉ deg.src) ≡ Σ r over ¬__out
+    // because r always carries exactly v's ids. Under `pin` the id
+    // partitioning is pinned and recorded too: the rank vector inherits
+    // it through every iteration's left join, so the per-round
+    // vf ⋈ inflow join never exchanges vf, and the NEXT round's
+    // src-keyed rank join reuses the layout through the id→src alias.
+    val vfPrep = v
+      .join(deg.select(col("src").as("id"), lit(true).as("__out")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__out"), lit(false)).as("__out"))
+    val vf = if (pin) localCheckpointKeepLayout(vfPrep
+        .repartition(nShuffle, col("id"))
+        .sortWithinPartitions(col("id")))
+      else localCheckpointKeepLayout(vfPrep)
+
     // warm start (the daily-ingest posture for ranks): resume the power
     // iteration from a PERSISTED rank vector instead of uniform 1e6 —
     // because one iteration is a pure function of (edges, ranks), k
@@ -276,43 +340,56 @@ object Graph {
           s"initRanks total mass $priorTot would overflow the " +
             "damping multiply — wrong unit or corrupt snapshot, " +
             "refusing to warm-start")
-        v.join(pr, Seq("id"), "left")
-          .select(col("id"),
-            coalesce(col("rank_u"), lit(1000000L)).as("rank_u"))
-          .localCheckpoint()
-      case None => v.withColumn("rank_u", lit(1000000L)).localCheckpoint()
+        localCheckpointKeepLayout(vf.join(pr, Seq("id"), "left")
+          .select(col("id"), col("__out"),
+            coalesce(col("rank_u"), lit(1000000L)).as("rank_u")))
+      case None =>
+        localCheckpointKeepLayout(
+          vf.withColumn("rank_u", lit(1000000L)))
     }
     var i = 0
     while (i < iters) {
       // inflow: rank 'votes' split across out-edges (weighted by the
       // edge multiplicity), summed per target. Partial aggregation
-      // combines map-side before the dst shuffle.
-      val inflow = e
+      // combines map-side before the dst shuffle; the pre-joined,
+      // pre-partitioned `ew` never re-exchanges — only the rank vector
+      // moves.
+      val inflow = ew
         .join(r.select(col("id").as("src"), col("rank_u")), "src")
-        .join(deg, "src")
         .select(col("dst").as("id"),
           expr("(rank_u * w) div wdeg").as("c"))
         .groupBy(col("id"))
         .agg(sum(col("c")).as("inflow"))
-      // dangling mass: nodes with no out-edges donate uniformly.
-      // One-row relation; the crossJoin below broadcasts it.
-      val dangling = r
-        .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+      // dangling mass: nodes with no out-edges donate uniformly. A
+      // map-only filtered sum over the checkpointed vector (the __out
+      // flag replaces the former per-round anti-join); one-row
+      // relation, the crossJoin below broadcasts it.
+      val dangling = r.filter(!col("__out"))
         .agg(coalesce(sum(col("rank_u")), lit(0L)).as("dang"))
-      val next = v
+      val nextPlan = vf
         .join(inflow, Seq("id"), "left")
         .crossJoin(dangling)
         .select(
-          col("id"),
+          col("id"), col("__out"),
           (lit(base) +
             expr(s"($dampingPct * (coalesce(inflow, 0L) + (dang div ${n}L))) div 100"))
             .as("rank_u"))
-        .localCheckpoint()
+      // plan-audit hook (the Explain-tool posture for checkpoint-fenced
+      // loops, whose per-iteration shape never appears in the final
+      // query's explain): GRAFT_GRAPH_EXPLAIN=1 prints the first
+      // iteration's formatted body plan to stderr
+      if (i == 0 && sys.env.contains("GRAFT_GRAPH_EXPLAIN"))
+        System.err.println("[graph-explain] powerIterate iteration body:\n" +
+          nextPlan.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      val next = localCheckpointKeepLayout(nextPlan)
       CheckpointRelease.release(r)
       r = next
       i += 1
     }
-    r
+    CheckpointRelease.release(ew)
+    CheckpointRelease.release(vf)
+    r.select(col("id"), col("rank_u"))
   }
 
   /** Persist a rank vector as the SEVENTH persisted artifact (VERDICT
@@ -414,12 +491,35 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-    val und = dir
+    // pinned src partitioning (r19 optimization round, guide §2.4),
+    // engaged above the node threshold ([[copartitionMinNodes]]): the
+    // symmetrized edge relation is loop-invariant and the per-round
+    // join is src-keyed — partition it ONCE (explicit count so AQE
+    // cannot coalesce it away), pre-sort, and record the layout in the
+    // checkpoint (stock localCheckpoint forgets it under AQE) so every
+    // round moves only the node-sized label vector, never the edges.
+    // The label vector is id-partitioned the same way; each round's
+    // left join preserves that layout, so the only per-round exchange
+    // is the unavoidable dst-keyed neighbor-min aggregation. Below the
+    // threshold the label vector is broadcast-sized and AQE's
+    // broadcast rounds (which also never move the edges) are faster.
+    val pin = v.count() >= copartitionMinNodes(edges.sparkSession)
+    val nShuffle = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val undPrep = dir
       .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+    val und = if (pin) localCheckpointKeepLayout(undPrep
+        .repartition(nShuffle, col("src"))
+        .sortWithinPartitions(col("src")))
+      else localCheckpointKeepLayout(undPrep)
 
-    var lab = v.withColumn("comp", col("id")).localCheckpoint()
+    var lab =
+      if (pin) localCheckpointKeepLayout(
+        v.withColumn("comp", col("id"))
+          .repartition(nShuffle, col("id"))
+          .sortWithinPartitions(col("id")))
+      else localCheckpointKeepLayout(v.withColumn("comp", col("id")))
     var i = 0
     while (i < iters) {
       val nbrMin = und
@@ -427,16 +527,21 @@ object Graph {
         .select(col("dst").as("id"), col("comp"))
         .groupBy(col("id"))
         .agg(min(col("comp")).as("nmin"))
-      val next = lab
+      val nextPlan = lab
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp")))
             .as("comp"))
-        .localCheckpoint()
+      if (i == 0 && sys.env.contains("GRAFT_GRAPH_EXPLAIN"))
+        System.err.println("[graph-explain] connectedComponents round body:\n" +
+          nextPlan.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      val next = localCheckpointKeepLayout(nextPlan)
       CheckpointRelease.release(lab)
       lab = next
       i += 1
     }
+    CheckpointRelease.release(und)
     lab
   }
 
@@ -691,10 +796,39 @@ object Graph {
         "sums would overflow int64; pre-scale scores before calling")
     val scaleUnit = n * 1000000L
 
+    // pinned per-direction edge copies (r19 optimization round, guide
+    // §2.4), engaged above the node threshold ([[copartitionMinNodes]]):
+    // the auth pass joins on src, the hub pass on dst — one
+    // pre-partitioned, pre-sorted, layout-recorded checkpoint per
+    // direction means neither pass ever re-exchanges or re-sorts the
+    // edge relation inside the loop; only the node-sized score vectors
+    // move. The node relation is id-partitioned the same way, and each
+    // pass's left join hands that layout to the next score vector.
+    // Below the threshold the score vectors are broadcast-sized and
+    // AQE's broadcast passes (which also never move the edges) are
+    // faster — the single undirected checkpoint serves both passes.
+    val pin = n >= copartitionMinNodes(e.sparkSession)
+    val nShuffle = e.sparkSession.conf.get("spark.sql.shuffle.partitions")
+      .toInt
+    val eBy =
+      if (pin) Map(
+        "src" -> localCheckpointKeepLayout(e
+          .repartition(nShuffle, col("src"))
+          .sortWithinPartitions(col("src"))),
+        "dst" -> localCheckpointKeepLayout(e
+          .repartition(nShuffle, col("dst"))
+          .sortWithinPartitions(col("dst"))))
+      else Map("src" -> e, "dst" -> e)
+    val vp =
+      if (pin) localCheckpointKeepLayout(v
+        .repartition(nShuffle, col("id"))
+        .sortWithinPartitions(col("id")))
+      else v
+
     // one normalized propagation pass: sum `scores` over `e` keyed by
     // `outKey` into `inKey`, then L1-renormalize to ≈ n·1e6
     def pass(scores: DataFrame, outKey: String, inKey: String): DataFrame = {
-      val raw = e
+      val raw = eBy(outKey)
         .join(scores.select(col("id").as(outKey), col("s")), outKey)
         .select(col(inKey).as("id"), col("s"))
         .groupBy(col("id"))
@@ -703,23 +837,28 @@ object Graph {
         greatest(
           expr(s"coalesce(sum(raw), 0L) div ${scaleUnit}L"), lit(1L))
           .as("scale"))
-      v.join(raw, Seq("id"), "left")
+      vp.join(raw, Seq("id"), "left")
         .crossJoin(total)
         .select(col("id"),
           expr("coalesce(raw, 0L) div scale").as("s"))
     }
 
-    var h = v.withColumn("s", lit(1000000L)).localCheckpoint()
+    var h = localCheckpointKeepLayout(
+      vp.withColumn("s", lit(1000000L)))
     var a = h
     var i = 0
     while (i < iters) {
-      val aNext = pass(h, "src", "dst").localCheckpoint()
+      val aNext = localCheckpointKeepLayout(pass(h, "src", "dst"))
       if (i > 0) CheckpointRelease.release(a)
       a = aNext
-      val hNext = pass(a, "dst", "src").localCheckpoint()
+      val hNext = localCheckpointKeepLayout(pass(a, "dst", "src"))
       CheckpointRelease.release(h)
       h = hNext
       i += 1
+    }
+    if (pin) { // under !pin these ARE v/e, still referenced below
+      eBy.values.foreach(CheckpointRelease.release)
+      CheckpointRelease.release(vp)
     }
     v.join(a.select(col("id"), col("s").as("auth_u")), Seq("id"), "left")
       .join(h.select(col("id"), col("s").as("hub_u")), Seq("id"), "left")
@@ -797,10 +936,6 @@ object Graph {
         "silently vanish; refresh the seed list against the node relation")
 
     // node relation with its teleport weight riding along
-    val v = nodeIds
-      .join(w, Seq("id"), "left")
-      .select(col("id"), coalesce(col("w"), lit(0L)).as("w"))
-      .localCheckpoint()
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -809,8 +944,39 @@ object Graph {
       .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    // loop-invariant prep (r19 optimization round, guide §2.4 — the
+    // powerIterate pattern): pre-join out-degrees onto the edges ONCE,
+    // and ride the dangling membership flag on the node relation so the
+    // per-round anti-join becomes a map-only sum. Above the node
+    // threshold ([[copartitionMinNodes]]) both are pinned and
+    // layout-recorded on their join keys so iterations never
+    // re-exchange or re-sort the edge relation and the rank vector
+    // inherits the id layout through every iteration's left join;
+    // below it AQE's broadcast rounds are faster and also never move
+    // the edges.
+    val nShuffle = e.sparkSession.conf.get("spark.sql.shuffle.partitions")
+      .toInt
+    val v0 = nodeIds
+      .join(w, Seq("id"), "left")
+      .join(deg.select(col("src").as("id"), lit(true).as("__out")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("w"), lit(0L)).as("w"),
+        coalesce(col("__out"), lit(false)).as("__out"))
+      .localCheckpoint()
 
-    val n = v.count()
+    val n = v0.count()
+    val pin = n >= copartitionMinNodes(e.sparkSession)
+    val ewPrep = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+    val ew = if (pin) localCheckpointKeepLayout(ewPrep
+        .repartition(nShuffle, col("src"))
+        .sortWithinPartitions(col("src")))
+      else localCheckpointKeepLayout(ewPrep)
+    val v = if (pin) localCheckpointKeepLayout(v0
+        .repartition(nShuffle, col("id"))
+        .sortWithinPartitions(col("id")))
+      else v0
+    if (pin) CheckpointRelease.release(v0) // superseded by the pinned copy
     require(n > 0, "pageRankSeeded needs at least one node")
     // int64 overflow gate (ADVICE r13): the dangling term multiplies
     // dang ≤ n·1e6 by w ≤ 1e6, exact only for n ≤ ~9.2e6 nodes — past
@@ -822,34 +988,33 @@ object Graph {
         "term (dang*w) would overflow int64; use the documented " +
         "pre-scaled form for larger graphs")
 
-    var r = v.select(col("id"), (lit(n) * col("w")).as("rank_u"))
-      .localCheckpoint()
+    var r = localCheckpointKeepLayout(
+      v.select(col("id"), col("__out"),
+        (lit(n) * col("w")).as("rank_u")))
     var i = 0
     while (i < iters) {
-      val inflow = e
+      val inflow = ew
         .join(r.select(col("id").as("src"), col("rank_u")), "src")
-        .join(deg, "src")
         .select(col("dst").as("id"),
           expr("rank_u div deg").as("c"))
         .groupBy(col("id"))
         .agg(sum(col("c")).as("inflow"))
-      val dangling = r
-        .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+      val dangling = r.filter(!col("__out"))
         .agg(coalesce(sum(col("rank_u")), lit(0L)).as("dang"))
-      val next = v
+      val next = localCheckpointKeepLayout(v
         .join(inflow, Seq("id"), "left")
         .crossJoin(dangling)
         .select(
-          col("id"),
+          col("id"), col("__out"),
           (expr(s"((${100 - dampingPct} * ${n}L * w) div 100)") +
             expr(s"($dampingPct * (coalesce(inflow, 0L)" +
               " + (dang * w) div 1000000)) div 100"))
-            .as("rank_u"))
-        .localCheckpoint()
+            .as("rank_u")))
       CheckpointRelease.release(r)
       r = next
       i += 1
     }
-    r
+    CheckpointRelease.release(ew)
+    r.select(col("id"), col("rank_u"))
   }
 }

@@ -103,6 +103,29 @@ object DailyRefresh {
     }
   }
 
+  /** Run independent Spark jobs from a small driver thread pool (guide
+    * §2.6, r19 optimization round): actions are only sequential because
+    * the driver calls them sequentially — submitting mutually
+    * independent artifact builds concurrently lets one job's straggler
+    * tail back-fill with the next job's tasks. Each thunk's work is
+    * unchanged (same jobs, same writes, same values — only the driver's
+    * call ordering overlaps); failures propagate like the sequential
+    * form (first exception rethrown). Pool size 4: enough overlap to
+    * fill scheduler gaps, not so many that concurrent shuffles fight
+    * for execution memory. */
+  private[pipeline] def inParallel[A](thunks: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, math.max(1, thunks.size)))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = thunks.map(t => Future(t()))
+      fs.map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   /** Build + persist every artifact from the standing corpus — day 0. */
   def coldStart(
       dir: String,
@@ -118,29 +141,35 @@ object DailyRefresh {
       ccIters: Int = 4,
       rankIters: Int = 8,
       minMargin: Long = 500L): Unit = {
-    TextAnalysis.saveStopwordProfile(
-      TextAnalysis.stopwordProfile(corpus), p(dir, "profile", 0))
-    Dedup.saveDedupIndex(
-      Dedup.buildDedupIndex(corpus, expectedCorpusDocs = expectedDocs),
-      p(dir, "dedup", 0))
-    Dedup.saveSpanIndex(
-      Dedup.buildSpanIndex(benchmark, minTokens = minSpanTokens),
-      p(dir, "spans", 0))
-    Similarity.saveIvfIndex(
-      Similarity.buildIvfIndex(corpusVecs, nCentroids, kmeansIters = 2,
-        seed = 42L),
-      p(dir, "ivf", 0))
+    // the eight artifact builds are mutually independent — overlap them
+    // (guide §2.6, r19 optimization round); each build's own jobs,
+    // writes and values are unchanged
     val ids = corpus.select(col("doc_id").as("id"))
-    Graph.saveComponentLabels(
-      Graph.connectedComponents(ids, ccEdges, iters = ccIters),
-      p(dir, "labels", 0))
-    linkEdges.select(col("src").cast("long"), col("dst").cast("long"))
-      .write.mode("overwrite").parquet(p(dir, "edges", 0))
-    Graph.saveRankVector(
-      Graph.pageRank(ids, linkEdges, iters = rankIters),
-      p(dir, "ranks", 0))
-    TrainPrep.savePreferencePairs(
-      minedPairs(promptCands, minMargin), p(dir, "pairs", 0))
+    inParallel(Seq(
+      () => TextAnalysis.saveStopwordProfile(
+        TextAnalysis.stopwordProfile(corpus), p(dir, "profile", 0)),
+      () => Dedup.saveDedupIndex(
+        Dedup.buildDedupIndex(corpus, expectedCorpusDocs = expectedDocs),
+        p(dir, "dedup", 0)),
+      () => Dedup.saveSpanIndex(
+        Dedup.buildSpanIndex(benchmark, minTokens = minSpanTokens),
+        p(dir, "spans", 0)),
+      () => Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(corpusVecs, nCentroids, kmeansIters = 2,
+          seed = 42L),
+        p(dir, "ivf", 0)),
+      () => Graph.saveComponentLabels(
+        Graph.connectedComponents(ids, ccEdges, iters = ccIters),
+        p(dir, "labels", 0)),
+      () => linkEdges.select(col("src").cast("long"),
+          col("dst").cast("long"))
+        .write.mode("overwrite").parquet(p(dir, "edges", 0)),
+      () => Graph.saveRankVector(
+        Graph.pageRank(ids, linkEdges, iters = rankIters),
+        p(dir, "ranks", 0)),
+      () => TrainPrep.savePreferencePairs(
+        minedPairs(promptCands, minMargin), p(dir, "pairs", 0))))
+    ()
   }
 
   private def minedPairs(cands: DataFrame, minMargin: Long): DataFrame =
@@ -183,6 +212,70 @@ object DailyRefresh {
     require(day >= 1, s"day must be >= 1 (day 0 is coldStart), got $day")
     val prev = day - 1
     import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    // guide §2.6 (r19 optimization round): the prev-day artifact loads
+    // + "before" size measures depend only on day N−1, never on the
+    // gate chain — and the post-batch artifact refreshes are mutually
+    // independent once the survivor set is checkpointed. Both groups
+    // run as concurrent driver-submitted jobs; every value and write is
+    // the same as the sequential form's.
+    // daemon threads: an exception mid-run must not leave a non-daemon
+    // pool pinning the JVM open — the pool is shut down on the normal
+    // path and merely idles (daemon, zero work) on the error path
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"daily-refresh-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    def await[A](f: Future[A]): A = Await.result(f, Duration.Inf)
+
+    // prev-day artifact loads + "before" size measures, kicked off
+    // immediately: they read day N−1 only, so they overlap the gate
+    // chain's own jobs instead of serializing between stages. Values
+    // are identical to the sequential form — only WHEN the driver
+    // submits the count jobs changes.
+    val fPolicyN = Future(policy.count())
+    val fRulesN = Future {
+      (if (robotsRules.columns.contains("group_marker"))
+        robotsRules.filter(!coalesce(col("group_marker"), lit(false)))
+      else robotsRules).count()
+    }
+    val fProfile = Future {
+      val pr = TextAnalysis.loadStopwordProfile(spark,
+        p(dir, "profile", prev))
+      (pr, pr.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0))
+    }
+    val fDedup = Future {
+      val ix = Dedup.loadDedupIndex(spark, p(dir, "dedup", prev))
+      (ix, ix.fingerprints.count())
+    }
+    val fSpan = Future {
+      val ix = Dedup.loadSpanIndex(spark, p(dir, "spans", prev))
+      (ix, ix.windows.count())
+    }
+    val fIvf = Future {
+      val ix = Similarity.loadIvfIndex(spark, p(dir, "ivf", prev))
+      (ix, ix.assigned.count())
+    }
+    val fLabels = Future {
+      val l = Graph.loadComponentLabels(spark, p(dir, "labels", prev))
+      (l, l.count())
+    }
+    val fPrior = Future {
+      val r = Graph.loadRankVector(spark, p(dir, "ranks", prev))
+      (r, r.count())
+    }
+    val fPairs = Future {
+      val pr = TrainPrep.loadPreferencePairs(spark, p(dir, "pairs", prev))
+      (pr, pr.count())
+    }
 
     // ---- stage 0: crawl-frontier URL identity (VERDICT r16 #4). The
     // batch's URLs are canonicalized (case, default ports, dot
@@ -230,7 +323,7 @@ object DailyRefresh {
         "fix the batch, don't default")
 
     // ---- stage 1: licence gate
-    val nPolicy = policy.count()
+    val nPolicy = await(fPolicyN)
     val lic = Curation.licenceGate(b0.select(col("doc_id"), col("url")),
       col("doc_id"), col("url"), policy, allowedLicences)
     val s1 = b0.join(lic.filter(col("verdict") === "keep")
@@ -241,9 +334,7 @@ object DailyRefresh {
     // The artifact measure counts RULES — parseRobots also carries
     // group-marker rows (empty-group selection, RFC 9309 §2.2.1),
     // which are group metadata, not rules
-    val nRules = (if (robotsRules.columns.contains("group_marker"))
-      robotsRules.filter(!coalesce(col("group_marker"), lit(false)))
-    else robotsRules).count()
+    val nRules = await(fRulesN)
     val rob = graft.ops.Robots.robotsGate(
         s1.select(col("doc_id"), col("url")), col("doc_id"), col("url"),
         robotsRules, robotsAgent)
@@ -253,10 +344,7 @@ object DailyRefresh {
     val n1b = s1b.count()
 
     // ---- stage 3: MGT battery against the reloaded profile
-    val profile = TextAnalysis.loadStopwordProfile(spark,
-      p(dir, "profile", prev))
-    val profMassBefore = profile.agg(coalesce(sum(col("cnt")), lit(0L)))
-      .head.getLong(0)
+    val (profile, profMassBefore) = await(fProfile)
     val mgt = TextAnalysis.mgtReportWithProfile(
       s1b.select(col("doc_id"), col("text")), profile)
     val s2 = s1b.join(mgt.filter(!col("mgt_suspect")).select("doc_id"),
@@ -270,8 +358,7 @@ object DailyRefresh {
     // (min doc_id keeps; one batch-sized groupBy on the same
     // fingerprint key the index itself stores), and the collapsed
     // copies are attributed as dedup drops in the funnel
-    val dedupIdx = Dedup.loadDedupIndex(spark, p(dir, "dedup", prev))
-    val fpBefore = dedupIdx.fingerprints.count()
+    val (dedupIdx, fpBefore) = await(fDedup)
     val cls = Dedup.incrementalDedup(dedupIdx,
       s2.select(col("doc_id"), col("text")), nearThreshold)
     val s3pre = s2.join(cls.filter(col("cls") === "new")
@@ -284,8 +371,7 @@ object DailyRefresh {
     val n3 = s3.count()
 
     // ---- stage 5: span decontamination against the reloaded index
-    val spanIdx = Dedup.loadSpanIndex(spark, p(dir, "spans", prev))
-    val winBefore = spanIdx.windows.count()
+    val (spanIdx, winBefore) = await(fSpan)
     val hits = Dedup.probeSpanIndex(spanIdx,
         s3.select(col("doc_id"), col("text")))
       .select(col("id_b").as("doc_id")).distinct()
@@ -293,8 +379,7 @@ object DailyRefresh {
     val n4 = s4.count()
 
     // ---- stage 6: semantic dedup against the reloaded IVF index
-    val ivf = Similarity.loadIvfIndex(spark, p(dir, "ivf", prev))
-    val vecBefore = ivf.assigned.count()
+    val (ivf, vecBefore) = await(fIvf)
     val s4vecs = s4.select(col("doc_id"))
       .join(batch.vecs.select(col("doc_id"), col("embedding")), "doc_id")
       .select(col("doc_id").as("batch_id"), col("embedding"))
@@ -307,77 +392,103 @@ object DailyRefresh {
     // ---- post-batch refresh: content artifacts absorb the survivors.
     // Size measures come from the in-memory appended relations (the
     // same inputs the save scans) — never a re-read of the artifact
-    // that was just written
-    val refreshedProfile =
-      TextAnalysis.appendStopwordProfile(profile, s5.select("text"))
-    TextAnalysis.saveStopwordProfile(refreshedProfile,
-      p(dir, "profile", day))
-    val profMassAfter = refreshedProfile
-      .agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
-    val dedupIdx2 = Dedup.appendToDedupIndex(dedupIdx,
-      s5.select(col("doc_id"), col("text")))
-    Dedup.saveDedupIndex(dedupIdx2, p(dir, "dedup", day))
-    // compact the just-written artifact (VERDICT r18 #5): each append
-    // save unions one more batch's partitions into the relations, so
-    // the file count grows monotonically across days — the rewrite is
-    // a pure re-bucket (probe results identical; IndexCompactionSpec),
-    // skipped whenever the artifact is already at its budget
-    IndexCompaction.compactDedupIndex(spark, p(dir, "dedup", day))
-    // counted, not assumed fpBefore + n5: stage 4 collapses intra-batch
-    // exact dups before the survivor set, but near-dup survivors can
-    // still share a fingerprint with nothing (the append dedupes
-    // defensively) — the metric must report the artifact
-    val fpAfter = dedupIdx2.fingerprints.count()
-    val spanIdx2 = Dedup.appendToSpanIndex(spanIdx, batch.benchDelta)
-    Dedup.saveSpanIndex(spanIdx2, p(dir, "spans", day))
-    IndexCompaction.compactSpanIndex(spark, p(dir, "spans", day))
-    val winAfter = spanIdx2.windows.count()
-    // append with frozen centroids, then the aging trigger (VERDICT r16
-    // #5): a skewed cell balance — the footprint of distribution drift
-    // accumulating against a frozen quantizer — retrains the coarse
-    // quantizer from the index's own vectors and bumps its generation;
-    // below the trigger the append stays cheap. Vector count is
-    // invariant either way, so the funnel's artifact measure is too.
-    val (ivf2, _) = Similarity.maybeRebalanceIvfIndex(
-      Similarity.appendToIvfIndex(ivf,
-        s5.select(col("doc_id").as("vec_id"))
-          .join(batch.vecs.select(col("doc_id").as("vec_id"),
-            col("embedding")), "vec_id")))
-    Similarity.saveIvfIndex(ivf2, p(dir, "ivf", day))
-    IndexCompaction.compactIvfIndex(spark, p(dir, "ivf", day))
+    // that was just written. The six refresh lanes (profile, dedup,
+    // spans, ivf, labels→ranks, pairs) are mutually independent once
+    // s5 is checkpointed — they run concurrently (guide §2.6); the
+    // label→rank chain stays ordered inside its own lane. The three
+    // remaining prev-day loads are awaited on the MAIN thread first so
+    // a dependent lane can never block a pool thread on an unstarted
+    // future.
+    val (labels, labBefore) = await(fLabels)
+    val (prior, rankBefore) = await(fPrior)
+    val (pairs, pairsBefore) = await(fPairs)
+
+    val fProfileLane = Future {
+      val refreshedProfile =
+        TextAnalysis.appendStopwordProfile(profile, s5.select("text"))
+      TextAnalysis.saveStopwordProfile(refreshedProfile,
+        p(dir, "profile", day))
+      refreshedProfile.agg(coalesce(sum(col("cnt")), lit(0L)))
+        .head.getLong(0)
+    }
+    val fDedupLane = Future {
+      val dedupIdx2 = Dedup.appendToDedupIndex(dedupIdx,
+        s5.select(col("doc_id"), col("text")))
+      Dedup.saveDedupIndex(dedupIdx2, p(dir, "dedup", day))
+      // compact the just-written artifact (VERDICT r18 #5): each append
+      // save unions one more batch's partitions into the relations, so
+      // the file count grows monotonically across days — the rewrite is
+      // a pure re-bucket (probe results identical; IndexCompactionSpec),
+      // skipped whenever the artifact is already at its budget
+      IndexCompaction.compactDedupIndex(spark, p(dir, "dedup", day))
+      // counted, not assumed fpBefore + n5: stage 4 collapses
+      // intra-batch exact dups before the survivor set, but near-dup
+      // survivors can still share a fingerprint with nothing (the
+      // append dedupes defensively) — the metric must report the
+      // artifact
+      dedupIdx2.fingerprints.count()
+    }
+    val fSpanLane = Future {
+      val spanIdx2 = Dedup.appendToSpanIndex(spanIdx, batch.benchDelta)
+      Dedup.saveSpanIndex(spanIdx2, p(dir, "spans", day))
+      IndexCompaction.compactSpanIndex(spark, p(dir, "spans", day))
+      spanIdx2.windows.count()
+    }
+    val fIvfLane = Future {
+      // append with frozen centroids, then the aging trigger (VERDICT
+      // r16 #5): a skewed cell balance — the footprint of distribution
+      // drift accumulating against a frozen quantizer — retrains the
+      // coarse quantizer from the index's own vectors and bumps its
+      // generation; below the trigger the append stays cheap. Vector
+      // count is invariant either way, so the funnel's artifact
+      // measure is too.
+      val (ivf2, _) = Similarity.maybeRebalanceIvfIndex(
+        Similarity.appendToIvfIndex(ivf,
+          s5.select(col("doc_id").as("vec_id"))
+            .join(batch.vecs.select(col("doc_id").as("vec_id"),
+              col("embedding")), "vec_id")))
+      Similarity.saveIvfIndex(ivf2, p(dir, "ivf", day))
+      IndexCompaction.compactIvfIndex(spark, p(dir, "ivf", day))
+    }
+    val fGraphLane = Future {
+      // ---- stage 7: component-label delta contraction
+      val labels2 = Graph.connectedComponentsDelta(labels,
+        batch.edgesDelta, iters = ccIters)
+      Graph.saveComponentLabels(labels2, p(dir, "labels", day))
+      val labAfter = labels2.count()
+      // ---- stage 8: rank warm restart over the appended edge relation
+      val allEdges = spark.read.parquet(p(dir, "edges", prev))
+        .unionByName(batch.edgesDelta
+          .select(col("src").cast("long"), col("dst").cast("long")))
+      allEdges.write.mode("overwrite").parquet(p(dir, "edges", day))
+      val nodes = labels2.select(col("id"))
+      val ranks2 = Graph.pageRank(nodes, allEdges, iters = warmRankIters,
+        initRanks = Some(prior))
+      Graph.saveRankVector(ranks2, p(dir, "ranks", day))
+      (labAfter, ranks2.count())
+    }
+    val fPairsLane = Future {
+      // ---- stage 9: preference-pair mining + append
+      val nPrompts = batch.promptCands.select(col("prompt_id"))
+        .distinct().count()
+      val mined = minedPairs(batch.promptCands, minMargin)
+        .localCheckpoint()
+      val nMined = mined.count()
+      TrainPrep.savePreferencePairs(
+        TrainPrep.appendPreferencePairs(pairs, mined),
+        p(dir, "pairs", day))
+      (nPrompts, nMined)
+    }
+
+    val profMassAfter = await(fProfileLane)
+    val fpAfter = await(fDedupLane)
+    val winAfter = await(fSpanLane)
+    await(fIvfLane)
     val vecAfter = vecBefore + n5
-
-    // ---- stage 7: component-label delta contraction
-    val labels = Graph.loadComponentLabels(spark, p(dir, "labels", prev))
-    val labBefore = labels.count()
-    val labels2 = Graph.connectedComponentsDelta(labels,
-      batch.edgesDelta, iters = ccIters)
-    Graph.saveComponentLabels(labels2, p(dir, "labels", day))
-    val labAfter = labels2.count()
-
-    // ---- stage 8: rank warm restart over the appended edge relation
-    val prior = Graph.loadRankVector(spark, p(dir, "ranks", prev))
-    val rankBefore = prior.count()
-    val allEdges = spark.read.parquet(p(dir, "edges", prev))
-      .unionByName(batch.edgesDelta
-        .select(col("src").cast("long"), col("dst").cast("long")))
-    allEdges.write.mode("overwrite").parquet(p(dir, "edges", day))
-    val nodes = labels2.select(col("id"))
-    val ranks2 = Graph.pageRank(nodes, allEdges, iters = warmRankIters,
-      initRanks = Some(prior))
-    Graph.saveRankVector(ranks2, p(dir, "ranks", day))
-    val rankAfter = ranks2.count()
-
-    // ---- stage 9: preference-pair mining + append
-    val pairs = TrainPrep.loadPreferencePairs(spark, p(dir, "pairs", prev))
-    val pairsBefore = pairs.count()
-    val nPrompts = batch.promptCands.select(col("prompt_id")).distinct()
-      .count()
-    val mined = minedPairs(batch.promptCands, minMargin).localCheckpoint()
-    val nMined = mined.count()
-    TrainPrep.savePreferencePairs(
-      TrainPrep.appendPreferencePairs(pairs, mined), p(dir, "pairs", day))
+    val (labAfter, rankAfter) = await(fGraphLane)
+    val (nPrompts, nMined) = await(fPairsLane)
     val pairsAfter = pairsBefore + nMined
+    pool.shutdown()
 
     Seq(
       (0L, "frontier", nRaw, nRaw - nIn, nIn, 0L, 0L),

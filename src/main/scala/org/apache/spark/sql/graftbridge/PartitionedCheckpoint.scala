@@ -1,0 +1,84 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.plans.logical.Statistics
+import org.apache.spark.sql.catalyst.plans.logical.statsEstimation.EstimationUtils
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection}
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** `Dataset.localCheckpoint()` records the physical plan's
+  * `outputPartitioning`/`outputOrdering` in the resulting `LogicalRDD`
+  * so that downstream same-key operations can skip the exchange — but
+  * with AQE enabled the plan it asks is the *unexecuted*
+  * `AdaptiveSparkPlanExec`, whose `outputPartitioning` is the SparkPlan
+  * default `UnknownPartitioning(0)`. Every checkpoint therefore FORGETS
+  * its layout, and an iterative operator (PageRank, connected
+  * components) that carefully co-partitions its loop-invariant edge
+  * relation still re-exchanges it on every round (observed in the
+  * captured iteration-body plans: `Scan ExistingRDD ...
+  * UnknownPartitioning(0)` under `Exchange hashpartitioning(src)`).
+  *
+  * [[localCheckpointKeepLayout]] is `localCheckpoint` with that hole
+  * closed: it materializes the RDD exactly like `Dataset.checkpoint`
+  * (same `execute().map(_.copy())`, same eager count, same block
+  * manager pinning — [[CheckpointRelease.release]] frees it), then
+  * reads partitioning/ordering from the **final, executed** adaptive
+  * plan, which is fully known by then. Nothing about the data changes —
+  * only truthful layout metadata the planner was entitled to all along.
+  * This bridge lives in the `org.apache.spark.sql` package solely to
+  * reach `LogicalRDD`, `Dataset.ofRows` and
+  * `AdaptiveSparkPlanExec.finalPhysicalPlan`. */
+object PartitionedCheckpoint {
+
+  /** Takes the first leaf whenever the partitioning is a
+    * `PartitioningCollection` — the same normalization
+    * `Dataset.checkpoint`/`LogicalRDD.fromDataset` apply, for the same
+    * reason (collections grow with every join in the lineage). */
+  private def firstLeafPartitioning(p: Partitioning): Partitioning =
+    p match {
+      case c: PartitioningCollection =>
+        firstLeafPartitioning(c.partitionings.head)
+      case other => other
+    }
+
+  /** Local-checkpoint `df` eagerly, preserving the executed plan's
+    * output partitioning and ordering in the checkpoint scan. Rows,
+    * schema and values are identical to `df.localCheckpoint()`. */
+  def localCheckpointKeepLayout(df: DataFrame): DataFrame = {
+    val cds = df.asInstanceOf[ClassicDataset[Row]]
+    val session = cds.sparkSession
+    val qe = cds.queryExecution
+    // same materialization as Dataset.checkpoint: unsafe rows are
+    // buffer-reused, so copy before pinning
+    val rdd = qe.executedPlan.execute().map(_.copy())
+    rdd.setName(s"graft checkpoint (keep-layout) ${rdd.id}")
+    rdd.localCheckpoint()
+    val rows = rdd.count() // eager materializer; exact for stats below
+    // the final plan exists only AFTER execution — that is the whole
+    // point: Dataset.checkpoint asks before, and gets Unknown
+    val finalPlan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.finalPhysicalPlan
+      case p => p
+    }
+    val partitioning = firstLeafPartitioning(finalPlan.outputPartitioning)
+    val ordering = finalPlan.outputOrdering
+    // stats: the row count is EXACT after materialization — record it
+    // (rows × schema width) instead of the origin plan's estimate. A
+    // stock localCheckpoint propagates the pre-execution estimate,
+    // which for join outputs is a multiplied guess, so a genuinely
+    // broadcast-sized checkpoint is often planned sort-merge and a
+    // too-big one can be planned broadcast. Constraints ride along as
+    // in LogicalRDD.fromDataset.
+    val logical = cds.logicalPlan
+    val stats = Statistics(
+      sizeInBytes = BigInt(rows) *
+        EstimationUtils.getSizePerRow(logical.output),
+      rowCount = Some(BigInt(rows)))
+    ClassicDataset.ofRows(session,
+      LogicalRDD(logical.output, rdd, partitioning, ordering,
+        isStreaming = false, None)(session, Some(stats),
+        Some(logical.constraints)))
+  }
+}

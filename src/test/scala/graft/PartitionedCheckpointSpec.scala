@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.graftbridge.PartitionedCheckpoint.localCheckpointKeepLayout
+
+/** The layout-recording local checkpoint (r19 optimization round) and
+  * the scale-adaptive co-partition pin it enables in the iterative
+  * graph operators. The bridge exists because a stock
+  * `localCheckpoint()` under AQE records `UnknownPartitioning` — the
+  * loop-invariant edge relation then re-exchanges every iteration even
+  * when it was explicitly repartitioned on the join key. */
+class PartitionedCheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def logicalRdd(df: org.apache.spark.sql.DataFrame): LogicalRDD =
+    df.queryExecution.logical match {
+      case l: LogicalRDD => l
+      case other => fail(s"expected a LogicalRDD scan, got $other")
+    }
+
+  test("keep-layout checkpoint records hash partitioning and ordering " +
+    "where a stock localCheckpoint records Unknown") {
+    val df = (0L until 100L).toDF("id")
+      .withColumn("v", col("id") * 2)
+      .repartition(4, col("id"))
+      .sortWithinPartitions(col("id"))
+    val stock = logicalRdd(df.localCheckpoint())
+    assert(stock.outputPartitioning.toString.contains("Unknown"),
+      s"premise: stock checkpoint under AQE forgets layout, " +
+        s"got ${stock.outputPartitioning}")
+    val kept = logicalRdd(localCheckpointKeepLayout(df))
+    kept.outputPartitioning match {
+      case h: HashPartitioning =>
+        assert(h.numPartitions === 4)
+        assert(h.expressions.map(_.toString).exists(_.contains("id")))
+      case other => fail(s"expected HashPartitioning, got $other")
+    }
+    assert(kept.outputOrdering.nonEmpty, "ordering must be recorded")
+  }
+
+  test("keep-layout checkpoint preserves rows, schema and values " +
+    "exactly (same data as a stock localCheckpoint)") {
+    val df = (0L until 257L).toDF("id")
+      .withColumn("s", concat(lit("x"), col("id")))
+      .repartition(5, col("id"))
+    val got = localCheckpointKeepLayout(df).orderBy("id").collect()
+    val want = df.orderBy("id").collect()
+    assert(got.sameElements(want))
+  }
+
+  test("a same-key join over a keep-layout checkpoint plans no " +
+    "exchange on the checkpointed side") {
+    val big = (0L until 500L).toDF("k")
+      .withColumn("payload", col("k") * 7)
+      .repartition(4, col("k"))
+      .sortWithinPartitions(col("k"))
+    val pinned = localCheckpointKeepLayout(big)
+    // force a non-broadcast join so the exchange question is real
+    val other = (0L until 500L).toDF("k").withColumn("r", col("k") + 1)
+    val joined = pinned.hint("merge").join(other, "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    // the pinned side must feed the SMJ without an Exchange between the
+    // scan and the join; the other side must have one
+    val scanLine = plan.linesIterator
+      .find(_.contains("graft checkpoint (keep-layout)"))
+    assert(scanLine.isDefined, s"checkpoint scan not found in:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges === 1,
+      s"expected exactly 1 exchange (the non-pinned side), got " +
+        s"$exchanges in:\n$plan")
+  }
+
+  /** Both co-partition modes of every iterative graph operator must be
+    * bit-identical — the pin threshold may only change plan shape,
+    * never a single rank/label bit. */
+  test("graph operators: pinned co-partition mode equals broadcast " +
+    "mode bit-for-bit") {
+    val n = 300L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n * 3).toDF("x").selectExpr(
+      s"pmod(xxhash64(x), ${n}L) as src",
+      s"pmod(xxhash64(x + 7919), ${n}L) as dst")
+    val seeds = (0L until 5L).toDF("id").withColumn("w_u", lit(100000L))
+    def runAll(): Seq[Array[org.apache.spark.sql.Row]] = Seq(
+      graft.ops.Graph.pageRank(nodes, edges, iters = 3)
+        .orderBy("id").collect(),
+      graft.ops.Graph.connectedComponents(nodes, edges, iters = 3)
+        .orderBy("id").collect(),
+      graft.ops.Clusters.connectedComponents(
+        edges.filter(col("src") =!= col("dst")).toDF("id_a", "id_b"))
+        .orderBy("id").collect(),
+      graft.ops.Graph.hits(nodes, edges, iters = 2)
+        .orderBy("id").collect(),
+      graft.ops.Graph.pageRankSeeded(nodes, edges, seeds, iters = 2)
+        .orderBy("id").collect())
+    val conf = "spark.graft.graph.copartitionMinNodes"
+    val saved = spark.conf.getOption(conf)
+    try {
+      spark.conf.set(conf, "999999999") // broadcast mode
+      val off = runAll()
+      spark.conf.set(conf, "1") // pinned co-partition mode
+      val on = runAll()
+      off.zip(on).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a.sameElements(b), s"operator #$i differs between modes")
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
+    }
+  }
+}
