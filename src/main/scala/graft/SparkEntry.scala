@@ -21,6 +21,23 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fence an expensive narrow pipeline before its final presentation
+    * sort (r19 optimization round, guide §2.4/§7.2): a global orderBy
+    * plans an `Exchange rangepartitioning` whose partitioner SAMPLES
+    * its child to pick the range bounds — so a sort whose child has no
+    * shuffle of its own recomputes the entire per-row pipeline TWICE
+    * (measured: q17's map-only report 0.93 s sorted vs 0.29 s unsorted,
+    * 0.50 s fenced; q53 7.7 s → 4.6 s). The localCheckpoint
+    * materializes the pipeline once and the sampling pass reads cached
+    * rows. Same rows, same values, same output order — only the
+    * double computation goes. Applied where the pre-sort pipeline is
+    * measurably expensive; cheap or already-shuffled children keep the
+    * plain orderBy (the checkpoint would be pure overhead there). */
+  private implicit class FencedSortOps(private val df: DataFrame) {
+    def fencedSort(cols: Column*): DataFrame =
+      df.localCheckpoint().orderBy(cols: _*)
+  }
+
   /** Fixture timestamp variance is part of the driver contract: the
     * generator has shipped `ts` as TIMESTAMP(NANOS) (Spark's reader
     * rejects it unless nanos surface as Long — SPARK-40819; integer
@@ -124,7 +141,7 @@ object SparkEntry {
     ev.select(to_csv(struct(ev.columns.map(col).toIndexedSeq: _*), opts.asJava).as("line"))
       .select(from_csv(col("line"), ev.schema, opts).as("r"))
       .select(col("r.*"))
-      .orderBy(col("event_id"))
+      .fencedSort(col("event_id"))
   }
 
   // ---------------------------------------------------------------------
@@ -243,7 +260,7 @@ object SparkEntry {
   /** Per-document text analysis: token/stopword/punct counts, quality
     * score, n-gram-heuristic language ID, md5 fingerprint. */
   private def qTextReport(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.report(t(s, d, "documents")).orderBy(col("doc_id"))
+    TextAnalysis.report(t(s, d, "documents")).fencedSort(col("doc_id"))
 
   /** Corpus token statistics per source (scale shape: map-side token
     * counting, one partial-agg shuffle over the group key). */
@@ -701,7 +718,7 @@ object SparkEntry {
       size(TextAnalysis.tokens(col("text"))).as("n_ws"),
       size(TextAnalysis.tokensUnicode(col("text"))).as("n_uni"),
       element_at(TextAnalysis.tokensUnicode(col("text")), -1).as("last_token"))
-      .orderBy(col("doc_id"))
+      .fencedSort(col("doc_id"))
   }
 
   /** CUBE aggregation (all grouping-set combinations). */
@@ -1338,7 +1355,7 @@ object SparkEntry {
       rank = TextAnalysis.qualityScore(col("text")),
       weight = TextAnalysis.tokenCount(col("text")),
       budgets = budgets)
-      .orderBy(col("source"), col("doc_id"))
+      .fencedSort(col("source"), col("doc_id"))
   }
 
   /** Perceptual video near-dup via the temporal gradient hash — q82's
@@ -2079,7 +2096,7 @@ object SparkEntry {
       when(allVocab, nUni === size(toks))
         .otherwise(nUni >= nWords && nUni <= length(col("text")))
         .as("uni_ok"))
-      .orderBy(col("doc_id"))
+      .fencedSort(col("doc_id"))
   }
 
   /** Fixed vocabulary queries for q116 — shared by the Spark query and
@@ -2938,7 +2955,7 @@ object SparkEntry {
         col("n_emails"), col("n_phones"), col("n_ipv4"), col("n_ipv6"),
         col("n_cards"), col("n_cards_valid"), col("n_aws_keys"),
         col("n_bearer"), col("n_pem"), col("scrubbed"))
-      .orderBy(col("doc_id"))
+      .fencedSort(col("doc_id"))
   }
 
   /** Domain-boilerplate stripping (q143):
@@ -3559,7 +3576,7 @@ object SparkEntry {
     graft.ops.TrainPrep.spanCorrupt(
         t(s, d, "documents").select(col("doc_id"), col("text")),
         col("doc_id"), col("text"))
-      .orderBy(col("doc_id"))
+      .fencedSort(col("doc_id"))
 
   /** Packing attention spans (q161): [[graft.ops.TextAnalysis
     * .packAttentionSpans]] — the block-diagonal attention boundaries
@@ -3667,7 +3684,7 @@ object SparkEntry {
         nCjk.as("n_cjk"), nScripts.as("n_scripts"),
         (nScripts >= 2L).as("mixed"),
         (nCyr > 0L && nLatin > 0L).as("confusable"))
-      .orderBy(id)
+      .fencedSort(id)
   }
 
   /** The weighted link mint (q165): the q150 slots, each carrying an
@@ -3808,7 +3825,7 @@ object SparkEntry {
         col("chosen_ok"), col("rejected_ok"), col("prompt_match"),
         col("branches_differ"), col("keep"), col("violation"),
         col("text_chosen"), col("text_rejected"))
-      .orderBy(col("pair_id"))
+      .fencedSort(col("pair_id"))
 
   /** Tokenizer fertility audit (q168): tokens-per-word and
     * bytes-per-token by DETECTED language × token mode — the standard
@@ -4254,7 +4271,7 @@ object SparkEntry {
         col("stop_total"), col("off_stop"), col("skew_bp"),
         col("burst_flag"), col("template_flag"), col("skew_flag"),
         col("mgt_suspect"))
-      .orderBy(col("doc_id"))
+      .fencedSort(col("doc_id"))
   }
 
   /** Licence/allowlist domain gate (q176): [[graft.ops.Curation
@@ -4848,7 +4865,7 @@ object SparkEntry {
       when(allVocab, nBpe === size(toks))
         .otherwise(nBpe >= nWords && nBpe <= length(col("text")))
         .as("bpe_ok"))
-      .orderBy(col("doc_id"))
+      .fencedSort(col("doc_id"))
   }
 
   /** Per-label embedding centroids: posexplode to (label, dim, value),
@@ -5049,7 +5066,7 @@ object SparkEntry {
           col("n_tokens").between(20, 95))
       .join(dupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_guess"))
-      .orderBy(col("doc_id"))
+      .fencedSort(col("doc_id"))
   }
 
   /** Sketched quantiles (`approx_percentile`, Greenwald-Khanna): the
@@ -5453,7 +5470,7 @@ object SparkEntry {
         col("n_phones").cast("long").as("n_phones"),
         length(col("scrubbed")).cast("long").as("n_chars_scrubbed"),
         substring(col("scrubbed"), -40, 40).as("tail_scrubbed"))
-      .orderBy(col("doc_id"))
+      .fencedSort(col("doc_id"))
   }
 
   /** Soft dedup: near-dup clusters (jaccard ≥ 0.8 → CC) weight each doc
@@ -5987,7 +6004,7 @@ object SparkEntry {
         lit(-1).as("decoded_h"), lit("n/a").as("png_sig"),
         size(filter(split(col("body_text"), " "), w => w =!= ""))
           .cast("long").as("n_tok"))
-    imgLane.unionByName(txtLane).orderBy(col("doc_id"))
+    imgLane.unionByName(txtLane).fencedSort(col("doc_id"))
   }
 
   /** HTTP Content-Encoding + charset sniff (q193): gzip AND deflate
@@ -6454,7 +6471,7 @@ object SparkEntry {
     graft.ops.Sitemaps.discoverSeeds(
         level0.select(col("domain"), col("sitemap_url"), col("xml")),
         col("domain"), col("sitemap_url"), col("xml"), fetch)
-      .orderBy(col("domain"), col("via"), col("seed_url"))
+      .fencedSort(col("domain"), col("via"), col("seed_url"))
   }
 
   /** Politeness-queue fetch schedule (q200): the crawl-delay relation
@@ -6884,7 +6901,7 @@ object SparkEntry {
       .select(col("doc_id"), col("link_order"), col("target"),
         col("anchor"), col("rel_nofollow"),
         (!col("rel_nofollow") && !col("page_nofollow")).as("followed"))
-      .orderBy(col("doc_id"), col("link_order"))
+      .fencedSort(col("doc_id"), col("link_order"))
   }
 
   /** WARC→WET conversion (q207): the derived-text sibling format every
@@ -7743,7 +7760,7 @@ object SparkEntry {
     graft.ops.TrainPrep.refusalReportWith(lanes, col("t"),
         graft.ops.TrainPrep.loadRefusalInventory(s, invDir))
       .drop("t")
-      .orderBy(col("doc_id"), col("lane"))
+      .fencedSort(col("doc_id"), col("lane"))
   }
 
   /** Cross-modal (image, caption) pair audit (q187, VERDICT r15 #5):

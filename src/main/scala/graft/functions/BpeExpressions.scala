@@ -121,6 +121,24 @@ object Bpe {
       .as[(Seq[String], Long)]
       .map { case (s, f) => (s.toArray, f) }
       .localCheckpoint(true)
+    // Adaptive driver path (r19 optimization round, guide §1.2/§5):
+    // each distributed merge round is one tiny cluster job (agg +
+    // partial top-1), so `numMerges` rounds pay `numMerges` job-launch
+    // latencies even when the counted vocab is a few thousand rows.
+    // When the vocab fits the documented driver bound, ONE bounded
+    // collect + the driver twin [[train]] — the same algorithm under
+    // the same (count desc, code-point lex asc) total order, proven
+    // equal in `FunctionsSpec` — produces identical merges with zero
+    // per-round jobs. Above the bound (a corpus whose distinct piece
+    // vocabulary exceeds driver memory — the 100 TB posture) the
+    // distributed loop below is unchanged.
+    val driverMax = sess.conf
+      .getOption("spark.graft.bpe.driverTrainMaxVocab")
+      .map(_.toLong).getOrElse(1L << 20)
+    if (vocab.count() <= driverMax)
+      return train(
+        vocab.collect().toSeq.map { case (a, f) => (a.toSeq, f) },
+        numMerges)
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
     var it = 0
     var done = false

@@ -416,6 +416,20 @@ object Unigram {
       .select(col("word").cast("string"), col("freq").cast("long"))
       .as[(String, Long)]
       .localCheckpoint(true)
+    // Adaptive driver path (r19 optimization round, guide §1.2/§5):
+    // every EM round and every prune round is a cluster job whose
+    // launch latency dwarfs the lattice work when the counted vocab is
+    // small; under the documented driver bound ONE bounded collect +
+    // the driver twin [[train]] (the conformance oracle — identical
+    // micro quantization, total orders, and double arithmetic)
+    // produces bit-identical output with zero per-round jobs. Above
+    // the bound the distributed loop below is unchanged.
+    val driverMax = sess.conf
+      .getOption("spark.graft.unigram.driverTrainMaxVocab")
+      .map(_.toLong).getOrElse(1L << 20)
+    if (vocabDs.count() <= driverMax)
+      return train(vocabDs.collect().toSeq, maxPieceLen, targetVocab,
+        emIters, shrink, maxSeed)
 
     // seed: substring counts — one agg; the single-code-point flag is
     // computed executor-side so both lanes stay declarative: singles
