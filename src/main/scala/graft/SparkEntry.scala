@@ -3060,8 +3060,13 @@ object SparkEntry {
         array_join(slice(split(col("text"), " "), 33, 32), " ").as("text"))
     val bChunks = Similarity.chunkVectors(batch, chunkTokens = 32, dim = 64)
       .select(col("vec_id").as("batch_id"), col("embedding"))
+    // both probe relations are CHECKPOINTED (r19 optimization round,
+    // the q139 rationale): each feeds both exceptAll branches of the
+    // reload-identity compare, and recomputing the IVF probe join per
+    // branch costs more than the pin job
     val gotBuilt = Similarity.incrementalSemanticDedup(
       index, bChunks, threshold = 0.95, nProbes = 4)
+      .localCheckpoint()
     val gotLoaded = Similarity.incrementalSemanticDedup(
       loaded, bChunks, threshold = 0.95, nProbes = 4)
       .localCheckpoint()

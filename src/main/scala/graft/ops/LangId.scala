@@ -259,12 +259,21 @@ object LangId {
       }
       // each treeAggregate partial is model-sized — (K·(B+1))² doubles,
       // ~5.5 MB for the 11-class model — and is shipped BOTH ways per
-      // partition per iteration. The per-sample map work is trivial, so
-      // fewer, larger partitions cut the dominant wire cost 4× without
-      // touching the math (addition is exact-order-independent only
-      // across partials, and the twin-agreement spec bounds that).
-      .coalesce(8)
-    data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // partition per iteration, so partials must stay FEW; but the
+      // per-sample accumulate is the per-iteration compute, so they
+      // must not collapse either. The former `.coalesce(8)` could only
+      // DECREASE a count — a checkpoint-derived single-partition input
+      // left every Newton iteration single-threaded (measured: the fit
+      // stage ran (0+1)/1 tasks, 0.3 s/iteration on one core of 32).
+      // One round-robin repartition restores a floor of 24 partials
+      // (~130 MB shipped per iteration — trivial on any link) while
+      // keeping corpus-scale inputs at their own parallelism.
+      // Accumulation order across partials changes with the count;
+      // addition is exact-order-independent only per partial, and the
+      // twin-agreement spec bounds that drift (r19 optimization round).
+    val dataPar =
+      if (data.getNumPartitions >= 24) data else data.repartition(24)
+    dataPar.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val w = new Array[Double](p)
       var iter = 0
@@ -272,7 +281,7 @@ object LangId {
       val dbg = sys.env.contains("GRAFT_LANGID_DEBUG")
       while (iter < maxIter && gnorm > tol) {
         val t0 = System.nanoTime()
-        val (g, h) = data.treeAggregate(
+        val (g, h) = dataPar.treeAggregate(
           (new Array[Double](p), new Array[Double](p * (p + 1) / 2)))(
           seqOp = { case ((g, h), (xs, y)) =>
             accumulate(w, xs, y, k, n1, g, h)
@@ -292,7 +301,7 @@ object LangId {
         iter += 1
       }
       toModel(w, k, n1, dim, iter, gnorm, gnorm <= tol)
-    } finally data.unpersist(blocking = false)
+    } finally dataPar.unpersist(blocking = false)
   }
 
   /** Per-sample softmax gradient/Hessian contribution, shared verbatim
