@@ -113,15 +113,34 @@ object DailyRefresh {
     * form (first exception rethrown). Pool size 4: enough overlap to
     * fill scheduler gaps, not so many that concurrent shuffles fight
     * for execution memory. */
-  private[pipeline] def inParallel[A](thunks: Seq[() => A]): Seq[A] = {
+  private[pipeline] def inParallel[A](thunks: Seq[() => A]): Seq[A] =
+    inParallelNamed(thunks.zipWithIndex.map { case (t, i) =>
+      (s"lane-$i", t)
+    })
+
+  /** [[inParallel]] with per-lane labels: GRAFT_REFRESH_DEBUG=1 prints
+    * each lane's wall time to stderr (the GRAFT_LANGID_DEBUG posture —
+    * lanes overlap, so the critical path is invisible without it). */
+  private[pipeline] def inParallelNamed[A](
+      thunks: Seq[(String, () => A)],
+      maxPool: Int = 4): Seq[A] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    val dbg = sys.env.contains("GRAFT_REFRESH_DEBUG")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(4, math.max(1, thunks.size)))
+      math.min(maxPool, math.max(1, thunks.size)))
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
     try {
-      val fs = thunks.map(t => Future(t()))
+      val fs = thunks.map { case (name, t) =>
+        Future {
+          val t0 = System.nanoTime()
+          val r = t()
+          if (dbg) System.err.println(
+            f"[refresh] lane $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          r
+        }
+      }
       fs.map(Await.result(_, Duration.Inf))
     } finally pool.shutdown()
   }
@@ -145,30 +164,34 @@ object DailyRefresh {
     // (guide §2.6, r19 optimization round); each build's own jobs,
     // writes and values are unchanged
     val ids = corpus.select(col("doc_id").as("id"))
-    inParallel(Seq(
-      () => TextAnalysis.saveStopwordProfile(
-        TextAnalysis.stopwordProfile(corpus), p(dir, "profile", 0)),
-      () => Dedup.saveDedupIndex(
+    // full-width pool (r19 optimization round): with 4 threads over 8
+    // builds the second wave started ~3.5 s late and the measured wall
+    // was max(first wave) + max(second wave); all-at-once lets the
+    // scheduler FIFO-fill the cluster and the wall is the longest lane
+    inParallelNamed(maxPool = 8, thunks = Seq[(String, () => Any)](
+      ("cold-profile", () => TextAnalysis.saveStopwordProfile(
+        TextAnalysis.stopwordProfile(corpus), p(dir, "profile", 0))),
+      ("cold-dedup", () => Dedup.saveDedupIndex(
         Dedup.buildDedupIndex(corpus, expectedCorpusDocs = expectedDocs),
-        p(dir, "dedup", 0)),
-      () => Dedup.saveSpanIndex(
+        p(dir, "dedup", 0))),
+      ("cold-spans", () => Dedup.saveSpanIndex(
         Dedup.buildSpanIndex(benchmark, minTokens = minSpanTokens),
-        p(dir, "spans", 0)),
-      () => Similarity.saveIvfIndex(
+        p(dir, "spans", 0))),
+      ("cold-ivf", () => Similarity.saveIvfIndex(
         Similarity.buildIvfIndex(corpusVecs, nCentroids, kmeansIters = 2,
           seed = 42L),
-        p(dir, "ivf", 0)),
-      () => Graph.saveComponentLabels(
+        p(dir, "ivf", 0))),
+      ("cold-labels", () => Graph.saveComponentLabels(
         Graph.connectedComponents(ids, ccEdges, iters = ccIters),
-        p(dir, "labels", 0)),
-      () => linkEdges.select(col("src").cast("long"),
+        p(dir, "labels", 0))),
+      ("cold-edges", () => linkEdges.select(col("src").cast("long"),
           col("dst").cast("long"))
-        .write.mode("overwrite").parquet(p(dir, "edges", 0)),
-      () => Graph.saveRankVector(
+        .write.mode("overwrite").parquet(p(dir, "edges", 0))),
+      ("cold-ranks", () => Graph.saveRankVector(
         Graph.pageRank(ids, linkEdges, iters = rankIters),
-        p(dir, "ranks", 0)),
-      () => TrainPrep.savePreferencePairs(
-        minedPairs(promptCands, minMargin), p(dir, "pairs", 0))))
+        p(dir, "ranks", 0))),
+      ("cold-pairs", () => TrainPrep.savePreferencePairs(
+        minedPairs(promptCands, minMargin), p(dir, "pairs", 0)))))
     ()
   }
 
@@ -223,7 +246,11 @@ object DailyRefresh {
     // daemon threads: an exception mid-run must not leave a non-daemon
     // pool pinning the JVM open — the pool is shut down on the normal
     // path and merely idles (daemon, zero work) on the error path
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+    // 6 threads: the six post-batch refresh lanes must all START when
+    // the survivor set lands — with 4, the graph lane (the measured
+    // critical path, 7.9 s of the cold 33 s) queued behind the first
+    // wave and its wait rode the total (r19 optimization round)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6,
       new java.util.concurrent.ThreadFactory {
         private val n = new java.util.concurrent.atomic.AtomicInteger(0)
         def newThread(r: Runnable): Thread = {
@@ -235,44 +262,54 @@ object DailyRefresh {
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
     def await[A](f: Future[A]): A = Await.result(f, Duration.Inf)
+    // GRAFT_REFRESH_DEBUG=1: per-lane wall times to stderr (lanes
+    // overlap — the critical path is invisible without labels)
+    val dbg = sys.env.contains("GRAFT_REFRESH_DEBUG")
+    def lane[A](name: String)(f: => A): Future[A] = Future {
+      val t0 = System.nanoTime()
+      val r = f
+      if (dbg) System.err.println(
+        f"[refresh] lane $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
 
     // prev-day artifact loads + "before" size measures, kicked off
     // immediately: they read day N−1 only, so they overlap the gate
     // chain's own jobs instead of serializing between stages. Values
     // are identical to the sequential form — only WHEN the driver
     // submits the count jobs changes.
-    val fPolicyN = Future(policy.count())
-    val fRulesN = Future {
+    val fPolicyN = lane("load-policy")(policy.count())
+    val fRulesN = lane("load-rules") {
       (if (robotsRules.columns.contains("group_marker"))
         robotsRules.filter(!coalesce(col("group_marker"), lit(false)))
       else robotsRules).count()
     }
-    val fProfile = Future {
+    val fProfile = lane("load-profile") {
       val pr = TextAnalysis.loadStopwordProfile(spark,
         p(dir, "profile", prev))
       (pr, pr.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0))
     }
-    val fDedup = Future {
+    val fDedup = lane("load-dedup") {
       val ix = Dedup.loadDedupIndex(spark, p(dir, "dedup", prev))
       (ix, ix.fingerprints.count())
     }
-    val fSpan = Future {
+    val fSpan = lane("load-spans") {
       val ix = Dedup.loadSpanIndex(spark, p(dir, "spans", prev))
       (ix, ix.windows.count())
     }
-    val fIvf = Future {
+    val fIvf = lane("load-ivf") {
       val ix = Similarity.loadIvfIndex(spark, p(dir, "ivf", prev))
       (ix, ix.assigned.count())
     }
-    val fLabels = Future {
+    val fLabels = lane("load-labels") {
       val l = Graph.loadComponentLabels(spark, p(dir, "labels", prev))
       (l, l.count())
     }
-    val fPrior = Future {
+    val fPrior = lane("load-ranks") {
       val r = Graph.loadRankVector(spark, p(dir, "ranks", prev))
       (r, r.count())
     }
-    val fPairs = Future {
+    val fPairs = lane("load-pairs") {
       val pr = TrainPrep.loadPreferencePairs(spark, p(dir, "pairs", prev))
       (pr, pr.count())
     }
@@ -403,7 +440,7 @@ object DailyRefresh {
     val (prior, rankBefore) = await(fPrior)
     val (pairs, pairsBefore) = await(fPairs)
 
-    val fProfileLane = Future {
+    val fProfileLane = lane("refresh-profile") {
       val refreshedProfile =
         TextAnalysis.appendStopwordProfile(profile, s5.select("text"))
       TextAnalysis.saveStopwordProfile(refreshedProfile,
@@ -411,7 +448,7 @@ object DailyRefresh {
       refreshedProfile.agg(coalesce(sum(col("cnt")), lit(0L)))
         .head.getLong(0)
     }
-    val fDedupLane = Future {
+    val fDedupLane = lane("refresh-dedup") {
       val dedupIdx2 = Dedup.appendToDedupIndex(dedupIdx,
         s5.select(col("doc_id"), col("text")))
       Dedup.saveDedupIndex(dedupIdx2, p(dir, "dedup", day))
@@ -428,13 +465,13 @@ object DailyRefresh {
       // artifact
       dedupIdx2.fingerprints.count()
     }
-    val fSpanLane = Future {
+    val fSpanLane = lane("refresh-spans") {
       val spanIdx2 = Dedup.appendToSpanIndex(spanIdx, batch.benchDelta)
       Dedup.saveSpanIndex(spanIdx2, p(dir, "spans", day))
       IndexCompaction.compactSpanIndex(spark, p(dir, "spans", day))
       spanIdx2.windows.count()
     }
-    val fIvfLane = Future {
+    val fIvfLane = lane("refresh-ivf") {
       // append with frozen centroids, then the aging trigger (VERDICT
       // r16 #5): a skewed cell balance — the footprint of distribution
       // drift accumulating against a frozen quantizer — retrains the
@@ -450,10 +487,14 @@ object DailyRefresh {
       Similarity.saveIvfIndex(ivf2, p(dir, "ivf", day))
       IndexCompaction.compactIvfIndex(spark, p(dir, "ivf", day))
     }
-    val fGraphLane = Future {
-      // ---- stage 7: component-label delta contraction
+    val fGraphLane = lane("refresh-graph") {
+      // ---- stage 7: component-label delta contraction. Checkpointed:
+      // the relabel join otherwise recomputes for the save's validation
+      // pass, the count, AND the rank node set below — three times on
+      // the measured critical-path lane (r19 optimization round)
       val labels2 = Graph.connectedComponentsDelta(labels,
         batch.edgesDelta, iters = ccIters)
+        .localCheckpoint()
       Graph.saveComponentLabels(labels2, p(dir, "labels", day))
       val labAfter = labels2.count()
       // ---- stage 8: rank warm restart over the appended edge relation
@@ -467,7 +508,7 @@ object DailyRefresh {
       Graph.saveRankVector(ranks2, p(dir, "ranks", day))
       (labAfter, ranks2.count())
     }
-    val fPairsLane = Future {
+    val fPairsLane = lane("refresh-pairs") {
       // ---- stage 9: preference-pair mining + append
       val nPrompts = batch.promptCands.select(col("prompt_id"))
         .distinct().count()
