@@ -1,0 +1,73 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Per-query job census (guide §1/§7): runs one `SparkEntry` query with
+  * a listener recording every Spark job's wall time — the measurement
+  * behind "action-count-bound": a query whose total is dozens of
+  * sub-second SEQUENTIAL jobs is driver/action-latency-bound, and the
+  * fix is batching actions (observe/one-agg verdicts/count-on-
+  * checkpoint), not making any one job faster.
+  *
+  * Usage: `runMain graft.JobTrace <name> [sfDir] [reps]` — reps warm-up
+  * runs first (codegen, parquet footers), then ONE traced run printing
+  * per-job lines, the job count, the summed job time, and the wall
+  * time (wall − sum ≈ driver gaps when jobs never overlap).
+  */
+object JobTrace {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args.lift(1).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val warmups = args.lift(2).map(_.toInt).getOrElse(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = SparkEntry.queries(name)
+    for (i <- 1 to warmups) {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).collect()
+      println(f"[trace] warmup $i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val starts = new ConcurrentHashMap[Int, (Long, String)]()
+    val ends = new ConcurrentHashMap[Int, Long]()
+    val t0 = System.nanoTime()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        starts.put(js.jobId, (System.nanoTime(), desc))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        ends.put(je.jobId, System.nanoTime())
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rows = fn(spark, sfDir).collect().length
+    val wall = (System.nanoTime() - t0) / 1e9
+    // give listener-bus stragglers a moment before draining
+    Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    val jobs = starts.asScala.toSeq.sortBy(_._1)
+    var sum = 0.0
+    jobs.foreach { case (id, (ts, desc)) =>
+      val dur = ends.asScala.get(id)
+        .map(te => (te - ts) / 1e9).getOrElse(Double.NaN)
+      sum += (if (dur.isNaN) 0.0 else dur)
+      val rel = (ts - t0) / 1e9
+      println(f"[trace] job $id%4d at $rel%7.2f s dur $dur%6.3f s  $desc")
+    }
+    println(f"[trace] $name rows=$rows jobs=${jobs.size} " +
+      f"jobSum=$sum%.2f s wall=$wall%.2f s")
+    spark.stop()
+  }
+}

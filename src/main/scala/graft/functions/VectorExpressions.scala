@@ -792,7 +792,13 @@ object ShardedBloom {
       keys: org.apache.spark.rdd.RDD[Long]): ShardedBloom = {
     val grown = copyOf(base)
     val n = grown.nShards
-    keys.toLocalIterator.foreach(k =>
+    // narrow coalesce(1) first: toLocalIterator runs ONE JOB PER
+    // PARTITION, so a 32-partition batch paid ~32 sequential driver
+    // round-trips of ~20 ms each for a few thousand keys (measured in
+    // the q189/q132 job traces, r20 optimization round). One partition
+    // = one job; insertion order is irrelevant to a Bloom filter's
+    // bits, and the per-element streaming memory bound is unchanged.
+    keys.coalesce(1).toLocalIterator.foreach(k =>
       grown.shards(shardOf(k, n)).putLong(k))
     grown
   }

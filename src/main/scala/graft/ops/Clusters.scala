@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.CheckpointRelease
-import org.apache.spark.sql.graftbridge.PartitionedCheckpoint.localCheckpointKeepLayout
+import org.apache.spark.sql.graftbridge.PartitionedCheckpoint.{localCheckpointKeepLayout, localCheckpointKeepLayoutWithCount}
 
 /** Connected components over an undirected edge list — the endgame of
   * every near-dup pipeline: pair lists (minhash/simhash/jaccard output)
@@ -59,11 +59,12 @@ object Clusters {
       .union(pairs.select(b.as("u"), a.as("v")))
       .distinct()
       .localCheckpoint()
-    val assign0 = edges0.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    val pin = assign0.count() >=
-      Graph.copartitionMinNodes(pairs.sparkSession)
+    // node count rides the checkpoint's materializer — no separate
+    // count job for the pin probe (VERDICT r19 #6)
+    val (assign0, nNodes) = localCheckpointKeepLayoutWithCount(
+      edges0.select(col("u").as("id")).distinct()
+        .withColumn("label", col("id")))
+    val pin = nNodes >= Graph.copartitionMinNodes(pairs.sparkSession)
     val edges =
       if (pin) {
         val p = localCheckpointKeepLayout(edges0

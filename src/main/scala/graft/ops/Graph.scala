@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.CheckpointRelease
-import org.apache.spark.sql.graftbridge.PartitionedCheckpoint.localCheckpointKeepLayout
+import org.apache.spark.sql.graftbridge.PartitionedCheckpoint.{localCheckpointKeepLayout, localCheckpointKeepLayoutWithCount}
 
 /** Link-graph centrality for web-corpus curation (the signal behind
   * CommonCrawl-style page ranking: Page, Brin, Motwani, Winograd, "The
@@ -97,8 +97,10 @@ object Graph {
     // case). This prep mints w = 1 itself, so the weighted entry's
     // weight-sanity scan is skipped (maxW is 1 by construction — no
     // per-call audit job for the common unweighted path).
-    val v = nodes.select(col(idCol).cast("long").as("id"))
-      .localCheckpoint()
+    // the checkpoint's eager materializer doubles as the node count —
+    // no separate v.count() job (VERDICT r19 #6)
+    val (v, n) = localCheckpointKeepLayoutWithCount(
+      nodes.select(col(idCol).cast("long").as("id")))
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -108,7 +110,7 @@ object Graph {
       .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("wdeg"))
       .localCheckpoint()
-    powerIterate(v, e, deg, iters, dampingPct, initRanks, maxW = 1L)
+    powerIterate(v, n, e, deg, iters, dampingPct, initRanks, maxW = 1L)
   }
 
   /** Weighted PageRank — votes carry integer link multiplicity (the
@@ -153,8 +155,8 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
-    val v = nodes.select(col(idCol).cast("long").as("id"))
-      .localCheckpoint()
+    val (v, n) = localCheckpointKeepLayoutWithCount(
+      nodes.select(col(idCol).cast("long").as("id")))
     // weight sanity rides the collapse itself (one upstream pass, one
     // shuffle): per-pair null counts and raw minima come out of the
     // same groupBy that sums multiplicities. The null check CANNOT run
@@ -187,7 +189,7 @@ object Graph {
     val e = eAgg.select(col("src"), col("dst"), col("w"))
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
       .localCheckpoint()
-    powerIterate(v, e, deg, iters, dampingPct, initRanks,
+    powerIterate(v, n, e, deg, iters, dampingPct, initRanks,
       maxW = chk.getLong(2))
   }
 
@@ -198,6 +200,7 @@ object Graph {
     * gates. All overflow and warm-start validation lives here, once. */
   private def powerIterate(
       v: DataFrame,
+      n: Long, // v's row count — callers get it free from v's checkpoint
       e: DataFrame,
       deg: DataFrame,
       iters: Int,
@@ -207,7 +210,6 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
-    val n = v.count() // the one driver scalar; bounded by definition
     require(n > 0, "pageRank needs at least one node")
     // int64 gates (fail loudly, never wrap):
     // 1. the damping multiply bounds the NODE COUNT regardless of
@@ -405,7 +407,7 @@ object Graph {
     * non-negative ranks — the same gates pageRank's warm start applies
     * on the way out), so a corrupt snapshot fails at save time, not in
     * tomorrow's re-rank. */
-  def saveRankVector(ranks: DataFrame, path: String): Unit = {
+  def saveRankVector(ranks: DataFrame, path: String): Long = {
     val r = ranks.select(col("id").cast("long").as("id"),
       col("rank_u").cast("long").as("rank_u"))
     // negative ids are rejected too: the streaming rank gate coalesces
@@ -427,6 +429,9 @@ object Graph {
       s"saveRankVector: ids must be unique (${chk.getLong(0)} rows, " +
         s"${chk.getLong(1)} distinct)")
     r.write.mode("overwrite").parquet(s"$path/ranks")
+    // the validation agg already measured the vector — hand the count
+    // back so the daily runbook's funnel doesn't re-count the artifact
+    chk.getLong(0)
   }
 
   /** Reload a persisted rank vector — (id, rank_u), the warm-start
@@ -485,8 +490,10 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val v = nodes.select(col(idCol).cast("long").as("id"))
-      .localCheckpoint()
+    // count rides the checkpoint's materializer (VERDICT r19 #6): the
+    // pin probe below needs |V| and previously paid a second job for it
+    val (v, nV) = localCheckpointKeepLayoutWithCount(
+      nodes.select(col(idCol).cast("long").as("id")))
     val dir = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -503,7 +510,7 @@ object Graph {
     // is the unavoidable dst-keyed neighbor-min aggregation. Below the
     // threshold the label vector is broadcast-sized and AQE's
     // broadcast rounds (which also never move the edges) are faster.
-    val pin = v.count() >= copartitionMinNodes(edges.sparkSession)
+    val pin = nV >= copartitionMinNodes(edges.sparkSession)
     val nShuffle = edges.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     val undPrep = dir
@@ -563,14 +570,31 @@ object Graph {
     *     has moved on to 1), so the gate catches the
     *     save-before-convergence mistake the delta updater's
     *     fixpoint precondition cannot otherwise see at save time. */
-  private def validatedLabels(labels: DataFrame, op: String): DataFrame = {
+  private def validatedLabels(labels: DataFrame, op: String): DataFrame =
+    validatedLabelsWithCount(labels, op)._1
+
+  /** [[validatedLabels]] plus the validated row count (saves already
+    * compute it inside the gate aggregation — callers that need the
+    * artifact size measure get it without a second count job). */
+  private def validatedLabelsWithCount(
+      labels: DataFrame, op: String): (DataFrame, Long) = {
     val l = labels.select(col("id").cast("long").as("id"),
       col("comp").cast("long").as("comp"))
+    // ONE aggregation job carries every gate (r20 optimization round —
+    // the former separate distinct+anti-join root-closure pass was a
+    // second sequential job plus a shuffle over the label vector).
+    // Root closure as a counting identity: with D = distinct comp
+    // values and R = self-labeled ids {id | id = comp}, every r ∈ R is
+    // a comp value of its own row, so R ⊆ D always — hence D = R (the
+    // closure property: every used label is a root) iff |D| = |R|.
     val chk = l.agg(count(lit(1)).as("c"),
       countDistinct(col("id")).as("d"),
       coalesce(sum(when(col("id").isNull || col("id") < 0L ||
         col("comp").isNull || col("comp") < 0L || col("comp") > col("id"),
-        1L).otherwise(0L)), lit(0L)).as("bad")).head
+        1L).otherwise(0L)), lit(0L)).as("bad"),
+      countDistinct(col("comp")).as("dcomp"),
+      countDistinct(when(col("id") === col("comp"), col("id")))
+        .as("nroots")).head
     require(chk.getLong(2) == 0L,
       s"$op: ${chk.getLong(2)} null/negative-id/null-comp/comp>id " +
         "row(s) — refusing a corrupt labeling (labels are MIN member " +
@@ -578,17 +602,11 @@ object Graph {
     require(chk.getLong(0) == chk.getLong(1),
       s"$op: ids must be unique (${chk.getLong(0)} rows, " +
         s"${chk.getLong(1)} distinct)")
-    // root closure: distinct comp values that are NOT self-labeled rows
-    val nonRoots = l.select(col("comp")).distinct()
-      .join(l.filter(col("id") === col("comp"))
-          .select(col("id").as("comp")),
-        Seq("comp"), "left_anti")
-      .limit(1).count()
-    require(nonRoots == 0L,
+    require(chk.getLong(3) == chk.getLong(4),
       s"$op: found component label(s) whose root row is not labeled " +
         "with itself — an unconverged (mid-iteration) or corrupt " +
         "labeling; run the closure to its fixpoint before persisting")
-    l
+    (l, chk.getLong(0))
   }
 
   /** Persist component labels as the EIGHTH persisted artifact (VERDICT
@@ -604,10 +622,16 @@ object Graph {
     * root-closure gate, because the delta updater's correctness
     * contract needs a CONVERGED labeling), so a corrupt or
     * mid-iteration snapshot fails at save time, not in tomorrow's
-    * incremental update. */
-  def saveComponentLabels(labels: DataFrame, path: String): Unit =
-    validatedLabels(labels, "saveComponentLabels")
-      .write.mode("overwrite").parquet(s"$path/components")
+    * incremental update.
+    *
+    * @return the persisted row count — measured by the validation
+    *         aggregation itself, so callers reporting the artifact size
+    *         don't pay a separate count job over the same relation. */
+  def saveComponentLabels(labels: DataFrame, path: String): Long = {
+    val (l, n) = validatedLabelsWithCount(labels, "saveComponentLabels")
+    l.write.mode("overwrite").parquet(s"$path/components")
+    n
+  }
 
   /** Reload persisted component labels — (id, comp), the delta-update
     * contract columns. Corruption gates live in [[saveComponentLabels]]
@@ -672,9 +696,16 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val p = validatedLabels(prior, "connectedComponentsDelta")
+    // checkpoint FIRST, validate from the pinned blocks (r20
+    // optimization round): the former validate-then-checkpoint order
+    // computed the prior relation twice — once for the gate
+    // aggregation, once for the checkpoint's materializer
+    val p = prior
+      .select(col("id").cast("long").as("id"),
+        col("comp").cast("long").as("comp"))
       .localCheckpoint() // fence: feeds new-node anti-join, contraction,
                          // and the final relabel
+    validatedLabels(p, "connectedComponentsDelta")
     val rawDelta = deltaEdges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -718,12 +749,13 @@ object Graph {
     // see a silently unconverged labeling. saveComponentLabels' gate
     // stays as defense-in-depth; relabeling through a root-closed
     // contracted labeling preserves closure on the corpus output.
-    val unclosed = cLabels.select(col("comp")).distinct()
-      .join(cLabels.filter(col("id") === col("comp"))
-          .select(col("id").as("comp")),
-        Seq("comp"), "left_anti")
-      .limit(1).count()
-    require(unclosed == 0L,
+    // one aggregation, not a distinct+anti-join pass (r20 optimization
+    // round): root closure ⟺ countDistinct(comp) = countDistinct(roots)
+    // — see [[validatedLabelsWithCount]] for the counting identity
+    val unc = cLabels.agg(countDistinct(col("comp")).as("dc"),
+      countDistinct(when(col("id") === col("comp"), col("id")))
+        .as("nr")).head
+    require(unc.getLong(0) == unc.getLong(1),
       "connectedComponentsDelta: the contracted labeling is not " +
         s"root-closed after $iters round(s) — the delta daisy-chains " +
         "more component merges than the fixed rounds can propagate; " +
@@ -775,22 +807,21 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val v = nodes.select(col(idCol).cast("long").as("id"))
-      .localCheckpoint()
-    val e = edges
+    // both driver scalars (n, |E|) ride their checkpoints' eager
+    // materializers — no separate count jobs (VERDICT r19 #6)
+    val (v, n) = localCheckpointKeepLayoutWithCount(
+      nodes.select(col(idCol).cast("long").as("id")))
+    val (e, eCount) = localCheckpointKeepLayoutWithCount(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
-    val n = v.count()
+      .distinct())
     require(n > 0, "hits needs at least one node")
     // int64 overflow gate (ADVICE r13): raw per-round sums are bounded
     // by |E|·n·1e6, so |E|·n must stay under ~9.2e12 — past that the
     // sums would silently wrap to negative scores with no error. Fail
     // loudly here instead; above the bound, pre-scale the inputs (rank
     // in thousandths instead of millionths) before calling.
-    val eCount = e.count() // bounded driver scalar on the checkpointed edges
     require(BigInt(eCount) * BigInt(n) < BigInt("9000000000000"),
       s"hits int64 bound exceeded: |E|=$eCount x n=$n >= 9e12 — raw " +
         "sums would overflow int64; pre-scale scores before calling")
@@ -819,6 +850,11 @@ object Graph {
           .repartition(nShuffle, col("dst"))
           .sortWithinPartitions(col("dst"))))
       else Map("src" -> e, "dst" -> e)
+    // under pin the two directional copies supersede the original edge
+    // checkpoint — release it so the relation isn't pinned in three
+    // copies for the call's duration (ADVICE r19; pageRankSeeded's v0
+    // release is the same posture)
+    if (pin) CheckpointRelease.release(e)
     val vp =
       if (pin) localCheckpointKeepLayout(v
         .repartition(nShuffle, col("id"))
@@ -962,9 +998,8 @@ object Graph {
         Seq("id"), "left")
       .select(col("id"), coalesce(col("w"), lit(0L)).as("w"),
         coalesce(col("__out"), lit(false)).as("__out"))
-      .localCheckpoint()
-
-    val n = v0.count()
+    // count rides the checkpoint's materializer (VERDICT r19 #6)
+    val (v0c, n) = localCheckpointKeepLayoutWithCount(v0)
     val pin = n >= copartitionMinNodes(e.sparkSession)
     val ewPrep = e.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
@@ -972,11 +1007,11 @@ object Graph {
         .repartition(nShuffle, col("src"))
         .sortWithinPartitions(col("src")))
       else localCheckpointKeepLayout(ewPrep)
-    val v = if (pin) localCheckpointKeepLayout(v0
+    val v = if (pin) localCheckpointKeepLayout(v0c
         .repartition(nShuffle, col("id"))
         .sortWithinPartitions(col("id")))
-      else v0
-    if (pin) CheckpointRelease.release(v0) // superseded by the pinned copy
+      else v0c
+    if (pin) CheckpointRelease.release(v0c) // superseded by the pinned copy
     require(n > 0, "pageRankSeeded needs at least one node")
     // int64 overflow gate (ADVICE r13): the dangling term multiplies
     // dang ≤ n·1e6 by w ≤ 1e6, exact only for n ≤ ~9.2e6 nodes — past

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.PartitionedCheckpoint.localCheckpointKeepLayoutWithCount
 
 import graft.ops.{Curation, Dedup, Graph, IndexCompaction, Similarity, TextAnalysis, TrainPrep}
 
@@ -141,8 +142,16 @@ object DailyRefresh {
           r
         }
       }
-      fs.map(Await.result(_, Duration.Inf))
-    } finally pool.shutdown()
+      // await ALL lanes before propagating any failure (ADVICE r19): a
+      // fast rethrow would leave the surviving lanes writing in the
+      // background — a retry could then race still-running zombie
+      // writes to the same paths. The first failure IN DECLARATION
+      // ORDER is rethrown, matching the sequential form.
+      val results = fs.map(f =>
+        scala.util.Try(Await.result(f, Duration.Inf)))
+      results.collectFirst { case scala.util.Failure(e) => throw e }
+      results.map(_.get)
+    } finally pool.shutdownNow() // also cancels queued, never-started thunks
   }
 
   /** Build + persist every artifact from the standing corpus — day 0. */
@@ -246,11 +255,11 @@ object DailyRefresh {
     // daemon threads: an exception mid-run must not leave a non-daemon
     // pool pinning the JVM open — the pool is shut down on the normal
     // path and merely idles (daemon, zero work) on the error path
-    // 6 threads: the six post-batch refresh lanes must all START when
-    // the survivor set lands — with 4, the graph lane (the measured
-    // critical path, 7.9 s of the cold 33 s) queued behind the first
-    // wave and its wait rode the total (r19 optimization round)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(6,
+    // 7 threads: the seven post-batch refresh lanes must all START when
+    // the survivor set lands — with fewer, the longest lane queued
+    // behind the first wave and its wait rode the total (r19
+    // optimization round; r20 split the graph lane into labels + ranks)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(7,
       new java.util.concurrent.ThreadFactory {
         private val n = new java.util.concurrent.atomic.AtomicInteger(0)
         def newThread(r: Runnable): Thread = {
@@ -326,7 +335,11 @@ object DailyRefresh {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         graft.functions.DomainFunctions.canonicalUrl(col("url"))
           .as("url"))
-    val bRaw = redirects match {
+    // every gate-chain stage count rides its checkpoint's eager
+    // materializer (r20 optimization round, VERDICT r19 #1): the former
+    // localCheckpoint() + count() pair was two sequential driver jobs
+    // per stage over the same rows
+    val bRawPlan = redirects match {
       case Some(re) =>
         // redirect-chain identity (VERDICT r17 #4): collapse chains
         // once (metadata-sized), rewrite each redirect source's url to
@@ -337,16 +350,15 @@ object DailyRefresh {
         graft.ops.Redirects.frontierIdentity(bCanon, col("url"), collapsed)
           .select(col("doc_id"), col("text"),
             col("url_identity").as("url"))
-          .localCheckpoint()
-      case None => bCanon.localCheckpoint()
+      case None => bCanon
     }
-    val nRaw = bRaw.count()
+    val (bRaw, nRaw) = localCheckpointKeepLayoutWithCount(bRawPlan)
     val urlKey = coalesce(col("url"),
       concat(lit("\u0000"), col("doc_id").cast("string")))
     val keepUrl = bRaw.groupBy(urlKey.as("__uk"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val b0 = bRaw.join(keepUrl, Seq("doc_id")).localCheckpoint()
-    val nIn = b0.count()
+    val (b0, nIn) =
+      localCheckpointKeepLayoutWithCount(bRaw.join(keepUrl, Seq("doc_id")))
     // the DayBatch contract says vecs cover every batch doc — enforce
     // it up front (the requireFreshIds posture): a doc with no
     // embedding would otherwise vanish at the semantic stage and be misattributed
@@ -363,9 +375,9 @@ object DailyRefresh {
     val nPolicy = await(fPolicyN)
     val lic = Curation.licenceGate(b0.select(col("doc_id"), col("url")),
       col("doc_id"), col("url"), policy, allowedLicences)
-    val s1 = b0.join(lic.filter(col("verdict") === "keep")
-      .select("doc_id"), "doc_id").localCheckpoint()
-    val n1 = s1.count()
+    val (s1, n1) = localCheckpointKeepLayoutWithCount(
+      b0.join(lic.filter(col("verdict") === "keep")
+        .select("doc_id"), "doc_id"))
 
     // ---- stage 2: robots compliance on the licensed survivors' URLs.
     // The artifact measure counts RULES — parseRobots also carries
@@ -376,17 +388,16 @@ object DailyRefresh {
         s1.select(col("doc_id"), col("url")), col("doc_id"), col("url"),
         robotsRules, robotsAgent)
       .select(col("doc_id"), col("allowed"))
-    val s1b = s1.join(rob.filter(col("allowed")).select("doc_id"),
-      "doc_id").localCheckpoint()
-    val n1b = s1b.count()
+    val (s1b, n1b) = localCheckpointKeepLayoutWithCount(
+      s1.join(rob.filter(col("allowed")).select("doc_id"), "doc_id"))
 
     // ---- stage 3: MGT battery against the reloaded profile
     val (profile, profMassBefore) = await(fProfile)
     val mgt = TextAnalysis.mgtReportWithProfile(
       s1b.select(col("doc_id"), col("text")), profile)
-    val s2 = s1b.join(mgt.filter(!col("mgt_suspect")).select("doc_id"),
-      "doc_id").localCheckpoint()
-    val n2 = s2.count()
+    val (s2, n2) = localCheckpointKeepLayoutWithCount(
+      s1b.join(mgt.filter(!col("mgt_suspect")).select("doc_id"),
+        "doc_id"))
 
     // ---- stage 4: text dedup against the reloaded index. The index
     // probe classifies batch docs against YESTERDAY'S corpus only —
@@ -404,16 +415,16 @@ object DailyRefresh {
       .groupBy(xxhash64(col("text")).as("__fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val s3 = s3pre.join(s3keep, Seq("doc_id")).localCheckpoint()
-    val n3 = s3.count()
+    val (s3, n3) = localCheckpointKeepLayoutWithCount(
+      s3pre.join(s3keep, Seq("doc_id")))
 
     // ---- stage 5: span decontamination against the reloaded index
     val (spanIdx, winBefore) = await(fSpan)
     val hits = Dedup.probeSpanIndex(spanIdx,
         s3.select(col("doc_id"), col("text")))
       .select(col("id_b").as("doc_id")).distinct()
-    val s4 = s3.join(hits, Seq("doc_id"), "left_anti").localCheckpoint()
-    val n4 = s4.count()
+    val (s4, n4) = localCheckpointKeepLayoutWithCount(
+      s3.join(hits, Seq("doc_id"), "left_anti"))
 
     // ---- stage 6: semantic dedup against the reloaded IVF index
     val (ivf, vecBefore) = await(fIvf)
@@ -422,9 +433,9 @@ object DailyRefresh {
       .select(col("doc_id").as("batch_id"), col("embedding"))
     val sem = Similarity.incrementalSemanticDedup(ivf, s4vecs,
       semThreshold, nProbes)
-    val s5 = s4.join(sem.filter(col("status") === "new")
-      .select(col("batch_id").as("doc_id")), "doc_id").localCheckpoint()
-    val n5 = s5.count()
+    val (s5, n5) = localCheckpointKeepLayoutWithCount(
+      s4.join(sem.filter(col("status") === "new")
+        .select(col("batch_id").as("doc_id")), "doc_id"))
 
     // ---- post-batch refresh: content artifacts absorb the survivors.
     // Size measures come from the in-memory appended relations (the
@@ -487,47 +498,95 @@ object DailyRefresh {
       Similarity.saveIvfIndex(ivf2, p(dir, "ivf", day))
       IndexCompaction.compactIvfIndex(spark, p(dir, "ivf", day))
     }
-    val fGraphLane = lane("refresh-graph") {
+    // ---- stages 7+8 as TWO lanes (r20 optimization round, VERDICT r19
+    // #1): the rank warm restart does NOT depend on the converged
+    // day-N labels — only on the NODE ID SET, which the delta
+    // contract pins as (every prior node) ∪ (every delta endpoint)
+    // exactly ([[graft.ops.Graph.connectedComponentsDelta]] returns one
+    // row per prior node AND per new node, and pageRank's integer
+    // output is a pure function of the node SET, the edge relation and
+    // the prior vector). Deriving that set directly lets the label
+    // contraction and the 4-round rank restart overlap instead of
+    // forming the measured 8 s critical-path lane. The artifact size
+    // measures come from the saves themselves (VERDICT r19 #1): each
+    // save's validation aggregation already counts the relation it
+    // persists, so the former labels2.count()/ranks2.count() follow-up
+    // jobs measured nothing new.
+    val fLabelsLane = lane("refresh-labels") {
       // ---- stage 7: component-label delta contraction. Checkpointed:
       // the relabel join otherwise recomputes for the save's validation
-      // pass, the count, AND the rank node set below — three times on
-      // the measured critical-path lane (r19 optimization round)
+      // pass (r19 optimization round).
       val labels2 = Graph.connectedComponentsDelta(labels,
         batch.edgesDelta, iters = ccIters)
         .localCheckpoint()
       Graph.saveComponentLabels(labels2, p(dir, "labels", day))
-      val labAfter = labels2.count()
-      // ---- stage 8: rank warm restart over the appended edge relation
+    }
+    val fRanksLane = lane("refresh-ranks") {
+      // ---- stage 8: rank warm restart over the appended edge relation.
+      // Node set mirrors connectedComponentsDelta's output contract:
+      // prior ids plus delta endpoints the labeling has never seen
+      // (from the UNFILTERED delta — a new page whose only delta row is
+      // a self-loop still enters, exactly as in the delta operator).
+      val rawDelta = batch.edgesDelta
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+      val newIds = rawDelta.select(col("src").as("id"))
+        .unionByName(rawDelta.select(col("dst").as("id")))
+        .distinct()
+        .join(labels.select(col("id")), Seq("id"), "left_anti")
+      val nodes = labels.select(col("id")).unionByName(newIds)
       val allEdges = spark.read.parquet(p(dir, "edges", prev))
-        .unionByName(batch.edgesDelta
-          .select(col("src").cast("long"), col("dst").cast("long")))
+        .unionByName(rawDelta)
       allEdges.write.mode("overwrite").parquet(p(dir, "edges", day))
-      val nodes = labels2.select(col("id"))
       val ranks2 = Graph.pageRank(nodes, allEdges, iters = warmRankIters,
         initRanks = Some(prior))
       Graph.saveRankVector(ranks2, p(dir, "ranks", day))
-      (labAfter, ranks2.count())
     }
     val fPairsLane = lane("refresh-pairs") {
-      // ---- stage 9: preference-pair mining + append
-      val nPrompts = batch.promptCands.select(col("prompt_id"))
-        .distinct().count()
-      val mined = minedPairs(batch.promptCands, minMargin)
-        .localCheckpoint()
-      val nMined = mined.count()
+      // ---- stage 9: preference-pair mining + append.
+      // minePreferencePairs emits EXACTLY one row per distinct prompt
+      // (one groupBy(prompt_id) aggregation), so the pre-filter
+      // checkpoint's materializer count IS the prompt count — the
+      // former separate distinct().count() job re-shuffled the
+      // candidate relation for a number this plan already computes
+      // (r20 optimization round)
+      val (allMined, nPrompts) = localCheckpointKeepLayoutWithCount(
+        TrainPrep.minePreferencePairs(batch.promptCands,
+          col("prompt_id"), col("k"), col("score"), minMargin))
+      val mined = allMined
+        .filter(col("keep"))
+        .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+          col("margin"))
+      val nMined = mined.count() // a cached scan over the checkpoint
       TrainPrep.savePreferencePairs(
         TrainPrep.appendPreferencePairs(pairs, mined),
         p(dir, "pairs", day))
       (nPrompts, nMined)
     }
 
-    val profMassAfter = await(fProfileLane)
-    val fpAfter = await(fDedupLane)
-    val winAfter = await(fSpanLane)
-    await(fIvfLane)
+    // await ALL writer lanes before propagating any failure (ADVICE
+    // r19): rethrowing from the first await while other lanes were
+    // still writing day-N artifacts left a nondeterministic subset on
+    // disk AND let a retry race the still-running zombie writes. Every
+    // lane now runs to completion (or failure); the first failure in
+    // lane order is rethrown, and day-N dirs must be treated as invalid
+    // after a failed run — the next successful run overwrites them, and
+    // retainSnapshots refuses to delete history while the latest day is
+    // incomplete.
+    val lanes = Seq(fProfileLane, fDedupLane, fSpanLane, fIvfLane,
+      fLabelsLane, fRanksLane, fPairsLane).map(f =>
+      scala.util.Try(await(f)))
+    lanes.collectFirst { case scala.util.Failure(e) =>
+      pool.shutdownNow()
+      throw e
+    }
+    val profMassAfter = lanes(0).get.asInstanceOf[Long]
+    val fpAfter = lanes(1).get.asInstanceOf[Long]
+    val winAfter = lanes(2).get.asInstanceOf[Long]
     val vecAfter = vecBefore + n5
-    val (labAfter, rankAfter) = await(fGraphLane)
-    val (nPrompts, nMined) = await(fPairsLane)
+    val labAfter = lanes(4).get.asInstanceOf[Long]
+    val rankAfter = lanes(5).get.asInstanceOf[Long]
+    val (nPrompts, nMined) = lanes(6).get.asInstanceOf[(Long, Long)]
     val pairsAfter = pairsBefore + nMined
     pool.shutdown()
 

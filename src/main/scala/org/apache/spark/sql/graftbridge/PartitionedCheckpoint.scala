@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeMap, Expression, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.Statistics
 import org.apache.spark.sql.catalyst.plans.logical.statsEstimation.EstimationUtils
-import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection}
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, Partitioning, PartitioningCollection, RangePartitioning}
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -46,7 +47,15 @@ object PartitionedCheckpoint {
   /** Local-checkpoint `df` eagerly, preserving the executed plan's
     * output partitioning and ordering in the checkpoint scan. Rows,
     * schema and values are identical to `df.localCheckpoint()`. */
-  def localCheckpointKeepLayout(df: DataFrame): DataFrame = {
+  def localCheckpointKeepLayout(df: DataFrame): DataFrame =
+    localCheckpointKeepLayoutWithCount(df)._1
+
+  /** [[localCheckpointKeepLayout]] plus the materialized row count —
+    * the checkpoint's eager materializer IS a count job, so callers
+    * that need the cardinality (pin-threshold probes, funnel/validation
+    * counts) get it for free instead of paying a second sequential
+    * action over the pinned blocks (VERDICT r19 #6). */
+  def localCheckpointKeepLayoutWithCount(df: DataFrame): (DataFrame, Long) = {
     val cds = df.asInstanceOf[ClassicDataset[Row]]
     val session = cds.sparkSession
     val qe = cds.queryExecution
@@ -62,8 +71,32 @@ object PartitionedCheckpoint {
       case a: AdaptiveSparkPlanExec => a.finalPhysicalPlan
       case p => p
     }
-    val partitioning = firstLeafPartitioning(finalPlan.outputPartitioning)
+    // the recorded layout must reference the LOGICAL output attributes
+    // (the LogicalRDD below is built on logical.output): the executed
+    // plan's exprIds can diverge from the analyzed plan's (upstream
+    // LogicalRDD.fromDataset remaps for exactly this reason), and a
+    // layout keyed on stale exprIds would never satisfy a downstream
+    // requirement — the pin would silently degrade back to per-round
+    // exchanges (ADVICE r19)
+    val logical = cds.logicalPlan
+    val attrMap: AttributeMap[Attribute] =
+      if (finalPlan.output.length == logical.output.length)
+        AttributeMap(finalPlan.output.zip(logical.output))
+      else AttributeMap.empty[Attribute]
+    def remap(e: Expression): Expression = e.transform {
+      case a: Attribute => attrMap.getOrElse(a, a)
+    }
+    val partitioning =
+      firstLeafPartitioning(finalPlan.outputPartitioning) match {
+        case hp: HashPartitioning =>
+          hp.copy(expressions = hp.expressions.map(remap))
+        case rp: RangePartitioning =>
+          rp.copy(ordering =
+            rp.ordering.map(o => remap(o).asInstanceOf[SortOrder]))
+        case other => other // Single/Unknown/RoundRobin carry no attrs
+      }
     val ordering = finalPlan.outputOrdering
+      .map(o => remap(o).asInstanceOf[SortOrder])
     // stats: the row count is EXACT after materialization — record it
     // (rows × schema width) instead of the origin plan's estimate. A
     // stock localCheckpoint propagates the pre-execution estimate,
@@ -71,14 +104,13 @@ object PartitionedCheckpoint {
     // broadcast-sized checkpoint is often planned sort-merge and a
     // too-big one can be planned broadcast. Constraints ride along as
     // in LogicalRDD.fromDataset.
-    val logical = cds.logicalPlan
     val stats = Statistics(
       sizeInBytes = BigInt(rows) *
         EstimationUtils.getSizePerRow(logical.output),
       rowCount = Some(BigInt(rows)))
-    ClassicDataset.ofRows(session,
+    (ClassicDataset.ofRows(session,
       LogicalRDD(logical.output, rdd, partitioning, ordering,
         isStreaming = false, None)(session, Some(stats),
-        Some(logical.constraints)))
+        Some(logical.constraints))), rows)
   }
 }
