@@ -2719,6 +2719,26 @@ object SparkEntry {
       .orderBy(col("split"))
   }
 
+  /** ONE-job multiset-equality verdict (r20 optimization round): the
+    * reload-identity checks used `a.exceptAll(b) ∪ b.exceptAll(a)` and
+    * counted the union — which plans BOTH inputs into BOTH exceptAll
+    * subtrees (every probe relation computed twice unless checkpointed)
+    * and pays two aggregate+generate passes. This tags each side ±1 and
+    * groups ONCE: `n_mismatch` = distinct rows whose multiplicities
+    * differ, zero exactly when the old union was empty (null-safe —
+    * groupBy groups null cells together, as exceptAll did). Each input
+    * is computed once, so the probe checkpoints that existed only to
+    * feed two exceptAll branches are gone too. */
+  private def multisetMismatch(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = a.columns.toSeq.map(col)
+    a.withColumn("__side", lit(1L))
+      .unionByName(b.withColumn("__side", lit(-1L)))
+      .groupBy(cols: _*)
+      .agg(sum(col("__side")).as("__d"))
+      .agg(coalesce(sum(when(col("__d") =!= 0L, 1L).otherwise(0L)),
+        lit(0L)).as("n_mismatch"))
+  }
+
   /** PQ-index persistence cycle (q139): the FOURTH persisted index
     * modality driven end to end (VERDICT r11 #3 — PQ codebooks + codes
     * were the only trained ANN artifacts still retrained per run) —
@@ -2749,22 +2769,19 @@ object SparkEntry {
     val probes = corpus.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
       .localCheckpoint()
-    // PQ probes are CHECKPOINTED: each probe relation feeds two
-    // exceptAll/anti-join branches, and recomputing the ADC scan (LUT
-    // build + heap pass over the codes) per branch costs more than the
-    // three pin jobs (measured 4.4 s lazy vs 2.9 s pinned; contrast
-    // q140, where the cheap integer-dot subtrees stay lazy)
-    val pBuilt = Similarity.pqProbe(index, probes, 3).localCheckpoint()
-    val pLoaded = Similarity.pqProbe(loaded, probes, 3).localCheckpoint()
+    // pApp stays CHECKPOINTED (it feeds a4 twice); pBuilt/pLoaded each
+    // feed the single-pass multiset compare ONCE now, so the r19 pins
+    // that amortized their double exceptAll computation are dropped —
+    // lazy single computation is strictly less work (r20)
+    val pBuilt = Similarity.pqProbe(index, probes, 3)
+    val pLoaded = Similarity.pqProbe(loaded, probes, 3)
     val copies = corpus.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
     val appended = Similarity.appendToPqIndex(loaded, copies)
     val pApp = Similarity.pqProbe(appended, probes, 3).localCheckpoint()
     val pStale = Similarity.pqProbe(loaded, probes, 3)
     val a0 = probes.agg(count(lit(1)).as("n_probes"))
-    val a1 = pBuilt.exceptAll(pLoaded)
-      .unionByName(pLoaded.exceptAll(pBuilt))
-      .agg(count(lit(1)).as("n_mismatch"))
+    val a1 = multisetMismatch(pBuilt, pLoaded)
     val a2 = pStale.agg(
       coalesce(sum(when(col("vec_id") >= offset, 1L).otherwise(0L)), lit(0L))
         .as("stale_hits"))
@@ -2818,9 +2835,7 @@ object SparkEntry {
     val pApp = graft.ops.ScalarQuant.sq8Probe(appended, probes, 3)
     val pStale = graft.ops.ScalarQuant.sq8Probe(loaded, probes, 3)
     val a0 = probes.agg(count(lit(1)).as("n_probes"))
-    val a1 = pBuilt.exceptAll(pLoaded)
-      .unionByName(pLoaded.exceptAll(pBuilt))
-      .agg(count(lit(1)).as("n_mismatch"))
+    val a1 = multisetMismatch(pBuilt, pLoaded)
     val a2 = pStale.agg(
       coalesce(sum(when(col("vec_id") >= offset, 1L).otherwise(0L)), lit(0L))
         .as("stale_hits"))
@@ -3060,20 +3075,17 @@ object SparkEntry {
         array_join(slice(split(col("text"), " "), 33, 32), " ").as("text"))
     val bChunks = Similarity.chunkVectors(batch, chunkTokens = 32, dim = 64)
       .select(col("vec_id").as("batch_id"), col("embedding"))
-    // both probe relations are CHECKPOINTED (r19 optimization round,
-    // the q139 rationale): each feeds both exceptAll branches of the
-    // reload-identity compare, and recomputing the IVF probe join per
-    // branch costs more than the pin job
+    // gotLoaded stays CHECKPOINTED (it feeds the compare AND a2);
+    // gotBuilt feeds the single-pass multiset compare ONCE now, so the
+    // r19 pin that amortized its double exceptAll computation is
+    // dropped — lazy single computation is strictly less work (r20)
     val gotBuilt = Similarity.incrementalSemanticDedup(
       index, bChunks, threshold = 0.95, nProbes = 4)
-      .localCheckpoint()
     val gotLoaded = Similarity.incrementalSemanticDedup(
       loaded, bChunks, threshold = 0.95, nProbes = 4)
       .localCheckpoint()
     val a0 = bChunks.agg(count(lit(1)).as("n_probes"))
-    val a1 = gotBuilt.exceptAll(gotLoaded)
-      .unionByName(gotLoaded.exceptAll(gotBuilt))
-      .agg(count(lit(1)).as("n_mismatch"))
+    val a1 = multisetMismatch(gotBuilt, gotLoaded)
     val a2 = gotLoaded.agg(
       coalesce(sum(when(col("status") === "near", 1L).otherwise(0L)),
         lit(0L)).as("n_near"),
@@ -7269,8 +7281,12 @@ object SparkEntry {
     val nShards = 8
     val idx = graft.ops.Cdx.index(mintedCdxCaptures(s, d),
       col("container_id"), col("data"))
-    val (sharded, summary0) = graft.ops.Cdx.shardCdxj(
-      graft.ops.Cdx.toCdxjLines(idx), nShards)
+    // fenced BEFORE the range shard (r20, the fencedSort rationale):
+    // repartitionByRange SAMPLES its child to pick bounds, so an
+    // unfenced line relation computes the whole mint→index→to_json
+    // pipeline twice — the job trace showed two ~1 s twin jobs
+    val lines = graft.ops.Cdx.toCdxjLines(idx).localCheckpoint()
+    val (sharded, summary0) = graft.ops.Cdx.shardCdxj(lines, nShards)
     val summary = summary0
       .localCheckpoint() // feeds both lanes' elections + matches
     val docs = t(s, d, "documents")

@@ -1069,7 +1069,8 @@ object TextAnalysis {
     * corpus token count and collapses at the first partial aggregate. */
   def gopherRepetitionReport(docs: DataFrame): DataFrame = {
     val nChars = greatest(length(col("text")), lit(1)).cast("double")
-    val base = docs.select(col("doc_id"), col("text"),
+    val base = spreadSmallScan(docs)
+      .select(col("doc_id"), col("text"),
         split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("__ws"))
       .localCheckpoint(false)
     val nW = size(col("__ws"))
@@ -1307,6 +1308,27 @@ object TextAnalysis {
     *
     * @return exactly k rows: (ngram, n_occurrences, n_docs, share_ppm)
     *         ordered by (n_occurrences desc, ngram asc). */
+  /** Spread a COMPACT input across the configured shuffle parallelism
+    * before per-row-expensive kernel stages (n-gram explodes, battery
+    * lanes): a small columnar input (sf0.1 documents = 584 KB = one
+    * 128 MB scan split) otherwise runs its whole explode + partial-
+    * aggregate stage on ONE task regardless of core count — the
+    * measured q120/q125/q136 plateau where 8 cores matched 32 (r20
+    * optimization round, guide §2.2/§6). Gated on the PLANNED input
+    * size (32 MB × parallelism ≈ half-full splits), so a corpus-scale
+    * input — whose scan already yields at least as many partitions as
+    * the configured parallelism — never pays the added exchange; the
+    * gate is planning-time only (optimizer stats, no job). Round-robin
+    * repartition: deterministic under Spark's sort-before-repartition
+    * default, row set unchanged. */
+  private[graft] def spreadSmallScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val planned = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (planned < BigInt(32L * 1024 * 1024) * target) df.repartition(target)
+    else df
+  }
+
   def topNgrams(
       docs: DataFrame,
       idCol: Column,
@@ -1315,6 +1337,7 @@ object TextAnalysis {
       k: Int): DataFrame = {
     require(n >= 1, s"n-gram length must be >= 1, got $n")
     require(k >= 1, s"top-k must be >= 1, got $k")
+    val docsS = spreadSmallScan(docs)
     val words = filter(split(textCol, " "), w => w =!= "")
     // sequence(1, 0) DESCENDS in Spark — guard the short-doc case
     val grams = when(size(words) >= n,
@@ -1322,7 +1345,7 @@ object TextAnalysis {
         sequence(lit(1), size(words) - (n - 1)),
         i => array_join(slice(words, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-    val postings = docs
+    val postings = docsS
       .select(idCol.as("__doc"), explode(grams).as("ngram"))
       .groupBy(col("ngram"), col("__doc"))
       .agg(count(lit(1)).as("__tf"))
@@ -1335,7 +1358,7 @@ object TextAnalysis {
     // over the corpus — NOT a second pass through the exploded n-gram
     // lineage (which Spark would otherwise recompute wholesale just to
     // total it)
-    val total = docs
+    val total = docsS
       .select(greatest(size(words) - (n - 1), lit(0)).as("__c"))
       .agg(sum(col("__c")).cast("long").as("__total"))
     agg.crossJoin(broadcast(total))
@@ -1375,7 +1398,7 @@ object TextAnalysis {
       idCol: Column,
       textCol: Column,
       vocab: DataFrame): DataFrame = {
-    val toks = docs.select(
+    val toks = spreadSmallScan(docs).select(
       idCol.as("doc_id"),
       explode(filter(split(textCol, " "), w => w =!= "")).as("__tok"))
     val v = vocab.select(col(vocab.columns.head).as("__tok")).distinct()
