@@ -135,7 +135,25 @@ object Bpe {
     val driverMax = sess.conf
       .getOption("spark.graft.bpe.driverTrainMaxVocab")
       .map(_.toLong).getOrElse(1L << 20)
-    if (vocab.count() <= driverMax)
+    // second gate (ADVICE r19): rows alone under-state the collect's
+    // heap — each symbol is its own String (~64 B with object + char
+    // overhead), so a row-count-sized vocab of LONG words could OOM
+    // the driver right at the bound. The symbol cap (default 16M
+    // symbols ≈ 1 GB estimated) routes such vocabs back to the
+    // distributed loop; both measures come out of ONE aggregation job
+    // (which replaces the former count()-only probe).
+    val maxSyms = sess.conf
+      .getOption("spark.graft.bpe.driverTrainMaxSymbols")
+      .map(_.toLong).getOrElse(16L << 20)
+    val bound = vocab.toDF("syms", "freq")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.coalesce(
+          sum(org.apache.spark.sql.functions.size(col("syms"))
+            .cast("long")),
+          org.apache.spark.sql.functions.lit(0L)))
+      .head
+    if (bound.getLong(0) <= driverMax && bound.getLong(1) <= maxSyms)
       return train(
         vocab.collect().toSeq.map { case (a, f) => (a.toSeq, f) },
         numMerges)

@@ -108,9 +108,7 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = docs.select(
-      col("doc_id"),
-      minhashSignature(shingleHashes(col("text"), shingleLen), numHashes).as("sig"))
+    val sig = sigOf(docs, shingleLen, numHashes)
 
     val cand = minhashCandidatesFromSig(sig, bands, rowsPerBand)
 
@@ -171,10 +169,14 @@ object Dedup {
         round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
-  /** Per-doc MinHash signature relation (doc_id, sig) — map-side only. */
+  /** Per-doc MinHash signature relation (doc_id, sig) — map-side only.
+    * The input is spread across the configured parallelism first when
+    * it is compact ([[TextAnalysis.spreadSmallScan]], r20): shingling +
+    * minhashing is the expensive per-row kernel of the whole dedup
+    * family, and a sub-split input otherwise runs it on one task. */
   private[graft] def sigOf(
       d: DataFrame, shingleLen: Int, numHashes: Int): DataFrame =
-    d.select(
+    TextAnalysis.spreadSmallScan(d).select(
       col("doc_id"),
       minhashSignature(shingleHashes(col("text"), shingleLen), numHashes)
         .as("sig"))
@@ -637,7 +639,8 @@ object Dedup {
     * chunks, verify true Hamming distance ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     hammingPairs(
-      docs.select(col("doc_id"), simhash(col("text")).as("fp")),
+      TextAnalysis.spreadSmallScan(docs)
+        .select(col("doc_id"), simhash(col("text")).as("fp")),
       maxHamming, nBands = 4)
 
   /** Hamming-banded near-identical pairs over ANY 64-bit fingerprint
@@ -1009,12 +1012,17 @@ object Dedup {
     (toks, winsOf(toks, minTokens))
   }
 
+  // spread a compact input first (r20): the tokenize pass feeds the
+  // token checkpoint whose partitioning every window explode inherits —
+  // a sub-split input otherwise runs the whole span family's heaviest
+  // stage (window-hash folding) on one task
   private def tokensOf(
-      docs: DataFrame, minTokens: Int, unicode: Boolean): DataFrame = docs
-    .select(col("doc_id").cast("long").as("doc_id"),
-      TextAnalysis.tokensMode(col("text"), unicode).as("toks"))
-    .withColumn("n", size(col("toks")))
-    .filter(col("n") >= minTokens)
+      docs: DataFrame, minTokens: Int, unicode: Boolean): DataFrame =
+    TextAnalysis.spreadSmallScan(docs)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        TextAnalysis.tokensMode(col("text"), unicode).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= minTokens)
 
   private def winsOf(toks: DataFrame, minTokens: Int): DataFrame = toks
     .withColumn("toks_h", transform(col("toks"), t => xxhash64(t)))
@@ -1191,7 +1199,7 @@ object Dedup {
     // joins); localCheckpoint computes the hashing once instead of
     // re-deriving it per branch — O(docs · shingles · 8B) of executor
     // storage, the smallest relation in the pipeline
-    val arrs = docs.select(
+    val arrs = TextAnalysis.spreadSmallScan(docs).select(
       col("doc_id"),
       shingleHashes(col("text"), shingleLen).as("arr"))
       .localCheckpoint()

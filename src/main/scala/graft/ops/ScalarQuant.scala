@@ -90,8 +90,12 @@ object ScalarQuant {
   case class Sq8Index(scales: Array[Double], quantized: DataFrame)
 
   def buildSq8Index(corpus: DataFrame): Sq8Index = {
-    val scales = fitScales(corpus)
-    Sq8Index(scales, corpus
+    // spread a compact corpus first (r20): the absmax fit and the
+    // quantize pass are per-row kernels that otherwise run on a single
+    // scan task for a sub-split input (see TextAnalysis.spreadSmallScan)
+    val spread = TextAnalysis.spreadSmallScan(corpus)
+    val scales = fitScales(spread)
+    Sq8Index(scales, spread
       .select(col("vec_id").cast("long").as("vec_id"),
         quantize(col("embedding"), scales).cast("array<tinyint>").as("q"))
       // materialized so later probes/appends don't re-quantize the

@@ -587,8 +587,12 @@ object Similarity {
   private[graft] def chunkVectors(
       docs: DataFrame, chunkTokens: Int, dim: Int): DataFrame = {
     val keyBase = 1L << 20
+    // spread a compact input first (r20): chunking + bucket hashing +
+    // TF vectorization is the expensive per-row stage, and a sub-split
+    // input otherwise runs it all on one task (see spreadSmallScan)
     val bucketed = TextAnalysis
-      .chunkDocuments(docs, col("doc_id"), col("text"), chunkTokens, 0)
+      .chunkDocuments(TextAnalysis.spreadSmallScan(docs),
+        col("doc_id"), col("text"), chunkTokens, 0)
       .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
         (col("doc_id") * lit(keyBase) + col("chunk_id")).as("vec_id"),
         Curation.ngramBuckets(col("chunk_text"), dim, 1).as("__b"))
@@ -656,7 +660,10 @@ object Similarity {
       seed: Long): IvfIndex = {
     val sess = corpus.sparkSession
     import sess.implicits._
-    val vecs = corpus
+    // spread a compact corpus first (r20): k-means partials and the
+    // cell-assignment pass are per-row kernels that otherwise run on a
+    // single scan task for a sub-split input (see spreadSmallScan)
+    val vecs = TextAnalysis.spreadSmallScan(corpus)
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
     val cents = trainCentroids(vecs, nCentroids, kmeansIters, seed)
@@ -1360,7 +1367,9 @@ object Similarity {
     val dim = embeddingDim(corpus)
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
-    val vecs = corpus
+    // spread a compact corpus first (r20) — the per-subspace k-means
+    // partials and the code-assignment pass are the expensive kernels
+    val vecs = TextAnalysis.spreadSmallScan(corpus)
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -121,7 +121,14 @@ class FunctionsSpec extends SparkSpec {
     }
     val driver = graft.functions.Bpe.train(corpus, 64)
     val words = corpus.toDF("syms", "freq")
-    val dist = graft.functions.Bpe.trainDistributed(words, 64)
+    // force the DISTRIBUTED merge loop (ADVICE r19): the adaptive
+    // driver bound would otherwise early-return into the driver twin
+    // and compare it against itself — the distributed path, the one
+    // used above the bound at scale, must be what this test exercises
+    spark.conf.set("spark.graft.bpe.driverTrainMaxVocab", "0")
+    val dist =
+      try graft.functions.Bpe.trainDistributed(words, 64)
+      finally spark.conf.unset("spark.graft.bpe.driverTrainMaxVocab")
     assert(dist == driver,
       s"first divergence at ${dist.zip(driver).indexWhere(p => p._1 != p._2)}")
   }
@@ -141,8 +148,12 @@ class FunctionsSpec extends SparkSpec {
       ("low".map(_.toString), 1L),
       (" low".map(_.toString), 4L),
       (" lower".map(_.toString), 2L))
-    val dist = graft.functions.Bpe.trainDistributed(
-      graft.functions.Bpe.countedVocab(docs, "text"), 10)
+    // distributed loop forced (ADVICE r19) — see the twin test above
+    spark.conf.set("spark.graft.bpe.driverTrainMaxVocab", "0")
+    val dist =
+      try graft.functions.Bpe.trainDistributed(
+        graft.functions.Bpe.countedVocab(docs, "text"), 10)
+      finally spark.conf.unset("spark.graft.bpe.driverTrainMaxVocab")
     assert(dist == graft.functions.Bpe.train(counted, 10))
   }
 

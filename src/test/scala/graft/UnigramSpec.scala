@@ -28,12 +28,23 @@ class UnigramSpec extends SparkSpec {
     assert(math.exp(p("ab")) > 0.4 && math.exp(p(" abc")) > 0.4)
   }
 
+  // the twin tests force the DISTRIBUTED EM loop (ADVICE r19): the
+  // adaptive driver bound would otherwise early-return into the driver
+  // twin and compare it against itself — the distributed path, the one
+  // used above the bound at scale, is what these tests must cover
+  private def forcingDistributed[A](body: => A): A = {
+    spark.conf.set("spark.graft.unigram.driverTrainMaxVocab", "0")
+    try body
+    finally spark.conf.unset("spark.graft.unigram.driverTrainMaxVocab")
+  }
+
   test("distributed trainer is the bit-exact twin of the driver trainer") {
     import spark.implicits._
     for (parts <- Seq(1, 7)) {
       val words = fixture.toDF("word", "freq").repartition(parts)
-      val (dv, dp) = Unigram.trainDistributed(words, maxPieceLen = 4,
-        targetVocab = 6, emIters = 1)
+      val (dv, dp) = forcingDistributed(
+        Unigram.trainDistributed(words, maxPieceLen = 4,
+          targetVocab = 6, emIters = 1))
       val (lv, lp) = Unigram.train(fixture, maxPieceLen = 4,
         targetVocab = 6, emIters = 1)
       assert(dp === lp)
@@ -47,9 +58,10 @@ class UnigramSpec extends SparkSpec {
       ("the", 11L), (" the", 9L), ("them", 4L), (" theme", 3L),
       ("cat", 7L), (" cat", 6L), ("cats", 2L), ("dog", 5L),
       (" dogma", 1L), ("a", 13L), (" a", 8L))
-    val (dv, dp) = Unigram.trainDistributed(
-      corpus.toDF("word", "freq").repartition(5),
-      maxPieceLen = 6, targetVocab = 18, emIters = 2)
+    val (dv, dp) = forcingDistributed(
+      Unigram.trainDistributed(
+        corpus.toDF("word", "freq").repartition(5),
+        maxPieceLen = 6, targetVocab = 18, emIters = 2))
     val (lv, lp) = Unigram.train(corpus, maxPieceLen = 6,
       targetVocab = 18, emIters = 2)
     assert(dp === lp)
