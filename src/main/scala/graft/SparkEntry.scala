@@ -3073,7 +3073,8 @@ object SparkEntry {
     val batch = base.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + offset).as("doc_id"),
         array_join(slice(split(col("text"), " "), 33, 32), " ").as("text"))
-    val bChunks = Similarity.chunkVectors(batch, chunkTokens = 32, dim = 64)
+    val bChunks = Similarity.chunkVectors(batch, chunkTokens = 32, dim = 64,
+        spread = false) // batch-sized probe mint — see chunkVectors
       .select(col("vec_id").as("batch_id"), col("embedding"))
     // gotLoaded stays CHECKPOINTED (it feeds the compare AND a2);
     // gotBuilt feeds the single-pass multiset compare ONCE now, so the

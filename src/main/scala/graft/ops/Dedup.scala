@@ -146,7 +146,7 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
     val corpusSig = sigOf(corpus, shingleLen, numHashes)
-    val batchSig = sigOf(batch, shingleLen, numHashes)
+    val batchSig = sigOf(batch, shingleLen, numHashes, spread = false)
     val cand = bandOf(corpusSig, bands, rowsPerBand).select(
         col("band"), col("bucket"), col("doc_id").as("corpus_id"))
       .join(bandOf(batchSig, bands, rowsPerBand).select(
@@ -170,13 +170,18 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature relation (doc_id, sig) — map-side only.
-    * The input is spread across the configured parallelism first when
-    * it is compact ([[TextAnalysis.spreadSmallScan]], r20): shingling +
-    * minhashing is the expensive per-row kernel of the whole dedup
-    * family, and a sub-split input otherwise runs it on one task. */
+    * CORPUS-side callers spread a compact input across the configured
+    * parallelism first ([[TextAnalysis.spreadSmallScan]], r20):
+    * shingling + minhashing is the expensive per-row kernel of the
+    * whole dedup family, and a sub-split input otherwise runs it on
+    * one task. BATCH/probe-side callers pass `spread = false` — a
+    * daily-increment-sized relation's kernel pass is cheaper than the
+    * added exchange (measured: the q135/q132 probe lanes regressed
+    * ~0.5 s under an unconditional spread). */
   private[graft] def sigOf(
-      d: DataFrame, shingleLen: Int, numHashes: Int): DataFrame =
-    TextAnalysis.spreadSmallScan(d).select(
+      d: DataFrame, shingleLen: Int, numHashes: Int,
+      spread: Boolean = true): DataFrame =
+    (if (spread) TextAnalysis.spreadSmallScan(d) else d).select(
       col("doc_id"),
       minhashSignature(shingleHashes(col("text"), shingleLen), numHashes)
         .as("sig"))
@@ -423,7 +428,8 @@ object Dedup {
     val newFp = batch
       .select(col("doc_id").as("corpus_id"), col("__fp").as("fp"))
       .localCheckpoint(true)
-    val newSigs = sigOf(batch.drop("__fp"), index.shingleLen, numHashes)
+    val newSigs = sigOf(batch.drop("__fp"), index.shingleLen, numHashes,
+      spread = false)
       .select(col("doc_id").as("corpus_id"), col("sig"))
       .localCheckpoint(true)
     val newBands = bandOf(
@@ -497,7 +503,8 @@ object Dedup {
       .groupBy("batch_id")
       .agg(count(lit(1)).as("n_exact"))
     // near lane: band-bucket bloom → banded join → signature verify
-    val batchSig = sigOf(batch, index.shingleLen, numHashes)
+    val batchSig = sigOf(batch, index.shingleLen, numHashes,
+      spread = false)
     val gated = bandOf(batchSig, index.bands, index.rowsPerBand)
       .filter(bloomProbe(xxhash64(col("band"), col("bucket")), index.bandBloom))
     val nearM = index.bandIndex
@@ -787,7 +794,8 @@ object Dedup {
       unicode: Boolean = false): DataFrame = {
     require(minTokens >= 2, s"minTokens $minTokens must be >= 2")
     val (cToks, cWins) = tokenWindows(corpus, minTokens, unicode)
-    val (pToks, pWins) = tokenWindows(probes, minTokens, unicode)
+    val (pToks, pWins) =
+      tokenWindows(probes, minTokens, unicode, spread = false)
     val a = capWindowDf(cWins, maxDf)
       .select(col("h"), col("doc_id").as("id_a"), col("start").as("start_a"))
     val b = pWins.select(col("h"), col("doc_id").as("id_b"), col("start").as("start_b"))
@@ -827,7 +835,15 @@ object Dedup {
       maxDf: Int = Int.MaxValue,
       unicode: Boolean = false): SpanIndex = {
     require(minTokens >= 2, s"minTokens $minTokens must be >= 2")
-    val (toks, wins0) = tokenWindows(corpus, minTokens, unicode)
+    // spread = false (measured, r20): unlike the self-join span forms
+    // (verbatimSpans/repeatedSpansWithin, where the spread wins 1.5×+),
+    // the index-build → small-probe cycle shape LOST ~0.6 s to the
+    // 32-way checkpoint's per-task overhead across its many downstream
+    // probe/append stages (q135 warm probes 4.4 s → 5.0 s); the probe
+    // relations join against the windows via shuffles anyway, so the
+    // build pass is the only single-task stage and it is short
+    val (toks, wins0) = tokenWindows(corpus, minTokens, unicode,
+      spread = false)
     val wins = wins0.localCheckpoint()
     val dfStats = wins
       .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
@@ -853,7 +869,8 @@ object Dedup {
     * @return (id_a, id_b, start_a, start_b, len_tokens): id_a/start_a
     *         index the corpus doc, id_b/start_b the probe doc. */
   def probeSpanIndex(index: SpanIndex, probes: DataFrame): DataFrame = {
-    val (pToks, pWins) = tokenWindows(probes, index.minTokens, index.unicode)
+    val (pToks, pWins) =
+      tokenWindows(probes, index.minTokens, index.unicode, spread = false)
     val a = index.windows.select(
       col("h"), col("corpus_id").as("id_a"), col("start").as("start_a"))
     val b = pWins.select(
@@ -878,7 +895,8 @@ object Dedup {
   def appendToSpanIndex(index: SpanIndex, newDocs: DataFrame): SpanIndex = {
     requireFreshIds(index.tokens, "corpus_id", newDocs, "doc_id",
       "appendToSpanIndex")
-    val (bToks, bWins0) = tokenWindows(newDocs, index.minTokens, index.unicode)
+    val (bToks, bWins0) =
+      tokenWindows(newDocs, index.minTokens, index.unicode, spread = false)
     val bWins = bWins0.localCheckpoint()
     val mergedDf = index.dfStats
       .unionByName(bWins
@@ -1007,18 +1025,22 @@ object Dedup {
     * (toks: (doc_id, toks, n) — checkpointed, it feeds the window pass
     * AND the verify joins; wins: (doc_id, h, start)). */
   private def tokenWindows(
-      docs: DataFrame, minTokens: Int, unicode: Boolean): (DataFrame, DataFrame) = {
-    val toks = tokensOf(docs, minTokens, unicode).localCheckpoint()
+      docs: DataFrame, minTokens: Int, unicode: Boolean,
+      spread: Boolean = true): (DataFrame, DataFrame) = {
+    val toks = tokensOf(docs, minTokens, unicode, spread).localCheckpoint()
     (toks, winsOf(toks, minTokens))
   }
 
-  // spread a compact input first (r20): the tokenize pass feeds the
-  // token checkpoint whose partitioning every window explode inherits —
-  // a sub-split input otherwise runs the whole span family's heaviest
-  // stage (window-hash folding) on one task
+  // CORPUS-side callers spread a compact input first (r20): the
+  // tokenize pass feeds the token checkpoint whose partitioning every
+  // window explode inherits — a sub-split input otherwise runs the
+  // whole span family's heaviest stage (window-hash folding) on one
+  // task. Probe/append batches pass spread = false (the added exchange
+  // costs more than a batch-sized kernel pass — measured on q135).
   private def tokensOf(
-      docs: DataFrame, minTokens: Int, unicode: Boolean): DataFrame =
-    TextAnalysis.spreadSmallScan(docs)
+      docs: DataFrame, minTokens: Int, unicode: Boolean,
+      spread: Boolean): DataFrame =
+    (if (spread) TextAnalysis.spreadSmallScan(docs) else docs)
       .select(col("doc_id").cast("long").as("doc_id"),
         TextAnalysis.tokensMode(col("text"), unicode).as("toks"))
       .withColumn("n", size(col("toks")))
@@ -1045,7 +1067,9 @@ object Dedup {
     * identical hashes to the batch pass by construction. */
   private[graft] def windowFingerprints(
       docs: DataFrame, minTokens: Int, unicode: Boolean): DataFrame =
-    winsOf(tokensOf(docs, minTokens, unicode), minTokens)
+    // spread = false: a streaming plan can't be stats-probed or
+    // round-robin repartitioned, and the in-stream batch is small
+    winsOf(tokensOf(docs, minTokens, unicode, spread = false), minTokens)
 
   /** STATELESS per-document span verdict against the span index
     * (VERDICT r16 #6): the document's window hashes are computed as an

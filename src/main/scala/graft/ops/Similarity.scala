@@ -585,13 +585,17 @@ object Similarity {
     * @return checkpointed (doc_id, chunk_id, n_tokens, vec_id,
     *         embedding). */
   private[graft] def chunkVectors(
-      docs: DataFrame, chunkTokens: Int, dim: Int): DataFrame = {
+      docs: DataFrame, chunkTokens: Int, dim: Int,
+      spread: Boolean = true): DataFrame = {
     val keyBase = 1L << 20
-    // spread a compact input first (r20): chunking + bucket hashing +
-    // TF vectorization is the expensive per-row stage, and a sub-split
-    // input otherwise runs it all on one task (see spreadSmallScan)
+    // CORPUS-side callers spread a compact input first (r20): chunking
+    // + bucket hashing + TF vectorization is the expensive per-row
+    // stage, and a sub-split input otherwise runs it all on one task
+    // (see spreadSmallScan). Batch-side callers pass spread = false —
+    // a batch-sized kernel pass is cheaper than the added exchange.
     val bucketed = TextAnalysis
-      .chunkDocuments(TextAnalysis.spreadSmallScan(docs),
+      .chunkDocuments(
+        if (spread) TextAnalysis.spreadSmallScan(docs) else docs,
         col("doc_id"), col("text"), chunkTokens, 0)
       .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
         (col("doc_id") * lit(keyBase) + col("chunk_id")).as("vec_id"),

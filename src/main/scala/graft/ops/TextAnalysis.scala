@@ -1324,8 +1324,22 @@ object TextAnalysis {
   private[graft] def spreadSmallScan(df: DataFrame): DataFrame = {
     val target = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val planned = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (planned < BigInt(32L * 1024 * 1024) * target) df.repartition(target)
+    val plan = df.queryExecution.optimizedPlan
+    // an input that is ALREADY spread must not pay a second exchange:
+    // either the plan still carries a repartition node, or an earlier
+    // spread was fenced behind a checkpoint whose leaf partition count
+    // the bridge can read without running anything
+    val alreadySpread = plan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Repartition =>
+        true
+      case _: org.apache.spark.sql.catalyst.plans.logical
+            .RepartitionByExpression => true
+      case _ => false
+    } || org.apache.spark.sql.graftbridge.PartitionedCheckpoint
+      .maxCheckpointLeafPartitions(df) >= target
+    val planned = plan.stats.sizeInBytes
+    if (!alreadySpread && planned < BigInt(32L * 1024 * 1024) * target)
+      df.repartition(target)
     else df
   }
 

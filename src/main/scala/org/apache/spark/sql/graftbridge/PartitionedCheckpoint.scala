@@ -33,6 +33,17 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * `AdaptiveSparkPlanExec.finalPhysicalPlan`. */
 object PartitionedCheckpoint {
 
+  /** The largest checkpoint-leaf partition count in `df`'s optimized
+    * plan — plan metadata only, no job. Lets a parallelism-restoring
+    * repartition (TextAnalysis.spreadSmallScan) recognize an input that
+    * is ALREADY spread via an earlier checkpointed repartition (the
+    * checkpoint hides the Repartition node behind a LogicalRDD leaf)
+    * instead of paying a second, useless exchange. */
+  def maxCheckpointLeafPartitions(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRDD => l.rdd.getNumPartitions
+    }.foldLeft(0)(math.max)
+
   /** Takes the first leaf whenever the partitioning is a
     * `PartitioningCollection` — the same normalization
     * `Dataset.checkpoint`/`LogicalRDD.fromDataset` apply, for the same
